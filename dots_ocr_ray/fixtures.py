@@ -1,0 +1,198 @@
+"""Deterministic synthetic Common-Crawl-style pages (FIXTURES.md).
+
+Two generators:
+
+* :func:`make_pages_table` — the rich seeded corpus for the
+  byte-identity gate (all 11 categories, boilerplate, degradation
+  cases, hot-domain skew, a mega-page).  Plays the role of the
+  reference's golden test documents (test/data/PGhandbook.pdf) since the
+  reference ships no hermetic corpus (SURVEY.md §5).
+* :func:`pages_from_documents` — wraps the driver's ``documents``
+  table into pages whose expected extraction is expressible in ANSI SQL,
+  powering the DuckDB-checked ``queries()``/``oracle_sql()`` contract.
+
+Everything is a pure function of (seed, index): no wall clock, no
+global RNG.
+"""
+
+from __future__ import annotations
+
+import datetime
+import html as html_mod
+import random
+
+import pyarrow as pa
+
+from dots_ocr_ray.schema import PAGES_SCHEMA
+
+EPOCH = datetime.datetime(2025, 1, 1)
+LANGS = ["en", "en", "en", "zh", "ru", "de", "hi"]  # weighted round-robin
+_WORDS = (
+    "stream layout parse block anchor render table column row span cell "
+    "header footer body margin index corpus shard batch arrow vector "
+    "kernel schema marker lineage replica quorum ledger socket packet"
+).split()
+
+
+def _domain(rng: random.Random, i: int) -> str:
+    # Zipf-ish skew: one hot domain holds ~30% of rows (FIXTURES.md §1).
+    if rng.random() < 0.30:
+        return "hot.example.com"
+    return f"site-{rng.randrange(39):02d}.example.org"
+
+
+def _sentence(rng: random.Random, n: int) -> str:
+    return " ".join(rng.choice(_WORDS) for _ in range(n)).capitalize() + "."
+
+
+def _make_html(rng: random.Random, i: int) -> tuple[str, str]:
+    """One synthetic page; returns (html, naive_text)."""
+    parts = ["<html><head><title>t</title>", '<style>.x{color:red}</style>', "</head><body>"]
+    # boilerplate: nav link farm + cookie banner + sidebar (all pruned)
+    parts.append('<nav class="nav"><a href="/">Home</a><a href="/b">Blog</a><a href="/c">Contact</a></nav>')
+    parts.append('<div class="cookie"><p>We use cookies to improve your experience.</p></div>')
+    parts.append('<div class="sidebar related"><ul><li><a href="/r1">Related one</a></li></ul></div>')
+    parts.append(f'<header class="page-header">Site header {i % 7}</header>')
+    parts.append(f"<h1>Document {i:06d}</h1>")
+    n_sections = 1 + rng.randrange(3)
+    for s in range(n_sections):
+        parts.append(f"<h2>Section {s + 1}</h2>")
+        for _ in range(1 + rng.randrange(3)):
+            parts.append(f"<p>{_sentence(rng, 8 + rng.randrange(12))}</p>")
+        if rng.random() < 0.4:
+            parts.append("<ul>" + "".join(f"<li>Item {k}: {_sentence(rng, 4)}</li>" for k in range(2 + rng.randrange(3))) + "</ul>")
+    if rng.random() < 0.35:
+        parts.append("<table><tr><th>k</th><th>v</th></tr><tr><td>alpha</td><td>1</td></tr><tr><td>beta</td><td>2</td></tr></table>")
+    if rng.random() < 0.3:
+        parts.append(f"<math>E = mc^2 + {rng.randrange(9)}</math>")
+    if rng.random() < 0.3:
+        parts.append(f'<img src="/img{i}.png" alt="Figure {i % 5}">')
+        parts.append(f"<figcaption>Figure caption {i % 5}</figcaption>")
+    if rng.random() < 0.25:
+        parts.append(f'<small class="footnote">Footnote {i % 11}</small>')
+    parts.append(f'<footer class="page-footer">Copyright {i % 3}</footer>')
+    parts.append("</body></html>")
+    html_text = "\n".join(parts)
+    # naive crawler text (tag-stripped), the `text` column
+    import re as _re
+
+    naive = _re.sub(r"<[^>]*>", " ", html_text)
+    naive = html_mod.unescape(_re.sub(r"\s+", " ", naive).strip())
+    return html_text, naive
+
+
+def make_pages_table(n_rows: int = 64, seed: int = 42) -> pa.Table:
+    """The rich byte-identity fixture corpus (FIXTURES.md §1-2)."""
+    urls, tss, htmls, texts, langs = [], [], [], [], []
+    for i in range(n_rows):
+        rng = random.Random((seed << 20) + i)
+        domain = _domain(rng, i)
+        url = f"https://{domain}/page-{i:06d}"
+        html_text, naive = _make_html(rng, i)
+
+        # degradation cases by index (FIXTURES.md §2)
+        if i % 17 == 3:
+            # truncated html: cut mid-tag — repair ladder case
+            html_text = html_text[: max(40, len(html_text) * 2 // 3)].rsplit("<", 1)[0] + "<p>trunc"
+        elif i % 17 == 5:
+            # unclosed tags
+            html_text = html_text.replace("</p>", "", 3).replace("</h2>", "", 1)
+        elif i % 17 == 7:
+            # duplicated blocks: trip the ≥5 pair-dedup threshold
+            dup = "<p>Repeated boiler line.</p>"
+            html_text = html_text.replace("</body>", dup * 6 + "</body>")
+        elif i % 17 == 9:
+            # empty html → fallback to text column
+            html_text = ""
+        elif i % 17 == 11:
+            # nothing extractable at all → failed
+            html_text = ""
+            naive = ""
+        elif i % 17 == 13 and i > 0:
+            # corpus-level exact-dup: identical html to row i-1
+            prev_rng = random.Random((seed << 20) + (i - 1))
+            _domain(prev_rng, i - 1)
+            html_text, naive = _make_html(prev_rng, i - 1)
+
+        urls.append(url)
+        tss.append(EPOCH + datetime.timedelta(seconds=137 * i))
+        htmls.append(html_text.encode("utf-8"))
+        texts.append(naive)
+        langs.append(LANGS[i % len(LANGS)])
+    return pa.Table.from_pydict(
+        {"url": urls, "warc_ts": tss, "html": htmls, "text": texts, "lang": langs},
+        schema=PAGES_SCHEMA,
+    )
+
+
+def make_mega_page(seed: int = 42, target_bytes: int = 2_000_000) -> dict:
+    """One ~2 MB page (skew/memory case, FIXTURES.md §2)."""
+    rng = random.Random(seed ^ 0x5EED)
+    parts = ["<html><body>", "<h1>Mega page</h1>"]
+    while sum(len(p) for p in parts) < target_bytes:
+        parts.append(f"<p>{_sentence(rng, 40)}</p>")
+    parts.append("</body></html>")
+    html_text = "\n".join(parts)
+    return {
+        "url": "https://hot.example.com/mega-000000",
+        "warc_ts": EPOCH,
+        "html": html_text.encode("utf-8"),
+        "text": "",
+        "lang": "en",
+    }
+
+
+# ---------------------------------------------------------------------------
+# SQL-mirrorable pages derived from the driver's `documents` table.
+
+FALLBACK_MOD, FALLBACK_REM = 23, 7
+FAILED_MOD, FAILED_REM = 31, 11
+
+
+def page_row_from_document(doc_id: int, text: str, lang: str) -> dict:
+    """Deterministically wrap one `documents` row into a page whose
+    extraction output is expressible in SQL (see __ray_entry__.oracle_sql):
+
+    * normal: Title "Doc {id}" + one <p> body + Page-footer → extracted
+      ``'Doc {id}\\n\\n' || trim(text) || '\\n\\nFooter {id%40}'``.
+    * ``doc_id % 23 == 7``: script-only html → tier-2 fallback to the
+      ``text`` column (status "fallback").
+    * ``doc_id % 31 == 11``: empty html AND empty text → "failed".
+    """
+    url = f"https://example-{doc_id % 40:02d}.com/doc-{doc_id:06d}"
+    ts = EPOCH + datetime.timedelta(seconds=137 * doc_id)
+    if doc_id % FAILED_MOD == FAILED_REM:
+        return {"url": url, "warc_ts": ts, "html": b"", "text": "", "lang": lang}
+    if doc_id % FALLBACK_MOD == FALLBACK_REM:
+        return {
+            "url": url,
+            "warc_ts": ts,
+            "html": b"<script>var x = 1;</script>",
+            "text": text,
+            "lang": lang,
+        }
+    body = html_mod.escape(text)
+    page = (
+        "<html><head><title>t</title></head><body>"
+        '<nav class="nav"><a href="/">Home</a></nav>'
+        f"<h1>Doc {doc_id}</h1>"
+        f"<p>{body}</p>"
+        f'<footer class="page-footer">Footer {doc_id % 40}</footer>'
+        "</body></html>"
+    )
+    return {"url": url, "warc_ts": ts, "html": page.encode("utf-8"), "text": text, "lang": lang}
+
+
+def pages_from_documents_batch(batch: pa.Table) -> pa.Table:
+    """Vector-friendly batch wrapper used inside map_batches."""
+    rows = [
+        page_row_from_document(d, t, lg)
+        for d, t, lg in zip(
+            batch.column("doc_id").to_pylist(),
+            batch.column("text").to_pylist(),
+            batch.column("lang").to_pylist(),
+        )
+    ]
+    out = {name: [r[name] for r in rows] for name in PAGES_SCHEMA.names}
+    tbl = pa.Table.from_pydict(out, schema=PAGES_SCHEMA)
+    return tbl.append_column("doc_id", batch.column("doc_id"))

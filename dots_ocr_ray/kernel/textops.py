@@ -1,0 +1,170 @@
+"""Scalar text utilities (the reference's small scalar function library,
+SURVEY.md §2.8).
+
+Everything here is pure, deterministic and locale-independent — these
+functions sit on the byte-identity path.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+# Newline folding applied to native text: single newlines become spaces,
+# paragraph breaks (blank lines) survive.  Regex taken verbatim from the
+# reference (pdf_extractor.py:55-56) — byte-identity-relevant.
+_SINGLE_NEWLINE = re.compile(r"(?<!\n)\n(?!\n)")
+
+
+def fold_newlines(text: str) -> str:
+    """Fold intra-paragraph newlines to spaces and strip.
+
+    Mirrors the reference's native-text normalization
+    (dots_ocr/utils/pdf_extractor.py:55-56).
+    """
+    return _SINGLE_NEWLINE.sub(" ", text).strip()
+
+
+def md5_hex(data: bytes | str) -> str:
+    """md5 content hash (reference app/utils/hash.py:4-15) — used for job
+    identity, idempotent resume markers and exact dedup keys."""
+    if isinstance(data, str):
+        data = data.encode("utf-8")
+    return hashlib.md5(data).hexdigest()
+
+
+# --- token counting -------------------------------------------------------
+# BPE-ish pre-tokenizer: words with optional leading space, numbers,
+# punctuation runs — a deterministic stand-in for a GPT-2-style regex.
+_TOKEN_RE = re.compile(
+    r"""[A-Za-z]+|[0-9]{1,3}|[^\sA-Za-z0-9]+|\s+""",
+    re.UNICODE,
+)
+
+
+def count_tokens_whitespace(text: str) -> int:
+    """Whitespace token count."""
+    return len(text.split())
+
+
+def count_tokens_bpeish(text: str) -> int:
+    """BPE-style pre-token count: alpha runs, ≤3-digit number chunks,
+    punctuation runs (whitespace runs excluded from the count)."""
+    return sum(1 for m in _TOKEN_RE.finditer(text) if not m.group().isspace())
+
+
+# --- quality scoring ------------------------------------------------------
+_STOPWORDS = frozenset(
+    "the a an and or of to in is are was were be for on with as at by it this that".split()
+)
+_PUNCT_RE = re.compile(r"[.!?,;:]")
+_ALPHA_RE = re.compile(r"[A-Za-z]")
+
+
+def quality_features(text: str) -> dict:
+    """Length / punctuation / stopword heuristics for document quality
+    filtering (Gopher/C4-style rules, reduced to deterministic ratios)."""
+    n_chars = len(text)
+    words = text.split()
+    n_words = len(words)
+    n_punct = len(_PUNCT_RE.findall(text))
+    n_alpha = len(_ALPHA_RE.findall(text))
+    n_stop = sum(1 for w in words if w.lower() in _STOPWORDS)
+    mean_word_len = (sum(len(w) for w in words) / n_words) if n_words else 0.0
+    return {
+        "n_chars": n_chars,
+        "n_words": n_words,
+        "punct_ratio": (n_punct / n_chars) if n_chars else 0.0,
+        "alpha_ratio": (n_alpha / n_chars) if n_chars else 0.0,
+        "stopword_ratio": (n_stop / n_words) if n_words else 0.0,
+        "mean_word_len": mean_word_len,
+    }
+
+
+def quality_keep(feats: dict) -> bool:
+    """C4-ish keep rule over quality_features output."""
+    return (
+        feats["n_words"] >= 5
+        and 1.0 <= feats["mean_word_len"] <= 15.0
+        and feats["alpha_ratio"] >= 0.5
+    )
+
+
+# --- language id ----------------------------------------------------------
+# Tiny character-frequency heuristic over common function words /
+# script ranges; deterministic, dependency-free.  Targets the langs that
+# appear in the synthetic corpora (en fr es de zh ru hi).
+_LANG_MARKERS = {
+    "en": (" the ", " and ", " of ", " is ", " to "),
+    "fr": (" le ", " la ", " et ", " les ", " des "),
+    "es": (" el ", " los ", " las ", " una ", " que "),
+    "de": (" der ", " die ", " und ", " das ", " ist "),
+    "ru": (),
+    "zh": (),
+    "hi": (),
+}
+
+
+def detect_lang(text: str) -> str:
+    """n-gram/marker language-ID heuristic.  Script ranges first (CJK,
+    Cyrillic, Devanagari), then function-word marker hits; 'und' when
+    nothing matches."""
+    if not text:
+        return "und"
+    sample = text[:2000]
+    n_cjk = sum(1 for c in sample if "一" <= c <= "鿿")
+    n_cyr = sum(1 for c in sample if "Ѐ" <= c <= "ӿ")
+    n_dev = sum(1 for c in sample if "ऀ" <= c <= "ॿ")
+    n = len(sample)
+    if n_cjk / n > 0.1:
+        return "zh"
+    if n_cyr / n > 0.2:
+        return "ru"
+    if n_dev / n > 0.2:
+        return "hi"
+    padded = " " + sample.lower() + " "
+    best, best_hits = "und", 0
+    for lang in ("en", "fr", "es", "de"):
+        hits = sum(padded.count(m) for m in _LANG_MARKERS[lang])
+        if hits > best_hits:
+            best, best_hits = lang, hits
+    return best
+
+
+# --- document fingerprinting ----------------------------------------------
+_FP_BASE = 1_000_003
+_FP_MOD = (1 << 61) - 1
+
+
+def rolling_hashes(text: str, window: int = 16) -> list[int]:
+    """Rolling polynomial hashes over character windows (Rabin-Karp)."""
+    n = len(text)
+    if n < window:
+        return [_poly_hash(text)] if text else []
+    out = []
+    h = 0
+    pow_w = pow(_FP_BASE, window - 1, _FP_MOD)
+    for i, c in enumerate(text):
+        if i >= window:
+            h = (h - ord(text[i - window]) * pow_w) % _FP_MOD
+        h = (h * _FP_BASE + ord(c)) % _FP_MOD
+        if i >= window - 1:
+            out.append(h)
+    return out
+
+
+def _poly_hash(s: str) -> int:
+    h = 0
+    for c in s:
+        h = (h * _FP_BASE + ord(c)) % _FP_MOD
+    return h
+
+
+def fingerprint(text: str, window: int = 16, stride: int = 8) -> int:
+    """Winnowing-style document fingerprint: min rolling hash over strided
+    windows.  Equal fingerprints are a strong near-dup signal for
+    shifted/prefixed copies."""
+    hashes = rolling_hashes(text, window)
+    if not hashes:
+        return 0
+    return min(hashes[::stride] or hashes)

@@ -1,0 +1,134 @@
+"""Unit tests for the HTML segmentation + per-row extraction kernel."""
+
+from dots_ocr_ray.kernel.extract import (
+    MODE_GROUNDING,
+    MODE_LAYOUT_ONLY,
+    MODE_TEXT_ONLY,
+    ExtractConfig,
+    extract_page,
+)
+from dots_ocr_ray.kernel.html_parse import prune_boilerplate, segment_html, strip_tags
+
+HTML = b"""<html><head><title>t</title><style>p{}</style></head><body>
+<nav class="nav"><a href="/">Home</a><a href="/b">B</a></nav>
+<div class="cookie"><p>We use cookies.</p></div>
+<header class="page-header">Site header</header>
+<h1>My Title</h1>
+<h2>Intro</h2>
+<p>First paragraph with words.</p>
+<ul><li>Item one</li><li>Item two</li></ul>
+<table><tr><td>a</td><td>b</td></tr></table>
+<math>x^2</math>
+<img src="x.png" alt="A picture">
+<figcaption>The caption</figcaption>
+<small class="footnote">A footnote</small>
+<footer class="page-footer">The footer</footer>
+</body></html>"""
+
+
+def test_segment_categories_and_order():
+    spans = prune_boilerplate(segment_html(HTML.decode()))
+    cats = [s["category"] for s in spans]
+    assert cats == [
+        "Page-header",
+        "Title",
+        "Section-header",
+        "Text",
+        "List-item",
+        "List-item",
+        "Table",
+        "Formula",
+        "Picture",
+        "Caption",
+        "Footnote",
+        "Page-footer",
+    ]
+    # nav link farm and cookie banner pruned
+    assert not any("cookie" in (s["text"] or "").lower() for s in spans)
+    table = [s for s in spans if s["category"] == "Table"][0]
+    assert table["text"].startswith("<table>") and "</table>" in table["text"]
+
+
+def test_extract_finished_and_nohf():
+    out = extract_page("u", HTML, "naive text")
+    assert out["status"] == "finished"
+    assert out["extracted_text"].startswith("Site header\n\nMy Title\n\nIntro")
+    assert out["extracted_text"].endswith("The footer")
+    assert "Site header" not in out["extracted_text_nohf"]
+    assert "The footer" not in out["extracted_text_nohf"]
+    # char offsets agree with the serialized text
+    for s in out["spans"]:
+        seg = out["extracted_text"][s["char_start"] : s["char_end"]]
+        if s["category"] == "Formula":
+            assert s["text"].strip() and s["text"].strip() in seg
+        elif s["category"] != "Picture":
+            assert seg == s["text"].strip() or seg.startswith(s["text"].strip()[:10])
+
+
+def test_fallback_to_tag_strip():
+    # no block structure at all → tier-2 whole-page strip
+    out = extract_page("u", b"just bare words, no tags at all?")
+    assert out["status"] == "fallback"
+    assert out["extracted_text"] == "just bare words, no tags at all?"
+    assert len(out["spans"]) == 1 and out["spans"][0]["category"] == "Text"
+
+
+def test_fallback_to_text_column():
+    out = extract_page("u", b"<script>var x=1;</script>", "crawler text here")
+    assert out["status"] == "fallback"
+    assert out["extracted_text"] == "crawler text here"
+
+
+def test_failed_row():
+    out = extract_page("u", b"", "")
+    assert out["status"] == "failed"
+    assert out["extracted_text"] == ""
+    assert out["spans"] == []
+
+
+def test_truncated_html_never_raises():
+    truncated = HTML[: len(HTML) * 2 // 3].rsplit(b"<", 1)[0] + b"<p>trunc"
+    out = extract_page("u", truncated, "fallback")
+    assert out["status"] in ("finished", "fallback")
+    assert "My Title" in out["extracted_text"]
+
+
+def test_repeated_blocks_trip_pair_dedup():
+    dup = b"<p>Repeated boiler line.</p>" * 6
+    page = b"<html><body><h1>T</h1>" + dup + b"</body></html>"
+    out = extract_page("u", page)
+    repeats = [s for s in out["spans"] if s["text"] == "Repeated boiler line."]
+    assert len(repeats) == 1  # >=5 identical pairs → first kept
+
+
+def test_text_only_mode():
+    out = extract_page("u", HTML, config=ExtractConfig(mode=MODE_TEXT_ONLY))
+    assert len(out["spans"]) == 1
+    assert "My Title" in out["extracted_text"]
+    assert "cookies" in out["extracted_text"]  # no boilerplate pruning in raw strip
+
+
+def test_layout_only_mode():
+    out = extract_page("u", HTML, config=ExtractConfig(mode=MODE_LAYOUT_ONLY))
+    assert all(s["text"] == "" for s in out["spans"])
+    assert len(out["spans"]) >= 10
+
+
+def test_grounding_mode_filters_by_bbox():
+    full = extract_page("u", HTML)
+    # pick the Title span's bbox as the grounding region
+    title = [s for s in full["spans"] if s["category"] == "Title"][0]
+    cfg = ExtractConfig(mode=MODE_GROUNDING, grounding_bbox=tuple(title["bbox"]))
+    out = extract_page("u", HTML, config=cfg)
+    assert any(s["category"] == "Title" for s in out["spans"])
+    assert len(out["spans"]) < len(full["spans"])
+
+
+def test_describe_pictures_uses_alt():
+    out = extract_page("u", HTML, config=ExtractConfig(describe_pictures=True))
+    pic = [s for s in out["spans"] if s["category"] == "Picture"][0]
+    assert pic["text"] == "A picture"
+
+
+def test_strip_tags_entities():
+    assert strip_tags("<p>a &amp; b</p>") == "a & b"
