@@ -1,0 +1,95 @@
+"""The extraction actor-pool stage (reference A1/A3/A4 seam).
+
+The reference holds warm model state per worker (vLLM client /
+lazy Paddle + LayoutLM singletons, layout_service.py:167-172,237-242);
+here the warm state is the compiled kernel configuration, constructed
+once per actor in ``__init__`` and applied per Arrow batch in
+``__call__`` — the ``map_batches(Cls, concurrency=N,
+batch_format="pyarrow")`` pattern.
+
+Input batch: pages columns (url, html, text[, lang]).  Output batch:
+RESULT_SCHEMA columns — the wide ``html`` payload is dropped on the way
+out so downstream blocks stay small.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import time
+
+import pyarrow as pa
+
+from dots_ocr_ray.kernel.extract import ExtractConfig, extract_page
+from dots_ocr_ray.schema import RESULT_SCHEMA, SPAN_TYPE
+
+
+def url_partition_id(url: str, num_partitions: int) -> int:
+    """Deterministic url → partition mapping (md5-based, like the
+    reference's md5 job identity, dotsocr_service.py:597-599).  Stable
+    across processes — the resume/checkpoint key."""
+    digest = hashlib.md5(url.encode("utf-8")).digest()
+    return int.from_bytes(digest[:4], "big") % num_partitions
+
+
+class ExtractorActor:
+    """Stateful extraction stage for ``Dataset.map_batches``.
+
+    One instance per actor; ``__init__`` is the construct-once seam
+    (model load / regex compile in the reference).  ``__call__``
+    processes one Arrow batch zero-copy in, Arrow out.
+    """
+
+    def __init__(self, config: ExtractConfig | None = None, num_partitions: int = 64):
+        self.config = config or ExtractConfig()
+        self.num_partitions = num_partitions
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        t0 = time.perf_counter()
+        urls = batch.column("url").to_pylist()
+        htmls = batch.column("html").to_pylist()
+        texts = batch.column("text").to_pylist() if "text" in batch.column_names else [None] * len(urls)
+        langs = batch.column("lang").to_pylist() if "lang" in batch.column_names else [""] * len(urls)
+
+        out = {name: [] for name in RESULT_SCHEMA.names}
+        for url, html, text, lang in zip(urls, htmls, texts, langs):
+            # row-level containment: a pathological row degrades, never
+            # poisons the block (reference fail-soft stance, SURVEY §4)
+            try:
+                res = extract_page(url, html, text, self.config)
+            except Exception:
+                res = {
+                    "url": url,
+                    "extracted_text": "",
+                    "extracted_text_nohf": "",
+                    "spans": [],
+                    "status": "failed",
+                }
+            out["url"].append(url)
+            out["lang"].append(lang or "")
+            out["extracted_text"].append(res["extracted_text"])
+            out["extracted_text_nohf"].append(res["extracted_text_nohf"])
+            out["spans"].append(res["spans"])
+            out["status"].append(res["status"])
+            out["n_spans"].append(len(res["spans"]))
+            out["bytes_in"].append(len(html) if html is not None else 0)
+            out["partition_id"].append(url_partition_id(url, self.num_partitions))
+        _ = time.perf_counter() - t0  # wall time folded into metrics stage
+
+        arrays = [
+            pa.array(out["url"], type=pa.string()),
+            pa.array(out["lang"], type=pa.string()),
+            pa.array(out["extracted_text"], type=pa.string()),
+            pa.array(out["extracted_text_nohf"], type=pa.string()),
+            pa.array(out["spans"], type=pa.list_(SPAN_TYPE)),
+            pa.array(out["status"], type=pa.string()),
+            pa.array(out["n_spans"], type=pa.int32()),
+            pa.array(out["bytes_in"], type=pa.int64()),
+            pa.array(out["partition_id"], type=pa.int32()),
+        ]
+        result = pa.Table.from_arrays(arrays, schema=RESULT_SCHEMA)
+        # carry pass-through key columns (e.g. doc_id for SQL-checked
+        # pipelines) that aren't part of RESULT_SCHEMA
+        for name in batch.column_names:
+            if name not in RESULT_SCHEMA.names and name not in ("html", "text", "warc_ts"):
+                result = result.append_column(name, batch.column(name))
+        return result

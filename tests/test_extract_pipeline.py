@@ -1,0 +1,120 @@
+"""Golden byte-identity + determinism + metrics tests for the Ray
+extraction pipeline (SURVEY.md §5.2/5.5)."""
+
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from dots_ocr_ray.fixtures import make_mega_page, make_pages_table
+from dots_ocr_ray.oracle import oracle_extract
+from dots_ocr_ray.pipelines.extract import check_fail_gate, compute_metrics, extract_pages
+from dots_ocr_ray.schema import RESULT_SCHEMA
+
+
+@pytest.fixture(scope="module")
+def pages_table():
+    return make_pages_table(64, seed=42)
+
+
+def _run(pages: pa.Table, **kwargs):
+    ds = ray.data.from_arrow(pages)
+    return extract_pages(ds, batch_size=8, **kwargs)
+
+
+def test_byte_identity_vs_oracle(ray_session, pages_table):
+    """The north-rule gate: Ray output at parallelism >1 must be
+    byte-identical per url to the sequential oracle."""
+    expected = oracle_extract(pages_table)
+    result = _run(pages_table).to_pandas()
+    assert len(result) == pages_table.num_rows  # row-count preservation
+    for row in result.itertuples():
+        exp = expected[row.url]
+        assert row.extracted_text == exp["extracted_text"], row.url
+        assert row.extracted_text_nohf == exp["extracted_text_nohf"], row.url
+        assert row.status == exp["status"], row.url
+        got_spans = [dict(s) for s in row.spans]
+        exp_spans = exp["spans"]
+        assert len(got_spans) == len(exp_spans)
+        for g, e in zip(got_spans, exp_spans):
+            assert g["category"] == e["category"]
+            assert list(g["bbox"]) == e["bbox"]
+            assert g["char_start"] == e["char_start"] and g["char_end"] == e["char_end"]
+
+
+def test_determinism_under_parallelism(ray_session, pages_table):
+    """Identical output regardless of block structure (catches
+    order/state leaks; SURVEY §5.5)."""
+    outs = []
+    for n_blocks in (1, 8):
+        ds = ray.data.from_arrow(pages_table).repartition(n_blocks)
+        df = extract_pages(ds, batch_size=8).to_pandas()
+        outs.append(df.sort_values("url").reset_index(drop=True)[["url", "extracted_text", "status"]])
+    pa_0 = pa.Table.from_pandas(outs[0])
+    pa_1 = pa.Table.from_pandas(outs[1])
+    assert pa_0.equals(pa_1)
+
+
+def test_output_schema(ray_session, pages_table):
+    out = _run(pages_table)
+    tbl = pa.Table.from_pylist(out.take(5))
+    for name in RESULT_SCHEMA.names:
+        assert name in tbl.column_names
+
+
+def test_metrics_and_fail_gate(ray_session, pages_table):
+    extracted = _run(pages_table)
+    metrics = compute_metrics(extracted)
+    stats = check_fail_gate(metrics, threshold=0.5)
+    assert stats["total"] == pages_table.num_rows
+    assert stats["ok"] + stats["fallback"] + stats["failed"] == stats["total"]
+    assert stats["ok"] > 0 and stats["failed"] > 0  # fixture includes failed rows
+
+
+def test_fail_gate_raises_over_threshold(ray_session):
+    # all-empty pages → 100% failed → gate must trip at the 10% default
+    bad = pa.Table.from_pydict(
+        {
+            "url": [f"https://x.com/{i}" for i in range(10)],
+            "warc_ts": [None] * 10,
+            "html": [b""] * 10,
+            "text": [""] * 10,
+            "lang": ["en"] * 10,
+        }
+    )
+    metrics = compute_metrics(_run(bad))
+    with pytest.raises(RuntimeError, match="job failed"):
+        check_fail_gate(metrics)
+
+
+def test_degradation_rows_never_dropped(ray_session):
+    """Malformed/truncated/empty html yields fallback/failed rows, never
+    exceptions or dropped rows (SURVEY §5.3)."""
+    rows = {
+        "url": [f"https://d.com/{i}" for i in range(5)],
+        "warc_ts": [None] * 5,
+        "html": [
+            b"\xff\xfe broken encoding <p>x",
+            b"<div><div><p>unclosed everywhere",
+            b"",
+            b"<script>only script</script>",
+            b"<p>" + b"A" * 100_000 + b"</p>",
+        ],
+        "text": ["", "", "", "crawler text", ""],
+        "lang": ["en"] * 5,
+    }
+    out = _run(pa.Table.from_pydict(rows)).to_pandas()
+    assert len(out) == 5
+    assert set(out.status) <= {"finished", "fallback", "failed"}
+    by_url = dict(zip(out.url, out.status))
+    assert by_url["https://d.com/2"] == "failed"
+    assert by_url["https://d.com/3"] == "fallback"
+
+
+def test_mega_page_flows_through(ray_session):
+    mega = make_mega_page()
+    tbl = pa.Table.from_pylist([mega])
+    out = _run(tbl).to_pandas()
+    assert len(out) == 1
+    assert out.status[0] == "finished"
+    assert len(out.extracted_text[0]) > 1_000_000

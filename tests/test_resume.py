@@ -1,0 +1,69 @@
+"""Resumable-output tests (reference S9/J4 md5-gate analog,
+SURVEY.md §5.4): rerun after partial completion recomputes only the
+missing partitions and bytes match."""
+
+import glob
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+import ray.data
+
+from dots_ocr_ray.fixtures import make_pages_table
+from dots_ocr_ray.pipelines.extract import extract_pages
+from dots_ocr_ray.state.manifest import completed_partitions, read_marker
+
+
+@pytest.fixture()
+def out_dir(tmp_path):
+    return str(tmp_path / "out")
+
+
+def _read_all(out_dir):
+    tables = [pq.read_table(p) for p in sorted(glob.glob(os.path.join(out_dir, "part-*.parquet")))]
+    return pa.concat_tables(tables).sort_by("url")
+
+
+def test_resume_skips_completed_partitions(ray_session, out_dir):
+    pages = make_pages_table(64, seed=42)
+    ds = ray.data.from_arrow(pages)
+    extract_pages(ds, batch_size=8, out_dir=out_dir, num_partitions=8)
+    full = _read_all(out_dir)
+    assert full.num_rows == 64
+    done = completed_partitions(out_dir)
+    assert len(done) >= 4
+
+    # simulate a crash: delete half the partitions (data + marker)
+    victims = sorted(done)[: len(done) // 2]
+    survivors = sorted(done)[len(done) // 2 :]
+    mtimes_before = {}
+    for pid in victims:
+        os.remove(os.path.join(out_dir, f"part-{pid:05d}.parquet"))
+        os.remove(os.path.join(out_dir, f"part-{pid:05d}.done"))
+    for pid in survivors:
+        mtimes_before[pid] = os.path.getmtime(os.path.join(out_dir, f"part-{pid:05d}.parquet"))
+
+    # rerun: only the missing partitions may be (re)written
+    extract_pages(ray.data.from_arrow(pages), batch_size=8, out_dir=out_dir, num_partitions=8)
+    for pid in survivors:
+        assert os.path.getmtime(os.path.join(out_dir, f"part-{pid:05d}.parquet")) == mtimes_before[pid]
+    resumed = _read_all(out_dir)
+    assert resumed.equals(full)  # byte-equal content after resume
+
+
+def test_marker_carries_content_hash(ray_session, out_dir):
+    pages = make_pages_table(16, seed=42)
+    extract_pages(ray.data.from_arrow(pages), batch_size=8, out_dir=out_dir, num_partitions=4)
+    for pid in completed_partitions(out_dir):
+        meta = read_marker(out_dir, pid)
+        assert meta["rows"] > 0 and len(meta["content_md5"]) == 32
+
+
+def test_no_marker_for_missing_data(tmp_path):
+    # a marker without its data file must not count as completed
+    d = str(tmp_path)
+    with open(os.path.join(d, "part-00003.done"), "w") as f:
+        f.write("{}")
+    assert completed_partitions(d) == set()
