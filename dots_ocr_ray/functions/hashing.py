@@ -1,0 +1,108 @@
+"""Vectorized hashing primitives for dedup / similarity pipelines.
+
+All seeds are fixed constants — every hash here is a pure function of
+its input, so re-running any pipeline (or resuming it) reproduces the
+same keys on every worker.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+_MERSENNE = (1 << 61) - 1
+_MAX_HASH = (1 << 32) - 1
+
+
+def stable_u64(s: str) -> int:
+    """Deterministic 64-bit hash (never Python's salted hash())."""
+    return int.from_bytes(hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(), "big")
+
+
+def shingles(text: str, k: int = 5) -> set[int]:
+    """k-word shingle hash set."""
+    words = text.split()
+    if len(words) < k:
+        return {stable_u64(" ".join(words))} if words else set()
+    return {stable_u64(" ".join(words[i : i + k])) for i in range(len(words) - k + 1)}
+
+
+def char_ngrams(text: str, n: int = 3) -> set[str]:
+    if len(text) < n:
+        return {text} if text else set()
+    return {text[i : i + n] for i in range(len(text) - n + 1)}
+
+
+class MinHasher:
+    """Classic (a*x+b) mod p minhash over shingle hashes — numpy
+    vectorized, fixed seed.  num_perm permutations grouped into
+    ``bands`` bands of ``rows`` rows for LSH (num_perm = bands*rows)."""
+
+    def __init__(self, num_perm: int = 128, seed: int = 42):
+        rng = np.random.RandomState(seed)
+        self.num_perm = num_perm
+        self.a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.uint64)
+        self.b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+
+    def signature(self, shingle_hashes: set[int]) -> np.ndarray:
+        """uint32 signature of length num_perm; empty set → all-max."""
+        if not shingle_hashes:
+            return np.full(self.num_perm, _MAX_HASH, dtype=np.uint64)
+        x = np.fromiter(shingle_hashes, dtype=np.uint64)
+        # (a * x + b) mod p, then fold to 32 bits
+        phv = (
+            (np.outer(self.a, x) + self.b[:, None]) % _MERSENNE
+        ) & _MAX_HASH
+        return phv.min(axis=1)
+
+    @staticmethod
+    def band_keys(sig: np.ndarray, bands: int) -> list[int]:
+        """Hash each band of the signature to a bucket key."""
+        rows = len(sig) // bands
+        keys = []
+        for b in range(bands):
+            chunk = sig[b * rows : (b + 1) * rows].tobytes()
+            h = hashlib.blake2b(chunk, digest_size=8).digest()
+            keys.append(int.from_bytes(h, "big"))
+        return keys
+
+    @staticmethod
+    def jaccard_estimate(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
+        return float(np.mean(sig_a == sig_b))
+
+
+def simhash64(text: str) -> int:
+    """64-bit SimHash over whitespace tokens."""
+    acc = np.zeros(64, dtype=np.int64)
+    for tok in text.split():
+        h = stable_u64(tok)
+        bits = np.array([(h >> i) & 1 for i in range(64)], dtype=np.int64)
+        acc += 2 * bits - 1
+    out = 0
+    for i in range(64):
+        if acc[i] > 0:
+            out |= 1 << i
+    return out
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin(a ^ b).count("1")
+
+
+def simhash_block_keys(h: int, n_blocks: int = 4) -> list[tuple[int, int]]:
+    """Split a 64-bit simhash into n 16-bit blocks → (block_idx, value)
+    keys.  Two hashes within Hamming distance n_blocks-1 share at least
+    one block key (pigeonhole) — the standard near-dup index."""
+    width = 64 // n_blocks
+    mask = (1 << width) - 1
+    return [(i, (h >> (i * width)) & mask) for i in range(n_blocks)]
+
+
+def jaccard(a: set, b: set) -> float:
+    if not a and not b:
+        return 1.0
+    if not a or not b:
+        return 0.0
+    inter = len(a & b)
+    return inter / (len(a) + len(b) - inter)

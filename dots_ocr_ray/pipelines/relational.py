@@ -1,0 +1,147 @@
+"""Relational / windowed operators over the driver testdata tables —
+the aggregate / join / sort / top-k surface of the engine (reference
+aggregations G1-G3 generalized; SURVEY.md §2.5-2.6).
+
+Patterns demonstrated:
+* partial-aggregate combiner inside map_batches → small groupby
+  (no full-row shuffle for wide aggregations),
+* broadcast hash join (ray.put once, dict lookup per batch — no
+  shuffle for small dimension tables),
+* tumbling-window aggregate over an event stream (groupby over a
+  derived window key),
+* global top-k without a global sort (per-batch heap + tiny merge).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+from dots_ocr_ray.util import default_pool_size
+
+
+def lineitem_pricing_summary(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q1-shaped pricing summary over lineitem.
+
+    Partial per-batch aggregation (vectorized pyarrow group_by) before
+    the distributed groupby — only (flag,status)-level partials move."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        disc_price = pc.multiply(
+            batch.column("l_extendedprice"), pc.subtract(pa.scalar(1.0), batch.column("l_discount"))
+        )
+        batch = batch.append_column("disc_price", disc_price)
+        return batch.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("l_quantity", "sum"), ("l_extendedprice", "sum"), ("disc_price", "sum"), ("l_quantity", "count")]
+        )
+
+    partials = ds.map_batches(_partial, batch_format="pyarrow")
+    agg = partials.groupby(["l_returnflag", "l_linestatus"]).sum(
+        ["l_quantity_sum", "l_extendedprice_sum", "disc_price_sum", "l_quantity_count"]
+    )
+
+    def _finalize(batch: pa.Table) -> pa.Table:
+        mapping = {
+            "sum(l_quantity_sum)": "sum_qty",
+            "sum(l_extendedprice_sum)": "sum_base_price",
+            "sum(disc_price_sum)": "sum_disc_price",
+            "sum(l_quantity_count)": "count_order",
+        }
+        batch = batch.rename_columns([mapping.get(n, n) for n in batch.column_names])
+        return batch.set_column(
+            batch.column_names.index("count_order"),
+            "count_order",
+            batch.column("count_order").cast(pa.int64()),
+        )
+
+    return agg.map_batches(_finalize, batch_format="pyarrow")
+
+
+def orders_by_mktsegment(sf_dir: str) -> ray.data.Dataset:
+    """orders ⋈ customer (broadcast small side) → per-segment totals.
+
+    customer is the dimension table: shipped to the object store ONCE
+    (ray.put) and read per actor — no shuffle join."""
+    customers = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    ).to_pandas()
+    lookup_ref = ray.put(dict(zip(customers["c_custkey"], customers["c_mktsegment"])))
+
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+
+    class _JoinAndPartial:
+        def __init__(self):
+            self.lookup = ray.get(lookup_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            segs = [self.lookup.get(k, "UNKNOWN") for k in batch.column("o_custkey").to_pylist()]
+            batch = batch.append_column("c_mktsegment", pa.array(segs, type=pa.string()))
+            return batch.group_by("c_mktsegment").aggregate(
+                [("o_totalprice", "sum"), ("o_totalprice", "count")]
+            )
+
+    partials = orders.map_batches(_JoinAndPartial, batch_format="pyarrow", concurrency=default_pool_size())
+    agg = partials.groupby("c_mktsegment").sum(["o_totalprice_sum", "o_totalprice_count"])
+
+    def _finalize(batch: pa.Table) -> pa.Table:
+        mapping = {"sum(o_totalprice_sum)": "total_price", "sum(o_totalprice_count)": "n_orders"}
+        batch = batch.rename_columns([mapping.get(n, n) for n in batch.column_names])
+        return batch.set_column(
+            batch.column_names.index("n_orders"), "n_orders", batch.column("n_orders").cast(pa.int64())
+        )
+
+    return agg.map_batches(_finalize, batch_format="pyarrow")
+
+
+def events_windowed_agg(sf_dir: str, window_minutes: int = 60) -> ray.data.Dataset:
+    """Tumbling-window aggregate over the events table: per
+    (event_type, window_start) count + value sum.
+
+    Ray Data has no event-time windows; the window is a derived key
+    (ts floored to the window), computed vectorized, then ONE groupby —
+    the documented pattern for stream-shaped workloads."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"])
+    window_us = window_minutes * 60 * 1_000_000
+
+    def _window_partial(batch: pa.Table) -> pa.Table:
+        ts_us = batch.column("ts").cast(pa.int64())
+        win = pc.multiply(pc.divide(ts_us, window_us), window_us)  # integer floor
+        batch = batch.append_column("window_start", win.cast(pa.timestamp("us")))
+        return batch.group_by(["event_type", "window_start"]).aggregate(
+            [("value", "sum"), ("value", "count")]
+        )
+
+    partials = ds.map_batches(_window_partial, batch_format="pyarrow")
+    agg = partials.groupby(["event_type", "window_start"]).sum(["value_sum", "value_count"])
+
+    def _finalize(batch: pa.Table) -> pa.Table:
+        mapping = {"sum(value_sum)": "sum_value", "sum(value_count)": "n_events"}
+        batch = batch.rename_columns([mapping.get(n, n) for n in batch.column_names])
+        return batch.set_column(
+            batch.column_names.index("n_events"), "n_events", batch.column("n_events").cast(pa.int64())
+        )
+
+    return agg.map_batches(_finalize, batch_format="pyarrow")
+
+
+def top_customers_by_spend(sf_dir: str, k: int = 10) -> pa.Table:
+    """Global top-k customers by total order value — groupby partials
+    then a driver-side k-merge; no global sort of the fact table."""
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        return batch.group_by("o_custkey").aggregate([("o_totalprice", "sum")])
+
+    agg = orders.map_batches(_partial, batch_format="pyarrow").groupby("o_custkey").sum("o_totalprice_sum")
+    # per-customer totals are |customers| rows — sort the small side only
+    topk = agg.sort("sum(o_totalprice_sum)", descending=True).limit(k)
+    tbl = pa.Table.from_pylist(topk.take_all())
+    tbl = tbl.rename_columns(["o_custkey", "total_spend"])
+    return tbl.set_column(1, "total_spend", pc.round(tbl.column("total_spend"), 2))

@@ -1,0 +1,203 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+* :func:`brute_force_topk` — the exact baseline: the query matrix is
+  broadcast once (``ray.put``), each batch does one numpy matmul and
+  emits its LOCAL top-k (the combiner), and a single tiny reduce merges
+  the per-batch candidates — no full-corpus shuffle, no driver-side
+  scoring loop.
+* :func:`lsh_topk` — the scale path: random-hyperplane buckets built
+  once per actor; only buckets that contain a query's key (and its
+  single-bit neighbors, multiprobe) are scored.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from dots_ocr_ray.util import default_pool_size
+
+
+def _normalize_rows(mat: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return mat / norms
+
+
+class _BatchTopK:
+    """Actor stage: query matrix fetched from the object store once per
+    actor (broadcast), one matmul per batch, local top-k out."""
+
+    def __init__(self, queries_ref, k: int, vec_col: str, id_col: str):
+        self.queries = _normalize_rows(np.asarray(ray.get(queries_ref), dtype=np.float32))
+        self.k = k
+        self.vec_col = vec_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vecs = _normalize_rows(np.array(batch.column(self.vec_col).to_pylist(), dtype=np.float32))
+        ids = np.asarray(batch.column(self.id_col).to_pylist(), dtype=np.int64)
+        sims = self.queries @ vecs.T  # (n_queries, batch)
+        k = min(self.k, sims.shape[1])
+        top = np.argpartition(-sims, k - 1, axis=1)[:, :k]
+        q_out, id_out, score_out = [], [], []
+        for qi in range(sims.shape[0]):
+            for ci in top[qi]:
+                q_out.append(qi)
+                id_out.append(int(ids[ci]))
+                score_out.append(float(sims[qi, ci]))
+        return pa.table(
+            {
+                "query_id": pa.array(q_out, type=pa.int32()),
+                "vec_id": pa.array(id_out, type=pa.int64()),
+                "score": pa.array(score_out, type=pa.float64()),
+            }
+        )
+
+
+def brute_force_topk(
+    ds: ray.data.Dataset,
+    queries: np.ndarray,
+    k: int = 10,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    concurrency: int | None = None,
+) -> pa.Table:
+    """Exact cosine top-k for each query row → (query_id, vec_id, score,
+    rank), deterministically tie-broken by vec_id."""
+    queries_ref = ray.put(np.asarray(queries, dtype=np.float32))
+    partials = ds.map_batches(
+        _BatchTopK,
+        fn_constructor_kwargs={"queries_ref": queries_ref, "k": k, "vec_col": vec_col, "id_col": id_col},
+        batch_format="pyarrow",
+        concurrency=concurrency or default_pool_size(),
+    )
+    # final merge: n_queries × k × n_batches candidate rows — tiny
+    heaps: dict[int, list] = {}
+    for row in partials.iter_rows():
+        h = heaps.setdefault(row["query_id"], [])
+        # heap item: (score, -vec_id) so ties prefer the SMALLER vec_id
+        item = (row["score"], -row["vec_id"])
+        if len(h) < k:
+            heapq.heappush(h, item)
+        elif item > h[0]:
+            heapq.heapreplace(h, item)
+    q_out, v_out, s_out, r_out = [], [], [], []
+    for qi in sorted(heaps):
+        ranked = sorted(heaps[qi], key=lambda t: (-t[0], -t[1]))
+        for rank, (score, neg_id) in enumerate(ranked, 1):
+            q_out.append(qi)
+            v_out.append(-neg_id)
+            s_out.append(score)
+            r_out.append(rank)
+    return pa.table(
+        {
+            "query_id": pa.array(q_out, type=pa.int32()),
+            "vec_id": pa.array(v_out, type=pa.int64()),
+            "score": pa.array(s_out, type=pa.float64()),
+            "rank": pa.array(r_out, type=pa.int32()),
+        }
+    )
+
+
+def lsh_topk(
+    ds: ray.data.Dataset,
+    queries: np.ndarray,
+    k: int = 10,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 8,
+    seed: int = 42,
+    concurrency: int | None = None,
+) -> pa.Table:
+    """Approximate top-k: score only vectors whose hyperplane bucket
+    matches a query bucket or differs in one bit (multiprobe).  Same
+    output schema as brute_force_topk; recall < 1 by design."""
+    queries = np.asarray(queries, dtype=np.float32)
+
+    class _BucketScore:
+        def __init__(self, queries_ref):
+            q = _normalize_rows(np.asarray(ray.get(queries_ref), dtype=np.float32))
+            rng = np.random.RandomState(seed)
+            self.planes = rng.standard_normal((q.shape[1], n_planes)).astype(np.float32)
+            self.queries = q
+            qbits = (q @ self.planes) > 0
+            powers = 1 << np.arange(n_planes, dtype=np.int64)
+            keys = qbits @ powers
+            probe = {int(key) for key in keys}
+            for key in list(probe):
+                for bit in range(n_planes):
+                    probe.add(int(key) ^ (1 << bit))
+            self.probe_keys = probe
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vecs = np.array(batch.column(vec_col).to_pylist(), dtype=np.float32)
+            ids = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)
+            bits = (vecs @ self.planes) > 0
+            keys = bits @ (1 << np.arange(n_planes, dtype=np.int64))
+            mask = np.fromiter((int(key) in self.probe_keys for key in keys), dtype=bool, count=len(keys))
+            if not mask.any():
+                return pa.table(
+                    {
+                        "query_id": pa.array([], type=pa.int32()),
+                        "vec_id": pa.array([], type=pa.int64()),
+                        "score": pa.array([], type=pa.float64()),
+                    }
+                )
+            unit = _normalize_rows(vecs[mask])
+            sub_ids = ids[mask]
+            sims = self.queries @ unit.T
+            kk = min(k, sims.shape[1])
+            top = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            q_out, id_out, s_out = [], [], []
+            for qi in range(sims.shape[0]):
+                for ci in top[qi]:
+                    q_out.append(qi)
+                    id_out.append(int(sub_ids[ci]))
+                    s_out.append(float(sims[qi, ci]))
+            return pa.table(
+                {
+                    "query_id": pa.array(q_out, type=pa.int32()),
+                    "vec_id": pa.array(id_out, type=pa.int64()),
+                    "score": pa.array(s_out, type=pa.float64()),
+                }
+            )
+
+    queries_ref = ray.put(queries)
+    partials = ds.map_batches(
+        _BucketScore,
+        fn_constructor_kwargs={"queries_ref": queries_ref},
+        batch_format="pyarrow",
+        concurrency=concurrency or default_pool_size(),
+    )
+    heaps: dict[int, list] = {}
+    for row in partials.iter_rows():
+        h = heaps.setdefault(row["query_id"], [])
+        item = (row["score"], -row["vec_id"])
+        if len(h) < k:
+            heapq.heappush(h, item)
+        elif item > h[0]:
+            heapq.heapreplace(h, item)
+    q_out, v_out, s_out, r_out = [], [], [], []
+    for qi in sorted(heaps):
+        ranked = sorted(heaps[qi], key=lambda t: (-t[0], -t[1]))
+        for rank, (score, neg_id) in enumerate(ranked, 1):
+            q_out.append(qi)
+            v_out.append(-neg_id)
+            s_out.append(score)
+            r_out.append(rank)
+    return pa.table(
+        {
+            "query_id": pa.array(q_out, type=pa.int32()),
+            "vec_id": pa.array(v_out, type=pa.int64()),
+            "score": pa.array(s_out, type=pa.float64()),
+            "rank": pa.array(r_out, type=pa.int32()),
+        }
+    )

@@ -1,0 +1,110 @@
+"""Multimodal column plumbing (image/audio/video as opaque binary).
+
+The reference's picture path crops page images and calls a second VLM
+to describe them (A2, app/utils/executor/ocr_task.py:150-203).  This
+container has no image/audio codecs, so the DECODE step is stubbed —
+either a clearly-marked ``NotImplementedError`` (real codec path) or a
+deterministic fake — while all the Ray-side plumbing (schema, actor
+pool, batch sizing for fat binary rows, output layout) is real and
+tested.
+
+Schema convention: media rows are
+``(media_id:int64, kind:string, payload:binary, meta:string)`` and
+feature rows add ``(n_bytes:int64, digest:string, feat:list<float>)``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+MEDIA_SCHEMA = pa.schema(
+    [
+        pa.field("media_id", pa.int64()),
+        pa.field("kind", pa.string()),  # image | audio | video
+        pa.field("payload", pa.binary()),
+        pa.field("meta", pa.string()),
+    ]
+)
+
+
+def decode_image_real(payload: bytes):
+    """The real codec seam.  Plug PIL/libvips here when available."""
+    raise NotImplementedError(
+        "no image codec in this environment — use MediaFeatureActor(fake_decode=True)"
+    )
+
+
+class MediaFeatureActor:
+    """Actor-pool stage: decode → feature-extract per media row.
+
+    Use SMALL batch_size with this stage: payload rows are MBs, and
+    batch_size × concurrency × row_bytes must fit the worker heap
+    (SURVEY.md §4 'wide binary rows').
+
+    ``fake_decode`` derives a deterministic 16-dim feature vector from
+    the payload bytes (blake2b-seeded), standing in for a real
+    embedding model with identical plumbing.
+    """
+
+    def __init__(self, fake_decode: bool = True, feat_dim: int = 16):
+        self.fake_decode = fake_decode
+        self.feat_dim = feat_dim
+
+    def _features(self, payload: bytes) -> np.ndarray:
+        if not self.fake_decode:
+            decode_image_real(payload)  # raises: marked stub
+        digest = hashlib.blake2b(payload, digest_size=self.feat_dim).digest()
+        return (np.frombuffer(digest, dtype=np.uint8).astype(np.float32) - 127.5) / 127.5
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column("payload").to_pylist()
+        feats = [self._features(p or b"") for p in payloads]
+        out = pa.table(
+            {
+                "media_id": batch.column("media_id"),
+                "kind": batch.column("kind"),
+                "n_bytes": pa.array([len(p or b"") for p in payloads], type=pa.int64()),
+                "digest": pa.array(
+                    [hashlib.md5(p or b"").hexdigest() for p in payloads], type=pa.string()
+                ),
+                "feat": pa.array([f.tolist() for f in feats], type=pa.list_(pa.float32())),
+            }
+        )
+        return out
+
+
+class FrameSampleActor:
+    """Video frame-sampling plumbing: emits ``every_nth`` synthetic
+    frame references per video row (flat_map shape: 1 row → n rows).
+    The actual frame grab is the stubbed codec seam."""
+
+    def __init__(self, every_nth: int = 10, fake_decode: bool = True):
+        self.every_nth = every_nth
+        self.fake_decode = fake_decode
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        media_ids, frame_idx, frame_digest = [], [], []
+        for mid, payload in zip(
+            batch.column("media_id").to_pylist(), batch.column("payload").to_pylist()
+        ):
+            payload = payload or b""
+            if not self.fake_decode:
+                decode_image_real(payload)
+            # fake: pretend 1 frame per 4 KiB of payload
+            n_frames = max(1, len(payload) // 4096)
+            for f in range(0, n_frames, self.every_nth):
+                media_ids.append(mid)
+                frame_idx.append(f)
+                frame_digest.append(
+                    hashlib.blake2b(payload + f.to_bytes(4, "big"), digest_size=8).hexdigest()
+                )
+        return pa.table(
+            {
+                "media_id": pa.array(media_ids, type=pa.int64()),
+                "frame_idx": pa.array(frame_idx, type=pa.int32()),
+                "frame_digest": pa.array(frame_digest, type=pa.string()),
+            }
+        )

@@ -1,0 +1,94 @@
+"""Tests for the dedup family (exact, minhash-LSH, simhash, n-gram
+Jaccard, embedding cosine)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from dots_ocr_ray.pipelines.dedup import (
+    embedding_dedup,
+    exact_dedup,
+    minhash_lsh_dedup,
+    ngram_jaccard_dedup,
+    simhash_dedup,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches from "
+    "the warm windowsill and the birds sing in the garden under a bright sun"
+)
+OTHER = (
+    "completely different content about distributed query engines shuffling "
+    "arrow record batches between worker processes with backpressure control"
+)
+
+
+@pytest.fixture(scope="module")
+def docs():
+    rows = [
+        {"doc_id": 0, "text": BASE},
+        {"doc_id": 1, "text": BASE},  # exact dup of 0
+        {"doc_id": 2, "text": BASE.replace("lazy", "sleepy")},  # near dup of 0
+        {"doc_id": 3, "text": OTHER},
+        {"doc_id": 4, "text": OTHER + " extra tail words here"},  # near dup of 3
+        {"doc_id": 5, "text": "tiny"},
+        {"doc_id": 6, "text": ""},
+    ]
+    return ray.data.from_items(rows)
+
+
+def test_exact_dedup(ray_session, docs):
+    out = exact_dedup(docs).to_pandas().sort_values("doc_id")
+    # doc 1 (exact dup of 0) removed; everything else kept
+    assert sorted(out.doc_id) == [0, 2, 3, 4, 5, 6]
+
+
+def test_minhash_lsh_clusters_near_dups(ray_session, docs):
+    out = minhash_lsh_dedup(docs, threshold=0.5).to_pandas()
+    cl = dict(zip(out.doc_id, out.cluster_id))
+    assert len(out) == 7  # every doc assigned
+    assert cl[0] == cl[1] == cl[2] == 0  # exact + near dup cluster
+    assert cl[3] == cl[4] == 3
+    assert cl[5] == 5 and cl[6] == 6  # singletons untouched
+
+
+def test_minhash_deterministic(ray_session, docs):
+    a = minhash_lsh_dedup(docs, threshold=0.5).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = minhash_lsh_dedup(docs, threshold=0.5).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
+
+
+def test_simhash_clusters(ray_session, docs):
+    out = simhash_dedup(docs, max_hamming=3).to_pandas()
+    cl = dict(zip(out.doc_id, out.cluster_id))
+    assert cl[0] == cl[1]  # identical text → identical simhash
+    assert cl[3] != cl[0]
+
+
+def test_ngram_jaccard_verification_tightens(ray_session, docs):
+    loose = minhash_lsh_dedup(docs, threshold=0.5).to_pandas()
+    tight = ngram_jaccard_dedup(docs, threshold=0.99).to_pandas()
+    cl = dict(zip(tight.doc_id, tight.cluster_id))
+    # at 0.99 only the EXACT dup pair survives verification
+    assert cl[0] == cl[1]
+    assert cl[2] == 2  # near-dup fails 0.99 exact-jaccard bar
+    n_loose = (loose.doc_id != loose.cluster_id).sum()
+    n_tight = (tight.doc_id != tight.cluster_id).sum()
+    assert n_tight <= n_loose
+
+
+def test_embedding_dedup(ray_session):
+    rng = np.random.RandomState(7)
+    base = rng.standard_normal(64).astype(np.float32)
+    rows = [
+        {"vec_id": 0, "embedding": base.tolist()},
+        {"vec_id": 1, "embedding": (base * 2.0).tolist()},  # same direction → cos=1
+        {"vec_id": 2, "embedding": (base + rng.standard_normal(64) * 0.05).tolist()},  # near
+        {"vec_id": 3, "embedding": rng.standard_normal(64).tolist()},  # far
+    ]
+    out = embedding_dedup(ray.data.from_items(rows), threshold=0.95).to_pandas()
+    cl = dict(zip(out.doc_id, out.cluster_id))
+    assert cl[0] == cl[1] == cl[2] == 0
+    assert cl[3] == 3

@@ -1,0 +1,53 @@
+"""Tests for multimodal binary-column plumbing (decode stubbed)."""
+
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from dots_ocr_ray.stages.media import FrameSampleActor, MediaFeatureActor, decode_image_real
+
+
+@pytest.fixture(scope="module")
+def media_ds(ray_session):
+    rows = [
+        {"media_id": i, "kind": "image" if i % 2 == 0 else "video", "payload": bytes([i % 251]) * (4096 * (i + 1)), "meta": "{}"}
+        for i in range(8)
+    ]
+    return ray.data.from_items(rows)
+
+
+def test_real_decode_is_marked_stub():
+    with pytest.raises(NotImplementedError):
+        decode_image_real(b"\x89PNG")
+
+
+def test_feature_actor(ray_session, media_ds):
+    # small batch_size on purpose: fat binary rows
+    out = media_ds.map_batches(
+        MediaFeatureActor, batch_format="pyarrow", batch_size=2, concurrency=2
+    ).to_pandas()
+    assert len(out) == 8
+    assert set(out.columns) == {"media_id", "kind", "n_bytes", "digest", "feat"}
+    assert all(len(f) == 16 for f in out.feat)
+    # deterministic: same payload → same features
+    out2 = media_ds.map_batches(
+        MediaFeatureActor, batch_format="pyarrow", batch_size=4, concurrency=2
+    ).to_pandas()
+    a = out.sort_values("media_id").reset_index(drop=True)
+    b = out2.sort_values("media_id").reset_index(drop=True)
+    assert (a.digest == b.digest).all()
+
+
+def test_frame_sampler_explodes_rows(ray_session, media_ds):
+    out = media_ds.map_batches(
+        FrameSampleActor,
+        fn_constructor_kwargs={"every_nth": 2},
+        batch_format="pyarrow",
+        batch_size=2,
+        concurrency=2,
+    ).to_pandas()
+    # 1 row per video → n rows of frame refs; media_id 7 has 8 frames → 4 samples
+    per_media = out.groupby("media_id").size()
+    assert per_media[7] == 4
+    assert (out.frame_idx % 2 == 0).all()

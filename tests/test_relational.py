@@ -1,0 +1,80 @@
+"""Tests for relational/window ops vs DuckDB ground truth."""
+
+import duckdb
+import pytest
+
+from dots_ocr_ray.pipelines.relational import (
+    events_windowed_agg,
+    lineitem_pricing_summary,
+    orders_by_mktsegment,
+    top_customers_by_spend,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in ["lineitem", "orders", "customer", "events"]:
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return c
+
+
+def test_pricing_summary_matches_duckdb(ray_session, con):
+    got = (
+        lineitem_pricing_summary(SF_DIR)
+        .to_pandas()
+        .sort_values(["l_returnflag", "l_linestatus"])
+        .reset_index(drop=True)
+    )
+    want = con.execute(
+        """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+                  sum(l_extendedprice) AS sum_base_price,
+                  sum(l_extendedprice*(1-l_discount)) AS sum_disc_price,
+                  count(*) AS count_order
+           FROM lineitem GROUP BY 1,2 ORDER BY 1,2"""
+    ).df()
+    assert len(got) == len(want)
+    for col in ["sum_qty", "sum_base_price", "sum_disc_price"]:
+        assert abs(got[col] - want[col]).max() < 1e-6
+    assert (got.count_order == want.count_order).all()
+
+
+def test_orders_by_mktsegment(ray_session, con):
+    got = orders_by_mktsegment(SF_DIR).to_pandas().sort_values("c_mktsegment").reset_index(drop=True)
+    want = con.execute(
+        """SELECT c_mktsegment, sum(o_totalprice) AS total_price, count(*) AS n_orders
+           FROM orders JOIN customer ON o_custkey = c_custkey
+           GROUP BY 1 ORDER BY 1"""
+    ).df()
+    assert list(got.c_mktsegment) == list(want.c_mktsegment)
+    assert abs(got.total_price - want.total_price).max() < 1e-6
+    assert (got.n_orders == want.n_orders).all()
+
+
+def test_events_windowed_agg(ray_session, con):
+    got = (
+        events_windowed_agg(SF_DIR, window_minutes=60)
+        .to_pandas()
+        .sort_values(["event_type", "window_start"])
+        .reset_index(drop=True)
+    )
+    want = con.execute(
+        """SELECT event_type, time_bucket(INTERVAL 60 MINUTES, ts) AS window_start,
+                  sum(value) AS sum_value, count(*) AS n_events
+           FROM events GROUP BY 1,2 ORDER BY 1,2"""
+    ).df()
+    assert len(got) == len(want)
+    assert (got.n_events.values == want.n_events.values).all()
+    assert abs(got.sum_value - want.sum_value).max() < 1e-6
+
+
+def test_top_customers(ray_session, con):
+    got = top_customers_by_spend(SF_DIR, k=10).to_pandas()
+    want = con.execute(
+        """SELECT o_custkey, round(sum(o_totalprice),2) AS total_spend
+           FROM orders GROUP BY 1 ORDER BY sum(o_totalprice) DESC LIMIT 10"""
+    ).df()
+    assert list(got.o_custkey) == list(want.o_custkey)
+    assert abs(got.total_spend - want.total_spend).max() < 0.01

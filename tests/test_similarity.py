@@ -1,0 +1,64 @@
+"""Tests for ANN search (brute-force exact + LSH approximate)."""
+
+import numpy as np
+import pytest
+
+import ray.data
+
+from dots_ocr_ray.pipelines.similarity import brute_force_topk, lsh_topk
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb_ds(ray_session):
+    return ray.data.read_parquet(f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+
+@pytest.fixture(scope="module")
+def all_vecs():
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF_DIR}/embeddings.parquet")
+    ids = np.array(t.column("vec_id").to_pylist())
+    mat = np.array(t.column("embedding").to_pylist(), dtype=np.float32)
+    return ids, mat
+
+
+def _numpy_topk(ids, mat, queries, k):
+    qn = queries / np.linalg.norm(queries, axis=1, keepdims=True)
+    mn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = qn @ mn.T
+    out = {}
+    for qi in range(len(queries)):
+        order = sorted(range(len(ids)), key=lambda i: (-sims[qi, i], ids[i]))[:k]
+        out[qi] = [int(ids[i]) for i in order]
+    return out
+
+
+def test_brute_force_matches_numpy(ray_session, emb_ds, all_vecs):
+    ids, mat = all_vecs
+    queries = mat[:3]
+    got = brute_force_topk(emb_ds, queries, k=5).to_pandas()
+    want = _numpy_topk(ids, mat, queries, 5)
+    for qi in range(3):
+        got_ids = list(got[got.query_id == qi].sort_values("rank").vec_id)
+        assert got_ids == want[qi], f"query {qi}"
+    # self-similarity: each query IS a corpus vector → rank 1 score ≈ 1
+    top1 = got[got["rank"] == 1]
+    assert np.allclose(top1.score, 1.0, atol=1e-5)
+
+
+def test_lsh_topk_high_recall(ray_session, emb_ds, all_vecs):
+    ids, mat = all_vecs
+    queries = mat[:4]
+    exact = _numpy_topk(ids, mat, queries, 10)
+    approx = lsh_topk(emb_ds, queries, k=10, n_planes=6).to_pandas()
+    recalls = []
+    for qi in range(4):
+        got_ids = set(approx[approx.query_id == qi].vec_id)
+        recalls.append(len(got_ids & set(exact[qi])) / 10)
+    assert sum(recalls) / len(recalls) >= 0.5  # multiprobe recall floor
+    # the query's own vector must always survive (identical bucket)
+    for qi in range(4):
+        assert exact[qi][0] in set(approx[approx.query_id == qi].vec_id)
