@@ -92,6 +92,276 @@ def _q_extract_span_stats(sf_dir: str):
     return out[["lang", "sum_spans", "n_docs"]]
 
 
+# ---------------------------------------------------------------------------
+# dedup family (documents / embeddings tables)
+
+
+def _q_dedup_exact(sf_dir: str):
+    import ray.data
+
+    from dots_ocr_ray.pipelines.dedup import exact_dedup
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return exact_dedup(docs).select_columns(["doc_id"])
+
+
+def _q_dedup_minhash(sf_dir: str):
+    import ray.data
+
+    from dots_ocr_ray.pipelines.dedup import minhash_lsh_dedup
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return minhash_lsh_dedup(docs, threshold=0.8)
+
+
+def _q_dedup_simhash(sf_dir: str):
+    import ray.data
+
+    from dots_ocr_ray.pipelines.dedup import simhash_dedup
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return simhash_dedup(docs, max_hamming=3)
+
+
+def _q_dedup_ngram(sf_dir: str):
+    import ray.data
+
+    from dots_ocr_ray.pipelines.dedup import ngram_jaccard_dedup
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ngram_jaccard_dedup(docs, threshold=0.9)
+
+
+def _q_dedup_embedding(sf_dir: str):
+    import ray.data
+
+    from dots_ocr_ray.pipelines.dedup import embedding_dedup
+
+    vecs = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return embedding_dedup(vecs, threshold=0.95)
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+
+
+def _q_ann_topk(sf_dir: str):
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    import ray.data
+
+    from dots_ocr_ray.pipelines.similarity import brute_force_topk
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    order = {v: i for i, v in enumerate(t.column("vec_id").to_pylist())}
+    queries = np.array(
+        [t.column("embedding")[order[v]].as_py() for v in sorted(order)[:4]], dtype=np.float32
+    )
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    out = brute_force_topk(ds, queries, k=5)
+    # drop float scores from the hash-checked surface (f32 vs f64 noise)
+    return out.select(["query_id", "vec_id", "rank"])
+
+
+def _q_ann_lsh_topk(sf_dir: str):
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    import ray.data
+
+    from dots_ocr_ray.pipelines.similarity import lsh_topk
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    order = {v: i for i, v in enumerate(t.column("vec_id").to_pylist())}
+    queries = np.array(
+        [t.column("embedding")[order[v]].as_py() for v in sorted(order)[:4]], dtype=np.float32
+    )
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return lsh_topk(ds, queries, k=5).select(["query_id", "vec_id", "rank"])
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+
+
+def _q_token_stats(sf_dir: str):
+    import pyarrow as pa
+
+    import ray.data
+
+    from dots_ocr_ray.pipelines.text_analysis import annotate_documents
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"])
+    annotated = annotate_documents(docs)
+    agg = annotated.groupby("lang").sum("n_tokens_ws")
+    cnt = annotated.groupby("lang").count()
+    import pandas as pd
+
+    a = pa.Table.from_pylist(agg.take_all()).to_pandas().rename(columns={"sum(n_tokens_ws)": "sum_tokens_ws"})
+    b = pa.Table.from_pylist(cnt.take_all()).to_pandas().rename(columns={"count()": "n_docs"})
+    out = pd.merge(a, b, on="lang")
+    out["sum_tokens_ws"] = out["sum_tokens_ws"].astype("int64")
+    out["n_docs"] = out["n_docs"].astype("int64")
+    return out[["lang", "sum_tokens_ws", "n_docs"]]
+
+
+def _q_quality_stats(sf_dir: str):
+    import pyarrow as pa
+
+    import ray.data
+
+    from dots_ocr_ray.pipelines.text_analysis import annotate_documents
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"])
+    annotated = annotate_documents(docs)
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = batch.column("quality_keep").cast(pa.int64())
+        return (
+            batch.select(["lang"])
+            .append_column("keep_i", keep)
+            .group_by("lang")
+            .aggregate([("keep_i", "sum"), ("keep_i", "count")])
+        )
+
+    partials = annotated.map_batches(_partial, batch_format="pyarrow")
+    agg = partials.groupby("lang").sum(["keep_i_sum", "keep_i_count"])
+
+    def _rename(batch: pa.Table) -> pa.Table:
+        mapping = {"sum(keep_i_sum)": "n_keep", "sum(keep_i_count)": "n_docs"}
+        return batch.rename_columns([mapping.get(n, n) for n in batch.column_names])
+
+    return agg.map_batches(_rename, batch_format="pyarrow")
+
+
+def _q_lang_id(sf_dir: str):
+    from dots_ocr_ray.pipelines.text_analysis import lang_id_confusion
+
+    return lang_id_confusion(sf_dir)
+
+
+def _q_fingerprint_dups(sf_dir: str):
+    from dots_ocr_ray.pipelines.text_analysis import fingerprint_duplicates
+
+    return fingerprint_duplicates(sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing
+
+
+def _q_media_features(sf_dir: str):
+    import pyarrow as pa
+
+    import ray.data
+
+    from dots_ocr_ray.stages.media import MediaFeatureActor
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def _to_media(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        return pa.table(
+            {
+                "media_id": batch.column("doc_id").cast(pa.int64()),
+                "kind": pa.array(["image"] * len(texts), type=pa.string()),
+                "payload": pa.array([t.encode("utf-8") for t in texts], type=pa.binary()),
+                "meta": pa.array(["{}"] * len(texts), type=pa.string()),
+            }
+        )
+
+    media = docs.map_batches(_to_media, batch_format="pyarrow")
+    feats = media.map_batches(
+        MediaFeatureActor, batch_format="pyarrow", batch_size=64, concurrency=2
+    )
+    return feats.select_columns(["media_id", "n_bytes", "digest"])
+
+
+# ---------------------------------------------------------------------------
+# relational / window
+
+
+def _q_pricing_summary(sf_dir: str):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from dots_ocr_ray.pipelines.relational import lineitem_pricing_summary
+
+    tbl = pa.Table.from_pylist(lineitem_pricing_summary(sf_dir).take_all())
+    for col in ["sum_qty", "sum_base_price", "sum_disc_price"]:
+        tbl = tbl.set_column(tbl.column_names.index(col), col, pc.round(tbl.column(col), 2))
+    return tbl
+
+
+def _q_orders_by_segment(sf_dir: str):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from dots_ocr_ray.pipelines.relational import orders_by_mktsegment
+
+    tbl = pa.Table.from_pylist(orders_by_mktsegment(sf_dir).take_all())
+    return tbl.set_column(
+        tbl.column_names.index("total_price"), "total_price", pc.round(tbl.column("total_price"), 2)
+    )
+
+
+def _q_windowed_events(sf_dir: str):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from dots_ocr_ray.pipelines.relational import events_windowed_agg
+
+    tbl = pa.Table.from_pylist(events_windowed_agg(sf_dir, window_minutes=60).take_all())
+    return tbl.set_column(
+        tbl.column_names.index("sum_value"), "sum_value", pc.round(tbl.column("sum_value"), 4)
+    )
+
+
+def _q_top_customers(sf_dir: str):
+    from dots_ocr_ray.pipelines.relational import top_customers_by_spend
+
+    return top_customers_by_spend(sf_dir, k=10)
+
+
+def _q_customers_per_region(sf_dir: str):
+    import pyarrow as pa
+
+    import ray
+    import ray.data
+
+    nation = ray.data.read_parquet(f"{sf_dir}/nation.parquet").to_pandas()
+    region = ray.data.read_parquet(f"{sf_dir}/region.parquet").to_pandas()
+    n2r = dict(zip(nation["n_nationkey"], nation["n_regionkey"]))
+    r2name = dict(zip(region["r_regionkey"], region["r_name"]))
+    lookup_ref = ray.put({nk: r2name[rk] for nk, rk in n2r.items()})
+
+    customers = ray.data.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+
+    class _Partial:
+        def __init__(self):
+            self.lookup = ray.get(lookup_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            names = [self.lookup.get(k, "UNKNOWN") for k in batch.column("c_nationkey").to_pylist()]
+            return (
+                pa.table({"r_name": pa.array(names, type=pa.string())})
+                .group_by("r_name")
+                .aggregate([([], "count_all")])
+            )
+
+    partials = customers.map_batches(_Partial, batch_format="pyarrow", concurrency=2)
+    agg = partials.groupby("r_name").sum("count_all")
+
+    def _rename(batch: pa.Table) -> pa.Table:
+        batch = batch.rename_columns(["r_name", "n_customers"])
+        return batch.set_column(1, "n_customers", batch.column("n_customers").cast(pa.int64()))
+
+    return agg.map_batches(_rename, batch_format="pyarrow")
+
+
 def entry() -> Any:
     """Flagship pipeline: documents@sf0.001 → pages → actor-pool
     extraction → result Dataset (driver checks rows>=0, stable schema)."""
@@ -103,9 +373,32 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
+        # extraction (the flagship; SQL mirrors the deterministic wrapper)
         "extract_text": _q_extract_text,
         "extract_status_counts": _q_extract_status_counts,
         "extract_span_stats": _q_extract_span_stats,
+        # dedup family
+        "dedup_exact": _q_dedup_exact,
+        "dedup_minhash": _q_dedup_minhash,
+        "dedup_simhash": _q_dedup_simhash,
+        "dedup_ngram": _q_dedup_ngram,
+        "dedup_embedding": _q_dedup_embedding,
+        # similarity search
+        "ann_topk": _q_ann_topk,
+        "ann_lsh_topk": _q_ann_lsh_topk,
+        # text analysis
+        "token_stats": _q_token_stats,
+        "quality_stats": _q_quality_stats,
+        "lang_id_confusion": _q_lang_id,
+        "fingerprint_dups": _q_fingerprint_dups,
+        # multimodal plumbing
+        "media_features": _q_media_features,
+        # relational / window
+        "pricing_summary": _q_pricing_summary,
+        "orders_by_segment": _q_orders_by_segment,
+        "windowed_events": _q_windowed_events,
+        "top_customers": _q_top_customers,
+        "customers_per_region": _q_customers_per_region,
     }
 
 
@@ -124,5 +417,62 @@ def oracle_sql() -> dict[str, str]:
         "extract_span_stats": (
             f"SELECT lang, CAST(sum({_NSPANS_SQL}) AS BIGINT) AS sum_spans, "
             "CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang"
+        ),
+        # exact dedup: survivor = min doc_id per identical text
+        "dedup_exact": "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
+        # approximate dedups (minhash/simhash/ngram/embedding) are not
+        # SQL-expressible → rows-only checks (intentionally omitted here)
+        "ann_topk": (
+            "WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 4) "
+            "SELECT CAST(q.query_id AS INT) AS query_id, e.vec_id, "
+            "CAST(row_number() OVER (PARTITION BY q.query_id "
+            "ORDER BY list_cosine_similarity(q.qe, e.embedding) DESC, e.vec_id) AS INT) AS rank "
+            "FROM q CROSS JOIN embeddings e "
+            "QUALIFY rank <= 5"
+        ),
+        "token_stats": (
+            "SELECT lang, CAST(sum(len(string_split_regex(trim(text), '[ \t\n]+'))) AS BIGINT) "
+            "AS sum_tokens_ws, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang"
+        ),
+        "quality_stats": (
+            "SELECT lang, CAST(sum(CASE WHEN n_words >= 5 AND mw BETWEEN 1.0 AND 15.0 "
+            "AND ar >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep, "
+            "CAST(count(*) AS BIGINT) AS n_docs FROM ("
+            "SELECT lang, len(string_split_regex(trim(text), '[ \t\n]+')) AS n_words, "
+            "CASE WHEN len(string_split_regex(trim(text), '[ \t\n]+')) = 0 THEN 0.0 "
+            "ELSE length(replace(text, ' ', '')) * 1.0 / len(string_split_regex(trim(text), '[ \t\n]+')) END AS mw, "
+            "CASE WHEN length(text) = 0 THEN 0.0 "
+            "ELSE length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / length(text) END AS ar "
+            "FROM documents) GROUP BY lang"
+        ),
+        "media_features": (
+            "SELECT doc_id AS media_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, "
+            "md5(text) AS digest FROM documents"
+        ),
+        "pricing_summary": (
+            "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, "
+            "round(sum(l_extendedprice), 2) AS sum_base_price, "
+            "round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price, "
+            "CAST(count(*) AS BIGINT) AS count_order "
+            "FROM lineitem GROUP BY l_returnflag, l_linestatus"
+        ),
+        "orders_by_segment": (
+            "SELECT c_mktsegment, round(sum(o_totalprice), 2) AS total_price, "
+            "CAST(count(*) AS BIGINT) AS n_orders "
+            "FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment"
+        ),
+        "windowed_events": (
+            "SELECT event_type, time_bucket(INTERVAL 60 MINUTES, ts) AS window_start, "
+            "round(sum(value), 4) AS sum_value, CAST(count(*) AS BIGINT) AS n_events "
+            "FROM events GROUP BY event_type, window_start"
+        ),
+        "top_customers": (
+            "SELECT o_custkey, round(sum(o_totalprice), 2) AS total_spend "
+            "FROM orders GROUP BY o_custkey ORDER BY sum(o_totalprice) DESC, o_custkey LIMIT 10"
+        ),
+        "customers_per_region": (
+            "SELECT r_name, CAST(count(*) AS BIGINT) AS n_customers "
+            "FROM customer JOIN nation ON c_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey GROUP BY r_name"
         ),
     }
