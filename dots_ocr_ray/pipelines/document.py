@@ -1,0 +1,117 @@
+"""Document-level operators (reference S8/O2/D3 analogs).
+
+* :func:`merge_document_pages` — multi-row documents (one row per page)
+  merged into one row per document: pages sorted by page_no, markdown
+  joined with ``"\\n\\n"`` — exactly the reference's per-doc merge
+  (app/dotsocr_service.py:444-515: sort by page_no, concatenate md,
+  assemble one JSON list).
+* :func:`latest_page_per_url` — corpus-level url dedup across crawls:
+  keep the newest ``warc_ts`` per url (the D3 analog of the
+  reference's job-identity dedup, dotsocr_service.py:595-623).
+
+Both are ONE keyed shuffle; the url/doc key is md5-uniform so no salting
+is required for the group stage itself.  (Salting matters for
+*aggregations* keyed by domain — see metrics_by_domain.)
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+import ray.data
+
+
+def merge_document_pages(
+    pages: ray.data.Dataset,
+    *,
+    doc_col: str = "doc_url",
+    page_no_col: str = "page_no",
+    md_col: str = "extracted_text",
+    md_nohf_col: str = "extracted_text_nohf",
+) -> ray.data.Dataset:
+    """1 row per (doc, page) → 1 row per doc.
+
+    Output: (doc_url, n_pages, extracted_text, extracted_text_nohf)
+    with pages joined in page_no order by ``"\\n\\n"``."""
+
+    def _merge(group: pa.Table) -> pa.Table:
+        group = group.sort_by(page_no_col)
+        md = "\n\n".join(group.column(md_col).to_pylist())
+        nohf = "\n\n".join(group.column(md_nohf_col).to_pylist())
+        return pa.table(
+            {
+                "doc_url": group.column(doc_col).slice(0, 1),
+                "n_pages": pa.array([group.num_rows], type=pa.int32()),
+                "extracted_text": pa.array([md], type=pa.string()),
+                "extracted_text_nohf": pa.array([nohf], type=pa.string()),
+            }
+        )
+
+    return pages.groupby(doc_col).map_groups(_merge, batch_format="pyarrow")
+
+
+def latest_page_per_url(pages: ray.data.Dataset, *, url_col: str = "url", ts_col: str = "warc_ts") -> ray.data.Dataset:
+    """Crawl dedup: newest capture wins per url; deterministic tiebreak
+    on the full row order after sort."""
+
+    def _latest(group: pa.Table) -> pa.Table:
+        return group.sort_by([(ts_col, "descending")]).slice(0, 1)
+
+    return pages.groupby(url_col).map_groups(_latest, batch_format="pyarrow")
+
+
+def metrics_by_domain(extracted: ray.data.Dataset, n_salt: int = 16) -> ray.data.Dataset:
+    """Per-domain status/bytes rollup with SALTED keys: hot domains
+    (one domain can hold 30% of a crawl) are split into n_salt
+    sub-groups aggregated in the shuffle, then combined in a second,
+    tiny groupby — the hot-key pattern from SURVEY.md §7.3."""
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        from urllib.parse import urlparse
+
+        domains, salts = [], []
+        urls = batch.column("url").to_pylist()
+        for i, u in enumerate(urls):
+            try:
+                domains.append(urlparse(u).netloc or "unknown")
+            except Exception:
+                domains.append("unknown")
+            salts.append(i % n_salt)
+        statuses = batch.column("status").to_pylist()
+        nbytes = batch.column("bytes_in").to_pylist()
+        agg: dict[tuple, list[int]] = {}
+        for d, s, st, b in zip(domains, salts, statuses, nbytes):
+            row = agg.setdefault((d, s), [0, 0, 0])
+            row[0] += 1
+            row[1] += st == "finished"
+            row[2] += b
+        keys = list(agg.keys())
+        return pa.table(
+            {
+                "domain": pa.array([k[0] for k in keys], type=pa.string()),
+                "salt": pa.array([k[1] for k in keys], type=pa.int32()),
+                "rows": pa.array([agg[k][0] for k in keys], type=pa.int64()),
+                "ok": pa.array([agg[k][1] for k in keys], type=pa.int64()),
+                "bytes_in": pa.array([agg[k][2] for k in keys], type=pa.int64()),
+            }
+        )
+
+    partials = extracted.map_batches(_partial, batch_format="pyarrow")
+    salted = partials.groupby(["domain", "salt"]).sum(["rows", "ok", "bytes_in"])
+
+    def _desalt(batch: pa.Table) -> pa.Table:
+        mapping = {"sum(rows)": "rows", "sum(ok)": "ok", "sum(bytes_in)": "bytes_in"}
+        batch = batch.rename_columns([mapping.get(n, n) for n in batch.column_names])
+        return batch.drop_columns(["salt"]).group_by("domain").aggregate(
+            [("rows", "sum"), ("ok", "sum"), ("bytes_in", "sum")]
+        )
+
+    final = salted.map_batches(_desalt, batch_format="pyarrow").groupby("domain").sum(
+        ["rows_sum", "ok_sum", "bytes_in_sum"]
+    )
+
+    def _rename(batch: pa.Table) -> pa.Table:
+        mapping = {"sum(rows_sum)": "rows", "sum(ok_sum)": "ok", "sum(bytes_in_sum)": "bytes_in"}
+        return batch.rename_columns([mapping.get(n, n) for n in batch.column_names])
+
+    return final.map_batches(_rename, batch_format="pyarrow")
