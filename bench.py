@@ -56,7 +56,12 @@ def run_headline() -> dict:
 
     import ray
 
-    from dots_ocr_ray.pipelines.extract import check_fail_gate, compute_metrics, extract_pages, read_pages
+    from dots_ocr_ray.pipelines.extract import (
+        check_fail_gate,
+        extract_pages,
+        read_pages,
+        write_extracted,
+    )
 
     pages_path = ensure_bench_pages()
     meta = pq.ParquetFile(pages_path).metadata
@@ -79,11 +84,9 @@ def run_headline() -> dict:
         ds,
         batch_size=128,
         concurrency=max(2, NUM_CPUS - 2),
-        out_dir=out_dir,
-        resume=False,
         num_partitions=max(64, NUM_CPUS * 4),
     )
-    metrics = compute_metrics(extracted)
+    metrics = write_extracted(extracted, out_dir, num_partitions=max(64, NUM_CPUS * 4))
     stats = check_fail_gate(metrics, threshold=0.25)
     elapsed = time.perf_counter() - t0
     return {

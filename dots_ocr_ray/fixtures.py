@@ -45,7 +45,7 @@ def _sentence(rng: random.Random, n: int) -> str:
     return " ".join(rng.choice(_WORDS) for _ in range(n)).capitalize() + "."
 
 
-def _make_html(rng: random.Random, i: int) -> tuple[str, str]:
+def _make_html(rng: random.Random, i: int, scale: int = 1) -> tuple[str, str]:
     """One synthetic page; returns (html, naive_text)."""
     parts = ["<html><head><title>t</title>", '<style>.x{color:red}</style>', "</head><body>"]
     # boilerplate: nav link farm + cookie banner + sidebar (all pruned)
@@ -54,7 +54,7 @@ def _make_html(rng: random.Random, i: int) -> tuple[str, str]:
     parts.append('<div class="sidebar related"><ul><li><a href="/r1">Related one</a></li></ul></div>')
     parts.append(f'<header class="page-header">Site header {i % 7}</header>')
     parts.append(f"<h1>Document {i:06d}</h1>")
-    n_sections = 1 + rng.randrange(3)
+    n_sections = (1 + rng.randrange(3)) * scale
     for s in range(n_sections):
         parts.append(f"<h2>Section {s + 1}</h2>")
         for _ in range(1 + rng.randrange(3)):
@@ -81,14 +81,17 @@ def _make_html(rng: random.Random, i: int) -> tuple[str, str]:
     return html_text, naive
 
 
-def make_pages_table(n_rows: int = 64, seed: int = 42) -> pa.Table:
-    """The rich byte-identity fixture corpus (FIXTURES.md §1-2)."""
+def make_pages_table(n_rows: int = 64, seed: int = 42, scale: int = 1) -> pa.Table:
+    """The rich byte-identity fixture corpus (FIXTURES.md §1-2).
+
+    ``scale`` multiplies per-page content (sections) so benchmarks can
+    dial pages toward realistic Common-Crawl sizes (~scale×2 KB)."""
     urls, tss, htmls, texts, langs = [], [], [], [], []
     for i in range(n_rows):
         rng = random.Random((seed << 20) + i)
         domain = _domain(rng, i)
         url = f"https://{domain}/page-{i:06d}"
-        html_text, naive = _make_html(rng, i)
+        html_text, naive = _make_html(rng, i, scale)
 
         # degradation cases by index (FIXTURES.md §2)
         if i % 17 == 3:
@@ -112,7 +115,7 @@ def make_pages_table(n_rows: int = 64, seed: int = 42) -> pa.Table:
             # corpus-level exact-dup: identical html to row i-1
             prev_rng = random.Random((seed << 20) + (i - 1))
             _domain(prev_rng, i - 1)
-            html_text, naive = _make_html(prev_rng, i - 1)
+            html_text, naive = _make_html(prev_rng, i - 1, scale)
 
         urls.append(url)
         tss.append(EPOCH + datetime.timedelta(seconds=137 * i))

@@ -124,9 +124,17 @@ def extract_page(
         for s in spans:
             s["text"] = ""
 
-    extracted = spans_to_markdown(spans, no_page_hf=False)
-    extracted_nohf = spans_to_markdown(spans, no_page_hf=True)
-    _assign_char_offsets(spans, extracted)
+    # serialize each span ONCE; both markdown variants and the char
+    # offsets derive from the same item list (byte-equal to calling
+    # spans_to_markdown twice — covered by the byte-identity tests)
+    items = [_serialized_item(s) for s in spans]
+    extracted = "\n\n".join(items)
+    extracted_nohf = "\n\n".join(
+        item
+        for item, s in zip(items, spans)
+        if s.get("category") not in ("Page-header", "Page-footer")
+    )
+    _assign_char_offsets(spans, items)
     return {
         "url": url,
         "extracted_text": extracted,
@@ -195,13 +203,12 @@ def _outline_from_spans(spans: list[dict]) -> list[dict]:
     return toc
 
 
-def _assign_char_offsets(spans: list[dict], extracted: str) -> None:
+def _assign_char_offsets(spans: list[dict], items: list[str]) -> None:
     """char_start/char_end into extracted_text, derived from the exact
     serialization walk so offsets always agree with the joined output."""
     pos = 0
     first = True
-    for s in spans:
-        item = _serialized_item(s)
+    for s, item in zip(spans, items):
         if not first:
             pos += 2  # the "\n\n" joiner
         s["char_start"] = pos

@@ -26,7 +26,7 @@ import ray.data
 
 from dots_ocr_ray.kernel.extract import ExtractConfig
 from dots_ocr_ray.kernel.textops import md5_hex
-from dots_ocr_ray.schema import TASK_FAIL_THRESHOLD
+from dots_ocr_ray.schema import METRICS_SCHEMA, TASK_FAIL_THRESHOLD
 from dots_ocr_ray.stages.extract_stage import ExtractorActor, url_partition_id
 from dots_ocr_ray.state.manifest import completed_partitions, write_partition_atomic
 
@@ -96,23 +96,56 @@ def extract_pages(
     if out_dir is None:
         return extracted
 
-    # deterministic partition → file mapping via a keyed shuffle: the
-    # one true exchange in the pipeline, keyed by the resume unit
-    def _write_group(group: pa.Table) -> pa.Table:
-        pid = group.column("partition_id")[0].as_py()
-        # deterministic within-partition order (url) → byte-stable files
-        group = group.sort_by("url")
-        content = md5_hex("".join(group.column("extracted_text").to_pylist()))
-        write_partition_atomic(out_dir, pid, group, content)
-        return group.select(["partition_id"]).slice(0, 1)
-
-    written = extracted.groupby("partition_id").map_groups(_write_group, batch_format="pyarrow")
-    written.materialize()  # drive the write; blocks only carry partition ids
+    write_extracted(extracted, out_dir, num_partitions=num_partitions)
     import glob as _glob
     import os as _os
 
     part_files = sorted(_glob.glob(_os.path.join(out_dir, "part-*.parquet")))
     return ray.data.read_parquet(part_files)
+
+
+def write_extracted(
+    extracted: ray.data.Dataset,
+    out_dir: str,
+    *,
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+) -> pa.Table:
+    """Write extraction results as hash-partitioned parquet with done
+    markers, emitting per-partition lineage/metrics in the SAME pass.
+
+    One keyed exchange co-locates each partition_id; the write function
+    writes one file+marker per partition id and returns METRICS_SCHEMA
+    rows — write + metrics cost ONE execution, not two.
+
+    Exchange choice: ``groupby(partition_id)`` (sort-based pull
+    shuffle).  The hash-shuffle strategy was measured too: its
+    aggregator ACTORS deadlock against a near-full extract actor pool
+    on a small node (they can't get CPUs), so the sort shuffle is the
+    robust default; at real cluster scale flip
+    ``DataContext.shuffle_strategy`` and re-measure.
+    """
+
+    def _write_group(group: pa.Table) -> pa.Table:
+        t0 = time.perf_counter()
+        pid = group.column("partition_id")[0].as_py()
+        # deterministic within-partition order → byte-stable files
+        group = group.sort_by("url")
+        content = md5_hex("".join(group.column("extracted_text").to_pylist()))
+        write_partition_atomic(out_dir, pid, group, content)
+        statuses = group.column("status").to_pylist()
+        row = {
+            "partition_id": pid,
+            "input_rows": group.num_rows,
+            "ok": sum(s == "finished" for s in statuses),
+            "fallback": sum(s == "fallback" for s in statuses),
+            "failed": sum(s == "failed" for s in statuses),
+            "bytes_in": pc.sum(group.column("bytes_in")).as_py() or 0,
+            "wall_ms": int((time.perf_counter() - t0) * 1000),
+        }
+        return pa.Table.from_pylist([row], schema=METRICS_SCHEMA)
+
+    metrics_ds = extracted.groupby("partition_id").map_groups(_write_group, batch_format="pyarrow")
+    return pa.Table.from_pylist(metrics_ds.take_all(), schema=METRICS_SCHEMA)
 
 
 def compute_metrics(extracted: ray.data.Dataset) -> ray.data.Dataset:
@@ -159,10 +192,11 @@ def compute_metrics(extracted: ray.data.Dataset) -> ray.data.Dataset:
     return aggregated.map_batches(_rename, batch_format="pyarrow")
 
 
-def check_fail_gate(metrics: ray.data.Dataset, threshold: float = TASK_FAIL_THRESHOLD) -> dict:
+def check_fail_gate(metrics, threshold: float = TASK_FAIL_THRESHOLD) -> dict:
     """Job-level fail-ratio gate (reference dotsocr_service.py:430-443,
-    threshold configs.py:79).  Returns the totals; raises when breached."""
-    tbl = pa.Table.from_pylist(metrics.take_all())
+    threshold configs.py:79).  Accepts a metrics Dataset or Arrow table;
+    returns the totals; raises when breached."""
+    tbl = metrics if isinstance(metrics, pa.Table) else pa.Table.from_pylist(metrics.take_all())
     total = pc.sum(tbl.column("input_rows")).as_py() or 0
     failed = pc.sum(tbl.column("failed")).as_py() or 0
     stats = {
