@@ -81,51 +81,64 @@ def _make_html(rng: random.Random, i: int, scale: int = 1) -> tuple[str, str]:
     return html_text, naive
 
 
+def _page_record(i: int, seed: int = 42, scale: int = 1) -> tuple:
+    """One page, pure function of (seed, i): (url, ts, html, text, lang)."""
+    rng = random.Random((seed << 20) + i)
+    domain = _domain(rng, i)
+    url = f"https://{domain}/page-{i:06d}"
+    html_text, naive = _make_html(rng, i, scale)
+
+    # degradation cases by index (FIXTURES.md §2)
+    if i % 17 == 3:
+        # truncated html: cut mid-tag — repair ladder case
+        html_text = html_text[: max(40, len(html_text) * 2 // 3)].rsplit("<", 1)[0] + "<p>trunc"
+    elif i % 17 == 5:
+        # unclosed tags
+        html_text = html_text.replace("</p>", "", 3).replace("</h2>", "", 1)
+    elif i % 17 == 7:
+        # duplicated blocks: trip the ≥5 pair-dedup threshold
+        dup = "<p>Repeated boiler line.</p>"
+        html_text = html_text.replace("</body>", dup * 6 + "</body>")
+    elif i % 17 == 9:
+        # empty html → fallback to text column
+        html_text = ""
+    elif i % 17 == 11:
+        # nothing extractable at all → failed
+        html_text = ""
+        naive = ""
+    elif i % 17 == 13 and i > 0:
+        # corpus-level exact-dup: identical html to row i-1
+        prev_rng = random.Random((seed << 20) + (i - 1))
+        _domain(prev_rng, i - 1)
+        html_text, naive = _make_html(prev_rng, i - 1, scale)
+
+    ts = EPOCH + datetime.timedelta(seconds=137 * i)
+    return url, ts, html_text.encode("utf-8"), naive, LANGS[i % len(LANGS)]
+
+
+def pages_batch(indices, seed: int = 42, scale: int = 1) -> pa.Table:
+    """Pages table for an arbitrary index set — the batch form used to
+    generate large corpora IN PARALLEL with Ray (each batch of indices
+    is independent; output identical to make_pages_table row-for-row)."""
+    records = [_page_record(int(i), seed, scale) for i in indices]
+    return pa.Table.from_pydict(
+        {
+            "url": [r[0] for r in records],
+            "warc_ts": [r[1] for r in records],
+            "html": [r[2] for r in records],
+            "text": [r[3] for r in records],
+            "lang": [r[4] for r in records],
+        },
+        schema=PAGES_SCHEMA,
+    )
+
+
 def make_pages_table(n_rows: int = 64, seed: int = 42, scale: int = 1) -> pa.Table:
     """The rich byte-identity fixture corpus (FIXTURES.md §1-2).
 
     ``scale`` multiplies per-page content (sections) so benchmarks can
     dial pages toward realistic Common-Crawl sizes (~scale×2 KB)."""
-    urls, tss, htmls, texts, langs = [], [], [], [], []
-    for i in range(n_rows):
-        rng = random.Random((seed << 20) + i)
-        domain = _domain(rng, i)
-        url = f"https://{domain}/page-{i:06d}"
-        html_text, naive = _make_html(rng, i, scale)
-
-        # degradation cases by index (FIXTURES.md §2)
-        if i % 17 == 3:
-            # truncated html: cut mid-tag — repair ladder case
-            html_text = html_text[: max(40, len(html_text) * 2 // 3)].rsplit("<", 1)[0] + "<p>trunc"
-        elif i % 17 == 5:
-            # unclosed tags
-            html_text = html_text.replace("</p>", "", 3).replace("</h2>", "", 1)
-        elif i % 17 == 7:
-            # duplicated blocks: trip the ≥5 pair-dedup threshold
-            dup = "<p>Repeated boiler line.</p>"
-            html_text = html_text.replace("</body>", dup * 6 + "</body>")
-        elif i % 17 == 9:
-            # empty html → fallback to text column
-            html_text = ""
-        elif i % 17 == 11:
-            # nothing extractable at all → failed
-            html_text = ""
-            naive = ""
-        elif i % 17 == 13 and i > 0:
-            # corpus-level exact-dup: identical html to row i-1
-            prev_rng = random.Random((seed << 20) + (i - 1))
-            _domain(prev_rng, i - 1)
-            html_text, naive = _make_html(prev_rng, i - 1, scale)
-
-        urls.append(url)
-        tss.append(EPOCH + datetime.timedelta(seconds=137 * i))
-        htmls.append(html_text.encode("utf-8"))
-        texts.append(naive)
-        langs.append(LANGS[i % len(LANGS)])
-    return pa.Table.from_pydict(
-        {"url": urls, "warc_ts": tss, "html": htmls, "text": texts, "lang": langs},
-        schema=PAGES_SCHEMA,
-    )
+    return pages_batch(range(n_rows), seed, scale)
 
 
 def make_mega_page(seed: int = 42, target_bytes: int = 2_000_000) -> dict:

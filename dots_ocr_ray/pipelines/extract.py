@@ -113,39 +113,186 @@ def write_extracted(
     """Write extraction results as hash-partitioned parquet with done
     markers, emitting per-partition lineage/metrics in the SAME pass.
 
-    One keyed exchange co-locates each partition_id; the write function
-    writes one file+marker per partition id and returns METRICS_SCHEMA
-    rows — write + metrics cost ONE execution, not two.
+    The exchange is a two-phase write-then-compact through the output
+    store (the standard shared-storage shuffle for petabyte batch
+    jobs): phase 1 streams extraction batches and appends each
+    partition_id's rows to staging files under ``out_dir/_staging``;
+    phase 2 compacts each partition's staging files into its final
+    ``part-XXXXX.parquet`` (rows sorted by url → byte-deterministic)
+    + marker, one task per partition, emitting the METRICS_SCHEMA row.
 
-    Exchange choice: ``groupby(partition_id)`` (sort-based pull
-    shuffle).  The hash-shuffle strategy was measured too: its
-    aggregator ACTORS deadlock against a near-full extract actor pool
-    on a small node (they can't get CPUs), so the sort shuffle is the
-    robust default; at real cluster scale flip
-    ``DataContext.shuffle_strategy`` and re-measure.
+    Both phases are embarrassingly parallel — no object-store
+    all-to-all.  Measured against the alternatives on this node:
+    sort-shuffle groupby cost ~10 s of barrier on a 20 k-row corpus;
+    the hash-shuffle strategy's aggregator actors deadlock against a
+    near-full extract actor pool.  At cluster scale ``out_dir`` must be
+    shared storage (it is the job's output store anyway).
     """
+    import glob
+    import os
+    import shutil
+    import uuid
 
-    def _write_group(group: pa.Table) -> pa.Table:
-        t0 = time.perf_counter()
-        pid = group.column("partition_id")[0].as_py()
-        # deterministic within-partition order → byte-stable files
-        group = group.sort_by("url")
-        content = md5_hex("".join(group.column("extracted_text").to_pylist()))
-        write_partition_atomic(out_dir, pid, group, content)
-        statuses = group.column("status").to_pylist()
-        row = {
-            "partition_id": pid,
-            "input_rows": group.num_rows,
-            "ok": sum(s == "finished" for s in statuses),
-            "fallback": sum(s == "fallback" for s in statuses),
-            "failed": sum(s == "failed" for s in statuses),
-            "bytes_in": pc.sum(group.column("bytes_in")).as_py() or 0,
-            "wall_ms": int((time.perf_counter() - t0) * 1000),
-        }
-        return pa.Table.from_pylist([row], schema=METRICS_SCHEMA)
+    import pyarrow.parquet as pq
 
-    metrics_ds = extracted.groupby("partition_id").map_groups(_write_group, batch_format="pyarrow")
-    return pa.Table.from_pylist(metrics_ds.take_all(), schema=METRICS_SCHEMA)
+    stage_dir = os.path.join(out_dir, "_staging")
+    os.makedirs(stage_dir, exist_ok=True)
+
+    def _stage(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"partition_id": pa.array([], type=pa.int32())})
+        tag = uuid.uuid4().hex  # staging names need uniqueness only
+        pids = pc.unique(batch.column("partition_id")).to_pylist()
+        for pid in pids:
+            sub = batch.filter(pc.equal(batch.column("partition_id"), pid))
+            pq.write_table(sub, os.path.join(stage_dir, f"{pid:05d}-{tag}.parquet"), compression="lz4")
+        return pa.table({"partition_id": pa.array(pids, type=pa.int32())})
+
+    extracted.map_batches(_stage, batch_format="pyarrow").materialize()
+
+    pids = sorted({int(os.path.basename(f).split("-")[0]) for f in glob.glob(os.path.join(stage_dir, "*.parquet"))})
+
+    def _compact(batch: pa.Table) -> pa.Table:
+        rows = []
+        for pid in batch.column("pid").to_pylist():
+            t0 = time.perf_counter()
+            files = sorted(glob.glob(os.path.join(stage_dir, f"{pid:05d}-*.parquet")))
+            group = pa.concat_tables([pq.read_table(f) for f in files])
+            # deterministic within-partition order → byte-stable files
+            group = group.sort_by("url")
+            content = md5_hex("".join(group.column("extracted_text").to_pylist()))
+            write_partition_atomic(out_dir, pid, group, content)
+            statuses = group.column("status").to_pylist()
+            rows.append(
+                {
+                    "partition_id": pid,
+                    "input_rows": group.num_rows,
+                    "ok": sum(s == "finished" for s in statuses),
+                    "fallback": sum(s == "fallback" for s in statuses),
+                    "failed": sum(s == "failed" for s in statuses),
+                    "bytes_in": pc.sum(group.column("bytes_in")).as_py() or 0,
+                    "wall_ms": int((time.perf_counter() - t0) * 1000),
+                }
+            )
+        return pa.Table.from_pylist(rows, schema=METRICS_SCHEMA)
+
+    metrics_ds = ray.data.from_items([{"pid": p} for p in pids]).map_batches(
+        _compact, batch_format="pyarrow", batch_size=1
+    )
+    metrics = pa.Table.from_pylist(metrics_ds.take_all(), schema=METRICS_SCHEMA)
+    shutil.rmtree(stage_dir, ignore_errors=True)
+    return metrics
+
+
+def extract_shards(
+    shard_files: list[str],
+    out_dir: str,
+    config: ExtractConfig | None = None,
+    *,
+    concurrency: int | tuple[int, int] | None = None,
+    batch_size: int = 256,
+    resume: bool = True,
+) -> pa.Table:
+    """Zero-shuffle flagship: output partition == input shard.
+
+    A Dataset OF SHARD PATHS fans out one task per input parquet shard;
+    each task reads its shard, runs the extraction kernel, writes the
+    final ``part-{shard:05d}.parquet`` + done marker and returns the
+    partition's METRICS_SCHEMA row.  No exchange at all: rows keep
+    input-file order (deterministic), checkpointing is input-aligned
+    (the reference's md5 skip gate operates at exactly this unit — one
+    input document, dotsocr_service.py:253-348), and scaling is linear
+    in shards.  Use :func:`extract_pages` + :func:`write_extracted`
+    instead when downstream work needs url-hash-partitioned output.
+
+    Skew note: one mega-shard straggles a wave — keep shard count ≥ 2×
+    task slots when producing the input layout (SURVEY §7.4 hard part 6).
+    Returns the metrics table for ALL partitions (completed ones read
+    back from their markers).
+    """
+    import pyarrow.parquet as pq
+
+    cfg = config or ExtractConfig()
+    done = completed_partitions(out_dir) if resume else set()
+    items = [
+        {"shard": i, "path": p} for i, p in enumerate(shard_files) if i not in done
+    ]
+
+    if concurrency is None:
+        try:
+            ncpu = int(ray.cluster_resources().get("CPU", 4))
+        except Exception:
+            ncpu = 4
+        concurrency = max(2, ncpu - 1)
+
+    class _ShardWorker:
+        def __init__(self):
+            self.extractor = ExtractorActor(config=cfg, num_partitions=max(1, len(shard_files)))
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            rows = []
+            for shard, path in zip(batch.column("shard").to_pylist(), batch.column("path").to_pylist()):
+                t0 = time.perf_counter()
+                tbl = pq.read_table(path, columns=["url", "html", "text", "lang"])
+                outs = []
+                for off in range(0, tbl.num_rows, batch_size):
+                    chunk = self.extractor(tbl.slice(off, batch_size))
+                    # partition identity is the shard, not the url hash
+                    pid_col = pa.array([shard] * chunk.num_rows, type=pa.int32())
+                    chunk = chunk.set_column(chunk.column_names.index("partition_id"), "partition_id", pid_col)
+                    outs.append(chunk)
+                group = pa.concat_tables(outs) if outs else None
+                if group is None or group.num_rows == 0:
+                    continue
+                content = md5_hex("".join(group.column("extracted_text").to_pylist()))
+                statuses = group.column("status").to_pylist()
+                counts = {
+                    "ok": sum(s == "finished" for s in statuses),
+                    "fallback": sum(s == "fallback" for s in statuses),
+                    "failed": sum(s == "failed" for s in statuses),
+                    "bytes_in": pc.sum(group.column("bytes_in")).as_py() or 0,
+                }
+                write_partition_atomic(out_dir, shard, group, content, extra=counts)
+                rows.append(
+                    {
+                        "partition_id": shard,
+                        "input_rows": group.num_rows,
+                        **counts,
+                        "wall_ms": int((time.perf_counter() - t0) * 1000),
+                    }
+                )
+            if not rows:
+                return METRICS_SCHEMA.empty_table()
+            return pa.Table.from_pylist(rows, schema=METRICS_SCHEMA)
+
+    fresh = []
+    if items:
+        # one block per shard so every shard is an independent task —
+        # from_items may pack the tiny manifest into few blocks, which
+        # would serialize whole groups of shards onto one actor
+        work = ray.data.from_items(items).repartition(len(items))
+        metrics_ds = work.map_batches(
+            _ShardWorker, batch_size=1, batch_format="pyarrow", concurrency=concurrency
+        )
+        fresh = metrics_ds.take_all()
+
+    # fold in already-completed partitions from their markers (resume)
+    from dots_ocr_ray.state.manifest import read_marker
+
+    for pid in sorted(done):
+        meta = read_marker(out_dir, pid) or {}
+        fresh.append(
+            {
+                "partition_id": pid,
+                "input_rows": meta.get("rows", 0),
+                "ok": meta.get("ok", 0),
+                "fallback": meta.get("fallback", 0),
+                "failed": meta.get("failed", 0),
+                "bytes_in": meta.get("bytes_in", 0),
+                "wall_ms": 0,
+            }
+        )
+    return pa.Table.from_pylist(sorted(fresh, key=lambda r: r["partition_id"]), schema=METRICS_SCHEMA)
 
 
 def compute_metrics(extracted: ray.data.Dataset) -> ray.data.Dataset:

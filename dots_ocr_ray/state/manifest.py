@@ -47,15 +47,25 @@ def completed_partitions(out_dir: str) -> set[int]:
     return done
 
 
-def write_partition_atomic(out_dir: str, partition_id: int, table: pa.Table, content_hash: str) -> None:
+def write_partition_atomic(
+    out_dir: str,
+    partition_id: int,
+    table: pa.Table,
+    content_hash: str,
+    extra: dict | None = None,
+) -> None:
     """Data file first (tmp + rename), marker last — marker presence
-    implies a complete, readable partition."""
+    implies a complete, readable partition.  ``extra`` fields (e.g.
+    status counts) ride in the marker so resumed runs can rebuild the
+    metrics table without re-reading data."""
     os.makedirs(out_dir, exist_ok=True)
     final = partition_file(out_dir, partition_id)
     tmp = final + ".tmp"
     pq.write_table(table, tmp, compression="zstd")
     os.replace(tmp, final)
     meta = {"partition_id": partition_id, "rows": table.num_rows, "content_md5": content_hash}
+    if extra:
+        meta.update(extra)
     mtmp = marker_file(out_dir, partition_id) + ".tmp"
     with open(mtmp, "w", encoding="utf-8") as f:
         json.dump(meta, f)

@@ -1,0 +1,63 @@
+"""Tests for the zero-shuffle shard-aligned extraction pipeline."""
+
+import glob
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from dots_ocr_ray.fixtures import make_pages_table
+from dots_ocr_ray.oracle import oracle_extract
+from dots_ocr_ray.pipelines.extract import check_fail_gate, extract_shards
+from dots_ocr_ray.state.manifest import completed_partitions
+
+
+@pytest.fixture()
+def shard_files(tmp_path):
+    pages = make_pages_table(48, seed=42)
+    files = []
+    for s in range(4):
+        f = str(tmp_path / f"shard-{s:02d}.parquet")
+        pq.write_table(pages.slice(s * 12, 12), f)
+        files.append(f)
+    return files, pages
+
+
+def _read_out(out_dir):
+    parts = sorted(glob.glob(os.path.join(out_dir, "part-*.parquet")))
+    return pa.concat_tables([pq.read_table(p) for p in parts])
+
+
+def test_shard_pipeline_byte_identity(ray_session, shard_files, tmp_path):
+    files, pages = shard_files
+    out_dir = str(tmp_path / "out")
+    metrics = extract_shards(files, out_dir, concurrency=2)
+    assert metrics.num_rows == 4
+    out = _read_out(out_dir)
+    assert out.num_rows == 48
+    expected = oracle_extract(pages)
+    for row in out.to_pylist():
+        assert row["extracted_text"] == expected[row["url"]]["extracted_text"]
+    stats = check_fail_gate(metrics, threshold=0.5)
+    assert stats["total"] == 48
+
+
+def test_shard_resume_skips_done(ray_session, shard_files, tmp_path):
+    files, _ = shard_files
+    out_dir = str(tmp_path / "out")
+    m1 = extract_shards(files, out_dir, concurrency=2)
+    assert completed_partitions(out_dir) == {0, 1, 2, 3}
+    # drop shard 2; rerun must recompute ONLY it, others untouched
+    os.remove(os.path.join(out_dir, "part-00002.parquet"))
+    os.remove(os.path.join(out_dir, "part-00002.done"))
+    mtimes = {p: os.path.getmtime(os.path.join(out_dir, f"part-{p:05d}.parquet")) for p in (0, 1, 3)}
+    m2 = extract_shards(files, out_dir, concurrency=2)
+    for p in (0, 1, 3):
+        assert os.path.getmtime(os.path.join(out_dir, f"part-{p:05d}.parquet")) == mtimes[p]
+    # metrics identical whether computed fresh or folded back from markers
+    a = sorted(m1.to_pylist(), key=lambda r: r["partition_id"])
+    b = sorted(m2.to_pylist(), key=lambda r: r["partition_id"])
+    for ra, rb in zip(a, b):
+        for k in ("partition_id", "input_rows", "ok", "fallback", "failed", "bytes_in"):
+            assert ra[k] == rb[k], (ra, rb)

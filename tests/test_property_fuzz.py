@@ -1,0 +1,48 @@
+"""Property tests: the kernel NEVER raises and never loses the row,
+whatever bytes arrive (the degradation-without-data-loss invariant,
+SURVEY.md §7.4 hard part 2)."""
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from dots_ocr_ray.kernel.cleaner import clean_model_output
+from dots_ocr_ray.kernel.extract import extract_page
+from dots_ocr_ray.kernel.html_parse import segment_html, strip_tags
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(max_size=2048), st.text(max_size=256))
+def test_extract_page_total(html, text):
+    out = extract_page("https://x.test/p", html, text)
+    assert out["status"] in ("finished", "fallback", "failed")
+    assert isinstance(out["extracted_text"], str)
+    # offsets are consistent with the serialized text
+    for s in out["spans"]:
+        assert 0 <= s["char_start"] <= s["char_end"] <= len(out["extracted_text"])
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(max_size=1024))
+def test_segment_and_strip_total(html_text):
+    spans = segment_html(html_text)
+    for s in spans:
+        assert s["category"] in {
+            "Caption", "Footnote", "Formula", "List-item", "Page-footer",
+            "Page-header", "Picture", "Section-header", "Table", "Text", "Title",
+        }
+    assert isinstance(strip_tags(html_text), str)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.text(max_size=512))
+def test_cleaner_total(s):
+    out = clean_model_output(s)
+    assert isinstance(out, list)
+    assert all(isinstance(c, dict) for c in out)
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.one_of(st.none(), st.integers(), st.dictionaries(st.text(max_size=5), st.integers(), max_size=3)), max_size=8))
+def test_cleaner_list_total(lst):
+    out = clean_model_output(lst)
+    assert isinstance(out, list)
