@@ -362,6 +362,136 @@ def _q_customers_per_region(sf_dir: str):
     return agg.map_batches(_rename, batch_format="pyarrow")
 
 
+def _q_extract_category_counts(sf_dir: str):
+    import pyarrow as pa
+
+    from dots_ocr_ray.kernel.extract import MODE_LAYOUT_ONLY, ExtractConfig
+    from dots_ocr_ray.pipelines.extract import extract_pages
+    from dots_ocr_ray.sources.pages import pages_from_documents
+
+    pages = pages_from_documents(sf_dir, override_num_blocks=8)
+    ds = extract_pages(pages, ExtractConfig(mode=MODE_LAYOUT_ONLY), batch_size=64)
+
+    def _explode(batch: pa.Table) -> pa.Table:
+        cats = []
+        for spans in batch.column("spans").to_pylist():
+            cats.extend(s["category"] for s in spans)
+        return pa.table({"category": pa.array(cats, type=pa.string())})
+
+    counts = ds.map_batches(_explode, batch_format="pyarrow").groupby("category").count()
+
+    def _rename(batch: pa.Table) -> pa.Table:
+        batch = batch.rename_columns(["category", "n"])
+        return batch.set_column(1, "n", batch.column("n").cast(pa.int64()))
+
+    return counts.map_batches(_rename, batch_format="pyarrow")
+
+
+def _q_crawl_dedup_latest(sf_dir: str):
+    import datetime
+
+    import pyarrow as pa
+
+    import ray.data
+
+    from dots_ocr_ray.pipelines.document import latest_page_per_url
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def _two_captures(batch: pa.Table) -> pa.Table:
+        epoch = datetime.datetime(2025, 1, 1)
+        urls, tss = [], []
+        for doc_id in batch.column("doc_id").to_pylist():
+            url = f"https://example-{doc_id % 40:02d}.com/doc-{doc_id:06d}"
+            t0 = epoch + datetime.timedelta(seconds=137 * doc_id)
+            urls.extend([url, url])
+            tss.extend([t0, t0 + datetime.timedelta(days=1)])
+        return pa.table(
+            {"url": pa.array(urls, type=pa.string()), "warc_ts": pa.array(tss, type=pa.timestamp("us"))}
+        )
+
+    captures = docs.map_batches(_two_captures, batch_format="pyarrow")
+    return latest_page_per_url(captures).select_columns(["url", "warc_ts"])
+
+
+def _q_domain_stats(sf_dir: str):
+    from dots_ocr_ray.pipelines.document import metrics_by_domain
+    from dots_ocr_ray.pipelines.extract import extract_pages
+    from dots_ocr_ray.sources.pages import pages_from_documents
+
+    pages = pages_from_documents(sf_dir, override_num_blocks=8)
+    extracted = extract_pages(pages, batch_size=64)
+    out = metrics_by_domain(extracted, n_salt=8)
+    return out.select_columns(["domain", "rows", "ok"])
+
+
+def _q_events_props_agg(sf_dir: str):
+    import json as json_mod
+
+    import pyarrow as pa
+
+    import ray.data
+
+    events = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "props"])
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        ks = [json_mod.loads(p).get("k", 0) for p in batch.column("props").to_pylist()]
+        return (
+            pa.table(
+                {
+                    "event_type": batch.column("event_type"),
+                    "k": pa.array(ks, type=pa.int64()),
+                }
+            )
+            .group_by("event_type")
+            .aggregate([("k", "sum"), ("k", "count")])
+        )
+
+    partials = events.map_batches(_partial, batch_format="pyarrow")
+    agg = partials.groupby("event_type").sum(["k_sum", "k_count"])
+
+    def _rename(batch: pa.Table) -> pa.Table:
+        mapping = {"sum(k_sum)": "sum_k", "sum(k_count)": "n"}
+        return batch.rename_columns([mapping.get(n, n) for n in batch.column_names])
+
+    return agg.map_batches(_rename, batch_format="pyarrow")
+
+
+def _q_merge_docs(sf_dir: str):
+    """Multi-page doc merge (reference per-doc merge S8/O2): each
+    document split into two page rows, merged back per doc sorted by
+    page_no.  Rows-only check (word-midpoint split is not worth
+    mirroring in SQL)."""
+    import pyarrow as pa
+
+    import ray.data
+
+    from dots_ocr_ray.pipelines.document import merge_document_pages
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def _split(batch: pa.Table) -> pa.Table:
+        doc_urls, page_nos, mds = [], [], []
+        for doc_id, text in zip(batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()):
+            words = (text or "").split()
+            mid = len(words) // 2
+            for page_no, chunk in ((1, words[:mid]), (2, words[mid:])):
+                doc_urls.append(f"doc-{doc_id:06d}")
+                page_nos.append(page_no)
+                mds.append(" ".join(chunk))
+        return pa.table(
+            {
+                "doc_url": pa.array(doc_urls, type=pa.string()),
+                "page_no": pa.array(page_nos, type=pa.int32()),
+                "extracted_text": pa.array(mds, type=pa.string()),
+                "extracted_text_nohf": pa.array(mds, type=pa.string()),
+            }
+        )
+
+    pages = docs.map_batches(_split, batch_format="pyarrow")
+    return merge_document_pages(pages)
+
+
 def entry() -> Any:
     """Flagship pipeline: documents@sf0.001 → pages → actor-pool
     extraction → result Dataset (driver checks rows>=0, stable schema)."""
@@ -393,7 +523,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint_dups": _q_fingerprint_dups,
         # multimodal plumbing
         "media_features": _q_media_features,
+        # layout / document ops
+        "extract_category_counts": _q_extract_category_counts,
+        "crawl_dedup_latest": _q_crawl_dedup_latest,
+        "domain_stats": _q_domain_stats,
+        "merge_docs": _q_merge_docs,
         # relational / window
+        "events_props_agg": _q_events_props_agg,
         "pricing_summary": _q_pricing_summary,
         "orders_by_segment": _q_orders_by_segment,
         "windowed_events": _q_windowed_events,
@@ -420,6 +556,29 @@ def oracle_sql() -> dict[str, str]:
         ),
         # exact dedup: survivor = min doc_id per identical text
         "dedup_exact": "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
+        "extract_category_counts": (
+            "SELECT category, CAST(n AS BIGINT) AS n FROM ("
+            "SELECT 'Title' AS category, count(*) FILTER (WHERE doc_id % 31 != 11 AND doc_id % 23 != 7) AS n FROM documents "
+            "UNION ALL SELECT 'Page-footer', count(*) FILTER (WHERE doc_id % 31 != 11 AND doc_id % 23 != 7) FROM documents "
+            "UNION ALL SELECT 'Text', count(*) FILTER (WHERE doc_id % 31 != 11) FROM documents"
+            ") WHERE n > 0"
+        ),
+        "crawl_dedup_latest": (
+            "SELECT 'https://example-' || lpad(CAST(doc_id % 40 AS VARCHAR), 2, '0') "
+            "|| '.com/doc-' || lpad(CAST(doc_id AS VARCHAR), 6, '0') AS url, "
+            "TIMESTAMP '2025-01-01' + doc_id * INTERVAL 137 SECOND + INTERVAL 1 DAY AS warc_ts "
+            "FROM documents"
+        ),
+        "domain_stats": (
+            "SELECT 'example-' || lpad(CAST(doc_id % 40 AS VARCHAR), 2, '0') || '.com' AS domain, "
+            "CAST(count(*) AS BIGINT) AS rows, "
+            "CAST(count(*) FILTER (WHERE doc_id % 31 != 11 AND doc_id % 23 != 7) AS BIGINT) AS ok "
+            "FROM documents GROUP BY 1"
+        ),
+        "events_props_agg": (
+            "SELECT event_type, CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k, "
+            "CAST(count(*) AS BIGINT) AS n FROM events GROUP BY event_type"
+        ),
         # approximate dedups (minhash/simhash/ngram/embedding) are not
         # SQL-expressible → rows-only checks (intentionally omitted here)
         "ann_topk": (

@@ -102,6 +102,10 @@ def run_headline() -> dict:
     extract_shards(files[: min(len(files), concurrency)], warm_dir, concurrency=concurrency)
 
     shutil.rmtree(out_dir, ignore_errors=True)
+    # drain page-cache writeback from the warm-up/previous run so the
+    # timed window isn't taxed by another run's dirty pages
+    os.sync()
+    time.sleep(2)
     t0 = time.perf_counter()
     metrics = extract_shards(files, out_dir, concurrency=concurrency, batch_size=256, resume=False)
     stats = check_fail_gate(metrics, threshold=0.25)
@@ -162,6 +166,39 @@ def main() -> None:
     ray.shutdown()
 
 
+def _mp_ceiling_probe(files: list[str], nproc: int) -> float:
+    """Engine-free control: the SAME kernel + parquet IO under plain
+    multiprocessing.  Its 8→32 ratio is the MACHINE's scaling ceiling
+    for this workload (VM SMT / host overcommit); the Ray pipeline's
+    efficiency should be judged against it."""
+    import multiprocessing as mp
+
+    with mp.Pool(nproc) as pool:
+        pool.map(_mp_probe_work, files[:nproc])  # warm imports
+        t0 = time.perf_counter()
+        pool.map(_mp_probe_work, files)
+        return time.perf_counter() - t0
+
+
+def _mp_probe_work(path: str) -> int:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if pa.cpu_count() != 1:
+        pa.set_cpu_count(1)
+        pa.set_io_thread_count(2)
+    from dots_ocr_ray.kernel.extract import extract_page
+
+    t = pq.read_table(path, columns=["url", "html", "text", "lang"])
+    n = 0
+    for u, h, x in zip(
+        t.column("url").to_pylist(), t.column("html").to_pylist(), t.column("text").to_pylist()
+    ):
+        extract_page(u, h, x)
+        n += 1
+    return n
+
+
 def scaling() -> None:
     """Same input, fresh ray sessions at 8 and 32 CPUs (N vs 4N)."""
 
@@ -192,6 +229,16 @@ def scaling() -> None:
     r_lo = min(runs_lo, key=lambda r: r["value"])
     r_hi = min(runs_hi, key=lambda r: r["value"])
     eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+
+    # engine-free machine-ceiling control (same kernel, plain
+    # multiprocessing): this VM's vCPUs are SMT/overcommitted, so 4x
+    # processes do NOT yield 4x string-workload throughput even with no
+    # engine in the loop; efficiency relative to that ceiling isolates
+    # what the ENGINE costs
+    files = sorted(glob.glob(os.path.join(PAGES_DIR, "*.parquet")))
+    t_mp_lo = _mp_ceiling_probe(files, lo)
+    t_mp_hi = _mp_ceiling_probe(files, hi)
+    ceiling = (t_mp_lo / t_mp_hi) / (hi / lo)
     print(
         json.dumps(
             {
@@ -203,6 +250,10 @@ def scaling() -> None:
                 "docs_per_sec_8": r_lo["docs_per_sec"],
                 "docs_per_sec_32": r_hi["docs_per_sec"],
                 "rows": r_lo["rows"],
+                "machine_ceiling_8_to_32": round(ceiling, 3),
+                "mp_probe_sec_8": round(t_mp_lo, 2),
+                "mp_probe_sec_32": round(t_mp_hi, 2),
+                "engine_relative_efficiency": round(eff / ceiling, 3) if ceiling else None,
             }
         )
     )

@@ -1,0 +1,89 @@
+"""Job entry point for ``ray job submit`` (and local runs).
+
+    ray job submit --working-dir . -- \\
+        python -m dots_ocr_ray.cli extract \\
+            --input '/data/pages/*.parquet' --out /data/extracted \\
+            --mode parse_all --partitioning shard
+
+Only this CLI owns the Ray session (guarded init — under ``ray job
+submit`` the cluster connection already exists).  Library code never
+calls ray.init (driver contract).
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import sys
+
+
+def _ensure_ray():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False, ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def cmd_extract(args: argparse.Namespace) -> int:
+    from dots_ocr_ray.kernel.extract import ExtractConfig
+    from dots_ocr_ray.pipelines.extract import (
+        check_fail_gate,
+        extract_pages,
+        extract_shards,
+        read_pages,
+        write_extracted,
+    )
+
+    _ensure_ray()
+    files = sorted(glob.glob(args.input)) if any(c in args.input for c in "*?[") else [args.input]
+    if not files:
+        print(f"no input files match {args.input}", file=sys.stderr)
+        return 2
+    config = ExtractConfig(
+        mode=args.mode,
+        describe_pictures=args.describe_pictures,
+        rebuild_directory=args.rebuild_directory,
+    )
+    if args.partitioning == "shard":
+        metrics = extract_shards(
+            files, args.out, config, concurrency=args.concurrency, resume=not args.overwrite
+        )
+    else:
+        ds = read_pages(files)
+        extracted = extract_pages(
+            ds, config, concurrency=args.concurrency, num_partitions=args.num_partitions,
+        )
+        metrics = write_extracted(extracted, args.out, num_partitions=args.num_partitions)
+    stats = check_fail_gate(metrics, threshold=args.fail_threshold)
+    print(json.dumps({"out": args.out, "partitions": metrics.num_rows, **stats}))
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="dots_ocr_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    ex = sub.add_parser("extract", help="run the extraction pipeline over a pages table")
+    ex.add_argument("--input", required=True, help="pages parquet path or glob")
+    ex.add_argument("--out", required=True, help="output directory (shared storage on a cluster)")
+    ex.add_argument("--mode", default="parse_all", choices=["parse_all", "layout_only", "text_only"])
+    ex.add_argument("--partitioning", default="shard", choices=["shard", "urlhash"],
+                    help="shard: zero-shuffle, partition==input shard; urlhash: md5(url) partitions")
+    ex.add_argument("--num-partitions", type=int, default=64)
+    ex.add_argument("--concurrency", type=int, default=None)
+    ex.add_argument("--fail-threshold", type=float, default=0.1)
+    ex.add_argument("--describe-pictures", action="store_true")
+    ex.add_argument("--rebuild-directory", action="store_true")
+    ex.add_argument("--overwrite", action="store_true", help="ignore existing done markers")
+    ex.set_defaults(fn=cmd_extract)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

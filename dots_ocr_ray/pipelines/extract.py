@@ -184,6 +184,64 @@ def write_extracted(
     return metrics
 
 
+def _run_shard_task(
+    batch: pa.Table,
+    *,
+    out_dir: str,
+    config: ExtractConfig,
+    batch_size: int,
+    n_shards: int,
+) -> pa.Table:
+    """One whole input shard → final partition file + marker + metrics
+    row (module-level so Ray pickles it by reference and worker
+    processes keep the imported module warm across tasks)."""
+    import pyarrow.parquet as pq
+
+    # honor the task's 1-CPU allocation: pyarrow's internal pool would
+    # otherwise fan compression/decompression across every PHYSICAL
+    # core, silently oversubscribing the node (and faking scaling
+    # numbers on a shared box)
+    if pa.cpu_count() != 1:
+        pa.set_cpu_count(1)
+        pa.set_io_thread_count(2)
+
+    extractor = ExtractorActor(config=config, num_partitions=n_shards)
+    rows = []
+    for shard, path in zip(batch.column("shard").to_pylist(), batch.column("path").to_pylist()):
+        t0 = time.perf_counter()
+        tbl = pq.read_table(path, columns=["url", "html", "text", "lang"])
+        outs = []
+        for off in range(0, tbl.num_rows, batch_size):
+            chunk = extractor(tbl.slice(off, batch_size))
+            # partition identity is the shard, not the url hash
+            pid_col = pa.array([shard] * chunk.num_rows, type=pa.int32())
+            chunk = chunk.set_column(chunk.column_names.index("partition_id"), "partition_id", pid_col)
+            outs.append(chunk)
+        group = pa.concat_tables(outs) if outs else None
+        if group is None or group.num_rows == 0:
+            continue
+        content = md5_hex("".join(group.column("extracted_text").to_pylist()))
+        statuses = group.column("status").to_pylist()
+        counts = {
+            "ok": sum(s == "finished" for s in statuses),
+            "fallback": sum(s == "fallback" for s in statuses),
+            "failed": sum(s == "failed" for s in statuses),
+            "bytes_in": pc.sum(group.column("bytes_in")).as_py() or 0,
+        }
+        write_partition_atomic(out_dir, shard, group, content, extra=counts)
+        rows.append(
+            {
+                "partition_id": shard,
+                "input_rows": group.num_rows,
+                **counts,
+                "wall_ms": int((time.perf_counter() - t0) * 1000),
+            }
+        )
+    if not rows:
+        return METRICS_SCHEMA.empty_table()
+    return pa.Table.from_pylist(rows, schema=METRICS_SCHEMA)
+
+
 def extract_shards(
     shard_files: list[str],
     out_dir: str,
@@ -209,6 +267,10 @@ def extract_shards(
     task slots when producing the input layout (SURVEY §7.4 hard part 6).
     Returns the metrics table for ALL partitions (completed ones read
     back from their markers).
+
+    ``concurrency`` is accepted for API symmetry but ignored: the
+    workers are stateless TASKS (the scheduler packs them onto all
+    available CPUs), not an actor pool.
     """
     import pyarrow.parquet as pq
 
@@ -218,62 +280,26 @@ def extract_shards(
         {"shard": i, "path": p} for i, p in enumerate(shard_files) if i not in done
     ]
 
-    if concurrency is None:
-        try:
-            ncpu = int(ray.cluster_resources().get("CPU", 4))
-        except Exception:
-            ncpu = 4
-        concurrency = max(2, ncpu - 1)
-
-    class _ShardWorker:
-        def __init__(self):
-            self.extractor = ExtractorActor(config=cfg, num_partitions=max(1, len(shard_files)))
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            rows = []
-            for shard, path in zip(batch.column("shard").to_pylist(), batch.column("path").to_pylist()):
-                t0 = time.perf_counter()
-                tbl = pq.read_table(path, columns=["url", "html", "text", "lang"])
-                outs = []
-                for off in range(0, tbl.num_rows, batch_size):
-                    chunk = self.extractor(tbl.slice(off, batch_size))
-                    # partition identity is the shard, not the url hash
-                    pid_col = pa.array([shard] * chunk.num_rows, type=pa.int32())
-                    chunk = chunk.set_column(chunk.column_names.index("partition_id"), "partition_id", pid_col)
-                    outs.append(chunk)
-                group = pa.concat_tables(outs) if outs else None
-                if group is None or group.num_rows == 0:
-                    continue
-                content = md5_hex("".join(group.column("extracted_text").to_pylist()))
-                statuses = group.column("status").to_pylist()
-                counts = {
-                    "ok": sum(s == "finished" for s in statuses),
-                    "fallback": sum(s == "fallback" for s in statuses),
-                    "failed": sum(s == "failed" for s in statuses),
-                    "bytes_in": pc.sum(group.column("bytes_in")).as_py() or 0,
-                }
-                write_partition_atomic(out_dir, shard, group, content, extra=counts)
-                rows.append(
-                    {
-                        "partition_id": shard,
-                        "input_rows": group.num_rows,
-                        **counts,
-                        "wall_ms": int((time.perf_counter() - t0) * 1000),
-                    }
-                )
-            if not rows:
-                return METRICS_SCHEMA.empty_table()
-            return pa.Table.from_pylist(rows, schema=METRICS_SCHEMA)
+    import functools
 
     fresh = []
     if items:
         # one block per shard so every shard is an independent task —
         # from_items may pack the tiny manifest into few blocks, which
-        # would serialize whole groups of shards onto one actor
-        work = ray.data.from_items(items).repartition(len(items))
-        metrics_ds = work.map_batches(
-            _ShardWorker, batch_size=1, batch_format="pyarrow", concurrency=concurrency
+        # would serialize whole groups of shards onto one worker.
+        # STATELESS tasks (not an actor pool): the extractor holds no
+        # heavy per-worker state (compiled regexes are module-level, the
+        # reference's lazy-singleton seam A3/A4), and tasks reuse warm
+        # worker processes with zero pool-ramp cost per execution.
+        work = ray.data.from_items(items, override_num_blocks=len(items))
+        fn = functools.partial(
+            _run_shard_task,
+            out_dir=out_dir,
+            config=cfg,
+            batch_size=batch_size,
+            n_shards=max(1, len(shard_files)),
         )
+        metrics_ds = work.map_batches(fn, batch_size=1, batch_format="pyarrow")
         fresh = metrics_ds.take_all()
 
     # fold in already-completed partitions from their markers (resume)
