@@ -492,6 +492,83 @@ def _q_merge_docs(sf_dir: str):
     return merge_document_pages(pages)
 
 
+def _q_sessionize(sf_dir: str):
+    import pyarrow as pa
+
+    from dots_ocr_ray.pipelines.windows import sessionize
+
+    ds = sessionize(sf_dir, gap_minutes=30)
+
+    def _types(batch: pa.Table) -> pa.Table:
+        idx = batch.column_names.index("n_events")
+        return batch.set_column(idx, "n_events", batch.column("n_events").cast(pa.int64()))
+
+    return ds.map_batches(_types, batch_format="pyarrow").select_columns(
+        ["user_id", "session_id", "n_events", "session_start", "session_end"]
+    )
+
+
+def _q_asof_join(sf_dir: str):
+    import pandas as pd
+
+    from dots_ocr_ray.pipelines.windows import asof_last_event
+
+    df = asof_last_event(sf_dir, "purchase", "click").to_pandas()
+    # NaT-free integer surface for the value-hash compare
+    prior = pd.to_datetime(df["prior_ts"]).astype("datetime64[us]")
+    df["prior_us"] = prior.astype("int64").where(prior.notna(), -1).astype("int64")
+    return df[["user_id", "ts", "prior_us"]]
+
+
+def _q_sample_10pct(sf_dir: str):
+    """Deterministic hash sampling (Knuth multiplicative): the
+    training-data 'take a reproducible x% sample' op — same rows on
+    every run and every engine."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray.data
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"])
+
+    def _sample(batch: pa.Table) -> pa.Table:
+        # (doc_id * K) mod 2^32 via bitmask (pyarrow.compute has no mod)
+        h = pc.bit_wise_and(pc.multiply(batch.column("doc_id").cast(pa.int64()), 2654435761), 0xFFFFFFFF)
+        return batch.filter(pc.less(h, int(4294967296 * 0.10)))
+
+    return docs.map_batches(_sample, batch_format="pyarrow")
+
+
+def _q_longest_documents(sf_dir: str):
+    """Global sort + limit over a data column (ds.sort/limit surface)."""
+    import pyarrow as pa
+
+    import ray.data
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"])
+    top = docs.sort(["n_chars", "doc_id"], descending=[True, False]).limit(20)
+    return pa.Table.from_pylist(top.take_all())
+
+
+def _q_extract_grounding(sf_dir: str):
+    """Grounding mode (prompt_grounding_ocr analog): extraction scoped
+    to a bbox region — here the region covering only the <h1> block of
+    the wrapped page, so exactly the Title span survives."""
+    from dots_ocr_ray.kernel.extract import MODE_GROUNDING, ExtractConfig
+    from dots_ocr_ray.pipelines.extract import extract_pages
+    from dots_ocr_ray.sources.pages import pages_from_documents
+
+    pages = pages_from_documents(sf_dir, override_num_blocks=8)
+    # wrapped pages are single-line html, so block bboxes are column
+    # spans on line 1.  The Title block always starts at column 84
+    # (fixed wrapper prefix) and ends before column 95 for any doc_id
+    # < 10^7; the body <p> starts at column ≥ 98.  The region below
+    # therefore selects exactly the Title span on every normal row.
+    cfg = ExtractConfig(mode=MODE_GROUNDING, grounding_bbox=(0, 0, 95, 3))
+    ds = extract_pages(pages, cfg, batch_size=64)
+    return ds.select_columns(["doc_id", "extracted_text", "status", "n_spans"])
+
+
 def entry() -> Any:
     """Flagship pipeline: documents@sf0.001 → pages → actor-pool
     extraction → result Dataset (driver checks rows>=0, stable schema)."""
@@ -524,11 +601,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multimodal plumbing
         "media_features": _q_media_features,
         # layout / document ops
+        "extract_grounding": _q_extract_grounding,
         "extract_category_counts": _q_extract_category_counts,
         "crawl_dedup_latest": _q_crawl_dedup_latest,
         "domain_stats": _q_domain_stats,
         "merge_docs": _q_merge_docs,
-        # relational / window
+        # relational / window / sampling / sort
+        "sessionize": _q_sessionize,
+        "asof_join": _q_asof_join,
+        "sample_10pct": _q_sample_10pct,
+        "longest_documents": _q_longest_documents,
         "events_props_agg": _q_events_props_agg,
         "pricing_summary": _q_pricing_summary,
         "orders_by_segment": _q_orders_by_segment,
@@ -578,6 +660,39 @@ def oracle_sql() -> dict[str, str]:
         "events_props_agg": (
             "SELECT event_type, CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k, "
             "CAST(count(*) AS BIGINT) AS n FROM events GROUP BY event_type"
+        ),
+        "extract_grounding": (
+            "SELECT doc_id, "
+            "CASE WHEN doc_id % 31 = 11 THEN '' WHEN doc_id % 23 = 7 THEN trim(text) "
+            "ELSE 'Doc ' || doc_id END AS extracted_text, "
+            f"{_STATUS_SQL} AS status, "
+            "CAST(CASE WHEN doc_id % 31 = 11 THEN 0 ELSE 1 END AS INT) AS n_spans "
+            "FROM documents"
+        ),
+        "sessionize": (
+            "WITH marked AS (SELECT user_id, ts, "
+            "CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) "
+            "> INTERVAL 30 MINUTES THEN 1 ELSE 0 END AS new_s FROM events), "
+            "grouped AS (SELECT user_id, ts, sum(new_s) OVER (PARTITION BY user_id "
+            "ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sgrp FROM marked) "
+            "SELECT user_id, CAST(sgrp + 1 AS INT) AS session_id, "
+            "CAST(count(*) AS BIGINT) AS n_events, min(ts) AS session_start, "
+            "max(ts) AS session_end FROM grouped GROUP BY user_id, sgrp"
+        ),
+        "asof_join": (
+            "SELECT p.user_id, p.ts, "
+            "COALESCE(CAST(epoch_us((SELECT max(c.ts) FROM events c "
+            "WHERE c.user_id = p.user_id AND c.event_type = 'click' "
+            "AND c.ts < p.ts)) AS BIGINT), -1) AS prior_us "
+            "FROM events p WHERE p.event_type = 'purchase'"
+        ),
+        "sample_10pct": (
+            "SELECT doc_id, lang, n_chars FROM documents "
+            "WHERE (doc_id * 2654435761) % 4294967296 < CAST(4294967296 * 0.10 AS BIGINT)"
+        ),
+        "longest_documents": (
+            "SELECT doc_id, lang, n_chars FROM documents "
+            "ORDER BY n_chars DESC, doc_id LIMIT 20"
         ),
         # approximate dedups (minhash/simhash/ngram/embedding) are not
         # SQL-expressible → rows-only checks (intentionally omitted here)

@@ -1,0 +1,70 @@
+"""Tests for session windows and as-of join vs DuckDB window functions."""
+
+import duckdb
+import pytest
+
+from dots_ocr_ray.pipelines.windows import asof_last_event, sessionize
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    c.execute(f"CREATE VIEW events AS SELECT * FROM '{SF_DIR}/events.parquet'")
+    return c
+
+
+def test_sessionize_matches_duckdb(ray_session, con):
+    got = (
+        sessionize(SF_DIR, gap_minutes=30)
+        .to_pandas()
+        .sort_values(["user_id", "session_id"])
+        .reset_index(drop=True)
+    )
+    want = con.execute(
+        """WITH marked AS (
+             SELECT user_id, ts,
+                    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                              > INTERVAL 30 MINUTES THEN 1 ELSE 0 END AS new_s
+             FROM events),
+           grouped AS (
+             SELECT user_id, ts,
+                    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                     ROWS UNBOUNDED PRECEDING) AS sgrp
+             FROM marked)
+           SELECT user_id, CAST(sgrp + 1 AS INT) AS session_id,
+                  count(*) AS n_events, min(ts) AS session_start, max(ts) AS session_end
+           FROM grouped GROUP BY user_id, sgrp
+           ORDER BY user_id, session_id"""
+    ).df()
+    assert len(got) == len(want)
+    assert (got.user_id.values == want.user_id.values).all()
+    assert (got.n_events.values == want.n_events.values).all()
+    assert (got.session_start.values == want.session_start.values).all()
+
+
+def test_asof_matches_duckdb(ray_session, con):
+    got = (
+        asof_last_event(SF_DIR, "purchase", "click")
+        .to_pandas()
+        .sort_values(["user_id", "ts"])
+        .reset_index(drop=True)
+    )
+    want = con.execute(
+        """SELECT p.user_id, p.ts,
+                  (SELECT max(c.ts) FROM events c
+                   WHERE c.user_id = p.user_id AND c.event_type = 'click'
+                     AND c.ts < p.ts) AS prior_ts
+           FROM events p WHERE p.event_type = 'purchase'
+           ORDER BY p.user_id, p.ts"""
+    ).df()
+    assert len(got) == len(want)
+    assert (got.ts.values == want.ts.values).all()
+    # NaT-safe comparison
+    import pandas as pd
+
+    same = (got.prior_ts.values == want.prior_ts.values) | (
+        pd.isna(got.prior_ts).values & pd.isna(want.prior_ts).values
+    )
+    assert same.all()
