@@ -569,6 +569,59 @@ def _q_extract_grounding(sf_dir: str):
     return ds.select_columns(["doc_id", "extracted_text", "status", "n_spans"])
 
 
+def _q_chunk_stats(sf_dir: str):
+    import pyarrow as pa
+
+    import ray.data
+
+    from dots_ocr_ray.pipelines.chunking import chunk_documents
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    chunks = chunk_documents(docs, chunk_tokens=32, overlap_tokens=4)
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        return (
+            batch.select(["doc_id", "chunk_id"])
+            .group_by("doc_id")
+            .aggregate([("chunk_id", "count")])
+        )
+
+    partials = chunks.map_batches(_partial, batch_format="pyarrow")
+    agg = partials.groupby("doc_id").sum("chunk_id_count")
+
+    def _rename(batch: pa.Table) -> pa.Table:
+        batch = batch.rename_columns(["doc_id", "n_chunks"])
+        return batch.set_column(1, "n_chunks", batch.column("n_chunks").cast(pa.int64()))
+
+    return agg.map_batches(_rename, batch_format="pyarrow")
+
+
+def _q_scrub_documents(sf_dir: str):
+    import ray.data
+
+    from dots_ocr_ray.functions.scrub import scrub_documents
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return scrub_documents(docs).select_columns(["doc_id", "text_scrubbed"])
+
+
+def _q_ann_ivf_topk(sf_dir: str):
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    import ray.data
+
+    from dots_ocr_ray.pipelines.similarity import ivf_topk
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    order = {v: i for i, v in enumerate(t.column("vec_id").to_pylist())}
+    queries = np.array(
+        [t.column("embedding")[order[v]].as_py() for v in sorted(order)[:4]], dtype=np.float32
+    )
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return ivf_topk(ds, queries, k=5).select(["query_id", "vec_id", "rank"])
+
+
 def entry() -> Any:
     """Flagship pipeline: documents@sf0.001 → pages → actor-pool
     extraction → result Dataset (driver checks rows>=0, stable schema)."""
@@ -593,6 +646,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "ann_topk": _q_ann_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
+        "ann_ivf_topk": _q_ann_ivf_topk,
+        # training-data prep
+        "chunk_stats": _q_chunk_stats,
+        "scrub_documents": _q_scrub_documents,
         # text analysis
         "token_stats": _q_token_stats,
         "quality_stats": _q_quality_stats,
@@ -694,6 +751,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, lang, n_chars FROM documents "
             "ORDER BY n_chars DESC, doc_id LIMIT 20"
         ),
+        # chunk count closed form: 1 + ceil((n_tokens - chunk)/(chunk - overlap))
+        "chunk_stats": (
+            "SELECT doc_id, CAST(CASE WHEN nt <= 32 THEN 1 "
+            "ELSE 1 + CAST(ceil((nt - 32) / 28.0) AS BIGINT) END AS BIGINT) AS n_chunks "
+            "FROM (SELECT doc_id, len(string_split_regex(trim(text), '[ \t\n]+')) AS nt "
+            "FROM documents WHERE length(trim(text)) > 0)"
+        ),
+        # corpus contains no PII patterns → scrubbed text == text (the
+        # redaction plumbing is regression-tested on synthetic PII in
+        # tests/test_chunk_scrub_ivf.py)
+        "scrub_documents": "SELECT doc_id, text AS text_scrubbed FROM documents",
         # approximate dedups (minhash/simhash/ngram/embedding) are not
         # SQL-expressible → rows-only checks (intentionally omitted here)
         "ann_topk": (

@@ -1,0 +1,60 @@
+"""PII scrubbing for web corpora: regex redaction of emails, phone
+numbers, IP addresses and URLs — deterministic, vectorizable per batch
+(compiled patterns are module-level = warm on every worker).
+
+Patterns are deliberately conservative (precision over recall): a
+training-data pipeline wants predictable masking, not NLP guessing.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pyarrow as pa
+
+import ray.data
+
+EMAIL_RE = re.compile(r"\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}\b")
+PHONE_RE = re.compile(r"\b(?:\+?\d{1,3}[ .-]?)?(?:\(\d{2,4}\)[ .-]?)?\d{3}[ .-]\d{3,4}[ .-]?\d{0,4}\b")
+IPV4_RE = re.compile(r"\b(?:(?:25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)\.){3}(?:25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)\b")
+URL_RE = re.compile(r"\bhttps?://[^\s<>\"]+")
+
+MASKS = {
+    "email": (EMAIL_RE, "<EMAIL>"),
+    "phone": (PHONE_RE, "<PHONE>"),
+    "ip": (IPV4_RE, "<IP>"),
+    "url": (URL_RE, "<URL>"),
+}
+
+
+def scrub_text(text: str, kinds: tuple[str, ...] = ("email", "phone", "ip", "url")) -> tuple[str, dict]:
+    """Redact; returns (scrubbed, {kind: n_redactions})."""
+    counts = {}
+    for kind in kinds:
+        pattern, mask = MASKS[kind]
+        text, n = pattern.subn(mask, text)
+        counts[kind] = n
+    return text, counts
+
+
+def scrub_documents(
+    ds: ray.data.Dataset,
+    *,
+    text_col: str = "text",
+    kinds: tuple[str, ...] = ("email", "phone", "ip", "url"),
+) -> ray.data.Dataset:
+    """Adds ``{text_col}_scrubbed`` and per-kind redaction-count columns."""
+
+    def _scrub(batch: pa.Table) -> pa.Table:
+        scrubbed, count_cols = [], {k: [] for k in kinds}
+        for t in batch.column(text_col).to_pylist():
+            s, counts = scrub_text(t or "", kinds)
+            scrubbed.append(s)
+            for k in kinds:
+                count_cols[k].append(counts[k])
+        batch = batch.append_column(f"{text_col}_scrubbed", pa.array(scrubbed, type=pa.string()))
+        for k in kinds:
+            batch = batch.append_column(f"n_{k}", pa.array(count_cols[k], type=pa.int32()))
+        return batch
+
+    return ds.map_batches(_scrub, batch_format="pyarrow")

@@ -43,7 +43,7 @@ from dots_ocr_ray.functions.hashing import (
     stable_u64,
 )
 from dots_ocr_ray.kernel.textops import md5_hex
-from dots_ocr_ray.util import default_pool_size
+from dots_ocr_ray.util import autoscale_pool
 
 
 # ---------------------------------------------------------------------------
@@ -157,7 +157,7 @@ def minhash_lsh_dedup(
     verification inside each bucket (est. Jaccard ≥ threshold) →
     connected components.  Docs with no near-dup get cluster_id ==
     doc_id."""
-    concurrency = concurrency or default_pool_size()
+    concurrency = concurrency or autoscale_pool()
     sigs = ds.map_batches(
         MinHashSignatures,
         fn_constructor_kwargs={"text_col": text_col, "id_col": id_col, "num_perm": num_perm, "shingle_k": shingle_k},
@@ -354,7 +354,7 @@ def embedding_dedup(
                 }
             )
 
-    buckets = ds.map_batches(_Bucketize, batch_format="pyarrow", concurrency=default_pool_size())
+    buckets = ds.map_batches(_Bucketize, batch_format="pyarrow", concurrency=autoscale_pool())
 
     def _pairs(group: pa.Table) -> pa.Table:
         docs = group.column("doc_id").to_pylist()

@@ -76,14 +76,12 @@ def extract_pages(
             ds = ds.map_batches(_not_done, batch_format="pyarrow", batch_size=batch_size)
 
     if concurrency is None:
-        # actor-pool size: leave headroom for read/write stages so the
+        # autoscaling pool leaving headroom for read/write stages so the
         # pool doesn't starve them (ray_guide: size concurrency×num_cpus
-        # below the node's CPU count)
-        try:
-            ncpu = int(ray.cluster_resources().get("CPU", 4))
-        except Exception:
-            ncpu = 4
-        concurrency = max(2, ncpu - 1)
+        # below the node's CPU count); min 1 so small jobs skip the ramp
+        from dots_ocr_ray.util import autoscale_pool
+
+        concurrency = autoscale_pool()
 
     extracted = ds.map_batches(
         ExtractorActor,

@@ -20,7 +20,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
-from dots_ocr_ray.util import default_pool_size
+from dots_ocr_ray.util import autoscale_pool
 
 
 def lineitem_pricing_summary(sf_dir: str) -> ray.data.Dataset:
@@ -87,7 +87,7 @@ def orders_by_mktsegment(sf_dir: str) -> ray.data.Dataset:
                 [("o_totalprice", "sum"), ("o_totalprice", "count")]
             )
 
-    partials = orders.map_batches(_JoinAndPartial, batch_format="pyarrow", concurrency=default_pool_size())
+    partials = orders.map_batches(_JoinAndPartial, batch_format="pyarrow", concurrency=autoscale_pool())
     agg = partials.groupby("c_mktsegment").sum(["o_totalprice_sum", "o_totalprice_count"])
 
     def _finalize(batch: pa.Table) -> pa.Table:

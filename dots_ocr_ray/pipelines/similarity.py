@@ -20,13 +20,42 @@ import pyarrow as pa
 import ray
 import ray.data
 
-from dots_ocr_ray.util import default_pool_size
+from dots_ocr_ray.util import autoscale_pool
 
 
 def _normalize_rows(mat: np.ndarray) -> np.ndarray:
     norms = np.linalg.norm(mat, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
     return mat / norms
+
+
+def _merge_topk(partials: ray.data.Dataset, k: int) -> pa.Table:
+    """Driver-side k-merge of per-batch candidates (n_queries × k ×
+    n_batches rows — tiny); ties prefer the smaller vec_id."""
+    heaps: dict[int, list] = {}
+    for row in partials.iter_rows():
+        h = heaps.setdefault(row["query_id"], [])
+        item = (row["score"], -row["vec_id"])
+        if len(h) < k:
+            heapq.heappush(h, item)
+        elif item > h[0]:
+            heapq.heapreplace(h, item)
+    q_out, v_out, s_out, r_out = [], [], [], []
+    for qi in sorted(heaps):
+        ranked = sorted(heaps[qi], key=lambda t: (-t[0], -t[1]))
+        for rank, (score, neg_id) in enumerate(ranked, 1):
+            q_out.append(qi)
+            v_out.append(-neg_id)
+            s_out.append(score)
+            r_out.append(rank)
+    return pa.table(
+        {
+            "query_id": pa.array(q_out, type=pa.int32()),
+            "vec_id": pa.array(v_out, type=pa.int64()),
+            "score": pa.array(s_out, type=pa.float64()),
+            "rank": pa.array(r_out, type=pa.int32()),
+        }
+    )
 
 
 class _BatchTopK:
@@ -76,34 +105,97 @@ def brute_force_topk(
         _BatchTopK,
         fn_constructor_kwargs={"queries_ref": queries_ref, "k": k, "vec_col": vec_col, "id_col": id_col},
         batch_format="pyarrow",
-        concurrency=concurrency or default_pool_size(),
+        concurrency=concurrency or autoscale_pool(),
     )
-    # final merge: n_queries × k × n_batches candidate rows — tiny
-    heaps: dict[int, list] = {}
-    for row in partials.iter_rows():
-        h = heaps.setdefault(row["query_id"], [])
-        # heap item: (score, -vec_id) so ties prefer the SMALLER vec_id
-        item = (row["score"], -row["vec_id"])
-        if len(h) < k:
-            heapq.heappush(h, item)
-        elif item > h[0]:
-            heapq.heapreplace(h, item)
-    q_out, v_out, s_out, r_out = [], [], [], []
-    for qi in sorted(heaps):
-        ranked = sorted(heaps[qi], key=lambda t: (-t[0], -t[1]))
-        for rank, (score, neg_id) in enumerate(ranked, 1):
-            q_out.append(qi)
-            v_out.append(-neg_id)
-            s_out.append(score)
-            r_out.append(rank)
-    return pa.table(
-        {
-            "query_id": pa.array(q_out, type=pa.int32()),
-            "vec_id": pa.array(v_out, type=pa.int64()),
-            "score": pa.array(s_out, type=pa.float64()),
-            "rank": pa.array(r_out, type=pa.int32()),
-        }
+    return _merge_topk(partials, k)
+
+
+def ivf_topk(
+    ds: ray.data.Dataset,
+    queries: np.ndarray,
+    k: int = 10,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_cells: int = 16,
+    n_probe: int = 4,
+    train_sample: int = 512,
+    kmeans_iters: int = 5,
+    seed: int = 42,
+    concurrency: int | tuple[int, int] | None = None,
+) -> pa.Table:
+    """IVF (inverted-file) approximate top-k — the classic scale path:
+
+    1. TRAIN (driver, tiny): deterministic k-means over a fixed sample
+       (first ``train_sample`` rows by id; seeded init from evenly
+       spaced sample points) → ``n_cells`` centroids.
+    2. ASSIGN+SCORE (distributed): the centroid matrix is broadcast;
+       each batch assigns its vectors to cells and scores ONLY vectors
+       whose cell is among each query's ``n_probe`` nearest cells.
+    3. tiny merge, same output schema as :func:`brute_force_topk`.
+
+    Recall < 1 by design; raise n_probe toward n_cells for exactness.
+    """
+    queries = np.asarray(queries, dtype=np.float32)
+
+    # --- train on a deterministic sample (driver-side; sample is tiny)
+    sample_tbl = pa.Table.from_pylist(ds.limit(train_sample).take_all())
+    sample = _normalize_rows(np.array(sample_tbl.column(vec_col).to_pylist(), dtype=np.float32))
+    idx = np.linspace(0, len(sample) - 1, n_cells).astype(int)  # seeded/even init
+    centroids = sample[idx].copy()
+    for _ in range(kmeans_iters):
+        assign = np.argmax(sample @ centroids.T, axis=1)
+        for c in range(n_cells):
+            members = sample[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+        centroids = _normalize_rows(centroids)
+
+    qn = _normalize_rows(queries)
+    probe_cells = np.argsort(-(qn @ centroids.T), axis=1)[:, :n_probe]  # (nq, n_probe)
+
+    centroids_ref = ray.put(centroids)
+    probe_ref = ray.put(probe_cells)
+    queries_ref = ray.put(qn)
+
+    class _IvfScore:
+        def __init__(self):
+            self.centroids = ray.get(centroids_ref)
+            self.probe = ray.get(probe_ref)  # (nq, n_probe)
+            self.queries = ray.get(queries_ref)
+            self.probe_sets = [set(row.tolist()) for row in self.probe]
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vecs = _normalize_rows(np.array(batch.column(vec_col).to_pylist(), dtype=np.float32))
+            ids = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)
+            cells = np.argmax(vecs @ self.centroids.T, axis=1)
+            q_out, id_out, s_out = [], [], []
+            for qi in range(len(self.queries)):
+                mask = np.isin(cells, self.probe[qi])
+                if not mask.any():
+                    continue
+                sims = vecs[mask] @ self.queries[qi]
+                sub_ids = ids[mask]
+                kk = min(k, len(sims))
+                top = np.argpartition(-sims, kk - 1)[:kk]
+                for ci in top:
+                    q_out.append(qi)
+                    id_out.append(int(sub_ids[ci]))
+                    s_out.append(float(sims[ci]))
+            return pa.table(
+                {
+                    "query_id": pa.array(q_out, type=pa.int32()),
+                    "vec_id": pa.array(id_out, type=pa.int64()),
+                    "score": pa.array(s_out, type=pa.float64()),
+                }
+            )
+
+    partials = ds.map_batches(
+        _IvfScore,
+        batch_format="pyarrow",
+        concurrency=concurrency or autoscale_pool(),
     )
+    return _merge_topk(partials, k)
 
 
 def lsh_topk(
@@ -175,29 +267,6 @@ def lsh_topk(
         _BucketScore,
         fn_constructor_kwargs={"queries_ref": queries_ref},
         batch_format="pyarrow",
-        concurrency=concurrency or default_pool_size(),
+        concurrency=concurrency or autoscale_pool(),
     )
-    heaps: dict[int, list] = {}
-    for row in partials.iter_rows():
-        h = heaps.setdefault(row["query_id"], [])
-        item = (row["score"], -row["vec_id"])
-        if len(h) < k:
-            heapq.heappush(h, item)
-        elif item > h[0]:
-            heapq.heapreplace(h, item)
-    q_out, v_out, s_out, r_out = [], [], [], []
-    for qi in sorted(heaps):
-        ranked = sorted(heaps[qi], key=lambda t: (-t[0], -t[1]))
-        for rank, (score, neg_id) in enumerate(ranked, 1):
-            q_out.append(qi)
-            v_out.append(-neg_id)
-            s_out.append(score)
-            r_out.append(rank)
-    return pa.table(
-        {
-            "query_id": pa.array(q_out, type=pa.int32()),
-            "vec_id": pa.array(v_out, type=pa.int64()),
-            "score": pa.array(s_out, type=pa.float64()),
-            "rank": pa.array(r_out, type=pa.int32()),
-        }
-    )
+    return _merge_topk(partials, k)

@@ -14,3 +14,9 @@ def default_pool_size(reserve: int = 1, floor: int = 2) -> int:
     except Exception:
         ncpu = 4
     return max(floor, ncpu - reserve)
+
+
+def autoscale_pool(reserve: int = 1, floor: int = 2) -> tuple[int, int]:
+    """(min, max) actor-pool bounds: small jobs spin 1 actor instead of
+    paying a full-width pool ramp; big jobs scale to CPUs-1."""
+    return (1, default_pool_size(reserve, floor))

@@ -1,0 +1,91 @@
+"""Tests for chunking, PII scrubbing and IVF ANN."""
+
+import numpy as np
+import pytest
+
+import ray.data
+
+from dots_ocr_ray.functions.scrub import scrub_documents, scrub_text
+from dots_ocr_ray.pipelines.chunking import chunk_documents, chunk_text
+from dots_ocr_ray.pipelines.similarity import brute_force_topk, ivf_topk
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+# --- chunking -------------------------------------------------------------
+def test_chunk_text_offsets_and_overlap():
+    text = " ".join(f"w{i}" for i in range(300))
+    chunks = chunk_text(text, chunk_tokens=100, overlap_tokens=10)
+    # starts stride by 90: 0, 90, 180, 270 (tail chunk holds the rest)
+    assert len(chunks) == 4
+    for s, e, c in chunks:
+        assert text[s:e] == c  # offsets trace back exactly
+    assert [c.split()[0] for _, _, c in chunks] == ["w0", "w90", "w180", "w270"]
+    assert chunks[-1][2].split()[-1] == "w299"  # full coverage
+
+
+def test_chunk_text_edges():
+    assert chunk_text("", 100, 10) == []
+    assert chunk_text("one two", 100, 10) == [(0, 7, "one two")]
+    with pytest.raises(ValueError):
+        chunk_text("x", 10, 10)
+
+
+def test_chunk_documents(ray_session):
+    docs = ray.data.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+    chunks = chunk_documents(docs, chunk_tokens=32, overlap_tokens=4).to_pandas()
+    assert (chunks.n_tokens <= 32).all()
+    assert (chunks.groupby("doc_id").chunk_id.min() == 0).all()
+    # every doc with text produced at least one chunk
+    assert chunks.doc_id.nunique() == 500
+
+
+# --- scrubbing ------------------------------------------------------------
+def test_scrub_text():
+    s, counts = scrub_text("mail a@b.com or visit https://x.org/page from 10.0.0.1")
+    assert s == "mail <EMAIL> or visit <URL> from <IP>"
+    assert counts == {"email": 1, "phone": 0, "ip": 1, "url": 1}
+
+
+def test_scrub_documents(ray_session):
+    rows = [
+        {"doc_id": 0, "text": "contact me: foo.bar@example.com please"},
+        {"doc_id": 1, "text": "nothing sensitive here"},
+    ]
+    out = scrub_documents(ray.data.from_items(rows)).to_pandas().sort_values("doc_id")
+    assert out.iloc[0].text_scrubbed == "contact me: <EMAIL> please"
+    assert out.iloc[0].n_email == 1
+    assert out.iloc[1].text_scrubbed == "nothing sensitive here"
+
+
+# --- IVF ANN --------------------------------------------------------------
+def test_ivf_topk_recall(ray_session):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF_DIR}/embeddings.parquet")
+    ids = np.array(t.column("vec_id").to_pylist())
+    mat = np.array(t.column("embedding").to_pylist(), dtype=np.float32)
+    queries = mat[:4]
+    ds = ray.data.read_parquet(f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"])
+    exact = brute_force_topk(ds, queries, k=10).to_pandas()
+    approx = ivf_topk(ds, queries, k=10, n_cells=16, n_probe=6).to_pandas()
+    recalls = []
+    for qi in range(4):
+        e = set(exact[exact.query_id == qi].vec_id)
+        a = set(approx[approx.query_id == qi].vec_id)
+        recalls.append(len(e & a) / 10)
+    assert sum(recalls) / 4 >= 0.5
+    # self-vector always found (it sits in the query's own best cell)
+    for qi in range(4):
+        assert int(ids[qi]) in set(approx[approx.query_id == qi].vec_id)
+
+
+def test_ivf_deterministic(ray_session):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF_DIR}/embeddings.parquet")
+    mat = np.array(t.column("embedding").to_pylist(), dtype=np.float32)
+    ds = ray.data.read_parquet(f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"])
+    a = ivf_topk(ds, mat[:2], k=5).to_pandas()
+    b = ivf_topk(ds, mat[:2], k=5).to_pandas()
+    assert a.equals(b)
