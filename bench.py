@@ -99,7 +99,7 @@ def run_headline() -> dict:
     shutil.rmtree(warm_dir, ignore_errors=True)
     # one warm shard per pool slot so the timed run pays zero actor
     # cold-starts (worker processes + imports + actor inits all warm)
-    extract_shards(files[: min(len(files), concurrency)], warm_dir, concurrency=concurrency)
+    extract_shards(files[: min(len(files), 2 * concurrency)], warm_dir, dispatch="tasks")
 
     shutil.rmtree(out_dir, ignore_errors=True)
     # drain page-cache writeback from the warm-up/previous run so the
@@ -107,7 +107,7 @@ def run_headline() -> dict:
     os.sync()
     time.sleep(2)
     t0 = time.perf_counter()
-    metrics = extract_shards(files, out_dir, concurrency=concurrency, batch_size=256, resume=False)
+    metrics = extract_shards(files, out_dir, concurrency=concurrency, batch_size=256, resume=False, dispatch="tasks")
     stats = check_fail_gate(metrics, threshold=0.25)
     elapsed = time.perf_counter() - t0
     return {
@@ -181,6 +181,8 @@ def _mp_ceiling_probe(files: list[str], nproc: int) -> float:
 
 
 def _mp_probe_work(path: str) -> int:
+    import os as _os
+
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -190,13 +192,19 @@ def _mp_probe_work(path: str) -> int:
     from dots_ocr_ray.kernel.extract import extract_page
 
     t = pq.read_table(path, columns=["url", "html", "text", "lang"])
-    n = 0
+    urls, texts = [], []
     for u, h, x in zip(
         t.column("url").to_pylist(), t.column("html").to_pylist(), t.column("text").to_pylist()
     ):
-        extract_page(u, h, x)
-        n += 1
-    return n
+        res = extract_page(u, h, x)
+        urls.append(u)
+        texts.append(res["extracted_text"])
+    # same output-write work as the real job (zstd parquet)
+    out = pa.table({"url": urls, "extracted_text": texts})
+    dest = f"/tmp/graft_bench/_probe/{_os.path.basename(path)}"
+    _os.makedirs(_os.path.dirname(dest), exist_ok=True)
+    pq.write_table(out, dest, compression="zstd")
+    return len(urls)
 
 
 def scaling() -> None:
@@ -239,6 +247,13 @@ def scaling() -> None:
     t_mp_lo = _mp_ceiling_probe(files, lo)
     t_mp_hi = _mp_ceiling_probe(files, hi)
     ceiling = (t_mp_lo / t_mp_hi) / (hi / lo)
+
+    # second N→4N pair at sub-saturation CPU counts (2 vs 8): both
+    # levels map to REAL cores (no SMT sharing), isolating the engine's
+    # scaling from the VM's hyperthread topology — the closest local
+    # analog of adding independent nodes
+    r_2 = run(2)
+    eff_2_8 = (r_2["value"] / r_lo["value"]) / 4
     print(
         json.dumps(
             {
@@ -254,6 +269,8 @@ def scaling() -> None:
                 "mp_probe_sec_8": round(t_mp_lo, 2),
                 "mp_probe_sec_32": round(t_mp_hi, 2),
                 "engine_relative_efficiency": round(eff / ceiling, 3) if ceiling else None,
+                "sec_2": r_2["value"],
+                "efficiency_2_to_8": round(eff_2_8, 3),
             }
         )
     )
