@@ -569,6 +569,31 @@ def _q_extract_grounding(sf_dir: str):
     return ds.select_columns(["doc_id", "extracted_text", "status", "n_spans"])
 
 
+def _q_train_val_split(sf_dir: str):
+    """Deterministic train/val split (hash-based, engine-independent):
+    the op every training-data pipeline ends with."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray.data
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+
+    def _split(batch: pa.Table) -> pa.Table:
+        h = pc.bit_wise_and(pc.multiply(batch.column("doc_id").cast(pa.int64()), 2654435761), 0xFFFFFFFF)
+        split = pc.if_else(pc.less(h, int(4294967296 * 0.9)), "train", "val")
+        return batch.append_column("split", split)
+
+    tagged = docs.map_batches(_split, batch_format="pyarrow")
+    counts = tagged.groupby(["lang", "split"]).count()
+
+    def _rename(batch: pa.Table) -> pa.Table:
+        batch = batch.rename_columns(["lang", "split", "n"])
+        return batch.set_column(2, "n", batch.column("n").cast(pa.int64()))
+
+    return counts.map_batches(_rename, batch_format="pyarrow")
+
+
 def _q_chunk_stats(sf_dir: str):
     import pyarrow as pa
 
@@ -650,6 +675,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # training-data prep
         "chunk_stats": _q_chunk_stats,
         "scrub_documents": _q_scrub_documents,
+        "train_val_split": _q_train_val_split,
         # text analysis
         "token_stats": _q_token_stats,
         "quality_stats": _q_quality_stats,
@@ -762,6 +788,11 @@ def oracle_sql() -> dict[str, str]:
         # redaction plumbing is regression-tested on synthetic PII in
         # tests/test_chunk_scrub_ivf.py)
         "scrub_documents": "SELECT doc_id, text AS text_scrubbed FROM documents",
+        "train_val_split": (
+            "SELECT lang, CASE WHEN (doc_id * 2654435761) % 4294967296 "
+            "< CAST(4294967296 * 0.9 AS BIGINT) THEN 'train' ELSE 'val' END AS split, "
+            "CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY lang, split"
+        ),
         # approximate dedups (minhash/simhash/ngram/embedding) are not
         # SQL-expressible → rows-only checks (intentionally omitted here)
         "ann_topk": (

@@ -59,8 +59,9 @@ def _decode_html(html: bytes | str | None) -> str:
     if html is None:
         return ""
     if isinstance(html, bytes):
-        return html.decode("utf-8", errors="replace")
-    return html
+        # utf-8-sig strips a BOM when present; errors never raise
+        return html.decode("utf-8-sig", errors="replace")
+    return html.lstrip("﻿")
 
 
 def _intersects(b, g) -> bool:

@@ -1,0 +1,76 @@
+"""Tests for the ray-job-submit CLI entry point (in-process; the
+session fixture owns Ray, cli's guarded init is a no-op)."""
+
+import glob
+import json
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+from dots_ocr_ray.cli import main
+from dots_ocr_ray.fixtures import make_pages_table
+
+
+@pytest.fixture()
+def shard_dir(tmp_path):
+    pages = make_pages_table(32, seed=42)
+    d = tmp_path / "pages"
+    d.mkdir()
+    for s in range(4):
+        pq.write_table(pages.slice(s * 8, 8), str(d / f"shard-{s:02d}.parquet"))
+    return str(d)
+
+
+def test_cli_extract_shard_mode(ray_session, shard_dir, tmp_path, capsys):
+    out_dir = str(tmp_path / "out")
+    rc = main(
+        ["extract", "--input", f"{shard_dir}/*.parquet", "--out", out_dir, "--fail-threshold", "0.5"]
+    )
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["total"] == 32 and summary["partitions"] == 4
+    assert len(glob.glob(os.path.join(out_dir, "part-*.parquet"))) == 4
+    # resume: second run skips everything but still reports all partitions
+    rc2 = main(
+        ["extract", "--input", f"{shard_dir}/*.parquet", "--out", out_dir, "--fail-threshold", "0.5"]
+    )
+    assert rc2 == 0
+    summary2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary2["total"] == 32
+
+
+def test_cli_extract_urlhash_mode(ray_session, shard_dir, tmp_path, capsys):
+    out_dir = str(tmp_path / "out2")
+    rc = main(
+        [
+            "extract", "--input", f"{shard_dir}/*.parquet", "--out", out_dir,
+            "--partitioning", "urlhash", "--num-partitions", "8", "--fail-threshold", "0.5",
+        ]
+    )
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["total"] == 32
+
+
+def test_cli_no_input(ray_session, tmp_path, capsys):
+    rc = main(["extract", "--input", str(tmp_path / "none-*.parquet"), "--out", str(tmp_path / "o")])
+    assert rc == 2
+
+
+def test_cli_fail_gate_trips(ray_session, tmp_path, capsys):
+    import pyarrow as pa
+
+    bad = pa.table(
+        {
+            "url": [f"https://x/{i}" for i in range(8)],
+            "warc_ts": [None] * 8,
+            "html": [b""] * 8,
+            "text": [""] * 8,
+            "lang": ["en"] * 8,
+        }
+    )
+    src = tmp_path / "bad.parquet"
+    pq.write_table(bad.cast(make_pages_table(1).schema), str(src))
+    with pytest.raises(RuntimeError, match="job failed"):
+        main(["extract", "--input", str(src), "--out", str(tmp_path / "o3")])
