@@ -569,6 +569,16 @@ def _q_extract_grounding(sf_dir: str):
     return ds.select_columns(["doc_id", "extracted_text", "status", "n_spans"])
 
 
+def _q_distinct_langs(sf_dir: str):
+    """Distinct over a key column (the `unique` operator surface)."""
+    import pandas as pd
+
+    import ray.data
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang"])
+    return pd.DataFrame({"lang": sorted(docs.unique("lang"))})
+
+
 def _q_train_val_split(sf_dir: str):
     """Deterministic train/val split (hash-based, engine-independent):
     the op every training-data pipeline ends with."""
@@ -676,6 +686,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_stats": _q_chunk_stats,
         "scrub_documents": _q_scrub_documents,
         "train_val_split": _q_train_val_split,
+        "distinct_langs": _q_distinct_langs,
         # text analysis
         "token_stats": _q_token_stats,
         "quality_stats": _q_quality_stats,
@@ -788,6 +799,7 @@ def oracle_sql() -> dict[str, str]:
         # redaction plumbing is regression-tested on synthetic PII in
         # tests/test_chunk_scrub_ivf.py)
         "scrub_documents": "SELECT doc_id, text AS text_scrubbed FROM documents",
+        "distinct_langs": "SELECT DISTINCT lang FROM documents",
         "train_val_split": (
             "SELECT lang, CASE WHEN (doc_id * 2654435761) % 4294967296 "
             "< CAST(4294967296 * 0.9 AS BIGINT) THEN 'train' ELSE 'val' END AS split, "

@@ -1,0 +1,97 @@
+"""Deterministic Bloom filter for broadcast semi/anti joins.
+
+At 10^12 documents the "completed urls" / "already-seen keys" side of a
+resume or dedup anti-join no longer fits as a plain Python set in every
+task.  A Bloom filter keeps the broadcast payload at ~1.2 GB per 10^9
+keys at 1% false positives — and for ANTI-join semantics (skip work
+that was already done) a false positive only means redoing one row's
+work, never losing data.
+
+Pure numpy + blake2b: deterministic across processes, ships through
+``ray.put`` once, read per actor/task.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+
+class BloomFilter:
+    def __init__(self, capacity: int, fp_rate: float = 0.01):
+        if capacity <= 0:
+            raise ValueError("capacity must be positive")
+        self.capacity = capacity
+        self.fp_rate = fp_rate
+        n_bits = max(8, int(-capacity * math.log(fp_rate) / (math.log(2) ** 2)))
+        self.n_bits = n_bits
+        self.n_hashes = max(1, round(n_bits / capacity * math.log(2)))
+        self.bits = np.zeros((n_bits + 7) // 8, dtype=np.uint8)
+
+    def _positions(self, key: str) -> list[int]:
+        # double hashing from one 16-byte digest: h1 + i*h2 (Kirsch-
+        # Mitzenmacher), deterministic everywhere
+        digest = hashlib.blake2b(key.encode("utf-8"), digest_size=16).digest()
+        h1 = int.from_bytes(digest[:8], "big")
+        h2 = int.from_bytes(digest[8:], "big") | 1
+        return [(h1 + i * h2) % self.n_bits for i in range(self.n_hashes)]
+
+    def add(self, key: str) -> None:
+        for p in self._positions(key):
+            self.bits[p >> 3] |= 1 << (p & 7)
+
+    def __contains__(self, key: str) -> bool:
+        return all(self.bits[p >> 3] & (1 << (p & 7)) for p in self._positions(key))
+
+    @classmethod
+    def build(cls, keys, fp_rate: float = 0.01) -> "BloomFilter":
+        keys = list(keys)
+        bf = cls(max(1, len(keys)), fp_rate)
+        for k in keys:
+            bf.add(k)
+        return bf
+
+
+def bloom_anti_join(
+    ds: ray.data.Dataset, bloom: BloomFilter, key_col: str = "url"
+) -> ray.data.Dataset:
+    """Drop rows whose key is (probably) in the filter — the scalable
+    resume/skip filter.  False positives skip a row that wasn't done
+    (that row's work is lost, not its data: rerun semantics); false
+    negatives cannot occur, so nothing done is ever redone silently
+    wrong."""
+    bloom_ref = ray.put(bloom)
+
+    class _Filter:
+        def __init__(self):
+            self.bloom = ray.get(bloom_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            mask = pa.array([k not in self.bloom for k in batch.column(key_col).to_pylist()])
+            return batch.filter(mask)
+
+    return ds.map_batches(_Filter, batch_format="pyarrow", concurrency=(1, 4))
+
+
+def bloom_semi_join(
+    ds: ray.data.Dataset, bloom: BloomFilter, key_col: str = "url"
+) -> ray.data.Dataset:
+    """Keep rows whose key is (probably) in the filter; exact-verify
+    downstream if false positives matter."""
+    bloom_ref = ray.put(bloom)
+
+    class _Filter:
+        def __init__(self):
+            self.bloom = ray.get(bloom_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            mask = pa.array([k in self.bloom for k in batch.column(key_col).to_pylist()])
+            return batch.filter(mask)
+
+    return ds.map_batches(_Filter, batch_format="pyarrow", concurrency=(1, 4))
