@@ -20,12 +20,26 @@ def stable_u64(s: str) -> int:
     return int.from_bytes(hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(), "big")
 
 
+_SHINGLE_B = np.uint64(0x9E3779B97F4A7C15)  # odd multiplier; u64 wraparound
+
+
 def shingles(text: str, k: int = 5) -> set[int]:
-    """k-word shingle hash set."""
+    """k-word shingle hash set.
+
+    Vectorized: one blake2b per WORD, then the k-gram combine is k
+    numpy multiply-adds over the word-hash array (hashing every joined
+    shingle string was the minhash pipeline's hot spot)."""
     words = text.split()
+    if not words:
+        return set()
     if len(words) < k:
-        return {stable_u64(" ".join(words))} if words else set()
-    return {stable_u64(" ".join(words[i : i + k])) for i in range(len(words) - k + 1)}
+        return {stable_u64(" ".join(words))}
+    wh = np.fromiter((stable_u64(w) for w in words), dtype=np.uint64, count=len(words))
+    n_out = len(words) - k + 1
+    out = np.zeros(n_out, dtype=np.uint64)
+    for j in range(k):
+        out = out * _SHINGLE_B + wh[j : j + n_out]
+    return set(out.tolist())
 
 
 def char_ngrams(text: str, n: int = 3) -> set[str]:
@@ -73,12 +87,13 @@ class MinHasher:
 
 
 def simhash64(text: str) -> int:
-    """64-bit SimHash over whitespace tokens."""
-    acc = np.zeros(64, dtype=np.int64)
-    for tok in text.split():
-        h = stable_u64(tok)
-        bits = np.array([(h >> i) & 1 for i in range(64)], dtype=np.int64)
-        acc += 2 * bits - 1
+    """64-bit SimHash over whitespace tokens (vectorized bit spread)."""
+    tokens = text.split()
+    if not tokens:
+        return 0
+    hs = np.fromiter((stable_u64(t) for t in tokens), dtype=np.uint64, count=len(tokens))
+    bits = (hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)  # (n, 64)
+    acc = (2 * bits.astype(np.int64) - 1).sum(axis=0)
     out = 0
     for i in range(64):
         if acc[i] > 0:
