@@ -53,6 +53,10 @@ class ExtractConfig:
     rebuild_directory: bool = False
     # grounding-mode region: blocks whose bbox intersects it are kept.
     grounding_bbox: tuple[int, int, int, int] | None = None
+    # per-run blocklist extension (e.g. per-domain boilerplate classes,
+    # the broadcast-config seam of SURVEY §2.4 J1); compiled once per
+    # worker process
+    extra_blocklist: tuple[str, ...] = ()
 
 
 def _decode_html(html: bytes | str | None) -> str:
@@ -100,8 +104,8 @@ def extract_page(
             status = STATUS_FAILED
     else:
         try:
-            candidates = segment_html(html_text) if html_text.strip() else []
-            content = prune_boilerplate(candidates)
+            candidates = segment_html(html_text, config.extra_blocklist) if html_text.strip() else []
+            content = prune_boilerplate(candidates, config.extra_blocklist)
         except Exception:
             content = []
         if config.mode == MODE_GROUNDING and config.grounding_bbox is not None:

@@ -103,7 +103,21 @@ def _decode_text(raw: str) -> str:
     return html_mod.unescape(raw) if _HAS_ENTITY.search(raw) else raw
 
 
-def _scan(html_text: str) -> list[Block]:
+import functools
+
+
+@functools.lru_cache(maxsize=64)
+def _extra_blocklist_re(classes: tuple[str, ...]):
+    """Compile-once seam for per-run blocklist extensions (the warm
+    per-worker state the reference holds in lazy singletons, A3/A4);
+    cached per process so the kernel stays pure and cheap per row."""
+    if not classes:
+        return None
+    joined = "|".join(re.escape(c) for c in classes)
+    return re.compile(rf"(?:^|[\s_-])(?:{joined})(?:$|[\s_-])", re.IGNORECASE)
+
+
+def _scan(html_text: str, extra_re=None) -> list[Block]:
     """Single pass over the markup, emitting blocks in DOM order (= the
     natural reading order for HTML, the A4 analog)."""
     blocks: list[Block] = []
@@ -173,7 +187,10 @@ def _scan(html_text: str) -> list[Block]:
                 continue
             attrs = _attrs_of(attr_str)
             classes = " ".join(v for k, v in (("class", attrs.get("class")), ("id", attrs.get("id"))) if v)
-            if tag in DROP_TAGS or (classes and BLOCKLIST_RE.search(classes)):
+            if tag in DROP_TAGS or (
+                classes
+                and (BLOCKLIST_RE.search(classes) or (extra_re and extra_re.search(classes)))
+            ):
                 if tag not in _VOID_TAGS and not self_closing:
                     drop_depth = 1
                 continue
@@ -229,16 +246,17 @@ def _scan(html_text: str) -> list[Block]:
     return blocks
 
 
-def segment_html(html_text: str) -> list[dict]:
+def segment_html(html_text: str, extra_blocklist: tuple[str, ...] = ()) -> list[dict]:
     """Segment an HTML document into category-labeled candidate blocks.
 
     Returns span dicts ``{category, bbox, text, link_density, classes}``
     in DOM order.  bbox is a deterministic source-position box
-    ``[col, line, col+len(text), line+1]``.  No pruning here — see
-    :func:`prune_boilerplate`.
+    ``[col, line, col+len(text), line+1]``.  ``extra_blocklist`` extends
+    the boilerplate class blocklist per run (compiled once per process).
+    No pruning here — see :func:`prune_boilerplate`.
     """
     try:
-        blocks = _scan(html_text)
+        blocks = _scan(html_text, _extra_blocklist_re(extra_blocklist))
     except Exception:
         # guarantee no-raise regardless (repair-don't-crash stance)
         blocks = []
@@ -274,13 +292,16 @@ def segment_html(html_text: str) -> list[dict]:
     return spans
 
 
-def prune_boilerplate(spans: list[dict]) -> list[dict]:
+def prune_boilerplate(spans: list[dict], extra_blocklist: tuple[str, ...] = ()) -> list[dict]:
     """Trafilatura-style pruning over segmented blocks: blocklisted
     class/id, high link-density Text/List-item blocks, and empty
     non-Picture blocks are removed.  Order preserved."""
+    extra_re = _extra_blocklist_re(extra_blocklist)
     out = []
     for s in spans:
-        if s.get("classes") and BLOCKLIST_RE.search(s["classes"]):
+        if s.get("classes") and (
+            BLOCKLIST_RE.search(s["classes"]) or (extra_re and extra_re.search(s["classes"]))
+        ):
             continue
         if s["category"] in ("Text", "List-item") and s.get("link_density", 0.0) > LINK_DENSITY_THRESHOLD:
             continue

@@ -40,7 +40,6 @@ from dots_ocr_ray.functions.hashing import (
     shingles,
     simhash64,
     simhash_block_keys,
-    stable_u64,
 )
 from dots_ocr_ray.kernel.textops import md5_hex
 from dots_ocr_ray.util import autoscale_pool

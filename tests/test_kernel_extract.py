@@ -132,3 +132,13 @@ def test_describe_pictures_uses_alt():
 
 def test_strip_tags_entities():
     assert strip_tags("<p>a &amp; b</p>") == "a & b"
+
+
+def test_extra_blocklist_config():
+    page = b'<html><body><h1>T</h1><div class="weirdo"><p>custom boiler</p></div><p>real body</p></body></html>'
+    base = extract_page("u", page)
+    assert "custom boiler" in base["extracted_text"]
+    cfg = ExtractConfig(extra_blocklist=("weirdo",))
+    out = extract_page("u", page, config=cfg)
+    assert "custom boiler" not in out["extracted_text"]
+    assert "real body" in out["extracted_text"]
