@@ -569,6 +569,20 @@ def _q_extract_grounding(sf_dir: str):
     return ds.select_columns(["doc_id", "extracted_text", "status", "n_spans"])
 
 
+def _q_heavy_hitter_langs(sf_dir: str):
+    """SpaceSaving heavy hitters over lang — with capacity ≫ distinct
+    values the sketch is EXACT, so the SQL oracle checks it fully."""
+    import pandas as pd
+
+    import ray.data
+
+    from dots_ocr_ray.functions.sketches import approx_heavy_hitters
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang"])
+    top = approx_heavy_hitters(docs, "lang", k=3, capacity=256)
+    return pd.DataFrame({"lang": [t[0] for t in top], "n": pd.array([t[1] for t in top], dtype="int64")})
+
+
 def _q_distinct_langs(sf_dir: str):
     """Distinct over a key column (the `unique` operator surface)."""
     import pandas as pd
@@ -687,6 +701,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scrub_documents": _q_scrub_documents,
         "train_val_split": _q_train_val_split,
         "distinct_langs": _q_distinct_langs,
+        "heavy_hitter_langs": _q_heavy_hitter_langs,
         # text analysis
         "token_stats": _q_token_stats,
         "quality_stats": _q_quality_stats,
@@ -800,6 +815,10 @@ def oracle_sql() -> dict[str, str]:
         # tests/test_chunk_scrub_ivf.py)
         "scrub_documents": "SELECT doc_id, text AS text_scrubbed FROM documents",
         "distinct_langs": "SELECT DISTINCT lang FROM documents",
+        "heavy_hitter_langs": (
+            "SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents "
+            "GROUP BY lang ORDER BY n DESC, lang LIMIT 3"
+        ),
         "train_val_split": (
             "SELECT lang, CASE WHEN (doc_id * 2654435761) % 4294967296 "
             "< CAST(4294967296 * 0.9 AS BIGINT) THEN 'train' ELSE 'val' END AS split, "

@@ -1,0 +1,197 @@
+"""Mergeable sketches for corpus-scale approximate aggregates.
+
+The pattern (per ray_guide "Aggregation at scale"): each batch emits
+ONE serialized sketch, a tiny second stage merges them — so a distinct
+count / heavy-hitter / sample query over 10^12 rows moves kilobytes,
+not keys.
+
+All sketches are deterministic (blake2b hashing, seeded reservoirs) so
+re-runs and resumed runs produce identical results.
+
+* :class:`HyperLogLog` — distinct count, standard 2^p registers with
+  small-range linear counting correction.
+* :class:`SpaceSaving` — top-k heavy hitters with overestimate bounds.
+* :class:`Reservoir` — uniform k-sample; weighted variant of
+  Vitter's R using per-item deterministic priorities (hash-seeded), so
+  the merged reservoir equals a global priority-sample.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import struct
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+
+def _h64(key: str, seed: int = 0) -> int:
+    digest = hashlib.blake2b(key.encode("utf-8"), digest_size=8, salt=seed.to_bytes(8, "big")).digest()
+    return int.from_bytes(digest, "big")
+
+
+# ---------------------------------------------------------------------------
+class HyperLogLog:
+    def __init__(self, p: int = 12):
+        if not 4 <= p <= 18:
+            raise ValueError("p must be in [4, 18]")
+        self.p = p
+        self.m = 1 << p
+        self.registers = np.zeros(self.m, dtype=np.uint8)
+
+    def add(self, key: str) -> None:
+        h = _h64(key)
+        idx = h >> (64 - self.p)
+        rest = h & ((1 << (64 - self.p)) - 1)
+        # rank = leading zeros of the remaining bits + 1
+        rank = (64 - self.p) - rest.bit_length() + 1
+        if rank > self.registers[idx]:
+            self.registers[idx] = rank
+
+    def merge(self, other: "HyperLogLog") -> "HyperLogLog":
+        if other.p != self.p:
+            raise ValueError("incompatible precisions")
+        out = HyperLogLog(self.p)
+        out.registers = np.maximum(self.registers, other.registers)
+        return out
+
+    def count(self) -> float:
+        m = self.m
+        alpha = 0.7213 / (1 + 1.079 / m)
+        est = alpha * m * m / np.sum(2.0 ** -self.registers.astype(np.float64))
+        if est <= 2.5 * m:
+            zeros = int(np.count_nonzero(self.registers == 0))
+            if zeros:
+                return m * math.log(m / zeros)  # linear counting
+        return float(est)
+
+    def serialize(self) -> bytes:
+        return struct.pack("<B", self.p) + self.registers.tobytes()
+
+    @classmethod
+    def deserialize(cls, data: bytes) -> "HyperLogLog":
+        p = struct.unpack("<B", data[:1])[0]
+        hll = cls(p)
+        hll.registers = np.frombuffer(data[1:], dtype=np.uint8).copy()
+        return hll
+
+
+def approx_distinct(ds: ray.data.Dataset, col: str, p: int = 12) -> float:
+    """Approximate COUNT(DISTINCT col): one HLL per batch, merged."""
+
+    def _sketch(batch: pa.Table) -> pa.Table:
+        hll = HyperLogLog(p)
+        for v in batch.column(col).to_pylist():
+            hll.add(str(v))
+        return pa.table({"sketch": pa.array([hll.serialize()], type=pa.binary())})
+
+    merged = HyperLogLog(p)
+    for row in ds.map_batches(_sketch, batch_format="pyarrow").iter_rows():
+        merged = merged.merge(HyperLogLog.deserialize(row["sketch"]))
+    return merged.count()
+
+
+# ---------------------------------------------------------------------------
+class SpaceSaving:
+    """Misra-Gries/SpaceSaving heavy hitters: guaranteed to contain
+    every key with frequency > n/capacity; counts are overestimates by
+    at most the stored error."""
+
+    def __init__(self, capacity: int = 64):
+        self.capacity = capacity
+        self.counts: dict[str, int] = {}
+        self.errors: dict[str, int] = {}
+
+    def add(self, key: str, weight: int = 1) -> None:
+        if key in self.counts:
+            self.counts[key] += weight
+        elif len(self.counts) < self.capacity:
+            self.counts[key] = weight
+            self.errors[key] = 0
+        else:
+            victim = min(self.counts, key=lambda k: (self.counts[k], k))
+            base = self.counts.pop(victim)
+            self.errors.pop(victim)
+            self.counts[key] = base + weight
+            self.errors[key] = base
+
+    def merge(self, other: "SpaceSaving") -> "SpaceSaving":
+        out = SpaceSaving(self.capacity)
+        combined: dict[str, int] = dict(self.counts)
+        errors: dict[str, int] = dict(self.errors)
+        for k, v in other.counts.items():
+            combined[k] = combined.get(k, 0) + v
+            errors[k] = errors.get(k, 0) + other.errors.get(k, 0)
+        top = sorted(combined, key=lambda k: (-combined[k], k))[: self.capacity]
+        out.counts = {k: combined[k] for k in top}
+        out.errors = {k: errors.get(k, 0) for k in top}
+        return out
+
+    def top(self, k: int) -> list[tuple[str, int]]:
+        return sorted(self.counts.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+
+
+def approx_heavy_hitters(ds: ray.data.Dataset, col: str, k: int = 10, capacity: int = 256) -> list[tuple[str, int]]:
+    """Top-k frequent values without a full groupby shuffle."""
+    import pickle
+
+    def _sketch(batch: pa.Table) -> pa.Table:
+        ss = SpaceSaving(capacity)
+        for v in batch.column(col).to_pylist():
+            ss.add(str(v))
+        return pa.table({"sketch": pa.array([pickle.dumps((ss.counts, ss.errors))], type=pa.binary())})
+
+    merged = SpaceSaving(capacity)
+    for row in ds.map_batches(_sketch, batch_format="pyarrow").iter_rows():
+        other = SpaceSaving(capacity)
+        other.counts, other.errors = pickle.loads(row["sketch"])
+        merged = merged.merge(other)
+    return merged.top(k)
+
+
+# ---------------------------------------------------------------------------
+class Reservoir:
+    """Deterministic k-sample: each item gets priority = hash(key); the
+    reservoir keeps the k SMALLEST priorities.  Merging reservoirs is
+    exact (same result as a single global pass), and the sample is
+    identical across runs and partitionings."""
+
+    def __init__(self, k: int = 64):
+        self.k = k
+        self.items: list[tuple[int, str]] = []  # (priority, key), sorted
+
+    def add(self, key: str) -> None:
+        pri = _h64(key, seed=1)
+        self.items.append((pri, key))
+        self.items.sort()
+        del self.items[self.k :]
+
+    def merge(self, other: "Reservoir") -> "Reservoir":
+        out = Reservoir(self.k)
+        out.items = sorted(set(self.items) | set(other.items))[: self.k]
+        return out
+
+    def sample(self) -> list[str]:
+        return [k for _, k in self.items]
+
+
+def deterministic_sample(ds: ray.data.Dataset, col: str, k: int = 64) -> list[str]:
+    """k-element deterministic uniform sample of a column (priority
+    sampling; identical result for any partitioning)."""
+    import pickle
+
+    def _sketch(batch: pa.Table) -> pa.Table:
+        r = Reservoir(k)
+        for v in batch.column(col).to_pylist():
+            r.add(str(v))
+        return pa.table({"sketch": pa.array([pickle.dumps(r.items)], type=pa.binary())})
+
+    merged = Reservoir(k)
+    for row in ds.map_batches(_sketch, batch_format="pyarrow").iter_rows():
+        other = Reservoir(k)
+        other.items = pickle.loads(row["sketch"])
+        merged = merged.merge(other)
+    return merged.sample()

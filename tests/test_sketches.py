@@ -1,0 +1,79 @@
+"""Tests for mergeable sketches (HLL, SpaceSaving, deterministic
+reservoir) — accuracy vs exact answers and merge-equals-global-pass."""
+
+import pyarrow.parquet as pq
+import pytest
+
+import ray.data
+
+from dots_ocr_ray.functions.sketches import (
+    HyperLogLog,
+    Reservoir,
+    SpaceSaving,
+    approx_distinct,
+    approx_heavy_hitters,
+    deterministic_sample,
+)
+
+
+def test_hll_accuracy_and_merge():
+    a, b = HyperLogLog(12), HyperLogLog(12)
+    for i in range(5000):
+        a.add(f"key-{i}")
+    for i in range(2500, 7500):
+        b.add(f"key-{i}")
+    merged = a.merge(b)
+    est = merged.count()
+    assert abs(est - 7500) / 7500 < 0.05  # ~1.6% std error at p=12
+    # merge == single pass
+    c = HyperLogLog(12)
+    for i in range(7500):
+        c.add(f"key-{i}")
+    assert merged.count() == c.count()
+    # serialization round-trip
+    assert HyperLogLog.deserialize(merged.serialize()).count() == merged.count()
+
+
+def test_hll_small_range_linear_counting():
+    h = HyperLogLog(12)
+    for i in range(10):
+        h.add(f"k{i}")
+    assert abs(h.count() - 10) < 1.0
+
+
+def test_spacesaving_finds_heavy_hitters():
+    ss = SpaceSaving(capacity=32)
+    # one heavy key (30%), long uniform tail
+    for i in range(7000):
+        ss.add("HEAVY" if i % 3 == 0 else f"tail-{i}")
+    top = ss.top(1)
+    assert top[0][0] == "HEAVY"
+    assert top[0][1] >= 2333  # never underestimates
+
+
+def test_reservoir_merge_equals_global():
+    a, b, g = Reservoir(16), Reservoir(16), Reservoir(16)
+    for i in range(1000):
+        (a if i % 2 else b).add(f"item-{i}")
+        g.add(f"item-{i}")
+    assert a.merge(b).sample() == g.sample()
+
+
+def test_distributed_sketches_match_exact(ray_session):
+    ds = ray.data.read_parquet("/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "lang", "text"])
+    exact_distinct = 500  # doc_ids are unique
+    est = approx_distinct(ds, "doc_id", p=12)
+    assert abs(est - exact_distinct) / exact_distinct < 0.05
+
+    hh = approx_heavy_hitters(ds, "lang", k=2, capacity=64)
+    t = pq.read_table("/root/testdata/sf0.001/documents.parquet", columns=["lang"])
+    import collections
+
+    true_counts = collections.Counter(t.column("lang").to_pylist())
+    assert hh[0][0] == true_counts.most_common(1)[0][0]
+    assert hh[0][1] == true_counts.most_common(1)[0][1]  # capacity ≫ distinct → exact
+
+    # deterministic sample: same whatever the partitioning
+    s1 = deterministic_sample(ds, "doc_id", k=10)
+    s2 = deterministic_sample(ds.repartition(7), "doc_id", k=10)
+    assert s1 == s2 and len(s1) == 10
