@@ -50,8 +50,13 @@ def extract_pages(
     num_partitions: int = DEFAULT_NUM_PARTITIONS,
     out_dir: str | None = None,
     resume: bool = True,
+    num_cpus: float = 1.0,
 ) -> ray.data.Dataset:
     """Run the extraction actor pool over a pages Dataset.
+
+    ``num_cpus`` sets the per-actor CPU reservation (per-stage resource
+    sizing: raise it for a heavier model-backed extractor so
+    concurrency × num_cpus still fits the node).
 
     With ``out_dir`` the result is written as hash-partitioned parquet
     with done markers (resumable: already-marked partitions are filtered
@@ -89,6 +94,7 @@ def extract_pages(
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
+        num_cpus=num_cpus,
     )
 
     if out_dir is None:
