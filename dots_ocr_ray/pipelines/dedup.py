@@ -45,6 +45,12 @@ from dots_ocr_ray.kernel.textops import md5_hex
 from dots_ocr_ray.util import autoscale_pool
 
 
+HOT_BUCKET_CAP = 64
+"""Above this size a candidate bucket switches from full pairwise
+verification (O(n^2)) to star-linking vs its min doc (O(n)) — the
+hot-key guard for duplicate-heavy corpora (SURVEY §7.4 hard part 6)."""
+
+
 # ---------------------------------------------------------------------------
 # exact dedup
 def exact_dedup(
@@ -191,12 +197,25 @@ def minhash_lsh_dedup(
         sig_arrays = [np.frombuffer(s, dtype=np.uint64) for s in group.column("sig").to_pylist()]
         a_out, b_out = [], []
         order = np.argsort(docs)
-        for ii in range(len(order)):
-            for jj in range(ii + 1, len(order)):
-                i, j = order[ii], order[jj]
-                if MinHasher.jaccard_estimate(sig_arrays[i], sig_arrays[j]) >= threshold:
-                    a_out.append(min(docs[i], docs[j]))
-                    b_out.append(max(docs[i], docs[j]))
+        if len(order) <= HOT_BUCKET_CAP:
+            # small bucket: full pairwise verification
+            for ii in range(len(order)):
+                for jj in range(ii + 1, len(order)):
+                    i, j = order[ii], order[jj]
+                    if MinHasher.jaccard_estimate(sig_arrays[i], sig_arrays[j]) >= threshold:
+                        a_out.append(min(docs[i], docs[j]))
+                        b_out.append(max(docs[i], docs[j]))
+        else:
+            # HOT bucket (e.g. a 30%-of-corpus duplicate cluster): full
+            # pairwise is O(n^2).  Star-link every member against the
+            # bucket's min doc instead — O(n); near-dups missed by one
+            # star are recovered by the other 31 bands' buckets.
+            pivot = order[0]
+            for jj in range(1, len(order)):
+                j = order[jj]
+                if MinHasher.jaccard_estimate(sig_arrays[pivot], sig_arrays[j]) >= threshold:
+                    a_out.append(min(docs[pivot], docs[j]))
+                    b_out.append(max(docs[pivot], docs[j]))
         return pa.table({"a": pa.array(a_out, type=pa.int64()), "b": pa.array(b_out, type=pa.int64())})
 
     pairs_ds = bands_ds.groupby(["band_id", "band_key"]).map_groups(_bucket_pairs, batch_format="pyarrow")
@@ -255,11 +274,20 @@ def simhash_dedup(
         docs = group.column("doc_id").to_pylist()
         hs = group.column("simhash").to_pylist()
         a_out, b_out = [], []
-        for i in range(len(docs)):
-            for j in range(i + 1, len(docs)):
-                if docs[i] != docs[j] and hamming64(hs[i], hs[j]) <= max_hamming:
-                    a_out.append(min(docs[i], docs[j]))
-                    b_out.append(max(docs[i], docs[j]))
+        if len(docs) <= HOT_BUCKET_CAP:
+            for i in range(len(docs)):
+                for j in range(i + 1, len(docs)):
+                    if docs[i] != docs[j] and hamming64(hs[i], hs[j]) <= max_hamming:
+                        a_out.append(min(docs[i], docs[j]))
+                        b_out.append(max(docs[i], docs[j]))
+        else:
+            # hot bucket: star-link vs the min doc (see minhash note)
+            order = sorted(range(len(docs)), key=lambda k: docs[k])
+            pivot = order[0]
+            for j in order[1:]:
+                if docs[pivot] != docs[j] and hamming64(hs[pivot], hs[j]) <= max_hamming:
+                    a_out.append(min(docs[pivot], docs[j]))
+                    b_out.append(max(docs[pivot], docs[j]))
         return pa.table({"a": pa.array(a_out, type=pa.int64()), "b": pa.array(b_out, type=pa.int64())})
 
     pairs_ds = (
@@ -360,13 +388,23 @@ def embedding_dedup(
         if len(docs) < 2:
             return pa.table({"a": pa.array([], type=pa.int64()), "b": pa.array([], type=pa.int64())})
         mat = np.stack([np.frombuffer(u, dtype=np.float32) for u in group.column("unit").to_pylist()])
-        sims = mat @ mat.T
         a_out, b_out = [], []
-        for i in range(len(docs)):
-            for j in range(i + 1, len(docs)):
-                if sims[i, j] >= threshold:
-                    a_out.append(min(docs[i], docs[j]))
-                    b_out.append(max(docs[i], docs[j]))
+        if len(docs) <= HOT_BUCKET_CAP:
+            sims = mat @ mat.T
+            for i in range(len(docs)):
+                for j in range(i + 1, len(docs)):
+                    if sims[i, j] >= threshold:
+                        a_out.append(min(docs[i], docs[j]))
+                        b_out.append(max(docs[i], docs[j]))
+        else:
+            # hot bucket: one matvec against the min doc instead of n^2
+            order = sorted(range(len(docs)), key=lambda k: docs[k])
+            pivot = order[0]
+            sims = mat @ mat[pivot]
+            for j in order[1:]:
+                if sims[j] >= threshold:
+                    a_out.append(min(docs[pivot], docs[j]))
+                    b_out.append(max(docs[pivot], docs[j]))
         return pa.table({"a": pa.array(a_out, type=pa.int64()), "b": pa.array(b_out, type=pa.int64())})
 
     pairs_ds = buckets.groupby("bucket").map_groups(_pairs, batch_format="pyarrow")

@@ -92,3 +92,23 @@ def test_embedding_dedup(ray_session):
     cl = dict(zip(out.doc_id, out.cluster_id))
     assert cl[0] == cl[1] == cl[2] == 0
     assert cl[3] == 3
+
+
+def test_hot_duplicate_cluster_is_linear(ray_session):
+    """A duplicate cluster holding 30% of the corpus must not trigger
+    O(n^2) pairwise verification in its LSH buckets (star-link guard)."""
+    import time
+
+    rows = []
+    for i in range(2000):
+        if i % 3 == 0:
+            rows.append({"doc_id": i, "text": BASE})  # ~667 identical docs
+        else:
+            rows.append({"doc_id": i, "text": f"{OTHER} variant {i} " + "pad " * (i % 7)})
+    t0 = time.perf_counter()
+    out = minhash_lsh_dedup(ray.data.from_items(rows), threshold=0.8).to_pandas()
+    elapsed = time.perf_counter() - t0
+    cl = dict(zip(out.doc_id, out.cluster_id))
+    heavy = [i for i in range(2000) if i % 3 == 0]
+    assert all(cl[i] == 0 for i in heavy)  # whole hot cluster collapses to min id
+    assert elapsed < 60  # star-linking keeps hot buckets O(n)
