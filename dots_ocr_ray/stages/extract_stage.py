@@ -39,9 +39,20 @@ class ExtractorActor:
     processes one Arrow batch zero-copy in, Arrow out.
     """
 
-    def __init__(self, config: ExtractConfig | None = None, num_partitions: int = 64):
+    def __init__(
+        self,
+        config: ExtractConfig | None = None,
+        num_partitions: int = 64,
+        kernel_fn=None,
+    ):
+        """``kernel_fn(url, html, text, config) -> result dict`` swaps
+        the extraction strategy — the reference's interchangeable-engine
+        seam (PdfOcrTask vs PipeOcrTask behind one task API,
+        app/utils/executor/ocr_task.py:247-361 vs :438-634, toggled by
+        PARSE_WITH_PIPELINE).  Default: the built-in heuristic kernel."""
         self.config = config or ExtractConfig()
         self.num_partitions = num_partitions
+        self.kernel_fn = kernel_fn or extract_page
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         t0 = time.perf_counter()
@@ -65,7 +76,7 @@ class ExtractorActor:
             # row-level containment: a pathological row degrades, never
             # poisons the block (reference fail-soft stance, SURVEY §4)
             try:
-                res = extract_page(url, html, text, self.config)
+                res = self.kernel_fn(url, html, text, self.config)
             except Exception:
                 res = {
                     "url": url,

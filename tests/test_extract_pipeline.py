@@ -118,3 +118,30 @@ def test_mega_page_flows_through(ray_session):
     assert len(out) == 1
     assert out.status[0] == "finished"
     assert len(out.extracted_text[0]) > 1_000_000
+
+
+def test_pluggable_extractor_strategy(ray_session):
+    """Custom kernel_fn swaps the extraction engine behind the same
+    stage API (the reference's PdfOcrTask/PipeOcrTask toggle)."""
+    from dots_ocr_ray.stages.extract_stage import ExtractorActor
+
+    def shouty_kernel(url, html, text, config):
+        return {
+            "url": url,
+            "extracted_text": (text or "").upper(),
+            "extracted_text_nohf": (text or "").upper(),
+            "spans": [],
+            "status": "finished",
+        }
+
+    pages = make_pages_table(8, seed=42)
+    ds = ray.data.from_arrow(pages)
+    out = ds.map_batches(
+        ExtractorActor,
+        fn_constructor_kwargs={"kernel_fn": shouty_kernel},
+        batch_format="pyarrow",
+        batch_size=4,
+        concurrency=2,
+    ).to_pandas()
+    assert len(out) == 8
+    assert all(t == t.upper() for t in out.extracted_text)
