@@ -63,6 +63,37 @@ def cmd_extract(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_dedup(args: argparse.Namespace) -> int:
+    import ray.data
+
+    from dots_ocr_ray.pipelines.dedup import exact_dedup, minhash_lsh_dedup, simhash_dedup
+
+    _ensure_ray()
+    ds = ray.data.read_parquet(args.input, columns=[args.id_col, args.text_col])
+    if args.method == "exact":
+        out = exact_dedup(ds, text_col=args.text_col, id_col=args.id_col)
+    elif args.method == "minhash":
+        out = minhash_lsh_dedup(ds, text_col=args.text_col, id_col=args.id_col, threshold=args.threshold)
+    else:
+        out = simhash_dedup(ds, text_col=args.text_col, id_col=args.id_col)
+    out.write_parquet(args.out)
+    print(json.dumps({"out": args.out, "rows": out.count(), "method": args.method}))
+    return 0
+
+
+def cmd_annotate(args: argparse.Namespace) -> int:
+    import ray.data
+
+    from dots_ocr_ray.pipelines.text_analysis import annotate_documents
+
+    _ensure_ray()
+    ds = ray.data.read_parquet(args.input)
+    out = annotate_documents(ds, text_col=args.text_col)
+    out.write_parquet(args.out)
+    print(json.dumps({"out": args.out, "rows": out.count()}))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="dots_ocr_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -80,6 +111,21 @@ def main(argv: list[str] | None = None) -> int:
     ex.add_argument("--rebuild-directory", action="store_true")
     ex.add_argument("--overwrite", action="store_true", help="ignore existing done markers")
     ex.set_defaults(fn=cmd_extract)
+
+    dd = sub.add_parser("dedup", help="corpus dedup over a documents table")
+    dd.add_argument("--input", required=True)
+    dd.add_argument("--out", required=True)
+    dd.add_argument("--method", default="exact", choices=["exact", "minhash", "simhash"])
+    dd.add_argument("--text-col", default="text")
+    dd.add_argument("--id-col", default="doc_id")
+    dd.add_argument("--threshold", type=float, default=0.8)
+    dd.set_defaults(fn=cmd_dedup)
+
+    an = sub.add_parser("annotate", help="add lang/quality/token/fingerprint columns")
+    an.add_argument("--input", required=True)
+    an.add_argument("--out", required=True)
+    an.add_argument("--text-col", default="text")
+    an.set_defaults(fn=cmd_annotate)
 
     args = p.parse_args(argv)
     return args.fn(args)
