@@ -46,3 +46,29 @@ def test_cleaner_total(s):
 def test_cleaner_list_total(lst):
     out = clean_model_output(lst)
     assert isinstance(out, list)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(max_size=400), st.integers(8, 64), st.integers(0, 7))
+def test_chunk_offsets_always_trace_back(text, chunk_tokens, overlap):
+    from dots_ocr_ray.pipelines.chunking import chunk_text
+
+    chunks = chunk_text(text, chunk_tokens, overlap)
+    joined_tokens = 0
+    for s, e, c in chunks:
+        assert text[s:e] == c
+        joined_tokens += len(c.split())
+    if text.split():
+        assert chunks  # non-empty text always yields at least one chunk
+        # full coverage: last chunk ends at the last token's end
+        assert chunks[-1][2].split()[-1] == text.split()[-1]
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(max_size=300))
+def test_scrub_idempotent(text):
+    from dots_ocr_ray.functions.scrub import scrub_text
+
+    once, _ = scrub_text(text)
+    twice, counts = scrub_text(once)
+    assert twice == once or counts  # re-scrubbing stable output changes nothing
