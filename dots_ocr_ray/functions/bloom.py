@@ -3,9 +3,11 @@
 At 10^12 documents the "completed urls" / "already-seen keys" side of a
 resume or dedup anti-join no longer fits as a plain Python set in every
 task.  A Bloom filter keeps the broadcast payload at ~1.2 GB per 10^9
-keys at 1% false positives — and for ANTI-join semantics (skip work
-that was already done) a false positive only means redoing one row's
-work, never losing data.
+keys at 1% false positives.  Both joins are APPROXIMATE in one
+direction: a false positive makes the anti-join wrongly SKIP (and the
+semi-join wrongly keep) ~fp_rate of the not-in-set keys, so when
+completeness matters the output must be exact-verified against the
+true key set downstream; false negatives never occur.
 
 Pure numpy + blake2b: deterministic across processes, ships through
 ``ray.put`` once, read per actor/task.
@@ -61,11 +63,16 @@ class BloomFilter:
 def bloom_anti_join(
     ds: ray.data.Dataset, bloom: BloomFilter, key_col: str = "url"
 ) -> ray.data.Dataset:
-    """Drop rows whose key is (probably) in the filter — the scalable
-    resume/skip filter.  False positives skip a row that wasn't done
-    (that row's work is lost, not its data: rerun semantics); false
-    negatives cannot occur, so nothing done is ever redone silently
-    wrong."""
+    """Drop rows whose key is (probably) in the filter — APPROXIMATE.
+
+    A Bloom false positive (~``fp_rate`` of the not-in-set keys) makes
+    this DROP a row that was never processed, so that row's output is
+    permanently missing from this run.  Use it as a cheap first-pass
+    skip filter only; when completeness matters, exact-verify the
+    dropped side against the true done-set downstream (e.g. the marker
+    manifest or an exact key table) before declaring the job complete.
+    False negatives cannot occur: every key actually in the filter is
+    always dropped."""
     bloom_ref = ray.put(bloom)
 
     class _Filter:

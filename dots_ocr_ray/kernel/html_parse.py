@@ -51,6 +51,11 @@ DROP_TAGS = frozenset(
 )
 # script/style/template content is raw text (no nested markup parsing)
 _RAWTEXT_TAGS = frozenset(["script", "style", "template"])
+# precompiled case-insensitive close-tag finders: locating </script> must
+# not lowercase the whole document per tag (O(n*tags) on script-heavy
+# pages); a regex search from pos keeps offsets exact even for unicode
+# whose str.lower() changes length
+_RAWTEXT_CLOSE_RE = {t: re.compile(f"</{t}", re.IGNORECASE) for t in _RAWTEXT_TAGS}
 
 # Class/id substrings marking boilerplate containers
 # (trafilatura-style blocklist; FIXTURES.md §2).
@@ -178,8 +183,8 @@ def _scan(html_text: str, extra_re=None) -> list[Block]:
         if not closing:
             # rawtext elements: skip straight to the closing tag
             if tag in _RAWTEXT_TAGS:
-                close = html_text.lower().find(f"</{tag}", pos)
-                pos = n if close == -1 else html_text.find(">", close) + 1 or n
+                cm2 = _RAWTEXT_CLOSE_RE[tag].search(html_text, pos)
+                pos = n if cm2 is None else (html_text.find(">", cm2.start()) + 1 or n)
                 continue
             if drop_depth:
                 if tag not in _VOID_TAGS and not self_closing:

@@ -28,7 +28,11 @@ from dots_ocr_ray.kernel.extract import ExtractConfig
 from dots_ocr_ray.kernel.textops import md5_hex
 from dots_ocr_ray.schema import METRICS_SCHEMA, TASK_FAIL_THRESHOLD
 from dots_ocr_ray.stages.extract_stage import ExtractorActor, url_partition_id
-from dots_ocr_ray.state.manifest import completed_partitions, write_partition_atomic
+from dots_ocr_ray.state.manifest import (
+    completed_partitions,
+    list_partition_files,
+    write_partition_atomic,
+)
 
 DEFAULT_NUM_PARTITIONS = 64
 
@@ -101,10 +105,14 @@ def extract_pages(
         return extracted
 
     write_extracted(extracted, out_dir, num_partitions=num_partitions)
-    import glob as _glob
-    import os as _os
+    part_files = list_partition_files(out_dir)
+    if not part_files:
+        # empty corpus (or every partition filtered by resume AND no
+        # prior output): an empty dataset with the result schema, not a
+        # read_parquet([]) ValueError
+        from dots_ocr_ray.schema import RESULT_SCHEMA
 
-    part_files = sorted(_glob.glob(_os.path.join(out_dir, "part-*.parquet")))
+        return ray.data.from_arrow(RESULT_SCHEMA.empty_table())
     return ray.data.read_parquet(part_files)
 
 
@@ -139,7 +147,16 @@ def write_extracted(
 
     import pyarrow.parquet as pq
 
-    stage_dir = os.path.join(out_dir, "_staging")
+    # per-RUN staging subdir: a crashed previous run leaves its staging
+    # files behind, and compacting those together with this run's rows
+    # silently duplicates data (the marker md5 is computed over the
+    # duplicated table, so the corruption would be undetectable).  A
+    # unique run dir means phase 2 only ever sees this run's files;
+    # stale run dirs are swept here, before any new staging is written.
+    root_stage = os.path.join(out_dir, "_staging")
+    if os.path.isdir(root_stage):
+        shutil.rmtree(root_stage, ignore_errors=True)
+    stage_dir = os.path.join(root_stage, uuid.uuid4().hex)
     os.makedirs(stage_dir, exist_ok=True)
 
     def _stage(batch: pa.Table) -> pa.Table:
@@ -184,7 +201,7 @@ def write_extracted(
         _compact, batch_format="pyarrow", batch_size=1
     )
     metrics = pa.Table.from_pylist(metrics_ds.take_all(), schema=METRICS_SCHEMA)
-    shutil.rmtree(stage_dir, ignore_errors=True)
+    shutil.rmtree(root_stage, ignore_errors=True)
     return metrics
 
 

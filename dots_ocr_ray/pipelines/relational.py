@@ -140,8 +140,10 @@ def top_customers_by_spend(sf_dir: str, k: int = 10) -> pa.Table:
         return batch.group_by("o_custkey").aggregate([("o_totalprice", "sum")])
 
     agg = orders.map_batches(_partial, batch_format="pyarrow").groupby("o_custkey").sum("o_totalprice_sum")
-    # per-customer totals are |customers| rows — sort the small side only
-    topk = agg.sort("sum(o_totalprice_sum)", descending=True).limit(k)
+    # per-customer totals are |customers| rows — sort the small side
+    # only; o_custkey tiebreak matches the oracle's ORDER BY so a tie
+    # at the k boundary stays deterministic
+    topk = agg.sort(["sum(o_totalprice_sum)", "o_custkey"], descending=[True, False]).limit(k)
     tbl = pa.Table.from_pylist(topk.take_all())
     tbl = tbl.rename_columns(["o_custkey", "total_spend"])
     return tbl.set_column(1, "total_spend", pc.round(tbl.column("total_spend"), 2))

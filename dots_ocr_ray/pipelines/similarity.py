@@ -16,11 +16,12 @@ import heapq
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data
 
-from dots_ocr_ray.util import autoscale_pool
+from dots_ocr_ray.util import autoscale_pool, vec_matrix
 
 
 def _normalize_rows(mat: np.ndarray) -> np.ndarray:
@@ -69,8 +70,8 @@ class _BatchTopK:
         self.id_col = id_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        vecs = _normalize_rows(np.array(batch.column(self.vec_col).to_pylist(), dtype=np.float32))
-        ids = np.asarray(batch.column(self.id_col).to_pylist(), dtype=np.int64)
+        vecs = _normalize_rows(vec_matrix(batch.column(self.vec_col), dtype=np.float32))
+        ids = batch.column(self.id_col).to_numpy(zero_copy_only=False).astype(np.int64)
         sims = self.queries @ vecs.T  # (n_queries, batch)
         k = min(self.k, sims.shape[1])
         top = np.argpartition(-sims, k - 1, axis=1)[:, :k]
@@ -126,9 +127,13 @@ def ivf_topk(
 ) -> pa.Table:
     """IVF (inverted-file) approximate top-k — the classic scale path:
 
-    1. TRAIN (driver, tiny): deterministic k-means over a fixed sample
-       (first ``train_sample`` rows by id; seeded init from evenly
-       spaced sample points) → ``n_cells`` centroids.
+    1. TRAIN (driver, tiny): deterministic k-means over a uniform
+       hash-sample — the ``train_sample`` rows with the smallest Knuth
+       multiplicative hash of their id (a distributed bottom-k sketch:
+       per-batch partial bottom-k, tiny driver merge).  Unlike
+       ``limit(train_sample)`` this is insensitive to input order, so a
+       corpus sorted/clustered by content still trains unbiased
+       centroids.  Seeded init from evenly spaced sample points.
     2. ASSIGN+SCORE (distributed): the centroid matrix is broadcast;
        each batch assigns its vectors to cells and scores ONLY vectors
        whose cell is among each query's ``n_probe`` nearest cells.
@@ -138,9 +143,21 @@ def ivf_topk(
     """
     queries = np.asarray(queries, dtype=np.float32)
 
-    # --- train on a deterministic sample (driver-side; sample is tiny)
-    sample_tbl = pa.Table.from_pylist(ds.limit(train_sample).take_all())
-    sample = _normalize_rows(np.array(sample_tbl.column(vec_col).to_pylist(), dtype=np.float32))
+    # --- train on a deterministic uniform hash-sample (bottom-k by
+    # Knuth hash of the id): per-batch partial bottom-k keeps the
+    # driver merge at k × n_batches rows no matter the corpus size
+    def _bottomk(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        h = (ids * 2654435761) & 0xFFFFFFFF
+        take = np.argsort(h, kind="stable")[:train_sample]
+        sub = batch.take(pa.array(np.sort(take)))
+        hh = (sub.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64) * 2654435761) & 0xFFFFFFFF
+        return sub.append_column("_h", pa.array(hh, type=pa.int64()))
+
+    sample_tbl = pa.Table.from_pylist(ds.map_batches(_bottomk, batch_format="pyarrow").take_all())
+    order = pc.sort_indices(sample_tbl, sort_keys=[("_h", "ascending"), (id_col, "ascending")])
+    sample_tbl = sample_tbl.take(order).slice(0, train_sample)
+    sample = _normalize_rows(vec_matrix(sample_tbl.column(vec_col), dtype=np.float32))
     idx = np.linspace(0, len(sample) - 1, n_cells).astype(int)  # seeded/even init
     centroids = sample[idx].copy()
     for _ in range(kmeans_iters):
@@ -166,8 +183,8 @@ def ivf_topk(
             self.probe_sets = [set(row.tolist()) for row in self.probe]
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            vecs = _normalize_rows(np.array(batch.column(vec_col).to_pylist(), dtype=np.float32))
-            ids = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)
+            vecs = _normalize_rows(vec_matrix(batch.column(vec_col), dtype=np.float32))
+            ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
             cells = np.argmax(vecs @ self.centroids.T, axis=1)
             q_out, id_out, s_out = [], [], []
             for qi in range(len(self.queries)):
@@ -230,8 +247,8 @@ def lsh_topk(
             self.probe_keys = probe
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            vecs = np.array(batch.column(vec_col).to_pylist(), dtype=np.float32)
-            ids = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)
+            vecs = vec_matrix(batch.column(vec_col), dtype=np.float32)
+            ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
             bits = (vecs @ self.planes) > 0
             keys = bits @ (1 << np.arange(n_planes, dtype=np.int64))
             mask = np.fromiter((int(key) in self.probe_keys for key in keys), dtype=bool, count=len(keys))

@@ -12,6 +12,14 @@ Markers commit atomically *after* the partition file (write to a temp
 name, ``os.replace``, then marker) so a crashed run never leaves a
 marker for a half-written partition — resume skips exactly the
 partitions whose markers exist (SURVEY.md §7.4 hard part 5).
+
+All listing and marker IO goes through ``pyarrow.fs`` so ``out_dir``
+may be a filesystem URI (the reference's S6 object storage,
+storage.py:22-163): a bare path resolves to LocalFileSystem, an
+``s3://…``-style URI to the matching FileSystem.  On local paths the
+data file is still committed via tmp-name + ``os.replace``; on object
+stores the single-object PUT is already atomic and the marker (written
+last) remains the commit point either way.
 """
 
 from __future__ import annotations
@@ -21,9 +29,18 @@ import os
 import re
 
 import pyarrow as pa
+import pyarrow.fs as pafs
 import pyarrow.parquet as pq
 
 _MARKER_RE = re.compile(r"^part-(\d{5})\.done$")
+_PART_RE = re.compile(r"^part-(\d{5})\.parquet$")
+
+
+def resolve_fs(path: str) -> tuple[pafs.FileSystem, str]:
+    """(filesystem, fs-local path) for a bare path or URI."""
+    if "://" in path:
+        return pafs.FileSystem.from_uri(path)
+    return pafs.LocalFileSystem(), path
 
 
 def partition_file(out_dir: str, partition_id: int) -> str:
@@ -34,17 +51,33 @@ def marker_file(out_dir: str, partition_id: int) -> str:
     return os.path.join(out_dir, f"part-{partition_id:05d}.done")
 
 
+def _list_names(out_dir: str) -> dict[str, pafs.FileInfo]:
+    fs, root = resolve_fs(out_dir)
+    try:
+        infos = fs.get_file_info(pafs.FileSelector(root, recursive=False))
+    except (FileNotFoundError, OSError):
+        return {}
+    return {os.path.basename(fi.path): fi for fi in infos if fi.type == pafs.FileType.File}
+
+
 def completed_partitions(out_dir: str) -> set[int]:
     """Scan markers → set of finished partition ids (the S10 analog:
-    regex-scan of the output prefix, storage.py:199-228)."""
-    if not os.path.isdir(out_dir):
-        return set()
+    regex-scan of the output prefix, storage.py:199-228).  One listing
+    call serves both the marker and the data-file existence check."""
+    names = _list_names(out_dir)
     done = set()
-    for name in os.listdir(out_dir):
+    for name in names:
         m = _MARKER_RE.match(name)
-        if m and os.path.exists(partition_file(out_dir, int(m.group(1)))):
+        if m and f"part-{m.group(1)}.parquet" in names:
             done.add(int(m.group(1)))
     return done
+
+
+def list_partition_files(out_dir: str) -> list[str]:
+    """Sorted final partition files under out_dir (full paths/URIs)."""
+    names = _list_names(out_dir)
+    sep = "/" if "://" in out_dir else os.sep
+    return [out_dir.rstrip(sep) + sep + n for n in sorted(names) if _PART_RE.match(n)]
 
 
 def write_partition_atomic(
@@ -54,27 +87,42 @@ def write_partition_atomic(
     content_hash: str,
     extra: dict | None = None,
 ) -> None:
-    """Data file first (tmp + rename), marker last — marker presence
-    implies a complete, readable partition.  ``extra`` fields (e.g.
-    status counts) ride in the marker so resumed runs can rebuild the
-    metrics table without re-reading data."""
-    os.makedirs(out_dir, exist_ok=True)
-    final = partition_file(out_dir, partition_id)
-    tmp = final + ".tmp"
-    pq.write_table(table, tmp, compression="zstd")
-    os.replace(tmp, final)
+    """Data file first (tmp + rename on local fs, direct atomic PUT on
+    object stores), marker last — marker presence implies a complete,
+    readable partition.  ``extra`` fields (e.g. status counts) ride in
+    the marker so resumed runs can rebuild the metrics table without
+    re-reading data."""
+    fs, root = resolve_fs(out_dir)
+    fs.create_dir(root, recursive=True)
+    final = f"{root}/part-{partition_id:05d}.parquet"
+    local = isinstance(fs, pafs.LocalFileSystem)
+    if local:
+        tmp = final + ".tmp"
+        pq.write_table(table, tmp, compression="zstd")
+        os.replace(tmp, final)
+    else:
+        with fs.open_output_stream(final) as out:
+            pq.write_table(table, out, compression="zstd")
     meta = {"partition_id": partition_id, "rows": table.num_rows, "content_md5": content_hash}
     if extra:
         meta.update(extra)
-    mtmp = marker_file(out_dir, partition_id) + ".tmp"
-    with open(mtmp, "w", encoding="utf-8") as f:
-        json.dump(meta, f)
-    os.replace(mtmp, marker_file(out_dir, partition_id))
+    payload = json.dumps(meta).encode("utf-8")
+    marker = f"{root}/part-{partition_id:05d}.done"
+    if local:
+        mtmp = marker + ".tmp"
+        with open(mtmp, "wb") as f:
+            f.write(payload)
+        os.replace(mtmp, marker)
+    else:
+        with fs.open_output_stream(marker) as out:
+            out.write(payload)
 
 
 def read_marker(out_dir: str, partition_id: int) -> dict | None:
-    path = marker_file(out_dir, partition_id)
-    if not os.path.exists(path):
+    fs, root = resolve_fs(out_dir)
+    marker = f"{root}/part-{partition_id:05d}.done"
+    info = fs.get_file_info(marker)
+    if info.type != pafs.FileType.File:
         return None
-    with open(path, encoding="utf-8") as f:
-        return json.load(f)
+    with fs.open_input_stream(marker) as f:
+        return json.loads(f.read().decode("utf-8"))

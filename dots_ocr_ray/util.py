@@ -20,3 +20,26 @@ def autoscale_pool(reserve: int = 1, floor: int = 2) -> tuple[int, int]:
     """(min, max) actor-pool bounds: small jobs spin 1 actor instead of
     paying a full-width pool ramp; big jobs scale to CPUs-1."""
     return (1, default_pool_size(reserve, floor))
+
+
+def vec_matrix(col, dtype=None):
+    """(n, d) numpy matrix from an Arrow list/fixed_size_list column
+    without the to_pylist() Python round-trip (~10× on wide embedding
+    columns): flatten() yields the child values respecting offsets, and
+    for a rectangular embedding column a reshape is all that's left.
+    Nulls are not supported (embedding columns are dense by contract).
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    flat = col.flatten()
+    values = flat.to_numpy(zero_copy_only=False)
+    if dtype is not None:
+        values = np.asarray(values, dtype=dtype)
+    d = len(values) // max(1, n)
+    if n * d != len(values):
+        raise ValueError("vec_matrix requires a rectangular list column")
+    return values.reshape(n, d)

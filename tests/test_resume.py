@@ -61,6 +61,40 @@ def test_marker_carries_content_hash(ray_session, out_dir):
         assert meta["rows"] > 0 and len(meta["content_md5"]) == 32
 
 
+def test_stale_staging_not_compacted(ray_session, out_dir):
+    """A crashed run's leftover _staging files must NOT be folded into
+    the next run's partitions (they would silently duplicate rows, and
+    the marker md5 — computed over the duplicated table — would hide
+    it)."""
+    pages = make_pages_table(48, seed=7)
+    extract_pages(ray.data.from_arrow(pages), batch_size=8, out_dir=out_dir, num_partitions=8)
+    full = _read_all(out_dir)
+
+    # simulate a crash mid-phase-1: stale staging rows exist for a
+    # partition that ALSO gets re-extracted by the next run
+    stale_dir = os.path.join(out_dir, "_staging", "deadbeef")
+    os.makedirs(stale_dir, exist_ok=True)
+    victim = sorted(completed_partitions(out_dir))[0]
+    stale_rows = pq.read_table(os.path.join(out_dir, f"part-{victim:05d}.parquet"))
+    pq.write_table(stale_rows, os.path.join(stale_dir, f"{victim:05d}-stale.parquet"))
+    os.remove(os.path.join(out_dir, f"part-{victim:05d}.parquet"))
+    os.remove(os.path.join(out_dir, f"part-{victim:05d}.done"))
+
+    extract_pages(ray.data.from_arrow(pages), batch_size=8, out_dir=out_dir, num_partitions=8)
+    resumed = _read_all(out_dir)
+    assert resumed.num_rows == full.num_rows  # no duplicated rows
+    assert resumed.equals(full)
+
+
+def test_empty_corpus_returns_empty_dataset(ray_session, out_dir):
+    from dots_ocr_ray.schema import RESULT_SCHEMA
+
+    empty = make_pages_table(0, seed=1)
+    out = extract_pages(ray.data.from_arrow(empty), batch_size=8, out_dir=out_dir, num_partitions=4)
+    assert out.count() == 0
+    assert out.schema().names == RESULT_SCHEMA.names
+
+
 def test_no_marker_for_missing_data(tmp_path):
     # a marker without its data file must not count as completed
     d = str(tmp_path)
