@@ -7,29 +7,42 @@ engine needs the full family:
 
 * :func:`exact_dedup` — hash-partitioned groupby, first-by-key.
 * :func:`minhash_lsh_dedup` — shingle → minhash signature → banded LSH
-  buckets → candidate pairs → connected components.
+  buckets → candidate pairs → distributed verification → components.
 * :func:`simhash_dedup` — 64-bit simhash, pigeonhole block index,
   Hamming-distance verification.
 * :func:`ngram_jaccard_dedup` — LSH candidates verified with exact
-  character-n-gram Jaccard.
+  character-n-gram Jaccard (texts joined to pairs distributively).
 * :func:`embedding_dedup` — random-hyperplane LSH buckets + cosine
   verification over an embedding column.
 
 Scale notes (single-node test, multi-node design):
 - every stage is ``map_batches`` (vectorized, actor pool where state is
-  warm) and the only all-to-all exchanges are the bucket groupbys,
-  keyed by content hash — uniformly distributed by construction.
-- candidate PAIRS are a tiny fraction of the corpus (that is the point
-  of LSH), so the final connected-components runs on the driver over
-  pairs only; at 10^12 docs swap in iterative min-label propagation
-  (a few rounds of groupby-min) — the bucket stages are unchanged.
+  warm) and the all-to-all exchanges are keyed by content hash —
+  uniformly distributed by construction.
+- LSH band rows carry ONLY (band_id, band_key, doc_id) — never the
+  full signature.  Shipping the 1 KB signature through every band's
+  groupby would amplify the shuffle 32× at num_perm=128/bands=32;
+  instead candidate pairs are verified AFTER the bucket stage by
+  joining each pair back to the signature side-table
+  (:func:`attach_pair_payloads`) — one signature-sized exchange total.
+- connected components run distributed by default above a pair-count
+  cutoff (:func:`cluster_assign`): iterative min-label propagation as
+  a Dataset loop (2 keyed exchanges over edges+labels per round,
+  O(component diameter) rounds — near-dup components are stars/cliques
+  in practice, so 2-3 rounds).  Below the cutoff a driver union-find
+  over the PAIRS ONLY builds a small root map that is broadcast
+  (``ray.put``) and applied in a streaming ``map_batches`` — the
+  corpus ids themselves never materialize on the driver in either
+  path.
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
+import ray
 import ray.data
 
 from dots_ocr_ray.functions.hashing import (
@@ -42,13 +55,17 @@ from dots_ocr_ray.functions.hashing import (
     simhash_block_keys,
 )
 from dots_ocr_ray.kernel.textops import md5_hex
-from dots_ocr_ray.util import autoscale_pool
+from dots_ocr_ray.util import autoscale_pool, bounded_blocks, vec_matrix
 
 
 HOT_BUCKET_CAP = 64
 """Above this size a candidate bucket switches from full pairwise
-verification (O(n^2)) to star-linking vs its min doc (O(n)) — the
-hot-key guard for duplicate-heavy corpora (SURVEY §7.4 hard part 6)."""
+emission (O(n^2)) to star-linking vs its min doc (O(n)) — the hot-key
+guard for duplicate-heavy corpora (SURVEY §7.4 hard part 6)."""
+
+DRIVER_PAIR_LIMIT = 2_000_000
+"""cluster_assign(method="auto") switches from driver union-find to
+distributed label propagation above this many candidate pairs."""
 
 
 # ---------------------------------------------------------------------------
@@ -77,6 +94,142 @@ def exact_dedup(
 
 
 # ---------------------------------------------------------------------------
+# candidate-pair plumbing shared by the whole near-dup family
+
+
+def _empty_pairs() -> pa.Table:
+    return pa.table({"a": pa.array([], type=pa.int64()), "b": pa.array([], type=pa.int64())})
+
+
+def distinct_pairs(pairs_ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Deduplicate (a, b) candidate pairs across buckets/bands — one
+    keyed aggregate over the (small) pair set."""
+    counted = pairs_ds.groupby(["a", "b"]).count()
+
+    def _strip(batch: pa.Table) -> pa.Table:
+        return batch.select(["a", "b"])
+
+    return counted.map_batches(_strip, batch_format="pyarrow")
+
+
+def attach_pair_payloads(
+    pairs_ds: ray.data.Dataset,
+    payload_ds: ray.data.Dataset,
+    *,
+    id_col: str,
+    payload_col: str,
+    payload_type: pa.DataType,
+) -> ray.data.Dataset:
+    """(a, b) pairs + (id, payload) side-table → (a, b, payload_a,
+    payload_b) — a distributed two-sided join expressed as two keyed
+    exchanges, so pair verification never fetches payloads (signatures,
+    texts, vectors) to the driver and the payload table crosses the
+    wire exactly once per endpoint:
+
+    1. explode each pair into one row per endpoint, union with the
+       payload rows, group by endpoint id → every pair-endpoint row
+       picks up its payload;
+    2. group by (a, b) → the two endpoint rows meet and emit one
+       joined row.
+
+    (Ray's Dataset.join would express this directly, but its
+    hash-shuffle aggregator actors carry multi-second fixed costs and
+    can deadlock against busy actor pools on small CPU counts — the
+    union+groupby form costs two sort exchanges over the SMALL pair
+    side plus one over the payload table, with no actor pool.)
+
+    Pairs whose endpoint is missing from the side-table are dropped.
+    Callers should bound the block counts of both inputs
+    (``util.bounded_blocks``) — the exchanges here launch one task per
+    input block."""
+
+    def _sides(batch: pa.Table) -> pa.Table:
+        an = batch.column("a").to_numpy(zero_copy_only=False).astype(np.int64)
+        bn = batch.column("b").to_numpy(zero_copy_only=False).astype(np.int64)
+        node = np.concatenate([an, bn])
+        pa_ = np.concatenate([an, an])
+        pb_ = np.concatenate([bn, bn])
+        side = np.concatenate([np.zeros(len(an), np.int8), np.ones(len(bn), np.int8)])
+        return pa.table(
+            {
+                "node": pa.array(node, type=pa.int64()),
+                "pa": pa.array(pa_, type=pa.int64()),
+                "pb": pa.array(pb_, type=pa.int64()),
+                "side": pa.array(side, type=pa.int8()),
+                "payload": pa.nulls(len(node), type=payload_type),
+            }
+        )
+
+    def _tag_payload(batch: pa.Table) -> pa.Table:
+        neg = np.full(batch.num_rows, -1, dtype=np.int64)
+        return pa.table(
+            {
+                "node": batch.column(id_col).cast(pa.int64()),
+                "pa": pa.array(neg, type=pa.int64()),
+                "pb": pa.array(neg, type=pa.int64()),
+                "side": pa.array(np.full(batch.num_rows, -1, np.int8), type=pa.int8()),
+                "payload": batch.column(payload_col).cast(payload_type),
+            }
+        )
+
+    tagged = pairs_ds.map_batches(_sides, batch_format="pyarrow").union(
+        payload_ds.map_batches(_tag_payload, batch_format="pyarrow")
+    )
+
+    def _emit_per_node(group: pa.Table) -> pa.Table:
+        pas = group.column("pa")
+        is_payload = pc.equal(pas, -1)
+        own_rows = group.filter(is_payload)
+        pair_rows = group.filter(pc.invert(is_payload))
+        if own_rows.num_rows == 0 or pair_rows.num_rows == 0:
+            return pa.table(
+                {
+                    "pa": pa.array([], type=pa.int64()),
+                    "pb": pa.array([], type=pa.int64()),
+                    "side": pa.array([], type=pa.int8()),
+                    "payload": pa.array([], type=payload_type),
+                }
+            )
+        own = own_rows.column("payload")[0].as_py()
+        n = pair_rows.num_rows
+        return pa.table(
+            {
+                "pa": pair_rows.column("pa"),
+                "pb": pair_rows.column("pb"),
+                "side": pair_rows.column("side"),
+                "payload": pa.array([own] * n, type=payload_type),
+            }
+        )
+
+    per_node = tagged.groupby("node").map_groups(_emit_per_node, batch_format="pyarrow")
+
+    def _pair_row(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "a": pa.array([], type=pa.int64()),
+                "b": pa.array([], type=pa.int64()),
+                "payload_a": pa.array([], type=payload_type),
+                "payload_b": pa.array([], type=payload_type),
+            }
+        )
+        if group.num_rows < 2:
+            return empty  # one endpoint had no payload row
+        group = group.sort_by("side")
+        if group.column("side")[0].as_py() != 0 or group.column("side")[1].as_py() != 1:
+            return empty
+        return pa.table(
+            {
+                "a": group.column("pa").slice(0, 1),
+                "b": group.column("pb").slice(0, 1),
+                "payload_a": group.column("payload").slice(0, 1),
+                "payload_b": group.column("payload").slice(1, 1),
+            }
+        )
+
+    return per_node.groupby(["pa", "pb"]).map_groups(_pair_row, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
 # connected components over candidate pairs
 class _UnionFind:
     def __init__(self):
@@ -99,24 +252,185 @@ class _UnionFind:
             self.parent[hi] = lo
 
 
-def _clusters_from_pairs(ids: list[int], pairs: list[tuple[int, int]]) -> pa.Table:
-    """(id, cluster_id) assignment; cluster_id = min member id."""
+def _root_map_from_pairs(pairs: list[tuple[int, int]]) -> dict[int, int]:
+    """node → min id of its component, for nodes appearing in pairs."""
     uf = _UnionFind()
-    for i in ids:
-        uf.find(i)
     for a, b in pairs:
         uf.union(a, b)
-    # path-compress to the true min root
     roots: dict[int, int] = {}
-    for i in ids:
-        r = uf.find(i)
-        roots[r] = min(roots.get(r, i), i)
-    return pa.table(
-        {
-            "doc_id": pa.array(sorted(ids), type=pa.int64()),
-            "cluster_id": pa.array([roots[uf.find(i)] for i in sorted(ids)], type=pa.int64()),
-        }
+    for node in uf.parent:
+        r = uf.find(node)
+        roots[r] = min(roots.get(r, node), node)
+    return {node: roots[uf.find(node)] for node in uf.parent}
+
+
+def _propagate_labels(pairs_ds: ray.data.Dataset, max_rounds: int) -> ray.data.Dataset:
+    """Distributed min-label propagation over the candidate-pair graph
+    → (node, label) with label = min node id of the component.
+
+    Each round is two keyed exchanges (send own label along every edge,
+    then min-combine per node) over the edges+labels only — never the
+    corpus.  Converges in O(component diameter) rounds; the label sum
+    is strictly decreasing until the fixpoint, which is the
+    convergence test."""
+
+    def _edges(batch: pa.Table) -> pa.Table:
+        an = batch.column("a").to_numpy(zero_copy_only=False).astype(np.int64)
+        bn = batch.column("b").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([an, bn]), type=pa.int64()),
+                "dst": pa.array(np.concatenate([bn, an]), type=pa.int64()),
+            }
+        )
+
+    edges = bounded_blocks(pairs_ds.map_batches(_edges, batch_format="pyarrow"), rows_per_block=262144)
+
+    def _nodes(batch: pa.Table) -> pa.Table:
+        return pa.table({"node": batch.column("src")})
+
+    def _self_label(batch: pa.Table) -> pa.Table:
+        return pa.table({"node": batch.column("node"), "label": batch.column("node")})
+
+    labels = (
+        edges.map_batches(_nodes, batch_format="pyarrow")
+        .groupby("node")
+        .count()
+        .map_batches(_self_label, batch_format="pyarrow")
+        .materialize()
     )
+
+    def _label_rows(batch: pa.Table) -> pa.Table:
+        neg = np.full(batch.num_rows, -1, dtype=np.int64)
+        return pa.table(
+            {
+                "key": batch.column("node"),
+                "dst": pa.array(neg, type=pa.int64()),
+                "label": batch.column("label"),
+            }
+        )
+
+    def _edge_rows(batch: pa.Table) -> pa.Table:
+        neg = np.full(batch.num_rows, -1, dtype=np.int64)
+        return pa.table(
+            {
+                "key": batch.column("src"),
+                "dst": batch.column("dst"),
+                "label": pa.array(neg, type=pa.int64()),
+            }
+        )
+
+    def _send(group: pa.Table) -> pa.Table:
+        dsts = group.column("dst").to_pylist()
+        labs = group.column("label").to_pylist()
+        own_candidates = [l for d, l in zip(dsts, labs) if d == -1]
+        if not own_candidates:
+            return pa.table(
+                {"node": pa.array([], type=pa.int64()), "label": pa.array([], type=pa.int64())}
+            )
+        own = min(own_candidates)
+        key = group.column("key")[0].as_py()
+        nodes_out = [key] + [d for d in dsts if d != -1]
+        return pa.table(
+            {
+                "node": pa.array(nodes_out, type=pa.int64()),
+                "label": pa.array([own] * len(nodes_out), type=pa.int64()),
+            }
+        )
+
+    def _rename_min(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["node", "label"])
+
+    prev_total = None
+    for _ in range(max_rounds):
+        msgs = (
+            labels.map_batches(_label_rows, batch_format="pyarrow")
+            .union(edges.map_batches(_edge_rows, batch_format="pyarrow"))
+            .groupby("key")
+            .map_groups(_send, batch_format="pyarrow")
+        )
+        labels = (
+            msgs.groupby("node").min("label").map_batches(_rename_min, batch_format="pyarrow")
+        ).materialize()
+        total = labels.sum("label")
+        if total == prev_total:
+            return labels
+        prev_total = total
+    raise RuntimeError(
+        f"label propagation did not converge in {max_rounds} rounds "
+        "(pathological component diameter — raise max_rounds)"
+    )
+
+
+def cluster_assign(
+    ids_ds: ray.data.Dataset,
+    pairs_ds: ray.data.Dataset,
+    *,
+    id_col: str = "doc_id",
+    method: str = "auto",
+    driver_pair_limit: int = DRIVER_PAIR_LIMIT,
+    max_rounds: int = 64,
+) -> ray.data.Dataset:
+    """(doc_id, cluster_id) for EVERY id in ``ids_ds``; cluster_id =
+    min doc id of the candidate-pair component (singletons map to
+    themselves).
+
+    ``method="driver"``: union-find over the pairs only (never the
+    corpus ids) → small root map broadcast via ``ray.put`` → streaming
+    ``map_batches`` assignment.  ``method="distributed"``: min-label
+    propagation (:func:`_propagate_labels`) then one keyed min-combine
+    of (ids ∪ labels).  ``"auto"`` picks by pair count."""
+    pairs_ds = bounded_blocks(pairs_ds, rows_per_block=262144)
+    n_pairs = pairs_ds.count()
+    if method == "auto":
+        method = "driver" if n_pairs <= driver_pair_limit else "distributed"
+
+    if n_pairs == 0:
+
+        def _identity(batch: pa.Table) -> pa.Table:
+            ids = batch.column(id_col).cast(pa.int64())
+            return pa.table({"doc_id": ids, "cluster_id": ids})
+
+        return ids_ds.map_batches(_identity, batch_format="pyarrow")
+
+    if method == "driver":
+        pairs = [(r["a"], r["b"]) for r in pairs_ds.take_all()]
+        roots_ref = ray.put(_root_map_from_pairs(pairs))
+
+        class _Assign:
+            def __init__(self):
+                self.roots = ray.get(roots_ref)
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                ids = batch.column(id_col).to_pylist()
+                return pa.table(
+                    {
+                        "doc_id": pa.array(ids, type=pa.int64()),
+                        "cluster_id": pa.array(
+                            [self.roots.get(i, i) for i in ids], type=pa.int64()
+                        ),
+                    }
+                )
+
+        return ids_ds.map_batches(_Assign, batch_format="pyarrow", concurrency=(1, 4))
+
+    labels = _propagate_labels(pairs_ds, max_rounds)
+
+    def _ids_as_labels(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).cast(pa.int64())
+        return pa.table({"doc_id": ids, "label": ids})
+
+    def _labels_renamed(batch: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": batch.column("node"), "label": batch.column("label")})
+
+    unioned = ids_ds.map_batches(_ids_as_labels, batch_format="pyarrow").union(
+        labels.map_batches(_labels_renamed, batch_format="pyarrow")
+    )
+
+    def _rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["doc_id", "cluster_id"])
+
+    return unioned.groupby("doc_id").min("label").map_batches(_rename, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -144,6 +458,100 @@ class MinHashSignatures:
         )
 
 
+def minhash_candidate_pairs(
+    ds: ray.data.Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 128,
+    bands: int = 32,
+    shingle_k: int = 5,
+    threshold: float = 0.8,
+    concurrency: int | tuple[int, int] | None = None,
+) -> ray.data.Dataset:
+    """Verified MinHash near-dup pairs → (a, b) with est-Jaccard ≥
+    threshold.
+
+    shingle→minhash per batch (actor pool; signatures materialized once
+    as the side-table — at extreme scale persist them to parquet
+    instead) → lite (band_id, band_key, doc_id) rows → bucket groupby
+    emitting UNVERIFIED candidate pairs (star-capped on hot buckets) →
+    distinct → signature join (:func:`attach_pair_payloads`) →
+    vectorized est-Jaccard filter."""
+    concurrency = concurrency or autoscale_pool()
+    sigs = ds.map_batches(
+        MinHashSignatures,
+        fn_constructor_kwargs={"text_col": text_col, "id_col": id_col, "num_perm": num_perm, "shingle_k": shingle_k},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+    # materialize + coalesce: the signature table is the side-table for
+    # verification AND the band-explode input; tiny-block inputs (e.g.
+    # from_items) would otherwise fan every downstream exchange into
+    # hundreds of per-block tasks
+    sigs = bounded_blocks(sigs)
+
+    def _explode_bands(batch: pa.Table) -> pa.Table:
+        band_ids, band_keys, doc_ids = [], [], []
+        for doc_id, sig_bytes in zip(batch.column("doc_id").to_pylist(), batch.column("sig").to_pylist()):
+            sig = np.frombuffer(sig_bytes, dtype=np.uint64)
+            for b, key in enumerate(MinHasher.band_keys(sig, bands)):
+                band_ids.append(b)
+                band_keys.append(key)
+                doc_ids.append(doc_id)
+        return pa.table(
+            {
+                "band_id": pa.array(band_ids, type=pa.int32()),
+                "band_key": pa.array(band_keys, type=pa.uint64()),
+                "doc_id": pa.array(doc_ids, type=pa.int64()),
+            }
+        )
+
+    bands_ds = sigs.map_batches(_explode_bands, batch_format="pyarrow")
+
+    def _bucket_pairs(group: pa.Table) -> pa.Table:
+        docs = sorted(group.column("doc_id").to_pylist())
+        if len(docs) < 2:
+            return _empty_pairs()
+        a_out, b_out = [], []
+        if len(docs) <= HOT_BUCKET_CAP:
+            # small bucket: all pairs (verified downstream)
+            for i in range(len(docs)):
+                for j in range(i + 1, len(docs)):
+                    a_out.append(docs[i])
+                    b_out.append(docs[j])
+        else:
+            # HOT bucket (e.g. a 30%-of-corpus duplicate cluster): full
+            # pairwise is O(n^2).  Star-link every member against the
+            # bucket's min doc instead — O(n); near-dups missed by one
+            # star are recovered by the other bands' buckets.
+            pivot = docs[0]
+            for j in docs[1:]:
+                a_out.append(pivot)
+                b_out.append(j)
+        return pa.table({"a": pa.array(a_out, type=pa.int64()), "b": pa.array(b_out, type=pa.int64())})
+
+    cand = bands_ds.groupby(["band_id", "band_key"]).map_groups(_bucket_pairs, batch_format="pyarrow")
+    cand = bounded_blocks(distinct_pairs(cand), rows_per_block=262144)
+    with_sigs = attach_pair_payloads(
+        cand, sigs, id_col="doc_id", payload_col="sig", payload_type=pa.binary()
+    )
+
+    def _verify(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _empty_pairs()
+        keep = [
+            MinHasher.jaccard_estimate(
+                np.frombuffer(sa, dtype=np.uint64), np.frombuffer(sb, dtype=np.uint64)
+            )
+            >= threshold
+            for sa, sb in zip(batch.column("payload_a").to_pylist(), batch.column("payload_b").to_pylist())
+        ]
+        return batch.select(["a", "b"]).filter(pa.array(keep, type=pa.bool_()))
+
+    return with_sigs.map_batches(_verify, batch_format="pyarrow")
+
+
 def minhash_lsh_dedup(
     ds: ray.data.Dataset,
     *,
@@ -153,77 +561,26 @@ def minhash_lsh_dedup(
     bands: int = 32,
     shingle_k: int = 5,
     threshold: float = 0.8,
-    concurrency: int | None = None,
+    concurrency: int | tuple[int, int] | None = None,
+    cc_method: str = "auto",
 ) -> ray.data.Dataset:
     """MinHash+LSH near-dup clustering → (doc_id, cluster_id).
 
-    shingle→minhash per batch (actor pool) → explode to
-    (band_id, band_key) rows → bucket groupby → pairwise signature
-    verification inside each bucket (est. Jaccard ≥ threshold) →
-    connected components.  Docs with no near-dup get cluster_id ==
-    doc_id."""
-    concurrency = concurrency or autoscale_pool()
-    sigs = ds.map_batches(
-        MinHashSignatures,
-        fn_constructor_kwargs={"text_col": text_col, "id_col": id_col, "num_perm": num_perm, "shingle_k": shingle_k},
-        batch_format="pyarrow",
+    Candidate pairs via :func:`minhash_candidate_pairs`; components via
+    :func:`cluster_assign` (driver union-find under the pair cutoff,
+    distributed min-label propagation above it).  Docs with no near-dup
+    get cluster_id == doc_id."""
+    pairs = minhash_candidate_pairs(
+        ds,
+        text_col=text_col,
+        id_col=id_col,
+        num_perm=num_perm,
+        bands=bands,
+        shingle_k=shingle_k,
+        threshold=threshold,
         concurrency=concurrency,
     )
-
-    def _explode_bands(batch: pa.Table) -> pa.Table:
-        band_ids, band_keys, doc_ids, sig_out = [], [], [], []
-        for doc_id, sig_bytes in zip(batch.column("doc_id").to_pylist(), batch.column("sig").to_pylist()):
-            sig = np.frombuffer(sig_bytes, dtype=np.uint64)
-            for b, key in enumerate(MinHasher.band_keys(sig, bands)):
-                band_ids.append(b)
-                band_keys.append(key)
-                doc_ids.append(doc_id)
-                sig_out.append(sig_bytes)
-        return pa.table(
-            {
-                "band_id": pa.array(band_ids, type=pa.int32()),
-                "band_key": pa.array(band_keys, type=pa.uint64()),
-                "doc_id": pa.array(doc_ids, type=pa.int64()),
-                "sig": pa.array(sig_out, type=pa.binary()),
-            }
-        )
-
-    bands_ds = sigs.map_batches(_explode_bands, batch_format="pyarrow")
-
-    def _bucket_pairs(group: pa.Table) -> pa.Table:
-        docs = group.column("doc_id").to_pylist()
-        if len(docs) < 2:
-            return pa.table({"a": pa.array([], type=pa.int64()), "b": pa.array([], type=pa.int64())})
-        sig_arrays = [np.frombuffer(s, dtype=np.uint64) for s in group.column("sig").to_pylist()]
-        a_out, b_out = [], []
-        order = np.argsort(docs)
-        if len(order) <= HOT_BUCKET_CAP:
-            # small bucket: full pairwise verification
-            for ii in range(len(order)):
-                for jj in range(ii + 1, len(order)):
-                    i, j = order[ii], order[jj]
-                    if MinHasher.jaccard_estimate(sig_arrays[i], sig_arrays[j]) >= threshold:
-                        a_out.append(min(docs[i], docs[j]))
-                        b_out.append(max(docs[i], docs[j]))
-        else:
-            # HOT bucket (e.g. a 30%-of-corpus duplicate cluster): full
-            # pairwise is O(n^2).  Star-link every member against the
-            # bucket's min doc instead — O(n); near-dups missed by one
-            # star are recovered by the other 31 bands' buckets.
-            pivot = order[0]
-            for jj in range(1, len(order)):
-                j = order[jj]
-                if MinHasher.jaccard_estimate(sig_arrays[pivot], sig_arrays[j]) >= threshold:
-                    a_out.append(min(docs[pivot], docs[j]))
-                    b_out.append(max(docs[pivot], docs[j]))
-        return pa.table({"a": pa.array(a_out, type=pa.int64()), "b": pa.array(b_out, type=pa.int64())})
-
-    pairs_ds = bands_ds.groupby(["band_id", "band_key"]).map_groups(_bucket_pairs, batch_format="pyarrow")
-
-    # candidate pairs are tiny → driver-side components (see module doc)
-    pairs = {(r["a"], r["b"]) for r in pairs_ds.take_all()}
-    all_ids = [r["doc_id"] for r in sigs.select_columns(["doc_id"]).take_all()]
-    return ray.data.from_arrow(_clusters_from_pairs(all_ids, sorted(pairs)))
+    return cluster_assign(ds.select_columns([id_col]), pairs, id_col=id_col, method=cc_method)
 
 
 # ---------------------------------------------------------------------------
@@ -235,12 +592,15 @@ def simhash_dedup(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     n_blocks: int = 4,
+    cc_method: str = "auto",
 ) -> ray.data.Dataset:
     """SimHash near-dup clustering → (doc_id, cluster_id).
 
     64-bit simhash per row; pigeonhole block index (any pair within
-    Hamming ≤ n_blocks-1 shares a block key) → bucket groupby →
-    exact Hamming verification → components."""
+    Hamming ≤ n_blocks-1 shares a block key) → bucket groupby → exact
+    Hamming verification in-bucket (the payload is 8 bytes — unlike
+    minhash signatures it is cheap to ship through the band exchange)
+    → distinct pairs → components."""
 
     def _sim(batch: pa.Table) -> pa.Table:
         hs = [simhash64(t or "") for t in batch.column(text_col).to_pylist()]
@@ -290,12 +650,11 @@ def simhash_dedup(
                     b_out.append(max(docs[pivot], docs[j]))
         return pa.table({"a": pa.array(a_out, type=pa.int64()), "b": pa.array(b_out, type=pa.int64())})
 
-    pairs_ds = (
-        sims.map_batches(_explode, batch_format="pyarrow").groupby(["block", "key"]).map_groups(_pairs, batch_format="pyarrow")
+    exploded = bounded_blocks(sims.map_batches(_explode, batch_format="pyarrow"), rows_per_block=262144)
+    pairs = distinct_pairs(
+        exploded.groupby(["block", "key"]).map_groups(_pairs, batch_format="pyarrow")
     )
-    pairs = {(r["a"], r["b"]) for r in pairs_ds.take_all()}
-    all_ids = [r["doc_id"] for r in sims.select_columns(["doc_id"]).take_all()]
-    return ray.data.from_arrow(_clusters_from_pairs(all_ids, sorted(pairs)))
+    return cluster_assign(ds.select_columns([id_col]), pairs, id_col=id_col, method=cc_method)
 
 
 # ---------------------------------------------------------------------------
@@ -307,38 +666,41 @@ def ngram_jaccard_dedup(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.8,
+    concurrency: int | tuple[int, int] | None = None,
+    cc_method: str = "auto",
 ) -> ray.data.Dataset:
     """Character-n-gram Jaccard near-dup clustering → (doc_id,
     cluster_id).  Candidates come from a loose MinHash pass (recall
-    net); each candidate pair is verified with EXACT n-gram Jaccard on
-    the two texts, so precision is exact at the threshold."""
-    clusters = minhash_lsh_dedup(
-        ds, text_col=text_col, id_col=id_col, threshold=max(0.3, threshold - 0.3)
+    net); each candidate pair is verified with EXACT n-gram Jaccard —
+    the two texts are joined to the pair distributively
+    (:func:`attach_pair_payloads`), so no candidate text ever lands on
+    the driver."""
+    cand = minhash_candidate_pairs(
+        ds,
+        text_col=text_col,
+        id_col=id_col,
+        threshold=max(0.3, threshold - 0.3),
+        concurrency=concurrency,
     )
-    cand = [
-        (r["doc_id"], r["cluster_id"]) for r in clusters.take_all() if r["doc_id"] != r["cluster_id"]
-    ]
-    cand_ids = {i for pair in cand for i in pair}
-    if not cand_ids:
-        return clusters
+    with_texts = attach_pair_payloads(
+        cand,
+        ds.select_columns([id_col, text_col]),
+        id_col=id_col,
+        payload_col=text_col,
+        payload_type=pa.string(),
+    )
 
-    # fetch candidate texts only (tiny subset) — broadcastable lookup
-    def _only_cands(batch: pa.Table) -> pa.Table:
-        mask = pa.array([i in cand_ids for i in batch.column(id_col).to_pylist()])
-        return batch.filter(mask)
+    def _verify(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _empty_pairs()
+        keep = [
+            jaccard(char_ngrams(ta or "", n), char_ngrams(tb or "", n)) >= threshold
+            for ta, tb in zip(batch.column("payload_a").to_pylist(), batch.column("payload_b").to_pylist())
+        ]
+        return batch.select(["a", "b"]).filter(pa.array(keep, type=pa.bool_()))
 
-    texts = {
-        r[id_col]: r[text_col]
-        for r in ds.map_batches(_only_cands, batch_format="pyarrow").select_columns([id_col, text_col]).take_all()
-    }
-    grams = {i: char_ngrams(texts.get(i, "") or "", n) for i in cand_ids}
-    verified = [
-        (a, b)
-        for a, b in ((min(x, y), max(x, y)) for x, y in cand)
-        if jaccard(grams[a], grams[b]) >= threshold
-    ]
-    all_ids = [r["doc_id"] for r in clusters.select_columns(["doc_id"]).take_all()]
-    return ray.data.from_arrow(_clusters_from_pairs(all_ids, sorted(set(verified))))
+    verified = with_texts.map_batches(_verify, batch_format="pyarrow")
+    return cluster_assign(ds.select_columns([id_col]), verified, id_col=id_col, method=cc_method)
 
 
 # ---------------------------------------------------------------------------
@@ -351,20 +713,24 @@ def embedding_dedup(
     threshold: float = 0.95,
     n_planes: int = 12,
     seed: int = 42,
+    cc_method: str = "auto",
 ) -> ray.data.Dataset:
     """Embedding near-dup clustering → (doc_id, cluster_id).
 
     Random-hyperplane LSH (seeded, built once per actor) buckets the
     vectors; within-bucket exact cosine ≥ threshold → pairs →
     components.  n_planes trades recall vs bucket size (12 planes →
-    4096 buckets)."""
+    4096 buckets).  Unlike minhash, each doc lands in exactly ONE
+    bucket, so the unit-vector payload ships through the exchange just
+    once — no amplification, in-bucket verification is the right
+    shape."""
 
     class _Bucketize:
         def __init__(self):
             self.planes = None
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            vecs = np.array(batch.column(vec_col).to_pylist(), dtype=np.float32)
+            vecs = vec_matrix(batch.column(vec_col), dtype=np.float32)
             if self.planes is None:
                 rng = np.random.RandomState(seed)
                 self.planes = rng.standard_normal((vecs.shape[1], n_planes)).astype(np.float32)
@@ -381,12 +747,14 @@ def embedding_dedup(
                 }
             )
 
-    buckets = ds.map_batches(_Bucketize, batch_format="pyarrow", concurrency=autoscale_pool())
+    buckets = bounded_blocks(
+        ds.map_batches(_Bucketize, batch_format="pyarrow", concurrency=autoscale_pool())
+    )
 
     def _pairs(group: pa.Table) -> pa.Table:
         docs = group.column("doc_id").to_pylist()
         if len(docs) < 2:
-            return pa.table({"a": pa.array([], type=pa.int64()), "b": pa.array([], type=pa.int64())})
+            return _empty_pairs()
         mat = np.stack([np.frombuffer(u, dtype=np.float32) for u in group.column("unit").to_pylist()])
         a_out, b_out = [], []
         if len(docs) <= HOT_BUCKET_CAP:
@@ -407,7 +775,5 @@ def embedding_dedup(
                     b_out.append(max(docs[pivot], docs[j]))
         return pa.table({"a": pa.array(a_out, type=pa.int64()), "b": pa.array(b_out, type=pa.int64())})
 
-    pairs_ds = buckets.groupby("bucket").map_groups(_pairs, batch_format="pyarrow")
-    pairs = {(r["a"], r["b"]) for r in pairs_ds.take_all()}
-    all_ids = [r["doc_id"] for r in buckets.select_columns(["doc_id"]).take_all()]
-    return ray.data.from_arrow(_clusters_from_pairs(all_ids, sorted(pairs)))
+    pairs = buckets.groupby("bucket").map_groups(_pairs, batch_format="pyarrow")
+    return cluster_assign(ds.select_columns([id_col]), pairs, id_col=id_col, method=cc_method)

@@ -22,6 +22,29 @@ def autoscale_pool(reserve: int = 1, floor: int = 2) -> tuple[int, int]:
     return (1, default_pool_size(reserve, floor))
 
 
+def bounded_blocks(ds, rows_per_block: int = 65536):
+    """Materialize ``ds`` and cap its block count at
+    max(cpus, rows/rows_per_block).
+
+    Sort-based exchanges (groupby / map_groups / sort) launch one map
+    task per input block: a dataset fragmented into hundreds of tiny
+    blocks (from_items, a selective filter, a previous wide op) makes
+    the next shuffle pay hundreds of task dispatches for kilobytes of
+    data.  Coalescing to a row-proportional block count keeps small
+    exchanges at fixed cost while leaving big datasets partitioned for
+    full parallelism."""
+    import math
+
+    ds = ds.materialize()
+    rows = ds.count()
+    if rows == 0:
+        return ds
+    target = max(default_pool_size(), math.ceil(rows / rows_per_block))
+    if ds.num_blocks() > 2 * target:
+        ds = ds.repartition(target).materialize()
+    return ds
+
+
 def vec_matrix(col, dtype=None):
     """(n, d) numpy matrix from an Arrow list/fixed_size_list column
     without the to_pylist() Python round-trip (~10× on wide embedding

@@ -94,6 +94,30 @@ def test_embedding_dedup(ray_session):
     assert cl[3] == 3
 
 
+def test_distributed_cc_matches_driver(ray_session, docs):
+    """cluster_assign's distributed min-label propagation must produce
+    exactly the clusters of the driver union-find path — on the LSH
+    fixture corpus AND on a chain graph (worst-case diameter)."""
+    from dots_ocr_ray.pipelines.dedup import cluster_assign, minhash_candidate_pairs
+
+    pairs = minhash_candidate_pairs(docs, threshold=0.5)
+    ids = docs.select_columns(["doc_id"])
+    a = cluster_assign(ids, pairs, method="driver").to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = cluster_assign(ids, pairs, method="distributed").to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
+
+    # chain 10-11-12-...-19 plus a disjoint clique {30,31,32}
+    chain = [{"a": i, "b": i + 1} for i in range(10, 19)]
+    clique = [{"a": 30, "b": 31}, {"a": 30, "b": 32}, {"a": 31, "b": 32}]
+    pairs2 = ray.data.from_items(chain + clique)
+    ids2 = ray.data.from_items([{"doc_id": i} for i in list(range(10, 20)) + [25, 30, 31, 32]])
+    out = cluster_assign(ids2, pairs2, method="distributed").to_pandas()
+    cl = dict(zip(out.doc_id, out.cluster_id))
+    assert all(cl[i] == 10 for i in range(10, 20))  # whole chain collapses
+    assert cl[25] == 25  # singleton untouched
+    assert cl[30] == cl[31] == cl[32] == 30
+
+
 def test_hot_duplicate_cluster_is_linear(ray_session):
     """A duplicate cluster holding 30% of the corpus must not trigger
     O(n^2) pairwise verification in its LSH buckets (star-link guard)."""
