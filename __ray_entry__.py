@@ -40,6 +40,10 @@ _TEXT_NOHF_SQL = (
 )
 _NSPANS_SQL = "CASE WHEN doc_id % 31 = 11 THEN 0 WHEN doc_id % 23 = 7 THEN 1 ELSE 3 END"
 
+# golden-parquet oracles (tools/make_golden.py) — the driver runs the
+# oracle SQL at sf0.01, so the goldens are checked in for that sf
+_GOLDEN_DIR = "/root/repo/golden/sf0.01"
+
 
 def _extract_ds(sf_dir: str):
     from dots_ocr_ray.pipelines.extract import extract_pages
@@ -459,37 +463,15 @@ def _q_events_props_agg(sf_dir: str):
 
 def _q_merge_docs(sf_dir: str):
     """Multi-page doc merge (reference per-doc merge S8/O2): each
-    document split into two page rows, merged back per doc sorted by
-    page_no.  Rows-only check (word-midpoint split is not worth
-    mirroring in SQL)."""
-    import pyarrow as pa
-
+    document exploded into page rows (library S2 op), merged back per
+    doc sorted by page_no.  Golden-parquet oracle (word-midpoint split
+    is not worth mirroring in SQL)."""
     import ray.data
 
-    from dots_ocr_ray.pipelines.document import merge_document_pages
+    from dots_ocr_ray.pipelines.document import merge_document_pages, pages_from_multipage_docs
 
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-
-    def _split(batch: pa.Table) -> pa.Table:
-        doc_urls, page_nos, mds = [], [], []
-        for doc_id, text in zip(batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()):
-            words = (text or "").split()
-            mid = len(words) // 2
-            for page_no, chunk in ((1, words[:mid]), (2, words[mid:])):
-                doc_urls.append(f"doc-{doc_id:06d}")
-                page_nos.append(page_no)
-                mds.append(" ".join(chunk))
-        return pa.table(
-            {
-                "doc_url": pa.array(doc_urls, type=pa.string()),
-                "page_no": pa.array(page_nos, type=pa.int32()),
-                "extracted_text": pa.array(mds, type=pa.string()),
-                "extracted_text_nohf": pa.array(mds, type=pa.string()),
-            }
-        )
-
-    pages = docs.map_batches(_split, batch_format="pyarrow")
-    return merge_document_pages(pages)
+    return merge_document_pages(pages_from_multipage_docs(docs, n_pages=2))
 
 
 def _q_sessionize(sf_dir: str):
@@ -824,8 +806,24 @@ def oracle_sql() -> dict[str, str]:
             "< CAST(4294967296 * 0.9 AS BIGINT) THEN 'train' ELSE 'val' END AS split, "
             "CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY lang, split"
         ),
-        # approximate dedups (minhash/simhash/ngram/embedding) are not
-        # SQL-expressible → rows-only checks (intentionally omitted here)
+        # approximate dedups / ANN / heuristic NLP / page-merge are not
+        # SQL-expressible, so their oracle is a GOLDEN PARQUET computed
+        # by an independent single-process sequential implementation
+        # over the same pure kernels (tools/make_golden.py; regenerated
+        # per sf, parity-tested every pytest run in tests/test_golden.py)
+        # — DuckDB just reads the expected table.
+        "dedup_minhash": f"SELECT doc_id, cluster_id FROM read_parquet('{_GOLDEN_DIR}/dedup_minhash.parquet')",
+        "dedup_simhash": f"SELECT doc_id, cluster_id FROM read_parquet('{_GOLDEN_DIR}/dedup_simhash.parquet')",
+        "dedup_ngram": f"SELECT doc_id, cluster_id FROM read_parquet('{_GOLDEN_DIR}/dedup_ngram.parquet')",
+        "dedup_embedding": f"SELECT doc_id, cluster_id FROM read_parquet('{_GOLDEN_DIR}/dedup_embedding.parquet')",
+        "ann_lsh_topk": f"SELECT query_id, vec_id, rank FROM read_parquet('{_GOLDEN_DIR}/ann_lsh_topk.parquet')",
+        "ann_ivf_topk": f"SELECT query_id, vec_id, rank FROM read_parquet('{_GOLDEN_DIR}/ann_ivf_topk.parquet')",
+        "lang_id_confusion": f"SELECT lang, lang_pred, n FROM read_parquet('{_GOLDEN_DIR}/lang_id_confusion.parquet')",
+        "fingerprint_dups": f"SELECT fingerprint, n_docs, min_doc_id FROM read_parquet('{_GOLDEN_DIR}/fingerprint_dups.parquet')",
+        "merge_docs": (
+            "SELECT doc_url, n_pages, extracted_text, extracted_text_nohf "
+            f"FROM read_parquet('{_GOLDEN_DIR}/merge_docs.parquet')"
+        ),
         "ann_topk": (
             "WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 4) "
             "SELECT CAST(q.query_id AS INT) AS query_id, e.vec_id, "

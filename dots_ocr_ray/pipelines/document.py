@@ -21,6 +21,53 @@ import pyarrow as pa
 import ray.data
 
 
+def split_words_midpoints(text: str, n_pages: int = 2) -> list[str]:
+    """Word-level even split of a document's text into page texts —
+    the pure splitting rule shared by the Ray explode and the golden
+    oracle (word midpoint for n_pages=2)."""
+    words = (text or "").split()
+    out = []
+    for p in range(n_pages):
+        lo = (len(words) * p) // n_pages
+        hi = (len(words) * (p + 1)) // n_pages
+        out.append(" ".join(words[lo:hi]))
+    return out
+
+
+def pages_from_multipage_docs(
+    docs: ray.data.Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_pages: int = 2,
+) -> ray.data.Dataset:
+    """Doc → per-page rows (the reference S2 explode,
+    dots_ocr/utils/doc_utils.py:51-71: one PDF → one task per page).
+
+    Each document row becomes ``n_pages`` rows (doc_url, page_no,
+    extracted_text, extracted_text_nohf) with the text split at word
+    midpoints — a pure vectorizable flat explode (no shuffle), the
+    inverse of :func:`merge_document_pages`."""
+
+    def _split(batch: pa.Table) -> pa.Table:
+        doc_urls, page_nos, mds = [], [], []
+        for doc_id, text in zip(batch.column(id_col).to_pylist(), batch.column(text_col).to_pylist()):
+            for page_no, chunk in enumerate(split_words_midpoints(text, n_pages), start=1):
+                doc_urls.append(f"doc-{doc_id:06d}")
+                page_nos.append(page_no)
+                mds.append(chunk)
+        return pa.table(
+            {
+                "doc_url": pa.array(doc_urls, type=pa.string()),
+                "page_no": pa.array(page_nos, type=pa.int32()),
+                "extracted_text": pa.array(mds, type=pa.string()),
+                "extracted_text_nohf": pa.array(mds, type=pa.string()),
+            }
+        )
+
+    return docs.map_batches(_split, batch_format="pyarrow")
+
+
 def merge_document_pages(
     pages: ray.data.Dataset,
     *,

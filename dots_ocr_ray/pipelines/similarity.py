@@ -111,6 +111,28 @@ def brute_force_topk(
     return _merge_topk(partials, k)
 
 
+def knuth_hash32(ids: np.ndarray) -> np.ndarray:
+    """Deterministic 32-bit multiplicative hash of int64 ids (the
+    engine-wide sampling hash, engine-independent)."""
+    return (ids * 2654435761) & 0xFFFFFFFF
+
+
+def train_kmeans(sample: np.ndarray, n_cells: int, iters: int) -> np.ndarray:
+    """Deterministic spherical k-means: seeded init from evenly spaced
+    sample points, fixed iteration count.  Pure — shared by the Ray
+    pipeline and the sequential golden oracle."""
+    idx = np.linspace(0, len(sample) - 1, n_cells).astype(int)
+    centroids = sample[idx].copy()
+    for _ in range(iters):
+        assign = np.argmax(sample @ centroids.T, axis=1)
+        for c in range(n_cells):
+            members = sample[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+        centroids = _normalize_rows(centroids)
+    return centroids
+
+
 def ivf_topk(
     ds: ray.data.Dataset,
     queries: np.ndarray,
@@ -148,25 +170,17 @@ def ivf_topk(
     # driver merge at k × n_batches rows no matter the corpus size
     def _bottomk(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
-        h = (ids * 2654435761) & 0xFFFFFFFF
+        h = knuth_hash32(ids)
         take = np.argsort(h, kind="stable")[:train_sample]
         sub = batch.take(pa.array(np.sort(take)))
-        hh = (sub.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64) * 2654435761) & 0xFFFFFFFF
+        hh = knuth_hash32(sub.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64))
         return sub.append_column("_h", pa.array(hh, type=pa.int64()))
 
     sample_tbl = pa.Table.from_pylist(ds.map_batches(_bottomk, batch_format="pyarrow").take_all())
     order = pc.sort_indices(sample_tbl, sort_keys=[("_h", "ascending"), (id_col, "ascending")])
     sample_tbl = sample_tbl.take(order).slice(0, train_sample)
     sample = _normalize_rows(vec_matrix(sample_tbl.column(vec_col), dtype=np.float32))
-    idx = np.linspace(0, len(sample) - 1, n_cells).astype(int)  # seeded/even init
-    centroids = sample[idx].copy()
-    for _ in range(kmeans_iters):
-        assign = np.argmax(sample @ centroids.T, axis=1)
-        for c in range(n_cells):
-            members = sample[assign == c]
-            if len(members):
-                centroids[c] = members.mean(axis=0)
-        centroids = _normalize_rows(centroids)
+    centroids = train_kmeans(sample, n_cells, kmeans_iters)
 
     qn = _normalize_rows(queries)
     probe_cells = np.argsort(-(qn @ centroids.T), axis=1)[:, :n_probe]  # (nq, n_probe)

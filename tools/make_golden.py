@@ -1,0 +1,319 @@
+"""Golden-parquet oracle generator for the non-SQL-expressible queries.
+
+For each query whose semantics DuckDB cannot mirror (LSH dedup
+families, approximate ANN, heuristic lang-ID / fingerprinting, the
+word-midpoint page merge), this module computes the expected output
+with a SINGLE-PROCESS sequential implementation that shares the pure
+kernels (`dots_ocr_ray.functions.hashing`, `kernel.textops`,
+`pipelines.similarity.train_kmeans`, `pipelines.document.
+split_words_midpoints`) with the Ray pipelines — the same
+shared-pure-kernel oracle pattern the extraction byte-identity gate
+uses (see `dots_ocr_ray/oracle.py`).
+
+The goldens are checked in under `golden/<sf>/<query>.parquet` and the
+driver's DuckDB oracle reads them verbatim:
+
+    SELECT * FROM read_parquet('/root/repo/golden/sf0.01/<query>.parquet')
+
+Regenerate with:
+
+    python tools/make_golden.py /root/testdata/sf0.01 golden/sf0.01
+
+`tests/test_golden.py` recomputes these sequentially at sf0.001 on
+every pytest run and compares them to the live Ray pipelines, so the
+checked-in files cannot silently drift from the engine.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+from collections import defaultdict
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from dots_ocr_ray.functions.hashing import (  # noqa: E402
+    MinHasher,
+    char_ngrams,
+    hamming64,
+    jaccard,
+    shingles,
+    simhash64,
+    simhash_block_keys,
+)
+from dots_ocr_ray.kernel.textops import detect_lang, fingerprint  # noqa: E402
+from dots_ocr_ray.pipelines.dedup import HOT_BUCKET_CAP, _root_map_from_pairs  # noqa: E402
+from dots_ocr_ray.pipelines.document import split_words_midpoints  # noqa: E402
+from dots_ocr_ray.pipelines.similarity import knuth_hash32, train_kmeans  # noqa: E402
+
+
+def _normalize_rows(mat: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return mat / norms
+
+
+def _clusters_table(ids: list[int], pairs: list[tuple[int, int]]) -> pa.Table:
+    roots = _root_map_from_pairs(pairs)
+    ids = sorted(ids)
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "cluster_id": pa.array([roots.get(i, i) for i in ids], type=pa.int64()),
+        }
+    )
+
+
+def _read_docs(sf_dir: str) -> tuple[list[int], list[str]]:
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return t.column("doc_id").to_pylist(), t.column("text").to_pylist()
+
+
+def _bucket_candidates(buckets: dict, cap: int = HOT_BUCKET_CAP) -> set[tuple[int, int]]:
+    """Mirror of the pipelines' bucket→pair rule: all pairs on small
+    buckets, star-link vs the min doc on hot ones."""
+    cand: set[tuple[int, int]] = set()
+    for members in buckets.values():
+        docs = sorted(set(members))
+        if len(docs) < 2:
+            continue
+        if len(docs) <= cap:
+            for i in range(len(docs)):
+                for j in range(i + 1, len(docs)):
+                    cand.add((docs[i], docs[j]))
+        else:
+            cand.update((docs[0], j) for j in docs[1:])
+    return cand
+
+
+def _minhash_pairs_seq(
+    ids: list[int],
+    texts: list[str],
+    *,
+    threshold: float,
+    num_perm: int = 128,
+    bands: int = 32,
+    shingle_k: int = 5,
+) -> list[tuple[int, int]]:
+    hasher = MinHasher(num_perm=num_perm)
+    sigs = {
+        i: hasher.signature(shingles(t or "", shingle_k)).astype(np.uint64)
+        for i, t in zip(ids, texts)
+    }
+    buckets: dict = defaultdict(list)
+    for i in ids:
+        for b, key in enumerate(MinHasher.band_keys(sigs[i], bands)):
+            buckets[(b, key)].append(i)
+    cand = _bucket_candidates(buckets)
+    return sorted(
+        (a, b) for a, b in cand if MinHasher.jaccard_estimate(sigs[a], sigs[b]) >= threshold
+    )
+
+
+def golden_dedup_minhash(sf_dir: str) -> pa.Table:
+    ids, texts = _read_docs(sf_dir)
+    return _clusters_table(ids, _minhash_pairs_seq(ids, texts, threshold=0.8))
+
+
+def golden_dedup_ngram(sf_dir: str, *, threshold: float = 0.9, n: int = 3) -> pa.Table:
+    ids, texts = _read_docs(sf_dir)
+    by_id = dict(zip(ids, texts))
+    cand = _minhash_pairs_seq(ids, texts, threshold=max(0.3, threshold - 0.3))
+    grams = {i: char_ngrams(by_id[i] or "", n) for pair in cand for i in pair}
+    verified = [(a, b) for a, b in cand if jaccard(grams[a], grams[b]) >= threshold]
+    return _clusters_table(ids, verified)
+
+
+def golden_dedup_simhash(sf_dir: str, *, max_hamming: int = 3, n_blocks: int = 4) -> pa.Table:
+    ids, texts = _read_docs(sf_dir)
+    hs = {i: simhash64(t or "") for i, t in zip(ids, texts)}
+    buckets: dict = defaultdict(list)
+    for i in ids:
+        for b, v in simhash_block_keys(hs[i], n_blocks):
+            buckets[(b, v)].append(i)
+    pairs = sorted(
+        (a, b) for a, b in _bucket_candidates(buckets) if hamming64(hs[a], hs[b]) <= max_hamming
+    )
+    return _clusters_table(ids, pairs)
+
+
+def golden_dedup_embedding(
+    sf_dir: str, *, threshold: float = 0.95, n_planes: int = 12, seed: int = 42
+) -> pa.Table:
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = t.column("vec_id").to_pylist()
+    vecs = np.array(t.column("embedding").to_pylist(), dtype=np.float32)
+    planes = np.random.RandomState(seed).standard_normal((vecs.shape[1], n_planes)).astype(np.float32)
+    keys = ((vecs @ planes) > 0) @ (1 << np.arange(n_planes, dtype=np.int64))
+    unit = _normalize_rows(vecs)
+    row_of = {i: r for r, i in enumerate(ids)}
+    buckets: dict = defaultdict(list)
+    for i, k in zip(ids, keys):
+        buckets[int(k)].append(i)
+    pairs = []
+    for members in buckets.values():
+        docs = sorted(members)
+        if len(docs) < 2:
+            continue
+        mat = unit[[row_of[i] for i in docs]]
+        if len(docs) <= HOT_BUCKET_CAP:
+            sims = mat @ mat.T
+            for i in range(len(docs)):
+                for j in range(i + 1, len(docs)):
+                    if sims[i, j] >= threshold:
+                        pairs.append((docs[i], docs[j]))
+        else:
+            sims = mat @ mat[0]
+            for j in range(1, len(docs)):
+                if sims[j] >= threshold:
+                    pairs.append((docs[0], docs[j]))
+    return _clusters_table(ids, sorted(set(pairs)))
+
+
+def _read_embeddings(sf_dir: str):
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+    vecs = np.array(t.column("embedding").to_pylist(), dtype=np.float32)
+    order = np.argsort(ids)
+    queries = vecs[order[:4]]  # vec_ids sorted ascending, first 4 (mirrors the query)
+    return ids, vecs, queries
+
+
+def _topk_table(per_query_candidates: dict[int, list[tuple[float, int]]], k: int) -> pa.Table:
+    """Global top-k with the engine's tie-break: by (-score, vec_id)."""
+    q_out, v_out, r_out = [], [], []
+    for qi in sorted(per_query_candidates):
+        ranked = sorted(per_query_candidates[qi], key=lambda t: (-t[0], t[1]))[:k]
+        for rank, (_score, vid) in enumerate(ranked, 1):
+            q_out.append(qi)
+            v_out.append(vid)
+            r_out.append(rank)
+    return pa.table(
+        {
+            "query_id": pa.array(q_out, type=pa.int32()),
+            "vec_id": pa.array(v_out, type=pa.int64()),
+            "rank": pa.array(r_out, type=pa.int32()),
+        }
+    )
+
+
+def golden_ann_lsh_topk(sf_dir: str, *, k: int = 5, n_planes: int = 8, seed: int = 42) -> pa.Table:
+    ids, vecs, queries = _read_embeddings(sf_dir)
+    qn = _normalize_rows(queries)
+    planes = np.random.RandomState(seed).standard_normal((qn.shape[1], n_planes)).astype(np.float32)
+    powers = 1 << np.arange(n_planes, dtype=np.int64)
+    probe = {int(key) for key in ((qn @ planes) > 0) @ powers}
+    for key in list(probe):
+        for bit in range(n_planes):
+            probe.add(int(key) ^ (1 << bit))
+    keys = ((vecs @ planes) > 0) @ powers
+    mask = np.fromiter((int(key) in probe for key in keys), dtype=bool, count=len(keys))
+    unit = _normalize_rows(vecs[mask])
+    sub_ids = ids[mask]
+    sims = qn @ unit.T
+    cands = {
+        qi: [(float(sims[qi, ci]), int(sub_ids[ci])) for ci in range(sims.shape[1])]
+        for qi in range(len(qn))
+    }
+    return _topk_table(cands, k)
+
+
+def golden_ann_ivf_topk(
+    sf_dir: str,
+    *,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    train_sample: int = 512,
+    kmeans_iters: int = 5,
+) -> pa.Table:
+    ids, vecs, queries = _read_embeddings(sf_dir)
+    h = knuth_hash32(ids)
+    order = np.lexsort((ids, h))[:train_sample]
+    sample = _normalize_rows(vecs[order])
+    centroids = train_kmeans(sample, n_cells, kmeans_iters)
+    qn = _normalize_rows(queries)
+    probe_cells = np.argsort(-(qn @ centroids.T), axis=1)[:, :n_probe]
+    unit = _normalize_rows(vecs)
+    cells = np.argmax(unit @ centroids.T, axis=1)
+    cands: dict[int, list[tuple[float, int]]] = {}
+    for qi in range(len(qn)):
+        m = np.isin(cells, probe_cells[qi])
+        sims = unit[m] @ qn[qi]
+        sub_ids = ids[m]
+        cands[qi] = [(float(s), int(i)) for s, i in zip(sims, sub_ids)]
+    return _topk_table(cands, k)
+
+
+def golden_lang_id_confusion(sf_dir: str) -> pa.Table:
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["text", "lang"])
+    counts: dict = defaultdict(int)
+    for lang, text in zip(t.column("lang").to_pylist(), t.column("text").to_pylist()):
+        counts[(lang, detect_lang(text or ""))] += 1
+    keys = sorted(counts)
+    return pa.table(
+        {
+            "lang": pa.array([k[0] for k in keys], type=pa.string()),
+            "lang_pred": pa.array([k[1] for k in keys], type=pa.string()),
+            "n": pa.array([counts[k] for k in keys], type=pa.int64()),
+        }
+    )
+
+
+def golden_fingerprint_dups(sf_dir: str) -> pa.Table:
+    ids, texts = _read_docs(sf_dir)
+    groups: dict = defaultdict(list)
+    for i, t in zip(ids, texts):
+        groups[fingerprint(t or "")].append(i)
+    fps = sorted(fp for fp, members in groups.items() if len(members) > 1)
+    return pa.table(
+        {
+            "fingerprint": pa.array(fps, type=pa.uint64()),
+            "n_docs": pa.array([len(groups[fp]) for fp in fps], type=pa.int64()),
+            "min_doc_id": pa.array([min(groups[fp]) for fp in fps], type=pa.int64()),
+        }
+    )
+
+
+def golden_merge_docs(sf_dir: str, *, n_pages: int = 2) -> pa.Table:
+    ids, texts = _read_docs(sf_dir)
+    rows = sorted(zip(ids, texts))
+    merged = ["\n\n".join(split_words_midpoints(t, n_pages)) for _, t in rows]
+    return pa.table(
+        {
+            "doc_url": pa.array([f"doc-{i:06d}" for i, _ in rows], type=pa.string()),
+            "n_pages": pa.array([n_pages] * len(rows), type=pa.int32()),
+            "extracted_text": pa.array(merged, type=pa.string()),
+            "extracted_text_nohf": pa.array(merged, type=pa.string()),
+        }
+    )
+
+
+GOLDEN_BUILDERS = {
+    "dedup_minhash": golden_dedup_minhash,
+    "dedup_simhash": golden_dedup_simhash,
+    "dedup_ngram": golden_dedup_ngram,
+    "dedup_embedding": golden_dedup_embedding,
+    "ann_lsh_topk": golden_ann_lsh_topk,
+    "ann_ivf_topk": golden_ann_ivf_topk,
+    "lang_id_confusion": golden_lang_id_confusion,
+    "fingerprint_dups": golden_fingerprint_dups,
+    "merge_docs": golden_merge_docs,
+}
+
+
+def main() -> None:
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    os.makedirs(out_dir, exist_ok=True)
+    for name, builder in GOLDEN_BUILDERS.items():
+        tbl = builder(sf_dir)
+        pq.write_table(tbl, os.path.join(out_dir, f"{name}.parquet"), compression="zstd")
+        print(f"{name}: {tbl.num_rows} rows -> {out_dir}/{name}.parquet")
+
+
+if __name__ == "__main__":
+    main()
