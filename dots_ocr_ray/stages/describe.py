@@ -30,12 +30,27 @@ def fake_caption(payload: str) -> str:
     return f"[image:{h}]"
 
 
-class PictureDescribeActor:
-    """map_batches stage: fill empty Picture span text via caption_fn,
-    then re-serialize the markdown columns."""
+DESCRIBE_ALL_CATEGORIES = ("Picture", "Table", "Formula")
+"""The reference's extended describe set: with the job-level
+describe_picture flag it re-describes Picture AND Table AND Formula
+cells (app/utils/executor/ocr_task.py:602-613)."""
 
-    def __init__(self, caption_fn=None):
+
+class PictureDescribeActor:
+    """map_batches stage: rewrite span text via caption_fn for the
+    selected categories, then re-serialize the markdown columns.
+
+    Defaults mirror the byte-identity-preserving round-1 behavior
+    (Picture spans, fill only when empty).  ``categories=
+    DESCRIBE_ALL_CATEGORIES, overwrite=True`` mirrors the reference's
+    extended path, where the model's description REPLACES the cell
+    text (`picture_block["text"] = future.result().strip()`,
+    ocr_task.py:202)."""
+
+    def __init__(self, caption_fn=None, categories=("Picture",), overwrite: bool = False):
         self.caption_fn = caption_fn or fake_caption
+        self.categories = frozenset(categories)
+        self.overwrite = overwrite
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         spans_col = batch.column("spans").to_pylist()
@@ -45,7 +60,9 @@ class PictureDescribeActor:
             spans = [dict(s) for s in (spans or [])]
             changed = False
             for i, s in enumerate(spans):
-                if s["category"] == "Picture" and not (s.get("text") or ""):
+                if s["category"] in self.categories and (
+                    self.overwrite or not (s.get("text") or "")
+                ):
                     s["text"] = self.caption_fn(f"{url}#{i}")
                     changed = True
             if changed:
@@ -90,14 +107,29 @@ class PictureDescribeActor:
         )
 
 
-def describe_pictures(extracted, *, concurrency=None, batch_size: int = 64, caption_fn=None):
+def describe_pictures(
+    extracted,
+    *,
+    concurrency=None,
+    batch_size: int = 64,
+    caption_fn=None,
+    describe_special: bool = False,
+):
     """Chain the describe pool after extraction (the reference's
-    optional ``describe_picture`` job flag as a pipeline stage)."""
+    optional ``describe_picture`` job flag as a pipeline stage).
+
+    ``describe_special=True`` extends the pool to Table and Formula
+    spans and overwrites their text with the caption — the reference's
+    category=["Picture","Table","Formula"] path (ocr_task.py:602-613).
+    """
     from dots_ocr_ray.util import autoscale_pool
 
+    kwargs = {"caption_fn": caption_fn}
+    if describe_special:
+        kwargs.update({"categories": DESCRIBE_ALL_CATEGORIES, "overwrite": True})
     return extracted.map_batches(
         PictureDescribeActor,
-        fn_constructor_kwargs={"caption_fn": caption_fn},
+        fn_constructor_kwargs=kwargs,
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency or autoscale_pool(),

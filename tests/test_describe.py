@@ -36,6 +36,24 @@ def test_describe_is_deterministic(ray_session):
     assert runs[0] == runs[1]
 
 
+def test_describe_special_covers_table_and_formula(ray_session):
+    """describe_special=True mirrors the reference's extended path
+    (ocr_task.py:602-613): Picture AND Table AND Formula span text is
+    REPLACED by the caption, and offsets stay exact."""
+    pages = make_pages_table(128, seed=42)
+    extracted = extract_pages(ray.data.from_arrow(pages), batch_size=16, concurrency=2)
+    described = describe_pictures(extracted, concurrency=2, describe_special=True).to_pandas()
+    seen = set()
+    for row in described.itertuples():
+        for s in row.spans:
+            if s["category"] in ("Picture", "Table", "Formula"):
+                seen.add(s["category"])
+                assert s["text"].startswith("[image:")
+                seg = row.extracted_text[s["char_start"] : s["char_end"]]
+                assert s["text"] in seg  # Table spans serialize with wrappers
+    assert "Picture" in seen and "Table" in seen
+
+
 def test_describe_untouched_rows_pass_through(ray_session):
     # rows with no Picture spans keep their exact markdown
     pages = make_pages_table(16, seed=42)
