@@ -55,7 +55,7 @@ from dots_ocr_ray.functions.hashing import (
     simhash_block_keys,
 )
 from dots_ocr_ray.kernel.textops import md5_hex
-from dots_ocr_ray.util import autoscale_pool, bounded_blocks, vec_matrix
+from dots_ocr_ray.util import autoscale_pool, bounded_blocks, cached_object, vec_matrix
 
 
 HOT_BUCKET_CAP = 64
@@ -110,6 +110,60 @@ def distinct_pairs(pairs_ds: ray.data.Dataset) -> ray.data.Dataset:
         return batch.select(["a", "b"])
 
     return counted.map_batches(_strip, batch_format="pyarrow")
+
+
+def filter_payload_to_pair_endpoints(
+    payload_ds: ray.data.Dataset,
+    pairs_ds: ray.data.Dataset,
+    *,
+    id_col: str,
+    exact_limit: int = DRIVER_PAIR_LIMIT,
+) -> ray.data.Dataset:
+    """Broadcast semi-join: shrink the (id, payload) side-table to rows
+    whose id is a candidate-pair endpoint BEFORE the attach exchange —
+    the side-table then shuffles O(pairs) payloads instead of the whole
+    corpus.  ``pairs_ds`` must be materialized (it is the small side by
+    LSH construction).
+
+    Under ``exact_limit`` pairs the endpoint set is exact (ints only —
+    the same driver budget as the union-find fast path); above it a
+    Bloom filter keeps the broadcast bounded, and its false positives
+    merely let a few extra payload rows through (the attach inner join
+    ignores them — no correctness impact, unlike bloom_anti_join)."""
+    streamed = pairs_ds.select_columns(["a", "b"])
+    n = pairs_ds.count()
+    if n <= exact_limit:
+        idset: set[int] = set()
+        for b in streamed.iter_batches(batch_format="pyarrow"):
+            idset.update(b.column("a").to_pylist())
+            idset.update(b.column("b").to_pylist())
+        member_ref = ray.put(idset)
+
+        def _contains(members, i):
+            return i in members
+
+    else:
+        from dots_ocr_ray.functions.bloom import BloomFilter
+
+        bf = BloomFilter(capacity=max(1, 2 * n), fp_rate=0.001)
+        for b in streamed.iter_batches(batch_format="pyarrow"):
+            for col in ("a", "b"):
+                for i in b.column(col).to_pylist():
+                    bf.add(str(i))
+        member_ref = ray.put(bf)
+
+        def _contains(members, i):
+            return str(i) in members
+
+    def _filter(batch: pa.Table) -> pa.Table:
+        members = cached_object(member_ref)
+        mask = pa.array(
+            [_contains(members, i) for i in batch.column(id_col).to_pylist()],
+            type=pa.bool_(),
+        )
+        return batch.filter(mask)
+
+    return payload_ds.map_batches(_filter, batch_format="pyarrow")
 
 
 def attach_pair_payloads(
@@ -397,22 +451,17 @@ def cluster_assign(
         pairs = [(r["a"], r["b"]) for r in pairs_ds.take_all()]
         roots_ref = ray.put(_root_map_from_pairs(pairs))
 
-        class _Assign:
-            def __init__(self):
-                self.roots = ray.get(roots_ref)
+        def _assign(batch: pa.Table) -> pa.Table:
+            roots = cached_object(roots_ref)
+            ids = batch.column(id_col).to_pylist()
+            return pa.table(
+                {
+                    "doc_id": pa.array(ids, type=pa.int64()),
+                    "cluster_id": pa.array([roots.get(i, i) for i in ids], type=pa.int64()),
+                }
+            )
 
-            def __call__(self, batch: pa.Table) -> pa.Table:
-                ids = batch.column(id_col).to_pylist()
-                return pa.table(
-                    {
-                        "doc_id": pa.array(ids, type=pa.int64()),
-                        "cluster_id": pa.array(
-                            [self.roots.get(i, i) for i in ids], type=pa.int64()
-                        ),
-                    }
-                )
-
-        return ids_ds.map_batches(_Assign, batch_format="pyarrow", concurrency=(1, 4))
+        return ids_ds.map_batches(_assign, batch_format="pyarrow")
 
     labels = _propagate_labels(pairs_ds, max_rounds)
 
@@ -435,27 +484,55 @@ def cluster_assign(
 
 # ---------------------------------------------------------------------------
 # MinHash + LSH
+_HASHER_CACHE: dict[int, MinHasher] = {}
+_PLANES_CACHE: dict = {}
+
+
+def _warm_planes(dim: int, n_planes: int, seed: int) -> np.ndarray:
+    key = (dim, n_planes, seed)
+    if key not in _PLANES_CACHE:
+        rng = np.random.RandomState(seed)
+        _PLANES_CACHE[key] = rng.standard_normal((dim, n_planes)).astype(np.float32)
+    return _PLANES_CACHE[key]
+
+
+def _warm_hasher(num_perm: int) -> MinHasher:
+    """Module-level lazy singleton: worker processes stay warm across
+    tasks, so the permutation tables are built once per worker with no
+    actor-pool ramp (the reference's lazy-singleton model seam A3/A4).
+    """
+    if num_perm not in _HASHER_CACHE:
+        _HASHER_CACHE[num_perm] = MinHasher(num_perm=num_perm)
+    return _HASHER_CACHE[num_perm]
+
+
+def _signature_batch(
+    batch: pa.Table, *, text_col: str, id_col: str, num_perm: int, shingle_k: int
+) -> pa.Table:
+    hasher = _warm_hasher(num_perm)
+    sigs = [
+        hasher.signature(shingles(t or "", shingle_k)).astype(np.uint64).tobytes()
+        for t in batch.column(text_col).to_pylist()
+    ]
+    return pa.table(
+        {
+            "doc_id": batch.column(id_col).cast(pa.int64()),
+            "sig": pa.array(sigs, type=pa.binary()),
+        }
+    )
+
+
 class MinHashSignatures:
-    """Actor stage: warm MinHasher (permutation tables built once per
-    actor) → per-row signature bytes."""
+    """Actor form of the signature stage (kept for callers that want an
+    explicit pool); the pipeline itself dispatches stateless tasks via
+    :func:`_signature_batch` — no per-worker state heavier than the
+    cached permutation tables."""
 
     def __init__(self, text_col: str = "text", id_col: str = "doc_id", num_perm: int = 128, shingle_k: int = 5):
-        self.text_col = text_col
-        self.id_col = id_col
-        self.shingle_k = shingle_k
-        self.hasher = MinHasher(num_perm=num_perm)
+        self.kw = {"text_col": text_col, "id_col": id_col, "num_perm": num_perm, "shingle_k": shingle_k}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        sigs = [
-            self.hasher.signature(shingles(t or "", self.shingle_k)).astype(np.uint64).tobytes()
-            for t in batch.column(self.text_col).to_pylist()
-        ]
-        return pa.table(
-            {
-                "doc_id": batch.column(self.id_col).cast(pa.int64()),
-                "sig": pa.array(sigs, type=pa.binary()),
-            }
-        )
+        return _signature_batch(batch, **self.kw)
 
 
 def minhash_candidate_pairs(
@@ -478,12 +555,17 @@ def minhash_candidate_pairs(
     emitting UNVERIFIED candidate pairs (star-capped on hot buckets) →
     distinct → signature join (:func:`attach_pair_payloads`) →
     vectorized est-Jaccard filter."""
-    concurrency = concurrency or autoscale_pool()
+    import functools
+
     sigs = ds.map_batches(
-        MinHashSignatures,
-        fn_constructor_kwargs={"text_col": text_col, "id_col": id_col, "num_perm": num_perm, "shingle_k": shingle_k},
+        functools.partial(
+            _signature_batch,
+            text_col=text_col,
+            id_col=id_col,
+            num_perm=num_perm,
+            shingle_k=shingle_k,
+        ),
         batch_format="pyarrow",
-        concurrency=concurrency,
     )
     # materialize + coalesce: the signature table is the side-table for
     # verification AND the band-explode input; tiny-block inputs (e.g.
@@ -533,8 +615,9 @@ def minhash_candidate_pairs(
 
     cand = bands_ds.groupby(["band_id", "band_key"]).map_groups(_bucket_pairs, batch_format="pyarrow")
     cand = bounded_blocks(distinct_pairs(cand), rows_per_block=262144)
+    sig_side = filter_payload_to_pair_endpoints(sigs, cand, id_col="doc_id")
     with_sigs = attach_pair_payloads(
-        cand, sigs, id_col="doc_id", payload_col="sig", payload_type=pa.binary()
+        cand, sig_side, id_col="doc_id", payload_col="sig", payload_type=pa.binary()
     )
 
     def _verify(batch: pa.Table) -> pa.Table:
@@ -651,9 +734,10 @@ def simhash_dedup(
         return pa.table({"a": pa.array(a_out, type=pa.int64()), "b": pa.array(b_out, type=pa.int64())})
 
     exploded = bounded_blocks(sims.map_batches(_explode, batch_format="pyarrow"), rows_per_block=262144)
-    pairs = distinct_pairs(
-        exploded.groupby(["block", "key"]).map_groups(_pairs, batch_format="pyarrow")
-    )
+    # duplicate pairs across pigeonhole blocks are harmless to both CC
+    # paths (union-find and min-propagation are idempotent), so no
+    # distinct barrier here
+    pairs = exploded.groupby(["block", "key"]).map_groups(_pairs, batch_format="pyarrow")
     return cluster_assign(ds.select_columns([id_col]), pairs, id_col=id_col, method=cc_method)
 
 
@@ -682,9 +766,13 @@ def ngram_jaccard_dedup(
         threshold=max(0.3, threshold - 0.3),
         concurrency=concurrency,
     )
+    cand = bounded_blocks(cand, rows_per_block=262144)
+    text_side = filter_payload_to_pair_endpoints(
+        ds.select_columns([id_col, text_col]), cand, id_col=id_col
+    )
     with_texts = attach_pair_payloads(
         cand,
-        ds.select_columns([id_col, text_col]),
+        text_side,
         id_col=id_col,
         payload_col=text_col,
         payload_type=pa.string(),
@@ -725,31 +813,23 @@ def embedding_dedup(
     once — no amplification, in-bucket verification is the right
     shape."""
 
-    class _Bucketize:
-        def __init__(self):
-            self.planes = None
+    def _bucketize(batch: pa.Table) -> pa.Table:
+        vecs = vec_matrix(batch.column(vec_col), dtype=np.float32)
+        planes = _warm_planes(vecs.shape[1], n_planes, seed)
+        bits = (vecs @ planes) > 0
+        keys = bits @ (1 << np.arange(n_planes, dtype=np.int64))
+        norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        unit = vecs / norms
+        return pa.table(
+            {
+                "bucket": pa.array(keys, type=pa.int64()),
+                "doc_id": batch.column(id_col).cast(pa.int64()),
+                "unit": pa.array([v.tobytes() for v in unit], type=pa.binary()),
+            }
+        )
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            vecs = vec_matrix(batch.column(vec_col), dtype=np.float32)
-            if self.planes is None:
-                rng = np.random.RandomState(seed)
-                self.planes = rng.standard_normal((vecs.shape[1], n_planes)).astype(np.float32)
-            bits = (vecs @ self.planes) > 0
-            keys = bits @ (1 << np.arange(n_planes, dtype=np.int64))
-            norms = np.linalg.norm(vecs, axis=1, keepdims=True)
-            norms[norms == 0] = 1.0
-            unit = vecs / norms
-            return pa.table(
-                {
-                    "bucket": pa.array(keys, type=pa.int64()),
-                    "doc_id": batch.column(id_col).cast(pa.int64()),
-                    "unit": pa.array([v.tobytes() for v in unit], type=pa.binary()),
-                }
-            )
-
-    buckets = bounded_blocks(
-        ds.map_batches(_Bucketize, batch_format="pyarrow", concurrency=autoscale_pool())
-    )
+    buckets = bounded_blocks(ds.map_batches(_bucketize, batch_format="pyarrow"))
 
     def _pairs(group: pa.Table) -> pa.Table:
         docs = group.column("doc_id").to_pylist()

@@ -22,6 +22,24 @@ def autoscale_pool(reserve: int = 1, floor: int = 2) -> tuple[int, int]:
     return (1, default_pool_size(reserve, floor))
 
 
+_BROADCAST_CACHE: dict = {}
+
+
+def cached_object(ref):
+    """Per-worker-process cache for ``ray.put`` broadcast objects used
+    from stateless TASKS: the first task on a worker pays one
+    ``ray.get`` + deserialize, later tasks reuse the warm object.
+    Lets broadcast-lookup stages run as plain tasks (zero pool-ramp
+    cost) instead of actor pools whose per-execution ramp costs
+    seconds (see memory: ~3-4 s at 30 actors)."""
+    import ray as _ray
+
+    key = ref.hex() if hasattr(ref, "hex") else str(ref)
+    if key not in _BROADCAST_CACHE:
+        _BROADCAST_CACHE[key] = _ray.get(ref)
+    return _BROADCAST_CACHE[key]
+
+
 def bounded_blocks(ds, rows_per_block: int = 65536):
     """Materialize ``ds`` and cap its block count at
     max(cpus, rows/rows_per_block).
