@@ -113,7 +113,11 @@ def extract_pages(
         from dots_ocr_ray.schema import RESULT_SCHEMA
 
         return ray.data.from_arrow(RESULT_SCHEMA.empty_table())
-    return ray.data.read_parquet(part_files)
+    # read back through the resolved filesystem so out_dir may be a URI
+    from dots_ocr_ray.state.manifest import resolve_fs
+
+    fs, _ = resolve_fs(out_dir)
+    return ray.data.read_parquet([resolve_fs(p)[1] for p in part_files], filesystem=fs)
 
 
 def write_extracted(
@@ -140,12 +144,13 @@ def write_extracted(
     near-full extract actor pool.  At cluster scale ``out_dir`` must be
     shared storage (it is the job's output store anyway).
     """
-    import glob
     import os
-    import shutil
     import uuid
 
+    import pyarrow.fs as pafs
     import pyarrow.parquet as pq
+
+    from dots_ocr_ray.state.manifest import resolve_fs
 
     # per-RUN staging subdir: a crashed previous run leaves its staging
     # files behind, and compacting those together with this run's rows
@@ -153,11 +158,15 @@ def write_extracted(
     # duplicated table, so the corruption would be undetectable).  A
     # unique run dir means phase 2 only ever sees this run's files;
     # stale run dirs are swept here, before any new staging is written.
-    root_stage = os.path.join(out_dir, "_staging")
-    if os.path.isdir(root_stage):
-        shutil.rmtree(root_stage, ignore_errors=True)
-    stage_dir = os.path.join(root_stage, uuid.uuid4().hex)
-    os.makedirs(stage_dir, exist_ok=True)
+    # All staging IO resolves through pyarrow.fs so out_dir may be a
+    # filesystem URI (manifest.py S6 seam); FileSystem objects pickle
+    # into the staging/compact tasks.
+    fs, root = resolve_fs(out_dir)
+    root_stage = f"{root}/_staging"
+    if fs.get_file_info(root_stage).type == pafs.FileType.Directory:
+        fs.delete_dir(root_stage)
+    stage_dir = f"{root_stage}/{uuid.uuid4().hex}"
+    fs.create_dir(stage_dir, recursive=True)
 
     def _stage(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
@@ -166,19 +175,27 @@ def write_extracted(
         pids = pc.unique(batch.column("partition_id")).to_pylist()
         for pid in pids:
             sub = batch.filter(pc.equal(batch.column("partition_id"), pid))
-            pq.write_table(sub, os.path.join(stage_dir, f"{pid:05d}-{tag}.parquet"), compression="lz4")
+            with fs.open_output_stream(f"{stage_dir}/{pid:05d}-{tag}.parquet") as sink:
+                pq.write_table(sub, sink, compression="lz4")
         return pa.table({"partition_id": pa.array(pids, type=pa.int32())})
 
     extracted.map_batches(_stage, batch_format="pyarrow").materialize()
 
-    pids = sorted({int(os.path.basename(f).split("-")[0]) for f in glob.glob(os.path.join(stage_dir, "*.parquet"))})
+    staged = [
+        os.path.basename(fi.path)
+        for fi in fs.get_file_info(pafs.FileSelector(stage_dir, recursive=False))
+        if fi.type == pafs.FileType.File
+    ]
+    pids = sorted({int(name.split("-")[0]) for name in staged if name.endswith(".parquet")})
 
     def _compact(batch: pa.Table) -> pa.Table:
         rows = []
         for pid in batch.column("pid").to_pylist():
             t0 = time.perf_counter()
-            files = sorted(glob.glob(os.path.join(stage_dir, f"{pid:05d}-*.parquet")))
-            group = pa.concat_tables([pq.read_table(f) for f in files])
+            files = sorted(n for n in staged if n.startswith(f"{pid:05d}-"))
+            group = pa.concat_tables(
+                [pq.read_table(f"{stage_dir}/{n}", filesystem=fs) for n in files]
+            )
             # deterministic within-partition order → byte-stable files
             group = group.sort_by("url")
             content = md5_hex("".join(group.column("extracted_text").to_pylist()))
@@ -201,7 +218,10 @@ def write_extracted(
         _compact, batch_format="pyarrow", batch_size=1
     )
     metrics = pa.Table.from_pylist(metrics_ds.take_all(), schema=METRICS_SCHEMA)
-    shutil.rmtree(root_stage, ignore_errors=True)
+    try:
+        fs.delete_dir(root_stage)
+    except (FileNotFoundError, OSError):
+        pass
     return metrics
 
 

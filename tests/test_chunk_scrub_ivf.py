@@ -89,3 +89,31 @@ def test_ivf_deterministic(ray_session):
     a = ivf_topk(ds, mat[:2], k=5).to_pandas()
     b = ivf_topk(ds, mat[:2], k=5).to_pandas()
     assert a.equals(b)
+
+
+def test_ivf_recall_on_cluster_sorted_input(ray_session):
+    """A corpus SORTED by cluster is the adversarial case for first-N
+    k-means sampling (all training rows come from one cluster and the
+    other cells collapse); the hash-sample trainer must stay unbiased
+    and keep recall high for queries from every cluster."""
+    rng = np.random.RandomState(3)
+    centers = rng.standard_normal((4, 32)).astype(np.float32) * 10
+    rows = []
+    vid = 0
+    for c in range(4):  # sorted: all of cluster 0 first, then 1, ...
+        for _ in range(250):
+            rows.append(
+                {
+                    "vec_id": vid,
+                    "embedding": (centers[c] + rng.standard_normal(32).astype(np.float32)).tolist(),
+                }
+            )
+            vid += 1
+    ds = ray.data.from_items(rows)
+    queries = np.stack([centers[c] for c in range(4)])
+    exact = brute_force_topk(ds, queries, k=10).to_pandas()
+    approx = ivf_topk(ds, queries, k=10, n_cells=8, n_probe=2, train_sample=128).to_pandas()
+    for qi in range(4):
+        e = set(exact[exact.query_id == qi].vec_id)
+        a = set(approx[approx.query_id == qi].vec_id)
+        assert len(e & a) / 10 >= 0.8, f"cluster {qi} recall degraded"

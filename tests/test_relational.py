@@ -78,3 +78,29 @@ def test_top_customers(ray_session, con):
     ).df()
     assert list(got.o_custkey) == list(want.o_custkey)
     assert abs(got.total_spend - want.total_spend).max() < 0.01
+
+
+def test_topk_tie_break_matches_duckdb(ray_session, tmp_path):
+    """Manufactured ties at the k boundary: the engine's (spend DESC,
+    custkey ASC) sort must pick exactly the rows DuckDB picks."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = {"o_custkey": [], "o_totalprice": []}
+    for ck in range(1, 21):
+        rows["o_custkey"].append(ck)
+        rows["o_totalprice"].append(100.0 if ck % 2 == 0 else 50.0)  # ten-way tie at 100
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.table(rows), str(sf / "orders.parquet"))
+
+    got = top_customers_by_spend(str(sf), k=5)
+    con2 = duckdb.connect()
+    want = con2.execute(
+        f"""SELECT o_custkey, round(sum(o_totalprice), 2) AS total_spend
+            FROM '{sf}/orders.parquet' GROUP BY o_custkey
+            ORDER BY sum(o_totalprice) DESC, o_custkey LIMIT 5"""
+    ).df()
+    assert got.column("o_custkey").to_pylist() == want["o_custkey"].tolist()
+    assert got.column("total_spend").to_pylist() == want["total_spend"].tolist()

@@ -101,3 +101,30 @@ def test_no_marker_for_missing_data(tmp_path):
     with open(os.path.join(d, "part-00003.done"), "w") as f:
         f.write("{}")
     assert completed_partitions(d) == set()
+
+
+def test_manifest_via_filesystem_uri(tmp_path):
+    """Manifests resolve through pyarrow.fs: a file:// URI behaves
+    exactly like a bare local path (the S6 object-storage seam)."""
+    from dots_ocr_ray.state.manifest import (
+        list_partition_files,
+        write_partition_atomic,
+    )
+
+    uri = f"file://{tmp_path}/out"
+    tbl = pa.table({"url": ["u1", "u2"], "extracted_text": ["a", "b"]})
+    write_partition_atomic(uri, 3, tbl, "x" * 32, extra={"ok": 2})
+    assert completed_partitions(uri) == {3}
+    assert completed_partitions(str(tmp_path / "out")) == {3}  # same dir, bare path
+    meta = read_marker(uri, 3)
+    assert meta["rows"] == 2 and meta["ok"] == 2
+    files = list_partition_files(uri)
+    assert len(files) == 1 and files[0].startswith("file://")
+    assert pq.read_table(files[0]).num_rows == 2
+
+
+def test_extract_pages_with_uri_out_dir(ray_session, tmp_path):
+    pages = make_pages_table(16, seed=42)
+    uri = f"file://{tmp_path}/out"
+    out = extract_pages(ray.data.from_arrow(pages), batch_size=8, out_dir=uri, num_partitions=4)
+    assert out.count() == 16
