@@ -197,7 +197,7 @@ def _q_token_stats(sf_dir: str):
     from dots_ocr_ray.pipelines.text_analysis import annotate_documents
 
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"])
-    annotated = annotate_documents(docs)
+    annotated = annotate_documents(docs, features=("tokens_ws",))
     agg = annotated.groupby("lang").sum("n_tokens_ws")
     cnt = annotated.groupby("lang").count()
     import pandas as pd
@@ -218,7 +218,7 @@ def _q_quality_stats(sf_dir: str):
     from dots_ocr_ray.pipelines.text_analysis import annotate_documents
 
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"])
-    annotated = annotate_documents(docs)
+    annotated = annotate_documents(docs, features=("quality",))
 
     def _partial(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
