@@ -48,7 +48,15 @@ def cmd_extract(args: argparse.Namespace) -> int:
         describe_pictures=args.describe_pictures,
         rebuild_directory=args.rebuild_directory,
     )
-    if args.partitioning == "shard":
+    if args.input_format == "warc":
+        from dots_ocr_ray.sources.warc import read_warc
+
+        ds = read_warc(files)
+        extracted = extract_pages(
+            ds, config, concurrency=args.concurrency, num_partitions=args.num_partitions,
+        )
+        metrics = write_extracted(extracted, args.out, num_partitions=args.num_partitions)
+    elif args.partitioning == "shard":
         metrics = extract_shards(
             files, args.out, config, concurrency=args.concurrency, resume=not args.overwrite
         )
@@ -99,7 +107,9 @@ def main(argv: list[str] | None = None) -> int:
     sub = p.add_subparsers(dest="cmd", required=True)
 
     ex = sub.add_parser("extract", help="run the extraction pipeline over a pages table")
-    ex.add_argument("--input", required=True, help="pages parquet path or glob")
+    ex.add_argument("--input", required=True, help="pages parquet (or WARC) path or glob")
+    ex.add_argument("--input-format", default="parquet", choices=["parquet", "warc"],
+                    help="warc: read *.warc/.warc.gz via the pure-Python WARC source")
     ex.add_argument("--out", required=True, help="output directory (shared storage on a cluster)")
     ex.add_argument("--mode", default="parse_all", choices=["parse_all", "layout_only", "text_only"])
     ex.add_argument("--partitioning", default="shard", choices=["shard", "urlhash"],

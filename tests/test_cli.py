@@ -74,3 +74,21 @@ def test_cli_fail_gate_trips(ray_session, tmp_path, capsys):
     pq.write_table(bad.cast(make_pages_table(1).schema), str(src))
     with pytest.raises(RuntimeError, match="job failed"):
         main(["extract", "--input", str(src), "--out", str(tmp_path / "o3")])
+
+
+def test_cli_extract_from_warc(tmp_path):
+    from dots_ocr_ray.cli import main
+    from dots_ocr_ray.sources.warc import make_warc_bytes
+
+    recs = [{"url": f"https://w.test/{i}", "html": f"<p>warc body {i}</p>"} for i in range(6)]
+    warc = tmp_path / "in.warc.gz"
+    warc.write_bytes(make_warc_bytes(recs, compress=True))
+    out = tmp_path / "out"
+    rc = main(["extract", "--input", str(warc), "--input-format", "warc", "--out", str(out)])
+    assert rc == 0
+    import glob as g
+
+    import pyarrow.parquet as pq
+
+    rows = sum(pq.read_table(f).num_rows for f in g.glob(f"{out}/part-*.parquet"))
+    assert rows == 6
