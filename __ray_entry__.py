@@ -474,6 +474,26 @@ def _q_merge_docs(sf_dir: str):
     return merge_document_pages(pages_from_multipage_docs(docs, n_pages=2))
 
 
+def _q_supplier_stats(sf_dir: str):
+    from dots_ocr_ray.pipelines.relational import supplier_stats_by_nation
+
+    return supplier_stats_by_nation(sf_dir)
+
+
+def _q_part_stats(sf_dir: str):
+    from dots_ocr_ray.pipelines.relational import part_stats_by_brand
+
+    return part_stats_by_brand(sf_dir)
+
+
+def _q_quality_filter_docs(sf_dir: str):
+    """The quality keep-rule as a row filter (not just the aggregate):
+    int/string output surface only, so the hash check is float-free."""
+    from dots_ocr_ray.pipelines.text_analysis import quality_filter
+
+    return quality_filter(sf_dir).select_columns(["doc_id", "lang", "n_tokens_ws"])
+
+
 def _q_sessionize(sf_dir: str):
     import pyarrow as pa
 
@@ -698,6 +718,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "domain_stats": _q_domain_stats,
         "merge_docs": _q_merge_docs,
         # relational / window / sampling / sort
+        "supplier_stats": _q_supplier_stats,
+        "part_stats": _q_part_stats,
+        "quality_filter_docs": _q_quality_filter_docs,
         "sessionize": _q_sessionize,
         "asof_join": _q_asof_join,
         "sample_10pct": _q_sample_10pct,
@@ -876,5 +899,24 @@ def oracle_sql() -> dict[str, str]:
             "SELECT r_name, CAST(count(*) AS BIGINT) AS n_customers "
             "FROM customer JOIN nation ON c_nationkey = n_nationkey "
             "JOIN region ON n_regionkey = r_regionkey GROUP BY r_name"
+        ),
+        "supplier_stats": (
+            "SELECT n_name, round(sum(s_acctbal), 2) AS total_acctbal, "
+            "CAST(count(*) AS BIGINT) AS n_suppliers "
+            "FROM supplier JOIN nation ON s_nationkey = n_nationkey GROUP BY n_name"
+        ),
+        "part_stats": (
+            "SELECT p_brand, CAST(count(*) AS BIGINT) AS n_parts, "
+            "round(sum(p_retailprice) / count(*), 2) AS avg_price "
+            "FROM part GROUP BY p_brand"
+        ),
+        "quality_filter_docs": (
+            "SELECT doc_id, lang, CAST(n_words AS BIGINT) AS n_tokens_ws FROM ("
+            "SELECT doc_id, lang, len(string_split_regex(trim(text), '[ \t\n]+')) AS n_words, "
+            "CASE WHEN len(string_split_regex(trim(text), '[ \t\n]+')) = 0 THEN 0.0 "
+            "ELSE length(replace(text, ' ', '')) * 1.0 / len(string_split_regex(trim(text), '[ \t\n]+')) END AS mw, "
+            "CASE WHEN length(text) = 0 THEN 0.0 "
+            "ELSE length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / length(text) END AS ar "
+            "FROM documents) WHERE n_words >= 5 AND mw BETWEEN 1.0 AND 15.0 AND ar >= 0.5"
         ),
     }

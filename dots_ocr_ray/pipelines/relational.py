@@ -131,6 +131,78 @@ def events_windowed_agg(sf_dir: str, window_minutes: int = 60) -> ray.data.Datas
     return agg.map_batches(_finalize, batch_format="pyarrow")
 
 
+def supplier_stats_by_nation(sf_dir: str) -> ray.data.Dataset:
+    """supplier ⋈ nation (broadcast small side) → per-nation supplier
+    count + account-balance total; same no-shuffle join shape as
+    :func:`orders_by_mktsegment`."""
+    nation = ray.data.read_parquet(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]).to_pandas()
+    lookup_ref = ray.put(dict(zip(nation["n_nationkey"], nation["n_name"])))
+
+    suppliers = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_nationkey", "s_acctbal"]
+    )
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        from dots_ocr_ray.util import cached_object
+
+        lookup = cached_object(lookup_ref)
+        names = [lookup.get(k, "UNKNOWN") for k in batch.column("s_nationkey").to_pylist()]
+        return (
+            batch.append_column("n_name", pa.array(names, type=pa.string()))
+            .group_by("n_name")
+            .aggregate([("s_acctbal", "sum"), ("s_acctbal", "count")])
+        )
+
+    agg = suppliers.map_batches(_partial, batch_format="pyarrow").groupby("n_name").sum(
+        ["s_acctbal_sum", "s_acctbal_count"]
+    )
+
+    def _finalize(batch: pa.Table) -> pa.Table:
+        mapping = {"sum(s_acctbal_sum)": "total_acctbal", "sum(s_acctbal_count)": "n_suppliers"}
+        batch = batch.rename_columns([mapping.get(n, n) for n in batch.column_names])
+        batch = batch.set_column(
+            batch.column_names.index("total_acctbal"),
+            "total_acctbal",
+            pc.round(batch.column("total_acctbal"), 2),
+        )
+        return batch.set_column(
+            batch.column_names.index("n_suppliers"),
+            "n_suppliers",
+            batch.column("n_suppliers").cast(pa.int64()),
+        )
+
+    return agg.map_batches(_finalize, batch_format="pyarrow")
+
+
+def part_stats_by_brand(sf_dir: str) -> ray.data.Dataset:
+    """Per-brand part count + average retail price — the
+    partial-agg combiner over the part table (sum+count partials →
+    exact average at the finalize)."""
+    parts = ray.data.read_parquet(f"{sf_dir}/part.parquet", columns=["p_brand", "p_retailprice"])
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        return batch.group_by("p_brand").aggregate(
+            [("p_retailprice", "sum"), ("p_retailprice", "count")]
+        )
+
+    agg = parts.map_batches(_partial, batch_format="pyarrow").groupby("p_brand").sum(
+        ["p_retailprice_sum", "p_retailprice_count"]
+    )
+
+    def _finalize(batch: pa.Table) -> pa.Table:
+        total = batch.column("sum(p_retailprice_sum)")
+        n = batch.column("sum(p_retailprice_count)")
+        return pa.table(
+            {
+                "p_brand": batch.column("p_brand"),
+                "n_parts": n.cast(pa.int64()),
+                "avg_price": pc.round(pc.divide(total, n.cast(pa.float64())), 2),
+            }
+        )
+
+    return agg.map_batches(_finalize, batch_format="pyarrow")
+
+
 def top_customers_by_spend(sf_dir: str, k: int = 10) -> pa.Table:
     """Global top-k customers by total order value — groupby partials
     then a driver-side k-merge; no global sort of the fact table."""
