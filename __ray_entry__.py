@@ -474,6 +474,41 @@ def _q_merge_docs(sf_dir: str):
     return merge_document_pages(pages_from_multipage_docs(docs, n_pages=2))
 
 
+def _q_sliding_events(sf_dir: str):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from dots_ocr_ray.pipelines.windows import events_sliding_agg
+
+    tbl = pa.Table.from_pylist(
+        events_sliding_agg(sf_dir, window_minutes=60, hop_minutes=15).take_all()
+    )
+    return tbl.set_column(
+        tbl.column_names.index("sum_value"), "sum_value", pc.round(tbl.column("sum_value"), 4)
+    )
+
+
+def _q_longest_per_lang(sf_dir: str):
+    """Grouped top-k (windowed rank): top-3 longest documents per lang."""
+    import ray.data
+
+    from dots_ocr_ray.pipelines.relational import grouped_topk
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"])
+    return grouped_topk(docs, key_col="lang", value_col="n_chars", id_col="doc_id", k=3)
+
+
+def _q_chars_quantiles(sf_dir: str):
+    """Exact discrete quantiles of n_chars via the value-counts walk
+    (no global sort; one row per distinct value crosses the wire)."""
+    import ray.data
+
+    from dots_ocr_ray.pipelines.relational import exact_int_quantiles
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["n_chars"])
+    return exact_int_quantiles(docs, "n_chars", [0.1, 0.25, 0.5, 0.75, 0.9, 0.99])
+
+
 def _q_supplier_stats(sf_dir: str):
     from dots_ocr_ray.pipelines.relational import supplier_stats_by_nation
 
@@ -721,6 +756,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_stats": _q_supplier_stats,
         "part_stats": _q_part_stats,
         "quality_filter_docs": _q_quality_filter_docs,
+        "sliding_events": _q_sliding_events,
+        "longest_per_lang": _q_longest_per_lang,
+        "chars_quantiles": _q_chars_quantiles,
         "sessionize": _q_sessionize,
         "asof_join": _q_asof_join,
         "sample_10pct": _q_sample_10pct,
@@ -909,6 +947,25 @@ def oracle_sql() -> dict[str, str]:
             "SELECT p_brand, CAST(count(*) AS BIGINT) AS n_parts, "
             "round(sum(p_retailprice) / count(*), 2) AS avg_price "
             "FROM part GROUP BY p_brand"
+        ),
+        "sliding_events": (
+            "SELECT event_type, ws AS window_start, round(sum(value), 4) AS sum_value, "
+            "CAST(count(*) AS BIGINT) AS n_events FROM ("
+            "SELECT event_type, value, "
+            "time_bucket(INTERVAL 15 MINUTES, ts) - j * INTERVAL 15 MINUTES AS ws "
+            "FROM events CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j)"
+            ") GROUP BY event_type, ws"
+        ),
+        "longest_per_lang": (
+            "SELECT doc_id, lang, n_chars FROM documents "
+            "QUALIFY row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) <= 3"
+        ),
+        "chars_quantiles": (
+            " UNION ALL ".join(
+                f"SELECT CAST({q} AS DOUBLE) AS q, "
+                f"CAST(quantile_disc(n_chars, {q}) AS BIGINT) AS value FROM documents"
+                for q in [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+            )
         ),
         "quality_filter_docs": (
             "SELECT doc_id, lang, CAST(n_words AS BIGINT) AS n_tokens_ws FROM ("

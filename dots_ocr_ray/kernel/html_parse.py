@@ -176,9 +176,10 @@ def _scan(html_text: str, extra_re=None) -> list[Block]:
             on_text("<")
             pos = lt + 1
             continue
-        closing, tag, attr_str = m.group(1), m.group(2).lower(), m.group(3)
+        closing, tag, attr_str = m.group(1, 2, 3)
+        tag = tag.lower()
         pos = m.end()
-        self_closing = attr_str.rstrip().endswith("/")
+        self_closing = attr_str.endswith("/") or attr_str.rstrip().endswith("/")
 
         if not closing:
             # rawtext elements: skip straight to the closing tag

@@ -203,6 +203,61 @@ def part_stats_by_brand(sf_dir: str) -> ray.data.Dataset:
     return agg.map_batches(_finalize, batch_format="pyarrow")
 
 
+def grouped_topk(
+    ds: ray.data.Dataset,
+    *,
+    key_col: str,
+    value_col: str,
+    id_col: str,
+    k: int,
+) -> ray.data.Dataset:
+    """Per-group top-k rows by value (DESC), id ASC tiebreak — the
+    windowed-rank operator (SQL ``row_number() OVER (PARTITION BY ...)
+    QUALIFY <= k``).  One keyed shuffle; each group's sort is local."""
+
+    def _top(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            group, sort_keys=[(value_col, "descending"), (id_col, "ascending")]
+        )
+        return group.take(order).slice(0, k)
+
+    return ds.groupby(key_col).map_groups(_top, batch_format="pyarrow")
+
+
+def exact_int_quantiles(
+    ds: ray.data.Dataset, col: str, qs: list[float]
+) -> pa.Table:
+    """EXACT discrete quantiles of an integer-valued column without a
+    global sort: one groupby(value).count() → a small (distinct-value,
+    count) table → cumulative walk on the driver.  Scales whenever
+    distinct values ≪ rows (lengths, counts, scores) — the exchange
+    moves one row per distinct value, not per row.  Matches DuckDB's
+    ``quantile_disc``: the value at 1-indexed rank ``ceil(q * n)``."""
+    counts = ds.groupby(col).count()
+    tbl = pa.Table.from_pylist(counts.take_all())
+    tbl = tbl.take(pc.sort_indices(tbl, sort_keys=[(col, "ascending")]))
+    values = tbl.column(col).to_pylist()
+    weights = tbl.column("count()").to_pylist()
+    n = sum(weights)
+    out_q, out_v = [], []
+    import math
+
+    for q in qs:
+        rank = max(1, math.ceil(q * n))
+        cum = 0
+        val = values[-1] if values else None
+        for v, w in zip(values, weights):
+            cum += w
+            if cum >= rank:
+                val = v
+                break
+        out_q.append(q)
+        out_v.append(val)
+    return pa.table(
+        {"q": pa.array(out_q, type=pa.float64()), "value": pa.array(out_v, type=pa.int64())}
+    )
+
+
 def top_customers_by_spend(sf_dir: str, k: int = 10) -> pa.Table:
     """Global top-k customers by total order value — groupby partials
     then a driver-side k-merge; no global sort of the fact table."""

@@ -43,6 +43,73 @@ def sessionize(
     return events.groupby("user_id").map_groups(_sessions, batch_format="pandas")
 
 
+def events_sliding_agg(
+    sf_dir: str,
+    *,
+    window_minutes: int = 60,
+    hop_minutes: int = 15,
+) -> ray.data.Dataset:
+    """Sliding (hopping) window aggregate: per (event_type,
+    window_start) count + value sum, where each event lands in
+    ``window/hop`` overlapping windows.
+
+    The explode-to-hops form: a vectorized ``map_batches`` replicates
+    each row once per covering window (a pure flat map — no state, no
+    shuffle), then ONE groupby over the derived (type, window) key.
+    Window count per row is the constant window/hop, so the explode is
+    bounded data amplification, not skew."""
+    import numpy as np
+    import pyarrow as pa
+
+    if window_minutes % hop_minutes:
+        raise ValueError("window_minutes must be a multiple of hop_minutes")
+    k = window_minutes // hop_minutes
+    hop_us = hop_minutes * 60 * 1_000_000
+    window_us = window_minutes * 60 * 1_000_000
+
+    def _explode(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        types = batch.column("event_type").to_numpy(zero_copy_only=False)
+        values = batch.column("value").to_numpy(zero_copy_only=False)
+        # newest window containing ts starts at floor(ts/hop)*hop; the
+        # k-1 windows before it also contain ts (clipped at ts<start+win)
+        base = (ts // hop_us) * hop_us
+        starts = base[:, None] - hop_us * np.arange(k)[None, :]  # (n, k)
+        keep = ts[:, None] < starts + window_us
+        idx = np.repeat(np.arange(len(ts)), k)[keep.ravel()]
+        return (
+            pa.table(
+                {
+                    "event_type": pa.array(types[idx], type=pa.string()),
+                    "window_start": pa.array(starts.ravel()[keep.ravel()], type=pa.int64()).cast(
+                        pa.timestamp("us")
+                    ),
+                    "value": pa.array(values[idx], type=pa.float64()),
+                }
+            )
+            .group_by(["event_type", "window_start"])
+            .aggregate([("value", "sum"), ("value", "count")])
+        )
+
+    events = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"])
+    agg = (
+        events.map_batches(_explode, batch_format="pyarrow")
+        .groupby(["event_type", "window_start"])
+        .sum(["value_sum", "value_count"])
+    )
+
+    def _finalize(batch):
+        import pyarrow as pa
+
+        mapping = {"sum(value_sum)": "sum_value", "sum(value_count)": "n_events"}
+        batch = batch.rename_columns([mapping.get(n, n) for n in batch.column_names])
+        return batch.set_column(
+            batch.column_names.index("n_events"), "n_events", batch.column("n_events").cast(pa.int64())
+        )
+
+    return agg.map_batches(_finalize, batch_format="pyarrow")
+
+
 def asof_last_event(
     sf_dir: str,
     left_type: str = "purchase",

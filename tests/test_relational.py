@@ -104,3 +104,37 @@ def test_topk_tie_break_matches_duckdb(ray_session, tmp_path):
     ).df()
     assert got.column("o_custkey").to_pylist() == want["o_custkey"].tolist()
     assert got.column("total_spend").to_pylist() == want["total_spend"].tolist()
+
+
+def test_grouped_topk_with_ties(ray_session):
+    import ray.data
+
+    from dots_ocr_ray.pipelines.relational import grouped_topk
+
+    rows = [
+        {"k": "a", "id": 1, "v": 10}, {"k": "a", "id": 2, "v": 10},
+        {"k": "a", "id": 3, "v": 10}, {"k": "a", "id": 4, "v": 5},
+        {"k": "b", "id": 5, "v": 1},
+    ]
+    out = (
+        grouped_topk(ray.data.from_items(rows), key_col="k", value_col="v", id_col="id", k=2)
+        .to_pandas()
+        .sort_values(["k", "id"])
+    )
+    assert out[out.k == "a"].id.tolist() == [1, 2]  # tie broken by id asc
+    assert out[out.k == "b"].id.tolist() == [5]
+
+
+def test_exact_int_quantiles_matches_duckdb(ray_session, con):
+    import ray.data
+
+    from dots_ocr_ray.pipelines.relational import exact_int_quantiles
+
+    docs = ray.data.read_parquet(f"{SF_DIR}/documents.parquet", columns=["n_chars"])
+    got = exact_int_quantiles(docs, "n_chars", [0.1, 0.5, 0.9]).to_pydict()
+    con2 = duckdb.connect()
+    for q, v in zip(got["q"], got["value"]):
+        want = con2.execute(
+            f"SELECT quantile_disc(n_chars, {q}) FROM '{SF_DIR}/documents.parquet'"
+        ).fetchone()[0]
+        assert v == want, (q, v, want)

@@ -68,3 +68,28 @@ def test_asof_matches_duckdb(ray_session, con):
         pd.isna(got.prior_ts).values & pd.isna(want.prior_ts).values
     )
     assert same.all()
+
+
+def test_sliding_window_each_event_in_k_windows(ray_session):
+    """60min window / 15min hop: every event lands in exactly 4
+    windows, and each window's count equals the events inside it."""
+    from dots_ocr_ray.pipelines.windows import events_sliding_agg
+
+    out = events_sliding_agg(SF_DIR, window_minutes=60, hop_minutes=15).to_pandas()
+    import duckdb
+
+    con = duckdb.connect()
+    total = con.execute(f"SELECT count(*) FROM '{SF_DIR}/events.parquet'").fetchone()[0]
+    assert out.n_events.sum() == 4 * total
+    # spot-check one window against a direct range count
+    row = out.iloc[0]
+    lo = row.window_start
+    import pandas as pd
+
+    hi = lo + pd.Timedelta(minutes=60)
+    want = con.execute(
+        f"SELECT count(*) FROM '{SF_DIR}/events.parquet' "
+        f"WHERE event_type = ? AND ts >= ? AND ts < ?",
+        [row.event_type, lo.to_pydatetime(), hi.to_pydatetime()],
+    ).fetchone()[0]
+    assert row.n_events == want
