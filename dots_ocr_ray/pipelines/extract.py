@@ -225,6 +225,24 @@ def write_extracted(
     return metrics
 
 
+def _shard_record_batches(path: str, batch_size: int):
+    """Stream a shard file as pages batches: parquet shards read
+    column-pruned; ``*.warc`` / ``*.warc.gz`` shards stream through the
+    pure-Python WARC walker (sources/warc.py) — the flagship's
+    partition == input-shard layout is format-agnostic."""
+    import pyarrow.parquet as pq
+
+    if path.endswith((".warc", ".warc.gz")):
+        from dots_ocr_ray.sources.warc import _warc_file_batches
+
+        for tbl in _warc_file_batches(path, frozenset({"response"}), batch_size):
+            yield tbl.select(["url", "html", "text", "lang"])
+        return
+    tbl = pq.read_table(path, columns=["url", "html", "text", "lang"])
+    for off in range(0, tbl.num_rows, batch_size):
+        yield tbl.slice(off, batch_size)
+
+
 def _process_one_shard(
     shard: int,
     path: str,
@@ -247,10 +265,9 @@ def _process_one_shard(
 
     t0 = time.perf_counter()
     extractor = ExtractorActor(config=config, num_partitions=n_shards)
-    tbl = pq.read_table(path, columns=["url", "html", "text", "lang"])
     outs = []
-    for off in range(0, tbl.num_rows, batch_size):
-        chunk = extractor(tbl.slice(off, batch_size))
+    for batch in _shard_record_batches(path, batch_size):
+        chunk = extractor(batch)
         # partition identity is the shard, not the url hash
         pid_col = pa.array([shard] * chunk.num_rows, type=pa.int32())
         chunk = chunk.set_column(chunk.column_names.index("partition_id"), "partition_id", pid_col)

@@ -78,3 +78,30 @@ def test_truncated_and_empty_inputs(ray_session, tmp_path):
     ds = read_warc(str(p))
     assert ds.count() == 2  # truncated tail record dropped, no raise
     assert read_warc([]).count() == 0
+
+
+def test_extract_shards_from_warc(ray_session, tmp_path):
+    """Zero-shuffle flagship over WARC shards: partition == warc file,
+    markers/resume identical to the parquet path."""
+    from dots_ocr_ray.pipelines.extract import extract_shards
+    from dots_ocr_ray.state.manifest import completed_partitions
+
+    files = []
+    for i in range(3):
+        recs = [
+            {"url": f"https://s{i}.test/p{j}", "html": f"<h1>H{j}</h1><p>shard {i} page {j} body</p>"}
+            for j in range(4)
+        ]
+        p = tmp_path / f"shard-{i}.warc.gz"
+        p.write_bytes(make_warc_bytes(recs, compress=True))
+        files.append(str(p))
+    out = tmp_path / "out"
+    metrics = extract_shards(files, str(out), batch_size=2)
+    assert metrics.num_rows == 3
+    assert sum(metrics.column("input_rows").to_pylist()) == 12
+    assert completed_partitions(str(out)) == {0, 1, 2}
+    # resume: nothing recomputed
+    import pyarrow.compute as pc
+
+    m2 = extract_shards(files, str(out), batch_size=2)
+    assert pc.sum(m2.column("wall_ms")).as_py() == 0
