@@ -474,6 +474,34 @@ def _q_merge_docs(sf_dir: str):
     return merge_document_pages(pages_from_multipage_docs(docs, n_pages=2))
 
 
+def _q_approx_distinct_users(sf_dir: str):
+    """HLL distinct count over events.user_id — kilobytes move instead
+    of keys; deterministic sketch → golden-parquet hard check."""
+    import pandas as pd
+
+    import ray.data
+
+    from dots_ocr_ray.functions.sketches import approx_distinct
+
+    events = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    n = approx_distinct(events, "user_id", p=12)
+    return pd.DataFrame({"approx_distinct": pd.array([int(round(n))], dtype="int64")})
+
+
+def _q_reservoir_doc_sample(sf_dir: str):
+    """Deterministic priority-sample of doc ids — identical for any
+    partitioning of the input, hence golden-checkable."""
+    import pandas as pd
+
+    import ray.data
+
+    from dots_ocr_ray.functions.sketches import deterministic_sample
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    keys = deterministic_sample(docs, "doc_id", k=32)
+    return pd.DataFrame({"key": sorted(keys)})
+
+
 def _q_sliding_events(sf_dir: str):
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -756,6 +784,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_stats": _q_supplier_stats,
         "part_stats": _q_part_stats,
         "quality_filter_docs": _q_quality_filter_docs,
+        "approx_distinct_users": _q_approx_distinct_users,
+        "reservoir_doc_sample": _q_reservoir_doc_sample,
         "sliding_events": _q_sliding_events,
         "longest_per_lang": _q_longest_per_lang,
         "chars_quantiles": _q_chars_quantiles,
@@ -884,6 +914,12 @@ def oracle_sql() -> dict[str, str]:
         "merge_docs": (
             "SELECT doc_url, n_pages, extracted_text, extracted_text_nohf "
             f"FROM read_parquet('{_GOLDEN_DIR}/merge_docs.parquet')"
+        ),
+        "approx_distinct_users": (
+            f"SELECT approx_distinct FROM read_parquet('{_GOLDEN_DIR}/approx_distinct_users.parquet')"
+        ),
+        "reservoir_doc_sample": (
+            f"SELECT key FROM read_parquet('{_GOLDEN_DIR}/reservoir_doc_sample.parquet')"
         ),
         "ann_topk": (
             "WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 4) "

@@ -37,6 +37,8 @@ def _canon(obj) -> pd.DataFrame:
         "lang_id_confusion",
         "fingerprint_dups",
         "merge_docs",
+        "approx_distinct_users",
+        "reservoir_doc_sample",
     ],
 )
 def test_golden_parity(ray_session, name):

@@ -293,6 +293,26 @@ def golden_merge_docs(sf_dir: str, *, n_pages: int = 2) -> pa.Table:
     )
 
 
+def golden_approx_distinct_users(sf_dir: str) -> pa.Table:
+    from dots_ocr_ray.functions.sketches import HyperLogLog
+
+    t = pq.read_table(f"{sf_dir}/events.parquet", columns=["user_id"])
+    hll = HyperLogLog(12)
+    for v in t.column("user_id").to_pylist():
+        hll.add(str(v))
+    return pa.table({"approx_distinct": pa.array([int(round(hll.count()))], type=pa.int64())})
+
+
+def golden_reservoir_doc_sample(sf_dir: str, *, k: int = 32) -> pa.Table:
+    from dots_ocr_ray.functions.sketches import Reservoir
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    r = Reservoir(k)
+    for v in t.column("doc_id").to_pylist():
+        r.add(str(v))
+    return pa.table({"key": pa.array(sorted(r.sample()), type=pa.string())})
+
+
 GOLDEN_BUILDERS = {
     "dedup_minhash": golden_dedup_minhash,
     "dedup_simhash": golden_dedup_simhash,
@@ -303,6 +323,8 @@ GOLDEN_BUILDERS = {
     "lang_id_confusion": golden_lang_id_confusion,
     "fingerprint_dups": golden_fingerprint_dups,
     "merge_docs": golden_merge_docs,
+    "approx_distinct_users": golden_approx_distinct_users,
+    "reservoir_doc_sample": golden_reservoir_doc_sample,
 }
 
 
