@@ -73,27 +73,34 @@ def _q_extract_status_counts(sf_dir: str):
 
 
 def _q_extract_span_stats(sf_dir: str):
+    """Single-pass sum+count partial aggregate — extraction runs ONCE
+    (two separate groupbys would re-execute the whole upstream
+    pipeline per consumer)."""
     import pyarrow as pa
 
     ds = _extract_ds(sf_dir)
-    agg = ds.groupby("lang").sum("n_spans")
-    counts = ds.groupby("lang").count()
 
-    def _rename_sum(batch: pa.Table) -> pa.Table:
-        cols = ["lang" if n == "lang" else "sum_spans" for n in batch.column_names]
-        return batch.rename_columns(cols)
+    def _partial(batch: pa.Table) -> pa.Table:
+        return (
+            batch.select(["lang", "n_spans"])
+            .group_by("lang")
+            .aggregate([("n_spans", "sum"), ("n_spans", "count")])
+        )
 
-    def _rename_cnt(batch: pa.Table) -> pa.Table:
-        cols = ["lang" if n == "lang" else "n_docs" for n in batch.column_names]
-        return batch.rename_columns(cols)
+    agg = ds.map_batches(_partial, batch_format="pyarrow").groupby("lang").sum(
+        ["n_spans_sum", "n_spans_count"]
+    )
 
-    import pandas as pd
+    def _rename(batch: pa.Table) -> pa.Table:
+        mapping = {"sum(n_spans_sum)": "sum_spans", "sum(n_spans_count)": "n_docs"}
+        batch = batch.rename_columns([mapping.get(n, n) for n in batch.column_names])
+        for col in ("sum_spans", "n_docs"):
+            batch = batch.set_column(
+                batch.column_names.index(col), col, batch.column(col).cast(pa.int64())
+            )
+        return batch
 
-    a = _rename_sum(pa.Table.from_pylist(agg.take_all())).to_pandas()
-    b = _rename_cnt(pa.Table.from_pylist(counts.take_all())).to_pandas()
-    out = pd.merge(a, b, on="lang")
-    out["sum_spans"] = out["sum_spans"].astype("int64")
-    return out[["lang", "sum_spans", "n_docs"]]
+    return agg.map_batches(_rename, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -198,16 +205,28 @@ def _q_token_stats(sf_dir: str):
 
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"])
     annotated = annotate_documents(docs, features=("tokens_ws",))
-    agg = annotated.groupby("lang").sum("n_tokens_ws")
-    cnt = annotated.groupby("lang").count()
-    import pandas as pd
 
-    a = pa.Table.from_pylist(agg.take_all()).to_pandas().rename(columns={"sum(n_tokens_ws)": "sum_tokens_ws"})
-    b = pa.Table.from_pylist(cnt.take_all()).to_pandas().rename(columns={"count()": "n_docs"})
-    out = pd.merge(a, b, on="lang")
-    out["sum_tokens_ws"] = out["sum_tokens_ws"].astype("int64")
-    out["n_docs"] = out["n_docs"].astype("int64")
-    return out[["lang", "sum_tokens_ws", "n_docs"]]
+    def _partial(batch: pa.Table) -> pa.Table:
+        return (
+            batch.select(["lang", "n_tokens_ws"])
+            .group_by("lang")
+            .aggregate([("n_tokens_ws", "sum"), ("n_tokens_ws", "count")])
+        )
+
+    agg = annotated.map_batches(_partial, batch_format="pyarrow").groupby("lang").sum(
+        ["n_tokens_ws_sum", "n_tokens_ws_count"]
+    )
+
+    def _rename(batch: pa.Table) -> pa.Table:
+        mapping = {"sum(n_tokens_ws_sum)": "sum_tokens_ws", "sum(n_tokens_ws_count)": "n_docs"}
+        batch = batch.rename_columns([mapping.get(n, n) for n in batch.column_names])
+        for col in ("sum_tokens_ws", "n_docs"):
+            batch = batch.set_column(
+                batch.column_names.index(col), col, batch.column(col).cast(pa.int64())
+            )
+        return batch
+
+    return agg.map_batches(_rename, batch_format="pyarrow")
 
 
 def _q_quality_stats(sf_dir: str):

@@ -72,3 +72,69 @@ def test_scrub_idempotent(text):
     once, _ = scrub_text(text)
     twice, counts = scrub_text(once)
     assert twice == once or counts  # re-scrubbing stable output changes nothing
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)).filter(lambda p: p[0] != p[1]),
+        max_size=25,
+    )
+)
+def test_union_find_root_map_invariants(pairs):
+    """_root_map_from_pairs: every node maps to the min id of its
+    connected component (checked against a brute-force BFS)."""
+    from dots_ocr_ray.pipelines.dedup import _root_map_from_pairs
+
+    roots = _root_map_from_pairs(pairs)
+    nodes = {n for p in pairs for n in p}
+    assert set(roots) == nodes
+    # brute-force components
+    adj = {n: set() for n in nodes}
+    for a, b in pairs:
+        adj[a].add(b)
+        adj[b].add(a)
+    seen = set()
+    for start in nodes:
+        if start in seen:
+            continue
+        comp, stack = set(), [start]
+        while stack:
+            n = stack.pop()
+            if n in comp:
+                continue
+            comp.add(n)
+            stack.extend(adj[n])
+        seen |= comp
+        m = min(comp)
+        for n in comp:
+            assert roots[n] == m
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.text(st.characters(min_codepoint=33, max_codepoint=126), min_size=1, max_size=40),
+            st.binary(max_size=200),
+        ),
+        max_size=10,
+    )
+)
+def test_warc_roundtrip_property(records):
+    """make_warc_bytes → iter_warc_records is lossless for any urls and
+    payload bytes, plain and gzip."""
+    import gzip
+    import io
+
+    from dots_ocr_ray.sources.warc import http_payload, iter_warc_records, make_warc_bytes
+
+    recs = [{"url": f"https://t.test/{u}", "html": h} for u, h in records]
+    for compress in (False, True):
+        raw = make_warc_bytes(recs, compress=compress)
+        stream = gzip.open(io.BytesIO(raw), "rb") if compress else io.BytesIO(raw)
+        out = list(iter_warc_records(stream))
+        assert len(out) == len(recs)
+        for (headers, block), rec in zip(out, recs):
+            assert headers["warc-target-uri"] == rec["url"]
+            assert http_payload(block) == rec["html"]
