@@ -76,6 +76,61 @@ class MediaFeatureActor:
         return out
 
 
+class MediaResizeActor:
+    """Image-resize plumbing: the TARGET geometry is computed by the
+    real kernel (`kernel/geometry.py:smart_resize` — the reference's
+    M1 pixel-budget rule, factor-28 rounding, aspect-ratio reject);
+    only the pixel resample itself is the stubbed codec seam.
+
+    Input rows carry source dims in ``meta`` JSON (``{"w":..,"h":..}``);
+    output adds (src_w, src_h, dst_w, dst_h, resize_status) and keeps
+    the payload column for the downstream stage.  Oversized/degenerate
+    geometry is routed to status="rejected", never raised."""
+
+    def __init__(self, fake_decode: bool = True):
+        self.fake_decode = fake_decode
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import json
+
+        from dots_ocr_ray.kernel.geometry import smart_resize
+
+        src_w, src_h, dst_w, dst_h, status = [], [], [], [], []
+        for payload, meta in zip(
+            batch.column("payload").to_pylist(), batch.column("meta").to_pylist()
+        ):
+            try:
+                m = json.loads(meta or "{}")
+                w, h = int(m.get("w", 0)), int(m.get("h", 0))
+            except (ValueError, TypeError):
+                w = h = 0
+            src_w.append(w)
+            src_h.append(h)
+            if w <= 0 or h <= 0:
+                dst_w.append(0)
+                dst_h.append(0)
+                status.append("rejected")
+                continue
+            try:
+                rh, rw = smart_resize(h, w)
+                if not self.fake_decode:
+                    decode_image_real(payload or b"")  # raises: marked stub
+                dst_w.append(rw)
+                dst_h.append(rh)
+                status.append("resized")
+            except ValueError:
+                dst_w.append(0)
+                dst_h.append(0)
+                status.append("rejected")
+        return (
+            batch.append_column("src_w", pa.array(src_w, type=pa.int32()))
+            .append_column("src_h", pa.array(src_h, type=pa.int32()))
+            .append_column("dst_w", pa.array(dst_w, type=pa.int32()))
+            .append_column("dst_h", pa.array(dst_h, type=pa.int32()))
+            .append_column("resize_status", pa.array(status, type=pa.string()))
+        )
+
+
 class FrameSampleActor:
     """Video frame-sampling plumbing: emits ``every_nth`` synthetic
     frame references per video row (flat_map shape: 1 row → n rows).

@@ -51,3 +51,36 @@ def test_frame_sampler_explodes_rows(ray_session, media_ds):
     per_media = out.groupby("media_id").size()
     assert per_media[7] == 4
     assert (out.frame_idx % 2 == 0).all()
+
+
+def test_media_resize_uses_kernel_geometry(ray_session):
+    """MediaResizeActor: target dims come from the REAL smart_resize
+    kernel (factor-28 rounding, pixel budget); bad geometry routes to
+    rejected, never raises."""
+    import json
+
+    import pyarrow as pa
+
+    import ray.data
+
+    from dots_ocr_ray.kernel.geometry import smart_resize
+    from dots_ocr_ray.stages.media import MediaResizeActor
+
+    rows = [
+        {"media_id": 1, "kind": "image", "payload": b"x" * 64, "meta": json.dumps({"w": 800, "h": 600})},
+        {"media_id": 2, "kind": "image", "payload": b"y" * 64, "meta": json.dumps({"w": 10000, "h": 10})},  # aspect > 200 → reject
+        {"media_id": 3, "kind": "image", "payload": b"", "meta": "not json"},
+        {"media_id": 4, "kind": "image", "payload": b"z", "meta": json.dumps({"w": 0, "h": 5})},
+    ]
+    out = (
+        ray.data.from_items(rows)
+        .map_batches(MediaResizeActor, batch_format="pyarrow", batch_size=2, concurrency=2)
+        .to_pandas()
+        .sort_values("media_id")
+        .reset_index(drop=True)
+    )
+    rh, rw = smart_resize(600, 800)
+    assert out.loc[0, "resize_status"] == "resized"
+    assert (out.loc[0, "dst_w"], out.loc[0, "dst_h"]) == (rw, rh)
+    assert out.loc[0, "dst_w"] % 28 == 0 and out.loc[0, "dst_h"] % 28 == 0
+    assert list(out.resize_status[1:]) == ["rejected", "rejected", "rejected"]
