@@ -225,11 +225,12 @@ def write_extracted(
     return metrics
 
 
-def _shard_record_batches(path: str, batch_size: int):
+def _shard_record_batches(path: str, batch_size: int, row_groups: list[int] | None = None):
     """Stream a shard file as pages batches: parquet shards read
-    column-pruned; ``*.warc`` / ``*.warc.gz`` shards stream through the
-    pure-Python WARC walker (sources/warc.py) — the flagship's
-    partition == input-shard layout is format-agnostic."""
+    column-pruned (optionally only the listed row groups — the
+    mega-shard split unit); ``*.warc`` / ``*.warc.gz`` shards stream
+    through the pure-Python WARC walker (sources/warc.py) — the
+    flagship's partition == input-shard layout is format-agnostic."""
     import pyarrow.parquet as pq
 
     if path.endswith((".warc", ".warc.gz")):
@@ -238,9 +239,47 @@ def _shard_record_batches(path: str, batch_size: int):
         for tbl in _warc_file_batches(path, frozenset({"response"}), batch_size):
             yield tbl.select(["url", "html", "text", "lang"])
         return
-    tbl = pq.read_table(path, columns=["url", "html", "text", "lang"])
+    cols = ["url", "html", "text", "lang"]
+    if row_groups is None:
+        tbl = pq.read_table(path, columns=cols)
+    else:
+        tbl = pq.ParquetFile(path).read_row_groups(list(row_groups), columns=cols)
     for off in range(0, tbl.num_rows, batch_size):
         yield tbl.slice(off, batch_size)
+
+
+def _shard_units(shard_files: list[str], max_rows_per_task: int | None) -> list[tuple[str, list[int] | None]]:
+    """Deterministic work-unit list: one unit per shard file, except
+    parquet shards above ``max_rows_per_task`` rows, which split into
+    runs of whole row groups (the mega-shard straggler guard, SURVEY
+    §7.4 hard part 6 — one 10× shard no longer holds a wave hostage).
+    Unit ids (= partition ids) depend only on the file list and the
+    split threshold, so resume stays exact."""
+    import pyarrow.parquet as pq
+
+    if max_rows_per_task is None:
+        return [(p, None) for p in shard_files]
+    units: list[tuple[str, list[int] | None]] = []
+    for p in shard_files:
+        if p.endswith((".warc", ".warc.gz")):
+            units.append((p, None))  # warc shards stream; no cheap row metadata
+            continue
+        md = pq.ParquetFile(p).metadata
+        if md.num_rows <= max_rows_per_task or md.num_row_groups <= 1:
+            units.append((p, None))
+            continue
+        run: list[int] = []
+        run_rows = 0
+        for rg in range(md.num_row_groups):
+            nrows = md.row_group(rg).num_rows
+            if run and run_rows + nrows > max_rows_per_task:
+                units.append((p, run))
+                run, run_rows = [], 0
+            run.append(rg)
+            run_rows += nrows
+        if run:
+            units.append((p, run))
+    return units
 
 
 def _process_one_shard(
@@ -250,6 +289,7 @@ def _process_one_shard(
     config: ExtractConfig,
     batch_size: int,
     n_shards: int,
+    row_groups: list[int] | None = None,
 ) -> dict | None:
     """One whole input shard → final partition file + marker; returns
     the partition's metrics row (None for an empty shard)."""
@@ -266,7 +306,7 @@ def _process_one_shard(
     t0 = time.perf_counter()
     extractor = ExtractorActor(config=config, num_partitions=n_shards)
     outs = []
-    for batch in _shard_record_batches(path, batch_size):
+    for batch in _shard_record_batches(path, batch_size, row_groups):
         chunk = extractor(batch)
         # partition identity is the shard, not the url hash
         pid_col = pa.array([shard] * chunk.num_rows, type=pa.int32())
@@ -304,8 +344,15 @@ def _run_shard_task(
     (module-level so Ray pickles it by reference and worker processes
     keep the imported module warm across tasks)."""
     rows = []
-    for shard, path in zip(batch.column("shard").to_pylist(), batch.column("path").to_pylist()):
-        row = _process_one_shard(shard, path, out_dir, config, batch_size, n_shards)
+    rgs = (
+        batch.column("row_groups").to_pylist()
+        if "row_groups" in batch.column_names
+        else [None] * batch.num_rows
+    )
+    for shard, path, rg in zip(
+        batch.column("shard").to_pylist(), batch.column("path").to_pylist(), rgs
+    ):
+        row = _process_one_shard(shard, path, out_dir, config, batch_size, n_shards, rg)
         if row is not None:
             rows.append(row)
     if not rows:
@@ -322,6 +369,7 @@ def extract_shards(
     batch_size: int = 256,
     resume: bool = True,
     dispatch: str = "ray_data",
+    max_rows_per_task: int | None = None,
 ) -> pa.Table:
     """Zero-shuffle flagship: output partition == input shard.
 
@@ -336,7 +384,10 @@ def extract_shards(
     instead when downstream work needs url-hash-partitioned output.
 
     Skew note: one mega-shard straggles a wave — keep shard count ≥ 2×
-    task slots when producing the input layout (SURVEY §7.4 hard part 6).
+    task slots when producing the input layout (SURVEY §7.4 hard part
+    6), or set ``max_rows_per_task`` to split oversized parquet shards
+    into row-group runs (deterministic unit ids, so resume is exact as
+    long as the file list and threshold are unchanged).
     Returns the metrics table for ALL partitions (completed ones read
     back from their markers).
 
@@ -347,9 +398,12 @@ def extract_shards(
     import pyarrow.parquet as pq
 
     cfg = config or ExtractConfig()
+    units = _shard_units(shard_files, max_rows_per_task)
     done = completed_partitions(out_dir) if resume else set()
     items = [
-        {"shard": i, "path": p} for i, p in enumerate(shard_files) if i not in done
+        {"shard": i, "path": p, "row_groups": rg}
+        for i, (p, rg) in enumerate(units)
+        if i not in done
     ]
 
     import functools
@@ -365,7 +419,8 @@ def extract_shards(
             remote_fn = ray.remote(num_cpus=1)(_process_one_shard)
             refs = [
                 remote_fn.remote(
-                    it["shard"], it["path"], out_dir, cfg, batch_size, max(1, len(shard_files))
+                    it["shard"], it["path"], out_dir, cfg, batch_size,
+                    max(1, len(units)), it["row_groups"],
                 )
                 for it in items
             ]
@@ -384,7 +439,7 @@ def extract_shards(
                 out_dir=out_dir,
                 config=cfg,
                 batch_size=batch_size,
-                n_shards=max(1, len(shard_files)),
+                n_shards=max(1, len(units)),
             )
             metrics_ds = work.map_batches(fn, batch_size=1, batch_format="pyarrow")
             fresh = metrics_ds.take_all()

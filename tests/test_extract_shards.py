@@ -61,3 +61,48 @@ def test_shard_resume_skips_done(ray_session, shard_files, tmp_path):
     for ra, rb in zip(a, b):
         for k in ("partition_id", "input_rows", "ok", "fallback", "failed", "bytes_in"):
             assert ra[k] == rb[k], (ra, rb)
+
+
+def test_mega_shard_split_by_row_groups(ray_session, tmp_path):
+    """max_rows_per_task splits an oversized parquet shard into
+    row-group runs: more partitions, identical total output, exact
+    resume on the split units."""
+    import pyarrow.parquet as pq
+
+    from dots_ocr_ray.fixtures import make_pages_table
+    from dots_ocr_ray.pipelines.extract import extract_shards
+    from dots_ocr_ray.state.manifest import completed_partitions, list_partition_files
+
+    pages = make_pages_table(96, seed=11)
+    big = tmp_path / "big.parquet"
+    pq.write_table(pages, str(big), row_group_size=16)  # 6 row groups
+    small = tmp_path / "small.parquet"
+    pq.write_table(make_pages_table(8, seed=12), str(small))
+
+    out_a = tmp_path / "whole"
+    m_a = extract_shards([str(big), str(small)], str(out_a), batch_size=16)
+    out_b = tmp_path / "split"
+    m_b = extract_shards([str(big), str(small)], str(out_b), batch_size=16, max_rows_per_task=40)
+    assert m_a.num_rows == 2
+    assert m_b.num_rows == 4  # 3 runs of ≤40 rows (16+16, 16+16, 16+16) + small
+    assert sum(m_b.column("input_rows").to_pylist()) == 104
+
+    def _all_rows(d):
+        tbls = [pq.read_table(f) for f in list_partition_files(str(d))]
+        import pyarrow as pa
+
+        return pa.concat_tables(tbls).sort_by("url")
+
+    a, b = _all_rows(out_a), _all_rows(out_b)
+    assert a.column("extracted_text").to_pylist() == b.column("extracted_text").to_pylist()
+
+    # resume on split units: drop one unit, rerun, only that unit redone
+    import os
+
+    victim = 1
+    os.remove(str(out_b / f"part-{victim:05d}.parquet"))
+    os.remove(str(out_b / f"part-{victim:05d}.done"))
+    m_b2 = extract_shards([str(big), str(small)], str(out_b), batch_size=16, max_rows_per_task=40)
+    assert completed_partitions(str(out_b)) == {0, 1, 2, 3}
+    redone = [r for r in m_b2.to_pylist() if r["wall_ms"] > 0]
+    assert len(redone) == 1 and redone[0]["partition_id"] == victim
