@@ -58,7 +58,8 @@ def cmd_extract(args: argparse.Namespace) -> int:
         metrics = write_extracted(extracted, args.out, num_partitions=args.num_partitions)
     elif args.partitioning == "shard":
         metrics = extract_shards(
-            files, args.out, config, concurrency=args.concurrency, resume=not args.overwrite
+            files, args.out, config, concurrency=args.concurrency,
+            resume=not args.overwrite, max_rows_per_task=args.max_rows_per_task,
         )
     else:
         ds = read_pages(files)
@@ -120,6 +121,8 @@ def main(argv: list[str] | None = None) -> int:
     ex.add_argument("--describe-pictures", action="store_true")
     ex.add_argument("--rebuild-directory", action="store_true")
     ex.add_argument("--overwrite", action="store_true", help="ignore existing done markers")
+    ex.add_argument("--max-rows-per-task", type=int, default=None,
+                    help="split parquet shards above this many rows into row-group runs (straggler guard)")
     ex.set_defaults(fn=cmd_extract)
 
     dd = sub.add_parser("dedup", help="corpus dedup over a documents table")
