@@ -90,6 +90,31 @@ def cmd_dedup(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_prepare(args: argparse.Namespace) -> int:
+    from dots_ocr_ray.pipelines.prepare import prepare_training_data
+
+    _ensure_ray()
+    if args.input_format == "warc":
+        from dots_ocr_ray.sources.warc import read_warc
+
+        pages = read_warc(args.input)
+    else:
+        from dots_ocr_ray.pipelines.extract import read_pages
+
+        files = sorted(glob.glob(args.input)) if any(c in args.input for c in "*?[") else [args.input]
+        pages = read_pages(files)
+    counts = prepare_training_data(
+        pages,
+        args.out,
+        dedup=args.dedup,
+        chunk_tokens=args.chunk_tokens,
+        overlap_tokens=args.overlap_tokens,
+        train_fraction=args.train_fraction,
+    )
+    print(json.dumps({"out": args.out, **counts}))
+    return 0
+
+
 def cmd_annotate(args: argparse.Namespace) -> int:
     import ray.data
 
@@ -133,6 +158,16 @@ def main(argv: list[str] | None = None) -> int:
     dd.add_argument("--id-col", default="doc_id")
     dd.add_argument("--threshold", type=float, default=0.8)
     dd.set_defaults(fn=cmd_dedup)
+
+    pr = sub.add_parser("prepare", help="end-to-end training-data prep: extract -> quality -> dedup -> scrub -> chunk -> split")
+    pr.add_argument("--input", required=True, help="pages parquet or WARC path/glob")
+    pr.add_argument("--input-format", default="parquet", choices=["parquet", "warc"])
+    pr.add_argument("--out", required=True)
+    pr.add_argument("--dedup", default="exact", choices=["exact", "minhash", "none"])
+    pr.add_argument("--chunk-tokens", type=int, default=128)
+    pr.add_argument("--overlap-tokens", type=int, default=16)
+    pr.add_argument("--train-fraction", type=float, default=0.9)
+    pr.set_defaults(fn=cmd_prepare)
 
     an = sub.add_parser("annotate", help="add lang/quality/token/fingerprint columns")
     an.add_argument("--input", required=True)

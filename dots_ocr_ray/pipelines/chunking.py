@@ -53,13 +53,20 @@ def chunk_documents(
     id_col: str = "doc_id",
     chunk_tokens: int = 128,
     overlap_tokens: int = 16,
+    passthrough_cols: tuple[str, ...] = (),
 ) -> ray.data.Dataset:
     """documents → chunks: (doc_id, chunk_id, char_start, char_end,
-    chunk_text, n_tokens).  chunk_id numbers chunks within a doc from 0."""
+    chunk_text, n_tokens [, passthrough…]).  chunk_id numbers chunks
+    within a doc from 0; ``passthrough_cols`` replicate per-doc lineage
+    columns (e.g. url) onto every chunk row."""
 
     def _explode(batch: pa.Table) -> pa.Table:
         ids, chunk_ids, starts, ends, texts, ntoks = [], [], [], [], [], []
-        for doc_id, text in zip(batch.column(id_col).to_pylist(), batch.column(text_col).to_pylist()):
+        extra: dict[str, list] = {c: [] for c in passthrough_cols}
+        extra_src = {c: batch.column(c).to_pylist() for c in passthrough_cols}
+        for row_i, (doc_id, text) in enumerate(
+            zip(batch.column(id_col).to_pylist(), batch.column(text_col).to_pylist())
+        ):
             for k, (s, e, chunk) in enumerate(chunk_text(text or "", chunk_tokens, overlap_tokens)):
                 ids.append(doc_id)
                 chunk_ids.append(k)
@@ -67,15 +74,18 @@ def chunk_documents(
                 ends.append(e)
                 texts.append(chunk)
                 ntoks.append(len(chunk.split()))
-        return pa.table(
-            {
-                "doc_id": pa.array(ids, type=pa.int64()),
-                "chunk_id": pa.array(chunk_ids, type=pa.int32()),
-                "char_start": pa.array(starts, type=pa.int64()),
-                "char_end": pa.array(ends, type=pa.int64()),
-                "chunk_text": pa.array(texts, type=pa.string()),
-                "n_tokens": pa.array(ntoks, type=pa.int32()),
-            }
-        )
+                for c in passthrough_cols:
+                    extra[c].append(extra_src[c][row_i])
+        cols = {
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "chunk_id": pa.array(chunk_ids, type=pa.int32()),
+            "char_start": pa.array(starts, type=pa.int64()),
+            "char_end": pa.array(ends, type=pa.int64()),
+            "chunk_text": pa.array(texts, type=pa.string()),
+            "n_tokens": pa.array(ntoks, type=pa.int32()),
+        }
+        for c in passthrough_cols:
+            cols[c] = pa.array(extra[c], type=batch.schema.field(c).type)
+        return pa.table(cols)
 
     return ds.map_batches(_explode, batch_format="pyarrow")

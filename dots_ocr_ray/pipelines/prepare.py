@@ -1,0 +1,143 @@
+"""End-to-end training-data preparation: the composite pipeline a user
+of this engine runs over a web crawl.
+
+    pages (parquet/WARC) ──extract (actor pool, zero-shuffle kernel)
+      └─ keep status == finished            (degradation rows dropped HERE,
+                                             never inside the kernel)
+      └─ quality gate (heuristic features)  (map_batches, vectorized)
+      └─ corpus dedup                       (exact | minhash — the only
+                                             keyed exchanges in the job)
+      └─ PII scrub                          (map_batches)
+      └─ token chunking w/ char lineage     (flat explode)
+      └─ deterministic train/val split      (Knuth hash on doc id)
+      └─ write out_dir/split=train|val/     (partitioned parquet)
+
+Everything before and after the dedup exchange streams with
+backpressure; the dedup keep-set is broadcast (``ray.put``) rather than
+joined, so the corpus itself never shuffles.  Returns per-stage row
+counts (the job-level lineage the reference tracks per job,
+dotsocr_service.py:430-443).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+from dots_ocr_ray.functions.scrub import scrub_documents
+from dots_ocr_ray.kernel.textops import quality_features, quality_keep
+from dots_ocr_ray.pipelines.chunking import chunk_documents
+from dots_ocr_ray.pipelines.dedup import exact_dedup, minhash_lsh_dedup
+from dots_ocr_ray.util import cached_object
+
+
+def prepare_training_data(
+    pages: ray.data.Dataset,
+    out_dir: str,
+    *,
+    dedup: str = "exact",
+    minhash_threshold: float = 0.85,
+    chunk_tokens: int = 128,
+    overlap_tokens: int = 16,
+    train_fraction: float = 0.9,
+    extract_kwargs: dict | None = None,
+) -> dict:
+    """pages Dataset → chunked, deduped, scrubbed train/val parquet.
+
+    ``dedup`` is "exact", "minhash", or "none".  The dedup stage yields
+    a KEEP-SET of doc ids (survivor == cluster min); the set is
+    broadcast and applied as a streaming filter — the extracted corpus
+    itself never enters a shuffle."""
+    from dots_ocr_ray.pipelines.extract import extract_pages
+
+    extracted = extract_pages(pages, **(extract_kwargs or {}))
+
+    def _finished_with_id(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.equal(batch.column("status"), "finished"))
+        # stable doc id: the url hash used everywhere else in the engine
+        from dots_ocr_ray.kernel.textops import md5_hex
+
+        ids = [int(md5_hex(u)[:15], 16) for u in batch.column("url").to_pylist()]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "url": batch.column("url"),
+                "text": batch.column("extracted_text_nohf"),
+            }
+        )
+
+    docs = extracted.map_batches(_finished_with_id, batch_format="pyarrow")
+
+    def _quality(batch: pa.Table) -> pa.Table:
+        keep = [
+            quality_keep(quality_features(t or "")) for t in batch.column("text").to_pylist()
+        ]
+        return batch.filter(pa.array(keep, type=pa.bool_()))
+
+    docs = docs.map_batches(_quality, batch_format="pyarrow")
+    counts = {"extracted": extracted.count(), "quality_kept": None, "deduped": None}
+
+    if dedup != "none":
+        # the dedup pair machinery needs the corpus twice → materialize
+        # the narrow (doc_id, text) table once (spill-backed)
+        docs = docs.materialize()
+        counts["quality_kept"] = docs.count()
+        if dedup == "exact":
+            survivors = exact_dedup(docs).select_columns(["doc_id"])
+        elif dedup == "minhash":
+            clusters = minhash_lsh_dedup(docs, threshold=minhash_threshold)
+
+            def _surv(batch: pa.Table) -> pa.Table:
+                m = pc.equal(batch.column("doc_id"), batch.column("cluster_id"))
+                return batch.filter(m).select(["doc_id"])
+
+            survivors = clusters.map_batches(_surv, batch_format="pyarrow")
+        else:
+            raise ValueError(f"unknown dedup mode: {dedup}")
+        keep_ids = set()
+        for b in survivors.iter_batches(batch_format="pyarrow"):
+            keep_ids.update(b.column("doc_id").to_pylist())
+        keep_ref = ray.put(keep_ids)
+
+        def _keep_only(batch: pa.Table) -> pa.Table:
+            keep = cached_object(keep_ref)
+            mask = pa.array(
+                [i in keep for i in batch.column("doc_id").to_pylist()], type=pa.bool_()
+            )
+            return batch.filter(mask)
+
+        docs = docs.map_batches(_keep_only, batch_format="pyarrow")
+
+    scrubbed = scrub_documents(docs, text_col="text").select_columns(
+        ["doc_id", "url", "text_scrubbed"]
+    )
+
+    def _rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["doc_id", "url", "text"])
+
+    chunks = chunk_documents(
+        scrubbed.map_batches(_rename, batch_format="pyarrow"),
+        chunk_tokens=chunk_tokens,
+        overlap_tokens=overlap_tokens,
+        passthrough_cols=("url",),
+    )
+
+    def _split(batch: pa.Table) -> pa.Table:
+        h = pc.bit_wise_and(
+            pc.multiply(batch.column("doc_id").cast(pa.int64()), 2654435761), 0xFFFFFFFF
+        )
+        split = pc.if_else(
+            pc.less(h, int(4294967296 * train_fraction)), "train", "val"
+        )
+        return batch.append_column("split", split)
+
+    final = chunks.map_batches(_split, batch_format="pyarrow")
+    final.write_parquet(out_dir, partition_cols=["split"])
+    written = ray.data.read_parquet(out_dir)
+    counts["chunks_written"] = written.count()
+    if counts["quality_kept"] is None:
+        counts["quality_kept"] = counts["chunks_written"]  # streamed straight through
+    return counts

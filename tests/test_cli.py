@@ -92,3 +92,23 @@ def test_cli_extract_from_warc(tmp_path):
 
     rows = sum(pq.read_table(f).num_rows for f in g.glob(f"{out}/part-*.parquet"))
     assert rows == 6
+
+
+def test_cli_prepare_from_warc(tmp_path):
+    from dots_ocr_ray.cli import main
+    from dots_ocr_ray.sources.warc import make_warc_bytes
+
+    body = "the quick brown fox jumps over the lazy dog and keeps running through fields " * 3
+    recs = [{"url": f"https://w.test/{i}", "html": f"<html><body><p>{body} doc {i}</p></body></html>"} for i in range(8)]
+    warc = tmp_path / "in.warc.gz"
+    warc.write_bytes(make_warc_bytes(recs, compress=True))
+    out = tmp_path / "prep"
+    rc = main([
+        "prepare", "--input", str(warc), "--input-format", "warc", "--out", str(out),
+        "--dedup", "exact", "--chunk-tokens", "16", "--overlap-tokens", "2",
+    ])
+    assert rc == 0
+    import ray.data
+
+    df = ray.data.read_parquet(str(out)).to_pandas()
+    assert len(df) > 0 and "chunk_text" in df.columns and "url" in df.columns

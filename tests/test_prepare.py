@@ -1,0 +1,63 @@
+"""End-to-end training-data prep composite pipeline."""
+
+import pyarrow.parquet as pq
+
+import ray.data
+
+from dots_ocr_ray.fixtures import make_pages_table
+from dots_ocr_ray.pipelines.prepare import prepare_training_data
+
+
+def test_prepare_training_data_end_to_end(ray_session, tmp_path):
+    pages = make_pages_table(96, seed=21)
+    out = str(tmp_path / "prep")
+    counts = prepare_training_data(
+        ray.data.from_arrow(pages),
+        out,
+        dedup="exact",
+        chunk_tokens=16,
+        overlap_tokens=2,
+    )
+    assert counts["extracted"] == 96
+    assert counts["chunks_written"] > 0
+
+    ds = ray.data.read_parquet(out)
+    df = ds.to_pandas()
+    assert set(df.split.unique()) <= {"train", "val"}
+    # chunk lineage: offsets trace back into the scrubbed text
+    assert (df.char_start <= df.char_end).all()
+    # deterministic split: same doc always in same split
+    per_doc = df.groupby("doc_id").split.nunique()
+    assert (per_doc == 1).all()
+
+
+def test_prepare_minhash_dedup_drops_near_dups(ray_session, tmp_path):
+    import pyarrow as pa
+
+    BASE = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi "
+        "omicron pi rho sigma tau upsilon phi chi psi omega one two three four five six"
+    )
+    rows = []
+    for i in range(12):
+        # three identical copies of BASE among twelve docs
+        text = BASE if i % 4 == 0 else f"{BASE} unique suffix {i} " + "pad " * i
+        rows.append(
+            {
+                "url": f"https://p.test/{i}",
+                "warc_ts": None,
+                "html": f"<html><body><p>{text}</p></body></html>".encode(),
+                "text": "",
+                "lang": "en",
+            }
+        )
+    pages = pa.Table.from_pylist(rows)
+    out = str(tmp_path / "prep")
+    counts = prepare_training_data(
+        ray.data.from_arrow(pages), out, dedup="minhash", minhash_threshold=0.9,
+        chunk_tokens=16, overlap_tokens=2,
+    )
+    df = ray.data.read_parquet(out).to_pandas()
+    # the three identical docs collapse to one survivor
+    assert df.url.nunique() <= 10
+    assert counts["chunks_written"] == len(df)
