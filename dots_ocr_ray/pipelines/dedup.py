@@ -781,9 +781,23 @@ def ngram_jaccard_dedup(
     def _verify(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return _empty_pairs()
+        # memoize gram sets per doc id within the batch: a hub doc in
+        # many candidate pairs shingles once, not once per pair
+        grams: dict[int, set] = {}
+
+        def _g(doc: int, text: str | None) -> set:
+            if doc not in grams:
+                grams[doc] = char_ngrams(text or "", n)
+            return grams[doc]
+
         keep = [
-            jaccard(char_ngrams(ta or "", n), char_ngrams(tb or "", n)) >= threshold
-            for ta, tb in zip(batch.column("payload_a").to_pylist(), batch.column("payload_b").to_pylist())
+            jaccard(_g(da, ta), _g(db, tb)) >= threshold
+            for da, db, ta, tb in zip(
+                batch.column("a").to_pylist(),
+                batch.column("b").to_pylist(),
+                batch.column("payload_a").to_pylist(),
+                batch.column("payload_b").to_pylist(),
+            )
         ]
         return batch.select(["a", "b"]).filter(pa.array(keep, type=pa.bool_()))
 

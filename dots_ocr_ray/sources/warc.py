@@ -54,15 +54,20 @@ def _read_headers(stream) -> dict[str, str] | None:
     if not version.startswith(b"WARC/"):
         raise ValueError(f"not a WARC record header: {version[:40]!r}")
     headers: dict[str, str] = {}
+    last_key: str | None = None
     while True:
         line = stream.readline()
         if not line or line in (_CRLF, b"\n"):
             break
+        if line[:1] in (b" ", b"\t") and last_key is not None:
+            # folded header continuation (ISO 28500 §4: LWS-prefixed
+            # lines extend the previous field value)
+            headers[last_key] += " " + line.decode("utf-8", "replace").strip()
+            continue
         if b":" in line:
             k, v = line.split(b":", 1)
-            headers[k.decode("ascii", "replace").strip().lower()] = v.decode(
-                "utf-8", "replace"
-            ).strip()
+            last_key = k.decode("ascii", "replace").strip().lower()
+            headers[last_key] = v.decode("utf-8", "replace").strip()
     return headers
 
 
