@@ -493,6 +493,47 @@ def _q_merge_docs(sf_dir: str):
     return merge_document_pages(pages_from_multipage_docs(docs, n_pages=2))
 
 
+def _q_docs_outside_blocklist(sf_dir: str):
+    """Broadcast ANTI-join: drop documents whose (synthetic) domain is
+    on a blocklist — the exact small-side anti-join surface (the Bloom
+    variant in functions/bloom.py is its approximate sibling)."""
+    import pyarrow as pa
+
+    import ray
+    import ray.data
+
+    from dots_ocr_ray.util import cached_object
+
+    blocked = {f"example-{d:02d}.com" for d in (0, 7, 13, 21, 34)}
+    block_ref = ray.put(blocked)
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def _anti(batch: pa.Table) -> pa.Table:
+        bl = cached_object(block_ref)
+        ids = batch.column("doc_id").to_pylist()
+        keep = [f"example-{i % 40:02d}.com" not in bl for i in ids]
+        return batch.filter(pa.array(keep, type=pa.bool_()))
+
+    return docs.map_batches(_anti, batch_format="pyarrow")
+
+
+def _q_nations_with_presence(sf_dir: str):
+    """ds.union + distinct: nation keys present in customer OR
+    supplier."""
+    import pandas as pd
+
+    import ray.data
+
+    c = ray.data.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_nationkey"]).map_batches(
+        lambda b: b.rename_columns(["nationkey"]), batch_format="pyarrow"
+    )
+    s = ray.data.read_parquet(f"{sf_dir}/supplier.parquet", columns=["s_nationkey"]).map_batches(
+        lambda b: b.rename_columns(["nationkey"]), batch_format="pyarrow"
+    )
+    keys = sorted(c.union(s).unique("nationkey"))
+    return pd.DataFrame({"nationkey": pd.array(keys, dtype="int64")})
+
+
 def _q_approx_distinct_users(sf_dir: str):
     """HLL distinct count over events.user_id — kilobytes move instead
     of keys; deterministic sketch → golden-parquet hard check."""
@@ -803,6 +844,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_stats": _q_supplier_stats,
         "part_stats": _q_part_stats,
         "quality_filter_docs": _q_quality_filter_docs,
+        "docs_outside_blocklist": _q_docs_outside_blocklist,
+        "nations_with_presence": _q_nations_with_presence,
         "approx_distinct_users": _q_approx_distinct_users,
         "reservoir_doc_sample": _q_reservoir_doc_sample,
         "sliding_events": _q_sliding_events,
@@ -933,6 +976,14 @@ def oracle_sql() -> dict[str, str]:
         "merge_docs": (
             "SELECT doc_url, n_pages, extracted_text, extracted_text_nohf "
             f"FROM read_parquet('{_GOLDEN_DIR}/merge_docs.parquet')"
+        ),
+        "docs_outside_blocklist": (
+            "SELECT doc_id FROM documents WHERE doc_id % 40 NOT IN (0, 7, 13, 21, 34)"
+        ),
+        "nations_with_presence": (
+            "SELECT DISTINCT nationkey FROM ("
+            "SELECT c_nationkey AS nationkey FROM customer "
+            "UNION ALL SELECT s_nationkey FROM supplier)"
         ),
         "approx_distinct_users": (
             f"SELECT approx_distinct FROM read_parquet('{_GOLDEN_DIR}/approx_distinct_users.parquet')"
