@@ -55,7 +55,7 @@ from dots_ocr_ray.functions.hashing import (
     simhash_block_keys,
 )
 from dots_ocr_ray.kernel.textops import md5_hex
-from dots_ocr_ray.util import autoscale_pool, bounded_blocks, cached_object, vec_matrix
+from dots_ocr_ray.util import bounded_blocks, cached_object, vec_matrix
 
 
 HOT_BUCKET_CAP = 64
