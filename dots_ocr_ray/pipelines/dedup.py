@@ -617,12 +617,15 @@ def minhash_candidate_pairs(
     """Verified MinHash near-dup pairs → (a, b) with est-Jaccard ≥
     threshold.
 
-    shingle→minhash per batch (actor pool; signatures materialized once
-    as the side-table — at extreme scale persist them to parquet
-    instead) → lite (band_id, band_key, doc_id) rows → bucket groupby
-    emitting UNVERIFIED candidate pairs (star-capped on hot buckets) →
-    distinct → signature join (:func:`attach_pair_payloads`) →
-    vectorized est-Jaccard filter."""
+    shingle→minhash per batch (stateless tasks with a module-warm
+    hasher; signatures materialized once as the side-table — at extreme
+    scale persist them to parquet instead) → lite (band_id, band_key,
+    doc_id) rows → bucket groupby emitting UNVERIFIED candidate pairs
+    (star-capped on hot buckets) → near-distinct → signature join
+    (:func:`attach_pair_payloads`) → vectorized est-Jaccard filter.
+
+    ``concurrency`` is accepted for API compatibility but unused (the
+    stages are stateless tasks scheduled by the streaming executor)."""
     import functools
 
     sigs = ds.map_batches(
