@@ -117,7 +117,18 @@ def _open_warc(path: str):
 def _warc_file_batches(path: str, record_types: frozenset[str], batch_rows: int):
     urls, tss, htmls = [], [], []
     with _open_warc(path) as stream:
-        for headers, block in iter_warc_records(stream):
+        records = iter_warc_records(stream)
+        while True:
+            try:
+                headers, block = next(records)
+            except StopIteration:
+                break
+            except (ValueError, EOFError, OSError):
+                # corrupt record framing / bad gzip member mid-file:
+                # keep what parsed so far, drop the unreadable tail —
+                # a damaged shard must degrade, never kill the task
+                # (the kernel's never-raise discipline)
+                break
             if headers.get("warc-type", "") not in record_types:
                 continue
             url = headers.get("warc-target-uri", "")

@@ -105,3 +105,18 @@ def test_extract_shards_from_warc(ray_session, tmp_path):
 
     m2 = extract_shards(files, str(out), batch_size=2)
     assert pc.sum(m2.column("wall_ms")).as_py() == 0
+
+
+def test_corrupt_record_framing_degrades(ray_session, tmp_path):
+    """Garbage bytes mid-stream (broken framing / bad gzip member):
+    records before the damage survive, the task never raises."""
+    import gzip
+
+    good = make_warc_bytes(RECORDS[:2], compress=False)
+    p = tmp_path / "corrupt.warc"
+    p.write_bytes(good + b"NOT A WARC HEADER\r\njunk" * 10)
+    assert read_warc(str(p)).count() == 2
+
+    g = tmp_path / "corrupt.warc.gz"
+    g.write_bytes(make_warc_bytes(RECORDS[:2], compress=True) + b"\x1f\x8b\x08garbagegarbage")
+    assert read_warc(str(g)).count() == 2
