@@ -55,8 +55,7 @@ def prepare_training_data(
 
     extracted = extract_pages(pages, **(extract_kwargs or {}))
 
-    def _finished_with_id(batch: pa.Table) -> pa.Table:
-        batch = batch.filter(pc.equal(batch.column("status"), "finished"))
+    def _narrow_with_id(batch: pa.Table) -> pa.Table:
         # stable doc id: the url hash used everywhere else in the engine
         from dots_ocr_ray.kernel.textops import md5_hex
 
@@ -66,10 +65,16 @@ def prepare_training_data(
                 "doc_id": pa.array(ids, type=pa.int64()),
                 "url": batch.column("url"),
                 "text": batch.column("extracted_text_nohf"),
+                "status": batch.column("status"),
             }
         )
 
-    docs = extracted.map_batches(_finished_with_id, batch_format="pyarrow")
+    narrow = extracted.map_batches(_narrow_with_id, batch_format="pyarrow")
+
+    def _finished(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.equal(batch.column("status"), "finished")).drop_columns(
+            ["status"]
+        )
 
     def _quality(batch: pa.Table) -> pa.Table:
         keep = [
@@ -77,13 +82,20 @@ def prepare_training_data(
         ]
         return batch.filter(pa.array(keep, type=pa.bool_()))
 
-    docs = docs.map_batches(_quality, batch_format="pyarrow")
-    counts = {"extracted": extracted.count(), "quality_kept": None, "deduped": None}
+    counts = {"extracted": None, "quality_kept": None, "deduped": None}
 
     if dedup != "none":
         # the dedup pair machinery needs the corpus twice → materialize
-        # the narrow (doc_id, text) table once (spill-backed)
-        docs = docs.materialize()
+        # the narrow table once (spill-backed); extraction executes
+        # EXACTLY ONCE, and the lineage counters read the materialized
+        # narrow rows instead of re-running the pipeline
+        narrow = narrow.materialize()
+        counts["extracted"] = narrow.count()
+        docs = (
+            narrow.map_batches(_finished, batch_format="pyarrow")
+            .map_batches(_quality, batch_format="pyarrow")
+            .materialize()
+        )
         counts["quality_kept"] = docs.count()
         if dedup == "exact":
             survivors = exact_dedup(docs).select_columns(["doc_id"])
@@ -110,6 +122,12 @@ def prepare_training_data(
             return batch.filter(mask)
 
         docs = docs.map_batches(_keep_only, batch_format="pyarrow")
+    else:
+        # fully streaming: no materialization, no counters beyond the
+        # final chunk count
+        docs = narrow.map_batches(_finished, batch_format="pyarrow").map_batches(
+            _quality, batch_format="pyarrow"
+        )
 
     scrubbed = scrub_documents(docs, text_col="text").select_columns(
         ["doc_id", "url", "text_scrubbed"]
