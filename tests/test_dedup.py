@@ -136,3 +136,51 @@ def test_hot_duplicate_cluster_is_linear(ray_session):
     heavy = [i for i in range(2000) if i % 3 == 0]
     assert all(cl[i] == 0 for i in heavy)  # whole hot cluster collapses to min id
     assert elapsed < 60  # star-linking keeps hot buckets O(n)
+
+
+def test_attach_distributed_path_matches_broadcast(ray_session):
+    """The scale-path pair-payload join (union + two keyed exchanges,
+    forced via broadcast_bytes_limit=0) must produce exactly the fast
+    broadcast-dict join's output."""
+    import pyarrow as pa
+
+    from dots_ocr_ray.pipelines.dedup import attach_pair_payloads
+
+    pairs = ray.data.from_items([{"a": 1, "b": 2}, {"a": 2, "b": 5}, {"a": 3, "b": 9}])
+    payload = ray.data.from_items(
+        [{"doc_id": i, "blob": bytes([i]) * 8} for i in (1, 2, 3, 5)]  # 9 missing
+    )
+
+    def _run(limit):
+        out = attach_pair_payloads(
+            pairs,
+            payload,
+            id_col="doc_id",
+            payload_col="blob",
+            payload_type=pa.binary(),
+            broadcast_bytes_limit=limit,
+        ).to_pandas()
+        return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+    fast = _run(1 << 30)
+    dist = _run(0)
+    assert len(fast) == 2  # (3,9) dropped: endpoint 9 has no payload
+    assert fast.equals(dist)
+    assert bytes(fast.payload_a[0]) == b"\x01" * 8 and bytes(fast.payload_b[0]) == b"\x02" * 8
+
+
+def test_endpoint_filter_bloom_path(ray_session):
+    """Above exact_limit the endpoint semi-join switches to a Bloom
+    filter: every true endpoint must pass (no false negatives); false
+    positives only add harmless extra payload rows."""
+    from dots_ocr_ray.pipelines.dedup import filter_payload_to_pair_endpoints
+
+    pairs = ray.data.from_items([{"a": i, "b": i + 100} for i in range(50)]).materialize()
+    payload = ray.data.from_items([{"doc_id": i, "sig": b"x"} for i in range(300)])
+    out = filter_payload_to_pair_endpoints(
+        payload, pairs, id_col="doc_id", exact_limit=10  # force Bloom
+    ).to_pandas()
+    got = set(out.doc_id)
+    want = set(range(50)) | set(range(100, 150))
+    assert want <= got  # no false negatives ever
+    assert len(got) <= 300
