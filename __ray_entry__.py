@@ -562,6 +562,23 @@ def _q_reservoir_doc_sample(sf_dir: str):
     return pd.DataFrame({"key": sorted(keys)})
 
 
+def _q_user_event_seq(sf_dir: str):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from dots_ocr_ray.pipelines.windows import user_event_sequence
+
+    tbl = pa.Table.from_pylist(user_event_sequence(sf_dir).take_all())
+    tbl = tbl.set_column(
+        tbl.column_names.index("running_value"),
+        "running_value",
+        pc.round(tbl.column("running_value"), 4),
+    )
+    return tbl.set_column(
+        tbl.column_names.index("seq"), "seq", tbl.column("seq").cast(pa.int64())
+    )
+
+
 def _q_sliding_events(sf_dir: str):
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -849,6 +866,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct_users": _q_approx_distinct_users,
         "reservoir_doc_sample": _q_reservoir_doc_sample,
         "sliding_events": _q_sliding_events,
+        "user_event_seq": _q_user_event_seq,
         "longest_per_lang": _q_longest_per_lang,
         "chars_quantiles": _q_chars_quantiles,
         "sessionize": _q_sessionize,
@@ -1065,6 +1083,13 @@ def oracle_sql() -> dict[str, str]:
         "longest_per_lang": (
             "SELECT doc_id, lang, n_chars FROM documents "
             "QUALIFY row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) <= 3"
+        ),
+        "user_event_seq": (
+            "SELECT user_id, ts, "
+            "CAST(row_number() OVER w AS BIGINT) AS seq, "
+            "round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, value "
+            "ROWS UNBOUNDED PRECEDING), 4) AS running_value "
+            "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, value)"
         ),
         "chars_quantiles": (
             " UNION ALL ".join(

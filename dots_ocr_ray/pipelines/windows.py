@@ -43,6 +43,27 @@ def sessionize(
     return events.groupby("user_id").map_groups(_sessions, batch_format="pandas")
 
 
+def user_event_sequence(sf_dir: str) -> ray.data.Dataset:
+    """Cumulative window per key: events numbered in time order per
+    user with a running value sum — the ROW_NUMBER / cumulative-SUM
+    OVER (PARTITION BY … ORDER BY …) surface.  Partition by user, sort
+    WITHIN the group, cumsum vectorized — no global sort."""
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
+    )
+
+    def _seq(group: pd.DataFrame) -> pd.DataFrame:
+        # value as tiebreak: two events at the same timestamp would
+        # otherwise order arbitrarily (rows with equal (ts, value) are
+        # interchangeable, so the output multiset stays deterministic)
+        g = group.sort_values(["ts", "value"]).reset_index(drop=True)
+        g["seq"] = range(1, len(g) + 1)
+        g["running_value"] = g["value"].cumsum()
+        return g[["user_id", "ts", "seq", "running_value"]]
+
+    return events.groupby("user_id").map_groups(_seq, batch_format="pandas")
+
+
 def events_sliding_agg(
     sf_dir: str,
     *,
