@@ -16,15 +16,23 @@ engine needs the full family:
   verification over an embedding column.
 
 Scale notes (single-node test, multi-node design):
-- every stage is ``map_batches`` (vectorized, actor pool where state is
-  warm) and the all-to-all exchanges are keyed by content hash —
-  uniformly distributed by construction.
+- every stage is ``map_batches`` (vectorized; stateless tasks with
+  module-warm lazy singletons — no actor-pool ramps) and the
+  all-to-all exchanges are keyed by content hash — uniformly
+  distributed by construction.
 - LSH band rows carry ONLY (band_id, band_key, doc_id) — never the
   full signature.  Shipping the 1 KB signature through every band's
   groupby would amplify the shuffle 32× at num_perm=128/bands=32;
-  instead candidate pairs are verified AFTER the bucket stage by
-  joining each pair back to the signature side-table
-  (:func:`attach_pair_payloads`) — one signature-sized exchange total.
+  instead candidate pairs are verified AFTER the bucket stage against
+  the signature side-table, which is first cut to candidate endpoints
+  (:func:`filter_payload_to_pair_endpoints`) and then joined to the
+  pairs (:func:`attach_pair_payloads`: budgeted broadcast dict, or the
+  fully distributed two-exchange join above the budget).
+- candidate-pair volume is tamed twice: star-linking caps hot buckets
+  at O(n), and :func:`distinct_pairs` collapses cross-band duplicates
+  with a sort + vectorized per-block unique (duplicate pairs are
+  idempotent everywhere downstream, so the ≤ blocks-1 boundary
+  stragglers are harmless).
 - connected components run distributed by default above a pair-count
   cutoff (:func:`cluster_assign`): iterative min-label propagation as
   a Dataset loop (2 keyed exchanges over edges+labels per round,
