@@ -568,7 +568,11 @@ def _q_user_event_seq(sf_dir: str):
 
     from dots_ocr_ray.pipelines.windows import user_event_sequence
 
-    tbl = pa.Table.from_pylist(user_event_sequence(sf_dir).take_all())
+    # stay in Arrow: take_all() materializes row DICTS, which is ~25×
+    # slower than batch concat for wide timestamp-bearing outputs
+    tbl = pa.concat_tables(
+        user_event_sequence(sf_dir).iter_batches(batch_format="pyarrow", batch_size=8192)
+    )
     tbl = tbl.set_column(
         tbl.column_names.index("running_value"),
         "running_value",
@@ -585,8 +589,10 @@ def _q_sliding_events(sf_dir: str):
 
     from dots_ocr_ray.pipelines.windows import events_sliding_agg
 
-    tbl = pa.Table.from_pylist(
-        events_sliding_agg(sf_dir, window_minutes=60, hop_minutes=15).take_all()
+    tbl = pa.concat_tables(
+        events_sliding_agg(sf_dir, window_minutes=60, hop_minutes=15).iter_batches(
+            batch_format="pyarrow", batch_size=8192
+        )
     )
     return tbl.set_column(
         tbl.column_names.index("sum_value"), "sum_value", pc.round(tbl.column("sum_value"), 4)
