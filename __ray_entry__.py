@@ -363,19 +363,18 @@ def _q_customers_per_region(sf_dir: str):
 
     customers = ray.data.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
 
-    class _Partial:
-        def __init__(self):
-            self.lookup = ray.get(lookup_ref)
+    def _partial(batch: pa.Table) -> pa.Table:
+        from dots_ocr_ray.util import cached_object
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            names = [self.lookup.get(k, "UNKNOWN") for k in batch.column("c_nationkey").to_pylist()]
-            return (
-                pa.table({"r_name": pa.array(names, type=pa.string())})
-                .group_by("r_name")
-                .aggregate([([], "count_all")])
-            )
+        lookup = cached_object(lookup_ref)
+        names = [lookup.get(k, "UNKNOWN") for k in batch.column("c_nationkey").to_pylist()]
+        return (
+            pa.table({"r_name": pa.array(names, type=pa.string())})
+            .group_by("r_name")
+            .aggregate([([], "count_all")])
+        )
 
-    partials = customers.map_batches(_Partial, batch_format="pyarrow", concurrency=2)
+    partials = customers.map_batches(_partial, batch_format="pyarrow")
     agg = partials.groupby("r_name").sum("count_all")
 
     def _rename(batch: pa.Table) -> pa.Table:

@@ -20,7 +20,6 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
-from dots_ocr_ray.util import autoscale_pool
 
 
 def lineitem_pricing_summary(sf_dir: str) -> ray.data.Dataset:
@@ -76,18 +75,18 @@ def orders_by_mktsegment(sf_dir: str) -> ray.data.Dataset:
 
     orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
 
-    class _JoinAndPartial:
-        def __init__(self):
-            self.lookup = ray.get(lookup_ref)
+    def _join_and_partial(batch: pa.Table) -> pa.Table:
+        from dots_ocr_ray.util import cached_object
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            segs = [self.lookup.get(k, "UNKNOWN") for k in batch.column("o_custkey").to_pylist()]
-            batch = batch.append_column("c_mktsegment", pa.array(segs, type=pa.string()))
-            return batch.group_by("c_mktsegment").aggregate(
-                [("o_totalprice", "sum"), ("o_totalprice", "count")]
-            )
+        lookup = cached_object(lookup_ref)
+        segs = [lookup.get(k, "UNKNOWN") for k in batch.column("o_custkey").to_pylist()]
+        batch = batch.append_column("c_mktsegment", pa.array(segs, type=pa.string()))
+        return batch.group_by("c_mktsegment").aggregate(
+            [("o_totalprice", "sum"), ("o_totalprice", "count")]
+        )
 
-    partials = orders.map_batches(_JoinAndPartial, batch_format="pyarrow", concurrency=autoscale_pool())
+    # stateless tasks + per-worker broadcast cache: no actor-pool ramp
+    partials = orders.map_batches(_join_and_partial, batch_format="pyarrow")
     agg = partials.groupby("c_mktsegment").sum(["o_totalprice_sum", "o_totalprice_count"])
 
     def _finalize(batch: pa.Table) -> pa.Table:

@@ -59,6 +59,8 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
             df[c] = df[c].round(6)
         elif pd.api.types.is_integer_dtype(df[c]):
             df[c] = df[c].astype("int64")
+        elif pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]")  # unit-normalize (us vs ns)
     return df.sort_values(list(df.columns)).reset_index(drop=True)
 
 
