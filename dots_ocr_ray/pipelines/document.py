@@ -99,12 +99,34 @@ def merge_document_pages(
 
 def latest_page_per_url(pages: ray.data.Dataset, *, url_col: str = "url", ts_col: str = "warc_ts") -> ray.data.Dataset:
     """Crawl dedup: newest capture wins per url; deterministic tiebreak
-    on the full row order after sort."""
+    on the full row order after sort.
+
+    A vectorized per-batch combiner (local latest-per-url) runs before
+    the keyed exchange, so a crawl with many captures per url shuffles
+    at most one row per (url, input block) instead of every capture."""
+
+    def _local_latest(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        import pyarrow.compute as pc
+
+        order = pc.sort_indices(
+            batch, sort_keys=[(url_col, "ascending"), (ts_col, "descending")]
+        )
+        batch = batch.take(order)
+        urls = batch.column(url_col).combine_chunks()
+        n = batch.num_rows
+        if n == 1:
+            return batch
+        neq = pc.not_equal(urls.slice(1, n - 1), urls.slice(0, n - 1))
+        keep = pa.chunked_array([pa.array([True]), neq.combine_chunks()])
+        return batch.filter(keep)
 
     def _latest(group: pa.Table) -> pa.Table:
         return group.sort_by([(ts_col, "descending")]).slice(0, 1)
 
-    return pages.groupby(url_col).map_groups(_latest, batch_format="pyarrow")
+    combined = pages.map_batches(_local_latest, batch_format="pyarrow")
+    return combined.groupby(url_col).map_groups(_latest, batch_format="pyarrow")
 
 
 def metrics_by_domain(extracted: ray.data.Dataset, n_salt: int = 16) -> ray.data.Dataset:
