@@ -66,3 +66,33 @@ def test_render_layout():
     art = render_layout(spans)
     assert "[0] Title" in art and "(0,1,10,2)" in art
     assert "…" in art  # long text truncated
+
+
+def test_pages_explode_merge_roundtrip(ray_session):
+    """pages_from_multipage_docs ∘ merge_document_pages is word-level
+    lossless for any n_pages (the S2 explode is the inverse of the
+    S8/O2 merge up to the page-join separator)."""
+    import ray.data
+
+    from dots_ocr_ray.pipelines.document import (
+        merge_document_pages,
+        pages_from_multipage_docs,
+    )
+
+    rows = [
+        {"doc_id": 1, "text": " ".join(f"w{i}" for i in range(17))},
+        {"doc_id": 2, "text": "solo"},
+        {"doc_id": 3, "text": ""},
+    ]
+    docs = ray.data.from_items(rows)
+    merged = (
+        merge_document_pages(pages_from_multipage_docs(docs, n_pages=3))
+        .to_pandas()
+        .sort_values("doc_url")
+        .reset_index(drop=True)
+    )
+    assert merged.n_pages.tolist() == [3, 3, 3]
+    # words survive in order (separators differ: " " within a page,
+    # "\n\n" at page joins)
+    for row, src in zip(merged.itertuples(), rows):
+        assert row.extracted_text.split() == src["text"].split()
