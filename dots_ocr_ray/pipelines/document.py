@@ -114,13 +114,17 @@ def latest_page_per_url(pages: ray.data.Dataset, *, url_col: str = "url", ts_col
             batch, sort_keys=[(url_col, "ascending"), (ts_col, "descending")]
         )
         batch = batch.take(order)
-        urls = batch.column(url_col).combine_chunks()
         n = batch.num_rows
         if n == 1:
             return batch
+        import numpy as np
+
+        urls = batch.column(url_col).combine_chunks()
         neq = pc.not_equal(urls.slice(1, n - 1), urls.slice(0, n - 1))
-        keep = pa.chunked_array([pa.array([True]), neq.combine_chunks()])
-        return batch.filter(keep)
+        mask = np.empty(n, dtype=bool)
+        mask[0] = True
+        mask[1:] = np.asarray(neq)  # Array or ChunkedArray both convert
+        return batch.filter(pa.array(mask))
 
     def _latest(group: pa.Table) -> pa.Table:
         return group.sort_by([(ts_col, "descending")]).slice(0, 1)
