@@ -1,0 +1,81 @@
+"""Dedup scale/stress harness — reproduces the BASELINE.md evidence.
+
+Builds two deterministic 100k-doc corpora from the sf0.1 documents
+table (20× replication) and times minhash_lsh_dedup on both:
+
+* ``distinct``  — every rep's words are suffixed per-rep, so no
+  cross-rep near-dups: the clean 20×-scale linearity check.
+* ``dup-heavy`` — reps append one token, so ~95% of docs are near-dups
+  (~1M true pairs): the adversarial candidate-explosion case.
+
+    python tools/stress.py [sf_dir] [out_base]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def build_corpus(sf_dir: str, out_dir: str, mode: str, reps: int = 20) -> None:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if os.path.exists(f"{out_dir}/_DONE"):
+        return
+    os.makedirs(out_dir, exist_ok=True)
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    n = t.num_rows
+    for rep in range(reps):
+        ids = pa.array([i + rep * n for i in t.column("doc_id").to_pylist()], type=pa.int64())
+        if rep == 0:
+            texts = t.column("text")
+        elif mode == "distinct":
+            texts = pa.array(
+                [" ".join(f"{w}{rep}" for w in (x or "").split()) for x in t.column("text").to_pylist()]
+            )
+        else:  # dup-heavy: one appended token keeps Jaccard ≈ 0.99
+            texts = pa.array([f"{x} rep{rep}" for x in t.column("text").to_pylist()])
+        pq.write_table(pa.table({"doc_id": ids, "text": texts}), f"{out_dir}/part-{rep:03d}.parquet")
+    open(f"{out_dir}/_DONE", "w").write("")
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    base = sys.argv[2] if len(sys.argv) > 2 else "/tmp/dedup_stress"
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=32, include_dashboard=False, logging_level="ERROR")
+    import logging
+
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    import json
+
+    import ray.data
+
+    from dots_ocr_ray.pipelines.dedup import minhash_lsh_dedup
+
+    results = {}
+    for mode in ("distinct", "dup-heavy"):
+        d = f"{base}_{mode}"
+        build_corpus(sf_dir, d, mode)
+        ds = ray.data.read_parquet(d, columns=["doc_id", "text"])
+        t0 = time.perf_counter()
+        out = minhash_lsh_dedup(ds, threshold=0.8)
+        rows = out.count()
+        dt = time.perf_counter() - t0
+        results[mode] = {"sec": round(dt, 1), "rows": rows, "docs_per_sec": round(rows / dt, 1)}
+        print(f"{mode}: {dt:.1f}s, {rows} rows")
+    print(json.dumps({"metric": "dedup_stress", **results}))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()
