@@ -78,26 +78,94 @@ distributed label propagation above this many candidate pairs."""
 
 # ---------------------------------------------------------------------------
 # exact dedup
+def sorted_group_first(
+    ds: ray.data.Dataset, key_col: str, order_col: str
+) -> ray.data.Dataset:
+    """EXACT first-row-per-key (min ``order_col``) without per-group
+    Python: global sort on (key, order) + vectorized per-batch
+    group-start detection.
+
+    After the range-partitioned sort each batch is a contiguous slice
+    of the global order, so every key group EXCEPT the batch's first
+    and last is fully contained in the batch — its first row IS the
+    global survivor and emits directly.  The ≤2 boundary groups per
+    batch emit one candidate row each into a tiny keyed resolution
+    (O(batches) rows), where min-order-per-key picks the true survivor
+    even when a group spans many batches.  Replaces the one-Python-
+    call-per-distinct-key reduce of ``groupby().map_groups`` (~0.2 ms
+    per group — minutes at corpus-scale distinct cardinality) with two
+    vectorized passes."""
+    sorted_ds = ds.sort([key_col, order_col])
+
+    def _mark(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column("__boundary", pa.array([], type=pa.bool_()))
+        # defensive local re-sort: batches off a global sort are already
+        # ordered, so this is a near-free merge pass, and it keeps the
+        # group-start logic correct under any within-batch reordering
+        batch = batch.sort_by([(key_col, "ascending"), (order_col, "ascending")])
+        n = batch.num_rows
+        keys = batch.column(key_col)
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        starts = np.ones(n, dtype=bool)
+        if n > 1:
+            starts[1:] = pc.not_equal(keys.slice(1), keys.slice(0, n - 1)).to_numpy(
+                zero_copy_only=False
+            )
+        start_idx = np.flatnonzero(starts)
+        direct_idx = start_idx[1:-1] if len(start_idx) > 2 else np.array([], np.int64)
+        cand_idx = np.unique(start_idx[[0, -1]])
+        return pa.concat_tables(
+            [
+                batch.take(pa.array(direct_idx)).append_column(
+                    "__boundary", pa.array([False] * len(direct_idx), type=pa.bool_())
+                ),
+                batch.take(pa.array(cand_idx)).append_column(
+                    "__boundary", pa.array([True] * len(cand_idx), type=pa.bool_())
+                ),
+            ]
+        )
+
+    marked = sorted_ds.map_batches(_mark, batch_format="pyarrow").materialize()
+
+    def _keep_direct(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.invert(batch.column("__boundary"))).drop_columns(
+            ["__boundary"]
+        )
+
+    def _keep_cand(batch: pa.Table) -> pa.Table:
+        return batch.filter(batch.column("__boundary")).drop_columns(["__boundary"])
+
+    def _first(group: pa.Table) -> pa.Table:
+        return group.sort_by(order_col).slice(0, 1)
+
+    direct = marked.map_batches(_keep_direct, batch_format="pyarrow")
+    resolved = (
+        bounded_blocks(marked.map_batches(_keep_cand, batch_format="pyarrow"))
+        .groupby(key_col)
+        .map_groups(_first, batch_format="pyarrow")
+    )
+    return direct.union(resolved)
+
+
 def exact_dedup(
     ds: ray.data.Dataset, text_col: str = "text", id_col: str = "doc_id"
 ) -> ray.data.Dataset:
-    """Exact dedup: content-hash partition + per-group first (min id).
+    """Exact dedup: content-hash + first-per-hash (min id), survivors
+    keep their full rows.
 
-    Vectorized hash inside map_batches, then ONE groupby shuffle keyed
-    by md5(text) — uniformly distributed, no hot keys possible since
-    identical content IS the group."""
+    Vectorized hash inside map_batches, then :func:`sorted_group_first`
+    keyed by md5(text) — one range-partitioned sort exchange, uniformly
+    distributed (identical content IS the key), and no per-distinct-
+    text Python reduce."""
 
     def _add_hash(batch: pa.Table) -> pa.Table:
         hashes = [md5_hex(t or "") for t in batch.column(text_col).to_pylist()]
         return batch.append_column("content_md5", pa.array(hashes, type=pa.string()))
 
-    def _first(group: pa.Table) -> pa.Table:
-        return group.sort_by(id_col).slice(0, 1)
-
-    return (
-        ds.map_batches(_add_hash, batch_format="pyarrow")
-        .groupby("content_md5")
-        .map_groups(_first, batch_format="pyarrow")
+    return sorted_group_first(
+        ds.map_batches(_add_hash, batch_format="pyarrow"), "content_md5", id_col
     )
 
 
@@ -143,6 +211,105 @@ def distinct_pairs(pairs_ds: ray.data.Dataset) -> ray.data.Dataset:
     return pairs_ds.sort(["a", "b"]).map_batches(_uniq, batch_format="pyarrow")
 
 
+def _int_col(batch: pa.Table, name: str) -> np.ndarray:
+    return batch.column(name).to_numpy(zero_copy_only=False).astype(np.int64)
+
+
+def build_bloom_distributed(
+    ids_ds: ray.data.Dataset,
+    id_cols: tuple[str, ...],
+    *,
+    capacity: int,
+    fp_rate: float = 0.001,
+):
+    """Distributed Bloom build: per-batch PARTIAL filters with shared
+    bit parameters (vectorized splitmix64 int hashing), OR-merged in a
+    log-fan-in tree of map rounds — the sketch-combiner pattern (same
+    as HLL), so the driver never streams the raw keys.  Returns the
+    merged :class:`~dots_ocr_ray.functions.bloom.BloomFilter`."""
+    from dots_ocr_ray.functions.bloom import BloomFilter
+
+    n_bits, n_hashes = BloomFilter.params(max(1, capacity), fp_rate)
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        bf = BloomFilter.from_params(n_bits, n_hashes)
+        for col in id_cols:
+            bf.add_int_array(_int_col(batch, col))
+        return pa.table({"bits": pa.array([bf.bits.tobytes()], type=pa.binary())})
+
+    def _or_rows(batch: pa.Table) -> pa.Table:
+        acc = np.frombuffer(batch.column("bits")[0].as_py(), dtype=np.uint8).copy()
+        for i in range(1, batch.num_rows):
+            np.bitwise_or(
+                acc, np.frombuffer(batch.column("bits")[i].as_py(), dtype=np.uint8), out=acc
+            )
+        return pa.table({"bits": pa.array([acc.tobytes()], type=pa.binary())})
+
+    parts = ids_ds.map_batches(_partial, batch_format="pyarrow").materialize()
+    # tree reduce: each round bundles up to 64 one-row blocks per task
+    while parts.count() > 1:
+        parts = parts.map_batches(_or_rows, batch_format="pyarrow", batch_size=64).materialize()
+    bf = BloomFilter.from_params(n_bits, n_hashes)
+    merged = parts.take(1)
+    if merged:
+        bf.merge_bits(merged[0]["bits"])
+    return bf
+
+
+def semi_join_ids(
+    payload_ds: ray.data.Dataset,
+    ids_ds: ray.data.Dataset,
+    *,
+    id_col: str,
+    id_cols: tuple[str, ...] = ("id",),
+    exact_limit: int = DRIVER_PAIR_LIMIT,
+    fp_rate: float = 0.001,
+) -> ray.data.Dataset:
+    """Broadcast semi-join: keep payload rows whose ``id_col`` value
+    appears in any of ``ids_ds``'s ``id_cols`` columns.  Two tiers:
+
+    * exact — under ``exact_limit`` id-source rows the distinct ids
+      collect on the driver as ONE sorted int64 numpy array (8 B/id,
+      the same driver budget as the union-find fast path), broadcast
+      once, membership via vectorized ``searchsorted``;
+    * Bloom — above the limit, :func:`build_bloom_distributed` (no
+      driver key streaming); false positives let ~``fp_rate`` extra
+      payload rows through, which downstream inner joins ignore — use
+      only where over-keeping is safe.
+    """
+    n = ids_ds.count()
+    if n <= exact_limit:
+        chunks: list[np.ndarray] = []
+        for b in ids_ds.iter_batches(batch_format="pyarrow"):
+            for col in id_cols:
+                chunks.append(_int_col(b, col))
+        members = np.unique(np.concatenate(chunks)) if chunks else np.array([], np.int64)
+        member_ref = ray.put(members)
+
+        def _mask(members_obj, vals: np.ndarray) -> np.ndarray:
+            if len(members_obj) == 0:
+                return np.zeros(len(vals), dtype=bool)
+            idx = np.searchsorted(members_obj, vals)
+            idx[idx >= len(members_obj)] = len(members_obj) - 1
+            return members_obj[idx] == vals
+
+    else:
+        bf = build_bloom_distributed(
+            ids_ds, id_cols, capacity=n * len(id_cols), fp_rate=fp_rate
+        )
+        member_ref = ray.put(bf)
+
+        def _mask(members_obj, vals: np.ndarray) -> np.ndarray:
+            return members_obj.contains_int_array(vals)
+
+    def _filter(batch: pa.Table) -> pa.Table:
+        members_obj = cached_object(member_ref)
+        keep = _mask(members_obj, _int_col(batch, id_col))
+        return batch.filter(pa.array(keep, type=pa.bool_()))
+
+    return payload_ds.map_batches(_filter, batch_format="pyarrow")
+
+
 def filter_payload_to_pair_endpoints(
     payload_ds: ray.data.Dataset,
     pairs_ds: ray.data.Dataset,
@@ -150,51 +317,18 @@ def filter_payload_to_pair_endpoints(
     id_col: str,
     exact_limit: int = DRIVER_PAIR_LIMIT,
 ) -> ray.data.Dataset:
-    """Broadcast semi-join: shrink the (id, payload) side-table to rows
-    whose id is a candidate-pair endpoint BEFORE the attach exchange —
-    the side-table then shuffles O(pairs) payloads instead of the whole
-    corpus.  ``pairs_ds`` must be materialized (it is the small side by
-    LSH construction).
-
-    Under ``exact_limit`` pairs the endpoint set is exact (ints only —
-    the same driver budget as the union-find fast path); above it a
-    Bloom filter keeps the broadcast bounded, and its false positives
-    merely let a few extra payload rows through (the attach inner join
-    ignores them — no correctness impact, unlike bloom_anti_join)."""
-    streamed = pairs_ds.select_columns(["a", "b"])
-    n = pairs_ds.count()
-    if n <= exact_limit:
-        idset: set[int] = set()
-        for b in streamed.iter_batches(batch_format="pyarrow"):
-            idset.update(b.column("a").to_pylist())
-            idset.update(b.column("b").to_pylist())
-        member_ref = ray.put(idset)
-
-        def _contains(members, i):
-            return i in members
-
-    else:
-        from dots_ocr_ray.functions.bloom import BloomFilter
-
-        bf = BloomFilter(capacity=max(1, 2 * n), fp_rate=0.001)
-        for b in streamed.iter_batches(batch_format="pyarrow"):
-            for col in ("a", "b"):
-                for i in b.column(col).to_pylist():
-                    bf.add(str(i))
-        member_ref = ray.put(bf)
-
-        def _contains(members, i):
-            return str(i) in members
-
-    def _filter(batch: pa.Table) -> pa.Table:
-        members = cached_object(member_ref)
-        mask = pa.array(
-            [_contains(members, i) for i in batch.column(id_col).to_pylist()],
-            type=pa.bool_(),
-        )
-        return batch.filter(mask)
-
-    return payload_ds.map_batches(_filter, batch_format="pyarrow")
+    """Shrink the (id, payload) side-table to rows whose id is a
+    candidate-pair endpoint BEFORE the attach exchange — the side-table
+    then shuffles O(pairs) payloads instead of the whole corpus.
+    ``pairs_ds`` must be materialized (it is the small side by LSH
+    construction).  Tiering per :func:`semi_join_ids`."""
+    return semi_join_ids(
+        payload_ds,
+        pairs_ds.select_columns(["a", "b"]),
+        id_col=id_col,
+        id_cols=("a", "b"),
+        exact_limit=exact_limit,
+    )
 
 
 def attach_pair_payloads(
@@ -340,17 +474,22 @@ def attach_pair_payloads(
                 "payload_b": pa.array([], type=payload_type),
             }
         )
-        if group.num_rows < 2:
+        # duplicate candidate pairs are allowed upstream (distinct_pairs
+        # leaves boundary stragglers; simhash/ngram feed undeduped
+        # pairs), so this group may hold 2k rows for k copies of the
+        # pair — take the first row of EACH side rather than positional
+        # checks, keeping duplicates idempotent instead of dropped
+        sides = group.column("side")
+        a_rows = group.filter(pc.equal(sides, 0))
+        b_rows = group.filter(pc.equal(sides, 1))
+        if a_rows.num_rows == 0 or b_rows.num_rows == 0:
             return empty  # one endpoint had no payload row
-        group = group.sort_by("side")
-        if group.column("side")[0].as_py() != 0 or group.column("side")[1].as_py() != 1:
-            return empty
         return pa.table(
             {
-                "a": group.column("pa").slice(0, 1),
-                "b": group.column("pb").slice(0, 1),
-                "payload_a": group.column("payload").slice(0, 1),
-                "payload_b": group.column("payload").slice(1, 1),
+                "a": a_rows.column("pa").slice(0, 1),
+                "b": a_rows.column("pb").slice(0, 1),
+                "payload_a": a_rows.column("payload").slice(0, 1),
+                "payload_b": b_rows.column("payload").slice(0, 1),
             }
         )
 

@@ -13,10 +13,13 @@ of this engine runs over a web crawl.
       └─ write out_dir/split=train|val/     (partitioned parquet)
 
 Everything before and after the dedup exchange streams with
-backpressure; the dedup keep-set is broadcast (``ray.put``) rather than
-joined, so the corpus itself never shuffles.  Returns per-stage row
-counts (the job-level lineage the reference tracks per job,
-dotsocr_service.py:430-443).
+backpressure.  The exact-dedup path consumes the survivor ROWS
+directly (no keep filter at all); the minhash path applies a
+DISTRIBUTED semi-join against the survivor ids (budgeted sorted-array
+broadcast under the driver limit, distributed Bloom build above it) —
+no driver-side collection ever scales with the survivor count.
+Returns per-stage row counts (the job-level lineage the reference
+tracks per job, dotsocr_service.py:430-443).
 """
 
 from __future__ import annotations
@@ -30,8 +33,7 @@ import ray.data
 from dots_ocr_ray.functions.scrub import scrub_documents
 from dots_ocr_ray.kernel.textops import quality_features, quality_keep
 from dots_ocr_ray.pipelines.chunking import chunk_documents
-from dots_ocr_ray.pipelines.dedup import exact_dedup, minhash_lsh_dedup
-from dots_ocr_ray.util import cached_object
+from dots_ocr_ray.pipelines.dedup import exact_dedup, minhash_lsh_dedup, semi_join_ids
 
 
 def prepare_training_data(
@@ -44,13 +46,14 @@ def prepare_training_data(
     overlap_tokens: int = 16,
     train_fraction: float = 0.9,
     extract_kwargs: dict | None = None,
+    dedup_exact_limit: int | None = None,
 ) -> dict:
     """pages Dataset → chunked, deduped, scrubbed train/val parquet.
 
-    ``dedup`` is "exact", "minhash", or "none".  The dedup stage yields
-    a KEEP-SET of doc ids (survivor == cluster min); the set is
-    broadcast and applied as a streaming filter — the extracted corpus
-    itself never enters a shuffle."""
+    ``dedup`` is "exact", "minhash", or "none".  Exact dedup yields the
+    survivor rows directly; minhash yields survivor ids (survivor ==
+    cluster min) that are semi-joined to the corpus distributively —
+    either way, nothing survivor-proportional lands on the driver."""
     from dots_ocr_ray.pipelines.extract import extract_pages
 
     extracted = extract_pages(pages, **(extract_kwargs or {}))
@@ -98,7 +101,9 @@ def prepare_training_data(
         )
         counts["quality_kept"] = docs.count()
         if dedup == "exact":
-            survivors = exact_dedup(docs).select_columns(["doc_id"])
+            # exact_dedup already RETURNS the survivor rows — no id
+            # set, no second filter pass over the corpus at all
+            docs = exact_dedup(docs).drop_columns(["content_md5"])
         elif dedup == "minhash":
             clusters = minhash_lsh_dedup(docs, threshold=minhash_threshold)
 
@@ -106,22 +111,19 @@ def prepare_training_data(
                 m = pc.equal(batch.column("doc_id"), batch.column("cluster_id"))
                 return batch.filter(m).select(["doc_id"])
 
-            survivors = clusters.map_batches(_surv, batch_format="pyarrow")
+            survivors = clusters.map_batches(_surv, batch_format="pyarrow").materialize()
+            # survivors ≈ corpus minus duplicates — O(corpus), so the
+            # keep filter is a DISTRIBUTED semi-join (budgeted sorted-
+            # array broadcast under the driver limit, distributed Bloom
+            # build above it), never a driver-side Python id set
+            join_kwargs = {} if dedup_exact_limit is None else {"exact_limit": dedup_exact_limit}
+            docs = semi_join_ids(
+                docs, survivors, id_col="doc_id", id_cols=("doc_id",), **join_kwargs
+            )
         else:
             raise ValueError(f"unknown dedup mode: {dedup}")
-        keep_ids = set()
-        for b in survivors.iter_batches(batch_format="pyarrow"):
-            keep_ids.update(b.column("doc_id").to_pylist())
-        keep_ref = ray.put(keep_ids)
-
-        def _keep_only(batch: pa.Table) -> pa.Table:
-            keep = cached_object(keep_ref)
-            mask = pa.array(
-                [i in keep for i in batch.column("doc_id").to_pylist()], type=pa.bool_()
-            )
-            return batch.filter(mask)
-
-        docs = docs.map_batches(_keep_only, batch_format="pyarrow")
+        docs = docs.materialize()
+        counts["deduped"] = docs.count()
     else:
         # fully streaming: no materialization, no counters beyond the
         # final chunk count

@@ -15,8 +15,14 @@ Scale shape:
   memory; gzip members decode incrementally via the stdlib) and yields
   Arrow batches of ``batch_rows`` rows, so block size stays bounded
   no matter how large one WARC is;
-- malformed records are skipped and counted, never fatal (the kernel's
-  never-raise discipline).
+- malformed records are never fatal (the kernel's never-raise
+  discipline): on the uncompressed stream the reader RESYNCS to the
+  next ``WARC/`` magic (losing only the damaged record); a broken gzip
+  member truncates to the parsed prefix (the compressed stream cannot
+  be resynchronized).  Both events are counted and logged per file;
+- paths resolve through ``pyarrow.fs`` (state/manifest.py:resolve_fs),
+  so shards may live on object storage (``s3://…``) as well as local
+  disk; glob expansion applies to bare local paths, URIs are literal.
 """
 
 from __future__ import annotations
@@ -43,10 +49,11 @@ PAGES_SCHEMA = pa.schema(
 _CRLF = b"\r\n"
 
 
-def _read_headers(stream) -> dict[str, str] | None:
+def _read_headers(stream, first_line: bytes | None = None) -> dict[str, str] | None:
     """Read a WARC header block (terminated by an empty line).  Returns
-    None at EOF."""
-    version = stream.readline()
+    None at EOF.  ``first_line`` supplies a version line that was
+    already consumed (the resync path)."""
+    version = first_line if first_line is not None else stream.readline()
     while version in (_CRLF, b"\n"):  # skip inter-record blank lines
         version = stream.readline()
     if not version:
@@ -89,46 +96,96 @@ def parse_warc_date(value: str) -> datetime | None:
         return None
 
 
-def iter_warc_records(stream) -> Iterator[tuple[dict[str, str], bytes]]:
+def iter_warc_records(
+    stream, counters: dict | None = None
+) -> Iterator[tuple[dict[str, str], bytes]]:
     """Stream (headers, block) pairs off a binary WARC stream.  The
     block is read exactly per Content-Length; the record trailer
-    (CRLF CRLF) is consumed."""
+    (CRLF CRLF) is consumed.
+
+    Damage handling (never-raise discipline, per-event counted in
+    ``counters``):
+
+    * bad record framing on the UNCOMPRESSED stream (non-WARC magic,
+      unparseable Content-Length) → resync by scanning forward to the
+      next line starting with ``WARC/`` and continue from there
+      (``counters["resynced"]``) — mid-file corruption loses only the
+      damaged record(s), not the shard tail;
+    * a truncated final record, or a broken gzip member (the compressed
+      stream cannot be resynchronized past a bad member) → stop,
+      keeping everything parsed so far (``counters["truncated"]``).
+    """
+    if counters is None:
+        counters = {}
+    counters.setdefault("resynced", 0)
+    counters.setdefault("truncated", 0)
+    pending: bytes | None = None  # a version line found during resync
     while True:
-        headers = _read_headers(stream)
-        if headers is None:
+        try:
+            headers = _read_headers(stream, first_line=pending)
+            pending = None
+            if headers is None:
+                return
+            length = int(headers.get("content-length", "0"))
+            block = stream.read(length)
+        except ValueError:
+            # framing damage on a seekable/uncompressed stream: scan
+            # forward for the next record magic at a line start
+            counters["resynced"] += 1
+            try:
+                while True:
+                    line = stream.readline()
+                    if not line:
+                        return
+                    if line.startswith(b"WARC/"):
+                        pending = line
+                        break
+            except (EOFError, OSError):
+                counters["truncated"] += 1
+                return
+            continue
+        except (EOFError, OSError):
+            # broken gzip member: later members are unreachable once
+            # the decompressor dies — degrade to the parsed prefix
+            counters["truncated"] += 1
             return
-        length = int(headers.get("content-length", "0"))
-        block = stream.read(length)
         if len(block) < length:
+            counters["truncated"] += 1
             return  # truncated tail record
         yield headers, block
 
 
 def _open_warc(path: str):
-    fobj = open(path, "rb")
+    """Open a (possibly gzipped) WARC for streaming reads through
+    ``pyarrow.fs`` — a bare path resolves to the local filesystem, a
+    ``file://`` / ``s3://``-style URI to the matching FileSystem
+    (the same S6 object-storage seam as the parquet manifests,
+    state/manifest.py:resolve_fs; reference app/utils/storage.py:22-163).
+    """
+    from dots_ocr_ray.state.manifest import resolve_fs
+
+    fs, local = resolve_fs(path)
+    # compression=None: pyarrow would otherwise auto-gunzip `.gz`
+    # streams itself; stdlib gzip must own the decode because its
+    # member-concatenation semantics (one member per Common-Crawl
+    # record) and per-member error surface are what the resync /
+    # truncate handling is built on
+    raw = fs.open_input_stream(local, compression=None)
     if path.endswith(".gz"):
         # Common Crawl gzips each record as its own member; the stdlib
         # reader concatenates members transparently and decompresses
         # incrementally — no whole-file buffering.
-        return gzip.open(fobj, "rb")
-    return io.BufferedReader(fobj)
+        return gzip.open(raw, "rb")
+    return io.BufferedReader(raw)
 
 
 def _warc_file_batches(path: str, record_types: frozenset[str], batch_rows: int):
+    import logging
+
     urls, tss, htmls = [], [], []
+    counters: dict[str, int] = {}
     with _open_warc(path) as stream:
-        records = iter_warc_records(stream)
-        while True:
-            try:
-                headers, block = next(records)
-            except StopIteration:
-                break
-            except (ValueError, EOFError, OSError):
-                # corrupt record framing / bad gzip member mid-file:
-                # keep what parsed so far, drop the unreadable tail —
-                # a damaged shard must degrade, never kill the task
-                # (the kernel's never-raise discipline)
-                break
+        for headers, block in iter_warc_records(stream, counters):
             if headers.get("warc-type", "") not in record_types:
                 continue
             url = headers.get("warc-target-uri", "")
@@ -142,6 +199,13 @@ def _warc_file_batches(path: str, record_types: frozenset[str], batch_rows: int)
                 urls, tss, htmls = [], [], []
     if urls:
         yield _pages_table(urls, tss, htmls)
+    if counters.get("resynced") or counters.get("truncated"):
+        logging.getLogger(__name__).warning(
+            "WARC %s: damaged input degraded (resynced=%d, truncated=%d)",
+            path,
+            counters.get("resynced", 0),
+            counters.get("truncated", 0),
+        )
 
 
 def _pages_table(urls, tss, htmls) -> pa.Table:

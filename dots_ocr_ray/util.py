@@ -23,6 +23,7 @@ def autoscale_pool(reserve: int = 1, floor: int = 2) -> tuple[int, int]:
 
 
 _BROADCAST_CACHE: dict = {}
+_BROADCAST_CACHE_SLOTS = 4
 
 
 def cached_object(ref):
@@ -31,12 +32,21 @@ def cached_object(ref):
     ``ray.get`` + deserialize, later tasks reuse the warm object.
     Lets broadcast-lookup stages run as plain tasks (zero pool-ramp
     cost) instead of actor pools whose per-execution ramp costs
-    seconds (see memory: ~3-4 s at 30 actors)."""
+    seconds (see memory: ~3-4 s at 30 actors).
+
+    Bounded LRU (a few slots): long-lived worker processes would
+    otherwise pin every broadcast object of every past job — root
+    maps, keep-sets, payload dicts up to the 1 GB broadcast budget —
+    in the heap forever, compounding the object-store copy."""
     import ray as _ray
 
     key = ref.hex() if hasattr(ref, "hex") else str(ref)
-    if key not in _BROADCAST_CACHE:
+    if key in _BROADCAST_CACHE:
+        _BROADCAST_CACHE[key] = _BROADCAST_CACHE.pop(key)  # refresh LRU order
+    else:
         _BROADCAST_CACHE[key] = _ray.get(ref)
+        while len(_BROADCAST_CACHE) > _BROADCAST_CACHE_SLOTS:
+            _BROADCAST_CACHE.pop(next(iter(_BROADCAST_CACHE)))
     return _BROADCAST_CACHE[key]
 
 

@@ -184,3 +184,69 @@ def test_endpoint_filter_bloom_path(ray_session):
     want = set(range(50)) | set(range(100, 150))
     assert want <= got  # no false negatives ever
     assert len(got) <= 300
+
+
+def test_attach_distributed_path_tolerates_duplicate_pairs(ray_session):
+    """Duplicate candidate pairs (allowed upstream: distinct_pairs
+    boundary stragglers, undeduped simhash/ngram pairs) must still
+    produce their joined row in the SCALE path — the old positional
+    side check silently dropped any pair appearing more than once."""
+    import pyarrow as pa
+
+    from dots_ocr_ray.pipelines.dedup import attach_pair_payloads
+
+    pairs = ray.data.from_items(
+        [{"a": 1, "b": 2}, {"a": 1, "b": 2}, {"a": 1, "b": 2}, {"a": 2, "b": 5}]
+    )
+    payload = ray.data.from_items(
+        [{"doc_id": i, "blob": bytes([i]) * 4} for i in (1, 2, 5)]
+    )
+    out = attach_pair_payloads(
+        pairs,
+        payload,
+        id_col="doc_id",
+        payload_col="blob",
+        payload_type=pa.binary(),
+        broadcast_bytes_limit=0,  # force the distributed two-exchange join
+    ).to_pandas()
+    got = sorted(map(tuple, out[["a", "b"]].values.tolist()))
+    assert got == [(1, 2), (2, 5)]  # dup pair joined exactly once, not dropped
+    row12 = out[(out.a == 1) & (out.b == 2)].iloc[0]
+    assert bytes(row12.payload_a) == b"\x01" * 4 and bytes(row12.payload_b) == b"\x02" * 4
+
+
+def test_sorted_group_first_exact(ray_session):
+    """sorted_group_first must equal groupby().map_groups(first) on a
+    duplicate-heavy corpus whose groups span many blocks (boundary
+    candidates resolved exactly — no duplicate or missing survivors)."""
+    import numpy as np
+
+    from dots_ocr_ray.pipelines.dedup import sorted_group_first
+
+    rng = np.random.RandomState(3)
+    keys = [f"k{rng.randint(0, 40):03d}" for _ in range(5000)]  # ~125 rows/key
+    rows = [{"k": k, "doc_id": i, "v": i * 2} for i, k in enumerate(keys)]
+    ds = ray.data.from_items(rows).repartition(16)
+    out = sorted_group_first(ds, "k", "doc_id").to_pandas().sort_values("k").reset_index(drop=True)
+    expect = (
+        ds.to_pandas()
+        .sort_values(["k", "doc_id"])
+        .groupby("k", as_index=False)
+        .first()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert out[["k", "doc_id", "v"]].equals(expect[["k", "doc_id", "v"]])
+
+
+def test_semi_join_ids_tiers_match(ray_session):
+    """Exact tier (sorted-array searchsorted) and Bloom tier must agree
+    on true members; Bloom adds no false negatives."""
+    from dots_ocr_ray.pipelines.dedup import semi_join_ids
+
+    ids = ray.data.from_items([{"id": i} for i in range(0, 400, 4)]).materialize()
+    payload = ray.data.from_items([{"doc_id": i, "x": i} for i in range(400)])
+    exact = semi_join_ids(payload, ids, id_col="doc_id", exact_limit=10_000).to_pandas()
+    assert sorted(exact.doc_id) == list(range(0, 400, 4))
+    bloom = semi_join_ids(payload, ids, id_col="doc_id", exact_limit=1).to_pandas()
+    assert set(range(0, 400, 4)) <= set(bloom.doc_id)  # no false negatives

@@ -19,6 +19,7 @@ def test_prepare_training_data_end_to_end(ray_session, tmp_path):
         overlap_tokens=2,
     )
     assert counts["extracted"] == 96
+    assert counts["deduped"] is not None and counts["deduped"] <= counts["quality_kept"]
     assert counts["chunks_written"] > 0
 
     ds = ray.data.read_parquet(out)
@@ -61,3 +62,17 @@ def test_prepare_minhash_dedup_drops_near_dups(ray_session, tmp_path):
     # the three identical docs collapse to one survivor
     assert df.url.nunique() <= 10
     assert counts["chunks_written"] == len(df)
+    assert counts["deduped"] == df.url.nunique()
+
+    # forcing the fully distributed keep path (exact_limit=0 -> the
+    # Bloom tier built with zero driver-side id collection) must
+    # reproduce the default run's output exactly on this corpus
+    out2 = str(tmp_path / "prep2")
+    counts2 = prepare_training_data(
+        ray.data.from_arrow(pages), out2, dedup="minhash", minhash_threshold=0.9,
+        chunk_tokens=16, overlap_tokens=2, dedup_exact_limit=0,
+    )
+    df2 = ray.data.read_parquet(out2).to_pandas()
+    a = df.sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
+    b = df2.sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
+    assert a.equals(b)

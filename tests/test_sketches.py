@@ -77,3 +77,45 @@ def test_distributed_sketches_match_exact(ray_session):
     s1 = deterministic_sample(ds, "doc_id", k=10)
     s2 = deterministic_sample(ds.repartition(7), "doc_id", k=10)
     assert s1 == s2 and len(s1) == 10
+
+
+def test_add_many_identical_to_per_item():
+    """The vectorized bulk-ingest paths must produce byte-identical
+    sketch state to per-item adds (HLL registers, Reservoir items) and
+    identical output in SpaceSaving's exact regime."""
+    import numpy as np
+
+    from dots_ocr_ray.functions.sketches import HyperLogLog, Reservoir, SpaceSaving
+
+    keys = [f"key-{i % 97}-{i}" for i in range(5000)] + ["dup"] * 50
+    a, b = HyperLogLog(10), HyperLogLog(10)
+    for k in keys:
+        a.add(k)
+    b.add_many(keys)
+    assert np.array_equal(a.registers, b.registers)
+
+    ra, rb = Reservoir(17), Reservoir(17)
+    for k in keys:
+        ra.add(k)
+    rb.add_many(keys)
+    assert ra.items == rb.items
+
+    sa, sb = SpaceSaving(256), SpaceSaving(256)  # capacity > distinct: exact
+    for k in keys:
+        sa.add(k)
+    sb.add_many(keys)
+    assert sa.counts == sb.counts and sa.errors == sb.errors
+
+
+def test_bit_length_u64_exact():
+    import numpy as np
+
+    from dots_ocr_ray.functions.sketches import _bit_length_u64
+
+    vals = np.array(
+        [0, 1, 2, 3, 4, 255, 256, 2**31, 2**53 - 1, 2**53, 2**53 + 1, 2**63, 2**64 - 1],
+        dtype=np.uint64,
+    )
+    got = _bit_length_u64(vals)
+    want = np.array([int(v).bit_length() for v in vals], dtype=np.uint8)
+    assert np.array_equal(got, want)

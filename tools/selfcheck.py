@@ -2,7 +2,10 @@
 side at sf0.01 and report rows/schema/value-hash matches — a local
 stand-in for the driver's CORRECTNESS gate.
 
-    python tools/selfcheck.py [sf_dir]
+    python tools/selfcheck.py [sf_dir] [query_name ...]
+
+With query names, only those queries run (fast targeted re-check after
+touching one pipeline); with none, the full sweep runs.
 """
 
 from __future__ import annotations
@@ -55,6 +58,12 @@ def main() -> None:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     qs, sqls = entry.queries(), entry.oracle_sql()
+    only = set(sys.argv[2:])
+    if only:
+        unknown = only - set(qs)
+        if unknown:
+            print(f"unknown queries: {sorted(unknown)}")
+        qs = {k: v for k, v in qs.items() if k in only}
     n_pass = n_fail = n_no_oracle = 0
     for name, fn in qs.items():
         try:
