@@ -103,6 +103,22 @@ def _q_extract_span_stats(sf_dir: str):
     return agg.map_batches(_rename, batch_format="pyarrow")
 
 
+def _q_describe_docs(sf_dir: str):
+    """A2 second-stage describe pool under the hard oracle: fixture
+    pages carry alt-less <img> tags (IMAGE_MOD rule), extraction emits
+    empty Picture spans, and the describe actor pool captions them with
+    the deterministic fake captioner + re-serializes the markdown.
+    Golden-parquet oracle (tools/make_golden.py:golden_describe_docs)."""
+    from dots_ocr_ray.pipelines.extract import extract_pages
+    from dots_ocr_ray.sources.pages import pages_from_documents
+    from dots_ocr_ray.stages.describe import describe_pictures
+
+    pages = pages_from_documents(sf_dir, override_num_blocks=8, with_images=True)
+    extracted = extract_pages(pages, batch_size=64)
+    described = describe_pictures(extracted, batch_size=64)
+    return described.select_columns(["doc_id", "extracted_text", "n_spans", "status"])
+
+
 # ---------------------------------------------------------------------------
 # dedup family (documents / embeddings tables)
 
@@ -833,6 +849,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_text": _q_extract_text,
         "extract_status_counts": _q_extract_status_counts,
         "extract_span_stats": _q_extract_span_stats,
+        "describe_docs": _q_describe_docs,
         # dedup family
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash": _q_dedup_minhash,
@@ -988,6 +1005,10 @@ def oracle_sql() -> dict[str, str]:
         # over the same pure kernels (tools/make_golden.py; regenerated
         # per sf, parity-tested every pytest run in tests/test_golden.py)
         # — DuckDB just reads the expected table.
+        "describe_docs": (
+            "SELECT doc_id, extracted_text, n_spans, status "
+            f"FROM read_parquet('{_GOLDEN_DIR}/describe_docs.parquet')"
+        ),
         "dedup_minhash": f"SELECT doc_id, cluster_id FROM read_parquet('{_GOLDEN_DIR}/dedup_minhash.parquet')",
         "dedup_simhash": f"SELECT doc_id, cluster_id FROM read_parquet('{_GOLDEN_DIR}/dedup_simhash.parquet')",
         "dedup_ngram": f"SELECT doc_id, cluster_id FROM read_parquet('{_GOLDEN_DIR}/dedup_ngram.parquet')",

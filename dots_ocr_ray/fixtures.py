@@ -165,7 +165,14 @@ FALLBACK_MOD, FALLBACK_REM = 23, 7
 FAILED_MOD, FAILED_REM = 31, 11
 
 
-def page_row_from_document(doc_id: int, text: str, lang: str) -> dict:
+IMAGE_MOD, IMAGE_REM = 5, 2
+"""with_images=True adds an <img> to normal docs with
+``doc_id % IMAGE_MOD == IMAGE_REM`` (the describe-pool fixture rule)."""
+
+
+def page_row_from_document(
+    doc_id: int, text: str, lang: str, *, with_images: bool = False
+) -> dict:
     """Deterministically wrap one `documents` row into a page whose
     extraction output is expressible in SQL (see __ray_entry__.oracle_sql):
 
@@ -174,6 +181,12 @@ def page_row_from_document(doc_id: int, text: str, lang: str) -> dict:
     * ``doc_id % 23 == 7``: script-only html → tier-2 fallback to the
       ``text`` column (status "fallback").
     * ``doc_id % 31 == 11``: empty html AND empty text → "failed".
+
+    ``with_images=True`` additionally inserts an alt-less ``<img>``
+    into normal docs selected by the IMAGE_MOD rule — an empty Picture
+    span for the second-stage describe pool (A2) to caption.  The
+    caption itself is not SQL-expressible (blake2b), so describe
+    queries check against a golden parquet, not inline SQL.
     """
     url = f"https://example-{doc_id % 40:02d}.com/doc-{doc_id:06d}"
     ts = EPOCH + datetime.timedelta(seconds=137 * doc_id)
@@ -188,21 +201,27 @@ def page_row_from_document(doc_id: int, text: str, lang: str) -> dict:
             "lang": lang,
         }
     body = html_mod.escape(text)
+    img = (
+        f'<img src="/img{doc_id}.png">'
+        if with_images and doc_id % IMAGE_MOD == IMAGE_REM
+        else ""
+    )
     page = (
         "<html><head><title>t</title></head><body>"
         '<nav class="nav"><a href="/">Home</a></nav>'
         f"<h1>Doc {doc_id}</h1>"
         f"<p>{body}</p>"
+        f"{img}"
         f'<footer class="page-footer">Footer {doc_id % 40}</footer>'
         "</body></html>"
     )
     return {"url": url, "warc_ts": ts, "html": page.encode("utf-8"), "text": text, "lang": lang}
 
 
-def pages_from_documents_batch(batch: pa.Table) -> pa.Table:
+def pages_from_documents_batch(batch: pa.Table, *, with_images: bool = False) -> pa.Table:
     """Vector-friendly batch wrapper used inside map_batches."""
     rows = [
-        page_row_from_document(d, t, lg)
+        page_row_from_document(d, t, lg, with_images=with_images)
         for d, t, lg in zip(
             batch.column("doc_id").to_pylist(),
             batch.column("text").to_pylist(),

@@ -409,6 +409,7 @@ def extract_shards(
     import functools
 
     fresh = []
+    dataset_stats = None
     if items:
         if dispatch == "tasks":
             # raw-task dispatch for the shard MANIFEST (job-orchestration
@@ -443,6 +444,7 @@ def extract_shards(
             )
             metrics_ds = work.map_batches(fn, batch_size=1, batch_format="pyarrow")
             fresh = metrics_ds.take_all()
+            dataset_stats = metrics_ds.stats()
 
     # fold in already-completed partitions from their markers (resume)
     from dots_ocr_ray.state.manifest import read_marker
@@ -460,7 +462,30 @@ def extract_shards(
                 "wall_ms": 0,
             }
         )
-    return pa.Table.from_pylist(sorted(fresh, key=lambda r: r["partition_id"]), schema=METRICS_SCHEMA)
+    tbl = pa.Table.from_pylist(sorted(fresh, key=lambda r: r["partition_id"]), schema=METRICS_SCHEMA)
+
+    # persist per-run execution stats next to the outputs (the
+    # reference's tracing/metrics analog, app/utils/metrics.py:9-26):
+    # job totals always; the Ray Data per-stage stats string when the
+    # run went through the Dataset planner (raw-task dispatch has none)
+    from dots_ocr_ray.state.manifest import write_job_stats
+
+    write_job_stats(
+        out_dir,
+        {
+            "job": "extract_shards",
+            "dispatch": dispatch,
+            "num_units": len(units),
+            "resumed_partitions": len(done),
+            "fresh_partitions": len(items),
+            "totals": {
+                c: int(pc.sum(tbl.column(c)).as_py() or 0)
+                for c in ("input_rows", "ok", "fallback", "failed", "bytes_in", "wall_ms")
+            },
+            "dataset_stats": dataset_stats,
+        },
+    )
+    return tbl
 
 
 def compute_metrics(extracted: ray.data.Dataset) -> ray.data.Dataset:

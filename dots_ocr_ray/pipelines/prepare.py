@@ -160,4 +160,18 @@ def prepare_training_data(
     counts["chunks_written"] = written.count()
     if counts["quality_kept"] is None:
         counts["quality_kept"] = counts["chunks_written"]  # streamed straight through
+
+    # per-run lineage + the executed plan's per-stage stats, persisted
+    # with the output (reference tracing analog, app/utils/metrics.py)
+    from dots_ocr_ray.state.manifest import write_job_stats
+
+    write_job_stats(
+        out_dir,
+        {
+            "job": "prepare_training_data",
+            "dedup": dedup,
+            "counts": counts,
+            "dataset_stats": final.stats(),
+        },
+    )
     return counts

@@ -26,12 +26,24 @@ def read_pages_parquet(path: str, *, override_num_blocks: int | None = None) -> 
     )
 
 
-def pages_from_documents(sf_dir: str, *, override_num_blocks: int | None = None) -> ray.data.Dataset:
-    """documents.parquet → pages Dataset (adds a pass-through doc_id)."""
+def pages_from_documents(
+    sf_dir: str,
+    *,
+    override_num_blocks: int | None = None,
+    with_images: bool = False,
+) -> ray.data.Dataset:
+    """documents.parquet → pages Dataset (adds a pass-through doc_id).
+    ``with_images`` applies the fixture IMAGE_MOD rule (describe-pool
+    fixture pages)."""
+    import functools
+
     kwargs = {}
     if override_num_blocks is not None:
         kwargs["override_num_blocks"] = override_num_blocks
     docs = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"], **kwargs
     )
-    return docs.map_batches(pages_from_documents_batch, batch_format="pyarrow")
+    return docs.map_batches(
+        functools.partial(pages_from_documents_batch, with_images=with_images),
+        batch_format="pyarrow",
+    )

@@ -118,6 +118,37 @@ def write_partition_atomic(
             out.write(payload)
 
 
+def write_job_stats(out_dir: str, payload: dict) -> str:
+    """Persist per-run execution stats next to the output partitions
+    (`_job_stats.json`) — the engine's analog of the reference's
+    tracing/metrics exporters (app/utils/metrics.py:9-26,
+    app/utils/tracing.py): the Ray Data per-stage stats string plus
+    job-level totals, so a slow 100-TB run can be diagnosed from the
+    manifest alone, after the driver is gone."""
+    fs, root = resolve_fs(out_dir)
+    fs.create_dir(root, recursive=True)
+    target = f"{root}/_job_stats.json"
+    data = json.dumps(payload, indent=2, default=str).encode("utf-8")
+    if isinstance(fs, pafs.LocalFileSystem):
+        tmp = target + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(data)
+        os.replace(tmp, target)
+    else:
+        with fs.open_output_stream(target) as out:
+            out.write(data)
+    return target
+
+
+def read_job_stats(out_dir: str) -> dict | None:
+    fs, root = resolve_fs(out_dir)
+    target = f"{root}/_job_stats.json"
+    if fs.get_file_info(target).type != pafs.FileType.File:
+        return None
+    with fs.open_input_stream(target) as f:
+        return json.loads(f.read().decode("utf-8"))
+
+
 def read_marker(out_dir: str, partition_id: int) -> dict | None:
     fs, root = resolve_fs(out_dir)
     marker = f"{root}/part-{partition_id:05d}.done"

@@ -106,3 +106,24 @@ def test_mega_shard_split_by_row_groups(ray_session, tmp_path):
     assert completed_partitions(str(out_b)) == {0, 1, 2, 3}
     redone = [r for r in m_b2.to_pylist() if r["wall_ms"] > 0]
     assert len(redone) == 1 and redone[0]["partition_id"] == victim
+
+
+def test_extract_shards_persists_job_stats(ray_session, tmp_path, shard_files):
+    """Every run leaves _job_stats.json next to the partitions: job
+    totals always, the Ray Data per-stage stats string for the Dataset
+    dispatch (raw-task dispatch records none)."""
+    from dots_ocr_ray.state.manifest import read_job_stats
+
+    files, _ = shard_files
+    out = str(tmp_path / "out")
+    metrics = extract_shards(files, out, batch_size=64)
+    stats = read_job_stats(out)
+    assert stats["job"] == "extract_shards"
+    assert stats["totals"]["input_rows"] == sum(metrics.column("input_rows").to_pylist())
+    assert isinstance(stats["dataset_stats"], str) and stats["dataset_stats"]
+
+    # resumed run: stats rewritten, zero fresh partitions
+    extract_shards(files, out, batch_size=64)
+    stats2 = read_job_stats(out)
+    assert stats2["fresh_partitions"] == 0
+    assert stats2["totals"]["input_rows"] == stats["totals"]["input_rows"]

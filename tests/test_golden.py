@@ -28,6 +28,7 @@ def _canon(obj) -> pd.DataFrame:
 @pytest.mark.parametrize(
     "name",
     [
+        "describe_docs",
         "dedup_minhash",
         "dedup_simhash",
         "dedup_ngram",

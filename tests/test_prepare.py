@@ -76,3 +76,19 @@ def test_prepare_minhash_dedup_drops_near_dups(ray_session, tmp_path):
     a = df.sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
     b = df2.sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_prepare_persists_job_stats(ray_session, tmp_path):
+    from dots_ocr_ray.state.manifest import read_job_stats
+
+    pages = make_pages_table(24, seed=5)
+    out = str(tmp_path / "prep")
+    counts = prepare_training_data(
+        ray.data.from_arrow(pages), out, dedup="exact", chunk_tokens=16, overlap_tokens=2
+    )
+    stats = read_job_stats(out)
+    assert stats["job"] == "prepare_training_data"
+    assert stats["counts"]["chunks_written"] == counts["chunks_written"]
+    assert isinstance(stats["dataset_stats"], str) and "Operator" in stats["dataset_stats"]
+    # the stats sidecar must not confuse the parquet read-back
+    assert ray.data.read_parquet(out).count() == counts["chunks_written"]

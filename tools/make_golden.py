@@ -313,7 +313,52 @@ def golden_reservoir_doc_sample(sf_dir: str, *, k: int = 32) -> pa.Table:
     return pa.table({"key": pa.array(sorted(r.sample()), type=pa.string())})
 
 
+def golden_describe_docs(sf_dir: str) -> pa.Table:
+    """Sequential A2 describe oracle: extract each fixture page (with
+    the IMAGE_MOD img rule) through the shared kernel, then apply the
+    reference's picture-describe rule row-at-a-time — caption empty
+    Picture spans with the deterministic fake captioner and re-serialize
+    the markdown (ocr_task.py:150-203 analog)."""
+    from dots_ocr_ray.fixtures import page_row_from_document
+    from dots_ocr_ray.kernel.extract import extract_page
+    from dots_ocr_ray.kernel.serialize import spans_to_markdown
+    from dots_ocr_ray.stages.describe import fake_caption
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"])
+    rows = sorted(
+        zip(
+            t.column("doc_id").to_pylist(),
+            t.column("text").to_pylist(),
+            t.column("lang").to_pylist(),
+        )
+    )
+    ids, texts, n_spans, statuses = [], [], [], []
+    for d, tx, lg in rows:
+        page = page_row_from_document(d, tx, lg, with_images=True)
+        r = extract_page(page["url"], page["html"], page["text"])
+        spans = [dict(s) for s in r["spans"]]
+        changed = False
+        for i, s in enumerate(spans):
+            if s["category"] == "Picture" and not (s.get("text") or ""):
+                s["text"] = fake_caption(f"{page['url']}#{i}")
+                changed = True
+        text_out = spans_to_markdown(spans, no_page_hf=False) if changed else r["extracted_text"]
+        ids.append(d)
+        texts.append(text_out)
+        n_spans.append(len(spans))
+        statuses.append(r["status"])
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "extracted_text": pa.array(texts, type=pa.string()),
+            "n_spans": pa.array(n_spans, type=pa.int32()),
+            "status": pa.array(statuses, type=pa.string()),
+        }
+    )
+
+
 GOLDEN_BUILDERS = {
+    "describe_docs": golden_describe_docs,
     "dedup_minhash": golden_dedup_minhash,
     "dedup_simhash": golden_dedup_simhash,
     "dedup_ngram": golden_dedup_ngram,
