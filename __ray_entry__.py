@@ -808,6 +808,53 @@ def _q_chunk_stats(sf_dir: str):
     return agg.map_batches(_rename, batch_format="pyarrow")
 
 
+def _q_orders_customer_join(sf_dir: str):
+    """Large × large equi-join without a broadcast side: orders ⨝
+    customer through the hash-bucket exchange (relational.hash_join),
+    then per-nation rollup via the partial-aggregate combiner."""
+    import pyarrow as pa
+
+    import ray.data
+
+    from dots_ocr_ray.pipelines.relational import hash_join
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+
+    def _rename_key(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["c_custkey", "o_totalprice"])
+
+    customer = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    joined = hash_join(
+        orders.map_batches(_rename_key, batch_format="pyarrow"), customer, on="c_custkey"
+    )
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        return batch.group_by("c_nationkey").aggregate(
+            [("o_totalprice", "sum"), ("o_totalprice", "count")]
+        )
+
+    agg = (
+        joined.map_batches(_partial, batch_format="pyarrow")
+        .groupby("c_nationkey")
+        .sum(["o_totalprice_sum", "o_totalprice_count"])
+    )
+
+    def _final(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_nationkey": batch.column("c_nationkey"),
+                "n_orders": batch.column("sum(o_totalprice_count)").cast(pa.int64()),
+                "total_spend": batch.column("sum(o_totalprice_sum)"),
+            }
+        )
+
+    return agg.map_batches(_final, batch_format="pyarrow")
+
+
 def _q_scrub_documents(sf_dir: str):
     import ray.data
 
@@ -880,6 +927,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "domain_stats": _q_domain_stats,
         "merge_docs": _q_merge_docs,
         # relational / window / sampling / sort
+        "orders_customer_join": _q_orders_customer_join,
         "supplier_stats": _q_supplier_stats,
         "part_stats": _q_part_stats,
         "quality_filter_docs": _q_quality_filter_docs,
@@ -1087,6 +1135,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT r_name, CAST(count(*) AS BIGINT) AS n_customers "
             "FROM customer JOIN nation ON c_nationkey = n_nationkey "
             "JOIN region ON n_regionkey = r_regionkey GROUP BY r_name"
+        ),
+        "orders_customer_join": (
+            "SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_orders, "
+            "sum(o_totalprice) AS total_spend "
+            "FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY c_nationkey"
         ),
         "supplier_stats": (
             "SELECT n_name, round(sum(s_acctbal), 2) AS total_acctbal, "

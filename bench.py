@@ -119,19 +119,42 @@ def run_headline() -> dict:
     }
 
 
-def run_queries() -> dict:
+# queries whose single-window numbers drifted between rounds on
+# unchanged designs (host-steal suspects) plus this round's reworked
+# dedup_exact: benched 3× with the median reported, so one noisy
+# window can't read as a regression (BENCH median watch)
+WATCHED_QUERIES = (
+    "pricing_summary",
+    "windowed_events",
+    "customers_per_region",
+    "extract_text",
+    "dedup_exact",
+)
+
+
+def run_queries() -> tuple[dict, dict]:
+    import statistics
+
     import __ray_entry__ as entry_mod
 
     import ray.data
 
-    timings = {}
-    for name, fn in entry_mod.queries().items():
+    def _time_one(fn) -> float:
         t0 = time.perf_counter()
         res = fn(SF_DIR)
         if isinstance(res, ray.data.Dataset):
             res.materialize()
-        timings[name] = round(time.perf_counter() - t0, 3)
-    return timings
+        return round(time.perf_counter() - t0, 3)
+
+    qs = entry_mod.queries()
+    timings = {name: _time_one(fn) for name, fn in qs.items()}
+    medians = {}
+    for name in WATCHED_QUERIES:
+        if name not in qs:
+            continue
+        vals = [timings[name], _time_one(qs[name]), _time_one(qs[name])]
+        medians[name] = round(statistics.median(vals), 3)
+    return timings, medians
 
 
 def main() -> None:
@@ -150,12 +173,16 @@ def main() -> None:
     DataContext.get_current().enable_progress_bars = False
 
     headline = run_headline()
-    queries = {} if os.environ.get("GRAFT_BENCH_HEADLINE_ONLY") else run_queries()
+    if os.environ.get("GRAFT_BENCH_HEADLINE_ONLY"):
+        queries, medians = {}, {}
+    else:
+        queries, medians = run_queries()
     result = {
         "metric": "extract_pages_e2e_sec",
         "value": headline["sec"],
         "unit": "sec",
         "queries": queries,
+        "queries_median3": medians,
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
         "rows": headline["rows"],

@@ -273,3 +273,121 @@ def top_customers_by_spend(sf_dir: str, k: int = 10) -> pa.Table:
     tbl = pa.Table.from_pylist(topk.take_all())
     tbl = tbl.rename_columns(["o_custkey", "total_spend"])
     return tbl.set_column(1, "total_spend", pc.round(tbl.column("total_spend"), 2))
+
+
+# ---------------------------------------------------------------------------
+# distributed large × large equi-join
+
+
+def _stable_key_hash(col: pa.ChunkedArray | pa.Array) -> "np.ndarray":
+    """Deterministic per-process-stable uint64 hash of a key column:
+    splitmix64 for integer keys, pandas' fixed-key murmur
+    (``pd.util.hash_array``) for strings — both reproducible across
+    workers and runs (Python's builtin ``hash`` is salted per process
+    and must never key an exchange)."""
+    import numpy as np
+    import pandas as pd
+
+    from dots_ocr_ray.functions.bloom import _mix64
+
+    if pa.types.is_integer(col.type):
+        return _mix64(col.to_numpy(zero_copy_only=False).astype(np.int64), 0x9E3779B97F4A7C15)
+    return pd.util.hash_array(np.asarray(col.to_pylist(), dtype=object))
+
+
+def hash_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    *,
+    on: str,
+    how: str = "inner",
+    num_buckets: int = 64,
+    suffix: str = "_r",
+) -> ray.data.Dataset:
+    """Distributed equi-join for two LARGE datasets (neither side fits
+    a broadcast): ONE keyed exchange over hash buckets, vectorized
+    pandas merge per bucket.
+
+    Both sides tag each row with ``bucket = hash(key) % num_buckets``
+    and a side marker, union, and group by bucket — co-locating every
+    key's rows in exactly one group.  The per-group reduce then runs
+    ONE vectorized merge over ~|rows|/num_buckets rows, so Python cost
+    is O(num_buckets), not O(distinct keys).  (Ray's built-in
+    Dataset.join is avoided deliberately: its hash-shuffle aggregator
+    actors carry multi-second fixed costs and can deadlock against
+    busy actor pools on small CPU counts — see attach_pair_payloads.)
+
+    Scale notes: size ``num_buckets`` ≥ 2× task slots so one bucket
+    never holds a wave hostage; a single HOT KEY still lands whole in
+    one bucket (inherent to hash joins) — pre-aggregate or salt such
+    keys upstream.  ``how`` is "inner" or "left"; overlapping non-key
+    columns from the right side get ``suffix``.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"unsupported how={how!r}")
+
+    def _tag(side: int):
+        def _fn(batch: pa.Table) -> pa.Table:
+            import numpy as np
+
+            bucket = (_stable_key_hash(batch.column(on)) % np.uint64(num_buckets)).astype(
+                np.int32
+            )
+            batch = batch.append_column("__bucket", pa.array(bucket, type=pa.int32()))
+            return batch.append_column(
+                "__side", pa.array(np.full(batch.num_rows, side, np.int8), type=pa.int8())
+            )
+
+        return _fn
+
+    left_schema, right_schema = left.schema(), right.schema()
+    left_cols = list(left_schema.names)
+    right_cols = list(right_schema.names)
+    types: dict[str, pa.DataType] = {
+        n: t for n, t in zip(left_schema.names, left_schema.types)
+    }
+    for n, t in zip(right_schema.names, right_schema.types):
+        types.setdefault(n, t)
+    # union requires identical schemas: pad each side with the other's
+    # columns as TYPED nulls (dropped again inside the merge)
+    import pandas as pd
+
+    def _merge(group: pd.DataFrame) -> pd.DataFrame:
+        lhs = group[group["__side"] == 0][left_cols]
+        rhs = group[group["__side"] == 1][right_cols]
+        out = lhs.merge(rhs, on=on, how=how, suffixes=("", suffix))
+        # the union's typed-null padding upcasts int columns to float64
+        # in the per-bucket frame; restore integer dtype wherever no
+        # null remains (left-join unmatched rows legitimately stay NaN)
+        for c in out.columns:
+            base = c[: -len(suffix)] if c.endswith(suffix) else c
+            t = types.get(base)
+            if (
+                t is not None
+                and pa.types.is_integer(t)
+                and out[c].dtype.kind == "f"
+                and not out[c].isna().any()
+            ):
+                out[c] = out[c].astype("int64")
+        return out
+
+    def _pad(cols_present: list[str], all_cols: list[str]):
+        def _fn(batch: pa.Table) -> pa.Table:
+            for c in all_cols:
+                if c not in cols_present:
+                    batch = batch.append_column(c, pa.nulls(batch.num_rows, type=types[c]))
+            return batch.select(all_cols + ["__bucket", "__side"])
+
+        return _fn
+
+    all_cols = left_cols + [c for c in right_cols if c not in left_cols]
+    tagged = (
+        left.map_batches(_tag(0), batch_format="pyarrow")
+        .map_batches(_pad(left_cols, all_cols), batch_format="pyarrow")
+        .union(
+            right.map_batches(_tag(1), batch_format="pyarrow").map_batches(
+                _pad(right_cols, all_cols), batch_format="pyarrow"
+            )
+        )
+    )
+    return tagged.groupby("__bucket").map_groups(_merge, batch_format="pandas")

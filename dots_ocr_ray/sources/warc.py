@@ -231,9 +231,12 @@ def read_warc(
     lang)``.  ``paths`` may be a glob, a single path, or a list; one
     streaming task per file."""
     if isinstance(paths, str):
-        import glob as globmod
+        if "://" in paths:
+            expanded = _expand_uri_glob(paths)
+        else:
+            import glob as globmod
 
-        expanded = sorted(globmod.glob(paths)) or [paths]
+            expanded = sorted(globmod.glob(paths)) or [paths]
     else:
         expanded = list(paths)
     if not expanded:
@@ -253,6 +256,35 @@ def read_warc(
         [{"path": p} for p in expanded], override_num_blocks=len(expanded)
     )
     return work.map_batches(_parse, batch_size=1, batch_format="pyarrow")
+
+
+def _expand_uri_glob(uri: str) -> list[str]:
+    """Expand a ``scheme://…/prefix*.warc.gz``-style URI by listing the
+    parent directory through ``pyarrow.fs`` and fnmatch-filtering the
+    basename — the object-store analog of local glob (one LIST call,
+    no wildcard pushed to the store)."""
+    import fnmatch
+    import posixpath
+
+    import pyarrow.fs as pafs
+
+    from dots_ocr_ray.state.manifest import resolve_fs
+
+    if not any(ch in uri for ch in "*?["):
+        return [uri]
+    fs, local = resolve_fs(uri)
+    scheme = uri.split("://", 1)[0]
+    base, pattern = posixpath.dirname(local), posixpath.basename(local)
+    try:
+        infos = fs.get_file_info(pafs.FileSelector(base, recursive=False))
+    except (FileNotFoundError, OSError):
+        return []
+    names = sorted(
+        fi.path
+        for fi in infos
+        if fi.type == pafs.FileType.File and fnmatch.fnmatch(posixpath.basename(fi.path), pattern)
+    )
+    return [f"{scheme}://{p}" for p in names]
 
 
 def make_warc_bytes(records: list[dict], *, compress: bool = False) -> bytes:

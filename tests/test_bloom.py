@@ -77,3 +77,20 @@ def test_build_bloom_distributed(ray_session):
     ref.add_int_array(np.arange(0, 2000, dtype=np.int64))
     ref.add_int_array(np.arange(1000, 3000, dtype=np.int64))
     assert bytes(bf.bits) == bytes(ref.bits)
+
+
+def test_cached_object_lru_bounded(ray_session):
+    """cached_object keeps only a few broadcast objects per worker
+    process (bounded LRU) instead of pinning every past job's
+    broadcasts forever."""
+    import ray
+
+    from dots_ocr_ray import util
+
+    util._BROADCAST_CACHE.clear()
+    refs = [ray.put(f"obj-{i}") for i in range(util._BROADCAST_CACHE_SLOTS + 3)]
+    for r in refs:
+        assert util.cached_object(r).startswith("obj-")
+    assert len(util._BROADCAST_CACHE) == util._BROADCAST_CACHE_SLOTS
+    # most recent entries survive; the oldest were evicted
+    assert util.cached_object(refs[-1]) == f"obj-{len(refs)-1}"

@@ -138,3 +138,48 @@ def test_exact_int_quantiles_matches_duckdb(ray_session, con):
             f"SELECT quantile_disc(n_chars, {q}) FROM '{SF_DIR}/documents.parquet'"
         ).fetchone()[0]
         assert v == want, (q, v, want)
+
+
+def test_hash_join_inner_and_left(ray_session):
+    """Distributed hash-bucket join equals a pandas merge: inner and
+    left semantics, overlapping non-key columns suffixed, keys split
+    across many buckets/blocks."""
+    import pandas as pd
+
+    import ray.data
+
+    from dots_ocr_ray.pipelines.relational import hash_join
+
+    left_rows = [{"k": i % 37, "lv": i, "name": f"l{i}"} for i in range(500)]
+    right_rows = [{"k": k, "rv": k * 10, "name": f"r{k}"} for k in range(0, 37, 2)]
+    left = ray.data.from_items(left_rows).repartition(8)
+    right = ray.data.from_items(right_rows).repartition(3)
+
+    for how in ("inner", "left"):
+        got = (
+            hash_join(left, right, on="k", how=how, num_buckets=16)
+            .to_pandas()
+            .sort_values(["k", "lv"])
+            .reset_index(drop=True)
+        )
+        want = (
+            pd.DataFrame(left_rows)
+            .merge(pd.DataFrame(right_rows), on="k", how=how, suffixes=("", "_r"))
+            .sort_values(["k", "lv"])
+            .reset_index(drop=True)
+        )
+        assert list(got.columns) == list(want.columns)
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_hash_join_string_keys_deterministic(ray_session):
+    import ray.data
+
+    from dots_ocr_ray.pipelines.relational import hash_join
+
+    left = ray.data.from_items([{"u": f"url-{i%11}", "x": i} for i in range(100)])
+    right = ray.data.from_items([{"u": f"url-{k}", "y": k} for k in range(0, 11, 3)])
+    a = hash_join(left, right, on="u").to_pandas().sort_values(["u", "x"]).reset_index(drop=True)
+    b = hash_join(left, right, on="u").to_pandas().sort_values(["u", "x"]).reset_index(drop=True)
+    assert a.equals(b)
+    assert set(a.u) == {f"url-{k}" for k in range(0, 11, 3)}

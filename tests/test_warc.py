@@ -157,3 +157,13 @@ def test_warc_via_file_uri_and_extract_shards(ray_session, tmp_path):
     assert metrics.num_rows == 1
     assert sum(metrics.column("input_rows").to_pylist()) == 3
     assert completed_partitions(out_uri) == {0}
+
+
+def test_uri_glob_expansion(ray_session, tmp_path):
+    """Wildcard file:// URIs expand via a pyarrow.fs directory listing
+    (the object-store glob analog)."""
+    for name in ("g1.warc.gz", "g2.warc.gz"):
+        (tmp_path / name).write_bytes(make_warc_bytes(RECORDS, compress=True))
+    (tmp_path / "other.txt").write_bytes(b"not a warc")
+    ds = read_warc(f"file://{tmp_path}/*.warc.gz")
+    assert ds.count() == 6

@@ -48,8 +48,9 @@ def main() -> None:
     base = sys.argv[2] if len(sys.argv) > 2 else "/tmp/dedup_stress"
     import ray
 
+    ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
     if not ray.is_initialized():
-        ray.init(address="local", num_cpus=32, include_dashboard=False, logging_level="ERROR")
+        ray.init(address="local", num_cpus=ncpu, include_dashboard=False, logging_level="ERROR")
     import logging
 
     logging.getLogger("ray.data").setLevel(logging.ERROR)
@@ -73,7 +74,7 @@ def main() -> None:
         dt = time.perf_counter() - t0
         results[mode] = {"sec": round(dt, 1), "rows": rows, "docs_per_sec": round(rows / dt, 1)}
         print(f"{mode}: {dt:.1f}s, {rows} rows")
-    print(json.dumps({"metric": "dedup_stress", **results}))
+    print(json.dumps({"metric": "dedup_stress", "num_cpus": ncpu, **results}))
     ray.shutdown()
 
 
