@@ -837,8 +837,10 @@ def _q_orders_customer_join(sf_dir: str):
             [("o_totalprice", "sum"), ("o_totalprice", "count")]
         )
 
+    from dots_ocr_ray.util import bounded_blocks
+
     agg = (
-        joined.map_batches(_partial, batch_format="pyarrow")
+        bounded_blocks(joined.map_batches(_partial, batch_format="pyarrow"))
         .groupby("c_nationkey")
         .sum(["o_totalprice_sum", "o_totalprice_count"])
     )

@@ -390,4 +390,10 @@ def hash_join(
             )
         )
     )
+    # the union of two many-block inputs fans the bucket exchange into
+    # one task per tiny block; coalesce first (block-count hygiene —
+    # same rule as every sort exchange in this repo)
+    from dots_ocr_ray.util import bounded_blocks
+
+    tagged = bounded_blocks(tagged, rows_per_block=262144)
     return tagged.groupby("__bucket").map_groups(_merge, batch_format="pandas")
