@@ -808,6 +808,59 @@ def _q_chunk_stats(sf_dir: str):
     return agg.map_batches(_rename, batch_format="pyarrow")
 
 
+def _q_chars_quantiles_approx(sf_dir: str):
+    """Approximate quantiles via the mergeable log-histogram sketch —
+    kilobyte partials, no sort/shuffle (the 10^12-row path where the
+    exact value-counts walk no longer fits).  Golden oracle: the same
+    deterministic sketch run sequentially."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray.data
+
+    from dots_ocr_ray.functions.sketches import approx_quantiles
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def _len(batch: pa.Table) -> pa.Table:
+        return pa.table({"n_chars": pc.utf8_length(batch.column("text")).cast(pa.int64())})
+
+    return approx_quantiles(
+        docs.map_batches(_len, batch_format="pyarrow"), "n_chars", (0.5, 0.9, 0.99)
+    )
+
+
+def _q_top_tokens(sf_dir: str):
+    """Corpus vocabulary heavy hitters: word explode → SpaceSaving
+    partials per batch, tiny merge — the token-frequency scan a
+    training-data pipeline runs before building a tokenizer.  The
+    fixture vocabulary fits the sketch capacity, so counts are EXACT
+    and the oracle is plain SQL."""
+    import pyarrow as pa
+
+    import ray.data
+
+    from dots_ocr_ray.functions.sketches import approx_heavy_hitters
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def _tok(batch: pa.Table) -> pa.Table:
+        toks: list[str] = []
+        for t in batch.column("text").to_pylist():
+            toks.extend((t or "").split())
+        return pa.table({"token": pa.array(toks, type=pa.string())})
+
+    top = approx_heavy_hitters(
+        docs.map_batches(_tok, batch_format="pyarrow"), "token", k=10, capacity=1024
+    )
+    return pa.table(
+        {
+            "token": pa.array([t for t, _ in top], type=pa.string()),
+            "n": pa.array([n for _, n in top], type=pa.int64()),
+        }
+    )
+
+
 def _q_orders_customer_join(sf_dir: str):
     """Large × large equi-join without a broadcast side: orders ⨝
     customer through the hash-bucket exchange (relational.hash_join),
@@ -937,6 +990,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nations_with_presence": _q_nations_with_presence,
         "approx_distinct_users": _q_approx_distinct_users,
         "reservoir_doc_sample": _q_reservoir_doc_sample,
+        "chars_quantiles_approx": _q_chars_quantiles_approx,
+        "top_tokens": _q_top_tokens,
         "sliding_events": _q_sliding_events,
         "user_event_seq": _q_user_event_seq,
         "longest_per_lang": _q_longest_per_lang,
@@ -1137,6 +1192,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT r_name, CAST(count(*) AS BIGINT) AS n_customers "
             "FROM customer JOIN nation ON c_nationkey = n_nationkey "
             "JOIN region ON n_regionkey = r_regionkey GROUP BY r_name"
+        ),
+        "top_tokens": (
+            "SELECT w AS token, CAST(count(*) AS BIGINT) AS n FROM "
+            "(SELECT unnest(regexp_split_to_array(text, '\\s+')) AS w FROM documents) "
+            "WHERE w <> '' GROUP BY w ORDER BY n DESC, token LIMIT 10"
+        ),
+        "chars_quantiles_approx": (
+            "SELECT q, value "
+            f"FROM read_parquet('{_GOLDEN_DIR}/chars_quantiles_approx.parquet')"
         ),
         "orders_customer_join": (
             "SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_orders, "

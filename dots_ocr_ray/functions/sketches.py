@@ -251,3 +251,98 @@ def deterministic_sample(ds: ray.data.Dataset, col: str, k: int = 64) -> list[st
         other.items = pickle.loads(row["sketch"])
         merged = merged.merge(other)
     return merged.sample()
+
+
+# ---------------------------------------------------------------------------
+class LogHistogram:
+    """Mergeable log-bucketed histogram for approximate quantiles of
+    non-negative values — the sketch path where exact quantiles would
+    need a global sort (or the value-counts walk of
+    ``relational.exact_int_quantiles``, which only suits low-cardinality
+    ints).  Fixed geometric bins => deterministic, merge = vector add,
+    relative value error ≤ half a bin (~3.7% at 28 bins/decade).
+
+    Values below ``lo`` land in an underflow bin reported as ``lo``;
+    the top bin catches everything ≥ ``hi``."""
+
+    def __init__(self, lo: float = 1.0, hi: float = 1e12, bins_per_decade: int = 28):
+        self.lo = float(lo)
+        self.hi = float(hi)
+        self.bins_per_decade = bins_per_decade
+        self.n_bins = int(math.ceil(math.log10(hi / lo) * bins_per_decade)) + 2
+        self.counts = np.zeros(self.n_bins, dtype=np.int64)
+
+    def _bucket(self, vals: np.ndarray) -> np.ndarray:
+        vals = np.asarray(vals, dtype=np.float64)
+        idx = np.zeros(len(vals), dtype=np.int64)  # underflow bin 0
+        pos = vals >= self.lo
+        idx[pos] = (
+            np.floor(np.log10(vals[pos] / self.lo) * self.bins_per_decade).astype(np.int64)
+            + 1
+        )
+        return np.clip(idx, 0, self.n_bins - 1)
+
+    def add_array(self, vals: np.ndarray) -> None:
+        if len(vals):
+            np.add.at(self.counts, self._bucket(vals), 1)
+
+    def merge(self, other: "LogHistogram") -> "LogHistogram":
+        if (other.lo, other.hi, other.bins_per_decade) != (self.lo, self.hi, self.bins_per_decade):
+            raise ValueError("incompatible histogram parameters")
+        out = LogHistogram(self.lo, self.hi, self.bins_per_decade)
+        out.counts = self.counts + other.counts
+        return out
+
+    def quantile(self, q: float) -> float:
+        total = int(self.counts.sum())
+        if total == 0:
+            return float("nan")
+        target = q * (total - 1)
+        cum = np.cumsum(self.counts)
+        b = int(np.searchsorted(cum, target, side="right"))
+        b = min(b, self.n_bins - 1)
+        if b == 0:
+            return self.lo
+        # geometric midpoint of the bucket
+        lo_edge = self.lo * 10 ** ((b - 1) / self.bins_per_decade)
+        hi_edge = self.lo * 10 ** (b / self.bins_per_decade)
+        return float(math.sqrt(lo_edge * hi_edge))
+
+    def serialize(self) -> bytes:
+        head = struct.pack("<ddi", self.lo, self.hi, self.bins_per_decade)
+        return head + self.counts.tobytes()
+
+    @classmethod
+    def deserialize(cls, data: bytes) -> "LogHistogram":
+        lo, hi, bpd = struct.unpack("<ddi", data[:20])
+        h = cls(lo, hi, bpd)
+        h.counts = np.frombuffer(data[20:], dtype=np.int64).copy()
+        return h
+
+
+def approx_quantiles(
+    ds: ray.data.Dataset,
+    col: str,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    *,
+    lo: float = 1.0,
+    hi: float = 1e12,
+    bins_per_decade: int = 28,
+) -> "pa.Table":
+    """Approximate quantiles of a numeric column: one histogram per
+    batch, kilobyte partials merged — no sort, no shuffle."""
+
+    def _sketch(batch: pa.Table) -> pa.Table:
+        h = LogHistogram(lo, hi, bins_per_decade)
+        h.add_array(batch.column(col).to_numpy(zero_copy_only=False))
+        return pa.table({"sketch": pa.array([h.serialize()], type=pa.binary())})
+
+    merged = LogHistogram(lo, hi, bins_per_decade)
+    for row in ds.map_batches(_sketch, batch_format="pyarrow").iter_rows():
+        merged = merged.merge(LogHistogram.deserialize(row["sketch"]))
+    return pa.table(
+        {
+            "q": pa.array(list(qs), type=pa.float64()),
+            "value": pa.array([merged.quantile(q) for q in qs], type=pa.float64()),
+        }
+    )

@@ -29,6 +29,7 @@ def _canon(obj) -> pd.DataFrame:
     "name",
     [
         "describe_docs",
+        "chars_quantiles_approx",
         "dedup_minhash",
         "dedup_simhash",
         "dedup_ngram",

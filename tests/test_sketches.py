@@ -119,3 +119,32 @@ def test_bit_length_u64_exact():
     got = _bit_length_u64(vals)
     want = np.array([int(v).bit_length() for v in vals], dtype=np.uint8)
     assert np.array_equal(got, want)
+
+
+def test_log_histogram_quantiles_and_merge():
+    """Merged partials equal one pass; quantile estimates land within
+    the bin's relative error of the exact quantile."""
+    import numpy as np
+
+    from dots_ocr_ray.functions.sketches import LogHistogram
+
+    rng = np.random.RandomState(11)
+    vals = rng.lognormal(mean=6.0, sigma=1.2, size=20000)
+    whole = LogHistogram()
+    whole.add_array(vals)
+    p1, p2 = LogHistogram(), LogHistogram()
+    p1.add_array(vals[:7000])
+    p2.add_array(vals[7000:])
+    merged = p1.merge(p2)
+    assert np.array_equal(merged.counts, whole.counts)
+    assert LogHistogram.deserialize(whole.serialize()).counts.tolist() == whole.counts.tolist()
+    for q in (0.1, 0.5, 0.9, 0.99):
+        exact = float(np.quantile(vals, q))
+        approx = merged.quantile(q)
+        assert abs(approx - exact) / exact < 0.06  # half-bin relative error
+
+    empty = LogHistogram()
+    assert str(empty.quantile(0.5)) == "nan"
+    under = LogHistogram(lo=10.0)
+    under.add_array(np.array([0.5, 2.0]))
+    assert under.quantile(0.5) == 10.0  # underflow bin reports lo

@@ -357,8 +357,26 @@ def golden_describe_docs(sf_dir: str) -> pa.Table:
     )
 
 
+def golden_chars_quantiles_approx(sf_dir: str) -> pa.Table:
+    """Sequential log-histogram quantiles — same deterministic sketch
+    as the pipeline, single process."""
+    from dots_ocr_ray.functions.sketches import LogHistogram
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["text"])
+    h = LogHistogram()
+    h.add_array(np.array([len(x or "") for x in t.column("text").to_pylist()], dtype=np.int64))
+    qs = (0.5, 0.9, 0.99)
+    return pa.table(
+        {
+            "q": pa.array(list(qs), type=pa.float64()),
+            "value": pa.array([h.quantile(q) for q in qs], type=pa.float64()),
+        }
+    )
+
+
 GOLDEN_BUILDERS = {
     "describe_docs": golden_describe_docs,
+    "chars_quantiles_approx": golden_chars_quantiles_approx,
     "dedup_minhash": golden_dedup_minhash,
     "dedup_simhash": golden_dedup_simhash,
     "dedup_ngram": golden_dedup_ngram,
