@@ -808,6 +808,93 @@ def _q_chunk_stats(sf_dir: str):
     return agg.map_batches(_rename, batch_format="pyarrow")
 
 
+def _q_canonical_urls(sf_dir: str):
+    """URL canonicalization (kernel.textops.normalize_url) over messy
+    crawl URLs derived deterministically from doc_id — mixed-case
+    hosts, default vs explicit ports, duplicate slashes, trailing
+    slashes, tracking params, fragments.  The oracle derives the
+    canonical form INDEPENDENTLY in SQL from the same doc_id rule, so
+    the python URL parser is checked against a second implementation,
+    not itself."""
+    import pyarrow as pa
+
+    import ray.data
+
+    from dots_ocr_ray.kernel.textops import normalize_url
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def _messy(doc_id: int) -> str:
+        host = f"Example-{doc_id % 40:02d}.COM"
+        port = ":80" if doc_id % 3 == 0 else (":8080" if doc_id % 7 == 2 else "")
+        path = f"/Docs//{doc_id}" + ("/" if doc_id % 2 else "")
+        q = (
+            f"?utm_source=feed&id={doc_id % 5}"
+            if doc_id % 4 == 1
+            else ("?utm_campaign=x" if doc_id % 4 == 2 else "")
+        )
+        frag = "#sec" if doc_id % 5 == 0 else ""
+        return f"HTTP://{host}{port}{path}{q}{frag}"
+
+    def _canon(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "canonical_url": pa.array(
+                    [normalize_url(_messy(i)) for i in ids], type=pa.string()
+                ),
+            }
+        )
+
+    return docs.map_batches(_canon, batch_format="pyarrow")
+
+
+def _q_token_postings(sf_dir: str):
+    """Inverted-index shape: (token, doc) pairs exploded per document
+    (distinct within doc), one groupby keyed by token → per-token
+    document frequency + first posting.  The groupby key is the token
+    itself — uniformly spread by construction, and the explode is the
+    only row-amplifying stage (bounded by tokens/doc)."""
+    import pyarrow as pa
+
+    import ray.data
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def _pairs(batch: pa.Table) -> pa.Table:
+        toks: list[str] = []
+        ids: list[int] = []
+        for d, t in zip(batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()):
+            for w in set((t or "").split()):
+                toks.append(w)
+                ids.append(d)
+        tbl = pa.table(
+            {"token": pa.array(toks, type=pa.string()), "doc_id": pa.array(ids, type=pa.int64())}
+        )
+        # partial combine per batch: count + min doc per token
+        return tbl.group_by("token").aggregate([("doc_id", "count"), ("doc_id", "min")])
+
+    from ray.data.aggregate import Min, Sum
+
+    from dots_ocr_ray.util import bounded_blocks
+
+    partials = bounded_blocks(docs.map_batches(_pairs, batch_format="pyarrow"))
+    merged = partials.groupby("token").aggregate(Sum("doc_id_count"), Min("doc_id_min"))
+
+    def _final(batch: pa.Table) -> pa.Table:
+        batch = batch.rename_columns(["token", "n_docs", "first_doc"])
+        return batch.set_column(
+            batch.column_names.index("n_docs"),
+            "n_docs",
+            batch.column("n_docs").cast(pa.int64()),
+        )
+
+    return merged.map_batches(_final, batch_format="pyarrow")
+
+
 def _q_chars_quantiles_approx(sf_dir: str):
     """Approximate quantiles via the mergeable log-histogram sketch —
     kilobyte partials, no sort/shuffle (the 10^12-row path where the
@@ -992,6 +1079,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "reservoir_doc_sample": _q_reservoir_doc_sample,
         "chars_quantiles_approx": _q_chars_quantiles_approx,
         "top_tokens": _q_top_tokens,
+        "canonical_urls": _q_canonical_urls,
+        "token_postings": _q_token_postings,
         "sliding_events": _q_sliding_events,
         "user_event_seq": _q_user_event_seq,
         "longest_per_lang": _q_longest_per_lang,
@@ -1192,6 +1281,23 @@ def oracle_sql() -> dict[str, str]:
             "SELECT r_name, CAST(count(*) AS BIGINT) AS n_customers "
             "FROM customer JOIN nation ON c_nationkey = n_nationkey "
             "JOIN region ON n_regionkey = r_regionkey GROUP BY r_name"
+        ),
+        "canonical_urls": (
+            # independent SQL derivation of the canonical form from the
+            # same doc_id rule the engine feeds through normalize_url:
+            # lowercased host, default :80 dropped / :8080 kept,
+            # duplicate slash collapsed, trailing slash stripped,
+            # utm_* params and #fragment removed, id= param kept
+            "SELECT doc_id, 'http://example-' || lpad(CAST(doc_id % 40 AS VARCHAR), 2, '0') "
+            "|| '.com' || CASE WHEN doc_id % 3 = 0 THEN '' WHEN doc_id % 7 = 2 THEN ':8080' ELSE '' END "
+            "|| '/Docs/' || doc_id "
+            "|| CASE WHEN doc_id % 4 = 1 THEN '?id=' || (doc_id % 5) ELSE '' END "
+            "AS canonical_url FROM documents"
+        ),
+        "token_postings": (
+            "SELECT token, CAST(count(*) AS BIGINT) AS n_docs, min(doc_id) AS first_doc "
+            "FROM (SELECT DISTINCT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS token "
+            "FROM documents) WHERE token <> '' GROUP BY token"
         ),
         "top_tokens": (
             "SELECT w AS token, CAST(count(*) AS BIGINT) AS n FROM "

@@ -168,3 +168,42 @@ def fingerprint(text: str, window: int = 16, stride: int = 8) -> int:
     if not hashes:
         return 0
     return min(hashes[::stride] or hashes)
+
+
+def normalize_url(url: str) -> str:
+    """Canonicalize a URL for crawl identity (the web-pipeline analog
+    of the reference's input-path normalization seam, S4
+    dots_ocr/utils/doc_utils.py): lowercase scheme/host, drop default
+    ports and fragments and credentials, collapse duplicate slashes,
+    strip a trailing slash on non-root paths, and remove tracking
+    query parameters (utm_*, gclid, fbclid) while preserving the rest
+    in order.  Pure and total: un-parseable input comes back stripped
+    but otherwise untouched."""
+    from urllib.parse import parse_qsl, urlencode, urlsplit, urlunsplit
+
+    url = (url or "").strip()
+    if not url:
+        return url
+    try:
+        parts = urlsplit(url)
+        port = parts.port  # raises ValueError on junk ports
+    except ValueError:
+        return url
+    scheme = parts.scheme.lower()
+    host = (parts.hostname or "").lower()
+    netloc = host
+    if port is not None and not (
+        (scheme == "http" and port == 80) or (scheme == "https" and port == 443)
+    ):
+        netloc += f":{port}"
+    path = parts.path or "/"
+    while "//" in path:
+        path = path.replace("//", "/")
+    if len(path) > 1 and path.endswith("/"):
+        path = path[:-1]
+    kept = [
+        (k, v)
+        for k, v in parse_qsl(parts.query, keep_blank_values=True)
+        if not (k.lower().startswith("utm_") or k.lower() in ("gclid", "fbclid"))
+    ]
+    return urlunsplit((scheme, netloc, path, urlencode(kept), ""))

@@ -58,3 +58,19 @@ def test_fingerprint_shift_invariant_window():
     h1 = rolling_hashes("XXabcdefgh", window=4)
     h2 = rolling_hashes("YYabcdefgh", window=4)
     assert set(h1[2:]) == set(h2[2:])
+
+
+def test_normalize_url():
+    from dots_ocr_ray.kernel.textops import normalize_url
+
+    assert (
+        normalize_url("HTTP://Example.COM:80/a//b/?utm_source=x&id=3#frag")
+        == "http://example.com/a/b?id=3"
+    )
+    assert normalize_url("https://Host.org:443/") == "https://host.org/"
+    assert normalize_url("https://host.org:8443/p/") == "https://host.org:8443/p"
+    assert normalize_url("http://u:p@host.net/x") == "http://host.net/x"
+    assert normalize_url("  http://a.b/c?gclid=1&q=2  ") == "http://a.b/c?q=2"
+    assert normalize_url("") == ""
+    assert normalize_url("http://host:99999/x") == "http://host:99999/x"  # junk port untouched
+    assert normalize_url("not a url") == "not a url"
