@@ -865,14 +865,30 @@ def _q_token_postings(sf_dir: str):
     )
 
     def _pairs(batch: pa.Table) -> pa.Table:
-        toks: list[str] = []
-        ids: list[int] = []
-        for d, t in zip(batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()):
-            for w in set((t or "").split()):
-                toks.append(w)
-                ids.append(d)
+        import numpy as np
+        import pyarrow.compute as pc
+
+        # vectorized distinct (doc, token) explode: whitespace split →
+        # flatten + parent indices → dictionary-encode tokens →
+        # np.unique over (doc, code) pairs — no Python loop over rows
+        lists = pc.utf8_split_whitespace(batch.column("text"))
+        toks = pc.list_flatten(lists)
+        parents = pc.list_parent_indices(lists)
+        mask = pc.not_equal(toks, "")
+        toks, parents = toks.filter(mask), parents.filter(mask)
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        doc_np = batch.column("doc_id").to_numpy(zero_copy_only=False)[
+            parents.to_numpy(zero_copy_only=False)
+        ]
+        enc = toks.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq = np.unique(np.stack([doc_np, codes], axis=1), axis=0)
         tbl = pa.table(
-            {"token": pa.array(toks, type=pa.string()), "doc_id": pa.array(ids, type=pa.int64())}
+            {
+                "token": enc.dictionary.take(pa.array(uniq[:, 1])),
+                "doc_id": pa.array(uniq[:, 0], type=pa.int64()),
+            }
         )
         # partial combine per batch: count + min doc per token
         return tbl.group_by("token").aggregate([("doc_id", "count"), ("doc_id", "min")])
@@ -932,10 +948,12 @@ def _q_top_tokens(sf_dir: str):
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
 
     def _tok(batch: pa.Table) -> pa.Table:
-        toks: list[str] = []
-        for t in batch.column("text").to_pylist():
-            toks.extend((t or "").split())
-        return pa.table({"token": pa.array(toks, type=pa.string())})
+        import pyarrow.compute as pc
+
+        # vectorized explode; drop the boundary empties Arrow emits so
+        # tokenization equals str.split() (and the SQL oracle's filter)
+        toks = pc.list_flatten(pc.utf8_split_whitespace(batch.column("text")))
+        return pa.table({"token": toks.filter(pc.not_equal(toks, ""))})
 
     top = approx_heavy_hitters(
         docs.map_batches(_tok, batch_format="pyarrow"), "token", k=10, capacity=1024

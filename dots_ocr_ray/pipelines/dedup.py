@@ -520,7 +520,11 @@ class _UnionFind:
 
 
 def _root_map_from_pairs(pairs: list[tuple[int, int]]) -> dict[int, int]:
-    """node → min id of its component, for nodes appearing in pairs."""
+    """node → min id of its component, for nodes appearing in pairs.
+    Dict union-find — kept as the INDEPENDENT sequential reference
+    (tools/make_golden.py builds oracles through it); the engine's
+    driver path runs :func:`_min_labels_numpy` instead, so the two
+    implementations cross-check through the golden gate."""
     uf = _UnionFind()
     for a, b in pairs:
         uf.union(a, b)
@@ -529,6 +533,31 @@ def _root_map_from_pairs(pairs: list[tuple[int, int]]) -> dict[int, int]:
         r = uf.find(node)
         roots[r] = min(roots.get(r, node), node)
     return {node: roots[uf.find(node)] for node in uf.parent}
+
+
+def _min_labels_numpy(a: np.ndarray, b: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized connected components over pair arrays → (nodes,
+    min-id label per node), both sorted by node.
+
+    Min-label propagation with pointer jumping, every round a handful
+    of O(E) numpy kernels — the driver path stops being a serial
+    Python dict walk (measured ~20 s for 1M pairs) and becomes
+    milliseconds-per-round vectorized work.  Converges in
+    O(log diameter) rounds; near-dup graphs (stars/cliques) take 2-3.
+    """
+    ends = np.concatenate([a, b])
+    nodes, inv = np.unique(ends, return_inverse=True)
+    ea, eb = inv[: len(a)], inv[len(a) :]
+    label = np.arange(len(nodes), dtype=np.int64)
+    while True:
+        new = label.copy()
+        np.minimum.at(new, ea, label[eb])
+        np.minimum.at(new, eb, label[ea])
+        new = np.minimum(new[new], new)  # pointer jump + keep monotone
+        if np.array_equal(new, label):
+            break
+        label = new
+    return nodes, nodes[label]
 
 
 def _propagate_labels(pairs_ds: ray.data.Dataset, max_rounds: int) -> ray.data.Dataset:
@@ -661,18 +690,29 @@ def cluster_assign(
         return ids_ds.map_batches(_identity, batch_format="pyarrow")
 
     if method == "driver":
-        pairs: list[tuple[int, int]] = []
+        a_chunks: list[np.ndarray] = []
+        b_chunks: list[np.ndarray] = []
         for b in pairs_ds.iter_batches(batch_format="pyarrow"):
-            pairs.extend(zip(b.column("a").to_pylist(), b.column("b").to_pylist()))
-        roots_ref = ray.put(_root_map_from_pairs(pairs))
+            a_chunks.append(_int_col(b, "a"))
+            b_chunks.append(_int_col(b, "b"))
+        nodes, labels = _min_labels_numpy(
+            np.concatenate(a_chunks), np.concatenate(b_chunks)
+        )
+        roots_ref = ray.put((nodes, labels))
 
         def _assign(batch: pa.Table) -> pa.Table:
-            roots = cached_object(roots_ref)
-            ids = batch.column(id_col).to_pylist()
+            nodes_l, labels_l = cached_object(roots_ref)
+            ids = _int_col(batch, id_col)
+            out = ids.copy()
+            if len(nodes_l):
+                idx = np.searchsorted(nodes_l, ids)
+                idx[idx >= len(nodes_l)] = len(nodes_l) - 1
+                hit = nodes_l[idx] == ids
+                out[hit] = labels_l[idx[hit]]
             return pa.table(
                 {
                     "doc_id": pa.array(ids, type=pa.int64()),
-                    "cluster_id": pa.array([roots.get(i, i) for i in ids], type=pa.int64()),
+                    "cluster_id": pa.array(out, type=pa.int64()),
                 }
             )
 

@@ -250,3 +250,26 @@ def test_semi_join_ids_tiers_match(ray_session):
     assert sorted(exact.doc_id) == list(range(0, 400, 4))
     bloom = semi_join_ids(payload, ids, id_col="doc_id", exact_limit=1).to_pandas()
     assert set(range(0, 400, 4)) <= set(bloom.doc_id)  # no false negatives
+
+
+def test_min_labels_numpy_matches_dict_union_find():
+    """The vectorized driver CC must equal the dict union-find on
+    random graphs (chains, cliques, singleton-free pair soup)."""
+    import numpy as np
+
+    from dots_ocr_ray.pipelines.dedup import _min_labels_numpy, _root_map_from_pairs
+
+    rng = np.random.RandomState(7)
+    for trial in range(20):
+        n_pairs = rng.randint(1, 400)
+        a = rng.randint(0, 120, size=n_pairs).astype(np.int64)
+        b = rng.randint(0, 120, size=n_pairs).astype(np.int64)
+        nodes, labels = _min_labels_numpy(a, b)
+        want = _root_map_from_pairs(list(zip(a.tolist(), b.tolist())))
+        got = dict(zip(nodes.tolist(), labels.tolist()))
+        assert got == want
+    # worst-case diameter: a long chain
+    a = np.arange(0, 3000, dtype=np.int64)
+    b = a + 1
+    nodes, labels = _min_labels_numpy(a, b)
+    assert (labels == 0).all()

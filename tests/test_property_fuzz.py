@@ -138,3 +138,54 @@ def test_warc_roundtrip_property(records):
         for (headers, block), rec in zip(out, recs):
             assert headers["warc-target-uri"] == rec["url"]
             assert http_payload(block) == rec["html"]
+
+
+@given(st.text(max_size=200))
+def test_normalize_url_total_and_idempotent(url):
+    from dots_ocr_ray.kernel.textops import normalize_url
+
+    out = normalize_url(url)
+    assert isinstance(out, str)
+    assert normalize_url(out) == out  # canonical form is a fixpoint
+
+
+@given(st.lists(st.integers(min_value=-(2**62), max_value=2**62), min_size=1, max_size=300))
+def test_bloom_int_no_false_negatives(keys):
+    import numpy as np
+
+    from dots_ocr_ray.functions.bloom import BloomFilter
+
+    arr = np.array(keys, dtype=np.int64)
+    bf = BloomFilter(capacity=max(1, len(keys)), fp_rate=0.01)
+    bf.add_int_array(arr)
+    assert bf.contains_int_array(arr).all()
+    # partial build with shared params ORs to the same filter
+    p1 = BloomFilter.from_params(bf.n_bits, bf.n_hashes)
+    p2 = BloomFilter.from_params(bf.n_bits, bf.n_hashes)
+    mid = len(arr) // 2
+    p1.add_int_array(arr[:mid])
+    p2.add_int_array(arr[mid:])
+    p1.merge_bits(p2.bits)
+    assert bytes(p1.bits) == bytes(bf.bits)
+
+
+@given(
+    st.lists(st.floats(min_value=0.0, max_value=1e9, allow_nan=False), min_size=1, max_size=400),
+    st.integers(1, 5),
+)
+def test_log_histogram_partition_invariant(vals, n_parts):
+    import numpy as np
+
+    from dots_ocr_ray.functions.sketches import LogHistogram
+
+    arr = np.array(vals, dtype=np.float64)
+    whole = LogHistogram()
+    whole.add_array(arr)
+    merged = LogHistogram()
+    for chunk in np.array_split(arr, n_parts):
+        part = LogHistogram()
+        part.add_array(chunk)
+        merged = merged.merge(part)
+    assert np.array_equal(merged.counts, whole.counts)
+    q = merged.quantile(0.5)
+    assert q >= whole.lo or q != q  # within domain (nan only when empty)
