@@ -56,7 +56,6 @@ import ray.data
 from dots_ocr_ray.functions.hashing import (
     MinHasher,
     char_ngrams,
-    hamming64,
     jaccard,
     shingles,
     simhash64,
@@ -177,6 +176,33 @@ def _empty_pairs() -> pa.Table:
     return pa.table({"a": pa.array([], type=pa.int64()), "b": pa.array([], type=pa.int64())})
 
 
+_TRIU_CACHE: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+
+
+def _triu(k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Cached upper-triangle index pair for bucket sizes ≤ the hot cap
+    (row-major — the same (i, j<i) order a nested loop emits)."""
+    if k not in _TRIU_CACHE:
+        _TRIU_CACHE[k] = np.triu_indices(k, 1)
+    return _TRIU_CACHE[k]
+
+
+def _pairs_table(a: np.ndarray, b: np.ndarray) -> pa.Table:
+    return pa.table(
+        {"a": pa.array(a, type=pa.int64()), "b": pa.array(b, type=pa.int64())}
+    )
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized SWAR popcount over uint64 (Hamming weights for the
+    simhash verification matrix)."""
+    x = x.astype(np.uint64)
+    x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
+    x = (x & np.uint64(0x3333333333333333)) + ((x >> np.uint64(2)) & np.uint64(0x3333333333333333))
+    x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    return ((x * np.uint64(0x0101010101010101)) >> np.uint64(56)).astype(np.int64)
+
+
 def distinct_pairs(pairs_ds: ray.data.Dataset) -> ray.data.Dataset:
     """Near-distinct (a, b) candidate pairs: global sort by (a, b) +
     vectorized per-block unique.
@@ -190,6 +216,23 @@ def distinct_pairs(pairs_ds: ray.data.Dataset) -> ray.data.Dataset:
     distinct pays per-GROUP Python on the reduce side (measured 157 s
     for 27M rows → 1M distinct pairs on a duplicate-heavy corpus); the
     sort form costs the sort alone."""
+
+    def _uniq_local(batch: pa.Table) -> pa.Table:
+        # pre-shuffle combiner: collapse within-batch duplicates BEFORE
+        # the sort exchange — on a duplicate-heavy corpus the same pair
+        # reaches a block through many bands, so this cuts the sort's
+        # input several-fold for one vectorized np.unique per batch
+        if batch.num_rows == 0:
+            return _empty_pairs()
+        an = batch.column("a").to_numpy(zero_copy_only=False).astype(np.int64)
+        bn = batch.column("b").to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq = np.unique(np.stack([an, bn], axis=1), axis=0)
+        return pa.table(
+            {
+                "a": pa.array(uniq[:, 0], type=pa.int64()),
+                "b": pa.array(uniq[:, 1], type=pa.int64()),
+            }
+        )
 
     def _uniq(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
@@ -208,7 +251,11 @@ def distinct_pairs(pairs_ds: ray.data.Dataset) -> ray.data.Dataset:
             }
         )
 
-    return pairs_ds.sort(["a", "b"]).map_batches(_uniq, batch_format="pyarrow")
+    return (
+        pairs_ds.map_batches(_uniq_local, batch_format="pyarrow")
+        .sort(["a", "b"])
+        .map_batches(_uniq, batch_format="pyarrow")
+    )
 
 
 def _int_col(batch: pa.Table, name: str) -> np.ndarray:
@@ -374,32 +421,50 @@ def attach_pair_payloads(
     input block."""
     side = payload_ds.materialize()
     if side.size_bytes() <= broadcast_bytes_limit:
-        lookup: dict = {}
+        # broadcast a (sorted ids, payload array) pair instead of a
+        # Python dict: membership + gather are then vectorized
+        # (searchsorted + Arrow take) — no per-pair Python lookups
+        id_chunks: list[np.ndarray] = []
+        pay_chunks: list[pa.Array] = []
         for b in side.iter_batches(batch_format="pyarrow"):
-            lookup.update(
-                zip(b.column(id_col).to_pylist(), b.column(payload_col).to_pylist())
-            )
-        lookup_ref = ray.put(lookup)
+            id_chunks.append(_int_col(b, id_col))
+            col = b.column(payload_col)
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            pay_chunks.append(col.cast(payload_type))
+        if id_chunks:
+            ids_all = np.concatenate(id_chunks)
+            order = np.argsort(ids_all, kind="stable")
+            ids_sorted = ids_all[order]
+            pays_sorted = pa.concat_arrays(pay_chunks).take(pa.array(order))
+        else:
+            ids_sorted = np.array([], dtype=np.int64)
+            pays_sorted = pa.array([], type=payload_type)
+        lookup_ref = ray.put((ids_sorted, pays_sorted))
 
         def _broadcast_join(batch: pa.Table) -> pa.Table:
-            lk = cached_object(lookup_ref)
-            an = batch.column("a").to_pylist()
-            bn = batch.column("b").to_pylist()
-            pay_a = [lk.get(x) for x in an]
-            pay_b = [lk.get(x) for x in bn]
-            out = pa.table(
+            ids_s, pays_s = cached_object(lookup_ref)
+            an = _int_col(batch, "a")
+            bn = _int_col(batch, "b")
+
+            def _find(v: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+                if len(ids_s) == 0:
+                    return np.zeros(len(v), dtype=bool), np.zeros(len(v), dtype=np.int64)
+                idx = np.searchsorted(ids_s, v)
+                idx[idx >= len(ids_s)] = len(ids_s) - 1
+                return ids_s[idx] == v, idx
+
+            hit_a, idx_a = _find(an)
+            hit_b, idx_b = _find(bn)
+            keep = hit_a & hit_b
+            return pa.table(
                 {
-                    "a": pa.array(an, type=pa.int64()),
-                    "b": pa.array(bn, type=pa.int64()),
-                    "payload_a": pa.array(pay_a, type=payload_type),
-                    "payload_b": pa.array(pay_b, type=payload_type),
+                    "a": pa.array(an[keep], type=pa.int64()),
+                    "b": pa.array(bn[keep], type=pa.int64()),
+                    "payload_a": pays_s.take(pa.array(idx_a[keep])),
+                    "payload_b": pays_s.take(pa.array(idx_b[keep])),
                 }
             )
-            keep = pa.array(
-                [x is not None and y is not None for x, y in zip(pay_a, pay_b)],
-                type=pa.bool_(),
-            )
-            return out.filter(keep)
 
         return pairs_ds.map_batches(_broadcast_join, batch_format="pyarrow")
 
@@ -850,26 +915,20 @@ def minhash_candidate_pairs(
     bands_ds = sigs.map_batches(_explode_bands, batch_format="pyarrow")
 
     def _bucket_pairs(group: pa.Table) -> pa.Table:
-        docs = sorted(group.column("doc_id").to_pylist())
-        if len(docs) < 2:
+        docs = np.sort(group.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64))
+        k = len(docs)
+        if k < 2:
             return _empty_pairs()
-        a_out, b_out = [], []
-        if len(docs) <= HOT_BUCKET_CAP:
-            # small bucket: all pairs (verified downstream)
-            for i in range(len(docs)):
-                for j in range(i + 1, len(docs)):
-                    a_out.append(docs[i])
-                    b_out.append(docs[j])
-        else:
-            # HOT bucket (e.g. a 30%-of-corpus duplicate cluster): full
-            # pairwise is O(n^2).  Star-link every member against the
-            # bucket's min doc instead — O(n); near-dups missed by one
-            # star are recovered by the other bands' buckets.
-            pivot = docs[0]
-            for j in docs[1:]:
-                a_out.append(pivot)
-                b_out.append(j)
-        return pa.table({"a": pa.array(a_out, type=pa.int64()), "b": pa.array(b_out, type=pa.int64())})
+        if k <= HOT_BUCKET_CAP:
+            # small bucket: all pairs (verified downstream) — cached
+            # triu index gather, no Python loops
+            ii, jj = _triu(k)
+            return _pairs_table(docs[ii], docs[jj])
+        # HOT bucket (e.g. a 30%-of-corpus duplicate cluster): full
+        # pairwise is O(n^2).  Star-link every member against the
+        # bucket's min doc instead — O(n); near-dups missed by one
+        # star are recovered by the other bands' buckets.
+        return _pairs_table(np.full(k - 1, docs[0], dtype=np.int64), docs[1:])
 
     cand = bands_ds.groupby(["band_id", "band_key"]).map_groups(_bucket_pairs, batch_format="pyarrow")
     cand = bounded_blocks(distinct_pairs(cand), rows_per_block=262144)
@@ -881,13 +940,18 @@ def minhash_candidate_pairs(
     def _verify(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return _empty_pairs()
-        keep = [
-            MinHasher.jaccard_estimate(
-                np.frombuffer(sa, dtype=np.uint64), np.frombuffer(sb, dtype=np.uint64)
-            )
-            >= threshold
-            for sa, sb in zip(batch.column("payload_a").to_pylist(), batch.column("payload_b").to_pylist())
-        ]
+        # vectorized est-jaccard: signatures are fixed-width uint64
+        # blobs, so each side reshapes to (n, num_perm) and one
+        # elementwise-equal mean replaces a Python loop per pair
+        # (measured 80 µs/pair → the whole batch in one C pass)
+        n = batch.num_rows
+        sa = np.frombuffer(
+            b"".join(batch.column("payload_a").to_pylist()), dtype=np.uint64
+        ).reshape(n, -1)
+        sb = np.frombuffer(
+            b"".join(batch.column("payload_b").to_pylist()), dtype=np.uint64
+        ).reshape(n, -1)
+        keep = (sa == sb).mean(axis=1) >= threshold
         return batch.select(["a", "b"]).filter(pa.array(keep, type=pa.bool_()))
 
     return with_sigs.map_batches(_verify, batch_format="pyarrow")
@@ -972,24 +1036,26 @@ def simhash_dedup(
         )
 
     def _pairs(group: pa.Table) -> pa.Table:
-        docs = group.column("doc_id").to_pylist()
-        hs = group.column("simhash").to_pylist()
-        a_out, b_out = [], []
-        if len(docs) <= HOT_BUCKET_CAP:
-            for i in range(len(docs)):
-                for j in range(i + 1, len(docs)):
-                    if docs[i] != docs[j] and hamming64(hs[i], hs[j]) <= max_hamming:
-                        a_out.append(min(docs[i], docs[j]))
-                        b_out.append(max(docs[i], docs[j]))
+        docs = group.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        hs = group.column("simhash").to_numpy(zero_copy_only=False).astype(np.uint64)
+        k = len(docs)
+        if k < 2:
+            return _empty_pairs()
+        if k <= HOT_BUCKET_CAP:
+            # vectorized Hamming over the bucket: XOR matrix + SWAR
+            # popcount, triu selection
+            ii, jj = _triu(k)
+            hd = _popcount64(hs[ii] ^ hs[jj])
+            keep = (hd <= max_hamming) & (docs[ii] != docs[jj])
+            da, db = docs[ii][keep], docs[jj][keep]
         else:
             # hot bucket: star-link vs the min doc (see minhash note)
-            order = sorted(range(len(docs)), key=lambda k: docs[k])
-            pivot = order[0]
-            for j in order[1:]:
-                if docs[pivot] != docs[j] and hamming64(hs[pivot], hs[j]) <= max_hamming:
-                    a_out.append(min(docs[pivot], docs[j]))
-                    b_out.append(max(docs[pivot], docs[j]))
-        return pa.table({"a": pa.array(a_out, type=pa.int64()), "b": pa.array(b_out, type=pa.int64())})
+            pivot = int(np.argmin(docs))
+            hd = _popcount64(hs ^ hs[pivot])
+            keep = (hd <= max_hamming) & (docs != docs[pivot])
+            da = np.full(int(keep.sum()), docs[pivot], dtype=np.int64)
+            db = docs[keep]
+        return _pairs_table(np.minimum(da, db), np.maximum(da, db))
 
     exploded = bounded_blocks(sims.map_batches(_explode, batch_format="pyarrow"), rows_per_block=262144)
     # duplicate pairs across pigeonhole blocks are harmless to both CC
@@ -1104,28 +1170,28 @@ def embedding_dedup(
     buckets = bounded_blocks(ds.map_batches(_bucketize, batch_format="pyarrow"))
 
     def _pairs(group: pa.Table) -> pa.Table:
-        docs = group.column("doc_id").to_pylist()
-        if len(docs) < 2:
+        docs = group.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        k = len(docs)
+        if k < 2:
             return _empty_pairs()
-        mat = np.stack([np.frombuffer(u, dtype=np.float32) for u in group.column("unit").to_pylist()])
-        a_out, b_out = [], []
-        if len(docs) <= HOT_BUCKET_CAP:
+        units = group.column("unit")
+        if isinstance(units, pa.ChunkedArray):
+            units = units.combine_chunks()
+        mat = np.frombuffer(b"".join(units.to_pylist()), dtype=np.float32).reshape(k, -1)
+        if k <= HOT_BUCKET_CAP:
             sims = mat @ mat.T
-            for i in range(len(docs)):
-                for j in range(i + 1, len(docs)):
-                    if sims[i, j] >= threshold:
-                        a_out.append(min(docs[i], docs[j]))
-                        b_out.append(max(docs[i], docs[j]))
+            ii, jj = _triu(k)
+            keep = sims[ii, jj] >= threshold
+            da, db = docs[ii][keep], docs[jj][keep]
         else:
             # hot bucket: one matvec against the min doc instead of n^2
-            order = sorted(range(len(docs)), key=lambda k: docs[k])
-            pivot = order[0]
+            pivot = int(np.argmin(docs))
             sims = mat @ mat[pivot]
-            for j in order[1:]:
-                if sims[j] >= threshold:
-                    a_out.append(min(docs[pivot], docs[j]))
-                    b_out.append(max(docs[pivot], docs[j]))
-        return pa.table({"a": pa.array(a_out, type=pa.int64()), "b": pa.array(b_out, type=pa.int64())})
+            keep = sims >= threshold
+            keep[pivot] = False
+            da = np.full(int(keep.sum()), docs[pivot], dtype=np.int64)
+            db = docs[keep]
+        return _pairs_table(np.minimum(da, db), np.maximum(da, db))
 
     pairs = buckets.groupby("bucket").map_groups(_pairs, batch_format="pyarrow")
     return cluster_assign(ds.select_columns([id_col]), pairs, id_col=id_col, method=cc_method)
