@@ -808,6 +808,37 @@ def _q_chunk_stats(sf_dir: str):
     return agg.map_batches(_rename, batch_format="pyarrow")
 
 
+def _q_stratified_sample(sf_dir: str):
+    """Balanced per-language sample: k docs per lang by deterministic
+    hash priority (md5 of the doc id) — the stratified-sampling op a
+    training-data pipeline uses to balance language mixes.  Rides
+    grouped_topk's combiner (per-batch local top-k before the keyed
+    shuffle); the oracle derives the same sample in SQL via
+    row_number() over md5()."""
+    import pyarrow as pa
+
+    import ray.data
+
+    from dots_ocr_ray.kernel.textops import md5_hex
+    from dots_ocr_ray.pipelines.relational import grouped_topk
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+
+    def _pri(batch: pa.Table) -> pa.Table:
+        pris = [md5_hex(str(d)) for d in batch.column("doc_id").to_pylist()]
+        return batch.append_column("pri", pa.array(pris, type=pa.string()))
+
+    out = grouped_topk(
+        docs.map_batches(_pri, batch_format="pyarrow"),
+        key_col="lang",
+        value_col="pri",
+        id_col="doc_id",
+        k=5,
+        ascending=True,
+    )
+    return out.select_columns(["lang", "doc_id"])
+
+
 def _q_canonical_urls(sf_dir: str):
     """URL canonicalization (kernel.textops.normalize_url) over messy
     crawl URLs derived deterministically from doc_id — mixed-case
@@ -1099,6 +1130,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_tokens": _q_top_tokens,
         "canonical_urls": _q_canonical_urls,
         "token_postings": _q_token_postings,
+        "stratified_sample": _q_stratified_sample,
         "sliding_events": _q_sliding_events,
         "user_event_seq": _q_user_event_seq,
         "longest_per_lang": _q_longest_per_lang,
@@ -1299,6 +1331,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT r_name, CAST(count(*) AS BIGINT) AS n_customers "
             "FROM customer JOIN nation ON c_nationkey = n_nationkey "
             "JOIN region ON n_regionkey = r_regionkey GROUP BY r_name"
+        ),
+        "stratified_sample": (
+            "SELECT lang, doc_id FROM (SELECT lang, doc_id, row_number() OVER "
+            "(PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rn "
+            "FROM documents) WHERE rn <= 5"
         ),
         "canonical_urls": (
             # independent SQL derivation of the canonical form from the

@@ -209,18 +209,51 @@ def grouped_topk(
     value_col: str,
     id_col: str,
     k: int,
+    ascending: bool = False,
 ) -> ray.data.Dataset:
-    """Per-group top-k rows by value (DESC), id ASC tiebreak — the
-    windowed-rank operator (SQL ``row_number() OVER (PARTITION BY ...)
-    QUALIFY <= k``).  One keyed shuffle; each group's sort is local."""
+    """Per-group top-k rows by value (DESC by default, ASC with
+    ``ascending`` — e.g. hash-priority stratified sampling), id ASC
+    tiebreak — the windowed-rank operator (SQL ``row_number() OVER
+    (PARTITION BY ...) QUALIFY <= k``).
+
+    A per-batch COMBINER pre-filters each batch to its local top-k per
+    key before the keyed shuffle (a row outside its batch-local top-k
+    can never be in the global top-k), so the exchange moves at most
+    k × keys × batches rows instead of the whole table."""
+    direction = "ascending" if ascending else "descending"
+
+    def _local_prune(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        n = batch.num_rows
+        if n == 0:
+            return batch
+        order = pc.sort_indices(
+            batch,
+            sort_keys=[(key_col, "ascending"), (value_col, direction), (id_col, "ascending")],
+        )
+        batch = batch.take(order)
+        keys = batch.column(key_col)
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        change = np.ones(n, dtype=bool)
+        if n > 1:
+            change[1:] = pc.not_equal(keys.slice(1), keys.slice(0, n - 1)).to_numpy(
+                zero_copy_only=False
+            )
+        starts_idx = np.flatnonzero(change)
+        run_id = np.cumsum(change) - 1
+        pos_in_run = np.arange(n) - starts_idx[run_id]
+        return batch.filter(pa.array(pos_in_run < k, type=pa.bool_()))
 
     def _top(group: pa.Table) -> pa.Table:
         order = pc.sort_indices(
-            group, sort_keys=[(value_col, "descending"), (id_col, "ascending")]
+            group, sort_keys=[(value_col, direction), (id_col, "ascending")]
         )
         return group.take(order).slice(0, k)
 
-    return ds.groupby(key_col).map_groups(_top, batch_format="pyarrow")
+    pruned = ds.map_batches(_local_prune, batch_format="pyarrow")
+    return pruned.groupby(key_col).map_groups(_top, batch_format="pyarrow")
 
 
 def exact_int_quantiles(

@@ -183,3 +183,27 @@ def test_hash_join_string_keys_deterministic(ray_session):
     b = hash_join(left, right, on="u").to_pandas().sort_values(["u", "x"]).reset_index(drop=True)
     assert a.equals(b)
     assert set(a.u) == {f"url-{k}" for k in range(0, 11, 3)}
+
+
+def test_grouped_topk_combiner_and_ascending(ray_session):
+    """The per-batch local-top-k combiner must not change results, in
+    either direction, across many blocks."""
+    import pandas as pd
+
+    import ray.data
+
+    from dots_ocr_ray.pipelines.relational import grouped_topk
+
+    rows = [{"g": f"g{i % 7}", "v": (i * 37) % 101, "i": i} for i in range(600)]
+    ds = ray.data.from_items(rows).repartition(12)
+    for asc in (False, True):
+        got = (
+            grouped_topk(ds, key_col="g", value_col="v", id_col="i", k=4, ascending=asc)
+            .to_pandas()
+            .sort_values(["g", "v", "i"])
+            .reset_index(drop=True)
+        )
+        df = pd.DataFrame(rows)
+        df = df.sort_values(["v", "i"], ascending=[asc, True]).groupby("g").head(4)
+        want = df.sort_values(["g", "v", "i"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got[["g", "v", "i"]], want[["g", "v", "i"]], check_dtype=False)
