@@ -55,8 +55,8 @@ import ray.data
 
 from dots_ocr_ray.functions.hashing import (
     MinHasher,
-    char_ngrams,
-    jaccard,
+    char_ngram_hashes,
+    jaccard_hashes,
     shingles,
     simhash64,
     simhash_block_keys,
@@ -1105,17 +1105,20 @@ def ngram_jaccard_dedup(
     def _verify(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return _empty_pairs()
-        # memoize gram sets per doc id within the batch: a hub doc in
-        # many candidate pairs shingles once, not once per pair
-        grams: dict[int, set] = {}
+        # memoize gram-hash arrays per doc id within the batch: a hub
+        # doc in many candidate pairs shingles once, not once per pair.
+        # Gram-set build is one vectorized pass (utf-32 + rolling hash,
+        # char_ngram_hashes) and each pair's Jaccard is a C intersection
+        # over sorted u64 arrays — no per-gram Python strings/sets.
+        grams: dict[int, np.ndarray] = {}
 
-        def _g(doc: int, text: str | None) -> set:
+        def _g(doc: int, text: str | None) -> np.ndarray:
             if doc not in grams:
-                grams[doc] = char_ngrams(text or "", n)
+                grams[doc] = char_ngram_hashes(text or "", n)
             return grams[doc]
 
         keep = [
-            jaccard(_g(da, ta), _g(db, tb)) >= threshold
+            jaccard_hashes(_g(da, ta), _g(db, tb)) >= threshold
             for da, db, ta, tb in zip(
                 batch.column("a").to_pylist(),
                 batch.column("b").to_pylist(),

@@ -273,3 +273,23 @@ def test_min_labels_numpy_matches_dict_union_find():
     b = a + 1
     nodes, labels = _min_labels_numpy(a, b)
     assert (labels == 0).all()
+
+
+def test_char_ngram_hashes_matches_set_semantics():
+    """char_ngram_hashes/jaccard_hashes are the vectorized twin of
+    char_ngrams/jaccard — identical Jaccard on unicode + edge cases."""
+    from dots_ocr_ray.functions.hashing import (
+        char_ngram_hashes,
+        char_ngrams,
+        jaccard,
+        jaccard_hashes,
+    )
+
+    cases = ["", "a", "ab", "abc", "abcabcabc", "héllo wörld 中文字符串", BASE, OTHER]
+    for a in cases:
+        for b in cases:
+            want = jaccard(char_ngrams(a), char_ngrams(b))
+            got = jaccard_hashes(char_ngram_hashes(a), char_ngram_hashes(b))
+            assert abs(want - got) < 1e-12, (a, b)
+    for t in cases:
+        assert len(char_ngram_hashes(t)) == len(char_ngrams(t))

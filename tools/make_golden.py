@@ -38,9 +38,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from dots_ocr_ray.functions.hashing import (  # noqa: E402
     MinHasher,
-    char_ngrams,
+    char_ngram_hashes,
     hamming64,
-    jaccard,
+    jaccard_hashes,
     shingles,
     simhash64,
     simhash_block_keys,
@@ -123,8 +123,8 @@ def golden_dedup_ngram(sf_dir: str, *, threshold: float = 0.9, n: int = 3) -> pa
     ids, texts = _read_docs(sf_dir)
     by_id = dict(zip(ids, texts))
     cand = _minhash_pairs_seq(ids, texts, threshold=max(0.3, threshold - 0.3))
-    grams = {i: char_ngrams(by_id[i] or "", n) for pair in cand for i in pair}
-    verified = [(a, b) for a, b in cand if jaccard(grams[a], grams[b]) >= threshold]
+    grams = {i: char_ngram_hashes(by_id[i] or "", n) for pair in cand for i in pair}
+    verified = [(a, b) for a, b in cand if jaccard_hashes(grams[a], grams[b]) >= threshold]
     return _clusters_table(ids, verified)
 
 
