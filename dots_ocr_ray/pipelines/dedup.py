@@ -400,25 +400,21 @@ def attach_pair_payloads(
     code falls through to the fully distributed form, so no corpus-
     proportional driver materialization is possible.
 
-    SCALE PATH — a distributed two-sided join as two keyed exchanges:
+    SCALE PATH — two distributed hash joins
+    (:func:`~dots_ocr_ray.pipelines.relational.hash_join`): pairs ⋈
+    payload on ``a``, then ⋈ payload on ``b``.  Each join is ONE
+    bucket-keyed exchange with a vectorized per-bucket merge, so the
+    Python cost is O(num_buckets), not O(pairs) — the per-pair
+    ``map_groups`` reduce this replaced paid ~0.2 ms of Python per
+    candidate pair.  (Ray's Dataset.join would express this directly,
+    but its hash-shuffle aggregator actors carry multi-second fixed
+    costs and can deadlock against busy actor pools on small CPU
+    counts.)
 
-    1. explode each pair into one row per endpoint, union with the
-       payload rows, group by endpoint id → every pair-endpoint row
-       picks up its payload;
-    2. group by (a, b) → the two endpoint rows meet and emit one
-       joined row.
-
-    (Ray's Dataset.join would express this directly, but its
-    hash-shuffle aggregator actors carry multi-second fixed costs and
-    can deadlock against busy actor pools on small CPU counts.  Note
-    the scale path pays Ray's per-GROUP reduce overhead (~0.2 ms) on
-    millions of pairs — the budget should be set so the fast path
-    covers everything that fits comfortably in the object store.)
-
-    Pairs whose endpoint is missing from the side-table are dropped.
-    Callers should bound the block counts of both inputs
-    (``util.bounded_blocks``) — the exchanges launch one task per
-    input block."""
+    Pairs whose endpoint is missing from the side-table are dropped
+    (inner joins).  Duplicate candidate pairs — allowed upstream —
+    pass through duplicated, which every consumer (vectorized verify,
+    connected components) treats idempotently."""
     side = payload_ds.materialize()
     if side.size_bytes() <= broadcast_bytes_limit:
         # broadcast a (sorted ids, payload array) pair instead of a
@@ -468,97 +464,37 @@ def attach_pair_payloads(
 
         return pairs_ds.map_batches(_broadcast_join, batch_format="pyarrow")
 
-    payload_ds = side
+    from dots_ocr_ray.pipelines.relational import hash_join  # lazy: avoid cycle
 
-    def _sides(batch: pa.Table) -> pa.Table:
-        an = batch.column("a").to_numpy(zero_copy_only=False).astype(np.int64)
-        bn = batch.column("b").to_numpy(zero_copy_only=False).astype(np.int64)
-        node = np.concatenate([an, bn])
-        pa_ = np.concatenate([an, an])
-        pb_ = np.concatenate([bn, bn])
-        side = np.concatenate([np.zeros(len(an), np.int8), np.ones(len(bn), np.int8)])
-        return pa.table(
-            {
-                "node": pa.array(node, type=pa.int64()),
-                "pa": pa.array(pa_, type=pa.int64()),
-                "pb": pa.array(pb_, type=pa.int64()),
-                "side": pa.array(side, type=pa.int8()),
-                "payload": pa.nulls(len(node), type=payload_type),
-            }
-        )
-
-    def _tag_payload(batch: pa.Table) -> pa.Table:
-        neg = np.full(batch.num_rows, -1, dtype=np.int64)
-        return pa.table(
-            {
-                "node": batch.column(id_col).cast(pa.int64()),
-                "pa": pa.array(neg, type=pa.int64()),
-                "pb": pa.array(neg, type=pa.int64()),
-                "side": pa.array(np.full(batch.num_rows, -1, np.int8), type=pa.int8()),
-                "payload": batch.column(payload_col).cast(payload_type),
-            }
-        )
-
-    tagged = pairs_ds.map_batches(_sides, batch_format="pyarrow").union(
-        payload_ds.map_batches(_tag_payload, batch_format="pyarrow")
-    )
-
-    def _emit_per_node(group: pa.Table) -> pa.Table:
-        pas = group.column("pa")
-        is_payload = pc.equal(pas, -1)
-        own_rows = group.filter(is_payload)
-        pair_rows = group.filter(pc.invert(is_payload))
-        if own_rows.num_rows == 0 or pair_rows.num_rows == 0:
+    def _as_side(key_out: str, pay_out: str):
+        def _fn(batch: pa.Table) -> pa.Table:
             return pa.table(
                 {
-                    "pa": pa.array([], type=pa.int64()),
-                    "pb": pa.array([], type=pa.int64()),
-                    "side": pa.array([], type=pa.int8()),
-                    "payload": pa.array([], type=payload_type),
+                    key_out: batch.column(id_col).cast(pa.int64()),
+                    pay_out: batch.column(payload_col).cast(payload_type),
                 }
             )
-        own = own_rows.column("payload")[0].as_py()
-        n = pair_rows.num_rows
-        return pa.table(
-            {
-                "pa": pair_rows.column("pa"),
-                "pb": pair_rows.column("pb"),
-                "side": pair_rows.column("side"),
-                "payload": pa.array([own] * n, type=payload_type),
-            }
-        )
 
-    per_node = tagged.groupby("node").map_groups(_emit_per_node, batch_format="pyarrow")
+        return _fn
 
-    def _pair_row(group: pa.Table) -> pa.Table:
-        empty = pa.table(
-            {
-                "a": pa.array([], type=pa.int64()),
-                "b": pa.array([], type=pa.int64()),
-                "payload_a": pa.array([], type=payload_type),
-                "payload_b": pa.array([], type=payload_type),
-            }
-        )
-        # duplicate candidate pairs are allowed upstream (distinct_pairs
-        # leaves boundary stragglers; simhash/ngram feed undeduped
-        # pairs), so this group may hold 2k rows for k copies of the
-        # pair — take the first row of EACH side rather than positional
-        # checks, keeping duplicates idempotent instead of dropped
-        sides = group.column("side")
-        a_rows = group.filter(pc.equal(sides, 0))
-        b_rows = group.filter(pc.equal(sides, 1))
-        if a_rows.num_rows == 0 or b_rows.num_rows == 0:
-            return empty  # one endpoint had no payload row
-        return pa.table(
-            {
-                "a": a_rows.column("pa").slice(0, 1),
-                "b": a_rows.column("pb").slice(0, 1),
-                "payload_a": a_rows.column("payload").slice(0, 1),
-                "payload_b": b_rows.column("payload").slice(0, 1),
-            }
-        )
+    side_a = side.map_batches(_as_side("a", "payload_a"), batch_format="pyarrow")
+    side_b = side.map_batches(_as_side("b", "payload_b"), batch_format="pyarrow")
 
-    return per_node.groupby(["pa", "pb"]).map_groups(_pair_row, batch_format="pyarrow")
+    def _typed(batch: pa.Table) -> pa.Table:
+        # the join emits pandas blocks; pin exact arrow types between /
+        # after the joins so schema introspection and consumers see
+        # (int64, int64, payload_type, ...) rather than object dtypes
+        cols = {
+            "a": batch.column("a").cast(pa.int64()),
+            "b": batch.column("b").cast(pa.int64()),
+            "payload_a": batch.column("payload_a").cast(payload_type),
+        }
+        if "payload_b" in batch.column_names:
+            cols["payload_b"] = batch.column("payload_b").cast(payload_type)
+        return pa.table(cols)
+
+    joined = hash_join(pairs_ds, side_a, on="a").map_batches(_typed, batch_format="pyarrow")
+    return hash_join(joined, side_b, on="b").map_batches(_typed, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------

@@ -189,8 +189,10 @@ def test_endpoint_filter_bloom_path(ray_session):
 def test_attach_distributed_path_tolerates_duplicate_pairs(ray_session):
     """Duplicate candidate pairs (allowed upstream: distinct_pairs
     boundary stragglers, undeduped simhash/ngram pairs) must still
-    produce their joined row in the SCALE path — the old positional
-    side check silently dropped any pair appearing more than once."""
+    produce their joined rows in the SCALE path — an earlier positional
+    side check silently dropped any pair appearing more than once.
+    Contract (same as the broadcast fast path): one joined row per pair
+    COPY; every consumer treats duplicates idempotently."""
     import pyarrow as pa
 
     from dots_ocr_ray.pipelines.dedup import attach_pair_payloads
@@ -207,12 +209,12 @@ def test_attach_distributed_path_tolerates_duplicate_pairs(ray_session):
         id_col="doc_id",
         payload_col="blob",
         payload_type=pa.binary(),
-        broadcast_bytes_limit=0,  # force the distributed two-exchange join
+        broadcast_bytes_limit=0,  # force the distributed hash-join path
     ).to_pandas()
     got = sorted(map(tuple, out[["a", "b"]].values.tolist()))
-    assert got == [(1, 2), (2, 5)]  # dup pair joined exactly once, not dropped
-    row12 = out[(out.a == 1) & (out.b == 2)].iloc[0]
-    assert bytes(row12.payload_a) == b"\x01" * 4 and bytes(row12.payload_b) == b"\x02" * 4
+    assert got == [(1, 2), (1, 2), (1, 2), (2, 5)]  # per-copy, never dropped
+    for _, row in out[(out.a == 1) & (out.b == 2)].iterrows():
+        assert bytes(row.payload_a) == b"\x01" * 4 and bytes(row.payload_b) == b"\x02" * 4
 
 
 def test_sorted_group_first_exact(ray_session):
