@@ -1081,6 +1081,144 @@ def entry() -> Any:
     )
 
 
+def _q_customers_without_orders(sf_dir: str):
+    """Distributed ANTI join (hash-bucket form): customers with no
+    URGENT order, counted per market segment.  The right side (orders)
+    is the FACT table — too large to broadcast as a set at corpus
+    scale, so the filter runs as the bucketed semi/anti hash join; the
+    priority predicate is pushed into the parquet read."""
+    import pyarrow as pa
+    import pyarrow.dataset as pds
+
+    import ray.data
+
+    from dots_ocr_ray.pipelines.relational import hash_join
+    from dots_ocr_ray.util import bounded_blocks
+
+    customer = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey"],
+        filter=(pds.field("o_orderpriority") == "1-URGENT"),
+    )
+
+    def _rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["c_custkey"])
+
+    kept = hash_join(
+        customer, orders.map_batches(_rename, batch_format="pyarrow"), on="c_custkey", how="anti"
+    )
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        out = batch.group_by("c_mktsegment").aggregate([([], "count_all")])
+        return out.rename_columns(["c_mktsegment", "n"])
+
+    agg = (
+        bounded_blocks(kept.map_batches(_partial, batch_format="pyarrow"))
+        .groupby("c_mktsegment")
+        .sum("n")
+    )
+
+    def _final(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_mktsegment": batch.column("c_mktsegment"),
+                "n_customers": batch.column("sum(n)").cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(_final, batch_format="pyarrow")
+
+
+def _q_acctbal_price_band(sf_dir: str):
+    """Band (interval) join — the non-equi join Ray Data lacks,
+    expressed as the bucketed range_join operator: parts whose retail
+    price falls within ±25 of a customer's account balance, aggregated
+    per customer.  Interval endpoints are computed with the same
+    float64 arithmetic DuckDB's BETWEEN uses, so the match set is
+    bit-identical."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray.data
+
+    from dots_ocr_ray.pipelines.relational import range_join
+    from dots_ocr_ray.util import bounded_blocks
+
+    customer = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_acctbal"]
+    )
+
+    def _iv(batch: pa.Table) -> pa.Table:
+        bal = batch.column("c_acctbal").cast(pa.float64())
+        return pa.table(
+            {
+                "c_custkey": batch.column("c_custkey"),
+                "lo": pc.subtract(bal, pa.scalar(25.0)),
+                "hi": pc.add(bal, pa.scalar(25.0)),
+            }
+        )
+
+    part = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_retailprice"]
+    )
+    joined = range_join(
+        customer.map_batches(_iv, batch_format="pyarrow"),
+        part,
+        left_lo="lo",
+        left_hi="hi",
+        right_on="p_retailprice",
+        bucket_width=25.0,
+    )
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        return batch.group_by("c_custkey").aggregate(
+            [("p_retailprice", "sum"), ("p_retailprice", "count")]
+        )
+
+    agg = (
+        bounded_blocks(joined.map_batches(_partial, batch_format="pyarrow"))
+        .groupby("c_custkey")
+        .sum(["p_retailprice_sum", "p_retailprice_count"])
+    )
+
+    def _final(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_custkey": batch.column("c_custkey"),
+                "n_parts": batch.column("sum(p_retailprice_count)").cast(pa.int64()),
+                "sum_price": pc.round(batch.column("sum(p_retailprice_sum)"), 2),
+            }
+        )
+
+    return agg.map_batches(_final, batch_format="pyarrow")
+
+
+def _q_len_quantiles_by_lang(sf_dir: str):
+    """Per-group exact quantiles via the grouped value-counts walk —
+    one (lang, n_chars) exchange, never a per-row sort."""
+    import ray.data
+
+    from dots_ocr_ray.pipelines.relational import exact_int_quantiles_by_key
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "n_chars"])
+    return exact_int_quantiles_by_key(docs, "lang", "n_chars", [0.5, 0.9, 0.99])
+
+
+def _q_lang_source_rollup(sf_dir: str):
+    """GROUP BY ROLLUP(lang, source) counts: one distributed pass at
+    the finest level, coarser levels derived from the bounded result."""
+    import ray.data
+
+    from dots_ocr_ray.pipelines.relational import rollup_counts
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "source"])
+    return rollup_counts(docs, ["lang", "source"])
+
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction (the flagship; SQL mirrors the deterministic wrapper)
@@ -1145,6 +1283,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "windowed_events": _q_windowed_events,
         "top_customers": _q_top_customers,
         "customers_per_region": _q_customers_per_region,
+        "customers_without_orders": _q_customers_without_orders,
+        "acctbal_price_band": _q_acctbal_price_band,
+        "len_quantiles_by_lang": _q_len_quantiles_by_lang,
+        "lang_source_rollup": _q_lang_source_rollup,
     }
 
 
@@ -1412,5 +1554,31 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN length(text) = 0 THEN 0.0 "
             "ELSE length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / length(text) END AS ar "
             "FROM documents) WHERE n_words >= 5 AND mw BETWEEN 1.0 AND 15.0 AND ar >= 0.5"
+        ),
+        "customers_without_orders": (
+            "SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers "
+            "FROM customer WHERE c_custkey NOT IN "
+            "(SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT') "
+            "GROUP BY c_mktsegment"
+        ),
+        "acctbal_price_band": (
+            "SELECT c_custkey, CAST(count(*) AS BIGINT) AS n_parts, "
+            "round(sum(p_retailprice), 2) AS sum_price "
+            "FROM customer JOIN part "
+            "ON p_retailprice BETWEEN c_acctbal - 25.0 AND c_acctbal + 25.0 "
+            "GROUP BY c_custkey"
+        ),
+        "len_quantiles_by_lang": (
+            " UNION ALL ".join(
+                f"SELECT lang, CAST({q} AS DOUBLE) AS q, "
+                f"CAST(quantile_disc(n_chars, {q}) AS BIGINT) AS value "
+                "FROM documents GROUP BY lang"
+                for q in [0.5, 0.9, 0.99]
+            )
+        ),
+        "lang_source_rollup": (
+            "SELECT COALESCE(lang, '*') AS lang, COALESCE(source, '*') AS source, "
+            "CAST(count(*) AS BIGINT) AS n_rows "
+            "FROM documents GROUP BY ROLLUP(lang, source)"
         ),
     }

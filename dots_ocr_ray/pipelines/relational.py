@@ -353,10 +353,13 @@ def hash_join(
     Scale notes: size ``num_buckets`` ≥ 2× task slots so one bucket
     never holds a wave hostage; a single HOT KEY still lands whole in
     one bucket (inherent to hash joins) — pre-aggregate or salt such
-    keys upstream.  ``how`` is "inner" or "left"; overlapping non-key
-    columns from the right side get ``suffix``.
+    keys upstream.  ``how`` is "inner", "left", "semi" or "anti"
+    (semi/anti return LEFT columns only — the distributed filter form
+    for a right side too large to broadcast as a Bloom/set; for small
+    right sides prefer the broadcast semi/anti in functions/bloom.py);
+    overlapping non-key columns from the right side get ``suffix``.
     """
-    if how not in ("inner", "left"):
+    if how not in ("inner", "left", "semi", "anti"):
         raise ValueError(f"unsupported how={how!r}")
 
     def _tag(side: int):
@@ -388,7 +391,11 @@ def hash_join(
     def _merge(group: pd.DataFrame) -> pd.DataFrame:
         lhs = group[group["__side"] == 0][left_cols]
         rhs = group[group["__side"] == 1][right_cols]
-        out = lhs.merge(rhs, on=on, how=how, suffixes=("", suffix))
+        if how in ("semi", "anti"):
+            hit = lhs[on].isin(rhs[on].unique())
+            out = lhs[hit if how == "semi" else ~hit]
+        else:
+            out = lhs.merge(rhs, on=on, how=how, suffixes=("", suffix))
         # the union's typed-null padding upcasts int columns to float64
         # in the per-bucket frame; restore integer dtype wherever no
         # null remains (left-join unmatched rows legitimately stay NaN)
@@ -430,3 +437,198 @@ def hash_join(
 
     tagged = bounded_blocks(tagged, rows_per_block=262144)
     return tagged.groupby("__bucket").map_groups(_merge, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# distributed band (interval) join
+
+
+def range_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    *,
+    left_lo: str,
+    left_hi: str,
+    right_on: str,
+    bucket_width: float,
+    suffix: str = "_r",
+    max_buckets_per_row: int = 64,
+) -> ray.data.Dataset:
+    """Distributed band join: left rows carry an interval
+    ``[left_lo, left_hi]``, right rows a value ``right_on``; emits one
+    joined row per (interval ∋ value) match — the non-equi join Ray
+    Data's API lacks (``l.val BETWEEN r.lo AND r.hi`` in SQL).
+
+    Partitioning: the numeric domain is cut into ``bucket_width``-wide
+    buckets.  Each RIGHT row lands in exactly one bucket
+    (``floor(val / width)``); each LEFT row is replicated to every
+    bucket its interval overlaps.  A match is discovered only in the
+    bucket of the right VALUE, so no dedup pass is needed.  Inside a
+    bucket the candidate set is pruned with one vectorized
+    ``lo <= val <= hi`` filter over the bucket-local cross product.
+
+    Scale assumptions (documented contract): interval spans must be
+    bounded — a row spanning more than ``max_buckets_per_row`` buckets
+    raises (replication factor = span / width + 1); pick
+    ``bucket_width`` near the TYPICAL span so replication stays O(1)
+    per row.  A value hot-spot still lands whole in one bucket —
+    salt or pre-aggregate hot value ranges upstream, as with any hash
+    join.  One keyed exchange total; per-bucket work is vectorized."""
+    import numpy as np
+    import pandas as pd
+
+    left_schema, right_schema = left.schema(), right.schema()
+    left_cols = list(left_schema.names)
+    right_cols = list(right_schema.names)
+    types: dict[str, pa.DataType] = {n: t for n, t in zip(left_schema.names, left_schema.types)}
+    for n, t in zip(right_schema.names, right_schema.types):
+        types.setdefault(n, t)
+    all_cols = left_cols + [c for c in right_cols if c not in left_cols]
+    inv_w = 1.0 / float(bucket_width)
+
+    def _tag_left(batch: pa.Table) -> pa.Table:
+        lo = batch.column(left_lo).to_numpy(zero_copy_only=False).astype(np.float64)
+        hi = batch.column(left_hi).to_numpy(zero_copy_only=False).astype(np.float64)
+        b0 = np.floor(lo * inv_w).astype(np.int64)
+        b1 = np.floor(hi * inv_w).astype(np.int64)
+        span = b1 - b0 + 1
+        if span.size and int(span.max()) > max_buckets_per_row:
+            raise ValueError(
+                f"interval spans {int(span.max())} buckets > max_buckets_per_row="
+                f"{max_buckets_per_row}; raise bucket_width or split wide intervals"
+            )
+        idx = np.repeat(np.arange(batch.num_rows), span)
+        # per-row bucket sequence b0[i] .. b1[i], flattened
+        offsets = np.concatenate([[0], np.cumsum(span)])[:-1]
+        flat = np.arange(int(span.sum())) - np.repeat(offsets, span) + np.repeat(b0, span)
+        out = batch.take(pa.array(idx))
+        for c in right_cols:
+            if c not in left_cols:
+                out = out.append_column(c, pa.nulls(out.num_rows, type=types[c]))
+        out = out.select(all_cols)
+        out = out.append_column("__bucket", pa.array(flat, type=pa.int64()))
+        return out.append_column(
+            "__side", pa.array(np.zeros(out.num_rows, np.int8), type=pa.int8())
+        )
+
+    def _tag_right(batch: pa.Table) -> pa.Table:
+        val = batch.column(right_on).to_numpy(zero_copy_only=False).astype(np.float64)
+        b = np.floor(val * inv_w).astype(np.int64)
+        out = batch
+        for c in left_cols:
+            if c not in right_cols:
+                out = out.append_column(c, pa.nulls(out.num_rows, type=types[c]))
+        out = out.select(all_cols)
+        out = out.append_column("__bucket", pa.array(b, type=pa.int64()))
+        return out.append_column(
+            "__side", pa.array(np.ones(out.num_rows, np.int8), type=pa.int8())
+        )
+
+    def _merge(group: pd.DataFrame) -> pd.DataFrame:
+        lhs = group[group["__side"] == 0][left_cols].assign(__one=1)
+        rhs = group[group["__side"] == 1][right_cols].assign(__one=1)
+        out = lhs.merge(rhs, on="__one", suffixes=("", suffix)).drop(columns="__one")
+        val_col = right_on if right_on not in left_cols else right_on + suffix
+        out = out[(out[left_lo] <= out[val_col]) & (out[val_col] <= out[left_hi])]
+        out = out.drop(columns=[c for c in out.columns if c not in all_cols and c != val_col])
+        for c in out.columns:
+            base = c[: -len(suffix)] if c.endswith(suffix) else c
+            t = types.get(base)
+            if (
+                t is not None
+                and pa.types.is_integer(t)
+                and out[c].dtype.kind == "f"
+                and not out[c].isna().any()
+            ):
+                out[c] = out[c].astype("int64")
+        return out
+
+    from dots_ocr_ray.util import bounded_blocks
+
+    tagged = left.map_batches(_tag_left, batch_format="pyarrow").union(
+        right.map_batches(_tag_right, batch_format="pyarrow")
+    )
+    tagged = bounded_blocks(tagged, rows_per_block=262144)
+    return tagged.groupby("__bucket").map_groups(_merge, batch_format="pandas")
+
+
+def exact_int_quantiles_by_key(
+    ds: ray.data.Dataset, key: str, col: str, qs: list[float]
+) -> pa.Table:
+    """Per-group EXACT discrete quantiles — the grouped form of
+    :func:`exact_int_quantiles`.  One groupby((key, value)).count()
+    moves a row per distinct (group, value) — never a row per input
+    row — then the cumulative-rank walk runs on the driver over that
+    small table.  Matches DuckDB ``quantile_disc`` per group (value at
+    1-indexed rank ``ceil(q * n)``)."""
+    import math
+
+    import numpy as np
+
+    counts = ds.groupby([key, col]).count()
+    tbl = pa.Table.from_pylist(counts.take_all())
+    tbl = tbl.take(pc.sort_indices(tbl, sort_keys=[(key, "ascending"), (col, "ascending")]))
+    keys = tbl.column(key).to_pylist()
+    values = np.asarray(tbl.column(col).to_pylist(), dtype=np.int64)
+    weights = np.asarray(tbl.column("count()").to_pylist(), dtype=np.int64)
+    out_k, out_q, out_v = [], [], []
+    i = 0
+    while i < len(keys):
+        j = i
+        while j < len(keys) and keys[j] == keys[i]:
+            j += 1
+        cum = np.cumsum(weights[i:j])
+        n = int(cum[-1])
+        for q in qs:
+            rank = max(1, math.ceil(q * n))
+            out_k.append(keys[i])
+            out_q.append(q)
+            out_v.append(int(values[i:j][int(np.searchsorted(cum, rank))]))
+        i = j
+    return pa.table(
+        {
+            key: pa.array(out_k),
+            "q": pa.array(out_q, type=pa.float64()),
+            "value": pa.array(out_v, type=pa.int64()),
+        }
+    )
+
+
+def rollup_counts(
+    ds: ray.data.Dataset, keys: list[str], *, sentinel: str = "*"
+) -> pa.Table:
+    """GROUP BY ROLLUP(keys...) row counts: one distributed pass at the
+    FINEST level (per-batch partial aggregation → small groupby), then
+    every coarser level is derived from that bounded result on the
+    driver — the rollup hierarchy costs one exchange total, not one
+    per level.  Coarsened key columns carry ``sentinel`` (callers'
+    key domains must not contain it)."""
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        out = batch.select(keys).group_by(keys).aggregate([([], "count_all")])
+        return out.rename_columns(keys + ["n"])
+
+    fine = (
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby(keys)
+        .sum("n")
+    )
+    tbl = pa.Table.from_pylist(fine.take_all())  # ≤ product of key cardinalities
+    tbl = tbl.rename_columns(keys + ["n_rows"])
+    frames = [tbl]
+    import pandas as pd
+
+    df = tbl.to_pandas()
+    for level in range(len(keys) - 1, -1, -1):
+        kept = keys[:level]
+        if kept:
+            coarse = df.groupby(kept, as_index=False)["n_rows"].sum()
+        else:
+            coarse = pd.DataFrame({"n_rows": [df["n_rows"].sum()]})
+        for k in keys[level:]:
+            coarse[k] = sentinel
+        frames.append(pa.Table.from_pandas(coarse[keys + ["n_rows"]], preserve_index=False))
+    out = pa.concat_tables(frames, promote_options="default")
+    return out.set_column(
+        out.column_names.index("n_rows"), "n_rows", out.column("n_rows").cast(pa.int64())
+    )

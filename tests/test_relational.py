@@ -207,3 +207,116 @@ def test_grouped_topk_combiner_and_ascending(ray_session):
         df = df.sort_values(["v", "i"], ascending=[asc, True]).groupby("g").head(4)
         want = df.sort_values(["g", "v", "i"]).reset_index(drop=True)
         pd.testing.assert_frame_equal(got[["g", "v", "i"]], want[["g", "v", "i"]], check_dtype=False)
+
+
+def test_hash_join_semi_anti(ray_session):
+    """semi keeps exactly the matched left rows, anti the complement;
+    left columns only, int dtypes restored."""
+    import ray.data
+
+    from dots_ocr_ray.pipelines.relational import hash_join
+
+    left = ray.data.from_items([{"k": i, "v": i * 10} for i in range(20)])
+    right = ray.data.from_items([{"k": i} for i in range(0, 20, 3)])  # 0,3,..,18
+    semi = hash_join(left, right, on="k", how="semi").to_pandas()
+    anti = hash_join(left, right, on="k", how="anti").to_pandas()
+    assert sorted(semi.k) == list(range(0, 20, 3))
+    assert sorted(anti.k) == [i for i in range(20) if i % 3 != 0]
+    assert list(semi.columns) == ["k", "v"] and list(anti.columns) == ["k", "v"]
+    assert semi.k.dtype.kind == "i" and anti.v.dtype.kind == "i"
+    assert (semi.v == semi.k * 10).all() and (anti.v == anti.k * 10).all()
+
+
+def test_range_join_matches_bruteforce(ray_session):
+    """Bucketed band join == brute-force interval containment,
+    including negative values and bucket-boundary endpoints."""
+    import numpy as np
+    import ray.data
+
+    from dots_ocr_ray.pipelines.relational import range_join
+
+    rng = np.random.RandomState(7)
+    lo = np.round(rng.uniform(-100, 100, 40), 2)
+    hi = lo + np.round(rng.uniform(0, 30, 40), 2)
+    vals = np.round(rng.uniform(-120, 130, 200), 2)
+    left = ray.data.from_items(
+        [{"lid": int(i), "lo": float(lo[i]), "hi": float(hi[i])} for i in range(40)]
+    )
+    right = ray.data.from_items(
+        [{"rid": int(j), "val": float(vals[j])} for j in range(200)]
+    )
+    out = range_join(
+        left, right, left_lo="lo", left_hi="hi", right_on="val", bucket_width=10.0
+    ).to_pandas()
+    got = set(zip(out.lid, out.rid))
+    want = {
+        (i, j)
+        for i in range(40)
+        for j in range(200)
+        if lo[i] <= vals[j] <= hi[i]
+    }
+    assert got == want
+    assert len(out) == len(want)  # one row per match, no bucket dups
+
+
+def test_range_join_span_guard(ray_session):
+    import pytest as _pytest
+    import ray.data
+
+    from dots_ocr_ray.pipelines.relational import range_join
+
+    left = ray.data.from_items([{"lo": 0.0, "hi": 1e6}])
+    right = ray.data.from_items([{"val": 5.0}])
+    with _pytest.raises(Exception, match="max_buckets_per_row"):
+        range_join(
+            left, right, left_lo="lo", left_hi="hi", right_on="val", bucket_width=1.0
+        ).materialize()
+
+
+def test_exact_int_quantiles_by_key(ray_session):
+    """Grouped quantile walk matches a per-group sorted-rank oracle."""
+    import math
+
+    import numpy as np
+    import ray.data
+
+    from dots_ocr_ray.pipelines.relational import exact_int_quantiles_by_key
+
+    rng = np.random.RandomState(11)
+    rows = [
+        {"g": f"g{int(i % 3)}", "x": int(rng.randint(0, 50))} for i in range(999)
+    ]
+    out = exact_int_quantiles_by_key(
+        ray.data.from_items(rows), "g", "x", [0.5, 0.9]
+    ).to_pandas()
+    by_g: dict = {}
+    for r in rows:
+        by_g.setdefault(r["g"], []).append(r["x"])
+    for g, xs in by_g.items():
+        xs = sorted(xs)
+        for q in (0.5, 0.9):
+            want = xs[max(1, math.ceil(q * len(xs))) - 1]
+            got = out[(out.g == g) & (out.q == q)].value.iloc[0]
+            assert got == want, (g, q)
+
+
+def test_rollup_counts(ray_session):
+    import ray.data
+
+    from dots_ocr_ray.pipelines.relational import rollup_counts
+
+    rows = (
+        [{"a": "x", "b": "p"}] * 3
+        + [{"a": "x", "b": "q"}] * 2
+        + [{"a": "y", "b": "p"}] * 4
+    )
+    out = rollup_counts(ray.data.from_items(rows), ["a", "b"]).to_pandas()
+    m = {(r.a, r.b): r.n_rows for r in out.itertuples()}
+    assert m == {
+        ("x", "p"): 3,
+        ("x", "q"): 2,
+        ("y", "p"): 4,
+        ("x", "*"): 5,
+        ("y", "*"): 4,
+        ("*", "*"): 9,
+    }
