@@ -997,6 +997,22 @@ def _q_top_tokens(sf_dir: str):
     )
 
 
+def _q_tfidf_top_terms(sf_dir: str):
+    """Per-document top-3 TF-IDF terms over the corpus-level top-256
+    vocabulary: two streaming passes plus ONE token-keyed aggregate for
+    document frequencies — the vocabulary is a bounded table broadcast
+    via ray.put, and per-doc scoring + top-k stays batch-local because
+    documents are row-complete inside a batch."""
+    import ray.data
+
+    from dots_ocr_ray.pipelines.text_analysis import tfidf_top_terms
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return tfidf_top_terms(docs, vocab_size=256, k=3)
+
+
 def _q_orders_customer_join(sf_dir: str):
     """Large × large equi-join without a broadcast side: orders ⨝
     customer through the hash-bucket exchange (relational.hash_join),
@@ -1266,6 +1282,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "reservoir_doc_sample": _q_reservoir_doc_sample,
         "chars_quantiles_approx": _q_chars_quantiles_approx,
         "top_tokens": _q_top_tokens,
+        "tfidf_top_terms": _q_tfidf_top_terms,
         "canonical_urls": _q_canonical_urls,
         "token_postings": _q_token_postings,
         "stratified_sample": _q_stratified_sample,
@@ -1500,6 +1517,26 @@ def oracle_sql() -> dict[str, str]:
             "SELECT w AS token, CAST(count(*) AS BIGINT) AS n FROM "
             "(SELECT unnest(regexp_split_to_array(text, '\\s+')) AS w FROM documents) "
             "WHERE w <> '' GROUP BY w ORDER BY n DESC, token LIMIT 10"
+        ),
+        "tfidf_top_terms": (
+            # independent SQL derivation: same whitespace tokenization as
+            # token_postings, df over distinct (doc, token), top-256 vocab
+            # by (df desc, token), score = tf * ln(n_docs / df), per-doc
+            # rank by (score desc, token) limited to 3
+            "WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS token "
+            "FROM documents), toks2 AS (SELECT doc_id, token FROM toks WHERE token <> ''), "
+            "df AS (SELECT token, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df "
+            "FROM toks2 GROUP BY token), "
+            "vocab AS (SELECT token, df FROM df ORDER BY df DESC, token LIMIT 256), "
+            "tf AS (SELECT t.doc_id, t.token, CAST(count(*) AS DOUBLE) AS tf "
+            "FROM toks2 t JOIN vocab v ON t.token = v.token GROUP BY t.doc_id, t.token), "
+            "scored AS (SELECT tf.doc_id, tf.token, "
+            "tf.tf * ln(CAST((SELECT count(*) FROM documents) AS DOUBLE) / v.df) AS s "
+            "FROM tf JOIN vocab v ON tf.token = v.token) "
+            "SELECT doc_id, token, "
+            "CAST(row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, token) AS BIGINT) AS rank, "
+            "round(s, 4) AS score FROM scored "
+            "QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, token) <= 3"
         ),
         "chars_quantiles_approx": (
             "SELECT q, value "

@@ -147,3 +147,120 @@ def fingerprint_duplicates(sf_dir: str) -> ray.data.Dataset:
         .groupby("fingerprint")
         .map_groups(_group, batch_format="pyarrow")
     )
+
+
+def tfidf_top_terms(
+    ds: ray.data.Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int = 256,
+    k: int = 3,
+) -> ray.data.Dataset:
+    """Per-document top-k TF-IDF terms over a bounded vocabulary.
+
+    Scale shape (one exchange total):
+
+    1. document frequencies — per-batch DISTINCT (doc, token) explode
+       (vectorized: arrow split → dictionary-encode → np.unique on
+       (doc, code) pairs) → ONE token-keyed groupby;
+    2. vocabulary — top ``vocab_size`` tokens by df (ties by token) —
+       a BOUNDED table sorted on the aggregated (token-level) side and
+       broadcast via ray.put (at larger corpora swap the exact df agg
+       for a SpaceSaving sketch; the contract downstream is identical);
+    3. scoring — a second streaming pass: per-batch (doc, token) term
+       counts restricted to the vocabulary (searchsorted), score =
+       tf * ln(n_docs / df), and per-doc top-k computed locally —
+       documents are row-complete inside a batch, so no second
+       exchange exists.
+
+    Output: (doc_id, token, rank, score) with rank 1..k per doc
+    (score desc, token asc tiebreak — deterministic)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    import ray
+
+    from dots_ocr_ray.util import cached_object
+
+    n_docs = ds.count()
+
+    def _doc_tokens(batch: pa.Table) -> tuple:
+        lists = pc.utf8_split_whitespace(batch.column(text_col))
+        toks = pc.list_flatten(lists)
+        parents = pc.list_parent_indices(lists)
+        mask = pc.not_equal(toks, "")
+        toks, parents = toks.filter(mask), parents.filter(mask)
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        doc_np = batch.column(id_col).to_numpy(zero_copy_only=False)[
+            parents.to_numpy(zero_copy_only=False)
+        ]
+        enc = toks.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        return enc.dictionary, doc_np, codes
+
+    def _df_partial(batch: pa.Table) -> pa.Table:
+        vocab, doc_np, codes = _doc_tokens(batch)
+        uniq = np.unique(np.stack([doc_np, codes], axis=1), axis=0)
+        t = pa.table({"token": vocab.take(pa.array(uniq[:, 1]))})
+        out = t.group_by("token").aggregate([([], "count_all")])
+        return out.rename_columns(["token", "df"])
+
+    df_agg = (
+        ds.map_batches(_df_partial, batch_format="pyarrow").groupby("token").sum("df")
+    )
+    # token-level result; take only the bounded top-V to the driver
+    top = df_agg.sort(["sum(df)", "token"], descending=[True, False]).limit(vocab_size)
+    vtbl = pa.Table.from_pylist(top.take_all())
+    vtok = np.asarray(vtbl.column("token").to_pylist(), dtype=object)
+    vdf = np.asarray(vtbl.column("sum(df)").to_pylist(), dtype=np.float64)
+    order = np.argsort(vtok.astype(str))
+    vtok_sorted = vtok[order].astype(str)
+    idf_sorted = np.log(float(n_docs) / vdf[order])
+    vocab_ref = ray.put((vtok_sorted, idf_sorted))
+
+    def _score(batch: pa.Table) -> pa.Table:
+        vtoks, idfs = cached_object(vocab_ref)
+        vocab, doc_np, codes = _doc_tokens(batch)
+        # map batch-local dictionary codes → vocab slots (or -1)
+        dict_np = np.asarray(vocab.to_pylist(), dtype=object).astype(str)
+        pos = np.searchsorted(vtoks, dict_np)
+        pos[pos >= len(vtoks)] = max(len(vtoks) - 1, 0)
+        hit = np.zeros(len(dict_np), dtype=bool)
+        if len(vtoks):
+            hit = vtoks[pos] == dict_np
+        slot = np.where(hit, pos, -1)[codes]
+        keep = slot >= 0
+        doc_np, slot = doc_np[keep], slot[keep]
+        if len(doc_np) == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "token": pa.array([], type=pa.string()),
+                    "rank": pa.array([], type=pa.int64()),
+                    "score": pa.array([], type=pa.float64()),
+                }
+            )
+        pairs, tf = np.unique(np.stack([doc_np, slot], axis=1), axis=0, return_counts=True)
+        score = tf.astype(np.float64) * idfs[pairs[:, 1]]
+        # per-doc top-k: sort (doc asc, score desc, token asc) then
+        # rank-within-doc via first-occurrence offsets — fully vectorized
+        tok_sorted_keys = vtok_sorted[pairs[:, 1]]
+        ordr = np.lexsort((tok_sorted_keys, -score, pairs[:, 0]))
+        d = pairs[ordr, 0]
+        first = np.concatenate([[True], d[1:] != d[:-1]])
+        grp_start = np.maximum.accumulate(np.where(first, np.arange(len(d)), 0))
+        rank = np.arange(len(d)) - grp_start + 1
+        kmask = rank <= k
+        sel = ordr[kmask]
+        return pa.table(
+            {
+                "doc_id": pa.array(pairs[sel, 0], type=pa.int64()),
+                "token": pa.array(vtok_sorted[pairs[sel, 1]], type=pa.string()),
+                "rank": pa.array(rank[kmask], type=pa.int64()),
+                "score": pa.array(np.round(score[sel], 4), type=pa.float64()),
+            }
+        )
+
+    return ds.map_batches(_score, batch_format="pyarrow")

@@ -6,6 +6,7 @@ from dots_ocr_ray.pipelines.text_analysis import (
     fingerprint_duplicates,
     lang_id_confusion,
     quality_filter,
+    tfidf_top_terms,
     token_count_by_lang,
 )
 
@@ -33,6 +34,50 @@ def test_lang_id_confusion(ray_session):
     # corpus text is English word soup → predictions dominated by en/und
     assert set(out.lang_pred) <= {"en", "fr", "es", "de", "zh", "ru", "hi", "und"}
     assert out.n.sum() == 500  # every document counted exactly once
+
+
+def test_tfidf_top_terms(ray_session):
+    import math
+
+    import ray.data
+
+    docs = ray.data.read_parquet(
+        f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+    )
+    out = tfidf_top_terms(docs, vocab_size=64, k=2).to_pandas()
+    assert list(out.columns) == ["doc_id", "token", "rank", "score"]
+    # rank is 1..k per doc, scores non-increasing within a doc
+    per_doc = out.groupby("doc_id")
+    assert (per_doc["rank"].min() == 1).all()
+    assert (per_doc["rank"].max() <= 2).all()
+    for _, g in per_doc:
+        ordered = g.sort_values("rank")
+        assert (ordered.score.diff().dropna() <= 1e-9).all()
+
+    # sequential parity for one document: recompute df/tf directly
+    import pandas as pd
+
+    raw = pd.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+    n = len(raw)
+    df_counts = {}
+    for t in raw.text:
+        for tok in set((t or "").split()):
+            df_counts[tok] = df_counts.get(tok, 0) + 1
+    vocab = sorted(df_counts.items(), key=lambda kv: (-kv[1], kv[0]))[:64]
+    vset = {tok: df for tok, df in vocab}
+    row = raw.iloc[7]
+    tf = {}
+    for tok in (row.text or "").split():
+        if tok in vset:
+            tf[tok] = tf.get(tok, 0) + 1
+    scored = sorted(
+        ((t, c * math.log(n / vset[t])) for t, c in tf.items()),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[:2]
+    got = out[out.doc_id == row.doc_id].sort_values("rank")
+    assert list(got.token) == [t for t, _ in scored]
+    for s_got, (_, s_exp) in zip(got.score, scored):
+        assert abs(s_got - s_exp) < 1e-3
 
 
 def test_fingerprint_duplicates(ray_session):
