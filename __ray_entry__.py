@@ -997,6 +997,43 @@ def _q_top_tokens(sf_dir: str):
     )
 
 
+def _q_contamination_check(sf_dir: str):
+    """Benchmark decontamination: probes are the first-3-token prefixes
+    of a deterministic benchmark subset (doc_id % 97 == 3 — a bounded
+    eval-set stand-in), broadcast once; the corpus side is a single
+    streaming vectorized substring scan."""
+    import ray.data
+
+    from dots_ocr_ray.pipelines.text_analysis import contamination_check
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def _bench(batch):
+        import pyarrow as pa
+
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(ids % 97 == 3))
+
+    bench_rows = docs.map_batches(_bench, batch_format="pyarrow").take_all()
+    probes = [
+        (r["doc_id"], " ".join((r["text"] or "").split()[:3])) for r in bench_rows
+    ]
+    return contamination_check(docs, probes)
+
+
+def _q_top_bigrams(sf_dir: str):
+    """Top-20 bigram collocations with PMI — one read, one (kind, term)
+    aggregate carrying unigram/bigram/total partials together."""
+    import ray.data
+
+    from dots_ocr_ray.pipelines.text_analysis import top_bigrams
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return top_bigrams(docs, k=20)
+
+
 def _q_tfidf_top_terms(sf_dir: str):
     """Per-document top-3 TF-IDF terms over the corpus-level top-256
     vocabulary: two streaming passes plus ONE token-keyed aggregate for
@@ -1283,6 +1320,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chars_quantiles_approx": _q_chars_quantiles_approx,
         "top_tokens": _q_top_tokens,
         "tfidf_top_terms": _q_tfidf_top_terms,
+        "contamination_check": _q_contamination_check,
+        "top_bigrams": _q_top_bigrams,
         "canonical_urls": _q_canonical_urls,
         "token_postings": _q_token_postings,
         "stratified_sample": _q_stratified_sample,
@@ -1517,6 +1556,39 @@ def oracle_sql() -> dict[str, str]:
             "SELECT w AS token, CAST(count(*) AS BIGINT) AS n FROM "
             "(SELECT unnest(regexp_split_to_array(text, '\\s+')) AS w FROM documents) "
             "WHERE w <> '' GROUP BY w ORDER BY n DESC, token LIMIT 10"
+        ),
+        "contamination_check": (
+            # independent derivation: probes = first-3-token prefix of
+            # each benchmark doc (doc_id % 97 = 3), hit = substring
+            # containment, first_bench_id = smallest matching bench id
+            "WITH probes AS (SELECT doc_id AS bench_id, "
+            "array_to_string(list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '')[1:3], ' ') AS probe "
+            "FROM documents WHERE doc_id % 97 = 3) "
+            "SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_probe_hits, "
+            "min(p.bench_id) AS first_bench_id "
+            "FROM documents d JOIN probes p ON contains(d.text, p.probe) "
+            "GROUP BY d.doc_id"
+        ),
+        "top_bigrams": (
+            # same whitespace tokenization as token_postings; bigrams =
+            # adjacent token pairs within a document; PMI from unigram
+            # and bigram totals; ranking by count only (floats can't
+            # reorder rows)
+            "WITH toks AS (SELECT list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS arr "
+            "FROM documents), "
+            "uni AS (SELECT unnest(arr) AS w FROM toks), "
+            "ucnt AS (SELECT w, CAST(count(*) AS DOUBLE) AS c FROM uni GROUP BY w), "
+            "big AS (SELECT unnest(list_transform(generate_series(1, len(arr) - 1), "
+            "i -> arr[i] || ' ' || arr[i + 1])) AS bg FROM toks WHERE len(arr) >= 2), "
+            "bcnt AS (SELECT bg, CAST(count(*) AS DOUBLE) AS c FROM big GROUP BY bg), "
+            "nu AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM ucnt), "
+            "nb AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM bcnt), "
+            "top AS (SELECT bg, c FROM bcnt ORDER BY c DESC, bg LIMIT 20) "
+            "SELECT top.bg AS bigram, CAST(top.c AS BIGINT) AS n, "
+            "round(ln((top.c / nb.n) / ((ua.c / nu.n) * (ub.c / nu.n))), 4) AS pmi "
+            "FROM top, nu, nb "
+            "JOIN ucnt ua ON ua.w = split_part(top.bg, ' ', 1) "
+            "JOIN ucnt ub ON ub.w = split_part(top.bg, ' ', 2)"
         ),
         "tfidf_top_terms": (
             # independent SQL derivation: same whitespace tokenization as

@@ -149,6 +149,194 @@ def fingerprint_duplicates(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def contamination_check(
+    corpus: ray.data.Dataset,
+    probes: list[tuple[int, str]],
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Benchmark decontamination scan: flag corpus documents containing
+    any benchmark probe string (the n-gram-overlap test a training-data
+    pipeline runs against eval sets before training).
+
+    ``probes`` is a BOUNDED list of (bench_id, probe_text) — benchmark
+    suites are small by nature, so the probe set is broadcast once via
+    ``ray.put`` and the corpus side streams: per batch, one vectorized
+    ``pc.match_substring`` pass per probe (O(probes) Arrow kernel calls,
+    zero Python per row).  For probe sets beyond a few thousand the
+    per-probe kernel loop should be swapped for an Aho-Corasick
+    multi-pattern automaton held by an actor pool; the streaming shape
+    and output contract are identical.
+
+    Output: (doc_id, n_probe_hits, first_bench_id) for contaminated
+    docs only — first_bench_id is the smallest matching bench_id."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    import ray
+
+    from dots_ocr_ray.util import cached_object
+
+    probes_ref = ray.put(sorted(probes))
+
+    def _scan(batch: pa.Table) -> pa.Table:
+        plist = cached_object(probes_ref)
+        texts = batch.column(text_col)
+        n = len(texts)
+        hits = np.zeros(n, dtype=np.int64)
+        first = np.full(n, -1, dtype=np.int64)
+        for bench_id, probe in plist:  # ascending bench_id
+            m = pc.fill_null(pc.match_substring(texts, probe), False)
+            mask = m.to_numpy(zero_copy_only=False).astype(bool)
+            hits += mask
+            first = np.where(mask & (first < 0), bench_id, first)
+        keep = hits > 0
+        return pa.table(
+            {
+                "doc_id": batch.column(id_col).filter(pa.array(keep)),
+                "n_probe_hits": pa.array(hits[keep], type=pa.int64()),
+                "first_bench_id": pa.array(first[keep], type=pa.int64()),
+            }
+        )
+
+    return corpus.map_batches(_scan, batch_format="pyarrow")
+
+
+def top_bigrams(
+    ds: ray.data.Dataset,
+    *,
+    text_col: str = "text",
+    k: int = 20,
+) -> pa.Table:
+    """Top-k bigram collocations with PMI — the phrase-mining scan run
+    before tokenizer/vocab construction.
+
+    ONE read and ONE term-keyed exchange: each batch emits partial
+    counts for unigrams (kind "u"), in-document adjacent bigrams
+    (kind "b"), and two sentinel total rows (kind "tu"/"tb"), all into
+    a single (kind, term) groupby.  Totals therefore ride the same
+    aggregate instead of a second pass.  The driver touches only the
+    bounded pieces: top-k bigram rows (sort on the aggregated side +
+    limit) and the ≤2k component-token unigram counts (semi-join by
+    broadcast token set).
+
+    PMI = ln( (c_ab/N_bigrams) / ((c_a/N_tokens)·(c_b/N_tokens)) ),
+    rounded to 4 decimals; ranking is by count (desc, bigram asc) so
+    float noise can never reorder rows."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    import ray
+
+    from dots_ocr_ray.util import bounded_blocks, cached_object
+
+    def _partials(batch: pa.Table) -> pa.Table:
+        lists = pc.utf8_split_whitespace(batch.column(text_col))
+        toks = pc.list_flatten(lists)
+        parents = pc.list_parent_indices(lists)
+        mask = pc.not_equal(toks, "")
+        toks, parents = toks.filter(mask), parents.filter(mask)
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        par_np = parents.to_numpy(zero_copy_only=False)
+        n = len(toks)
+        out_terms: list[pa.Array] = []
+        out_kind: list[str] = []
+        out_cnt: list[int] = []
+        # unigram partial counts
+        ucnt = pa.table({"term": toks}).group_by("term").aggregate([([], "count_all")])
+        # bigrams: adjacent positions sharing a parent doc
+        if n >= 2:
+            adj = par_np[:-1] == par_np[1:]
+            left = toks.slice(0, n - 1).filter(pa.array(adj))
+            right = toks.slice(1, n - 1).filter(pa.array(adj))
+            bigrams = pc.binary_join_element_wise(left, right, " ")
+            bcnt = (
+                pa.table({"term": bigrams}).group_by("term").aggregate([([], "count_all")])
+            )
+        else:
+            bcnt = pa.table({"term": pa.array([], type=pa.string()), "count_all": pa.array([], type=pa.int64())})
+        nb = int(pc.sum(bcnt.column(1)).as_py() or 0)
+        return pa.table(
+            {
+                "kind": pa.array(
+                    ["u"] * ucnt.num_rows + ["b"] * bcnt.num_rows + ["tu", "tb"],
+                    type=pa.string(),
+                ),
+                "term": pa.concat_arrays(
+                    [
+                        ucnt.column(0).combine_chunks(),
+                        bcnt.column(0).combine_chunks(),
+                        pa.array(["", ""], type=pa.string()),
+                    ]
+                ),
+                "n": pa.concat_arrays(
+                    [
+                        ucnt.column(1).cast(pa.int64()).combine_chunks(),
+                        bcnt.column(1).cast(pa.int64()).combine_chunks(),
+                        pa.array([n, nb], type=pa.int64()),
+                    ]
+                ),
+            }
+        )
+
+    # materialize once: the aggregate is traversed three times below
+    # (totals, top-k bigrams, component unigrams) and is term-level —
+    # vocabulary-bounded, far smaller than the corpus
+    agg = (
+        bounded_blocks(ds.map_batches(_partials, batch_format="pyarrow"))
+        .groupby(["kind", "term"])
+        .sum("n")
+        .materialize()
+    )
+
+    def _kind(batch: pa.Table, which: str) -> pa.Table:
+        return batch.filter(pc.equal(batch.column("kind"), which))
+
+    totals = {
+        r["kind"]: r["sum(n)"]
+        for r in agg.map_batches(
+            lambda b: b.filter(pc.is_in(b.column("kind"), value_set=pa.array(["tu", "tb"]))),
+            batch_format="pyarrow",
+        ).take_all()
+    }
+    top = (
+        agg.map_batches(lambda b: _kind(b, "b"), batch_format="pyarrow")
+        .sort(["sum(n)", "term"], descending=[True, False])
+        .limit(k)
+        .take_all()
+    )
+    comp_tokens = sorted({t for r in top for t in r["term"].split(" ")})
+    tok_ref = ray.put(pa.array(comp_tokens, type=pa.string()))
+
+    def _components(batch: pa.Table) -> pa.Table:
+        vs = cached_object(tok_ref)
+        b = _kind(batch, "u")
+        return b.filter(pc.is_in(b.column("term"), value_set=vs))
+
+    ucnt = {
+        r["term"]: r["sum(n)"]
+        for r in agg.map_batches(_components, batch_format="pyarrow").take_all()
+    }
+    n_uni, n_big = float(totals.get("tu", 0)), float(totals.get("tb", 0))
+    bigram_col, n_col, pmi_col = [], [], []
+    for r in top:
+        a, b = r["term"].split(" ")
+        c_ab = float(r["sum(n)"])
+        pmi = np.log((c_ab / n_big) / ((ucnt[a] / n_uni) * (ucnt[b] / n_uni)))
+        bigram_col.append(r["term"])
+        n_col.append(int(r["sum(n)"]))
+        pmi_col.append(round(float(pmi), 4))
+    return pa.table(
+        {
+            "bigram": pa.array(bigram_col, type=pa.string()),
+            "n": pa.array(n_col, type=pa.int64()),
+            "pmi": pa.array(pmi_col, type=pa.float64()),
+        }
+    )
+
+
 def tfidf_top_terms(
     ds: ray.data.Dataset,
     *,

@@ -80,6 +80,61 @@ def test_tfidf_top_terms(ray_session):
         assert abs(s_got - s_exp) < 1e-3
 
 
+def test_contamination_check(ray_session):
+    import ray.data
+
+    from dots_ocr_ray.pipelines.text_analysis import contamination_check
+
+    docs = ray.data.read_parquet(
+        f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+    )
+    import pandas as pd
+
+    raw = pd.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+    bench = raw[raw.doc_id % 97 == 3]
+    probes = [
+        (int(r.doc_id), " ".join((r.text or "").split()[:3]))
+        for r in bench.itertuples()
+    ]
+    out = contamination_check(docs, probes).to_pandas()
+    # every benchmark doc contains its own probe → must be flagged
+    assert set(bench.doc_id) <= set(out.doc_id)
+    # sequential parity: recompute containment directly
+    exp = {}
+    for r in raw.itertuples():
+        hits = [bid for bid, p in sorted(probes) if p in (r.text or "")]
+        if hits:
+            exp[int(r.doc_id)] = (len(hits), hits[0])
+    got = {int(r.doc_id): (int(r.n_probe_hits), int(r.first_bench_id)) for r in out.itertuples()}
+    assert got == exp
+
+
+def test_top_bigrams(ray_session):
+    import collections
+
+    import ray.data
+
+    from dots_ocr_ray.pipelines.text_analysis import top_bigrams
+
+    docs = ray.data.read_parquet(f"{SF_DIR}/documents.parquet", columns=["text"])
+    out = top_bigrams(docs, k=10).to_pandas()
+    assert list(out.columns) == ["bigram", "n", "pmi"]
+    assert len(out) == 10
+    # counts non-increasing, bigram asc within equal counts
+    assert (out.n.diff().dropna() <= 0).all()
+    # sequential parity on counts
+    import pandas as pd
+
+    raw = pd.read_parquet(f"{SF_DIR}/documents.parquet", columns=["text"])
+    bc = collections.Counter()
+    for t in raw.text:
+        toks = (t or "").split()
+        bc.update(f"{a} {b}" for a, b in zip(toks, toks[1:]))
+    exp = sorted(bc.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert list(out.bigram) == [b for b, _ in exp]
+    assert list(out.n) == [n for _, n in exp]
+
+
 def test_fingerprint_duplicates(ray_session):
     out = fingerprint_duplicates(SF_DIR).to_pandas()
     # sf0.001 documents are all distinct → few/no shared fingerprints,
