@@ -997,6 +997,61 @@ def _q_top_tokens(sf_dir: str):
     )
 
 
+def _q_shuffled_positions(sf_dir: str):
+    """Deterministic global shuffle positions (distributed
+    zipWithIndex over md5(doc_id) order): bucket histogram → broadcast
+    offsets → one bucket-keyed exchange.  The oracle is the SQL
+    row_number over the same md5 ordering."""
+    import ray.data
+
+    from dots_ocr_ray.pipelines.packing import global_shuffle_index
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return global_shuffle_index(docs)
+
+
+def _q_packed_sequences(sf_dir: str):
+    """Concat-and-chunk sequence packing per lang stream at a 512-token
+    budget: pack_id / pack_offset from a per-key running token sum."""
+    import pyarrow as pa
+
+    import ray.data
+
+    from dots_ocr_ray.pipelines.packing import pack_sequences
+    from dots_ocr_ray.pipelines.text_analysis import annotate_documents
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    annotated = annotate_documents(docs, features=("tokens_ws",))
+
+    def _slim(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "lang": batch.column("lang"),
+                "n_tokens": batch.column("n_tokens_ws"),
+            }
+        )
+
+    return pack_sequences(
+        annotated.map_batches(_slim, batch_format="pyarrow"), budget=512
+    )
+
+
+def _q_grouped_split_docs(sf_dir: str):
+    """Leakage-aware split: side chosen by md5(source) so a source's
+    documents never straddle train/val."""
+    import ray.data
+
+    from dots_ocr_ray.pipelines.packing import grouped_split
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+    )
+    return grouped_split(docs)
+
+
 def _q_contamination_check(sf_dir: str):
     """Benchmark decontamination: probes are the first-3-token prefixes
     of a deterministic benchmark subset (doc_id % 97 == 3 — a bounded
@@ -1322,6 +1377,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_terms": _q_tfidf_top_terms,
         "contamination_check": _q_contamination_check,
         "top_bigrams": _q_top_bigrams,
+        "shuffled_positions": _q_shuffled_positions,
+        "packed_sequences": _q_packed_sequences,
+        "grouped_split_docs": _q_grouped_split_docs,
         "canonical_urls": _q_canonical_urls,
         "token_postings": _q_token_postings,
         "stratified_sample": _q_stratified_sample,
@@ -1556,6 +1614,26 @@ def oracle_sql() -> dict[str, str]:
             "SELECT w AS token, CAST(count(*) AS BIGINT) AS n FROM "
             "(SELECT unnest(regexp_split_to_array(text, '\\s+')) AS w FROM documents) "
             "WHERE w <> '' GROUP BY w ORDER BY n DESC, token LIMIT 10"
+        ),
+        "shuffled_positions": (
+            "SELECT doc_id, CAST(row_number() OVER "
+            "(ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS shuffle_pos "
+            "FROM documents"
+        ),
+        "packed_sequences": (
+            "WITH t AS (SELECT doc_id, lang, "
+            "len(string_split_regex(trim(text), '[ \t\n]+')) AS n_tokens FROM documents), "
+            "r AS (SELECT doc_id, lang, n_tokens, "
+            "sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS run "
+            "FROM t) "
+            "SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens, "
+            "CAST((run - n_tokens) // 512 AS BIGINT) AS pack_id, "
+            "CAST((run - n_tokens) % 512 AS BIGINT) AS pack_offset FROM r"
+        ),
+        "grouped_split_docs": (
+            "SELECT doc_id, source, CASE WHEN substr(md5(source), 1, 1) "
+            "IN ('0', '1', '2', '3') THEN 'val' ELSE 'train' END AS split "
+            "FROM documents"
         ),
         "contamination_check": (
             # independent derivation: probes = first-3-token prefix of

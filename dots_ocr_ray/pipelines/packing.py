@@ -1,0 +1,158 @@
+"""Training-set assembly operators: deterministic global shuffle
+positions, sequence packing, and leakage-aware grouped splitting.
+
+These are the last-mile ops between a cleaned corpus and a training
+run.  All three follow the engine's standard scale shapes: per-row
+work stays inside vectorized ``map_batches``, the only exchanges are
+key-bounded ``groupby`` ops, and anything the driver touches is
+provably bounded (a 256-row bucket histogram, never the corpus).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from dots_ocr_ray.kernel.textops import md5_hex
+from dots_ocr_ray.util import bounded_blocks, cached_object
+
+_N_BUCKETS = 256
+
+
+def global_shuffle_index(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Deterministic global shuffle with EXACT positions — the
+    distributed zipWithIndex Ray Data lacks.
+
+    The shuffle order is md5(id) (then id, though md5 ties cannot occur
+    on distinct ids), so the permutation is reproducible across runs
+    and cluster sizes — the property a resumable training job needs
+    from its example order.  Three stages, none corpus-sized on the
+    driver:
+
+    1. key pass — md5 hex + top-byte bucket per row (256 buckets;
+       bucket order == md5-string order prefix);
+    2. bucket histogram — per-batch ``np.bincount`` partials → one
+       tiny groupby → 256 counts on the driver → exclusive prefix
+       offsets broadcast via ``ray.put``;
+    3. positions — ONE bucket-keyed exchange: each bucket group sorts
+       by (md5, id) locally and emits offset[bucket] + arange.
+
+    Only (id, 32-byte hex, bucket) rows ever move — at 10^12 docs the
+    exchange ships keys, not documents; join positions back by id.
+
+    Output: (id_col, shuffle_pos) with shuffle_pos 1..N dense."""
+
+    def _keys(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        hexes = [md5_hex(str(i)) for i in ids]
+        buckets = np.array([int(h[:2], 16) for h in hexes], dtype=np.int64)
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "h": pa.array(hexes, type=pa.string()),
+                "bucket": pa.array(buckets, type=pa.int64()),
+            }
+        )
+
+    keys = bounded_blocks(ds.map_batches(_keys, batch_format="pyarrow"))
+
+    def _hist(batch: pa.Table) -> pa.Table:
+        counts = np.bincount(
+            batch.column("bucket").to_numpy(zero_copy_only=False),
+            minlength=_N_BUCKETS,
+        )
+        nz = np.nonzero(counts)[0]
+        return pa.table(
+            {
+                "bucket": pa.array(nz, type=pa.int64()),
+                "n": pa.array(counts[nz], type=pa.int64()),
+            }
+        )
+
+    hist = keys.map_batches(_hist, batch_format="pyarrow").groupby("bucket").sum("n")
+    counts = np.zeros(_N_BUCKETS, dtype=np.int64)
+    for row in hist.take_all():  # ≤256 rows — bounded by construction
+        counts[row["bucket"]] = row["sum(n)"]
+    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    offsets_ref = ray.put(offsets)
+
+    def _positions(group: pa.Table) -> pa.Table:
+        offs = cached_object(offsets_ref)
+        bucket = group.column("bucket")[0].as_py()
+        order = group.select(["h", id_col]).to_pandas()
+        idx = np.lexsort(
+            (order[id_col].to_numpy(), order["h"].to_numpy(dtype=object))
+        )
+        pos = np.empty(len(idx), dtype=np.int64)
+        pos[idx] = offs[bucket] + np.arange(1, len(idx) + 1)
+        return pa.table(
+            {
+                id_col: group.column(id_col),
+                "shuffle_pos": pa.array(pos, type=pa.int64()),
+            }
+        )
+
+    return keys.groupby("bucket").map_groups(_positions, batch_format="pyarrow")
+
+
+def pack_sequences(
+    ds: ray.data.Dataset,
+    *,
+    key_col: str = "lang",
+    order_col: str = "doc_id",
+    token_col: str = "n_tokens",
+    budget: int = 512,
+) -> ray.data.Dataset:
+    """Sequence packing: concatenate each key's documents (in
+    ``order_col`` order) into one token stream and cut it at ``budget``
+    boundaries — the concat-and-chunk packing step of LLM pretraining.
+
+    Per key: running token sum → a document starting at stream offset
+    s lands in pack ``s // budget`` at offset ``s % budget``.  One
+    key-bounded exchange (``groupby(key).map_groups``), cumsum
+    vectorized inside the group, no global sort.
+
+    Output: (order_col, key_col, token_col, pack_id, pack_offset)."""
+
+    def _pack(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(order_col).reset_index(drop=True)
+        start = g[token_col].cumsum() - g[token_col]
+        g["pack_id"] = (start // budget).astype("int64")
+        g["pack_offset"] = (start % budget).astype("int64")
+        return g[[order_col, key_col, token_col, "pack_id", "pack_offset"]]
+
+    return ds.groupby(key_col).map_groups(_pack, batch_format="pandas")
+
+
+def grouped_split(
+    ds: ray.data.Dataset,
+    *,
+    group_col: str = "source",
+    val_hex_digits: str = "0123",
+) -> ray.data.Dataset:
+    """Leakage-aware train/val split: the split is a function of the
+    GROUP key (domain/source), so every document of a group lands in
+    the same side — near-duplicates within a domain can never straddle
+    the train/val boundary and leak eval data into training.
+
+    split = "val" iff the first hex digit of md5(group) is in
+    ``val_hex_digits`` (default 4/16 = 25% of groups).  Pure streaming
+    map — no exchange, no state."""
+    val_set = frozenset(val_hex_digits)
+
+    def _split(batch: pa.Table) -> pa.Table:
+        groups = batch.column(group_col).to_pylist()
+        split = [
+            "val" if md5_hex(g or "")[0] in val_set else "train" for g in groups
+        ]
+        return batch.append_column("split", pa.array(split, type=pa.string()))
+
+    return ds.map_batches(_split, batch_format="pyarrow")

@@ -1,0 +1,79 @@
+"""Tests for training-set assembly ops (shuffle index, packing, split)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from dots_ocr_ray.kernel.textops import md5_hex
+from dots_ocr_ray.pipelines.packing import (
+    global_shuffle_index,
+    grouped_split,
+    pack_sequences,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_global_shuffle_index(ray_session):
+    import ray.data
+
+    docs = ray.data.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id"])
+    out = global_shuffle_index(docs).to_pandas()
+    n = len(out)
+    # positions are a dense permutation 1..N
+    assert sorted(out.shuffle_pos) == list(range(1, n + 1))
+    # order matches sequential md5 ordering exactly
+    exp = out.copy()
+    exp["h"] = [md5_hex(str(i)) for i in exp.doc_id]
+    exp = exp.sort_values(["h", "doc_id"]).reset_index(drop=True)
+    assert list(exp.shuffle_pos) == list(range(1, n + 1))
+
+
+def test_global_shuffle_index_stable_across_block_layout(ray_session):
+    import ray.data
+
+    docs = ray.data.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id"])
+    a = global_shuffle_index(docs).to_pandas().sort_values("doc_id")
+    b = (
+        global_shuffle_index(docs.repartition(7))
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert list(a.shuffle_pos) == list(b.shuffle_pos)
+
+
+def test_pack_sequences(ray_session):
+    import ray.data
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3, 10, 11],
+            "lang": ["en", "en", "en", "en", "fr", "fr"],
+            "n_tokens": [100, 300, 200, 50, 600, 10],
+        }
+    )
+    ds = ray.data.from_pandas(df)
+    out = (
+        pack_sequences(ds, budget=256).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    # en stream offsets: 0, 100, 400, 600 → packs 0,0,1,2 offsets 0,100,144,88
+    assert list(out.pack_id[:4]) == [0, 0, 1, 2]
+    assert list(out.pack_offset[:4]) == [0, 100, 400 - 256, 600 - 2 * 256]
+    # fr stream restarts: offsets 0, 600 → packs 0, 2
+    assert list(out.pack_id[4:]) == [0, 2]
+    assert list(out.pack_offset[4:]) == [0, 600 - 2 * 256]
+
+
+def test_grouped_split_no_leakage(ray_session):
+    import ray.data
+
+    docs = ray.data.read_parquet(
+        f"{SF_DIR}/documents.parquet", columns=["doc_id", "source"]
+    )
+    out = grouped_split(docs).to_pandas()
+    # every source maps to exactly one side (the leakage guarantee)
+    sides = out.groupby("source")["split"].nunique()
+    assert (sides == 1).all()
+    # rule matches the sequential definition
+    for src, side in out.groupby("source")["split"].first().items():
+        assert side == ("val" if md5_hex(src)[0] in "0123" else "train")
