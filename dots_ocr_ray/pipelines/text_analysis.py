@@ -42,16 +42,37 @@ def annotate_documents(
     document (they are the dominant per-row cost at corpus scale)."""
     want = frozenset(features)
 
+    def _ws_counts(col: pa.ChunkedArray | pa.Array) -> pa.Array:
+        """Vectorized len(text.split()): split-whitespace list lengths
+        minus the boundary empties Arrow emits — no Python per row.
+        Parity with ``count_tokens_whitespace`` is pinned by
+        test_text_analysis."""
+        import numpy as np
+        import pyarrow.compute as pc
+
+        if not pa.types.is_string(col.type) and not pa.types.is_large_string(col.type):
+            col = col.cast(pa.string())  # e.g. an all-null block infers type null
+        lists = pc.utf8_split_whitespace(pc.fill_null(col, ""))
+        n = pc.list_value_length(lists).to_numpy(zero_copy_only=False).astype(np.int64)
+        toks = pc.list_flatten(lists)
+        parents = pc.list_parent_indices(lists)
+        empt = pc.equal(toks, "")
+        empty_parents = parents.filter(empt).to_numpy(zero_copy_only=False)
+        if len(empty_parents):
+            n -= np.bincount(empty_parents, minlength=len(n)).astype(np.int64)
+        return pa.array(n, type=pa.int64())
+
     def _annotate(batch: pa.Table) -> pa.Table:
-        texts = [t or "" for t in batch.column(text_col).to_pylist()]
+        # Python string list only for the per-string heuristic families;
+        # a tokens_ws-only annotate stays fully vectorized
+        if want - {"tokens_ws"}:
+            texts = [t or "" for t in batch.column(text_col).to_pylist()]
         if "lang" in want:
             batch = batch.append_column(
                 "lang_pred", pa.array([detect_lang(t) for t in texts], type=pa.string())
             )
         if "tokens" in want or "tokens_ws" in want:
-            batch = batch.append_column(
-                "n_tokens_ws", pa.array([count_tokens_whitespace(t) for t in texts], type=pa.int64())
-            )
+            batch = batch.append_column("n_tokens_ws", _ws_counts(batch.column(text_col)))
         if "tokens" in want or "tokens_bpe" in want:
             batch = batch.append_column(
                 "n_tokens_bpe", pa.array([count_tokens_bpeish(t) for t in texts], type=pa.int64())

@@ -80,6 +80,25 @@ def test_tfidf_top_terms(ray_session):
         assert abs(s_got - s_exp) < 1e-3
 
 
+def test_ws_counts_parity(ray_session):
+    """Vectorized n_tokens_ws == len(text.split()) on hostile strings."""
+    import pyarrow as pa
+
+    import ray.data
+
+    from dots_ocr_ray.kernel.textops import count_tokens_whitespace
+    from dots_ocr_ray.pipelines.text_analysis import annotate_documents
+
+    cases = [
+        "", " ", "a", " a ", "a  b", "\ta\nb\t", "a b", "ab " * 100,
+        "\n\n", "x", None, "tab\tsep\tvals", " lead", "trail ",
+    ]
+    ds = ray.data.from_items([{"text": t} for t in cases])
+    out = annotate_documents(ds, features=("tokens_ws",)).to_pandas()
+    exp = [count_tokens_whitespace(t or "") for t in cases]
+    assert list(out.n_tokens_ws) == exp
+
+
 def test_contamination_check(ray_session):
     import ray.data
 
