@@ -1052,6 +1052,34 @@ def _q_grouped_split_docs(sf_dir: str):
     return grouped_split(docs)
 
 
+def _q_repetition_stats(sf_dir: str):
+    """Gopher-style per-doc repetition signals: distinct-token and
+    top-bigram fractions, all batch-local and vectorized (zero
+    exchange)."""
+    import ray.data
+
+    from dots_ocr_ray.pipelines.text_analysis import repetition_stats
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return repetition_stats(docs)
+
+
+def _q_mixture_rebalance(sf_dir: str):
+    """Deterministic equal-weight mixture plan across langs: per-doc
+    copy counts from md5-ordered ranks (one tiny count aggregate + one
+    key-partitioned rank exchange)."""
+    import ray.data
+
+    from dots_ocr_ray.pipelines.packing import rebalance_mixture
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+    return rebalance_mixture(docs)
+
+
 def _q_contamination_check(sf_dir: str):
     """Benchmark decontamination: probes are the first-3-token prefixes
     of a deterministic benchmark subset (doc_id % 97 == 3 — a bounded
@@ -1377,6 +1405,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_terms": _q_tfidf_top_terms,
         "contamination_check": _q_contamination_check,
         "top_bigrams": _q_top_bigrams,
+        "repetition_stats": _q_repetition_stats,
+        "mixture_rebalance": _q_mixture_rebalance,
         "shuffled_positions": _q_shuffled_positions,
         "packed_sequences": _q_packed_sequences,
         "grouped_split_docs": _q_grouped_split_docs,
@@ -1614,6 +1644,28 @@ def oracle_sql() -> dict[str, str]:
             "SELECT w AS token, CAST(count(*) AS BIGINT) AS n FROM "
             "(SELECT unnest(regexp_split_to_array(text, '\\s+')) AS w FROM documents) "
             "WHERE w <> '' GROUP BY w ORDER BY n DESC, token LIMIT 10"
+        ),
+        "repetition_stats": (
+            "WITH toks AS (SELECT doc_id, "
+            "list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS arr FROM documents), "
+            "u AS (SELECT doc_id, len(arr) AS n_tokens, len(list_distinct(arr)) AS n_distinct FROM toks), "
+            "big AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(arr) - 1), "
+            "i -> arr[i] || ' ' || arr[i + 1])) AS bg FROM toks WHERE len(arr) >= 2), "
+            "bc AS (SELECT doc_id, bg, count(*) AS c FROM big GROUP BY doc_id, bg), "
+            "bm AS (SELECT doc_id, max(c) AS maxc, sum(c) AS nbig FROM bc GROUP BY doc_id) "
+            "SELECT u.doc_id, CAST(u.n_tokens AS BIGINT) AS n_tokens, "
+            "round(CASE WHEN u.n_tokens = 0 THEN 0.0 ELSE u.n_distinct * 1.0 / u.n_tokens END, 4) AS distinct_frac, "
+            "round(CASE WHEN bm.nbig IS NULL OR bm.nbig = 0 THEN 0.0 ELSE bm.maxc * 1.0 / bm.nbig END, 4) AS top_bigram_frac "
+            "FROM u LEFT JOIN bm ON u.doc_id = bm.doc_id"
+        ),
+        "mixture_rebalance": (
+            "WITH c AS (SELECT count(*) AS total, count(DISTINCT lang) AS nl FROM documents), "
+            "r AS (SELECT doc_id, lang, "
+            "row_number() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk, "
+            "count(*) OVER (PARTITION BY lang) AS nlang FROM documents) "
+            "SELECT doc_id, lang, "
+            "CAST((c.total // c.nl) // nlang + CASE WHEN rk <= (c.total // c.nl) % nlang THEN 1 ELSE 0 END AS BIGINT) AS n_copies "
+            "FROM r, c"
         ),
         "shuffled_positions": (
             "SELECT doc_id, CAST(row_number() OVER "

@@ -132,6 +132,58 @@ def pack_sequences(
     return ds.groupby(key_col).map_groups(_pack, batch_format="pandas")
 
 
+def rebalance_mixture(
+    ds: ray.data.Dataset,
+    *,
+    key_col: str = "lang",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Deterministic data-mixture rebalancing to an equal-weight
+    target: each key (language/source) gets total // n_keys example
+    slots, filled by repeating or subsampling that key's documents.
+
+    n_copies per doc = base ± 1 where base = target // n_key_docs and
+    the first (target % n_key_docs) documents in md5(id) order take the
+    extra copy — so up/down-sampling is reproducible across runs and
+    cluster layouts (the same property as :func:`global_shuffle_index`,
+    and the md5 order makes the subsample unbiased w.r.t. id order).
+
+    Exchanges: one tiny per-key count aggregate (driver sees ≤ n_keys
+    rows, broadcast back), one key-partitioned ``map_groups`` that
+    ranks locally.  Emitting the physically repeated rows is a
+    ``flat_map`` on n_copies the caller applies when materializing the
+    mix; this op returns the plan (doc_id, key, n_copies), which is
+    what a resumable job should checkpoint anyway.
+
+    Output: (id_col, key_col, n_copies) — n_copies may be 0
+    (downsampled out)."""
+    counts = {r[key_col]: r["count()"] for r in ds.groupby(key_col).count().take_all()}
+    n_keys = len(counts)
+    total = sum(counts.values())
+    target = total // max(n_keys, 1)
+    plan_ref = ray.put({k: (target // n, target % n) for k, n in counts.items()})
+
+    def _assign(group: pa.Table) -> pa.Table:
+        base_rem = cached_object(plan_ref)
+        key = group.column(key_col)[0].as_py()
+        base, rem = base_rem[key]
+        ids = group.column(id_col).to_pylist()
+        hexes = np.array([md5_hex(str(i)) for i in ids], dtype=object)
+        idx = np.lexsort((np.array(ids), hexes))
+        rank = np.empty(len(idx), dtype=np.int64)
+        rank[idx] = np.arange(1, len(idx) + 1)
+        n_copies = base + (rank <= rem)
+        return pa.table(
+            {
+                id_col: group.column(id_col),
+                key_col: group.column(key_col),
+                "n_copies": pa.array(n_copies, type=pa.int64()),
+            }
+        )
+
+    return ds.groupby(key_col).map_groups(_assign, batch_format="pyarrow")
+
+
 def grouped_split(
     ds: ray.data.Dataset,
     *,

@@ -358,6 +358,73 @@ def top_bigrams(
     )
 
 
+def repetition_stats(
+    ds: ray.data.Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Per-document intra-repetition signals (the Gopher/RefinedWeb
+    repetition filters): distinct-token fraction and top-bigram
+    fraction.  Documents dominated by one repeated phrase score a high
+    top_bigram_frac and get dropped before training.
+
+    Purely batch-local and fully vectorized — token codes from one
+    dictionary-encode, per-doc aggregation via ``np.bincount`` /
+    ``np.maximum.at`` over parent indices; no exchange at all.
+
+    Output: (doc_id, n_tokens, distinct_frac, top_bigram_frac),
+    fractions rounded to 4 decimals, 0.0 for empty streams."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    def _stats(batch: pa.Table) -> pa.Table:
+        nrows = batch.num_rows
+        lists = pc.utf8_split_whitespace(pc.fill_null(batch.column(text_col), ""))
+        toks = pc.list_flatten(lists)
+        parents = pc.list_parent_indices(lists)
+        mask = pc.not_equal(toks, "")
+        toks, parents = toks.filter(mask), parents.filter(mask)
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        par = parents.to_numpy(zero_copy_only=False).astype(np.int64)
+        enc = toks.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vsize = len(enc.dictionary)
+
+        n_tokens = np.bincount(par, minlength=nrows).astype(np.int64)
+        # distinct tokens per doc: unique (parent, code) pairs
+        uniq_pc = np.unique(np.stack([par, codes], axis=1), axis=0)
+        n_distinct = np.bincount(uniq_pc[:, 0], minlength=nrows).astype(np.int64)
+        # bigrams: adjacent positions sharing a parent; key packs the
+        # code pair into one int64 (safe: vsize^2 < 2^63 for any batch)
+        maxc = np.zeros(nrows, dtype=np.int64)
+        n_big = np.zeros(nrows, dtype=np.int64)
+        if len(par) >= 2:
+            adj = par[:-1] == par[1:]
+            bpar = par[:-1][adj]
+            bkey = codes[:-1][adj] * max(vsize, 1) + codes[1:][adj]
+            n_big = np.bincount(bpar, minlength=nrows).astype(np.int64)
+            if len(bpar):
+                pairs, cnt = np.unique(
+                    np.stack([bpar, bkey], axis=1), axis=0, return_counts=True
+                )
+                np.maximum.at(maxc, pairs[:, 0], cnt)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            distinct_frac = np.where(n_tokens > 0, n_distinct / np.maximum(n_tokens, 1), 0.0)
+            top_bigram_frac = np.where(n_big > 0, maxc / np.maximum(n_big, 1), 0.0)
+        return pa.table(
+            {
+                "doc_id": batch.column(id_col),
+                "n_tokens": pa.array(n_tokens, type=pa.int64()),
+                "distinct_frac": pa.array(np.round(distinct_frac, 4), type=pa.float64()),
+                "top_bigram_frac": pa.array(np.round(top_bigram_frac, 4), type=pa.float64()),
+            }
+        )
+
+    return ds.map_batches(_stats, batch_format="pyarrow")
+
+
 def tfidf_top_terms(
     ds: ray.data.Dataset,
     *,

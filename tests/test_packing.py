@@ -64,6 +64,29 @@ def test_pack_sequences(ray_session):
     assert list(out.pack_offset[4:]) == [0, 600 - 2 * 256]
 
 
+def test_rebalance_mixture(ray_session):
+    import ray.data
+
+    from dots_ocr_ray.pipelines.packing import rebalance_mixture
+
+    docs = ray.data.read_parquet(
+        f"{SF_DIR}/documents.parquet", columns=["doc_id", "lang"]
+    )
+    out = rebalance_mixture(docs).to_pandas()
+    raw = pd.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id", "lang"])
+    target = len(raw) // raw.lang.nunique()
+    # every key's slot total hits the equal-weight target exactly
+    assert (out.groupby("lang")["n_copies"].sum() == target).all()
+    # deterministic across block layout
+    again = rebalance_mixture(
+        ray.data.read_parquet(
+            f"{SF_DIR}/documents.parquet", columns=["doc_id", "lang"]
+        ).repartition(7)
+    ).to_pandas()
+    merged = out.merge(again, on="doc_id", suffixes=("_a", "_b"))
+    assert (merged.n_copies_a == merged.n_copies_b).all()
+
+
 def test_grouped_split_no_leakage(ray_session):
     import ray.data
 

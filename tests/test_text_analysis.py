@@ -154,6 +154,30 @@ def test_top_bigrams(ray_session):
     assert list(out.n) == [n for _, n in exp]
 
 
+def test_repetition_stats(ray_session):
+    import ray.data
+
+    from dots_ocr_ray.pipelines.text_analysis import repetition_stats
+
+    cases = [
+        {"doc_id": 0, "text": ""},
+        {"doc_id": 1, "text": "solo"},
+        {"doc_id": 2, "text": "a b a b a b"},
+        {"doc_id": 3, "text": "x x x x"},
+        {"doc_id": 4, "text": "all words here are distinct"},
+    ]
+    out = (
+        repetition_stats(ray.data.from_items(cases))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(out.n_tokens) == [0, 1, 6, 4, 5]
+    assert list(out.distinct_frac) == [0.0, 1.0, round(2 / 6, 4), 0.25, 1.0]
+    # "a b a b a b": bigrams ab,ba,ab,ba,ab → top 3/5; "x x x x": 3/3
+    assert list(out.top_bigram_frac) == [0.0, 0.0, 0.6, 1.0, 0.25]
+
+
 def test_fingerprint_duplicates(ray_session):
     out = fingerprint_duplicates(SF_DIR).to_pandas()
     # sf0.001 documents are all distinct → few/no shared fingerprints,
