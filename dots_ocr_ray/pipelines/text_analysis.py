@@ -413,12 +413,16 @@ def repetition_stats(
         with np.errstate(divide="ignore", invalid="ignore"):
             distinct_frac = np.where(n_tokens > 0, n_distinct / np.maximum(n_tokens, 1), 0.0)
             top_bigram_frac = np.where(n_big > 0, maxc / np.maximum(n_big, 1), 0.0)
+        # round half AWAY from zero (SQL round semantics); np.round is
+        # half-even and diverges on exact ties like 26/64 = 0.40625
+        distinct_frac = np.floor(distinct_frac * 1e4 + 0.5) / 1e4
+        top_bigram_frac = np.floor(top_bigram_frac * 1e4 + 0.5) / 1e4
         return pa.table(
             {
                 "doc_id": batch.column(id_col),
                 "n_tokens": pa.array(n_tokens, type=pa.int64()),
-                "distinct_frac": pa.array(np.round(distinct_frac, 4), type=pa.float64()),
-                "top_bigram_frac": pa.array(np.round(top_bigram_frac, 4), type=pa.float64()),
+                "distinct_frac": pa.array(distinct_frac, type=pa.float64()),
+                "top_bigram_frac": pa.array(top_bigram_frac, type=pa.float64()),
             }
         )
 
