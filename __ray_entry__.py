@@ -1191,6 +1191,59 @@ def _q_scrub_documents(sf_dir: str):
     return scrub_documents(docs).select_columns(["doc_id", "text_scrubbed"])
 
 
+
+
+
+
+def _q_model_quality_scores(sf_dir: str):
+    """Fixed-weight logistic quality scorer (CCNet-style): vectorized
+    features + one numpy sigmoid; independent SQL oracle mirrors the
+    exact formula."""
+    import ray.data
+
+    from dots_ocr_ray.pipelines.text_analysis import quality_model_scores
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return quality_model_scores(docs)
+
+
+def _q_normalized_texts(sf_dir: str):
+    """NFC + lower + whitespace-collapse canonicalization; independent
+    SQL oracle (nfc_normalize/lower/regexp_replace/trim)."""
+    import ray.data
+
+    from dots_ocr_ray.pipelines.text_analysis import normalize_text
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return normalize_text(docs)
+
+
+def _q_label_centroids(sf_dir: str):
+    """Per-label mean embedding (vector aggregate): one scatter-add
+    partial per batch, kilobyte driver merge; INDEPENDENT SQL oracle
+    (unnest + generate_subscripts + avg)."""
+    import ray.data
+
+    from dots_ocr_ray.pipelines.similarity import group_centroids
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"])
+    return group_centroids(ds, group_col="label")
+
+
+def _q_kmeans_clusters(sf_dir: str):
+    """Corpus-wide k-means cluster assignment over the embedding
+    column (SemDeDup-style curation primitive): deterministic
+    hash-sample training on the driver, broadcast centroids, zero
+    exchange.  Golden-parquet oracle (make_golden.golden_kmeans_clusters
+    — same sample / train / assign kernels, sequential)."""
+    import ray.data
+
+    from dots_ocr_ray.pipelines.similarity import kmeans_assign
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return kmeans_assign(ds)
+
+
 def _q_ann_ivf_topk(sf_dir: str):
     import numpy as np
     import pyarrow.parquet as pq
@@ -1372,6 +1425,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": _q_ann_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
+        "kmeans_clusters": _q_kmeans_clusters,
+        "label_centroids": _q_label_centroids,
+        "normalized_texts": _q_normalized_texts,
+        "model_quality_scores": _q_model_quality_scores,
         # training-data prep
         "chunk_stats": _q_chunk_stats,
         "scrub_documents": _q_scrub_documents,
@@ -1545,6 +1602,24 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding": f"SELECT doc_id, cluster_id FROM read_parquet('{_GOLDEN_DIR}/dedup_embedding.parquet')",
         "ann_lsh_topk": f"SELECT query_id, vec_id, rank FROM read_parquet('{_GOLDEN_DIR}/ann_lsh_topk.parquet')",
         "ann_ivf_topk": f"SELECT query_id, vec_id, rank FROM read_parquet('{_GOLDEN_DIR}/ann_ivf_topk.parquet')",
+        "kmeans_clusters": f"SELECT vec_id, cluster_id, sim FROM read_parquet('{_GOLDEN_DIR}/kmeans_clusters.parquet')",
+        "model_quality_scores": (
+            "SELECT doc_id, round(1.0/(1.0+exp(-(-2.0 + 0.5*ln(1+nw) + 2.0*ar + 0.25*ln(1+nc)))), 4) AS score, "
+            "(1.0/(1.0+exp(-(-2.0 + 0.5*ln(1+nw) + 2.0*ar + 0.25*ln(1+nc)))) >= 0.5) AS keep FROM ("
+            "SELECT doc_id, len(string_split_regex(trim(text), '[ \t\n]+')) AS nw, "
+            "CASE WHEN length(text) = 0 THEN 0.0 ELSE length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / length(text) END AS ar, "
+            "length(text) AS nc FROM documents)"
+        ),
+        "normalized_texts": (
+            "SELECT doc_id, trim(regexp_replace(lower(nfc_normalize(text)), '\\s+', ' ', 'g')) AS norm_text, "
+            "CAST(length(trim(regexp_replace(lower(nfc_normalize(text)), '\\s+', ' ', 'g'))) AS BIGINT) AS n_chars_norm "
+            "FROM documents"
+        ),
+        "label_centroids": (
+            "SELECT label, CAST(idx AS BIGINT) AS idx, round(avg(v), 4) AS c FROM ("
+            "SELECT label, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS idx "
+            "FROM embeddings) GROUP BY label, idx"
+        ),
         "lang_id_confusion": f"SELECT lang, lang_pred, n FROM read_parquet('{_GOLDEN_DIR}/lang_id_confusion.parquet')",
         "fingerprint_dups": f"SELECT fingerprint, n_docs, min_doc_id FROM read_parquet('{_GOLDEN_DIR}/fingerprint_dups.parquet')",
         "merge_docs": (

@@ -21,7 +21,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
-from dots_ocr_ray.util import autoscale_pool, vec_matrix
+from dots_ocr_ray.util import autoscale_pool, round_half_away, vec_matrix
 
 
 def _normalize_rows(mat: np.ndarray) -> np.ndarray:
@@ -301,3 +301,158 @@ def lsh_topk(
         concurrency=concurrency or autoscale_pool(),
     )
     return _merge_topk(partials, k)
+
+
+def hash_sample_matrix(
+    ds: ray.data.Dataset,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n: int = 512,
+) -> np.ndarray:
+    """Deterministic uniform sample of ``n`` vectors: the rows with the
+    smallest Knuth multiplicative hash of their id (distributed
+    bottom-k — per-batch partial bottom-k, tiny driver merge), so the
+    sample is insensitive to input order and block layout.  Returns a
+    row-normalized float32 matrix."""
+
+    def _bottomk(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        h = knuth_hash32(ids)
+        take = np.argsort(h, kind="stable")[:n]
+        sub = batch.select([id_col, vec_col]).take(pa.array(np.sort(take)))
+        hh = knuth_hash32(sub.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64))
+        return sub.append_column("_h", pa.array(hh, type=pa.int64()))
+
+    import pyarrow as _pa
+
+    sample_tbl = _pa.concat_tables(
+        ds.map_batches(_bottomk, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow", batch_size=None
+        )
+    )
+    order = pc.sort_indices(sample_tbl, sort_keys=[("_h", "ascending"), (id_col, "ascending")])
+    sample_tbl = sample_tbl.take(order).slice(0, n)
+    return _normalize_rows(vec_matrix(sample_tbl.column(vec_col), dtype=np.float32))
+
+
+def assign_clusters_matrix(mat: np.ndarray, centroids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Pure cluster assignment shared by the Ray stage and the
+    sequential golden oracle: cosine similarity in float64, rounded to
+    9 decimals BEFORE the argmax so batch shape / BLAS summation order
+    cannot flip near-ties (argmax then breaks exact ties toward the
+    lower cluster id in both paths).  Returns (cluster_id int32,
+    similarity float64 rounded half-away to 4 decimals)."""
+    unit = _normalize_rows(mat.astype(np.float64))
+    sims = np.round(unit @ centroids.astype(np.float64).T, 9)
+    cid = np.argmax(sims, axis=1).astype(np.int32)
+    best = sims[np.arange(len(cid)), cid]
+    return cid, round_half_away(best, 4)
+
+
+def kmeans_assign(
+    ds: ray.data.Dataset,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_clusters: int = 8,
+    train_sample: int = 512,
+    kmeans_iters: int = 5,
+    concurrency: int | tuple[int, int] | None = None,
+) -> ray.data.Dataset:
+    """Corpus-wide k-means cluster assignment — the SemDeDup /
+    cluster-balanced-sampling primitive (reference has no counterpart;
+    this is part of the training-data layer):
+
+    1. TRAIN (driver, tiny): deterministic spherical k-means
+       (:func:`train_kmeans`) over the bottom-``train_sample``
+       hash-sample (:func:`hash_sample_matrix`) — O(sample) driver
+       memory regardless of corpus size.
+    2. ASSIGN (distributed, zero exchange): centroids broadcast via
+       ``ray.put`` once; each batch does one float64 matmul
+       (:func:`assign_clusters_matrix`).
+
+    Output: (id_col, cluster_id int32, sim float64@4dp), one row per
+    input vector, streaming — never materialized."""
+    sample = hash_sample_matrix(ds, vec_col=vec_col, id_col=id_col, n=train_sample)
+    centroids = train_kmeans(sample, n_clusters, kmeans_iters)
+    centroids_ref = ray.put(centroids)
+
+    from dots_ocr_ray.util import cached_object
+
+    def _assign(batch: pa.Table) -> pa.Table:
+        cents = cached_object(centroids_ref)
+        mat = vec_matrix(batch.column(vec_col), dtype=np.float32)
+        cid, sim = assign_clusters_matrix(mat, cents)
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "cluster_id": pa.array(cid, type=pa.int32()),
+                "sim": pa.array(sim, type=pa.float64()),
+            }
+        )
+
+    return ds.map_batches(_assign, batch_format="pyarrow")
+
+
+def group_centroids(
+    ds: ray.data.Dataset,
+    *,
+    vec_col: str = "embedding",
+    group_col: str = "label",
+) -> pa.Table:
+    """Per-group mean embedding (centroid), long form — the vector
+    aggregate behind per-domain / per-language corpus profiles.
+
+    Per-batch partial: one ``np.add.at`` scatter-add of the float64
+    vector matrix over the batch's group codes → (group, sum, n) rows;
+    the driver merge is O(n_groups × n_blocks) vector rows (kilobytes),
+    never the corpus.  Output: (group_col, idx 1-based, c) with the
+    mean rounded half-away to 4 decimals — directly SQL-mirrorable via
+    unnest + generate_subscripts + avg."""
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        mat = vec_matrix(batch.column(vec_col), dtype=np.float64)
+        g = batch.column(group_col).to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(g, return_inverse=True)
+        sums = np.zeros((len(uniq), mat.shape[1]), dtype=np.float64)
+        np.add.at(sums, inv, mat)
+        counts = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        return pa.table(
+            {
+                group_col: pa.array(uniq),
+                "_sum": pa.array(list(sums), type=pa.list_(pa.float64())),
+                "_n": pa.array(counts, type=pa.int64()),
+            }
+        )
+
+    acc: dict = {}
+    group_type = None
+    for part in ds.map_batches(_partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow", batch_size=None
+    ):
+        group_type = part.column(group_col).type
+        sums = vec_matrix(part.column("_sum"), dtype=np.float64)
+        ns = part.column("_n").to_numpy(zero_copy_only=False)
+        for key, vec, n in zip(part.column(group_col).to_pylist(), sums, ns):
+            if key in acc:
+                acc[key][0] += vec
+                acc[key][1] += int(n)
+            else:
+                acc[key] = [vec.copy(), int(n)]
+
+    g_out, i_out, c_out = [], [], []
+    for key in sorted(acc):
+        vec, n = acc[key]
+        mean = round_half_away(vec / n, 4)
+        for i, v in enumerate(mean, 1):
+            g_out.append(key)
+            i_out.append(i)
+            c_out.append(float(v))
+    return pa.table(
+        {
+            group_col: pa.array(g_out, type=group_type),
+            "idx": pa.array(i_out, type=pa.int64()),
+            "c": pa.array(c_out, type=pa.float64()),
+        }
+    )

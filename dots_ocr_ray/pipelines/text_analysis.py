@@ -544,3 +544,109 @@ def tfidf_top_terms(
         )
 
     return ds.map_batches(_score, batch_format="pyarrow")
+
+
+def normalize_text(
+    ds: ray.data.Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Unicode/text canonicalization (the standard pre-dedup cleanup):
+    NFC normalize → lowercase → collapse whitespace runs → trim.
+
+    Entirely zero-exchange and vectorized — Arrow compute kernels per
+    batch (RE2 regex, utf8proc case map), with a narrow Python
+    unicodedata fallback for the non-ASCII rows only.  Output:
+    (id_col, norm_text, n_chars_norm)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    def _norm(batch: pa.Table) -> pa.Table:
+        col = batch.column(text_col)
+        if not pa.types.is_string(col.type) and not pa.types.is_large_string(col.type):
+            col = col.cast(pa.string())  # e.g. an all-null block infers type null
+        s = pc.fill_null(col, "")
+        # NFC: identity on ASCII (the vast majority of web text after
+        # boilerplate strip), so only non-ASCII rows pay the Python
+        # unicodedata call — pyarrow 16's utf8_normalize(form="NFC")
+        # does not compose (emits NFD), so it cannot be used here
+        non_ascii = pc.invert(pc.string_is_ascii(s))
+        if pc.any(non_ascii).as_py():
+            import unicodedata
+
+            idx = np.flatnonzero(non_ascii.to_numpy(zero_copy_only=False))
+            if isinstance(s, pa.ChunkedArray):
+                s = s.combine_chunks()
+            vals = s.to_pylist()
+            for i in idx:
+                vals[i] = unicodedata.normalize("NFC", vals[i])
+            s = pa.array(vals, type=pa.string())
+        s = pc.utf8_lower(s)
+        s = pc.replace_substring_regex(s, r"\s+", " ")
+        s = pc.utf8_trim_whitespace(s)
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "norm_text": s,
+                "n_chars_norm": pc.utf8_length(s).cast(pa.int64()),
+            }
+        )
+
+    return ds.map_batches(_norm, batch_format="pyarrow")
+
+
+def quality_model_scores(
+    ds: ray.data.Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    weights: tuple[float, float, float, float] = (-2.0, 0.5, 2.0, 0.25),
+) -> ray.data.Dataset:
+    """Pretrained-style linear quality classifier (the fasttext-scorer
+    shape used by CCNet/RedPajama curation): a fixed-weight logistic
+    model over cheap per-doc features —
+
+        score = sigmoid(w0 + w1·ln(1+n_words) + w2·alpha_ratio
+                        + w3·ln(1+n_chars))
+
+    Zero exchange, fully vectorized (Arrow kernels for the features,
+    one numpy expression for the model); model "load" is just the
+    weight tuple, so the stage stays a stateless task.  Output:
+    (id_col, score float64@4dp, keep bool at 0.5)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from dots_ocr_ray.util import round_half_away
+
+    w0, w1, w2, w3 = weights
+
+    def _score(batch: pa.Table) -> pa.Table:
+        col = batch.column(text_col)
+        if not pa.types.is_string(col.type) and not pa.types.is_large_string(col.type):
+            col = col.cast(pa.string())  # e.g. an all-null block infers type null
+        col = pc.fill_null(col, "")
+        lists = pc.utf8_split_whitespace(col)
+        n = pc.list_value_length(lists).to_numpy(zero_copy_only=False).astype(np.int64)
+        toks, parents = pc.list_flatten(lists), pc.list_parent_indices(lists)
+        empty_parents = parents.filter(pc.equal(toks, "")).to_numpy(zero_copy_only=False)
+        if len(empty_parents):
+            n -= np.bincount(empty_parents, minlength=len(n)).astype(np.int64)
+        n_chars = pc.utf8_length(col).to_numpy(zero_copy_only=False).astype(np.int64)
+        n_alpha = (
+            pc.utf8_length(pc.replace_substring_regex(col, "[^A-Za-z]", ""))
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        ar = np.where(n_chars > 0, n_alpha / np.maximum(n_chars, 1), 0.0)
+        z = w0 + w1 * np.log1p(n) + w2 * ar + w3 * np.log1p(n_chars)
+        score = round_half_away(1.0 / (1.0 + np.exp(-z)), 4)
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "score": pa.array(score, type=pa.float64()),
+                "keep": pa.array(score >= 0.5, type=pa.bool_()),
+            }
+        )
+
+    return ds.map_batches(_score, batch_format="pyarrow")

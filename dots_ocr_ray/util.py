@@ -94,3 +94,12 @@ def vec_matrix(col, dtype=None):
     if n * d != len(values):
         raise ValueError("vec_matrix requires a rectangular list column")
     return values.reshape(n, d)
+
+
+def round_half_away(x, decimals: int = 4):
+    """SQL-style round half AWAY from zero (numpy's np.round is
+    half-even and diverges from DuckDB on exact ties like 0.40625)."""
+    import numpy as np
+
+    p = 10.0**decimals
+    return np.sign(x) * np.floor(np.abs(x) * p + 0.5) / p

@@ -29,6 +29,7 @@ def _canon(obj) -> pd.DataFrame:
     "name",
     [
         "describe_docs",
+        "kmeans_clusters",
         "chars_quantiles_approx",
         "dedup_minhash",
         "dedup_simhash",

@@ -93,10 +93,13 @@ def test_ws_counts_parity(ray_session):
         "", " ", "a", " a ", "a  b", "\ta\nb\t", "a b", "ab " * 100,
         "\n\n", "x", None, "tab\tsep\tvals", " lead", "trail ",
     ]
-    ds = ray.data.from_items([{"text": t} for t in cases])
+    ds = ray.data.from_items([{"text": t, "i": i} for i, t in enumerate(cases)])
     out = annotate_documents(ds, features=("tokens_ws",)).to_pandas()
-    exp = [count_tokens_whitespace(t or "") for t in cases]
-    assert list(out.n_tokens_ws) == exp
+    # block order is not guaranteed across parallel map tasks — align by
+    # the row index, not output position
+    got = dict(zip(out.i, out.n_tokens_ws))
+    exp = {i: count_tokens_whitespace(t or "") for i, t in enumerate(cases)}
+    assert got == exp
 
 
 def test_contamination_check(ray_session):

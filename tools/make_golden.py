@@ -48,7 +48,11 @@ from dots_ocr_ray.functions.hashing import (  # noqa: E402
 from dots_ocr_ray.kernel.textops import detect_lang, fingerprint  # noqa: E402
 from dots_ocr_ray.pipelines.dedup import HOT_BUCKET_CAP, _root_map_from_pairs  # noqa: E402
 from dots_ocr_ray.pipelines.document import split_words_midpoints  # noqa: E402
-from dots_ocr_ray.pipelines.similarity import knuth_hash32, train_kmeans  # noqa: E402
+from dots_ocr_ray.pipelines.similarity import (  # noqa: E402
+    assign_clusters_matrix,
+    knuth_hash32,
+    train_kmeans,
+)
 
 
 def _normalize_rows(mat: np.ndarray) -> np.ndarray:
@@ -374,7 +378,31 @@ def golden_chars_quantiles_approx(sf_dir: str) -> pa.Table:
     )
 
 
+def golden_kmeans_clusters(
+    sf_dir: str, *, n_clusters: int = 8, train_sample: int = 512, kmeans_iters: int = 5
+) -> pa.Table:
+    """Sequential mirror of pipelines.similarity.kmeans_assign: same
+    bottom-k hash sample, same train_kmeans, same float64 rounded-sim
+    assignment kernel (assign_clusters_matrix)."""
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = t.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    mat = np.asarray(t.column("embedding").to_pylist(), dtype=np.float32)
+    h = knuth_hash32(ids)
+    order = np.lexsort((ids, h))[:train_sample]
+    sample = _normalize_rows(mat[order].astype(np.float32))
+    centroids = train_kmeans(sample, n_clusters, kmeans_iters)
+    cid, sim = assign_clusters_matrix(mat, centroids)
+    return pa.table(
+        {
+            "vec_id": pa.array(ids, type=pa.int64()),
+            "cluster_id": pa.array(cid, type=pa.int32()),
+            "sim": pa.array(sim, type=pa.float64()),
+        }
+    )
+
+
 GOLDEN_BUILDERS = {
+    "kmeans_clusters": golden_kmeans_clusters,
     "describe_docs": golden_describe_docs,
     "chars_quantiles_approx": golden_chars_quantiles_approx,
     "dedup_minhash": golden_dedup_minhash,
