@@ -1153,8 +1153,20 @@ def _q_orders_customer_join(sf_dir: str):
     customer = ray.data.read_parquet(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
     )
+    import pyarrow as _pa
+
     joined = hash_join(
-        orders.map_batches(_rename_key, batch_format="pyarrow"), customer, on="c_custkey"
+        orders.map_batches(_rename_key, batch_format="pyarrow"),
+        customer,
+        on="c_custkey",
+        # schemas passed explicitly: .schema() through the rename map
+        # would execute a plan prefix (seconds of fixed cost)
+        left_schema=_pa.schema(
+            [("c_custkey", _pa.int64()), ("o_totalprice", _pa.float64())]
+        ),
+        right_schema=_pa.schema(
+            [("c_custkey", _pa.int64()), ("c_nationkey", _pa.int64())]
+        ),
     )
 
     def _partial(batch: pa.Table) -> pa.Table:
@@ -1297,7 +1309,11 @@ def _q_customers_without_orders(sf_dir: str):
         return batch.rename_columns(["c_custkey"])
 
     kept = hash_join(
-        customer, orders.map_batches(_rename, batch_format="pyarrow"), on="c_custkey", how="anti"
+        customer,
+        orders.map_batches(_rename, batch_format="pyarrow"),
+        on="c_custkey",
+        how="anti",
+        right_schema=pa.schema([("c_custkey", pa.int64())]),
     )
 
     def _partial(batch: pa.Table) -> pa.Table:
@@ -1359,7 +1375,10 @@ def _q_acctbal_price_band(sf_dir: str):
         left_lo="lo",
         left_hi="hi",
         right_on="p_retailprice",
-        bucket_width=25.0,
+        bucket_width=200.0,
+        left_schema=pa.schema(
+            [("c_custkey", pa.int64()), ("lo", pa.float64()), ("hi", pa.float64())]
+        ),
     )
 
     def _partial(batch: pa.Table) -> pa.Table:

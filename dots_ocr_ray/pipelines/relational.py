@@ -336,6 +336,8 @@ def hash_join(
     how: str = "inner",
     num_buckets: int = 64,
     suffix: str = "_r",
+    left_schema: pa.Schema | None = None,
+    right_schema: pa.Schema | None = None,
 ) -> ray.data.Dataset:
     """Distributed equi-join for two LARGE datasets (neither side fits
     a broadcast): ONE keyed exchange over hash buckets, vectorized
@@ -376,7 +378,13 @@ def hash_join(
 
         return _fn
 
-    left_schema, right_schema = left.schema(), right.schema()
+    # .schema() on a dataset with map_batches upstream EXECUTES a
+    # prefix of the plan (seconds of fixed cost per call) — callers
+    # that wrap reads in maps should pass the schemas explicitly
+    if left_schema is None:
+        left_schema = left.schema()
+    if right_schema is None:
+        right_schema = right.schema()
     left_cols = list(left_schema.names)
     right_cols = list(right_schema.names)
     types: dict[str, pa.DataType] = {
@@ -453,6 +461,8 @@ def range_join(
     bucket_width: float,
     suffix: str = "_r",
     max_buckets_per_row: int = 64,
+    left_schema: pa.Schema | None = None,
+    right_schema: pa.Schema | None = None,
 ) -> ray.data.Dataset:
     """Distributed band join: left rows carry an interval
     ``[left_lo, left_hi]``, right rows a value ``right_on``; emits one
@@ -477,7 +487,10 @@ def range_join(
     import numpy as np
     import pandas as pd
 
-    left_schema, right_schema = left.schema(), right.schema()
+    if left_schema is None:  # see hash_join: schema() can execute a plan prefix
+        left_schema = left.schema()
+    if right_schema is None:
+        right_schema = right.schema()
     left_cols = list(left_schema.names)
     right_cols = list(right_schema.names)
     types: dict[str, pa.DataType] = {n: t for n, t in zip(left_schema.names, left_schema.types)}
@@ -525,11 +538,34 @@ def range_join(
         )
 
     def _merge(group: pd.DataFrame) -> pd.DataFrame:
-        lhs = group[group["__side"] == 0][left_cols].assign(__one=1)
-        rhs = group[group["__side"] == 1][right_cols].assign(__one=1)
-        out = lhs.merge(rhs, on="__one", suffixes=("", suffix)).drop(columns="__one")
+        # sorted interval match, NOT a cross product: sort the bucket's
+        # right values once, then two vectorized searchsorted calls per
+        # bucket find each interval's matching run — work and memory are
+        # O(n log n + matches), where the cross-product merge this
+        # replaced was O(nl × nr) rows materialized per bucket
+        lhs = group[group["__side"] == 0][left_cols].reset_index(drop=True)
+        rhs = group[group["__side"] == 1][right_cols].reset_index(drop=True)
         val_col = right_on if right_on not in left_cols else right_on + suffix
-        out = out[(out[left_lo] <= out[val_col]) & (out[val_col] <= out[left_hi])]
+        order = np.argsort(rhs[right_on].to_numpy(), kind="stable")
+        rhs = rhs.iloc[order].reset_index(drop=True)
+        v = rhs[right_on].to_numpy(dtype=np.float64)
+        lo = lhs[left_lo].to_numpy(dtype=np.float64)
+        hi = lhs[left_hi].to_numpy(dtype=np.float64)
+        start = np.searchsorted(v, lo, side="left")
+        end = np.searchsorted(v, hi, side="right")
+        cnt = np.maximum(end - start, 0)
+        li = np.repeat(np.arange(len(lhs)), cnt)
+        offsets = np.concatenate([[0], np.cumsum(cnt)])[:-1]
+        ri = np.arange(int(cnt.sum())) - np.repeat(offsets, cnt) + np.repeat(start, cnt)
+        out = pd.concat(
+            [
+                lhs.iloc[li].reset_index(drop=True),
+                rhs.iloc[ri]
+                .reset_index(drop=True)
+                .rename(columns={c: c + suffix for c in right_cols if c in left_cols}),
+            ],
+            axis=1,
+        )
         out = out.drop(columns=[c for c in out.columns if c not in all_cols and c != val_col])
         for c in out.columns:
             base = c[: -len(suffix)] if c.endswith(suffix) else c
