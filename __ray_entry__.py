@@ -1427,6 +1427,54 @@ def _q_lang_source_rollup(sf_dir: str):
 
 
 
+def _q_line_dedup_docs(sf_dir: str):
+    """C4/Falcon-style corpus-wide LINE dedup over the extracted pages:
+    every line appearing >= 5 times corpus-wide (blank block
+    separators, shared footers) is dropped from every document,
+    remaining line order preserved.  Two-pass: frequent-line aggregate
+    (pre-combined per batch) then a broadcast batch-local filter —
+    text never reships; above the broadcast budget the operator
+    switches to a distributed anti hash-join + reassembly."""
+    from dots_ocr_ray.pipelines.dedup import line_dedup
+
+    ds = _extract_ds(sf_dir).select_columns(["doc_id", "extracted_text"])
+    return line_dedup(ds, text_col="extracted_text", id_col="doc_id", min_count=5)
+
+
+def _q_adaptive_length_filter(sf_dir: str):
+    """Per-language adaptive length filter: keep documents whose
+    n_chars is at or above their language's exact 10th percentile.
+    Thresholds come from ONE (lang, n_chars)-level count exchange
+    (rows per distinct value, never per doc); the tiny threshold
+    table broadcasts into a stateless vectorized filter."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from dots_ocr_ray.pipelines.relational import exact_int_quantiles_by_key
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+    )
+    thr_tbl = exact_int_quantiles_by_key(docs, "lang", "n_chars", [0.1])
+    thresholds = {
+        k: int(v)
+        for k, v in zip(thr_tbl.column("lang").to_pylist(), thr_tbl.column("value").to_pylist())
+    }
+    thr_ref = ray.put(thresholds)
+
+    from dots_ocr_ray.util import cached_object
+
+    def _keep(batch: pa.Table) -> pa.Table:
+        thr = cached_object(thr_ref)
+        langs = batch.column("lang").to_pylist()
+        chars = batch.column("n_chars").to_numpy(zero_copy_only=False)
+        lo = np.fromiter((thr.get(l, 0) for l in langs), dtype=np.int64, count=len(langs))
+        return batch.filter(pa.array(chars >= lo))
+
+    return docs.map_batches(_keep, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction (the flagship; SQL mirrors the deterministic wrapper)
@@ -1440,6 +1488,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash": _q_dedup_simhash,
         "dedup_ngram": _q_dedup_ngram,
         "dedup_embedding": _q_dedup_embedding,
+        "line_dedup_docs": _q_line_dedup_docs,
+        "adaptive_length_filter": _q_adaptive_length_filter,
         # similarity search
         "ann_topk": _q_ann_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
@@ -1528,6 +1578,27 @@ def oracle_sql() -> dict[str, str]:
         ),
         # exact dedup: survivor = min doc_id per identical text
         "dedup_exact": "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
+        # line dedup: independent SQL derivation — split the (SQL-derived)
+        # extracted text into lines, drop lines appearing >=5x corpus-wide,
+        # string_agg the remainder back in order
+        "line_dedup_docs": (
+            f"WITH ex AS (SELECT doc_id, {_TEXT_SQL} AS t FROM documents), "
+            "lns AS (SELECT doc_id, unnest(string_split(t, chr(10))) AS line, "
+            "generate_subscripts(string_split(t, chr(10)), 1) AS ord FROM ex), "
+            "freq AS (SELECT line FROM lns GROUP BY line HAVING count(*) >= 5) "
+            "SELECT l.doc_id, "
+            "COALESCE(string_agg(l.line, chr(10) ORDER BY l.ord) "
+            "FILTER (WHERE l.line NOT IN (SELECT line FROM freq)), '') AS text_dedup, "
+            "CAST(count(*) FILTER (WHERE l.line NOT IN (SELECT line FROM freq)) AS BIGINT) AS n_kept, "
+            "CAST(count(*) FILTER (WHERE l.line IN (SELECT line FROM freq)) AS BIGINT) AS n_dropped "
+            "FROM lns l GROUP BY l.doc_id"
+        ),
+        "adaptive_length_filter": (
+            "WITH thr AS (SELECT lang, quantile_disc(n_chars, 0.1) AS lo "
+            "FROM documents GROUP BY lang) "
+            "SELECT d.doc_id, d.lang, d.n_chars FROM documents d "
+            "JOIN thr ON d.lang = thr.lang WHERE d.n_chars >= thr.lo"
+        ),
         "extract_category_counts": (
             "SELECT category, CAST(n AS BIGINT) AS n FROM ("
             "SELECT 'Title' AS category, count(*) FILTER (WHERE doc_id % 31 != 11 AND doc_id % 23 != 7) AS n FROM documents "

@@ -1134,3 +1134,249 @@ def embedding_dedup(
 
     pairs = buckets.groupby("bucket").map_groups(_pairs, batch_format="pyarrow")
     return cluster_assign(ds.select_columns([id_col]), pairs, id_col=id_col, method=cc_method)
+
+
+# ---------------------------------------------------------------------------
+# line-level corpus dedup (C4/Falcon-style boilerplate-line removal)
+
+
+def frequent_lines(
+    ds: ray.data.Dataset,
+    *,
+    text_col: str = "text",
+    min_count: int = 5,
+) -> ray.data.Dataset:
+    """Lines (``\\n``-separated) appearing in the corpus at least
+    ``min_count`` times → one row ``(line, n)`` per frequent line.
+
+    One pass: every batch explodes its texts with the vectorized Arrow
+    split kernel and emits per-batch ``value_counts`` partials — lines
+    cross the wire pre-combined, once — then a single ``groupby(line)``
+    sums the partials.  The result is small by construction (only
+    lines that repeat corpus-wide survive the HAVING filter)."""
+
+    def _partials(batch: pa.Table) -> pa.Table:
+        col = batch.column(text_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = pc.list_flatten(pc.split_pattern(col, "\n"))
+        vc = pc.value_counts(flat)
+        return pa.table(
+            {
+                "line": vc.field("values"),
+                "n": vc.field("counts").cast(pa.int64()),
+            }
+        )
+
+    partials = bounded_blocks(
+        ds.map_batches(_partials, batch_format="pyarrow"), rows_per_block=262144
+    )
+    summed = partials.groupby("line").sum("n")
+
+    def _having(batch: pa.Table) -> pa.Table:
+        batch = batch.rename_columns(["line", "n"])
+        return batch.filter(pc.greater_equal(batch.column("n"), min_count))
+
+    return summed.map_batches(_having, batch_format="pyarrow")
+
+
+# sentinel prefix for the distributed path: one synthetic line per doc
+# (unique corpus-wide, so never frequent) keeps fully-deduped docs from
+# vanishing in the anti-join → reassembly round trip
+_LINE_SENTINEL = "\x00doc:"
+
+
+def line_dedup(
+    ds: ray.data.Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 5,
+    broadcast_limit: int = 2_000_000,
+) -> ray.data.Dataset:
+    """C4/Falcon-style line-level corpus dedup: drop every line that
+    appears at least ``min_count`` times corpus-wide, preserving the
+    remaining lines' order → ``(id, text_dedup, n_kept, n_dropped)``.
+
+    Reference analog: the per-page repetition dedup (M8,
+    output_cleaner.py:347-416) removes repeats WITHIN a page; this is
+    the corpus-wide form a training-data pipeline runs to strip
+    navigation/footer boilerplate that survives extraction.
+
+    Two tiers on the frequent-line table (which is small by
+    construction — only corpus-repeated lines):
+
+    * ``|frequent| <= broadcast_limit`` — the lines broadcast once via
+      ``ray.put`` (per-worker cached) and every batch filters locally
+      with one hashed ``is_in`` + vectorized list rebuild +
+      ``binary_join``: zero additional exchange, text never reships.
+    * above the limit — fully distributed: texts explode to
+      ``(id, ord, line)`` rows, an anti :func:`~dots_ocr_ray.pipelines.
+      relational.hash_join` against the frequent table drops the
+      repeated lines, and one groupby(id) reassembles in ``ord`` order
+      (2 keyed exchanges, nothing driver-sized).
+    """
+    freq = frequent_lines(ds, text_col=text_col, min_count=min_count)
+    n_freq = freq.count()
+
+    out_schema = pa.schema(
+        [
+            (id_col, pa.int64()),
+            ("text_dedup", pa.string()),
+            ("n_kept", pa.int64()),
+            ("n_dropped", pa.int64()),
+        ]
+    )
+
+    def _rebuild(ids: pa.Array, parts: pa.ListArray, keep: np.ndarray) -> pa.Table:
+        counts = np.diff(parts.offsets.to_numpy(zero_copy_only=False)).astype(np.int64)
+        row_ids = np.repeat(np.arange(len(counts)), counts)
+        kept_counts = np.bincount(row_ids[keep], minlength=len(counts)).astype(np.int64)
+        offsets = np.concatenate([[0], np.cumsum(kept_counts)])
+        kept_lines = parts.values.filter(pa.array(keep))
+        rebuilt = pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()), kept_lines)
+        return pa.table(
+            {
+                id_col: ids.cast(pa.int64()),
+                "text_dedup": pc.binary_join(rebuilt, "\n"),
+                "n_kept": pa.array(kept_counts, type=pa.int64()),
+                "n_dropped": pa.array(counts - kept_counts, type=pa.int64()),
+            },
+            schema=out_schema,
+        )
+
+    if n_freq <= broadcast_limit:
+        chunks = [
+            chunk
+            for b in freq.iter_batches(batch_format="pyarrow")
+            if b.num_rows
+            for chunk in b.column("line").chunks
+        ]
+        lines_arr = (
+            pa.concat_arrays(chunks) if chunks else pa.array([], pa.string())
+        )
+        freq_ref = ray.put(lines_arr)
+
+        def _local(batch: pa.Table) -> pa.Table:
+            value_set = cached_object(freq_ref)
+            col = batch.column(text_col)
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            parts = pc.split_pattern(col, "\n")
+            if isinstance(parts, pa.ChunkedArray):
+                parts = parts.combine_chunks()
+            keep = np.asarray(
+                pc.invert(pc.is_in(parts.values, value_set=value_set)).to_numpy(
+                    zero_copy_only=False
+                ),
+                dtype=bool,
+            )
+            ids = batch.column(id_col)
+            if isinstance(ids, pa.ChunkedArray):
+                ids = ids.combine_chunks()
+            return _rebuild(ids, parts, keep)
+
+        return ds.map_batches(_local, batch_format="pyarrow")
+
+    # distributed tier: explode → anti-join → reassemble
+    from dots_ocr_ray.pipelines.relational import hash_join
+
+    def _explode(batch: pa.Table) -> pa.Table:
+        col = batch.column(text_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        parts = pc.split_pattern(col, "\n")
+        if isinstance(parts, pa.ChunkedArray):
+            parts = parts.combine_chunks()
+        counts = np.diff(parts.offsets.to_numpy(zero_copy_only=False)).astype(np.int64)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        row_ids = np.repeat(ids, counts)
+        ords = np.arange(int(counts.sum()), dtype=np.int64) - np.repeat(
+            np.concatenate([[0], np.cumsum(counts)])[:-1], counts
+        )
+        exploded = pa.table(
+            {
+                id_col: pa.array(row_ids, type=pa.int64()),
+                "ord": pa.array(ords, type=pa.int64()),
+                "line": parts.values,
+            }
+        )
+        # sentinel row per doc (ord = -1, filtered out at reassembly)
+        sent = pa.table(
+            {
+                id_col: pa.array(ids, type=pa.int64()),
+                "ord": pa.array(np.full(len(ids), -1, np.int64), type=pa.int64()),
+                "line": pa.array([f"{_LINE_SENTINEL}{i}" for i in ids], type=pa.string()),
+            }
+        )
+        return pa.concat_tables([exploded, sent])
+
+    exploded = ds.map_batches(_explode, batch_format="pyarrow")
+    kept = hash_join(
+        exploded,
+        freq.select_columns(["line"]),
+        on="line",
+        how="anti",
+        left_schema=pa.schema([(id_col, pa.int64()), ("ord", pa.int64()), ("line", pa.string())]),
+        right_schema=pa.schema([("line", pa.string())]),
+    )
+
+    def _reassemble(group: pa.Table) -> pa.Table:
+        group = group.take(pc.sort_indices(group, sort_keys=[("ord", "ascending")]))
+        ords = group.column("ord").to_numpy(zero_copy_only=False)
+        real = ords >= 0
+        lines = group.column("line").to_pylist()
+        doc = int(group.column(id_col)[0].as_py())
+        total = int(ords.max()) + 1 if real.any() else 0
+        kept_lines = [l for l, r in zip(lines, real) if r]
+        return pa.table(
+            {
+                id_col: pa.array([doc], type=pa.int64()),
+                "text_dedup": pa.array(["\n".join(kept_lines)], type=pa.string()),
+                "n_kept": pa.array([len(kept_lines)], type=pa.int64()),
+                "n_dropped": pa.array([0], type=pa.int64()),  # patched below
+            },
+            schema=out_schema,
+        )
+
+    # total line count per doc travels with the sentinel? No — recompute
+    # n_dropped distributively: per-doc totals from the explode side.
+    def _totals(batch: pa.Table) -> pa.Table:
+        col = batch.column(text_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        parts = pc.split_pattern(col, "\n")
+        if isinstance(parts, pa.ChunkedArray):
+            parts = parts.combine_chunks()
+        counts = np.diff(parts.offsets.to_numpy(zero_copy_only=False)).astype(np.int64)
+        return pa.table(
+            {
+                id_col: batch.column(id_col).cast(pa.int64()),
+                "n_total": pa.array(counts, type=pa.int64()),
+            }
+        )
+
+    reassembled = (
+        bounded_blocks(kept, rows_per_block=262144)
+        .groupby(id_col)
+        .map_groups(_reassemble, batch_format="pyarrow")
+    )
+    totals = ds.map_batches(_totals, batch_format="pyarrow")
+    joined = hash_join(
+        reassembled,
+        totals,
+        on=id_col,
+        left_schema=out_schema,
+        right_schema=pa.schema([(id_col, pa.int64()), ("n_total", pa.int64())]),
+    )
+
+    def _fix(batch: pa.Table) -> pa.Table:
+        n_total = batch.column("n_total")
+        n_kept = batch.column("n_kept")
+        fixed = pc.subtract(n_total, n_kept)
+        idx = batch.schema.get_field_index("n_dropped")
+        return batch.set_column(idx, "n_dropped", fixed).select(
+            [id_col, "text_dedup", "n_kept", "n_dropped"]
+        )
+
+    return joined.map_batches(_fix, batch_format="pyarrow")

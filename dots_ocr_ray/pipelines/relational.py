@@ -401,7 +401,7 @@ def hash_join(
         rhs = group[group["__side"] == 1][right_cols]
         if how in ("semi", "anti"):
             hit = lhs[on].isin(rhs[on].unique())
-            out = lhs[hit if how == "semi" else ~hit]
+            out = lhs[hit if how == "semi" else ~hit].copy()
         else:
             out = lhs.merge(rhs, on=on, how=how, suffixes=("", suffix))
         # the union's typed-null padding upcasts int columns to float64

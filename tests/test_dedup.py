@@ -295,3 +295,54 @@ def test_char_ngram_hashes_matches_set_semantics():
             assert abs(want - got) < 1e-12, (a, b)
     for t in cases:
         assert len(char_ngram_hashes(t)) == len(char_ngrams(t))
+
+
+def test_line_dedup_tiers_match(ray_session):
+    """Broadcast and distributed line-dedup tiers agree; frequent lines
+    drop, order is preserved, fully-deduped and empty docs survive."""
+    import pandas as pd
+    import ray.data
+
+    from dots_ocr_ray.pipelines.dedup import line_dedup
+
+    rows = [
+        {"doc_id": i, "text": f"header common\nunique body {i}\nfooter common"}
+        for i in range(40)
+    ]
+    rows.append({"doc_id": 100, "text": ""})
+    rows.append({"doc_id": 101, "text": "header common\nfooter common"})
+    ds = ray.data.from_items(rows)
+
+    def run(limit):
+        return (
+            line_dedup(ds, min_count=5, broadcast_limit=limit)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+            .astype({"doc_id": "int64", "n_kept": "int64", "n_dropped": "int64"})
+        )
+
+    broadcast, distributed = run(2_000_000), run(0)
+    pd.testing.assert_frame_equal(broadcast, distributed)
+    assert broadcast.loc[broadcast.doc_id == 3, "text_dedup"].item() == "unique body 3"
+    assert broadcast.loc[broadcast.doc_id == 3, "n_dropped"].item() == 2
+    # fully-deduped doc stays, with empty text
+    assert broadcast.loc[broadcast.doc_id == 101, "text_dedup"].item() == ""
+    assert broadcast.loc[broadcast.doc_id == 101, "n_kept"].item() == 0
+    # empty doc: one empty line, unique-ish? '' appears once per empty doc
+    assert len(broadcast) == 42
+
+
+def test_frequent_lines_threshold(ray_session):
+    import ray.data
+
+    from dots_ocr_ray.pipelines.dedup import frequent_lines
+
+    ds = ray.data.from_items(
+        [{"text": "a\nb"}, {"text": "a\nc"}, {"text": "a\nb"}]
+    )
+    out = {
+        r["line"]: r["n"]
+        for r in frequent_lines(ds, min_count=2).take_all()
+    }
+    assert out == {"a": 3, "b": 2}
