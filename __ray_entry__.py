@@ -1475,6 +1475,33 @@ def _q_adaptive_length_filter(sf_dir: str):
     return docs.map_batches(_keep, batch_format="pyarrow")
 
 
+def _q_host_degrees(sf_dir: str):
+    """Per-host in/out degree over the deterministic host link graph
+    (one keyed exchange; per-batch bidirectional partials)."""
+    from dots_ocr_ray.pipelines.graph import degree_table, host_edges_from_documents
+
+    return degree_table(host_edges_from_documents(sf_dir))
+
+
+def _q_host_pagerank(sf_dir: str):
+    """Distributed PageRank (5 iterations, damping 0.85) over the host
+    link graph; rank reported relative to uniform (mean 1.0).  Oracle:
+    golden parquet from the independent sequential implementation."""
+    import pyarrow as pa
+
+    from dots_ocr_ray.pipelines.graph import host_edges_from_documents, pagerank
+
+    tbl = pagerank(host_edges_from_documents(sf_dir), num_iters=5, damping=0.85)
+    n = tbl.num_rows
+    import pyarrow.compute as pc
+
+    return tbl.set_column(
+        tbl.schema.get_field_index("rank"),
+        "rank_rel",
+        pc.multiply(tbl.column("rank"), float(n)),
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction (the flagship; SQL mirrors the deterministic wrapper)
@@ -1490,6 +1517,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_embedding": _q_dedup_embedding,
         "line_dedup_docs": _q_line_dedup_docs,
         "adaptive_length_filter": _q_adaptive_length_filter,
+        # link-graph analytics
+        "host_degrees": _q_host_degrees,
+        "host_pagerank": _q_host_pagerank,
         # similarity search
         "ann_topk": _q_ann_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
@@ -1598,6 +1628,22 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents GROUP BY lang) "
             "SELECT d.doc_id, d.lang, d.n_chars FROM documents d "
             "JOIN thr ON d.lang = thr.lang WHERE d.n_chars >= thr.lo"
+        ),
+        # host link graph: edges derived independently by the same
+        # deterministic rule (src = doc_id%40, dst = doc_id*m%40 for
+        # m in 3,7,11)
+        "host_degrees": (
+            "WITH e AS ("
+            "SELECT doc_id % 40 AS src, (doc_id * 3) % 40 AS dst FROM documents "
+            "UNION ALL SELECT doc_id % 40, (doc_id * 7) % 40 FROM documents "
+            "UNION ALL SELECT doc_id % 40, (doc_id * 11) % 40 FROM documents) "
+            "SELECT host, CAST(sum(o) AS BIGINT) AS out_deg, "
+            "CAST(sum(i) AS BIGINT) AS in_deg FROM ("
+            "SELECT src AS host, 1 AS o, 0 AS i FROM e "
+            "UNION ALL SELECT dst, 0, 1 FROM e) GROUP BY host"
+        ),
+        "host_pagerank": (
+            f"SELECT host, rank_rel FROM read_parquet('{_GOLDEN_DIR}/host_pagerank.parquet')"
         ),
         "extract_category_counts": (
             "SELECT category, CAST(n AS BIGINT) AS n FROM ("

@@ -1,0 +1,315 @@
+"""Link-graph pipelines: degree rollups and PageRank over an edge
+Dataset — the host-graph analytics a crawl-scale corpus pipeline runs
+(seed-host scoring, spam-mass style weighting of extraction output).
+
+The reference engine has no graph ops; these are first-class
+training-data additions in the same scale discipline as the dedup
+family:
+
+* edges are the ONLY corpus-sized table and they stream through
+  ``map_batches`` with per-batch partial aggregation — each exchange
+  moves one row per distinct key, never one per edge;
+* per-iteration rank state follows the two-tier budget rule used
+  everywhere in this repo (``cluster_assign``, ``semi_join_ids``):
+  a node table under ``broadcast_limit`` lives in ONE broadcast numpy
+  array (``ray.put`` once, per-worker cached); above it every
+  iteration is fully distributed — one :func:`~dots_ocr_ray.pipelines.
+  relational.hash_join` of edges with ranks on ``src`` plus one
+  ``groupby(dst)`` contribution sum, nothing driver-sized.
+
+Multi-edges act as weights: every edge row carries one unit of its
+source's rank, so out-degree is the edge-row count per source.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+from dots_ocr_ray.util import bounded_blocks, cached_object
+
+
+def degree_table(
+    edges: ray.data.Dataset, *, src: str = "src", dst: str = "dst"
+) -> ray.data.Dataset:
+    """Per-node (out_deg, in_deg) from an edge Dataset in ONE keyed
+    exchange: each batch pre-aggregates both directions into
+    (host, out_partial, in_partial) rows, then a single groupby sums
+    the partials."""
+
+    def _partials(batch: pa.Table) -> pa.Table:
+        s = batch.column(src).to_numpy(zero_copy_only=False).astype(np.int64)
+        d = batch.column(dst).to_numpy(zero_copy_only=False).astype(np.int64)
+        hosts = np.unique(np.concatenate([s, d]))
+        out_c = np.bincount(np.searchsorted(hosts, s), minlength=len(hosts))
+        in_c = np.bincount(np.searchsorted(hosts, d), minlength=len(hosts))
+        return pa.table(
+            {
+                "host": pa.array(hosts, type=pa.int64()),
+                "o": pa.array(out_c.astype(np.int64), type=pa.int64()),
+                "i": pa.array(in_c.astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    partials = bounded_blocks(
+        edges.map_batches(_partials, batch_format="pyarrow"), rows_per_block=262144
+    )
+    summed = partials.groupby("host").sum(["o", "i"])
+
+    def _rename(batch: pa.Table) -> pa.Table:
+        mapping = {"sum(o)": "out_deg", "sum(i)": "in_deg"}
+        return batch.rename_columns([mapping.get(n, n) for n in batch.column_names])
+
+    return summed.map_batches(_rename, batch_format="pyarrow")
+
+
+def _collect_int_col(ds: ray.data.Dataset, col: str) -> np.ndarray:
+    chunks = [
+        b.column(col).to_numpy(zero_copy_only=False).astype(np.int64)
+        for b in ds.iter_batches(batch_format="pyarrow")
+        if b.num_rows
+    ]
+    return np.concatenate(chunks) if chunks else np.array([], np.int64)
+
+
+def pagerank(
+    edges: ray.data.Dataset,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    num_iters: int = 5,
+    damping: float = 0.85,
+    broadcast_limit: int = 2_000_000,
+) -> pa.Table:
+    """PageRank over an integer-keyed edge Dataset → ``(host, rank)``
+    (ranks sum to 1; dangling mass redistributed uniformly).
+
+    Broadcast tier (|nodes| <= ``broadcast_limit``): the node/out-degree
+    arrays broadcast once; every iteration streams the edges through a
+    stateless ``map_batches`` that bins contributions per destination
+    WITHIN the batch (searchsorted + bincount), then one
+    ``groupby(node)`` sums partials into the next rank vector — the
+    per-iteration driver state is O(nodes), the same budget as the
+    union-find fast path in ``cluster_assign``.
+
+    Distributed tier (above the budget): ranks live in a Dataset;
+    each iteration is ``hash_join(edges, ranks, on=src)`` →
+    per-batch contribution partials → ``groupby(dst).sum`` →
+    left-join back onto the node table (zero-in-degree nodes keep the
+    base rank).  The dangling-rank scalar is the only per-iteration
+    driver value.
+    """
+    degrees = degree_table(edges, src=src, dst=dst).materialize()
+    n_nodes = degrees.count()
+    if n_nodes == 0:
+        return pa.table({"host": pa.array([], pa.int64()), "rank": pa.array([], pa.float64())})
+
+    if n_nodes <= broadcast_limit:
+        hosts_chunks, deg_chunks = [], []
+        for b in degrees.iter_batches(batch_format="pyarrow"):
+            if b.num_rows:
+                hosts_chunks.append(
+                    b.column("host").to_numpy(zero_copy_only=False).astype(np.int64)
+                )
+                deg_chunks.append(
+                    b.column("out_deg").to_numpy(zero_copy_only=False).astype(np.int64)
+                )
+        hosts = np.concatenate(hosts_chunks)
+        out_deg = np.concatenate(deg_chunks)
+        order = np.argsort(hosts)
+        hosts, out_deg = hosts[order], out_deg[order]
+        n = len(hosts)
+        ranks = np.full(n, 1.0 / n)
+        base = (1.0 - damping) / n
+
+        for _ in range(num_iters):
+            share = np.where(out_deg > 0, ranks / np.maximum(out_deg, 1), 0.0)
+            state_ref = ray.put((hosts, share))
+
+            def _contrib(batch: pa.Table, _ref=state_ref) -> pa.Table:
+                h, sh = cached_object(_ref)
+                s = batch.column(src).to_numpy(zero_copy_only=False).astype(np.int64)
+                d = batch.column(dst).to_numpy(zero_copy_only=False).astype(np.int64)
+                d_nodes = np.unique(d)
+                sums = np.zeros(len(d_nodes))
+                np.add.at(sums, np.searchsorted(d_nodes, d), sh[np.searchsorted(h, s)])
+                return pa.table(
+                    {
+                        "host": pa.array(d_nodes, type=pa.int64()),
+                        "c": pa.array(sums, type=pa.float64()),
+                    }
+                )
+
+            agg = (
+                bounded_blocks(
+                    edges.map_batches(_contrib, batch_format="pyarrow"),
+                    rows_per_block=262144,
+                )
+                .groupby("host")
+                .sum("c")
+            )
+            contrib = np.zeros(n)
+            for b in agg.iter_batches(batch_format="pyarrow"):
+                if b.num_rows:
+                    idx = np.searchsorted(
+                        hosts, b.column("host").to_numpy(zero_copy_only=False).astype(np.int64)
+                    )
+                    contrib[idx] = b.column("sum(c)").to_numpy(zero_copy_only=False)
+            dangling = float(ranks[out_deg == 0].sum())
+            ranks = base + damping * (contrib + dangling / n)
+
+        return pa.table(
+            {"host": pa.array(hosts, type=pa.int64()), "rank": pa.array(ranks, type=pa.float64())}
+        )
+
+    # ---- distributed tier: ranks as a Dataset, one join + one groupby
+    # per iteration ----------------------------------------------------
+    from dots_ocr_ray.pipelines.relational import hash_join
+
+    deg_schema = pa.schema([("host", pa.int64()), ("out_deg", pa.int64()), ("in_deg", pa.int64())])
+    rank_schema = pa.schema([("host", pa.int64()), ("rank", pa.float64()), ("out_deg", pa.int64())])
+    init = 1.0 / n_nodes
+    base = (1.0 - damping) / n_nodes
+
+    def _init(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "host": batch.column("host").cast(pa.int64()),
+                "rank": pa.array(np.full(batch.num_rows, init), type=pa.float64()),
+                "out_deg": batch.column("out_deg").cast(pa.int64()),
+            },
+            schema=rank_schema,
+        )
+
+    ranks_ds = degrees.map_batches(_init, batch_format="pyarrow").materialize()
+    edges_schema = pa.schema([(src, pa.int64()), (dst, pa.int64())])
+
+    for _ in range(num_iters):
+        # dangling mass: one scalar aggregate
+        def _dangling(batch: pa.Table) -> pa.Table:
+            mask = pc.equal(batch.column("out_deg"), 0)
+            s = pc.sum(batch.filter(mask).column("rank")).as_py() or 0.0
+            return pa.table({"d": pa.array([float(s)], type=pa.float64())})
+
+        dangling = sum(
+            r["d"]
+            for r in ranks_ds.map_batches(_dangling, batch_format="pyarrow").take_all()
+        )
+
+        def _as_src(batch: pa.Table) -> pa.Table:
+            return batch.rename_columns(
+                [src if n == "host" else n for n in batch.column_names]
+            )
+
+        joined = hash_join(
+            edges.select_columns([src, dst]),
+            ranks_ds.map_batches(_as_src, batch_format="pyarrow"),
+            on=src,
+            left_schema=edges_schema,
+            right_schema=pa.schema(
+                [(src, pa.int64()), ("rank", pa.float64()), ("out_deg", pa.int64())]
+            ),
+        )
+
+        def _contrib_d(batch: pa.Table) -> pa.Table:
+            d = batch.column(dst).to_numpy(zero_copy_only=False).astype(np.int64)
+            r = batch.column("rank").to_numpy(zero_copy_only=False)
+            o = batch.column("out_deg").to_numpy(zero_copy_only=False).astype(np.int64)
+            share = np.where(o > 0, r / np.maximum(o, 1), 0.0)
+            d_nodes = np.unique(d)
+            sums = np.zeros(len(d_nodes))
+            np.add.at(sums, np.searchsorted(d_nodes, d), share)
+            return pa.table(
+                {
+                    "host": pa.array(d_nodes, type=pa.int64()),
+                    "c": pa.array(sums, type=pa.float64()),
+                }
+            )
+
+        contribs = (
+            bounded_blocks(
+                joined.map_batches(_contrib_d, batch_format="pyarrow"),
+                rows_per_block=262144,
+            )
+            .groupby("host")
+            .sum("c")
+        )
+
+        def _rename_c(batch: pa.Table) -> pa.Table:
+            return batch.rename_columns(
+                ["c" if n == "sum(c)" else n for n in batch.column_names]
+            )
+
+        merged = hash_join(
+            degrees,
+            contribs.map_batches(_rename_c, batch_format="pyarrow"),
+            on="host",
+            how="left",
+            left_schema=deg_schema,
+            right_schema=pa.schema([("host", pa.int64()), ("c", pa.float64())]),
+        )
+
+        extra = dangling / n_nodes
+
+        def _next(batch: pa.Table, _extra=extra) -> pa.Table:
+            c = batch.column("c").to_numpy(zero_copy_only=False)
+            c = np.nan_to_num(np.asarray(c, dtype=np.float64), nan=0.0)
+            new_rank = base + damping * (c + _extra)
+            return pa.table(
+                {
+                    "host": batch.column("host").cast(pa.int64()),
+                    "rank": pa.array(new_rank, type=pa.float64()),
+                    "out_deg": batch.column("out_deg").cast(pa.int64()),
+                },
+                schema=rank_schema,
+            )
+
+        ranks_ds = merged.map_batches(_next, batch_format="pyarrow").materialize()
+
+    out = pa.concat_tables(
+        [
+            pa.table(
+                {
+                    "host": b.column("host").cast(pa.int64()),
+                    "rank": b.column("rank").cast(pa.float64()),
+                }
+            )
+            for b in ranks_ds.iter_batches(batch_format="pyarrow")
+            if b.num_rows
+        ]
+        or [pa.table({"host": pa.array([], pa.int64()), "rank": pa.array([], pa.float64())})]
+    )
+    return out.take(pc.sort_indices(out, sort_keys=[("host", "ascending")]))
+
+
+# ---------------------------------------------------------------------------
+# deterministic host-edge fixture (driver-query input; SQL-mirrorable)
+
+EDGE_MULTIPLIERS = (3, 7, 11)
+N_HOSTS = 40
+
+
+def host_edges_from_documents(sf_dir: str) -> ray.data.Dataset:
+    """Deterministic host link graph derived from the documents table —
+    the driver-query edge fixture (same pattern as ``canonical_urls``:
+    the SQL oracle derives the identical edges independently).  Each
+    document emits one edge per multiplier:
+    ``src = doc_id % 40, dst = (doc_id * m) % 40``."""
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def _edges(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        srcs = np.concatenate([ids % N_HOSTS for _ in EDGE_MULTIPLIERS])
+        dsts = np.concatenate([(ids * m) % N_HOSTS for m in EDGE_MULTIPLIERS])
+        return pa.table(
+            {
+                "src": pa.array(srcs, type=pa.int64()),
+                "dst": pa.array(dsts, type=pa.int64()),
+            }
+        )
+
+    return docs.map_batches(_edges, batch_format="pyarrow")

@@ -1,0 +1,61 @@
+"""Link-graph ops: degree rollup and two-tier PageRank
+(pipelines/graph.py)."""
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+
+def _edges(rows):
+    return ray.data.from_items([{"src": s, "dst": d} for s, d in rows])
+
+
+def test_degree_table(ray_session):
+    from dots_ocr_ray.pipelines.graph import degree_table
+
+    ds = _edges([(0, 1), (0, 2), (1, 2), (2, 0), (0, 1)])  # multi-edge 0->1
+    out = {
+        r["host"]: (r["out_deg"], r["in_deg"]) for r in degree_table(ds).take_all()
+    }
+    assert out == {0: (3, 1), 1: (1, 2), 2: (1, 2)}
+
+
+def test_pagerank_tiers_match_and_sum_to_one(ray_session):
+    from dots_ocr_ray.pipelines.graph import pagerank
+
+    rows = [(i % 11, (i * 7 + 3) % 11) for i in range(200)] + [(12, 0)]  # 12 dangles? no: 12 has out-edge
+    rows.append((0, 13))  # 13 is a dangling node (in-edges only)
+    ds = _edges(rows)
+    t_b = pagerank(ds, num_iters=4)
+    t_d = pagerank(ds, num_iters=4, broadcast_limit=0)
+    rb = dict(zip(t_b.column("host").to_pylist(), t_b.column("rank").to_pylist()))
+    rd = dict(zip(t_d.column("host").to_pylist(), t_d.column("rank").to_pylist()))
+    assert set(rb) == set(rd)
+    assert max(abs(rb[h] - rd[h]) for h in rb) < 1e-12
+    assert abs(sum(rb.values()) - 1.0) < 1e-9
+    assert all(v > 0 for v in rb.values())
+
+
+def test_pagerank_star_graph_center_dominates(ray_session):
+    from dots_ocr_ray.pipelines.graph import pagerank
+
+    # every leaf points at the center; center dangles
+    ds = _edges([(i, 0) for i in range(1, 9)])
+    t = pagerank(ds, num_iters=10)
+    ranks = dict(zip(t.column("host").to_pylist(), t.column("rank").to_pylist()))
+    assert ranks[0] == max(ranks.values())
+    leaf_vals = [ranks[i] for i in range(1, 9)]
+    assert np.allclose(leaf_vals, leaf_vals[0])
+
+
+def test_host_edges_rule(ray_session):
+    from dots_ocr_ray.pipelines.graph import host_edges_from_documents
+
+    edges = host_edges_from_documents("/root/testdata/sf0.001").take_all()
+    import pyarrow.parquet as pq
+
+    n_docs = pq.read_metadata("/root/testdata/sf0.001/documents.parquet").num_rows
+    assert len(edges) == 3 * n_docs
+    for e in edges[:10]:
+        assert 0 <= e["src"] < 40 and 0 <= e["dst"] < 40

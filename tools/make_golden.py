@@ -401,8 +401,39 @@ def golden_kmeans_clusters(
     )
 
 
+
+def golden_host_pagerank(sf_dir: str, *, num_iters: int = 5, damping: float = 0.85) -> pa.Table:
+    """Sequential PageRank over the deterministic host-edge fixture
+    (pipelines/graph.py:host_edges_from_documents); rank reported
+    relative to uniform (mean 1.0)."""
+    from dots_ocr_ray.pipelines.graph import EDGE_MULTIPLIERS, N_HOSTS
+
+    ids = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"]).column(
+        "doc_id"
+    ).to_numpy()
+    src = np.concatenate([ids % N_HOSTS for _ in EDGE_MULTIPLIERS])
+    dst = np.concatenate([(ids * m) % N_HOSTS for m in EDGE_MULTIPLIERS])
+    hosts = np.unique(np.concatenate([src, dst]))
+    n = len(hosts)
+    out_deg = np.bincount(np.searchsorted(hosts, src), minlength=n)
+    ranks = np.full(n, 1.0 / n)
+    for _ in range(num_iters):
+        share = np.where(out_deg > 0, ranks / np.maximum(out_deg, 1), 0.0)
+        contrib = np.zeros(n)
+        np.add.at(contrib, np.searchsorted(hosts, dst), share[np.searchsorted(hosts, src)])
+        dangling = ranks[out_deg == 0].sum()
+        ranks = (1.0 - damping) / n + damping * (contrib + dangling / n)
+    return pa.table(
+        {
+            "host": pa.array(hosts.astype(np.int64), type=pa.int64()),
+            "rank_rel": pa.array(ranks * n, type=pa.float64()),
+        }
+    )
+
+
 GOLDEN_BUILDERS = {
     "kmeans_clusters": golden_kmeans_clusters,
+    "host_pagerank": golden_host_pagerank,
     "describe_docs": golden_describe_docs,
     "chars_quantiles_approx": golden_chars_quantiles_approx,
     "dedup_minhash": golden_dedup_minhash,
