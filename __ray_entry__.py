@@ -1502,6 +1502,14 @@ def _q_host_pagerank(sf_dir: str):
     )
 
 
+def _q_window_distinct_users(sf_dir: str):
+    """Tumbling 1h windows → exact distinct user count (batch-level
+    pair pre-dedup, one keyed exchange)."""
+    from dots_ocr_ray.pipelines.windows import window_distinct_users
+
+    return window_distinct_users(sf_dir, window_minutes=60)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction (the flagship; SQL mirrors the deterministic wrapper)
@@ -1570,6 +1578,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_postings": _q_token_postings,
         "stratified_sample": _q_stratified_sample,
         "sliding_events": _q_sliding_events,
+        "window_distinct_users": _q_window_distinct_users,
         "user_event_seq": _q_user_event_seq,
         "longest_per_lang": _q_longest_per_lang,
         "chars_quantiles": _q_chars_quantiles,
@@ -1644,6 +1653,11 @@ def oracle_sql() -> dict[str, str]:
         ),
         "host_pagerank": (
             f"SELECT host, rank_rel FROM read_parquet('{_GOLDEN_DIR}/host_pagerank.parquet')"
+        ),
+        "window_distinct_users": (
+            "SELECT make_timestamp((epoch_us(ts) // 3600000000) * 3600000000) "
+            "AS window_start, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users "
+            "FROM events GROUP BY 1"
         ),
         "extract_category_counts": (
             "SELECT category, CAST(n AS BIGINT) AS n FROM ("

@@ -165,3 +165,61 @@ def asof_last_event(
         return merged
 
     return events.groupby("user_id").map_groups(_asof, batch_format="pandas")
+
+
+def window_distinct_users(
+    sf_dir: str,
+    *,
+    window_minutes: int = 60,
+) -> ray.data.Dataset:
+    """Tumbling-window EXACT distinct users: per window_start, the
+    number of distinct user_ids -> (window_start, n_users).
+
+    Distinct-count is the classic shuffle trap — COUNT(DISTINCT) per
+    key needs every (window, user) pair co-located.  Shape: each batch
+    pre-dedups its own (window, user) pairs (vectorized np.unique on a
+    packed window-index/user key), then ONE groupby(window_start)
+    counts unique users per window with a vectorized np.unique inside
+    the group fn — one Python call per WINDOW, group payload already
+    batch-deduped.  Rows on the wire = distinct pairs per batch, never
+    raw events.  (The approximate counterpart at extreme user
+    cardinality is the mergeable HLL in functions/sketches.py — see
+    the approx_distinct_users query.)"""
+    import numpy as np
+    import pyarrow as pa
+
+    window_us = window_minutes * 60 * 1_000_000
+    events = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "user_id"])
+
+    _PACK = np.int64(1_000_003)  # > max user_id in the fixture
+
+    def _pairs(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        users = batch.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        widx = ts // window_us  # small window INDEX, not epoch-us (packing stays in int64)
+        packed = np.unique(widx * _PACK + users)
+        w = packed // _PACK
+        u = packed - w * _PACK
+        return pa.table(
+            {
+                "window_start": pa.array(w * window_us, type=pa.int64()),
+                "user_id": pa.array(u, type=pa.int64()),
+            }
+        )
+
+    from dots_ocr_ray.util import bounded_blocks
+
+    pairs = bounded_blocks(
+        events.map_batches(_pairs, batch_format="pyarrow"), rows_per_block=262144
+    )
+
+    def _count(group: pa.Table) -> pa.Table:
+        users = group.column("user_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "window_start": group.column("window_start").slice(0, 1).cast(pa.timestamp("us")),
+                "n_users": pa.array([len(np.unique(users))], type=pa.int64()),
+            }
+        )
+
+    return pairs.groupby("window_start").map_groups(_count, batch_format="pyarrow")

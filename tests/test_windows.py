@@ -93,3 +93,44 @@ def test_sliding_window_each_event_in_k_windows(ray_session):
         [row.event_type, lo.to_pydatetime(), hi.to_pydatetime()],
     ).fetchone()[0]
     assert row.n_events == want
+
+
+def test_window_distinct_users_matches_pandas(ray_session, tmp_path):
+    """Exact tumbling-window distinct vs a pandas groupby-nunique."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dots_ocr_ray.pipelines.windows import window_distinct_users
+
+    rng = np.random.default_rng(7)
+    n = 5000
+    ts = pd.Timestamp("2025-01-01").value // 1000 + rng.integers(0, 3 * 3600 * 10**6, n)
+    users = rng.integers(0, 50, n)
+    tbl = pa.table(
+        {
+            "ts": pa.array(ts, type=pa.int64()).cast(pa.timestamp("us")),
+            "user_id": pa.array(users, type=pa.int64()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "events.parquet")
+
+    out = (
+        window_distinct_users(str(tmp_path), window_minutes=60)
+        .to_pandas()
+        .sort_values("window_start")
+        .reset_index(drop=True)
+    )
+    df = tbl.to_pandas()
+    df["window_start"] = df["ts"].dt.floor("h")
+    ref = (
+        df.groupby("window_start")["user_id"]
+        .nunique()
+        .reset_index(name="n_users")
+        .sort_values("window_start")
+        .reset_index(drop=True)
+    )
+    out["n_users"] = out["n_users"].astype("int64")
+    ref["n_users"] = ref["n_users"].astype("int64")
+    pd.testing.assert_frame_equal(out, ref)
