@@ -1510,6 +1510,36 @@ def _q_window_distinct_users(sf_dir: str):
     return window_distinct_users(sf_dir, window_minutes=60)
 
 
+def _q_tokens_per_char_regression(sf_dir: str):
+    """Per-language OLS fit of whitespace-token count against n_chars
+    via mergeable sufficient statistics (one tiny keyed exchange);
+    matches SQL regr_slope/intercept/r2."""
+    import ray.data
+
+    from dots_ocr_ray.pipelines.relational import linreg_by_key
+    from dots_ocr_ray.pipelines.text_analysis import annotate_documents
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang", "n_chars"]
+    )
+    annotated = annotate_documents(docs, features=("tokens_ws",))
+    return linreg_by_key(annotated, key="lang", x="n_chars", y="n_tokens_ws")
+
+
+def _q_doc_length_pct_rank(sf_dir: str):
+    """SQL percent_rank() OVER (PARTITION BY lang ORDER BY n_chars)
+    without a window shuffle: one (lang, value)-level count exchange,
+    broadcast per-key CDF, batch-local searchsorted lookup."""
+    import ray.data
+
+    from dots_ocr_ray.pipelines.relational import percent_rank_by_key
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+    )
+    return percent_rank_by_key(docs, key="lang", col="n_chars")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction (the flagship; SQL mirrors the deterministic wrapper)
@@ -1595,6 +1625,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_without_orders": _q_customers_without_orders,
         "acctbal_price_band": _q_acctbal_price_band,
         "len_quantiles_by_lang": _q_len_quantiles_by_lang,
+        "tokens_per_char_regression": _q_tokens_per_char_regression,
+        "doc_length_pct_rank": _q_doc_length_pct_rank,
         "lang_source_rollup": _q_lang_source_rollup,
     }
 
@@ -1658,6 +1690,20 @@ def oracle_sql() -> dict[str, str]:
             "SELECT make_timestamp((epoch_us(ts) // 3600000000) * 3600000000) "
             "AS window_start, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users "
             "FROM events GROUP BY 1"
+        ),
+        "tokens_per_char_regression": (
+            "SELECT lang, CAST(count(*) AS BIGINT) AS n, "
+            "regr_slope(nt, n_chars) AS slope, "
+            "regr_intercept(nt, n_chars) AS intercept, "
+            "regr_r2(nt, n_chars) AS r2 FROM ("
+            "SELECT lang, n_chars, "
+            "len(string_split_regex(trim(text), '[ \t\n]+')) AS nt FROM documents"
+            ") GROUP BY lang"
+        ),
+        "doc_length_pct_rank": (
+            "SELECT doc_id, lang, n_chars, "
+            "percent_rank() OVER (PARTITION BY lang ORDER BY n_chars) AS pct_rank "
+            "FROM documents"
         ),
         "extract_category_counts": (
             "SELECT category, CAST(n AS BIGINT) AS n FROM ("

@@ -668,3 +668,138 @@ def rollup_counts(
     return out.set_column(
         out.column_names.index("n_rows"), "n_rows", out.column("n_rows").cast(pa.int64())
     )
+
+
+def linreg_by_key(
+    ds: ray.data.Dataset, *, key: str, x: str, y: str
+) -> pa.Table:
+    """Per-group ordinary-least-squares fit y ~ x via MERGEABLE
+    sufficient statistics: every batch emits one
+    (key, n, Σx, Σy, Σxx, Σyy, Σxy) partial row, one small
+    ``groupby(key).sum`` combines them, and the slope / intercept / r²
+    finalization runs on the bounded per-key result — the same
+    partial-then-tiny-reduce shape as every aggregate in this repo
+    (nothing row-scaled ever reaches the driver).  Matches SQL
+    ``regr_slope / regr_intercept / regr_r2``."""
+    import numpy as np
+
+    def _partials(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        keys = batch.column(key).to_numpy(zero_copy_only=False)
+        xv = batch.column(x).to_numpy(zero_copy_only=False).astype(np.float64)
+        yv = batch.column(y).to_numpy(zero_copy_only=False).astype(np.float64)
+        uk, inv = np.unique(keys, return_inverse=True)
+        m = len(uk)
+
+        def _binsum(v):
+            return np.bincount(inv, weights=v, minlength=m)
+
+        return pa.table(
+            {
+                key: pa.array(uk),
+                "n": pa.array(np.bincount(inv, minlength=m).astype(np.int64), type=pa.int64()),
+                "sx": pa.array(_binsum(xv), type=pa.float64()),
+                "sy": pa.array(_binsum(yv), type=pa.float64()),
+                "sxx": pa.array(_binsum(xv * xv), type=pa.float64()),
+                "syy": pa.array(_binsum(yv * yv), type=pa.float64()),
+                "sxy": pa.array(_binsum(xv * yv), type=pa.float64()),
+            }
+        )
+
+    from dots_ocr_ray.util import bounded_blocks
+
+    partials = bounded_blocks(
+        ds.map_batches(_partials, batch_format="pyarrow"), rows_per_block=262144
+    )
+    summed = partials.groupby(key).sum(["n", "sx", "sy", "sxx", "syy", "sxy"])
+    tbl = pa.Table.from_pylist(summed.take_all())
+    n = np.asarray(tbl.column("sum(n)").to_pylist(), dtype=np.float64)
+    sx = np.asarray(tbl.column("sum(sx)").to_pylist())
+    sy = np.asarray(tbl.column("sum(sy)").to_pylist())
+    sxx = np.asarray(tbl.column("sum(sxx)").to_pylist())
+    syy = np.asarray(tbl.column("sum(syy)").to_pylist())
+    sxy = np.asarray(tbl.column("sum(sxy)").to_pylist())
+    cov = sxy - sx * sy / n
+    var_x = sxx - sx * sx / n
+    var_y = syy - sy * sy / n
+    with np.errstate(divide="ignore", invalid="ignore"):
+        slope = cov / var_x
+        intercept = sy / n - slope * sx / n
+        r2 = np.where(var_y > 0, (cov * cov) / (var_x * var_y), np.nan)
+    out = pa.table(
+        {
+            key: tbl.column(key),
+            "n": pa.array(n.astype(np.int64), type=pa.int64()),
+            "slope": pa.array(slope, type=pa.float64()),
+            "intercept": pa.array(intercept, type=pa.float64()),
+            "r2": pa.array(r2, type=pa.float64()),
+        }
+    )
+    return out.take(pc.sort_indices(out, sort_keys=[(key, "ascending")]))
+
+
+def percent_rank_by_key(
+    ds: ray.data.Dataset,
+    *,
+    key: str,
+    col: str,
+    out_col: str = "pct_rank",
+    cdf_limit: int = 4_000_000,
+) -> ray.data.Dataset:
+    """Per-row SQL ``percent_rank() OVER (PARTITION BY key ORDER BY
+    col)`` WITHOUT a per-key sort: one ``groupby((key, value)).count``
+    moves a row per DISTINCT (group, value), the per-key cumulative
+    distribution (sorted values + ranks) broadcasts once, and a
+    stateless batch map looks each row up via searchsorted — rows
+    never reship, no window shuffle.
+
+    The broadcast is O(distinct (key, value) pairs) and guarded by
+    ``cdf_limit`` — above it, callers should quantize values first
+    (e.g. LogHistogram buckets) or fall back to a per-key sort."""
+    import numpy as np
+
+    counts = ds.groupby([key, col]).count()
+    tbl = pa.Table.from_pylist(counts.take_all())
+    if tbl.num_rows > cdf_limit:
+        raise ValueError(
+            f"distinct ({key},{col}) pairs = {tbl.num_rows} exceed cdf_limit={cdf_limit}; "
+            "quantize values first or use a per-key sort"
+        )
+    tbl = tbl.take(pc.sort_indices(tbl, sort_keys=[(key, "ascending"), (col, "ascending")]))
+    keys = tbl.column(key).to_pylist()
+    values = np.asarray(tbl.column(col).to_pylist(), dtype=np.int64)
+    weights = np.asarray(tbl.column("count()").to_pylist(), dtype=np.int64)
+    cdf: dict = {}
+    i = 0
+    while i < len(keys):
+        j = i
+        while j < len(keys) and keys[j] == keys[i]:
+            j += 1
+        w = weights[i:j]
+        below = np.concatenate([[0], np.cumsum(w)[:-1]])  # rows strictly less
+        n = int(w.sum())
+        denom = max(n - 1, 1)
+        cdf[keys[i]] = (values[i:j], below / denom)
+        i = j
+
+    import ray as _ray
+
+    cdf_ref = _ray.put(cdf)
+    from dots_ocr_ray.util import cached_object
+
+    def _rank(batch: pa.Table) -> pa.Table:
+        lookup = cached_object(cdf_ref)
+        ks = batch.column(key).to_pylist()
+        vs = batch.column(col).to_numpy(zero_copy_only=False).astype(np.int64)
+        out = np.zeros(len(ks))
+        # group row indices by key so each key costs ONE searchsorted
+        order: dict = {}
+        for idx, k in enumerate(ks):
+            order.setdefault(k, []).append(idx)
+        for k, idxs in order.items():
+            vals, ranks = lookup[k]
+            out[np.asarray(idxs)] = ranks[np.searchsorted(vals, vs[np.asarray(idxs)])]
+        return batch.append_column(out_col, pa.array(out, type=pa.float64()))
+
+    return ds.map_batches(_rank, batch_format="pyarrow")

@@ -320,3 +320,74 @@ def test_rollup_counts(ray_session):
         ("y", "*"): 4,
         ("*", "*"): 9,
     }
+
+
+def test_linreg_by_key_matches_numpy(ray_session):
+    import numpy as np
+    import ray.data
+
+    from dots_ocr_ray.pipelines.relational import linreg_by_key
+
+    rng = np.random.default_rng(3)
+    rows = []
+    for g, slope, icpt in (("a", 2.0, 5.0), ("b", -1.5, 0.0)):
+        x = rng.uniform(0, 100, 400)
+        y = slope * x + icpt + rng.normal(0, 1.0, 400)
+        rows += [{"g": g, "x": float(xv), "y": float(yv)} for xv, yv in zip(x, y)]
+    ds = ray.data.from_items(rows)
+    out = linreg_by_key(ds, key="g", x="x", y="y")
+    got = {
+        k: (s, i, r)
+        for k, s, i, r in zip(
+            out.column("g").to_pylist(),
+            out.column("slope").to_pylist(),
+            out.column("intercept").to_pylist(),
+            out.column("r2").to_pylist(),
+        )
+    }
+    for g in ("a", "b"):
+        xs = np.array([r["x"] for r in rows if r["g"] == g])
+        ys = np.array([r["y"] for r in rows if r["g"] == g])
+        ref_s, ref_i = np.polyfit(xs, ys, 1)
+        assert abs(got[g][0] - ref_s) < 1e-8
+        assert abs(got[g][1] - ref_i) < 1e-8
+        assert 0.9 < got[g][2] <= 1.0
+
+
+def test_percent_rank_by_key_matches_pandas(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from dots_ocr_ray.pipelines.relational import percent_rank_by_key
+
+    rng = np.random.default_rng(5)
+    rows = [
+        {"g": ["p", "q"][int(i % 2)], "id": int(i), "v": int(rng.integers(0, 30))}
+        for i in range(500)
+    ]
+    rows.append({"g": "solo", "id": 999, "v": 7})  # single-row group -> rank 0
+    ds = ray.data.from_items(rows)
+    out = (
+        percent_rank_by_key(ds, key="g", col="v")
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    df = pd.DataFrame(rows)
+    df["ref"] = df.groupby("g")["v"].rank(method="min").sub(1) / (
+        df.groupby("g")["v"].transform("size") - 1
+    ).clip(lower=1)
+    df = df.sort_values("id").reset_index(drop=True)
+    assert np.allclose(out["pct_rank"].to_numpy(), df["ref"].to_numpy())
+
+
+def test_percent_rank_cdf_limit(ray_session):
+    import pytest
+    import ray.data
+
+    from dots_ocr_ray.pipelines.relational import percent_rank_by_key
+
+    ds = ray.data.from_items([{"g": "a", "v": i} for i in range(100)])
+    with pytest.raises(ValueError, match="cdf_limit"):
+        percent_rank_by_key(ds, key="g", col="v", cdf_limit=10)
