@@ -110,6 +110,7 @@ def cmd_prepare(args: argparse.Namespace) -> int:
         chunk_tokens=args.chunk_tokens,
         overlap_tokens=args.overlap_tokens,
         train_fraction=args.train_fraction,
+        line_dedup_min_count=args.line_dedup_min_count,
     )
     print(json.dumps({"out": args.out, **counts}))
     return 0
@@ -164,6 +165,12 @@ def main(argv: list[str] | None = None) -> int:
     pr.add_argument("--input-format", default="parquet", choices=["parquet", "warc"])
     pr.add_argument("--out", required=True)
     pr.add_argument("--dedup", default="exact", choices=["exact", "minhash", "none"])
+    pr.add_argument(
+        "--line-dedup-min-count",
+        type=int,
+        default=None,
+        help="drop lines appearing >= N times corpus-wide (C4-style); off by default",
+    )
     pr.add_argument("--chunk-tokens", type=int, default=128)
     pr.add_argument("--overlap-tokens", type=int, default=16)
     pr.add_argument("--train-fraction", type=float, default=0.9)

@@ -1193,10 +1193,14 @@ def line_dedup(
     id_col: str = "doc_id",
     min_count: int = 5,
     broadcast_limit: int = 2_000_000,
+    keep_cols: tuple[str, ...] = (),
 ) -> ray.data.Dataset:
     """C4/Falcon-style line-level corpus dedup: drop every line that
     appears at least ``min_count`` times corpus-wide, preserving the
-    remaining lines' order → ``(id, text_dedup, n_kept, n_dropped)``.
+    remaining lines' order → ``(id, text_dedup, n_kept, n_dropped)``
+    (+ any ``keep_cols`` passed through; in the distributed tier the
+    passthrough is one extra keyed join rather than shipping wide
+    payload columns through the line-level exchange).
 
     Reference analog: the per-page repetition dedup (M8,
     output_cleaner.py:347-416) removes repeats WITHIN a page; this is
@@ -1274,7 +1278,10 @@ def line_dedup(
             ids = batch.column(id_col)
             if isinstance(ids, pa.ChunkedArray):
                 ids = ids.combine_chunks()
-            return _rebuild(ids, parts, keep)
+            out = _rebuild(ids, parts, keep)
+            for c in keep_cols:
+                out = out.append_column(c, batch.column(c))
+            return out
 
         return ds.map_batches(_local, batch_format="pyarrow")
 
@@ -1349,12 +1356,15 @@ def line_dedup(
         if isinstance(parts, pa.ChunkedArray):
             parts = parts.combine_chunks()
         counts = np.diff(parts.offsets.to_numpy(zero_copy_only=False)).astype(np.int64)
-        return pa.table(
+        out = pa.table(
             {
                 id_col: batch.column(id_col).cast(pa.int64()),
                 "n_total": pa.array(counts, type=pa.int64()),
             }
         )
+        for c in keep_cols:  # passthrough rides the small totals join
+            out = out.append_column(c, batch.column(c))
+        return out
 
     reassembled = (
         bounded_blocks(kept, rows_per_block=262144)
@@ -1362,12 +1372,21 @@ def line_dedup(
         .map_groups(_reassemble, batch_format="pyarrow")
     )
     totals = ds.map_batches(_totals, batch_format="pyarrow")
+    keep_types: dict[str, pa.DataType] = {}
+    if keep_cols:
+        src_schema = ds.schema()
+        keep_types = {
+            n: t for n, t in zip(src_schema.names, src_schema.types) if n in keep_cols
+        }
     joined = hash_join(
         reassembled,
         totals,
         on=id_col,
         left_schema=out_schema,
-        right_schema=pa.schema([(id_col, pa.int64()), ("n_total", pa.int64())]),
+        right_schema=pa.schema(
+            [(id_col, pa.int64()), ("n_total", pa.int64())]
+            + [(c, keep_types[c]) for c in keep_cols]
+        ),
     )
 
     def _fix(batch: pa.Table) -> pa.Table:
@@ -1376,7 +1395,7 @@ def line_dedup(
         fixed = pc.subtract(n_total, n_kept)
         idx = batch.schema.get_field_index("n_dropped")
         return batch.set_column(idx, "n_dropped", fixed).select(
-            [id_col, "text_dedup", "n_kept", "n_dropped"]
+            [id_col, "text_dedup", "n_kept", "n_dropped", *keep_cols]
         )
 
     return joined.map_batches(_fix, batch_format="pyarrow")

@@ -47,6 +47,7 @@ def prepare_training_data(
     train_fraction: float = 0.9,
     extract_kwargs: dict | None = None,
     dedup_exact_limit: int | None = None,
+    line_dedup_min_count: int | None = None,
 ) -> dict:
     """pages Dataset → chunked, deduped, scrubbed train/val parquet.
 
@@ -130,6 +131,27 @@ def prepare_training_data(
         docs = narrow.map_batches(_finished, batch_format="pyarrow").map_batches(
             _quality, batch_format="pyarrow"
         )
+
+    if line_dedup_min_count is not None:
+        # C4/Falcon boilerplate-line strip AFTER doc-level dedup: lines
+        # repeated corpus-wide (nav/footer remnants) drop from every
+        # surviving document; url rides the passthrough seam
+        from dots_ocr_ray.pipelines.dedup import line_dedup
+
+        deduped_lines = line_dedup(
+            docs,
+            text_col="text",
+            id_col="doc_id",
+            min_count=line_dedup_min_count,
+            keep_cols=("url",),
+        )
+
+        def _as_text(batch: pa.Table) -> pa.Table:
+            return batch.select(["doc_id", "url", "text_dedup"]).rename_columns(
+                ["doc_id", "url", "text"]
+            )
+
+        docs = deduped_lines.map_batches(_as_text, batch_format="pyarrow")
 
     scrubbed = scrub_documents(docs, text_col="text").select_columns(
         ["doc_id", "url", "text_scrubbed"]

@@ -92,3 +92,35 @@ def test_prepare_persists_job_stats(ray_session, tmp_path):
     assert isinstance(stats["dataset_stats"], str) and "Operator" in stats["dataset_stats"]
     # the stats sidecar must not confuse the parquet read-back
     assert ray.data.read_parquet(out).count() == counts["chunks_written"]
+
+
+def test_prepare_with_line_dedup_strips_boilerplate(ray_session, tmp_path):
+    """line_dedup_min_count strips corpus-repeated lines (nav/footer
+    remnants) from the prepared text while keeping url lineage."""
+    pages = make_pages_table(96, seed=21)
+    out_a = str(tmp_path / "with_ld")
+    out_b = str(tmp_path / "without_ld")
+    counts_a = prepare_training_data(
+        ray.data.from_arrow(pages),
+        out_a,
+        dedup="exact",
+        chunk_tokens=16,
+        overlap_tokens=2,
+        line_dedup_min_count=3,
+    )
+    counts_b = prepare_training_data(
+        ray.data.from_arrow(pages),
+        out_b,
+        dedup="exact",
+        chunk_tokens=16,
+        overlap_tokens=2,
+    )
+    assert counts_a["extracted"] == counts_b["extracted"] == 96
+    import ray.data as rd
+
+    df_a = rd.read_parquet(out_a).to_pandas()
+    df_b = rd.read_parquet(out_b).to_pandas()
+    # same docs survive; the line-deduped corpus is never larger
+    assert set(df_a.doc_id) == set(df_b.doc_id)
+    assert df_a.chunk_text.str.len().sum() <= df_b.chunk_text.str.len().sum()
+    assert df_a.url.notna().all()
