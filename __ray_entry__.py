@@ -539,13 +539,24 @@ def _q_nations_with_presence(sf_dir: str):
 
     import ray.data
 
+    import numpy as np
+    import pyarrow as pa
+
+    # distinct via per-batch np.unique partials (a handful of rows per
+    # batch) merged on the driver — Dataset.unique() would pay a full
+    # keyed exchange over the union's many small blocks for the same
+    # bounded result
+    def _partial(b: pa.Table) -> pa.Table:
+        keys = np.unique(b.column(b.column_names[0]).to_numpy(zero_copy_only=False))
+        return pa.table({"nationkey": pa.array(keys.astype(np.int64), type=pa.int64())})
+
     c = ray.data.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_nationkey"]).map_batches(
-        lambda b: b.rename_columns(["nationkey"]), batch_format="pyarrow"
+        _partial, batch_format="pyarrow"
     )
     s = ray.data.read_parquet(f"{sf_dir}/supplier.parquet", columns=["s_nationkey"]).map_batches(
-        lambda b: b.rename_columns(["nationkey"]), batch_format="pyarrow"
+        _partial, batch_format="pyarrow"
     )
-    keys = sorted(c.union(s).unique("nationkey"))
+    keys = sorted({r["nationkey"] for r in c.union(s).take_all()})
     return pd.DataFrame({"nationkey": pd.array(keys, dtype="int64")})
 
 
@@ -1349,8 +1360,7 @@ def _q_acctbal_price_band(sf_dir: str):
 
     import ray.data
 
-    from dots_ocr_ray.pipelines.relational import range_join
-    from dots_ocr_ray.util import bounded_blocks
+    from dots_ocr_ray.pipelines.relational import interval_agg_join
 
     customer = ray.data.read_parquet(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_acctbal"]
@@ -1366,38 +1376,27 @@ def _q_acctbal_price_band(sf_dir: str):
             }
         )
 
-    part = ray.data.read_parquet(
-        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_retailprice"]
-    )
-    joined = range_join(
+    part = ray.data.read_parquet(f"{sf_dir}/part.parquet", columns=["p_retailprice"])
+    # the downstream is an aggregate, so the aggregating band join
+    # applies: per-bucket prefix sums turn every interval into two
+    # searchsorted lookups and the (quadratic) match set never
+    # materializes (the generic match-emitting form is range_join)
+    agg = interval_agg_join(
         customer.map_batches(_iv, batch_format="pyarrow"),
         part,
+        key="c_custkey",
         left_lo="lo",
         left_hi="hi",
         right_on="p_retailprice",
-        bucket_width=200.0,
-        left_schema=pa.schema(
-            [("c_custkey", pa.int64()), ("lo", pa.float64()), ("hi", pa.float64())]
-        ),
-    )
-
-    def _partial(batch: pa.Table) -> pa.Table:
-        return batch.group_by("c_custkey").aggregate(
-            [("p_retailprice", "sum"), ("p_retailprice", "count")]
-        )
-
-    agg = (
-        bounded_blocks(joined.map_batches(_partial, batch_format="pyarrow"))
-        .groupby("c_custkey")
-        .sum(["p_retailprice_sum", "p_retailprice_count"])
+        bucket_width=50.0,
     )
 
     def _final(batch: pa.Table) -> pa.Table:
         return pa.table(
             {
                 "c_custkey": batch.column("c_custkey"),
-                "n_parts": batch.column("sum(p_retailprice_count)").cast(pa.int64()),
-                "sum_price": pc.round(batch.column("sum(p_retailprice_sum)"), 2),
+                "n_parts": batch.column("agg_count").cast(pa.int64()),
+                "sum_price": pc.round(batch.column("agg_sum"), 2),
             }
         )
 
@@ -1437,7 +1436,14 @@ def _q_line_dedup_docs(sf_dir: str):
     switches to a distributed anti hash-join + reassembly."""
     from dots_ocr_ray.pipelines.dedup import line_dedup
 
-    ds = _extract_ds(sf_dir).select_columns(["doc_id", "extracted_text"])
+    # line_dedup consumes its input twice (frequency pass + filter
+    # pass) — materialize the narrow extraction output once so the
+    # extraction actors run a single time
+    ds = (
+        _extract_ds(sf_dir)
+        .select_columns(["doc_id", "extracted_text"])
+        .materialize()
+    )
     return line_dedup(ds, text_col="extracted_text", id_col="doc_id", min_count=5)
 
 

@@ -103,6 +103,12 @@ def pagerank(
     base rank).  The dangling-rank scalar is the only per-iteration
     driver value.
     """
+    # the edge table is consumed once per iteration — pin it to the
+    # object store so the upstream plan (reads, derivations) executes
+    # exactly once, not once per iteration
+    from dots_ocr_ray.util import bounded_blocks as _bb
+
+    edges = _bb(edges.select_columns([src, dst]), rows_per_block=1_048_576).materialize()
     degrees = degree_table(edges, src=src, dst=dst).materialize()
     n_nodes = degrees.count()
     if n_nodes == 0:
@@ -144,21 +150,19 @@ def pagerank(
                     }
                 )
 
-            agg = (
-                bounded_blocks(
-                    edges.map_batches(_contrib, batch_format="pyarrow"),
-                    rows_per_block=262144,
-                )
-                .groupby("host")
-                .sum("c")
-            )
+            # partials are already per-destination-unique within each
+            # batch (≤ |nodes| rows) and the driver legitimately holds
+            # O(nodes) state in this tier — summing them here skips a
+            # keyed exchange per iteration
             contrib = np.zeros(n)
-            for b in agg.iter_batches(batch_format="pyarrow"):
+            for b in edges.map_batches(_contrib, batch_format="pyarrow").iter_batches(
+                batch_format="pyarrow"
+            ):
                 if b.num_rows:
                     idx = np.searchsorted(
                         hosts, b.column("host").to_numpy(zero_copy_only=False).astype(np.int64)
                     )
-                    contrib[idx] = b.column("sum(c)").to_numpy(zero_copy_only=False)
+                    np.add.at(contrib, idx, b.column("c").to_numpy(zero_copy_only=False))
             dangling = float(ranks[out_deg == 0].sum())
             ranks = base + damping * (contrib + dangling / n)
 
@@ -206,7 +210,7 @@ def pagerank(
             )
 
         joined = hash_join(
-            edges.select_columns([src, dst]),
+            edges,
             ranks_ds.map_batches(_as_src, batch_format="pyarrow"),
             on=src,
             left_schema=edges_schema,

@@ -803,3 +803,125 @@ def percent_rank_by_key(
         return batch.append_column(out_col, pa.array(out, type=pa.float64()))
 
     return ds.map_batches(_rank, batch_format="pyarrow")
+
+
+def interval_agg_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    *,
+    key: str,
+    left_lo: str,
+    left_hi: str,
+    right_on: str,
+    bucket_width: float,
+    max_buckets_per_row: int = 64,
+) -> ray.data.Dataset:
+    """Aggregating band join: for each left interval ``[lo, hi]``
+    (identified by ``key``, which must be unique per left row), the
+    SUM and COUNT of right ``right_on`` values inside it →
+    ``(key, agg_sum, agg_count)``, inner semantics (zero-match keys
+    absent).
+
+    Same domain-bucket exchange as :func:`range_join`, but the
+    per-bucket reduce never materializes matches: right values sort
+    once per bucket, a prefix-sum array turns every interval into TWO
+    searchsorted lookups (count = end-start, sum = pref[end]-pref[start]),
+    and only per-(key, bucket) partial rows move into a final tiny
+    keyed sum.  Use this instead of ``range_join`` whenever the
+    downstream is an aggregate — the match set can be quadratically
+    larger than either input (wide intervals × dense values) and never
+    needs to exist."""
+    import numpy as np
+
+    inv_w = 1.0 / float(bucket_width)
+
+    def _tag_left(batch: pa.Table) -> pa.Table:
+        lo = batch.column(left_lo).to_numpy(zero_copy_only=False).astype(np.float64)
+        hi = batch.column(left_hi).to_numpy(zero_copy_only=False).astype(np.float64)
+        keys = batch.column(key).to_numpy(zero_copy_only=False).astype(np.int64)
+        b0 = np.floor(lo * inv_w).astype(np.int64)
+        b1 = np.floor(hi * inv_w).astype(np.int64)
+        span = b1 - b0 + 1
+        if span.size and int(span.max()) > max_buckets_per_row:
+            raise ValueError(
+                f"interval spans {int(span.max())} buckets > max_buckets_per_row="
+                f"{max_buckets_per_row}; raise bucket_width or split wide intervals"
+            )
+        idx = np.repeat(np.arange(batch.num_rows), span)
+        offsets = np.concatenate([[0], np.cumsum(span)])[:-1]
+        flat = np.arange(int(span.sum())) - np.repeat(offsets, span) + np.repeat(b0, span)
+        return pa.table(
+            {
+                "__bucket": pa.array(flat, type=pa.int64()),
+                "__side": pa.array(np.zeros(len(idx), np.int8), type=pa.int8()),
+                key: pa.array(keys[idx], type=pa.int64()),
+                "lo": pa.array(lo[idx], type=pa.float64()),
+                "hi": pa.array(hi[idx], type=pa.float64()),
+                "val": pa.array(np.zeros(len(idx)), type=pa.float64()),
+            }
+        )
+
+    def _tag_right(batch: pa.Table) -> pa.Table:
+        val = batch.column(right_on).to_numpy(zero_copy_only=False).astype(np.float64)
+        b = np.floor(val * inv_w).astype(np.int64)
+        n = len(val)
+        return pa.table(
+            {
+                "__bucket": pa.array(b, type=pa.int64()),
+                "__side": pa.array(np.ones(n, np.int8), type=pa.int8()),
+                key: pa.array(np.zeros(n, np.int64), type=pa.int64()),
+                "lo": pa.array(np.zeros(n), type=pa.float64()),
+                "hi": pa.array(np.zeros(n), type=pa.float64()),
+                "val": pa.array(val, type=pa.float64()),
+            }
+        )
+
+    def _partials(group: pa.Table) -> pa.Table:
+        side = group.column("__side").to_numpy(zero_copy_only=False)
+        keys = group.column(key).to_numpy(zero_copy_only=False)[side == 0]
+        lo = group.column("lo").to_numpy(zero_copy_only=False)[side == 0]
+        hi = group.column("hi").to_numpy(zero_copy_only=False)[side == 0]
+        v = np.sort(group.column("val").to_numpy(zero_copy_only=False)[side == 1])
+        empty = pa.table(
+            {
+                key: pa.array([], type=pa.int64()),
+                "s": pa.array([], type=pa.float64()),
+                "n": pa.array([], type=pa.int64()),
+            }
+        )
+        if not len(v) or not len(keys):
+            return empty
+        pref = np.concatenate([[0.0], np.cumsum(v)])
+        start = np.searchsorted(v, lo, side="left")
+        end = np.searchsorted(v, hi, side="right")
+        cnt = (end - start).astype(np.int64)
+        hit = cnt > 0
+        if not hit.any():
+            return empty
+        return pa.table(
+            {
+                key: pa.array(keys[hit].astype(np.int64), type=pa.int64()),
+                "s": pa.array(pref[end[hit]] - pref[start[hit]], type=pa.float64()),
+                "n": pa.array(cnt[hit], type=pa.int64()),
+            }
+        )
+
+    from dots_ocr_ray.util import bounded_blocks
+
+    tagged = left.map_batches(_tag_left, batch_format="pyarrow").union(
+        right.map_batches(_tag_right, batch_format="pyarrow")
+    )
+    tagged = bounded_blocks(tagged, rows_per_block=262144)
+    partials = tagged.groupby("__bucket").map_groups(_partials, batch_format="pyarrow")
+    summed = bounded_blocks(partials, rows_per_block=262144).groupby(key).sum(["s", "n"])
+
+    def _rename(batch: pa.Table) -> pa.Table:
+        mapping = {"sum(s)": "agg_sum", "sum(n)": "agg_count"}
+        batch = batch.rename_columns([mapping.get(n, n) for n in batch.column_names])
+        return batch.set_column(
+            batch.column_names.index("agg_count"),
+            "agg_count",
+            batch.column("agg_count").cast(pa.int64()),
+        )
+
+    return summed.map_batches(_rename, batch_format="pyarrow")

@@ -391,3 +391,55 @@ def test_percent_rank_cdf_limit(ray_session):
     ds = ray.data.from_items([{"g": "a", "v": i} for i in range(100)])
     with pytest.raises(ValueError, match="cdf_limit"):
         percent_rank_by_key(ds, key="g", col="v", cdf_limit=10)
+
+
+def test_interval_agg_join_matches_range_join(ray_session):
+    """Aggregating band join == aggregate over the match-emitting
+    range_join on the same inputs."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from dots_ocr_ray.pipelines.relational import interval_agg_join, range_join
+
+    rng = np.random.default_rng(11)
+    lows = rng.uniform(0, 100, 60)
+    left_rows = [
+        {"k": int(i), "lo": float(lo), "hi": float(lo + rng.uniform(0, 20))}
+        for i, lo in enumerate(lows)
+    ]
+    right_rows = [{"v": float(v)} for v in rng.uniform(-10, 130, 400)]
+    left = ray.data.from_items(left_rows)
+    right = ray.data.from_items(right_rows)
+
+    agg = (
+        interval_agg_join(
+            left, right, key="k", left_lo="lo", left_hi="hi", right_on="v", bucket_width=10.0
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+
+    matches = range_join(
+        left,
+        right,
+        left_lo="lo",
+        left_hi="hi",
+        right_on="v",
+        bucket_width=10.0,
+        left_schema=pa.schema([("k", pa.int64()), ("lo", pa.float64()), ("hi", pa.float64())]),
+        right_schema=pa.schema([("v", pa.float64())]),
+    ).to_pandas()
+    ref = (
+        matches.groupby("k")["v"]
+        .agg(agg_sum="sum", agg_count="count")
+        .reset_index()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert len(agg) == len(ref)
+    assert (agg["k"].to_numpy() == ref["k"].to_numpy()).all()
+    assert np.allclose(agg["agg_sum"].to_numpy(), ref["agg_sum"].to_numpy())
+    assert (agg["agg_count"].to_numpy() == ref["agg_count"].to_numpy()).all()
