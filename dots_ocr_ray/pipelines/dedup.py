@@ -1399,3 +1399,49 @@ def line_dedup(
         )
 
     return joined.map_batches(_fix, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# incremental dedup against a prior corpus index
+
+
+def exact_dedup_incremental(
+    new_ds: ray.data.Dataset,
+    index_ds: ray.data.Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    index_hash_col: str = "content_md5",
+) -> ray.data.Dataset:
+    """Incremental exact dedup: keep only NEW rows whose content hash
+    does not already exist in a prior corpus index (the recurring-crawl
+    shape — yesterday's corpus never reprocesses, its hash manifest
+    does).  ``index_ds`` is the stored index table carrying
+    ``index_hash_col`` (e.g. the ``content_md5`` column that
+    :func:`exact_dedup` survivors keep, re-read from parquet).
+
+    One distributed anti :func:`~dots_ocr_ray.pipelines.relational.
+    hash_join` on the content hash — both sides stream; neither the new
+    batch nor the index ever collects on the driver.  In-batch
+    duplicates within the NEW data itself are then collapsed with the
+    same :func:`sorted_group_first` pass exact_dedup uses."""
+    from dots_ocr_ray.pipelines.relational import hash_join
+
+    def _add_hash(batch: pa.Table) -> pa.Table:
+        hashes = [md5_hex(t or "") for t in batch.column(text_col).to_pylist()]
+        return batch.append_column("content_md5", pa.array(hashes, type=pa.string()))
+
+    hashed = new_ds.map_batches(_add_hash, batch_format="pyarrow")
+
+    def _as_key(batch: pa.Table) -> pa.Table:
+        col = batch.column(index_hash_col)
+        return pa.table({"content_md5": col.cast(pa.string())})
+
+    fresh = hash_join(
+        hashed,
+        index_ds.map_batches(_as_key, batch_format="pyarrow"),
+        on="content_md5",
+        how="anti",
+        right_schema=pa.schema([("content_md5", pa.string())]),
+    )
+    return sorted_group_first(fresh, "content_md5", id_col)

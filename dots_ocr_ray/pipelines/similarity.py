@@ -456,3 +456,147 @@ def group_centroids(
             "c": pa.array(c_out, type=pa.float64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# int8 embedding quantization (4x memory cut for the 100 TB ANN path)
+
+
+def embedding_scale_stats(
+    ds: ray.data.Dataset, *, vec_col: str = "embedding"
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-dimension (min, max) over an embedding column via mergeable
+    per-batch partials — one row per batch moves, never a vector."""
+    def _partial(batch: pa.Table) -> pa.Table:
+        mat = vec_matrix(batch.column(vec_col), dtype=np.float32)
+        return pa.table(
+            {
+                "mins": pa.array([mat.min(axis=0).tobytes()], type=pa.binary()),
+                "maxs": pa.array([mat.max(axis=0).tobytes()], type=pa.binary()),
+            }
+        )
+
+    mins, maxs = None, None
+    for b in ds.map_batches(_partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for lo_b, hi_b in zip(b.column("mins").to_pylist(), b.column("maxs").to_pylist()):
+            lo = np.frombuffer(lo_b, dtype=np.float32)
+            hi = np.frombuffer(hi_b, dtype=np.float32)
+            mins = lo if mins is None else np.minimum(mins, lo)
+            maxs = hi if maxs is None else np.maximum(maxs, hi)
+    if mins is None:
+        raise ValueError("empty embedding dataset")
+    return mins.astype(np.float64), maxs.astype(np.float64)
+
+
+def quantize_embeddings(
+    ds: ray.data.Dataset,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[ray.data.Dataset, dict]:
+    """Asymmetric int8 quantization of an embedding column →
+    (Dataset with ``q`` binary column, codebook dict).
+
+    Two passes: a per-dimension (min, max) partial aggregate (bytes per
+    batch, not per row), then a stateless vectorized encode
+    ``q = round((v - min) / scale) - 128`` per batch.  The codebook
+    (min/scale per dim) is a few KB and rides with the output metadata
+    — at 10^9 vectors the quantized column is 4× smaller than float32,
+    which is the difference between an in-memory IVF index per node and
+    object-store spill."""
+    mins, maxs = embedding_scale_stats(ds, vec_col=vec_col)
+    scale = (maxs - mins) / 255.0
+    scale[scale == 0] = 1.0
+    codebook = {"mins": mins, "scale": scale}
+    cb_ref = ray.put((mins.astype(np.float32), scale.astype(np.float32)))
+
+    from dots_ocr_ray.util import cached_object
+
+    def _encode(batch: pa.Table) -> pa.Table:
+        lo, sc = cached_object(cb_ref)
+        mat = vec_matrix(batch.column(vec_col), dtype=np.float32)
+        q = np.clip(np.rint((mat - lo) / sc), 0, 255).astype(np.uint8)
+        return pa.table(
+            {
+                id_col: batch.column(id_col).cast(pa.int64()),
+                "q": pa.array([row.tobytes() for row in q], type=pa.binary()),
+            }
+        )
+
+    return ds.map_batches(_encode, batch_format="pyarrow"), codebook
+
+
+def dequantized_topk(
+    quantized: ray.data.Dataset,
+    codebook: dict,
+    queries: np.ndarray,
+    query_ids: list[int],
+    *,
+    id_col: str = "vec_id",
+    k: int = 5,
+) -> pa.Table:
+    """Brute-force cosine top-k over the int8-quantized column:
+    per-batch dequantize (one fused multiply-add) + matmul + local
+    top-k, tiny global merge — the same shape as
+    :func:`brute_force_topk`, at a quarter of the object-store bytes."""
+    qmat = _normalize_rows(np.asarray(queries, dtype=np.float32))
+    state_ref = ray.put(
+        (
+            qmat,
+            np.asarray(codebook["mins"], dtype=np.float32),
+            np.asarray(codebook["scale"], dtype=np.float32),
+        )
+    )
+
+    from dots_ocr_ray.util import cached_object
+
+    def _local(batch: pa.Table) -> pa.Table:
+        qm, lo, sc = cached_object(state_ref)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        raw = batch.column("q")
+        if isinstance(raw, pa.ChunkedArray):
+            raw = raw.combine_chunks()
+        flat = np.frombuffer(b"".join(raw.to_pylist()), dtype=np.uint8)
+        mat = flat.reshape(len(ids), -1).astype(np.float32) * sc + lo
+        mat = _normalize_rows(mat)
+        sims = qm @ mat.T  # (nq, nb)
+        kk = min(k, sims.shape[1])
+        top = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        rows_q, rows_v, rows_s = [], [], []
+        for qi in range(sims.shape[0]):
+            rows_q += [qi] * kk
+            rows_v += ids[top[qi]].tolist()
+            rows_s += sims[qi, top[qi]].tolist()
+        return pa.table(
+            {
+                "qi": pa.array(rows_q, type=pa.int32()),
+                "vec_id": pa.array(rows_v, type=pa.int64()),
+                "sim": pa.array(rows_s, type=pa.float64()),
+            }
+        )
+
+    cands = quantized.map_batches(_local, batch_format="pyarrow")
+    best: dict[int, list[tuple[float, int]]] = {i: [] for i in range(len(query_ids))}
+    for b in cands.iter_batches(batch_format="pyarrow"):
+        for qi, vid, s in zip(
+            b.column("qi").to_pylist(), b.column("vec_id").to_pylist(), b.column("sim").to_pylist()
+        ):
+            heapq.heappush(best[qi], (s, -vid))
+            if len(best[qi]) > k:
+                heapq.heappop(best[qi])
+    out_q, out_v, out_r = [], [], []
+    for qi in range(len(query_ids)):
+        ranked = sorted(best[qi], key=lambda t: (-t[0], -t[1]))
+        for r, (s, nvid) in enumerate(ranked, 1):
+            out_q.append(int(query_ids[qi]))
+            out_v.append(int(-nvid))
+            out_r.append(r)
+    return pa.table(
+        {
+            "query_id": pa.array(out_q, type=pa.int32()),
+            "vec_id": pa.array(out_v, type=pa.int64()),
+            "rank": pa.array(out_r, type=pa.int32()),
+        }
+    )

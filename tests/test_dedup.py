@@ -346,3 +346,28 @@ def test_frequent_lines_threshold(ray_session):
         for r in frequent_lines(ds, min_count=2).take_all()
     }
     assert out == {"a": 3, "b": 2}
+
+
+def test_exact_dedup_incremental(ray_session):
+    """Incremental exact dedup: rows already hashed into the prior
+    index drop; fresh rows survive with in-batch dup collapse."""
+    import ray.data
+
+    from dots_ocr_ray.kernel.textops import md5_hex
+    from dots_ocr_ray.pipelines.dedup import exact_dedup_incremental
+
+    index = ray.data.from_items(
+        [{"content_md5": md5_hex(t)} for t in ("old one", "old two")]
+    )
+    new = ray.data.from_items(
+        [
+            {"doc_id": 1, "text": "old one"},     # already indexed -> drop
+            {"doc_id": 2, "text": "fresh a"},
+            {"doc_id": 3, "text": "fresh a"},     # in-batch dup -> min id survives
+            {"doc_id": 4, "text": "fresh b"},
+            {"doc_id": 5, "text": "old two"},     # already indexed -> drop
+        ]
+    )
+    out = exact_dedup_incremental(new, index)
+    rows = {r["doc_id"]: r["text"] for r in out.take_all()}
+    assert rows == {2: "fresh a", 4: "fresh b"}

@@ -62,3 +62,51 @@ def test_lsh_topk_high_recall(ray_session, emb_ds, all_vecs):
     # the query's own vector must always survive (identical bucket)
     for qi in range(4):
         assert exact[qi][0] in set(approx[approx.query_id == qi].vec_id)
+
+
+def test_quantize_embeddings_roundtrip_and_topk_overlap(ray_session):
+    """int8 quantization: reconstruction error bounded by half a step
+    per dim; dequantized brute-force top-k overlaps the float top-k."""
+    import numpy as np
+    import ray.data
+
+    from dots_ocr_ray.pipelines.similarity import (
+        brute_force_topk,
+        dequantized_topk,
+        embedding_scale_stats,
+        quantize_embeddings,
+    )
+    from dots_ocr_ray.util import vec_matrix
+
+    SF = "/root/testdata/sf0.001"
+    ds = ray.data.read_parquet(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    mins, maxs = embedding_scale_stats(ds)
+    assert (maxs >= mins).all()
+
+    quantized, codebook = quantize_embeddings(ds)
+    q_df = quantized.to_pandas().set_index("vec_id")
+    raw = ds.take_all()
+    step = codebook["scale"]
+    for row in raw[:20]:
+        orig = np.asarray(row["embedding"], dtype=np.float32)
+        code = np.frombuffer(q_df.loc[row["vec_id"], "q"], dtype=np.uint8).astype(np.float32)
+        recon = code * codebook["scale"] + codebook["mins"]
+        assert (np.abs(recon - orig) <= step * 0.51 + 1e-6).all()
+
+    # top-k overlap vs the exact float path
+    queries = [r for r in raw if r["vec_id"] < 4]
+    qmat = np.stack([np.asarray(r["embedding"], dtype=np.float32) for r in queries])
+    qids = [r["vec_id"] for r in queries]
+    int8_tbl = dequantized_topk(quantized, codebook, qmat, qids, k=5)
+    float_tbl = brute_force_topk(ds, qmat, k=5)
+    def topset(tbl):
+        out = {}
+        for q, v in zip(tbl.column("query_id").to_pylist(), tbl.column("vec_id").to_pylist()):
+            out.setdefault(q, set()).add(v)
+        return out
+    a, b = topset(int8_tbl), topset(float_tbl)
+    assert set(a) == set(b)
+    for q in a:
+        assert len(a[q] & b[q]) >= 4  # >= 80% overlap @5
+        # the self-match (rank 1) must survive quantization
+        assert q in a[q]
