@@ -1447,6 +1447,28 @@ def _q_line_dedup_docs(sf_dir: str):
     return line_dedup(ds, text_col="extracted_text", id_col="doc_id", min_count=5)
 
 
+def _q_substring_dedup_docs(sf_dir: str):
+    """Corpus-level EXACT-SUBSTRING dedup (Lee et al. 2022 ExactSubstr
+    over token 8-grams, suffix array replaced by two streaming Ray
+    passes): every 8-token gram occurring >= 2 times corpus-wide is
+    removed from every position it covers; survivors re-join with
+    single spaces.  Pass 1 = per-batch np.unique gram-hash partials +
+    one groupby sum; pass 2 = broadcast sorted dup-hash array +
+    searchsorted/difference-array coverage, batch-local rebuild (above
+    the broadcast budget: semi hash-join + per-doc starts + one join
+    back, fully distributed)."""
+    import ray.data
+
+    from dots_ocr_ray.pipelines.substring import substring_dedup
+
+    # consumed twice (count pass + filter pass) — materialize the
+    # narrow projection once
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).materialize()
+    return substring_dedup(docs, text_col="text", id_col="doc_id", k=8, min_count=2)
+
+
 def _q_adaptive_length_filter(sf_dir: str):
     """Per-language adaptive length filter: keep documents whose
     n_chars is at or above their language's exact 10th percentile.
@@ -1560,6 +1582,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_ngram": _q_dedup_ngram,
         "dedup_embedding": _q_dedup_embedding,
         "line_dedup_docs": _q_line_dedup_docs,
+        "substring_dedup_docs": _q_substring_dedup_docs,
         "adaptive_length_filter": _q_adaptive_length_filter,
         # link-graph analytics
         "host_degrees": _q_host_degrees,
@@ -1669,6 +1692,32 @@ def oracle_sql() -> dict[str, str]:
             "CAST(count(*) FILTER (WHERE l.line NOT IN (SELECT line FROM freq)) AS BIGINT) AS n_kept, "
             "CAST(count(*) FILTER (WHERE l.line IN (SELECT line FROM freq)) AS BIGINT) AS n_dropped "
             "FROM lns l GROUP BY l.doc_id"
+        ),
+        # exact-substring dedup: independent SQL derivation — window
+        # k-gram assembly + global HAVING count>=2 + interval coverage
+        # via BETWEEN range join (the Ray side compares 64-bit gram
+        # hashes; the SQL compares the gram strings themselves)
+        "substring_dedup_docs": (
+            r"WITH toks AS (SELECT doc_id, t.tok, t.ord FROM documents, "
+            r"LATERAL (SELECT unnest(list_filter(regexp_split_to_array(coalesce(text,''), '\s+'), x -> x <> '')) AS tok, "
+            r"generate_subscripts(list_filter(regexp_split_to_array(coalesce(text,''), '\s+'), x -> x <> ''), 1) AS ord) t), "
+            "grams AS (SELECT doc_id, ord, list(tok) OVER (PARTITION BY doc_id "
+            "ORDER BY ord ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS g FROM toks), "
+            "g8 AS (SELECT doc_id, ord, array_to_string(g, ' ') AS gram FROM grams WHERE len(g) = 8), "
+            "dup AS (SELECT gram FROM g8 GROUP BY gram HAVING count(*) >= 2), "
+            "cov AS (SELECT DISTINCT t.doc_id, t.ord FROM toks t "
+            "JOIN (SELECT doc_id, ord FROM g8 WHERE gram IN (SELECT gram FROM dup)) s "
+            "ON t.doc_id = s.doc_id AND t.ord BETWEEN s.ord AND s.ord + 7), "
+            "agg AS (SELECT t.doc_id, "
+            "string_agg(t.tok, ' ' ORDER BY t.ord) FILTER (WHERE c.ord IS NULL) AS text_sub, "
+            "count(*) FILTER (WHERE c.ord IS NULL) AS n_kept, "
+            "count(*) FILTER (WHERE c.ord IS NOT NULL) AS n_dropped "
+            "FROM toks t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.ord = c.ord "
+            "GROUP BY t.doc_id) "
+            "SELECT d.doc_id, coalesce(a.text_sub, '') AS text_sub, "
+            "CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept, "
+            "CAST(coalesce(a.n_dropped, 0) AS BIGINT) AS n_dropped "
+            "FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id"
         ),
         "adaptive_length_filter": (
             "WITH thr AS (SELECT lang, quantile_disc(n_chars, 0.1) AS lo "
