@@ -588,6 +588,16 @@ def _q_reservoir_doc_sample(sf_dir: str):
     return pd.DataFrame({"key": sorted(keys)})
 
 
+def _q_event_gaps(sf_dir: str):
+    """LAG/LEAD window surface: per-user inter-event gap (µs, -1 for
+    the first) and next event type ('' for the last), (ts, event_id)
+    order within the user partition — per-key groups, no global
+    sort."""
+    from dots_ocr_ray.pipelines.windows import event_gaps
+
+    return event_gaps(sf_dir)
+
+
 def _q_user_event_seq(sf_dir: str):
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -1511,6 +1521,17 @@ def _q_host_degrees(sf_dir: str):
     return degree_table(host_edges_from_documents(sf_dir))
 
 
+def _q_host_components(sf_dir: str):
+    """Connected components over the sparse host chain graph (25 path
+    components of 16 hosts — 15-hop label propagation).  Ray side:
+    cluster_assign (driver union-find under the pair budget,
+    distributed min-label propagation above it); oracle: recursive-CTE
+    closure over the identically derived edges."""
+    from dots_ocr_ray.pipelines.graph import connected_hosts
+
+    return connected_hosts(sf_dir)
+
+
 def _q_host_pagerank(sf_dir: str):
     """Distributed PageRank (5 iterations, damping 0.85) over the host
     link graph; rank reported relative to uniform (mean 1.0).  Oracle:
@@ -1586,6 +1607,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "adaptive_length_filter": _q_adaptive_length_filter,
         # link-graph analytics
         "host_degrees": _q_host_degrees,
+        "host_components": _q_host_components,
         "host_pagerank": _q_host_pagerank,
         # similarity search
         "ann_topk": _q_ann_topk,
@@ -1639,6 +1661,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sliding_events": _q_sliding_events,
         "window_distinct_users": _q_window_distinct_users,
         "user_event_seq": _q_user_event_seq,
+        "event_gaps": _q_event_gaps,
         "longest_per_lang": _q_longest_per_lang,
         "chars_quantiles": _q_chars_quantiles,
         "sessionize": _q_sessionize,
@@ -1737,6 +1760,17 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(i) AS BIGINT) AS in_deg FROM ("
             "SELECT src AS host, 1 AS o, 0 AS i FROM e "
             "UNION ALL SELECT dst, 0, 1 FROM e) GROUP BY host"
+        ),
+        # connected components: independent derivation — recursive-CTE
+        # reachability closure over the identically derived chain edges
+        "host_components": (
+            "WITH RECURSIVE hosts AS (SELECT DISTINCT doc_id % 400 AS h FROM documents), "
+            "e AS (SELECT h AS a, h + 1 AS b FROM hosts WHERE h % 16 <> 15), "
+            "und AS (SELECT a, b FROM e UNION SELECT b, a FROM e), "
+            "reach(n, lbl) AS (SELECT h, h FROM hosts "
+            "UNION SELECT u.b, r.lbl FROM reach r JOIN und u ON u.a = r.n) "
+            "SELECT n AS host, CAST(min(lbl) AS BIGINT) AS component "
+            "FROM reach GROUP BY n"
         ),
         "host_pagerank": (
             f"SELECT host, rank_rel FROM read_parquet('{_GOLDEN_DIR}/host_pagerank.parquet')"
@@ -2103,6 +2137,12 @@ def oracle_sql() -> dict[str, str]:
             "round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, value "
             "ROWS UNBOUNDED PRECEDING), 4) AS running_value "
             "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, value)"
+        ),
+        "event_gaps": (
+            "SELECT user_id, event_id, "
+            "CAST(coalesce(epoch_us(ts) - lag(epoch_us(ts)) OVER w, -1) AS BIGINT) AS gap_us, "
+            "coalesce(lead(event_type) OVER w, '') AS next_type "
+            "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
         ),
         "chars_quantiles": (
             " UNION ALL ".join(

@@ -317,3 +317,64 @@ def host_edges_from_documents(sf_dir: str) -> ray.data.Dataset:
         )
 
     return docs.map_batches(_edges, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# connected components as a first-class graph query
+
+CHAIN_HOSTS = 400
+CHAIN_BLOCK = 16
+
+
+def host_chain_edges_from_documents(sf_dir: str) -> ray.data.Dataset:
+    """Deterministic sparse host graph for the components query: every
+    document contributes the chain edge ``(h, h+1)`` for
+    ``h = doc_id % 400`` unless ``h % 16 == 15`` — 25 path components
+    of 16 hosts each, the worst case for label propagation (15 hops).
+    The SQL oracle re-derives the same edges and closes them with a
+    recursive CTE.  Duplicate edges (several docs on one host) ship
+    as-is: connected components is idempotent under edge multiplicity."""
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def _edges(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        h = np.unique(ids % CHAIN_HOSTS)  # in-batch dedup: shuffle bytes, not docs
+        h = h[h % CHAIN_BLOCK != CHAIN_BLOCK - 1]
+        return pa.table(
+            {
+                "a": pa.array(h, type=pa.int64()),
+                "b": pa.array(h + 1, type=pa.int64()),
+            }
+        )
+
+    return docs.map_batches(_edges, batch_format="pyarrow")
+
+
+def connected_hosts(sf_dir: str, *, method: str = "auto") -> ray.data.Dataset:
+    """(host, component) over the chain fixture — the dedup family's
+    :func:`~dots_ocr_ray.pipelines.dedup.cluster_assign` (driver
+    union-find under the pair budget, distributed min-label
+    propagation above it) exposed as a first-class graph operator;
+    component = min host id of the component."""
+    from dots_ocr_ray.pipelines.dedup import cluster_assign
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def _hosts(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"host": pa.array(np.unique(ids % CHAIN_HOSTS), type=pa.int64())})
+
+    hosts = (
+        docs.map_batches(_hosts, batch_format="pyarrow")
+        .groupby("host")
+        .count()
+        .select_columns(["host"])
+    )
+    assigned = cluster_assign(
+        hosts, host_chain_edges_from_documents(sf_dir), id_col="host", method=method
+    )
+
+    def _rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["host", "component"])
+
+    return assigned.map_batches(_rename, batch_format="pyarrow")

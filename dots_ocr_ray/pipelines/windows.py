@@ -223,3 +223,27 @@ def window_distinct_users(
         )
 
     return pairs.groupby("window_start").map_groups(_count, batch_format="pyarrow")
+
+
+def event_gaps(sf_dir: str) -> ray.data.Dataset:
+    """LAG/LEAD window per key: microseconds since the previous event
+    (-1 for the first) and the next event's type ('' for the last),
+    per user in (ts, event_id) order — the LAG(...)/LEAD(...) OVER
+    (PARTITION BY ... ORDER BY ...) surface.  Partition by user, sort
+    WITHIN the group, vectorized shift — no global sort."""
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id", "event_type"]
+    )
+
+    def _gaps(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        # explicit unit cast: the parquet timestamps arrive as
+        # datetime64[us] (not [ns]), so a bare int64 view would
+        # already be µs — pin the unit rather than assume it
+        us = g["ts"].astype("datetime64[us]").astype("int64")
+        gap = us - us.shift(1)
+        g["gap_us"] = gap.fillna(-1).astype("int64")
+        g["next_type"] = g["event_type"].shift(-1).fillna("")
+        return g[["user_id", "event_id", "gap_us", "next_type"]]
+
+    return events.groupby("user_id").map_groups(_gaps, batch_format="pandas")

@@ -59,3 +59,19 @@ def test_host_edges_rule(ray_session):
     assert len(edges) == 3 * n_docs
     for e in edges[:10]:
         assert 0 <= e["src"] < 40 and 0 <= e["dst"] < 40
+
+
+def test_connected_hosts_structure_and_tier_parity(ray_session):
+    """The chain fixture yields 25 path components of 16 hosts; the
+    driver union-find tier and the distributed min-label propagation
+    tier must agree exactly (15-hop chains are label propagation's
+    worst case)."""
+    from dots_ocr_ray.pipelines.graph import connected_hosts
+
+    sf = "/root/testdata/sf0.001"
+    drv = {r["host"]: r["component"] for r in connected_hosts(sf, method="driver").take_all()}
+    dst = {r["host"]: r["component"] for r in connected_hosts(sf, method="distributed").take_all()}
+    assert drv == dst
+    assert len(drv) == 400
+    assert all(comp == host - host % 16 for host, comp in drv.items())
+    assert len(set(drv.values())) == 25

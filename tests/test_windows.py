@@ -134,3 +134,27 @@ def test_window_distinct_users_matches_pandas(ray_session, tmp_path):
     out["n_users"] = out["n_users"].astype("int64")
     ref["n_users"] = ref["n_users"].astype("int64")
     pd.testing.assert_frame_equal(out, ref)
+
+
+def test_event_gaps(ray_session):
+    """LAG/LEAD semantics: first event per user gets gap -1, last gets
+    next_type '', and gaps equal the sorted inter-event deltas."""
+    from dots_ocr_ray.pipelines.windows import event_gaps
+
+    rows = event_gaps("/root/testdata/sf0.001").take_all()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    import pyarrow.parquet as pq
+
+    ev = pq.read_table("/root/testdata/sf0.001/events.parquet").to_pandas()
+    assert len(rows) == len(ev)
+    for uid, urows in list(by_user.items())[:20]:
+        g = ev[ev.user_id == uid].sort_values(["ts", "event_id"]).reset_index(drop=True)
+        us = g["ts"].astype("datetime64[us]").astype("int64")
+        exp_gaps = [-1] + list((us.values[1:] - us.values[:-1]))
+        got = {r["event_id"]: r for r in urows}
+        ordered = [got[e] for e in g["event_id"]]
+        assert [r["gap_us"] for r in ordered] == exp_gaps
+        assert ordered[-1]["next_type"] == ""
+        assert [r["next_type"] for r in ordered[:-1]] == list(g["event_type"][1:])
