@@ -1154,6 +1154,60 @@ def _q_tfidf_top_terms(sf_dir: str):
     return tfidf_top_terms(docs, vocab_size=256, k=3)
 
 
+def _q_bucketed_customer_orders(sf_dir: str):
+    """Co-partitioned bucketed-table pattern end-to-end: both sides
+    written hash-bucketed by custkey once (the hash_join exchange,
+    persisted), then joined with ZERO exchange (one task per bucket
+    reading its two co-located file sets) — and because every batch
+    holds ALL rows of its keys, the per-customer rollup is a per-batch
+    group_by with NO groupby exchange either.  The 100-TB shape for a
+    fact table joined repeatedly on one key."""
+    import tempfile
+
+    import pyarrow as pa
+
+    import ray.data
+
+    from dots_ocr_ray.pipelines.bucketed import bucketed_join, write_bucketed
+
+    base = tempfile.mkdtemp(prefix="graft_bucketed_", dir="/tmp")
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+
+    def _rk(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["c_custkey", "o_totalprice"])
+
+    customer = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    write_bucketed(
+        orders.map_batches(_rk, batch_format="pyarrow"),
+        f"{base}/orders",
+        key="c_custkey",
+        num_buckets=16,
+    )
+    write_bucketed(customer, f"{base}/customer", key="c_custkey", num_buckets=16)
+    joined = bucketed_join(f"{base}/orders", f"{base}/customer", on="c_custkey")
+
+    def _rollup(batch: pa.Table) -> pa.Table:
+        # globally correct WITHOUT an exchange: one batch == one
+        # bucket == every row of its custkeys
+        g = batch.group_by(["c_custkey", "c_nationkey"]).aggregate(
+            [("o_totalprice", "sum"), ("o_totalprice", "count")]
+        )
+        return pa.table(
+            {
+                "c_custkey": g.column("c_custkey"),
+                "c_nationkey": g.column("c_nationkey"),
+                "n_orders": g.column("o_totalprice_count").cast(pa.int64()),
+                "spend": g.column("o_totalprice_sum"),
+            }
+        )
+
+    return joined.map_batches(_rollup, batch_format="pyarrow")
+
+
 def _q_orders_customer_join(sf_dir: str):
     """Large × large equi-join without a broadcast side: orders ⨝
     customer through the hash-bucket exchange (relational.hash_join),
@@ -1638,6 +1692,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "merge_docs": _q_merge_docs,
         # relational / window / sampling / sort
         "orders_customer_join": _q_orders_customer_join,
+        "bucketed_customer_orders": _q_bucketed_customer_orders,
         "supplier_stats": _q_supplier_stats,
         "part_stats": _q_part_stats,
         "quality_filter_docs": _q_quality_filter_docs,
@@ -2103,6 +2158,12 @@ def oracle_sql() -> dict[str, str]:
         "chars_quantiles_approx": (
             "SELECT q, value "
             f"FROM read_parquet('{_GOLDEN_DIR}/chars_quantiles_approx.parquet')"
+        ),
+        "bucketed_customer_orders": (
+            "SELECT c_custkey, c_nationkey, CAST(count(*) AS BIGINT) AS n_orders, "
+            "sum(o_totalprice) AS spend FROM orders "
+            "JOIN customer ON o_custkey = c_custkey "
+            "GROUP BY c_custkey, c_nationkey"
         ),
         "orders_customer_join": (
             "SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_orders, "
