@@ -1154,6 +1154,66 @@ def _q_tfidf_top_terms(sf_dir: str):
     return tfidf_top_terms(docs, vocab_size=256, k=3)
 
 
+def _q_lineitem_order_priority(sf_dir: str):
+    """Skew-aware fact × fact join: lineitem ⨝ orders through
+    relational.skew_join — order keys the SpaceSaving sketch flags as
+    hot (≥ 7 lineitems here, so the broadcast path genuinely runs)
+    join batch-locally against a ray.put right-side slice; the cold
+    remainder takes the ordinary bucket exchange.  Rollup by order
+    priority with the per-batch partial-aggregate combiner."""
+    import pyarrow as pa
+
+    import ray.data
+
+    from dots_ocr_ray.pipelines.relational import skew_join
+    from dots_ocr_ray.util import bounded_blocks
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_quantity"]
+    )
+
+    def _rk(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["o_orderkey", "l_quantity"])
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    )
+    joined = skew_join(
+        li.map_batches(_rk, batch_format="pyarrow"),
+        orders,
+        on="o_orderkey",
+        hot_threshold=7,
+        left_schema=pa.schema(
+            [("o_orderkey", pa.int64()), ("l_quantity", pa.float64())]
+        ),
+        right_schema=pa.schema(
+            [("o_orderkey", pa.int64()), ("o_orderpriority", pa.string())]
+        ),
+    )
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        return batch.group_by("o_orderpriority").aggregate(
+            [("l_quantity", "sum"), ("l_quantity", "count")]
+        )
+
+    agg = (
+        bounded_blocks(joined.map_batches(_partial, batch_format="pyarrow"))
+        .groupby("o_orderpriority")
+        .sum(["l_quantity_sum", "l_quantity_count"])
+    )
+
+    def _final(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderpriority": batch.column("o_orderpriority"),
+                "n_items": batch.column("sum(l_quantity_count)").cast(pa.int64()),
+                "sum_qty": batch.column("sum(l_quantity_sum)"),
+            }
+        )
+
+    return agg.map_batches(_final, batch_format="pyarrow")
+
+
 def _q_bucketed_customer_orders(sf_dir: str):
     """Co-partitioned bucketed-table pattern end-to-end: both sides
     written hash-bucketed by custkey once (the hash_join exchange,
@@ -1693,6 +1753,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # relational / window / sampling / sort
         "orders_customer_join": _q_orders_customer_join,
         "bucketed_customer_orders": _q_bucketed_customer_orders,
+        "lineitem_order_priority": _q_lineitem_order_priority,
         "supplier_stats": _q_supplier_stats,
         "part_stats": _q_part_stats,
         "quality_filter_docs": _q_quality_filter_docs,
@@ -2158,6 +2219,11 @@ def oracle_sql() -> dict[str, str]:
         "chars_quantiles_approx": (
             "SELECT q, value "
             f"FROM read_parquet('{_GOLDEN_DIR}/chars_quantiles_approx.parquet')"
+        ),
+        "lineitem_order_priority": (
+            "SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items, "
+            "sum(l_quantity) AS sum_qty FROM lineitem "
+            "JOIN orders ON l_orderkey = o_orderkey GROUP BY o_orderpriority"
         ),
         "bucketed_customer_orders": (
             "SELECT c_custkey, c_nationkey, CAST(count(*) AS BIGINT) AS n_orders, "

@@ -925,3 +925,133 @@ def interval_agg_join(
         )
 
     return summed.map_batches(_rename, batch_format="pyarrow")
+
+
+def skew_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    *,
+    on: str,
+    how: str = "inner",
+    suffix: str = "_r",
+    hot_threshold: int = 1_000_000,
+    sketch_capacity: int = 256,
+    hot_right_rows_limit: int = 2_000_000,
+    left_schema: pa.Schema | None = None,
+    right_schema: pa.Schema | None = None,
+) -> ray.data.Dataset:
+    """Skew-aware large × large equi-join: HOT keys (a SpaceSaving
+    sketch pass estimates per-key frequency without a groupby) take a
+    broadcast path — their right-side rows ship once via ``ray.put``
+    and join batch-locally with zero exchange — while the cold
+    remainder goes through the ordinary :func:`hash_join` bucket
+    exchange.  A single mega-key no longer lands whole in one bucket
+    and holds the join wave hostage (hash_join's documented inherent
+    limitation).
+
+    Correctness never depends on the sketch: ANY hot-key set yields
+    the same exact join output (both paths are exact; the split is
+    disjoint), so the approximate detection affects only performance.
+    If the hot keys' right-side rows exceed ``hot_right_rows_limit``
+    the operator degrades to a plain hash_join rather than risk an
+    unbounded broadcast.
+
+    ``left`` is consumed twice (hot pass + cold pass) — pass a read or
+    a materialized dataset.  ``how`` is "inner" or "left"."""
+    import numpy as np
+    import pandas as pd
+
+    from dots_ocr_ray.functions.sketches import approx_heavy_hitters
+    from dots_ocr_ray.util import cached_object
+
+    if how not in ("inner", "left"):
+        raise ValueError(f"unsupported how={how!r}")
+    if left_schema is None:
+        left_schema = left.schema()
+    if right_schema is None:
+        right_schema = right.schema()
+    # .names/.types work on both pa.Schema and Ray's Schema wrapper
+    key_type = dict(zip(left_schema.names, left_schema.types))[on]
+
+    hh = approx_heavy_hitters(
+        left.select_columns([on]), on, k=sketch_capacity, capacity=sketch_capacity
+    )
+    hot_strs = [k for k, c in hh if c >= hot_threshold]
+    if not hot_strs:
+        return hash_join(
+            left, right, on=on, how=how, suffix=suffix,
+            left_schema=left_schema, right_schema=right_schema,
+        )
+    if pa.types.is_integer(key_type):
+        hot_keys = pa.array([int(k) for k in hot_strs], type=key_type)
+    else:
+        hot_keys = pa.array(hot_strs, type=key_type)
+
+    def _filter_keys(keys: pa.Array, invert: bool):
+        def _fn(batch: pa.Table) -> pa.Table:
+            mask = pc.is_in(batch.column(on), value_set=keys)
+            if invert:
+                mask = pc.invert(mask)
+            return batch.filter(mask)
+
+        return _fn
+
+    hot_right = right.map_batches(
+        _filter_keys(hot_keys, invert=False), batch_format="pyarrow"
+    ).materialize()
+    if hot_right.count() > hot_right_rows_limit:
+        return hash_join(
+            left, right, on=on, how=how, suffix=suffix,
+            left_schema=left_schema, right_schema=right_schema,
+        )
+    hot_right_df = hot_right.to_pandas()
+    # pre-apply the suffix the same way hash_join does, and pin the
+    # output schema so empty batches and left-join NaN upcasts stay
+    # union-compatible with the cold path
+    overlap = {
+        c for c in right_schema.names if c != on and c in set(left_schema.names)
+    }
+    if overlap:
+        hot_right_df = hot_right_df.rename(columns={c: c + suffix for c in overlap})
+    types: dict[str, pa.DataType] = dict(
+        zip(left_schema.names, left_schema.types)
+    )
+    for n, t in zip(right_schema.names, right_schema.types):
+        types.setdefault(n, t)
+    out_fields: list[tuple[str, pa.DataType]] = [
+        (n, types[n]) for n in left_schema.names
+    ] + [
+        (n + suffix if n in overlap else n, types[n])
+        for n in right_schema.names
+        if n != on
+    ]
+    hot_ref = ray.put(hot_right_df)
+
+    def _hot_local_join(batch: pa.Table) -> pa.Table:
+        rdf = cached_object(hot_ref)
+        ldf = batch.filter(pc.is_in(batch.column(on), value_set=hot_keys)).to_pandas()
+        if not len(ldf):
+            return pa.table(
+                {n: pa.array([], type=t) for n, t in out_fields}
+            )
+        merged = ldf.merge(rdf, on=on, how=how, suffixes=("", suffix), sort=False)
+        cols = {}
+        for n, t in out_fields:
+            col = merged[n]
+            if pa.types.is_integer(t) and col.dtype.kind == "f" and not col.isna().any():
+                col = col.astype("int64")
+            cols[n] = pa.array(col, type=t) if not col.isna().any() else pa.array(col)
+        return pa.table(cols)
+
+    hot_joined = left.map_batches(_hot_local_join, batch_format="pyarrow")
+    cold_left = left.map_batches(
+        _filter_keys(hot_keys, invert=True), batch_format="pyarrow"
+    )
+    cold_right = right.map_batches(
+        _filter_keys(hot_keys, invert=True), batch_format="pyarrow"
+    )
+    cold_joined = hash_join(
+        cold_left, cold_right, on=on, how=how, suffix=suffix,
+        left_schema=left_schema, right_schema=right_schema,
+    )
+    return hot_joined.union(cold_joined)

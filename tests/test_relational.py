@@ -443,3 +443,44 @@ def test_interval_agg_join_matches_range_join(ray_session):
     assert (agg["k"].to_numpy() == ref["k"].to_numpy()).all()
     assert np.allclose(agg["agg_sum"].to_numpy(), ref["agg_sum"].to_numpy())
     assert (agg["agg_count"].to_numpy() == ref["agg_count"].to_numpy()).all()
+
+
+def test_skew_join_matches_hash_join(ray_session):
+    """Hot-key split parity: a synthetic corpus where one key holds
+    half the rows must join identically through the skew path (hot
+    broadcast + cold exchange) and the plain bucket exchange."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data
+
+    from dots_ocr_ray.pipelines.relational import hash_join, skew_join
+
+    rng = np.random.RandomState(7)
+    n = 20_000
+    keys = np.where(rng.rand(n) < 0.5, 42, rng.randint(0, 500, n)).astype(np.int64)
+    left = ray.data.from_arrow(
+        pa.table({"k": keys, "v": np.arange(n, dtype=np.int64)})
+    )
+    right = ray.data.from_arrow(
+        pa.table(
+            {
+                "k": pa.array(np.arange(0, 500, dtype=np.int64)),
+                "w": pa.array(np.arange(0, 500, dtype=np.int64) * 10),
+            }
+        )
+    )
+
+    def _canon(ds):
+        df = ds.to_pandas()
+        return df[sorted(df.columns)].sort_values(sorted(df.columns)).reset_index(drop=True)
+
+    got = _canon(skew_join(left, right, on="k", hot_threshold=1000, sketch_capacity=64))
+    ref = _canon(hash_join(left, right, on="k"))
+    pd.testing.assert_frame_equal(got, ref, check_dtype=False)
+    assert len(got) == n  # every key has a right match
+
+    # threshold above every frequency -> pure hash_join path, same result
+    got2 = _canon(skew_join(left, right, on="k", hot_threshold=10 * n))
+    pd.testing.assert_frame_equal(got2, ref, check_dtype=False)
