@@ -1571,6 +1571,22 @@ def _q_line_dedup_docs(sf_dir: str):
     return line_dedup(ds, text_col="extracted_text", id_col="doc_id", min_count=5)
 
 
+def _q_bigram_lm_scores(sf_dir: str):
+    """CCNet-style LM quality signal: add-one-smoothed bigram LM
+    trained on the corpus itself (two count exchanges of per-batch
+    np.unique partials), every document scored with its average bigram
+    log-probability via a broadcast searchsorted pass (distributed
+    hash-join tier above the budget)."""
+    import ray.data
+
+    from dots_ocr_ray.pipelines.text_analysis import bigram_lm_scores
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).materialize()  # consumed three times (2 count passes + scoring)
+    return bigram_lm_scores(docs, text_col="text", id_col="doc_id")
+
+
 def _q_substring_dedup_docs(sf_dir: str):
     """Corpus-level EXACT-SUBSTRING dedup (Lee et al. 2022 ExactSubstr
     over token 8-grams, suffix array replaced by two streaming Ray
@@ -1718,6 +1734,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_embedding": _q_dedup_embedding,
         "line_dedup_docs": _q_line_dedup_docs,
         "substring_dedup_docs": _q_substring_dedup_docs,
+        "bigram_lm_scores": _q_bigram_lm_scores,
         "adaptive_length_filter": _q_adaptive_length_filter,
         # link-graph analytics
         "host_degrees": _q_host_degrees,
@@ -1831,6 +1848,26 @@ def oracle_sql() -> dict[str, str]:
             "CAST(count(*) FILTER (WHERE l.line NOT IN (SELECT line FROM freq)) AS BIGINT) AS n_kept, "
             "CAST(count(*) FILTER (WHERE l.line IN (SELECT line FROM freq)) AS BIGINT) AS n_dropped "
             "FROM lns l GROUP BY l.doc_id"
+        ),
+        # bigram LM: independent SQL derivation — string-keyed count
+        # tables + window-free self-join on (doc_id, ord+1); the Ray
+        # side keys on 64-bit hashes
+        "bigram_lm_scores": (
+            r"WITH toks AS (SELECT doc_id, t.tok, t.ord FROM documents, "
+            r"LATERAL (SELECT unnest(list_filter(regexp_split_to_array(coalesce(text,''), '\s+'), x -> x <> '')) AS tok, "
+            r"generate_subscripts(list_filter(regexp_split_to_array(coalesce(text,''), '\s+'), x -> x <> ''), 1) AS ord) t), "
+            "uni AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok), "
+            "v AS (SELECT count(*) AS nv FROM uni), "
+            "bigr AS (SELECT t1.doc_id, t1.tok AS w1, t2.tok AS w2 FROM toks t1 "
+            "JOIN toks t2 ON t1.doc_id = t2.doc_id AND t2.ord = t1.ord + 1), "
+            "bc AS (SELECT w1, w2, count(*) AS c FROM bigr GROUP BY w1, w2), "
+            "scored AS (SELECT b.doc_id, ln((bc.c + 1.0) / (u.c + v.nv)) AS lp "
+            "FROM bigr b JOIN bc ON b.w1 = bc.w1 AND b.w2 = bc.w2 "
+            "JOIN uni u ON b.w1 = u.tok CROSS JOIN v) "
+            "SELECT d.doc_id, coalesce(avg(s.lp), 0.0) AS avg_logp, "
+            "CAST(count(s.lp) AS BIGINT) AS n_bigrams "
+            "FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id "
+            "GROUP BY d.doc_id"
         ),
         # exact-substring dedup: independent SQL derivation — window
         # k-gram assembly + global HAVING count>=2 + interval coverage

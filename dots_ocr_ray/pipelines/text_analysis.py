@@ -650,3 +650,264 @@ def quality_model_scores(
         )
 
     return ds.map_batches(_score, batch_format="pyarrow")
+
+
+def bigram_lm_scores(
+    ds: ray.data.Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_limit: int = 4_000_000,
+) -> ray.data.Dataset:
+    """CCNet-style language-model quality signal: train an add-one-
+    smoothed bigram LM on the corpus itself, then score every document
+    with its average bigram log-probability — ``(id, avg_logp,
+    n_bigrams)``.  ``logp(w2|w1) = ln((B(w1,w2)+1) / (U(w1)+V))`` with
+    V = corpus distinct-token count; documents with < 2 tokens score
+    0.0.  Low scores flag gibberish / boilerplate the way CCNet uses
+    a KenLM perplexity bucket.
+
+    Two count exchanges (unigram, bigram — per-batch np.unique
+    partials, rows per DISTINCT key per batch), then two tiers for the
+    scoring lookup, the same budget rule as ``substring_dedup``:
+
+    * combined count tables ≤ ``broadcast_limit`` rows — sorted hash
+      arrays broadcast once (ray.put, per-worker cached), scoring is
+      one stateless searchsorted pass, zero additional exchange;
+    * above it — fully distributed: per-doc bigram rows hash-join the
+      bigram and unigram tables, then one groupby(id) re-aggregates
+      (3 keyed exchanges, nothing driver-sized).
+
+    Tokens and bigrams key on 64-bit hashes (collisions merge counts
+    with ~2^-64 probability; the SQL oracle compares the strings)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    import ray
+
+    from dots_ocr_ray.pipelines.substring import (
+        _hash_tokens,
+        _tokens_from_batch,
+    )
+    from dots_ocr_ray.util import bounded_blocks, cached_object
+
+    _B = np.uint64(0x9E3779B97F4A7C15)
+
+    def _doc_grams(batch: pa.Table):
+        """(token hashes, offsets) plus per-position bigram keys."""
+        tok_vals, offsets, doc_of = _tokens_from_batch(batch.column(text_col))
+        th = _hash_tokens(tok_vals)
+        n = len(th)
+        if n >= 2:
+            big = th[:-1] * _B + th[1:]
+            starts = np.arange(n - 1, dtype=np.int64)
+            d = np.searchsorted(offsets, starts, side="right") - 1
+            valid = starts + 1 < offsets[d + 1]
+        else:
+            big = np.zeros(0, dtype=np.uint64)
+            valid = np.zeros(0, dtype=bool)
+            d = np.zeros(0, dtype=np.int64)
+        return th, offsets, doc_of, big[valid], th[:-1][valid] if n >= 2 else np.zeros(0, np.uint64), d[valid]
+
+    def _uni_partials(batch: pa.Table) -> pa.Table:
+        tok_vals, _, _ = _tokens_from_batch(batch.column(text_col))
+        u, c = np.unique(_hash_tokens(tok_vals), return_counts=True)
+        return pa.table(
+            {
+                "h": pa.array(u.view(np.int64), type=pa.int64()),
+                "cnt": pa.array(c.astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    def _big_partials(batch: pa.Table) -> pa.Table:
+        _, _, _, big, _, _ = _doc_grams(batch)
+        u, c = np.unique(big, return_counts=True)
+        return pa.table(
+            {
+                "h": pa.array(u.view(np.int64), type=pa.int64()),
+                "cnt": pa.array(c.astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    def _sum_counts(part_ds: ray.data.Dataset) -> ray.data.Dataset:
+        summed = bounded_blocks(part_ds, rows_per_block=262144).groupby("h").sum("cnt")
+        return summed.map_batches(
+            lambda b: b.rename_columns(["h", "cnt"]), batch_format="pyarrow"
+        )
+
+    uni = _sum_counts(ds.map_batches(_uni_partials, batch_format="pyarrow")).materialize()
+    big = _sum_counts(ds.map_batches(_big_partials, batch_format="pyarrow")).materialize()
+    n_vocab = uni.count()
+
+    def _collect_sorted(tbl: ray.data.Dataset) -> tuple[np.ndarray, np.ndarray]:
+        hs, cs = [], []
+        for b in tbl.iter_batches(batch_format="pyarrow"):
+            hs.append(b.column("h").to_numpy(zero_copy_only=False).astype(np.int64))
+            cs.append(b.column("cnt").to_numpy(zero_copy_only=False).astype(np.int64))
+        h = np.concatenate(hs) if hs else np.zeros(0, np.int64)
+        c = np.concatenate(cs) if cs else np.zeros(0, np.int64)
+        order = np.argsort(h)
+        return h[order], c[order]
+
+    out_schema = pa.schema(
+        [(id_col, pa.int64()), ("avg_logp", pa.float64()), ("n_bigrams", pa.int64())]
+    )
+
+    if n_vocab + big.count() <= broadcast_limit:
+        uni_ref = ray.put(_collect_sorted(uni))
+        big_ref = ray.put(_collect_sorted(big))
+
+        def _score(batch: pa.Table) -> pa.Table:
+            uh, uc = cached_object(uni_ref)
+            bh, bcnt = cached_object(big_ref)
+            _, offsets, _, bigk, w1h, d = _doc_grams(batch)
+            n_rows = len(offsets) - 1
+            if len(bigk):
+                bi = np.searchsorted(bh, bigk.view(np.int64))
+                ui = np.searchsorted(uh, w1h.view(np.int64))
+                lp = np.log(
+                    (bcnt[bi] + 1.0) / (uc[ui] + float(n_vocab))
+                )
+                sums = np.bincount(d, weights=lp, minlength=n_rows)
+                cnts = np.bincount(d, minlength=n_rows).astype(np.int64)
+            else:
+                sums = np.zeros(n_rows)
+                cnts = np.zeros(n_rows, dtype=np.int64)
+            avg = np.where(cnts > 0, sums / np.maximum(cnts, 1), 0.0)
+            ids = batch.column(id_col)
+            if isinstance(ids, pa.ChunkedArray):
+                ids = ids.combine_chunks()
+            return pa.table(
+                {
+                    id_col: ids.cast(pa.int64()),
+                    "avg_logp": pa.array(avg, type=pa.float64()),
+                    "n_bigrams": pa.array(cnts, type=pa.int64()),
+                },
+                schema=out_schema,
+            )
+
+        return ds.map_batches(_score, batch_format="pyarrow")
+
+    # distributed tier: per-doc bigram rows ⨝ bigram counts ⨝ unigram
+    # counts, then one groupby(id) re-aggregation
+    from dots_ocr_ray.pipelines.relational import hash_join
+
+    # the w1 hash must SURVIVE join 1 to key join 2 — but hash_join's
+    # union padding sends non-key int columns through pandas float64,
+    # which is lossy above 2^53.  Ship it as two 32-bit halves (each
+    # float64-exact) and reassemble after the join; the join KEYS
+    # themselves are never padded and stay exact int64.
+    def _gram_rows(batch: pa.Table) -> pa.Table:
+        _, _, _, bigk, w1h, d = _doc_grams(batch)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                id_col: pa.array(ids[d], type=pa.int64()),
+                "h": pa.array(bigk.view(np.int64), type=pa.int64()),
+                "h1_hi": pa.array((w1h >> np.uint64(32)).astype(np.int64), type=pa.int64()),
+                "h1_lo": pa.array(
+                    (w1h & np.uint64(0xFFFFFFFF)).astype(np.int64), type=pa.int64()
+                ),
+            }
+        )
+
+    rows_schema = pa.schema(
+        [
+            (id_col, pa.int64()),
+            ("h", pa.int64()),
+            ("h1_hi", pa.int64()),
+            ("h1_lo", pa.int64()),
+        ]
+    )
+    cnt_schema = pa.schema([("h", pa.int64()), ("cnt", pa.int64())])
+    with_big = hash_join(
+        ds.map_batches(_gram_rows, batch_format="pyarrow"),
+        big,
+        on="h",
+        left_schema=rows_schema,
+        right_schema=cnt_schema,
+    )
+
+    def _rekey(batch: pa.Table) -> pa.Table:
+        hi = batch.column("h1_hi").to_numpy(zero_copy_only=False).astype(np.uint64)
+        lo = batch.column("h1_lo").to_numpy(zero_copy_only=False).astype(np.uint64)
+        h1 = (hi << np.uint64(32)) | lo
+        bcnt = (
+            batch.column("cnt").to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        return pa.table(
+            {
+                id_col: batch.column(id_col).cast(pa.int64()),
+                "h": pa.array(h1.view(np.int64), type=pa.int64()),
+                "bcnt": pa.array(bcnt, type=pa.int64()),
+            }
+        )
+
+    with_uni = hash_join(
+        with_big.map_batches(_rekey, batch_format="pyarrow"),
+        uni,
+        on="h",
+        left_schema=pa.schema(
+            [(id_col, pa.int64()), ("h", pa.int64()), ("bcnt", pa.int64())]
+        ),
+        right_schema=cnt_schema,
+    )
+
+    def _lp_partials(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        bcnt = batch.column("bcnt").to_numpy(zero_copy_only=False).astype(np.float64)
+        ucnt = batch.column("cnt").to_numpy(zero_copy_only=False).astype(np.float64)
+        lp = np.log((bcnt + 1.0) / (ucnt + float(n_vocab)))
+        u, inv = np.unique(ids, return_inverse=True)
+        return pa.table(
+            {
+                id_col: pa.array(u, type=pa.int64()),
+                "lp_sum": pa.array(np.bincount(inv, weights=lp), type=pa.float64()),
+                "n": pa.array(np.bincount(inv).astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    scored = (
+        bounded_blocks(
+            with_uni.map_batches(_lp_partials, batch_format="pyarrow"),
+            rows_per_block=262144,
+        )
+        .groupby(id_col)
+        .sum(["lp_sum", "n"])
+    )
+
+    def _rename_scored(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns([id_col, "lp_sum", "n"])
+
+    # docs with < 2 tokens have no scored row: a LEFT join (one more
+    # keyed exchange — per-doc rows never touch the driver) restores
+    # them with score 0.0
+    ids_only = ds.select_columns([id_col])
+    joined = hash_join(
+        ids_only,
+        scored.map_batches(_rename_scored, batch_format="pyarrow"),
+        on=id_col,
+        how="left",
+        left_schema=pa.schema([(id_col, pa.int64())]),
+        right_schema=pa.schema(
+            [(id_col, pa.int64()), ("lp_sum", pa.float64()), ("n", pa.int64())]
+        ),
+    )
+
+    def _emit(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        s = batch.column("lp_sum").to_numpy(zero_copy_only=False).astype(np.float64)
+        n = batch.column("n").to_numpy(zero_copy_only=False)
+        n = np.nan_to_num(n.astype(np.float64), nan=0.0).astype(np.int64)
+        s = np.nan_to_num(s, nan=0.0)
+        avg = np.where(n > 0, s / np.maximum(n, 1), 0.0)
+        return pa.table(
+            {
+                id_col: pa.array(ids, type=pa.int64()),
+                "avg_logp": pa.array(avg, type=pa.float64()),
+                "n_bigrams": pa.array(n, type=pa.int64()),
+            },
+            schema=out_schema,
+        )
+
+    return joined.map_batches(_emit, batch_format="pyarrow")

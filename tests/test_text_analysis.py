@@ -187,3 +187,52 @@ def test_fingerprint_duplicates(ray_session):
     # and the op must still return a well-formed (possibly empty) table
     assert set(out.columns) == {"fingerprint", "n_docs", "min_doc_id"}
     assert (out.n_docs >= 2).all() if len(out) else True
+
+
+def test_bigram_lm_scores_tiers_match_sequential(ray_session):
+    """Both tiers vs a literal token-tuple Counter reference; sub-2-
+    token docs score 0 with 0 bigrams."""
+    import math
+    from collections import Counter
+
+    import pyarrow as pa
+
+    import ray.data
+
+    from dots_ocr_ray.pipelines.text_analysis import bigram_lm_scores
+
+    docs = [
+        (0, "a b a b c"),
+        (1, "a b"),
+        (2, "z"),
+        (3, ""),
+        (4, None),
+        (5, "b c a b a"),
+    ]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([d[0] for d in docs], type=pa.int64()),
+                "text": pa.array([d[1] for d in docs], type=pa.string()),
+            }
+        )
+    )
+    toks = {i: (t or "").split() for i, t in docs}
+    uni = Counter(w for tk in toks.values() for w in tk)
+    big = Counter(
+        (tk[j], tk[j + 1]) for tk in toks.values() for j in range(len(tk) - 1)
+    )
+    v = len(uni)
+    exp = {}
+    for i, tk in toks.items():
+        lps = [
+            math.log((big[(tk[j], tk[j + 1])] + 1) / (uni[tk[j]] + v))
+            for j in range(len(tk) - 1)
+        ]
+        exp[i] = (round(sum(lps) / len(lps), 10) if lps else 0.0, len(lps))
+    for limit in (4_000_000, -1):
+        got = {
+            r["doc_id"]: (round(r["avg_logp"], 10), r["n_bigrams"])
+            for r in bigram_lm_scores(ds, broadcast_limit=limit).take_all()
+        }
+        assert got == exp, limit
