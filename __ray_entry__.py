@@ -1538,6 +1538,58 @@ def _q_len_quantiles_by_lang(sf_dir: str):
     return exact_int_quantiles_by_key(docs, "lang", "n_chars", [0.5, 0.9, 0.99])
 
 
+def _q_jsonl_lang_counts(sf_dir: str):
+    """Resilient JSONL source end-to-end: documents round-trip through
+    newline-delimited JSON shards (written via Ray's JSON sink), one
+    wholly corrupt shard is injected, and the reader recovers every
+    valid row while counting the damage (sources/jsonl.py skips
+    malformed lines per file instead of failing the shard).  Counts by
+    lang must equal the parquet originals."""
+    import json
+    import os
+    import tempfile
+
+    import pyarrow as pa
+
+    import ray.data
+
+    from dots_ocr_ray.sources.jsonl import read_jsonl
+
+    base = tempfile.mkdtemp(prefix="graft_jsonl_", dir="/tmp")
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+    docs.write_json(base)
+    with open(os.path.join(base, "zz_corrupt.jsonl"), "wb") as f:
+        f.write(b"{truncated \n\xff\xfe garbage\n[1,2]\n")
+        f.write(json.dumps({"doc_id": -1, "lang": "xx"}).encode() + b"\n")
+    paths = sorted(
+        os.path.join(base, p) for p in os.listdir(base) if not p.startswith("_")
+    )
+    ds = read_jsonl(
+        paths, schema=pa.schema([("doc_id", pa.int64()), ("lang", pa.string())])
+    )
+
+    def _valid(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(pc.greater_equal(batch.column("doc_id"), 0))
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        out = batch.select(["lang"]).group_by(["lang"]).aggregate([([], "count_all")])
+        return out.rename_columns(["lang", "n"])
+
+    agg = (
+        ds.map_batches(_valid, batch_format="pyarrow")
+        .map_batches(_partial, batch_format="pyarrow")
+        .groupby("lang")
+        .sum("n")
+    )
+    return agg.map_batches(
+        lambda b: b.rename_columns(["lang", "n"]), batch_format="pyarrow"
+    )
+
+
 def _q_lang_source_rollup(sf_dir: str):
     """GROUP BY ROLLUP(lang, source) counts: one distributed pass at
     the finest level, coarser levels derived from the bounded result."""
@@ -1813,6 +1865,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tokens_per_char_regression": _q_tokens_per_char_regression,
         "doc_length_pct_rank": _q_doc_length_pct_rank,
         "lang_source_rollup": _q_lang_source_rollup,
+        "jsonl_lang_counts": _q_jsonl_lang_counts,
     }
 
 
@@ -2344,6 +2397,9 @@ def oracle_sql() -> dict[str, str]:
                 "FROM documents GROUP BY lang"
                 for q in [0.5, 0.9, 0.99]
             )
+        ),
+        "jsonl_lang_counts": (
+            "SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY lang"
         ),
         "lang_source_rollup": (
             "SELECT COALESCE(lang, '*') AS lang, COALESCE(source, '*') AS source, "

@@ -1,0 +1,115 @@
+"""Resilient JSONL source: stream newline-delimited JSON shards into
+an Arrow Dataset, SKIPPING malformed lines instead of failing the
+shard — crawl dumps and API exports routinely contain truncated tails,
+interleaved log lines, and encoding damage, and a 100-TB ingest cannot
+abort on row 10^9 (reference analog: the universal input
+normalization, S4, dots_ocr/utils/image_utils.py:23-43 accepts every
+input form rather than raising).
+
+Shape: one streaming task per file (``ray.data.read_binary_files`` is
+deliberately avoided — it materializes whole files as single rows; we
+map over FILE PATHS and read through ``pyarrow.fs`` incrementally, the
+same seam as sources/warc.py), with per-batch vectorized JSON parse.
+Every output batch carries the source file and the running skip count
+so damage is observable per shard, not silently absorbed
+(``_skipped`` column; the WARC source's resync counters follow the
+same rule).
+
+Columns are projected to ``columns`` with type coercion to the given
+schema; rows missing a field get nulls (JSON is schemaless — a strict
+reader would reject half of every real-world dump)."""
+
+from __future__ import annotations
+
+import json
+
+import pyarrow as pa
+
+import ray.data
+
+
+def _parse_lines(
+    raw: bytes, columns: list[str], types: dict[str, pa.DataType]
+) -> tuple[dict[str, list], int]:
+    """(column lists, skipped count) for one chunk of complete lines."""
+    cols: dict[str, list] = {c: [] for c in columns}
+    skipped = 0
+    for line in raw.split(b"\n"):
+        line = line.strip()
+        if not line:
+            continue
+        try:
+            obj = json.loads(line)
+            if not isinstance(obj, dict):
+                raise ValueError("not an object")
+        except (ValueError, UnicodeDecodeError):
+            skipped += 1
+            continue
+        for c in columns:
+            cols[c].append(obj.get(c))
+    return cols, skipped
+
+
+def read_jsonl(
+    paths: list[str] | str,
+    *,
+    schema: pa.Schema,
+    chunk_bytes: int = 8 << 20,
+) -> ray.data.Dataset:
+    """JSONL file(s) → Dataset with ``schema``'s columns plus
+    ``_source`` (file path) and ``_skipped`` (malformed lines dropped
+    so far in that file — the final batch of a file carries the file
+    total).  One streaming task per file; ~``chunk_bytes`` per output
+    block so a mega-shard never materializes whole."""
+    if isinstance(paths, str):
+        paths = [paths]
+    columns = list(schema.names)
+    types = {n: t for n, t in zip(schema.names, schema.types)}
+    out_schema = pa.schema(
+        list(zip(schema.names, schema.types))
+        + [("_source", pa.string()), ("_skipped", pa.int64())]
+    )
+
+    def _read_file(row: dict):
+        from dots_ocr_ray.state.manifest import resolve_fs
+
+        path = row["path"]
+        fs, local = resolve_fs(path)
+        skipped_total = 0
+        buf = b""
+        with fs.open_input_stream(local) as f:
+            while True:
+                chunk = f.read(chunk_bytes)
+                at_eof = not chunk
+                buf += chunk
+                if at_eof:
+                    complete, buf = buf, b""
+                else:
+                    # hold back the trailing partial line
+                    nl = buf.rfind(b"\n")
+                    if nl < 0:
+                        continue
+                    complete, buf = buf[: nl + 1], buf[nl + 1 :]
+                cols, skipped = _parse_lines(complete, columns, types)
+                skipped_total += skipped
+                n = len(cols[columns[0]]) if columns else 0
+                if n:
+                    arrays = [
+                        pa.array(cols[c], type=types[c]) for c in columns
+                    ] + [
+                        pa.array([path] * n, type=pa.string()),
+                        pa.array([skipped_total] * n, type=pa.int64()),
+                    ]
+                    yield pa.table(
+                        dict(zip(out_schema.names, arrays)), schema=out_schema
+                    )
+                if at_eof:
+                    break
+
+    def _read_batch(batch: pa.Table):
+        for row in batch.to_pylist():
+            yield from _read_file(row)
+
+    return ray.data.from_items([{"path": p} for p in paths]).map_batches(
+        _read_batch, batch_size=1, batch_format="pyarrow"
+    )
