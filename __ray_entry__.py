@@ -1178,8 +1178,11 @@ def _q_lineitem_order_priority(sf_dir: str):
     orders = ray.data.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
     )
+    # skew_join consumes its left side three times (sketch pass, hot
+    # pass, cold pass) — materialize the narrow rename once
+    left = li.map_batches(_rk, batch_format="pyarrow").materialize()
     joined = skew_join(
-        li.map_batches(_rk, batch_format="pyarrow"),
+        left,
         orders,
         on="o_orderkey",
         hot_threshold=7,

@@ -1220,7 +1220,9 @@ def line_dedup(
       repeated lines, and one groupby(id) reassembles in ``ord`` order
       (2 keyed exchanges, nothing driver-sized).
     """
-    freq = frequent_lines(ds, text_col=text_col, min_count=min_count)
+    # materialize once: count() then iter_batches()/join would each
+    # re-execute the lazy frequency pipeline from scratch otherwise
+    freq = frequent_lines(ds, text_col=text_col, min_count=min_count).materialize()
     n_freq = freq.count()
 
     out_schema = pa.schema(

@@ -961,7 +961,6 @@ def skew_join(
     import numpy as np
     import pandas as pd
 
-    from dots_ocr_ray.functions.sketches import approx_heavy_hitters
     from dots_ocr_ray.util import cached_object
 
     if how not in ("inner", "left"):
@@ -973,19 +972,42 @@ def skew_join(
     # .names/.types work on both pa.Schema and Ray's Schema wrapper
     key_type = dict(zip(left_schema.names, left_schema.types))[on]
 
-    hh = approx_heavy_hitters(
-        left.select_columns([on]), on, k=sketch_capacity, capacity=sketch_capacity
+    # hot-key detection: vectorized per-batch top-M value counts
+    # (Arrow C++ value_counts, no per-row Python) merged on the driver
+    # — ≤ M rows per batch move.  A key can evade detection by
+    # spreading thin across batches, but hot keys concentrate by
+    # definition, and correctness never depends on the hot set.
+    top_m = sketch_capacity
+
+    def _vc_partial(batch: pa.Table) -> pa.Table:
+        vc = pc.value_counts(batch.column(on))
+        keys, counts = vc.field("values"), vc.field("counts")
+        if len(vc) > top_m:
+            cn = counts.to_numpy(zero_copy_only=False)
+            idx = np.argpartition(cn, len(cn) - top_m)[-top_m:]
+            take = pa.array(np.sort(idx))
+            keys, counts = keys.take(take), counts.take(take)
+        return pa.table({"k": keys, "c": counts.cast(pa.int64())})
+
+    vc_parts = pa.concat_tables(
+        left.select_columns([on])
+        .map_batches(_vc_partial, batch_format="pyarrow", batch_size=65536)
+        .iter_batches(batch_format="pyarrow")
     )
-    hot_strs = [k for k, c in hh if c >= hot_threshold]
-    if not hot_strs:
+    hot_keys = None
+    if vc_parts.num_rows:
+        merged = vc_parts.group_by("k").aggregate([("c", "sum")])
+        mask = pc.greater_equal(merged.column("c_sum"), hot_threshold)
+        hot = merged.filter(mask).column("k")
+        if len(hot):
+            hot_keys = (
+                hot.combine_chunks() if isinstance(hot, pa.ChunkedArray) else hot
+            ).cast(key_type)
+    if hot_keys is None or len(hot_keys) == 0:
         return hash_join(
             left, right, on=on, how=how, suffix=suffix,
             left_schema=left_schema, right_schema=right_schema,
         )
-    if pa.types.is_integer(key_type):
-        hot_keys = pa.array([int(k) for k in hot_strs], type=key_type)
-    else:
-        hot_keys = pa.array(hot_strs, type=key_type)
 
     def _filter_keys(keys: pa.Array, invert: bool):
         def _fn(batch: pa.Table) -> pa.Table:

@@ -66,7 +66,7 @@ import ray
 import ray.data
 
 from dots_ocr_ray.functions.hashing import stable_u64
-from dots_ocr_ray.util import bounded_blocks, cached_object
+from dots_ocr_ray.util import cached_object
 
 _GRAM_B = np.uint64(0x9E3779B97F4A7C15)  # odd multiplier; u64 wraparound
 
@@ -152,13 +152,13 @@ def duplicate_grams(
             }
         )
 
-    partials = bounded_blocks(
-        ds.map_batches(_partials, batch_format="pyarrow"), rows_per_block=262144
+    from dots_ocr_ray.util import merge_int_counts
+
+    summed = merge_int_counts(
+        ds.map_batches(_partials, batch_format="pyarrow"), "gram", "cnt"
     )
-    summed = partials.groupby("gram").sum("cnt")
 
     def _finalize(batch: pa.Table) -> pa.Table:
-        batch = batch.rename_columns(["gram", "cnt"])
         return batch.filter(pc.greater_equal(batch.column("cnt"), min_count))
 
     return summed.map_batches(_finalize, batch_format="pyarrow")
@@ -228,7 +228,11 @@ def substring_dedup(
     ``ds`` is consumed twice (count pass + filter pass) — pass a
     materialized narrow ``(id, text)`` dataset when the input is the
     output of an expensive upstream pipeline."""
-    dup = duplicate_grams(ds, text_col=text_col, k=k, min_count=min_count)
+    # materialize once: count() then iter_batches()/join would each
+    # re-execute the lazy count pipeline from scratch otherwise
+    dup = duplicate_grams(
+        ds, text_col=text_col, k=k, min_count=min_count
+    ).materialize()
     n_dup = dup.count()
 
     if n_dup <= broadcast_limit:

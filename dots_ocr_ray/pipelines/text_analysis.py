@@ -729,14 +729,14 @@ def bigram_lm_scores(
             }
         )
 
-    def _sum_counts(part_ds: ray.data.Dataset) -> ray.data.Dataset:
-        summed = bounded_blocks(part_ds, rows_per_block=262144).groupby("h").sum("cnt")
-        return summed.map_batches(
-            lambda b: b.rename_columns(["h", "cnt"]), batch_format="pyarrow"
-        )
+    from dots_ocr_ray.util import merge_int_counts
 
-    uni = _sum_counts(ds.map_batches(_uni_partials, batch_format="pyarrow")).materialize()
-    big = _sum_counts(ds.map_batches(_big_partials, batch_format="pyarrow")).materialize()
+    uni = merge_int_counts(
+        ds.map_batches(_uni_partials, batch_format="pyarrow"), "h", "cnt"
+    )
+    big = merge_int_counts(
+        ds.map_batches(_big_partials, batch_format="pyarrow"), "h", "cnt"
+    )
     n_vocab = uni.count()
 
     def _collect_sorted(tbl: ray.data.Dataset) -> tuple[np.ndarray, np.ndarray]:

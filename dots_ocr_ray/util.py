@@ -103,3 +103,60 @@ def round_half_away(x, decimals: int = 4):
 
     p = 10.0**decimals
     return np.sign(x) * np.floor(np.abs(x) * p + 0.5) / p
+
+
+def merge_int_counts(
+    parts, key_col: str, cnt_col: str, *, driver_limit: int = 8_000_000
+):
+    """Two-tier sum of (int64 key, int64 count) partial tables.
+
+    Under ``driver_limit`` total partial rows the merge runs on the
+    driver in numpy (sort + reduceat — microseconds per 100k rows),
+    skipping the sort-exchange whose fixed cost dominates small count
+    tables (the nations_with_presence lesson, generalized).  Above it
+    the ordinary ``groupby().sum()`` runs distributed.  Returns a
+    MATERIALIZED dataset with columns ``(key_col, cnt_col)`` either
+    way.  Callers whose key tables grow with the corpus (gram/line
+    counts) keep their scale path; only the exchange's fixed cost is
+    tiered away."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    parts = parts.materialize()
+    if parts.count() <= driver_limit:
+        ks, cs = [], []
+        for b in parts.iter_batches(batch_format="pyarrow"):
+            if b.num_rows:
+                ks.append(b.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64))
+                cs.append(b.column(cnt_col).to_numpy(zero_copy_only=False).astype(np.int64))
+        if not ks:
+            return ray.data.from_arrow(
+                pa.table(
+                    {
+                        key_col: pa.array([], type=pa.int64()),
+                        cnt_col: pa.array([], type=pa.int64()),
+                    }
+                )
+            )
+        k = np.concatenate(ks)
+        c = np.concatenate(cs)
+        order = np.argsort(k, kind="stable")
+        k, c = k[order], c[order]
+        starts = np.concatenate([[0], np.nonzero(np.diff(k))[0] + 1])
+        sums = np.add.reduceat(c, starts)
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    key_col: pa.array(k[starts], type=pa.int64()),
+                    cnt_col: pa.array(sums.astype(np.int64), type=pa.int64()),
+                }
+            )
+        )
+    summed = bounded_blocks(parts, rows_per_block=262144).groupby(key_col).sum(cnt_col)
+
+    def _rename(batch):
+        return batch.rename_columns([key_col, cnt_col])
+
+    return summed.map_batches(_rename, batch_format="pyarrow").materialize()
