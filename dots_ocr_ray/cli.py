@@ -111,6 +111,7 @@ def cmd_prepare(args: argparse.Namespace) -> int:
         overlap_tokens=args.overlap_tokens,
         train_fraction=args.train_fraction,
         line_dedup_min_count=args.line_dedup_min_count,
+        substring_dedup_k=args.substring_dedup_k,
     )
     print(json.dumps({"out": args.out, **counts}))
     return 0
@@ -170,6 +171,12 @@ def main(argv: list[str] | None = None) -> int:
         type=int,
         default=None,
         help="drop lines appearing >= N times corpus-wide (C4-style); off by default",
+    )
+    pr.add_argument(
+        "--substring-dedup-k",
+        type=int,
+        default=None,
+        help="cut k-token spans repeated corpus-wide (ExactSubstr); off by default",
     )
     pr.add_argument("--chunk-tokens", type=int, default=128)
     pr.add_argument("--overlap-tokens", type=int, default=16)

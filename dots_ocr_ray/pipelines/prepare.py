@@ -48,6 +48,7 @@ def prepare_training_data(
     extract_kwargs: dict | None = None,
     dedup_exact_limit: int | None = None,
     line_dedup_min_count: int | None = None,
+    substring_dedup_k: int | None = None,
 ) -> dict:
     """pages Dataset → chunked, deduped, scrubbed train/val parquet.
 
@@ -152,6 +153,29 @@ def prepare_training_data(
             )
 
         docs = deduped_lines.map_batches(_as_text, batch_format="pyarrow")
+
+    if substring_dedup_k is not None:
+        # Lee et al. ExactSubstr span removal AFTER line dedup: k-token
+        # grams repeated corpus-wide are cut from every position.
+        # substring_dedup consumes its input twice — materialize the
+        # narrow survivors once
+        from dots_ocr_ray.pipelines.substring import substring_dedup
+
+        docs = docs.materialize()
+        sub = substring_dedup(
+            docs,
+            text_col="text",
+            id_col="doc_id",
+            k=substring_dedup_k,
+            keep_cols=("url",),
+        )
+
+        def _sub_as_text(batch: pa.Table) -> pa.Table:
+            return batch.select(["doc_id", "url", "text_sub"]).rename_columns(
+                ["doc_id", "url", "text"]
+            )
+
+        docs = sub.map_batches(_sub_as_text, batch_format="pyarrow")
 
     scrubbed = scrub_documents(docs, text_col="text").select_columns(
         ["doc_id", "url", "text_scrubbed"]

@@ -220,10 +220,12 @@ def substring_dedup(
     k: int = 8,
     min_count: int = 2,
     broadcast_limit: int = 4_000_000,
+    keep_cols: tuple[str, ...] = (),
 ) -> ray.data.Dataset:
     """Corpus-wide duplicate k-gram span removal ->
-    ``(id, text_sub, n_kept, n_dropped)``.  See the module docstring
-    for semantics and the two-tier scale shape.
+    ``(id, text_sub, n_kept, n_dropped)`` (+ any ``keep_cols`` passed
+    through).  See the module docstring for semantics and the two-tier
+    scale shape.
 
     ``ds`` is consumed twice (count pass + filter pass) — pass a
     materialized narrow ``(id, text)`` dataset when the input is the
@@ -262,7 +264,10 @@ def substring_dedup(
             ids = batch.column(id_col)
             if isinstance(ids, pa.ChunkedArray):
                 ids = ids.combine_chunks()
-            return _rebuild(ids, tok_vals, offsets, doc_of, covered, id_col)
+            out = _rebuild(ids, tok_vals, offsets, doc_of, covered, id_col)
+            for c in keep_cols:
+                out = out.append_column(c, batch.column(c))
+            return out
 
         return ds.map_batches(_local, batch_format="pyarrow")
 
@@ -320,10 +325,18 @@ def substring_dedup(
     starts_per_doc = dup_starts.groupby(id_col).map_groups(
         _collect, batch_format="pyarrow"
     )
-    text_schema = pa.schema([(id_col, pa.int64()), (text_col, pa.string())])
+    if keep_cols:
+        sch = ds.schema()
+        types = dict(zip(sch.names, sch.types))
+        text_schema = pa.schema(
+            [(id_col, pa.int64()), (text_col, pa.string())]
+            + [(c, types[c]) for c in keep_cols]
+        )
+    else:
+        text_schema = pa.schema([(id_col, pa.int64()), (text_col, pa.string())])
     starts_schema = pa.schema([(id_col, pa.int64()), ("starts", pa.string())])
     joined = hash_join(
-        ds.select_columns([id_col, text_col]),
+        ds.select_columns([id_col, text_col, *keep_cols]),
         starts_per_doc,
         on=id_col,
         how="left",
@@ -371,6 +384,9 @@ def substring_dedup(
         ids = batch.column(id_col)
         if isinstance(ids, pa.ChunkedArray):
             ids = ids.combine_chunks()
-        return _rebuild(ids, tok_vals, offsets, doc_of, covered, id_col)
+        out = _rebuild(ids, tok_vals, offsets, doc_of, covered, id_col)
+        for c in keep_cols:
+            out = out.append_column(c, batch.column(c))
+        return out
 
     return joined.map_batches(_apply, batch_format="pyarrow")

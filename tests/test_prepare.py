@@ -124,3 +124,35 @@ def test_prepare_with_line_dedup_strips_boilerplate(ray_session, tmp_path):
     assert set(df_a.doc_id) == set(df_b.doc_id)
     assert df_a.chunk_text.str.len().sum() <= df_b.chunk_text.str.len().sum()
     assert df_a.url.notna().all()
+
+
+def test_prepare_with_substring_dedup_cuts_repeated_spans(ray_session, tmp_path):
+    """substring_dedup_k removes corpus-repeated k-token spans from
+    the prepared text while keeping url lineage; total text never
+    grows."""
+    pages = make_pages_table(96, seed=33)
+    out_a = str(tmp_path / "with_sub")
+    out_b = str(tmp_path / "without_sub")
+    counts_a = prepare_training_data(
+        ray.data.from_arrow(pages),
+        out_a,
+        dedup="exact",
+        chunk_tokens=16,
+        overlap_tokens=2,
+        substring_dedup_k=6,
+    )
+    counts_b = prepare_training_data(
+        ray.data.from_arrow(pages),
+        out_b,
+        dedup="exact",
+        chunk_tokens=16,
+        overlap_tokens=2,
+    )
+    assert counts_a["extracted"] == counts_b["extracted"] == 96
+    import ray.data as rd
+
+    df_a = rd.read_parquet(out_a).to_pandas()
+    df_b = rd.read_parquet(out_b).to_pandas()
+    assert set(df_a.doc_id) <= set(df_b.doc_id)
+    assert df_a.chunk_text.str.len().sum() <= df_b.chunk_text.str.len().sum()
+    assert df_a.url.notna().all()
