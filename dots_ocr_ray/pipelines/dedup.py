@@ -831,6 +831,19 @@ def minhash_candidate_pairs(
     # from_items) would otherwise fan every downstream exchange into
     # hundreds of per-block tasks
     sigs = bounded_blocks(sigs)
+    return minhash_pairs_from_sigs(sigs, bands=bands, threshold=threshold)
+
+
+def minhash_pairs_from_sigs(
+    sigs: ray.data.Dataset,
+    *,
+    bands: int = 32,
+    threshold: float = 0.8,
+) -> ray.data.Dataset:
+    """Verified near-dup pairs from a PRECOMPUTED (doc_id, sig)
+    signature table — the seam that lets incremental refreshes reuse a
+    stored index instead of re-shingling the archive.  ``sigs`` must be
+    materialized/coalesced (callers: ``bounded_blocks``)."""
 
     def _explode_bands(batch: pa.Table) -> pa.Table:
         band_ids, band_keys, doc_ids = [], [], []
@@ -1447,3 +1460,125 @@ def exact_dedup_incremental(
         right_schema=pa.schema([("content_md5", pa.string())]),
     )
     return sorted_group_first(fresh, "content_md5", id_col)
+
+
+def minhash_signatures(
+    ds: ray.data.Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 128,
+    shingle_k: int = 5,
+) -> ray.data.Dataset:
+    """(doc_id, sig) signature table — the storable MinHash INDEX of a
+    corpus (persist to parquet; an incremental refresh re-reads it
+    instead of re-shingling yesterday's text)."""
+    import functools
+
+    return bounded_blocks(
+        ds.map_batches(
+            functools.partial(
+                _signature_batch,
+                text_col=text_col,
+                id_col=id_col,
+                num_perm=num_perm,
+                shingle_k=shingle_k,
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def minhash_dedup_incremental(
+    new_ds: ray.data.Dataset,
+    index_sigs: ray.data.Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 128,
+    bands: int = 32,
+    shingle_k: int = 5,
+    threshold: float = 0.8,
+    cc_method: str = "auto",
+) -> ray.data.Dataset:
+    """Incremental MinHash near-dup dedup: NEW rows that near-match
+    the stored archive index are dropped; near-dup clusters WITHIN the
+    new batch keep their min id — the recurring-crawl shape
+    (:func:`exact_dedup_incremental`'s near-dup sibling).  Returns the
+    surviving new rows.
+
+    Doc ids must be disjoint between the new batch and the index
+    (both sides already use the corpus-global url-hash ids).
+
+    Only the NEW text is shingled (the archive contributes its stored
+    signatures); candidate generation runs the ordinary banded-LSH
+    bucket exchange over the UNION signature table, so archive bands
+    re-explode but archive text never reships.  Pairs that touch no
+    new id are discarded before verification (archive × archive pairs
+    are re-derivations of already-deduped content)."""
+    new_sigs = minhash_signatures(
+        new_ds, text_col=text_col, id_col=id_col, num_perm=num_perm, shingle_k=shingle_k
+    )
+    new_ids_arr = np.sort(_collect_ids(new_sigs, "doc_id"))
+    new_ref = ray.put(new_ids_arr)
+
+    def _is_new(vals: np.ndarray, arr: np.ndarray) -> np.ndarray:
+        if len(arr) == 0:
+            return np.zeros(len(vals), dtype=bool)
+        idx = np.searchsorted(arr, vals)
+        idx[idx >= len(arr)] = len(arr) - 1
+        return arr[idx] == vals
+
+    def _touches_new(batch: pa.Table) -> pa.Table:
+        arr = cached_object(new_ref)
+        a = _int_col(batch, "a")
+        b = _int_col(batch, "b")
+        keep = _is_new(a, arr) | _is_new(b, arr)
+        return batch.filter(pa.array(keep, type=pa.bool_()))
+
+    union_sigs = bounded_blocks(new_sigs.union(index_sigs))
+    pairs = minhash_pairs_from_sigs(
+        union_sigs, bands=bands, threshold=threshold
+    ).map_batches(_touches_new, batch_format="pyarrow")
+    pairs = bounded_blocks(pairs, rows_per_block=262144).materialize()
+
+    # new ids near-matching ANY archive doc drop outright
+    arch_dup: set[int] = set()
+    new_pairs_a: list[np.ndarray] = []
+    new_pairs_b: list[np.ndarray] = []
+    for b in pairs.iter_batches(batch_format="pyarrow"):
+        a = _int_col(b, "a")
+        bb = _int_col(b, "b")
+        na, nb = _is_new(a, new_ids_arr), _is_new(bb, new_ids_arr)
+        cross = na ^ nb
+        arch_dup.update(a[cross & na].tolist())
+        arch_dup.update(bb[cross & nb].tolist())
+        both = na & nb
+        new_pairs_a.append(a[both])
+        new_pairs_b.append(bb[both])
+    # within-new clusters keep their min id (pairs here are bounded by
+    # the refresh batch, so the driver pass is O(new), never O(archive))
+    drop = set(arch_dup)
+    if new_pairs_a:
+        aa = np.concatenate(new_pairs_a)
+        bb2 = np.concatenate(new_pairs_b)
+        if len(aa):
+            nodes, labels = _min_labels_numpy(aa, bb2)
+            drop.update(int(n) for n, l in zip(nodes, labels) if n != l)
+    keep_mask_ref = ray.put(np.sort(np.array(sorted(drop), dtype=np.int64)))
+
+    def _keep(batch: pa.Table) -> pa.Table:
+        arr = cached_object(keep_mask_ref)
+        ids = _int_col(batch, id_col)
+        return batch.filter(pa.array(~_is_new(ids, arr), type=pa.bool_()))
+
+    return new_ds.map_batches(_keep, batch_format="pyarrow")
+
+
+def _collect_ids(ds: ray.data.Dataset, col: str) -> np.ndarray:
+    chunks = [
+        _int_col(b, col)
+        for b in ds.iter_batches(batch_format="pyarrow")
+        if b.num_rows
+    ]
+    return np.concatenate(chunks) if chunks else np.zeros(0, dtype=np.int64)

@@ -371,3 +371,61 @@ def test_exact_dedup_incremental(ray_session):
     out = exact_dedup_incremental(new, index)
     rows = {r["doc_id"]: r["text"] for r in out.take_all()}
     assert rows == {2: "fresh a", 4: "fresh b"}
+
+
+def test_minhash_dedup_incremental_matches_full_run(ray_session):
+    """Incremental refresh parity: given the archive's stored
+    signature index, the surviving NEW rows must be exactly the new
+    docs whose full-corpus minhash cluster (a) contains no archive doc
+    and (b) has them as its min new id."""
+    import pyarrow as pa
+
+    import ray.data
+
+    from dots_ocr_ray.pipelines.dedup import (
+        minhash_dedup_incremental,
+        minhash_lsh_dedup,
+        minhash_signatures,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog near the riverbank today "
+    archive_docs = [(i, base + f"archive marker {i} " + "alpha beta gamma " * 3) for i in range(10)]
+    new_docs = [
+        (100, archive_docs[0][1]),                       # exact copy of archive
+        (101, archive_docs[1][1] + "tiny tail"),         # near-copy of archive
+        (102, "completely different fresh content " * 6 + "one"),
+        (103, "completely different fresh content " * 6 + "two"),  # near-dup of 102
+        (104, "another unique new document with its own words entirely " * 4),
+    ]
+    arch_ds = ray.data.from_arrow(
+        pa.table({"doc_id": [d[0] for d in archive_docs], "text": [d[1] for d in archive_docs]})
+    )
+    new_ds = ray.data.from_arrow(
+        pa.table({"doc_id": [d[0] for d in new_docs], "text": [d[1] for d in new_docs]})
+    )
+    index = minhash_signatures(arch_ds)
+    survivors = {
+        r["doc_id"]
+        for r in minhash_dedup_incremental(new_ds, index, threshold=0.7).take_all()
+    }
+
+    # expected from a full-corpus run over archive ∪ new
+    full = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": [d[0] for d in archive_docs + new_docs],
+                "text": [d[1] for d in archive_docs + new_docs],
+            }
+        )
+    )
+    clusters = {}
+    for r in minhash_lsh_dedup(full, threshold=0.7).take_all():
+        clusters.setdefault(r["cluster_id"], []).append(r["doc_id"])
+    expected = set()
+    for members in clusters.values():
+        if any(m < 100 for m in members):
+            continue  # cluster touches the archive -> every new member drops
+        expected.add(min(members))
+    assert survivors == expected
+    assert 102 in survivors and 104 in survivors
+    assert 100 not in survivors and 101 not in survivors and 103 not in survivors
