@@ -1626,6 +1626,21 @@ def _q_line_dedup_docs(sf_dir: str):
     return line_dedup(ds, text_col="extracted_text", id_col="doc_id", min_count=5)
 
 
+def _q_compression_ratios(sf_dir: str):
+    """RefinedWeb-style repetitiveness signal: zlib compressed-size
+    ratio per document (zero exchange; the codec is the per-row cost).
+    Golden-parquet oracle (tools/make_golden.py:
+    golden_compression_ratios, shared zlib kernel)."""
+    import ray.data
+
+    from dots_ocr_ray.pipelines.text_analysis import compression_ratios
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return compression_ratios(docs)
+
+
 def _q_bigram_lm_scores(sf_dir: str):
     """CCNet-style LM quality signal: add-one-smoothed bigram LM
     trained on the corpus itself (two count exchanges of per-batch
@@ -1790,6 +1805,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "line_dedup_docs": _q_line_dedup_docs,
         "substring_dedup_docs": _q_substring_dedup_docs,
         "bigram_lm_scores": _q_bigram_lm_scores,
+        "compression_ratios": _q_compression_ratios,
         "adaptive_length_filter": _q_adaptive_length_filter,
         # link-graph analytics
         "host_degrees": _q_host_degrees,
@@ -1904,6 +1920,10 @@ def oracle_sql() -> dict[str, str]:
             "CAST(count(*) FILTER (WHERE l.line NOT IN (SELECT line FROM freq)) AS BIGINT) AS n_kept, "
             "CAST(count(*) FILTER (WHERE l.line IN (SELECT line FROM freq)) AS BIGINT) AS n_dropped "
             "FROM lns l GROUP BY l.doc_id"
+        ),
+        "compression_ratios": (
+            f"SELECT doc_id, comp_ratio, n_bytes "
+            f"FROM read_parquet('{_GOLDEN_DIR}/compression_ratios.parquet')"
         ),
         # bigram LM: independent SQL derivation — string-keyed count
         # tables + window-free self-join on (doc_id, ord+1); the Ray

@@ -207,3 +207,15 @@ def normalize_url(url: str) -> str:
         if not (k.lower().startswith("utm_") or k.lower() in ("gclid", "fbclid"))
     ]
     return urlunsplit((scheme, netloc, path, urlencode(kept), ""))
+
+
+def compression_ratio(text: str) -> float:
+    """zlib-compressed size over raw utf-8 size (level 6) — the
+    RefinedWeb-style repetitiveness signal: boilerplate and template
+    spam compress far below natural prose.  Empty text → 1.0."""
+    import zlib
+
+    raw = (text or "").encode("utf-8", errors="replace")
+    if not raw:
+        return 1.0
+    return len(zlib.compress(raw, 6)) / len(raw)

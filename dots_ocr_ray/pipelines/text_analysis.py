@@ -911,3 +911,28 @@ def bigram_lm_scores(
         )
 
     return joined.map_batches(_emit, batch_format="pyarrow")
+
+
+def compression_ratios(
+    ds: ray.data.Dataset, *, text_col: str = "text", id_col: str = "doc_id"
+) -> ray.data.Dataset:
+    """(id, comp_ratio, n_bytes) per document — zero exchange; zlib is
+    C-speed per doc, so the per-row loop costs what the codec costs."""
+    from dots_ocr_ray.kernel.textops import compression_ratio
+
+    def _ratios(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        return pa.table(
+            {
+                id_col: batch.column(id_col).cast(pa.int64()),
+                "comp_ratio": pa.array(
+                    [compression_ratio(t) for t in texts], type=pa.float64()
+                ),
+                "n_bytes": pa.array(
+                    [len((t or "").encode("utf-8", errors="replace")) for t in texts],
+                    type=pa.int64(),
+                ),
+            }
+        )
+
+    return ds.map_batches(_ratios, batch_format="pyarrow")

@@ -43,6 +43,7 @@ def _canon(obj) -> pd.DataFrame:
         "merge_docs",
         "approx_distinct_users",
         "reservoir_doc_sample",
+        "compression_ratios",
     ],
 )
 def test_golden_parity(ray_session, name):

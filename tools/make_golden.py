@@ -431,6 +431,25 @@ def golden_host_pagerank(sf_dir: str, *, num_iters: int = 5, damping: float = 0.
     )
 
 
+def golden_compression_ratios(sf_dir: str) -> pa.Table:
+    """Sequential compression-ratio reference (shares the zlib kernel,
+    kernel/textops.compression_ratio, with the Ray pipeline)."""
+    from dots_ocr_ray.kernel.textops import compression_ratio
+
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    texts = tbl.column("text").to_pylist()
+    return pa.table(
+        {
+            "doc_id": tbl.column("doc_id").cast(pa.int64()),
+            "comp_ratio": pa.array([compression_ratio(t) for t in texts], type=pa.float64()),
+            "n_bytes": pa.array(
+                [len((t or "").encode("utf-8", errors="replace")) for t in texts],
+                type=pa.int64(),
+            ),
+        }
+    )
+
+
 GOLDEN_BUILDERS = {
     "kmeans_clusters": golden_kmeans_clusters,
     "host_pagerank": golden_host_pagerank,
@@ -447,6 +466,7 @@ GOLDEN_BUILDERS = {
     "merge_docs": golden_merge_docs,
     "approx_distinct_users": golden_approx_distinct_users,
     "reservoir_doc_sample": golden_reservoir_doc_sample,
+    "compression_ratios": golden_compression_ratios,
 }
 
 
