@@ -744,13 +744,49 @@ def _q_extract_grounding(sf_dir: str):
 
     pages = pages_from_documents(sf_dir, override_num_blocks=8)
     # wrapped pages are single-line html, so block bboxes are column
-    # spans on line 1.  The Title block always starts at column 84
-    # (fixed wrapper prefix) and ends before column 95 for any doc_id
-    # < 10^7; the body <p> starts at column ≥ 98.  The region below
-    # therefore selects exactly the Title span on every normal row.
-    cfg = ExtractConfig(mode=MODE_GROUNDING, grounding_bbox=(0, 0, 95, 3))
+    # spans on line 1.  The Title block always starts at column 136
+    # (fixed wrapper prefix incl. the two-link nav) and ends before
+    # column 148 for any doc_id < 10^7; the body <p> block starts at
+    # column ≥ 150.  The region below therefore selects exactly the
+    # Title span on every normal row.
+    cfg = ExtractConfig(mode=MODE_GROUNDING, grounding_bbox=(0, 0, 148, 3))
     ds = extract_pages(pages, cfg, batch_size=64)
     return ds.select_columns(["doc_id", "extracted_text", "status", "n_spans"])
+
+
+def _q_extract_links(sf_dir: str):
+    """Crawl-graph construction: every <a href> per page, relative
+    hrefs resolved absolute, anchors tag-stripped — the edge source a
+    link-graph pipeline (host_degrees/pagerank/components) would run
+    over real crawl HTML.  Zero exchange; one vectorizable pass."""
+    import pyarrow as pa
+
+    import ray.data
+
+    from dots_ocr_ray.kernel.extract import _decode_html
+    from dots_ocr_ray.kernel.html_parse import extract_links
+    from dots_ocr_ray.sources.pages import pages_from_documents
+
+    pages = pages_from_documents(sf_dir, override_num_blocks=8)
+
+    def _links(batch: pa.Table) -> pa.Table:
+        urls, hrefs, anchors = [], [], []
+        for u, h in zip(
+            batch.column("url").to_pylist(), batch.column("html").to_pylist()
+        ):
+            for link in extract_links(u, _decode_html(h)):
+                urls.append(u)
+                hrefs.append(link["href"])
+                anchors.append(link["anchor"])
+        return pa.table(
+            {
+                "url": pa.array(urls, type=pa.string()),
+                "href": pa.array(hrefs, type=pa.string()),
+                "anchor": pa.array(anchors, type=pa.string()),
+            }
+        )
+
+    return pages.map_batches(_links, batch_format="pyarrow")
 
 
 def _q_heavy_hitter_langs(sf_dir: str):
@@ -1834,6 +1870,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": _q_media_features,
         # layout / document ops
         "extract_grounding": _q_extract_grounding,
+        "extract_links": _q_extract_links,
         "extract_category_counts": _q_extract_category_counts,
         "crawl_dedup_latest": _q_crawl_dedup_latest,
         "domain_stats": _q_domain_stats,
@@ -2053,6 +2090,20 @@ def oracle_sql() -> dict[str, str]:
             f"{_STATUS_SQL} AS status, "
             "CAST(CASE WHEN doc_id % 31 = 11 THEN 0 ELSE 1 END AS INT) AS n_spans "
             "FROM documents"
+        ),
+        # link extraction: independent SQL derivation — the fixture nav
+        # carries exactly (Home, Next) per normal page with arithmetic
+        # targets; fallback/failed pages have no anchors
+        "extract_links": (
+            "WITH u AS (SELECT doc_id, "
+            "'https://example-' || lpad(CAST(doc_id % 40 AS VARCHAR), 2, '0') "
+            "|| '.com/doc-' || lpad(CAST(doc_id AS VARCHAR), 6, '0') AS url, "
+            "'https://example-' || lpad(CAST(doc_id % 40 AS VARCHAR), 2, '0') || '.com/' AS home, "
+            "'https://example-' || lpad(CAST((doc_id * 7) % 40 AS VARCHAR), 2, '0') "
+            "|| '.com/doc-' || lpad(CAST((doc_id * 13) % 500 AS VARCHAR), 6, '0') AS next "
+            "FROM documents WHERE doc_id % 23 <> 7 AND doc_id % 31 <> 11) "
+            "SELECT url, home AS href, 'Home' AS anchor FROM u "
+            "UNION ALL SELECT url, next, 'Next' FROM u"
         ),
         "sessionize": (
             "WITH marked AS (SELECT user_id, ts, "

@@ -206,9 +206,13 @@ def page_row_from_document(
         if with_images and doc_id % IMAGE_MOD == IMAGE_REM
         else ""
     )
+    # the nav carries one relative link plus one deterministic
+    # cross-site link (the extract_links fixture rule; nav is
+    # boilerplate-pruned, so extracted text/spans are unaffected)
+    next_href = f"https://example-{(doc_id * 7) % 40:02d}.com/doc-{(doc_id * 13) % 500:06d}"
     page = (
         "<html><head><title>t</title></head><body>"
-        '<nav class="nav"><a href="/">Home</a></nav>'
+        f'<nav class="nav"><a href="/">Home</a><a href="{next_href}">Next</a></nav>'
         f"<h1>Doc {doc_id}</h1>"
         f"<p>{body}</p>"
         f"{img}"

@@ -331,3 +331,37 @@ def strip_tags(html_text: str) -> str:
     text = _TAG_STRIP_RE.sub(" ", no_scripts)
     text = _ENTITY_RE.sub(lambda m: _ENTITY_MAP[m.group(1)], text)
     return re.sub(r"\s+", " ", text).strip()
+
+
+# ---------------------------------------------------------------------------
+# link extraction (crawl-graph construction)
+
+_ANCHOR_RE = re.compile(
+    r"<a\b[^>]*?\bhref\s*=\s*(?:\"([^\"]*)\"|'([^']*)'|([^\s>]+))[^>]*>(.*?)</a>",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def extract_links(url: str, html_text: str) -> list[dict]:
+    """Every <a href> in the page → ``[{"href": <absolute>, "anchor":
+    <tag-stripped text>}]`` in document order.  Relative hrefs resolve
+    against ``url`` (stdlib urljoin); anchors are entity-unescaped and
+    whitespace-collapsed.  Boilerplate links are deliberately KEPT —
+    link-graph construction wants the nav edges main-content
+    extraction prunes."""
+    from urllib.parse import urljoin
+
+    out: list[dict] = []
+    for m in _ANCHOR_RE.finditer(html_text or ""):
+        href = m.group(1) or m.group(2) or m.group(3) or ""
+        href = html_mod.unescape(href.strip())
+        if not href:
+            continue
+        try:
+            absolute = urljoin(url, href)
+        except ValueError:
+            continue
+        anchor = html_mod.unescape(re.sub(r"<[^>]*>", " ", m.group(4)))
+        anchor = re.sub(r"\s+", " ", anchor).strip()
+        out.append({"href": absolute, "anchor": anchor})
+    return out

@@ -142,3 +142,27 @@ def test_extra_blocklist_config():
     out = extract_page("u", page, config=cfg)
     assert "custom boiler" not in out["extracted_text"]
     assert "real body" in out["extracted_text"]
+
+
+def test_extract_links_kernel():
+    """Anchor scan: absolute resolution, entity unescape, nested-tag
+    strip, href quote styles, damage tolerance."""
+    from dots_ocr_ray.kernel.html_parse import extract_links
+
+    html = (
+        '<a href="/rel">Rel</a>'
+        "<a href='https://abs.example/x'>Abs</a>"
+        "<a href=bare.html>Bare <b>bold</b> &amp; tail</a>"
+        '<a href="">empty href</a>'
+        "<a>no href</a>"
+        '<a href="/broken">never closed'
+    )
+    links = extract_links("https://h.example/dir/page", html)
+    assert [l["href"] for l in links] == [
+        "https://h.example/rel",
+        "https://abs.example/x",
+        "https://h.example/dir/bare.html",
+    ]
+    assert links[2]["anchor"] == "Bare bold & tail"
+    assert extract_links("https://h.example/", "") == []
+    assert extract_links("https://h.example/", "plain text no tags") == []
