@@ -598,6 +598,16 @@ def _q_event_gaps(sf_dir: str):
     return event_gaps(sf_dir)
 
 
+def _q_nearby_events(sf_dir: str):
+    """Stream-stream windowed self-join, aggregated: per event, the
+    count of same-user events within ±300 s — two vectorized
+    searchsorted passes per user group; the quadratic match set never
+    materializes."""
+    from dots_ocr_ray.pipelines.windows import nearby_event_counts
+
+    return nearby_event_counts(sf_dir, window_s=300)
+
+
 def _q_user_event_seq(sf_dir: str):
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -1903,6 +1913,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_distinct_users": _q_window_distinct_users,
         "user_event_seq": _q_user_event_seq,
         "event_gaps": _q_event_gaps,
+        "nearby_events": _q_nearby_events,
         "longest_per_lang": _q_longest_per_lang,
         "chars_quantiles": _q_chars_quantiles,
         "sessionize": _q_sessionize,
@@ -2428,6 +2439,15 @@ def oracle_sql() -> dict[str, str]:
             "round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, value "
             "ROWS UNBOUNDED PRECEDING), 4) AS running_value "
             "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, value)"
+        ),
+        "nearby_events": (
+            "SELECT a.user_id, a.event_id, "
+            "CAST(count(b.event_id) AS BIGINT) AS n_nearby "
+            "FROM events a LEFT JOIN events b ON a.user_id = b.user_id "
+            "AND b.event_id <> a.event_id "
+            "AND b.ts BETWEEN a.ts - INTERVAL 300 SECONDS "
+            "AND a.ts + INTERVAL 300 SECONDS "
+            "GROUP BY a.user_id, a.event_id"
         ),
         "event_gaps": (
             "SELECT user_id, event_id, "

@@ -158,3 +158,22 @@ def test_event_gaps(ray_session):
         assert [r["gap_us"] for r in ordered] == exp_gaps
         assert ordered[-1]["next_type"] == ""
         assert [r["next_type"] for r in ordered[:-1]] == list(g["event_type"][1:])
+
+
+def test_nearby_event_counts(ray_session):
+    """±window self-join counts match a brute-force quadratic check on
+    a sample of users; events with no neighbor report 0."""
+    from dots_ocr_ray.pipelines.windows import nearby_event_counts
+
+    rows = nearby_event_counts("/root/testdata/sf0.001", window_s=300).take_all()
+    import pyarrow.parquet as pq
+
+    ev = pq.read_table("/root/testdata/sf0.001/events.parquet").to_pandas()
+    assert len(rows) == len(ev)
+    got = {(r["user_id"], r["event_id"]): r["n_nearby"] for r in rows}
+    for uid in sorted(ev.user_id.unique())[:10]:
+        g = ev[ev.user_id == uid]
+        us = g["ts"].astype("datetime64[us]").astype("int64")
+        for eid, t in zip(g.event_id, us):
+            exp = int(((us - t).abs() <= 300_000_000).sum()) - 1
+            assert got[(uid, eid)] == exp, (uid, eid)

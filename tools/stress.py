@@ -62,6 +62,7 @@ def main() -> None:
     import ray.data
 
     from dots_ocr_ray.pipelines.dedup import minhash_lsh_dedup
+    from dots_ocr_ray.pipelines.substring import substring_dedup
 
     results = {}
     for mode in ("distinct", "dup-heavy"):
@@ -74,6 +75,18 @@ def main() -> None:
         dt = time.perf_counter() - t0
         results[mode] = {"sec": round(dt, 1), "rows": rows, "docs_per_sec": round(rows / dt, 1)}
         print(f"{mode}: {dt:.1f}s, {rows} rows")
+    # exact-substring dedup over the dup-heavy corpus: every base
+    # text's 8-grams repeat across its 19 replicas, so nearly every
+    # token position is covered — the span-removal worst case
+    ds = ray.data.read_parquet(f"{base}_dup-heavy", columns=["doc_id", "text"]).materialize()
+    t0 = time.perf_counter()
+    out = substring_dedup(ds, k=8, min_count=2)
+    dropped = out.map_batches(
+        lambda b: b.select(["n_dropped"]), batch_format="pyarrow"
+    ).sum("n_dropped")
+    dt = time.perf_counter() - t0
+    results["substring_dup-heavy"] = {"sec": round(dt, 1), "tokens_dropped": int(dropped)}
+    print(f"substring dup-heavy: {dt:.1f}s, {dropped} tokens dropped")
     print(json.dumps({"metric": "dedup_stress", "num_cpus": ncpu, **results}))
     ray.shutdown()
 
