@@ -1,0 +1,194 @@
+"""Recurring-crawl corpus refresh: yesterday's corpus never
+reprocesses — its INDEX does.
+
+The index directory persists two tables across runs:
+
+* ``index_dir/md5/``  — ``(content_md5)`` of every document ever kept
+  (the exact-dup gate, :func:`~dots_ocr_ray.pipelines.dedup.
+  exact_dedup_incremental`);
+* ``index_dir/sigs/`` — ``(doc_id, sig)`` MinHash signatures of every
+  document ever kept (the near-dup gate, :func:`~dots_ocr_ray.
+  pipelines.dedup.minhash_dedup_incremental`; the archive's TEXT is
+  never re-shingled).
+
+One refresh run: extract the new pages → status/quality gate →
+exact-incremental → minhash-incremental → write the surviving
+documents as partitioned parquet under ``out_dir`` AND append their
+md5s + signatures to the index (new parquet files; existing index
+files are never rewritten, so concurrent readers and resumes stay
+consistent).  Reference analog: the md5-gated job skip (S9/J4,
+app/utils/storage.py marker probes) generalized from per-page resume
+to corpus-level recurring ingest.
+
+Everything streams: the only driver-sized state is the NEW batch's id
+array inside minhash_dedup_incremental (bounded by the refresh batch,
+documented there)."""
+
+from __future__ import annotations
+
+import posixpath
+import uuid
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+from dots_ocr_ray.kernel.textops import md5_hex
+from dots_ocr_ray.state.manifest import resolve_fs
+
+
+def _index_files(index_dir: str, sub: str) -> list[str]:
+    from pyarrow.fs import FileSelector
+
+    fs, root = resolve_fs(index_dir)
+    path = posixpath.join(root, sub)
+    try:
+        infos = fs.get_file_info(FileSelector(path, recursive=True))
+    except (FileNotFoundError, OSError):
+        return []
+    return sorted(f.path for f in infos if f.is_file and f.path.endswith(".parquet"))
+
+
+def refresh_corpus(
+    new_pages: ray.data.Dataset,
+    index_dir: str,
+    out_dir: str,
+    *,
+    minhash_threshold: float = 0.85,
+    num_perm: int = 128,
+    extract_kwargs: dict | None = None,
+) -> dict:
+    """One recurring-crawl refresh run; returns lineage counts."""
+    from dots_ocr_ray.pipelines.dedup import (
+        exact_dedup_incremental,
+        minhash_dedup_incremental,
+        minhash_signatures,
+    )
+    from dots_ocr_ray.pipelines.extract import extract_pages
+
+    extracted = extract_pages(new_pages, **(extract_kwargs or {}))
+
+    def _narrow(batch: pa.Table) -> pa.Table:
+        ids = [int(md5_hex(u)[:15], 16) for u in batch.column("url").to_pylist()]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "url": batch.column("url"),
+                "text": batch.column("extracted_text_nohf"),
+                "status": batch.column("status"),
+            }
+        )
+
+    def _finished(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.equal(batch.column("status"), "finished")
+        ).drop_columns(["status"])
+
+    docs = (
+        extracted.map_batches(_narrow, batch_format="pyarrow")
+        .map_batches(_finished, batch_format="pyarrow")
+        .materialize()
+    )
+    counts: dict = {"extracted_ok": docs.count()}
+
+    fs, root = resolve_fs(index_dir)
+    md5_files = _index_files(index_dir, "md5")
+    sig_files = _index_files(index_dir, "sigs")
+
+    # exact gate (adds content_md5; collapses in-batch exact dups too)
+    if md5_files:
+        md5_index = ray.data.read_parquet(md5_files, columns=["content_md5"])
+    else:
+        md5_index = ray.data.from_arrow(
+            pa.table({"content_md5": pa.array([], type=pa.string())})
+        )
+    fresh = exact_dedup_incremental(docs, md5_index).materialize()
+    counts["after_exact"] = fresh.count()
+
+    # near-dup gate against the stored signature archive
+    if sig_files:
+        sig_index = ray.data.read_parquet(sig_files, columns=["doc_id", "sig"])
+        survivors = minhash_dedup_incremental(
+            fresh.drop_columns(["content_md5"]),
+            sig_index,
+            threshold=minhash_threshold,
+            num_perm=num_perm,
+        ).materialize()
+        # re-attach the md5 column for the index append
+        def _rehash(batch: pa.Table) -> pa.Table:
+            hashes = [md5_hex(t or "") for t in batch.column("text").to_pylist()]
+            return batch.append_column(
+                "content_md5", pa.array(hashes, type=pa.string())
+            )
+
+        survivors = survivors.map_batches(_rehash, batch_format="pyarrow").materialize()
+    else:
+        # first run: within-batch near-dedup only
+        from dots_ocr_ray.pipelines.dedup import minhash_lsh_dedup
+
+        clusters = minhash_lsh_dedup(
+            fresh, threshold=minhash_threshold, num_perm=num_perm
+        )
+
+        def _surv_ids(batch: pa.Table) -> pa.Table:
+            m = pc.equal(batch.column("doc_id"), batch.column("cluster_id"))
+            return batch.filter(m).select(["doc_id"])
+
+        from dots_ocr_ray.pipelines.dedup import semi_join_ids
+
+        survivors = semi_join_ids(
+            fresh,
+            clusters.map_batches(_surv_ids, batch_format="pyarrow").materialize(),
+            id_col="doc_id",
+            id_cols=("doc_id",),
+        ).materialize()
+    counts["kept"] = survivors.count()
+
+    # output + index append (new files only; never rewrite)
+    survivors.select_columns(["doc_id", "url", "text"]).write_parquet(out_dir)
+    run_id = uuid.uuid4().hex[:12]
+    for sub in ("md5", "sigs"):
+        fs.create_dir(posixpath.join(root, sub), recursive=True)
+    import pyarrow.parquet as pq
+
+    md5_tbl = pa.concat_tables(
+        list(
+            survivors.select_columns(["content_md5"]).iter_batches(
+                batch_format="pyarrow"
+            )
+        )
+        or [pa.table({"content_md5": pa.array([], type=pa.string())})]
+    )
+    with fs.open_output_stream(
+        posixpath.join(root, "md5", f"run-{run_id}.parquet")
+    ) as f:
+        pq.write_table(md5_tbl, f)
+    sig_tbl = pa.concat_tables(
+        list(
+            minhash_signatures(survivors, num_perm=num_perm).iter_batches(
+                batch_format="pyarrow"
+            )
+        )
+        or [
+            pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "sig": pa.array([], type=pa.binary()),
+                }
+            )
+        ]
+    )
+    with fs.open_output_stream(
+        posixpath.join(root, "sigs", f"run-{run_id}.parquet")
+    ) as f:
+        pq.write_table(sig_tbl, f)
+
+    from dots_ocr_ray.state.manifest import write_job_stats
+
+    write_job_stats(
+        out_dir,
+        {"job": "refresh_corpus", "index_dir": index_dir, "counts": counts},
+    )
+    return counts
