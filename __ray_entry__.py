@@ -1835,6 +1835,276 @@ def _q_doc_length_pct_rank(sf_dir: str):
     return percent_rank_by_key(docs, key="lang", col="n_chars")
 
 
+def _q_incremental_dedup(sf_dir: str):
+    """Recurring-crawl incremental exact dedup under the hard oracle:
+    docs with doc_id%3==0 play yesterday's ARCHIVE (only their md5
+    INDEX is read — the refresh_corpus shape), the rest are the new
+    batch; docs with doc_id%5==2 carry one of 11 shared texts so the
+    new batch collides both with the archive and within itself."""
+    import pyarrow as pa
+
+    import ray.data
+
+    from dots_ocr_ray.pipelines.dedup import exact_dedup_incremental
+    from dots_ocr_ray.kernel.textops import md5_hex
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def _shared_rule(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = batch.column("text").to_pylist()
+        out = [
+            f"SHARED {i % 11}" if i % 5 == 2 else t for i, t in zip(ids, texts)
+        ]
+        return pa.table(
+            {"doc_id": batch.column("doc_id"), "text": pa.array(out, type=pa.string())}
+        )
+
+    base = docs.map_batches(_shared_rule, batch_format="pyarrow")
+
+    def _archive_index(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        arch = batch.filter(pa.array(ids % 3 == 0))
+        hashes = [md5_hex(t or "") for t in arch.column("text").to_pylist()]
+        return pa.table({"content_md5": pa.array(hashes, type=pa.string())})
+
+    def _new_rows(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(ids % 3 != 0))
+
+    index = base.map_batches(_archive_index, batch_format="pyarrow")
+    new_batch = base.map_batches(_new_rows, batch_format="pyarrow")
+    fresh = exact_dedup_incremental(new_batch, index)
+    return fresh.select_columns(["doc_id", "text"])
+
+
+def _q_crawl_diff_docs(sf_dir: str):
+    """Snapshot diff between two crawls of one url space (added /
+    removed / changed / unchanged per url) — the deterministic split:
+    old crawl misses doc_id%4==0, new crawl misses doc_id%4==1, and
+    the new crawl rewrote the text of doc_id%6==3."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray.data
+
+    from dots_ocr_ray.kernel.textops import md5_hex
+    from dots_ocr_ray.pipelines.document import crawl_diff
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def _mod(col, m):
+        return pc.subtract(col, pc.multiply(pc.divide(col, m), m))
+
+    def _old(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.not_equal(_mod(batch.column("doc_id"), 4), 0))
+        hashes = [md5_hex(t or "") for t in batch.column("text").to_pylist()]
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "content_md5": pa.array(hashes, type=pa.string()),
+            }
+        )
+
+    def _new(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.not_equal(_mod(batch.column("doc_id"), 4), 1))
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        hashes = [
+            md5_hex((t or "") + (" v2" if i % 6 == 3 else ""))
+            for i, t in zip(ids, batch.column("text").to_pylist())
+        ]
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "content_md5": pa.array(hashes, type=pa.string()),
+            }
+        )
+
+    return crawl_diff(
+        docs.map_batches(_old, batch_format="pyarrow"),
+        docs.map_batches(_new, batch_format="pyarrow"),
+    )
+
+
+def _q_event_funnel(sf_dir: str):
+    """Ordered funnel over the events stream: signup → first view
+    strictly after the signup → first purchase strictly after that
+    view; one user-keyed exchange, driver sees 3 numbers."""
+    import ray.data
+
+    from dots_ocr_ray.pipelines.windows import funnel_counts
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "ts"]
+    )
+    return funnel_counts(events, ["signup", "view", "purchase"])
+
+
+def _q_shipping_priority(sf_dir: str):
+    """TPC-H Q3 shape: three-table join (customer segment filter →
+    orders semi-join → lineitem revenue rollup) with every join
+    distributed.  Lineitem revenue pre-aggregates per order BEFORE the
+    join (combiner), the segment filter takes the semi hash-join form,
+    and the top-10 reduces through per-batch local top-k partials —
+    the driver never sees more than 10 rows per block."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray.data
+
+    from dots_ocr_ray.pipelines.relational import hash_join
+    from dots_ocr_ray.util import bounded_blocks
+
+    cutoff = pa.scalar(__import__("datetime").datetime(1998, 1, 1))
+
+    lineitem = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def _rev_partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.greater(batch.column("l_shipdate"), cutoff))
+        rev = pc.multiply(
+            batch.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), batch.column("l_discount")),
+        )
+        agg = (
+            pa.table({"l_orderkey": batch.column("l_orderkey"), "revenue": rev})
+            .group_by("l_orderkey")
+            .aggregate([("revenue", "sum")])
+        )
+        return pa.table(
+            {
+                "l_orderkey": agg.column("l_orderkey"),
+                "revenue": agg.column("revenue_sum"),
+            }
+        )
+
+    revenue = (
+        bounded_blocks(lineitem.map_batches(_rev_partial, batch_format="pyarrow"))
+        .groupby("l_orderkey")
+        .sum("revenue")
+    )
+
+    def _rename_rev(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_orderkey": batch.column("l_orderkey"),
+                "revenue": batch.column("sum(revenue)"),
+            }
+        )
+
+    revenue = revenue.map_batches(_rename_rev, batch_format="pyarrow")
+
+    customer = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+
+    def _building(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.equal(batch.column("c_mktsegment"), "BUILDING"))
+        return batch.select(["c_custkey"]).rename_columns(["o_custkey"])
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+    )
+
+    def _open_orders(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.less(batch.column("o_orderdate"), cutoff))
+
+    orders_building = hash_join(
+        orders.map_batches(_open_orders, batch_format="pyarrow"),
+        customer.map_batches(_building, batch_format="pyarrow"),
+        on="o_custkey",
+        how="semi",
+        left_schema=pa.schema(
+            [
+                ("o_orderkey", pa.int64()),
+                ("o_custkey", pa.int64()),
+                ("o_orderdate", pa.timestamp("us")),
+                ("o_orderpriority", pa.string()),
+            ]
+        ),
+        right_schema=pa.schema([("o_custkey", pa.int64())]),
+    )
+
+    def _rename_ok(batch: pa.Table) -> pa.Table:
+        return batch.select(
+            ["o_orderkey", "o_orderdate", "o_orderpriority"]
+        ).rename_columns(["l_orderkey", "o_orderdate", "o_orderpriority"])
+
+    joined = hash_join(
+        revenue,
+        orders_building.map_batches(_rename_ok, batch_format="pyarrow"),
+        on="l_orderkey",
+        left_schema=pa.schema([("l_orderkey", pa.int64()), ("revenue", pa.float64())]),
+        right_schema=pa.schema(
+            [
+                ("l_orderkey", pa.int64()),
+                ("o_orderdate", pa.timestamp("us")),
+                ("o_orderpriority", pa.string()),
+            ]
+        ),
+    )
+
+    def _local_topk(batch: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            batch,
+            sort_keys=[("revenue", "descending"), ("l_orderkey", "ascending")],
+        )
+        return batch.take(order[:10])
+
+    merged = pa.concat_tables(
+        joined.map_batches(_local_topk, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        )
+    )
+    order = pc.sort_indices(
+        merged, sort_keys=[("revenue", "descending"), ("l_orderkey", "ascending")]
+    )
+    return merged.take(order[:10]).select(
+        ["l_orderkey", "revenue", "o_orderdate", "o_orderpriority"]
+    )
+
+
+def _q_events_pivot_daily(sf_dir: str):
+    """PIVOT events to one column pair per event type (daily count +
+    value sum): batch-local pivot partials, one day-keyed exchange."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray.data
+
+    from dots_ocr_ray.pipelines.relational import pivot_agg
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+    )
+
+    def _day(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "day": pc.floor_temporal(batch.column("ts"), unit="day"),
+                "event_type": batch.column("event_type"),
+                "value": batch.column("value"),
+            }
+        )
+
+    return pivot_agg(
+        events.map_batches(_day, batch_format="pyarrow"),
+        key_col="day",
+        pivot_col="event_type",
+        categories=["click", "error", "purchase", "signup", "view"],
+        value_col="value",
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction (the flagship; SQL mirrors the deterministic wrapper)
@@ -1850,6 +2120,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_embedding": _q_dedup_embedding,
         "line_dedup_docs": _q_line_dedup_docs,
         "substring_dedup_docs": _q_substring_dedup_docs,
+        "incremental_dedup": _q_incremental_dedup,
+        "crawl_diff_docs": _q_crawl_diff_docs,
         "bigram_lm_scores": _q_bigram_lm_scores,
         "compression_ratios": _q_compression_ratios,
         "adaptive_length_filter": _q_adaptive_length_filter,
@@ -1887,6 +2159,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "merge_docs": _q_merge_docs,
         # relational / window / sampling / sort
         "orders_customer_join": _q_orders_customer_join,
+        "shipping_priority": _q_shipping_priority,
+        "events_pivot_daily": _q_events_pivot_daily,
+        "event_funnel": _q_event_funnel,
         "bucketed_customer_orders": _q_bucketed_customer_orders,
         "lineitem_order_priority": _q_lineitem_order_priority,
         "supplier_stats": _q_supplier_stats,
@@ -1954,6 +2229,29 @@ def oracle_sql() -> dict[str, str]:
         ),
         # exact dedup: survivor = min doc_id per identical text
         "dedup_exact": "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
+        # incremental exact dedup: archive = doc_id%3==0 md5 index,
+        # new batch = the rest; doc_id%5==2 rows carry shared texts
+        "incremental_dedup": (
+            "WITH base AS (SELECT doc_id, CASE WHEN doc_id % 5 = 2 "
+            "THEN 'SHARED ' || CAST(doc_id % 11 AS VARCHAR) ELSE text END AS text "
+            "FROM documents), "
+            "newd AS (SELECT doc_id, text, md5(text) AS h FROM base WHERE doc_id % 3 <> 0), "
+            "arch AS (SELECT DISTINCT md5(text) AS h FROM base WHERE doc_id % 3 = 0), "
+            "fresh AS (SELECT * FROM newd WHERE h NOT IN (SELECT h FROM arch)) "
+            "SELECT min(doc_id) AS doc_id, text FROM fresh GROUP BY text"
+        ),
+        # crawl snapshot diff: old misses doc_id%4==0, new misses
+        # doc_id%4==1, new rewrote doc_id%6==3
+        "crawl_diff_docs": (
+            "WITH c_old AS (SELECT doc_id, md5(text) AS h FROM documents "
+            "WHERE doc_id % 4 <> 0), "
+            "c_new AS (SELECT doc_id, md5(text || CASE WHEN doc_id % 6 = 3 "
+            "THEN ' v2' ELSE '' END) AS h FROM documents WHERE doc_id % 4 <> 1) "
+            "SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id, "
+            "CASE WHEN o.h IS NULL THEN 'added' WHEN n.h IS NULL THEN 'removed' "
+            "WHEN o.h = n.h THEN 'unchanged' ELSE 'changed' END AS change "
+            "FROM c_old o FULL OUTER JOIN c_new n ON o.doc_id = n.doc_id"
+        ),
         # line dedup: independent SQL derivation — split the (SQL-derived)
         # extracted text into lines, drop lines appearing >=5x corpus-wide,
         # string_agg the remainder back in order
@@ -2405,6 +2703,42 @@ def oracle_sql() -> dict[str, str]:
             "sum(o_totalprice) AS spend FROM orders "
             "JOIN customer ON o_custkey = c_custkey "
             "GROUP BY c_custkey, c_nationkey"
+        ),
+        "shipping_priority": (
+            "SELECT l_orderkey, sum(l_extendedprice * (1 - l_discount)) AS revenue, "
+            "o_orderdate, o_orderpriority "
+            "FROM customer, orders, lineitem "
+            "WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey "
+            "AND l_orderkey = o_orderkey "
+            "AND o_orderdate < TIMESTAMP '1998-01-01' "
+            "AND l_shipdate > TIMESTAMP '1998-01-01' "
+            "GROUP BY l_orderkey, o_orderdate, o_orderpriority "
+            "ORDER BY revenue DESC, l_orderkey LIMIT 10"
+        ),
+        "events_pivot_daily": (
+            "SELECT date_trunc('day', ts) AS day, "
+            + ", ".join(
+                f"CAST(count(*) FILTER (WHERE event_type = '{c}') AS BIGINT) AS {c}_n, "
+                f"COALESCE(sum(value) FILTER (WHERE event_type = '{c}'), 0) AS {c}_sum"
+                for c in ["click", "error", "purchase", "signup", "view"]
+            )
+            + " FROM events GROUP BY 1"
+        ),
+        "event_funnel": (
+            "WITH s1 AS (SELECT user_id, min(ts) AS t FROM events "
+            "WHERE event_type = 'signup' GROUP BY 1), "
+            "s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e "
+            "JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t "
+            "WHERE e.event_type = 'view' GROUP BY 1), "
+            "s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e "
+            "JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t "
+            "WHERE e.event_type = 'purchase' GROUP BY 1) "
+            "SELECT CAST(1 AS BIGINT) AS stage_idx, 'signup' AS stage, "
+            "CAST((SELECT count(*) FROM s1) AS BIGINT) AS users "
+            "UNION ALL SELECT CAST(2 AS BIGINT), 'view', "
+            "CAST((SELECT count(*) FROM s2) AS BIGINT) "
+            "UNION ALL SELECT CAST(3 AS BIGINT), 'purchase', "
+            "CAST((SELECT count(*) FROM s3) AS BIGINT)"
         ),
         "orders_customer_join": (
             "SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_orders, "

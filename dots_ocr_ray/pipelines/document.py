@@ -188,3 +188,82 @@ def metrics_by_domain(extracted: ray.data.Dataset, n_salt: int = 16) -> ray.data
         return batch.rename_columns([mapping.get(n, n) for n in batch.column_names])
 
     return final.map_batches(_rename, batch_format="pyarrow")
+
+
+def crawl_diff(
+    old_ds: ray.data.Dataset,
+    new_ds: ray.data.Dataset,
+    *,
+    id_col: str = "doc_id",
+    hash_col: str = "content_md5",
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Snapshot diff between two crawls of the same url space: which
+    pages were ``added``, ``removed``, ``changed`` or ``unchanged``
+    between the old and new crawl — the recurring-ingest companion to
+    :func:`~dots_ocr_ray.pipelines.refresh.refresh_corpus` (only
+    changed/added pages need re-extraction next run).
+
+    Both sides project to ``(id, content-hash)`` before the ONE
+    hash-bucket exchange, so page text never moves; each bucket
+    resolves its ids with one vectorized pandas outer merge
+    (O(num_buckets) Python calls, not O(urls)).  Each side must carry
+    at most one row per id (run
+    :func:`~dots_ocr_ray.pipelines.document.latest_page_per_url`
+    first when a crawl revisits urls).
+
+    Returns ``(id_col, change)`` rows covering the union id space.
+    """
+    import numpy as np
+
+    from dots_ocr_ray.pipelines.relational import _stable_key_hash
+    from dots_ocr_ray.util import bounded_blocks
+
+    def _tag(side: int):
+        def _fn(batch: pa.Table) -> pa.Table:
+            bucket = (
+                _stable_key_hash(batch.column(id_col)) % np.uint64(num_buckets)
+            ).astype(np.int32)
+            return pa.table(
+                {
+                    id_col: batch.column(id_col),
+                    hash_col: batch.column(hash_col),
+                    "__bucket": pa.array(bucket, type=pa.int32()),
+                    "__side": pa.array(
+                        np.full(batch.num_rows, side, np.int8), type=pa.int8()
+                    ),
+                }
+            )
+
+        return _fn
+
+    tagged = bounded_blocks(
+        old_ds.map_batches(_tag(0), batch_format="pyarrow").union(
+            new_ds.map_batches(_tag(1), batch_format="pyarrow")
+        )
+    )
+
+    def _diff(group: pa.Table) -> pa.Table:
+        df = group.select([id_col, hash_col, "__side"]).to_pandas()
+        old = df[df["__side"] == 0][[id_col, hash_col]]
+        new = df[df["__side"] == 1][[id_col, hash_col]]
+        m = old.merge(new, on=id_col, how="outer", suffixes=("_old", "_new"))
+        h_old = m[hash_col + "_old"]
+        h_new = m[hash_col + "_new"]
+        change = np.where(
+            h_old.isna(),
+            "added",
+            np.where(
+                h_new.isna(),
+                "removed",
+                np.where(h_old == h_new, "unchanged", "changed"),
+            ),
+        )
+        return pa.table(
+            {
+                id_col: pa.array(m[id_col].to_numpy()),
+                "change": pa.array(change, type=pa.string()),
+            }
+        )
+
+    return tagged.groupby("__bucket").map_groups(_diff, batch_format="pyarrow")

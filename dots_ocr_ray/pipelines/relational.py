@@ -1077,3 +1077,74 @@ def skew_join(
         left_schema=left_schema, right_schema=right_schema,
     )
     return hot_joined.union(cold_joined)
+
+
+def pivot_agg(
+    ds: ray.data.Dataset,
+    *,
+    key_col: str,
+    pivot_col: str,
+    categories: list[str],
+    value_col: str | None = None,
+) -> ray.data.Dataset:
+    """PIVOT: one output column pair per category of ``pivot_col``
+    (``{cat}_n`` row count, plus ``{cat}_sum`` of ``value_col`` when
+    given), one row per ``key_col`` — the
+    ``count(*) FILTER (WHERE pivot = cat)`` surface.
+
+    ``categories`` is explicit (schema fixed up front, rows of other
+    categories are dropped): the partial aggregate pivots to columns
+    INSIDE each batch, so the only exchange is the final key-level
+    groupby over already-pivoted partials — the combiner discipline of
+    lineitem_pricing_summary applied to a dynamic column set.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from dots_ocr_ray.util import bounded_blocks
+
+    cat_of = {c: i for i, c in enumerate(categories)}
+    n_cat = len(categories)
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_in(batch.column(pivot_col), pa.array(categories)))
+        keys, key_idx = np.unique(
+            batch.column(key_col).to_numpy(zero_copy_only=False), return_inverse=True
+        )
+        cat_idx = np.array(
+            [cat_of[c] for c in batch.column(pivot_col).to_pylist()], dtype=np.int64
+        )
+        flat = key_idx * n_cat + cat_idx
+        size = len(keys) * n_cat
+        counts = np.bincount(flat, minlength=size).reshape(len(keys), n_cat)
+        cols = {key_col: pa.array(keys)}
+        for j, c in enumerate(categories):
+            cols[f"{c}_n"] = pa.array(counts[:, j], type=pa.int64())
+        if value_col is not None:
+            vals = batch.column(value_col).to_numpy(zero_copy_only=False)
+            sums = np.bincount(flat, weights=vals, minlength=size).reshape(
+                len(keys), n_cat
+            )
+            for j, c in enumerate(categories):
+                cols[f"{c}_sum"] = pa.array(sums[:, j], type=pa.float64())
+        return pa.table(cols)
+
+    agg_cols = [f"{c}_n" for c in categories] + (
+        [f"{c}_sum" for c in categories] if value_col is not None else []
+    )
+    agg = (
+        bounded_blocks(ds.map_batches(_partial, batch_format="pyarrow"))
+        .groupby(key_col)
+        .sum(agg_cols)
+    )
+
+    def _final(batch: pa.Table) -> pa.Table:
+        cols = {key_col: batch.column(key_col)}
+        for c in categories:
+            cols[f"{c}_n"] = batch.column(f"sum({c}_n)").cast(pa.int64())
+        if value_col is not None:
+            for c in categories:
+                cols[f"{c}_sum"] = batch.column(f"sum({c}_sum)")
+        return pa.table(cols)
+
+    return agg.map_batches(_final, batch_format="pyarrow")

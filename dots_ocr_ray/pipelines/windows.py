@@ -273,3 +273,86 @@ def nearby_event_counts(
         return g[["user_id", "event_id", "n_nearby"]]
 
     return events.groupby("user_id").map_groups(_nearby, batch_format="pandas")
+
+
+def funnel_counts(
+    events: ray.data.Dataset,
+    stages: list[str],
+    *,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+):
+    """Ordered funnel analysis: how many users completed stage 1, then
+    stage 2 strictly AFTER their first stage-1 event, and so on — the
+    sequential `min(ts) > prior-stage min(ts)` ladder every product
+    funnel query needs.
+
+    Shape: one batch-local filter prunes events to the funnel's types
+    before the only exchange (a ``user_col``-keyed group), each user's
+    ladder walks vectorized numpy inside its group, and the per-user
+    depth reduces through a bincount partial — so the exchange carries
+    only funnel-typed events and the driver sees ``len(stages)``
+    numbers, never user ids.  Returns a ``len(stages)``-row
+    ``pyarrow.Table`` (stage_idx, stage, users) where ``users`` counts
+    users reaching AT LEAST that stage.
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    n_stages = len(stages)
+    stage_of = {s: i for i, s in enumerate(stages)}
+
+    def _prune(batch: pa.Table) -> pa.Table:
+        batch = batch.select([user_col, type_col, ts_col])
+        return batch.filter(pc.is_in(batch.column(type_col), pa.array(stages)))
+
+    def _depth(group: pd.DataFrame) -> pd.DataFrame:
+        ts = group[ts_col].astype("datetime64[us]").astype("int64").to_numpy()
+        kind = group[type_col].map(stage_of).to_numpy()
+        depth = 0
+        prev = -(2**62)
+        for i in range(n_stages):
+            sel = ts[(kind == i) & (ts > prev)]
+            if sel.size == 0:
+                break
+            prev = sel.min()
+            depth += 1
+        return pd.DataFrame({"depth": [depth]})
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        counts = np.bincount(
+            batch.column("depth").to_numpy(zero_copy_only=False),
+            minlength=n_stages + 1,
+        )
+        return pa.table(
+            {
+                "depth": pa.array(np.arange(n_stages + 1), type=pa.int64()),
+                "n": pa.array(counts, type=pa.int64()),
+            }
+        )
+
+    from dots_ocr_ray.util import bounded_blocks
+
+    per_depth = (
+        bounded_blocks(events.map_batches(_prune, batch_format="pyarrow"))
+        .groupby(user_col)
+        .map_groups(_depth, batch_format="pandas")
+        .map_batches(_partial, batch_format="pyarrow")
+        .groupby("depth")
+        .sum("n")
+    )
+    # bounded: n_stages+1 rows at most
+    rows = {int(r["depth"]): int(r["sum(n)"]) for r in per_depth.take_all()}
+    total = np.zeros(n_stages + 1, dtype=np.int64)
+    for d, n in rows.items():
+        total[d] = n
+    at_least = np.cumsum(total[::-1])[::-1]  # users with depth >= i
+    return pa.table(
+        {
+            "stage_idx": pa.array(np.arange(1, n_stages + 1), type=pa.int64()),
+            "stage": pa.array(stages, type=pa.string()),
+            "users": pa.array(at_least[1:], type=pa.int64()),
+        }
+    )

@@ -96,3 +96,25 @@ def test_pages_explode_merge_roundtrip(ray_session):
     # "\n\n" at page joins)
     for row, src in zip(merged.itertuples(), rows):
         assert row.extracted_text.split() == src["text"].split()
+
+
+def test_crawl_diff(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from dots_ocr_ray.pipelines.document import crawl_diff
+
+    def snap(rows):
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+                    "content_md5": pa.array([r[1] for r in rows], type=pa.string()),
+                }
+            )
+        )
+
+    old = snap([(1, "a"), (2, "b"), (3, "c")])
+    new = snap([(2, "b"), (3, "c2"), (4, "d")])
+    got = {r["doc_id"]: r["change"] for r in crawl_diff(old, new).take_all()}
+    assert got == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}

@@ -484,3 +484,36 @@ def test_skew_join_matches_hash_join(ray_session):
     # threshold above every frequency -> pure hash_join path, same result
     got2 = _canon(skew_join(left, right, on="k", hot_threshold=10 * n))
     pd.testing.assert_frame_equal(got2, ref, check_dtype=False)
+
+
+def test_pivot_agg(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from dots_ocr_ray.pipelines.relational import pivot_agg
+
+    rng = np.random.RandomState(7)
+    n = 3000
+    df = pd.DataFrame(
+        {
+            "k": rng.randint(0, 13, n),
+            "cat": rng.choice(["a", "b", "c", "zz"], n),  # zz not requested
+            "v": rng.rand(n).round(3),
+        }
+    )
+    ds = ray.data.from_arrow(pa.Table.from_pandas(df)).repartition(8)
+    out = (
+        pivot_agg(ds, key_col="k", pivot_col="cat", categories=["a", "b", "c"], value_col="v")
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    kept = df[df["cat"].isin(["a", "b", "c"])]
+    for c in ["a", "b", "c"]:
+        sub = kept[kept["cat"] == c].groupby("k")["v"].agg(["size", "sum"])
+        exp_n = sub["size"].reindex(out["k"], fill_value=0).to_numpy()
+        assert (out[f"{c}_n"].to_numpy() == exp_n).all()
+        exp_sum = sub["sum"].reindex(out["k"], fill_value=0.0).to_numpy()
+        assert np.allclose(out[f"{c}_sum"].to_numpy(), exp_sum)

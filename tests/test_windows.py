@@ -177,3 +177,39 @@ def test_nearby_event_counts(ray_session):
         for eid, t in zip(g.event_id, us):
             exp = int(((us - t).abs() <= 300_000_000).sum()) - 1
             assert got[(uid, eid)] == exp, (uid, eid)
+
+
+def test_funnel_counts(ray_session):
+    import datetime
+
+    import pyarrow as pa
+    import ray.data
+
+    from dots_ocr_ray.pipelines.windows import funnel_counts
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def ev(user, kind, minute):
+        return {
+            "user_id": user,
+            "event_type": kind,
+            "ts": t0 + datetime.timedelta(minutes=minute),
+        }
+
+    rows = [
+        # user 1 completes the full funnel in order
+        ev(1, "signup", 0), ev(1, "view", 5), ev(1, "purchase", 9),
+        # user 2: purchase BEFORE the view -> depth 2 only
+        ev(2, "signup", 0), ev(2, "purchase", 1), ev(2, "view", 2),
+        # user 3: view only, never signed up -> depth 0
+        ev(3, "view", 4),
+        # user 4: signup only
+        ev(4, "signup", 7),
+        # noise types are pruned before the exchange
+        ev(1, "error", 1), ev(3, "click", 1),
+    ]
+    events = ray.data.from_items(rows)
+    out = funnel_counts(events, ["signup", "view", "purchase"])
+    assert isinstance(out, pa.Table)
+    got = {r["stage"]: r["users"] for r in out.to_pylist()}
+    assert got == {"signup": 3, "view": 2, "purchase": 1}
