@@ -92,7 +92,13 @@ def jaccard_hashes(a: np.ndarray, b: np.ndarray) -> float:
         return 1.0
     if len(a) == 0 or len(b) == 0:
         return 0.0
-    inter = np.intersect1d(a, b, assume_unique=True).size
+    # both inputs are sorted-unique (char_ngram_hashes contract):
+    # binary-search the smaller into the larger instead of
+    # intersect1d's concat+sort of BOTH arrays per call
+    small, big = (a, b) if len(a) <= len(b) else (b, a)
+    pos = np.searchsorted(big, small)
+    pos[pos == len(big)] = len(big) - 1
+    inter = int(np.count_nonzero(big[pos] == small))
     return inter / (len(a) + len(b) - inter)
 
 
