@@ -1835,6 +1835,29 @@ def _q_doc_length_pct_rank(sf_dir: str):
     return percent_rank_by_key(docs, key="lang", col="n_chars")
 
 
+def _q_token_id_sample(sf_dir: str):
+    """Tokenizer vocabulary build + text→id encoding: exact top-32
+    whitespace vocabulary over the WHOLE corpus (one token exchange,
+    local top-V partials), broadcast once, then vectorized index_in
+    encoding of the doc_id%20==0 sample to (doc_id, pos, token_id)."""
+    import pyarrow as pa
+
+    import ray.data
+
+    from dots_ocr_ray.pipelines.text_analysis import build_vocab, encode_token_ids
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    vocab = build_vocab(docs, vocab_size=32)
+
+    def _sample(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(ids % 20 == 0))
+
+    return encode_token_ids(docs.map_batches(_sample, batch_format="pyarrow"), vocab)
+
+
 def _q_incremental_dedup(sf_dir: str):
     """Recurring-crawl incremental exact dedup under the hard oracle:
     docs with doc_id%3==0 play yesterday's ARCHIVE (only their md5
@@ -2121,6 +2144,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "line_dedup_docs": _q_line_dedup_docs,
         "substring_dedup_docs": _q_substring_dedup_docs,
         "incremental_dedup": _q_incremental_dedup,
+        "token_id_sample": _q_token_id_sample,
         "crawl_diff_docs": _q_crawl_diff_docs,
         "bigram_lm_scores": _q_bigram_lm_scores,
         "compression_ratios": _q_compression_ratios,
@@ -2239,6 +2263,21 @@ def oracle_sql() -> dict[str, str]:
             "arch AS (SELECT DISTINCT md5(text) AS h FROM base WHERE doc_id % 3 = 0), "
             "fresh AS (SELECT * FROM newd WHERE h NOT IN (SELECT h FROM arch)) "
             "SELECT min(doc_id) AS doc_id, text FROM fresh GROUP BY text"
+        ),
+        # tokenizer vocab (exact top-32 by count desc, token asc) +
+        # text->id encoding of the doc_id%20==0 sample; unk -> 0
+        "token_id_sample": (
+            "WITH toks AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), "
+            "t -> t <> '') AS arr FROM documents), "
+            "cnt AS (SELECT unnest(arr) AS token FROM toks), "
+            "vocab AS (SELECT token, row_number() OVER (ORDER BY n DESC, token) AS token_id "
+            "FROM (SELECT token, count(*) AS n FROM cnt GROUP BY token) "
+            "ORDER BY n DESC, token LIMIT 32), "
+            "ex AS (SELECT doc_id, generate_subscripts(arr, 1) AS pos, unnest(arr) AS token "
+            "FROM toks WHERE doc_id % 20 = 0) "
+            "SELECT ex.doc_id, CAST(ex.pos AS BIGINT) AS pos, "
+            "CAST(COALESCE(v.token_id, 0) AS BIGINT) AS token_id "
+            "FROM ex LEFT JOIN vocab v USING (token)"
         ),
         # crawl snapshot diff: old misses doc_id%4==0, new misses
         # doc_id%4==1, new rewrote doc_id%6==3

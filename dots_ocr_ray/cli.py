@@ -117,6 +117,30 @@ def cmd_prepare(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_refresh(args: argparse.Namespace) -> int:
+    from dots_ocr_ray.pipelines.refresh import refresh_corpus
+
+    _ensure_ray()
+    if args.input_format == "warc":
+        from dots_ocr_ray.sources.warc import read_warc
+
+        pages = read_warc(args.input)
+    else:
+        from dots_ocr_ray.pipelines.extract import read_pages
+
+        files = sorted(glob.glob(args.input)) if any(c in args.input for c in "*?[") else [args.input]
+        pages = read_pages(files)
+    counts = refresh_corpus(
+        pages,
+        args.index,
+        args.out,
+        minhash_threshold=args.threshold,
+        num_perm=args.num_perm,
+    )
+    print(json.dumps({"out": args.out, "index": args.index, **counts}))
+    return 0
+
+
 def cmd_annotate(args: argparse.Namespace) -> int:
     import ray.data
 
@@ -182,6 +206,18 @@ def main(argv: list[str] | None = None) -> int:
     pr.add_argument("--overlap-tokens", type=int, default=16)
     pr.add_argument("--train-fraction", type=float, default=0.9)
     pr.set_defaults(fn=cmd_prepare)
+
+    rf = sub.add_parser(
+        "refresh",
+        help="recurring-crawl refresh: gate new pages through the persistent md5+MinHash index, write survivors, append the index",
+    )
+    rf.add_argument("--input", required=True, help="new crawl pages parquet or WARC path/glob")
+    rf.add_argument("--input-format", default="parquet", choices=["parquet", "warc"])
+    rf.add_argument("--index", required=True, help="persistent index directory (grows by appended files)")
+    rf.add_argument("--out", required=True, help="output directory for surviving documents")
+    rf.add_argument("--threshold", type=float, default=0.85)
+    rf.add_argument("--num-perm", type=int, default=128)
+    rf.set_defaults(fn=cmd_refresh)
 
     an = sub.add_parser("annotate", help="add lang/quality/token/fingerprint columns")
     an.add_argument("--input", required=True)

@@ -936,3 +936,120 @@ def compression_ratios(
         )
 
     return ds.map_batches(_ratios, batch_format="pyarrow")
+
+
+def build_vocab(
+    ds: ray.data.Dataset,
+    *,
+    text_col: str = "text",
+    vocab_size: int = 1 << 15,
+) -> pa.Table:
+    """Corpus-ranked tokenizer vocabulary: the ``vocab_size`` most
+    frequent whitespace tokens, id 1..V by (count DESC, token ASC);
+    id 0 is reserved for unknowns.
+
+    EXACT counts through one token-keyed exchange (batch-local count
+    partials shrink it to the per-block distinct vocabulary), then the
+    top-V reduces through per-block local top-V partials — the driver
+    holds V rows per block, never the corpus vocabulary."""
+    import pyarrow.compute as pc
+
+    from dots_ocr_ray.util import bounded_blocks
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(pc.utf8_split_whitespace(batch.column(text_col)))
+        toks = toks.filter(pc.not_equal(toks, ""))
+        agg = pa.table({"token": toks}).group_by("token").aggregate([("token", "count")])
+        return pa.table(
+            {
+                "token": agg.column("token"),
+                "n": agg.column("token_count").cast(pa.int64()),
+            }
+        )
+
+    counts = (
+        bounded_blocks(ds.map_batches(_partial, batch_format="pyarrow"))
+        .groupby("token")
+        .sum("n")
+    )
+
+    def _local_top(batch: pa.Table) -> pa.Table:
+        batch = pa.table({"token": batch.column("token"), "n": batch.column("sum(n)")})
+        order = pc.sort_indices(
+            batch, sort_keys=[("n", "descending"), ("token", "ascending")]
+        )
+        return batch.take(order[:vocab_size])
+
+    merged = pa.concat_tables(
+        counts.map_batches(_local_top, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        )
+    )
+    order = pc.sort_indices(
+        merged, sort_keys=[("n", "descending"), ("token", "ascending")]
+    )
+    top = merged.take(order[:vocab_size])
+    import numpy as np
+
+    return pa.table(
+        {
+            "token": top.column("token"),
+            "token_id": pa.array(np.arange(1, top.num_rows + 1), type=pa.int64()),
+        }
+    )
+
+
+def encode_token_ids(
+    ds: ray.data.Dataset,
+    vocab: pa.Table,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Encode documents against a built vocabulary → exploded
+    (doc_id, pos, token_id) rows (pos 1-based; unknown tokens → 0) —
+    the text→ids step every training pipeline runs after
+    :func:`build_vocab`.
+
+    The vocab broadcasts once (``ray.put`` + per-worker cache); the
+    encode is batch-local ``pc.index_in`` against the id-ordered token
+    array — one vectorized hash lookup per batch, no exchange, no
+    per-token Python."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    import ray
+
+    from dots_ocr_ray.util import cached_object
+
+    vocab_ref = ray.put(vocab.column("token").combine_chunks())
+
+    def _encode(batch: pa.Table) -> pa.Table:
+        tokens_list = pc.utf8_split_whitespace(batch.column(text_col))
+        flat = pc.list_flatten(tokens_list)
+        # per-row token counts BEFORE empty-filtering, then subtract
+        # the empties per row to keep pos aligned with str.split()
+        keep = pc.not_equal(flat, "")
+        lens = pc.list_value_length(tokens_list).to_numpy(zero_copy_only=False)
+        row_idx = np.repeat(np.arange(len(lens)), lens)
+        keep_np = keep.to_numpy(zero_copy_only=False)
+        row_idx = row_idx[keep_np]
+        flat = flat.filter(keep)
+        # 1-based positions within each row's kept tokens
+        kept_per_row = np.bincount(row_idx, minlength=len(lens))
+        starts = np.zeros(len(lens), dtype=np.int64)
+        np.cumsum(kept_per_row[:-1], out=starts[1:])
+        pos = np.arange(len(row_idx)) - starts[row_idx] + 1
+        vocab_tokens = cached_object(vocab_ref)
+        idx = pc.index_in(flat, value_set=vocab_tokens)
+        token_id = pc.add(pc.fill_null(idx, -1), 1).cast(pa.int64())
+        doc_ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                id_col: pa.array(doc_ids[row_idx], type=pa.int64()),
+                "pos": pa.array(pos, type=pa.int64()),
+                "token_id": token_id,
+            }
+        )
+
+    return ds.map_batches(_encode, batch_format="pyarrow")

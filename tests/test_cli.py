@@ -112,3 +112,18 @@ def test_cli_prepare_from_warc(tmp_path):
 
     df = ray.data.read_parquet(str(out)).to_pandas()
     assert len(df) > 0 and "chunk_text" in df.columns and "url" in df.columns
+
+
+def test_cli_refresh(ray_session, shard_dir, tmp_path, capsys):
+    index = str(tmp_path / "idx")
+    out1 = str(tmp_path / "r1")
+    rc = main(["refresh", "--input", f"{shard_dir}/*.parquet", "--index", index, "--out", out1])
+    assert rc == 0
+    c1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert c1["kept"] > 0
+    # second run over the SAME pages: the index gates everything out
+    out2 = str(tmp_path / "r2")
+    rc2 = main(["refresh", "--input", f"{shard_dir}/*.parquet", "--index", index, "--out", out2])
+    assert rc2 == 0
+    c2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert c2["kept"] == 0

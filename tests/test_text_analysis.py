@@ -236,3 +236,38 @@ def test_bigram_lm_scores_tiers_match_sequential(ray_session):
             for r in bigram_lm_scores(ds, broadcast_limit=limit).take_all()
         }
         assert got == exp, limit
+
+
+def test_build_vocab_and_encode(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from dots_ocr_ray.pipelines.text_analysis import build_vocab, encode_token_ids
+
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+                "text": pa.array(
+                    [
+                        "the cat sat",
+                        "the   dog  sat",  # multi-space: positions follow str.split()
+                        "the rare",
+                    ],
+                    type=pa.string(),
+                ),
+            }
+        )
+    ).repartition(2)
+    vocab = build_vocab(docs, vocab_size=3)
+    # counts: the=3, sat=2, then ties (cat, dog, rare) broken by token asc
+    assert vocab.column("token").to_pylist() == ["the", "sat", "cat"]
+    assert vocab.column("token_id").to_pylist() == [1, 2, 3]
+
+    out = encode_token_ids(docs, vocab).to_pandas().sort_values(["doc_id", "pos"])
+    got = {
+        d: list(g["token_id"]) for d, g in out.groupby("doc_id")
+    }
+    # unk -> 0: dog/rare are out-of-vocab
+    assert got == {1: [1, 3, 2], 2: [1, 0, 2], 3: [1, 0]}
+    assert list(out[out["doc_id"] == 2]["pos"]) == [1, 2, 3]
