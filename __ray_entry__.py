@@ -1835,6 +1835,45 @@ def _q_doc_length_pct_rank(sf_dir: str):
     return percent_rank_by_key(docs, key="lang", col="n_chars")
 
 
+def _q_lang_source_cube(sf_dir: str):
+    """GROUP BY CUBE over (lang, source): one finest-level exchange,
+    all four grouping sets derived from the bounded result."""
+    import ray.data
+
+    from dots_ocr_ray.pipelines.relational import cube_counts
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "source"])
+    return cube_counts(docs, ["lang", "source"])
+
+
+def _q_weighted_sample_docs(sf_dir: str):
+    """Deterministic weight-proportional sampling without replacement
+    (Efraimidis–Spirakis over the Knuth-hash uniform): top-16 docs by
+    u^(1/n_chars) — longer docs proportionally likelier, reproducible
+    across engines, one streaming pass with local top-k partials."""
+    import ray.data
+
+    from dots_ocr_ray.pipelines.relational import weighted_sample
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+    )
+    return weighted_sample(docs, id_col="doc_id", weight_col="n_chars", k=16)
+
+
+def _q_length_outliers(sf_dir: str):
+    """Per-lang z-score outlier flagging over n_chars: sufficient-stats
+    exchange → broadcast (mean, std) → batch-local flag."""
+    import ray.data
+
+    from dots_ocr_ray.pipelines.relational import zscore_outliers
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+    )
+    return zscore_outliers(docs, key_col="lang", value_col="n_chars", z_thresh=1.8)
+
+
 def _q_token_id_sample(sf_dir: str):
     """Tokenizer vocabulary build + text→id encoding: exact top-32
     whitespace vocabulary over the WHOLE corpus (one token exchange,
@@ -2145,6 +2184,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "substring_dedup_docs": _q_substring_dedup_docs,
         "incremental_dedup": _q_incremental_dedup,
         "token_id_sample": _q_token_id_sample,
+        "lang_source_cube": _q_lang_source_cube,
+        "weighted_sample_docs": _q_weighted_sample_docs,
+        "length_outliers": _q_length_outliers,
         "crawl_diff_docs": _q_crawl_diff_docs,
         "bigram_lm_scores": _q_bigram_lm_scores,
         "compression_ratios": _q_compression_ratios,
@@ -2872,5 +2914,27 @@ def oracle_sql() -> dict[str, str]:
             "SELECT COALESCE(lang, '*') AS lang, COALESCE(source, '*') AS source, "
             "CAST(count(*) AS BIGINT) AS n_rows "
             "FROM documents GROUP BY ROLLUP(lang, source)"
+        ),
+        "lang_source_cube": (
+            "SELECT COALESCE(lang, '*') AS lang, COALESCE(source, '*') AS source, "
+            "CAST(count(*) AS BIGINT) AS n_rows "
+            "FROM documents GROUP BY CUBE(lang, source)"
+        ),
+        # Efraimidis-Spirakis weighted sample: u from the Knuth hash
+        # (the sample_10pct convention), rank by u^(1/n_chars)
+        "weighted_sample_docs": (
+            "SELECT doc_id, lang, n_chars FROM ("
+            "SELECT doc_id, lang, n_chars, "
+            "pow(((doc_id * 2654435761) % 4294967296) / 4294967296.0, "
+            "1.0 / n_chars) AS sample_key FROM documents) "
+            "ORDER BY sample_key DESC, doc_id LIMIT 16"
+        ),
+        "length_outliers": (
+            "WITH stats AS (SELECT lang, avg(n_chars) AS m, "
+            "stddev_pop(n_chars) AS sd, count(*) AS n FROM documents GROUP BY lang) "
+            "SELECT doc_id, d.lang, n_chars, "
+            "round(CASE WHEN sd > 0 THEN (n_chars - m) / sd ELSE 0 END, 4) AS z "
+            "FROM documents d JOIN stats USING (lang) "
+            "WHERE sd > 0 AND abs((n_chars - m) / sd) > 1.8"
         ),
     }

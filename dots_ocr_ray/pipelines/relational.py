@@ -1148,3 +1148,152 @@ def pivot_agg(
         return pa.table(cols)
 
     return agg.map_batches(_final, batch_format="pyarrow")
+
+
+def cube_counts(
+    ds: ray.data.Dataset, keys: list[str], *, sentinel: str = "*"
+) -> pa.Table:
+    """GROUP BY CUBE(keys...) row counts — :func:`rollup_counts`'
+    all-subsets sibling.  Same cost model: ONE distributed exchange at
+    the finest grouping level, every one of the 2^len(keys) coarser
+    levels derived from that bounded result on the driver."""
+    import itertools
+
+    import pandas as pd
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        out = batch.select(keys).group_by(keys).aggregate([([], "count_all")])
+        return out.rename_columns(keys + ["n"])
+
+    fine = (
+        ds.map_batches(_partial, batch_format="pyarrow").groupby(keys).sum("n")
+    )
+    tbl = pa.Table.from_pylist(fine.take_all())  # ≤ product of key cardinalities
+    tbl = tbl.rename_columns(keys + ["n_rows"])
+    df = tbl.to_pandas()
+    frames = [tbl]
+    for r in range(len(keys) - 1, -1, -1):
+        for kept in itertools.combinations(keys, r):
+            kept = list(kept)
+            if kept:
+                coarse = df.groupby(kept, as_index=False)["n_rows"].sum()
+            else:
+                coarse = pd.DataFrame({"n_rows": [df["n_rows"].sum()]})
+            for k in keys:
+                if k not in kept:
+                    coarse[k] = sentinel
+            frames.append(
+                pa.Table.from_pandas(coarse[keys + ["n_rows"]], preserve_index=False)
+            )
+    out = pa.concat_tables(frames, promote_options="default")
+    return out.set_column(
+        out.column_names.index("n_rows"), "n_rows", out.column("n_rows").cast(pa.int64())
+    )
+
+
+def weighted_sample(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str,
+    weight_col: str,
+    k: int,
+) -> pa.Table:
+    """Deterministic weight-proportional sample WITHOUT replacement
+    (Efraimidis–Spirakis A-ES): each row draws u from the Knuth
+    multiplicative hash of its id (reproducible across runs/engines,
+    the sample_10pct convention) and ranks by u^(1/weight); the global
+    top-k by that key is a weighted sample.  One streaming pass with
+    per-block local top-k partials — the driver merges k rows per
+    block."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    def _local_top(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        w = batch.column(weight_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        u = ((ids * 2654435761) & 0xFFFFFFFF) / 4294967296.0
+        with np.errstate(divide="ignore"):
+            key = np.where(w > 0, u ** (1.0 / np.maximum(w, 1e-300)), -1.0)
+        batch = batch.append_column("sample_key", pa.array(key, type=pa.float64()))
+        order = pc.sort_indices(
+            batch, sort_keys=[("sample_key", "descending"), (id_col, "ascending")]
+        )
+        return batch.take(order[:k])
+
+    merged = pa.concat_tables(
+        ds.map_batches(_local_top, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        )
+    )
+    import pyarrow.compute as pc2
+
+    order = pc2.sort_indices(
+        merged, sort_keys=[("sample_key", "descending"), (id_col, "ascending")]
+    )
+    return merged.take(order[:k]).drop_columns(["sample_key"])
+
+
+def zscore_outliers(
+    ds: ray.data.Dataset,
+    *,
+    key_col: str,
+    value_col: str,
+    z_thresh: float = 2.0,
+) -> ray.data.Dataset:
+    """Per-key z-score outlier flagging: rows whose ``value_col``
+    deviates from the KEY's mean by more than ``z_thresh`` population
+    standard deviations — the distribution-aware data-cleaning filter.
+
+    Mergeable sufficient statistics (count, sum, sum-of-squares) reduce
+    through one tiny keyed exchange; the per-key (mean, std) table
+    broadcasts once and the flagging pass is batch-local vectorized —
+    the value column never reshuffles."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    import ray as _ray
+
+    from dots_ocr_ray.util import bounded_blocks, cached_object
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        v = batch.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        t = pa.table(
+            {
+                key_col: batch.column(key_col),
+                "_n": pa.array(np.ones(len(v), np.int64)),
+                "_s": pa.array(v),
+                "_s2": pa.array(v * v),
+            }
+        )
+        agg = t.group_by(key_col).aggregate([("_n", "sum"), ("_s", "sum"), ("_s2", "sum")])
+        return agg.rename_columns([key_col, "n", "s", "s2"])
+
+    stats = (
+        bounded_blocks(ds.map_batches(_partial, batch_format="pyarrow"))
+        .groupby(key_col)
+        .sum(["n", "s", "s2"])
+    )
+    mean_std: dict = {}
+    for r in stats.take_all():  # bounded: one row per key
+        n, s, s2 = r["sum(n)"], r["sum(s)"], r["sum(s2)"]
+        mean = s / n
+        var = max(s2 / n - mean * mean, 0.0)
+        mean_std[r[key_col]] = (mean, var**0.5)
+    ref = _ray.put(mean_std)
+
+    def _flag(batch: pa.Table) -> pa.Table:
+        ms = cached_object(ref)
+        # O(distinct-keys-in-batch) Python, not O(rows)
+        uk, inv = np.unique(
+            np.asarray(batch.column(key_col).to_pylist(), dtype=object),
+            return_inverse=True,
+        )
+        v = batch.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        mean = np.array([ms[k][0] for k in uk])[inv]
+        std = np.array([ms[k][1] for k in uk])[inv]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            z = np.where(std > 0, (v - mean) / std, 0.0)
+        batch = batch.append_column("z", pa.array(np.round(z, 4), type=pa.float64()))
+        return batch.filter(pa.array(np.abs(z) > z_thresh))
+
+    return ds.map_batches(_flag, batch_format="pyarrow")

@@ -517,3 +517,82 @@ def test_pivot_agg(ray_session):
         assert (out[f"{c}_n"].to_numpy() == exp_n).all()
         exp_sum = sub["sum"].reindex(out["k"], fill_value=0.0).to_numpy()
         assert np.allclose(out[f"{c}_sum"].to_numpy(), exp_sum)
+
+
+def test_cube_counts(ray_session):
+    import itertools
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from dots_ocr_ray.pipelines.relational import cube_counts
+
+    rng = np.random.RandomState(3)
+    df = pd.DataFrame(
+        {
+            "a": rng.choice(["x", "y", "z"], 500),
+            "b": rng.choice(["p", "q"], 500),
+        }
+    )
+    ds = ray.data.from_arrow(pa.Table.from_pandas(df)).repartition(4)
+    out = cube_counts(ds, ["a", "b"]).to_pandas()
+    # 4 grouping sets: (a,b), (a), (b), ()
+    assert len(out) == 6 + 3 + 2 + 1
+    total = out[(out["a"] == "*") & (out["b"] == "*")]["n_rows"].iloc[0]
+    assert total == 500
+    only_b = out[(out["a"] == "*") & (out["b"] == "p")]["n_rows"].iloc[0]
+    assert only_b == (df["b"] == "p").sum()
+    fine = out[(out["a"] != "*") & (out["b"] != "*")].set_index(["a", "b"])["n_rows"]
+    exp = df.groupby(["a", "b"]).size()
+    assert fine.sort_index().equals(exp.astype("int64").sort_index())
+
+
+def test_weighted_sample(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from dots_ocr_ray.pipelines.relational import weighted_sample
+
+    ids = np.arange(1, 401, dtype=np.int64)
+    w = (ids % 37 + 1).astype(np.float64)
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": ids, "w": w})
+    ).repartition(8)
+    out = weighted_sample(ds, id_col="doc_id", weight_col="w", k=10)
+    u = ((ids * 2654435761) & 0xFFFFFFFF) / 4294967296.0
+    key = u ** (1.0 / w)
+    exp = ids[np.lexsort((ids, -key))][:10]
+    assert out.column("doc_id").to_pylist() == exp.tolist()
+    assert "sample_key" not in out.column_names
+
+
+def test_zscore_outliers(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from dots_ocr_ray.pipelines.relational import zscore_outliers
+
+    rng = np.random.RandomState(11)
+    df = pd.DataFrame(
+        {
+            "k": rng.choice(["a", "b"], 600),
+            "v": rng.normal(100, 10, 600).round(1),
+        }
+    )
+    # plant extreme outliers
+    df.loc[0, "v"] = 500.0
+    df.loc[1, "v"] = -300.0
+    ds = ray.data.from_arrow(pa.Table.from_pandas(df)).repartition(4)
+    out = zscore_outliers(ds, key_col="k", value_col="v", z_thresh=3.0).to_pandas()
+    g = df.groupby("k")["v"]
+    m, sd = g.transform("mean"), g.transform(lambda s: s.std(ddof=0))
+    z = (df["v"] - m) / sd
+    exp = set(df.index[abs(z) > 3.0])
+    got = set(out["v"])
+    assert got == set(df.loc[list(exp), "v"])
+    assert {500.0, -300.0} <= got
