@@ -77,34 +77,47 @@ def read_jsonl(
         fs, local = resolve_fs(path)
         skipped_total = 0
         buf = b""
-        with fs.open_input_stream(local) as f:
-            while True:
-                chunk = f.read(chunk_bytes)
-                at_eof = not chunk
-                buf += chunk
-                if at_eof:
-                    complete, buf = buf, b""
-                else:
-                    # hold back the trailing partial line
-                    nl = buf.rfind(b"\n")
-                    if nl < 0:
-                        continue
-                    complete, buf = buf[: nl + 1], buf[nl + 1 :]
-                cols, skipped = _parse_lines(complete, columns, types)
-                skipped_total += skipped
-                n = len(cols[columns[0]]) if columns else 0
-                if n:
-                    arrays = [
-                        pa.array(cols[c], type=types[c]) for c in columns
-                    ] + [
-                        pa.array([path] * n, type=pa.string()),
-                        pa.array([skipped_total] * n, type=pa.int64()),
-                    ]
-                    yield pa.table(
-                        dict(zip(out_schema.names, arrays)), schema=out_schema
-                    )
-                if at_eof:
-                    break
+        raw = fs.open_input_stream(local)
+        if local.endswith(".gz"):
+            # pyarrow.fs streams are raw bytes (no extension detection);
+            # stdlib gzip wraps the stream and decodes incrementally —
+            # multi-member files included (the WARC source's seam)
+            import gzip
+
+            f_ctx = gzip.GzipFile(fileobj=raw)
+        else:
+            f_ctx = raw
+        try:
+            with f_ctx as f:
+                while True:
+                    chunk = f.read(chunk_bytes)
+                    at_eof = not chunk
+                    buf += chunk
+                    if at_eof:
+                        complete, buf = buf, b""
+                    else:
+                        # hold back the trailing partial line
+                        nl = buf.rfind(b"\n")
+                        if nl < 0:
+                            continue
+                        complete, buf = buf[: nl + 1], buf[nl + 1 :]
+                    cols, skipped = _parse_lines(complete, columns, types)
+                    skipped_total += skipped
+                    n = len(cols[columns[0]]) if columns else 0
+                    if n:
+                        arrays = [
+                            pa.array(cols[c], type=types[c]) for c in columns
+                        ] + [
+                            pa.array([path] * n, type=pa.string()),
+                            pa.array([skipped_total] * n, type=pa.int64()),
+                        ]
+                        yield pa.table(
+                            dict(zip(out_schema.names, arrays)), schema=out_schema
+                        )
+                    if at_eof:
+                        break
+        finally:
+            raw.close()  # GzipFile.close() leaves the fileobj open
 
     def _read_batch(batch: pa.Table):
         for row in batch.to_pylist():
@@ -113,3 +126,52 @@ def read_jsonl(
     return ray.data.from_items([{"path": p} for p in paths]).map_batches(
         _read_batch, batch_size=1, batch_format="pyarrow"
     )
+
+
+def write_jsonl(
+    ds: ray.data.Dataset,
+    out_dir: str,
+    *,
+    compress: bool = True,
+    prefix: str = "part",
+) -> list[str]:
+    """Dataset → newline-delimited JSON shards (optionally gzip) —
+    the export format most training loaders consume.  One file per
+    block, written streaming through ``pyarrow.fs`` (object-store URIs
+    work, same seam as the readers); file names are content-addressed
+    by the block's md5 so re-running a finished export is byte-stable
+    and idempotent.  Returns the written paths.
+
+    The per-block map is a bounded streaming pass: each task holds one
+    block's JSON bytes, never the dataset.  (A 100-TB export is
+    therefore as parallel as its block count — ``repartition`` first
+    if blocks are too coarse.)"""
+    import gzip
+    import posixpath
+
+    from dots_ocr_ray.kernel.textops import md5_hex
+    from dots_ocr_ray.state.manifest import resolve_fs
+
+    fs, root = resolve_fs(out_dir)
+    fs.create_dir(root, recursive=True)
+    suffix = ".jsonl.gz" if compress else ".jsonl"
+
+    def _write_block(batch: pa.Table) -> pa.Table:
+        rows = batch.to_pylist()
+        payload = "\n".join(
+            json.dumps(r, ensure_ascii=False, sort_keys=True, default=str)
+            for r in rows
+        )
+        data = (payload + "\n").encode("utf-8") if rows else b""
+        if compress:
+            data = gzip.compress(data, mtime=0)  # mtime=0: byte-stable
+        name = f"{prefix}-{md5_hex(payload)[:16]}{suffix}"
+        path = posixpath.join(root, name)
+        with fs.open_output_stream(path) as f:
+            f.write(data)
+        return pa.table({"path": pa.array([path]), "rows": pa.array([len(rows)], type=pa.int64())})
+
+    manifest = ds.map_batches(
+        _write_block, batch_format="pyarrow", batch_size=None
+    ).take_all()
+    return sorted(r["path"] for r in manifest)

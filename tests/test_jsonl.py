@@ -72,3 +72,33 @@ def test_jsonl_empty_and_all_garbage(ray_session, tmp_path):
     _write(pe, [])
     _write(pg, [b"nope\n", b"{also nope\n"])
     assert read_jsonl([pe, pg], schema=SCHEMA).count() == 0
+
+
+def test_write_jsonl_roundtrip(ray_session, tmp_path):
+    import pyarrow as pa
+    import ray.data
+
+    from dots_ocr_ray.sources.jsonl import read_jsonl, write_jsonl
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(100), type=pa.int64()),
+            "text": pa.array([f"doc {i} café ✓" for i in range(100)], type=pa.string()),
+        }
+    )
+    ds = ray.data.from_arrow(tbl).repartition(4)
+    out = str(tmp_path / "export")
+    paths = write_jsonl(ds, out)
+    assert len(paths) == 4 and all(p.endswith(".jsonl.gz") for p in paths)
+
+    back = read_jsonl(
+        paths, schema=pa.schema([("doc_id", pa.int64()), ("text", pa.string())])
+    )
+    got = back.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert got["doc_id"].tolist() == list(range(100))
+    assert got["text"].tolist() == tbl.column("text").to_pylist()
+    assert (got["_skipped"].to_numpy() >= 0).all()
+
+    # idempotent re-run: same content-addressed names, no new files
+    paths2 = write_jsonl(ds, out)
+    assert paths2 == paths
