@@ -112,6 +112,9 @@ def cmd_prepare(args: argparse.Namespace) -> int:
         train_fraction=args.train_fraction,
         line_dedup_min_count=args.line_dedup_min_count,
         substring_dedup_k=args.substring_dedup_k,
+        emit_token_ids=args.emit_token_ids,
+        vocab_size=args.vocab_size,
+        output_format=args.output_format,
     )
     print(json.dumps({"out": args.out, **counts}))
     return 0
@@ -202,6 +205,11 @@ def main(argv: list[str] | None = None) -> int:
         default=None,
         help="cut k-token spans repeated corpus-wide (ExactSubstr); off by default",
     )
+    pr.add_argument("--emit-token-ids", action="store_true",
+                    help="build a train-split vocabulary and add a token_ids column")
+    pr.add_argument("--vocab-size", type=int, default=1 << 15)
+    pr.add_argument("--output-format", default="parquet", choices=["parquet", "jsonl"],
+                    help="jsonl: gzip shards per split (content-addressed, idempotent)")
     pr.add_argument("--chunk-tokens", type=int, default=128)
     pr.add_argument("--overlap-tokens", type=int, default=16)
     pr.add_argument("--train-fraction", type=float, default=0.9)

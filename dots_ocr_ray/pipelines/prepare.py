@@ -49,6 +49,9 @@ def prepare_training_data(
     dedup_exact_limit: int | None = None,
     line_dedup_min_count: int | None = None,
     substring_dedup_k: int | None = None,
+    emit_token_ids: bool = False,
+    vocab_size: int = 1 << 15,
+    output_format: str = "parquet",
 ) -> dict:
     """pages Dataset → chunked, deduped, scrubbed train/val parquet.
 
@@ -201,9 +204,58 @@ def prepare_training_data(
         return batch.append_column("split", split)
 
     final = chunks.map_batches(_split, batch_format="pyarrow")
-    final.write_parquet(out_dir, partition_cols=["split"])
-    written = ray.data.read_parquet(out_dir)
-    counts["chunks_written"] = written.count()
+
+    if emit_token_ids:
+        # vocabulary from the TRAIN split only (no val leakage into
+        # token ranks), applied to both splits; the vocab itself is
+        # persisted next to the data so inference re-uses it verbatim
+        from dots_ocr_ray.pipelines.text_analysis import build_vocab, encode_token_ids
+
+        final = final.materialize()  # consumed by vocab pass + encode + write
+
+        def _train_only(batch: pa.Table) -> pa.Table:
+            return batch.filter(pc.equal(batch.column("split"), "train"))
+
+        vocab = build_vocab(
+            final.map_batches(_train_only, batch_format="pyarrow"),
+            text_col="chunk_text",
+            vocab_size=vocab_size,
+        )
+        import pyarrow.parquet as pq
+
+        from dots_ocr_ray.state.manifest import resolve_fs
+
+        fs, root = resolve_fs(out_dir)
+        fs.create_dir(root, recursive=True)
+        # "_"-prefixed: parquet dataset discovery ignores it, so a
+        # read_parquet(out_dir) over the partitioned data never mixes
+        # the vocab schema in
+        with fs.open_output_stream(f"{root}/_vocab.parquet") as f:
+            pq.write_table(vocab, f)
+        counts["vocab_size"] = vocab.num_rows
+        final = encode_token_ids(final, vocab, text_col="chunk_text", as_list=True)
+
+    if output_format == "jsonl":
+        from dots_ocr_ray.sources.jsonl import write_jsonl
+
+        def _one_split(name: str):
+            def _fn(batch: pa.Table) -> pa.Table:
+                return batch.filter(pc.equal(batch.column("split"), name))
+
+            return _fn
+
+        total = 0
+        for name in ("train", "val"):
+            manifest = write_jsonl(
+                final.map_batches(_one_split(name), batch_format="pyarrow"),
+                f"{out_dir}/split={name}",
+            )
+            total += sum(m["rows"] for m in manifest)
+        counts["chunks_written"] = total
+    else:
+        final.write_parquet(out_dir, partition_cols=["split"])
+        written = ray.data.read_parquet(out_dir)
+        counts["chunks_written"] = written.count()
     if counts["quality_kept"] is None:
         counts["quality_kept"] = counts["chunks_written"]  # streamed straight through
 

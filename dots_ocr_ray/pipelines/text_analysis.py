@@ -1005,11 +1005,14 @@ def encode_token_ids(
     *,
     text_col: str = "text",
     id_col: str = "doc_id",
+    as_list: bool = False,
 ) -> ray.data.Dataset:
-    """Encode documents against a built vocabulary → exploded
-    (doc_id, pos, token_id) rows (pos 1-based; unknown tokens → 0) —
-    the text→ids step every training pipeline runs after
-    :func:`build_vocab`.
+    """Encode documents against a built vocabulary — the text→ids step
+    every training pipeline runs after :func:`build_vocab`.  Unknown
+    tokens → 0.  Default output is exploded (doc_id, pos, token_id)
+    rows (pos 1-based); ``as_list=True`` instead appends a
+    ``token_ids`` list<int64> column to the input rows (the form a
+    training loader consumes).
 
     The vocab broadcasts once (``ray.put`` + per-worker cache); the
     encode is batch-local ``pc.index_in`` against the id-ordered token
@@ -1043,6 +1046,13 @@ def encode_token_ids(
         vocab_tokens = cached_object(vocab_ref)
         idx = pc.index_in(flat, value_set=vocab_tokens)
         token_id = pc.add(pc.fill_null(idx, -1), 1).cast(pa.int64())
+        if as_list:
+            offsets = np.zeros(len(lens) + 1, dtype=np.int32)
+            np.cumsum(kept_per_row, out=offsets[1:])
+            ids_list = pa.ListArray.from_arrays(
+                pa.array(offsets), token_id.combine_chunks() if isinstance(token_id, pa.ChunkedArray) else token_id
+            )
+            return batch.append_column("token_ids", ids_list)
         doc_ids = batch.column(id_col).to_numpy(zero_copy_only=False)
         return pa.table(
             {

@@ -77,11 +77,11 @@ def read_jsonl(
         fs, local = resolve_fs(path)
         skipped_total = 0
         buf = b""
-        raw = fs.open_input_stream(local)
+        # compression=None: pyarrow auto-gunzips `.gz` by extension
+        # otherwise; stdlib gzip must own the decode (incremental,
+        # multi-member tolerant — the WARC source's seam)
+        raw = fs.open_input_stream(local, compression=None)
         if local.endswith(".gz"):
-            # pyarrow.fs streams are raw bytes (no extension detection);
-            # stdlib gzip wraps the stream and decodes incrementally —
-            # multi-member files included (the WARC source's seam)
             import gzip
 
             f_ctx = gzip.GzipFile(fileobj=raw)
@@ -140,7 +140,8 @@ def write_jsonl(
     block, written streaming through ``pyarrow.fs`` (object-store URIs
     work, same seam as the readers); file names are content-addressed
     by the block's md5 so re-running a finished export is byte-stable
-    and idempotent.  Returns the written paths.
+    and idempotent.  Returns a manifest of ``{"path", "rows"}`` dicts
+    sorted by path.
 
     The per-block map is a bounded streaming pass: each task holds one
     block's JSON bytes, never the dataset.  (A 100-TB export is
@@ -167,11 +168,13 @@ def write_jsonl(
             data = gzip.compress(data, mtime=0)  # mtime=0: byte-stable
         name = f"{prefix}-{md5_hex(payload)[:16]}{suffix}"
         path = posixpath.join(root, name)
-        with fs.open_output_stream(path) as f:
+        # compression=None: pyarrow would otherwise auto-gzip the `.gz`
+        # extension ON TOP of our deterministic mtime=0 member
+        with fs.open_output_stream(path, compression=None) as f:
             f.write(data)
         return pa.table({"path": pa.array([path]), "rows": pa.array([len(rows)], type=pa.int64())})
 
     manifest = ds.map_batches(
         _write_block, batch_format="pyarrow", batch_size=None
     ).take_all()
-    return sorted(r["path"] for r in manifest)
+    return sorted(manifest, key=lambda r: r["path"])

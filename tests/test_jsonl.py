@@ -88,8 +88,10 @@ def test_write_jsonl_roundtrip(ray_session, tmp_path):
     )
     ds = ray.data.from_arrow(tbl).repartition(4)
     out = str(tmp_path / "export")
-    paths = write_jsonl(ds, out)
+    manifest = write_jsonl(ds, out)
+    paths = [m["path"] for m in manifest]
     assert len(paths) == 4 and all(p.endswith(".jsonl.gz") for p in paths)
+    assert sum(m["rows"] for m in manifest) == 100
 
     back = read_jsonl(
         paths, schema=pa.schema([("doc_id", pa.int64()), ("text", pa.string())])
@@ -100,5 +102,5 @@ def test_write_jsonl_roundtrip(ray_session, tmp_path):
     assert (got["_skipped"].to_numpy() >= 0).all()
 
     # idempotent re-run: same content-addressed names, no new files
-    paths2 = write_jsonl(ds, out)
+    paths2 = [m["path"] for m in write_jsonl(ds, out)]
     assert paths2 == paths

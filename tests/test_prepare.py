@@ -156,3 +156,46 @@ def test_prepare_with_substring_dedup_cuts_repeated_spans(ray_session, tmp_path)
     assert set(df_a.doc_id) <= set(df_b.doc_id)
     assert df_a.chunk_text.str.len().sum() <= df_b.chunk_text.str.len().sum()
     assert df_a.url.notna().all()
+
+
+def test_prepare_token_ids_jsonl(ray_session, tmp_path):
+    import glob
+    import gzip
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    import ray.data
+
+    from dots_ocr_ray.fixtures import make_pages_table
+    from dots_ocr_ray.pipelines.prepare import prepare_training_data
+
+    pages = ray.data.from_arrow(make_pages_table(48, seed=9))
+    out = str(tmp_path / "prep")
+    counts = prepare_training_data(
+        pages,
+        out,
+        dedup="exact",
+        emit_token_ids=True,
+        vocab_size=64,
+        output_format="jsonl",
+    )
+    assert counts["chunks_written"] > 0
+    assert 0 < counts["vocab_size"] <= 64
+    vocab = pq.read_table(os.path.join(out, "_vocab.parquet"))
+    assert vocab.column_names == ["token", "token_id"]
+    id_of = dict(zip(vocab.column("token").to_pylist(), vocab.column("token_id").to_pylist()))
+
+    shards = glob.glob(os.path.join(out, "split=*", "*.jsonl.gz"))
+    assert shards
+    rows = []
+    for s in shards:
+        with gzip.open(s, "rt", encoding="utf-8") as f:
+            rows += [json.loads(l) for l in f if l.strip()]
+    assert len(rows) == counts["chunks_written"]
+    r = next(r for r in rows if r["chunk_text"].split())
+    toks = r["chunk_text"].split()
+    assert len(r["token_ids"]) == len(toks)
+    # ids agree with the persisted vocab (unknown -> 0)
+    assert r["token_ids"] == [id_of.get(t, 0) for t in toks]
