@@ -799,6 +799,51 @@ def _q_extract_links(sf_dir: str):
     return pages.map_batches(_links, batch_format="pyarrow")
 
 
+def _q_crawl_frontier(sf_dir: str):
+    """Crawl frontier generation: distinct outgoing link targets NOT
+    yet crawled — the next round's url list.  Link extraction streams
+    zero-exchange; the crawled-set subtraction is a distributed anti
+    hash-join on the url (no driver url set), then one keyed distinct."""
+    import pyarrow as pa
+
+    import ray.data
+
+    from dots_ocr_ray.pipelines.relational import hash_join
+    from dots_ocr_ray.sources.pages import pages_from_documents
+
+    links = _q_extract_links(sf_dir)
+
+    def _href_only(batch: pa.Table) -> pa.Table:
+        return pa.table({"url": batch.column("href")})
+
+    pages = pages_from_documents(sf_dir, override_num_blocks=8)
+
+    def _url_only(batch: pa.Table) -> pa.Table:
+        return batch.select(["url"])
+
+    uncrawled = hash_join(
+        links.map_batches(_href_only, batch_format="pyarrow"),
+        pages.map_batches(_url_only, batch_format="pyarrow"),
+        on="url",
+        how="anti",
+        left_schema=pa.schema([("url", pa.string())]),
+        right_schema=pa.schema([("url", pa.string())]),
+    )
+
+    def _rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["href"])
+
+    def _drop_n(batch: pa.Table) -> pa.Table:
+        return batch.select(["href"])
+
+    return (
+        uncrawled.map_batches(_rename, batch_format="pyarrow")
+        .groupby("href")
+        .count()
+        .map_batches(_drop_n, batch_format="pyarrow")
+    )
+
+
 def _q_heavy_hitter_langs(sf_dir: str):
     """SpaceSaving heavy hitters over lang — with capacity ≫ distinct
     values the sketch is EXACT, so the SQL oracle checks it fully."""
@@ -2219,6 +2264,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # layout / document ops
         "extract_grounding": _q_extract_grounding,
         "extract_links": _q_extract_links,
+        "crawl_frontier": _q_crawl_frontier,
         "extract_category_counts": _q_extract_category_counts,
         "crawl_dedup_latest": _q_crawl_dedup_latest,
         "domain_stats": _q_domain_stats,
@@ -2494,6 +2540,19 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents WHERE doc_id % 23 <> 7 AND doc_id % 31 <> 11) "
             "SELECT url, home AS href, 'Home' AS anchor FROM u "
             "UNION ALL SELECT url, next, 'Next' FROM u"
+        ),
+        # frontier = distinct link targets minus every crawled url
+        # (failed/fallback pages were still crawled)
+        "crawl_frontier": (
+            "WITH l AS (SELECT doc_id, "
+            "'https://example-' || lpad(CAST(doc_id % 40 AS VARCHAR), 2, '0') || '.com/' AS home, "
+            "'https://example-' || lpad(CAST((doc_id * 7) % 40 AS VARCHAR), 2, '0') "
+            "|| '.com/doc-' || lpad(CAST((doc_id * 13) % 500 AS VARCHAR), 6, '0') AS next "
+            "FROM documents WHERE doc_id % 23 <> 7 AND doc_id % 31 <> 11), "
+            "hrefs AS (SELECT home AS href FROM l UNION ALL SELECT next FROM l), "
+            "crawled AS (SELECT 'https://example-' || lpad(CAST(doc_id % 40 AS VARCHAR), 2, '0') "
+            "|| '.com/doc-' || lpad(CAST(doc_id AS VARCHAR), 6, '0') AS url FROM documents) "
+            "SELECT DISTINCT href FROM hrefs WHERE href NOT IN (SELECT url FROM crawled)"
         ),
         "sessionize": (
             "WITH marked AS (SELECT user_id, ts, "
