@@ -2055,16 +2055,19 @@ def _q_event_funnel(sf_dir: str):
 
 def _q_shipping_priority(sf_dir: str):
     """TPC-H Q3 shape: three-table join (customer segment filter →
-    orders semi-join → lineitem revenue rollup) with every join
-    distributed.  Lineitem revenue pre-aggregates per order BEFORE the
-    join (combiner), the segment filter takes the semi hash-join form,
-    and the top-10 reduces through per-batch local top-k partials —
-    the driver never sees more than 10 rows per block."""
+    orders semi-join → lineitem revenue rollup).  Lineitem revenue
+    pre-aggregates per order BEFORE the join (combiner); the segment
+    filter is the BUDGETED semi-join tier (sorted-array broadcast
+    under the driver limit, distributed Bloom above — dedup.
+    semi_join_ids), the revenue⨝orders join is the distributed
+    hash_join, and the top-10 reduces through per-batch local top-k
+    partials — the driver never sees more than 10 rows per block."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
     import ray.data
 
+    from dots_ocr_ray.pipelines.dedup import semi_join_ids
     from dots_ocr_ray.pipelines.relational import hash_join
     from dots_ocr_ray.util import bounded_blocks
 
@@ -2115,7 +2118,7 @@ def _q_shipping_priority(sf_dir: str):
 
     def _building(batch: pa.Table) -> pa.Table:
         batch = batch.filter(pc.equal(batch.column("c_mktsegment"), "BUILDING"))
-        return batch.select(["c_custkey"]).rename_columns(["o_custkey"])
+        return batch.select(["c_custkey"])
 
     orders = ray.data.read_parquet(
         f"{sf_dir}/orders.parquet",
@@ -2125,20 +2128,11 @@ def _q_shipping_priority(sf_dir: str):
     def _open_orders(batch: pa.Table) -> pa.Table:
         return batch.filter(pc.less(batch.column("o_orderdate"), cutoff))
 
-    orders_building = hash_join(
+    orders_building = semi_join_ids(
         orders.map_batches(_open_orders, batch_format="pyarrow"),
         customer.map_batches(_building, batch_format="pyarrow"),
-        on="o_custkey",
-        how="semi",
-        left_schema=pa.schema(
-            [
-                ("o_orderkey", pa.int64()),
-                ("o_custkey", pa.int64()),
-                ("o_orderdate", pa.timestamp("us")),
-                ("o_orderpriority", pa.string()),
-            ]
-        ),
-        right_schema=pa.schema([("o_custkey", pa.int64())]),
+        id_col="o_custkey",
+        id_cols=("c_custkey",),
     )
 
     def _rename_ok(batch: pa.Table) -> pa.Table:

@@ -324,6 +324,10 @@ def semi_join_ids(
       payload rows through, which downstream inner joins ignore — use
       only where over-keeping is safe.
     """
+    # one execution of the ids plan: count() on a lazy dataset and the
+    # iter/Bloom pass below would otherwise each run it in full —
+    # seconds of fixed plan cost per execution even for tiny id tables
+    ids_ds = ids_ds.materialize()
     n = ids_ds.count()
     if n <= exact_limit:
         chunks: list[np.ndarray] = []
