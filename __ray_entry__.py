@@ -1880,6 +1880,60 @@ def _q_doc_length_pct_rank(sf_dir: str):
     return percent_rank_by_key(docs, key="lang", col="n_chars")
 
 
+def _q_doc_validation(sf_dir: str):
+    """Data-quality assertion gate: named vectorized rules → flat
+    (doc_id, rule) violation stream, zero exchange.  Rules exercise
+    both single-column and cross-column (n_chars vs len(text))
+    consistency."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray.data
+
+    from dots_ocr_ray.functions.validate import validate_rows
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "n_chars"]
+    )
+
+    def _short(b: pa.Table):
+        return pc.less(b.column("n_chars"), 200)
+
+    def _mismatch(b: pa.Table):
+        return pc.not_equal(
+            b.column("n_chars").cast(pa.int64()),
+            pc.utf8_length(b.column("text")).cast(pa.int64()),
+        )
+
+    def _empty(b: pa.Table):
+        t = b.column("text")
+        return pc.or_(pc.is_null(t), pc.equal(t, ""))
+
+    def _few_tokens(b: pa.Table):
+        toks = pc.utf8_split_whitespace(b.column("text"))
+        flat = pc.list_flatten(toks)
+        nonempty = pc.not_equal(flat, "")
+        # per-row kept-token counts without exploding to Python
+        import numpy as np
+
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        row = np.repeat(np.arange(len(lens)), lens)
+        kept = np.bincount(
+            row[nonempty.to_numpy(zero_copy_only=False)], minlength=len(lens)
+        )
+        return pa.array(kept < 30)
+
+    return validate_rows(
+        docs,
+        {
+            "short_text": _short,
+            "n_chars_mismatch": _mismatch,
+            "empty_text": _empty,
+            "few_tokens": _few_tokens,
+        },
+    )
+
+
 def _q_lang_source_cube(sf_dir: str):
     """GROUP BY CUBE over (lang, source): one finest-level exchange,
     all four grouping sets derived from the bounded result."""
@@ -2224,6 +2278,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_dedup": _q_incremental_dedup,
         "token_id_sample": _q_token_id_sample,
         "lang_source_cube": _q_lang_source_cube,
+        "doc_validation": _q_doc_validation,
         "weighted_sample_docs": _q_weighted_sample_docs,
         "length_outliers": _q_length_outliers,
         "crawl_diff_docs": _q_crawl_diff_docs,
@@ -2972,6 +3027,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT COALESCE(lang, '*') AS lang, COALESCE(source, '*') AS source, "
             "CAST(count(*) AS BIGINT) AS n_rows "
             "FROM documents GROUP BY CUBE(lang, source)"
+        ),
+        "doc_validation": (
+            "SELECT doc_id, 'short_text' AS rule FROM documents WHERE n_chars < 200 "
+            "UNION ALL SELECT doc_id, 'n_chars_mismatch' FROM documents "
+            "WHERE n_chars <> length(text) "
+            "UNION ALL SELECT doc_id, 'empty_text' FROM documents "
+            "WHERE text IS NULL OR text = '' "
+            "UNION ALL SELECT doc_id, 'few_tokens' FROM documents "
+            "WHERE len(list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '')) < 30"
         ),
         # Efraimidis-Spirakis weighted sample: u from the Knuth hash
         # (the sample_10pct convention), rank by u^(1/n_chars)

@@ -271,3 +271,29 @@ def test_build_vocab_and_encode(ray_session):
     # unk -> 0: dog/rare are out-of-vocab
     assert got == {1: [1, 3, 2], 2: [1, 0, 2], 3: [1, 0]}
     assert list(out[out["doc_id"] == 2]["pos"]) == [1, 2, 3]
+
+
+def test_validate_rows(ray_session):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from dots_ocr_ray.functions.validate import validate_rows
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+                "text": pa.array(["ok text", "", "x", "fine here"], type=pa.string()),
+            }
+        )
+    ).repartition(2)
+    out = validate_rows(
+        ds,
+        {
+            "empty": lambda b: pc.equal(b.column("text"), ""),
+            "tiny": lambda b: pc.less(pc.utf8_length(b.column("text")), 4),
+        },
+    ).take_all()
+    got = {(r["doc_id"], r["rule"]) for r in out}
+    assert got == {(2, "empty"), (2, "tiny"), (3, "tiny")}
