@@ -844,6 +844,43 @@ def _q_crawl_frontier(sf_dir: str):
     )
 
 
+def _q_inbound_anchors(sf_dir: str):
+    """Inbound anchor-text rollup per link target: n_inbound links,
+    distinct linking pages, distinct anchor texts and the most-frequent
+    anchor — the external-description corpus a search/embedding
+    pipeline builds from a crawl.  Bounded (href, anchor) / (href, src)
+    partial-count exchanges; top anchor via sorted_group_first (no
+    per-href Python)."""
+    from dots_ocr_ray.pipelines.graph import inbound_anchor_stats
+
+    return inbound_anchor_stats(_q_extract_links(sf_dir))
+
+
+def _q_term_contexts(sf_dir: str):
+    """KWIC concordance: first occurrence + ±24-char context of each
+    broadcast probe term per document (lexicography / eval-probe
+    extraction).  Zero exchange; vectorized find_substring prunes to
+    matches before any per-row slicing."""
+    import ray.data
+
+    from dots_ocr_ray.pipelines.text_analysis import term_contexts
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return term_contexts(docs, ["dup", "window", "merge"], width=24)
+
+
+def _q_host_reputation(sf_dir: str):
+    """Per-host reputation rollup over extraction output (domain filter
+    list derivation): pages, finished pages, quality-kept pages,
+    distinct languages, total extracted tokens — two bounded keyed
+    exchanges, no per-host Python."""
+    from dots_ocr_ray.pipelines.text_analysis import host_reputation
+
+    return host_reputation(_extract_ds(sf_dir))
+
+
 def _q_heavy_hitter_langs(sf_dir: str):
     """SpaceSaving heavy hitters over lang — with capacity ≫ distinct
     values the sketch is EXACT, so the SQL oracle checks it fully."""
@@ -2314,6 +2351,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_grounding": _q_extract_grounding,
         "extract_links": _q_extract_links,
         "crawl_frontier": _q_crawl_frontier,
+        "inbound_anchors": _q_inbound_anchors,
+        "term_contexts": _q_term_contexts,
+        "host_reputation": _q_host_reputation,
         "extract_category_counts": _q_extract_category_counts,
         "crawl_dedup_latest": _q_crawl_dedup_latest,
         "domain_stats": _q_domain_stats,
@@ -2602,6 +2642,62 @@ def oracle_sql() -> dict[str, str]:
             "crawled AS (SELECT 'https://example-' || lpad(CAST(doc_id % 40 AS VARCHAR), 2, '0') "
             "|| '.com/doc-' || lpad(CAST(doc_id AS VARCHAR), 6, '0') AS url FROM documents) "
             "SELECT DISTINCT href FROM hrefs WHERE href NOT IN (SELECT url FROM crawled)"
+        ),
+        # inbound anchors: same arithmetic link derivation, rolled up
+        # per target with mode-anchor tie-broken (count desc, anchor asc)
+        "inbound_anchors": (
+            "WITH u AS (SELECT doc_id, "
+            "'https://example-' || lpad(CAST(doc_id % 40 AS VARCHAR), 2, '0') "
+            "|| '.com/doc-' || lpad(CAST(doc_id AS VARCHAR), 6, '0') AS url, "
+            "'https://example-' || lpad(CAST(doc_id % 40 AS VARCHAR), 2, '0') || '.com/' AS home, "
+            "'https://example-' || lpad(CAST((doc_id * 7) % 40 AS VARCHAR), 2, '0') "
+            "|| '.com/doc-' || lpad(CAST((doc_id * 13) % 500 AS VARCHAR), 6, '0') AS next "
+            "FROM documents WHERE doc_id % 23 <> 7 AND doc_id % 31 <> 11), "
+            "links AS (SELECT url, home AS href, 'Home' AS anchor FROM u "
+            "UNION ALL SELECT url, next, 'Next' FROM u), "
+            "pc_ AS (SELECT href, anchor, count(*) AS c FROM links GROUP BY href, anchor), "
+            "top_ AS (SELECT href, anchor, "
+            "row_number() OVER (PARTITION BY href ORDER BY c DESC, anchor ASC) AS rn FROM pc_), "
+            "agg AS (SELECT href, CAST(sum(c) AS BIGINT) AS n_inbound, "
+            "CAST(count(*) AS BIGINT) AS n_anchors FROM pc_ GROUP BY href), "
+            "srcs AS (SELECT href, CAST(count(DISTINCT url) AS BIGINT) AS n_sources FROM links GROUP BY href) "
+            "SELECT agg.href AS href, n_inbound, n_sources, n_anchors, t.anchor AS top_anchor "
+            "FROM agg JOIN srcs USING (href) JOIN top_ t ON t.href = agg.href AND t.rn = 1"
+        ),
+        # KWIC term contexts: strpos is 1-based chars == 0-based bytes+1
+        # on this ASCII corpus
+        "term_contexts": (
+            "WITH terms(term) AS (VALUES ('dup'), ('window'), ('merge')), "
+            "hits AS (SELECT doc_id, term, strpos(text, term) - 1 AS pos, text "
+            "FROM documents, terms WHERE strpos(text, term) > 0) "
+            "SELECT doc_id, term, CAST(pos AS BIGINT) AS pos, "
+            "substr(text, greatest(pos - 24, 0) + 1, "
+            "least(pos + length(term) + 24, length(text)) - greatest(pos - 24, 0)) AS context "
+            "FROM hits"
+        ),
+        # host reputation: host + extracted-nohf text + status by the
+        # fixture arithmetic; quality rule == quality_filter's SQL but
+        # whitespace-aware (the nohf text carries newlines)
+        "host_reputation": (
+            "WITH base AS (SELECT "
+            "'example-' || lpad(CAST(doc_id % 40 AS VARCHAR), 2, '0') || '.com' AS host, "
+            f"lang, {_STATUS_SQL} AS status, {_TEXT_NOHF_SQL} AS t FROM documents), "
+            "feat AS (SELECT host, lang, status, "
+            "CASE WHEN trim(t, ' ' || chr(9) || chr(10)) = '' THEN 0 "
+            "ELSE len(string_split_regex(trim(t, ' ' || chr(9) || chr(10)), '[ \t\n]+')) END AS n_words, "
+            "length(regexp_replace(t, '[ \t\n]', '', 'g')) AS nonws, "
+            "CASE WHEN length(t) = 0 THEN 0.0 "
+            "ELSE length(regexp_replace(t, '[^A-Za-z]', '', 'g')) * 1.0 / length(t) END AS ar "
+            "FROM base), "
+            "feat2 AS (SELECT host, lang, status, n_words, ar, "
+            "CASE WHEN n_words = 0 THEN 0.0 ELSE nonws * 1.0 / n_words END AS mw FROM feat) "
+            "SELECT host, CAST(count(*) AS BIGINT) AS n_pages, "
+            "CAST(sum(CASE WHEN status = 'finished' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished, "
+            "CAST(sum(CASE WHEN n_words >= 5 AND mw BETWEEN 1.0 AND 15.0 AND ar >= 0.5 "
+            "THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_kept, "
+            "CAST(sum(n_words) AS BIGINT) AS sum_tokens, "
+            "CAST(count(DISTINCT lang) AS BIGINT) AS n_langs "
+            "FROM feat2 GROUP BY host"
         ),
         "sessionize": (
             "WITH marked AS (SELECT user_id, ts, "

@@ -378,3 +378,156 @@ def connected_hosts(sf_dir: str, *, method: str = "auto") -> ray.data.Dataset:
         return batch.rename_columns(["host", "component"])
 
     return assigned.map_batches(_rename, batch_format="pyarrow")
+
+
+def inbound_anchor_stats(
+    links: ray.data.Dataset,
+    *,
+    src_col: str = "url",
+    dst_col: str = "href",
+    anchor_col: str = "anchor",
+) -> ray.data.Dataset:
+    """Per-link-target anchor-text rollup — the inbound-anchor corpus a
+    search / embedding pipeline builds from a crawl (anchor text is the
+    classic EXTERNAL description of a document): for every ``href``,
+    ``n_inbound`` (link rows), ``n_sources`` (distinct linking pages),
+    ``n_anchors`` (distinct anchor texts) and ``top_anchor`` (most
+    frequent anchor, ties → lexicographically smallest).
+
+    Scale shape (the raw link table is never grouped whole — a hot
+    target like "/" pre-aggregates inside every batch before anything
+    moves):
+
+    * exchange 1 — per-batch (href, anchor) partial counts →
+      ``groupby(href, anchor).sum``; bounded by distinct pairs;
+    * exchange 2 — per-batch-distinct (href, src) pairs →
+      ``groupby.count`` → per-href source counts; this is the exact
+      COUNT DISTINCT exchange (swap in the HLL sketch from
+      functions/sketches.py when approximate source counts suffice at
+      10^12 links);
+    * top anchor via :func:`~dots_ocr_ray.pipelines.dedup.
+      sorted_group_first` over the bounded pair-count table — no
+      per-href Python reduce (one href per distinct page at web scale);
+      the order key packs (max count, min anchor) into one string:
+      zero-padded ``10^18 - c`` then the anchor;
+    * final merge — :func:`~dots_ocr_ray.pipelines.relational.
+      hash_join` of the bounded per-href tables.
+    """
+    from dots_ocr_ray.pipelines.dedup import sorted_group_first
+    from dots_ocr_ray.pipelines.relational import hash_join
+
+    def _pair_partials(batch: pa.Table) -> pa.Table:
+        df = batch.select([dst_col, anchor_col]).to_pandas()
+        vc = df.groupby([dst_col, anchor_col], sort=False).size().reset_index(name="c")
+        return pa.table(
+            {
+                "href": pa.array(vc[dst_col].astype(str), type=pa.string()),
+                "anchor": pa.array(vc[anchor_col].astype(str), type=pa.string()),
+                "c": pa.array(vc["c"].to_numpy().astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    pair_counts = (
+        bounded_blocks(links.map_batches(_pair_partials, batch_format="pyarrow"))
+        .groupby(["href", "anchor"])
+        .sum("c")
+    ).materialize()  # consumed twice (per-href stats + top anchor)
+
+    def _href_partials(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby("href", sort=False)["sum(c)"].agg(["sum", "count"]).reset_index()
+        return pa.table(
+            {
+                "href": pa.array(g["href"], type=pa.string()),
+                "n_inbound": pa.array(g["sum"].to_numpy().astype(np.int64), type=pa.int64()),
+                "n_anchors": pa.array(g["count"].to_numpy().astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    stats = (
+        bounded_blocks(pair_counts.map_batches(_href_partials, batch_format="pyarrow"))
+        .groupby("href")
+        .sum(["n_inbound", "n_anchors"])
+    )
+
+    def _rename_stats(batch: pa.Table) -> pa.Table:
+        mapping = {"sum(n_inbound)": "n_inbound", "sum(n_anchors)": "n_anchors"}
+        return batch.rename_columns([mapping.get(n, n) for n in batch.column_names])
+
+    stats = stats.map_batches(_rename_stats, batch_format="pyarrow")
+
+    def _order_key(batch: pa.Table) -> pa.Table:
+        c = batch.column("sum(c)").to_numpy(zero_copy_only=False).astype(np.int64)
+        anchors = batch.column("anchor").to_pylist()
+        keys = [f"{10**18 - int(n):019d}\x1f{a}" for n, a in zip(c, anchors)]
+        return pa.table(
+            {
+                "href": batch.column("href"),
+                "anchor": batch.column("anchor"),
+                "__ord": pa.array(keys, type=pa.string()),
+            }
+        )
+
+    top = sorted_group_first(
+        pair_counts.map_batches(_order_key, batch_format="pyarrow"), "href", "__ord"
+    )
+
+    def _top_only(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "href": batch.column("href"),
+                "top_anchor": batch.column("anchor"),
+            }
+        )
+
+    top = top.map_batches(_top_only, batch_format="pyarrow")
+
+    def _src_pairs(batch: pa.Table) -> pa.Table:
+        df = batch.select([dst_col, src_col]).to_pandas().drop_duplicates()
+        return pa.table(
+            {
+                "href": pa.array(df[dst_col].astype(str), type=pa.string()),
+                "src": pa.array(df[src_col].astype(str), type=pa.string()),
+            }
+        )
+
+    src_counts = (
+        bounded_blocks(links.map_batches(_src_pairs, batch_format="pyarrow"))
+        .groupby(["href", "src"])
+        .count()
+        .groupby("href")
+        .count()
+    )
+
+    def _rename_src(batch: pa.Table) -> pa.Table:
+        mapping = {"count()": "n_sources"}
+        return batch.rename_columns([mapping.get(n, n) for n in batch.column_names])
+
+    src_counts = src_counts.map_batches(_rename_src, batch_format="pyarrow")
+
+    joined = hash_join(
+        stats,
+        src_counts,
+        on="href",
+        left_schema=pa.schema(
+            [("href", pa.string()), ("n_inbound", pa.int64()), ("n_anchors", pa.int64())]
+        ),
+        right_schema=pa.schema([("href", pa.string()), ("n_sources", pa.int64())]),
+    )
+    joined = hash_join(
+        joined,
+        top,
+        on="href",
+        left_schema=pa.schema(
+            [
+                ("href", pa.string()),
+                ("n_inbound", pa.int64()),
+                ("n_anchors", pa.int64()),
+                ("n_sources", pa.int64()),
+            ]
+        ),
+        right_schema=pa.schema([("href", pa.string()), ("top_anchor", pa.string())]),
+    )
+    return joined.select_columns(
+        ["href", "n_inbound", "n_sources", "n_anchors", "top_anchor"]
+    )

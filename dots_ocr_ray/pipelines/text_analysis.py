@@ -1063,3 +1063,185 @@ def encode_token_ids(
         )
 
     return ds.map_batches(_encode, batch_format="pyarrow")
+
+
+def term_contexts(
+    ds: ray.data.Dataset,
+    terms: list[str],
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    width: int = 24,
+) -> ray.data.Dataset:
+    """KWIC concordance over a broadcast probe-term list: for every
+    document containing a term, the FIRST occurrence's byte offset and
+    a ±``width``-character context window — the term-in-context corpus
+    a lexicography / word-sense / eval-probe pipeline extracts from a
+    crawl (same broadcast-probe shape as :func:`contamination_check`).
+
+    Zero exchange.  The per-term scan is one vectorized Arrow
+    ``find_substring`` pass over the column; only MATCHED rows pay the
+    per-row context slice (bounded by match count — probe terms are
+    rare by construction; for dense terms cap the input with an
+    upstream sample).  Offsets are byte offsets (== character offsets
+    for ASCII corpora; Arrow reports code-unit positions).
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    probe = [t for t in terms if t]
+
+    def _scan(batch: pa.Table) -> pa.Table:
+        ids_out: list = []
+        terms_out: list[str] = []
+        pos_out: list[int] = []
+        ctx_out: list[str] = []
+        col = batch.column(text_col)
+        if not (pa.types.is_string(col.type) or pa.types.is_large_string(col.type)):
+            col = col.cast(pa.string())
+        col = pc.fill_null(col, "")
+        ids = batch.column(id_col)
+        for term in probe:
+            pos = pc.find_substring(col, term)
+            mask = pc.greater_equal(pos, 0)
+            if pc.sum(mask.cast(pa.int8())).as_py() == 0:
+                continue
+            hit_idx = np.flatnonzero(mask.to_numpy(zero_copy_only=False))
+            hit_pos = pos.to_numpy(zero_copy_only=False)[hit_idx]
+            texts = col.take(pa.array(hit_idx)).to_pylist()
+            hit_ids = ids.take(pa.array(hit_idx)).to_pylist()
+            for i, p, t in zip(hit_ids, hit_pos, texts):
+                p = int(p)
+                start = max(0, p - width)
+                stop = min(len(t), p + len(term) + width)
+                ids_out.append(i)
+                terms_out.append(term)
+                pos_out.append(p)
+                ctx_out.append(t[start:stop])
+        return pa.table(
+            {
+                id_col: pa.array(ids_out, type=pa.int64()),
+                "term": pa.array(terms_out, type=pa.string()),
+                "pos": pa.array(pos_out, type=pa.int64()),
+                "context": pa.array(ctx_out, type=pa.string()),
+            }
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        _scan, batch_format="pyarrow"
+    )
+
+
+def host_reputation(
+    extracted: ray.data.Dataset,
+    *,
+    url_col: str = "url",
+    text_col: str = "extracted_text_nohf",
+) -> ray.data.Dataset:
+    """Per-HOST multi-signal reputation rollup over extraction output —
+    the domain-level filter list a RefinedWeb-style pipeline derives
+    before document-level filtering (drop/keep whole hosts by extraction
+    health + quality keep-rate + language spread).
+
+    Signals per host: ``n_pages``, ``n_finished`` (extraction status),
+    ``n_quality_kept`` (the C4-ish keep rule over the extracted text),
+    ``n_langs`` (distinct declared languages), ``sum_tokens``
+    (whitespace tokens of extracted text).
+
+    Scale shape: host parsed from the url with one vectorized
+    ``extract_regex`` pass; per-batch partials keyed (host, lang) →
+    ONE ``groupby(host, lang).sum`` exchange (bounded by hosts ×
+    languages); the per-host fold is a second sum over that bounded
+    table with ``n_langs = sum(1 per surviving (host, lang) row)`` —
+    no per-host Python anywhere, so 10^8 hosts cost two vectorized
+    exchanges over bounded tables.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    annotated = annotate_documents(
+        extracted.select_columns([url_col, "lang", "status", text_col]),
+        text_col=text_col,
+        features=("tokens_ws", "quality"),
+    )
+
+    def _partials(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        hosts = pc.extract_regex(
+            pc.fill_null(batch.column(url_col), ""), r"^[a-z]+://(?P<host>[^/]+)"
+        )
+        host = pc.fill_null(pc.struct_field(hosts, "host"), "")
+        df = pd.DataFrame(
+            {
+                "host": host.to_pandas(),
+                "lang": batch.column("lang").to_pandas(),
+                "fin": pc.equal(batch.column("status"), "finished")
+                .cast(pa.int64())
+                .to_pandas(),
+                "kept": batch.column("quality_keep").cast(pa.int64()).to_pandas(),
+                "tok": batch.column("n_tokens_ws").to_pandas(),
+            }
+        )
+        g = (
+            df.groupby(["host", "lang"], sort=False)
+            .agg(
+                n_pages=("fin", "size"),
+                n_finished=("fin", "sum"),
+                n_quality_kept=("kept", "sum"),
+                sum_tokens=("tok", "sum"),
+            )
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "host": pa.array(g["host"], type=pa.string()),
+                "lang": pa.array(g["lang"], type=pa.string()),
+                "n_pages": pa.array(g["n_pages"].to_numpy().astype(np.int64)),
+                "n_finished": pa.array(g["n_finished"].to_numpy().astype(np.int64)),
+                "n_quality_kept": pa.array(
+                    g["n_quality_kept"].to_numpy().astype(np.int64)
+                ),
+                "sum_tokens": pa.array(g["sum_tokens"].to_numpy().astype(np.int64)),
+            }
+        )
+
+    from dots_ocr_ray.util import bounded_blocks
+
+    by_host_lang = (
+        bounded_blocks(annotated.map_batches(_partials, batch_format="pyarrow"))
+        .groupby(["host", "lang"])
+        .sum(["n_pages", "n_finished", "n_quality_kept", "sum_tokens"])
+    )
+
+    def _lang_one(batch: pa.Table) -> pa.Table:
+        mapping = {
+            "sum(n_pages)": "n_pages",
+            "sum(n_finished)": "n_finished",
+            "sum(n_quality_kept)": "n_quality_kept",
+            "sum(sum_tokens)": "sum_tokens",
+        }
+        batch = batch.rename_columns(
+            [mapping.get(n, n) for n in batch.column_names]
+        ).drop_columns(["lang"])
+        return batch.append_column(
+            "n_langs", pa.array(np.ones(batch.num_rows, np.int64))
+        )
+
+    final = (
+        by_host_lang.map_batches(_lang_one, batch_format="pyarrow")
+        .groupby("host")
+        .sum(["n_pages", "n_finished", "n_quality_kept", "sum_tokens", "n_langs"])
+    )
+
+    def _rename(batch: pa.Table) -> pa.Table:
+        mapping = {
+            "sum(n_pages)": "n_pages",
+            "sum(n_finished)": "n_finished",
+            "sum(n_quality_kept)": "n_quality_kept",
+            "sum(sum_tokens)": "sum_tokens",
+            "sum(n_langs)": "n_langs",
+        }
+        return batch.rename_columns([mapping.get(n, n) for n in batch.column_names])
+
+    return final.map_batches(_rename, batch_format="pyarrow")

@@ -75,3 +75,38 @@ def test_connected_hosts_structure_and_tier_parity(ray_session):
     assert len(drv) == 400
     assert all(comp == host - host % 16 for host, comp in drv.items())
     assert len(set(drv.values())) == 25
+
+
+def test_inbound_anchor_stats(ray_session):
+    """Hand-computed rollup: a hot target with an anchor-count tie must
+    break to the lexicographically smallest anchor; multi-batch input
+    exercises the partial-count merge."""
+    import pyarrow as pa
+    import ray.data
+
+    from dots_ocr_ray.pipelines.graph import inbound_anchor_stats
+
+    rows = (
+        # hot target: 2×"beta" + 2×"alpha" (tie → alpha), 3 sources
+        [("s1", "T", "beta"), ("s2", "T", "beta"), ("s1", "T", "alpha"), ("s3", "T", "alpha")]
+        # cold target: single link
+        + [("s9", "U", "only")]
+        # same source linking twice with the same anchor: n_sources dedups
+        + [("s1", "V", "x"), ("s1", "V", "x")]
+    )
+    links = ray.data.from_arrow(
+        pa.table(
+            {
+                "url": pa.array([r[0] for r in rows]),
+                "href": pa.array([r[1] for r in rows]),
+                "anchor": pa.array([r[2] for r in rows]),
+            }
+        )
+    ).repartition(3)
+    got = {r["href"]: r for r in inbound_anchor_stats(links).take_all()}
+    assert got["T"]["n_inbound"] == 4
+    assert got["T"]["n_sources"] == 3
+    assert got["T"]["n_anchors"] == 2
+    assert got["T"]["top_anchor"] == "alpha"
+    assert got["U"] == {"href": "U", "n_inbound": 1, "n_sources": 1, "n_anchors": 1, "top_anchor": "only"}
+    assert got["V"]["n_inbound"] == 2 and got["V"]["n_sources"] == 1 and got["V"]["top_anchor"] == "x"

@@ -297,3 +297,65 @@ def test_validate_rows(ray_session):
     ).take_all()
     got = {(r["doc_id"], r["rule"]) for r in out}
     assert got == {(2, "empty"), (2, "tiny"), (3, "tiny")}
+
+
+def test_term_contexts(ray_session):
+    """First-occurrence only, window clipping at both string edges,
+    absent terms emit nothing."""
+    import pyarrow as pa
+    import ray.data
+
+    from dots_ocr_ray.pipelines.text_analysis import term_contexts
+
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+                "text": pa.array(
+                    [
+                        "needle at the very start of this line",
+                        "a needle then another needle later",
+                        "nothing to see",
+                    ]
+                ),
+            }
+        )
+    )
+    got = sorted(
+        term_contexts(docs, ["needle"], width=5).take_all(), key=lambda r: r["doc_id"]
+    )
+    assert [r["doc_id"] for r in got] == [1, 2]
+    assert got[0]["pos"] == 0
+    assert got[0]["context"] == "needle at t"  # clipped left, +5 right
+    assert got[1]["pos"] == 2  # FIRST occurrence only
+    assert got[1]["context"] == "a needle then"[: 2 + 6 + 5]
+
+
+def test_host_reputation(ray_session):
+    """Hand-computed per-host rollup over a synthetic extracted table."""
+    import pyarrow as pa
+    import ray.data
+
+    from dots_ocr_ray.pipelines.text_analysis import host_reputation
+
+    good = "the quick brown fox jumps over the lazy dog again"
+    bad = "zz zz"  # < 5 words → quality drop
+    tbl = pa.table(
+        {
+            "url": pa.array(
+                [
+                    "https://a.com/1",
+                    "https://a.com/2",
+                    "https://b.com/1",
+                ]
+            ),
+            "lang": pa.array(["en", "de", "en"]),
+            "status": pa.array(["finished", "failed", "finished"]),
+            "extracted_text_nohf": pa.array([good, "", bad]),
+        }
+    )
+    got = {r["host"]: r for r in host_reputation(ray.data.from_arrow(tbl)).take_all()}
+    a, b = got["a.com"], got["b.com"]
+    assert a["n_pages"] == 2 and a["n_finished"] == 1 and a["n_langs"] == 2
+    assert a["n_quality_kept"] == 1 and a["sum_tokens"] == 10
+    assert b["n_pages"] == 1 and b["n_quality_kept"] == 0 and b["sum_tokens"] == 2
