@@ -208,3 +208,141 @@ def grouped_split(
         return batch.append_column("split", pa.array(split, type=pa.string()))
 
     return ds.map_batches(_split, batch_format="pyarrow")
+
+
+def _row_bytes(batch: pa.Table) -> np.ndarray:
+    """Per-row byte-size estimate: exact value bytes for string/binary
+    columns (offset-buffer diffs via ``binary_length``), fixed width for
+    primitives — the accounting a byte-balanced writer needs without
+    serializing anything."""
+    import pyarrow.compute as pc
+
+    n = batch.num_rows
+    total = np.zeros(n, dtype=np.int64)
+    for col in batch.columns:
+        t = col.type
+        if pa.types.is_string(t) or pa.types.is_large_string(t):
+            total += (
+                pc.binary_length(pc.fill_null(col, "")).to_numpy(zero_copy_only=False)
+                + 4
+            )
+        elif pa.types.is_binary(t) or pa.types.is_large_binary(t):
+            total += (
+                pc.binary_length(pc.fill_null(col, b"")).to_numpy(zero_copy_only=False)
+                + 4
+            )
+        elif pa.types.is_list(t) or pa.types.is_large_list(t):
+            width = t.value_type.bit_width // 8 if t.value_type.bit_width else 8
+            total += (
+                pc.list_value_length(col)
+                .cast(pa.int64())
+                .to_numpy(zero_copy_only=False)
+                * width
+                + 4
+            )
+        else:
+            try:
+                total += max(t.bit_width // 8, 1)
+            except ValueError:  # nested/variadic type without a fixed width
+                total += 16
+    return total
+
+
+def write_bytes_balanced_shards(
+    ds: ray.data.Dataset,
+    out_dir: str,
+    *,
+    target_bytes: int = 256 << 20,
+    id_col: str = "doc_id",
+    n_buckets: int = 4096,
+) -> list[dict]:
+    """Write the corpus as byte-BALANCED parquet shards — one file +
+    completion marker per shard, each holding ≈ ``target_bytes`` of raw
+    row payload (resumable-output rule: never one giant file, never a
+    long tail of tiny ones; ``repartition(n)`` balances ROWS, which
+    mega-document skew defeats).
+
+    Scale shape (the same bounded-histogram plan as
+    :func:`global_shuffle_index`):
+
+    1. per-batch partials: rows hash into ``n_buckets`` deterministic
+       id-keyed buckets; each batch emits (bucket, bytes) rows — the
+       only full-corpus pass, zero exchange;
+    2. the ≤``n_buckets``-row histogram lands on the driver, a prefix
+       sum packs CONTIGUOUS buckets into shards of ≈ ``target_bytes``
+       (bucket→shard is the broadcast plan: granularity is
+       corpus/``n_buckets``, so size error per shard is one bucket);
+    3. ONE shard-keyed exchange co-locates each shard's rows; the
+       per-group reduce sorts by id (byte-stable output) and writes via
+       :func:`~dots_ocr_ray.state.manifest.write_partition_atomic` —
+       workers write, the driver only sees the manifest rows.
+
+    Returns the manifest: one dict (shard, rows, est_bytes, path) per
+    shard."""
+    from dots_ocr_ray.functions.bloom import _mix64
+    from dots_ocr_ray.state.manifest import partition_file, write_partition_atomic
+
+    ds = ds.materialize()  # sized in pass 1, shuffled in pass 3
+
+    def _bucket_of(batch: pa.Table) -> np.ndarray:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        return (_mix64(ids, 0x9E3779B97F4A7C15) % n_buckets).astype(np.int64)
+
+    def _size_partials(batch: pa.Table) -> pa.Table:
+        buckets = _bucket_of(batch)
+        by = np.bincount(buckets, weights=_row_bytes(batch), minlength=n_buckets)
+        nz = np.nonzero(by)[0]
+        return pa.table(
+            {
+                "bucket": pa.array(nz, type=pa.int64()),
+                "b": pa.array(by[nz].astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    hist = (
+        bounded_blocks(ds.map_batches(_size_partials, batch_format="pyarrow"))
+        .groupby("bucket")
+        .sum("b")
+    )
+    bucket_bytes = np.zeros(n_buckets, dtype=np.int64)
+    for row in hist.take_all():  # ≤ n_buckets rows — bounded
+        bucket_bytes[row["bucket"]] = row["sum(b)"]
+    # contiguous buckets pack into shards: shard id = how many full
+    # target_bytes fit before the bucket's cumulative midpoint
+    csum = np.cumsum(bucket_bytes)
+    shard_of_bucket = ((csum - bucket_bytes // 2) // max(target_bytes, 1)).astype(
+        np.int64
+    )
+    shard_ref = ray.put(shard_of_bucket)
+
+    def _assign(batch: pa.Table) -> pa.Table:
+        sh = cached_object(shard_ref)
+        return batch.append_column(
+            "__shard", pa.array(sh[_bucket_of(batch)], type=pa.int64())
+        )
+
+    def _write_one(group: pa.Table) -> pa.Table:
+        shard = int(group.column("__shard")[0].as_py())
+        table = group.drop_columns(["__shard"]).sort_by(id_col)
+        est = int(_row_bytes(table).sum())
+        write_partition_atomic(
+            out_dir, shard, table, md5_hex(str(table.num_rows) + ":" + str(est))
+        )
+        return pa.table(
+            {
+                "shard": pa.array([shard], type=pa.int64()),
+                "rows": pa.array([table.num_rows], type=pa.int64()),
+                "est_bytes": pa.array([est], type=pa.int64()),
+            }
+        )
+
+    manifest = (
+        ds.map_batches(_assign, batch_format="pyarrow")
+        .groupby("__shard")
+        .map_groups(_write_one, batch_format="pyarrow")
+        .take_all()
+    )
+    return [
+        {**m, "path": partition_file(out_dir, m["shard"])}
+        for m in sorted(manifest, key=lambda m: m["shard"])
+    ]

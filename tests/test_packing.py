@@ -100,3 +100,51 @@ def test_grouped_split_no_leakage(ray_session):
     # rule matches the sequential definition
     for src, side in out.groupby("source")["split"].first().items():
         assert side == ("val" if md5_hex(src)[0] in "0123" else "train")
+
+
+def test_write_bytes_balanced_shards(ray_session, tmp_path):
+    """Byte balance beats row balance under mega-row skew: 400 small
+    docs + 4 mega docs must split so no shard holds more than ~one
+    bucket over target, every row lands exactly once, markers exist,
+    and output is byte-stable (sorted by id within a shard)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from dots_ocr_ray.pipelines.packing import write_bytes_balanced_shards
+
+    ids = list(range(400)) + [1000, 1001, 1002, 1003]
+    texts = ["x" * 100] * 400 + ["M" * 20000] * 4
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "text": pa.array(texts),
+            }
+        )
+    ).repartition(8)
+    out = str(tmp_path / "shards")
+    target = 30000
+    manifest = write_bytes_balanced_shards(
+        ds, out, target_bytes=target, id_col="doc_id", n_buckets=512
+    )
+    assert sum(m["rows"] for m in manifest) == 404
+    # every shard stays within target + one bucket of slack; with 4
+    # mega rows (20 kB each) a row-balanced split would put ~101 rows
+    # (incl. ≥1 mega) in some shard → >2× target, so this asserts the
+    # BYTE plan actually drove the assignment
+    assert len(manifest) >= 3
+    for m in manifest:
+        assert m["est_bytes"] <= target + 25000  # one mega row of slack
+    # files + markers on disk, rows readable and id-sorted
+    got_ids = []
+    for m in manifest:
+        t = pq.read_table(m["path"])
+        col = t.column("doc_id").to_pylist()
+        assert col == sorted(col)
+        got_ids.extend(col)
+    assert sorted(got_ids) == sorted(ids)
+    import os
+
+    markers = [f for f in os.listdir(out) if f.endswith(".done")]
+    assert len(markers) == len(manifest)
