@@ -394,140 +394,195 @@ def inbound_anchor_stats(
     ``n_anchors`` (distinct anchor texts) and ``top_anchor`` (most
     frequent anchor, ties → lexicographically smallest).
 
-    Scale shape (the raw link table is never grouped whole — a hot
-    target like "/" pre-aggregates inside every batch before anything
-    moves):
+    Scale shape — ONE corpus-sized exchange total.  A single pass over
+    the link table emits two kinds of per-batch partial rows into one
+    tagged table: ``kind=0`` rows are (href, anchor, count) partial
+    anchor counts, ``kind=1`` rows are per-batch-distinct (href, src)
+    pairs (so a hot target like "/" collapses inside every batch before
+    anything moves).  One range-partitioned sort on
+    (href, kind, key2) then co-locates everything about an href as a
+    contiguous run: every href segment except a batch's first and last
+    is fully contained, and its four stats are computed VECTORIZED
+    (``np.add.reduceat`` sums, segment lengths, masked
+    ``np.maximum.reduceat`` argmax with tie→first-in-anchor-order).
+    The ≤2 boundary segments per batch emit their combined partial rows
+    into a tiny keyed resolution (O(batches × anchors-of-boundary-
+    hrefs) rows).  This replaces the previous 7-exchange plan (two
+    groupbys + sort + two-stage distinct count + two hash joins) with
+    one sort and one bounded resolution groupby — at 10^12 links the
+    sort is the only thing that moves, and the kind=1 half of it is the
+    exact COUNT DISTINCT payload (swap in the HLL sketch from
+    functions/sketches.py when approximate source counts suffice)."""
 
-    * exchange 1 — per-batch (href, anchor) partial counts →
-      ``groupby(href, anchor).sum``; bounded by distinct pairs;
-    * exchange 2 — per-batch-distinct (href, src) pairs →
-      ``groupby.count`` → per-href source counts; this is the exact
-      COUNT DISTINCT exchange (swap in the HLL sketch from
-      functions/sketches.py when approximate source counts suffice at
-      10^12 links);
-    * top anchor via :func:`~dots_ocr_ray.pipelines.dedup.
-      sorted_group_first` over the bounded pair-count table — no
-      per-href Python reduce (one href per distinct page at web scale);
-      the order key packs (max count, min anchor) into one string:
-      zero-padded ``10^18 - c`` then the anchor;
-    * final merge — :func:`~dots_ocr_ray.pipelines.relational.
-      hash_join` of the bounded per-href tables.
-    """
-    from dots_ocr_ray.pipelines.dedup import sorted_group_first
-    from dots_ocr_ray.pipelines.relational import hash_join
-
-    def _pair_partials(batch: pa.Table) -> pa.Table:
-        df = batch.select([dst_col, anchor_col]).to_pandas()
-        vc = df.groupby([dst_col, anchor_col], sort=False).size().reset_index(name="c")
+    def _partials(batch: pa.Table) -> pa.Table:
+        df = batch.select([src_col, dst_col, anchor_col]).to_pandas()
+        vc = (
+            df.groupby([dst_col, anchor_col], sort=False).size().reset_index(name="c")
+        )
+        sp = df[[dst_col, src_col]].drop_duplicates()
         return pa.table(
             {
-                "href": pa.array(vc[dst_col].astype(str), type=pa.string()),
-                "anchor": pa.array(vc[anchor_col].astype(str), type=pa.string()),
-                "c": pa.array(vc["c"].to_numpy().astype(np.int64), type=pa.int64()),
+                "href": pa.array(
+                    list(vc[dst_col].astype(str)) + list(sp[dst_col].astype(str)),
+                    type=pa.string(),
+                ),
+                "kind": pa.array(
+                    [0] * len(vc) + [1] * len(sp), type=pa.int8()
+                ),
+                "key2": pa.array(
+                    list(vc[anchor_col].astype(str)) + list(sp[src_col].astype(str)),
+                    type=pa.string(),
+                ),
+                "c": pa.array(
+                    list(vc["c"].to_numpy().astype(np.int64)) + [1] * len(sp),
+                    type=pa.int64(),
+                ),
             }
         )
 
-    pair_counts = (
-        bounded_blocks(links.map_batches(_pair_partials, batch_format="pyarrow"))
-        .groupby(["href", "anchor"])
-        .sum("c")
-    ).materialize()  # consumed twice (per-href stats + top anchor)
+    tagged = bounded_blocks(
+        links.map_batches(_partials, batch_format="pyarrow")
+    ).sort(["href", "kind", "key2"])
 
-    def _href_partials(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        g = df.groupby("href", sort=False)["sum(c)"].agg(["sum", "count"]).reset_index()
+    OUT_FIELDS = [
+        ("href", pa.string()),
+        ("kind", pa.int8()),
+        ("key2", pa.string()),
+        ("c", pa.int64()),
+        ("n_inbound", pa.int64()),
+        ("n_sources", pa.int64()),
+        ("n_anchors", pa.int64()),
+        ("top_anchor", pa.string()),
+        ("__b", pa.bool_()),
+    ]
+
+    def _empty_marked() -> pa.Table:
+        return pa.table(
+            {name: pa.array([], type=t) for name, t in OUT_FIELDS}
+        )
+
+    def _segment_agg(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _empty_marked()
+        # defensive local re-sort (cheap merge pass on globally sorted data)
+        batch = batch.sort_by(
+            [("href", "ascending"), ("kind", "ascending"), ("key2", "ascending")]
+        )
+        n = batch.num_rows
+        href = batch.column("href").combine_chunks() if isinstance(
+            batch.column("href"), pa.ChunkedArray
+        ) else batch.column("href")
+        key2 = batch.column("key2").combine_chunks() if isinstance(
+            batch.column("key2"), pa.ChunkedArray
+        ) else batch.column("key2")
+        kind = batch.column("kind").to_numpy(zero_copy_only=False).astype(np.int64)
+        c = batch.column("c").to_numpy(zero_copy_only=False).astype(np.int64)
+
+        new_href = np.ones(n, dtype=bool)
+        new_run = np.ones(n, dtype=bool)
+        if n > 1:
+            same_href = pc.equal(href.slice(1), href.slice(0, n - 1)).to_numpy(
+                zero_copy_only=False
+            )
+            same_key2 = pc.equal(key2.slice(1), key2.slice(0, n - 1)).to_numpy(
+                zero_copy_only=False
+            )
+            same_kind = kind[1:] == kind[:-1]
+            new_href[1:] = ~same_href
+            new_run[1:] = ~(same_href & same_kind & same_key2)
+        run_starts = np.flatnonzero(new_run)
+        c_run = np.add.reduceat(c, run_starts)
+        take_runs = pa.array(run_starts)
+        h_run = href.take(take_runs)
+        k2_run = key2.take(take_runs)
+        kind_run = kind[run_starts]
+        m = len(run_starts)
+
+        # href segments over the combined runs
+        new_seg = new_href[run_starts]
+        seg_starts = np.flatnonzero(new_seg)
+        seg_id = np.cumsum(new_seg) - 1
+        n_seg = len(seg_starts)
+        is_anchor = kind_run == 0
+
+        n_inbound = np.add.reduceat(np.where(is_anchor, c_run, 0), seg_starts)
+        n_anchors = np.add.reduceat(is_anchor.astype(np.int64), seg_starts)
+        n_sources = np.add.reduceat((~is_anchor).astype(np.int64), seg_starts)
+        max_c = np.maximum.reduceat(np.where(is_anchor, c_run, -1), seg_starts)
+        cand = is_anchor & (c_run == max_c[seg_id])
+        first_cand = np.minimum.reduceat(
+            np.where(cand, np.arange(m), m), seg_starts
+        )
+
+        direct = np.ones(n_seg, dtype=bool)
+        direct[0] = False
+        direct[-1] = False
+        d_idx = np.flatnonzero(direct)
+        # a segment with no anchor rows can't appear (every href has at
+        # least one link row → one kind-0 partial), but guard the take
+        top_idx = np.where(first_cand[d_idx] < m, first_cand[d_idx], 0)
+        direct_tbl = pa.table(
+            {
+                "href": h_run.take(pa.array(seg_starts[d_idx])),
+                "kind": pa.array(np.zeros(len(d_idx), np.int8), type=pa.int8()),
+                "key2": pa.array([""] * len(d_idx), type=pa.string()),
+                "c": pa.array(np.zeros(len(d_idx), np.int64), type=pa.int64()),
+                "n_inbound": pa.array(n_inbound[d_idx], type=pa.int64()),
+                "n_sources": pa.array(n_sources[d_idx], type=pa.int64()),
+                "n_anchors": pa.array(n_anchors[d_idx], type=pa.int64()),
+                "top_anchor": k2_run.take(pa.array(top_idx)),
+                "__b": pa.array([False] * len(d_idx), type=pa.bool_()),
+            }
+        )
+        b_mask = ~direct[seg_id]
+        b_idx = np.flatnonzero(b_mask)
+        zeros = np.zeros(len(b_idx), np.int64)
+        boundary_tbl = pa.table(
+            {
+                "href": h_run.take(pa.array(b_idx)),
+                "kind": pa.array(kind_run[b_idx].astype(np.int8), type=pa.int8()),
+                "key2": k2_run.take(pa.array(b_idx)),
+                "c": pa.array(c_run[b_idx], type=pa.int64()),
+                "n_inbound": pa.array(zeros, type=pa.int64()),
+                "n_sources": pa.array(zeros, type=pa.int64()),
+                "n_anchors": pa.array(zeros, type=pa.int64()),
+                "top_anchor": pa.array([""] * len(b_idx), type=pa.string()),
+                "__b": pa.array([True] * len(b_idx), type=pa.bool_()),
+            }
+        )
+        return pa.concat_tables([direct_tbl, boundary_tbl])
+
+    marked = tagged.map_batches(_segment_agg, batch_format="pyarrow").materialize()
+
+    def _keep_direct(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.invert(batch.column("__b"))).select(
+            ["href", "n_inbound", "n_sources", "n_anchors", "top_anchor"]
+        )
+
+    def _keep_boundary(batch: pa.Table) -> pa.Table:
+        return batch.filter(batch.column("__b")).select(
+            ["href", "kind", "key2", "c"]
+        )
+
+    def _resolve(group: pa.Table) -> pa.Table:
+        df = group.to_pandas()
+        a = df[df["kind"] == 0].groupby("key2")["c"].sum()
+        srcs = df.loc[df["kind"] == 1, "key2"].nunique()
+        top = a[a == a.max()].index.min() if len(a) else ""
         return pa.table(
             {
-                "href": pa.array(g["href"], type=pa.string()),
-                "n_inbound": pa.array(g["sum"].to_numpy().astype(np.int64), type=pa.int64()),
-                "n_anchors": pa.array(g["count"].to_numpy().astype(np.int64), type=pa.int64()),
+                "href": pa.array([df["href"].iloc[0]], type=pa.string()),
+                "n_inbound": pa.array([int(a.sum())], type=pa.int64()),
+                "n_sources": pa.array([int(srcs)], type=pa.int64()),
+                "n_anchors": pa.array([int(len(a))], type=pa.int64()),
+                "top_anchor": pa.array([top], type=pa.string()),
             }
         )
 
-    stats = (
-        bounded_blocks(pair_counts.map_batches(_href_partials, batch_format="pyarrow"))
+    direct = marked.map_batches(_keep_direct, batch_format="pyarrow")
+    resolved = (
+        bounded_blocks(marked.map_batches(_keep_boundary, batch_format="pyarrow"))
         .groupby("href")
-        .sum(["n_inbound", "n_anchors"])
+        .map_groups(_resolve, batch_format="pyarrow")
     )
-
-    def _rename_stats(batch: pa.Table) -> pa.Table:
-        mapping = {"sum(n_inbound)": "n_inbound", "sum(n_anchors)": "n_anchors"}
-        return batch.rename_columns([mapping.get(n, n) for n in batch.column_names])
-
-    stats = stats.map_batches(_rename_stats, batch_format="pyarrow")
-
-    def _order_key(batch: pa.Table) -> pa.Table:
-        c = batch.column("sum(c)").to_numpy(zero_copy_only=False).astype(np.int64)
-        anchors = batch.column("anchor").to_pylist()
-        keys = [f"{10**18 - int(n):019d}\x1f{a}" for n, a in zip(c, anchors)]
-        return pa.table(
-            {
-                "href": batch.column("href"),
-                "anchor": batch.column("anchor"),
-                "__ord": pa.array(keys, type=pa.string()),
-            }
-        )
-
-    top = sorted_group_first(
-        pair_counts.map_batches(_order_key, batch_format="pyarrow"), "href", "__ord"
-    )
-
-    def _top_only(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "href": batch.column("href"),
-                "top_anchor": batch.column("anchor"),
-            }
-        )
-
-    top = top.map_batches(_top_only, batch_format="pyarrow")
-
-    def _src_pairs(batch: pa.Table) -> pa.Table:
-        df = batch.select([dst_col, src_col]).to_pandas().drop_duplicates()
-        return pa.table(
-            {
-                "href": pa.array(df[dst_col].astype(str), type=pa.string()),
-                "src": pa.array(df[src_col].astype(str), type=pa.string()),
-            }
-        )
-
-    src_counts = (
-        bounded_blocks(links.map_batches(_src_pairs, batch_format="pyarrow"))
-        .groupby(["href", "src"])
-        .count()
-        .groupby("href")
-        .count()
-    )
-
-    def _rename_src(batch: pa.Table) -> pa.Table:
-        mapping = {"count()": "n_sources"}
-        return batch.rename_columns([mapping.get(n, n) for n in batch.column_names])
-
-    src_counts = src_counts.map_batches(_rename_src, batch_format="pyarrow")
-
-    joined = hash_join(
-        stats,
-        src_counts,
-        on="href",
-        left_schema=pa.schema(
-            [("href", pa.string()), ("n_inbound", pa.int64()), ("n_anchors", pa.int64())]
-        ),
-        right_schema=pa.schema([("href", pa.string()), ("n_sources", pa.int64())]),
-    )
-    joined = hash_join(
-        joined,
-        top,
-        on="href",
-        left_schema=pa.schema(
-            [
-                ("href", pa.string()),
-                ("n_inbound", pa.int64()),
-                ("n_anchors", pa.int64()),
-                ("n_sources", pa.int64()),
-            ]
-        ),
-        right_schema=pa.schema([("href", pa.string()), ("top_anchor", pa.string())]),
-    )
-    return joined.select_columns(
-        ["href", "n_inbound", "n_sources", "n_anchors", "top_anchor"]
-    )
+    return direct.union(resolved)
