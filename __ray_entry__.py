@@ -881,6 +881,18 @@ def _q_host_reputation(sf_dir: str):
     return host_reputation(_extract_ds(sf_dir))
 
 
+def _q_host_templates(sf_dir: str):
+    """Per-host DOM-template detection over RAW pages (pre-extraction):
+    content-blind tag-sequence fingerprints rolled up per host in one
+    sort exchange (pipelines/rollup.py).  Oracle: golden parquet from
+    the independent sequential implementation sharing the pure
+    fingerprint kernel."""
+    from dots_ocr_ray.pipelines.text_analysis import host_template_stats
+    from dots_ocr_ray.sources.pages import pages_from_documents
+
+    return host_template_stats(pages_from_documents(sf_dir, override_num_blocks=8))
+
+
 def _q_heavy_hitter_langs(sf_dir: str):
     """SpaceSaving heavy hitters over lang — with capacity ≫ distinct
     values the sketch is EXACT, so the SQL oracle checks it fully."""
@@ -2354,6 +2366,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "inbound_anchors": _q_inbound_anchors,
         "term_contexts": _q_term_contexts,
         "host_reputation": _q_host_reputation,
+        "host_templates": _q_host_templates,
         "extract_category_counts": _q_extract_category_counts,
         "crawl_dedup_latest": _q_crawl_dedup_latest,
         "domain_stats": _q_domain_stats,
@@ -2674,6 +2687,10 @@ def oracle_sql() -> dict[str, str]:
             "substr(text, greatest(pos - 24, 0) + 1, "
             "least(pos + length(term) + 24, length(text)) - greatest(pos - 24, 0)) AS context "
             "FROM hits"
+        ),
+        "host_templates": (
+            "SELECT host, n_pages, n_templates, top_template, top_template_n "
+            f"FROM read_parquet('{_GOLDEN_DIR}/host_templates.parquet')"
         ),
         # host reputation: host + extracted-nohf text + status by the
         # fixture arithmetic; quality rule == quality_filter's SQL but

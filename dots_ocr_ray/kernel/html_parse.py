@@ -365,3 +365,27 @@ def extract_links(url: str, html_text: str) -> list[dict]:
         anchor = re.sub(r"\s+", " ", anchor).strip()
         out.append({"href": absolute, "anchor": anchor})
     return out
+
+
+# ---------------------------------------------------------------------------
+# DOM structure fingerprinting (template detection)
+
+_STRUCT_TAG_RE = re.compile(r"<\s*([a-zA-Z][a-zA-Z0-9-]*)")
+
+
+def structure_fingerprint(html_text: str) -> str:
+    """16-hex fingerprint of a page's TAG SEQUENCE (element names in
+    document order, text ignored) — two pages rendered from the same
+    server-side template share it even when their content differs.
+    Per-host clusters of equal fingerprints are exactly the boilerplate
+    templates a main-content extractor must strip; the rollup over this
+    is the data-driven counterpart of the static tag-class blocklists
+    in segment_html (trafilatura-style template detection).  Pure
+    function shared by the Ray pipeline and the sequential golden
+    oracle.  Empty / tagless input → ``"none"``."""
+    from dots_ocr_ray.kernel.textops import md5_hex
+
+    tags = _STRUCT_TAG_RE.findall(html_text or "")
+    if not tags:
+        return "none"
+    return md5_hex(" ".join(t.lower() for t in tags))[:16]

@@ -1245,3 +1245,71 @@ def host_reputation(
         return batch.rename_columns([mapping.get(n, n) for n in batch.column_names])
 
     return final.map_batches(_rename, batch_format="pyarrow")
+
+
+def host_template_stats(
+    pages: ray.data.Dataset,
+    *,
+    url_col: str = "url",
+    html_col: str = "html",
+) -> ray.data.Dataset:
+    """Per-host DOM-template detection over raw crawl pages: fingerprint
+    each page's tag sequence (:func:`~dots_ocr_ray.kernel.html_parse.
+    structure_fingerprint` — content-blind, so pages rendered from the
+    same server template collide) and roll up per host: ``n_pages``,
+    ``n_templates`` (distinct fingerprints), ``top_template`` and
+    ``top_template_n`` (the dominant template and how many pages share
+    it).  A host whose top template covers most of its pages is a
+    template-driven site — the strongest prior a boilerplate stripper
+    has (anything constant within the template is chrome, not content);
+    a host with ~one template per page is hand-authored.
+
+    Scale shape: fingerprinting streams (regex scan per page, the same
+    per-row cost class as extraction); each batch pre-aggregates
+    (host, fingerprint) counts, then :func:`~dots_ocr_ray.pipelines.
+    rollup.keyed_top_rollup` finishes in ONE sort exchange over the
+    bounded partial-count table — no per-host Python at 10^8-host
+    cardinality."""
+    import pyarrow.compute as pc
+
+    from dots_ocr_ray.kernel.html_parse import structure_fingerprint
+    from dots_ocr_ray.pipelines.rollup import keyed_top_rollup
+
+    def _partials(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        hosts = pc.extract_regex(
+            pc.fill_null(batch.column(url_col).cast(pa.string()), ""),
+            r"^[a-z]+://(?P<host>[^/]+)",
+        )
+        host = pc.fill_null(pc.struct_field(hosts, "host"), "")
+        htmls = batch.column(html_col).to_pylist()
+        fps = [
+            structure_fingerprint(
+                h.decode("utf-8", errors="replace") if isinstance(h, bytes) else (h or "")
+            )
+            for h in htmls
+        ]
+        df = pd.DataFrame({"host": host.to_pandas(), "template": fps})
+        vc = df.groupby(["host", "template"], sort=False).size().reset_index(name="c")
+        return pa.table(
+            {
+                "host": pa.array(vc["host"], type=pa.string()),
+                "template": pa.array(vc["template"], type=pa.string()),
+                "c": pa.array(vc["c"].to_numpy().astype("int64"), type=pa.int64()),
+            }
+        )
+
+    rolled = keyed_top_rollup(
+        pages.map_batches(_partials, batch_format="pyarrow"),
+        key_col="host",
+        sub_col="template",
+        count_col="c",
+    )
+
+    def _rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(
+            ["host", "n_pages", "n_templates", "top_template", "top_template_n"]
+        )
+
+    return rolled.map_batches(_rename, batch_format="pyarrow")

@@ -44,6 +44,7 @@ def _canon(obj) -> pd.DataFrame:
         "approx_distinct_users",
         "reservoir_doc_sample",
         "compression_ratios",
+        "host_templates",
     ],
 )
 def test_golden_parity(ray_session, name):

@@ -359,3 +359,70 @@ def test_host_reputation(ray_session):
     assert a["n_pages"] == 2 and a["n_finished"] == 1 and a["n_langs"] == 2
     assert a["n_quality_kept"] == 1 and a["sum_tokens"] == 10
     assert b["n_pages"] == 1 and b["n_quality_kept"] == 0 and b["sum_tokens"] == 2
+
+
+def test_keyed_top_rollup_boundaries(ray_session):
+    """Rollup stays exact when one hot key spans many blocks and
+    partial counts for the same (key, sub) arrive split: totals,
+    distinct counts and tie-broken top sub must match a sequential
+    reduce."""
+    import pandas as pd
+    import ray.data
+
+    from dots_ocr_ray.pipelines.rollup import keyed_top_rollup
+
+    rows = []
+    # hot key: 300 partial rows over 3 subs (ties on purpose: s0 and
+    # s1 both reach 120, s0 wins lexicographically)
+    for i in range(120):
+        rows.append({"key": "hot", "sub": "s0", "c": 1})
+        rows.append({"key": "hot", "sub": "s1", "c": 1})
+    for i in range(60):
+        rows.append({"key": "hot", "sub": "s2", "c": 1})
+    # long tail: 50 keys with one sub each, split into two partials
+    for k in range(50):
+        rows.append({"key": f"tail-{k:02d}", "sub": "only", "c": 2})
+        rows.append({"key": f"tail-{k:02d}", "sub": "only", "c": 3})
+    ds = ray.data.from_items(rows).repartition(16)
+    out = keyed_top_rollup(ds, key_col="key", sub_col="sub", count_col="c").to_pandas()
+
+    df = pd.DataFrame(rows)
+    expect_total = df.groupby("key")["c"].sum()
+    assert len(out) == 51
+    got = out.set_index("key").sort_index()
+    assert (got["total"] == expect_total.sort_index()).all()
+    hot = got.loc["hot"]
+    assert hot["n_distinct"] == 3 and hot["top_sub"] == "s0" and hot["top_n"] == 120
+    assert (got.drop("hot")["n_distinct"] == 1).all()
+    assert (got.drop("hot")["top_n"] == 5).all()
+
+
+def test_host_template_stats_grouping(ray_session):
+    """Pages sharing a tag sequence collapse to one template; a page
+    with an extra <img> forms a second template on its host."""
+    import pyarrow as pa
+    import ray.data
+
+    from dots_ocr_ray.pipelines.text_analysis import host_template_stats
+
+    def page(host, i, img=False):
+        body = f"<p>text {i}</p>" + ("<img src='/x.png'>" if img else "")
+        return {
+            "url": f"https://{host}/p{i}",
+            "html": f"<html><body>{body}</body></html>".encode(),
+        }
+
+    rows = [page("a.com", i) for i in range(5)] + [page("a.com", 99, img=True)]
+    rows += [page("b.com", i) for i in range(3)]
+    out = (
+        host_template_stats(ray.data.from_items(rows))
+        .to_pandas()
+        .set_index("host")
+        .sort_index()
+    )
+    assert out.loc["a.com", "n_pages"] == 6
+    assert out.loc["a.com", "n_templates"] == 2
+    assert out.loc["a.com", "top_template_n"] == 5
+    assert out.loc["b.com", "n_templates"] == 1
+    # same content-blind fingerprint on both hosts for the plain template
+    assert out.loc["b.com", "top_template"] == out.loc["a.com", "top_template"]

@@ -450,6 +450,48 @@ def golden_compression_ratios(sf_dir: str) -> pa.Table:
     )
 
 
+def golden_host_templates(sf_dir: str) -> pa.Table:
+    """Sequential per-host template rollup sharing the pure
+    structure_fingerprint kernel with the Ray pipeline
+    (pipelines/text_analysis.py:host_template_stats)."""
+    from collections import Counter
+
+    from dots_ocr_ray.fixtures import page_row_from_document
+    from dots_ocr_ray.kernel.html_parse import structure_fingerprint
+
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text", "lang"]
+    )
+    per_host: dict[str, Counter] = defaultdict(Counter)
+    for d, t, lg in zip(
+        tbl.column("doc_id").to_pylist(),
+        tbl.column("text").to_pylist(),
+        tbl.column("lang").to_pylist(),
+    ):
+        row = page_row_from_document(d, t, lg)
+        host = row["url"].split("://", 1)[1].split("/", 1)[0]
+        fp = structure_fingerprint(row["html"].decode("utf-8", errors="replace"))
+        per_host[host][fp] += 1
+    hosts = sorted(per_host)
+    tops = [
+        min((fp for fp, c in per_host[h].items() if c == max(per_host[h].values())))
+        for h in hosts
+    ]
+    return pa.table(
+        {
+            "host": pa.array(hosts, type=pa.string()),
+            "n_pages": pa.array(
+                [sum(per_host[h].values()) for h in hosts], type=pa.int64()
+            ),
+            "n_templates": pa.array([len(per_host[h]) for h in hosts], type=pa.int64()),
+            "top_template": pa.array(tops, type=pa.string()),
+            "top_template_n": pa.array(
+                [max(per_host[h].values()) for h in hosts], type=pa.int64()
+            ),
+        }
+    )
+
+
 GOLDEN_BUILDERS = {
     "kmeans_clusters": golden_kmeans_clusters,
     "host_pagerank": golden_host_pagerank,
@@ -467,6 +509,7 @@ GOLDEN_BUILDERS = {
     "approx_distinct_users": golden_approx_distinct_users,
     "reservoir_doc_sample": golden_reservoir_doc_sample,
     "compression_ratios": golden_compression_ratios,
+    "host_templates": golden_host_templates,
 }
 
 
