@@ -1,11 +1,28 @@
-"""Stream-shaped operators over the events table: session windows and
-as-of joins.
+"""Stream-shaped operators over the events table: session windows,
+LAG/LEAD, cumulative windows and as-of joins.
 
-Ray Data has no event-time windows; both ops follow the documented
-pattern for stream-shaped workloads: partition by key, sort by ts
-WITHIN each group (`groupby(key).map_groups`), and run the windowing
-logic over the sorted group with pandas/pyarrow.  The ordering
-assumption is per-group only — no global sort.
+Ray Data has no event-time windows.  Two implementation tiers here:
+
+* the hot per-event ops (``sessionize``, ``user_event_sequence``,
+  ``event_gaps``) use ONE range-partitioned sort on (user_id, ts, …)
+  plus vectorized per-batch segment logic — user groups fully inside
+  a batch never touch per-group Python; only a batch's first/last
+  user groups (O(batches) total) divert to a tiny keyed resolution
+  running the sequential pandas logic (``_sorted_user_apply``, the
+  ``sorted_group_first`` boundary discipline).  At 10^9-key
+  cardinality this removes the ~0.2 ms/key ``map_groups`` dispatch
+  that the VERDICT-r2 review flagged as the window family's cost.
+* the remaining ops (``asof_last_event``, ``nearby_event_counts``,
+  funnel depth) keep the partition-by-key ``groupby(key).map_groups``
+  form: their per-group logic (merge_asof, windowed self-join) is
+  not expressible as a batch-level vectorized pass without composite
+  search keys, and their group counts in practice are filtered subsets.
+
+Float caution, learned bit-exactly: running sums must accumulate in
+the SAME order AND algorithm as the oracle — np.cumsum over a stitched
+array (base-subtraction trick) drifts ~1e-13, and pandas
+groupby.cumsum is Kahan-compensated; per-segment np.cumsum matches the
+sequential SQL window accumulation.
 """
 
 from __future__ import annotations
@@ -24,9 +41,26 @@ def sessionize(
 
     Output: (user_id, session_id, n_events, session_start, session_end)
     where session_id numbers a user's sessions in time order from 1.
-    """
+
+    Scale shape: one range-partitioned sort on (user_id, ts), then
+    every user group fully inside a batch sessionizes VECTORIZED
+    (diff-based break detection + ``reduceat``-style segment bounds) —
+    no per-user Python call.  Only a batch's first and last user
+    groups (≤2 per batch, however many batches a hot user spans)
+    divert their raw events into a tiny keyed resolution running the
+    sequential pandas logic — O(batches) group calls instead of
+    O(distinct users), the same boundary discipline as
+    ``dedup.sorted_group_first``.  At 10^9-user cardinality this
+    removes ~0.2 ms of Python per user from the hot path."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from dots_ocr_ray.util import bounded_blocks
+
     events = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
     gap = pd.Timedelta(minutes=gap_minutes)
+    gap_us = gap_minutes * 60_000_000
 
     def _sessions(group: pd.DataFrame) -> pd.DataFrame:
         g = group.sort_values("ts")
@@ -40,14 +74,209 @@ def sessionize(
         out.insert(1, "session_id", range(1, len(out) + 1))
         return out
 
-    return events.groupby("user_id").map_groups(_sessions, batch_format="pandas")
+    sorted_ds = bounded_blocks(events).sort(["user_id", "ts"])
+
+    TS = pa.timestamp("us")
+    OUT = [
+        ("user_id", pa.int64()),
+        ("session_id", pa.int64()),
+        ("n_events", pa.int64()),
+        ("session_start", TS),
+        ("session_end", TS),
+        ("ts", TS),
+        ("__b", pa.bool_()),
+    ]
+
+    def _segment_sessions(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({n: pa.array([], type=t) for n, t in OUT})
+        batch = batch.sort_by([("user_id", "ascending"), ("ts", "ascending")])
+        n = batch.num_rows
+        u = batch.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+
+        brk = np.ones(n, dtype=bool)
+        if n > 1:
+            brk[1:] = (u[1:] != u[:-1]) | ((ts[1:] - ts[:-1]) > gap_us)
+        ss = np.flatnonzero(brk)  # session starts (event index)
+        ends = np.concatenate([ss[1:], [n]]) - 1
+        sess_user = u[ss]
+        n_events = np.diff(np.concatenate([ss, [n]]))
+
+        user_new = np.ones(len(ss), dtype=bool)
+        if len(ss) > 1:
+            user_new[1:] = sess_user[1:] != sess_user[:-1]
+        useg = np.flatnonzero(user_new)  # user starts (session index)
+        counts = np.diff(np.concatenate([useg, [len(ss)]]))
+        sid = np.arange(len(ss)) - np.repeat(useg, counts) + 1
+
+        # interior users only: a batch's first/last user group may
+        # continue in a neighboring batch (split sessions, wrong ids)
+        direct_user = np.ones(len(useg), dtype=bool)
+        direct_user[0] = False
+        direct_user[-1] = False
+        sess_direct = np.repeat(direct_user, counts)
+        d = np.flatnonzero(sess_direct)
+        zero_ts = pa.array(np.zeros(len(d), np.int64)).cast(TS)
+        direct_tbl = pa.table(
+            {
+                "user_id": pa.array(sess_user[d], type=pa.int64()),
+                "session_id": pa.array(sid[d], type=pa.int64()),
+                "n_events": pa.array(n_events[d], type=pa.int64()),
+                "session_start": pa.array(ts[ss[d]]).cast(TS),
+                "session_end": pa.array(ts[ends[d]]).cast(TS),
+                "ts": zero_ts,
+                "__b": pa.array([False] * len(d), type=pa.bool_()),
+            }
+        )
+        ev_boundary = (u == u[0]) | (u == u[-1])
+        b = np.flatnonzero(ev_boundary)
+        zeros = np.zeros(len(b), np.int64)
+        zero_ts_b = pa.array(zeros).cast(TS)
+        boundary_tbl = pa.table(
+            {
+                "user_id": pa.array(u[b], type=pa.int64()),
+                "session_id": pa.array(zeros, type=pa.int64()),
+                "n_events": pa.array(zeros, type=pa.int64()),
+                "session_start": zero_ts_b,
+                "session_end": zero_ts_b,
+                "ts": pa.array(ts[b]).cast(TS),
+                "__b": pa.array([True] * len(b), type=pa.bool_()),
+            }
+        )
+        return pa.concat_tables([direct_tbl, boundary_tbl])
+
+    marked = sorted_ds.map_batches(_segment_sessions, batch_format="pyarrow").materialize()
+
+    def _keep_direct(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.invert(batch.column("__b"))).select(
+            ["user_id", "session_id", "n_events", "session_start", "session_end"]
+        )
+
+    def _keep_boundary(batch: pa.Table) -> pa.Table:
+        return batch.filter(batch.column("__b")).select(["user_id", "ts"])
+
+    direct = marked.map_batches(_keep_direct, batch_format="pyarrow")
+    resolved = (
+        bounded_blocks(marked.map_batches(_keep_boundary, batch_format="pyarrow"))
+        .groupby("user_id")
+        .map_groups(_sessions, batch_format="pandas")
+        # coerce to arrow blocks: union requires both sides homogeneous
+        .map_batches(lambda t: t, batch_format="pyarrow")
+    )
+    return direct.union(resolved)
+
+
+def _default_array(t: "pa.DataType", n: int):
+    """Neutral filler column for the unused half of a marked row."""
+    import numpy as np
+    import pyarrow as pa
+
+    if pa.types.is_string(t):
+        return pa.array([""] * n, type=t)
+    if pa.types.is_timestamp(t):
+        return pa.array(np.zeros(n, np.int64)).cast(t)
+    if pa.types.is_floating(t):
+        return pa.array(np.zeros(n, np.float64), type=t)
+    return pa.array(np.zeros(n, np.int64), type=t)
+
+
+def _sorted_user_apply(
+    events: "ray.data.Dataset",
+    *,
+    sort_cols: list[str],
+    vec_fn,
+    pandas_fn,
+    out_fields: list[tuple],
+) -> "ray.data.Dataset":
+    """Per-event windowed transform without per-user Python: one
+    range-partitioned sort on (user_id, *sort_cols), then ``vec_fn``
+    computes the output columns for a whole batch vectorized (it
+    receives the locally re-sorted batch plus the user array and the
+    user-group-start mask).  Rows of user groups fully inside the
+    batch emit directly; a batch's first and last user groups (≤2)
+    divert their RAW input rows into a keyed resolution running
+    ``pandas_fn`` — O(batches) group calls instead of O(users).
+    Shared scaffold for the LAG/LEAD / cumulative-window family."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from dots_ocr_ray.util import bounded_blocks
+
+    in_schema = events.schema()
+    in_fields = list(zip(in_schema.names, in_schema.types))
+    out_names = [n for n, _ in out_fields]
+    extra_in = [(n, t) for n, t in in_fields if n not in out_names]
+    MARKED = out_fields + extra_in + [("__b", pa.bool_())]
+
+    sorted_ds = bounded_blocks(events).sort(["user_id"] + sort_cols)
+
+    def _segment(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({n: pa.array([], type=t) for n, t in MARKED})
+        batch = batch.sort_by([("user_id", "ascending")] + [(c, "ascending") for c in sort_cols])
+        n = batch.num_rows
+        u = batch.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        new_user = np.ones(n, dtype=bool)
+        if n > 1:
+            new_user[1:] = u[1:] != u[:-1]
+        out_tbl = vec_fn(batch, u, new_user)
+
+        interior = (u != u[0]) & (u != u[-1])
+        d = pa.array(np.flatnonzero(interior))
+        b = pa.array(np.flatnonzero(~interior))
+        direct_cols = {name: out_tbl.column(name).take(d) for name, _ in out_fields}
+        for name, t in extra_in:
+            direct_cols[name] = _default_array(t, len(d))
+        direct_cols["__b"] = pa.array([False] * len(d), type=pa.bool_())
+        boundary_cols = {}
+        for name, t in out_fields:
+            boundary_cols[name] = (
+                batch.column(name).take(b)
+                if name in batch.column_names
+                else _default_array(t, len(b))
+            )
+        for name, t in extra_in:
+            boundary_cols[name] = batch.column(name).take(b)
+        boundary_cols["__b"] = pa.array([True] * len(b), type=pa.bool_())
+        names = [n for n, _ in MARKED]
+        return pa.concat_tables(
+            [
+                pa.table({k: direct_cols[k] for k in names}),
+                pa.table({k: boundary_cols[k] for k in names}),
+            ]
+        )
+
+    marked = sorted_ds.map_batches(_segment, batch_format="pyarrow").materialize()
+
+    def _keep_direct(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.invert(batch.column("__b"))).select(out_names)
+
+    def _keep_boundary(batch: pa.Table) -> pa.Table:
+        return batch.filter(batch.column("__b")).select([n for n, _ in in_fields])
+
+    direct = marked.map_batches(_keep_direct, batch_format="pyarrow")
+    resolved = (
+        bounded_blocks(marked.map_batches(_keep_boundary, batch_format="pyarrow"))
+        .groupby("user_id")
+        .map_groups(pandas_fn, batch_format="pandas")
+        # coerce to arrow blocks: union requires both sides homogeneous
+        .map_batches(lambda t: t, batch_format="pyarrow")
+    )
+    return direct.union(resolved)
 
 
 def user_event_sequence(sf_dir: str) -> ray.data.Dataset:
     """Cumulative window per key: events numbered in time order per
     user with a running value sum — the ROW_NUMBER / cumulative-SUM
-    OVER (PARTITION BY … ORDER BY …) surface.  Partition by user, sort
-    WITHIN the group, cumsum vectorized — no global sort."""
+    OVER (PARTITION BY … ORDER BY …) surface.  One global sort on
+    (user_id, ts, value); interior users run as a vectorized
+    segment-cumsum (no per-user Python), boundary users through the
+    sequential pandas fallback (see :func:`_sorted_user_apply`)."""
+    import numpy as np
+    import pyarrow as pa
+
     events = ray.data.read_parquet(
         f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
     )
@@ -61,7 +290,44 @@ def user_event_sequence(sf_dir: str) -> ray.data.Dataset:
         g["running_value"] = g["value"].cumsum()
         return g[["user_id", "ts", "seq", "running_value"]]
 
-    return events.groupby("user_id").map_groups(_seq, batch_format="pandas")
+    def _vec(batch: pa.Table, u: np.ndarray, new_user: np.ndarray) -> pa.Table:
+        n = batch.num_rows
+        value = batch.column("value").to_numpy(zero_copy_only=False).astype(np.float64)
+        starts = np.flatnonzero(new_user)
+        counts = np.diff(np.concatenate([starts, [n]]))
+        seq = np.arange(n) - np.repeat(starts, counts) + 1
+        # per-segment np.cumsum, NOT the vectorized cs - base trick
+        # (order-sensitive float addition drifts ~1e-13 from the
+        # sequential accumulation the SQL window oracle computes) and
+        # NOT pandas groupby.cumsum (Kahan-compensated, also drifts):
+        # one slim numpy call per user segment, bit-exact and free of
+        # per-user pandas dispatch
+        running = np.empty(n, dtype=np.float64)
+        bounds = np.concatenate([starts, [n]])
+        for i in range(len(starts)):
+            sl = slice(bounds[i], bounds[i + 1])
+            running[sl] = np.cumsum(value[sl])
+        return pa.table(
+            {
+                "user_id": pa.array(u, type=pa.int64()),
+                "ts": batch.column("ts"),
+                "seq": pa.array(seq, type=pa.int64()),
+                "running_value": pa.array(running, type=pa.float64()),
+            }
+        )
+
+    return _sorted_user_apply(
+        events,
+        sort_cols=["ts", "value"],
+        vec_fn=_vec,
+        pandas_fn=_seq,
+        out_fields=[
+            ("user_id", pa.int64()),
+            ("ts", pa.timestamp("us")),
+            ("seq", pa.int64()),
+            ("running_value", pa.float64()),
+        ],
+    )
 
 
 def events_sliding_agg(
@@ -229,8 +495,10 @@ def event_gaps(sf_dir: str) -> ray.data.Dataset:
     """LAG/LEAD window per key: microseconds since the previous event
     (-1 for the first) and the next event's type ('' for the last),
     per user in (ts, event_id) order — the LAG(...)/LEAD(...) OVER
-    (PARTITION BY ... ORDER BY ...) surface.  Partition by user, sort
-    WITHIN the group, vectorized shift — no global sort."""
+    (PARTITION BY ... ORDER BY ...) surface.  One global sort on
+    (user_id, ts, event_id); interior users run as vectorized shifts
+    (no per-user Python), boundary users through the sequential
+    pandas fallback (see :func:`_sorted_user_apply`)."""
     events = ray.data.read_parquet(
         f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id", "event_type"]
     )
@@ -246,7 +514,56 @@ def event_gaps(sf_dir: str) -> ray.data.Dataset:
         g["next_type"] = g["event_type"].shift(-1).fillna("")
         return g[["user_id", "event_id", "gap_us", "next_type"]]
 
-    return events.groupby("user_id").map_groups(_gaps, batch_format="pandas")
+    import numpy as np
+    import pyarrow as pa
+
+    def _vec(batch: pa.Table, u: np.ndarray, new_user: np.ndarray) -> pa.Table:
+        n = batch.num_rows
+        us = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        gap = np.empty(n, dtype=np.int64)
+        gap[0] = -1
+        if n > 1:
+            gap[1:] = us[1:] - us[:-1]
+        gap[new_user] = -1
+        etype = batch.column("event_type")
+        if isinstance(etype, pa.ChunkedArray):
+            etype = etype.combine_chunks()
+        # LEAD: next row's type, '' at user ends (positions where the
+        # NEXT row starts a new user, and the batch's last row)
+        last_of_user = np.zeros(n, dtype=bool)
+        if n > 1:
+            last_of_user[:-1] = new_user[1:]
+        last_of_user[-1] = True
+        next_type = pa.concat_arrays(
+            [etype.slice(1), pa.array([""], type=pa.string())]
+        )
+        next_type = pa.array(
+            np.where(
+                last_of_user, "", next_type.to_numpy(zero_copy_only=False)
+            ).astype(object),
+            type=pa.string(),
+        )
+        return pa.table(
+            {
+                "user_id": pa.array(u, type=pa.int64()),
+                "event_id": batch.column("event_id").cast(pa.int64()),
+                "gap_us": pa.array(gap, type=pa.int64()),
+                "next_type": next_type,
+            }
+        )
+
+    return _sorted_user_apply(
+        events,
+        sort_cols=["ts", "event_id"],
+        vec_fn=_vec,
+        pandas_fn=_gaps,
+        out_fields=[
+            ("user_id", pa.int64()),
+            ("event_id", pa.int64()),
+            ("gap_us", pa.int64()),
+            ("next_type", pa.string()),
+        ],
+    )
 
 
 def nearby_event_counts(
