@@ -2142,6 +2142,28 @@ def _q_crawl_diff_docs(sf_dir: str):
     )
 
 
+def _q_recrawl_priority(sf_dir: str):
+    """Recrawl scheduling priority per host: change_rate (from the
+    crawl_diff fixture split) × relative PageRank (host link graph) —
+    the crawl-ordering composition.  Oracle: the diff classes and host
+    mapping are SQL arithmetic; the rank joins from the checked-in
+    host_pagerank golden parquet."""
+    from dots_ocr_ray.pipelines.graph import host_edges_from_documents, pagerank
+    from dots_ocr_ray.pipelines.refresh import recrawl_priority
+
+    diff = _q_crawl_diff_docs(sf_dir)
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    ranks = pagerank(host_edges_from_documents(sf_dir), num_iters=5, damping=0.85)
+    ranks = ranks.set_column(
+        ranks.schema.get_field_index("rank"),
+        "rank_rel",
+        pc.multiply(ranks.column("rank"), float(ranks.num_rows)),
+    )
+    return recrawl_priority(diff, ranks)
+
+
 def _q_event_funnel(sf_dir: str):
     """Ordered funnel over the events stream: signup → first view
     strictly after the signup → first purchase strictly after that
@@ -2331,6 +2353,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample_docs": _q_weighted_sample_docs,
         "length_outliers": _q_length_outliers,
         "crawl_diff_docs": _q_crawl_diff_docs,
+        "recrawl_priority": _q_recrawl_priority,
         "bigram_lm_scores": _q_bigram_lm_scores,
         "compression_ratios": _q_compression_ratios,
         "adaptive_length_filter": _q_adaptive_length_filter,
@@ -2471,6 +2494,27 @@ def oracle_sql() -> dict[str, str]:
         ),
         # crawl snapshot diff: old misses doc_id%4==0, new misses
         # doc_id%4==1, new rewrote doc_id%6==3
+        # recrawl priority: diff classes + host mapping are SQL
+        # arithmetic over the same fixture split as crawl_diff_docs;
+        # importance joins from the host_pagerank golden parquet
+        "recrawl_priority": (
+            "WITH diff AS (SELECT doc_id, "
+            "CASE WHEN doc_id % 4 = 0 THEN 'added' "
+            "WHEN doc_id % 4 = 1 THEN 'removed' "
+            "WHEN doc_id % 6 = 3 THEN 'changed' ELSE 'unchanged' END AS change "
+            "FROM documents), "
+            "per_host AS (SELECT doc_id % 40 AS host, "
+            "CAST(sum(CASE WHEN change = 'added' THEN 1 ELSE 0 END) AS BIGINT) AS n_added, "
+            "CAST(sum(CASE WHEN change = 'changed' THEN 1 ELSE 0 END) AS BIGINT) AS n_changed, "
+            "CAST(sum(CASE WHEN change IN ('changed','unchanged') THEN 1 ELSE 0 END) AS BIGINT) AS n_compared "
+            "FROM diff GROUP BY doc_id % 40) "
+            "SELECT p.host, p.n_added, p.n_changed, p.n_compared, "
+            "CAST(p.n_changed AS DOUBLE) / greatest(p.n_compared, 1) AS change_rate, "
+            "r.rank_rel, "
+            "(CAST(p.n_changed AS DOUBLE) / greatest(p.n_compared, 1)) * r.rank_rel AS priority "
+            f"FROM per_host p JOIN read_parquet('{_GOLDEN_DIR}/host_pagerank.parquet') r "
+            "ON p.host = r.host"
+        ),
         "crawl_diff_docs": (
             "WITH c_old AS (SELECT doc_id, md5(text) AS h FROM documents "
             "WHERE doc_id % 4 <> 0), "

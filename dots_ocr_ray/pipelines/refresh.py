@@ -192,3 +192,112 @@ def refresh_corpus(
         {"job": "refresh_corpus", "index_dir": index_dir, "counts": counts},
     )
     return counts
+
+
+def recrawl_priority(
+    diff: ray.data.Dataset,
+    ranks: pa.Table,
+    *,
+    id_col: str = "doc_id",
+    host_of=None,
+    rank_col: str = "rank_rel",
+    broadcast_limit: int = 2_000_000,
+) -> ray.data.Dataset:
+    """Recrawl scheduling priority per host: combine a snapshot diff
+    (:func:`~dots_ocr_ray.pipelines.document.crawl_diff` output — which
+    urls changed between two crawls) with link-graph importance
+    (:func:`~dots_ocr_ray.pipelines.graph.pagerank`) into the classic
+    crawl-ordering signal ``priority = change_rate × rank`` — hosts
+    that BOTH churn often and matter get refetched first; a static
+    archive or an unimportant churner waits.
+
+    Output per host: ``n_added``, ``n_changed``, ``n_compared``
+    (changed+unchanged — pages seen in both snapshots),
+    ``change_rate`` (= changed / max(compared, 1)), ``rank_rel``
+    (relative PageRank), ``priority``.
+
+    Scale shape: the diff streams through per-batch (host, class)
+    partial counts → ONE bounded ``groupby(host)`` sum; the rank table
+    rides the repo's two-tier rule — ≤ ``broadcast_limit`` rows ship
+    once via ``ray.put`` as a (sorted hosts, ranks) pair and join with
+    a vectorized ``searchsorted`` gather inside ``map_batches`` (zero
+    exchange); above the budget swap in
+    :func:`~dots_ocr_ray.pipelines.relational.hash_join` on host.
+
+    ``host_of``: vectorized ``np.ndarray[int64] -> np.ndarray[int64]``
+    mapping row ids to host ids (the driver fixture uses
+    ``doc_id % 40``; a real crawl passes a url→host hash)."""
+    import numpy as np
+
+    from dots_ocr_ray.util import bounded_blocks, cached_object
+
+    if host_of is None:
+        host_of = lambda ids: ids % 40  # noqa: E731 — driver fixture rule
+
+    def _partials(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        change = batch.column("change").to_pandas()
+        df = pd.DataFrame(
+            {
+                "host": host_of(ids),
+                "added": (change == "added").astype("int64"),
+                "changed": (change == "changed").astype("int64"),
+                "compared": change.isin(["changed", "unchanged"]).astype("int64"),
+            }
+        )
+        g = df.groupby("host", sort=False).sum().reset_index()
+        return pa.table(
+            {
+                "host": pa.array(g["host"].to_numpy(), type=pa.int64()),
+                "added": pa.array(g["added"].to_numpy(), type=pa.int64()),
+                "changed": pa.array(g["changed"].to_numpy(), type=pa.int64()),
+                "compared": pa.array(g["compared"].to_numpy(), type=pa.int64()),
+            }
+        )
+
+    per_host = (
+        bounded_blocks(diff.map_batches(_partials, batch_format="pyarrow"))
+        .groupby("host")
+        .sum(["added", "changed", "compared"])
+    )
+
+    if ranks.num_rows > broadcast_limit:
+        raise NotImplementedError(
+            "rank table above the broadcast budget: join per_host with the "
+            "rank Dataset via relational.hash_join(on='host') instead"
+        )
+    hosts_sorted = ranks.column("host").to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(hosts_sorted, kind="stable")
+    rank_pair_ref = ray.put(
+        (
+            hosts_sorted[order],
+            ranks.column(rank_col).to_numpy(zero_copy_only=False)[order],
+        )
+    )
+
+    def _score(batch: pa.Table) -> pa.Table:
+        rh, rv = cached_object(rank_pair_ref)
+        h = batch.column("host").to_numpy(zero_copy_only=False).astype(np.int64)
+        added = batch.column("sum(added)").to_numpy(zero_copy_only=False)
+        changed = batch.column("sum(changed)").to_numpy(zero_copy_only=False)
+        compared = batch.column("sum(compared)").to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(rh, h)
+        idx[idx >= len(rh)] = max(len(rh) - 1, 0)
+        found = rh[idx] == h if len(rh) else np.zeros(len(h), bool)
+        rank = np.where(found, rv[idx] if len(rh) else 0.0, 0.0)
+        rate = changed / np.maximum(compared, 1)
+        return pa.table(
+            {
+                "host": pa.array(h, type=pa.int64()),
+                "n_added": pa.array(added, type=pa.int64()),
+                "n_changed": pa.array(changed, type=pa.int64()),
+                "n_compared": pa.array(compared, type=pa.int64()),
+                "change_rate": pa.array(rate, type=pa.float64()),
+                "rank_rel": pa.array(rank, type=pa.float64()),
+                "priority": pa.array(rate * rank, type=pa.float64()),
+            }
+        )
+
+    return per_host.map_batches(_score, batch_format="pyarrow")

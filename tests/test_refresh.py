@@ -47,3 +47,41 @@ def test_refresh_rounds(ray_session, tmp_path):
     assert not (texts1 & set(texts3))
     assert len(set(texts3)) == len(texts3)  # round 3 is internally exact-deduped
     assert os.path.exists(os.path.join(out3, "_job_stats.json"))
+
+
+def test_recrawl_priority(ray_session):
+    """priority = change_rate × rank; hosts absent from the rank table
+    score 0; added/removed rows never count as compared."""
+    import pyarrow as pa
+    import ray.data
+
+    from dots_ocr_ray.pipelines.refresh import recrawl_priority
+
+    diff = ray.data.from_items(
+        # host 0 (ids 0,40,80,120): 2 compared, 1 changed, 1 added
+        [
+            {"doc_id": 0, "change": "changed"},
+            {"doc_id": 40, "change": "unchanged"},
+            {"doc_id": 80, "change": "added"},
+            {"doc_id": 120, "change": "removed"},
+            # host 1: compared-only, never changed
+            {"doc_id": 1, "change": "unchanged"},
+            {"doc_id": 41, "change": "unchanged"},
+            # host 2: no rank row → rank 0
+            {"doc_id": 2, "change": "changed"},
+        ]
+    )
+    ranks = pa.table(
+        {
+            "host": pa.array([0, 1], type=pa.int64()),
+            "rank_rel": pa.array([2.0, 1.0], type=pa.float64()),
+        }
+    )
+    out = recrawl_priority(diff, ranks).to_pandas().set_index("host").sort_index()
+    assert out.loc[0, "n_added"] == 1
+    assert out.loc[0, "n_changed"] == 1
+    assert out.loc[0, "n_compared"] == 2
+    assert out.loc[0, "change_rate"] == 0.5
+    assert out.loc[0, "priority"] == 1.0
+    assert out.loc[1, "priority"] == 0.0
+    assert out.loc[2, "rank_rel"] == 0.0 and out.loc[2, "priority"] == 0.0
