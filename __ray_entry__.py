@@ -2142,6 +2142,18 @@ def _q_crawl_diff_docs(sf_dir: str):
     )
 
 
+def _q_table_profile(sf_dir: str):
+    """One-pass column profile of the documents table (null rates, HLL
+    distinct, numeric/length stats) — mergeable partials, one tiny
+    exchange.  Oracle: golden parquet from the independent sequential
+    profiler sharing the HLL kernel."""
+    import ray.data
+
+    from dots_ocr_ray.pipelines.profile import profile_table
+
+    return profile_table(ray.data.read_parquet(f"{sf_dir}/documents.parquet"))
+
+
 def _q_recrawl_priority(sf_dir: str):
     """Recrawl scheduling priority per host: change_rate (from the
     crawl_diff fixture split) × relative PageRank (host link graph) —
@@ -2354,6 +2366,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_outliers": _q_length_outliers,
         "crawl_diff_docs": _q_crawl_diff_docs,
         "recrawl_priority": _q_recrawl_priority,
+        "table_profile": _q_table_profile,
         "bigram_lm_scores": _q_bigram_lm_scores,
         "compression_ratios": _q_compression_ratios,
         "adaptive_length_filter": _q_adaptive_length_filter,
@@ -2494,6 +2507,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         # crawl snapshot diff: old misses doc_id%4==0, new misses
         # doc_id%4==1, new rewrote doc_id%6==3
+        "table_profile": (
+            "SELECT * FROM read_parquet('" + _GOLDEN_DIR + "/table_profile.parquet')"
+        ),
         # recrawl priority: diff classes + host mapping are SQL
         # arithmetic over the same fixture split as crawl_diff_docs;
         # importance joins from the host_pagerank golden parquet

@@ -1,0 +1,169 @@
+"""One-pass distributed table profiling — the data-quality
+reconnaissance step a pipeline runs before committing 100 TB of compute
+to a new crawl drop: per column, null rate, approximate distinct
+cardinality, and numeric / string-length summary stats.
+
+Scale shape: each batch emits ONE partial row per column (scalar
+min/max/sum partials + a 4 KB HyperLogLog register block — all
+mergeable), so the exchange is (columns × batches) tiny rows
+regardless of corpus size; the final merge is one Python call per
+COLUMN (bounded by schema width, not data).  The sketch rides
+``functions/sketches.py:HyperLogLog`` — the same mergeable-sketch
+combiner pattern as ``approx_distinct``.
+
+No reference counterpart (the reference profiles nothing); this is a
+first-class training-data addition in the repo's exchange-budget
+discipline.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+from dots_ocr_ray.functions.sketches import HyperLogLog
+from dots_ocr_ray.util import bounded_blocks
+
+PROFILE_HLL_P = 12
+
+
+def _is_numeric(t: pa.DataType) -> bool:
+    return pa.types.is_integer(t) or pa.types.is_floating(t)
+
+
+def _is_string(t: pa.DataType) -> bool:
+    return pa.types.is_string(t) or pa.types.is_large_string(t)
+
+
+def column_partial(name: str, col, p: int = PROFILE_HLL_P) -> dict:
+    """Mergeable profile partial for one column chunk.  Pure function
+    shared by the Ray pipeline and the sequential golden oracle (the
+    HLL keys are the Arrow string casts of non-null values, so both
+    sides hash identical key strings)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    t = col.type
+    valid = col.drop_null()
+    hll = HyperLogLog(p)
+    if len(valid):
+        hll.add_many(pc.cast(valid, pa.string()).to_pylist())
+    row = {
+        "column": name,
+        "dtype": str(t),
+        "n": len(col),
+        "nulls": col.null_count,
+        "hll": hll.serialize(),
+        "vmin": float("inf"),
+        "vmax": float("-inf"),
+        "vsum": 0.0,
+        "lmin": int(2**62),
+        "lmax": int(-1),
+        "lsum": 0,
+    }
+    if _is_numeric(t) and len(valid):
+        v = valid.to_numpy(zero_copy_only=False).astype(np.float64)
+        v = v[~np.isnan(v)]
+        if len(v):
+            row["vmin"] = float(v.min())
+            row["vmax"] = float(v.max())
+            row["vsum"] = float(v.sum())
+    if _is_string(t) and len(valid):
+        lens = pc.binary_length(valid).to_numpy(zero_copy_only=False).astype(np.int64)
+        row["lmin"] = int(lens.min())
+        row["lmax"] = int(lens.max())
+        row["lsum"] = int(lens.sum())
+    return row
+
+
+def merge_partials(column: str, rows: list[dict], p: int = PROFILE_HLL_P) -> dict:
+    """Fold partial rows for one column into the final profile row.
+    Means are rounded to 4 decimals so the result is stable under any
+    partial-merge order (float sums reassociate across batches)."""
+    hll = HyperLogLog(p)
+    regs = np.zeros(hll.m, dtype=np.uint8)
+    n = nulls = lsum = 0
+    vmin, vmax, vsum = float("inf"), float("-inf"), 0.0
+    lmin, lmax = int(2**62), -1
+    dtype = rows[0]["dtype"]
+    for r in rows:
+        n += int(r["n"])
+        nulls += int(r["nulls"])
+        regs = np.maximum(regs, np.frombuffer(bytes(r["hll"])[1:], dtype=np.uint8))
+        vmin = min(vmin, float(r["vmin"]))
+        vmax = max(vmax, float(r["vmax"]))
+        vsum += float(r["vsum"])
+        lmin = min(lmin, int(r["lmin"]))
+        lmax = max(lmax, int(r["lmax"]))
+        lsum += int(r["lsum"])
+    hll.registers = regs
+    n_valid = max(n - nulls, 1)
+    numeric = np.isfinite(vmin)
+    stringy = lmax >= 0
+    return {
+        "column": column,
+        "dtype": dtype,
+        "n_rows": n,
+        "n_nulls": nulls,
+        "approx_distinct": int(round(hll.count())) if n > nulls else 0,
+        "vmin": float(vmin) if numeric else 0.0,
+        "vmax": float(vmax) if numeric else 0.0,
+        "vmean": round(vsum / n_valid, 4) if numeric else 0.0,
+        "len_min": int(lmin) if stringy else 0,
+        "len_max": int(lmax) if stringy else 0,
+        "len_mean": round(lsum / n_valid, 4) if stringy else 0.0,
+    }
+
+
+_OUT_SCHEMA = pa.schema(
+    [
+        ("column", pa.string()),
+        ("dtype", pa.string()),
+        ("n_rows", pa.int64()),
+        ("n_nulls", pa.int64()),
+        ("approx_distinct", pa.int64()),
+        ("vmin", pa.float64()),
+        ("vmax", pa.float64()),
+        ("vmean", pa.float64()),
+        ("len_min", pa.int64()),
+        ("len_max", pa.int64()),
+        ("len_mean", pa.float64()),
+    ]
+)
+
+_PARTIAL_SCHEMA = pa.schema(
+    [
+        ("column", pa.string()),
+        ("dtype", pa.string()),
+        ("n", pa.int64()),
+        ("nulls", pa.int64()),
+        ("hll", pa.binary()),
+        ("vmin", pa.float64()),
+        ("vmax", pa.float64()),
+        ("vsum", pa.float64()),
+        ("lmin", pa.int64()),
+        ("lmax", pa.int64()),
+        ("lsum", pa.int64()),
+    ]
+)
+
+
+def profile_table(ds: ray.data.Dataset, *, hll_p: int = PROFILE_HLL_P) -> ray.data.Dataset:
+    """Distributed one-pass profile of every column of ``ds`` (see
+    module docstring).  Returns one row per column."""
+
+    def _partials(batch: pa.Table) -> pa.Table:
+        rows = [column_partial(name, batch.column(name), hll_p) for name in batch.column_names]
+        return pa.Table.from_pylist(rows, schema=_PARTIAL_SCHEMA)
+
+    def _merge(group: pa.Table) -> pa.Table:
+        rows = group.to_pylist()
+        return pa.Table.from_pylist(
+            [merge_partials(rows[0]["column"], rows, hll_p)], schema=_OUT_SCHEMA
+        )
+
+    partials = bounded_blocks(ds.map_batches(_partials, batch_format="pyarrow"))
+    return partials.groupby("column").map_groups(_merge, batch_format="pyarrow")

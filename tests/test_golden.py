@@ -45,6 +45,7 @@ def _canon(obj) -> pd.DataFrame:
         "reservoir_doc_sample",
         "compression_ratios",
         "host_templates",
+        "table_profile",
     ],
 )
 def test_golden_parity(ray_session, name):

@@ -492,6 +492,51 @@ def golden_host_templates(sf_dir: str) -> pa.Table:
     )
 
 
+def golden_table_profile(sf_dir: str) -> pa.Table:
+    """Sequential column profile over documents: stats via pandas/numpy
+    (independent of the pipeline's partial-merge code), distinct via the
+    shared HyperLogLog kernel on the same Arrow string-cast keys."""
+    import pyarrow.compute as pc
+
+    from dots_ocr_ray.functions.sketches import HyperLogLog
+    from dots_ocr_ray.pipelines.profile import PROFILE_HLL_P
+
+    tbl = pq.read_table(os.path.join(sf_dir, "documents.parquet"))
+    rows = []
+    for name in tbl.column_names:
+        col = tbl.column(name).combine_chunks()
+        t = col.type
+        valid = col.drop_null()
+        hll = HyperLogLog(PROFILE_HLL_P)
+        if len(valid):
+            hll.add_many(pc.cast(valid, pa.string()).to_pylist())
+        numeric = pa.types.is_integer(t) or pa.types.is_floating(t)
+        stringy = pa.types.is_string(t) or pa.types.is_large_string(t)
+        row = {
+            "column": name,
+            "dtype": str(t),
+            "n_rows": len(col),
+            "n_nulls": col.null_count,
+            "approx_distinct": int(round(hll.count())) if len(valid) else 0,
+            "vmin": 0.0,
+            "vmax": 0.0,
+            "vmean": 0.0,
+            "len_min": 0,
+            "len_max": 0,
+            "len_mean": 0.0,
+        }
+        if numeric and len(valid):
+            v = valid.to_numpy(zero_copy_only=False).astype(np.float64)
+            row.update(vmin=float(v.min()), vmax=float(v.max()), vmean=round(float(v.sum()) / len(v), 4))
+        if stringy and len(valid):
+            lens = np.array([len(x) for x in valid.to_pylist()], dtype=np.int64)
+            row.update(len_min=int(lens.min()), len_max=int(lens.max()), len_mean=round(int(lens.sum()) / len(lens), 4))
+        rows.append(row)
+    from dots_ocr_ray.pipelines.profile import _OUT_SCHEMA
+
+    return pa.Table.from_pylist(rows, schema=_OUT_SCHEMA)
+
+
 GOLDEN_BUILDERS = {
     "kmeans_clusters": golden_kmeans_clusters,
     "host_pagerank": golden_host_pagerank,
@@ -510,6 +555,7 @@ GOLDEN_BUILDERS = {
     "reservoir_doc_sample": golden_reservoir_doc_sample,
     "compression_ratios": golden_compression_ratios,
     "host_templates": golden_host_templates,
+    "table_profile": golden_table_profile,
 }
 
 
