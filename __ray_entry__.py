@@ -119,6 +119,23 @@ def _q_describe_docs(sf_dir: str):
     return described.select_columns(["doc_id", "extracted_text", "n_spans", "status"])
 
 
+def _q_template_strip(sf_dir: str):
+    """Site-level template-block stripping (inter-page frequency prior
+    over per-host DOM blocks): the fixture's per-host footer recurs on
+    every normal page of its host, so it is stripped corpus-wide while
+    the unique Title/body blocks survive.  Fully SQL-expressible — the
+    oracle replays the exact integer frequency rule over the
+    reconstructed (host, category, text) blocks."""
+    from dots_ocr_ray.pipelines.template import template_block_strip
+    from dots_ocr_ray.sources.pages import pages_from_documents
+
+    pages = pages_from_documents(sf_dir, override_num_blocks=8)
+    stripped = template_block_strip(
+        pages, min_pages=3, min_frac_pct=60, keep_cols=("doc_id",)
+    )
+    return stripped.select_columns(["doc_id", "text_clean", "n_kept", "n_dropped"])
+
+
 # ---------------------------------------------------------------------------
 # dedup family (documents / embeddings tables)
 
@@ -2350,6 +2367,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_status_counts": _q_extract_status_counts,
         "extract_span_stats": _q_extract_span_stats,
         "describe_docs": _q_describe_docs,
+        "template_strip": _q_template_strip,
         # dedup family
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash": _q_dedup_minhash,
@@ -2831,6 +2849,37 @@ def oracle_sql() -> dict[str, str]:
         "describe_docs": (
             "SELECT doc_id, extracted_text, n_spans, status "
             f"FROM read_parquet('{_GOLDEN_DIR}/describe_docs.parquet')"
+        ),
+        # template strip: replay the integer frequency rule (a block is
+        # chrome on ≥ max(3, ceil(60%·host_pages)) distinct pages of
+        # its host) over the fixture's reconstructed blocks — normal
+        # docs contribute (Title, Text, Page-footer), degradation docs
+        # contribute none but still emit an empty output row
+        "template_strip": (
+            "WITH pages AS (SELECT doc_id, doc_id % 40 AS host, "
+            "CASE WHEN doc_id % 31 = 11 OR doc_id % 23 = 7 THEN NULL "
+            "ELSE trim(text) END AS body FROM documents), "
+            "blocks AS ("
+            "SELECT doc_id, host, 0 AS ord, 'Title' AS cat, 'Doc ' || doc_id AS btext "
+            "FROM pages WHERE body IS NOT NULL "
+            "UNION ALL SELECT doc_id, host, 1, 'Text', body FROM pages WHERE body IS NOT NULL "
+            "UNION ALL SELECT doc_id, host, 2, 'Page-footer', 'Footer ' || host "
+            "FROM pages WHERE body IS NOT NULL), "
+            "hp AS (SELECT host, count(DISTINCT doc_id) AS n_pages FROM blocks GROUP BY host), "
+            "freq AS (SELECT c.host, c.cat, c.btext FROM "
+            "(SELECT host, cat, btext, count(DISTINCT doc_id) AS n "
+            "FROM blocks GROUP BY host, cat, btext) c "
+            "JOIN hp ON c.host = hp.host "
+            "WHERE c.n >= 3 AND 100 * c.n >= 60 * hp.n_pages), "
+            "kept AS (SELECT b.doc_id, b.ord, b.btext FROM blocks b "
+            "WHERE NOT EXISTS (SELECT 1 FROM freq f WHERE f.host = b.host "
+            "AND f.cat = b.cat AND f.btext = b.btext)) "
+            "SELECT p.doc_id, "
+            "COALESCE(string_agg(k.btext, chr(10) ORDER BY k.ord), '') AS text_clean, "
+            "CAST(count(k.btext) AS BIGINT) AS n_kept, "
+            "CAST(CASE WHEN p.body IS NULL THEN 0 ELSE 3 END - count(k.btext) AS BIGINT) "
+            "AS n_dropped "
+            "FROM pages p LEFT JOIN kept k USING (doc_id) GROUP BY p.doc_id, p.body"
         ),
         "dedup_minhash": f"SELECT doc_id, cluster_id FROM read_parquet('{_GOLDEN_DIR}/dedup_minhash.parquet')",
         "dedup_simhash": f"SELECT doc_id, cluster_id FROM read_parquet('{_GOLDEN_DIR}/dedup_simhash.parquet')",
