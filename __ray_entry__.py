@@ -1551,6 +1551,39 @@ def _q_kmeans_clusters(sf_dir: str):
     return kmeans_assign(ds)
 
 
+def _q_semdedup_docs(sf_dir: str):
+    """SemDeDup semantic pruning (Abbas et al. 2023): k-means
+    partition, then within-cluster cosine-threshold dedup keeping the
+    min id of every near-duplicate neighborhood.  The raw embeddings
+    table has no near-dup pairs, so a deterministic injection
+    (fixtures.inject_near_dup_embeddings, shared with the golden)
+    plants three ~19-member groups at sim ≈ 0.99.  Golden-parquet
+    oracle (make_golden.golden_semdedup_docs)."""
+    import pyarrow as pa
+
+    import ray.data
+
+    from dots_ocr_ray.fixtures import inject_near_dup_embeddings
+    from dots_ocr_ray.pipelines.similarity import semdedup_prune
+    from dots_ocr_ray.util import vec_matrix
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+    def _inject(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        mat = inject_near_dup_embeddings(ids, vec_matrix(batch.column("embedding"), dtype=np.float32))
+        return pa.table(
+            {
+                "vec_id": batch.column("vec_id"),
+                "embedding": pa.array(list(mat), type=pa.list_(pa.float32())),
+            }
+        )
+
+    return semdedup_prune(ds.map_batches(_inject, batch_format="pyarrow"), threshold=0.95)
+
+
 def _q_ann_ivf_topk(sf_dir: str):
     import numpy as np
     import pyarrow.parquet as pq
@@ -2397,6 +2430,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "kmeans_clusters": _q_kmeans_clusters,
+        "semdedup_docs": _q_semdedup_docs,
         "label_centroids": _q_label_centroids,
         "normalized_texts": _q_normalized_texts,
         "model_quality_scores": _q_model_quality_scores,
@@ -2888,6 +2922,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_topk": f"SELECT query_id, vec_id, rank FROM read_parquet('{_GOLDEN_DIR}/ann_lsh_topk.parquet')",
         "ann_ivf_topk": f"SELECT query_id, vec_id, rank FROM read_parquet('{_GOLDEN_DIR}/ann_ivf_topk.parquet')",
         "kmeans_clusters": f"SELECT vec_id, cluster_id, sim FROM read_parquet('{_GOLDEN_DIR}/kmeans_clusters.parquet')",
+        "semdedup_docs": f"SELECT vec_id, cluster_id, kept FROM read_parquet('{_GOLDEN_DIR}/semdedup_docs.parquet')",
         "model_quality_scores": (
             "SELECT doc_id, round(1.0/(1.0+exp(-(-2.0 + 0.5*ln(1+nw) + 2.0*ar + 0.25*ln(1+nc)))), 4) AS score, "
             "(1.0/(1.0+exp(-(-2.0 + 0.5*ln(1+nw) + 2.0*ar + 0.25*ln(1+nc)))) >= 0.5) AS keep FROM ("

@@ -235,3 +235,38 @@ def pages_from_documents_batch(batch: pa.Table, *, with_images: bool = False) ->
     out = {name: [r[name] for r in rows] for name in PAGES_SCHEMA.names}
     tbl = pa.Table.from_pydict(out, schema=PAGES_SCHEMA)
     return tbl.append_column("doc_id", batch.column("doc_id"))
+
+
+def inject_near_dup_embeddings(ids, mat, *, mod: int = 9, rem: int = 4, n_groups: int = 3, eps: float = 0.1):
+    """Deterministically replace the embeddings of rows with
+    ``vec_id % mod == rem`` by near-duplicates: group ``g = vec_id %
+    n_groups`` rows become ``normalize(e_g + eps * unit(v))`` — within
+    a group pairwise cosine ≈ 1/(1+eps²) ≈ 0.99, across groups ≈ 0;
+    the group index comes from ``(vec_id // mod) % n_groups`` (the
+    residue would be pinned by ``% mod`` whenever the moduli share a
+    factor).
+    The raw embeddings table has no near-dup pairs (max pairwise sim
+    ≈ 0.51), so SemDeDup-style queries inject these; pure numpy shared
+    by the Ray query and the sequential golden (same seam as the
+    incremental_dedup SHARED texts).  Returns a new float32 matrix."""
+    import numpy as np
+
+    ids = np.asarray(ids, dtype=np.int64)
+    mat = np.asarray(mat, dtype=np.float32)
+    m = (ids % mod) == rem
+    out = mat.copy()
+    if not m.any():
+        return out
+    sel = mat[m].astype(np.float64)
+    norms = np.linalg.norm(sel, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    unit = sel / norms
+    # group by the quotient, not the residue — ids % mod == rem pins
+    # ids % n_groups whenever gcd(mod, n_groups) > 1
+    g = ((ids[m] // mod) % n_groups).astype(np.int64)
+    base = np.zeros((n_groups, mat.shape[1]), dtype=np.float64)
+    base[np.arange(n_groups), np.arange(n_groups)] = 1.0
+    v = base[g] + eps * unit
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    out[m] = v.astype(np.float32)
+    return out

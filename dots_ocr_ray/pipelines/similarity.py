@@ -600,3 +600,109 @@ def dequantized_topk(
             "rank": pa.array(out_r, type=pa.int32()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: semantic dedup by within-cluster embedding similarity
+
+
+def semdedup_flags(ids: np.ndarray, mat: np.ndarray, threshold: float, block: int = 2048) -> np.ndarray:
+    """Pure SemDeDup flag kernel shared by the Ray stage and the
+    sequential golden oracle (Abbas et al. 2023, arXiv:2303.09540):
+    within one cluster, a vector is a semantic duplicate when ANY
+    lower-id vector's cosine similarity reaches ``threshold`` — the
+    min-id-survivor convention every dedup family in this repo uses.
+
+    Determinism contract: float64 unit vectors, sims rounded to 9
+    decimals BEFORE the compare (the assign_clusters_matrix rule), id
+    order via stable argsort — so block shape / BLAS summation order
+    cannot flip boundary pairs between engines.  Blocked matmul keeps
+    peak extra memory at ``block × n`` floats for any cluster size.
+
+    Returns a bool array aligned to the INPUT order (True = duplicate).
+    """
+    n = len(ids)
+    if n == 0:
+        return np.zeros(0, dtype=bool)
+    order = np.argsort(ids, kind="stable")
+    unit = _normalize_rows(mat[order].astype(np.float64))
+    dup_sorted = np.zeros(n, dtype=bool)
+    for s in range(0, n, block):
+        e = min(s + block, n)
+        blk = unit[s:e]
+        if s > 0:
+            sims = np.round(blk @ unit[:s].T, 9)
+            dup_sorted[s:e] |= (sims >= threshold).any(axis=1)
+        intra = np.round(blk @ blk.T, 9)
+        dup_sorted[s:e] |= (np.tril(intra, -1) >= threshold).any(axis=1)
+    out = np.zeros(n, dtype=bool)
+    out[order] = dup_sorted
+    return out
+
+
+def semdedup_prune(
+    ds: ray.data.Dataset,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_clusters: int = 8,
+    threshold: float = 0.96,
+    train_sample: int = 512,
+    kmeans_iters: int = 5,
+) -> ray.data.Dataset:
+    """SemDeDup over an embedding column: k-means partition, then
+    within-cluster cosine-threshold pruning (keep the min id of every
+    near-duplicate neighborhood).
+
+    Scale shape: the centroid TRAIN is the same O(sample) driver step
+    as :func:`kmeans_assign`; the ASSIGN is a zero-exchange broadcast
+    matmul; the prune is ONE groupby(cluster_id) exchange that ships
+    each vector exactly once, then a blocked in-group matmul.  The
+    partitioning assumption (documented per the custom-operator rule):
+    one CLUSTER must fit a worker's heap — size ``n_clusters`` ∝
+    corpus (SemDeDup's own regime, ~100k clusters at 100M+ docs) so
+    groups stay ~constant-size; a pathological hot cluster degrades to
+    a longer blocked loop, never to OOM-by-pairwise-matrix.
+
+    Output: one row per input vector — (id_col, cluster_id int32,
+    kept bool); row count is preserved so downstream semi-joins can
+    consume either side of the flag.
+    """
+    sample = hash_sample_matrix(ds, vec_col=vec_col, id_col=id_col, n=train_sample)
+    centroids = train_kmeans(sample, n_clusters, kmeans_iters)
+    centroids_ref = ray.put(centroids)
+
+    from dots_ocr_ray.util import cached_object, vec_matrix
+
+    def _assign(batch: pa.Table) -> pa.Table:
+        cents = cached_object(centroids_ref)
+        mat = vec_matrix(batch.column(vec_col), dtype=np.float32)
+        cid, _ = assign_clusters_matrix(mat, cents)
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "cluster_id": pa.array(cid, type=pa.int32()),
+                vec_col: batch.column(vec_col),
+            }
+        )
+
+    def _prune(group: pa.Table) -> pa.Table:
+        ids = group.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        mat = vec_matrix(group.column(vec_col), dtype=np.float32)
+        dup = semdedup_flags(ids, mat, threshold)
+        return pa.table(
+            {
+                id_col: pa.array(ids, type=pa.int64()),
+                "cluster_id": group.column("cluster_id"),
+                "kept": pa.array(~dup, type=pa.bool_()),
+            }
+        )
+
+    from dots_ocr_ray.util import bounded_blocks
+
+    assigned = ds.map_batches(_assign, batch_format="pyarrow")
+    return (
+        bounded_blocks(assigned, rows_per_block=65536)
+        .groupby("cluster_id")
+        .map_groups(_prune, batch_format="pyarrow")
+    )

@@ -30,6 +30,7 @@ def _canon(obj) -> pd.DataFrame:
     [
         "describe_docs",
         "kmeans_clusters",
+        "semdedup_docs",
         "host_pagerank",
         "chars_quantiles_approx",
         "dedup_minhash",

@@ -110,3 +110,75 @@ def test_quantize_embeddings_roundtrip_and_topk_overlap(ray_session):
         assert len(a[q] & b[q]) >= 4  # >= 80% overlap @5
         # the self-match (rank 1) must survive quantization
         assert q in a[q]
+
+
+def test_semdedup_flags_threshold_and_blocks():
+    """Greedy min-id-survivor rule; blocked path must equal one-shot."""
+    import numpy as np
+
+    from dots_ocr_ray.pipelines.similarity import semdedup_flags
+
+    # two tight groups + one singleton, shuffled id order
+    rng = np.random.RandomState(0)
+    d = 16
+    a = rng.standard_normal(d)
+    b = rng.standard_normal(d)
+    group_a = np.stack([a + 0.01 * rng.standard_normal(d) for _ in range(4)])
+    group_b = np.stack([b + 0.01 * rng.standard_normal(d) for _ in range(3)])
+    lone = rng.standard_normal((1, d))
+    mat = np.concatenate([group_a, group_b, lone]).astype(np.float32)
+    ids = np.array([30, 10, 20, 40, 55, 5, 15, 99], dtype=np.int64)
+    dup = semdedup_flags(ids, mat, threshold=0.95)
+    # survivor = min id per group: 10 (group a), 5 (group b), 99 alone
+    kept_ids = sorted(ids[~dup])
+    assert kept_ids == [5, 10, 99]
+    # block=1 and block=3 exercise the inter/intra block split paths
+    for blk in (1, 2, 3, 100):
+        assert (semdedup_flags(ids, mat, 0.95, block=blk) == dup).all()
+    # at an unreachable threshold nothing is pruned
+    assert not semdedup_flags(ids, mat, threshold=1.0000001).any()
+    assert semdedup_flags(np.empty(0, np.int64), np.empty((0, d)), 0.9).size == 0
+
+
+def test_semdedup_prune_matches_sequential(ray_session):
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    import ray.data
+
+    from dots_ocr_ray.fixtures import inject_near_dup_embeddings
+    from dots_ocr_ray.pipelines.similarity import semdedup_prune
+    from dots_ocr_ray.util import vec_matrix
+    import pyarrow as pa
+
+    sf = "/root/testdata/sf0.001"
+    ds = ray.data.read_parquet(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+    def _inject(batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        mat = inject_near_dup_embeddings(ids, vec_matrix(batch.column("embedding"), dtype=np.float32))
+        return pa.table(
+            {
+                "vec_id": batch.column("vec_id"),
+                "embedding": pa.array(list(mat), type=pa.list_(pa.float32())),
+            }
+        )
+
+    out = semdedup_prune(
+        ds.map_batches(_inject, batch_format="pyarrow"), threshold=0.95
+    ).to_pandas()
+    t = pq.read_table(f"{sf}/embeddings.parquet", columns=["vec_id"])
+    n = t.num_rows
+    assert len(out) == n
+    injected = set(
+        int(i) for i in t.column("vec_id").to_pylist() if int(i) % 9 == 4
+    )
+    pruned = set(out[~out.kept].vec_id)
+    assert pruned and pruned <= injected
+    # exactly one survivor per injected group
+    groups = {}
+    for i in injected:
+        groups.setdefault((i // 9) % 3, []).append(i)
+    for g, members in groups.items():
+        kept_members = [i for i in members if i not in pruned]
+        assert kept_members == [min(members)]

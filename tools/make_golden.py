@@ -402,6 +402,41 @@ def golden_kmeans_clusters(
 
 
 
+def golden_semdedup_docs(
+    sf_dir: str,
+    *,
+    n_clusters: int = 8,
+    threshold: float = 0.95,
+    train_sample: int = 512,
+    kmeans_iters: int = 5,
+) -> pa.Table:
+    """Sequential mirror of pipelines.similarity.semdedup_prune over
+    the near-dup-injected embeddings: same injection, same sample /
+    train / assign kernels, same shared semdedup_flags rule."""
+    from dots_ocr_ray.fixtures import inject_near_dup_embeddings
+    from dots_ocr_ray.pipelines.similarity import semdedup_flags
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = t.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    mat = np.asarray(t.column("embedding").to_pylist(), dtype=np.float32)
+    mat = inject_near_dup_embeddings(ids, mat)
+    h = knuth_hash32(ids)
+    order = np.lexsort((ids, h))[:train_sample]
+    centroids = train_kmeans(_normalize_rows(mat[order].astype(np.float32)), n_clusters, kmeans_iters)
+    cid, _ = assign_clusters_matrix(mat, centroids)
+    kept = np.ones(len(ids), dtype=bool)
+    for c in np.unique(cid):
+        m = cid == c
+        kept[m] = ~semdedup_flags(ids[m], mat[m], threshold)
+    return pa.table(
+        {
+            "vec_id": pa.array(ids, type=pa.int64()),
+            "cluster_id": pa.array(cid, type=pa.int32()),
+            "kept": pa.array(kept, type=pa.bool_()),
+        }
+    )
+
+
 def golden_host_pagerank(sf_dir: str, *, num_iters: int = 5, damping: float = 0.85) -> pa.Table:
     """Sequential PageRank over the deterministic host-edge fixture
     (pipelines/graph.py:host_edges_from_documents); rank reported
@@ -539,6 +574,7 @@ def golden_table_profile(sf_dir: str) -> pa.Table:
 
 GOLDEN_BUILDERS = {
     "kmeans_clusters": golden_kmeans_clusters,
+    "semdedup_docs": golden_semdedup_docs,
     "host_pagerank": golden_host_pagerank,
     "describe_docs": golden_describe_docs,
     "chars_quantiles_approx": golden_chars_quantiles_approx,
