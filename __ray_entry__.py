@@ -1584,6 +1584,42 @@ def _q_semdedup_docs(sf_dir: str):
     return semdedup_prune(ds.map_batches(_inject, batch_format="pyarrow"), threshold=0.95)
 
 
+def _dsir_inputs(sf_dir: str):
+    import pyarrow.compute as _pc
+
+    import ray.data
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def _target(batch):
+        ids = batch.column("doc_id")
+        rem = _pc.subtract(ids, _pc.multiply(_pc.divide(ids, 11), 11))
+        return batch.filter(_pc.equal(rem, 2))
+
+    return docs, docs.map_batches(_target, batch_format="pyarrow")
+
+
+def _q_dsir_scores(sf_dir: str):
+    """DSIR importance log-weights (Xie et al. 2023): hashed-ngram
+    distributions of raw corpus vs the doc_id%11==2 target domain in
+    one mergeable-partial pass each, llr broadcast, zero-exchange
+    scoring.  Golden-parquet oracle (make_golden.golden_dsir_scores,
+    same pure kernels sequentially)."""
+    from dots_ocr_ray.pipelines.curation import dsir_scores
+
+    docs, target = _dsir_inputs(sf_dir)
+    return dsir_scores(docs, target)
+
+
+def _q_dsir_sample(sf_dir: str):
+    """Gumbel-top-64 DSIR resample (sampling w/o replacement ∝ w,
+    deterministic per-id Gumbel noise).  Golden-parquet oracle."""
+    from dots_ocr_ray.pipelines.curation import dsir_resample
+
+    docs, target = _dsir_inputs(sf_dir)
+    return dsir_resample(docs, target, 64)
+
+
 def _q_ann_ivf_topk(sf_dir: str):
     import numpy as np
     import pyarrow.parquet as pq
@@ -2431,6 +2467,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_topk": _q_ann_ivf_topk,
         "kmeans_clusters": _q_kmeans_clusters,
         "semdedup_docs": _q_semdedup_docs,
+        "dsir_scores": _q_dsir_scores,
+        "dsir_sample": _q_dsir_sample,
         "label_centroids": _q_label_centroids,
         "normalized_texts": _q_normalized_texts,
         "model_quality_scores": _q_model_quality_scores,
@@ -2923,6 +2961,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_topk": f"SELECT query_id, vec_id, rank FROM read_parquet('{_GOLDEN_DIR}/ann_ivf_topk.parquet')",
         "kmeans_clusters": f"SELECT vec_id, cluster_id, sim FROM read_parquet('{_GOLDEN_DIR}/kmeans_clusters.parquet')",
         "semdedup_docs": f"SELECT vec_id, cluster_id, kept FROM read_parquet('{_GOLDEN_DIR}/semdedup_docs.parquet')",
+        "dsir_scores": f"SELECT doc_id, logw, n_feats FROM read_parquet('{_GOLDEN_DIR}/dsir_scores.parquet')",
+        "dsir_sample": f"SELECT doc_id, logw, key FROM read_parquet('{_GOLDEN_DIR}/dsir_sample.parquet')",
         "model_quality_scores": (
             "SELECT doc_id, round(1.0/(1.0+exp(-(-2.0 + 0.5*ln(1+nw) + 2.0*ar + 0.25*ln(1+nc)))), 4) AS score, "
             "(1.0/(1.0+exp(-(-2.0 + 0.5*ln(1+nw) + 2.0*ar + 0.25*ln(1+nc)))) >= 0.5) AS keep FROM ("

@@ -1,0 +1,181 @@
+"""DSIR-style data selection: hashed n-gram importance resampling
+(Xie et al. 2023, arXiv:2302.03169).
+
+Select raw-corpus documents that look like a TARGET domain: learn
+bag-of-hashed-ngram distributions for the raw corpus (q) and the
+target (p), score every raw document with its importance log-weight
+``log w(x) = Σ_f c_f(x) · (log p_f − log q_f)``, and resample the
+top-k under deterministic Gumbel perturbation (Gumbel-top-k ==
+sampling without replacement ∝ w).
+
+Scale shape (nothing here ever shuffles):
+
+* both distributions are ONE streaming pass of mergeable ``dim``-sized
+  integer count partials (the HLL-partial idiom from
+  functions/sketches.py) — the driver merge handles n_blocks × dim
+  int64 rows, kilobytes at the paper's dim=10k regardless of corpus;
+* the log-likelihood-ratio vector broadcasts once via ``ray.put``;
+* scoring is a zero-exchange ``map_batches`` gather-sum;
+* resampling is per-batch local top-k + a tiny driver merge
+  (n_blocks × k rows), the engine-wide top-k idiom.
+
+Determinism contract (both the Ray path and the sequential golden):
+distribution counts are exact int64; per-document scores sum
+``llr[feats]`` in document feature order (fixed by the shared
+tokenizer, independent of batch shape); the Gumbel noise is a pure
+function of the doc id (Knuth hash → uniform → −log(−log u)), never a
+RNG.  Reference has no counterpart — this module belongs to the
+training-data layer, like pipelines/dedup.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from dots_ocr_ray.functions.hashing import stable_u64
+from dots_ocr_ray.util import cached_object, round_half_away
+
+_BIGRAM_B = np.uint64(0x9E3779B97F4A7C15)  # odd multiplier, u64 wraparound
+
+
+def hashed_ngram_features(text: str, dim: int) -> np.ndarray:
+    """Hashed unigram+bigram feature ids of one document, in document
+    order (unigrams first) — the pure kernel shared by the Ray stages
+    and the sequential golden.  One blake2b per WORD; bigrams combine
+    word hashes with a numpy multiply-add (the shingles() idiom)."""
+    words = (text or "").lower().split()
+    if not words:
+        return np.empty(0, dtype=np.int64)
+    wh = np.fromiter((stable_u64(w) for w in words), dtype=np.uint64, count=len(words))
+    uni = wh % np.uint64(dim)
+    if len(words) > 1:
+        bi = (wh[:-1] * _BIGRAM_B + wh[1:]) % np.uint64(dim)
+        return np.concatenate([uni, bi]).astype(np.int64)
+    return uni.astype(np.int64)
+
+
+def ngram_distribution(
+    ds: ray.data.Dataset, *, text_col: str = "text", dim: int = 8192
+) -> np.ndarray:
+    """Exact hashed-ngram count vector of a corpus: per-batch int64
+    bincount partials, summed on the driver (n_blocks × dim int64 —
+    kilobytes, never corpus-proportional)."""
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        counts = np.zeros(dim, dtype=np.int64)
+        for t in batch.column(text_col).to_pylist():
+            feats = hashed_ngram_features(t, dim)
+            if feats.size:
+                counts += np.bincount(feats, minlength=dim)
+        return pa.table({"counts": pa.array([counts], type=pa.list_(pa.int64()))})
+
+    total = np.zeros(dim, dtype=np.int64)
+    for b in ds.map_batches(_partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for row in b.column("counts").to_pylist():
+            total += np.asarray(row, dtype=np.int64)
+    return total
+
+
+def log_likelihood_ratio(
+    target_counts: np.ndarray, raw_counts: np.ndarray, *, alpha: float = 1.0
+) -> np.ndarray:
+    """Laplace-smoothed ``log p_f − log q_f`` (float64)."""
+    dim = len(raw_counts)
+    p = (target_counts + alpha) / (target_counts.sum() + alpha * dim)
+    q = (raw_counts + alpha) / (raw_counts.sum() + alpha * dim)
+    return np.log(p) - np.log(q)
+
+
+def gumbel_keys(ids: np.ndarray) -> np.ndarray:
+    """Deterministic per-id Gumbel(0,1) noise: Knuth multiplicative
+    hash → uniform (i+0.5)/2^32 → −log(−log u).  Engine-independent
+    (no RNG), so Gumbel-top-k resampling is reproducible anywhere."""
+    h = (ids.astype(np.int64) * 2654435761) & 0xFFFFFFFF
+    u = (h.astype(np.float64) + 0.5) / 4294967296.0
+    return -np.log(-np.log(u))
+
+
+def dsir_scores(
+    docs: ray.data.Dataset,
+    target: ray.data.Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 8192,
+    alpha: float = 1.0,
+) -> ray.data.Dataset:
+    """Importance log-weight per raw document (id, logw, n_feats);
+    ``logw`` is rounded half-away to 6 decimals for cross-engine
+    stability.  ``docs`` is consumed twice (distribution + scoring) —
+    pass a re-executable dataset."""
+    raw_counts = ngram_distribution(docs, text_col=text_col, dim=dim)
+    target_counts = ngram_distribution(target, text_col=text_col, dim=dim)
+    llr_ref = ray.put(log_likelihood_ratio(target_counts, raw_counts, alpha=alpha))
+
+    def _score(batch: pa.Table) -> pa.Table:
+        llr = cached_object(llr_ref)
+        logw, nf = [], []
+        for t in batch.column(text_col).to_pylist():
+            feats = hashed_ngram_features(t, dim)
+            logw.append(float(llr[feats].sum()) if feats.size else 0.0)
+            nf.append(int(feats.size))
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "logw": pa.array(round_half_away(np.asarray(logw), 6), type=pa.float64()),
+                "n_feats": pa.array(nf, type=pa.int64()),
+            }
+        )
+
+    return docs.map_batches(_score, batch_format="pyarrow")
+
+
+def dsir_resample(
+    docs: ray.data.Dataset,
+    target: ray.data.Dataset,
+    k: int,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 8192,
+    alpha: float = 1.0,
+) -> pa.Table:
+    """Gumbel-top-k importance resampling: the k raw docs with the
+    largest ``logw + gumbel(id)`` — equivalent to sampling k docs
+    without replacement with probability ∝ w.  Per-batch local top-k,
+    merged on the driver (n_blocks × k rows).  Returns
+    (id_col, logw, key) sorted by key desc, id asc on ties."""
+    scored = dsir_scores(
+        docs, target, text_col=text_col, id_col=id_col, dim=dim, alpha=alpha
+    )
+
+    def _local_topk(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        logw = batch.column("logw").to_numpy(zero_copy_only=False)
+        key = round_half_away(logw + gumbel_keys(ids), 6)
+        order = np.lexsort((ids, -key))[:k]
+        return pa.table(
+            {
+                id_col: pa.array(ids[order], type=pa.int64()),
+                "logw": pa.array(logw[order], type=pa.float64()),
+                "key": pa.array(key[order], type=pa.float64()),
+            }
+        )
+
+    parts = []
+    for b in scored.map_batches(_local_topk, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        if b.num_rows:
+            parts.append(b)
+    merged = pa.concat_tables(parts) if parts else _local_topk(pa.table({id_col: pa.array([], pa.int64()), "logw": pa.array([], pa.float64())}))
+    ids = merged.column(id_col).to_numpy(zero_copy_only=False)
+    key = merged.column("key").to_numpy(zero_copy_only=False)
+    order = np.lexsort((ids, -key))[:k]
+    return merged.take(pa.array(order, type=pa.int64()))

@@ -1,0 +1,84 @@
+"""DSIR importance-resampling kernels and pipeline behavior."""
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+from dots_ocr_ray.pipelines.curation import (
+    dsir_resample,
+    dsir_scores,
+    gumbel_keys,
+    hashed_ngram_features,
+    log_likelihood_ratio,
+    ngram_distribution,
+)
+
+
+def test_hashed_ngram_features():
+    f = hashed_ngram_features("a b c", 1024)
+    assert f.shape == (5,)  # 3 unigrams + 2 bigrams
+    assert ((0 <= f) & (f < 1024)).all()
+    # case-insensitive, whitespace-agnostic, deterministic
+    assert (hashed_ngram_features("A  B\tC", 1024) == f).all()
+    assert hashed_ngram_features("", 1024).size == 0
+    assert hashed_ngram_features(None, 1024).size == 0
+    assert hashed_ngram_features("solo", 1024).shape == (1,)
+
+
+def test_llr_and_gumbel_determinism():
+    raw = np.array([10, 10, 10, 10], dtype=np.int64)
+    tgt = np.array([20, 0, 0, 0], dtype=np.int64)
+    llr = log_likelihood_ratio(tgt, raw)
+    assert llr[0] > 0 > llr[1]  # target-heavy feature up, absent down
+    ids = np.arange(100, dtype=np.int64)
+    g = gumbel_keys(ids)
+    assert (g == gumbel_keys(ids)).all()
+    assert np.isfinite(g).all()
+    assert len(np.unique(g)) == 100
+
+
+def test_dsir_prefers_target_like_docs(ray_session):
+    # target vocabulary is disjoint from the background vocabulary —
+    # docs written in target words must outscore background docs
+    target_texts = ["quantum flux lattice " * 4] * 6
+    noise_texts = [f"common filler words row {i}" for i in range(20)]
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(26), type=pa.int64()),
+                "text": pa.array(target_texts[:3] + noise_texts + target_texts[3:]),
+            }
+        )
+    )
+    target = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(100, 106), type=pa.int64()),
+                "text": pa.array(target_texts),
+            }
+        )
+    )
+    out = dsir_scores(docs, target).to_pandas().set_index("doc_id")
+    target_ids = [0, 1, 2, 23, 24, 25]
+    lo_target = min(out.loc[i, "logw"] for i in target_ids)
+    hi_noise = max(
+        out.loc[i, "logw"] for i in out.index if i not in target_ids
+    )
+    assert lo_target > hi_noise
+    sample = dsir_resample(docs, target, 6).to_pandas()
+    assert len(sample) == 6
+    # importance-weighted sampling must pull in all target-like docs
+    assert set(target_ids) <= set(sample.doc_id)
+
+
+def test_ngram_distribution_matches_sequential(ray_session):
+    texts = ["alpha beta gamma", "beta gamma", "", "alpha alpha"]
+    ds = ray.data.from_arrow(pa.table({"text": pa.array(texts)}))
+    dist = ngram_distribution(ds, dim=512)
+    seq = np.zeros(512, dtype=np.int64)
+    for t in texts:
+        f = hashed_ngram_features(t, 512)
+        if f.size:
+            seq += np.bincount(f, minlength=512)
+    assert (dist == seq).all()

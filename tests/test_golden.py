@@ -31,6 +31,8 @@ def _canon(obj) -> pd.DataFrame:
         "describe_docs",
         "kmeans_clusters",
         "semdedup_docs",
+        "dsir_scores",
+        "dsir_sample",
         "host_pagerank",
         "chars_quantiles_approx",
         "dedup_minhash",

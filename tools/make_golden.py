@@ -437,6 +437,63 @@ def golden_semdedup_docs(
     )
 
 
+def _dsir_scores_seq(sf_dir: str, *, dim: int = 8192, alpha: float = 1.0):
+    """Sequential DSIR scores over the documents table; target domain
+    = rows with doc_id % 11 == 2.  Shares the pure kernels
+    (hashed_ngram_features, log_likelihood_ratio, gumbel_keys) with
+    pipelines/curation.py."""
+    from dots_ocr_ray.pipelines.curation import (
+        hashed_ngram_features,
+        log_likelihood_ratio,
+    )
+    from dots_ocr_ray.util import round_half_away
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    texts = t.column("text").to_pylist()
+    feats = [hashed_ngram_features(x, dim) for x in texts]
+    raw = np.zeros(dim, dtype=np.int64)
+    tgt = np.zeros(dim, dtype=np.int64)
+    for i, f in zip(ids, feats):
+        if f.size:
+            c = np.bincount(f, minlength=dim)
+            raw += c
+            if i % 11 == 2:
+                tgt += c
+    llr = log_likelihood_ratio(tgt, raw, alpha=alpha)
+    logw = np.array(
+        [float(llr[f].sum()) if f.size else 0.0 for f in feats], dtype=np.float64
+    )
+    return ids, round_half_away(logw, 6), np.array([f.size for f in feats], np.int64)
+
+
+def golden_dsir_scores(sf_dir: str) -> pa.Table:
+    ids, logw, nf = _dsir_scores_seq(sf_dir)
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "logw": pa.array(logw, type=pa.float64()),
+            "n_feats": pa.array(nf, type=pa.int64()),
+        }
+    )
+
+
+def golden_dsir_sample(sf_dir: str, *, k: int = 64) -> pa.Table:
+    from dots_ocr_ray.pipelines.curation import gumbel_keys
+    from dots_ocr_ray.util import round_half_away
+
+    ids, logw, _ = _dsir_scores_seq(sf_dir)
+    key = round_half_away(logw + gumbel_keys(ids), 6)
+    order = np.lexsort((ids, -key))[:k]
+    return pa.table(
+        {
+            "doc_id": pa.array(ids[order], type=pa.int64()),
+            "logw": pa.array(logw[order], type=pa.float64()),
+            "key": pa.array(key[order], type=pa.float64()),
+        }
+    )
+
+
 def golden_host_pagerank(sf_dir: str, *, num_iters: int = 5, damping: float = 0.85) -> pa.Table:
     """Sequential PageRank over the deterministic host-edge fixture
     (pipelines/graph.py:host_edges_from_documents); rank reported
@@ -575,6 +632,8 @@ def golden_table_profile(sf_dir: str) -> pa.Table:
 GOLDEN_BUILDERS = {
     "kmeans_clusters": golden_kmeans_clusters,
     "semdedup_docs": golden_semdedup_docs,
+    "dsir_scores": golden_dsir_scores,
+    "dsir_sample": golden_dsir_sample,
     "host_pagerank": golden_host_pagerank,
     "describe_docs": golden_describe_docs,
     "chars_quantiles_approx": golden_chars_quantiles_approx,
