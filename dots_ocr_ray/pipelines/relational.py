@@ -396,28 +396,23 @@ def hash_join(
     # columns as TYPED nulls (dropped again inside the merge)
     import pandas as pd
 
-    def _merge(group: pd.DataFrame) -> pd.DataFrame:
-        lhs = group[group["__side"] == 0][left_cols]
-        rhs = group[group["__side"] == 1][right_cols]
+    def _merge(group: pa.Table) -> pa.Table:
+        # Arrow-backed pandas dtypes: an int64 column carrying the
+        # other side's null padding stays int64[pyarrow] instead of
+        # round-tripping through float64 — full-range 64-bit ids (60-bit
+        # md5-prefix doc_ids, blake2 hash keys) would otherwise corrupt
+        # above 2^53 and silently MISS a subsequent join on that column
+        df = group.to_pandas(types_mapper=pd.ArrowDtype)
+        lhs = df[df["__side"] == 0][left_cols]
+        rhs = df[df["__side"] == 1][right_cols]
         if how in ("semi", "anti"):
             hit = lhs[on].isin(rhs[on].unique())
-            out = lhs[hit if how == "semi" else ~hit].copy()
+            out = lhs[hit if how == "semi" else ~hit]
         else:
             out = lhs.merge(rhs, on=on, how=how, suffixes=("", suffix))
-        # the union's typed-null padding upcasts int columns to float64
-        # in the per-bucket frame; restore integer dtype wherever no
-        # null remains (left-join unmatched rows legitimately stay NaN)
-        for c in out.columns:
-            base = c[: -len(suffix)] if c.endswith(suffix) else c
-            t = types.get(base)
-            if (
-                t is not None
-                and pa.types.is_integer(t)
-                and out[c].dtype.kind == "f"
-                and not out[c].isna().any()
-            ):
-                out[c] = out[c].astype("int64")
-        return out
+        # drop the pandas-metadata blob so downstream schema hashing /
+        # union sees clean identical schemas across buckets
+        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
 
     def _pad(cols_present: list[str], all_cols: list[str]):
         def _fn(batch: pa.Table) -> pa.Table:
@@ -444,7 +439,7 @@ def hash_join(
     from dots_ocr_ray.util import bounded_blocks
 
     tagged = bounded_blocks(tagged, rows_per_block=262144)
-    return tagged.groupby("__bucket").map_groups(_merge, batch_format="pandas")
+    return tagged.groupby("__bucket").map_groups(_merge, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------

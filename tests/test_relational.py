@@ -596,3 +596,34 @@ def test_zscore_outliers(ray_session):
     got = set(out["v"])
     assert got == set(df.loc[list(exp), "v"])
     assert {500.0, -300.0} <= got
+
+
+def test_hash_join_full_range_int64(ray_session):
+    """Non-key int64 columns must survive the bucket exchange exactly:
+    the union's typed-null padding once round-tripped them through
+    float64 (lossy above 2^53), silently missing any subsequent join on
+    that column — 60-bit md5-prefix doc_ids hit this."""
+    import pyarrow as pa
+
+    import ray.data
+
+    from dots_ocr_ray.pipelines.relational import hash_join
+
+    big = [(1 << 59) + i for i in (7, 8, 9)] + [(1 << 60) - 3]
+    left = ray.data.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([1, 2, 3, 4], pa.int64()),
+                "payload_id": pa.array(big, pa.int64()),
+            }
+        )
+    )
+    right = ray.data.from_arrow(
+        pa.table({"k": pa.array([1, 2, 4], pa.int64()), "w": pa.array([10, 20, 40], pa.int64())})
+    )
+    inner = {r["payload_id"]: r["w"] for r in hash_join(left, right, on="k").take_all()}
+    assert inner == {big[0]: 10, big[1]: 20, big[3]: 40}
+    left_rows = sorted(
+        (r["k"], r["payload_id"], r["w"]) for r in hash_join(left, right, on="k", how="left").take_all()
+    )
+    assert left_rows == [(1, big[0], 10), (2, big[1], 20), (3, big[2], None), (4, big[3], 40)]
