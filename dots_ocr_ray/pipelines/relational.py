@@ -532,14 +532,18 @@ def range_join(
             "__side", pa.array(np.ones(out.num_rows, np.int8), type=pa.int8())
         )
 
-    def _merge(group: pd.DataFrame) -> pd.DataFrame:
+    def _merge(group: pa.Table) -> pa.Table:
         # sorted interval match, NOT a cross product: sort the bucket's
         # right values once, then two vectorized searchsorted calls per
         # bucket find each interval's matching run — work and memory are
         # O(n log n + matches), where the cross-product merge this
-        # replaced was O(nl × nr) rows materialized per bucket
-        lhs = group[group["__side"] == 0][left_cols].reset_index(drop=True)
-        rhs = group[group["__side"] == 1][right_cols].reset_index(drop=True)
+        # replaced was O(nl × nr) rows materialized per bucket.
+        # Arrow-backed dtypes: int64 passthrough columns carrying the
+        # other side's null padding must not round-trip through float64
+        # (lossy above 2^53 — the hash_join rule)
+        df = group.to_pandas(types_mapper=pd.ArrowDtype)
+        lhs = df[df["__side"] == 0][left_cols].reset_index(drop=True)
+        rhs = df[df["__side"] == 1][right_cols].reset_index(drop=True)
         val_col = right_on if right_on not in left_cols else right_on + suffix
         order = np.argsort(rhs[right_on].to_numpy(), kind="stable")
         rhs = rhs.iloc[order].reset_index(drop=True)
@@ -562,17 +566,7 @@ def range_join(
             axis=1,
         )
         out = out.drop(columns=[c for c in out.columns if c not in all_cols and c != val_col])
-        for c in out.columns:
-            base = c[: -len(suffix)] if c.endswith(suffix) else c
-            t = types.get(base)
-            if (
-                t is not None
-                and pa.types.is_integer(t)
-                and out[c].dtype.kind == "f"
-                and not out[c].isna().any()
-            ):
-                out[c] = out[c].astype("int64")
-        return out
+        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
 
     from dots_ocr_ray.util import bounded_blocks
 
@@ -580,7 +574,7 @@ def range_join(
         right.map_batches(_tag_right, batch_format="pyarrow")
     )
     tagged = bounded_blocks(tagged, rows_per_block=262144)
-    return tagged.groupby("__bucket").map_groups(_merge, batch_format="pandas")
+    return tagged.groupby("__bucket").map_groups(_merge, batch_format="pyarrow")
 
 
 def exact_int_quantiles_by_key(
@@ -1021,9 +1015,23 @@ def skew_join(
             left, right, on=on, how=how, suffix=suffix,
             left_schema=left_schema, right_schema=right_schema,
         )
-    hot_right_df = hot_right.to_pandas()
+    # Arrow-backed dtypes end-to-end in the hot-path merge: a plain
+    # to_pandas would float64-upcast int64 columns under left-join
+    # nulls (lossy above 2^53 — the hash_join rule)
+    _hot_batches = list(hot_right.iter_batches(batch_format="pyarrow"))
+    hot_right_tbl = (
+        pa.concat_tables(_hot_batches)
+        if _hot_batches
+        else pa.table(
+            {
+                n: pa.array([], type=t)
+                for n, t in zip(right_schema.names, right_schema.types)
+            }
+        )
+    )
+    hot_right_df = hot_right_tbl.to_pandas(types_mapper=pd.ArrowDtype)
     # pre-apply the suffix the same way hash_join does, and pin the
-    # output schema so empty batches and left-join NaN upcasts stay
+    # output schema so empty batches and left-join null typing stay
     # union-compatible with the cold path
     overlap = {
         c for c in right_schema.names if c != on and c in set(left_schema.names)
@@ -1046,19 +1054,16 @@ def skew_join(
 
     def _hot_local_join(batch: pa.Table) -> pa.Table:
         rdf = cached_object(hot_ref)
-        ldf = batch.filter(pc.is_in(batch.column(on), value_set=hot_keys)).to_pandas()
+        ldf = batch.filter(pc.is_in(batch.column(on), value_set=hot_keys)).to_pandas(
+            types_mapper=pd.ArrowDtype
+        )
         if not len(ldf):
             return pa.table(
                 {n: pa.array([], type=t) for n, t in out_fields}
             )
         merged = ldf.merge(rdf, on=on, how=how, suffixes=("", suffix), sort=False)
-        cols = {}
-        for n, t in out_fields:
-            col = merged[n]
-            if pa.types.is_integer(t) and col.dtype.kind == "f" and not col.isna().any():
-                col = col.astype("int64")
-            cols[n] = pa.array(col, type=t) if not col.isna().any() else pa.array(col)
-        return pa.table(cols)
+        tbl = pa.Table.from_pandas(merged, preserve_index=False)
+        return pa.table({n: tbl.column(n).cast(t) for n, t in out_fields})
 
     hot_joined = left.map_batches(_hot_local_join, batch_format="pyarrow")
     cold_left = left.map_batches(

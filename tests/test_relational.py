@@ -627,3 +627,50 @@ def test_hash_join_full_range_int64(ray_session):
         (r["k"], r["payload_id"], r["w"]) for r in hash_join(left, right, on="k", how="left").take_all()
     )
     assert left_rows == [(1, big[0], 10), (2, big[1], 20), (3, big[2], None), (4, big[3], 40)]
+
+
+def test_range_and_skew_join_full_range_int64(ray_session):
+    """The same above-2^53 exactness contract for the band join's
+    passthrough columns and the skew join's hot broadcast path."""
+    import pyarrow as pa
+
+    import ray.data
+
+    from dots_ocr_ray.pipelines.relational import range_join, skew_join
+
+    big = [(1 << 59) + i for i in (1, 2, 3)]
+    left = ray.data.from_arrow(
+        pa.table(
+            {
+                "lo": pa.array([0.0, 10.0, 20.0]),
+                "hi": pa.array([5.0, 15.0, 25.0]),
+                "pid": pa.array(big, pa.int64()),
+            }
+        )
+    )
+    right = ray.data.from_arrow(
+        pa.table({"val": pa.array([1.0, 12.0, 99.0]), "rid": pa.array([(1 << 60) - 7, (1 << 60) - 8, (1 << 60) - 9], pa.int64())})
+    )
+    got = sorted(
+        (r["pid"], r["rid"]) for r in range_join(
+            left, right, left_lo="lo", left_hi="hi", right_on="val", bucket_width=10.0
+        ).take_all()
+    )
+    assert got == [(big[0], (1 << 60) - 7), (big[1], (1 << 60) - 8)]
+
+    sl = ray.data.from_arrow(
+        pa.table({"k": pa.array([1, 1, 2], pa.int64()), "pid": pa.array(big, pa.int64())})
+    )
+    sr = ray.data.from_arrow(
+        pa.table({"k": pa.array([1, 3], pa.int64()), "rid": pa.array([(1 << 60) - 5, (1 << 60) - 6], pa.int64())})
+    )
+    out = sorted(
+        (r["k"], r["pid"], r["rid"]) for r in skew_join(
+            sl, sr, on="k", how="left", hot_threshold=2
+        ).take_all()
+    )
+    assert out == [
+        (1, big[0], (1 << 60) - 5),
+        (1, big[1], (1 << 60) - 5),
+        (2, big[2], None),
+    ]
