@@ -1620,6 +1620,31 @@ def _q_dsir_sample(sf_dir: str):
     return dsir_resample(docs, target, 64)
 
 
+def _q_decontaminate_docs(sf_dir: str):
+    """Benchmark n-gram decontamination (GPT-3 13-gram rule at k=8):
+    every 8-token gram of the doc_id%97==3 benchmark set marks its
+    covered span in the whole corpus; covered tokens are cut and the
+    text rebuilt (bench docs self-erase, clean docs pass through
+    normalized).  Inline SQL oracle: the same window-function k-gram
+    construction as substring_dedup_docs, with the duplicate table
+    replaced by the bench gram set."""
+    import ray.data
+
+    from dots_ocr_ray.pipelines.curation import ngram_decontaminate
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def _bench(batch):
+        import pyarrow.compute as _pc
+
+        ids = batch.column("doc_id")
+        rem = _pc.subtract(ids, _pc.multiply(_pc.divide(ids, 97), 97))
+        return batch.filter(_pc.equal(rem, 3))
+
+    bench = docs.map_batches(_bench, batch_format="pyarrow")
+    return ngram_decontaminate(docs, bench, k=8, mode="cut")
+
+
 def _q_ann_ivf_topk(sf_dir: str):
     import numpy as np
     import pyarrow.parquet as pq
@@ -2469,6 +2494,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semdedup_docs": _q_semdedup_docs,
         "dsir_scores": _q_dsir_scores,
         "dsir_sample": _q_dsir_sample,
+        "decontaminate_docs": _q_decontaminate_docs,
         "label_centroids": _q_label_centroids,
         "normalized_texts": _q_normalized_texts,
         "model_quality_scores": _q_model_quality_scores,
@@ -2692,6 +2718,30 @@ def oracle_sql() -> dict[str, str]:
             "FROM toks t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.ord = c.ord "
             "GROUP BY t.doc_id) "
             "SELECT d.doc_id, coalesce(a.text_sub, '') AS text_sub, "
+            "CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept, "
+            "CAST(coalesce(a.n_dropped, 0) AS BIGINT) AS n_dropped "
+            "FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id"
+        ),
+        # n-gram decontamination: same k-gram window construction as
+        # substring_dedup_docs, duplicate table → bench gram set
+        "decontaminate_docs": (
+            r"WITH toks AS (SELECT doc_id, t.tok, t.ord FROM documents, "
+            r"LATERAL (SELECT unnest(list_filter(regexp_split_to_array(coalesce(text,''), '\s+'), x -> x <> '')) AS tok, "
+            r"generate_subscripts(list_filter(regexp_split_to_array(coalesce(text,''), '\s+'), x -> x <> ''), 1) AS ord) t), "
+            "grams AS (SELECT doc_id, ord, list(tok) OVER (PARTITION BY doc_id "
+            "ORDER BY ord ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS g FROM toks), "
+            "g8 AS (SELECT doc_id, ord, array_to_string(g, ' ') AS gram FROM grams WHERE len(g) = 8), "
+            "bench AS (SELECT DISTINCT gram FROM g8 WHERE doc_id % 97 = 3), "
+            "cov AS (SELECT DISTINCT t.doc_id, t.ord FROM toks t "
+            "JOIN (SELECT doc_id, ord FROM g8 WHERE gram IN (SELECT gram FROM bench)) s "
+            "ON t.doc_id = s.doc_id AND t.ord BETWEEN s.ord AND s.ord + 7), "
+            "agg AS (SELECT t.doc_id, "
+            "string_agg(t.tok, ' ' ORDER BY t.ord) FILTER (WHERE c.ord IS NULL) AS text_decon, "
+            "count(*) FILTER (WHERE c.ord IS NULL) AS n_kept, "
+            "count(*) FILTER (WHERE c.ord IS NOT NULL) AS n_dropped "
+            "FROM toks t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.ord = c.ord "
+            "GROUP BY t.doc_id) "
+            "SELECT d.doc_id, coalesce(a.text_decon, '') AS text_decon, "
             "CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept, "
             "CAST(coalesce(a.n_dropped, 0) AS BIGINT) AS n_dropped "
             "FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id"

@@ -179,3 +179,112 @@ def dsir_resample(
     key = merged.column("key").to_numpy(zero_copy_only=False)
     order = np.lexsort((ids, -key))[:k]
     return merged.take(pa.array(order, type=pa.int64()))
+
+
+# ---------------------------------------------------------------------------
+# benchmark n-gram decontamination (GPT-3 appendix-C style)
+
+
+def bench_gram_hashes(
+    bench: ray.data.Dataset, *, text_col: str = "text", k: int = 8
+) -> np.ndarray:
+    """Sorted distinct k-gram hashes of a benchmark corpus: per-batch
+    ``np.unique`` partials, merged once on the driver.  Benchmarks are
+    small by nature (the whole point of decontamination), so the
+    driver holds one u64 per DISTINCT bench gram — megabytes for any
+    real eval suite."""
+    from dots_ocr_ray.pipelines.substring import (
+        _flat_gram_hashes,
+        _hash_tokens,
+        _tokens_from_batch,
+    )
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        tok_vals, offsets, _ = _tokens_from_batch(batch.column(text_col))
+        _, hashes = _flat_gram_hashes(_hash_tokens(tok_vals), offsets, k)
+        return pa.table(
+            {"gram": pa.array(np.unique(hashes).view(np.int64), type=pa.int64())}
+        )
+
+    parts = [
+        b.column("gram").to_numpy(zero_copy_only=False)
+        for b in bench.map_batches(_partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        )
+        if b.num_rows
+    ]
+    if not parts:
+        return np.empty(0, dtype=np.int64)
+    return np.unique(np.concatenate(parts))
+
+
+def ngram_decontaminate(
+    docs: ray.data.Dataset,
+    bench: ray.data.Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    mode: str = "cut",
+) -> ray.data.Dataset:
+    """Remove benchmark contamination from a training corpus: any
+    k-token gram that appears anywhere in ``bench`` marks its covered
+    token span (GPT-3's 13-gram rule; ``k`` configurable).  Gram
+    identity is the substring_dedup hash contract — equal sequences
+    always collide, unequal collide at ~2^-64.
+
+    ``mode="cut"`` removes every covered token and rebuilds the text
+    (Lee-et-al-style span surgery → ``(id, text_decon, n_kept,
+    n_dropped)``); ``mode="flag"`` only reports ``(id, n_hits,
+    contaminated)`` where ``n_hits`` counts matching gram positions.
+
+    Scale shape: ONE broadcast of the sorted bench-gram array
+    (``ray.put``, per-worker cached) + one zero-exchange streaming
+    pass over the corpus — per batch, a vectorized searchsorted
+    membership probe and (cut mode) the difference-array coverage
+    cumsum substring_dedup uses.  The corpus text never reships."""
+    if mode not in ("cut", "flag"):
+        raise ValueError(f"unknown mode: {mode}")
+    from dots_ocr_ray.pipelines.substring import (
+        _covered_mask,
+        _flat_gram_hashes,
+        _hash_tokens,
+        _rebuild,
+        _tokens_from_batch,
+    )
+
+    grams_ref = ray.put(bench_gram_hashes(bench, text_col=text_col, k=k))
+
+    def _apply(batch: pa.Table) -> pa.Table:
+        bg = cached_object(grams_ref)
+        tok_vals, offsets, doc_of = _tokens_from_batch(batch.column(text_col))
+        starts, hashes = _flat_gram_hashes(_hash_tokens(tok_vals), offsets, k)
+        if bg.size and hashes.size:
+            sh = hashes.view(np.int64)
+            pos = np.clip(np.searchsorted(bg, sh), 0, bg.size - 1)
+            hit = bg[pos] == sh
+        else:
+            hit = np.zeros(hashes.size, dtype=bool)
+        ids = batch.column(id_col)
+        if mode == "flag":
+            n_rows = batch.num_rows
+            gram_doc = (
+                np.searchsorted(offsets, starts, side="right") - 1
+                if starts.size
+                else np.zeros(0, dtype=np.int64)
+            )
+            hits_per_doc = np.bincount(
+                gram_doc[hit], minlength=n_rows
+            ).astype(np.int64) if starts.size else np.zeros(n_rows, np.int64)
+            return pa.table(
+                {
+                    id_col: ids.cast(pa.int64()),
+                    "n_hits": pa.array(hits_per_doc, type=pa.int64()),
+                    "contaminated": pa.array(hits_per_doc > 0, type=pa.bool_()),
+                }
+            )
+        covered = _covered_mask(starts[hit], len(doc_of), k)
+        out = _rebuild(ids, tok_vals, offsets, doc_of, covered, id_col)
+        return out.rename_columns([id_col, "text_decon", "n_kept", "n_dropped"])
+
+    return docs.map_batches(_apply, batch_format="pyarrow")

@@ -82,3 +82,60 @@ def test_ngram_distribution_matches_sequential(ray_session):
         if f.size:
             seq += np.bincount(f, minlength=512)
     assert (dist == seq).all()
+
+
+def test_ngram_decontaminate_cut_and_flag(ray_session):
+    from dots_ocr_ray.pipelines.curation import ngram_decontaminate
+
+    leak = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": pa.array(
+                    [
+                        f"clean words only here {1}",
+                        f"prefix {leak} suffix tail",
+                        leak,
+                    ]
+                ),
+            }
+        )
+    )
+    bench = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array([99], pa.int64()), "text": pa.array([leak])})
+    )
+    cut = {r["doc_id"]: r for r in ngram_decontaminate(docs, bench, k=8).take_all()}
+    assert cut[1]["text_decon"] == "clean words only here 1"
+    assert cut[1]["n_dropped"] == 0
+    # the leaked 8-gram is surgically removed, surroundings survive
+    assert cut[2]["text_decon"] == "prefix suffix tail"
+    assert cut[2]["n_dropped"] == 8
+    # a doc that IS the benchmark erases entirely
+    assert cut[3]["text_decon"] == ""
+    assert cut[3]["n_kept"] == 0
+
+    flag = {r["doc_id"]: r for r in ngram_decontaminate(docs, bench, k=8, mode="flag").take_all()}
+    assert not flag[1]["contaminated"]
+    assert flag[2]["contaminated"] and flag[2]["n_hits"] == 1
+    assert flag[3]["contaminated"]
+
+
+def test_ngram_decontaminate_short_docs_pass(ray_session):
+    from dots_ocr_ray.pipelines.curation import ngram_decontaminate
+
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2], pa.int64()),
+                "text": pa.array(["too short", ""]),
+            }
+        )
+    )
+    bench = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array([9], pa.int64()), "text": pa.array(["too short"])})
+    )
+    # sub-k docs have no grams: never contaminated, pass through
+    out = {r["doc_id"]: r for r in ngram_decontaminate(docs, bench, k=8).take_all()}
+    assert out[1]["text_decon"] == "too short" and out[1]["n_dropped"] == 0
+    assert out[2]["text_decon"] == ""
