@@ -22,6 +22,14 @@ Layout:
 
 __version__ = "0.1.0"
 
+# Importing util fills Arrow's lazily-initialized unicode tables while
+# this thread holds the import lock (util._arrow_unicode_warmup) — a
+# racy first utf8-kernel call inside a multi-threaded Ray worker can
+# otherwise silently mis-split whitespace on its first batch.  Any
+# pipeline UDF unpickled in a worker imports this package first, so
+# the warmup is guaranteed to precede every kernel call of ours.
+from dots_ocr_ray import util as _util  # noqa: E402,F401
+
 CATEGORIES = [
     "Caption",
     "Footnote",

@@ -66,7 +66,7 @@ import ray
 import ray.data
 
 from dots_ocr_ray.functions.hashing import stable_u64
-from dots_ocr_ray.util import cached_object
+from dots_ocr_ray.util import cached_object, split_whitespace_checked
 
 _GRAM_B = np.uint64(0x9E3779B97F4A7C15)  # odd multiplier; u64 wraparound
 
@@ -82,7 +82,7 @@ def _tokens_from_batch(
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     col = pc.fill_null(col, "")
-    parts = pc.utf8_split_whitespace(col)
+    parts = split_whitespace_checked(col)
     if isinstance(parts, pa.ChunkedArray):
         parts = parts.combine_chunks()
     vals = parts.values

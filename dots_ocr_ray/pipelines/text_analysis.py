@@ -21,6 +21,7 @@ from dots_ocr_ray.kernel.textops import (
     quality_features,
     quality_keep,
 )
+from dots_ocr_ray.util import split_whitespace_checked
 
 
 ALL_FEATURES = ("lang", "tokens", "quality", "fingerprint")
@@ -43,24 +44,12 @@ def annotate_documents(
     want = frozenset(features)
 
     def _ws_counts(col: pa.ChunkedArray | pa.Array) -> pa.Array:
-        """Vectorized len(text.split()): split-whitespace list lengths
-        minus the boundary empties Arrow emits — no Python per row.
-        Parity with ``count_tokens_whitespace`` is pinned by
-        test_text_analysis."""
-        import numpy as np
-        import pyarrow.compute as pc
+        """Vectorized len(text.split()) via the end-to-end canaried
+        kernel chain (util.ws_token_counts_checked).  Parity with
+        ``count_tokens_whitespace`` is pinned by test_text_analysis."""
+        from dots_ocr_ray.util import ws_token_counts_checked
 
-        if not pa.types.is_string(col.type) and not pa.types.is_large_string(col.type):
-            col = col.cast(pa.string())  # e.g. an all-null block infers type null
-        lists = pc.utf8_split_whitespace(pc.fill_null(col, ""))
-        n = pc.list_value_length(lists).to_numpy(zero_copy_only=False).astype(np.int64)
-        toks = pc.list_flatten(lists)
-        parents = pc.list_parent_indices(lists)
-        empt = pc.equal(toks, "")
-        empty_parents = parents.filter(empt).to_numpy(zero_copy_only=False)
-        if len(empty_parents):
-            n -= np.bincount(empty_parents, minlength=len(n)).astype(np.int64)
-        return pa.array(n, type=pa.int64())
+        return pa.array(ws_token_counts_checked(col), type=pa.int64())
 
     def _annotate(batch: pa.Table) -> pa.Table:
         # Python string list only for the per-string heuristic families;
@@ -253,7 +242,7 @@ def top_bigrams(
     from dots_ocr_ray.util import bounded_blocks, cached_object
 
     def _partials(batch: pa.Table) -> pa.Table:
-        lists = pc.utf8_split_whitespace(batch.column(text_col))
+        lists = split_whitespace_checked(batch.column(text_col))
         toks = pc.list_flatten(lists)
         parents = pc.list_parent_indices(lists)
         mask = pc.not_equal(toks, "")
@@ -380,7 +369,7 @@ def repetition_stats(
 
     def _stats(batch: pa.Table) -> pa.Table:
         nrows = batch.num_rows
-        lists = pc.utf8_split_whitespace(pc.fill_null(batch.column(text_col), ""))
+        lists = split_whitespace_checked(pc.fill_null(batch.column(text_col), ""))
         toks = pc.list_flatten(lists)
         parents = pc.list_parent_indices(lists)
         mask = pc.not_equal(toks, "")
@@ -466,7 +455,7 @@ def tfidf_top_terms(
     n_docs = ds.count()
 
     def _doc_tokens(batch: pa.Table) -> tuple:
-        lists = pc.utf8_split_whitespace(batch.column(text_col))
+        lists = split_whitespace_checked(batch.column(text_col))
         toks = pc.list_flatten(lists)
         parents = pc.list_parent_indices(lists)
         mask = pc.not_equal(toks, "")
@@ -626,12 +615,9 @@ def quality_model_scores(
         if not pa.types.is_string(col.type) and not pa.types.is_large_string(col.type):
             col = col.cast(pa.string())  # e.g. an all-null block infers type null
         col = pc.fill_null(col, "")
-        lists = pc.utf8_split_whitespace(col)
-        n = pc.list_value_length(lists).to_numpy(zero_copy_only=False).astype(np.int64)
-        toks, parents = pc.list_flatten(lists), pc.list_parent_indices(lists)
-        empty_parents = parents.filter(pc.equal(toks, "")).to_numpy(zero_copy_only=False)
-        if len(empty_parents):
-            n -= np.bincount(empty_parents, minlength=len(n)).astype(np.int64)
+        from dots_ocr_ray.util import ws_token_counts_checked
+
+        n = ws_token_counts_checked(col)
         n_chars = pc.utf8_length(col).to_numpy(zero_copy_only=False).astype(np.int64)
         n_alpha = (
             pc.utf8_length(pc.replace_substring_regex(col, "[^A-Za-z]", ""))
@@ -957,7 +943,7 @@ def build_vocab(
     from dots_ocr_ray.util import bounded_blocks
 
     def _partial(batch: pa.Table) -> pa.Table:
-        toks = pc.list_flatten(pc.utf8_split_whitespace(batch.column(text_col)))
+        toks = pc.list_flatten(split_whitespace_checked(batch.column(text_col)))
         toks = toks.filter(pc.not_equal(toks, ""))
         agg = pa.table({"token": toks}).group_by("token").aggregate([("token", "count")])
         return pa.table(
@@ -1028,7 +1014,7 @@ def encode_token_ids(
     vocab_ref = ray.put(vocab.column("token").combine_chunks())
 
     def _encode(batch: pa.Table) -> pa.Table:
-        tokens_list = pc.utf8_split_whitespace(batch.column(text_col))
+        tokens_list = split_whitespace_checked(batch.column(text_col))
         flat = pc.list_flatten(tokens_list)
         # per-row token counts BEFORE empty-filtering, then subtract
         # the empties per row to keep pos aligned with str.split()

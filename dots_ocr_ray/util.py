@@ -5,6 +5,118 @@ from __future__ import annotations
 import ray
 
 
+def _arrow_unicode_warmup() -> None:
+    """Fill Arrow's lazily-initialized unicode lookup tables while the
+    importing thread holds the module import lock.
+
+    Arrow's utf8 string kernels build their unicode tables on FIRST
+    use; inside a multi-threaded Ray worker that first call can race
+    the lazy init and silently return wrong results (observed here:
+    ``utf8_split_whitespace(" ") -> [" "]`` — the space not recognized
+    as whitespace — on a worker's first batch, ~once per hundreds of
+    fresh workers).  One single-threaded call per process makes every
+    later kernel call see completed tables.  This module is imported
+    (directly or transitively) by every pipeline UDF, so unpickling a
+    UDF in a worker runs the warmup before the UDF can touch a kernel.
+    """
+    try:  # pragma: no cover - trivial, but must never break import
+        import pyarrow as _pa
+        import pyarrow.compute as _pc
+
+        _pc.utf8_split_whitespace(_pa.array([" a\tb\nc "]))
+        _pc.utf8_is_alpha(_pa.array(["aé1"]))
+        _pc.utf8_lower(_pa.array(["ÁB"]))
+    except Exception:
+        pass
+
+
+_arrow_unicode_warmup()
+
+
+def split_whitespace_checked(col):
+    """``pc.utf8_split_whitespace`` with an IN-CALL canary and a pure-
+    Python fallback.
+
+    Rarely, an Arrow utf8 kernel invocation inside a Ray worker
+    misclassifies whitespace (observed: ``utf8_split_whitespace(" ")
+    -> [" "]`` — the space not split — on isolated calls, ~1 in
+    thousands; a separate canary call can PASS while the real call is
+    corrupted, so the canary rows are appended to the batch and split
+    IN THE SAME kernel invocation).  On canary mismatch the whole
+    batch is split in Python with the same per-whitespace-char
+    structure (boundary/interior empties preserved) so downstream
+    empty-filtering arithmetic is unchanged.
+
+    Nulls are treated as "" (every caller's ``t or ""`` convention).
+    The result is REBUILT (offsets + trimmed child) rather than sliced,
+    because ``.values`` on a sliced ListArray ignores the slice window
+    and would leak the canary tokens to offset-based consumers like
+    substring._tokens_from_batch."""
+    import re
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if not pa.types.is_string(col.type) and not pa.types.is_large_string(col.type):
+        col = col.cast(pa.string())  # e.g. an all-null block infers type null
+    col = pc.fill_null(col, "")
+    canary = pa.array([" ", "\n\n", "\ta\n b  c ", ""], type=col.type)
+    lists = pc.utf8_split_whitespace(pa.concat_arrays([col, canary]))
+    n = len(col)
+    tail = lists.slice(n, 4).to_pylist()
+    ok = (
+        len(tail) == 4
+        and all(t == "" for t in tail[0])
+        and len(tail[0]) >= 2
+        and all(t == "" for t in tail[1])
+        and len(tail[1]) >= 2
+        and [t for t in tail[2] if t] == ["a", "b", "c"]
+        and tail[3] == [""]
+    )
+    if ok:
+        offsets = lists.offsets.slice(0, n + 1)
+        end = offsets[-1].as_py() if n else 0
+        return pa.ListArray.from_arrays(offsets, lists.values.slice(0, end))
+    py = [re.split(r"\s", t) for t in col.to_pylist()]
+    return pa.array(py, type=pa.list_(pa.string()))
+
+
+def ws_token_counts_checked(col):
+    """Vectorized ``len(text.split())`` per row with an END-TO-END
+    in-call canary over the full kernel chain (split → value_length →
+    flatten → parent_indices → equal → filter), because any single
+    link can be the one that misbehaves on a given invocation.  Canary
+    rows ride the same batch through the same chain; if their final
+    counts are wrong the whole batch recomputes in Python.  Returns an
+    int64 numpy array aligned to the input (nulls count 0)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if not pa.types.is_string(col.type) and not pa.types.is_large_string(col.type):
+        col = col.cast(pa.string())  # e.g. an all-null block infers type null
+    n_rows = len(col)
+    canary = pa.array([" ", "\n\n", "\ta\n b  c ", "", "x"], type=col.type)
+    full = pa.concat_arrays([pc.fill_null(col, "").cast(col.type), canary])
+    lists = pc.utf8_split_whitespace(full)
+    n = pc.list_value_length(lists).to_numpy(zero_copy_only=False).astype(np.int64)
+    toks = pc.list_flatten(lists)
+    parents = pc.list_parent_indices(lists)
+    empt = pc.equal(toks, "")
+    empty_parents = parents.filter(empt).to_numpy(zero_copy_only=False)
+    if len(empty_parents):
+        n -= np.bincount(empty_parents, minlength=len(n)).astype(np.int64)
+    if list(n[n_rows:]) == [0, 0, 3, 0, 1]:
+        return n[:n_rows]
+    return np.array(
+        [len(t.split()) if t else 0 for t in col.to_pylist()], dtype=np.int64
+    )
+
+
 def default_pool_size(reserve: int = 1, floor: int = 2) -> int:
     """Actor-pool size that leaves CPU headroom for the read/write
     stages — a pool reserving every CPU starves the other operators and
