@@ -861,6 +861,24 @@ def _q_crawl_frontier(sf_dir: str):
     )
 
 
+def _q_frontier_schedule(sf_dir: str):
+    """Politeness-aware fetch schedule over the crawl frontier: urls
+    of one host get consecutive fetch waves (deterministic url order),
+    so each wave touches a host at most once.  One groupby(host)
+    exchange on top of the frontier's anti-join; inline SQL oracle via
+    ROW_NUMBER() OVER (PARTITION BY host ORDER BY url)."""
+    import pyarrow as pa
+
+    from dots_ocr_ray.pipelines.graph import frontier_schedule
+
+    frontier = _q_crawl_frontier(sf_dir)
+
+    def _as_url(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["url"])
+
+    return frontier_schedule(frontier.map_batches(_as_url, batch_format="pyarrow"))
+
+
 def _q_inbound_anchors(sf_dir: str):
     """Inbound anchor-text rollup per link target: n_inbound links,
     distinct linking pages, distinct anchor texts and the most-frequent
@@ -2515,6 +2533,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_grounding": _q_extract_grounding,
         "extract_links": _q_extract_links,
         "crawl_frontier": _q_crawl_frontier,
+        "frontier_schedule": _q_frontier_schedule,
         "inbound_anchors": _q_inbound_anchors,
         "term_contexts": _q_term_contexts,
         "host_reputation": _q_host_reputation,
@@ -2855,6 +2874,23 @@ def oracle_sql() -> dict[str, str]:
             "crawled AS (SELECT 'https://example-' || lpad(CAST(doc_id % 40 AS VARCHAR), 2, '0') "
             "|| '.com/doc-' || lpad(CAST(doc_id AS VARCHAR), 6, '0') AS url FROM documents) "
             "SELECT DISTINCT href FROM hrefs WHERE href NOT IN (SELECT url FROM crawled)"
+        ),
+        # frontier politeness schedule: wave = per-host ROW_NUMBER over
+        # the same frontier derivation
+        "frontier_schedule": (
+            "WITH l AS (SELECT doc_id, "
+            "'https://example-' || lpad(CAST(doc_id % 40 AS VARCHAR), 2, '0') || '.com/' AS home, "
+            "'https://example-' || lpad(CAST((doc_id * 7) % 40 AS VARCHAR), 2, '0') "
+            "|| '.com/doc-' || lpad(CAST((doc_id * 13) % 500 AS VARCHAR), 6, '0') AS next "
+            "FROM documents WHERE doc_id % 23 <> 7 AND doc_id % 31 <> 11), "
+            "hrefs AS (SELECT home AS href FROM l UNION ALL SELECT next FROM l), "
+            "crawled AS (SELECT 'https://example-' || lpad(CAST(doc_id % 40 AS VARCHAR), 2, '0') "
+            "|| '.com/doc-' || lpad(CAST(doc_id AS VARCHAR), 6, '0') AS url FROM documents), "
+            "frontier AS (SELECT DISTINCT href AS url FROM hrefs "
+            "WHERE href NOT IN (SELECT url FROM crawled)) "
+            "SELECT url, regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host, "
+            "CAST(row_number() OVER (PARTITION BY regexp_extract(url, '^[a-z]+://([^/]+)', 1) "
+            "ORDER BY url) - 1 AS BIGINT) AS wave FROM frontier"
         ),
         # inbound anchors: same arithmetic link derivation, rolled up
         # per target with mode-anchor tie-broken (count desc, anchor asc)

@@ -586,3 +586,63 @@ def inbound_anchor_stats(
         .map_groups(_resolve, batch_format="pyarrow")
     )
     return direct.union(resolved)
+
+
+def frontier_schedule(
+    frontier: ray.data.Dataset,
+    *,
+    url_col: str = "url",
+) -> ray.data.Dataset:
+    """Politeness-aware fetch schedule for a crawl frontier: urls of
+    the same host are assigned consecutive fetch WAVES (0, 1, 2, … in
+    deterministic url order), so executing wave w touches every host
+    at most once — the per-host rate limit every polite crawler needs,
+    expressed as data instead of scheduler state.
+
+    ONE groupby(host) exchange; the per-group Python call is per HOST
+    (bounded: domains number in the millions while urls number in the
+    trillions), and the in-group ranking is one vectorized argsort.
+    Output: (url, host, wave int64); consume with a filter on
+    ``wave == w`` per fetch round, or sort by (wave, host) for a flat
+    politeness-ordered fetch list.
+    """
+    import re as _re
+
+    _host_re = _re.compile(r"^[a-z]+://([^/]+)")
+
+    def _with_host(batch: pa.Table) -> pa.Table:
+        urls = batch.column(url_col).to_pylist()
+        hosts = []
+        for u in urls:
+            m = _host_re.match(u or "")
+            hosts.append(m.group(1) if m else "")
+        return pa.table(
+            {
+                url_col: batch.column(url_col).cast(pa.string()),
+                "host": pa.array(hosts, type=pa.string()),
+            }
+        )
+
+    def _rank(group: pa.Table) -> pa.Table:
+        import numpy as np
+
+        urls = np.asarray(group.column(url_col).to_pylist(), dtype=object)
+        order = np.argsort(urls, kind="stable")
+        wave = np.empty(len(urls), dtype=np.int64)
+        wave[order] = np.arange(len(urls), dtype=np.int64)
+        return pa.table(
+            {
+                url_col: group.column(url_col),
+                "host": group.column("host"),
+                "wave": pa.array(wave, type=pa.int64()),
+            }
+        )
+
+    from dots_ocr_ray.util import bounded_blocks
+
+    with_host = frontier.map_batches(_with_host, batch_format="pyarrow")
+    return (
+        bounded_blocks(with_host, rows_per_block=262144)
+        .groupby("host")
+        .map_groups(_rank, batch_format="pyarrow")
+    )

@@ -110,3 +110,31 @@ def test_inbound_anchor_stats(ray_session):
     assert got["T"]["top_anchor"] == "alpha"
     assert got["U"] == {"href": "U", "n_inbound": 1, "n_sources": 1, "n_anchors": 1, "top_anchor": "only"}
     assert got["V"]["n_inbound"] == 2 and got["V"]["n_sources"] == 1 and got["V"]["top_anchor"] == "x"
+
+
+def test_frontier_schedule_politeness(ray_session):
+    import pyarrow as pa
+
+    import ray.data
+
+    from dots_ocr_ray.pipelines.graph import frontier_schedule
+
+    urls = (
+        [f"https://a.test/p{i}" for i in range(5)]
+        + [f"https://b.test/q{i}" for i in range(3)]
+        + ["https://c.test/solo"]
+    )
+    out = frontier_schedule(
+        ray.data.from_arrow(pa.table({"url": pa.array(urls)}))
+    ).take_all()
+    assert len(out) == len(urls)
+    # no host appears twice within a wave
+    seen = set()
+    for r in out:
+        key = (r["wave"], r["host"])
+        assert key not in seen
+        seen.add(key)
+    # waves are consecutive per host, in deterministic url order
+    a_rows = sorted((r["url"], r["wave"]) for r in out if r["host"] == "a.test")
+    assert [w for _, w in a_rows] == [0, 1, 2, 3, 4]
+    assert [r["wave"] for r in out if r["host"] == "c.test"] == [0]
