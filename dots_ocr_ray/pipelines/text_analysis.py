@@ -571,14 +571,42 @@ def normalize_text(
             for i in idx:
                 vals[i] = unicodedata.normalize("NFC", vals[i])
             s = pa.array(vals, type=pa.string())
+        # in-call canary over the lower→collapse→trim chain: the same
+        # transient Arrow unicode-kernel corruption guarded in
+        # util.split_whitespace_checked (whitespace/case tables) would
+        # silently change normalized bytes; canary rows ride the same
+        # kernel invocations, python fallback on mismatch
+        n_real = len(s)
+        if isinstance(s, pa.ChunkedArray):
+            s = s.combine_chunks()
+        s = pa.concat_arrays([s, pa.array([" A\tB  c ", ""], type=s.type)])
         s = pc.utf8_lower(s)
         s = pc.replace_substring_regex(s, r"\s+", " ")
         s = pc.utf8_trim_whitespace(s)
+        tail = s.slice(n_real, 2).to_pylist()
+        if tail == ["a b c", ""]:
+            offsets_ok = s.slice(0, n_real)
+            out_s = pa.concat_arrays([offsets_ok])  # compact the slice
+        else:
+            import re as _re
+
+            vals = pc.fill_null(col, "").to_pylist()
+            if pc.any(non_ascii).as_py():
+                import unicodedata as _ud
+
+                vals = [
+                    _ud.normalize("NFC", v) if v and not v.isascii() else v
+                    for v in vals
+                ]
+            out_s = pa.array(
+                [_re.sub(r"\s+", " ", v.lower()).strip() for v in vals],
+                type=pa.string(),
+            )
         return pa.table(
             {
                 id_col: batch.column(id_col),
-                "norm_text": s,
-                "n_chars_norm": pc.utf8_length(s).cast(pa.int64()),
+                "norm_text": out_s,
+                "n_chars_norm": pc.utf8_length(out_s).cast(pa.int64()),
             }
         )
 
