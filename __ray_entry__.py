@@ -2219,7 +2219,11 @@ def _q_incremental_dedup(sf_dir: str):
 
     index = base.map_batches(_archive_index, batch_format="pyarrow")
     new_batch = base.map_batches(_new_rows, batch_format="pyarrow")
-    fresh = exact_dedup_incremental(new_batch, index)
+    fresh = exact_dedup_incremental(
+        new_batch,
+        index,
+        new_schema=pa.schema([("doc_id", pa.int64()), ("text", pa.string())]),
+    )
     return fresh.select_columns(["doc_id", "text"])
 
 

@@ -497,8 +497,27 @@ def attach_pair_payloads(
             cols["payload_b"] = batch.column("payload_b").cast(payload_type)
         return pa.table(cols)
 
-    joined = hash_join(pairs_ds, side_a, on="a").map_batches(_typed, batch_format="pyarrow")
-    return hash_join(joined, side_b, on="b").map_batches(_typed, batch_format="pyarrow")
+    # explicit schemas: pairs are (a, b) int64 by contract everywhere
+    # in this module — without them the join would introspect by
+    # EXECUTING a prefix of the (map-heavy) pairs plan
+    pairs_schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+    side_schema = lambda key, pay: pa.schema([(key, pa.int64()), (pay, payload_type)])  # noqa: E731
+    joined = hash_join(
+        pairs_ds,
+        side_a,
+        on="a",
+        left_schema=pairs_schema,
+        right_schema=side_schema("a", "payload_a"),
+    ).map_batches(_typed, batch_format="pyarrow")
+    return hash_join(
+        joined,
+        side_b,
+        on="b",
+        left_schema=pa.schema(
+            [("a", pa.int64()), ("b", pa.int64()), ("payload_a", payload_type)]
+        ),
+        right_schema=side_schema("b", "payload_b"),
+    ).map_batches(_typed, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -1431,6 +1450,7 @@ def exact_dedup_incremental(
     text_col: str = "text",
     id_col: str = "doc_id",
     index_hash_col: str = "content_md5",
+    new_schema: pa.Schema | None = None,
 ) -> ray.data.Dataset:
     """Incremental exact dedup: keep only NEW rows whose content hash
     does not already exist in a prior corpus index (the recurring-crawl
@@ -1443,7 +1463,12 @@ def exact_dedup_incremental(
     hash_join` on the content hash — both sides stream; neither the new
     batch nor the index ever collects on the driver.  In-batch
     duplicates within the NEW data itself are then collapsed with the
-    same :func:`sorted_group_first` pass exact_dedup uses."""
+    same :func:`sorted_group_first` pass exact_dedup uses.
+
+    Pass ``new_schema`` (the schema of ``new_ds``) when ``new_ds`` has
+    map stages upstream: without it the join introspects the schema by
+    EXECUTING a prefix of the plan (seconds of fixed cost, and the
+    upstream maps run one extra time)."""
     from dots_ocr_ray.pipelines.relational import hash_join
 
     def _add_hash(batch: pa.Table) -> pa.Table:
@@ -1456,11 +1481,15 @@ def exact_dedup_incremental(
         col = batch.column(index_hash_col)
         return pa.table({"content_md5": col.cast(pa.string())})
 
+    left_schema = None
+    if new_schema is not None:
+        left_schema = new_schema.append(pa.field("content_md5", pa.string()))
     fresh = hash_join(
         hashed,
         index_ds.map_batches(_as_key, batch_format="pyarrow"),
         on="content_md5",
         how="anti",
+        left_schema=left_schema,
         right_schema=pa.schema([("content_md5", pa.string())]),
     )
     return sorted_group_first(fresh, "content_md5", id_col)
