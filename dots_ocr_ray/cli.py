@@ -103,6 +103,11 @@ def cmd_prepare(args: argparse.Namespace) -> int:
 
         files = sorted(glob.glob(args.input)) if any(c in args.input for c in "*?[") else [args.input]
         pages = read_pages(files)
+    bench = None
+    if args.decontaminate_bench:
+        import ray.data
+
+        bench = ray.data.read_parquet(args.decontaminate_bench)
     counts = prepare_training_data(
         pages,
         args.out,
@@ -112,6 +117,8 @@ def cmd_prepare(args: argparse.Namespace) -> int:
         train_fraction=args.train_fraction,
         line_dedup_min_count=args.line_dedup_min_count,
         substring_dedup_k=args.substring_dedup_k,
+        decontaminate_bench=bench,
+        decontaminate_k=args.decontaminate_k,
         emit_token_ids=args.emit_token_ids,
         vocab_size=args.vocab_size,
         output_format=args.output_format,
@@ -205,6 +212,13 @@ def main(argv: list[str] | None = None) -> int:
         default=None,
         help="cut k-token spans repeated corpus-wide (ExactSubstr); off by default",
     )
+    pr.add_argument(
+        "--decontaminate-bench",
+        default=None,
+        help="parquet of benchmark docs (needs a 'text' column); any of its "
+        "k-gram spans found in the corpus are cut before chunking",
+    )
+    pr.add_argument("--decontaminate-k", type=int, default=8)
     pr.add_argument("--emit-token-ids", action="store_true",
                     help="build a train-split vocabulary and add a token_ids column")
     pr.add_argument("--vocab-size", type=int, default=1 << 15)

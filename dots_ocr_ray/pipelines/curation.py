@@ -226,6 +226,7 @@ def ngram_decontaminate(
     id_col: str = "doc_id",
     k: int = 8,
     mode: str = "cut",
+    keep_cols: tuple[str, ...] = (),
 ) -> ray.data.Dataset:
     """Remove benchmark contamination from a training corpus: any
     k-token gram that appears anywhere in ``bench`` marks its covered
@@ -285,6 +286,9 @@ def ngram_decontaminate(
             )
         covered = _covered_mask(starts[hit], len(doc_of), k)
         out = _rebuild(ids, tok_vals, offsets, doc_of, covered, id_col)
-        return out.rename_columns([id_col, "text_decon", "n_kept", "n_dropped"])
+        out = out.rename_columns([id_col, "text_decon", "n_kept", "n_dropped"])
+        for c in keep_cols:  # batch-local pass, row order preserved
+            out = out.append_column(c, batch.column(c))
+        return out
 
     return docs.map_batches(_apply, batch_format="pyarrow")

@@ -7,6 +7,8 @@ of this engine runs over a web crawl.
       └─ quality gate (heuristic features)  (map_batches, vectorized)
       └─ corpus dedup                       (exact | minhash — the only
                                              keyed exchanges in the job)
+      └─ [optional] bench n-gram decontamination (broadcast bench
+                                             grams, zero-exchange cut)
       └─ PII scrub                          (map_batches)
       └─ token chunking w/ char lineage     (flat explode)
       └─ deterministic train/val split      (Knuth hash on doc id)
@@ -49,6 +51,8 @@ def prepare_training_data(
     dedup_exact_limit: int | None = None,
     line_dedup_min_count: int | None = None,
     substring_dedup_k: int | None = None,
+    decontaminate_bench: ray.data.Dataset | None = None,
+    decontaminate_k: int = 8,
     emit_token_ids: bool = False,
     vocab_size: int = 1 << 15,
     output_format: str = "parquet",
@@ -179,6 +183,30 @@ def prepare_training_data(
             )
 
         docs = sub.map_batches(_sub_as_text, batch_format="pyarrow")
+
+    if decontaminate_bench is not None:
+        # benchmark n-gram decontamination LAST among the text
+        # surgeries: spans matching any bench k-gram are cut so eval
+        # data cannot leak into training chunks.  One bench-gram
+        # broadcast + zero-exchange batch-local corpus pass
+        # (curation.py); url rides the keep_cols passthrough seam
+        from dots_ocr_ray.pipelines.curation import ngram_decontaminate
+
+        decon = ngram_decontaminate(
+            docs,
+            decontaminate_bench,
+            text_col="text",
+            id_col="doc_id",
+            k=decontaminate_k,
+            keep_cols=("url",),
+        )
+
+        def _decon_as_text(batch: pa.Table) -> pa.Table:
+            return batch.select(["doc_id", "url", "text_decon"]).rename_columns(
+                ["doc_id", "url", "text"]
+            )
+
+        docs = decon.map_batches(_decon_as_text, batch_format="pyarrow")
 
     scrubbed = scrub_documents(docs, text_col="text").select_columns(
         ["doc_id", "url", "text_scrubbed"]

@@ -199,3 +199,44 @@ def test_prepare_token_ids_jsonl(ray_session, tmp_path):
     assert len(r["token_ids"]) == len(toks)
     # ids agree with the persisted vocab (unknown -> 0)
     assert r["token_ids"] == [id_of.get(t, 0) for t in toks]
+
+
+def test_prepare_with_decontamination_cuts_bench_spans(ray_session, tmp_path):
+    import pyarrow as pa
+
+    LEAK = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    rows = []
+    for i in range(8):
+        body = (
+            f"document body {i} with plenty of ordinary words here "
+            + (LEAK if i % 2 == 0 else "no leaked content at all")
+            + f" trailing words {i}"
+        )
+        rows.append(
+            {
+                "url": f"https://d.test/{i}",
+                "warc_ts": None,
+                "html": f"<html><body><p>{body}</p></body></html>".encode(),
+                "text": "",
+                "lang": "en",
+            }
+        )
+    pages = pa.Table.from_pylist(rows)
+    bench = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array([0], pa.int64()), "text": pa.array([LEAK])})
+    )
+    out = str(tmp_path / "decon")
+    counts = prepare_training_data(
+        ray.data.from_arrow(pages),
+        out,
+        dedup="none",
+        chunk_tokens=64,
+        overlap_tokens=0,
+        decontaminate_bench=bench,
+    )
+    assert counts["chunks_written"] > 0
+    df = ray.data.read_parquet(out).to_pandas()
+    joined = " ".join(df.chunk_text)
+    assert "alpha beta gamma delta epsilon zeta eta theta" not in joined
+    # clean docs' words survive
+    assert "ordinary words" in joined
