@@ -429,3 +429,44 @@ def test_minhash_dedup_incremental_matches_full_run(ray_session):
     assert survivors == expected
     assert 102 in survivors and 104 in survivors
     assert 100 not in survivors and 101 not in survivors and 103 not in survivors
+
+
+def test_attach_pair_payloads_scale_path_full_range_ids(ray_session):
+    """Above the broadcast budget the pair-payload join must be exact
+    for 60-bit md5-prefix doc ids: the old float64 round-trip silently
+    dropped every pair whose second endpoint exceeded 2^53."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from dots_ocr_ray.pipelines.dedup import attach_pair_payloads
+
+    ids = np.array(
+        [(1 << 59) + 7, (1 << 59) + 8, (1 << 59) + 9, (1 << 60) - 3], dtype=np.int64
+    )
+    pairs = pa.table(
+        {
+            "a": pa.array([ids[0], ids[2]], type=pa.int64()),
+            "b": pa.array([ids[1], ids[3]], type=pa.int64()),
+        }
+    )
+    payload = pa.table(
+        {
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "sig": pa.array([f"s{i}" for i in range(4)], type=pa.string()),
+        }
+    )
+    out = attach_pair_payloads(
+        ray.data.from_arrow(pairs),
+        ray.data.from_arrow(payload),
+        id_col="doc_id",
+        payload_col="sig",
+        payload_type=pa.string(),
+        broadcast_bytes_limit=0,  # force the distributed scale path
+    ).take_all()
+    got = sorted((r["a"], r["b"], r["payload_a"], r["payload_b"]) for r in out)
+    assert got == [
+        (int(ids[0]), int(ids[1]), "s0", "s1"),
+        (int(ids[2]), int(ids[3]), "s2", "s3"),
+    ]
