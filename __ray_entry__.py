@@ -2227,6 +2227,58 @@ def _q_incremental_dedup(sf_dir: str):
     return fresh.select_columns(["doc_id", "text"])
 
 
+def _q_incremental_minhash(sf_dir: str):
+    """Incremental MinHash near-dup dedup under the hard oracle:
+    archive = doc_id%3==0 contributes only its stored SIGNATURES; the
+    new batch is the rest; docs with doc_id%7==4 form one planted
+    near-dup family spanning both sides, so new members drop against
+    the archive and within-new clusters keep their min id.
+    Golden-parquet oracle (make_golden.golden_incremental_minhash —
+    same MinHasher / band / hot-cap / est-jaccard kernels,
+    sequential)."""
+    import pyarrow as pa
+
+    import ray.data
+
+    from dots_ocr_ray.pipelines.dedup import (
+        minhash_dedup_incremental,
+        minhash_signatures,
+    )
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    base = " ".join(f"w{k:02d}" for k in range(60))
+
+    def _plant(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = batch.column("text").to_pylist()
+        out = [
+            f"{base} tail {i % 3}" if i % 7 == 4 else t for i, t in zip(ids, texts)
+        ]
+        return pa.table(
+            {"doc_id": batch.column("doc_id"), "text": pa.array(out, type=pa.string())}
+        )
+
+    planted = docs.map_batches(_plant, batch_format="pyarrow")
+
+    def _archive(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(ids % 3 == 0))
+
+    def _new(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(ids % 3 != 0))
+
+    index_sigs = minhash_signatures(
+        planted.map_batches(_archive, batch_format="pyarrow")
+    )
+    new_ds = planted.map_batches(_new, batch_format="pyarrow")
+    return minhash_dedup_incremental(new_ds, index_sigs, threshold=0.8)
+
+
 def _q_crawl_diff_docs(sf_dir: str):
     """Snapshot diff between two crawls of one url space (added /
     removed / changed / unchanged per url) — the deterministic split:
@@ -2493,6 +2545,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "line_dedup_docs": _q_line_dedup_docs,
         "substring_dedup_docs": _q_substring_dedup_docs,
         "incremental_dedup": _q_incremental_dedup,
+        "incremental_minhash": _q_incremental_minhash,
         "token_id_sample": _q_token_id_sample,
         "lang_source_cube": _q_lang_source_cube,
         "doc_validation": _q_doc_validation,
@@ -3052,6 +3105,7 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_clusters": f"SELECT vec_id, cluster_id, sim FROM read_parquet('{_GOLDEN_DIR}/kmeans_clusters.parquet')",
         "semdedup_docs": f"SELECT vec_id, cluster_id, kept FROM read_parquet('{_GOLDEN_DIR}/semdedup_docs.parquet')",
         "dsir_scores": f"SELECT doc_id, logw, n_feats FROM read_parquet('{_GOLDEN_DIR}/dsir_scores.parquet')",
+        "incremental_minhash": f"SELECT doc_id, text FROM read_parquet('{_GOLDEN_DIR}/incremental_minhash.parquet')",
         "dsir_sample": f"SELECT doc_id, logw, key FROM read_parquet('{_GOLDEN_DIR}/dsir_sample.parquet')",
         "model_quality_scores": (
             "SELECT doc_id, round(1.0/(1.0+exp(-(-2.0 + 0.5*ln(1+nw) + 2.0*ar + 0.25*ln(1+nc)))), 4) AS score, "

@@ -33,6 +33,7 @@ def _canon(obj) -> pd.DataFrame:
         "semdedup_docs",
         "dsir_scores",
         "dsir_sample",
+        "incremental_minhash",
         "host_pagerank",
         "chars_quantiles_approx",
         "dedup_minhash",

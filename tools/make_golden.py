@@ -123,6 +123,41 @@ def golden_dedup_minhash(sf_dir: str) -> pa.Table:
     return _clusters_table(ids, _minhash_pairs_seq(ids, texts, threshold=0.8))
 
 
+def golden_incremental_minhash(sf_dir: str, *, threshold: float = 0.8) -> pa.Table:
+    """Sequential mirror of pipelines.dedup.minhash_dedup_incremental
+    over the fixture rule: docs with doc_id%7==4 form one planted
+    near-dup family (shared base, tail varies by doc_id%3); archive =
+    doc_id%3==0 (signatures only), new batch = the rest.  Incremental
+    semantics: a new id near-matching ANY archive id drops; within-new
+    clusters keep their min id; archive×archive pairs are ignored."""
+    ids, texts = _read_docs(sf_dir)
+    base = " ".join(f"w{k:02d}" for k in range(60))
+    texts = [
+        f"{base} tail {i % 3}" if i % 7 == 4 else t for i, t in zip(ids, texts)
+    ]
+    pairs = _minhash_pairs_seq(ids, texts, threshold=threshold)
+    new_ids = {i for i in ids if i % 3 != 0}
+    drop: set[int] = set()
+    new_pairs = []
+    for a, b in pairs:
+        na, nb = a in new_ids, b in new_ids
+        if na and nb:
+            new_pairs.append((a, b))
+        elif na:
+            drop.add(a)
+        elif nb:
+            drop.add(b)
+    roots = _root_map_from_pairs(new_pairs)
+    drop.update(i for i, r in roots.items() if i != r)
+    keep = [(i, t) for i, t in zip(ids, texts) if i in new_ids and i not in drop]
+    return pa.table(
+        {
+            "doc_id": pa.array([i for i, _ in keep], type=pa.int64()),
+            "text": pa.array([t for _, t in keep], type=pa.string()),
+        }
+    )
+
+
 def golden_dedup_ngram(sf_dir: str, *, threshold: float = 0.9, n: int = 3) -> pa.Table:
     ids, texts = _read_docs(sf_dir)
     by_id = dict(zip(ids, texts))
@@ -634,6 +669,7 @@ GOLDEN_BUILDERS = {
     "semdedup_docs": golden_semdedup_docs,
     "dsir_scores": golden_dsir_scores,
     "dsir_sample": golden_dsir_sample,
+    "incremental_minhash": golden_incremental_minhash,
     "host_pagerank": golden_host_pagerank,
     "describe_docs": golden_describe_docs,
     "chars_quantiles_approx": golden_chars_quantiles_approx,
