@@ -2279,6 +2279,68 @@ def _q_incremental_minhash(sf_dir: str):
     return minhash_dedup_incremental(new_ds, index_sigs, threshold=0.8)
 
 
+def _q_perplexity_buckets(sf_dir: str):
+    """CCNet-style perplexity bucketing: every doc lands in the
+    head / middle / tail tercile of its LANGUAGE by bigram-LM score
+    (the corpus-quality split CCNet uses KenLM perplexity for).
+    Composition of two proven pieces — bigram_lm_scores (two count
+    exchanges + broadcast scoring) and percent_rank_by_key (one
+    (lang, score)-level count exchange + CDF broadcast, no window
+    shuffle); lang joins in via the distributed hash_join on doc_id.
+    Scores quantize to int64 micro-units (round half-away × 1e6) so
+    rank keys are integer-exact across engines; the tercile compare
+    is ``pr * 3 < k`` with percent_rank's (rank-1)/(n-1) formula on
+    both sides."""
+    import pyarrow as pa
+
+    import ray.data
+
+    from dots_ocr_ray.pipelines.relational import hash_join, percent_rank_by_key
+    from dots_ocr_ray.pipelines.text_analysis import bigram_lm_scores
+    from dots_ocr_ray.util import round_half_away
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    scores = bigram_lm_scores(docs)
+
+    def _quantize(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        lp = batch.column("avg_logp").to_numpy(zero_copy_only=False)
+        key = round_half_away(lp * 1_000_000.0, 0).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "score_key": pa.array(key, type=pa.int64()),
+            }
+        )
+
+    langs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+    keyed = hash_join(
+        scores.map_batches(_quantize, batch_format="pyarrow"),
+        langs,
+        on="doc_id",
+        left_schema=pa.schema([("doc_id", pa.int64()), ("score_key", pa.int64())]),
+        right_schema=pa.schema([("doc_id", pa.int64()), ("lang", pa.string())]),
+    )
+    ranked = percent_rank_by_key(keyed, key="lang", col="score_key")
+
+    def _bucket(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        pr = batch.column("pct_rank").to_numpy(zero_copy_only=False)
+        bucket = np.where(pr * 3.0 < 1.0, "head", np.where(pr * 3.0 < 2.0, "middle", "tail"))
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "lang": batch.column("lang"),
+                "score_key": batch.column("score_key"),
+                "bucket": pa.array(bucket, type=pa.string()),
+            }
+        )
+
+    return ranked.map_batches(_bucket, batch_format="pyarrow")
+
+
 def _q_crawl_diff_docs(sf_dir: str):
     """Snapshot diff between two crawls of one url space (added /
     removed / changed / unchanged per url) — the deterministic split:
@@ -2555,6 +2617,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "recrawl_priority": _q_recrawl_priority,
         "table_profile": _q_table_profile,
         "bigram_lm_scores": _q_bigram_lm_scores,
+        "perplexity_buckets": _q_perplexity_buckets,
         "compression_ratios": _q_compression_ratios,
         "adaptive_length_filter": _q_adaptive_length_filter,
         # link-graph analytics
@@ -2771,6 +2834,30 @@ def oracle_sql() -> dict[str, str]:
             "CAST(count(s.lp) AS BIGINT) AS n_bigrams "
             "FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id "
             "GROUP BY d.doc_id"
+        ),
+        # perplexity terciles: the bigram-LM CTE quantized to int64
+        # micro-units, percent_rank per lang, pr*3 tercile compare
+        "perplexity_buckets": (
+            r"WITH toks AS (SELECT doc_id, t.tok, t.ord FROM documents, "
+            r"LATERAL (SELECT unnest(list_filter(regexp_split_to_array(coalesce(text,''), '\s+'), x -> x <> '')) AS tok, "
+            r"generate_subscripts(list_filter(regexp_split_to_array(coalesce(text,''), '\s+'), x -> x <> ''), 1) AS ord) t), "
+            "uni AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok), "
+            "v AS (SELECT count(*) AS nv FROM uni), "
+            "bigr AS (SELECT t1.doc_id, t1.tok AS w1, t2.tok AS w2 FROM toks t1 "
+            "JOIN toks t2 ON t1.doc_id = t2.doc_id AND t2.ord = t1.ord + 1), "
+            "bc AS (SELECT w1, w2, count(*) AS c FROM bigr GROUP BY w1, w2), "
+            "scored AS (SELECT b.doc_id, ln((bc.c + 1.0) / (u.c + v.nv)) AS lp "
+            "FROM bigr b JOIN bc ON b.w1 = bc.w1 AND b.w2 = bc.w2 "
+            "JOIN uni u ON b.w1 = u.tok CROSS JOIN v), "
+            "avgs AS (SELECT d.doc_id, d.lang, "
+            "CAST(round(coalesce(avg(s.lp), 0.0) * 1000000, 0) AS BIGINT) AS score_key "
+            "FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id "
+            "GROUP BY d.doc_id, d.lang), "
+            "ranked AS (SELECT doc_id, lang, score_key, "
+            "percent_rank() OVER (PARTITION BY lang ORDER BY score_key) AS pr FROM avgs) "
+            "SELECT doc_id, lang, score_key, "
+            "CASE WHEN pr * 3 < 1 THEN 'head' WHEN pr * 3 < 2 THEN 'middle' "
+            "ELSE 'tail' END AS bucket FROM ranked"
         ),
         # exact-substring dedup: independent SQL derivation — window
         # k-gram assembly + global HAVING count>=2 + interval coverage
