@@ -2279,6 +2279,56 @@ def _q_incremental_minhash(sf_dir: str):
     return minhash_dedup_incremental(new_ds, index_sigs, threshold=0.8)
 
 
+def _q_composite_quality_filter(sf_dir: str):
+    """FineWeb/RefinedWeb-style combined keep-filter in ONE zero-
+    exchange pass: the heuristic quality gates (≥5 tokens, mean word
+    length 1–15, alpha ratio ≥ 0.5 — the quality_filter_docs rules)
+    AND the Gopher repetition gates (distinct-token fraction ≥ 0.3,
+    top-bigram fraction ≤ 0.2).  Both feature families are batch-local
+    (annotate_documents + repetition_stats with keep_cols
+    passthrough); nothing shuffles."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray.data
+
+    from dots_ocr_ray.pipelines.text_analysis import (
+        annotate_documents,
+        repetition_stats,
+    )
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    ann = annotate_documents(docs, features=("tokens_ws", "quality"))
+    rep = repetition_stats(
+        ann, keep_cols=("lang", "n_tokens_ws", "alpha_ratio", "mean_word_len")
+    )
+
+    def _keep(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.and_(
+                pc.and_(
+                    pc.greater_equal(batch.column("n_tokens_ws"), 5),
+                    pc.and_(
+                        pc.greater_equal(batch.column("mean_word_len"), 1.0),
+                        pc.less_equal(batch.column("mean_word_len"), 15.0),
+                    ),
+                ),
+                pc.greater_equal(batch.column("alpha_ratio"), 0.5),
+            ),
+            pc.and_(
+                pc.greater_equal(batch.column("distinct_frac"), 0.3),
+                pc.less_equal(batch.column("top_bigram_frac"), 0.2),
+            ),
+        )
+        return batch.filter(keep).select(
+            ["doc_id", "lang", "n_tokens_ws", "distinct_frac", "top_bigram_frac"]
+        )
+
+    return rep.map_batches(_keep, batch_format="pyarrow")
+
+
 def _q_perplexity_buckets(sf_dir: str):
     """CCNet-style perplexity bucketing: every doc lands in the
     head / middle / tail tercile of its LANGUAGE by bigram-LM score
@@ -2618,6 +2668,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "table_profile": _q_table_profile,
         "bigram_lm_scores": _q_bigram_lm_scores,
         "perplexity_buckets": _q_perplexity_buckets,
+        "composite_quality_filter": _q_composite_quality_filter,
         "compression_ratios": _q_compression_ratios,
         "adaptive_length_filter": _q_adaptive_length_filter,
         # link-graph analytics
@@ -2834,6 +2885,33 @@ def oracle_sql() -> dict[str, str]:
             "CAST(count(s.lp) AS BIGINT) AS n_bigrams "
             "FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id "
             "GROUP BY d.doc_id"
+        ),
+        # composite keep-filter: the quality_filter_docs rules AND the
+        # repetition_stats thresholds, all in SQL
+        "composite_quality_filter": (
+            "WITH toks AS (SELECT doc_id, "
+            "list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS arr FROM documents), "
+            "u AS (SELECT doc_id, len(arr) AS n_tokens, len(list_distinct(arr)) AS n_distinct FROM toks), "
+            "big AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(arr) - 1), "
+            "i -> arr[i] || ' ' || arr[i + 1])) AS bg FROM toks WHERE len(arr) >= 2), "
+            "bc AS (SELECT doc_id, bg, count(*) AS c FROM big GROUP BY doc_id, bg), "
+            "bm AS (SELECT doc_id, max(c) AS maxc, sum(c) AS nbig FROM bc GROUP BY doc_id), "
+            "rep AS (SELECT u.doc_id, "
+            "round(CASE WHEN u.n_tokens = 0 THEN 0.0 ELSE u.n_distinct * 1.0 / u.n_tokens END, 4) AS distinct_frac, "
+            "round(CASE WHEN bm.nbig IS NULL OR bm.nbig = 0 THEN 0.0 ELSE bm.maxc * 1.0 / bm.nbig END, 4) AS top_bigram_frac "
+            "FROM u LEFT JOIN bm ON u.doc_id = bm.doc_id), "
+            "q AS (SELECT doc_id, lang, "
+            "len(string_split_regex(trim(text), '[ \t\n]+')) AS n_words, "
+            "CASE WHEN len(string_split_regex(trim(text), '[ \t\n]+')) = 0 THEN 0.0 "
+            "ELSE length(replace(text, ' ', '')) * 1.0 / len(string_split_regex(trim(text), '[ \t\n]+')) END AS mw, "
+            "CASE WHEN length(text) = 0 THEN 0.0 "
+            "ELSE length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / length(text) END AS ar "
+            "FROM documents) "
+            "SELECT q.doc_id, q.lang, CAST(q.n_words AS BIGINT) AS n_tokens_ws, "
+            "rep.distinct_frac, rep.top_bigram_frac "
+            "FROM q JOIN rep ON q.doc_id = rep.doc_id "
+            "WHERE q.n_words >= 5 AND q.mw BETWEEN 1.0 AND 15.0 AND q.ar >= 0.5 "
+            "AND rep.distinct_frac >= 0.3 AND rep.top_bigram_frac <= 0.2"
         ),
         # perplexity terciles: the bigram-LM CTE quantized to int64
         # micro-units, percent_rank per lang, pr*3 tercile compare

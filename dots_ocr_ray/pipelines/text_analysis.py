@@ -352,6 +352,7 @@ def repetition_stats(
     *,
     text_col: str = "text",
     id_col: str = "doc_id",
+    keep_cols: tuple[str, ...] = (),
 ) -> ray.data.Dataset:
     """Per-document intra-repetition signals (the Gopher/RefinedWeb
     repetition filters): distinct-token fraction and top-bigram
@@ -406,7 +407,7 @@ def repetition_stats(
         # half-even and diverges on exact ties like 26/64 = 0.40625
         distinct_frac = np.floor(distinct_frac * 1e4 + 0.5) / 1e4
         top_bigram_frac = np.floor(top_bigram_frac * 1e4 + 0.5) / 1e4
-        return pa.table(
+        out = pa.table(
             {
                 "doc_id": batch.column(id_col),
                 "n_tokens": pa.array(n_tokens, type=pa.int64()),
@@ -414,6 +415,9 @@ def repetition_stats(
                 "top_bigram_frac": pa.array(top_bigram_frac, type=pa.float64()),
             }
         )
+        for c in keep_cols:  # batch-local pass, row order preserved
+            out = out.append_column(c, batch.column(c))
+        return out
 
     return ds.map_batches(_stats, batch_format="pyarrow")
 
