@@ -29,9 +29,6 @@ def validate_rows(
     names = list(rules.items())
 
     def _check(batch: pa.Table) -> pa.Table:
-        ids: list[pa.Array] = []
-        labels: list[str] = []
-        n_out = 0
         parts = []
         for name, fn in names:
             mask = fn(batch)

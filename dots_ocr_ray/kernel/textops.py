@@ -181,7 +181,16 @@ def normalize_url(url: str) -> str:
     but otherwise untouched."""
     from urllib.parse import parse_qsl, urlencode, urlsplit, urlunsplit
 
-    url = (url or "").strip()
+    # Strip unicode whitespace AND C0 controls to a FIXPOINT: urlsplit
+    # itself strips C0-and-space at the edges (WHATWG rule), so a lone
+    # .strip() (which misses e.g. \x1b but takes \xa0) would let
+    # urlsplit expose fresh whitespace that only the NEXT call removes,
+    # breaking idempotency (hypothesis counterexample: "\x1b\xa00").
+    c0 = "".join(chr(c) for c in range(0x21)) + "\x7f"
+    url, prev = (url or ""), None
+    while prev != url:
+        prev = url
+        url = url.strip().strip(c0)
     if not url:
         return url
     try:

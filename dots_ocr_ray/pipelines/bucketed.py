@@ -134,7 +134,23 @@ def bucketed_join(
         if lf[i]
     ]
 
+    # right-side schema read ONCE on the driver (from any non-empty
+    # bucket): buckets whose right file list is empty still emit the
+    # full joined schema on a left join, instead of per-bucket schema
+    # drift (missing right columns) that poisons the downstream union
+    rfs_drv, _ = resolve_fs(right_dir)
+    sample_right = next(
+        (rf[i][0] for i in range(num_buckets) if rf[i]), None
+    )
+    right_schema = (
+        pq.read_schema(sample_right, filesystem=rfs_drv)
+        if sample_right is not None
+        else None
+    )
+
     def _join_bucket(batch: pa.Table):
+        import pandas as pd
+
         for row in batch.to_pylist():
             lfs, _ = resolve_fs(row["left_dir"])
             rfs, _ = resolve_fs(row["right_dir"])
@@ -142,20 +158,29 @@ def bucketed_join(
             rpaths = json.loads(row["right"])
             if not lpaths:
                 continue
+            # Arrow-backed dtypes (the hash_join rule): a left join's
+            # unmatched rows pad the right side with nulls, and plain
+            # to_pandas would upcast its int64 ids/hashes to float64 —
+            # lossy above 2^53 and schema-inconsistent across buckets
             lt = pa.concat_tables(
                 [pq.read_table(p, filesystem=lfs) for p in lpaths]
-            ).to_pandas()
-            rt = (
-                pa.concat_tables(
+            ).to_pandas(types_mapper=pd.ArrowDtype)
+            if rpaths:
+                rt = pa.concat_tables(
                     [pq.read_table(p, filesystem=rfs) for p in rpaths]
-                ).to_pandas()
-                if rpaths
-                else None
-            )
-            if rt is None or not len(rt):
-                if how == "inner":
-                    continue
-                merged = lt.copy()
+                ).to_pandas(types_mapper=pd.ArrowDtype)
+            elif right_schema is not None:
+                # typed EMPTY right: the merge below then emits the
+                # same joined schema as every other bucket
+                rt = right_schema.empty_table().to_pandas(
+                    types_mapper=pd.ArrowDtype
+                )
+            else:
+                rt = None
+            if how == "inner" and (rt is None or not len(rt)):
+                continue
+            if rt is None:  # left join, right layout entirely empty:
+                merged = lt.copy()  # no right columns exist anywhere
             else:
                 merged = lt.merge(
                     rt, on=on, how=how, suffixes=("", suffix), sort=False
@@ -164,7 +189,9 @@ def bucketed_join(
                 columns=[c for c in merged.columns if c.startswith("__bucket")]
             )
             if len(merged):
-                yield pa.Table.from_pandas(merged, preserve_index=False)
+                yield pa.Table.from_pandas(
+                    merged, preserve_index=False
+                ).replace_schema_metadata(None)
 
     # one row per bucket; batch_size=1 → one Ray task per bucket, the
     # natural parallel unit of a co-partitioned layout

@@ -232,14 +232,37 @@ def _row_bytes(batch: pa.Table) -> np.ndarray:
                 + 4
             )
         elif pa.types.is_list(t) or pa.types.is_large_list(t):
-            width = t.value_type.bit_width // 8 if t.value_type.bit_width else 8
-            total += (
-                pc.list_value_length(col)
+            counts = (
+                pc.list_value_length(pc.fill_null(col, []))
                 .cast(pa.int64())
                 .to_numpy(zero_copy_only=False)
-                * width
-                + 4
             )
+            vt = t.value_type
+            try:
+                width = vt.bit_width // 8 or 8
+            except ValueError:  # variable-width child (list<string>, ...)
+                width = None
+            if width is not None:
+                total += counts * width + 4
+            elif (
+                pa.types.is_string(vt)
+                or pa.types.is_large_string(vt)
+                or pa.types.is_binary(vt)
+                or pa.types.is_large_binary(vt)
+            ):
+                # exact child bytes per row: flatten once, sum the child
+                # value lengths back to their parent rows
+                arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+                lens = pc.binary_length(pc.list_flatten(arr)).to_numpy(
+                    zero_copy_only=False
+                )
+                parents = pc.list_parent_indices(arr).to_numpy(zero_copy_only=False)
+                per_row = np.bincount(
+                    parents, weights=np.nan_to_num(lens.astype(np.float64)), minlength=n
+                )
+                total += per_row.astype(np.int64) + counts * 4 + 4
+            else:  # nested child without a fixed width: coarse estimate
+                total += counts * 16 + 4
         else:
             try:
                 total += max(t.bit_width // 8, 1)

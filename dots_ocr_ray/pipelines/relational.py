@@ -1107,6 +1107,7 @@ def pivot_agg(
     n_cat = len(categories)
 
     def _partial(batch: pa.Table) -> pa.Table:
+        key_type = batch.schema.field(key_col).type
         batch = batch.filter(pc.is_in(batch.column(pivot_col), pa.array(categories)))
         keys, key_idx = np.unique(
             batch.column(key_col).to_numpy(zero_copy_only=False), return_inverse=True
@@ -1117,7 +1118,10 @@ def pivot_agg(
         flat = key_idx * n_cat + cat_idx
         size = len(keys) * n_cat
         counts = np.bincount(flat, minlength=size).reshape(len(keys), n_cat)
-        cols = {key_col: pa.array(keys)}
+        # pin the key type: pa.array over an EMPTY numpy object array
+        # (zero rows matched `categories`) would otherwise infer type
+        # null and poison the downstream groupby's schema union
+        cols = {key_col: pa.array(keys, type=key_type)}
         for j, c in enumerate(categories):
             cols[f"{c}_n"] = pa.array(counts[:, j], type=pa.int64())
         if value_col is not None:

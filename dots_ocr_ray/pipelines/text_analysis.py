@@ -1193,7 +1193,10 @@ def host_reputation(
         df = pd.DataFrame(
             {
                 "host": host.to_pandas(),
-                "lang": batch.column("lang").to_pandas(),
+                # fill BEFORE the groupby: pandas drops NaN group keys
+                # by default, which would silently vanish null-lang
+                # pages from every count this rollup feeds
+                "lang": pc.fill_null(batch.column("lang"), "").to_pandas(),
                 "fin": pc.equal(batch.column("status"), "finished")
                 .cast(pa.int64())
                 .to_pandas(),

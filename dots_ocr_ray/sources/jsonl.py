@@ -159,11 +159,18 @@ def write_jsonl(
 
     def _write_block(batch: pa.Table) -> pa.Table:
         rows = batch.to_pylist()
+        if not rows:  # no empty shard files, no "" payload collisions
+            return pa.table(
+                {
+                    "path": pa.array([], type=pa.string()),
+                    "rows": pa.array([], type=pa.int64()),
+                }
+            )
         payload = "\n".join(
             json.dumps(r, ensure_ascii=False, sort_keys=True, default=str)
             for r in rows
         )
-        data = (payload + "\n").encode("utf-8") if rows else b""
+        data = (payload + "\n").encode("utf-8")
         if compress:
             data = gzip.compress(data, mtime=0)  # mtime=0: byte-stable
         name = f"{prefix}-{md5_hex(payload)[:16]}{suffix}"
@@ -177,4 +184,28 @@ def write_jsonl(
     manifest = ds.map_batches(
         _write_block, batch_format="pyarrow", batch_size=None
     ).take_all()
-    return sorted(manifest, key=lambda r: r["path"])
+    # Two DISTINCT blocks with byte-identical content (legit in a
+    # dup-heavy corpus) content-address to the SAME file: without a
+    # fix-up one copy of the rows silently vanishes while the manifest
+    # double-counts.  The colliding blocks are byte-identical by
+    # construction, so materializing the extra copies under
+    # deterministic `-dupN` names restores row fidelity AND keeps the
+    # re-run byte-stable (same data → same collisions → same names).
+    by_path: dict[str, int] = {}
+    fixed = []
+    for m in manifest:
+        k = by_path.get(m["path"], 0)
+        by_path[m["path"]] = k + 1
+        if k == 0:
+            fixed.append(m)
+            continue
+        stem, sfx = m["path"], ""
+        if stem.endswith(suffix):
+            stem, sfx = stem[: -len(suffix)], suffix
+        dup_path = f"{stem}-dup{k}{sfx}"
+        with fs.open_input_stream(m["path"], compression=None) as src:
+            data = src.read()
+        with fs.open_output_stream(dup_path, compression=None) as dst:
+            dst.write(data)
+        fixed.append({"path": dup_path, "rows": m["rows"]})
+    return sorted(fixed, key=lambda r: r["path"])

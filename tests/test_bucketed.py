@@ -92,3 +92,42 @@ def test_per_batch_rollup_is_globally_correct(layout):
         ).fetchall()
     )
     assert got == exp
+
+
+def test_bucketed_left_join_int64_exact_above_2_53(ray_session, tmp_path):
+    """Left join with unmatched rows must NOT round-trip the right
+    side's int64 payload through float64 (lossy above 2^53), and every
+    bucket — including those whose right side is empty — must emit the
+    same joined schema."""
+    base = str(tmp_path / "big_ids")
+    big = 2**60 + 3
+    left = ray.data.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([1, 2, 3, 4, 5, 6, 7, 8], type=pa.int64()),
+                "lv": pa.array(range(8), type=pa.int64()),
+            }
+        )
+    )
+    right = ray.data.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([1, 3], type=pa.int64()),
+                "rid": pa.array([big, big + 1], type=pa.int64()),
+            }
+        )
+    )
+    write_bucketed(left, f"{base}/l", key="k", num_buckets=4)
+    write_bucketed(right, f"{base}/r", key="k", num_buckets=4)
+    joined = bucketed_join(f"{base}/l", f"{base}/r", on="k", how="left")
+    batches = [
+        b for b in joined.iter_batches(batch_format="pyarrow") if b.num_rows
+    ]
+    # every bucket's block carries the SAME schema with rid still int64
+    for b in batches:
+        assert b.schema.field("rid").type == pa.int64()
+    out = pa.concat_tables(batches)
+    assert out.num_rows == 8  # every left row survives
+    rid = {r["k"]: r["rid"] for r in out.to_pylist()}
+    assert rid[1] == big and rid[3] == big + 1
+    assert all(rid[k] is None for k in (2, 4, 5, 6, 7, 8))

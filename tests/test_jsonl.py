@@ -104,3 +104,35 @@ def test_write_jsonl_roundtrip(ray_session, tmp_path):
     # idempotent re-run: same content-addressed names, no new files
     paths2 = [m["path"] for m in write_jsonl(ds, out)]
     assert paths2 == paths
+
+
+def test_write_jsonl_identical_blocks_do_not_collide(ray_session, tmp_path):
+    """Two distinct blocks with byte-identical content must both land
+    on disk (dup-heavy corpora are the norm here): the writer resolves
+    content-address collisions with deterministic -dupN copies."""
+    import pyarrow as pa
+
+    import ray.data
+
+    from dots_ocr_ray.sources.jsonl import read_jsonl, write_jsonl
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([7, 7], type=pa.int64()),
+            "text": pa.array(["same", "same"], type=pa.string()),
+        }
+    )
+    ds = ray.data.from_arrow(tbl).repartition(2)  # 2 identical 1-row blocks
+    out = str(tmp_path / "dup_export")
+    manifest = write_jsonl(ds, out)
+    assert len(manifest) == 2 and len({m["path"] for m in manifest}) == 2
+    assert sum(m["rows"] for m in manifest) == 2
+    back = read_jsonl(
+        [m["path"] for m in manifest],
+        schema=pa.schema([("doc_id", pa.int64()), ("text", pa.string())]),
+    )
+    assert back.count() == 2  # no silent row loss
+
+    # re-run stays name-stable (same data -> same collision -> same names)
+    manifest2 = write_jsonl(ds, out)
+    assert sorted(m["path"] for m in manifest2) == sorted(m["path"] for m in manifest)

@@ -148,3 +148,49 @@ def test_write_bytes_balanced_shards(ray_session, tmp_path):
 
     markers = [f for f in os.listdir(out) if f.endswith(".done")]
     assert len(markers) == len(manifest)
+
+
+def test_row_bytes_handles_variable_width_list_columns():
+    """list<string> / list<binary> / nested list columns must not crash
+    the byte estimator (pa.DataType.bit_width raises on them)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from dots_ocr_ray.pipelines.packing import _row_bytes
+
+    t = pa.table(
+        {
+            "toks": pa.array([["a", "bb"], None, []], type=pa.list_(pa.string())),
+            "ids": pa.array([[1, 2], [3], None], type=pa.list_(pa.int64())),
+            "raw": pa.array([b"abc", None, b""], type=pa.binary()),
+            "nested": pa.array(
+                [[[1]], None, [[2, 3]]], type=pa.list_(pa.list_(pa.int64()))
+            ),
+        }
+    )
+    sizes = _row_bytes(t)
+    assert sizes.dtype == np.int64 and len(sizes) == 3 and (sizes > 0).all()
+
+
+def test_write_bytes_balanced_shards_with_list_string_column(ray_session, tmp_path):
+    import pyarrow as pa
+
+    import ray.data
+
+    from dots_ocr_ray.pipelines.packing import write_bytes_balanced_shards
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(50), type=pa.int64()),
+                "links": pa.array(
+                    [[f"http://h{i}.com/{j}" for j in range(i % 4)] for i in range(50)],
+                    type=pa.list_(pa.string()),
+                ),
+            }
+        )
+    )
+    manifest = write_bytes_balanced_shards(
+        ds, str(tmp_path / "shards"), target_bytes=1 << 12
+    )
+    assert sum(m["rows"] for m in manifest) == 50
