@@ -361,6 +361,97 @@ def semi_join_ids(
     return payload_ds.map_batches(_filter, batch_format="pyarrow")
 
 
+def anti_join_ids(
+    payload_ds: ray.data.Dataset,
+    ids_ds: ray.data.Dataset,
+    *,
+    id_col: str,
+    id_cols: tuple[str, ...] = ("id",),
+    exact_limit: int = DRIVER_PAIR_LIMIT,
+    fp_rate: float = 0.001,
+) -> ray.data.Dataset:
+    """EXACT anti-join at every scale: drop payload rows whose
+    ``id_col`` value appears in any of ``ids_ds``'s ``id_cols``.
+
+    Unlike :func:`semi_join_ids`'s Bloom tier (approximate — use only
+    where over-keeping is safe), this is the OUTPUT-defining filter:
+    dedup keep-filters must drop exactly the duplicate set, so the
+    scale tier routes through the Bloom as a PREFILTER and then
+    verifies only the possible members with one exact distributed hash
+    anti-join:
+
+    * exact tier — under ``exact_limit`` id rows, one sorted int64
+      broadcast array (8 B/id), vectorized ``searchsorted`` NOT-member
+      mask, zero exchange;
+    * scale tier — rows the Bloom rejects are DEFINITE non-members
+      (kept, zero exchange; that is ~all of the corpus when the id set
+      is a duplicate list); rows the Bloom accepts (true members +
+      ~``fp_rate`` of the rest) go through
+      :func:`~dots_ocr_ray.pipelines.relational.hash_join`
+      ``how="anti"`` against the distinct ids — exchange volume is
+      O(members + fp_rate·corpus), never O(corpus).
+
+    ``payload_ds`` is consumed twice on the scale tier; it is
+    materialized here if it isn't already."""
+    ids_ds = ids_ds.materialize()
+    n = ids_ds.count()
+    if n * len(id_cols) <= exact_limit:
+        chunks: list[np.ndarray] = []
+        for b in ids_ds.iter_batches(batch_format="pyarrow"):
+            for col in id_cols:
+                chunks.append(_int_col(b, col))
+        members = np.unique(np.concatenate(chunks)) if chunks else np.array([], np.int64)
+        member_ref = ray.put(members)
+
+        def _drop(batch: pa.Table) -> pa.Table:
+            arr = cached_object(member_ref)
+            vals = _int_col(batch, id_col)
+            if len(arr) == 0:
+                return batch
+            idx = np.searchsorted(arr, vals)
+            idx[idx >= len(arr)] = len(arr) - 1
+            return batch.filter(pa.array(arr[idx] != vals, type=pa.bool_()))
+
+        return payload_ds.map_batches(_drop, batch_format="pyarrow")
+
+    from ray.data.dataset import MaterializedDataset
+
+    if not isinstance(payload_ds, MaterializedDataset):
+        payload_ds = payload_ds.materialize()
+    bf = build_bloom_distributed(
+        ids_ds, id_cols, capacity=n * len(id_cols), fp_rate=fp_rate
+    )
+    bf_ref = ray.put(bf)
+
+    def _route(want_member: bool):
+        def _fn(batch: pa.Table) -> pa.Table:
+            obj = cached_object(bf_ref)
+            m = obj.contains_int_array(_int_col(batch, id_col))
+            return batch.filter(pa.array(m if want_member else ~m, type=pa.bool_()))
+
+        return _fn
+
+    definite_keep = payload_ds.map_batches(_route(False), batch_format="pyarrow")
+    candidates = payload_ds.map_batches(_route(True), batch_format="pyarrow")
+
+    def _ids_flat(batch: pa.Table) -> pa.Table:
+        arrs = [pa.array(_int_col(batch, c), type=pa.int64()) for c in id_cols]
+        return pa.table({id_col: pa.concat_arrays(arrs)})
+
+    from dots_ocr_ray.pipelines.relational import hash_join
+
+    payload_schema = payload_ds.schema().base_schema
+    verified = hash_join(
+        candidates,
+        ids_ds.map_batches(_ids_flat, batch_format="pyarrow"),
+        on=id_col,
+        how="anti",
+        left_schema=payload_schema,
+        right_schema=pa.schema([(id_col, pa.int64())]),
+    )
+    return definite_keep.union(verified)
+
+
 def filter_payload_to_pair_endpoints(
     payload_ds: ray.data.Dataset,
     pairs_ds: ray.data.Dataset,

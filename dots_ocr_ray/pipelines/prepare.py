@@ -16,10 +16,11 @@ of this engine runs over a web crawl.
 
 Everything before and after the dedup exchange streams with
 backpressure.  The exact-dedup path consumes the survivor ROWS
-directly (no keep filter at all); the minhash path applies a
-DISTRIBUTED semi-join against the survivor ids (budgeted sorted-array
-broadcast under the driver limit, distributed Bloom build above it) —
-no driver-side collection ever scales with the survivor count.
+directly (no keep filter at all); the minhash path anti-joins the
+corpus against the DUPLICATE ids (sorted-array broadcast under the
+driver limit; Bloom-prefilter + exact distributed hash anti-join
+above it) — exact at every scale, and no driver-side collection ever
+scales with the survivor count.
 Returns per-stage row counts (the job-level lineage the reference
 tracks per job, dotsocr_service.py:430-443).
 """
@@ -35,7 +36,7 @@ import ray.data
 from dots_ocr_ray.functions.scrub import scrub_documents
 from dots_ocr_ray.kernel.textops import quality_features, quality_keep
 from dots_ocr_ray.pipelines.chunking import chunk_documents
-from dots_ocr_ray.pipelines.dedup import exact_dedup, minhash_lsh_dedup, semi_join_ids
+from dots_ocr_ray.pipelines.dedup import anti_join_ids, exact_dedup, minhash_lsh_dedup
 
 
 def prepare_training_data(
@@ -60,9 +61,10 @@ def prepare_training_data(
     """pages Dataset → chunked, deduped, scrubbed train/val parquet.
 
     ``dedup`` is "exact", "minhash", or "none".  Exact dedup yields the
-    survivor rows directly; minhash yields survivor ids (survivor ==
-    cluster min) that are semi-joined to the corpus distributively —
-    either way, nothing survivor-proportional lands on the driver."""
+    survivor rows directly; minhash yields duplicate ids (cluster
+    members that are not the cluster min) that are anti-joined out of
+    the corpus distributively and EXACTLY — either way, nothing
+    survivor-proportional lands on the driver."""
     from dots_ocr_ray.pipelines.extract import extract_pages
 
     extracted = extract_pages(pages, **(extract_kwargs or {}))
@@ -116,18 +118,22 @@ def prepare_training_data(
         elif dedup == "minhash":
             clusters = minhash_lsh_dedup(docs, threshold=minhash_threshold)
 
-            def _surv(batch: pa.Table) -> pa.Table:
-                m = pc.equal(batch.column("doc_id"), batch.column("cluster_id"))
+            def _dups(batch: pa.Table) -> pa.Table:
+                m = pc.not_equal(batch.column("doc_id"), batch.column("cluster_id"))
                 return batch.filter(m).select(["doc_id"])
 
-            survivors = clusters.map_batches(_surv, batch_format="pyarrow").materialize()
-            # survivors ≈ corpus minus duplicates — O(corpus), so the
-            # keep filter is a DISTRIBUTED semi-join (budgeted sorted-
-            # array broadcast under the driver limit, distributed Bloom
-            # build above it), never a driver-side Python id set
+            duplicates = clusters.map_batches(_dups, batch_format="pyarrow").materialize()
+            # the keep filter is EXACT at every scale and inverted to
+            # the SMALL side: anti-join the corpus against the
+            # duplicate ids (dups << survivors ≈ corpus, so the sorted-
+            # array broadcast tier covers far larger corpora, and the
+            # scale tier's Bloom-prefilter + exact hash anti-join
+            # verification never over-keeps a duplicate into the
+            # training output the way a survivor-side Bloom semi-join
+            # would).  Nothing survivor-proportional lands anywhere.
             join_kwargs = {} if dedup_exact_limit is None else {"exact_limit": dedup_exact_limit}
-            docs = semi_join_ids(
-                docs, survivors, id_col="doc_id", id_cols=("doc_id",), **join_kwargs
+            docs = anti_join_ids(
+                docs, duplicates, id_col="doc_id", id_cols=("doc_id",), **join_kwargs
             )
         else:
             raise ValueError(f"unknown dedup mode: {dedup}")

@@ -71,7 +71,21 @@ def refresh_corpus(
     extracted = extract_pages(new_pages, **(extract_kwargs or {}))
 
     def _narrow(batch: pa.Table) -> pa.Table:
-        ids = [int(md5_hex(u)[:15], 16) for u in batch.column("url").to_pylist()]
+        # doc_id = h(url ‖ content): minhash_dedup_incremental REQUIRES
+        # ids disjoint between the new batch and the stored index, and
+        # a recrawl of url U with drifted content would reuse a plain
+        # url-hash id — the archive sig and the new sig then collide on
+        # one id, the cross-pair degenerates to a self-pair, and the
+        # near-dup silently evades the gate.  Salting with the content
+        # hash makes a changed recrawl a NEW node by construction,
+        # while an identical recrawl never reaches this gate (the
+        # exact-md5 gate drops it first).
+        urls = batch.column("url").to_pylist()
+        texts = batch.column("extracted_text_nohf").to_pylist()
+        ids = [
+            int(md5_hex(md5_hex(u) + md5_hex(t or ""))[:15], 16)
+            for u, t in zip(urls, texts)
+        ]
         return pa.table(
             {
                 "doc_id": pa.array(ids, type=pa.int64()),
@@ -132,15 +146,18 @@ def refresh_corpus(
             fresh, threshold=minhash_threshold, num_perm=num_perm
         )
 
-        def _surv_ids(batch: pa.Table) -> pa.Table:
-            m = pc.equal(batch.column("doc_id"), batch.column("cluster_id"))
+        def _dup_ids(batch: pa.Table) -> pa.Table:
+            m = pc.not_equal(batch.column("doc_id"), batch.column("cluster_id"))
             return batch.filter(m).select(["doc_id"])
 
-        from dots_ocr_ray.pipelines.dedup import semi_join_ids
+        from dots_ocr_ray.pipelines.dedup import anti_join_ids
 
-        survivors = semi_join_ids(
+        # anti-join against the DUPLICATE ids: exact at every scale
+        # (the survivor-side Bloom semi-join could over-keep dups into
+        # the persisted index), and the smaller id side besides
+        survivors = anti_join_ids(
             fresh,
-            clusters.map_batches(_surv_ids, batch_format="pyarrow").materialize(),
+            clusters.map_batches(_dup_ids, batch_format="pyarrow").materialize(),
             id_col="doc_id",
             id_cols=("doc_id",),
         ).materialize()

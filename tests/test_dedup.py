@@ -470,3 +470,63 @@ def test_attach_pair_payloads_scale_path_full_range_ids(ray_session):
         (int(ids[0]), int(ids[1]), "s0", "s1"),
         (int(ids[2]), int(ids[3]), "s2", "s3"),
     ]
+
+
+def test_anti_join_ids_exact_at_both_tiers(ray_session):
+    """anti_join_ids is the OUTPUT-defining dedup keep-filter: both the
+    broadcast tier and the Bloom-prefilter + hash-anti-join scale tier
+    must drop exactly the member rows — no over-keep (a duplicate
+    leaking into training data) and no over-drop (a survivor lost)."""
+    from dots_ocr_ray.pipelines.dedup import anti_join_ids
+
+    big = 2**60  # ids above 2^53: the join must stay int64-exact
+    dups = ray.data.from_items(
+        [{"id": big + i} for i in range(0, 400, 4)]
+    ).materialize()
+    payload = ray.data.from_items(
+        [{"doc_id": big + i, "x": i} for i in range(400)]
+    ).materialize()
+    want = sorted(big + i for i in range(400) if i % 4 != 0)
+
+    exact = anti_join_ids(
+        payload, dups, id_col="doc_id", id_cols=("id",), exact_limit=10_000
+    )
+    assert sorted(r["doc_id"] for r in exact.take_all()) == want
+
+    scale = anti_join_ids(
+        payload, dups, id_col="doc_id", id_cols=("id",), exact_limit=1
+    )
+    assert sorted(r["doc_id"] for r in scale.take_all()) == want
+
+
+def test_prepare_minhash_scale_tier_is_exact(ray_session, tmp_path):
+    """Forcing the anti-join scale tier (exact_limit=1) must yield the
+    same deduped doc set as the broadcast tier — the Bloom is only a
+    prefilter, never the decision."""
+    from dots_ocr_ray.pipelines.dedup import anti_join_ids, minhash_lsh_dedup
+
+    import pyarrow.compute as pc
+
+    base = " ".join(f"tok{i} word{i} alpha{i}" for i in range(60))
+    rows = []
+    for d in range(30):
+        if d % 3 == 0:  # near-dup family of doc d-? no: make pairs
+            text = base + f" tail{d % 2}"
+        else:
+            text = f"unique doc {d} " + " ".join(f"u{d}_{i}" for i in range(50))
+        rows.append({"doc_id": 10_000 + d, "text": text})
+    docs = ray.data.from_items(rows).materialize()
+    clusters = minhash_lsh_dedup(docs, threshold=0.7)
+
+    def _dups(b):
+        m = pc.not_equal(b.column("doc_id"), b.column("cluster_id"))
+        return b.filter(m).select(["doc_id"])
+
+    duplicates = clusters.map_batches(_dups, batch_format="pyarrow").materialize()
+    a = anti_join_ids(docs, duplicates, id_col="doc_id", id_cols=("doc_id",),
+                      exact_limit=1_000_000)
+    b = anti_join_ids(docs, duplicates, id_col="doc_id", id_cols=("doc_id",),
+                      exact_limit=1)
+    ida = sorted(r["doc_id"] for r in a.take_all())
+    idb = sorted(r["doc_id"] for r in b.take_all())
+    assert ida == idb and 0 < len(ida) < 30

@@ -85,3 +85,57 @@ def test_recrawl_priority(ray_session):
     assert out.loc[0, "priority"] == 1.0
     assert out.loc[1, "priority"] == 0.0
     assert out.loc[2, "rank_rel"] == 0.0 and out.loc[2, "priority"] == 0.0
+
+
+def test_refresh_recrawl_near_dup_is_dropped(ray_session, tmp_path):
+    """A recrawl of the SAME url with drifted near-duplicate content
+    must be caught by the minhash gate: the refresh doc_id is salted
+    with the content hash precisely so the archived signature and the
+    new signature never collide on one id (which would degrade the
+    cross-pair to an invisible self-pair)."""
+    import datetime
+
+    import pyarrow as pa
+
+    def pages(texts):
+        n = len(texts)
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "url": pa.array([f"http://s.com/p{i}" for i in range(n)]),
+                    "warc_ts": pa.array(
+                        [datetime.datetime(2026, 1, 1)] * n, type=pa.timestamp("us")
+                    ),
+                    "html": pa.array(
+                        [
+                            ("<html><body><p>" + t + "</p></body></html>").encode()
+                            for t in texts
+                        ],
+                        type=pa.binary(),
+                    ),
+                    "text": pa.array(texts),
+                    "lang": pa.array(["en"] * n),
+                }
+            )
+        )
+
+    base = str(tmp_path / "recrawl")
+    words = " ".join(f"word{i} token{i} alpha{i} beta{i}" for i in range(40))
+    c1 = refresh_corpus(
+        pages([words]), f"{base}/index", f"{base}/out1", minhash_threshold=0.7
+    )
+    assert c1["kept"] == 1
+
+    # same url, one word removed: near-duplicate content
+    near = words.replace("word5 ", "")
+    c2 = refresh_corpus(
+        pages([near]), f"{base}/index", f"{base}/out2", minhash_threshold=0.7
+    )
+    assert c2["after_exact"] == 1  # passes the exact gate (new md5)
+    assert c2["kept"] == 0  # but the near-dup gate drops it
+
+    # byte-identical recrawl: the exact gate drops it first
+    c3 = refresh_corpus(
+        pages([words]), f"{base}/index", f"{base}/out3", minhash_threshold=0.7
+    )
+    assert c3["after_exact"] == 0
