@@ -37,7 +37,7 @@ import ray
 import ray.data
 
 from dots_ocr_ray.functions.hashing import stable_u64
-from dots_ocr_ray.util import cached_object, round_half_away
+from dots_ocr_ray.util import cached_object, round_half_away, sorted_membership
 
 _BIGRAM_B = np.uint64(0x9E3779B97F4A7C15)  # odd multiplier, u64 wraparound
 
@@ -261,9 +261,7 @@ def ngram_decontaminate(
         tok_vals, offsets, doc_of = _tokens_from_batch(batch.column(text_col))
         starts, hashes = _flat_gram_hashes(_hash_tokens(tok_vals), offsets, k)
         if bg.size and hashes.size:
-            sh = hashes.view(np.int64)
-            pos = np.clip(np.searchsorted(bg, sh), 0, bg.size - 1)
-            hit = bg[pos] == sh
+            hit = sorted_membership(bg, hashes.view(np.int64))
         else:
             hit = np.zeros(hashes.size, dtype=bool)
         ids = batch.column(id_col)

@@ -62,7 +62,13 @@ from dots_ocr_ray.functions.hashing import (
     simhash_block_keys,
 )
 from dots_ocr_ray.kernel.textops import md5_hex
-from dots_ocr_ray.util import bounded_blocks, cached_object, vec_matrix
+from dots_ocr_ray.util import (
+    bounded_blocks,
+    cached_object,
+    sorted_lookup,
+    sorted_membership,
+    vec_matrix,
+)
 
 
 HOT_BUCKET_CAP = 64
@@ -338,11 +344,7 @@ def semi_join_ids(
         member_ref = ray.put(members)
 
         def _mask(members_obj, vals: np.ndarray) -> np.ndarray:
-            if len(members_obj) == 0:
-                return np.zeros(len(vals), dtype=bool)
-            idx = np.searchsorted(members_obj, vals)
-            idx[idx >= len(members_obj)] = len(members_obj) - 1
-            return members_obj[idx] == vals
+            return sorted_membership(members_obj, vals)
 
     else:
         bf = build_bloom_distributed(
@@ -405,12 +407,8 @@ def anti_join_ids(
 
         def _drop(batch: pa.Table) -> pa.Table:
             arr = cached_object(member_ref)
-            vals = _int_col(batch, id_col)
-            if len(arr) == 0:
-                return batch
-            idx = np.searchsorted(arr, vals)
-            idx[idx >= len(arr)] = len(arr) - 1
-            return batch.filter(pa.array(arr[idx] != vals, type=pa.bool_()))
+            hit = sorted_membership(arr, _int_col(batch, id_col))
+            return batch.filter(pa.array(~hit, type=pa.bool_()))
 
         return payload_ds.map_batches(_drop, batch_format="pyarrow")
 
@@ -538,15 +536,8 @@ def attach_pair_payloads(
             an = _int_col(batch, "a")
             bn = _int_col(batch, "b")
 
-            def _find(v: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-                if len(ids_s) == 0:
-                    return np.zeros(len(v), dtype=bool), np.zeros(len(v), dtype=np.int64)
-                idx = np.searchsorted(ids_s, v)
-                idx[idx >= len(ids_s)] = len(ids_s) - 1
-                return ids_s[idx] == v, idx
-
-            hit_a, idx_a = _find(an)
-            hit_b, idx_b = _find(bn)
+            hit_a, idx_a = sorted_lookup(ids_s, an)
+            hit_b, idx_b = sorted_lookup(ids_s, bn)
             keep = hit_a & hit_b
             return pa.table(
                 {
@@ -820,9 +811,7 @@ def cluster_assign(
             ids = _int_col(batch, id_col)
             out = ids.copy()
             if len(nodes_l):
-                idx = np.searchsorted(nodes_l, ids)
-                idx[idx >= len(nodes_l)] = len(nodes_l) - 1
-                hit = nodes_l[idx] == ids
+                hit, idx = sorted_lookup(nodes_l, ids)
                 out[hit] = labels_l[idx[hit]]
             return pa.table(
                 {
@@ -1647,11 +1636,7 @@ def minhash_dedup_incremental(
     new_ref = ray.put(new_ids_arr)
 
     def _is_new(vals: np.ndarray, arr: np.ndarray) -> np.ndarray:
-        if len(arr) == 0:
-            return np.zeros(len(vals), dtype=bool)
-        idx = np.searchsorted(arr, vals)
-        idx[idx >= len(arr)] = len(arr) - 1
-        return arr[idx] == vals
+        return sorted_membership(arr, vals)
 
     def _touches_new(batch: pa.Table) -> pa.Table:
         arr = cached_object(new_ref)

@@ -246,7 +246,7 @@ def recrawl_priority(
     ``doc_id % 40``; a real crawl passes a url→host hash)."""
     import numpy as np
 
-    from dots_ocr_ray.util import bounded_blocks, cached_object
+    from dots_ocr_ray.util import bounded_blocks, cached_object, sorted_lookup
 
     if host_of is None:
         host_of = lambda ids: ids % 40  # noqa: E731 — driver fixture rule
@@ -300,9 +300,7 @@ def recrawl_priority(
         added = batch.column("sum(added)").to_numpy(zero_copy_only=False)
         changed = batch.column("sum(changed)").to_numpy(zero_copy_only=False)
         compared = batch.column("sum(compared)").to_numpy(zero_copy_only=False)
-        idx = np.searchsorted(rh, h)
-        idx[idx >= len(rh)] = max(len(rh) - 1, 0)
-        found = rh[idx] == h if len(rh) else np.zeros(len(h), bool)
+        found, idx = sorted_lookup(rh, h)
         rank = np.where(found, rv[idx] if len(rh) else 0.0, 0.0)
         rate = changed / np.maximum(compared, 1)
         return pa.table(

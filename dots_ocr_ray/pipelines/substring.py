@@ -66,7 +66,7 @@ import ray
 import ray.data
 
 from dots_ocr_ray.functions.hashing import stable_u64
-from dots_ocr_ray.util import cached_object, split_whitespace_checked
+from dots_ocr_ray.util import cached_object, sorted_membership, split_whitespace_checked
 
 _GRAM_B = np.uint64(0x9E3779B97F4A7C15)  # odd multiplier; u64 wraparound
 
@@ -253,11 +253,7 @@ def substring_dedup(
             tok_vals, offsets, doc_of = _tokens_from_batch(batch.column(text_col))
             starts, hashes = _flat_gram_hashes(_hash_tokens(tok_vals), offsets, k)
             if len(dup_arr) and len(hashes):
-                h = hashes.view(np.int64)
-                idx = np.searchsorted(dup_arr, h)
-                idx[idx >= len(dup_arr)] = len(dup_arr) - 1
-                hit = dup_arr[idx] == h
-                dup_starts = starts[hit]
+                dup_starts = starts[sorted_membership(dup_arr, hashes.view(np.int64))]
             else:
                 dup_starts = np.zeros(0, dtype=np.int64)
             covered = _covered_mask(dup_starts, len(doc_of), k)

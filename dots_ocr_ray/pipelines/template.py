@@ -48,7 +48,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
-from dots_ocr_ray.util import bounded_blocks, cached_object
+from dots_ocr_ray.util import bounded_blocks, cached_object, sorted_lookup, sorted_membership
 
 _HOST_RE = re.compile(r"^[a-z]+://([^/]+)")
 
@@ -216,11 +216,8 @@ def template_block_strip(
             hkeys, hpages = cached_object(hosts_ref)
             bh = batch.column("host_key").to_numpy(zero_copy_only=False)
             n = batch.column("n").to_numpy(zero_copy_only=False)
-            pos = np.searchsorted(hkeys, bh)
-            pos = np.clip(pos, 0, max(0, hkeys.size - 1))
-            hp = np.where(
-                (hkeys.size > 0) & (hkeys[pos] == bh), hpages[pos] if hkeys.size else 0, 0
-            )
+            found, pos = sorted_lookup(hkeys, bh)
+            hp = np.where(found, hpages[pos] if hkeys.size else 0, 0)
             keep = (n >= floor) & (100 * n >= frac * hp) & (hp > 0)
             return batch.filter(pa.array(keep)).select(["key"])
 
@@ -296,8 +293,7 @@ def template_block_strip(
                 host, blocks = _page_blocks(u, h)
                 keys = _block_keys(host, blocks)
                 if keys.size and fkeys.size:
-                    pos = np.clip(np.searchsorted(fkeys, keys), 0, fkeys.size - 1)
-                    drop = fkeys[pos] == keys
+                    drop = sorted_membership(fkeys, keys)
                 else:
                     drop = np.zeros(keys.size, dtype=bool)
                 kept = [b[1] for b, d in zip(blocks, drop) if not d]

@@ -272,3 +272,29 @@ def merge_int_counts(
         return batch.rename_columns([key_col, cnt_col])
 
     return summed.map_batches(_rename, batch_format="pyarrow").materialize()
+
+
+def sorted_lookup(sorted_arr, vals):
+    """Vectorized probe of ``vals`` against an ASCENDING-sorted numpy
+    array: ``(hit_mask, idx)`` where ``hit_mask[i]`` says whether
+    ``vals[i]`` appears in ``sorted_arr`` and ``idx[i]`` is its
+    position when it does (clamped but meaningless where ``hit_mask``
+    is False — gather side arrays with ``side[idx[hit]]``).
+    searchsorted + clamp + equality: the one canonical copy of a
+    pattern that otherwise re-grows slightly-divergent clones at every
+    broadcast-lookup site.  Empty ``sorted_arr`` → all-False mask."""
+    import numpy as np
+
+    vals = np.asarray(vals)
+    if len(sorted_arr) == 0:
+        return np.zeros(len(vals), dtype=bool), np.zeros(len(vals), dtype=np.int64)
+    idx = np.searchsorted(sorted_arr, vals)
+    if idx.size:
+        np.minimum(idx, len(sorted_arr) - 1, out=idx)
+    return sorted_arr[idx] == vals, idx
+
+
+def sorted_membership(sorted_arr, vals):
+    """Bool membership mask of ``vals`` in an ASCENDING-sorted numpy
+    array (:func:`sorted_lookup` without the gather index)."""
+    return sorted_lookup(sorted_arr, vals)[0]
