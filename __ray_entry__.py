@@ -2492,8 +2492,9 @@ def _q_shipping_priority(sf_dir: str):
     orders semi-join → lineitem revenue rollup).  Lineitem revenue
     pre-aggregates per order BEFORE the join (combiner); the segment
     filter is the BUDGETED semi-join tier (sorted-array broadcast
-    under the driver limit, distributed Bloom above — dedup.
-    semi_join_ids), the revenue⨝orders join is the distributed
+    under the driver limit; EXACT Bloom-prefilter + hash semi-join
+    above it, because this filter defines the output — dedup.
+    semi_join_ids(exact=True)), the revenue⨝orders join is the distributed
     hash_join, and the top-10 reduces through per-batch local top-k
     partials — the driver never sees more than 10 rows per block."""
     import pyarrow as pa
@@ -2567,6 +2568,8 @@ def _q_shipping_priority(sf_dir: str):
         customer.map_batches(_building, batch_format="pyarrow"),
         id_col="o_custkey",
         id_cols=("c_custkey",),
+        exact=True,  # output-defining filter: Bloom over-keep would
+        # admit non-BUILDING orders into the revenue at >2M customers
     )
 
     def _rename_ok(batch: pa.Table) -> pa.Table:

@@ -317,6 +317,7 @@ def semi_join_ids(
     id_cols: tuple[str, ...] = ("id",),
     exact_limit: int = DRIVER_PAIR_LIMIT,
     fp_rate: float = 0.001,
+    exact: bool = False,
 ) -> ray.data.Dataset:
     """Broadcast semi-join: keep payload rows whose ``id_col`` value
     appears in any of ``ids_ds``'s ``id_cols`` columns.  Two tiers:
@@ -328,7 +329,13 @@ def semi_join_ids(
     * Bloom — above the limit, :func:`build_bloom_distributed` (no
       driver key streaming); false positives let ~``fp_rate`` extra
       payload rows through, which downstream inner joins ignore — use
-      only where over-keeping is safe.
+      the default ``exact=False`` only where over-keeping is safe.
+      With ``exact=True`` the Bloom is a PREFILTER: its rejects drop
+      exchange-free (definite non-members) and its accepts are
+      verified by ONE distributed hash semi-join — exchange volume
+      O(members + fp_rate·corpus), result exact at every scale (the
+      :func:`anti_join_ids` discipline).  ``payload_ds`` is consumed
+      twice on that path and is materialized here if needed.
     """
     # one execution of the ids plan: count() on a lazy dataset and the
     # iter/Bloom pass below would otherwise each run it in full —
@@ -346,6 +353,35 @@ def semi_join_ids(
         def _mask(members_obj, vals: np.ndarray) -> np.ndarray:
             return sorted_membership(members_obj, vals)
 
+    elif exact:
+        from ray.data.dataset import MaterializedDataset
+
+        if not isinstance(payload_ds, MaterializedDataset):
+            payload_ds = payload_ds.materialize()
+        bf = build_bloom_distributed(
+            ids_ds, id_cols, capacity=n * len(id_cols), fp_rate=fp_rate
+        )
+        bf_ref = ray.put(bf)
+
+        def _accepts(batch: pa.Table) -> pa.Table:
+            obj = cached_object(bf_ref)
+            m = obj.contains_int_array(_int_col(batch, id_col))
+            return batch.filter(pa.array(m, type=pa.bool_()))
+
+        def _ids_flat(batch: pa.Table) -> pa.Table:
+            arrs = [pa.array(_int_col(batch, c), type=pa.int64()) for c in id_cols]
+            return pa.table({id_col: pa.concat_arrays(arrs)})
+
+        from dots_ocr_ray.pipelines.relational import hash_join
+
+        return hash_join(
+            payload_ds.map_batches(_accepts, batch_format="pyarrow"),
+            ids_ds.map_batches(_ids_flat, batch_format="pyarrow"),
+            on=id_col,
+            how="semi",
+            left_schema=payload_ds.schema().base_schema,
+            right_schema=pa.schema([(id_col, pa.int64())]),
+        )
     else:
         bf = build_bloom_distributed(
             ids_ds, id_cols, capacity=n * len(id_cols), fp_rate=fp_rate

@@ -530,3 +530,21 @@ def test_prepare_minhash_scale_tier_is_exact(ray_session, tmp_path):
     ida = sorted(r["doc_id"] for r in a.take_all())
     idb = sorted(r["doc_id"] for r in b.take_all())
     assert ida == idb and 0 < len(ida) < 30
+
+
+def test_semi_join_ids_exact_scale_tier(ray_session):
+    """exact=True must return precisely the member rows even when the
+    Bloom tier is forced (exact_limit=1): the Bloom is a prefilter and
+    the hash semi-join is the decision."""
+    from dots_ocr_ray.pipelines.dedup import semi_join_ids
+
+    big = 2**61
+    ids = ray.data.from_items([{"id": big + i} for i in range(0, 300, 3)]).materialize()
+    payload = ray.data.from_items(
+        [{"doc_id": big + i, "x": i} for i in range(300)]
+    ).materialize()
+    out = semi_join_ids(
+        payload, ids, id_col="doc_id", id_cols=("id",), exact_limit=1, exact=True
+    )
+    got = sorted(r["doc_id"] for r in out.take_all())
+    assert got == [big + i for i in range(0, 300, 3)]
