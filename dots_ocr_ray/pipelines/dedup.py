@@ -309,6 +309,90 @@ def build_bloom_distributed(
     return bf
 
 
+def _collect_sorted_ids(
+    ids_ds: ray.data.Dataset, id_cols: tuple[str, ...]
+) -> np.ndarray:
+    """Distinct ids of a (small, materialized) id table as ONE sorted
+    int64 array — the broadcast payload of the driver tier."""
+    chunks: list[np.ndarray] = []
+    for b in ids_ds.iter_batches(batch_format="pyarrow"):
+        for col in id_cols:
+            chunks.append(_int_col(b, col))
+    return np.unique(np.concatenate(chunks)) if chunks else np.array([], np.int64)
+
+
+def _bloom_verify_join(
+    payload_ds: ray.data.Dataset,
+    ids_ds: ray.data.Dataset,
+    *,
+    id_col: str,
+    id_cols: tuple[str, ...],
+    n_ids: int,
+    fp_rate: float,
+    how: str,
+) -> ray.data.Dataset:
+    """Shared EXACT scale tier of :func:`semi_join_ids` /
+    :func:`anti_join_ids`: a distributed Bloom PREFILTER routes payload
+    rows, then one distributed hash join verifies only the Bloom's
+    accepts (true members + ~``fp_rate`` of the rest) — exchange volume
+    O(members + fp_rate·corpus), result exact.
+
+    ``how="semi"`` keeps verified members (payload consumed ONCE — the
+    rejects are simply dropped, so no materialization barrier);
+    ``how="anti"`` keeps the rejects exchange-free and unions them with
+    the anti-verified accepts (payload consumed twice — materialized
+    here if needed)."""
+    from dots_ocr_ray.pipelines.relational import hash_join
+
+    if how == "anti":
+        from ray.data.dataset import MaterializedDataset
+
+        if not isinstance(payload_ds, MaterializedDataset):
+            payload_ds = payload_ds.materialize()
+    # schema() on the semi path may execute a small plan prefix to
+    # infer — acceptable; the alternative (materializing the corpus
+    # for a single-consumption filter) is not
+    payload_schema = payload_ds.schema().base_schema
+    id_type = payload_schema.field(id_col).type
+
+    bf = build_bloom_distributed(
+        ids_ds, id_cols, capacity=n_ids, fp_rate=fp_rate
+    )
+    bf_ref = ray.put(bf)
+
+    def _route(want_member: bool):
+        def _fn(batch: pa.Table) -> pa.Table:
+            obj = cached_object(bf_ref)
+            m = obj.contains_int_array(_int_col(batch, id_col))
+            return batch.filter(pa.array(m if want_member else ~m, type=pa.bool_()))
+
+        return _fn
+
+    def _ids_flat(batch: pa.Table) -> pa.Table:
+        # the right side must carry the PAYLOAD's id dtype, or the
+        # join's union concatenates schema-mismatched blocks (uint64
+        # ids reinterpret through the same int64 view _int_col uses)
+        vals = np.concatenate([_int_col(batch, c) for c in id_cols])
+        if pa.types.is_unsigned_integer(id_type):
+            arr = pa.array(vals.view(np.uint64)).cast(id_type)
+        else:
+            arr = pa.array(vals, type=pa.int64()).cast(id_type)
+        return pa.table({id_col: arr})
+
+    verified = hash_join(
+        payload_ds.map_batches(_route(True), batch_format="pyarrow"),
+        ids_ds.map_batches(_ids_flat, batch_format="pyarrow"),
+        on=id_col,
+        how=how,
+        left_schema=payload_schema,
+        right_schema=pa.schema([(id_col, id_type)]),
+    )
+    if how == "semi":
+        return verified
+    definite_keep = payload_ds.map_batches(_route(False), batch_format="pyarrow")
+    return definite_keep.union(verified)
+
+
 def semi_join_ids(
     payload_ds: ray.data.Dataset,
     ids_ds: ray.data.Dataset,
@@ -322,69 +406,44 @@ def semi_join_ids(
     """Broadcast semi-join: keep payload rows whose ``id_col`` value
     appears in any of ``ids_ds``'s ``id_cols`` columns.  Two tiers:
 
-    * exact — under ``exact_limit`` id-source rows the distinct ids
-      collect on the driver as ONE sorted int64 numpy array (8 B/id,
-      the same driver budget as the union-find fast path), broadcast
-      once, membership via vectorized ``searchsorted``;
+    * exact — under ``exact_limit`` ids (rows × id columns) the
+      distinct ids collect on the driver as ONE sorted int64 numpy
+      array (8 B/id, the same driver budget as the union-find fast
+      path), broadcast once, membership via vectorized
+      ``searchsorted``;
     * Bloom — above the limit, :func:`build_bloom_distributed` (no
       driver key streaming); false positives let ~``fp_rate`` extra
       payload rows through, which downstream inner joins ignore — use
       the default ``exact=False`` only where over-keeping is safe.
-      With ``exact=True`` the Bloom is a PREFILTER: its rejects drop
-      exchange-free (definite non-members) and its accepts are
-      verified by ONE distributed hash semi-join — exchange volume
-      O(members + fp_rate·corpus), result exact at every scale (the
-      :func:`anti_join_ids` discipline).  ``payload_ds`` is consumed
-      twice on that path and is materialized here if needed.
+      With ``exact=True`` the Bloom is a PREFILTER whose accepts are
+      verified by ONE distributed hash semi-join
+      (:func:`_bloom_verify_join`) — exact at every scale, payload
+      still consumed once.
     """
     # one execution of the ids plan: count() on a lazy dataset and the
     # iter/Bloom pass below would otherwise each run it in full —
     # seconds of fixed plan cost per execution even for tiny id tables
     ids_ds = ids_ds.materialize()
-    n = ids_ds.count()
-    if n <= exact_limit:
-        chunks: list[np.ndarray] = []
-        for b in ids_ds.iter_batches(batch_format="pyarrow"):
-            for col in id_cols:
-                chunks.append(_int_col(b, col))
-        members = np.unique(np.concatenate(chunks)) if chunks else np.array([], np.int64)
-        member_ref = ray.put(members)
+    n_ids = ids_ds.count() * len(id_cols)
+    if n_ids <= exact_limit:
+        member_ref = ray.put(_collect_sorted_ids(ids_ds, id_cols))
 
         def _mask(members_obj, vals: np.ndarray) -> np.ndarray:
             return sorted_membership(members_obj, vals)
 
     elif exact:
-        from ray.data.dataset import MaterializedDataset
-
-        if not isinstance(payload_ds, MaterializedDataset):
-            payload_ds = payload_ds.materialize()
-        bf = build_bloom_distributed(
-            ids_ds, id_cols, capacity=n * len(id_cols), fp_rate=fp_rate
-        )
-        bf_ref = ray.put(bf)
-
-        def _accepts(batch: pa.Table) -> pa.Table:
-            obj = cached_object(bf_ref)
-            m = obj.contains_int_array(_int_col(batch, id_col))
-            return batch.filter(pa.array(m, type=pa.bool_()))
-
-        def _ids_flat(batch: pa.Table) -> pa.Table:
-            arrs = [pa.array(_int_col(batch, c), type=pa.int64()) for c in id_cols]
-            return pa.table({id_col: pa.concat_arrays(arrs)})
-
-        from dots_ocr_ray.pipelines.relational import hash_join
-
-        return hash_join(
-            payload_ds.map_batches(_accepts, batch_format="pyarrow"),
-            ids_ds.map_batches(_ids_flat, batch_format="pyarrow"),
-            on=id_col,
+        return _bloom_verify_join(
+            payload_ds,
+            ids_ds,
+            id_col=id_col,
+            id_cols=id_cols,
+            n_ids=n_ids,
+            fp_rate=fp_rate,
             how="semi",
-            left_schema=payload_ds.schema().base_schema,
-            right_schema=pa.schema([(id_col, pa.int64())]),
         )
     else:
         bf = build_bloom_distributed(
-            ids_ds, id_cols, capacity=n * len(id_cols), fp_rate=fp_rate
+            ids_ds, id_cols, capacity=n_ids, fp_rate=fp_rate
         )
         member_ref = ray.put(bf)
 
@@ -430,16 +489,11 @@ def anti_join_ids(
       O(members + fp_rate·corpus), never O(corpus).
 
     ``payload_ds`` is consumed twice on the scale tier; it is
-    materialized here if it isn't already."""
+    materialized there if it isn't already."""
     ids_ds = ids_ds.materialize()
-    n = ids_ds.count()
-    if n * len(id_cols) <= exact_limit:
-        chunks: list[np.ndarray] = []
-        for b in ids_ds.iter_batches(batch_format="pyarrow"):
-            for col in id_cols:
-                chunks.append(_int_col(b, col))
-        members = np.unique(np.concatenate(chunks)) if chunks else np.array([], np.int64)
-        member_ref = ray.put(members)
+    n_ids = ids_ds.count() * len(id_cols)
+    if n_ids <= exact_limit:
+        member_ref = ray.put(_collect_sorted_ids(ids_ds, id_cols))
 
         def _drop(batch: pa.Table) -> pa.Table:
             arr = cached_object(member_ref)
@@ -448,42 +502,15 @@ def anti_join_ids(
 
         return payload_ds.map_batches(_drop, batch_format="pyarrow")
 
-    from ray.data.dataset import MaterializedDataset
-
-    if not isinstance(payload_ds, MaterializedDataset):
-        payload_ds = payload_ds.materialize()
-    bf = build_bloom_distributed(
-        ids_ds, id_cols, capacity=n * len(id_cols), fp_rate=fp_rate
-    )
-    bf_ref = ray.put(bf)
-
-    def _route(want_member: bool):
-        def _fn(batch: pa.Table) -> pa.Table:
-            obj = cached_object(bf_ref)
-            m = obj.contains_int_array(_int_col(batch, id_col))
-            return batch.filter(pa.array(m if want_member else ~m, type=pa.bool_()))
-
-        return _fn
-
-    definite_keep = payload_ds.map_batches(_route(False), batch_format="pyarrow")
-    candidates = payload_ds.map_batches(_route(True), batch_format="pyarrow")
-
-    def _ids_flat(batch: pa.Table) -> pa.Table:
-        arrs = [pa.array(_int_col(batch, c), type=pa.int64()) for c in id_cols]
-        return pa.table({id_col: pa.concat_arrays(arrs)})
-
-    from dots_ocr_ray.pipelines.relational import hash_join
-
-    payload_schema = payload_ds.schema().base_schema
-    verified = hash_join(
-        candidates,
-        ids_ds.map_batches(_ids_flat, batch_format="pyarrow"),
-        on=id_col,
+    return _bloom_verify_join(
+        payload_ds,
+        ids_ds,
+        id_col=id_col,
+        id_cols=id_cols,
+        n_ids=n_ids,
+        fp_rate=fp_rate,
         how="anti",
-        left_schema=payload_schema,
-        right_schema=pa.schema([(id_col, pa.int64())]),
     )
-    return definite_keep.union(verified)
 
 
 def filter_payload_to_pair_endpoints(
