@@ -154,6 +154,22 @@ def sorted_group_first(
     return direct.union(resolved)
 
 
+def add_content_md5(
+    ds: ray.data.Dataset, text_col: str = "text"
+) -> ray.data.Dataset:
+    """Append ``content_md5 = md5(text or "")`` — THE content-identity
+    convention shared by exact dedup, its incremental sibling and the
+    refresh index append; one copy so the hashing rule (null handling,
+    no normalization) can never diverge between the index and a later
+    corpus pass."""
+
+    def _add(batch: pa.Table) -> pa.Table:
+        hashes = [md5_hex(t or "") for t in batch.column(text_col).to_pylist()]
+        return batch.append_column("content_md5", pa.array(hashes, type=pa.string()))
+
+    return ds.map_batches(_add, batch_format="pyarrow")
+
+
 def exact_dedup(
     ds: ray.data.Dataset, text_col: str = "text", id_col: str = "doc_id"
 ) -> ray.data.Dataset:
@@ -164,14 +180,7 @@ def exact_dedup(
     keyed by md5(text) — one range-partitioned sort exchange, uniformly
     distributed (identical content IS the key), and no per-distinct-
     text Python reduce."""
-
-    def _add_hash(batch: pa.Table) -> pa.Table:
-        hashes = [md5_hex(t or "") for t in batch.column(text_col).to_pylist()]
-        return batch.append_column("content_md5", pa.array(hashes, type=pa.string()))
-
-    return sorted_group_first(
-        ds.map_batches(_add_hash, batch_format="pyarrow"), "content_md5", id_col
-    )
+    return sorted_group_first(add_content_md5(ds, text_col), "content_md5", id_col)
 
 
 # ---------------------------------------------------------------------------
@@ -765,58 +774,80 @@ def _propagate_labels(pairs_ds: ray.data.Dataset, max_rounds: int) -> ray.data.D
         .materialize()
     )
 
-    def _label_rows(batch: pa.Table) -> pa.Table:
-        neg = np.full(batch.num_rows, -1, dtype=np.int64)
+    def _edge_as_node(batch: pa.Table) -> pa.Table:
         return pa.table(
-            {
-                "key": batch.column("node"),
-                "dst": pa.array(neg, type=pa.int64()),
-                "label": batch.column("label"),
-            }
+            {"node": batch.column("src"), "dst": batch.column("dst")}
         )
 
-    def _edge_rows(batch: pa.Table) -> pa.Table:
-        neg = np.full(batch.num_rows, -1, dtype=np.int64)
-        return pa.table(
-            {
-                "key": batch.column("src"),
-                "dst": batch.column("dst"),
-                "label": pa.array(neg, type=pa.int64()),
-            }
-        )
+    # edges re-enter the join every round: materialize the keyed form
+    # once instead of re-deriving it per round
+    edges_keyed = edges.map_batches(_edge_as_node, batch_format="pyarrow").materialize()
+    edge_schema = pa.schema([("node", pa.int64()), ("dst", pa.int64())])
+    label_schema = pa.schema([("node", pa.int64()), ("label", pa.int64())])
 
-    def _send(group: pa.Table) -> pa.Table:
-        dsts = group.column("dst").to_pylist()
-        labs = group.column("label").to_pylist()
-        own_candidates = [l for d, l in zip(dsts, labs) if d == -1]
-        if not own_candidates:
-            return pa.table(
-                {"node": pa.array([], type=pa.int64()), "label": pa.array([], type=pa.int64())}
-            )
-        own = min(own_candidates)
-        key = group.column("key")[0].as_py()
-        nodes_out = [key] + [d for d in dsts if d != -1]
+    def _msgs(batch: pa.Table) -> pa.Table:
         return pa.table(
-            {
-                "node": pa.array(nodes_out, type=pa.int64()),
-                "label": pa.array([own] * len(nodes_out), type=pa.int64()),
-            }
+            {"node": batch.column("dst"), "label": batch.column("label")}
         )
 
     def _rename_min(batch: pa.Table) -> pa.Table:
         return batch.rename_columns(["node", "label"])
 
+    from dots_ocr_ray.pipelines.relational import hash_join
+
     prev_total = None
     for _ in range(max_rounds):
-        msgs = (
-            labels.map_batches(_label_rows, batch_format="pyarrow")
-            .union(edges.map_batches(_edge_rows, batch_format="pyarrow"))
-            .groupby("key")
-            .map_groups(_send, batch_format="pyarrow")
+        # send own label along every out-edge: ONE keyed join (labels
+        # are unique per node, so each edge matches exactly one label
+        # row) — fully vectorized per bucket, no Python per node (the
+        # per-group _send this replaced paid ~0.1-0.2 ms of Python per
+        # NODE per round, the distinct_pairs pathology, on the very
+        # path that only engages above the 2M-pair driver budget)
+        sent = hash_join(
+            edges_keyed,
+            labels,
+            on="node",
+            num_buckets=32,  # per-round fixed cost: fewer, fatter
+            # buckets — the per-bucket merge is vectorized, so 1/32nd
+            # of even a 100M-edge round is fine for one pandas merge
+            left_schema=edge_schema,
+            right_schema=label_schema,
         )
         labels = (
-            msgs.groupby("node").min("label").map_batches(_rename_min, batch_format="pyarrow")
+            sent.map_batches(_msgs, batch_format="pyarrow")
+            .union(labels)
+            .groupby("node")
+            .min("label")
+            .map_batches(_rename_min, batch_format="pyarrow")
         ).materialize()
+        # pointer jumping: label ← label(label).  One more keyed join
+        # per round turns O(diameter) convergence into O(log diameter)
+        # — the classic fix for the chain worst case (a 15-hop path
+        # converges in ~4 rounds instead of 15).
+        def _as_ptr(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {"label": batch.column("node"), "label2": batch.column("label")}
+            )
+
+        jumped = hash_join(
+            labels,
+            labels.map_batches(_as_ptr, batch_format="pyarrow"),
+            on="label",
+            num_buckets=32,
+            left_schema=label_schema,
+            right_schema=pa.schema([("label", pa.int64()), ("label2", pa.int64())]),
+        )
+
+        def _min2(batch: pa.Table) -> pa.Table:
+            lab = np.minimum(_int_col(batch, "label"), _int_col(batch, "label2"))
+            return pa.table(
+                {
+                    "node": batch.column("node"),
+                    "label": pa.array(lab, type=pa.int64()),
+                }
+            )
+
+        labels = jumped.map_batches(_min2, batch_format="pyarrow").materialize()
         total = labels.sum("label")
         if total == prev_total:
             return labels
@@ -1005,15 +1036,34 @@ def minhash_pairs_from_sigs(
     *,
     bands: int = 32,
     threshold: float = 0.8,
+    pair_filter=None,
 ) -> ray.data.Dataset:
     """Verified near-dup pairs from a PRECOMPUTED (doc_id, sig)
     signature table — the seam that lets incremental refreshes reuse a
     stored index instead of re-shingling the archive.  ``sigs`` must be
-    materialized/coalesced (callers: ``bounded_blocks``)."""
+    materialized/coalesced (callers: ``bounded_blocks``).
+
+    ``pair_filter`` (an Arrow batch → batch over candidate (a, b)
+    rows) is applied BEFORE the endpoint semi-join / payload attach /
+    verification, so callers that only care about a pair subset (the
+    incremental path discards archive × archive pairs) never pay the
+    attach exchange or the signature compare for the rest."""
 
     def _explode_bands(batch: pa.Table) -> pa.Table:
+        sig_col = batch.column("sig")
+        if batch.num_rows:
+            widths = {len(b) for b in sig_col.to_pylist()}
+            if len(widths) > 1:
+                # mixed num_perm (e.g. an index stored at 64 perms fed
+                # alongside fresh 128-perm sigs) would silently bucket
+                # nothing together — a no-op dedup — or misalign the
+                # est-Jaccard reshape; fail loudly instead
+                raise ValueError(
+                    f"mixed MinHash signature widths {sorted(widths)} bytes — "
+                    "all sigs must use one num_perm"
+                )
         band_ids, band_keys, doc_ids = [], [], []
-        for doc_id, sig_bytes in zip(batch.column("doc_id").to_pylist(), batch.column("sig").to_pylist()):
+        for doc_id, sig_bytes in zip(batch.column("doc_id").to_pylist(), sig_col.to_pylist()):
             sig = np.frombuffer(sig_bytes, dtype=np.uint64)
             for b, key in enumerate(MinHasher.band_keys(sig, bands)):
                 band_ids.append(b)
@@ -1046,6 +1096,8 @@ def minhash_pairs_from_sigs(
         return _pairs_table(np.full(k - 1, docs[0], dtype=np.int64), docs[1:])
 
     cand = bands_ds.groupby(["band_id", "band_key"]).map_groups(_bucket_pairs, batch_format="pyarrow")
+    if pair_filter is not None:
+        cand = cand.map_batches(pair_filter, batch_format="pyarrow")
     cand = bounded_blocks(distinct_pairs(cand), rows_per_block=262144)
     sig_side = filter_payload_to_pair_endpoints(sigs, cand, id_col="doc_id")
     with_sigs = attach_pair_payloads(
@@ -1121,6 +1173,14 @@ def simhash_dedup(
     Hamming verification in-bucket (the payload is 8 bytes — unlike
     minhash signatures it is cheap to ship through the band exchange)
     → distinct pairs → components."""
+    if max_hamming > n_blocks - 1:
+        # the pigeonhole index only guarantees a shared block for pairs
+        # within Hamming ≤ n_blocks-1; a larger radius would silently
+        # lose recall rather than honor the caller's threshold
+        raise ValueError(
+            f"max_hamming={max_hamming} needs n_blocks >= {max_hamming + 1} "
+            f"(got {n_blocks}): pairs above Hamming n_blocks-1 may share no block key"
+        )
 
     def _sim(batch: pa.Table) -> pa.Table:
         hs = [simhash64(t or "") for t in batch.column(text_col).to_pylist()]
@@ -1302,13 +1362,25 @@ def embedding_dedup(
             keep = sims[ii, jj] >= threshold
             da, db = docs[ii][keep], docs[jj][keep]
         else:
-            # hot bucket: one matvec against the min doc instead of n^2
-            pivot = int(np.argmin(docs))
-            sims = mat @ mat[pivot]
-            keep = sims >= threshold
-            keep[pivot] = False
-            da = np.full(int(keep.sum()), docs[pivot], dtype=np.int64)
-            db = docs[keep]
+            # hot bucket: CHUNKED full pairwise — unlike minhash, each
+            # doc lands in exactly ONE bucket, so a pair skipped here
+            # is lost for good (a star-vs-min-pivot shortcut silently
+            # dropped real near-dups whose cluster didn't include the
+            # pivot).  Row-chunks cap the sims slab at ~64 MB; flops
+            # stay O(k²·d) but fully vectorized, and 0.95-cosine
+            # buckets this hot are rare by construction (12 planes).
+            chunk = max(1, (64 << 20) // (4 * k))
+            das, dbs = [], []
+            for c0 in range(0, k, chunk):
+                c1 = min(c0 + chunk, k)
+                sims = mat[c0:c1] @ mat.T
+                ci, cj = np.nonzero(sims >= threshold)
+                gi = ci + c0
+                m = gi < cj  # upper triangle only: each pair once
+                das.append(docs[gi[m]])
+                dbs.append(docs[cj[m]])
+            da = np.concatenate(das) if das else np.zeros(0, np.int64)
+            db = np.concatenate(dbs) if dbs else np.zeros(0, np.int64)
         return _pairs_table(np.minimum(da, db), np.maximum(da, db))
 
     pairs = buckets.groupby("bucket").map_groups(_pairs, batch_format="pyarrow")
@@ -1515,7 +1587,6 @@ def line_dedup(
         real = ords >= 0
         lines = group.column("line").to_pylist()
         doc = int(group.column(id_col)[0].as_py())
-        total = int(ords.max()) + 1 if real.any() else 0
         kept_lines = [l for l, r in zip(lines, real) if r]
         return pa.table(
             {
@@ -1527,8 +1598,8 @@ def line_dedup(
             schema=out_schema,
         )
 
-    # total line count per doc travels with the sentinel? No — recompute
-    # n_dropped distributively: per-doc totals from the explode side.
+    # n_dropped is recomputed distributively: per-doc totals from the
+    # explode side joined back to the kept counts.
     def _totals(batch: pa.Table) -> pa.Table:
         col = batch.column(text_col)
         if isinstance(col, pa.ChunkedArray):
@@ -1614,11 +1685,7 @@ def exact_dedup_incremental(
     upstream maps run one extra time)."""
     from dots_ocr_ray.pipelines.relational import hash_join
 
-    def _add_hash(batch: pa.Table) -> pa.Table:
-        hashes = [md5_hex(t or "") for t in batch.column(text_col).to_pylist()]
-        return batch.append_column("content_md5", pa.array(hashes, type=pa.string()))
-
-    hashed = new_ds.map_batches(_add_hash, batch_format="pyarrow")
+    hashed = add_content_md5(new_ds, text_col)
 
     def _as_key(batch: pa.Table) -> pa.Table:
         col = batch.column(index_hash_col)
@@ -1675,7 +1742,6 @@ def minhash_dedup_incremental(
     bands: int = 32,
     shingle_k: int = 5,
     threshold: float = 0.8,
-    cc_method: str = "auto",
 ) -> ray.data.Dataset:
     """Incremental MinHash near-dup dedup: NEW rows that near-match
     the stored archive index are dropped; near-dup clusters WITHIN the
@@ -1684,18 +1750,30 @@ def minhash_dedup_incremental(
     surviving new rows.
 
     Doc ids must be disjoint between the new batch and the index
-    (both sides already use the corpus-global url-hash ids).
+    (refresh_corpus salts them with the content hash for exactly this
+    reason).
 
     Only the NEW text is shingled (the archive contributes its stored
     signatures); candidate generation runs the ordinary banded-LSH
     bucket exchange over the UNION signature table, so archive bands
     re-explode but archive text never reships.  Pairs that touch no
-    new id are discarded before verification (archive × archive pairs
-    are re-derivations of already-deduped content)."""
+    new id are discarded BEFORE the attach/verify exchanges
+    (``pair_filter``): in a mature archive the archive × archive
+    candidates dominate, and they are re-derivations of already-
+    deduped content.  The post-verify driver pass is bounded by pairs
+    TOUCHING the refresh batch — O(new × matches), never O(archive)."""
+    # materialized once: the id collect below and the union both
+    # consume the signatures; lazy, the corpus would re-shingle twice
     new_sigs = minhash_signatures(
         new_ds, text_col=text_col, id_col=id_col, num_perm=num_perm, shingle_k=shingle_k
-    )
-    new_ids_arr = np.sort(_collect_ids(new_sigs, "doc_id"))
+    ).materialize()
+    probe = index_sigs.take(1)
+    if probe and len(probe[0]["sig"]) != num_perm * 8:
+        raise ValueError(
+            f"signature index width {len(probe[0]['sig'])} B != num_perm={num_perm} "
+            f"({num_perm * 8} B) — rebuild the index or pass the index's num_perm"
+        )
+    new_ids_arr = _collect_sorted_ids(new_sigs, ("doc_id",))
     new_ref = ray.put(new_ids_arr)
 
     def _is_new(vals: np.ndarray, arr: np.ndarray) -> np.ndarray:
@@ -1710,8 +1788,8 @@ def minhash_dedup_incremental(
 
     union_sigs = bounded_blocks(new_sigs.union(index_sigs))
     pairs = minhash_pairs_from_sigs(
-        union_sigs, bands=bands, threshold=threshold
-    ).map_batches(_touches_new, batch_format="pyarrow")
+        union_sigs, bands=bands, threshold=threshold, pair_filter=_touches_new
+    )
     pairs = bounded_blocks(pairs, rows_per_block=262144).materialize()
 
     # new ids near-matching ANY archive doc drop outright

@@ -130,14 +130,11 @@ def refresh_corpus(
             threshold=minhash_threshold,
             num_perm=num_perm,
         ).materialize()
-        # re-attach the md5 column for the index append
-        def _rehash(batch: pa.Table) -> pa.Table:
-            hashes = [md5_hex(t or "") for t in batch.column("text").to_pylist()]
-            return batch.append_column(
-                "content_md5", pa.array(hashes, type=pa.string())
-            )
+        # re-attach the md5 column for the index append (the ONE shared
+        # content-identity convention, dedup.add_content_md5)
+        from dots_ocr_ray.pipelines.dedup import add_content_md5
 
-        survivors = survivors.map_batches(_rehash, batch_format="pyarrow").materialize()
+        survivors = add_content_md5(survivors, "text").materialize()
     else:
         # first run: within-batch near-dedup only
         from dots_ocr_ray.pipelines.dedup import minhash_lsh_dedup

@@ -548,3 +548,70 @@ def test_semi_join_ids_exact_scale_tier(ray_session):
     )
     got = sorted(r["doc_id"] for r in out.take_all())
     assert got == [big + i for i in range(0, 300, 3)]
+
+
+def test_embedding_dedup_hot_bucket_keeps_all_pairs(ray_session):
+    """A hot LSH bucket (> HOT_BUCKET_CAP members) must still find
+    near-dup pairs that do NOT involve the bucket's min-id doc: each
+    vector lives in exactly one bucket, so a star-vs-pivot shortcut
+    would lose those clusters permanently."""
+    import numpy as np
+
+    from dots_ocr_ray.pipelines.dedup import HOT_BUCKET_CAP, embedding_dedup
+
+    rng = np.random.default_rng(3)
+    d = 16
+    # one dominant direction so every vector lands in the same bucket
+    base = np.ones(d, dtype=np.float32)
+    rows = []
+    n = HOT_BUCKET_CAP + 40
+    for i in range(n):
+        v = base + 0.03 * rng.standard_normal(d).astype(np.float32)
+        rows.append({"vec_id": 1000 + i, "embedding": (v / np.linalg.norm(v)).tolist()})
+    # a tight duplicate pair far from the min id: ids 1000+n-2, 1000+n-1
+    dup = base + 0.001 * rng.standard_normal(d).astype(np.float32)
+    dup = dup / np.linalg.norm(dup)
+    rows[-2]["embedding"] = dup.tolist()
+    rows[-1]["embedding"] = (dup + 1e-4).tolist()
+    ds = ray.data.from_items(rows)
+    out = {
+        r["doc_id"]: r["cluster_id"]
+        for r in embedding_dedup(ds, threshold=0.999).take_all()
+    }
+    hi_a, hi_b = 1000 + n - 2, 1000 + n - 1
+    assert out[hi_b] == out[hi_a]  # the non-pivot duplicate pair clusters
+
+
+def test_simhash_dedup_rejects_unreachable_hamming_radius(ray_session):
+    from dots_ocr_ray.pipelines.dedup import simhash_dedup
+
+    ds = ray.data.from_items([{"doc_id": 1, "text": "a"}])
+    with pytest.raises(ValueError, match="max_hamming"):
+        simhash_dedup(ds, max_hamming=4, n_blocks=4)
+
+
+def test_minhash_pairs_rejects_mixed_signature_widths(ray_session):
+    import numpy as np
+
+    from dots_ocr_ray.pipelines.dedup import minhash_pairs_from_sigs
+
+    sig64 = np.arange(64, dtype=np.uint64).tobytes()
+    sig128 = np.arange(128, dtype=np.uint64).tobytes()
+    sigs = ray.data.from_items(
+        [{"doc_id": 1, "sig": sig64}, {"doc_id": 2, "sig": sig128}]
+    ).repartition(1)
+    with pytest.raises(Exception, match="signature widths"):
+        minhash_pairs_from_sigs(sigs).materialize()
+
+
+def test_incremental_minhash_rejects_wrong_index_width(ray_session):
+    import numpy as np
+
+    from dots_ocr_ray.pipelines.dedup import minhash_dedup_incremental
+
+    index = ray.data.from_items(
+        [{"doc_id": 5, "sig": np.arange(64, dtype=np.uint64).tobytes()}]
+    )
+    new = ray.data.from_items([{"doc_id": 9, "text": "hello world tokens here"}])
+    with pytest.raises(ValueError, match="index width"):
+        minhash_dedup_incremental(new, index, num_perm=128)
