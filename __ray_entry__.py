@@ -3653,7 +3653,7 @@ def oracle_sql() -> dict[str, str]:
         "weighted_sample_docs": (
             "SELECT doc_id, lang, n_chars FROM ("
             "SELECT doc_id, lang, n_chars, "
-            "pow(((doc_id * 2654435761) % 4294967296) / 4294967296.0, "
+            "pow((((doc_id * 2654435761) % 4294967296) + 0.5) / 4294967296.0, "
             "1.0 / n_chars) AS sample_key FROM documents) "
             "ORDER BY sample_key DESC, doc_id LIMIT 16"
         ),

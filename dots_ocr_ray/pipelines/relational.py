@@ -110,8 +110,17 @@ def events_windowed_agg(sf_dir: str, window_minutes: int = 60) -> ray.data.Datas
     window_us = window_minutes * 60 * 1_000_000
 
     def _window_partial(batch: pa.Table) -> pa.Table:
-        ts_us = batch.column("ts").cast(pa.int64())
-        win = pc.multiply(pc.divide(ts_us, window_us), window_us)  # integer floor
+        import numpy as np
+
+        # numpy floor_divide, NOT pc.divide: Arrow integer division
+        # truncates toward zero, so a pre-epoch ts would land in the
+        # wrong (higher) window instead of flooring
+        ts_us = (
+            batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        )
+        win = pa.array(
+            np.floor_divide(ts_us, window_us) * window_us, type=pa.int64()
+        )
         batch = batch.append_column("window_start", win.cast(pa.timestamp("us")))
         return batch.group_by(["event_type", "window_start"]).aggregate(
             [("value", "sum"), ("value", "count")]
@@ -162,7 +171,7 @@ def supplier_stats_by_nation(sf_dir: str) -> ray.data.Dataset:
         batch = batch.set_column(
             batch.column_names.index("total_acctbal"),
             "total_acctbal",
-            pc.round(batch.column("total_acctbal"), 2),
+            pc.round(batch.column("total_acctbal"), 2, round_mode="half_towards_infinity"),
         )
         return batch.set_column(
             batch.column_names.index("n_suppliers"),
@@ -195,7 +204,7 @@ def part_stats_by_brand(sf_dir: str) -> ray.data.Dataset:
             {
                 "p_brand": batch.column("p_brand"),
                 "n_parts": n.cast(pa.int64()),
-                "avg_price": pc.round(pc.divide(total, n.cast(pa.float64())), 2),
+                "avg_price": pc.round(pc.divide(total, n.cast(pa.float64())), 2, round_mode="half_towards_infinity"),
             }
         )
 
@@ -265,11 +274,14 @@ def exact_int_quantiles(
     distinct values ≪ rows (lengths, counts, scores) — the exchange
     moves one row per distinct value, not per row.  Matches DuckDB's
     ``quantile_disc``: the value at 1-indexed rank ``ceil(q * n)``."""
-    counts = ds.groupby(col).count()
-    tbl = pa.Table.from_pylist(counts.take_all())
-    tbl = tbl.take(pc.sort_indices(tbl, sort_keys=[(col, "ascending")]))
-    values = tbl.column(col).to_pylist()
-    weights = tbl.column("count()").to_pylist()
+    rows = ds.groupby(col).count().take_all()
+    if rows:
+        tbl = pa.Table.from_pylist(rows)
+        tbl = tbl.take(pc.sort_indices(tbl, sort_keys=[(col, "ascending")]))
+        values = tbl.column(col).to_pylist()
+        weights = tbl.column("count()").to_pylist()
+    else:  # empty input: every quantile is null, not a KeyError
+        values, weights = [], []
     n = sum(weights)
     out_q, out_v = [], []
     import math
@@ -303,9 +315,17 @@ def top_customers_by_spend(sf_dir: str, k: int = 10) -> pa.Table:
     # only; o_custkey tiebreak matches the oracle's ORDER BY so a tie
     # at the k boundary stays deterministic
     topk = agg.sort(["sum(o_totalprice_sum)", "o_custkey"], descending=[True, False]).limit(k)
-    tbl = pa.Table.from_pylist(topk.take_all())
+    rows = topk.take_all()
+    if not rows:
+        return pa.table(
+            {
+                "o_custkey": pa.array([], type=pa.int64()),
+                "total_spend": pa.array([], type=pa.float64()),
+            }
+        )
+    tbl = pa.Table.from_pylist(rows)
     tbl = tbl.rename_columns(["o_custkey", "total_spend"])
-    return tbl.set_column(1, "total_spend", pc.round(tbl.column("total_spend"), 2))
+    return tbl.set_column(1, "total_spend", pc.round(tbl.column("total_spend"), 2, round_mode="half_towards_infinity"))
 
 
 # ---------------------------------------------------------------------------
@@ -360,14 +380,25 @@ def hash_join(
     for a right side too large to broadcast as a Bloom/set; for small
     right sides prefer the broadcast semi/anti in functions/bloom.py);
     overlapping non-key columns from the right side get ``suffix``.
+
+    NULL join keys follow SQL semantics: they never match (dropped
+    from the right side and from the left on inner/semi; kept
+    null-padded on left joins and kept on anti joins).  Without the
+    filter they would hash to one shared bucket and pandas' NA == NA
+    merge would fabricate null⋈null matches.
     """
     if how not in ("inner", "left", "semi", "anti"):
         raise ValueError(f"unsupported how={how!r}")
 
     def _tag(side: int):
+        drop_null_keys = side == 1 or how in ("inner", "semi")
+
         def _fn(batch: pa.Table) -> pa.Table:
             import numpy as np
+            import pyarrow.compute as pc
 
+            if drop_null_keys:
+                batch = batch.filter(pc.is_valid(batch.column(on)))
             bucket = (_stable_key_hash(batch.column(on)) % np.uint64(num_buckets)).astype(
                 np.int32
             )
@@ -565,7 +596,14 @@ def range_join(
             ],
             axis=1,
         )
-        out = out.drop(columns=[c for c in out.columns if c not in all_cols and c != val_col])
+        # keep every right column under its (possibly suffixed) output
+        # name — dropping "not in all_cols" also threw away suffixed
+        # right data columns, silently losing the right side's payload
+        # whenever a non-key column name overlapped the left
+        keep = set(all_cols) | {
+            c + suffix if c in left_cols else c for c in right_cols
+        }
+        out = out.drop(columns=[c for c in out.columns if c not in keep])
         return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
 
     from dots_ocr_ray.util import bounded_blocks
@@ -590,12 +628,15 @@ def exact_int_quantiles_by_key(
 
     import numpy as np
 
-    counts = ds.groupby([key, col]).count()
-    tbl = pa.Table.from_pylist(counts.take_all())
-    tbl = tbl.take(pc.sort_indices(tbl, sort_keys=[(key, "ascending"), (col, "ascending")]))
-    keys = tbl.column(key).to_pylist()
-    values = np.asarray(tbl.column(col).to_pylist(), dtype=np.int64)
-    weights = np.asarray(tbl.column("count()").to_pylist(), dtype=np.int64)
+    rows = ds.groupby([key, col]).count().take_all()
+    if rows:
+        tbl = pa.Table.from_pylist(rows)
+        tbl = tbl.take(pc.sort_indices(tbl, sort_keys=[(key, "ascending"), (col, "ascending")]))
+        keys = tbl.column(key).to_pylist()
+        values = np.asarray(tbl.column(col).to_pylist(), dtype=np.int64)
+        weights = np.asarray(tbl.column("count()").to_pylist(), dtype=np.int64)
+    else:  # empty input: zero output rows, not a KeyError
+        keys, values, weights = [], np.zeros(0, np.int64), np.zeros(0, np.int64)
     out_k, out_q, out_v = [], [], []
     i = 0
     while i < len(keys):
@@ -630,7 +671,13 @@ def rollup_counts(
     key domains must not contain it)."""
 
     def _partial(batch: pa.Table) -> pa.Table:
-        out = batch.select(keys).group_by(keys).aggregate([([], "count_all")])
+        # keys cast to string up front: the coarser levels carry the
+        # string sentinel, and concat with a typed (e.g. int64) fine
+        # level would otherwise raise ArrowTypeError
+        batch = pa.table(
+            {k: batch.column(k).cast(pa.string()) for k in keys}
+        )
+        out = batch.group_by(keys).aggregate([([], "count_all")])
         return out.rename_columns(keys + ["n"])
 
     fine = (
@@ -638,7 +685,13 @@ def rollup_counts(
         .groupby(keys)
         .sum("n")
     )
-    tbl = pa.Table.from_pylist(fine.take_all())  # ≤ product of key cardinalities
+    frows = fine.take_all()  # ≤ product of key cardinalities
+    if not frows:
+        return pa.table(
+            {**{k: pa.array([], type=pa.string()) for k in keys},
+             "n_rows": pa.array([], type=pa.int64())}
+        )
+    tbl = pa.Table.from_pylist(frows)
     tbl = tbl.rename_columns(keys + ["n_rows"])
     frames = [tbl]
     import pandas as pd
@@ -674,11 +727,25 @@ def linreg_by_key(
 
     def _partials(batch: pa.Table) -> pa.Table:
         import pandas as pd
+        import pyarrow.compute as _pc
 
-        keys = batch.column(key).to_numpy(zero_copy_only=False)
+        key_type = batch.schema.field(key).type
+        # SQL regr_* skip rows where either coordinate is null — one
+        # NaN would otherwise poison every sufficient statistic of its
+        # whole key.  Null KEYS are dropped too: the downstream sort-
+        # based groupby exchange cannot order them (fill upstream to
+        # keep those rows).
+        batch = batch.filter(
+            _pc.and_(
+                _pc.and_(_pc.is_valid(batch.column(x)), _pc.is_valid(batch.column(y))),
+                _pc.is_valid(batch.column(key)),
+            )
+        )
         xv = batch.column(x).to_numpy(zero_copy_only=False).astype(np.float64)
         yv = batch.column(y).to_numpy(zero_copy_only=False).astype(np.float64)
-        uk, inv = np.unique(keys, return_inverse=True)
+        # factorize, not np.unique: a null key is a group, and
+        # np.unique raises on None in object arrays
+        inv, uk = pd.factorize(batch.column(key).to_pandas(), use_na_sentinel=False)
         m = len(uk)
 
         def _binsum(v):
@@ -686,7 +753,7 @@ def linreg_by_key(
 
         return pa.table(
             {
-                key: pa.array(uk),
+                key: pa.array(uk, type=key_type, from_pandas=True),
                 "n": pa.array(np.bincount(inv, minlength=m).astype(np.int64), type=pa.int64()),
                 "sx": pa.array(_binsum(xv), type=pa.float64()),
                 "sy": pa.array(_binsum(yv), type=pa.float64()),
@@ -702,7 +769,18 @@ def linreg_by_key(
         ds.map_batches(_partials, batch_format="pyarrow"), rows_per_block=262144
     )
     summed = partials.groupby(key).sum(["n", "sx", "sy", "sxx", "syy", "sxy"])
-    tbl = pa.Table.from_pylist(summed.take_all())
+    srows = summed.take_all()
+    if not srows:  # empty input: typed empty result, not a KeyError
+        return pa.table(
+            {
+                key: pa.array([], type=pa.string()),
+                "n": pa.array([], type=pa.int64()),
+                "slope": pa.array([], type=pa.float64()),
+                "intercept": pa.array([], type=pa.float64()),
+                "r2": pa.array([], type=pa.float64()),
+            }
+        )
+    tbl = pa.Table.from_pylist(srows)
     n = np.asarray(tbl.column("sum(n)").to_pylist(), dtype=np.float64)
     sx = np.asarray(tbl.column("sum(sx)").to_pylist())
     sy = np.asarray(tbl.column("sum(sy)").to_pylist())
@@ -748,8 +826,10 @@ def percent_rank_by_key(
     (e.g. LogHistogram buckets) or fall back to a per-key sort."""
     import numpy as np
 
-    counts = ds.groupby([key, col]).count()
-    tbl = pa.Table.from_pylist(counts.take_all())
+    rows = ds.groupby([key, col]).count().take_all()
+    if not rows:
+        return ds  # empty input: nothing to rank (no rows to carry out_col)
+    tbl = pa.Table.from_pylist(rows)
     if tbl.num_rows > cdf_limit:
         raise ValueError(
             f"distinct ({key},{col}) pairs = {tbl.num_rows} exceed cdf_limit={cdf_limit}; "
@@ -806,10 +886,12 @@ def interval_agg_join(
     max_buckets_per_row: int = 64,
 ) -> ray.data.Dataset:
     """Aggregating band join: for each left interval ``[lo, hi]``
-    (identified by ``key``, which must be unique per left row), the
-    SUM and COUNT of right ``right_on`` values inside it →
-    ``(key, agg_sum, agg_count)``, inner semantics (zero-match keys
-    absent).
+    (identified by ``key``, which must be unique per left row AND an
+    integer column — enforced, because the partials carry it as int64
+    and a silent float→int truncation would merge distinct keys'
+    aggregates), the SUM and COUNT of right ``right_on`` values inside
+    it → ``(key, agg_sum, agg_count)``, inner semantics (zero-match
+    keys absent).
 
     Same domain-bucket exchange as :func:`range_join`, but the
     per-bucket reduce never materializes matches: right values sort
@@ -825,6 +907,12 @@ def interval_agg_join(
     inv_w = 1.0 / float(bucket_width)
 
     def _tag_left(batch: pa.Table) -> pa.Table:
+        if not pa.types.is_integer(batch.schema.field(key).type):
+            raise TypeError(
+                f"interval_agg_join key column {key!r} must be integer "
+                f"(got {batch.schema.field(key).type}); a float/string key "
+                "would silently truncate and merge distinct keys"
+            )
         lo = batch.column(left_lo).to_numpy(zero_copy_only=False).astype(np.float64)
         hi = batch.column(left_hi).to_numpy(zero_copy_only=False).astype(np.float64)
         keys = batch.column(key).to_numpy(zero_copy_only=False).astype(np.int64)
@@ -945,8 +1033,10 @@ def skew_join(
     the operator degrades to a plain hash_join rather than risk an
     unbounded broadcast.
 
-    ``left`` is consumed twice (hot pass + cold pass) — pass a read or
-    a materialized dataset.  ``how`` is "inner" or "left"."""
+    ``left`` is consumed three times (frequency scan + hot pass + cold
+    pass), so it is materialized here if it isn't already — an
+    expensive un-materialized upstream would otherwise re-execute in
+    full per pass.  ``how`` is "inner" or "left"."""
     import numpy as np
     import pandas as pd
 
@@ -954,6 +1044,10 @@ def skew_join(
 
     if how not in ("inner", "left"):
         raise ValueError(f"unsupported how={how!r}")
+    from ray.data.dataset import MaterializedDataset
+
+    if not isinstance(left, MaterializedDataset):
+        left = left.materialize()
     if left_schema is None:
         left_schema = left.schema()
     if right_schema is None:
@@ -978,10 +1072,15 @@ def skew_join(
             keys, counts = keys.take(take), counts.take(take)
         return pa.table({"k": keys, "c": counts.cast(pa.int64())})
 
-    vc_parts = pa.concat_tables(
+    _vc_batches = list(
         left.select_columns([on])
         .map_batches(_vc_partial, batch_format="pyarrow", batch_size=65536)
         .iter_batches(batch_format="pyarrow")
+    )
+    vc_parts = (
+        pa.concat_tables(_vc_batches)
+        if _vc_batches
+        else pa.table({"k": pa.array([], type=pa.int64()), "c": pa.array([], type=pa.int64())})
     )
     hot_keys = None
     if vc_parts.num_rows:
@@ -1107,10 +1206,17 @@ def pivot_agg(
     n_cat = len(categories)
 
     def _partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
         key_type = batch.schema.field(key_col).type
         batch = batch.filter(pc.is_in(batch.column(pivot_col), pa.array(categories)))
-        keys, key_idx = np.unique(
-            batch.column(key_col).to_numpy(zero_copy_only=False), return_inverse=True
+        # null keys are DROPPED (documented): Ray's sort-based groupby
+        # exchange cannot order null keys, so they cannot ride the
+        # combine — fill upstream to keep them.  factorize (not
+        # np.unique) so the filter never crashes on None remnants.
+        batch = batch.filter(pc.is_valid(batch.column(key_col)))
+        key_idx, keys = pd.factorize(
+            batch.column(key_col).to_pandas(), use_na_sentinel=False
         )
         cat_idx = np.array(
             [cat_of[c] for c in batch.column(pivot_col).to_pylist()], dtype=np.int64
@@ -1118,14 +1224,21 @@ def pivot_agg(
         flat = key_idx * n_cat + cat_idx
         size = len(keys) * n_cat
         counts = np.bincount(flat, minlength=size).reshape(len(keys), n_cat)
-        # pin the key type: pa.array over an EMPTY numpy object array
-        # (zero rows matched `categories`) would otherwise infer type
-        # null and poison the downstream groupby's schema union
-        cols = {key_col: pa.array(keys, type=key_type)}
+        # pin the key type: pa.array over an EMPTY array (zero rows
+        # matched `categories`) would otherwise infer type null and
+        # poison the downstream groupby's schema union
+        cols = {key_col: pa.array(keys, type=key_type, from_pandas=True)}
         for j, c in enumerate(categories):
             cols[f"{c}_n"] = pa.array(counts[:, j], type=pa.int64())
         if value_col is not None:
-            vals = batch.column(value_col).to_numpy(zero_copy_only=False)
+            # null values contribute 0 to the sum (SQL FILTER-sum skips
+            # them); without the mask one NaN poisons the whole cell
+            vals = np.nan_to_num(
+                batch.column(value_col)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.float64),
+                nan=0.0,
+            )
             sums = np.bincount(flat, weights=vals, minlength=size).reshape(
                 len(keys), n_cat
             )
@@ -1166,13 +1279,22 @@ def cube_counts(
     import pandas as pd
 
     def _partial(batch: pa.Table) -> pa.Table:
-        out = batch.select(keys).group_by(keys).aggregate([([], "count_all")])
+        batch = pa.table(
+            {k: batch.column(k).cast(pa.string()) for k in keys}
+        )  # string keys: see rollup_counts
+        out = batch.group_by(keys).aggregate([([], "count_all")])
         return out.rename_columns(keys + ["n"])
 
     fine = (
         ds.map_batches(_partial, batch_format="pyarrow").groupby(keys).sum("n")
     )
-    tbl = pa.Table.from_pylist(fine.take_all())  # ≤ product of key cardinalities
+    frows = fine.take_all()  # ≤ product of key cardinalities
+    if not frows:
+        return pa.table(
+            {**{k: pa.array([], type=pa.string()) for k in keys},
+             "n_rows": pa.array([], type=pa.int64())}
+        )
+    tbl = pa.Table.from_pylist(frows)
     tbl = tbl.rename_columns(keys + ["n_rows"])
     df = tbl.to_pandas()
     frames = [tbl]
@@ -1215,7 +1337,11 @@ def weighted_sample(
     def _local_top(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
         w = batch.column(weight_col).to_numpy(zero_copy_only=False).astype(np.float64)
-        u = ((ids * 2654435761) & 0xFFFFFFFF) / 4294967296.0
+        # (h + 0.5) / 2^32 keeps u strictly inside (0, 1): A-ES breaks
+        # at u == 0 (key 0 regardless of weight — id 0 would never be
+        # sampled); same endpoint convention as curation.gumbel_keys,
+        # mirrored in the SQL oracle
+        u = (((ids * 2654435761) & 0xFFFFFFFF) + 0.5) / 4294967296.0
         with np.errstate(divide="ignore"):
             key = np.where(w > 0, u ** (1.0 / np.maximum(w, 1e-300)), -1.0)
         batch = batch.append_column("sample_key", pa.array(key, type=pa.float64()))
@@ -1224,11 +1350,14 @@ def weighted_sample(
         )
         return batch.take(order[:k])
 
-    merged = pa.concat_tables(
+    parts = list(
         ds.map_batches(_local_top, batch_format="pyarrow").iter_batches(
             batch_format="pyarrow"
         )
     )
+    if not parts:  # empty input: concat_tables([]) would raise
+        return pa.table({})
+    merged = pa.concat_tables(parts)
     import pyarrow.compute as pc2
 
     order = pc2.sort_indices(
@@ -1260,6 +1389,12 @@ def zscore_outliers(
     from dots_ocr_ray.util import bounded_blocks, cached_object
 
     def _partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(
+            pc.and_(
+                pc.is_valid(batch.column(value_col)),
+                pc.is_valid(batch.column(key_col)),  # sort exchange can't order nulls
+            )
+        )
         v = batch.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64)
         t = pa.table(
             {
@@ -1286,15 +1421,15 @@ def zscore_outliers(
     ref = _ray.put(mean_std)
 
     def _flag(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
         ms = cached_object(ref)
-        # O(distinct-keys-in-batch) Python, not O(rows)
-        uk, inv = np.unique(
-            np.asarray(batch.column(key_col).to_pylist(), dtype=object),
-            return_inverse=True,
-        )
+        # O(distinct-keys-in-batch) Python, not O(rows); factorize
+        # handles null keys (np.unique raises on None in objects)
+        inv, uk = pd.factorize(batch.column(key_col).to_pandas(), use_na_sentinel=False)
         v = batch.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64)
-        mean = np.array([ms[k][0] for k in uk])[inv]
-        std = np.array([ms[k][1] for k in uk])[inv]
+        mean = np.array([ms.get(k, (np.nan, 0.0))[0] for k in uk])[inv] if len(uk) else np.zeros(0)
+        std = np.array([ms.get(k, (np.nan, 0.0))[1] for k in uk])[inv] if len(uk) else np.zeros(0)
         with np.errstate(divide="ignore", invalid="ignore"):
             z = np.where(std > 0, (v - mean) / std, 0.0)
         batch = batch.append_column("z", pa.array(np.round(z, 4), type=pa.float64()))

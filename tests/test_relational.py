@@ -674,3 +674,135 @@ def test_range_and_skew_join_full_range_int64(ray_session):
         (1, big[1], (1 << 60) - 5),
         (2, big[2], None),
     ]
+
+
+def test_hash_join_null_keys_follow_sql_semantics(ray_session):
+    """NULL join keys never match (SQL): no fabricated null-x-null rows
+    on inner, null-padded survival on left, kept on anti, dropped on
+    semi."""
+    import pyarrow as pa
+
+    import ray.data
+
+    from dots_ocr_ray.pipelines.relational import hash_join
+
+    left = ray.data.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([1, None, 3], type=pa.int64()),
+                "lv": pa.array([10, 20, 30], type=pa.int64()),
+            }
+        )
+    )
+    right = ray.data.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([1, None], type=pa.int64()),
+                "rv": pa.array([100, 200], type=pa.int64()),
+            }
+        )
+    )
+    inner = hash_join(left, right, on="k").take_all()
+    assert [(r["k"], r["rv"]) for r in inner] == [(1, 100)]
+    lj = sorted(hash_join(left, right, on="k", how="left").take_all(),
+                key=lambda r: r["lv"])
+    assert len(lj) == 3 and lj[1]["k"] is None and lj[1]["rv"] is None
+    semi = hash_join(left, right, on="k", how="semi").take_all()
+    assert [r["lv"] for r in semi] == [10]
+    anti = sorted(r["lv"] for r in hash_join(left, right, on="k", how="anti").take_all())
+    assert anti == [20, 30]  # null left key kept (NOT EXISTS semantics)
+
+
+def test_range_join_keeps_overlapping_right_columns(ray_session):
+    """A right-side non-key column whose name overlaps the left must
+    come through suffixed, not silently dropped."""
+    import pyarrow as pa
+
+    import ray.data
+
+    from dots_ocr_ray.pipelines.relational import range_join
+
+    left = ray.data.from_arrow(
+        pa.table(
+            {
+                "lid": pa.array([1], type=pa.int64()),
+                "lo": pa.array([0.0]),
+                "hi": pa.array([10.0]),
+                "tag": pa.array(["L"]),
+            }
+        )
+    )
+    right = ray.data.from_arrow(
+        pa.table(
+            {
+                "rid": pa.array([7], type=pa.int64()),
+                "val": pa.array([5.0]),
+                "tag": pa.array(["R"]),
+            }
+        )
+    )
+    out = range_join(
+        left, right, left_lo="lo", left_hi="hi", right_on="val", bucket_width=4.0
+    ).take_all()
+    assert len(out) == 1
+    assert out[0]["tag"] == "L" and out[0]["tag_r"] == "R"
+
+
+def test_rollup_and_cube_accept_integer_keys(ray_session):
+    import ray.data
+
+    from dots_ocr_ray.pipelines.relational import cube_counts, rollup_counts
+
+    ds = ray.data.from_items(
+        [{"year": 2024, "m": 1}, {"year": 2024, "m": 2}, {"year": 2025, "m": 1}]
+    )
+    r = rollup_counts(ds, ["year", "m"])
+    total = [x for x in r.to_pylist() if x["year"] == "*" and x["m"] == "*"]
+    assert total[0]["n_rows"] == 3
+    c = cube_counts(ds, ["year", "m"])
+    by_m = {x["m"]: x["n_rows"] for x in c.to_pylist() if x["year"] == "*" and x["m"] != "*"}
+    assert by_m == {"1": 2, "2": 1}
+
+
+def test_pivot_agg_null_values_and_null_keys(ray_session):
+    import ray.data
+
+    from dots_ocr_ray.pipelines.relational import pivot_agg
+
+    ds = ray.data.from_items(
+        [
+            {"host": "a", "lang": "en", "v": 1.0},
+            {"host": "a", "lang": "en", "v": None},  # must not NaN-poison the sum
+            {"host": None, "lang": "de", "v": 2.0},  # null key: documented-dropped
+        ]
+    )
+    out = {r["host"]: r for r in pivot_agg(ds, key_col="host", pivot_col="lang",
+                                           categories=["en", "de"], value_col="v").take_all()}
+    assert out["a"]["en_n"] == 2 and out["a"]["en_sum"] == 1.0
+    assert None not in out  # dropped, never a crash or NaN poison
+
+
+def test_exact_int_quantiles_empty_input(ray_session):
+    import pyarrow as pa
+
+    import ray.data
+
+    from dots_ocr_ray.pipelines.relational import exact_int_quantiles
+
+    empty = ray.data.from_arrow(pa.table({"x": pa.array([], type=pa.int64())}))
+    out = exact_int_quantiles(empty, "x", [0.5]).to_pylist()
+    assert out == [{"q": 0.5, "value": None}]
+
+
+def test_weighted_sample_id_zero_can_be_sampled(ray_session):
+    """u must be strictly inside (0,1): id 0 previously got key 0 and
+    could never win regardless of weight."""
+    import ray.data
+
+    from dots_ocr_ray.pipelines.relational import weighted_sample
+
+    rows = [{"doc_id": 0, "w": 1e9}] + [
+        {"doc_id": i, "w": 1.0} for i in range(1, 40)
+    ]
+    out = weighted_sample(ray.data.from_items(rows), id_col="doc_id", weight_col="w", k=5)
+    assert 0 in {r["doc_id"] for r in out.to_pylist()}
