@@ -23,6 +23,11 @@ from dots_ocr_ray.kernel.textops import (
 )
 from dots_ocr_ray.util import split_whitespace_checked
 
+# one shared host-extraction rule: schemes are case-insensitive per
+# RFC 3986 and raw crawl urls do arrive uppercase — a lowercase-only
+# match silently merged those pages into a junk "" host bucket
+HOST_REGEX = r"^[A-Za-z][A-Za-z0-9+.-]*://(?P<host>[^/]+)"
+
 
 ALL_FEATURES = ("lang", "tokens", "quality", "fingerprint")
 """Feature families: "tokens" computes both counters; "tokens_ws" /
@@ -188,6 +193,9 @@ def contamination_check(
 
     from dots_ocr_ray.util import cached_object
 
+    # empty probe strings match every document (pc.match_substring('',
+    # any) is True) — one blank bench row would flag the whole corpus
+    probes = [(b, p) for b, p in probes if p]
     probes_ref = ray.put(sorted(probes))
 
     def _scan(batch: pa.Table) -> pa.Table:
@@ -403,10 +411,10 @@ def repetition_stats(
         with np.errstate(divide="ignore", invalid="ignore"):
             distinct_frac = np.where(n_tokens > 0, n_distinct / np.maximum(n_tokens, 1), 0.0)
             top_bigram_frac = np.where(n_big > 0, maxc / np.maximum(n_big, 1), 0.0)
-        # round half AWAY from zero (SQL round semantics); np.round is
-        # half-even and diverges on exact ties like 26/64 = 0.40625
-        distinct_frac = np.floor(distinct_frac * 1e4 + 0.5) / 1e4
-        top_bigram_frac = np.floor(top_bigram_frac * 1e4 + 0.5) / 1e4
+        from dots_ocr_ray.util import round_half_away
+
+        distinct_frac = round_half_away(distinct_frac, 4)
+        top_bigram_frac = round_half_away(top_bigram_frac, 4)
         out = pa.table(
             {
                 "doc_id": batch.column(id_col),
@@ -485,7 +493,19 @@ def tfidf_top_terms(
     )
     # token-level result; take only the bounded top-V to the driver
     top = df_agg.sort(["sum(df)", "token"], descending=[True, False]).limit(vocab_size)
-    vtbl = pa.Table.from_pylist(top.take_all())
+    trows = top.take_all()
+    if not trows:  # empty/all-whitespace corpus: typed empty, not KeyError
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "token": pa.array([], type=pa.string()),
+                    "rank": pa.array([], type=pa.int64()),
+                    "score": pa.array([], type=pa.float64()),
+                }
+            )
+        )
+    vtbl = pa.Table.from_pylist(trows)
     vtok = np.asarray(vtbl.column("token").to_pylist(), dtype=object)
     vdf = np.asarray(vtbl.column("sum(df)").to_pylist(), dtype=np.float64)
     order = np.argsort(vtok.astype(str))
@@ -497,12 +517,10 @@ def tfidf_top_terms(
         vtoks, idfs = cached_object(vocab_ref)
         vocab, doc_np, codes = _doc_tokens(batch)
         # map batch-local dictionary codes → vocab slots (or -1)
+        from dots_ocr_ray.util import sorted_lookup
+
         dict_np = np.asarray(vocab.to_pylist(), dtype=object).astype(str)
-        pos = np.searchsorted(vtoks, dict_np)
-        pos[pos >= len(vtoks)] = max(len(vtoks) - 1, 0)
-        hit = np.zeros(len(dict_np), dtype=bool)
-        if len(vtoks):
-            hit = vtoks[pos] == dict_np
+        hit, pos = sorted_lookup(vtoks, dict_np)
         slot = np.where(hit, pos, -1)[codes]
         keep = slot >= 0
         doc_np, slot = doc_np[keep], slot[keep]
@@ -515,6 +533,8 @@ def tfidf_top_terms(
                     "score": pa.array([], type=pa.float64()),
                 }
             )
+        from dots_ocr_ray.util import round_half_away
+
         pairs, tf = np.unique(np.stack([doc_np, slot], axis=1), axis=0, return_counts=True)
         score = tf.astype(np.float64) * idfs[pairs[:, 1]]
         # per-doc top-k: sort (doc asc, score desc, token asc) then
@@ -532,7 +552,9 @@ def tfidf_top_terms(
                 "doc_id": pa.array(pairs[sel, 0], type=pa.int64()),
                 "token": pa.array(vtok_sorted[pairs[sel, 1]], type=pa.string()),
                 "rank": pa.array(rank[kmask], type=pa.int64()),
-                "score": pa.array(np.round(score[sel], 4), type=pa.float64()),
+                "score": pa.array(
+                    round_half_away(score[sel], 4), type=pa.float64()
+                ),
             }
         )
 
@@ -603,7 +625,13 @@ def normalize_text(
                     for v in vals
                 ]
             out_s = pa.array(
-                [_re.sub(r"\s+", " ", v.lower()).strip() for v in vals],
+                # RE2's \s == [\t\n\f\r ] (ASCII, no \v): the fallback
+                # must match the Arrow kernel path byte-for-byte or a
+                # transient canary failure silently changes dedup keys
+                [
+                    _re.sub(r"[\t\n\f\r ]+", " ", v.lower()).strip("\t\n\f\r ")
+                    for v in vals
+                ],
                 type=pa.string(),
             )
         return pa.table(
@@ -781,11 +809,17 @@ def bigram_lm_scores(
             _, offsets, _, bigk, w1h, d = _doc_grams(batch)
             n_rows = len(offsets) - 1
             if len(bigk):
-                bi = np.searchsorted(bh, bigk.view(np.int64))
-                ui = np.searchsorted(uh, w1h.view(np.int64))
-                lp = np.log(
-                    (bcnt[bi] + 1.0) / (uc[ui] + float(n_vocab))
-                )
+                from dots_ocr_ray.util import sorted_lookup
+
+                # sorted_lookup, not raw searchsorted: a gram the count
+                # pass never saw (e.g. a transient tokenize-fallback
+                # divergence) must smooth to count 0, not IndexError
+                # or silently charge a neighboring gram's count
+                bhit, bi = sorted_lookup(bh, bigk.view(np.int64))
+                uhit, ui = sorted_lookup(uh, w1h.view(np.int64))
+                bc = np.where(bhit, bcnt[bi] if len(bh) else 0, 0)
+                un = np.where(uhit, uc[ui] if len(uh) else 0, 0)
+                lp = np.log((bc + 1.0) / (un + float(n_vocab)))
                 sums = np.bincount(d, weights=lp, minlength=n_rows)
                 cnts = np.bincount(d, minlength=n_rows).astype(np.int64)
             else:
@@ -810,11 +844,9 @@ def bigram_lm_scores(
     # counts, then one groupby(id) re-aggregation
     from dots_ocr_ray.pipelines.relational import hash_join
 
-    # the w1 hash must SURVIVE join 1 to key join 2 — but hash_join's
-    # union padding sends non-key int columns through pandas float64,
-    # which is lossy above 2^53.  Ship it as two 32-bit halves (each
-    # float64-exact) and reassemble after the join; the join KEYS
-    # themselves are never padded and stay exact int64.
+    # the w1 hash survives join 1 as a plain int64 passthrough column:
+    # hash_join merges through Arrow-backed pandas dtypes, so non-key
+    # int64 columns stay exact (no float64 round-trip above 2^53)
     def _gram_rows(batch: pa.Table) -> pa.Table:
         _, _, _, bigk, w1h, d = _doc_grams(batch)
         ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
@@ -822,10 +854,7 @@ def bigram_lm_scores(
             {
                 id_col: pa.array(ids[d], type=pa.int64()),
                 "h": pa.array(bigk.view(np.int64), type=pa.int64()),
-                "h1_hi": pa.array((w1h >> np.uint64(32)).astype(np.int64), type=pa.int64()),
-                "h1_lo": pa.array(
-                    (w1h & np.uint64(0xFFFFFFFF)).astype(np.int64), type=pa.int64()
-                ),
+                "h1": pa.array(w1h.view(np.int64), type=pa.int64()),
             }
         )
 
@@ -833,8 +862,7 @@ def bigram_lm_scores(
         [
             (id_col, pa.int64()),
             ("h", pa.int64()),
-            ("h1_hi", pa.int64()),
-            ("h1_lo", pa.int64()),
+            ("h1", pa.int64()),
         ]
     )
     cnt_schema = pa.schema([("h", pa.int64()), ("cnt", pa.int64())])
@@ -847,16 +875,13 @@ def bigram_lm_scores(
     )
 
     def _rekey(batch: pa.Table) -> pa.Table:
-        hi = batch.column("h1_hi").to_numpy(zero_copy_only=False).astype(np.uint64)
-        lo = batch.column("h1_lo").to_numpy(zero_copy_only=False).astype(np.uint64)
-        h1 = (hi << np.uint64(32)) | lo
         bcnt = (
             batch.column("cnt").to_numpy(zero_copy_only=False).astype(np.int64)
         )
         return pa.table(
             {
                 id_col: batch.column(id_col).cast(pa.int64()),
-                "h": pa.array(h1.view(np.int64), type=pa.int64()),
+                "h": batch.column("h1").cast(pa.int64()),
                 "bcnt": pa.array(bcnt, type=pa.int64()),
             }
         )
@@ -1128,14 +1153,20 @@ def term_contexts(
             hit_pos = pos.to_numpy(zero_copy_only=False)[hit_idx]
             texts = col.take(pa.array(hit_idx)).to_pylist()
             hit_ids = ids.take(pa.array(hit_idx)).to_pylist()
+            term_b = term.encode("utf-8")
             for i, p, t in zip(hit_ids, hit_pos, texts):
+                # p is a BYTE offset (pc.find_substring): slice in byte
+                # space and decode with boundary-safe "ignore", or a
+                # multibyte prefix longer than the window would shift
+                # the slice off the matched term entirely
                 p = int(p)
+                tb = t.encode("utf-8")
                 start = max(0, p - width)
-                stop = min(len(t), p + len(term) + width)
+                stop = min(len(tb), p + len(term_b) + width)
                 ids_out.append(i)
                 terms_out.append(term)
                 pos_out.append(p)
-                ctx_out.append(t[start:stop])
+                ctx_out.append(tb[start:stop].decode("utf-8", "ignore"))
         return pa.table(
             {
                 id_col: pa.array(ids_out, type=pa.int64()),
@@ -1187,7 +1218,7 @@ def host_reputation(
         import pandas as pd
 
         hosts = pc.extract_regex(
-            pc.fill_null(batch.column(url_col), ""), r"^[a-z]+://(?P<host>[^/]+)"
+            pc.fill_null(batch.column(url_col), ""), HOST_REGEX
         )
         host = pc.fill_null(pc.struct_field(hosts, "host"), "")
         df = pd.DataFrame(
@@ -1301,7 +1332,7 @@ def host_template_stats(
 
         hosts = pc.extract_regex(
             pc.fill_null(batch.column(url_col).cast(pa.string()), ""),
-            r"^[a-z]+://(?P<host>[^/]+)",
+            HOST_REGEX,
         )
         host = pc.fill_null(pc.struct_field(hosts, "host"), "")
         htmls = batch.column(html_col).to_pylist()

@@ -426,3 +426,58 @@ def test_host_template_stats_grouping(ray_session):
     assert out.loc["b.com", "n_templates"] == 1
     # same content-blind fingerprint on both hosts for the plain template
     assert out.loc["b.com", "top_template"] == out.loc["a.com", "top_template"]
+
+
+def test_contamination_check_ignores_empty_probes(ray_session):
+    import ray.data
+
+    from dots_ocr_ray.pipelines.text_analysis import contamination_check
+
+    corpus = ray.data.from_items(
+        [{"doc_id": 1, "text": "clean document"}, {"doc_id": 2, "text": "needle here"}]
+    )
+    out = contamination_check(corpus, [(7, ""), (9, "needle")]).take_all()
+    assert [(r["doc_id"], r["first_bench_id"]) for r in out] == [(2, 9)]
+
+
+def test_term_contexts_multibyte_prefix_window(ray_session):
+    """A multibyte prefix longer than the window must not shift the
+    context slice off the matched term (byte offsets != char offsets)."""
+    import ray.data
+
+    from dots_ocr_ray.pipelines.text_analysis import term_contexts
+
+    text = "é" * 30 + " needle here"
+    ds = ray.data.from_items([{"doc_id": 1, "text": text}])
+    out = term_contexts(ds, ["needle"], width=24).take_all()
+    assert len(out) == 1 and "needle" in out[0]["context"]
+
+
+def test_tfidf_empty_corpus(ray_session):
+    import pyarrow as pa
+
+    import ray.data
+
+    from dots_ocr_ray.pipelines.text_analysis import tfidf_top_terms
+
+    empty = ray.data.from_arrow(
+        pa.table(
+            {"doc_id": pa.array([], type=pa.int64()), "text": pa.array([], type=pa.string())}
+        )
+    )
+    assert tfidf_top_terms(empty).count() == 0
+
+
+def test_host_regex_accepts_uppercase_schemes(ray_session):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from dots_ocr_ray.pipelines.text_analysis import HOST_REGEX
+
+    hosts = pc.struct_field(
+        pc.extract_regex(
+            pa.array(["HTTP://Example.com/p", "https://a.b/c"]), HOST_REGEX
+        ),
+        "host",
+    )
+    assert hosts.to_pylist() == ["Example.com", "a.b"]
