@@ -36,8 +36,10 @@ def sessionize(
     sf_dir: str,
     gap_minutes: int = 30,
 ) -> ray.data.Dataset:
-    """Gap-based session windows per user: consecutive events closer
-    than ``gap_minutes`` belong to one session.
+    """Gap-based session windows per user: a new session starts when
+    the gap to the previous event EXCEEDS ``gap_minutes`` (events
+    exactly ``gap_minutes`` apart stay in one session — strict ``>``
+    break, the DuckDB-oracle-pinned convention).
 
     Output: (user_id, session_id, n_events, session_start, session_end)
     where session_id numbers a user's sessions in time order from 1.
@@ -359,16 +361,17 @@ def events_sliding_agg(
         types = batch.column("event_type").to_numpy(zero_copy_only=False)
         values = batch.column("value").to_numpy(zero_copy_only=False)
         # newest window containing ts starts at floor(ts/hop)*hop; the
-        # k-1 windows before it also contain ts (clipped at ts<start+win)
+        # k-1 windows before it also contain ts (every one of the k
+        # hops satisfies ts < start + window by construction, so each
+        # event explodes to exactly k rows — no filtering needed)
         base = (ts // hop_us) * hop_us
-        starts = base[:, None] - hop_us * np.arange(k)[None, :]  # (n, k)
-        keep = ts[:, None] < starts + window_us
-        idx = np.repeat(np.arange(len(ts)), k)[keep.ravel()]
+        starts = (base[:, None] - hop_us * np.arange(k)[None, :]).ravel()  # (n*k,)
+        idx = np.repeat(np.arange(len(ts)), k)
         return (
             pa.table(
                 {
                     "event_type": pa.array(types[idx], type=pa.string()),
-                    "window_start": pa.array(starts.ravel()[keep.ravel()], type=pa.int64()).cast(
+                    "window_start": pa.array(starts, type=pa.int64()).cast(
                         pa.timestamp("us")
                     ),
                     "value": pa.array(values[idx], type=pa.float64()),
@@ -418,7 +421,9 @@ def asof_last_event(
         left = group[group["event_type"] == left_type].sort_values("ts")
         right = group[group["event_type"] == right_type].sort_values("ts")
         if left.empty:
-            return pd.DataFrame({"user_id": [], "ts": [], "prior_ts": []})
+            out = left[["user_id", "ts"]].iloc[0:0].copy()
+            out["prior_ts"] = pd.Series([], dtype=right["ts"].dtype)
+            return out
         merged = pd.merge_asof(
             left[["ts"]],
             right[["ts"]].rename(columns={"ts": "prior_ts"}),
@@ -457,15 +462,18 @@ def window_distinct_users(
     window_us = window_minutes * 60 * 1_000_000
     events = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "user_id"])
 
-    _PACK = np.int64(1_000_003)  # > max user_id in the fixture
-
     def _pairs(batch: pa.Table) -> pa.Table:
         ts = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
         users = batch.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
-        widx = ts // window_us  # small window INDEX, not epoch-us (packing stays in int64)
-        packed = np.unique(widx * _PACK + users)
-        w = packed // _PACK
-        u = packed - w * _PACK
+        widx = ts // window_us
+        # exact 2-key dedup via lexsort + boundary diff — NO packing
+        # constant (a multiplicative pack silently corrupted counts for
+        # any user_id at or above it, fabricating phantom windows)
+        order = np.lexsort((users, widx))
+        w, u = widx[order], users[order]
+        if len(w):
+            keep = np.concatenate([[True], (w[1:] != w[:-1]) | (u[1:] != u[:-1])])
+            w, u = w[keep], u[keep]
         return pa.table(
             {
                 "window_start": pa.array(w * window_us, type=pa.int64()),
@@ -525,7 +533,12 @@ def event_gaps(sf_dir: str) -> ray.data.Dataset:
         if n > 1:
             gap[1:] = us[1:] - us[:-1]
         gap[new_user] = -1
-        etype = batch.column("event_type")
+        import pyarrow.compute as pc
+
+        # nulls -> '' BEFORE the shift: the pandas boundary path
+        # fillna('')s every null, and the two paths must agree or a
+        # row's next_type would depend on its batch placement
+        etype = pc.fill_null(batch.column("event_type"), "")
         if isinstance(etype, pa.ChunkedArray):
             etype = etype.combine_chunks()
         # LEAD: next row's type, '' at user ends (positions where the

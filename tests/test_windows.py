@@ -213,3 +213,52 @@ def test_funnel_counts(ray_session):
     assert isinstance(out, pa.Table)
     got = {r["stage"]: r["users"] for r in out.to_pylist()}
     assert got == {"signup": 3, "view": 2, "purchase": 1}
+
+
+def test_window_distinct_users_large_user_ids(ray_session, tmp_path):
+    """Exact distinct-user counts must hold for the full int64 user-id
+    domain (the old packed key silently fabricated phantom windows for
+    user_id >= 1_000_003)."""
+    import datetime
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dots_ocr_ray.pipelines.windows import window_distinct_users
+
+    rng = np.random.default_rng(11)
+    n = 30_000
+    users = rng.integers(0, 5_000_000, n, dtype=np.int64)
+    base = int(datetime.datetime(2024, 1, 1).timestamp() * 1e6)
+    ts = base + rng.integers(0, 3 * 3600 * 1_000_000, n, dtype=np.int64)
+    tbl = pa.table(
+        {
+            "ts": pa.array(ts, type=pa.int64()).cast(pa.timestamp("us")),
+            "user_id": pa.array(users, type=pa.int64()),
+            "event_id": pa.array(np.arange(n, dtype=np.int64)),
+            "event_type": pa.array(["view"] * n),
+            "value": pa.array(np.ones(n)),
+        }
+    )
+    sf = str(tmp_path)
+    pq.write_table(tbl, f"{sf}/events.parquet")
+    got = {
+        r["window_start"]: r["n_users"]
+        for r in window_distinct_users(sf, window_minutes=60).take_all()
+    }
+    # brute-force oracle
+    window_us = 3600 * 1_000_000
+    import collections
+
+    truth = collections.defaultdict(set)
+    for t, u in zip(ts, users):
+        truth[(t // window_us) * window_us].add(int(u))
+    import datetime as _dt
+
+    want = {
+        _dt.datetime.utcfromtimestamp(w / 1e6): len(s_) for w, s_ in truth.items()
+    }
+    got_n = {k.replace(tzinfo=None) if hasattr(k, "replace") else k: v for k, v in got.items()}
+    assert sorted(got_n.values()) == sorted(want.values())
+    assert len(got_n) == len(want)
