@@ -314,7 +314,29 @@ def _process_one_shard(
         outs.append(chunk)
     group = pa.concat_tables(outs) if outs else None
     if group is None or group.num_rows == 0:
-        return None
+        # an EMPTY shard still gets its done marker: without one,
+        # resume never sees the shard as finished and re-downloads and
+        # re-parses the whole file on every run of an already-complete
+        # job (and the job totals fluctuate across resumes)
+        from dots_ocr_ray.schema import RESULT_SCHEMA
+
+        empty = RESULT_SCHEMA.empty_table()
+        write_partition_atomic(
+            out_dir,
+            shard,
+            empty,
+            md5_hex(""),
+            extra={"ok": 0, "fallback": 0, "failed": 0, "bytes_in": 0},
+        )
+        return {
+            "partition_id": shard,
+            "input_rows": 0,
+            "ok": 0,
+            "fallback": 0,
+            "failed": 0,
+            "bytes_in": 0,
+            "wall_ms": int((time.perf_counter() - t0) * 1000),
+        }
     content = md5_hex("".join(group.column("extracted_text").to_pylist()))
     statuses = group.column("status").to_pylist()
     counts = {
@@ -505,9 +527,14 @@ def compute_metrics(extracted: ray.data.Dataset) -> ray.data.Dataset:
             row[2] += st == "fallback"
             row[3] += st == "failed"
             row[4] += b
-        wall_ms = int((time.perf_counter() - t0) * 1000)
+        # attribute the batch's wall time PROPORTIONALLY to each
+        # partition's row share: charging the full batch wall to every
+        # pid in the batch inflated the summed wall by the number of
+        # distinct pids per batch
+        wall_us = (time.perf_counter() - t0) * 1e6
+        n_rows = max(len(pids), 1)
         for row in agg.values():
-            row[5] = wall_ms
+            row[5] = int(wall_us * row[0] / n_rows / 1000)
         return pa.table(
             {
                 "partition_id": pa.array(list(agg.keys()), type=pa.int32()),
@@ -536,7 +563,14 @@ def check_fail_gate(metrics, threshold: float = TASK_FAIL_THRESHOLD) -> dict:
     """Job-level fail-ratio gate (reference dotsocr_service.py:430-443,
     threshold configs.py:79).  Accepts a metrics Dataset or Arrow table;
     returns the totals; raises when breached."""
-    tbl = metrics if isinstance(metrics, pa.Table) else pa.Table.from_pylist(metrics.take_all())
+    if isinstance(metrics, pa.Table):
+        tbl = metrics
+    else:
+        from dots_ocr_ray.schema import METRICS_SCHEMA
+
+        # schema-pinned: from_pylist([]) on an empty corpus would have
+        # no columns at all and KeyError instead of a zero-stats dict
+        tbl = pa.Table.from_pylist(metrics.take_all(), schema=METRICS_SCHEMA)
     total = pc.sum(tbl.column("input_rows")).as_py() or 0
     failed = pc.sum(tbl.column("failed")).as_py() or 0
     stats = {

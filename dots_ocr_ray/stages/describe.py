@@ -68,19 +68,14 @@ class PictureDescribeActor:
             if changed:
                 md = spans_to_markdown(spans, no_page_hf=False)
                 nohf = spans_to_markdown(spans, no_page_hf=True)
-                # refresh char offsets to match the re-serialized text
-                pos = 0
-                first = True
-                from dots_ocr_ray.kernel.extract import _serialized_item
+                # refresh char offsets via the kernel's OWN offset walk
+                # so they can never drift from the serialization rules
+                from dots_ocr_ray.kernel.extract import (
+                    _assign_char_offsets,
+                    _serialized_item,
+                )
 
-                for s in spans:
-                    item = _serialized_item(s)
-                    if not first:
-                        pos += 2
-                    s["char_start"] = pos
-                    pos += len(item)
-                    s["char_end"] = pos
-                    first = False
+                _assign_char_offsets(spans, [_serialized_item(s) for s in spans])
             else:
                 md = None
                 nohf = None

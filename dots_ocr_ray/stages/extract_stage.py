@@ -53,6 +53,11 @@ class ExtractorActor:
         self.config = config or ExtractConfig()
         self.num_partitions = num_partitions
         self.kernel_fn = kernel_fn or extract_page
+        # the built-in kernel's result shape is trusted (its own tests
+        # pin it); a CUSTOM kernel's result is validated per row so one
+        # malformed span degrades that row instead of poisoning the
+        # whole batch (the fail-soft contract below)
+        self._trusted_kernel = kernel_fn is None or kernel_fn is extract_page
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         t0 = time.perf_counter()
@@ -75,25 +80,40 @@ class ExtractorActor:
         for url, html, text, lang in zip(urls, htmls, texts, langs):
             # row-level containment: a pathological row degrades, never
             # poisons the block (reference fail-soft stance, SURVEY §4)
+            # — including a CUSTOM kernel returning a malformed result
+            # (missing keys, non-4 bbox), which is validated/coerced
+            # inside the same per-row try
             try:
                 res = self.kernel_fn(url, html, text, self.config)
+                text_v = res["extracted_text"]
+                nohf_v = res["extracted_text_nohf"]
+                status_v = res["status"]
+                if self._trusted_kernel:
+                    spans_v = res["spans"]
+                else:
+                    spans_v = [
+                        {
+                            "category": str(sp["category"]),
+                            "bbox": [int(sp["bbox"][0]), int(sp["bbox"][1]),
+                                     int(sp["bbox"][2]), int(sp["bbox"][3])],
+                            "char_start": int(sp["char_start"]),
+                            "char_end": int(sp["char_end"]),
+                            "text": str(sp["text"]),
+                        }
+                        for sp in res["spans"]
+                        if len(sp["bbox"]) == 4
+                    ]
             except Exception:
-                res = {
-                    "url": url,
-                    "extracted_text": "",
-                    "extracted_text_nohf": "",
-                    "spans": [],
-                    "status": "failed",
-                }
+                text_v, nohf_v, status_v, spans_v = "", "", "failed", []
             out["url"].append(url)
             out["lang"].append(lang or "")
-            out["extracted_text"].append(res["extracted_text"])
-            out["extracted_text_nohf"].append(res["extracted_text_nohf"])
-            out["status"].append(res["status"])
-            out["n_spans"].append(len(res["spans"]))
+            out["extracted_text"].append(text_v)
+            out["extracted_text_nohf"].append(nohf_v)
+            out["status"].append(status_v)
+            out["n_spans"].append(len(spans_v))
             out["bytes_in"].append(len(html) if html is not None else 0)
             out["partition_id"].append(url_partition_id(url, self.num_partitions))
-            for s in res["spans"]:
+            for s in spans_v:
                 f_cat.append(s["category"])
                 f_bbox.extend(s["bbox"])
                 f_start.append(s["char_start"])

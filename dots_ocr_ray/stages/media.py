@@ -56,7 +56,21 @@ class MediaFeatureActor:
     def _features(self, payload: bytes) -> np.ndarray:
         if not self.fake_decode:
             decode_image_real(payload)  # raises: marked stub
-        digest = hashlib.blake2b(payload, digest_size=self.feat_dim).digest()
+        # blake2b caps digest_size at 64: wider feature dims chain
+        # counter-salted blocks instead of crashing the stage
+        blocks = []
+        remaining = self.feat_dim
+        i = 0
+        while remaining > 0:
+            size = min(remaining, 64)
+            blocks.append(
+                hashlib.blake2b(
+                    payload, digest_size=size, salt=i.to_bytes(8, "little")
+                ).digest()
+            )
+            remaining -= size
+            i += 1
+        digest = b"".join(blocks)
         return (np.frombuffer(digest, dtype=np.uint8).astype(np.float32) - 127.5) / 127.5
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -101,6 +115,8 @@ class MediaResizeActor:
         ):
             try:
                 m = json.loads(meta or "{}")
+                if not isinstance(m, dict):  # meta='null' / list / str
+                    m = {}
                 w, h = int(m.get("w", 0)), int(m.get("h", 0))
             except (ValueError, TypeError):
                 w = h = 0

@@ -24,7 +24,12 @@ def flag_oversize(ds: ray.data.Dataset, max_bytes: int = DEFAULT_MAX_HTML_BYTES)
 
     def _flag(batch: pa.Table) -> pa.Table:
         lengths = pc.binary_length(batch.column("html"))
-        return batch.append_column("oversize", pc.greater(lengths, max_bytes))
+        # null html → flag False, NOT null: a null flag fails BOTH
+        # split filters (filter drops nulls) and the row silently
+        # vanishes from the corpus; null html is a legal degradation
+        # row the extractor handles (bytes_in=0 → text fallback)
+        flag = pc.fill_null(pc.greater(lengths, max_bytes), False)
+        return batch.append_column("oversize", flag)
 
     return ds.map_batches(_flag, batch_format="pyarrow")
 
@@ -35,7 +40,10 @@ def split_oversize(
     """(normal, oversize) streams.  Run `oversize` through the same
     extract stage with a small ``batch_size`` (1-8) so one fat row
     never co-locates with hundreds of others in a batch."""
-    flagged = flag_oversize(ds, max_bytes)
+    # materialized once: both returned streams consume this lineage,
+    # and un-materialized they would each re-run the full upstream
+    # read + length scan (2× the input I/O at crawl scale)
+    flagged = flag_oversize(ds, max_bytes).materialize()
 
     def _keep(value: bool):
         def _f(batch: pa.Table) -> pa.Table:

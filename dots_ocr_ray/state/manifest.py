@@ -32,8 +32,11 @@ import pyarrow as pa
 import pyarrow.fs as pafs
 import pyarrow.parquet as pq
 
-_MARKER_RE = re.compile(r"^part-(\d{5})\.done$")
-_PART_RE = re.compile(r"^part-(\d{5})\.parquet$")
+# \d{5,}: {pid:05d} spills past five digits above 99,999 partitions
+# (the petabyte shard-count design point) — a fixed-width match would
+# make those partitions invisible to resume and read-back
+_MARKER_RE = re.compile(r"^part-(\d{5,})\.done$")
+_PART_RE = re.compile(r"^part-(\d{5,})\.parquet$")
 
 
 def resolve_fs(path: str) -> tuple[pafs.FileSystem, str]:
@@ -74,10 +77,13 @@ def completed_partitions(out_dir: str) -> set[int]:
 
 
 def list_partition_files(out_dir: str) -> list[str]:
-    """Sorted final partition files under out_dir (full paths/URIs)."""
+    """Final partition files under out_dir (full paths/URIs), in
+    NUMERIC partition order (lexicographic order breaks once ids spill
+    past the 5-digit padding)."""
     names = _list_names(out_dir)
     sep = "/" if "://" in out_dir else os.sep
-    return [out_dir.rstrip(sep) + sep + n for n in sorted(names) if _PART_RE.match(n)]
+    matched = [(int(m.group(1)), n) for n in names if (m := _PART_RE.match(n))]
+    return [out_dir.rstrip(sep) + sep + n for _, n in sorted(matched)]
 
 
 def write_partition_atomic(

@@ -84,3 +84,53 @@ def test_media_resize_uses_kernel_geometry(ray_session):
     assert (out.loc[0, "dst_w"], out.loc[0, "dst_h"]) == (rw, rh)
     assert out.loc[0, "dst_w"] % 28 == 0 and out.loc[0, "dst_h"] % 28 == 0
     assert list(out.resize_status[1:]) == ["rejected", "rejected", "rejected"]
+
+
+def test_media_feature_actor_wide_feat_dim(ray_session):
+    import pyarrow as pa
+
+    import ray.data
+
+    from dots_ocr_ray.stages.media import MediaFeatureActor
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "media_id": pa.array([1], type=pa.int64()),
+                "kind": pa.array(["image"]),
+                "payload": pa.array([b"pixels"], type=pa.binary()),
+                "meta": pa.array(["{}"]),
+            }
+        )
+    )
+    out = ds.map_batches(
+        MediaFeatureActor,
+        fn_constructor_kwargs={"feat_dim": 128},
+        batch_format="pyarrow",
+        concurrency=1,
+    ).take_all()
+    assert len(out[0]["feat"]) == 128
+
+
+def test_media_resize_actor_non_dict_meta(ray_session):
+    import pyarrow as pa
+
+    import ray.data
+
+    from dots_ocr_ray.stages.media import MediaResizeActor
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "media_id": pa.array([1, 2, 3], type=pa.int64()),
+                "kind": pa.array(["image"] * 3),
+                "payload": pa.array([b"x"] * 3, type=pa.binary()),
+                "meta": pa.array(["null", "[640,480]", '{"w":64,"h":64}']),
+            }
+        )
+    )
+    rows = ds.map_batches(
+        MediaResizeActor, batch_format="pyarrow", concurrency=1
+    ).take_all()
+    st = {r["media_id"]: r["resize_status"] for r in rows}
+    assert st[1] == "rejected" and st[2] == "rejected" and st[3] == "resized"

@@ -36,3 +36,26 @@ def test_truncate_oversize(ray_session):
                         batch_size=4, concurrency=2).to_pandas()
     assert len(out) == 17
     assert set(out.status) <= {"finished", "fallback", "failed"}
+
+
+def test_split_oversize_null_html_not_lost(ray_session):
+    """A null-html row must land in exactly one stream (normal), not
+    silently vanish from both (null flags fail both filters)."""
+    import pyarrow as pa
+
+    import ray.data
+
+    from dots_ocr_ray.stages.oversize import split_oversize
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "url": pa.array(["a", "b", "c"]),
+                "html": pa.array([b"x" * 10, None, b"y" * 2000], type=pa.binary()),
+            }
+        )
+    )
+    normal, oversize = split_oversize(ds, max_bytes=1000)
+    n_urls = sorted(r["url"] for r in normal.take_all())
+    o_urls = sorted(r["url"] for r in oversize.take_all())
+    assert n_urls == ["a", "b"] and o_urls == ["c"]
