@@ -2484,6 +2484,37 @@ def _q_table_profile(sf_dir: str):
     return profile_table(ray.data.read_parquet(f"{sf_dir}/documents.parquet"))
 
 
+def _q_bpe_merges(sf_dir: str):
+    """BPE tokenizer training over the documents corpus: deterministic
+    bottom-k hash sample → driver-side merge learning (training is
+    inherently sequential; the sample bound is what scales) — the
+    tokenizer artifact a training-data pipeline must produce.  Oracle:
+    golden parquet from the sequential mirror sharing the bpe_train
+    kernel (tools/make_golden.py:golden_bpe_merges)."""
+    import ray.data
+
+    from dots_ocr_ray.pipelines.tokenizer import train_bpe
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return train_bpe(ds)
+
+
+def _q_bpe_token_stats(sf_dir: str):
+    """Corpus-wide BPE application: per-document whitespace-token and
+    BPE-piece counts under the trained merges (tokenizer fertility —
+    the signal that gates a tokenizer before a training run).  Merges
+    broadcast once; zero exchange; distinct-word memoized encode.
+    Oracle: golden parquet from the sequential word-by-word encoder
+    over the same kernels (make_golden.golden_bpe_token_stats)."""
+    import ray.data
+
+    from dots_ocr_ray.pipelines.tokenizer import bpe_token_stats, train_bpe
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    merges = train_bpe(ds)
+    return bpe_token_stats(ds, merges)
+
+
 def _q_recrawl_priority(sf_dir: str):
     """Recrawl scheduling priority per host: change_rate (from the
     crawl_diff fixture split) × relative PageRank (host link graph) —
@@ -2702,6 +2733,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_diff_docs": _q_crawl_diff_docs,
         "recrawl_priority": _q_recrawl_priority,
         "table_profile": _q_table_profile,
+        "bpe_merges": _q_bpe_merges,
+        "bpe_token_stats": _q_bpe_token_stats,
         "bigram_lm_scores": _q_bigram_lm_scores,
         "perplexity_buckets": _q_perplexity_buckets,
         "composite_quality_filter": _q_composite_quality_filter,
@@ -2851,6 +2884,13 @@ def oracle_sql() -> dict[str, str]:
         # doc_id%4==1, new rewrote doc_id%6==3
         "table_profile": (
             "SELECT * FROM read_parquet('" + _GOLDEN_DIR + "/table_profile.parquet')"
+        ),
+        "bpe_merges": (
+            f"SELECT rank, \"left\", \"right\" FROM read_parquet('{_GOLDEN_DIR}/bpe_merges.parquet')"
+        ),
+        "bpe_token_stats": (
+            "SELECT doc_id, n_tokens, n_pieces "
+            f"FROM read_parquet('{_GOLDEN_DIR}/bpe_token_stats.parquet')"
         ),
         # recrawl priority: diff classes + host mapping are SQL
         # arithmetic over the same fixture split as crawl_diff_docs;

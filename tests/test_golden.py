@@ -50,6 +50,8 @@ def _canon(obj) -> pd.DataFrame:
         "compression_ratios",
         "host_templates",
         "table_profile",
+        "bpe_merges",
+        "bpe_token_stats",
     ],
 )
 def test_golden_parity(ray_session, name):

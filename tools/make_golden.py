@@ -664,6 +664,61 @@ def golden_table_profile(sf_dir: str) -> pa.Table:
     return pa.Table.from_pylist(rows, schema=_OUT_SCHEMA)
 
 
+def _bpe_merges_seq(sf_dir: str, *, num_merges: int = 160, sample_docs: int = 256):
+    """Sequential mirror of pipelines.tokenizer.train_bpe: same
+    (knuth_hash32, id) bottom-k sample, same shared bpe_train kernel."""
+    from dots_ocr_ray.kernel.bpe import bpe_train, word_counts_from_texts
+
+    ids, texts = _read_docs(sf_dir)
+    ids_np = np.array(ids, dtype=np.int64)
+    h = knuth_hash32(ids_np)
+    order = np.lexsort((ids_np, h))[:sample_docs]
+    sample_texts = [texts[i] or "" for i in order]
+    return bpe_train(word_counts_from_texts(sample_texts), num_merges)
+
+
+def golden_bpe_merges(sf_dir: str) -> pa.Table:
+    merges = _bpe_merges_seq(sf_dir)
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(len(merges)), type=pa.int64()),
+            "left": pa.array([m[0] for m in merges], type=pa.string()),
+            "right": pa.array([m[1] for m in merges], type=pa.string()),
+        }
+    )
+
+
+def golden_bpe_token_stats(sf_dir: str) -> pa.Table:
+    """Sequential per-doc BPE fertility stats: train on the shared
+    sample, then encode every document word-by-word (memoized) with
+    the shared greedy kernel."""
+    from dots_ocr_ray.kernel.bpe import bpe_encode_word
+
+    merges = _bpe_merges_seq(sf_dir)
+    ranks = {m: i for i, m in enumerate(merges)}
+    ids, texts = _read_docs(sf_dir)
+    memo: dict[str, int] = {}
+    n_tokens, n_pieces = [], []
+    for t in texts:
+        words = (t or "").split()
+        total = 0
+        for w in words:
+            p = memo.get(w)
+            if p is None:
+                p = len(bpe_encode_word(w, ranks))
+                memo[w] = p
+            total += p
+        n_tokens.append(len(words))
+        n_pieces.append(total)
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "n_tokens": pa.array(n_tokens, type=pa.int64()),
+            "n_pieces": pa.array(n_pieces, type=pa.int64()),
+        }
+    )
+
+
 GOLDEN_BUILDERS = {
     "kmeans_clusters": golden_kmeans_clusters,
     "semdedup_docs": golden_semdedup_docs,
@@ -687,6 +742,8 @@ GOLDEN_BUILDERS = {
     "compression_ratios": golden_compression_ratios,
     "host_templates": golden_host_templates,
     "table_profile": golden_table_profile,
+    "bpe_merges": golden_bpe_merges,
+    "bpe_token_stats": golden_bpe_token_stats,
 }
 
 
