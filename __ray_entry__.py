@@ -2515,6 +2515,22 @@ def _q_bpe_token_stats(sf_dir: str):
     return bpe_token_stats(ds, merges)
 
 
+def _q_bpe_piece_vocab(sf_dir: str):
+    """Top-64 BPE pieces by corpus frequency under the trained merges
+    (vocabulary-usage report).  Exercises the distributed exploded
+    encode: per-batch piece partials → ONE vocabulary-bounded groupby
+    → per-block top-k → k×blocks driver merge.  Oracle: golden parquet
+    from the sequential word-by-word Counter mirror
+    (make_golden.golden_bpe_piece_vocab)."""
+    import ray.data
+
+    from dots_ocr_ray.pipelines.tokenizer import bpe_piece_vocab, train_bpe
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    merges = train_bpe(ds)
+    return bpe_piece_vocab(ds, merges)
+
+
 def _q_recrawl_priority(sf_dir: str):
     """Recrawl scheduling priority per host: change_rate (from the
     crawl_diff fixture split) × relative PageRank (host link graph) —
@@ -2735,6 +2751,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "table_profile": _q_table_profile,
         "bpe_merges": _q_bpe_merges,
         "bpe_token_stats": _q_bpe_token_stats,
+        "bpe_piece_vocab": _q_bpe_piece_vocab,
         "bigram_lm_scores": _q_bigram_lm_scores,
         "perplexity_buckets": _q_perplexity_buckets,
         "composite_quality_filter": _q_composite_quality_filter,
@@ -2891,6 +2908,9 @@ def oracle_sql() -> dict[str, str]:
         "bpe_token_stats": (
             "SELECT doc_id, n_tokens, n_pieces "
             f"FROM read_parquet('{_GOLDEN_DIR}/bpe_token_stats.parquet')"
+        ),
+        "bpe_piece_vocab": (
+            f"SELECT rank, piece, cnt FROM read_parquet('{_GOLDEN_DIR}/bpe_piece_vocab.parquet')"
         ),
         # recrawl priority: diff classes + host mapping are SQL
         # arithmetic over the same fixture split as crawl_diff_docs;

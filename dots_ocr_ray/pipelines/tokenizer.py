@@ -177,6 +177,64 @@ def bpe_token_stats(
     return ds.map_batches(_stats, batch_format="pyarrow")
 
 
+def bpe_piece_vocab(
+    ds: ray.data.Dataset,
+    merges: pa.Table,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 64,
+) -> pa.Table:
+    """Top-``k`` BPE pieces by corpus frequency: (rank, piece, cnt),
+    rank 0-based in (cnt desc, piece asc) order — the vocabulary-usage
+    report a tokenizer eval reads next to fertility.
+
+    Scale shape: the exploded piece stream never converges anywhere —
+    per-batch ``np.unique`` partials bound the exchange at
+    distinct-pieces-per-batch rows, ONE piece-keyed groupby sums them
+    (vocabulary-bounded, not corpus-bounded), per-block top-k keeps the
+    driver merge at k × n_blocks rows."""
+    import pyarrow.compute as pc
+
+    enc = bpe_encode(ds, merges, text_col=text_col, id_col=id_col)
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        u, c = np.unique(
+            batch.column("piece").to_numpy(zero_copy_only=False), return_counts=True
+        )
+        return pa.table(
+            {
+                "piece": pa.array(u, type=pa.string()),
+                "cnt": pa.array(c, type=pa.int64()),
+            }
+        )
+
+    totals = (
+        enc.map_batches(_partial, batch_format="pyarrow")
+        .groupby("piece")
+        .sum("cnt")
+    )
+
+    def _topk(batch: pa.Table) -> pa.Table:
+        t = pa.table({"piece": batch.column("piece"), "cnt": batch.column("sum(cnt)")})
+        order = pc.sort_indices(
+            t, sort_keys=[("cnt", "descending"), ("piece", "ascending")]
+        )
+        return t.take(order).slice(0, k)
+
+    parts = pa.Table.from_pylist(
+        [r for r in totals.map_batches(_topk, batch_format="pyarrow").take_all()],
+        schema=pa.schema([("piece", pa.string()), ("cnt", pa.int64())]),
+    )
+    order = pc.sort_indices(
+        parts, sort_keys=[("cnt", "descending"), ("piece", "ascending")]
+    )
+    out = parts.take(order).slice(0, k)
+    return out.add_column(
+        0, "rank", pa.array(np.arange(out.num_rows), type=pa.int64())
+    )
+
+
 def bpe_encode(
     ds: ray.data.Dataset,
     merges: pa.Table,

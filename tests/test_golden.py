@@ -52,6 +52,7 @@ def _canon(obj) -> pd.DataFrame:
         "table_profile",
         "bpe_merges",
         "bpe_token_stats",
+        "bpe_piece_vocab",
     ],
 )
 def test_golden_parity(ray_session, name):

@@ -108,6 +108,28 @@ def test_bpe_encode_positions(ray_session):
         assert list(sub.pos) == list(range(1, len(want) + 1))
 
 
+def test_bpe_piece_vocab(ray_session):
+    from collections import Counter
+
+    from dots_ocr_ray.pipelines.tokenizer import bpe_piece_vocab
+
+    texts = ["aa bb aa cc", "bb aa", "cc cc dd"]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+            "text": pa.array(texts, type=pa.string()),
+        }
+    )
+    ds = ray.data.from_arrow(tbl).repartition(2)
+    merges = train_bpe(ds, num_merges=10, sample_docs=3)
+    out = bpe_piece_vocab(ds, merges, k=3).to_pylist()
+    ranks = ranks_from_merges(merges)
+    counts = Counter(p for t in texts for w in t.split() for p in bpe_encode_word(w, ranks))
+    want = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+    assert [(r["piece"], r["cnt"]) for r in out] == want
+    assert [r["rank"] for r in out] == list(range(len(out)))
+
+
 def test_sample_is_layout_insensitive(ray_session):
     texts = [f"doc {i} word{i % 7} token{i % 3}" for i in range(300)]
     tbl = pa.table(

@@ -719,6 +719,35 @@ def golden_bpe_token_stats(sf_dir: str) -> pa.Table:
     )
 
 
+def golden_bpe_piece_vocab(sf_dir: str, *, k: int = 64) -> pa.Table:
+    """Sequential top-k piece frequencies: word-by-word greedy encode
+    (memoized) with a plain Counter, (cnt desc, piece asc) order."""
+    from collections import Counter
+
+    from dots_ocr_ray.kernel.bpe import bpe_encode_word
+
+    merges = _bpe_merges_seq(sf_dir)
+    ranks = {m: i for i, m in enumerate(merges)}
+    ids, texts = _read_docs(sf_dir)
+    memo: dict[str, list[str]] = {}
+    counts: Counter = Counter()
+    for t in texts:
+        for w in (t or "").split():
+            p = memo.get(w)
+            if p is None:
+                p = bpe_encode_word(w, ranks)
+                memo[w] = p
+            counts.update(p)
+    top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(len(top)), type=pa.int64()),
+            "piece": pa.array([p for p, _ in top], type=pa.string()),
+            "cnt": pa.array([c for _, c in top], type=pa.int64()),
+        }
+    )
+
+
 GOLDEN_BUILDERS = {
     "kmeans_clusters": golden_kmeans_clusters,
     "semdedup_docs": golden_semdedup_docs,
@@ -744,6 +773,7 @@ GOLDEN_BUILDERS = {
     "table_profile": golden_table_profile,
     "bpe_merges": golden_bpe_merges,
     "bpe_token_stats": golden_bpe_token_stats,
+    "bpe_piece_vocab": golden_bpe_piece_vocab,
 }
 
 
