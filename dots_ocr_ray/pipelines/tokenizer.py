@@ -43,34 +43,80 @@ def bottomk_sample_table(
     k: int,
 ) -> pa.Table:
     """Deterministic uniform sample: the ``k`` rows with the smallest
-    (knuth_hash32(id), id) key.  Per-batch partial bottom-k keeps the
-    driver merge at k × n_batches rows regardless of corpus size, and
-    the result is insensitive to block layout and input order."""
+    (knuth_hash32(id), id) key, insensitive to block layout and input
+    order.
+
+    Scale shape (the payload columns never ride the selection): per
+    batch a 16-byte (id, h) bottom-k partial → one repartition(1)
+    reduce of those ≤ k × n_batches tiny rows picks the global winner
+    ids (the driver sees exactly k of them) → ONE broadcast-filter pass
+    gathers the k payload rows.  Two passes over the input, but the
+    driver and the exchange carry ids, not documents."""
     from dots_ocr_ray.pipelines.similarity import knuth_hash32
 
     want = list(cols)
     if id_col not in want:
         want = [id_col, *want]
 
-    def _bottomk(batch: pa.Table) -> pa.Table:
-        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
-        h = knuth_hash32(ids)
+    def _hid_bottomk(batch: pa.Table) -> pa.Table:
+        ids_col = batch.column(id_col) if id_col in batch.column_names else batch.column(0)
+        ids = ids_col.to_numpy(zero_copy_only=False).astype(np.int64)
+        h = (
+            batch.column("_h").to_numpy(zero_copy_only=False).astype(np.int64)
+            if "_h" in batch.column_names
+            else knuth_hash32(ids)
+        )
         # tie-break equal hashes by id WITHIN the batch too, so the
         # partial bottom-k is a superset of the global (h, id) bottom-k
         # even under 32-bit hash collisions at the cut boundary
         take = np.lexsort((ids, h))[:k]
-        sub = batch.select(want).take(pa.array(np.sort(take)))
-        hh = knuth_hash32(sub.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64))
-        return sub.append_column("_h", pa.array(hh, type=pa.int64()))
+        return pa.table(
+            {
+                id_col: pa.array(ids[take], type=pa.int64()),
+                "_h": pa.array(h[take], type=pa.int64()),
+            }
+        )
 
-    parts = pa.Table.from_pylist(
-        ds.map_batches(_bottomk, batch_format="pyarrow").take_all(),
-        schema=None,
+    winner_rows = (
+        ds.select_columns([id_col])
+        .map_batches(_hid_bottomk, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(_hid_bottomk, batch_format="pyarrow")
+        .take_all()
     )
-    if parts.num_rows == 0:
-        return pa.table({c: pa.array([], type=pa.string()) for c in want})
-    order = pc.sort_indices(parts, sort_keys=[("_h", "ascending"), (id_col, "ascending")])
-    return parts.take(order).slice(0, k).drop_columns(["_h"])
+    if not winner_rows:
+        sch = pa.schema(
+            [(c, pa.int64() if c == id_col else pa.string()) for c in want]
+        )
+        return sch.empty_table()
+    order = np.lexsort(
+        (
+            np.array([r[id_col] for r in winner_rows], dtype=np.int64),
+            np.array([r["_h"] for r in winner_rows], dtype=np.int64),
+        )
+    )[:k]
+    winner_ids = np.array([winner_rows[i][id_col] for i in order], dtype=np.int64)
+    winner_sorted = np.sort(winner_ids)
+
+    def _gather(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = np.isin(ids, winner_sorted, assume_unique=False)
+        return batch.select(want).filter(pa.array(keep))
+
+    sample = pa.Table.from_pylist(
+        ds.map_batches(_gather, batch_format="pyarrow").take_all()
+    )
+    if sample.num_rows == 0:
+        sch = pa.schema(
+            [(c, pa.int64() if c == id_col else pa.string()) for c in want]
+        )
+        return sch.empty_table()
+    sample = sample.select(want)
+    sids = sample.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    pos = {int(i): p for p, i in enumerate(winner_ids)}
+    return sample.take(
+        pa.array(np.argsort([pos[int(i)] for i in sids], kind="stable"))
+    )
 
 
 def train_bpe(
