@@ -2531,6 +2531,56 @@ def _q_bpe_piece_vocab(sf_dir: str):
     return bpe_piece_vocab(ds, merges)
 
 
+def _q_logreg_weights(sf_dir: str):
+    """Distributed full-corpus logistic-regression training (distill
+    the heuristic quality keep-rule into a compact linear model —
+    the fasttext-curation workflow): featurize once into a
+    narrow materialized table, then 12 fixed gradient passes each
+    shipping ONE int64-quantized (d+2)-value row per block — integer
+    sums are layout-insensitive, so the weights exactly equal the
+    sequential mirror's.  Oracle: golden parquet
+    (make_golden.golden_logreg_weights)."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from dots_ocr_ray.pipelines.classifier import featurize_labeled, train_logreg
+    from dots_ocr_ray.util import round_half_away
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    w = train_logreg(featurize_labeled(ds))
+    return pa.table(
+        {
+            "idx": pa.array(np.arange(len(w)), type=pa.int64()),
+            "weight": pa.array(round_half_away(w, 6), type=pa.float64()),
+        }
+    )
+
+
+def _q_logreg_scores(sf_dir: str):
+    """Corpus-wide scoring under the trained classifier: (doc_id,
+    score@6dp, pred, label) — train as in logreg_weights, then one
+    zero-exchange broadcast scoring pass.  Oracle: golden parquet
+    (make_golden.golden_logreg_scores)."""
+    import ray.data
+
+    from dots_ocr_ray.pipelines.classifier import (
+        featurize_labeled,
+        logreg_score,
+        train_logreg,
+    )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    feats = featurize_labeled(ds)
+    w = train_logreg(feats)
+    return logreg_score(feats, w)
+
+
 def _q_recrawl_priority(sf_dir: str):
     """Recrawl scheduling priority per host: change_rate (from the
     crawl_diff fixture split) × relative PageRank (host link graph) —
@@ -2752,6 +2802,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_merges": _q_bpe_merges,
         "bpe_token_stats": _q_bpe_token_stats,
         "bpe_piece_vocab": _q_bpe_piece_vocab,
+        "logreg_weights": _q_logreg_weights,
+        "logreg_scores": _q_logreg_scores,
         "bigram_lm_scores": _q_bigram_lm_scores,
         "perplexity_buckets": _q_perplexity_buckets,
         "composite_quality_filter": _q_composite_quality_filter,
@@ -2911,6 +2963,13 @@ def oracle_sql() -> dict[str, str]:
         ),
         "bpe_piece_vocab": (
             f"SELECT rank, piece, cnt FROM read_parquet('{_GOLDEN_DIR}/bpe_piece_vocab.parquet')"
+        ),
+        "logreg_weights": (
+            f"SELECT idx, weight FROM read_parquet('{_GOLDEN_DIR}/logreg_weights.parquet')"
+        ),
+        "logreg_scores": (
+            "SELECT doc_id, score, pred, label "
+            f"FROM read_parquet('{_GOLDEN_DIR}/logreg_scores.parquet')"
         ),
         # recrawl priority: diff classes + host mapping are SQL
         # arithmetic over the same fixture split as crawl_diff_docs;

@@ -1,0 +1,105 @@
+"""Distributed logistic-regression training: exact layout-insensitive
+parity with the sequential mirror, label semantics, convergence."""
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+from dots_ocr_ray.pipelines.classifier import (
+    _quantized_newton_row,
+    featurize_labeled,
+    logreg_features,
+    logreg_score,
+    logreg_update,
+    quality_label,
+    train_logreg,
+)
+
+
+def _toy_table(n=240, seed=7):
+    rng = np.random.RandomState(seed)
+    texts = []
+    for i in range(n):
+        n_words = int(rng.randint(5, 120))
+        junk_p = 0.0 if rng.rand() < 0.5 else 0.12  # straddle min_alpha
+        words = ["lorem" if rng.rand() >= junk_p else "x9!#" for _ in range(n_words)]
+        texts.append(" ".join(words))
+    return pa.table(
+        {
+            "doc_id": pa.array(np.arange(n), type=pa.int64()),
+            "text": pa.array(texts, type=pa.string()),
+        }
+    )
+
+
+def _seq_train(tbl, iters=8, l2=1e-3):
+    X = logreg_features(tbl.column("text"))
+    y = quality_label(tbl.column("text"))
+    w = np.zeros(X.shape[1])
+    for _ in range(iters):
+        g, h, n = _quantized_newton_row(X, y, w)
+        w = logreg_update(w, g, h, n, l2=l2)
+    return X, y, w
+
+
+def test_distributed_equals_sequential_any_layout(ray_session):
+    tbl = _toy_table()
+    _, _, w_seq = _seq_train(tbl)
+    for parts in (1, 3, 11):
+        ds = ray.data.from_arrow(tbl).repartition(parts)
+        w = train_logreg(featurize_labeled(ds))
+        # int64-quantized partials make the sums EXACT: bit-identical
+        assert np.array_equal(w, w_seq), (parts, w, w_seq)
+
+
+def test_quality_label_kernel_semantics():
+    # with the kernel's own thresholds, quality_label must agree with
+    # the per-string kernel rule on hand-made edge cases
+    from dots_ocr_ray.kernel.textops import quality_features, quality_keep
+
+    texts = [
+        "short",  # < 5 words
+        "five small words here now",  # passes C4 defaults
+        "@@ ## $$ %% ^^ &&",  # alpha ratio 0
+        "",  # empty
+        "a " * 50,  # mean word len 1, many words
+        "supercalifragilisticexpialidociousword " * 6,  # long words
+    ]
+    col = pa.array(texts, type=pa.string())
+    got = quality_label(col, min_words=5, min_alpha=0.5, max_mwl=15.0)
+    want = [float(quality_keep(quality_features(t))) for t in texts]
+    assert list(got) == want
+
+
+def test_training_learns_the_rule(ray_session):
+    tbl = _toy_table(n=400)
+    ds = ray.data.from_arrow(tbl).repartition(4)
+    feats = featurize_labeled(ds)
+    y = quality_label(tbl.column("text"))
+    assert 0.1 < y.mean() < 0.9, "toy label must be non-degenerate"
+    w = train_logreg(feats)
+    scored = logreg_score(feats, w).to_pandas()
+    acc = (scored.pred == scored.label).mean()
+    # the conjunction label is NOT linearly separable; the claim is
+    # that training genuinely learns: clear of the majority baseline
+    majority = max(y.mean(), 1 - y.mean())
+    assert acc >= majority + 0.05, (acc, majority)
+    assert scored.pred.nunique() == 2, "must not collapse to one class"
+
+
+def test_quantized_sums_exact_vs_python():
+    rng = np.random.RandomState(3)
+    X = np.column_stack([np.ones(1000), rng.randn(1000) * 20])
+    y = (rng.rand(1000) > 0.5).astype(np.float64)
+    w = np.array([0.3, -0.2])
+    g, h, n = _quantized_newton_row(X, y, w)
+    # independent per-row Python-int recompute
+    from dots_ocr_ray.pipelines.classifier import _GRAD_SCALE
+
+    z = np.round(X @ w, 9)
+    p = 1 / (1 + np.exp(-z))
+    G = X * (p - y)[:, None]
+    qg = np.sign(G) * np.floor(np.abs(G) * _GRAD_SCALE + 0.5)
+    assert g == [int(sum(int(v) for v in qg[:, j])) for j in range(2)]
+    assert n == 1000 and len(h) == 4

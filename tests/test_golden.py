@@ -53,6 +53,8 @@ def _canon(obj) -> pd.DataFrame:
         "bpe_merges",
         "bpe_token_stats",
         "bpe_piece_vocab",
+        "logreg_weights",
+        "logreg_scores",
     ],
 )
 def test_golden_parity(ray_session, name):

@@ -748,6 +748,57 @@ def golden_bpe_piece_vocab(sf_dir: str, *, k: int = 64) -> pa.Table:
     )
 
 
+def _logreg_seq(sf_dir: str, *, iters: int = 8, l2: float = 1e-3):
+    """Sequential mirror of pipelines.classifier training: the SAME
+    featurize kernel on the full table, the SAME per-row int64-
+    quantized Newton partials (one 'block' = the whole corpus —
+    integer sums are layout-insensitive, so this equals the
+    distributed fold exactly), the SAME driver solve."""
+    from dots_ocr_ray.pipelines.classifier import (
+        _quantized_newton_row,
+        logreg_features,
+        logreg_update,
+        quality_label,
+    )
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    X = logreg_features(t.column("text"))
+    y = quality_label(t.column("text"))
+    w = np.zeros(X.shape[1], dtype=np.float64)
+    for _ in range(iters):
+        gsum, hsum, n = _quantized_newton_row(X, y, w)
+        w = logreg_update(w, gsum, hsum, n, l2=l2)
+    return t, X, y, w
+
+
+def golden_logreg_weights(sf_dir: str) -> pa.Table:
+    _, _, _, w = _logreg_seq(sf_dir)
+    from dots_ocr_ray.util import round_half_away
+
+    return pa.table(
+        {
+            "idx": pa.array(np.arange(len(w)), type=pa.int64()),
+            "weight": pa.array(round_half_away(w, 6), type=pa.float64()),
+        }
+    )
+
+
+def golden_logreg_scores(sf_dir: str) -> pa.Table:
+    from dots_ocr_ray.util import round_half_away
+
+    t, X, y, w = _logreg_seq(sf_dir)
+    z = np.round(X @ w, 9)
+    score = round_half_away(1.0 / (1.0 + np.exp(-z)), 6)
+    return pa.table(
+        {
+            "doc_id": t.column("doc_id").cast(pa.int64()),
+            "score": pa.array(score, type=pa.float64()),
+            "pred": pa.array(score >= 0.5, type=pa.bool_()),
+            "label": pa.array(y >= 0.5, type=pa.bool_()),
+        }
+    )
+
+
 GOLDEN_BUILDERS = {
     "kmeans_clusters": golden_kmeans_clusters,
     "semdedup_docs": golden_semdedup_docs,
@@ -774,6 +825,8 @@ GOLDEN_BUILDERS = {
     "bpe_merges": golden_bpe_merges,
     "bpe_token_stats": golden_bpe_token_stats,
     "bpe_piece_vocab": golden_bpe_piece_vocab,
+    "logreg_weights": golden_logreg_weights,
+    "logreg_scores": golden_logreg_scores,
 }
 
 
