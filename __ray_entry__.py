@@ -2581,6 +2581,54 @@ def _q_logreg_scores(sf_dir: str):
     return logreg_score(feats, w)
 
 
+def _q_pca_components(sf_dir: str):
+    """Distributed PCA fit over the embedding corpus: one
+    (d + d² + 1)-int64 moment partial per block (per-row 2^-20
+    quantization makes the fold exactly layout-insensitive), driver
+    eigendecomposition with deterministic sign fixing.  Output:
+    (component, idx, loading@6dp, eigval@6dp) long-form.  Oracle:
+    golden parquet (make_golden.golden_pca_components)."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from dots_ocr_ray.pipelines.pca import fit_pca
+    from dots_ocr_ray.util import round_half_away
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    _, comps, evals = fit_pca(ds)
+    k, d = comps.shape
+    return pa.table(
+        {
+            "component": pa.array(np.repeat(np.arange(k), d), type=pa.int64()),
+            "idx": pa.array(np.tile(np.arange(d), k), type=pa.int64()),
+            "loading": pa.array(round_half_away(comps.ravel(), 6), type=pa.float64()),
+            "eigval": pa.array(
+                round_half_away(np.repeat(evals, d), 6), type=pa.float64()
+            ),
+        }
+    )
+
+
+def _q_pca_projected(sf_dir: str):
+    """Corpus-wide PCA projection to the top-8 components: fit as in
+    pca_components, then one zero-exchange broadcast matmul pass →
+    (vec_id, c0..c7 @6dp).  Oracle: golden parquet
+    (make_golden.golden_pca_projected)."""
+    import ray.data
+
+    from dots_ocr_ray.pipelines.pca import fit_pca, pca_project
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    mean, comps, _ = fit_pca(ds)
+    return pca_project(ds, mean, comps)
+
+
 def _q_recrawl_priority(sf_dir: str):
     """Recrawl scheduling priority per host: change_rate (from the
     crawl_diff fixture split) × relative PageRank (host link graph) —
@@ -2804,6 +2852,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_piece_vocab": _q_bpe_piece_vocab,
         "logreg_weights": _q_logreg_weights,
         "logreg_scores": _q_logreg_scores,
+        "pca_components": _q_pca_components,
+        "pca_projected": _q_pca_projected,
         "bigram_lm_scores": _q_bigram_lm_scores,
         "perplexity_buckets": _q_perplexity_buckets,
         "composite_quality_filter": _q_composite_quality_filter,
@@ -2970,6 +3020,13 @@ def oracle_sql() -> dict[str, str]:
         "logreg_scores": (
             "SELECT doc_id, score, pred, label "
             f"FROM read_parquet('{_GOLDEN_DIR}/logreg_scores.parquet')"
+        ),
+        "pca_components": (
+            "SELECT component, idx, loading, eigval "
+            f"FROM read_parquet('{_GOLDEN_DIR}/pca_components.parquet')"
+        ),
+        "pca_projected": (
+            f"SELECT * FROM read_parquet('{_GOLDEN_DIR}/pca_projected.parquet')"
         ),
         # recrawl priority: diff classes + host mapping are SQL
         # arithmetic over the same fixture split as crawl_diff_docs;

@@ -55,6 +55,8 @@ def _canon(obj) -> pd.DataFrame:
         "bpe_piece_vocab",
         "logreg_weights",
         "logreg_scores",
+        "pca_components",
+        "pca_projected",
     ],
 )
 def test_golden_parity(ray_session, name):

@@ -799,6 +799,52 @@ def golden_logreg_scores(sf_dir: str) -> pa.Table:
     )
 
 
+def _pca_seq(sf_dir: str, *, k: int = 8):
+    """Sequential mirror of pipelines.pca: the SAME per-row int64
+    moment quantization over the full matrix (integer totals are
+    layout-insensitive), the SAME pca_fit driver solve."""
+    from dots_ocr_ray.pipelines.pca import _moment_partials, pca_fit
+    from dots_ocr_ray.util import vec_matrix
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    mat = vec_matrix(t.column("embedding"), dtype=np.float64)
+    ssum, m2, n = _moment_partials(mat)
+    mean, comps, evals = pca_fit(ssum, m2, n, k=k)
+    return t, mat, mean, comps, evals
+
+
+def golden_pca_components(sf_dir: str) -> pa.Table:
+    from dots_ocr_ray.util import round_half_away
+
+    _, _, _, comps, evals = _pca_seq(sf_dir)
+    k, d = comps.shape
+    return pa.table(
+        {
+            "component": pa.array(np.repeat(np.arange(k), d), type=pa.int64()),
+            "idx": pa.array(np.tile(np.arange(d), k), type=pa.int64()),
+            "loading": pa.array(
+                round_half_away(comps.ravel(), 6), type=pa.float64()
+            ),
+            "eigval": pa.array(
+                round_half_away(np.repeat(evals, d), 6), type=pa.float64()
+            ),
+        }
+    )
+
+
+def golden_pca_projected(sf_dir: str) -> pa.Table:
+    from dots_ocr_ray.pipelines.pca import _VEC_SCALE
+    from dots_ocr_ray.util import round_half_away
+
+    t, mat, mean, comps, _ = _pca_seq(sf_dir)
+    q = np.floor(np.abs(mat) * _VEC_SCALE + 0.5) * np.sign(mat) / _VEC_SCALE
+    scores = (q - mean) @ comps.T
+    out = {"vec_id": t.column("vec_id").cast(pa.int64())}
+    for j in range(comps.shape[0]):
+        out[f"c{j}"] = pa.array(round_half_away(scores[:, j], 6), type=pa.float64())
+    return pa.table(out)
+
+
 GOLDEN_BUILDERS = {
     "kmeans_clusters": golden_kmeans_clusters,
     "semdedup_docs": golden_semdedup_docs,
@@ -827,6 +873,8 @@ GOLDEN_BUILDERS = {
     "bpe_piece_vocab": golden_bpe_piece_vocab,
     "logreg_weights": golden_logreg_weights,
     "logreg_scores": golden_logreg_scores,
+    "pca_components": golden_pca_components,
+    "pca_projected": golden_pca_projected,
 }
 
 
