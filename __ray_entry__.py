@@ -2581,6 +2581,30 @@ def _q_logreg_scores(sf_dir: str):
     return logreg_score(feats, w)
 
 
+def _q_classifier_eval(sf_dir: str):
+    """Exact distributed eval of the trained quality classifier:
+    accuracy / precision / recall / tie-aware Mann-Whitney AUC from
+    per-score-value count partials (scores are 6-dp values in [0,1],
+    so the count exchange is bounded at ≤1M rows at ANY corpus size).
+    Oracle: inline DuckDB window-function rank-sum over the golden
+    scores parquet — an INDEPENDENT AUC derivation, not a mirror."""
+    import ray.data
+
+    from dots_ocr_ray.pipelines.classifier import (
+        classifier_eval,
+        featurize_labeled,
+        logreg_score,
+        train_logreg,
+    )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    feats = featurize_labeled(ds)
+    w = train_logreg(feats)
+    return classifier_eval(logreg_score(feats, w))
+
+
 def _q_pca_components(sf_dir: str):
     """Distributed PCA fit over the embedding corpus: one
     (d + d² + 1)-int64 moment partial per block (per-row 2^-20
@@ -2854,6 +2878,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "logreg_scores": _q_logreg_scores,
         "pca_components": _q_pca_components,
         "pca_projected": _q_pca_projected,
+        "classifier_eval": _q_classifier_eval,
         "bigram_lm_scores": _q_bigram_lm_scores,
         "perplexity_buckets": _q_perplexity_buckets,
         "composite_quality_filter": _q_composite_quality_filter,
@@ -3027,6 +3052,25 @@ def oracle_sql() -> dict[str, str]:
         ),
         "pca_projected": (
             f"SELECT * FROM read_parquet('{_GOLDEN_DIR}/pca_projected.parquet')"
+        ),
+        # classifier_eval: metrics re-derived INDEPENDENTLY in SQL from
+        # the golden per-doc scores (window-function rank-sum AUC with
+        # the standard tie correction), not read from a golden metrics
+        # row
+        "classifier_eval": (
+            "WITH s AS (SELECT score, pred, label FROM read_parquet('"
+            + _GOLDEN_DIR
+            + "/logreg_scores.parquet')), "
+            "ranked AS (SELECT label, RANK() OVER (ORDER BY score) "
+            "+ (COUNT(*) OVER (PARTITION BY score) - 1) / 2.0 AS avg_rank FROM s), "
+            "agg AS (SELECT COUNT(*) AS n, COUNT(*) FILTER (label) AS n_pos, "
+            "ROUND(COUNT(*) FILTER (pred = label) * 1.0 / COUNT(*), 6) AS accuracy, "
+            "ROUND(COUNT(*) FILTER (pred AND label) * 1.0 / NULLIF(COUNT(*) FILTER (pred), 0), 6) AS \"precision\", "
+            "ROUND(COUNT(*) FILTER (pred AND label) * 1.0 / NULLIF(COUNT(*) FILTER (label), 0), 6) AS recall FROM s), "
+            "aucq AS (SELECT ROUND((SUM(avg_rank) FILTER (label) "
+            "- (COUNT(*) FILTER (label)) * ((COUNT(*) FILTER (label)) + 1) / 2.0) "
+            "/ ((COUNT(*) FILTER (label)) * (COUNT(*) FILTER (NOT label))), 6) AS auc FROM ranked) "
+            "SELECT n, n_pos, accuracy, \"precision\", recall, auc FROM agg, aucq"
         ),
         # recrawl priority: diff classes + host mapping are SQL
         # arithmetic over the same fixture split as crawl_diff_docs;

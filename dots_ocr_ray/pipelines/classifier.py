@@ -263,6 +263,92 @@ def featurize_labeled(
     return ds.map_batches(_feat, batch_format="pyarrow").materialize()
 
 
+def classifier_eval(scored: ray.data.Dataset) -> pa.Table:
+    """Exact evaluation of a scored corpus — ONE row: (n, n_pos,
+    accuracy, precision, recall, auc), each @6dp.
+
+    AUC is the tie-aware Mann-Whitney statistic computed EXACTLY from
+    per-score-value (n_pos, n_neg) counts: scores are 6-dp values in
+    [0, 1], so the count table is bounded at 1,000,001 rows REGARDLESS
+    of corpus size — per-batch np.unique partials are the only
+    exchange, and the driver merge + rank-sum is O(distinct scores).
+    Confusion counts ride the same partials."""
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        s = batch.column("score").to_numpy(zero_copy_only=False)
+        micro = np.floor(s * 1e6 + 0.5).astype(np.int64)
+        lab = batch.column("label").to_numpy(zero_copy_only=False).astype(bool)
+        pred = batch.column("pred").to_numpy(zero_copy_only=False).astype(bool)
+        key = micro * 2 + lab  # (score, label) composite
+        u, c = np.unique(key, return_counts=True)
+        out = pa.table(
+            {
+                "k": pa.array(u, type=pa.int64()),
+                "c": pa.array(c, type=pa.int64()),
+            }
+        )
+        conf = pa.table(
+            {
+                "k": pa.array([-1, -2, -3, -4], type=pa.int64()),  # tp fp fn tn
+                "c": pa.array(
+                    [
+                        int(np.sum(pred & lab)),
+                        int(np.sum(pred & ~lab)),
+                        int(np.sum(~pred & lab)),
+                        int(np.sum(~pred & ~lab)),
+                    ],
+                    type=pa.int64(),
+                ),
+            }
+        )
+        return pa.concat_tables([out, conf])
+
+    from dots_ocr_ray.util import merge_int_counts
+
+    merged = merge_int_counts(
+        scored.map_batches(_partial, batch_format="pyarrow"), "k", "c"
+    )
+    rows = merged.take_all()
+    k = np.array([r["k"] for r in rows], dtype=np.int64)
+    c = np.array([r["c"] for r in rows], dtype=np.int64)
+    conf = {int(kk): int(cc) for kk, cc in zip(k[k < 0], c[k < 0])}
+    tp, fp, fn, tn = (conf.get(i, 0) for i in (-1, -2, -3, -4))
+    sk, sc = k[k >= 0], c[k >= 0]
+    micro = sk >> 1
+    is_pos = (sk & 1).astype(bool)
+    order = np.argsort(micro, kind="stable")
+    micro, is_pos, sc = micro[order], is_pos[order], sc[order]
+    # collapse to per-score (n_pos, n_neg)
+    uniq, inv = np.unique(micro, return_inverse=True)
+    p_g = np.zeros(len(uniq), dtype=np.int64)
+    n_g = np.zeros(len(uniq), dtype=np.int64)
+    np.add.at(p_g, inv[is_pos], sc[is_pos])
+    np.add.at(n_g, inv[~is_pos], sc[~is_pos])
+    c_g = p_g + n_g
+    start = np.concatenate([[0], np.cumsum(c_g)[:-1]]).astype(np.float64)
+    avg_rank = start + (c_g + 1) / 2.0
+    n_pos, n_neg = int(p_g.sum()), int(n_g.sum())
+    if n_pos and n_neg:
+        r_pos = float(np.sum(p_g * avg_rank))
+        auc = (r_pos - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg)
+    else:
+        auc = 0.0
+    n = n_pos + n_neg
+    acc = (tp + tn) / n if n else 0.0
+    prec = tp / (tp + fp) if (tp + fp) else 0.0
+    rec = tp / (tp + fn) if (tp + fn) else 0.0
+    return pa.table(
+        {
+            "n": pa.array([n], type=pa.int64()),
+            "n_pos": pa.array([n_pos], type=pa.int64()),
+            "accuracy": pa.array([float(round_half_away(acc, 6))], type=pa.float64()),
+            "precision": pa.array([float(round_half_away(prec, 6))], type=pa.float64()),
+            "recall": pa.array([float(round_half_away(rec, 6))], type=pa.float64()),
+            "auc": pa.array([float(round_half_away(auc, 6))], type=pa.float64()),
+        }
+    )
+
+
 def logreg_score(
     feats: ray.data.Dataset,
     w: np.ndarray,

@@ -88,6 +88,36 @@ def test_training_learns_the_rule(ray_session):
     assert scored.pred.nunique() == 2, "must not collapse to one class"
 
 
+def test_classifier_eval_exact_auc(ray_session):
+    from dots_ocr_ray.pipelines.classifier import classifier_eval
+
+    # hand-checkable set WITH score ties across classes
+    scores = [0.9, 0.8, 0.8, 0.4, 0.3, 0.3, 0.1]
+    labels = [True, True, False, True, False, True, False]
+    preds = [s >= 0.5 for s in scores]
+    tbl = pa.table(
+        {
+            "score": pa.array(scores, type=pa.float64()),
+            "pred": pa.array(preds, type=pa.bool_()),
+            "label": pa.array(labels, type=pa.bool_()),
+        }
+    )
+    out = classifier_eval(ray.data.from_arrow(tbl).repartition(3)).to_pylist()[0]
+    # brute-force tie-aware AUC
+    pos = [s for s, l in zip(scores, labels) if l]
+    neg = [s for s, l in zip(scores, labels) if not l]
+    auc = sum(1.0 if p > q else 0.5 if p == q else 0.0 for p in pos for q in neg) / (
+        len(pos) * len(neg)
+    )
+    assert out["auc"] == round(auc, 6)
+    assert out["n"] == 7 and out["n_pos"] == 4
+    tp = sum(1 for p, l in zip(preds, labels) if p and l)
+    fp = sum(1 for p, l in zip(preds, labels) if p and not l)
+    fn = sum(1 for p, l in zip(preds, labels) if not p and l)
+    assert out["precision"] == round(tp / (tp + fp), 6)
+    assert out["recall"] == round(tp / (tp + fn), 6)
+
+
 def test_quantized_sums_exact_vs_python():
     rng = np.random.RandomState(3)
     X = np.column_stack([np.ones(1000), rng.randn(1000) * 20])
