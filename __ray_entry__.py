@@ -2581,6 +2581,30 @@ def _q_logreg_scores(sf_dir: str):
     return logreg_score(feats, w)
 
 
+def _q_packed_by_pieces(sf_dir: str):
+    """Token-budget sequence packing under the TRAINED tokenizer:
+    per-lang concat-and-chunk streams cut at a 512 BPE-PIECE budget —
+    the layout a pretraining loader actually consumes (packed_sequences
+    uses whitespace tokens; this composes the bpe fertility op in).
+    Fertility stats carry lang through (zero-exchange keep_cols), one
+    lang-keyed group exchange for the running sums.  Oracle: window
+    cumsum in SQL over the golden fertility parquet joined to
+    documents for lang."""
+    import ray.data
+
+    from dots_ocr_ray.pipelines.packing import pack_sequences
+    from dots_ocr_ray.pipelines.tokenizer import bpe_token_stats, train_bpe
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    merges = train_bpe(ds)
+    stats = bpe_token_stats(ds, merges, keep_cols=("lang",))
+    return pack_sequences(
+        stats, key_col="lang", order_col="doc_id", token_col="n_pieces", budget=512
+    )
+
+
 def _q_classifier_eval(sf_dir: str):
     """Exact distributed eval of the trained quality classifier:
     accuracy / precision / recall / tie-aware Mann-Whitney AUC from
@@ -2879,6 +2903,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pca_components": _q_pca_components,
         "pca_projected": _q_pca_projected,
         "classifier_eval": _q_classifier_eval,
+        "packed_by_pieces": _q_packed_by_pieces,
         "bigram_lm_scores": _q_bigram_lm_scores,
         "perplexity_buckets": _q_perplexity_buckets,
         "composite_quality_filter": _q_composite_quality_filter,
@@ -3071,6 +3096,19 @@ def oracle_sql() -> dict[str, str]:
             "- (COUNT(*) FILTER (label)) * ((COUNT(*) FILTER (label)) + 1) / 2.0) "
             "/ ((COUNT(*) FILTER (label)) * (COUNT(*) FILTER (NOT label))), 6) AS auc FROM ranked) "
             "SELECT n, n_pos, accuracy, \"precision\", recall, auc FROM agg, aucq"
+        ),
+        # packed_by_pieces: pack assignment re-derived in SQL as a
+        # per-lang window cumsum over the golden fertility parquet
+        "packed_by_pieces": (
+            "WITH s AS (SELECT b.doc_id, d.lang, b.n_pieces "
+            f"FROM read_parquet('{_GOLDEN_DIR}/bpe_token_stats.parquet') b "
+            "JOIN documents d USING (doc_id)), "
+            "c AS (SELECT doc_id, lang, n_pieces, "
+            "COALESCE(SUM(n_pieces) OVER (PARTITION BY lang ORDER BY doc_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS strt FROM s) "
+            "SELECT doc_id, lang, n_pieces, "
+            "CAST(strt // 512 AS BIGINT) AS pack_id, "
+            "CAST(strt % 512 AS BIGINT) AS pack_offset FROM c"
         ),
         # recrawl priority: diff classes + host mapping are SQL
         # arithmetic over the same fixture split as crawl_diff_docs;

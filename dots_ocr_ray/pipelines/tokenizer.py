@@ -188,11 +188,14 @@ def bpe_token_stats(
     *,
     text_col: str = "text",
     id_col: str = "doc_id",
+    keep_cols: tuple[str, ...] = (),
 ) -> ray.data.Dataset:
-    """Per-document BPE statistics: (doc_id, n_tokens, n_pieces) —
-    whitespace token count and total BPE piece count under the trained
-    merges (the fertility signal a tokenizer eval tracks).  Zero
-    exchange; merges broadcast once; distinct-word memoized encode."""
+    """Per-document BPE statistics: (doc_id, [keep_cols...], n_tokens,
+    n_pieces) — whitespace token count and total BPE piece count under
+    the trained merges (the fertility signal a tokenizer eval tracks).
+    Zero exchange; merges broadcast once; distinct-word memoized
+    encode; ``keep_cols`` ride through so downstream stages (e.g.
+    piece-budget packing) need no join."""
     ranks = ranks_from_merges(merges)
     ranks_ref = ray.put(ranks)
 
@@ -215,6 +218,7 @@ def bpe_token_stats(
         return pa.table(
             {
                 id_col: batch.column(id_col).cast(pa.int64()),
+                **{c: batch.column(c) for c in keep_cols},
                 "n_tokens": pa.array(n_tokens, type=pa.int64()),
                 "n_pieces": pa.array(n_pieces, type=pa.int64()),
             }

@@ -108,6 +108,21 @@ def test_bpe_encode_positions(ray_session):
         assert list(sub.pos) == list(range(1, len(want) + 1))
 
 
+def test_token_stats_keep_cols(ray_session):
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2], type=pa.int64()),
+            "lang": pa.array(["en", "de"], type=pa.string()),
+            "text": pa.array(["aa bb", "cc"], type=pa.string()),
+        }
+    )
+    ds = ray.data.from_arrow(tbl)
+    merges = train_bpe(ds, num_merges=5, sample_docs=2)
+    out = bpe_token_stats(ds, merges, keep_cols=("lang",)).to_pandas()
+    assert list(out.columns) == ["doc_id", "lang", "n_tokens", "n_pieces"]
+    assert dict(zip(out.doc_id, out.lang)) == {1: "en", 2: "de"}
+
+
 def test_bpe_piece_vocab(ray_session):
     from collections import Counter
 
