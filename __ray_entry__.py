@@ -2869,6 +2869,68 @@ def _q_events_pivot_daily(sf_dir: str):
     )
 
 
+def _q_approx_users_by_type(sf_dir: str):
+    """Grouped HLL: approx COUNT(DISTINCT user_id) per event_type —
+    each batch ships one 4-KB register blob per key instead of the
+    (key, user) pairs; register max is partitioning-independent, so
+    the sketch is deterministic → golden-parquet hard check."""
+    import ray.data
+
+    from dots_ocr_ray.functions.sketches import grouped_approx_distinct
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+    )
+    return grouped_approx_distinct(events, key_col="event_type", val_col="user_id", p=12)
+
+
+def _q_ngram_diversity(sf_dir: str):
+    """Corpus n-gram diversity curve (n=1..3): per-batch HLL partials
+    per n, one tiny n-keyed merge — exact distinct n-grams would be a
+    corpus-sized exchange per n.  Golden-parquet oracle
+    (make_golden.golden_ngram_diversity, same sketch kernel over
+    sequential per-doc splits)."""
+    import ray.data
+
+    from dots_ocr_ray.pipelines.text_analysis import ngram_diversity
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return ngram_diversity(docs, max_n=3, p=14)
+
+
+def _q_fuzzy_vocab_match(sf_dir: str):
+    """Fuzzy vocabulary scan: every corpus token within edit distance 1
+    of each probe — vocab-bounded groupby then a zero-exchange
+    vectorized Levenshtein pass (DP advances across ALL candidates per
+    numpy op).  Oracle: DuckDB levenshtein over the unnested vocab."""
+    import ray.data
+
+    from dots_ocr_ray.pipelines.text_analysis import fuzzy_vocab_match
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return fuzzy_vocab_match(
+        docs,
+        probes=["joins", "scam", "kery", "data", "dup"],
+        text_col="text",
+        max_dist=1,
+    )
+
+
+def _q_temperature_mixture(sf_dir: str):
+    """Square-root temperature sampling plan across langs: integer
+    isqrt weights (== FLOOR(SQRT) in SQL below 2^52), md5-ordered ±1
+    assignment within each lang — one tiny count aggregate + one
+    key-partitioned rank exchange."""
+    import ray.data
+
+    from dots_ocr_ray.pipelines.packing import temperature_mixture
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+    return temperature_mixture(docs)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction (the flagship; SQL mirrors the deterministic wrapper)
@@ -2972,6 +3034,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_bigrams": _q_top_bigrams,
         "repetition_stats": _q_repetition_stats,
         "mixture_rebalance": _q_mixture_rebalance,
+        "temperature_mixture": _q_temperature_mixture,
+        "approx_users_by_type": _q_approx_users_by_type,
+        "ngram_diversity": _q_ngram_diversity,
+        "fuzzy_vocab_match": _q_fuzzy_vocab_match,
         "shuffled_positions": _q_shuffled_positions,
         "packed_sequences": _q_packed_sequences,
         "grouped_split_docs": _q_grouped_split_docs,
@@ -3568,6 +3634,31 @@ def oracle_sql() -> dict[str, str]:
         ),
         "approx_distinct_users": (
             f"SELECT approx_distinct FROM read_parquet('{_GOLDEN_DIR}/approx_distinct_users.parquet')"
+        ),
+        "approx_users_by_type": (
+            f"SELECT event_type, approx_distinct FROM read_parquet('{_GOLDEN_DIR}/approx_users_by_type.parquet')"
+        ),
+        "ngram_diversity": (
+            f"SELECT n, total_ngrams, approx_distinct, distinct_ratio FROM read_parquet('{_GOLDEN_DIR}/ngram_diversity.parquet')"
+        ),
+        "fuzzy_vocab_match": (
+            "WITH v AS (SELECT w AS token, CAST(count(*) AS BIGINT) AS n_occurrences FROM "
+            "(SELECT unnest(regexp_split_to_array(text, '\\s+')) AS w FROM documents) "
+            "WHERE w <> '' GROUP BY w), "
+            "p AS (SELECT unnest(['joins', 'scam', 'kery', 'data', 'dup']) AS probe) "
+            "SELECT probe, token, CAST(levenshtein(token, probe) AS BIGINT) AS dist, n_occurrences "
+            "FROM v, p WHERE levenshtein(token, probe) <= 1"
+        ),
+        "temperature_mixture": (
+            "WITH n AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang), "
+            "s AS (SELECT sum(CAST(floor(sqrt(cnt)) AS BIGINT)) AS ssum, sum(cnt) AS total FROM n), "
+            "t AS (SELECT lang, cnt, (s.total * CAST(floor(sqrt(cnt)) AS BIGINT)) // s.ssum AS target FROM n, s), "
+            "r AS (SELECT doc_id, lang, "
+            "row_number() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk "
+            "FROM documents) "
+            "SELECT r.doc_id, r.lang, "
+            "CAST(t.target // t.cnt + CASE WHEN r.rk <= t.target % t.cnt THEN 1 ELSE 0 END AS BIGINT) AS n_copies "
+            "FROM r JOIN t USING (lang)"
         ),
         "reservoir_doc_sample": (
             f"SELECT key FROM read_parquet('{_GOLDEN_DIR}/reservoir_doc_sample.parquet')"

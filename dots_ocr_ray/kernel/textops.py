@@ -228,3 +228,47 @@ def compression_ratio(text: str) -> float:
     if not raw:
         return 1.0
     return len(zlib.compress(raw, 6)) / len(raw)
+
+
+def levenshtein_many(tokens, probe: str):
+    """Plain Levenshtein distance from ``probe`` to EVERY string in
+    ``tokens``, vectorized across the candidate axis: the DP advances
+    one (character-position, probe-position) cell per numpy op over
+    the whole batch, so cost is O(max_len × len(probe)) VECTOR ops —
+    never a Python loop per candidate.  Matches SQL ``levenshtein``
+    (case-sensitive, unit costs; transposition = 2).
+
+    Returns an int64 array aligned with ``tokens``."""
+    import numpy as np
+
+    toks = [t or "" for t in tokens]
+    n = len(toks)
+    m = len(probe)
+    lens = np.fromiter((len(t) for t in toks), dtype=np.int64, count=n)
+    res = np.full(n, m, dtype=np.int64)  # length-0 candidates
+    if n == 0:
+        return res
+    lmax = int(lens.max())
+    if lmax == 0:
+        return res
+    # UCS4 codepoint matrix, zero-padded (numpy unicode layout)
+    mat = np.array(toks, dtype=f"U{lmax}").view(np.uint32).reshape(n, lmax)
+    pcodes = (
+        np.array([probe], dtype=f"U{max(m, 1)}").view(np.uint32)[:m]
+        if m
+        else np.empty(0, dtype=np.uint32)
+    )
+    prev = np.broadcast_to(np.arange(m + 1, dtype=np.int64), (n, m + 1)).copy()
+    for i in range(1, lmax + 1):
+        ci = mat[:, i - 1]
+        cur = np.empty_like(prev)
+        cur[:, 0] = i
+        for j in range(1, m + 1):
+            sub = prev[:, j - 1] + (ci != pcodes[j - 1])
+            np.minimum(prev[:, j] + 1, cur[:, j - 1] + 1, out=cur[:, j])
+            np.minimum(cur[:, j], sub, out=cur[:, j])
+        done = lens == i
+        if done.any():
+            res[done] = cur[done, m]
+        prev = cur
+    return res

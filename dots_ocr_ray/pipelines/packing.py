@@ -184,6 +184,59 @@ def rebalance_mixture(
     return ds.groupby(key_col).map_groups(_assign, batch_format="pyarrow")
 
 
+def temperature_mixture(
+    ds: ray.data.Dataset,
+    *,
+    key_col: str = "lang",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Square-root temperature data-mixture plan (the multilingual-LM
+    sampling rule: key weight ∝ sqrt(key size), so head languages are
+    downweighted and tail languages upweighted without equalizing).
+
+    All arithmetic is INTEGER so the plan is bit-reproducible across
+    engines and cluster layouts: s_k = isqrt(count_k) (== FLOOR(SQRT)
+    in SQL for any count < 2^52 — IEEE sqrt is correctly rounded),
+    target_k = total·s_k // Σs, and within a key n_copies = base ± 1
+    assigned in md5(id) order exactly as :func:`rebalance_mixture`.
+
+    Exchanges: one tiny per-key count aggregate (driver sees ≤ n_keys
+    rows) + one key-partitioned ``map_groups`` that ranks locally.
+
+    Output: (id_col, key_col, n_copies) — the checkpointable plan; the
+    physical repeat/drop is a ``flat_map`` at materialization time."""
+    import math
+
+    counts = {r[key_col]: r["count()"] for r in ds.groupby(key_col).count().take_all()}
+    total = sum(counts.values())
+    ssum = sum(math.isqrt(n) for n in counts.values())
+    plan: dict[str, tuple[int, int]] = {}
+    for k, n in counts.items():
+        target = total * math.isqrt(n) // max(ssum, 1)
+        plan[k] = (target // n, target % n)
+    plan_ref = ray.put(plan)
+
+    def _assign(group: pa.Table) -> pa.Table:
+        base_rem = cached_object(plan_ref)
+        key = group.column(key_col)[0].as_py()
+        base, rem = base_rem[key]
+        ids = group.column(id_col).to_pylist()
+        hexes = np.array([md5_hex(str(i)) for i in ids], dtype=object)
+        idx = np.lexsort((np.array(ids), hexes))
+        rank = np.empty(len(idx), dtype=np.int64)
+        rank[idx] = np.arange(1, len(idx) + 1)
+        n_copies = base + (rank <= rem)
+        return pa.table(
+            {
+                id_col: group.column(id_col),
+                key_col: group.column(key_col),
+                "n_copies": pa.array(n_copies, type=pa.int64()),
+            }
+        )
+
+    return ds.groupby(key_col).map_groups(_assign, batch_format="pyarrow")
+
+
 def grouped_split(
     ds: ray.data.Dataset,
     *,

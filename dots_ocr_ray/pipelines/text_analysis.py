@@ -355,6 +355,180 @@ def top_bigrams(
     )
 
 
+def ngram_diversity(
+    ds: ray.data.Dataset,
+    *,
+    text_col: str = "text",
+    max_n: int = 3,
+    p: int = 14,
+) -> ray.data.Dataset:
+    """Corpus n-gram diversity curve — approx distinct n-grams and the
+    type/token ratio for n = 1..max_n, the dataset-health statistic
+    behind scaling-law data audits (how fast does novelty decay as the
+    corpus grows).
+
+    Exact distinct-n-gram counting is a corpus-sized exchange PER n;
+    here each batch emits max_n rows of (n, 2^p-byte HLL register
+    blob, token total), so the exchange is max_n × batches tiny rows
+    and the merge is one ``np.maximum`` reduce per n.  Register max is
+    partitioning-independent → golden-checkable.
+
+    Output: (n, total_ngrams:int64, approx_distinct:int64,
+    distinct_ratio:double rounded 6dp), one row per n."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from dots_ocr_ray.functions.sketches import HyperLogLog
+
+    def _partials(batch: pa.Table) -> pa.Table:
+        lists = split_whitespace_checked(batch.column(text_col))
+        toks = pc.list_flatten(lists)
+        parents = pc.list_parent_indices(lists)
+        mask = pc.not_equal(toks, "")
+        toks, parents = toks.filter(mask), parents.filter(mask)
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        par_np = parents.to_numpy(zero_copy_only=False)
+        n_tok = len(toks)
+        ns, blobs, totals = [], [], []
+        grams = toks  # n=1 grams; extended by one join per n
+        for n in range(1, max_n + 1):
+            if n > 1:
+                if n_tok >= n:
+                    # append the n-th token to each (n-1)-gram whose
+                    # window stays inside one document
+                    grams = pc.binary_join_element_wise(
+                        grams.slice(0, n_tok - n + 1), toks.slice(n - 1), " "
+                    )
+                else:
+                    grams = pa.array([], type=pa.string())
+            valid = (
+                par_np[: n_tok - n + 1] == par_np[n - 1 :] if n_tok >= n else np.array([], dtype=bool)
+            )
+            sel = grams.filter(pa.array(valid)) if n > 1 else grams
+            hll = HyperLogLog(p)
+            hll.add_many([g for g in sel.to_pylist()])
+            ns.append(n)
+            blobs.append(hll.serialize())
+            totals.append(len(sel))
+            # `grams` stays UNFILTERED: the (n+1)-gram join extends the
+            # positional prefix chain; document validity is re-checked
+            # per n via the endpoint-parent mask (parents are sorted,
+            # so equal endpoints imply an equal window)
+        return pa.table(
+            {
+                "n": pa.array(ns, type=pa.int64()),
+                "sketch": pa.array(blobs, type=pa.binary()),
+                "total": pa.array(totals, type=pa.int64()),
+            }
+        )
+
+    def _merge(group: pa.Table) -> pa.Table:
+        regs = np.stack(
+            [
+                np.frombuffer(b[1:], dtype=np.uint8)
+                for b in group.column("sketch").to_pylist()
+            ]
+        )
+        hll = HyperLogLog(p)
+        hll.registers = np.maximum.reduce(regs)
+        total = int(pc.sum(group.column("total")).as_py() or 0)
+        distinct = int(round(hll.count()))
+        return pa.table(
+            {
+                "n": group.column("n").slice(0, 1),
+                "total_ngrams": pa.array([total], type=pa.int64()),
+                "approx_distinct": pa.array([distinct], type=pa.int64()),
+                "distinct_ratio": pa.array(
+                    [round(distinct / total, 6) if total else 0.0],
+                    type=pa.float64(),
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(_partials, batch_format="pyarrow")
+        .groupby("n")
+        .map_groups(_merge, batch_format="pyarrow")
+    )
+
+
+def fuzzy_vocab_match(
+    ds: ray.data.Dataset,
+    *,
+    probes: list[str],
+    text_col: str = "text",
+    max_dist: int = 1,
+) -> ray.data.Dataset:
+    """Corpus-scale fuzzy string matching: every vocabulary token
+    within edit distance ``max_dist`` of each probe term — the
+    spell-variant / query-correction scan (and the corpus-side half of
+    title-based benchmark decontamination) run as two bounded stages
+    instead of a corpus × probes cross join.
+
+    1. vocabulary: per-batch token count partials → ONE token-keyed
+       groupby (vocabulary-bounded, the same exchange build_vocab
+       pays);
+    2. match: zero-exchange ``map_batches`` over the vocab table —
+       per probe a LENGTH prefilter (|len−len(probe)| ≤ max_dist)
+       then :func:`kernel.textops.levenshtein_many`, whose DP is
+       vectorized ACROSS candidates (O(len·m) numpy ops per batch,
+       no per-token Python).
+
+    Probes ride the task closure (a few strings — far under broadcast
+    territory).  Output: (probe, token, dist:int64,
+    n_occurrences:int64), exact Levenshtein semantics = SQL
+    ``levenshtein``."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from dots_ocr_ray.kernel.textops import levenshtein_many
+
+    probes = list(probes)
+
+    def _tok_partials(batch: pa.Table) -> pa.Table:
+        lists = split_whitespace_checked(batch.column(text_col))
+        toks = pc.list_flatten(lists)
+        toks = toks.filter(pc.not_equal(toks, ""))
+        out = pa.table({"token": toks}).group_by("token").aggregate([([], "count_all")])
+        return out.rename_columns(["token", "n"])
+
+    vocab = (
+        ds.map_batches(_tok_partials, batch_format="pyarrow")
+        .groupby("token")
+        .sum("n")
+    )
+
+    def _match(batch: pa.Table) -> pa.Table:
+        toks = np.asarray(batch.column("token").to_pylist(), dtype=object)
+        counts = batch.column("sum(n)").to_numpy(zero_copy_only=False)
+        lens = np.fromiter((len(t) for t in toks), dtype=np.int64, count=len(toks))
+        p_out, t_out, d_out, n_out = [], [], [], []
+        for probe in probes:
+            cand = np.nonzero(np.abs(lens - len(probe)) <= max_dist)[0]
+            if len(cand) == 0:
+                continue
+            dists = levenshtein_many(toks[cand], probe)
+            hit = dists <= max_dist
+            idx = cand[hit]
+            p_out.extend([probe] * len(idx))
+            t_out.extend(toks[idx])
+            d_out.extend(dists[hit])
+            n_out.extend(counts[idx])
+        return pa.table(
+            {
+                "probe": pa.array(p_out, type=pa.string()),
+                "token": pa.array(t_out, type=pa.string()),
+                "dist": pa.array(np.asarray(d_out, dtype=np.int64), type=pa.int64()),
+                "n_occurrences": pa.array(
+                    np.asarray(n_out, dtype=np.int64), type=pa.int64()
+                ),
+            }
+        )
+
+    return vocab.map_batches(_match, batch_format="pyarrow")
+
+
 def repetition_stats(
     ds: ray.data.Dataset,
     *,

@@ -74,3 +74,23 @@ def test_normalize_url():
     assert normalize_url("") == ""
     assert normalize_url("http://host:99999/x") == "http://host:99999/x"  # junk port untouched
     assert normalize_url("not a url") == "not a url"
+
+
+def test_levenshtein_many_matches_reference_dp():
+    from dots_ocr_ray.kernel.textops import levenshtein_many
+
+    def ref(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    toks = ["", "a", "kitten", "sitting", "flaw", "lawn", "déjà", "deja",
+            "abcdefghij", "abcdefghijk", "xyz", "kitten"]
+    for probe in ("", "kitten", "law", "déjà", "x"):
+        got = levenshtein_many(toks, probe)
+        for t, d in zip(toks, got):
+            assert d == ref(t, probe), (t, probe)

@@ -194,3 +194,38 @@ def test_write_bytes_balanced_shards_with_list_string_column(ray_session, tmp_pa
         ds, str(tmp_path / "shards"), target_bytes=1 << 12
     )
     assert sum(m["rows"] for m in manifest) == 50
+
+
+def test_temperature_mixture(ray_session):
+    import math
+
+    import ray.data
+
+    from dots_ocr_ray.pipelines.packing import temperature_mixture
+
+    docs = ray.data.read_parquet(
+        f"{SF_DIR}/documents.parquet", columns=["doc_id", "lang"]
+    )
+    out = temperature_mixture(docs).to_pandas()
+    raw = pd.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id", "lang"])
+    counts = raw.lang.value_counts().to_dict()
+    total = len(raw)
+    ssum = sum(math.isqrt(n) for n in counts.values())
+    # each key's slot total hits its integer sqrt-weight target exactly
+    sums = out.groupby("lang")["n_copies"].sum().to_dict()
+    for k, n in counts.items():
+        assert sums[k] == total * math.isqrt(n) // ssum
+    # sqrt tempering: copies-per-doc ordering is inverse to key size
+    per_doc = {k: sums[k] / counts[k] for k in counts}
+    big = max(counts, key=counts.get)
+    small = min(counts, key=counts.get)
+    if counts[big] > counts[small]:
+        assert per_doc[small] >= per_doc[big]
+    # deterministic across block layout
+    again = temperature_mixture(
+        ray.data.read_parquet(
+            f"{SF_DIR}/documents.parquet", columns=["doc_id", "lang"]
+        ).repartition(7)
+    ).to_pandas()
+    merged = out.merge(again, on="doc_id", suffixes=("_a", "_b"))
+    assert (merged.n_copies_a == merged.n_copies_b).all()

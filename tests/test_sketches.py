@@ -148,3 +148,35 @@ def test_log_histogram_quantiles_and_merge():
     under = LogHistogram(lo=10.0)
     under.add_array(np.array([0.5, 2.0]))
     assert under.quantile(0.5) == 10.0  # underflow bin reports lo
+
+
+def test_grouped_approx_distinct(ray_session):
+    from dots_ocr_ray.functions.sketches import grouped_approx_distinct
+
+    SF = "/root/testdata/sf0.001"
+    events = ray.data.read_parquet(f"{SF}/events.parquet", columns=["event_type", "user_id"])
+    out = {
+        r["event_type"]: r["approx_distinct"]
+        for r in grouped_approx_distinct(events, key_col="event_type", val_col="user_id", p=12).take_all()
+    }
+    exact = (
+        pq.read_table(f"{SF}/events.parquet", columns=["event_type", "user_id"])
+        .to_pandas()
+        .groupby("event_type")["user_id"]
+        .nunique()
+        .to_dict()
+    )
+    assert set(out) == set(exact)
+    for k, n in exact.items():
+        assert abs(out[k] - n) / max(n, 1) < 0.05
+    # partitioning-independent (register max is commutative)
+    again = {
+        r["event_type"]: r["approx_distinct"]
+        for r in grouped_approx_distinct(
+            ray.data.read_parquet(f"{SF}/events.parquet", columns=["event_type", "user_id"]).repartition(9),
+            key_col="event_type",
+            val_col="user_id",
+            p=12,
+        ).take_all()
+    }
+    assert out == again

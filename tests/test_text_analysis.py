@@ -481,3 +481,51 @@ def test_host_regex_accepts_uppercase_schemes(ray_session):
         "host",
     )
     assert hosts.to_pylist() == ["Example.com", "a.b"]
+
+
+def test_ngram_diversity_matches_sequential(ray_session):
+    import ray.data
+
+    from dots_ocr_ray.functions.sketches import HyperLogLog
+    import pandas as pd
+
+    from dots_ocr_ray.pipelines.text_analysis import ngram_diversity
+
+    docs = ray.data.read_parquet(f"{SF_DIR}/documents.parquet", columns=["text"])
+    out = {r["n"]: r for r in ngram_diversity(docs, max_n=3, p=14).take_all()}
+    texts = pd.read_parquet(f"{SF_DIR}/documents.parquet", columns=["text"])["text"]
+    for n in (1, 2, 3):
+        hll = HyperLogLog(14)
+        total = 0
+        for t in texts:
+            toks = (t or "").split()
+            grams = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+            hll.add_many(grams)
+            total += len(grams)
+        assert out[n]["total_ngrams"] == total
+        assert out[n]["approx_distinct"] == int(round(hll.count()))
+    # n-gram windows never cross documents: total drops by exactly
+    # (n-1) per non-short doc
+    lens = [len((t or "").split()) for t in texts]
+    assert out[2]["total_ngrams"] == sum(max(l - 1, 0) for l in lens)
+    assert out[3]["total_ngrams"] == sum(max(l - 2, 0) for l in lens)
+
+
+def test_fuzzy_vocab_match(ray_session):
+    import ray.data
+
+    from dots_ocr_ray.pipelines.text_analysis import fuzzy_vocab_match
+
+    docs = ray.data.from_items(
+        [
+            {"text": "scan scan the table"},
+            {"text": "scam is one edit from scan"},
+            {"text": "xyzzy unrelated"},
+        ]
+    )
+    out = fuzzy_vocab_match(docs, probes=["scan"], max_dist=1).to_pandas()
+    got = {(r.token): (r.dist, r.n_occurrences) for r in out.itertuples()}
+    assert got["scan"] == (0, 3)
+    assert got["scam"] == (1, 1)
+    assert "xyzzy" not in got
+    assert "table" not in got

@@ -845,6 +845,60 @@ def golden_pca_projected(sf_dir: str) -> pa.Table:
     return pa.table(out)
 
 
+def golden_approx_users_by_type(sf_dir: str) -> pa.Table:
+    """Sequential grouped HLL: one sketch per event_type, per-row adds
+    in file order (register max is order-independent, so this matches
+    any Ray partitioning)."""
+    from dots_ocr_ray.functions.sketches import HyperLogLog
+
+    t = pq.read_table(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
+    by: dict[str, "HyperLogLog"] = {}
+    for k, v in zip(t.column("event_type").to_pylist(), t.column("user_id").to_pylist()):
+        if k not in by:
+            by[k] = HyperLogLog(12)
+        by[k].add(str(v))
+    keys = sorted(by)
+    return pa.table(
+        {
+            "event_type": pa.array(keys, type=pa.string()),
+            "approx_distinct": pa.array(
+                [int(round(by[k].count())) for k in keys], type=pa.int64()
+            ),
+        }
+    )
+
+
+def golden_ngram_diversity(sf_dir: str, *, max_n: int = 3, p: int = 14) -> pa.Table:
+    """Sequential n-gram diversity curve: per-doc ``str.split()``
+    n-grams (the Ray side's parent mask keeps windows inside one doc)
+    into one HLL per n."""
+    from dots_ocr_ray.functions.sketches import HyperLogLog
+
+    _, texts = _read_docs(sf_dir)
+    ns, totals, distincts, ratios = [], [], [], []
+    for n in range(1, max_n + 1):
+        hll = HyperLogLog(p)
+        total = 0
+        for t in texts:
+            toks = (t or "").split()
+            grams = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+            hll.add_many(grams)
+            total += len(grams)
+        d = int(round(hll.count()))
+        ns.append(n)
+        totals.append(total)
+        distincts.append(d)
+        ratios.append(round(d / total, 6) if total else 0.0)
+    return pa.table(
+        {
+            "n": pa.array(ns, type=pa.int64()),
+            "total_ngrams": pa.array(totals, type=pa.int64()),
+            "approx_distinct": pa.array(distincts, type=pa.int64()),
+            "distinct_ratio": pa.array(ratios, type=pa.float64()),
+        }
+    )
+
+
 GOLDEN_BUILDERS = {
     "kmeans_clusters": golden_kmeans_clusters,
     "semdedup_docs": golden_semdedup_docs,
@@ -875,6 +929,8 @@ GOLDEN_BUILDERS = {
     "logreg_scores": golden_logreg_scores,
     "pca_components": golden_pca_components,
     "pca_projected": golden_pca_projected,
+    "approx_users_by_type": golden_approx_users_by_type,
+    "ngram_diversity": golden_ngram_diversity,
 }
 
 
