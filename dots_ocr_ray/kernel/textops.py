@@ -215,7 +215,15 @@ def normalize_url(url: str) -> str:
         for k, v in parse_qsl(parts.query, keep_blank_values=True)
         if not (k.lower().startswith("utm_") or k.lower() in ("gclid", "fbclid"))
     ]
-    return urlunsplit((scheme, netloc, path, urlencode(kept), ""))
+    out = urlunsplit((scheme, netloc, path, urlencode(kept), ""))
+    # dropping the fragment/query can expose interior whitespace at the
+    # new string edge ("0 #" → "0 "); re-run the edge strip so the
+    # canonical form is a true fixpoint
+    prev = None
+    while prev != out:
+        prev = out
+        out = out.strip().strip(c0)
+    return out
 
 
 def compression_ratio(text: str) -> float:
