@@ -2931,6 +2931,130 @@ def _q_temperature_mixture(sf_dir: str):
     return temperature_mixture(docs)
 
 
+def _q_regional_supplier_volume(sf_dir: str):
+    """TPC-H Q5 shape: per-nation revenue where customer and supplier
+    share a nation inside one region — broadcast dims, supplier-map
+    broadcast with batch-local tagging + order-group combiner, two
+    fact-fact hash joins."""
+    from dots_ocr_ray.pipelines.relational import regional_supplier_volume
+
+    return regional_supplier_volume(
+        sf_dir, region="ASIA", date_lo="1996-01-01", date_hi="1998-01-01"
+    )
+
+
+def _q_user_activity_buckets(sf_dir: str):
+    """Frequency-of-frequencies: power-of-two histogram of events per
+    user (one user-keyed count exchange + a ≤64-row bucket sum)."""
+    import ray.data
+
+    from dots_ocr_ray.pipelines.relational import grouped_count_histogram
+
+    events = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    return grouped_count_histogram(events, key_col="user_id", out_count="n_users")
+
+
+def _q_daily_anomalies(sf_dir: str):
+    """Time-series anomaly scan: daily event counts per type, z-scored
+    within the type (composition: tiny day×type count exchange feeding
+    the sufficient-stats zscore_outliers operator)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray.data
+
+    from dots_ocr_ray.pipelines.relational import zscore_outliers
+
+    events = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type"])
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        day = pc.floor_temporal(batch.column("ts"), unit="day").cast(
+            pa.timestamp("us")
+        ).cast(pa.int64())
+        t = pa.table(
+            {
+                "day": day,
+                "event_type": batch.column("event_type"),
+                "n": pa.array(np.ones(batch.num_rows, np.int64)),
+            }
+        )
+        return t.group_by(["day", "event_type"]).aggregate([("n", "sum")])
+
+    daily = (
+        events.map_batches(_partial, batch_format="pyarrow")
+        .groupby(["day", "event_type"])
+        .sum("n_sum")
+    )
+
+    def _shape(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "day": batch.column("day").cast(pa.timestamp("us")),
+                "event_type": batch.column("event_type"),
+                "n": batch.column("sum(n_sum)").cast(pa.int64()),
+            }
+        )
+
+    daily = daily.map_batches(_shape, batch_format="pyarrow")
+    return zscore_outliers(daily, key_col="event_type", value_col="n", z_thresh=1.5)
+
+
+def _q_cohort_retention(sf_dir: str):
+    """Weekly cohort retention matrix over events (distinct user-weeks
+    → vectorized per-user min → user-keyed hash join → tiny count)."""
+    from dots_ocr_ray.pipelines.windows import cohort_retention
+
+    return cohort_retention(sf_dir)
+
+
+def _q_bm25_scores(sf_dir: str):
+    """Okapi BM25 of every document against three probe terms: one
+    corpus scan emitting match rows + in-band corpus-stats rows, then
+    zero-exchange scoring with (df, N, avgdl) in the closure."""
+    import ray.data
+
+    from dots_ocr_ray.pipelines.text_analysis import bm25_scores
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return bm25_scores(docs, probes=["data", "join", "spark"])
+
+
+def _q_host_triangles(sf_dir: str):
+    """Exact triangle count over the host graph (multiplier edges +
+    the (h, h+1) successor arm, which closes 8 triangles): degree
+    orientation bounds the wedge set; closure via packed-pair semi
+    join."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from dots_ocr_ray.pipelines.graph import (
+        N_HOSTS,
+        host_edges_from_documents,
+        triangle_count,
+    )
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def _succ(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        h = np.unique(ids % N_HOSTS)
+        return pa.table(
+            {
+                "src": pa.array(h, type=pa.int64()),
+                "dst": pa.array((h + 1) % N_HOSTS, type=pa.int64()),
+            }
+        )
+
+    edges = host_edges_from_documents(sf_dir).union(
+        docs.map_batches(_succ, batch_format="pyarrow")
+    )
+    return triangle_count(edges)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction (the flagship; SQL mirrors the deterministic wrapper)
@@ -2975,6 +3099,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_degrees": _q_host_degrees,
         "host_components": _q_host_components,
         "host_pagerank": _q_host_pagerank,
+        "host_triangles": _q_host_triangles,
+        # events analytics
+        "cohort_retention": _q_cohort_retention,
+        "daily_anomalies": _q_daily_anomalies,
+        "user_activity_buckets": _q_user_activity_buckets,
+        "regional_supplier_volume": _q_regional_supplier_volume,
+        "bm25_scores": _q_bm25_scores,
         # similarity search
         "ann_topk": _q_ann_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
@@ -3634,6 +3765,61 @@ def oracle_sql() -> dict[str, str]:
         ),
         "approx_distinct_users": (
             f"SELECT approx_distinct FROM read_parquet('{_GOLDEN_DIR}/approx_distinct_users.parquet')"
+        ),
+        "regional_supplier_volume": (
+            "SELECT n_name, sum(l_extendedprice * (1 - l_discount)) AS revenue "
+            "FROM customer, orders, lineitem, supplier, nation, region "
+            "WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey "
+            "AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey "
+            "AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey "
+            "AND r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01' "
+            "AND o_orderdate < TIMESTAMP '1998-01-01' GROUP BY n_name"
+        ),
+        "user_activity_buckets": (
+            "WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1) "
+            "SELECT CAST(floor(log2(n)) AS BIGINT) AS bucket, "
+            "CAST(count(*) AS BIGINT) AS n_users FROM c GROUP BY 1"
+        ),
+        "daily_anomalies": (
+            "WITH d AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type, "
+            "CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2), "
+            "stats AS (SELECT event_type, avg(n) AS m, stddev_pop(n) AS sd FROM d GROUP BY 1) "
+            "SELECT day, d.event_type, n, "
+            "round(CASE WHEN sd > 0 THEN (n - m) / sd ELSE 0 END, 4) AS z "
+            "FROM d JOIN stats USING (event_type) "
+            "WHERE sd > 0 AND abs((n - m) / sd) > 1.5"
+        ),
+        "cohort_retention": (
+            "WITH uw AS (SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS week FROM events), "
+            "c AS (SELECT user_id, min(week) AS cohort_week FROM uw GROUP BY 1) "
+            "SELECT c.cohort_week, date_diff('day', c.cohort_week, uw.week) // 7 AS offset_weeks, "
+            "CAST(count(*) AS BIGINT) AS n_users "
+            "FROM uw JOIN c USING (user_id) GROUP BY 1, 2"
+        ),
+        "bm25_scores": (
+            "WITH tok2 AS (SELECT doc_id, w FROM "
+            "(SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS w FROM documents) "
+            "WHERE w <> ''), "
+            "dl AS (SELECT doc_id, count(*) AS dl FROM tok2 GROUP BY 1), "
+            "corpus AS (SELECT (SELECT count(*) FROM documents) AS n, (SELECT count(*) FROM tok2) AS tot), "
+            "tf AS (SELECT doc_id, w AS term, count(*) AS tf FROM tok2 "
+            "WHERE w IN ('data', 'join', 'spark') GROUP BY 1, 2), "
+            "df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1) "
+            "SELECT tf.doc_id, tf.term, CAST(tf.tf AS BIGINT) AS tf, "
+            "round(ln(1 + (corpus.n - df.df + 0.5)/(df.df + 0.5)) * tf.tf*(1.2+1.0)/"
+            "(tf.tf + 1.2*(1.0 - 0.75 + 0.75*dl.dl/(corpus.tot*1.0/corpus.n))), 4) AS bm25 "
+            "FROM tf JOIN dl USING (doc_id) JOIN df USING (term), corpus"
+        ),
+        "host_triangles": (
+            "WITH raw AS ("
+            "SELECT doc_id % 40 AS s, (doc_id * 3) % 40 AS d FROM documents "
+            "UNION ALL SELECT doc_id % 40, (doc_id * 7) % 40 FROM documents "
+            "UNION ALL SELECT doc_id % 40, (doc_id * 11) % 40 FROM documents "
+            "UNION ALL SELECT doc_id % 40, (doc_id % 40 + 1) % 40 FROM documents), "
+            "e AS (SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b FROM raw WHERE s <> d) "
+            "SELECT CAST(count(*) AS BIGINT) AS n_triangles "
+            "FROM e e1 JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b "
+            "JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b"
         ),
         "approx_users_by_type": (
             f"SELECT event_type, approx_distinct FROM read_parquet('{_GOLDEN_DIR}/approx_users_by_type.parquet')"

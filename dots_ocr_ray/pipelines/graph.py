@@ -646,3 +646,146 @@ def frontier_schedule(
         .groupby("host")
         .map_groups(_rank, batch_format="pyarrow")
     )
+
+
+def triangle_count(
+    edges: ray.data.Dataset, *, src: str = "src", dst: str = "dst"
+) -> "pa.Table":
+    """Exact triangle count over an undirected graph — the
+    compact-forward / degree-orientation algorithm, the clustering
+    signal for link-spam and community detection at web scale.
+
+    1. canonical distinct edges: per-batch (min,max) partial unique →
+       one multi-key groupby (the edge exchange);
+    2. degrees from those edges (one keyed sum — the
+       :func:`degree_table` partials pattern);
+    3. each edge oriented low→high by (degree, id) via two
+       :func:`~.relational.hash_join` degree attachments — hot stars
+       become SOURCES of at most O(sqrt(m)) out-edges, so the wedge
+       set is O(m^1.5) worst-case instead of Σdeg²;
+    4. wedges = oriented self-join on the source + strict hi<hi2
+       filter; each triangle yields EXACTLY one wedge whose endpoints
+       close it;
+    5. closure test = semi hash_join of wedge endpoint pairs against
+       the edge set on an exact packed int64 key (requires node ids
+       < 2^31 — asserted per batch).
+
+    Returns a one-row Arrow table (n_triangles:int64) — the count is
+    an action, so the caller gets a value, not a plan."""
+    import numpy as np
+
+    from dots_ocr_ray.pipelines.relational import hash_join
+
+    def _canon(batch: pa.Table) -> pa.Table:
+        s = batch.column(src).to_numpy(zero_copy_only=False).astype(np.int64)
+        d = batch.column(dst).to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        a = np.minimum(s, d)
+        b = np.maximum(s, d)
+        assert (a >= 0).all() and (b < 2**31).all(), "triangle_count: node ids must fit 31 bits for exact pair packing"
+        pairs = np.unique(a << np.int64(32) | b)
+        return pa.table(
+            {
+                "a": pa.array(pairs >> np.int64(32), type=pa.int64()),
+                "b": pa.array(pairs & np.int64(0xFFFFFFFF), type=pa.int64()),
+            }
+        )
+
+    E = (
+        edges.map_batches(_canon, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .count()
+        .select_columns(["a", "b"])
+        .materialize()  # consumed twice: degrees + closure probe
+    )
+
+    def _deg_partials(batch: pa.Table) -> pa.Table:
+        nodes = np.concatenate(
+            [
+                batch.column("a").to_numpy(zero_copy_only=False),
+                batch.column("b").to_numpy(zero_copy_only=False),
+            ]
+        )
+        uniq, cnt = np.unique(nodes, return_counts=True)
+        return pa.table(
+            {
+                "node": pa.array(uniq, type=pa.int64()),
+                "deg": pa.array(cnt.astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    degrees = (
+        E.map_batches(_deg_partials, batch_format="pyarrow").groupby("node").sum("deg")
+    )
+
+    def _deg_named(name: str):
+        def _fn(batch: pa.Table) -> pa.Table:
+            return batch.rename_columns([name, f"deg_{name}"])
+
+        return _fn
+
+    i64 = pa.int64()
+    with_da = hash_join(
+        E,
+        degrees.map_batches(_deg_named("a"), batch_format="pyarrow"),
+        on="a",
+        left_schema=pa.schema([("a", i64), ("b", i64)]),
+        right_schema=pa.schema([("a", i64), ("deg_a", i64)]),
+    )
+    with_deg = hash_join(
+        with_da,
+        degrees.map_batches(_deg_named("b"), batch_format="pyarrow"),
+        on="b",
+        left_schema=pa.schema([("a", i64), ("b", i64), ("deg_a", i64)]),
+        right_schema=pa.schema([("b", i64), ("deg_b", i64)]),
+    )
+
+    def _orient(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_numpy(zero_copy_only=False)
+        b = batch.column("b").to_numpy(zero_copy_only=False)
+        da = batch.column("deg_a").to_numpy(zero_copy_only=False)
+        db = batch.column("deg_b").to_numpy(zero_copy_only=False)
+        a_first = (da < db) | ((da == db) & (a < b))
+        return pa.table(
+            {
+                "lo": pa.array(np.where(a_first, a, b), type=i64),
+                "hi": pa.array(np.where(a_first, b, a), type=i64),
+            }
+        )
+
+    O = with_deg.map_batches(_orient, batch_format="pyarrow").materialize()
+
+    def _rename_hi2(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["lo", "hi2"])
+
+    wedges = hash_join(
+        O,
+        O.map_batches(_rename_hi2, batch_format="pyarrow"),
+        on="lo",
+        left_schema=pa.schema([("lo", i64), ("hi", i64)]),
+        right_schema=pa.schema([("lo", i64), ("hi2", i64)]),
+    )
+
+    def _wedge_keys(batch: pa.Table) -> pa.Table:
+        v = batch.column("hi").to_numpy(zero_copy_only=False)
+        w = batch.column("hi2").to_numpy(zero_copy_only=False)
+        keep = v < w
+        v, w = v[keep], w[keep]
+        lo2, hi2 = np.minimum(v, w), np.maximum(v, w)
+        return pa.table({"pair": pa.array(lo2 << np.int64(32) | hi2, type=i64)})
+
+    def _edge_keys(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_numpy(zero_copy_only=False)
+        b = batch.column("b").to_numpy(zero_copy_only=False)
+        return pa.table({"pair": pa.array(a << np.int64(32) | b, type=i64)})
+
+    closed = hash_join(
+        wedges.map_batches(_wedge_keys, batch_format="pyarrow"),
+        E.map_batches(_edge_keys, batch_format="pyarrow"),
+        on="pair",
+        how="semi",
+        left_schema=pa.schema([("pair", i64)]),
+        right_schema=pa.schema([("pair", i64)]),
+    )
+    return pa.table({"n_triangles": pa.array([closed.count()], type=i64)})

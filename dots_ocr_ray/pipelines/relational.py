@@ -1436,3 +1436,204 @@ def zscore_outliers(
         return batch.filter(pa.array(np.abs(z) > z_thresh))
 
     return ds.map_batches(_flag, batch_format="pyarrow")
+
+
+def regional_supplier_volume(
+    sf_dir: str,
+    *,
+    region: str = "ASIA",
+    date_lo: str = "1996-01-01",
+    date_hi: str = "1997-01-01",
+) -> ray.data.Dataset:
+    """TPC-H Q5 shape: per-nation revenue within one region for order
+    lines whose SUPPLIER and ordering CUSTOMER share the nation — the
+    canonical multi-way star join.
+
+    Join strategy by side size (the 100-TB plan):
+    * region/nation — driver-read dimension rows (KBs), closed into an
+      in-region nationkey set that rides the task closures;
+    * supplier — suppkey→nationkey map broadcast ONCE via ``ray.put``
+      (10^7 suppliers ≈ 160 MB, inside the broadcast budget); lineitem
+      tags its supplier nation batch-locally and pre-aggregates per
+      (orderkey, nation) — the combiner that keeps the join input at
+      order-line-group, not line, granularity;
+    * orders ⋈ customer and lineitem ⋈ orders — :func:`hash_join`
+      (both sides fact-sized; one keyed exchange each).
+
+    The final per-nation aggregate is a tiny groupby over ≤ nations ×
+    blocks partial rows.  Output: (n_name, revenue) — revenue =
+    sum(l_extendedprice·(1−l_discount)), matching the SQL oracle."""
+    import numpy as np
+    import pyarrow.parquet as _pq
+
+    from dots_ocr_ray.util import cached_object
+
+    nation = _pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name", "n_regionkey"]
+    )
+    region_tbl = _pq.read_table(f"{sf_dir}/region.parquet")
+    region_keys = {
+        r["r_regionkey"] for r in region_tbl.to_pylist() if r["r_name"] == region
+    }
+    nat_names = {
+        r["n_nationkey"]: r["n_name"]
+        for r in nation.to_pylist()
+        if r["n_regionkey"] in region_keys
+    }
+    in_region = np.array(sorted(nat_names), dtype=np.int64)
+
+    sup = _pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"])
+    sup_ref = ray.put(
+        (
+            sup.column("s_suppkey").to_numpy().astype(np.int64),
+            sup.column("s_nationkey").to_numpy().astype(np.int64),
+        )
+    )
+
+    lo = np.datetime64(date_lo, "us")
+    hi = np.datetime64(date_hi, "us")
+
+    def _orders(batch: pa.Table) -> pa.Table:
+        ts = batch.column("o_orderdate").to_numpy(zero_copy_only=False)
+        keep = (ts >= lo) & (ts < hi)
+        batch = batch.filter(pa.array(keep))
+        return pa.table(
+            {
+                "o_orderkey": batch.column("o_orderkey"),
+                "custkey": batch.column("o_custkey"),
+            }
+        )
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(_orders, batch_format="pyarrow")
+
+    def _cust(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "custkey": batch.column("c_custkey").cast(pa.int64()),
+                "c_nation": batch.column("c_nationkey").cast(pa.int64()),
+            }
+        )
+
+    customer = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).map_batches(_cust, batch_format="pyarrow")
+
+    orders_cust = hash_join(
+        orders,
+        customer,
+        on="custkey",
+        left_schema=pa.schema([("o_orderkey", pa.int64()), ("custkey", pa.int64())]),
+        right_schema=pa.schema([("custkey", pa.int64()), ("c_nation", pa.int64())]),
+    ).select_columns(["o_orderkey", "c_nation"])
+
+    def _lines(batch: pa.Table) -> pa.Table:
+        keys, nats = cached_object(sup_ref)
+        supp = batch.column("l_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(keys, supp)
+        pos = np.clip(pos, 0, len(keys) - 1)
+        s_nation = np.where(keys[pos] == supp, nats[pos], -1)
+        keep = np.isin(s_nation, in_region)
+        rev = (
+            batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+            * (1.0 - batch.column("l_discount").to_numpy(zero_copy_only=False))
+        )[keep]
+        t = pa.table(
+            {
+                "o_orderkey": batch.column("l_orderkey").filter(pa.array(keep)),
+                "s_nation": pa.array(s_nation[keep], type=pa.int64()),
+                "rev": pa.array(rev, type=pa.float64()),
+            }
+        )
+        # combiner: order-line-group granularity into the join exchange
+        return t.group_by(["o_orderkey", "s_nation"]).aggregate([("rev", "sum")])
+
+    lines = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(_lines, batch_format="pyarrow")
+
+    joined = hash_join(
+        lines,
+        orders_cust,
+        on="o_orderkey",
+        left_schema=pa.schema(
+            [("o_orderkey", pa.int64()), ("s_nation", pa.int64()), ("rev_sum", pa.float64())]
+        ),
+        right_schema=pa.schema([("o_orderkey", pa.int64()), ("c_nation", pa.int64())]),
+    )
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        m = pc.equal(batch.column("s_nation"), batch.column("c_nation"))
+        batch = batch.filter(m)
+        return batch.group_by("s_nation").aggregate([("rev_sum", "sum")])
+
+    agg = (
+        joined.map_batches(_partial, batch_format="pyarrow")
+        .groupby("s_nation")
+        .sum("rev_sum_sum")
+    )
+
+    def _finish(batch: pa.Table) -> pa.Table:
+        nats = batch.column("s_nation").to_pylist()
+        return pa.table(
+            {
+                "n_name": pa.array([nat_names[n] for n in nats], type=pa.string()),
+                "revenue": batch.column("sum(rev_sum_sum)").cast(pa.float64()),
+            }
+        )
+
+    return agg.map_batches(_finish, batch_format="pyarrow")
+
+
+def grouped_count_histogram(
+    ds: ray.data.Dataset,
+    *,
+    key_col: str,
+    out_key: str = "bucket",
+    out_count: str = "n_keys",
+) -> ray.data.Dataset:
+    """Power-of-two histogram of per-key row counts (events-per-user /
+    docs-per-host frequency-of-frequencies): bucket = floor(log2(n)).
+
+    Two bounded exchanges: per-batch (key, partial-count) partials into
+    ONE key-keyed sum (the unavoidable co-location of a key's count),
+    then per-batch bucket partials into a ≤64-row bucket sum.  Bucket
+    ids come from the float64 log2, which is exact at every power-of-2
+    boundary — bit-equal to SQL ``floor(log2(n))``."""
+    import numpy as np
+
+    def _key_partials(batch: pa.Table) -> pa.Table:
+        t = batch.select([key_col]).append_column(
+            "n", pa.array(np.ones(batch.num_rows, np.int64))
+        )
+        return t.group_by(key_col).aggregate([("n", "sum")]).rename_columns([key_col, "n"])
+
+    counts = (
+        ds.map_batches(_key_partials, batch_format="pyarrow").groupby(key_col).sum("n")
+    )
+
+    def _bucket_partials(batch: pa.Table) -> pa.Table:
+        n = batch.column("sum(n)").to_numpy(zero_copy_only=False).astype(np.float64)
+        bucket = np.floor(np.log2(np.maximum(n, 1.0))).astype(np.int64)
+        t = pa.table(
+            {
+                out_key: pa.array(bucket, type=pa.int64()),
+                "c": pa.array(np.ones(len(bucket), np.int64)),
+            }
+        )
+        return t.group_by(out_key).aggregate([("c", "sum")]).rename_columns([out_key, "c"])
+
+    buckets = (
+        counts.map_batches(_bucket_partials, batch_format="pyarrow")
+        .groupby(out_key)
+        .sum("c")
+    )
+
+    def _rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns([out_key, out_count]).set_column(
+            1, out_count, batch.column("sum(c)").cast(pa.int64())
+        )
+
+    return buckets.map_batches(_rename, batch_format="pyarrow")

@@ -1539,3 +1539,117 @@ def host_template_stats(
         )
 
     return rolled.map_batches(_rename, batch_format="pyarrow")
+
+
+def bm25_scores(
+    ds: ray.data.Dataset,
+    *,
+    probes: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> ray.data.Dataset:
+    """Okapi BM25 relevance of every document against a handful of
+    probe terms — the lexical-retrieval half of a RAG stack, run as
+    ONE corpus scan plus tiny aggregates.
+
+    The scan emits (doc, term, tf, dl) rows ONLY for docs containing a
+    probe (vectorized: one ``pc.equal`` + ``np.bincount`` per probe)
+    plus one per-batch corpus-stats row (n_docs, total token count)
+    diverted in-band.  The match table is materialized ONCE (bounded
+    by probe-matching docs, spillable) and consumed three times:
+    df(term) = tiny per-term count, corpus (N, avgdl) = O(blocks)
+    driver sum, and the zero-exchange scoring pass with (df, N, avgdl)
+    in the task closure.
+
+    score = ln(1 + (N - df + 0.5)/(df + 0.5)) · tf·(k1+1) /
+    (tf + k1·(1 − b + b·dl/avgdl)), rounded 4dp — term-order-exact
+    with the SQL oracle."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    probes = list(probes)
+
+    def _scan(batch: pa.Table) -> pa.Table:
+        lists = split_whitespace_checked(batch.column(text_col))
+        toks = pc.list_flatten(lists)
+        parents = pc.list_parent_indices(lists)
+        mask = pc.not_equal(toks, "")
+        toks, parents = toks.filter(mask), parents.filter(mask)
+        par = parents.to_numpy(zero_copy_only=False)
+        n = batch.num_rows
+        dl = np.bincount(par, minlength=n).astype(np.int64)
+        ids = batch.column(id_col)
+        out_id, out_term, out_tf, out_dl = [], [], [], []
+        for term in probes:
+            hit = pc.equal(toks, term).to_numpy(zero_copy_only=False)
+            tf = np.bincount(par[hit], minlength=n).astype(np.int64)
+            nz = np.flatnonzero(tf)
+            out_id.append(ids.take(pa.array(nz)))
+            out_term.extend([term] * len(nz))
+            out_tf.append(tf[nz])
+            out_dl.append(dl[nz])
+        matches = pa.table(
+            {
+                id_col: pa.concat_arrays(
+                    [a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a for a in out_id]
+                )
+                if out_id
+                else pa.array([], type=ids.type),
+                "term": pa.array(out_term, type=pa.string()),
+                "tf": pa.array(
+                    np.concatenate(out_tf) if out_tf else np.array([], np.int64)
+                ),
+                "dl": pa.array(
+                    np.concatenate(out_dl) if out_dl else np.array([], np.int64)
+                ),
+                "__stat": pa.array([False] * len(out_term), type=pa.bool_()),
+            }
+        )
+        stat = pa.table(
+            {
+                id_col: pa.array([None], type=ids.type),
+                "term": pa.array([""], type=pa.string()),
+                "tf": pa.array([n], type=pa.int64()),
+                "dl": pa.array([int(dl.sum())], type=pa.int64()),
+                "__stat": pa.array([True], type=pa.bool_()),
+            }
+        )
+        return pa.concat_tables([matches, stat])
+
+    marked = ds.map_batches(_scan, batch_format="pyarrow").materialize()
+
+    stats = marked.filter(
+        expr="__stat == True"
+    )
+    n_docs = total_tokens = 0
+    for r in stats.select_columns(["tf", "dl"]).take_all():  # O(blocks) rows
+        n_docs += r["tf"]
+        total_tokens += r["dl"]
+    avgdl = total_tokens / n_docs if n_docs else 1.0
+
+    matches = marked.filter(expr="__stat == False")
+    df = {
+        r["term"]: r["count()"]
+        for r in matches.groupby("term").count().take_all()  # ≤ len(probes) rows
+    }
+
+    def _score(batch: pa.Table) -> pa.Table:
+        tf = batch.column("tf").to_numpy(zero_copy_only=False).astype(np.float64)
+        dl = batch.column("dl").to_numpy(zero_copy_only=False).astype(np.float64)
+        dfv = np.array(
+            [df.get(t, 0) for t in batch.column("term").to_pylist()], dtype=np.float64
+        )
+        idf = np.log(1.0 + (n_docs - dfv + 0.5) / (dfv + 0.5))
+        score = idf * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "term": batch.column("term"),
+                "tf": batch.column("tf"),
+                "bm25": pa.array(np.round(score, 4), type=pa.float64()),
+            }
+        )
+
+    return matches.map_batches(_score, batch_format="pyarrow")

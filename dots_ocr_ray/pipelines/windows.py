@@ -686,3 +686,94 @@ def funnel_counts(
             "users": pa.array(at_least[1:], type=pa.int64()),
         }
     )
+
+
+def cohort_retention(sf_dir: str) -> ray.data.Dataset:
+    """Weekly cohort retention matrix: users grouped by their
+    first-activity week (the cohort), counted in every later week they
+    return — the product-analytics staple.
+
+    Exchange budget at 10^12 events / 10^9 users:
+    1. per-batch DISTINCT (user_id, week) partials → one multi-key
+       groupby — the input collapses to user-weeks BEFORE any join;
+    2. per-user cohort = built-in vectorized ``groupby.min`` over the
+       user-week table (no per-group Python);
+    3. user-week ⋈ cohort via :func:`~.relational.hash_join` (both
+       sides user-cardinality — no broadcast);
+    4. final (cohort_week, offset) count: per-batch partials into a
+       ≤ weeks² tiny sum.
+
+    Output: (cohort_week, offset_weeks, n_users); counts are exact
+    because step 1's groupby makes user-weeks globally distinct.
+    Weeks travel as INT64 microseconds through every exchange — Ray's
+    groupby/sort aggregators round-trip timestamp keys through numpy
+    and lose the us unit (timestamp[s] blocks + schema-mismatch
+    warnings); the cast back to timestamp happens once at the end."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from dots_ocr_ray.pipelines.relational import hash_join
+
+    events = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        week = pc.floor_temporal(batch.column("ts"), unit="week").cast(
+            pa.timestamp("us")
+        ).cast(pa.int64())
+        t = pa.table({"user_id": batch.column("user_id"), "week": week})
+        return t.group_by(["user_id", "week"]).aggregate([])
+
+    uw = (
+        events.map_batches(_partial, batch_format="pyarrow")
+        .groupby(["user_id", "week"])
+        .count()
+        .select_columns(["user_id", "week"])
+    )
+
+    def _rename_cohort(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["user_id", "cohort_week"])
+
+    cohort = (
+        uw.groupby("user_id").min("week").map_batches(_rename_cohort, batch_format="pyarrow")
+    )
+
+    joined = hash_join(
+        uw,
+        cohort,
+        on="user_id",
+        left_schema=pa.schema([("user_id", pa.int64()), ("week", pa.int64())]),
+        right_schema=pa.schema([("user_id", pa.int64()), ("cohort_week", pa.int64())]),
+    )
+
+    US_PER_WEEK = 7 * 86400 * 10**6
+
+    def _count(batch: pa.Table) -> pa.Table:
+        w = batch.column("week").to_numpy(zero_copy_only=False)
+        c = batch.column("cohort_week").to_numpy(zero_copy_only=False)
+        off = (w - c) // US_PER_WEEK
+        t = pa.table(
+            {
+                "cohort_week": batch.column("cohort_week"),
+                "offset_weeks": pa.array(off, type=pa.int64()),
+                "n": pa.array(np.ones(len(off), np.int64)),
+            }
+        )
+        return t.group_by(["cohort_week", "offset_weeks"]).aggregate([("n", "sum")])
+
+    agg = (
+        joined.map_batches(_count, batch_format="pyarrow")
+        .groupby(["cohort_week", "offset_weeks"])
+        .sum("n_sum")
+    )
+
+    def _finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "cohort_week": batch.column("cohort_week").cast(pa.timestamp("us")),
+                "offset_weeks": batch.column("offset_weeks"),
+                "n_users": batch.column("sum(n_sum)").cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(_finish, batch_format="pyarrow")

@@ -138,3 +138,35 @@ def test_frontier_schedule_politeness(ray_session):
     a_rows = sorted((r["url"], r["wave"]) for r in out if r["host"] == "a.test")
     assert [w for _, w in a_rows] == [0, 1, 2, 3, 4]
     assert [r["wave"] for r in out if r["host"] == "c.test"] == [0]
+
+
+def test_triangle_count_known_graphs(ray_session):
+    from dots_ocr_ray.pipelines.graph import triangle_count
+
+    # K4 = 4 triangles; edges fed DIRECTED + duplicated + self-loop to
+    # exercise canonicalization
+    k4 = [(a, b) for a in range(4) for b in range(4) if a != b] + [(0, 0), (1, 2)]
+    edges = ray.data.from_items([{"src": s, "dst": d} for s, d in k4]).repartition(3)
+    assert triangle_count(edges).column("n_triangles")[0].as_py() == 4
+    # star graph: no triangles regardless of hub degree
+    star = ray.data.from_items([{"src": 0, "dst": i} for i in range(1, 20)])
+    assert triangle_count(star).column("n_triangles")[0].as_py() == 0
+
+
+def test_triangle_count_partition_independent(ray_session):
+    import numpy as np
+
+    from dots_ocr_ray.pipelines.graph import triangle_count
+
+    rng = np.random.RandomState(7)
+    rows = [{"src": int(rng.randint(0, 30)), "dst": int(rng.randint(0, 30))} for _ in range(300)]
+    a = triangle_count(ray.data.from_items(rows)).column("n_triangles")[0].as_py()
+    b = triangle_count(ray.data.from_items(rows).repartition(11)).column("n_triangles")[0].as_py()
+    # reference O(n^3) count over the canonical simple graph
+    adj = np.zeros((30, 30), dtype=bool)
+    for r in rows:
+        s, d = r["src"], r["dst"]
+        if s != d:
+            adj[s, d] = adj[d, s] = True
+    ref = int(np.trace(np.linalg.matrix_power(adj.astype(np.int64), 3)) // 6)
+    assert a == b == ref

@@ -806,3 +806,46 @@ def test_weighted_sample_id_zero_can_be_sampled(ray_session):
     ]
     out = weighted_sample(ray.data.from_items(rows), id_col="doc_id", weight_col="w", k=5)
     assert 0 in {r["doc_id"] for r in out.to_pylist()}
+
+
+def test_regional_supplier_volume(ray_session):
+    from dots_ocr_ray.pipelines.relational import regional_supplier_volume
+
+    out = (
+        regional_supplier_volume(SF_DIR, region="ASIA", date_lo="1996-01-01", date_hi="1998-01-01")
+        .to_pandas()
+        .sort_values("n_name")
+        .reset_index(drop=True)
+    )
+    o = duckdb.sql(
+        f"""SELECT n_name, sum(l_extendedprice * (1 - l_discount)) AS revenue
+        FROM '{SF_DIR}/customer.parquet' c, '{SF_DIR}/orders.parquet' o,
+             '{SF_DIR}/lineitem.parquet' l, '{SF_DIR}/supplier.parquet' s,
+             '{SF_DIR}/nation.parquet' n, '{SF_DIR}/region.parquet' r
+        WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+        AND c_nationkey = s_nationkey AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        AND r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate < TIMESTAMP '1998-01-01' GROUP BY n_name ORDER BY n_name"""
+    ).df()
+    assert list(out["n_name"]) == list(o["n_name"])
+    import numpy as np
+
+    assert np.allclose(out["revenue"], o["revenue"], rtol=1e-9)
+
+
+def test_grouped_count_histogram(ray_session):
+    import ray.data
+
+    from dots_ocr_ray.pipelines.relational import grouped_count_histogram
+
+    # keys with counts 1,2,3,4,8 → buckets 0,1,1,2,3
+    rows = []
+    for key, n in [("a", 1), ("b", 2), ("c", 3), ("d", 4), ("e", 8)]:
+        rows += [{"k": key}] * n
+    out = {
+        r["bucket"]: r["n_keys"]
+        for r in grouped_count_histogram(
+            ray.data.from_items(rows).repartition(4), key_col="k"
+        ).take_all()
+    }
+    assert out == {0: 1, 1: 2, 2: 1, 3: 1}

@@ -529,3 +529,30 @@ def test_fuzzy_vocab_match(ray_session):
     assert got["scam"] == (1, 1)
     assert "xyzzy" not in got
     assert "table" not in got
+
+
+def test_bm25_scores_small_fixture(ray_session):
+    import math
+
+    import ray.data
+
+    from dots_ocr_ray.pipelines.text_analysis import bm25_scores
+
+    docs = ray.data.from_items(
+        [
+            {"doc_id": 1, "text": "data data base"},
+            {"doc_id": 2, "text": "data"},
+            {"doc_id": 3, "text": "other words entirely here"},
+        ]
+    ).repartition(2)
+    out = {
+        (r["doc_id"]): r
+        for r in bm25_scores(docs, probes=["data"], k1=1.2, b=0.75).take_all()
+    }
+    assert set(out) == {1, 2}
+    N, df, avgdl = 3, 2, 8 / 3
+    for doc_id, tf, dl in [(1, 2, 3), (2, 1, 1)]:
+        idf = math.log(1 + (N - df + 0.5) / (df + 0.5))
+        exp = idf * tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+        assert out[doc_id]["tf"] == tf
+        assert abs(out[doc_id]["bm25"] - round(exp, 4)) < 1e-9

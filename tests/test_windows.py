@@ -262,3 +262,24 @@ def test_window_distinct_users_large_user_ids(ray_session, tmp_path):
     got_n = {k.replace(tzinfo=None) if hasattr(k, "replace") else k: v for k, v in got.items()}
     assert sorted(got_n.values()) == sorted(want.values())
     assert len(got_n) == len(want)
+
+
+def test_cohort_retention_matches_duckdb(ray_session):
+    from dots_ocr_ray.pipelines.windows import cohort_retention
+
+    out = (
+        cohort_retention(SF_DIR)
+        .to_pandas()
+        .sort_values(["cohort_week", "offset_weeks"])
+        .reset_index(drop=True)
+    )
+    o = duckdb.sql(
+        f"""WITH uw AS (SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS week
+        FROM '{SF_DIR}/events.parquet'),
+        c AS (SELECT user_id, min(week) AS cohort_week FROM uw GROUP BY 1)
+        SELECT c.cohort_week, date_diff('day', c.cohort_week, uw.week) // 7 AS offset_weeks,
+        count(*) AS n_users FROM uw JOIN c USING (user_id) GROUP BY 1, 2 ORDER BY 1, 2"""
+    ).df()
+    assert (out.values == o.values).all()
+    # week-0 row exists for every cohort (a user's first week is active)
+    assert (out.groupby("cohort_week")["offset_weeks"].min() == 0).all()
