@@ -1520,12 +1520,13 @@ def regional_supplier_volume(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
     ).map_batches(_cust, batch_format="pyarrow")
 
-    orders_cust = hash_join(
+    orders_cust = attach_int_column(
         orders,
         customer,
         on="custkey",
+        value_col="c_nation",
         left_schema=pa.schema([("o_orderkey", pa.int64()), ("custkey", pa.int64())]),
-        right_schema=pa.schema([("custkey", pa.int64()), ("c_nation", pa.int64())]),
+        side_schema=pa.schema([("custkey", pa.int64()), ("c_nation", pa.int64())]),
     ).select_columns(["o_orderkey", "c_nation"])
 
     def _lines(batch: pa.Table) -> pa.Table:
@@ -1554,14 +1555,15 @@ def regional_supplier_volume(
         columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
     ).map_batches(_lines, batch_format="pyarrow")
 
-    joined = hash_join(
+    joined = attach_int_column(
         lines,
         orders_cust,
         on="o_orderkey",
+        value_col="c_nation",
         left_schema=pa.schema(
             [("o_orderkey", pa.int64()), ("s_nation", pa.int64()), ("rev_sum", pa.float64())]
         ),
-        right_schema=pa.schema([("o_orderkey", pa.int64()), ("c_nation", pa.int64())]),
+        side_schema=pa.schema([("o_orderkey", pa.int64()), ("c_nation", pa.int64())]),
     )
 
     def _partial(batch: pa.Table) -> pa.Table:
@@ -1637,3 +1639,80 @@ def grouped_count_histogram(
         )
 
     return buckets.map_batches(_rename, batch_format="pyarrow")
+
+
+def attach_int_column(
+    ds: ray.data.Dataset,
+    side: ray.data.Dataset,
+    *,
+    on: str,
+    value_col: str,
+    out_col: str | None = None,
+    broadcast_bytes_limit: int = 1 << 30,
+    left_schema: pa.Schema | None = None,
+    side_schema: pa.Schema | None = None,
+) -> ray.data.Dataset:
+    """Attach ONE int64 value column from a (key, value) side table to
+    every matching row of ``ds`` (inner-join semantics: rows whose key
+    is absent from the side table drop) — the budgeted two-tier
+    dimension-attach used by the star-join queries.
+
+    Tier 1 (side fits ``broadcast_bytes_limit``): the side table
+    collapses to a broadcast (sorted keys, values) numpy pair and the
+    attach is a zero-exchange ``map_batches`` (searchsorted gather —
+    no per-row Python).  Tier 2: :func:`hash_join` — one bucket-keyed
+    exchange.  Same contract either way, so callers pick nothing: the
+    data's size picks."""
+    import numpy as np
+
+    from dots_ocr_ray.util import cached_object, sorted_lookup
+
+    out_col = out_col or value_col
+    side_mat = side.materialize()
+    if side_mat.size_bytes() <= broadcast_bytes_limit:
+        keys_l, vals_l = [], []
+        for b in side_mat.iter_batches(batch_format="pyarrow"):
+            keys_l.append(b.column(on).to_numpy(zero_copy_only=False).astype(np.int64))
+            vals_l.append(b.column(value_col).to_numpy(zero_copy_only=False).astype(np.int64))
+        if keys_l:
+            keys = np.concatenate(keys_l)
+            order = np.argsort(keys, kind="stable")
+            keys, vals = keys[order], np.concatenate(vals_l)[order]
+        else:
+            keys = vals = np.array([], dtype=np.int64)
+        ref = ray.put((keys, vals))
+
+        def _attach(batch: pa.Table) -> pa.Table:
+            ks, vs = cached_object(ref)
+            probe = batch.column(on).to_numpy(zero_copy_only=False).astype(np.int64)
+            hit, idx = sorted_lookup(ks, probe)
+            batch = batch.filter(pa.array(hit))
+            return batch.append_column(
+                out_col, pa.array(vs[idx[hit]], type=pa.int64())
+            )
+
+        return ds.map_batches(_attach, batch_format="pyarrow")
+
+    renamed = side_mat
+    if out_col != value_col:
+
+        def _rename(batch: pa.Table) -> pa.Table:
+            return batch.rename_columns(
+                [out_col if n == value_col else n for n in batch.column_names]
+            )
+
+        renamed = side_mat.map_batches(_rename, batch_format="pyarrow")
+        if side_schema is not None:
+            side_schema = pa.schema(
+                [
+                    (out_col, f.type) if f.name == value_col else (f.name, f.type)
+                    for f in side_schema
+                ]
+            )
+    return hash_join(
+        ds,
+        renamed,
+        on=on,
+        left_schema=left_schema,
+        right_schema=side_schema,
+    )

@@ -698,8 +698,10 @@ def cohort_retention(sf_dir: str) -> ray.data.Dataset:
        groupby — the input collapses to user-weeks BEFORE any join;
     2. per-user cohort = built-in vectorized ``groupby.min`` over the
        user-week table (no per-group Python);
-    3. user-week ⋈ cohort via :func:`~.relational.hash_join` (both
-       sides user-cardinality — no broadcast);
+    3. user-week ⋈ cohort via :func:`~.relational.attach_int_column`
+       (budget-tiered: broadcast gather while the cohort table fits,
+       one bucket-keyed hash-join exchange above — both sides are
+       user-cardinality at 10^9 users);
     4. final (cohort_week, offset) count: per-batch partials into a
        ≤ weeks² tiny sum.
 
@@ -713,7 +715,7 @@ def cohort_retention(sf_dir: str) -> ray.data.Dataset:
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    from dots_ocr_ray.pipelines.relational import hash_join
+    from dots_ocr_ray.pipelines.relational import attach_int_column
 
     events = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
 
@@ -738,12 +740,13 @@ def cohort_retention(sf_dir: str) -> ray.data.Dataset:
         uw.groupby("user_id").min("week").map_batches(_rename_cohort, batch_format="pyarrow")
     )
 
-    joined = hash_join(
+    joined = attach_int_column(
         uw,
         cohort,
         on="user_id",
+        value_col="cohort_week",
         left_schema=pa.schema([("user_id", pa.int64()), ("week", pa.int64())]),
-        right_schema=pa.schema([("user_id", pa.int64()), ("cohort_week", pa.int64())]),
+        side_schema=pa.schema([("user_id", pa.int64()), ("cohort_week", pa.int64())]),
     )
 
     US_PER_WEEK = 7 * 86400 * 10**6

@@ -849,3 +849,30 @@ def test_grouped_count_histogram(ray_session):
         ).take_all()
     }
     assert out == {0: 1, 1: 2, 2: 1, 3: 1}
+
+
+def test_attach_int_column_tier_parity(ray_session):
+    import ray.data
+
+    from dots_ocr_ray.pipelines.relational import attach_int_column
+
+    left = ray.data.from_items([{"k": i % 7, "x": i} for i in range(50)]).repartition(4)
+    side = ray.data.from_items([{"k": k, "v": k * 10} for k in range(5)])  # keys 5,6 drop
+    import pyarrow as pa
+
+    ls = pa.schema([("k", pa.int64()), ("x", pa.int64())])
+    ss = pa.schema([("k", pa.int64()), ("v", pa.int64())])
+
+    def run(limit):
+        out = attach_int_column(
+            left, side, on="k", value_col="v",
+            broadcast_bytes_limit=limit, left_schema=ls, side_schema=ss,
+        ).to_pandas().sort_values(["k", "x"]).reset_index(drop=True)
+        return out
+
+    a = run(1 << 30)  # broadcast tier
+    b = run(0)        # hash-join tier
+    assert sorted(a.columns) == sorted(b.columns)
+    assert (a[sorted(a.columns)].values == b[sorted(b.columns)].values).all()
+    assert set(a["k"]) == {0, 1, 2, 3, 4}
+    assert (a["v"] == a["k"] * 10).all()
