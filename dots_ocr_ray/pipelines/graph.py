@@ -670,6 +670,17 @@ def triangle_count(
        the edge set on an exact packed int64 key (requires node ids
        < 2^31 — asserted per batch).
 
+    Two tiers, the :func:`cluster_assign` discipline: below
+    ``pair_budget`` distinct edges the count runs on the DRIVER as one
+    fully-vectorized numpy pass (sorted-CSR wedge enumeration — no
+    per-node Python; a 2M-edge graph is ~50 MB and the 5-exchange
+    distributed plan would spend seconds of fixed exchange cost on
+    it); above the budget the distributed plan runs and the driver
+    never sees an edge.  The driver tier additionally guards the
+    ORIENTED wedge count (≤ ``wedge_budget``) before materializing
+    wedge arrays, falling through to the distributed path on a graph
+    whose wedge set is too hot even under the edge budget.
+
     Returns a one-row Arrow table (n_triangles:int64) — the count is
     an action, so the caller gets a value, not a plan."""
     import numpy as np

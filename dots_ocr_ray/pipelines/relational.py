@@ -1483,12 +1483,10 @@ def regional_supplier_volume(
     in_region = np.array(sorted(nat_names), dtype=np.int64)
 
     sup = _pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"])
-    sup_ref = ray.put(
-        (
-            sup.column("s_suppkey").to_numpy().astype(np.int64),
-            sup.column("s_nationkey").to_numpy().astype(np.int64),
-        )
-    )
+    sup_keys = sup.column("s_suppkey").to_numpy().astype(np.int64)
+    sup_nats = sup.column("s_nationkey").to_numpy().astype(np.int64)
+    sup_order = np.argsort(sup_keys, kind="stable")  # searchsorted needs ascending keys
+    sup_ref = ray.put((sup_keys[sup_order], sup_nats[sup_order]))
 
     lo = np.datetime64(date_lo, "us")
     hi = np.datetime64(date_hi, "us")
