@@ -3055,6 +3055,50 @@ def _q_host_triangles(sf_dir: str):
     return triangle_count(edges)
 
 
+CRAWL_SEEDS = (1, 2)
+CRAWL_MAX_DEPTH = 16
+
+
+def _q_crawl_depths(sf_dir: str):
+    """Multi-source BFS over the host link graph: shortest hop count
+    from the seed hosts (crawl-priority / link-distance-from-trust
+    signal).  Level-synchronous frontier expansion — one edge pass per
+    level in the broadcast tier, three keyed exchanges per level
+    distributed.  Oracle: recursive CTE closing the same derived
+    edges with MIN(depth)."""
+    from dots_ocr_ray.pipelines.graph import bfs_depths, host_edges_from_documents
+
+    return bfs_depths(
+        host_edges_from_documents(sf_dir),
+        seeds=CRAWL_SEEDS,
+        max_depth=CRAWL_MAX_DEPTH,
+    )
+
+
+def _q_host_hits(sf_dir: str):
+    """Kleinberg HITS (5 iterations, L1-normalized) over the host link
+    graph; hub/authority reported relative to uniform (mean 1.0), the
+    rank_rel convention.  Oracle: golden parquet from the independent
+    sequential implementation."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from dots_ocr_ray.pipelines.graph import hits, host_edges_from_documents
+
+    tbl = hits(host_edges_from_documents(sf_dir), num_iters=5)
+    n = float(tbl.num_rows)
+    # 9-dp rounding: the semdedup convention — collapses the ~1e-16
+    # fold-order noise between the distributed and sequential engines
+    # so exact-tied hosts sort identically on both sides
+    return pa.table(
+        {
+            "host": tbl.column("host"),
+            "hub_rel": pc.round(pc.multiply(tbl.column("hub"), n), ndigits=9),
+            "auth_rel": pc.round(pc.multiply(tbl.column("authority"), n), ndigits=9),
+        }
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction (the flagship; SQL mirrors the deterministic wrapper)
@@ -3100,6 +3144,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_components": _q_host_components,
         "host_pagerank": _q_host_pagerank,
         "host_triangles": _q_host_triangles,
+        "crawl_depths": _q_crawl_depths,
+        "host_hits": _q_host_hits,
         # events analytics
         "cohort_retention": _q_cohort_retention,
         "daily_anomalies": _q_daily_anomalies,
@@ -3820,6 +3866,21 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(count(*) AS BIGINT) AS n_triangles "
             "FROM e e1 JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b "
             "JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b"
+        ),
+        "crawl_depths": (
+            "WITH RECURSIVE e AS ("
+            "SELECT DISTINCT (doc_id % 40) AS src, ((doc_id * 3) % 40) AS dst FROM documents "
+            "UNION SELECT DISTINCT (doc_id % 40), ((doc_id * 7) % 40) FROM documents "
+            "UNION SELECT DISTINCT (doc_id % 40), ((doc_id * 11) % 40) FROM documents), "
+            "r(host, depth) AS ("
+            "SELECT host, 0 FROM (VALUES (1), (2)) AS seeds(host) "
+            "UNION SELECT e.dst, r.depth + 1 FROM r JOIN e ON e.src = r.host "
+            "WHERE r.depth < 16) "
+            "SELECT CAST(host AS BIGINT) AS host, CAST(MIN(depth) AS BIGINT) AS depth "
+            "FROM r GROUP BY host"
+        ),
+        "host_hits": (
+            f"SELECT host, hub_rel, auth_rel FROM read_parquet('{_GOLDEN_DIR}/host_hits.parquet')"
         ),
         "approx_users_by_type": (
             f"SELECT event_type, approx_distinct FROM read_parquet('{_GOLDEN_DIR}/approx_users_by_type.parquet')"

@@ -800,3 +800,421 @@ def triangle_count(
         right_schema=pa.schema([("pair", i64)]),
     )
     return pa.table({"n_triangles": pa.array([closed.count()], type=i64)})
+
+
+# ---------------------------------------------------------------------------
+# multi-source BFS: shortest-hop crawl depth from a seed set
+
+
+def bfs_depths(
+    edges: ray.data.Dataset,
+    *,
+    seeds,
+    src: str = "src",
+    dst: str = "dst",
+    max_depth: int = 16,
+    broadcast_limit: int = 2_000_000,
+) -> ray.data.Dataset:
+    """Multi-source BFS over an integer-keyed edge Dataset →
+    ``(host, depth)`` — depth = minimum hop count from ANY seed,
+    seeds at depth 0, unreachable nodes omitted (SQL-reachability
+    semantics).  The crawl-scheduling primitive: link distance from a
+    trusted seed list is the classic crawl-priority / spam-distance
+    signal (the same shape OPIC / TrustRank seeding uses).
+
+    Two tiers on the node budget (the :func:`pagerank` discipline):
+
+    * broadcast tier (|nodes| ≤ ``broadcast_limit``) — the frontier is
+      a sorted numpy array broadcast once per LEVEL (``ray.put``,
+      per-worker cached); each level streams the edges through ONE
+      stateless ``map_batches`` that emits the batch-unique successors
+      of frontier sources, and the driver keeps the O(reachable)
+      visited/depth arrays — bounded by the same budget that lets
+      ``cluster_assign`` hold a union-find.  Per level: one edge pass,
+      zero exchanges.
+    * distributed tier — frontier and visited live in Datasets; each
+      level is ``hash_join(edges, frontier, on=src, how="semi")`` →
+      per-batch unique dst partials → ``groupby(dst)`` distinct →
+      ``hash_join(..., visited, how="anti")`` → union into visited.
+      Per level: three keyed exchanges, nothing driver-sized.
+
+    Levels are inherently sequential (level d+1 needs the full level-d
+    frontier); ``max_depth`` bounds the loop, so the exchange budget
+    is ``max_depth × 3`` in the distributed tier.  Duplicate edges are
+    harmless (successor sets are uniqued per batch and per level)."""
+    edges = bounded_blocks(
+        edges.select_columns([src, dst]), rows_per_block=1_048_576
+    ).materialize()
+    seed_arr = np.unique(np.asarray(sorted(set(int(s) for s in seeds)), dtype=np.int64))
+    if len(seed_arr) == 0:
+        return ray.data.from_arrow(
+            pa.table({"host": pa.array([], pa.int64()), "depth": pa.array([], pa.int64())})
+        )
+    n_nodes = degree_table(edges, src=src, dst=dst).count()
+
+    from dots_ocr_ray.util import sorted_membership
+
+    if n_nodes <= broadcast_limit:
+        hosts = [seed_arr]
+        depths = [np.zeros(len(seed_arr), dtype=np.int64)]
+        visited = seed_arr  # sorted
+        frontier = seed_arr
+        for d in range(max_depth):
+            f_ref = ray.put(frontier)
+
+            def _succ(batch: pa.Table, _ref=f_ref) -> pa.Table:
+                f = cached_object(_ref)
+                s = batch.column(src).to_numpy(zero_copy_only=False).astype(np.int64)
+                t = batch.column(dst).to_numpy(zero_copy_only=False).astype(np.int64)
+                return pa.table(
+                    {"host": pa.array(np.unique(t[sorted_membership(f, s)]), type=pa.int64())}
+                )
+
+            # batch-unique partials; the driver union is O(reachable),
+            # inside this tier's budget by construction
+            new_chunks = [
+                b.column("host").to_numpy(zero_copy_only=False).astype(np.int64)
+                for b in edges.map_batches(_succ, batch_format="pyarrow").iter_batches(
+                    batch_format="pyarrow"
+                )
+                if b.num_rows
+            ]
+            new = np.unique(np.concatenate(new_chunks)) if new_chunks else np.array([], np.int64)
+            new = new[~sorted_membership(visited, new)]
+            if len(new) == 0:
+                break
+            hosts.append(new)
+            depths.append(np.full(len(new), d + 1, dtype=np.int64))
+            visited = np.sort(np.concatenate([visited, new]))
+            frontier = new
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "host": pa.array(np.concatenate(hosts), type=pa.int64()),
+                    "depth": pa.array(np.concatenate(depths), type=pa.int64()),
+                }
+            )
+        )
+
+    # ---- distributed tier --------------------------------------------
+    from dots_ocr_ray.pipelines.relational import hash_join
+
+    host_schema = pa.schema([("host", pa.int64())])
+    vis_schema = pa.schema([("host", pa.int64()), ("depth", pa.int64())])
+    seed_tbl = pa.table({"host": pa.array(seed_arr, type=pa.int64())})
+    frontier_ds = ray.data.from_arrow(seed_tbl)
+    visited_ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "host": pa.array(seed_arr, type=pa.int64()),
+                "depth": pa.array(np.zeros(len(seed_arr), np.int64), type=pa.int64()),
+            }
+        )
+    ).materialize()
+
+    def _as_src(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns([src])
+
+    def _dst_partial(batch: pa.Table) -> pa.Table:
+        t = batch.column(dst).to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"host": pa.array(np.unique(t), type=pa.int64())})
+
+    edges_schema = pa.schema([(src, pa.int64()), (dst, pa.int64())])
+    for d in range(max_depth):
+        touched = hash_join(
+            edges,
+            frontier_ds.map_batches(_as_src, batch_format="pyarrow"),
+            on=src,
+            how="semi",
+            left_schema=edges_schema,
+            right_schema=pa.schema([(src, pa.int64())]),
+        )
+        candidates = (
+            bounded_blocks(
+                touched.map_batches(_dst_partial, batch_format="pyarrow"),
+                rows_per_block=262144,
+            )
+            .groupby("host")
+            .count()
+            .select_columns(["host"])
+        )
+        new_ds = hash_join(
+            candidates,
+            visited_ds,
+            on="host",
+            how="anti",
+            left_schema=host_schema,
+            right_schema=vis_schema,
+        ).materialize()
+        if new_ds.count() == 0:
+            break
+
+        def _tag(batch: pa.Table, _d=d + 1) -> pa.Table:
+            return pa.table(
+                {
+                    "host": batch.column("host").cast(pa.int64()),
+                    "depth": pa.array(np.full(batch.num_rows, _d, np.int64), type=pa.int64()),
+                },
+                schema=vis_schema,
+            )
+
+        tagged = new_ds.map_batches(_tag, batch_format="pyarrow")
+        visited_ds = visited_ds.union(tagged).materialize()
+        frontier_ds = new_ds
+    return visited_ds
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs/authorities
+
+
+def hits(
+    edges: ray.data.Dataset,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    num_iters: int = 5,
+    broadcast_limit: int = 2_000_000,
+) -> pa.Table:
+    """Kleinberg HITS over an integer-keyed edge Dataset →
+    ``(host, hub, authority)``, each vector L1-normalized (sums to 1).
+    The complementary centrality to :func:`pagerank`: authorities are
+    link targets endorsed by good hubs (directory/spam-farm detection
+    reads the hub side, seed-quality scoring the authority side).
+
+    Broadcast tier (|nodes| ≤ ``broadcast_limit``): node array
+    broadcast once; each iteration makes TWO edge passes (HITS needs
+    both directions per round — ``auth = Eᵀ·hub`` then
+    ``hub = E·auth``), each a stateless ``map_batches`` binning
+    contributions per endpoint within the batch; the driver folds
+    O(nodes) partials, the same budget as :func:`pagerank`'s fast
+    path.  Multi-edges act as weights, matching pagerank's convention.
+
+    Distributed tier: each half-update is one
+    ``hash_join(edges, values, on=endpoint)`` + per-batch partials +
+    ``groupby(other endpoint).sum`` — 2 joins + 2 keyed exchanges per
+    iteration; the L1 norm is the only per-iteration driver scalar."""
+    edges = bounded_blocks(
+        edges.select_columns([src, dst]), rows_per_block=1_048_576
+    ).materialize()
+    degrees = degree_table(edges, src=src, dst=dst).materialize()
+    n_nodes = degrees.count()
+    empty = pa.table(
+        {
+            "host": pa.array([], pa.int64()),
+            "hub": pa.array([], pa.float64()),
+            "authority": pa.array([], pa.float64()),
+        }
+    )
+    if n_nodes == 0:
+        return empty
+
+    if n_nodes <= broadcast_limit:
+        hosts = np.sort(_collect_int_col(degrees, "host"))
+        n = len(hosts)
+        hub = np.full(n, 1.0 / n)
+        auth = np.zeros(n)
+
+        def _edge_sum(values_ref, from_col: str, to_col: str):
+            def _fn(batch: pa.Table) -> pa.Table:
+                h, vals = cached_object(values_ref)
+                f = batch.column(from_col).to_numpy(zero_copy_only=False).astype(np.int64)
+                t = batch.column(to_col).to_numpy(zero_copy_only=False).astype(np.int64)
+                t_nodes = np.unique(t)
+                sums = np.zeros(len(t_nodes))
+                np.add.at(sums, np.searchsorted(t_nodes, t), vals[np.searchsorted(h, f)])
+                return pa.table(
+                    {
+                        "host": pa.array(t_nodes, type=pa.int64()),
+                        "c": pa.array(sums, type=pa.float64()),
+                    }
+                )
+
+            return _fn
+
+        def _fold(mapped: ray.data.Dataset) -> np.ndarray:
+            out = np.zeros(n)
+            for b in mapped.iter_batches(batch_format="pyarrow"):
+                if b.num_rows:
+                    idx = np.searchsorted(
+                        hosts,
+                        b.column("host").to_numpy(zero_copy_only=False).astype(np.int64),
+                    )
+                    np.add.at(out, idx, b.column("c").to_numpy(zero_copy_only=False))
+            return out
+
+        for _ in range(num_iters):
+            ref = ray.put((hosts, hub))
+            auth = _fold(
+                edges.map_batches(_edge_sum(ref, src, dst), batch_format="pyarrow")
+            )
+            s = auth.sum()
+            auth = auth / s if s > 0 else auth
+            ref = ray.put((hosts, auth))
+            hub = _fold(edges.map_batches(_edge_sum(ref, dst, src), batch_format="pyarrow"))
+            s = hub.sum()
+            hub = hub / s if s > 0 else hub
+
+        return pa.table(
+            {
+                "host": pa.array(hosts, type=pa.int64()),
+                "hub": pa.array(hub, type=pa.float64()),
+                "authority": pa.array(auth, type=pa.float64()),
+            }
+        )
+
+    # ---- distributed tier: values as a Dataset -----------------------
+    from dots_ocr_ray.pipelines.relational import hash_join
+
+    val_schema = pa.schema([("host", pa.int64()), ("v", pa.float64())])
+    edges_schema = pa.schema([(src, pa.int64()), (dst, pa.int64())])
+    init = 1.0 / n_nodes
+
+    def _init(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "host": batch.column("host").cast(pa.int64()),
+                "v": pa.array(np.full(batch.num_rows, init), type=pa.float64()),
+            },
+            schema=val_schema,
+        )
+
+    def _zeros(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "host": batch.column("host").cast(pa.int64()),
+                "v": pa.array(np.zeros(batch.num_rows), type=pa.float64()),
+            },
+            schema=val_schema,
+        )
+
+    hub_ds = degrees.map_batches(_init, batch_format="pyarrow").materialize()
+    nodes_ds = degrees.select_columns(["host"]).materialize()
+
+    def _half_update(values_ds: ray.data.Dataset, from_col: str, to_col: str):
+        """values on ``from_col`` pushed along edges, summed per
+        ``to_col``; zero-in-edge nodes kept at 0 via left join."""
+
+        def _as_from(batch: pa.Table) -> pa.Table:
+            return batch.rename_columns(
+                [from_col if c == "host" else c for c in batch.column_names]
+            )
+
+        joined = hash_join(
+            edges,
+            values_ds.map_batches(_as_from, batch_format="pyarrow"),
+            on=from_col,
+            left_schema=edges_schema,
+            right_schema=pa.schema([(from_col, pa.int64()), ("v", pa.float64())]),
+        )
+
+        def _partial(batch: pa.Table) -> pa.Table:
+            t = batch.column(to_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            v = batch.column("v").to_numpy(zero_copy_only=False)
+            t_nodes = np.unique(t)
+            sums = np.zeros(len(t_nodes))
+            np.add.at(sums, np.searchsorted(t_nodes, t), v)
+            return pa.table(
+                {
+                    "host": pa.array(t_nodes, type=pa.int64()),
+                    "c": pa.array(sums, type=pa.float64()),
+                }
+            )
+
+        summed = (
+            bounded_blocks(
+                joined.map_batches(_partial, batch_format="pyarrow"), rows_per_block=262144
+            )
+            .groupby("host")
+            .sum("c")
+        )
+
+        def _rename(batch: pa.Table) -> pa.Table:
+            return batch.rename_columns(
+                ["c" if c == "sum(c)" else c for c in batch.column_names]
+            )
+
+        merged = hash_join(
+            nodes_ds,
+            summed.map_batches(_rename, batch_format="pyarrow"),
+            on="host",
+            how="left",
+            left_schema=pa.schema([("host", pa.int64())]),
+            right_schema=pa.schema([("host", pa.int64()), ("c", pa.float64())]),
+        )
+
+        def _clean(batch: pa.Table) -> pa.Table:
+            c = np.nan_to_num(
+                np.asarray(
+                    batch.column("c").to_numpy(zero_copy_only=False), dtype=np.float64
+                ),
+                nan=0.0,
+            )
+            return pa.table(
+                {
+                    "host": batch.column("host").cast(pa.int64()),
+                    "v": pa.array(c, type=pa.float64()),
+                },
+                schema=val_schema,
+            )
+
+        out = merged.map_batches(_clean, batch_format="pyarrow").materialize()
+        total = sum(
+            r["s"]
+            for r in out.map_batches(
+                lambda b: pa.table(
+                    {"s": pa.array([float(pc.sum(b.column("v")).as_py() or 0.0)])}
+                ),
+                batch_format="pyarrow",
+            ).take_all()
+        )
+        if total > 0:
+
+            def _norm(batch: pa.Table, _t=total) -> pa.Table:
+                return pa.table(
+                    {
+                        "host": batch.column("host").cast(pa.int64()),
+                        "v": pc.divide(batch.column("v").cast(pa.float64()), _t),
+                    },
+                    schema=val_schema,
+                )
+
+            out = out.map_batches(_norm, batch_format="pyarrow").materialize()
+        return out
+
+    auth_ds = None
+    for _ in range(num_iters):
+        auth_ds = _half_update(hub_ds, src, dst)
+        hub_ds = _half_update(auth_ds, dst, src)
+
+    # final assembly: both vectors are node-sized; stream-merge via join
+    def _as_auth(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(
+            ["authority" if c == "v" else c for c in batch.column_names]
+        )
+
+    def _as_hub(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["hub" if c == "v" else c for c in batch.column_names])
+
+    combined = hash_join(
+        hub_ds.map_batches(_as_hub, batch_format="pyarrow"),
+        auth_ds.map_batches(_as_auth, batch_format="pyarrow"),
+        on="host",
+        left_schema=pa.schema([("host", pa.int64()), ("hub", pa.float64())]),
+        right_schema=pa.schema([("host", pa.int64()), ("authority", pa.float64())]),
+    )
+    out = pa.concat_tables(
+        [
+            pa.table(
+                {
+                    "host": b.column("host").cast(pa.int64()),
+                    "hub": b.column("hub").cast(pa.float64()),
+                    "authority": b.column("authority").cast(pa.float64()),
+                }
+            )
+            for b in combined.iter_batches(batch_format="pyarrow")
+            if b.num_rows
+        ]
+        or [empty]
+    )
+    return out.take(pc.sort_indices(out, sort_keys=[("host", "ascending")]))

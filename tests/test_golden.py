@@ -35,6 +35,7 @@ def _canon(obj) -> pd.DataFrame:
         "dsir_sample",
         "incremental_minhash",
         "host_pagerank",
+        "host_hits",
         "chars_quantiles_approx",
         "dedup_minhash",
         "dedup_simhash",

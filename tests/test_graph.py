@@ -170,3 +170,69 @@ def test_triangle_count_partition_independent(ray_session):
             adj[s, d] = adj[d, s] = True
     ref = int(np.trace(np.linalg.matrix_power(adj.astype(np.int64), 3)) // 6)
     assert a == b == ref
+
+
+def test_bfs_depths_known_graph_and_tier_parity(ray_session):
+    from dots_ocr_ray.pipelines.graph import bfs_depths
+
+    # 0 -> 1 -> 2 -> 3 chain with a shortcut 0 -> 2 and a cycle 3 -> 0;
+    # 9 is disconnected (via 8 -> 9 only, unreachable from seed 0)
+    rows = [(0, 1), (1, 2), (2, 3), (0, 2), (3, 0), (8, 9)]
+    expect = {0: 0, 1: 1, 2: 1, 3: 2}
+    got_b = {
+        r["host"]: r["depth"] for r in bfs_depths(_edges(rows), seeds=[0]).take_all()
+    }
+    got_d = {
+        r["host"]: r["depth"]
+        for r in bfs_depths(_edges(rows), seeds=[0], broadcast_limit=0).take_all()
+    }
+    assert got_b == expect
+    assert got_d == expect
+
+
+def test_bfs_depths_multi_seed_and_max_depth(ray_session):
+    from dots_ocr_ray.pipelines.graph import bfs_depths
+
+    chain = [(i, i + 1) for i in range(10)]
+    # two seeds: min-hop from EITHER; 5 is depth 0 (itself a seed)
+    got = {
+        r["host"]: r["depth"]
+        for r in bfs_depths(_edges(chain), seeds=[0, 5]).take_all()
+    }
+    assert got[0] == 0 and got[5] == 0
+    assert got[3] == 3  # from seed 0
+    assert got[7] == 2  # from seed 5, not 7 from seed 0
+    # max_depth truncates the frontier expansion
+    capped = {
+        r["host"]: r["depth"]
+        for r in bfs_depths(_edges(chain), seeds=[0], max_depth=3).take_all()
+    }
+    assert max(capped.values()) == 3 and set(capped) == {0, 1, 2, 3}
+    # a seed with no edges still appears at depth 0
+    lone = {
+        r["host"]: r["depth"]
+        for r in bfs_depths(_edges([(1, 2)]), seeds=[99]).take_all()
+    }
+    assert lone == {99: 0}
+
+
+def test_hits_tiers_match_and_hub_authority_split(ray_session):
+    from dots_ocr_ray.pipelines.graph import hits
+
+    # bipartite-ish: 0 and 1 point at 5, 6, 7 — pure hubs vs pure
+    # authorities; HITS must separate the two roles exactly
+    rows = [(h, a) for h in (0, 1) for a in (5, 6, 7)]
+    t_b = hits(_edges(rows), num_iters=4)
+    t_d = hits(_edges(rows), num_iters=4, broadcast_limit=0)
+    hb = dict(zip(t_b.column("host").to_pylist(), t_b.column("hub").to_pylist()))
+    ab = dict(zip(t_b.column("host").to_pylist(), t_b.column("authority").to_pylist()))
+    hd = dict(zip(t_d.column("host").to_pylist(), t_d.column("hub").to_pylist()))
+    ad = dict(zip(t_d.column("host").to_pylist(), t_d.column("authority").to_pylist()))
+    assert set(hb) == set(hd) == {0, 1, 5, 6, 7}
+    assert max(abs(hb[h] - hd[h]) for h in hb) < 1e-12
+    assert max(abs(ab[h] - ad[h]) for h in ab) < 1e-12
+    assert abs(sum(hb.values()) - 1.0) < 1e-9
+    assert abs(sum(ab.values()) - 1.0) < 1e-9
+    # hubs carry all hub mass, authorities all authority mass
+    assert hb[0] > 0.4 and hb[1] > 0.4 and hb[5] == 0.0
+    assert ab[5] > 0.3 and ab[6] > 0.3 and ab[0] == 0.0

@@ -558,6 +558,40 @@ def golden_host_pagerank(sf_dir: str, *, num_iters: int = 5, damping: float = 0.
     )
 
 
+def golden_host_hits(sf_dir: str, *, num_iters: int = 5) -> pa.Table:
+    """Sequential HITS over the deterministic host-edge fixture
+    (pipelines/graph.py:host_edges_from_documents); hub/authority
+    L1-normalized, reported relative to uniform (mean 1.0)."""
+    from dots_ocr_ray.pipelines.graph import EDGE_MULTIPLIERS, N_HOSTS
+
+    ids = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"]).column(
+        "doc_id"
+    ).to_numpy()
+    src = np.concatenate([ids % N_HOSTS for _ in EDGE_MULTIPLIERS])
+    dst = np.concatenate([(ids * m) % N_HOSTS for m in EDGE_MULTIPLIERS])
+    hosts = np.unique(np.concatenate([src, dst]))
+    n = len(hosts)
+    s_idx = np.searchsorted(hosts, src)
+    d_idx = np.searchsorted(hosts, dst)
+    hub = np.full(n, 1.0 / n)
+    for _ in range(num_iters):
+        auth = np.zeros(n)
+        np.add.at(auth, d_idx, hub[s_idx])
+        t = auth.sum()
+        auth = auth / t if t > 0 else auth
+        hub = np.zeros(n)
+        np.add.at(hub, s_idx, auth[d_idx])
+        t = hub.sum()
+        hub = hub / t if t > 0 else hub
+    return pa.table(
+        {
+            "host": pa.array(hosts.astype(np.int64), type=pa.int64()),
+            "hub_rel": pa.array(np.round(hub * n, 9), type=pa.float64()),
+            "auth_rel": pa.array(np.round(auth * n, 9), type=pa.float64()),
+        }
+    )
+
+
 def golden_compression_ratios(sf_dir: str) -> pa.Table:
     """Sequential compression-ratio reference (shares the zlib kernel,
     kernel/textops.compression_ratio, with the Ray pipeline)."""
@@ -906,6 +940,7 @@ GOLDEN_BUILDERS = {
     "dsir_sample": golden_dsir_sample,
     "incremental_minhash": golden_incremental_minhash,
     "host_pagerank": golden_host_pagerank,
+    "host_hits": golden_host_hits,
     "describe_docs": golden_describe_docs,
     "chars_quantiles_approx": golden_chars_quantiles_approx,
     "dedup_minhash": golden_dedup_minhash,
