@@ -3055,6 +3055,88 @@ def _q_host_triangles(sf_dir: str):
     return triangle_count(edges)
 
 
+def _q_order_window_overlap(sf_dir: str):
+    """Interval×interval overlap join: 28 overlapping 120-day report
+    windows (90-day stride from 1992-01-01) against per-order
+    fulfillment intervals [o_orderdate, o_orderdate + 7 days]; count
+    and value per window.  Exercises relational.interval_overlap_join
+    (overlap-start bucket ownership — each pair joined exactly once)
+    plus a per-window rollup.  Oracle: SQL overlap predicate
+    ``w_lo <= o_hi AND o_lo <= w_hi`` over the same derived windows."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray.data
+
+    from dots_ocr_ray.pipelines.relational import interval_overlap_join
+
+    day_us = 86_400_000_000
+    base = np.datetime64("1992-01-01", "us").astype(np.int64)
+    k = np.arange(28, dtype=np.int64)
+    windows = ray.data.from_arrow(
+        pa.table(
+            {
+                "window_id": pa.array(k, type=pa.int64()),
+                "w_lo": pa.array(base + k * 90 * day_us, type=pa.int64()),
+                "w_hi": pa.array(base + (k * 90 + 120) * day_us, type=pa.int64()),
+            }
+        )
+    )
+
+    def _intervals(batch: pa.Table) -> pa.Table:
+        d = batch.column("o_orderdate").cast(pa.int64())
+        return pa.table(
+            {
+                "o_lo": d,
+                "o_hi": pc.add(d, 7 * day_us),
+                "o_totalprice": batch.column("o_totalprice"),
+            }
+        )
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderdate", "o_totalprice"]
+    ).map_batches(_intervals, batch_format="pyarrow")
+
+    joined = interval_overlap_join(
+        windows,
+        orders,
+        left_lo="w_lo",
+        left_hi="w_hi",
+        right_lo="o_lo",
+        right_hi="o_hi",
+        bucket_width=float(90 * day_us),
+        left_schema=pa.schema(
+            [("window_id", pa.int64()), ("w_lo", pa.int64()), ("w_hi", pa.int64())]
+        ),
+        right_schema=pa.schema(
+            [("o_lo", pa.int64()), ("o_hi", pa.int64()), ("o_totalprice", pa.float64())]
+        ),
+    )
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        return batch.group_by("window_id").aggregate(
+            [("o_totalprice", "sum"), ("window_id", "count")]
+        )
+
+    agg = (
+        joined.map_batches(_partial, batch_format="pyarrow")
+        .groupby("window_id")
+        .sum(["window_id_count", "o_totalprice_sum"])
+    )
+
+    def _finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "window_id": batch.column("window_id").cast(pa.int64()),
+                "n_orders": batch.column("sum(window_id_count)").cast(pa.int64()),
+                "total_value": batch.column("sum(o_totalprice_sum)").cast(pa.float64()),
+            }
+        )
+
+    return agg.map_batches(_finish, batch_format="pyarrow")
+
+
 CRAWL_SEEDS = (1, 2)
 CRAWL_MAX_DEPTH = 16
 
@@ -3146,6 +3228,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_triangles": _q_host_triangles,
         "crawl_depths": _q_crawl_depths,
         "host_hits": _q_host_hits,
+        "order_window_overlap": _q_order_window_overlap,
         # events analytics
         "cohort_retention": _q_cohort_retention,
         "daily_anomalies": _q_daily_anomalies,
@@ -3866,6 +3949,18 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(count(*) AS BIGINT) AS n_triangles "
             "FROM e e1 JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b "
             "JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b"
+        ),
+        "order_window_overlap": (
+            "WITH w AS (SELECT CAST(k AS BIGINT) AS window_id, "
+            "TIMESTAMP '1992-01-01' + (k * 90) * INTERVAL 1 DAY AS w_lo, "
+            "TIMESTAMP '1992-01-01' + (k * 90 + 120) * INTERVAL 1 DAY AS w_hi "
+            "FROM (SELECT unnest(range(28)) AS k)) "
+            "SELECT w.window_id, CAST(count(*) AS BIGINT) AS n_orders, "
+            "SUM(o.o_totalprice) AS total_value "
+            "FROM w JOIN orders o "
+            "ON w.w_lo <= o.o_orderdate + INTERVAL 7 DAY "
+            "AND o.o_orderdate <= w.w_hi "
+            "GROUP BY w.window_id"
         ),
         "crawl_depths": (
             "WITH RECURSIVE e AS ("

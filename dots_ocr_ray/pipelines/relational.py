@@ -615,6 +615,155 @@ def range_join(
     return tagged.groupby("__bucket").map_groups(_merge, batch_format="pyarrow")
 
 
+def interval_overlap_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    *,
+    left_lo: str,
+    left_hi: str,
+    right_lo: str,
+    right_hi: str,
+    bucket_width: float,
+    suffix: str = "_r",
+    max_buckets_per_row: int = 64,
+    left_schema: pa.Schema | None = None,
+    right_schema: pa.Schema | None = None,
+) -> ray.data.Dataset:
+    """Distributed interval×interval OVERLAP join: emits one row per
+    pair of CLOSED intervals with ``l_lo <= r_hi AND r_lo <= l_hi``
+    (SQL's canonical overlap predicate) — the session×incident /
+    availability×demand join :func:`range_join` (interval ∋ point)
+    cannot express.
+
+    Partitioning: BOTH sides replicate each interval to every
+    ``bucket_width``-wide domain bucket it touches, ONE keyed exchange
+    co-locates them.  A pair overlapping several shared buckets would
+    match in each, so every pair is OWNED by exactly one bucket — the
+    one containing the overlap's start ``max(l_lo, r_lo)`` (a point
+    both intervals cover, hence both rows are present there):
+
+    * direction A (``r_lo >= l_lo``, owner = bucket of ``r_lo``): with
+      the bucket's right rows sorted by ``r_lo``, each left interval's
+      matches are the contiguous run ``max(l_lo, bucket_lo) <= r_lo
+      <= min(l_hi, bucket_end)`` — two ``searchsorted`` calls;
+      ``r_hi >= l_lo`` holds automatically (``r_hi >= r_lo >= l_lo``).
+    * direction B (``r_lo < l_lo``, owner = bucket of ``l_lo``): the
+      mirrored sweep over left rows sorted by ``l_lo``, with a STRICT
+      lower bound so an ``l_lo == r_lo`` pair isn't double-counted.
+
+    Per-bucket work is O(n log n + matches) — no cross product, no
+    post-hoc dedup exchange.  Same scale contract as
+    :func:`range_join`: spans must fit ``max_buckets_per_row`` (pick
+    ``bucket_width`` near the typical span), and an overlap HOT SPOT
+    (many intervals stabbing one domain region) lands in one bucket —
+    split such regions upstream.  Bounds are compared as float64, so
+    integer bounds must fit 2^53 exactly (timestamps in µs do)."""
+    import numpy as np
+    import pandas as pd
+
+    if left_schema is None:  # see hash_join: schema() can execute a plan prefix
+        left_schema = left.schema()
+    if right_schema is None:
+        right_schema = right.schema()
+    left_cols = list(left_schema.names)
+    right_cols = list(right_schema.names)
+    types: dict[str, pa.DataType] = {n: t for n, t in zip(left_schema.names, left_schema.types)}
+    for n, t in zip(right_schema.names, right_schema.types):
+        types.setdefault(n, t)
+    all_cols = left_cols + [c for c in right_cols if c not in left_cols]
+    out_right = {c: (c + suffix if c in left_cols else c) for c in right_cols}
+    inv_w = 1.0 / float(bucket_width)
+    width = float(bucket_width)
+
+    def _tag(side: int, lo_col: str, hi_col: str, own_cols: list[str]):
+        def _fn(batch: pa.Table) -> pa.Table:
+            lo = batch.column(lo_col).to_numpy(zero_copy_only=False).astype(np.float64)
+            hi = batch.column(hi_col).to_numpy(zero_copy_only=False).astype(np.float64)
+            b0 = np.floor(lo * inv_w).astype(np.int64)
+            b1 = np.floor(hi * inv_w).astype(np.int64)
+            span = b1 - b0 + 1
+            if span.size and int(span.max()) > max_buckets_per_row:
+                raise ValueError(
+                    f"interval spans {int(span.max())} buckets > max_buckets_per_row="
+                    f"{max_buckets_per_row}; raise bucket_width or split wide intervals"
+                )
+            idx = np.repeat(np.arange(batch.num_rows), span)
+            offsets = np.concatenate([[0], np.cumsum(span)])[:-1]
+            flat = np.arange(int(span.sum())) - np.repeat(offsets, span) + np.repeat(b0, span)
+            out = batch.take(pa.array(idx))
+            for c in all_cols:
+                if c not in own_cols:
+                    out = out.append_column(c, pa.nulls(out.num_rows, type=types[c]))
+            out = out.select(all_cols)
+            out = out.append_column("__bucket", pa.array(flat, type=pa.int64()))
+            return out.append_column(
+                "__side", pa.array(np.full(out.num_rows, side, np.int8), type=pa.int8())
+            )
+
+        return _fn
+
+    def _runs_to_pairs(starts, ends):
+        cnt = np.maximum(ends - starts, 0)
+        rep = np.repeat(np.arange(len(starts)), cnt)
+        offsets = np.concatenate([[0], np.cumsum(cnt)])[:-1]
+        pos = np.arange(int(cnt.sum())) - np.repeat(offsets, cnt) + np.repeat(starts, cnt)
+        return rep, pos
+
+    def _merge(group: pa.Table) -> pa.Table:
+        df = group.to_pandas(types_mapper=pd.ArrowDtype)
+        b_lo = float(df["__bucket"].iloc[0]) * width
+        b_end = b_lo + width
+        lhs = df[df["__side"] == 0][left_cols].reset_index(drop=True)
+        rhs = df[df["__side"] == 1][right_cols].reset_index(drop=True)
+        if not len(lhs) or not len(rhs):
+            cols = {c: pa.array([], type=t) for c, t in zip(left_schema.names, left_schema.types)}
+            cols.update(
+                {
+                    out_right[c]: pa.array([], type=t)
+                    for c, t in zip(right_schema.names, right_schema.types)
+                }
+            )
+            return pa.table(cols)
+        l_order = np.argsort(lhs[left_lo].to_numpy(dtype=np.float64), kind="stable")
+        lhs = lhs.iloc[l_order].reset_index(drop=True)
+        r_order = np.argsort(rhs[right_lo].to_numpy(dtype=np.float64), kind="stable")
+        rhs = rhs.iloc[r_order].reset_index(drop=True)
+        llo = lhs[left_lo].to_numpy(dtype=np.float64)
+        lhi = lhs[left_hi].to_numpy(dtype=np.float64)
+        rlo = rhs[right_lo].to_numpy(dtype=np.float64)
+        rhi = rhs[right_hi].to_numpy(dtype=np.float64)
+
+        # direction A: r_lo in [max(l_lo, b_lo), min(l_hi, bucket end))
+        a_start = np.searchsorted(rlo, np.maximum(llo, b_lo), side="left")
+        a_end = np.searchsorted(rlo, np.minimum(lhi, np.nextafter(b_end, -np.inf)), side="right")
+        li_a, ri_a = _runs_to_pairs(a_start, a_end)
+        # direction B: l_lo in (r_lo, min(r_hi, bucket end)], l_lo >= b_lo
+        b_start = np.maximum(
+            np.searchsorted(llo, rlo, side="right"),
+            np.searchsorted(llo, b_lo, side="left"),
+        )
+        b_end_idx = np.searchsorted(llo, np.minimum(rhi, np.nextafter(b_end, -np.inf)), side="right")
+        ri_b, li_b = _runs_to_pairs(b_start, b_end_idx)
+        li = np.concatenate([li_a, li_b])
+        ri = np.concatenate([ri_a, ri_b])
+        out = pd.concat(
+            [
+                lhs.iloc[li].reset_index(drop=True),
+                rhs.iloc[ri].reset_index(drop=True).rename(columns=out_right),
+            ],
+            axis=1,
+        )
+        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
+
+    from dots_ocr_ray.util import bounded_blocks
+
+    tagged = left.map_batches(_tag(0, left_lo, left_hi, left_cols), batch_format="pyarrow").union(
+        right.map_batches(_tag(1, right_lo, right_hi, right_cols), batch_format="pyarrow")
+    )
+    tagged = bounded_blocks(tagged, rows_per_block=262144)
+    return tagged.groupby("__bucket").map_groups(_merge, batch_format="pyarrow")
+
+
 def exact_int_quantiles_by_key(
     ds: ray.data.Dataset, key: str, col: str, qs: list[float]
 ) -> pa.Table:

@@ -876,3 +876,79 @@ def test_attach_int_column_tier_parity(ray_session):
     assert (a[sorted(a.columns)].values == b[sorted(b.columns)].values).all()
     assert set(a["k"]) == {0, 1, 2, 3, 4}
     assert (a["v"] == a["k"] * 10).all()
+
+
+def test_interval_overlap_join_matches_bruteforce(ray_session):
+    """Interval×interval overlap join == brute-force closed-interval
+    overlap, with negative domains and bucket-boundary endpoints;
+    every pair exactly once (overlap-start ownership)."""
+    import numpy as np
+    import ray.data
+
+    from dots_ocr_ray.pipelines.relational import interval_overlap_join
+
+    rng = np.random.RandomState(11)
+    nl, nr = 60, 90
+    l_lo = np.round(rng.uniform(-100, 100, nl), 2)
+    l_hi = l_lo + np.round(rng.uniform(0, 40, nl), 2)
+    r_lo = np.round(rng.uniform(-120, 120, nr), 2)
+    r_hi = r_lo + np.round(rng.uniform(0, 25, nr), 2)
+    left = ray.data.from_items(
+        [{"lid": int(i), "lo": float(l_lo[i]), "hi": float(l_hi[i])} for i in range(nl)]
+    )
+    right = ray.data.from_items(
+        [{"rid": int(j), "lo": float(r_lo[j]), "hi": float(r_hi[j])} for j in range(nr)]
+    )
+    out = interval_overlap_join(
+        left,
+        right,
+        left_lo="lo",
+        left_hi="hi",
+        right_lo="lo",
+        right_hi="hi",
+        bucket_width=10.0,
+    ).to_pandas()
+    pairs = list(zip(out.lid, out.rid))
+    want = {
+        (i, j)
+        for i in range(nl)
+        for j in range(nr)
+        if l_lo[i] <= r_hi[j] and r_lo[j] <= l_hi[i]
+    }
+    assert set(pairs) == want
+    assert len(pairs) == len(want)  # no duplicate rows from shared buckets
+    # overlapping right column names come back suffixed with the payload intact
+    assert {"lo_r", "hi_r"} <= set(out.columns)
+
+
+def test_interval_overlap_join_boundary_and_degenerate(ray_session):
+    import ray.data
+
+    from dots_ocr_ray.pipelines.relational import interval_overlap_join
+
+    # zero-width intervals, exact touch at endpoints, equality at a
+    # bucket boundary (50.0 with width 50): closed-interval semantics
+    left = ray.data.from_items(
+        [
+            {"lid": 0, "lo": 10.0, "hi": 10.0},
+            {"lid": 1, "lo": 50.0, "hi": 50.0},
+        ]
+    )
+    right = ray.data.from_items(
+        [
+            {"rid": 0, "lo": 10.0, "hi": 10.0},
+            {"rid": 1, "lo": 0.0, "hi": 10.0},
+            {"rid": 2, "lo": 50.0, "hi": 99.0},
+            {"rid": 3, "lo": 10.5, "hi": 49.5},
+        ]
+    )
+    out = interval_overlap_join(
+        left,
+        right,
+        left_lo="lo",
+        left_hi="hi",
+        right_lo="lo",
+        right_hi="hi",
+        bucket_width=50.0,
+    ).to_pandas()
+    assert sorted(zip(out.lid, out.rid)) == [(0, 0), (0, 1), (1, 2)]
