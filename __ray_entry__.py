@@ -3055,6 +3055,21 @@ def _q_host_triangles(sf_dir: str):
     return triangle_count(edges)
 
 
+def _q_cdc_dedup_stats(sf_dir: str):
+    """Content-defined-chunking storage dedup: Gear-hash CDC chunks
+    (64/256/1024 min/avg/max) over every document's text, corpus-wide
+    chunk-hash rollup → one summary row (chunks, bytes, dedup ratio).
+    Sub-document dedup signal: shared boilerplate/quoted bytes that
+    document-level dedup can't see.  Oracle: golden parquet from the
+    sequential implementation over the shared kernel/cdc.py."""
+    import ray.data
+
+    from dots_ocr_ray.pipelines.cdc import cdc_dedup_stats
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return cdc_dedup_stats(docs)
+
+
 def _q_order_window_overlap(sf_dir: str):
     """Interval×interval overlap join: 28 overlapping 120-day report
     windows (90-day stride from 1992-01-01) against per-order
@@ -3229,6 +3244,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_depths": _q_crawl_depths,
         "host_hits": _q_host_hits,
         "order_window_overlap": _q_order_window_overlap,
+        "cdc_dedup_stats": _q_cdc_dedup_stats,
         # events analytics
         "cohort_retention": _q_cohort_retention,
         "daily_anomalies": _q_daily_anomalies,
@@ -3976,6 +3992,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "host_hits": (
             f"SELECT host, hub_rel, auth_rel FROM read_parquet('{_GOLDEN_DIR}/host_hits.parquet')"
+        ),
+        "cdc_dedup_stats": (
+            f"SELECT * FROM read_parquet('{_GOLDEN_DIR}/cdc_dedup_stats.parquet')"
         ),
         "approx_users_by_type": (
             f"SELECT event_type, approx_distinct FROM read_parquet('{_GOLDEN_DIR}/approx_users_by_type.parquet')"

@@ -592,6 +592,38 @@ def golden_host_hits(sf_dir: str, *, num_iters: int = 5) -> pa.Table:
     )
 
 
+def golden_cdc_dedup_stats(sf_dir: str) -> pa.Table:
+    """Sequential CDC dedup summary sharing the pure kernel/cdc.py
+    chunker with the Ray pipeline (pipelines/cdc.py)."""
+    from collections import Counter
+
+    from dots_ocr_ray.kernel.cdc import cdc_chunks
+
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["text"])
+    counts: Counter = Counter()
+    sizes: dict[str, int] = {}
+    for t in tbl.column("text").to_pylist():
+        for _s, length, h in cdc_chunks((t or "").encode("utf-8", errors="replace")):
+            counts[h] += 1
+            sizes[h] = length
+    total_chunks = sum(counts.values())
+    distinct_chunks = len(counts)
+    total_bytes = sum(counts[h] * sizes[h] for h in counts)
+    distinct_bytes = sum(sizes.values())
+    return pa.table(
+        {
+            "total_chunks": pa.array([total_chunks], type=pa.int64()),
+            "distinct_chunks": pa.array([distinct_chunks], type=pa.int64()),
+            "total_bytes": pa.array([total_bytes], type=pa.int64()),
+            "distinct_bytes": pa.array([distinct_bytes], type=pa.int64()),
+            "dedup_ratio": pa.array(
+                [round(distinct_bytes / total_bytes, 6) if total_bytes else 0.0],
+                type=pa.float64(),
+            ),
+        }
+    )
+
+
 def golden_compression_ratios(sf_dir: str) -> pa.Table:
     """Sequential compression-ratio reference (shares the zlib kernel,
     kernel/textops.compression_ratio, with the Ray pipeline)."""
@@ -941,6 +973,7 @@ GOLDEN_BUILDERS = {
     "incremental_minhash": golden_incremental_minhash,
     "host_pagerank": golden_host_pagerank,
     "host_hits": golden_host_hits,
+    "cdc_dedup_stats": golden_cdc_dedup_stats,
     "describe_docs": golden_describe_docs,
     "chars_quantiles_approx": golden_chars_quantiles_approx,
     "dedup_minhash": golden_dedup_minhash,
