@@ -3152,6 +3152,34 @@ def _q_order_window_overlap(sf_dir: str):
     return agg.map_batches(_finish, batch_format="pyarrow")
 
 
+def _q_host_trustrank(sf_dir: str):
+    """Personalized PageRank (TrustRank shape): teleport and dangling
+    mass go only to the trusted seed hosts (the crawl_depths seeds),
+    so rank = random-walk proximity to the trust list — the spam-mass
+    signal.  Oracle: golden parquet from the independent sequential
+    implementation."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from dots_ocr_ray.pipelines.graph import host_edges_from_documents, pagerank
+
+    tbl = pagerank(
+        host_edges_from_documents(sf_dir),
+        num_iters=5,
+        damping=0.85,
+        seeds=CRAWL_SEEDS,
+    )
+    n = tbl.num_rows
+    return pa.table(
+        {
+            "host": tbl.column("host"),
+            "trust_rel": pc.round(
+                pc.multiply(tbl.column("rank"), float(n)), ndigits=9
+            ),
+        }
+    )
+
+
 CRAWL_SEEDS = (1, 2)
 CRAWL_MAX_DEPTH = 16
 
@@ -3245,6 +3273,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_hits": _q_host_hits,
         "order_window_overlap": _q_order_window_overlap,
         "cdc_dedup_stats": _q_cdc_dedup_stats,
+        "host_trustrank": _q_host_trustrank,
         # events analytics
         "cohort_retention": _q_cohort_retention,
         "daily_anomalies": _q_daily_anomalies,
@@ -3995,6 +4024,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "cdc_dedup_stats": (
             f"SELECT * FROM read_parquet('{_GOLDEN_DIR}/cdc_dedup_stats.parquet')"
+        ),
+        "host_trustrank": (
+            f"SELECT host, trust_rel FROM read_parquet('{_GOLDEN_DIR}/host_trustrank.parquet')"
         ),
         "approx_users_by_type": (
             f"SELECT event_type, approx_distinct FROM read_parquet('{_GOLDEN_DIR}/approx_users_by_type.parquet')"

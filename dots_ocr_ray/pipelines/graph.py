@@ -83,10 +83,18 @@ def pagerank(
     dst: str = "dst",
     num_iters: int = 5,
     damping: float = 0.85,
+    seeds=None,
     broadcast_limit: int = 2_000_000,
 ) -> pa.Table:
     """PageRank over an integer-keyed edge Dataset → ``(host, rank)``
     (ranks sum to 1; dangling mass redistributed uniformly).
+
+    ``seeds`` switches to PERSONALIZED PageRank (TrustRank shape):
+    teleport and dangling mass go ONLY to the seed hosts — rank then
+    measures random-walk proximity to a trusted seed list, the
+    spam-mass / crawl-trust signal.  Seed sets are small by nature
+    (hand-audited hosts), so they ride the task closures in both
+    tiers; every other exchange is unchanged.
 
     Broadcast tier (|nodes| <= ``broadcast_limit``): the node/out-degree
     arrays broadcast once; every iteration streams the edges through a
@@ -131,6 +139,16 @@ def pagerank(
         n = len(hosts)
         ranks = np.full(n, 1.0 / n)
         base = (1.0 - damping) / n
+        tele = None
+        if seeds is not None:
+            seed_arr = np.asarray(sorted({int(x) for x in seeds}), dtype=np.int64)
+            seed_mask = np.isin(hosts, seed_arr)
+            n_s = int(seed_mask.sum())
+            if n_s == 0:
+                raise ValueError("personalized pagerank: no seed host in the graph")
+            tele = seed_mask.astype(np.float64) / n_s
+            ranks = tele.copy()
+            base = (1.0 - damping) * tele
 
         for _ in range(num_iters):
             share = np.where(out_deg > 0, ranks / np.maximum(out_deg, 1), 0.0)
@@ -164,7 +182,10 @@ def pagerank(
                     )
                     np.add.at(contrib, idx, b.column("c").to_numpy(zero_copy_only=False))
             dangling = float(ranks[out_deg == 0].sum())
-            ranks = base + damping * (contrib + dangling / n)
+            if tele is None:
+                ranks = base + damping * (contrib + dangling / n)
+            else:  # dangling mass teleports by the personalization vector
+                ranks = base + damping * (contrib + dangling * tele)
 
         return pa.table(
             {"host": pa.array(hosts, type=pa.int64()), "rank": pa.array(ranks, type=pa.float64())}
@@ -176,14 +197,33 @@ def pagerank(
 
     deg_schema = pa.schema([("host", pa.int64()), ("out_deg", pa.int64()), ("in_deg", pa.int64())])
     rank_schema = pa.schema([("host", pa.int64()), ("rank", pa.float64()), ("out_deg", pa.int64())])
+    from dots_ocr_ray.util import sorted_membership as _member
+
+    seed_sorted = None
+    n_s = 0
+    if seeds is not None:
+        seed_sorted = np.asarray(sorted({int(x) for x in seeds}), dtype=np.int64)
+        # seed sets are tiny (hand-audited hosts) — one bounded scan
+        # over the node table counts how many are actually present
+        for b in degrees.iter_batches(batch_format="pyarrow"):
+            if b.num_rows:
+                h = b.column("host").to_numpy(zero_copy_only=False).astype(np.int64)
+                n_s += int(_member(seed_sorted, h).sum())
+        if n_s == 0:
+            raise ValueError("personalized pagerank: no seed host in the graph")
     init = 1.0 / n_nodes
     base = (1.0 - damping) / n_nodes
 
     def _init(batch: pa.Table) -> pa.Table:
+        if seed_sorted is None:
+            rank = np.full(batch.num_rows, init)
+        else:
+            h = batch.column("host").to_numpy(zero_copy_only=False).astype(np.int64)
+            rank = np.where(_member(seed_sorted, h), 1.0 / n_s, 0.0)
         return pa.table(
             {
                 "host": batch.column("host").cast(pa.int64()),
-                "rank": pa.array(np.full(batch.num_rows, init), type=pa.float64()),
+                "rank": pa.array(rank, type=pa.float64()),
                 "out_deg": batch.column("out_deg").cast(pa.int64()),
             },
             schema=rank_schema,
@@ -259,10 +299,15 @@ def pagerank(
 
         extra = dangling / n_nodes
 
-        def _next(batch: pa.Table, _extra=extra) -> pa.Table:
+        def _next(batch: pa.Table, _extra=extra, _dang=dangling) -> pa.Table:
             c = batch.column("c").to_numpy(zero_copy_only=False)
             c = np.nan_to_num(np.asarray(c, dtype=np.float64), nan=0.0)
-            new_rank = base + damping * (c + _extra)
+            if seed_sorted is None:
+                new_rank = base + damping * (c + _extra)
+            else:
+                h = batch.column("host").to_numpy(zero_copy_only=False).astype(np.int64)
+                t = np.where(_member(seed_sorted, h), 1.0 / n_s, 0.0)
+                new_rank = (1.0 - damping) * t + damping * (c + _dang * t)
             return pa.table(
                 {
                     "host": batch.column("host").cast(pa.int64()),

@@ -36,6 +36,7 @@ def _canon(obj) -> pd.DataFrame:
         "incremental_minhash",
         "host_pagerank",
         "host_hits",
+        "host_trustrank",
         "cdc_dedup_stats",
         "chars_quantiles_approx",
         "dedup_minhash",

@@ -236,3 +236,31 @@ def test_hits_tiers_match_and_hub_authority_split(ray_session):
     # hubs carry all hub mass, authorities all authority mass
     assert hb[0] > 0.4 and hb[1] > 0.4 and hb[5] == 0.0
     assert ab[5] > 0.3 and ab[6] > 0.3 and ab[0] == 0.0
+
+
+def test_personalized_pagerank_tiers_and_seed_mass(ray_session):
+    from dots_ocr_ray.pipelines.graph import pagerank
+
+    rows = [(i % 11, (i * 7 + 3) % 11) for i in range(200)]
+    rows.append((0, 13))  # 13 dangles
+    t_b = pagerank(_edges(rows), num_iters=4, seeds=[0, 5])
+    t_d = pagerank(_edges(rows), num_iters=4, seeds=[0, 5], broadcast_limit=0)
+    rb = dict(zip(t_b.column("host").to_pylist(), t_b.column("rank").to_pylist()))
+    rd = dict(zip(t_d.column("host").to_pylist(), t_d.column("rank").to_pylist()))
+    assert set(rb) == set(rd)
+    assert max(abs(rb[h] - rd[h]) for h in rb) < 1e-12
+    assert abs(sum(rb.values()) - 1.0) < 1e-9
+    # teleport goes only to seeds: a node unreachable from the seeds
+    # has rank exactly 0 — add one and check
+    rows2 = [(0, 1), (1, 0), (7, 8)]  # 7->8 disconnected from seed 0
+    t2 = pagerank(_edges(rows2), num_iters=4, seeds=[0])
+    r2 = dict(zip(t2.column("host").to_pylist(), t2.column("rank").to_pylist()))
+    assert r2[7] == 0.0
+    assert r2[0] > r2[1] > 0
+    # no seed present in the graph → explicit error, both tiers
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        pagerank(_edges(rows2), num_iters=2, seeds=[99])
+    with _pytest.raises(ValueError):
+        pagerank(_edges(rows2), num_iters=2, seeds=[99], broadcast_limit=0)

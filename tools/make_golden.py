@@ -558,6 +558,38 @@ def golden_host_pagerank(sf_dir: str, *, num_iters: int = 5, damping: float = 0.
     )
 
 
+def golden_host_trustrank(
+    sf_dir: str, *, num_iters: int = 5, damping: float = 0.85, seeds=(1, 2)
+) -> pa.Table:
+    """Sequential personalized PageRank (TrustRank) over the host-edge
+    fixture: teleport + dangling mass only to the seed hosts."""
+    from dots_ocr_ray.pipelines.graph import EDGE_MULTIPLIERS, N_HOSTS
+
+    ids = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"]).column(
+        "doc_id"
+    ).to_numpy()
+    src = np.concatenate([ids % N_HOSTS for _ in EDGE_MULTIPLIERS])
+    dst = np.concatenate([(ids * m) % N_HOSTS for m in EDGE_MULTIPLIERS])
+    hosts = np.unique(np.concatenate([src, dst]))
+    n = len(hosts)
+    out_deg = np.bincount(np.searchsorted(hosts, src), minlength=n)
+    seed_mask = np.isin(hosts, np.asarray(sorted(set(seeds)), dtype=np.int64))
+    tele = seed_mask.astype(np.float64) / seed_mask.sum()
+    ranks = tele.copy()
+    for _ in range(num_iters):
+        share = np.where(out_deg > 0, ranks / np.maximum(out_deg, 1), 0.0)
+        contrib = np.zeros(n)
+        np.add.at(contrib, np.searchsorted(hosts, dst), share[np.searchsorted(hosts, src)])
+        dangling = ranks[out_deg == 0].sum()
+        ranks = (1.0 - damping) * tele + damping * (contrib + dangling * tele)
+    return pa.table(
+        {
+            "host": pa.array(hosts.astype(np.int64), type=pa.int64()),
+            "trust_rel": pa.array(np.round(ranks * n, 9), type=pa.float64()),
+        }
+    )
+
+
 def golden_host_hits(sf_dir: str, *, num_iters: int = 5) -> pa.Table:
     """Sequential HITS over the deterministic host-edge fixture
     (pipelines/graph.py:host_edges_from_documents); hub/authority
@@ -973,6 +1005,7 @@ GOLDEN_BUILDERS = {
     "incremental_minhash": golden_incremental_minhash,
     "host_pagerank": golden_host_pagerank,
     "host_hits": golden_host_hits,
+    "host_trustrank": golden_host_trustrank,
     "cdc_dedup_stats": golden_cdc_dedup_stats,
     "describe_docs": golden_describe_docs,
     "chars_quantiles_approx": golden_chars_quantiles_approx,
