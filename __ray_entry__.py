@@ -3055,6 +3055,21 @@ def _q_host_triangles(sf_dir: str):
     return triangle_count(edges)
 
 
+def _q_price_quantiles(sf_dir: str):
+    """EXACT float quantiles of l_extendedprice without a global sort:
+    iterative histogram refinement (relational.exact_float_quantiles)
+    — ~3 stateless column scans at any corpus size, driver folds
+    num_bins-sized arrays.  Oracle: DuckDB quantile_disc."""
+    import ray.data
+
+    from dots_ocr_ray.pipelines.relational import exact_float_quantiles
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_extendedprice"]
+    )
+    return exact_float_quantiles(ds, "l_extendedprice", [0.25, 0.5, 0.75, 0.95, 0.99])
+
+
 def _q_cdc_dedup_stats(sf_dir: str):
     """Content-defined-chunking storage dedup: Gear-hash CDC chunks
     (64/256/1024 min/avg/max) over every document's text, corpus-wide
@@ -3274,6 +3289,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_window_overlap": _q_order_window_overlap,
         "cdc_dedup_stats": _q_cdc_dedup_stats,
         "host_trustrank": _q_host_trustrank,
+        "price_quantiles": _q_price_quantiles,
         # events analytics
         "cohort_retention": _q_cohort_retention,
         "daily_anomalies": _q_daily_anomalies,
@@ -4027,6 +4043,11 @@ def oracle_sql() -> dict[str, str]:
         ),
         "host_trustrank": (
             f"SELECT host, trust_rel FROM read_parquet('{_GOLDEN_DIR}/host_trustrank.parquet')"
+        ),
+        "price_quantiles": (
+            "SELECT unnest([0.25, 0.5, 0.75, 0.95, 0.99]) AS q, "
+            "unnest(quantile_disc(l_extendedprice, [0.25, 0.5, 0.75, 0.95, 0.99])) AS value "
+            "FROM lineitem"
         ),
         "approx_users_by_type": (
             f"SELECT event_type, approx_distinct FROM read_parquet('{_GOLDEN_DIR}/approx_users_by_type.parquet')"

@@ -952,3 +952,46 @@ def test_interval_overlap_join_boundary_and_degenerate(ray_session):
         bucket_width=50.0,
     ).to_pandas()
     assert sorted(zip(out.lid, out.rid)) == [(0, 0), (0, 1), (1, 2)]
+
+
+def test_exact_float_quantiles_matches_numpy_selection(ray_session):
+    """Histogram-refinement selection == sorted order statistic
+    (quantile_disc rank rule), including skew, mass ties, ties sitting
+    exactly on a bin edge, and null/NaN dropping."""
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from dots_ocr_ray.pipelines.relational import exact_float_quantiles
+
+    rng = np.random.RandomState(13)
+    cases = {
+        "skewed": list(rng.lognormal(0, 3, 20000)),
+        "mass_tie": [5.0] * 8000 + [1.0, 9.0],
+        "edge_tie": list(np.concatenate([np.full(6000, 7.25), rng.uniform(0, 1, 2000)])),
+        "nulls": [1.0, float("nan"), 2.0, None, 3.0, 4.0],
+    }
+    for name, vals in cases.items():
+        ds = ray.data.from_arrow(pa.table({"x": pa.array(vals, type=pa.float64())}))
+        out = exact_float_quantiles(
+            ds, "x", [0.1, 0.5, 0.9], num_bins=16, collect_limit=64
+        )
+        got = dict(zip(out.column("q").to_pylist(), out.column("value").to_pylist()))
+        clean = np.sort(
+            np.array(
+                [
+                    v
+                    for v in vals
+                    if v is not None and not (isinstance(v, float) and math.isnan(v))
+                ]
+            )
+        )
+        for q in (0.1, 0.5, 0.9):
+            exp = float(clean[max(1, math.ceil(q * len(clean))) - 1])
+            assert got[q] == exp, (name, q, got[q], exp)
+    # empty input: null values, not a crash
+    empty = ray.data.from_arrow(pa.table({"x": pa.array([], type=pa.float64())}))
+    out = exact_float_quantiles(empty, "x", [0.5])
+    assert out.column("value").to_pylist() == [None]
