@@ -3055,6 +3055,17 @@ def _q_host_triangles(sf_dir: str):
     return triangle_count(edges)
 
 
+def _q_host_kcore(sf_dir: str):
+    """Undirected 4-core of the host link graph: iterative peeling
+    until every surviving host keeps >= 4 distinct neighbors — the
+    link-farm / tight-community density signal raw degree can't give.
+    Oracle: golden parquet from an independent sequential set-based
+    peel."""
+    from dots_ocr_ray.pipelines.graph import host_edges_from_documents, kcore
+
+    return kcore(host_edges_from_documents(sf_dir), k=4)
+
+
 def _q_price_quantiles(sf_dir: str):
     """EXACT float quantiles of l_extendedprice without a global sort:
     iterative histogram refinement (relational.exact_float_quantiles)
@@ -3290,6 +3301,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_dedup_stats": _q_cdc_dedup_stats,
         "host_trustrank": _q_host_trustrank,
         "price_quantiles": _q_price_quantiles,
+        "host_kcore": _q_host_kcore,
         # events analytics
         "cohort_retention": _q_cohort_retention,
         "daily_anomalies": _q_daily_anomalies,
@@ -4048,6 +4060,9 @@ def oracle_sql() -> dict[str, str]:
             "SELECT unnest([0.25, 0.5, 0.75, 0.95, 0.99]) AS q, "
             "unnest(quantile_disc(l_extendedprice, [0.25, 0.5, 0.75, 0.95, 0.99])) AS value "
             "FROM lineitem"
+        ),
+        "host_kcore": (
+            f"SELECT host FROM read_parquet('{_GOLDEN_DIR}/host_kcore.parquet')"
         ),
         "approx_users_by_type": (
             f"SELECT event_type, approx_distinct FROM read_parquet('{_GOLDEN_DIR}/approx_users_by_type.parquet')"

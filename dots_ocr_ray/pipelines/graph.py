@@ -848,6 +848,144 @@ def triangle_count(
 
 
 # ---------------------------------------------------------------------------
+# k-core decomposition
+
+
+def kcore(
+    edges: ray.data.Dataset,
+    *,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    edge_budget: int = 2_000_000,
+    max_rounds: int = 64,
+) -> ray.data.Dataset:
+    """Nodes of the UNDIRECTED k-core → ``(host,)``: the maximal
+    subgraph where every node keeps ≥ ``k`` distinct neighbors after
+    everyone below the bar is iteratively peeled — the density signal
+    that separates tight link communities (and link farms) from chains
+    and stars that raw degree can't tell apart.
+
+    Edges are canonicalized first (undirected, self-loops dropped,
+    multi-edges collapsed EXACTLY — per-batch unique partials into one
+    native multi-key groupby, the :func:`triangle_count` pattern;
+    near-distinct boundary stragglers would inflate degrees and leak
+    sub-k nodes into the core).  Two tiers on the DISTINCT-EDGE budget
+    (the ``cluster_assign`` rule):
+
+    * driver tier (distinct edges ≤ ``edge_budget``): the edge arrays
+      land once and the whole peel is vectorized numpy rounds
+      (bincount degrees over compacted ids, boolean kill mask) — no
+      per-round cluster work at all;
+    * distributed tier: per round, TWO semi hash-joins restrict the
+      edge set to live endpoints, one :func:`degree_table` exchange
+      recounts, and the < k nodes drop.  Rounds = peeling depth (small
+      on real link graphs; a pure chain is the worst case), bounded by
+      ``max_rounds`` — hitting the bound raises instead of returning a
+      wrong partial core."""
+    import pyarrow.compute as _pc
+
+    def _canon(batch: pa.Table) -> pa.Table:
+        a = batch.column(src).to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch.column(dst).to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = a != b
+        a, b = a[keep], b[keep]
+        lo = np.minimum(a, b)
+        hi = np.maximum(a, b)
+        u = np.unique(np.stack([lo, hi], axis=1), axis=0)
+        return pa.table(
+            {
+                "a": pa.array(u[:, 0], type=pa.int64()),
+                "b": pa.array(u[:, 1], type=pa.int64()),
+            }
+        )
+
+    undirected = (
+        bounded_blocks(
+            edges.map_batches(_canon, batch_format="pyarrow"), rows_per_block=1_048_576
+        )
+        .groupby(["a", "b"])
+        .count()
+        .select_columns(["a", "b"])
+        .materialize()
+    )
+    n_edges = undirected.count()
+    empty = pa.table({"host": pa.array([], pa.int64())})
+    if n_edges == 0:
+        return ray.data.from_arrow(empty)
+
+    if n_edges <= edge_budget:
+        a = _collect_int_col(undirected, "a")
+        b = _collect_int_col(undirected, "b")
+        nodes = np.unique(np.concatenate([a, b]))
+        ai = np.searchsorted(nodes, a)
+        bi = np.searchsorted(nodes, b)
+        alive = np.ones(len(nodes), dtype=bool)
+        e_alive = np.ones(len(a), dtype=bool)
+        while True:
+            deg = np.bincount(ai[e_alive], minlength=len(nodes)) + np.bincount(
+                bi[e_alive], minlength=len(nodes)
+            )
+            kill = alive & (deg < k)
+            if not kill.any():
+                break
+            alive &= ~kill
+            e_alive &= alive[ai] & alive[bi]
+        return ray.data.from_arrow(
+            pa.table({"host": pa.array(nodes[alive], type=pa.int64())})
+        )
+
+    # ---- distributed tier: peel in rounds ------------------------------
+    from dots_ocr_ray.pipelines.relational import hash_join
+
+    pair_schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+    host_schema = pa.schema([("host", pa.int64())])
+    live_edges = undirected
+    alive_count = None
+    for _ in range(max_rounds):
+        degs = degree_table(live_edges, src="a", dst="b")
+        alive = (
+            degs.map_batches(
+                lambda t: t.filter(
+                    _pc.greater_equal(_pc.add(t.column("out_deg"), t.column("in_deg")), k)
+                ).select(["host"]),
+                batch_format="pyarrow",
+            )
+        ).materialize()
+        n_alive = alive.count()
+        if n_alive == alive_count:
+            return alive
+        alive_count = n_alive
+        if n_alive == 0:
+            return ray.data.from_arrow(empty)
+
+        def _as(colname: str):
+            def _fn(batch: pa.Table) -> pa.Table:
+                return batch.rename_columns([colname])
+
+            return _fn
+
+        live_edges = hash_join(
+            hash_join(
+                live_edges,
+                alive.map_batches(_as("a"), batch_format="pyarrow"),
+                on="a",
+                how="semi",
+                left_schema=pair_schema,
+                right_schema=pa.schema([("a", pa.int64())]),
+            ),
+            alive.map_batches(_as("b"), batch_format="pyarrow"),
+            on="b",
+            how="semi",
+            left_schema=pair_schema,
+            right_schema=pa.schema([("b", pa.int64())]),
+        ).materialize()
+    raise ValueError(
+        f"k-core peeling did not converge within max_rounds={max_rounds}"
+    )
+
+
+# ---------------------------------------------------------------------------
 # multi-source BFS: shortest-hop crawl depth from a seed set
 
 

@@ -37,6 +37,7 @@ def _canon(obj) -> pd.DataFrame:
         "host_pagerank",
         "host_hits",
         "host_trustrank",
+        "host_kcore",
         "cdc_dedup_stats",
         "chars_quantiles_approx",
         "dedup_minhash",

@@ -264,3 +264,38 @@ def test_personalized_pagerank_tiers_and_seed_mass(ray_session):
         pagerank(_edges(rows2), num_iters=2, seeds=[99])
     with _pytest.raises(ValueError):
         pagerank(_edges(rows2), num_iters=2, seeds=[99], broadcast_limit=0)
+
+
+def test_kcore_tiers_match_reference_peel(ray_session):
+    from dots_ocr_ray.pipelines.graph import kcore
+
+    def ref(pairs, k):
+        from collections import defaultdict
+
+        adj = defaultdict(set)
+        for a, b in pairs:
+            if a != b:
+                adj[a].add(b)
+                adj[b].add(a)
+        alive = set(adj)
+        changed = True
+        while changed:
+            changed = False
+            for n in list(alive):
+                if n in alive and len(adj[n] & alive) < k:
+                    alive.discard(n)
+                    changed = True
+        return alive
+
+    clique = [(i, j) for i in range(5) for j in range(i + 1, 5)]
+    chain = [(4, 10), (10, 11), (11, 12)]
+    # duplicates, reversed edges and self-loops must not inflate degrees
+    noisy = clique + chain + [(1, 0), (0, 1), (2, 2), (3, 1)]
+    tri = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (4, 2)]
+    for pairs, k in [(clique + chain, 4), (noisy, 4), (tri, 2), (tri, 3)]:
+        exp = ref(pairs, k)
+        ds = _edges(pairs)
+        got_driver = {r["host"] for r in kcore(ds, k=k).take_all()}
+        got_dist = {r["host"] for r in kcore(_edges(pairs), k=k, edge_budget=0).take_all()}
+        assert got_driver == exp
+        assert got_dist == exp

@@ -590,6 +590,33 @@ def golden_host_trustrank(
     )
 
 
+def golden_host_kcore(sf_dir: str, *, k: int = 4) -> pa.Table:
+    """Independent sequential k-core peel (set-based, no numpy sharing
+    with the engine's bincount path) over the host-edge fixture."""
+    from collections import defaultdict
+
+    from dots_ocr_ray.pipelines.graph import EDGE_MULTIPLIERS, N_HOSTS
+
+    ids = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"]).column(
+        "doc_id"
+    ).to_numpy()
+    adj: dict = defaultdict(set)
+    for m in EDGE_MULTIPLIERS:
+        for a, b in zip(ids % N_HOSTS, (ids * m) % N_HOSTS):
+            if a != b:
+                adj[int(a)].add(int(b))
+                adj[int(b)].add(int(a))
+    alive = set(adj)
+    changed = True
+    while changed:
+        changed = False
+        for n in list(alive):
+            if n in alive and len(adj[n] & alive) < k:
+                alive.discard(n)
+                changed = True
+    return pa.table({"host": pa.array(sorted(alive), type=pa.int64())})
+
+
 def golden_host_hits(sf_dir: str, *, num_iters: int = 5) -> pa.Table:
     """Sequential HITS over the deterministic host-edge fixture
     (pipelines/graph.py:host_edges_from_documents); hub/authority
@@ -1006,6 +1033,7 @@ GOLDEN_BUILDERS = {
     "host_pagerank": golden_host_pagerank,
     "host_hits": golden_host_hits,
     "host_trustrank": golden_host_trustrank,
+    "host_kcore": golden_host_kcore,
     "cdc_dedup_stats": golden_cdc_dedup_stats,
     "describe_docs": golden_describe_docs,
     "chars_quantiles_approx": golden_chars_quantiles_approx,
