@@ -3055,6 +3055,25 @@ def _q_host_triangles(sf_dir: str):
     return triangle_count(edges)
 
 
+CMS_PROBES = ("the", "data", "join", "hash", "zqxzqx")
+
+
+def _q_cms_token_counts(sf_dir: str):
+    """Count-Min sketch point estimates for probe tokens over the
+    corpus (whitespace tokens): per-batch 4x2048 int64 partial
+    matrices fold on the driver — zero exchange, O(blocks) 64-KB
+    blobs; estimate >= true always, overshoot bounded by (e/width)*N.
+    Oracle: golden parquet from the sequential build of the SAME
+    deterministic sketch (integer adds commute, so partitioning
+    cannot change a cell)."""
+    import ray.data
+
+    from dots_ocr_ray.functions.sketches import cms_probe_counts
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return cms_probe_counts(docs, col="text", probes=list(CMS_PROBES))
+
+
 def _q_host_kcore(sf_dir: str):
     """Undirected 4-core of the host link graph: iterative peeling
     until every surviving host keeps >= 4 distinct neighbors — the
@@ -3302,6 +3321,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_trustrank": _q_host_trustrank,
         "price_quantiles": _q_price_quantiles,
         "host_kcore": _q_host_kcore,
+        "cms_token_counts": _q_cms_token_counts,
         # events analytics
         "cohort_retention": _q_cohort_retention,
         "daily_anomalies": _q_daily_anomalies,
@@ -4063,6 +4083,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "host_kcore": (
             f"SELECT host FROM read_parquet('{_GOLDEN_DIR}/host_kcore.parquet')"
+        ),
+        "cms_token_counts": (
+            f"SELECT term, est_count FROM read_parquet('{_GOLDEN_DIR}/cms_token_counts.parquet')"
         ),
         "approx_users_by_type": (
             f"SELECT event_type, approx_distinct FROM read_parquet('{_GOLDEN_DIR}/approx_users_by_type.parquet')"

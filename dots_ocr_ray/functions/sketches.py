@@ -196,6 +196,109 @@ def grouped_approx_distinct(
 
 
 # ---------------------------------------------------------------------------
+class CountMin:
+    """Count-Min sketch: mergeable per-key frequency estimates in
+    ``depth × width`` int64 cells — point lookups over key spaces far
+    too large for an exact count table (every token / url / shingle of
+    a 10^12-row corpus in a few hundred KB).
+
+    Guarantees (classic CM): ``estimate >= true`` always, and
+    ``estimate <= true + (e/width) * N`` with probability
+    ``1 - e^-depth`` (N = total added count).  Rows hash with
+    independent blake2b seeds (deterministic — no RNG, so partials
+    built anywhere merge into the SAME sketch and the result is
+    golden-checkable); merge = elementwise add, commutative and
+    layout-insensitive."""
+
+    def __init__(self, width: int = 2048, depth: int = 4):
+        self.width = width
+        self.depth = depth
+        self.counts = np.zeros((depth, width), dtype=np.int64)
+
+    def add_many(self, keys: list[str], counts: np.ndarray | None = None) -> None:
+        if not keys:
+            return
+        c = (
+            np.ones(len(keys), dtype=np.int64)
+            if counts is None
+            else np.asarray(counts, dtype=np.int64)
+        )
+        for d in range(self.depth):
+            idx = (_h64_many(keys, seed=d) % np.uint64(self.width)).astype(np.int64)
+            np.add.at(self.counts[d], idx, c)
+
+    def merge(self, other: "CountMin") -> "CountMin":
+        assert (self.width, self.depth) == (other.width, other.depth)
+        out = CountMin(self.width, self.depth)
+        out.counts = self.counts + other.counts
+        return out
+
+    def estimate_many(self, keys: list[str]) -> np.ndarray:
+        if not keys:
+            return np.zeros(0, dtype=np.int64)
+        est = np.full((self.depth, len(keys)), np.iinfo(np.int64).max, dtype=np.int64)
+        for d in range(self.depth):
+            idx = (_h64_many(keys, seed=d) % np.uint64(self.width)).astype(np.int64)
+            est[d] = self.counts[d][idx]
+        return est.min(axis=0)
+
+    def serialize(self) -> bytes:
+        head = self.depth.to_bytes(2, "big") + self.width.to_bytes(4, "big")
+        return head + self.counts.astype(">i8").tobytes()
+
+    @classmethod
+    def deserialize(cls, blob: bytes) -> "CountMin":
+        depth = int.from_bytes(blob[:2], "big")
+        width = int.from_bytes(blob[2:6], "big")
+        out = cls(width, depth)
+        out.counts = (
+            np.frombuffer(blob[6:], dtype=">i8").astype(np.int64).reshape(depth, width)
+        )
+        return out
+
+
+def cms_probe_counts(
+    ds: ray.data.Dataset,
+    *,
+    col: str,
+    probes: list[str],
+    width: int = 2048,
+    depth: int = 4,
+    tokenize: bool = True,
+) -> "pa.Table":
+    """(term, est_count) Count-Min estimates for ``probes`` over a
+    text (``tokenize=True``, whitespace split) or key column.  One
+    stateless pass builds per-batch partial sketches; the driver folds
+    O(blocks) fixed-size matrices — no exchange, no per-key state."""
+
+    def _sketch(batch: pa.Table) -> pa.Table:
+        cm = CountMin(width, depth)
+        if tokenize:
+            toks: list[str] = []
+            for t in batch.column(col).to_pylist():
+                toks.extend((t or "").split())
+            # collapse to (distinct token, count): one hash per distinct
+            u, c = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+            cm.add_many(list(u), c.astype(np.int64))
+        else:
+            vals = [str(v) for v in batch.column(col).to_pylist()]
+            u, c = np.unique(np.asarray(vals, dtype=object), return_counts=True)
+            cm.add_many(list(u), c.astype(np.int64))
+        return pa.table({"sketch": pa.array([cm.serialize()], type=pa.binary())})
+
+    merged = CountMin(width, depth)
+    for row in ds.map_batches(_sketch, batch_format="pyarrow").iter_rows():
+        merged = merged.merge(CountMin.deserialize(row["sketch"]))
+    est = merged.estimate_many(probes)
+    return pa.table(
+        {
+            "term": pa.array(probes, type=pa.string()),
+            "est_count": pa.array(est, type=pa.int64()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
 class SpaceSaving:
     """Misra-Gries/SpaceSaving heavy hitters: guaranteed to contain
     every key with frequency > n/capacity; counts are overestimates by

@@ -38,6 +38,7 @@ def _canon(obj) -> pd.DataFrame:
         "host_hits",
         "host_trustrank",
         "host_kcore",
+        "cms_token_counts",
         "cdc_dedup_stats",
         "chars_quantiles_approx",
         "dedup_minhash",

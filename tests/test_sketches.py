@@ -180,3 +180,52 @@ def test_grouped_approx_distinct(ray_session):
         ).take_all()
     }
     assert out == again
+
+
+def test_countmin_guarantees_and_merge():
+    import numpy as np
+
+    from dots_ocr_ray.functions.sketches import CountMin
+
+    rng = np.random.RandomState(3)
+    keys = [f"k{int(i)}" for i in rng.zipf(1.5, 5000) if i < 10000]
+    from collections import Counter
+
+    true = Counter(keys)
+    bulk = CountMin(width=1024, depth=4)
+    bulk.add_many(keys)
+    # split-and-merge builds the identical matrix (integer adds commute)
+    a, b = CountMin(1024, 4), CountMin(1024, 4)
+    a.add_many(keys[: len(keys) // 2])
+    b.add_many(keys[len(keys) // 2 :])
+    merged = a.merge(b)
+    assert (merged.counts == bulk.counts).all()
+    # never undercounts; overshoot bounded by (e/width) * N w.h.p.
+    probes = list(true)[:200]
+    est = bulk.estimate_many(probes)
+    truth = np.array([true[p] for p in probes])
+    assert (est >= truth).all()
+    import math
+
+    bound = math.e / 1024 * len(keys)
+    assert float(np.mean(est - truth)) <= bound
+    # serialize roundtrip
+    rt = CountMin.deserialize(bulk.serialize())
+    assert (rt.counts == bulk.counts).all()
+    assert (rt.estimate_many(probes) == est).all()
+
+
+def test_cms_probe_counts_pipeline_exactness(ray_session):
+    """With a wide sketch and a tiny vocabulary there are no
+    collisions, so the distributed estimate equals the exact count."""
+    import pyarrow as pa
+
+    import ray.data
+
+    from dots_ocr_ray.functions.sketches import cms_probe_counts
+
+    texts = ["a b a", "b c", "a", ""] * 50
+    ds = ray.data.from_arrow(pa.table({"text": pa.array(texts, type=pa.string())}))
+    out = cms_probe_counts(ds, col="text", probes=["a", "b", "c", "zz"])
+    got = dict(zip(out.column("term").to_pylist(), out.column("est_count").to_pylist()))
+    assert got == {"a": 150, "b": 100, "c": 50, "zz": 0}

@@ -617,6 +617,28 @@ def golden_host_kcore(sf_dir: str, *, k: int = 4) -> pa.Table:
     return pa.table({"host": pa.array(sorted(alive), type=pa.int64())})
 
 
+def golden_cms_token_counts(sf_dir: str) -> pa.Table:
+    """Sequential Count-Min build over the same whitespace tokens and
+    probes as the driver query — integer adds commute, so this matrix
+    is bit-equal to any partitioned fold of the same corpus."""
+    from dots_ocr_ray.functions.sketches import CountMin
+
+    probes = ["the", "data", "join", "hash", "zqxzqx"]
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["text"])
+    cm = CountMin(2048, 4)
+    for t in tbl.column("text").to_pylist():
+        toks = (t or "").split()
+        if toks:
+            u, c = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+            cm.add_many(list(u), c.astype(np.int64))
+    return pa.table(
+        {
+            "term": pa.array(probes, type=pa.string()),
+            "est_count": pa.array(cm.estimate_many(probes), type=pa.int64()),
+        }
+    )
+
+
 def golden_host_hits(sf_dir: str, *, num_iters: int = 5) -> pa.Table:
     """Sequential HITS over the deterministic host-edge fixture
     (pipelines/graph.py:host_edges_from_documents); hub/authority
@@ -1034,6 +1056,7 @@ GOLDEN_BUILDERS = {
     "host_hits": golden_host_hits,
     "host_trustrank": golden_host_trustrank,
     "host_kcore": golden_host_kcore,
+    "cms_token_counts": golden_cms_token_counts,
     "cdc_dedup_stats": golden_cdc_dedup_stats,
     "describe_docs": golden_describe_docs,
     "chars_quantiles_approx": golden_chars_quantiles_approx,
