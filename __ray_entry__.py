@@ -3058,6 +3058,21 @@ def _q_host_triangles(sf_dir: str):
 CMS_PROBES = ("the", "data", "join", "hash", "zqxzqx")
 
 
+def _q_vocab_edit_pairs(sf_dir: str):
+    """All customer-name pairs within edit distance 1 — the
+    entity-resolution fuzzy SELF join (near-identical ids/names)
+    fuzzy_vocab_match's fixed probe list can't express: SymSpell
+    deletion-neighborhood blocking + self hash-join on the block key +
+    candidate-proportional verification.  Oracle: DuckDB levenshtein
+    self-join over the same names."""
+    import ray.data
+
+    from dots_ocr_ray.pipelines.text_analysis import vocab_edit_pairs
+
+    names = ray.data.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_name"])
+    return vocab_edit_pairs(names, text_col="c_name", tokenize=False)
+
+
 def _q_cms_token_counts(sf_dir: str):
     """Count-Min sketch point estimates for probe tokens over the
     corpus (whitespace tokens): per-batch 4x2048 int64 partial
@@ -3322,6 +3337,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_quantiles": _q_price_quantiles,
         "host_kcore": _q_host_kcore,
         "cms_token_counts": _q_cms_token_counts,
+        "vocab_edit_pairs": _q_vocab_edit_pairs,
         # events analytics
         "cohort_retention": _q_cohort_retention,
         "daily_anomalies": _q_daily_anomalies,
@@ -4086,6 +4102,13 @@ def oracle_sql() -> dict[str, str]:
         ),
         "cms_token_counts": (
             f"SELECT term, est_count FROM read_parquet('{_GOLDEN_DIR}/cms_token_counts.parquet')"
+        ),
+        "vocab_edit_pairs": (
+            "WITH v AS (SELECT c_name AS token, CAST(count(*) AS BIGINT) AS n "
+            "FROM customer WHERE c_name IS NOT NULL AND c_name <> '' GROUP BY c_name) "
+            "SELECT a.token AS tok_a, b.token AS tok_b, a.n AS n_a, b.n AS n_b "
+            "FROM v a JOIN v b ON a.token < b.token "
+            "AND levenshtein(a.token, b.token) <= 1"
         ),
         "approx_users_by_type": (
             f"SELECT event_type, approx_distinct FROM read_parquet('{_GOLDEN_DIR}/approx_users_by_type.parquet')"

@@ -487,8 +487,11 @@ def fuzzy_vocab_match(
     probes = list(probes)
 
     def _tok_partials(batch: pa.Table) -> pa.Table:
-        lists = split_whitespace_checked(batch.column(text_col))
-        toks = pc.list_flatten(lists)
+        if tokenize:
+            lists = split_whitespace_checked(batch.column(text_col))
+            toks = pc.list_flatten(lists)
+        else:
+            toks = batch.column(text_col).combine_chunks().cast(pa.string())
         toks = toks.filter(pc.not_equal(toks, ""))
         out = pa.table({"token": toks}).group_by("token").aggregate([([], "count_all")])
         return out.rename_columns(["token", "n"])
@@ -527,6 +530,159 @@ def fuzzy_vocab_match(
         )
 
     return vocab.map_batches(_match, batch_format="pyarrow")
+
+
+def vocab_edit_pairs(
+    ds: ray.data.Dataset,
+    *,
+    text_col: str = "text",
+    tokenize: bool = True,
+    min_count: int = 1,
+    max_token_len: int = 64,
+) -> ray.data.Dataset:
+    """ALL unordered pairs of distinct vocabulary tokens within edit
+    distance 1 — the spell-variant / tokenizer-noise audit as a SELF
+    join, where :func:`fuzzy_vocab_match` only probes a fixed list.
+
+    SymSpell deletion blocking: every token emits its deletion
+    neighborhood {token} ∪ {token minus one char} as block keys.  Two
+    distinct tokens are within distance 1 **iff** they share a key,
+    and a TRUE pair shares EXACTLY ONE key (a substitution pair meets
+    only at the substituted position's deletion; a length-±1 pair
+    only at the shorter token itself), so the verified output needs
+    no dedup pass.  False candidates (e.g. transpositions like
+    ab/ba) die in verification.
+
+    Plan: one vocabulary-bounded token exchange → per-batch deletion
+    explode (≤ len+1 keys per token) → SELF
+    :func:`~dots_ocr_ray.pipelines.relational.hash_join` on the key
+    (vectorized per-bucket merge; a deletion key is structurally
+    shared by at most ~alphabet × len tokens, so no hot-bucket cap is
+    needed) → per-batch distance-≤1 verification whose cost is
+    CANDIDATE-proportional, i.e. output-proportional — never vocab².
+    Tokens longer than ``max_token_len`` are skipped (they cannot be
+    near-misses of real words and would bloat the key explode).
+
+    Distance is computed over UTF-8 BYTES — exactly DuckDB's
+    ``levenshtein`` semantics (there ``levenshtein('née','nee') = 2``)
+    — and blocking keys delete CHARACTERS, a superset of byte
+    deletions, so no byte-level pair can be missed.
+
+    Output: (tok_a, tok_b, n_a, n_b) with tok_a < tok_b; token counts
+    use the same whitespace tokenization as the SQL oracle.  With
+    ``tokenize=False`` the column's VALUES are the vocabulary — the
+    entity-resolution form (near-identical names/ids across a
+    dimension or crawl snapshot)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from dots_ocr_ray.pipelines.relational import hash_join
+
+    def _tok_partials(batch: pa.Table) -> pa.Table:
+        if tokenize:
+            lists = split_whitespace_checked(batch.column(text_col))
+            toks = pc.list_flatten(lists)
+        else:
+            toks = batch.column(text_col).combine_chunks().cast(pa.string())
+        toks = toks.filter(pc.not_equal(toks, ""))
+        out = pa.table({"token": toks}).group_by("token").aggregate([([], "count_all")])
+        return out.rename_columns(["token", "n"])
+
+    vocab = (
+        ds.map_batches(_tok_partials, batch_format="pyarrow")
+        .groupby("token")
+        .sum("n")
+    )
+
+    def _explode(batch: pa.Table) -> pa.Table:
+        toks = batch.column("token").to_pylist()
+        counts = batch.column("sum(n)").to_numpy(zero_copy_only=False)
+        keys_out: list[str] = []
+        tok_out: list[str] = []
+        n_out: list[int] = []
+        for t, n in zip(toks, counts):
+            if n < min_count or len(t) > max_token_len:
+                continue
+            neigh = {t}
+            neigh.update(t[:i] + t[i + 1 :] for i in range(len(t)))
+            for key in neigh:
+                keys_out.append(key)
+                tok_out.append(t)
+                n_out.append(int(n))
+        return pa.table(
+            {
+                "key": pa.array(keys_out, type=pa.string()),
+                "token": pa.array(tok_out, type=pa.string()),
+                "n": pa.array(n_out, type=pa.int64()),
+            }
+        )
+
+    keyed = vocab.map_batches(_explode, batch_format="pyarrow").materialize()
+    key_schema = pa.schema([("key", pa.string()), ("token", pa.string()), ("n", pa.int64())])
+    cand = hash_join(
+        keyed,
+        keyed,
+        on="key",
+        left_schema=key_schema,
+        right_schema=key_schema,
+    )
+
+    def _ins_ok(a: str, b: str) -> bool:
+        # |a| + 1 == |b|: is a == b minus one char?
+        i = 0
+        la = len(a)
+        while i < la and a[i] == b[i]:
+            i += 1
+        return a[i:] == b[i + 1 :]
+
+    def _verify(batch: pa.Table) -> pa.Table:
+        a = batch.column("token").to_pylist()
+        b = batch.column("token_r").to_pylist()
+        na = batch.column("n").to_numpy(zero_copy_only=False)
+        nb = batch.column("n_r").to_numpy(zero_copy_only=False)
+        n_rows = len(a)
+        if n_rows == 0:
+            return pa.table(
+                {
+                    "tok_a": pa.array([], type=pa.string()),
+                    "tok_b": pa.array([], type=pa.string()),
+                    "n_a": pa.array([], type=pa.int64()),
+                    "n_b": pa.array([], type=pa.int64()),
+                }
+            )
+        # vectorized: zero-padded byte matrices — utf-8 byte order
+        # preserves code-point order and NUL pads shorter strings
+        # first, so the A < B mask matches Python/SQL string order
+        A = np.asarray([x.encode("utf-8") for x in a], dtype=bytes)
+        B = np.asarray([x.encode("utf-8") for x in b], dtype=bytes)
+        la = np.fromiter((len(x) for x in A), dtype=np.int64, count=n_rows)
+        lb = np.fromiter((len(x) for x in B), dtype=np.int64, count=n_rows)
+        width = max(int(la.max()), int(lb.max()))
+        Au = np.frombuffer(A.astype(f"S{width}").tobytes(), np.uint8).reshape(n_rows, width)
+        Bu = np.frombuffer(B.astype(f"S{width}").tobytes(), np.uint8).reshape(n_rows, width)
+        order = A < B
+        keep = np.zeros(n_rows, dtype=bool)
+        # substitution case fully vectorized: exactly one differing byte
+        sub = order & (la == lb)
+        if sub.any():
+            idx = np.nonzero(sub)[0]
+            keep[idx] = (Au[idx] != Bu[idx]).sum(axis=1) == 1
+        # insertion case: candidate-proportional short Python walks
+        ins = order & (np.abs(la - lb) == 1)
+        for i in np.nonzero(ins)[0]:
+            x, y = (a[i], b[i]) if la[i] < lb[i] else (b[i], a[i])
+            keep[i] = _ins_ok(x, y)
+        kept = np.nonzero(keep)[0]
+        return pa.table(
+            {
+                "tok_a": pa.array([a[i] for i in kept], type=pa.string()),
+                "tok_b": pa.array([b[i] for i in kept], type=pa.string()),
+                "n_a": pa.array(na[kept].astype(np.int64), type=pa.int64()),
+                "n_b": pa.array(nb[kept].astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    return cand.map_batches(_verify, batch_format="pyarrow")
 
 
 def repetition_stats(

@@ -556,3 +556,67 @@ def test_bm25_scores_small_fixture(ray_session):
         exp = idf * tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
         assert out[doc_id]["tf"] == tf
         assert abs(out[doc_id]["bm25"] - round(exp, 4)) < 1e-9
+
+
+def test_vocab_edit_pairs_matches_bruteforce(ray_session):
+    """SymSpell deletion blocking + verification == brute-force
+    Levenshtein<=1 over the vocabulary, with no duplicate pairs
+    (a true pair shares exactly one block key)."""
+    import itertools
+
+    import pyarrow as pa
+
+    import ray.data
+    from dots_ocr_ray.pipelines.text_analysis import vocab_edit_pairs
+
+    def lev(a, b):
+        # byte-level, matching DuckDB's levenshtein (utf-8 bytes:
+        # levenshtein('née','nee') = 2 there, not 1)
+        a, b = a.encode("utf-8"), b.encode("utf-8")
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    vocab = [
+        "cat", "cut", "cart", "ca", "act",  # sub, ins, del, transposition
+        "dog", "dig", "dg", "dogs",
+        "x", "y", "xy",
+        "née", "nee",  # unicode
+        "same", "same",  # duplicate rows collapse into one vocab entry
+    ]
+    texts = [" ".join(vocab)] * 3
+    ds = ray.data.from_arrow(pa.table({"text": pa.array(texts, type=pa.string())}))
+    out = vocab_edit_pairs(ds).to_pandas()
+    got = set(zip(out.tok_a, out.tok_b))
+    uniq = sorted(set(vocab))
+    want = {
+        (a, b)
+        for a, b in itertools.combinations(uniq, 2)
+        if lev(a, b) <= 1
+    }
+    assert got == want
+    assert len(out) == len(got)  # no duplicate pair rows
+    # counts ride through: every token appears 3x
+    assert set(out.n_a) == {3} and set(out.n_b) == {3}
+
+
+def test_vocab_edit_pairs_value_mode(ray_session):
+    import pyarrow as pa
+
+    import ray.data
+    from dots_ocr_ray.pipelines.text_analysis import vocab_edit_pairs
+
+    names = ["id-001", "id-002", "id-01", "other", "id-001"]
+    ds = ray.data.from_arrow(pa.table({"name": pa.array(names, type=pa.string())}))
+    out = vocab_edit_pairs(ds, text_col="name", tokenize=False).to_pandas()
+    got = set(zip(out.tok_a, out.tok_b))
+    # id-002/id-01 is distance 2 (substitute + delete) and must NOT pair
+    assert got == {("id-001", "id-002"), ("id-001", "id-01")}
+    n = dict(zip(out.tok_a, out.n_a)) | dict(zip(out.tok_b, out.n_b))
+    assert n["id-001"] == 2 and n["id-002"] == 1
