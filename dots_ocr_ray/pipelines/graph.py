@@ -883,8 +883,6 @@ def kcore(
       on real link graphs; a pure chain is the worst case), bounded by
       ``max_rounds`` — hitting the bound raises instead of returning a
       wrong partial core."""
-    import pyarrow.compute as _pc
-
     def _canon(batch: pa.Table) -> pa.Table:
         a = batch.column(src).to_numpy(zero_copy_only=False).astype(np.int64)
         b = batch.column(dst).to_numpy(zero_copy_only=False).astype(np.int64)
@@ -939,7 +937,6 @@ def kcore(
     from dots_ocr_ray.pipelines.relational import hash_join
 
     pair_schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
-    host_schema = pa.schema([("host", pa.int64())])
     live_edges = undirected
     alive_count = None
     for _ in range(max_rounds):
@@ -947,7 +944,7 @@ def kcore(
         alive = (
             degs.map_batches(
                 lambda t: t.filter(
-                    _pc.greater_equal(_pc.add(t.column("out_deg"), t.column("in_deg")), k)
+                    pc.greater_equal(pc.add(t.column("out_deg"), t.column("in_deg")), k)
                 ).select(["host"]),
                 batch_format="pyarrow",
             )
@@ -1365,7 +1362,7 @@ def hits(
             out = out.map_batches(_norm, batch_format="pyarrow").materialize()
         return out
 
-    auth_ds = None
+    auth_ds = degrees.map_batches(_zeros, batch_format="pyarrow").materialize()
     for _ in range(num_iters):
         auth_ds = _half_update(hub_ds, src, dst)
         hub_ds = _half_update(auth_ds, dst, src)

@@ -852,6 +852,10 @@ def interval_overlap_join(
         def _fn(batch: pa.Table) -> pa.Table:
             lo = batch.column(lo_col).to_numpy(zero_copy_only=False).astype(np.float64)
             hi = batch.column(hi_col).to_numpy(zero_copy_only=False).astype(np.float64)
+            ok = ~(np.isnan(lo) | np.isnan(hi))  # SQL: a NULL bound never matches
+            if not ok.all():
+                batch = batch.filter(pa.array(ok))
+                lo, hi = lo[ok], hi[ok]
             b0 = np.floor(lo * inv_w).astype(np.int64)
             b1 = np.floor(hi * inv_w).astype(np.int64)
             span = b1 - b0 + 1
@@ -884,8 +888,7 @@ def interval_overlap_join(
 
     def _merge(group: pa.Table) -> pa.Table:
         df = group.to_pandas(types_mapper=pd.ArrowDtype)
-        b_lo = float(df["__bucket"].iloc[0]) * width
-        b_end = b_lo + width
+        bucket = int(df["__bucket"].iloc[0])
         lhs = df[df["__side"] == 0][left_cols].reset_index(drop=True)
         rhs = df[df["__side"] == 1][right_cols].reset_index(drop=True)
         if not len(lhs) or not len(rhs):
@@ -905,17 +908,26 @@ def interval_overlap_join(
         lhi = lhs[left_hi].to_numpy(dtype=np.float64)
         rlo = rhs[right_lo].to_numpy(dtype=np.float64)
         rhi = rhs[right_hi].to_numpy(dtype=np.float64)
+        # ownership membership derives from the SAME floor(x * inv_w)
+        # function replication used — float boundary arithmetic
+        # (bucket * width vs floor(x / width)) can disagree at the
+        # edges and silently drop pairs.  floor(lo) is monotone in the
+        # lo-sorted arrays, so the in-bucket index window is two
+        # searchsorted calls on the bucket ids.
+        fb_r = np.floor(rlo * inv_w).astype(np.int64)
+        fb_l = np.floor(llo * inv_w).astype(np.int64)
+        r_in0 = int(np.searchsorted(fb_r, bucket, side="left"))
+        r_in1 = int(np.searchsorted(fb_r, bucket, side="right"))
+        l_in0 = int(np.searchsorted(fb_l, bucket, side="left"))
+        l_in1 = int(np.searchsorted(fb_l, bucket, side="right"))
 
-        # direction A: r_lo in [max(l_lo, b_lo), min(l_hi, bucket end))
-        a_start = np.searchsorted(rlo, np.maximum(llo, b_lo), side="left")
-        a_end = np.searchsorted(rlo, np.minimum(lhi, np.nextafter(b_end, -np.inf)), side="right")
+        # direction A: r_lo >= l_lo, r_lo <= l_hi, bucket(r_lo) == this
+        a_start = np.maximum(np.searchsorted(rlo, llo, side="left"), r_in0)
+        a_end = np.minimum(np.searchsorted(rlo, lhi, side="right"), r_in1)
         li_a, ri_a = _runs_to_pairs(a_start, a_end)
-        # direction B: l_lo in (r_lo, min(r_hi, bucket end)], l_lo >= b_lo
-        b_start = np.maximum(
-            np.searchsorted(llo, rlo, side="right"),
-            np.searchsorted(llo, b_lo, side="left"),
-        )
-        b_end_idx = np.searchsorted(llo, np.minimum(rhi, np.nextafter(b_end, -np.inf)), side="right")
+        # direction B: l_lo > r_lo, l_lo <= r_hi, bucket(l_lo) == this
+        b_start = np.maximum(np.searchsorted(llo, rlo, side="right"), l_in0)
+        b_end_idx = np.minimum(np.searchsorted(llo, rhi, side="right"), l_in1)
         ri_b, li_b = _runs_to_pairs(b_start, b_end_idx)
         li = np.concatenate([li_a, li_b])
         ri = np.concatenate([ri_a, ri_b])

@@ -453,6 +453,28 @@ def ngram_diversity(
     )
 
 
+def _vocab_counts(
+    ds: ray.data.Dataset, *, text_col: str, tokenize: bool = True
+) -> ray.data.Dataset:
+    """(token, sum(n)) vocabulary table: per-batch count partials into
+    ONE vocabulary-bounded keyed exchange — the shared stage behind
+    :func:`fuzzy_vocab_match` and :func:`vocab_edit_pairs`.  With
+    ``tokenize=False`` the column's values are the vocabulary."""
+    import pyarrow.compute as pc
+
+    def _tok_partials(batch: pa.Table) -> pa.Table:
+        if tokenize:
+            lists = split_whitespace_checked(batch.column(text_col))
+            toks = pc.list_flatten(lists)
+        else:
+            toks = batch.column(text_col).combine_chunks().cast(pa.string())
+        toks = toks.filter(pc.not_equal(toks, ""))  # null mask entries drop too
+        out = pa.table({"token": toks}).group_by("token").aggregate([([], "count_all")])
+        return out.rename_columns(["token", "n"])
+
+    return ds.map_batches(_tok_partials, batch_format="pyarrow").groupby("token").sum("n")
+
+
 def fuzzy_vocab_match(
     ds: ray.data.Dataset,
     *,
@@ -486,21 +508,7 @@ def fuzzy_vocab_match(
 
     probes = list(probes)
 
-    def _tok_partials(batch: pa.Table) -> pa.Table:
-        if tokenize:
-            lists = split_whitespace_checked(batch.column(text_col))
-            toks = pc.list_flatten(lists)
-        else:
-            toks = batch.column(text_col).combine_chunks().cast(pa.string())
-        toks = toks.filter(pc.not_equal(toks, ""))
-        out = pa.table({"token": toks}).group_by("token").aggregate([([], "count_all")])
-        return out.rename_columns(["token", "n"])
-
-    vocab = (
-        ds.map_batches(_tok_partials, batch_format="pyarrow")
-        .groupby("token")
-        .sum("n")
-    )
+    vocab = _vocab_counts(ds, text_col=text_col)
 
     def _match(batch: pa.Table) -> pa.Table:
         toks = np.asarray(batch.column("token").to_pylist(), dtype=object)
@@ -578,21 +586,7 @@ def vocab_edit_pairs(
 
     from dots_ocr_ray.pipelines.relational import hash_join
 
-    def _tok_partials(batch: pa.Table) -> pa.Table:
-        if tokenize:
-            lists = split_whitespace_checked(batch.column(text_col))
-            toks = pc.list_flatten(lists)
-        else:
-            toks = batch.column(text_col).combine_chunks().cast(pa.string())
-        toks = toks.filter(pc.not_equal(toks, ""))
-        out = pa.table({"token": toks}).group_by("token").aggregate([([], "count_all")])
-        return out.rename_columns(["token", "n"])
-
-    vocab = (
-        ds.map_batches(_tok_partials, batch_format="pyarrow")
-        .groupby("token")
-        .sum("n")
-    )
+    vocab = _vocab_counts(ds, text_col=text_col, tokenize=tokenize)
 
     def _explode(batch: pa.Table) -> pa.Table:
         toks = batch.column("token").to_pylist()
@@ -650,17 +644,23 @@ def vocab_edit_pairs(
                     "n_b": pa.array([], type=pa.int64()),
                 }
             )
-        # vectorized: zero-padded byte matrices — utf-8 byte order
-        # preserves code-point order and NUL pads shorter strings
-        # first, so the A < B mask matches Python/SQL string order
-        A = np.asarray([x.encode("utf-8") for x in a], dtype=bytes)
-        B = np.asarray([x.encode("utf-8") for x in b], dtype=bytes)
-        la = np.fromiter((len(x) for x in A), dtype=np.int64, count=n_rows)
-        lb = np.fromiter((len(x) for x in B), dtype=np.int64, count=n_rows)
+        # vectorized: zero-padded byte matrices.  Lengths and the
+        # A < B order come from the ORIGINAL bytes — numpy's S dtype
+        # silently strips trailing NULs, which would corrupt both for
+        # tokens ending in \x00 (the padded MATRICES are unaffected:
+        # NUL padding coincides with the stripped bytes)
+        enc_a = [x.encode("utf-8") for x in a]
+        enc_b = [x.encode("utf-8") for x in b]
+        la = np.fromiter((len(x) for x in enc_a), dtype=np.int64, count=n_rows)
+        lb = np.fromiter((len(x) for x in enc_b), dtype=np.int64, count=n_rows)
         width = max(int(la.max()), int(lb.max()))
-        Au = np.frombuffer(A.astype(f"S{width}").tobytes(), np.uint8).reshape(n_rows, width)
-        Bu = np.frombuffer(B.astype(f"S{width}").tobytes(), np.uint8).reshape(n_rows, width)
-        order = A < B
+        A = np.asarray(enc_a, dtype=f"S{width}")
+        B = np.asarray(enc_b, dtype=f"S{width}")
+        Au = np.frombuffer(A.tobytes(), np.uint8).reshape(n_rows, width)
+        Bu = np.frombuffer(B.tobytes(), np.uint8).reshape(n_rows, width)
+        order = np.fromiter(
+            (x < y for x, y in zip(enc_a, enc_b)), dtype=bool, count=n_rows
+        )
         keep = np.zeros(n_rows, dtype=bool)
         # substitution case fully vectorized: exactly one differing byte
         sub = order & (la == lb)
