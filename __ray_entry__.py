@@ -3058,6 +3058,34 @@ def _q_host_triangles(sf_dir: str):
 CMS_PROBES = ("the", "data", "join", "hash", "zqxzqx")
 
 
+def _q_corpus_overlap(sf_dir: str):
+    """HLL set-overlap between the customer key universe and the
+    event-active user ids: |A|, |B|, |A∪B| from register-max union,
+    |A∩B| by inclusion–exclusion — the entity-coverage audit (same
+    mechanics as crawl-snapshot overlap) with zero exchange: per-batch
+    register partials fold on the driver, never a semi-join.  Oracle:
+    golden parquet from the bit-equal sequential build."""
+    import pyarrow as pa
+
+    import ray.data
+
+    from dots_ocr_ray.functions.sketches import corpus_overlap
+
+    def _as_key(col: str):
+        def _fn(batch: pa.Table) -> pa.Table:
+            return pa.table({"k": batch.column(col).cast(pa.string())})
+
+        return _fn
+
+    left = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"]
+    ).map_batches(_as_key("c_custkey"), batch_format="pyarrow")
+    right = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id"]
+    ).map_batches(_as_key("user_id"), batch_format="pyarrow")
+    return corpus_overlap(left, right, col="k")
+
+
 def _q_vocab_edit_pairs(sf_dir: str):
     """All customer-name pairs within edit distance 1 — the
     entity-resolution fuzzy SELF join (near-identical ids/names)
@@ -3338,6 +3366,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_kcore": _q_host_kcore,
         "cms_token_counts": _q_cms_token_counts,
         "vocab_edit_pairs": _q_vocab_edit_pairs,
+        "corpus_overlap": _q_corpus_overlap,
         # events analytics
         "cohort_retention": _q_cohort_retention,
         "daily_anomalies": _q_daily_anomalies,
@@ -4102,6 +4131,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "cms_token_counts": (
             f"SELECT term, est_count FROM read_parquet('{_GOLDEN_DIR}/cms_token_counts.parquet')"
+        ),
+        "corpus_overlap": (
+            f"SELECT * FROM read_parquet('{_GOLDEN_DIR}/corpus_overlap.parquet')"
         ),
         "vocab_edit_pairs": (
             "WITH v AS (SELECT c_name AS token, CAST(count(*) AS BIGINT) AS n "

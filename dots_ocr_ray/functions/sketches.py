@@ -195,6 +195,56 @@ def grouped_approx_distinct(
     )
 
 
+def corpus_overlap(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    *,
+    col: str,
+    p: int = 14,
+) -> "pa.Table":
+    """Approximate set-overlap between two corpora on a key column —
+    the recurring-crawl audit ("how much of snapshot N+1 is already in
+    snapshot N") WITHOUT the exact semi-join: one HLL per side folded
+    from per-batch register partials (zero exchange, O(blocks) 2^p-
+    byte blobs), union = register max, and by inclusion–exclusion
+    ``|A∩B| ≈ |A| + |B| − |A∪B|``.
+
+    Output (one row): n_left, n_right, n_union, n_intersect (all
+    rounded estimates, int64; n_intersect floored at 0) and
+    jaccard:float64 rounded to 6 dp.  Deterministic — blake2b-hashed
+    registers make every fold bit-equal to the sequential build, so
+    the row is golden-checkable exactly.  Standard error ~1.04/√2^p
+    (0.8% at p=14) on each cardinality; the intersection inherits the
+    absolute error of the union, so treat small overlaps as "below
+    noise", which is exactly how the crawl-refresh decision uses it."""
+
+    def _sketch(ds: ray.data.Dataset) -> HyperLogLog:
+        def _partial(batch: pa.Table) -> pa.Table:
+            hll = HyperLogLog(p)
+            hll.add_many([str(v) for v in batch.column(col).to_pylist() if v is not None])
+            return pa.table({"sketch": pa.array([hll.serialize()], type=pa.binary())})
+
+        merged = HyperLogLog(p)
+        for row in ds.map_batches(_partial, batch_format="pyarrow").iter_rows():
+            merged = merged.merge(HyperLogLog.deserialize(row["sketch"]))
+        return merged
+
+    ha, hb = _sketch(left), _sketch(right)
+    na, nb = ha.count(), hb.count()
+    nu = ha.merge(hb).count()
+    ni = max(0.0, na + nb - nu)
+    denom = nu if nu > 0 else 1.0
+    return pa.table(
+        {
+            "n_left": pa.array([int(round(na))], type=pa.int64()),
+            "n_right": pa.array([int(round(nb))], type=pa.int64()),
+            "n_union": pa.array([int(round(nu))], type=pa.int64()),
+            "n_intersect": pa.array([int(round(ni))], type=pa.int64()),
+            "jaccard": pa.array([round(ni / denom, 6)], type=pa.float64()),
+        }
+    )
+
+
 # ---------------------------------------------------------------------------
 class CountMin:
     """Count-Min sketch: mergeable per-key frequency estimates in

@@ -694,7 +694,12 @@ def frontier_schedule(
 
 
 def triangle_count(
-    edges: ray.data.Dataset, *, src: str = "src", dst: str = "dst"
+    edges: ray.data.Dataset,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    pair_budget: int = 2_000_000,
+    wedge_budget: int = 50_000_000,
 ) -> "pa.Table":
     """Exact triangle count over an undirected graph — the
     compact-forward / degree-orientation algorithm, the clustering
@@ -755,6 +760,50 @@ def triangle_count(
         .select_columns(["a", "b"])
         .materialize()  # consumed twice: degrees + closure probe
     )
+
+    if E.count() <= pair_budget:
+        from dots_ocr_ray.util import sorted_membership
+
+        a = _collect_int_col(E, "a")
+        b = _collect_int_col(E, "b")
+        if len(a) == 0:
+            return pa.table({"n_triangles": pa.array([0], type=pa.int64())})
+        nodes = np.unique(np.concatenate([a, b]))
+        ai = np.searchsorted(nodes, a)
+        bi = np.searchsorted(nodes, b)
+        n = len(nodes)
+        deg = np.bincount(ai, minlength=n) + np.bincount(bi, minlength=n)
+        # orient low→high by (degree, id) — compaction preserves id
+        # order, so this matches the distributed tier's convention
+        a_first = (deg[ai] < deg[bi]) | ((deg[ai] == deg[bi]) & (ai < bi))
+        so = np.where(a_first, ai, bi)
+        do = np.where(a_first, bi, ai)
+        order = np.lexsort((do, so))
+        so, do = so[order], do[order]
+        odeg = np.bincount(so, minlength=n)
+        n_wedges = int((odeg.astype(np.int64) * (odeg - 1) // 2).sum())
+        if n_wedges <= wedge_budget:
+            # sorted-CSR wedge enumeration: position q in its source's
+            # run pairs with every LATER position of the same run —
+            # rem/offset index arithmetic, no per-node Python
+            m = len(so)
+            row_end = np.cumsum(odeg)[so]  # end position of each edge's run
+            pos = np.arange(m)
+            rem = row_end - pos - 1
+            total = int(rem.sum())
+            if total == 0:
+                return pa.table({"n_triangles": pa.array([0], type=pa.int64())})
+            first = np.repeat(pos, rem)
+            offsets = np.concatenate([[0], np.cumsum(rem)])[:-1]
+            second = np.arange(total) - np.repeat(offsets, rem) + first + 1
+            x, y = do[first], do[second]
+            lo = np.minimum(x, y)
+            hi = np.maximum(x, y)
+            ekeys = np.sort((ai.astype(np.int64) << np.int64(32)) | bi.astype(np.int64))
+            wkeys = (lo.astype(np.int64) << np.int64(32)) | hi.astype(np.int64)
+            closed = int(sorted_membership(ekeys, wkeys).sum())
+            return pa.table({"n_triangles": pa.array([closed], type=pa.int64())})
+        # wedge set too hot even under the edge budget → distributed
 
     def _deg_partials(batch: pa.Table) -> pa.Table:
         nodes = np.concatenate(

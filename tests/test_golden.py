@@ -40,6 +40,7 @@ def _canon(obj) -> pd.DataFrame:
         "host_kcore",
         "cms_token_counts",
         "cdc_dedup_stats",
+        "corpus_overlap",
         "chars_quantiles_approx",
         "dedup_minhash",
         "dedup_simhash",

@@ -299,3 +299,17 @@ def test_kcore_tiers_match_reference_peel(ray_session):
         got_dist = {r["host"] for r in kcore(_edges(pairs), k=k, edge_budget=0).take_all()}
         assert got_driver == exp
         assert got_dist == exp
+
+
+def test_triangle_count_tier_parity(ray_session):
+    import numpy as np
+
+    from dots_ocr_ray.pipelines.graph import triangle_count
+
+    rng = np.random.RandomState(17)
+    rows = [(int(a), int(b)) for a, b in rng.randint(0, 40, (600, 2))]
+    t_drv = triangle_count(_edges(rows)).column("n_triangles")[0].as_py()
+    t_dist = triangle_count(_edges(rows), pair_budget=0).column("n_triangles")[0].as_py()
+    t_wedge = triangle_count(_edges(rows), wedge_budget=0).column("n_triangles")[0].as_py()
+    assert t_drv == t_dist == t_wedge
+    assert t_drv > 0

@@ -229,3 +229,30 @@ def test_cms_probe_counts_pipeline_exactness(ray_session):
     out = cms_probe_counts(ds, col="text", probes=["a", "b", "c", "zz"])
     got = dict(zip(out.column("term").to_pylist(), out.column("est_count").to_pylist()))
     assert got == {"a": 150, "b": 100, "c": 50, "zz": 0}
+
+
+def test_corpus_overlap_estimates(ray_session):
+    """HLL inclusion-exclusion overlap: estimates within the p=14
+    error envelope on known sets, and intersection floors at 0 for
+    disjoint sides."""
+    import pyarrow as pa
+
+    import ray.data
+    from dots_ocr_ray.functions.sketches import corpus_overlap
+
+    a = [f"k{i}" for i in range(4000)]
+    b = [f"k{i}" for i in range(3000, 6000)]  # true: |A|=4000 |B|=3000 |A∩B|=1000
+    da = ray.data.from_arrow(pa.table({"k": pa.array(a, type=pa.string())}))
+    db = ray.data.from_arrow(pa.table({"k": pa.array(b, type=pa.string())}))
+    row = corpus_overlap(da, db, col="k").to_pylist()[0]
+    assert abs(row["n_left"] - 4000) / 4000 < 0.05
+    assert abs(row["n_right"] - 3000) / 3000 < 0.05
+    assert abs(row["n_union"] - 6000) / 6000 < 0.05
+    assert abs(row["n_intersect"] - 1000) < 0.05 * 6000  # inherits union's abs error
+    # disjoint: intersection clamps at >= 0
+    dc = ray.data.from_arrow(
+        pa.table({"k": pa.array([f"z{i}" for i in range(500)], type=pa.string())})
+    )
+    row2 = corpus_overlap(da, dc, col="k").to_pylist()[0]
+    assert row2["n_intersect"] <= 0.05 * 4500
+    assert row2["jaccard"] <= 0.05

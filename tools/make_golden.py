@@ -639,6 +639,34 @@ def golden_cms_token_counts(sf_dir: str) -> pa.Table:
     )
 
 
+def golden_corpus_overlap(sf_dir: str, *, p: int = 14) -> pa.Table:
+    """Sequential HLL overlap (customer keys vs event user ids) —
+    register folds are max-commutative, so this is bit-equal to the
+    distributed build."""
+    from dots_ocr_ray.functions.sketches import HyperLogLog
+
+    def _hll(path: str, col: str) -> HyperLogLog:
+        h = HyperLogLog(p)
+        vals = pq.read_table(path, columns=[col]).column(col).to_pylist()
+        h.add_many([str(v) for v in vals if v is not None])
+        return h
+
+    ha = _hll(f"{sf_dir}/customer.parquet", "c_custkey")
+    hb = _hll(f"{sf_dir}/events.parquet", "user_id")
+    na, nb = ha.count(), hb.count()
+    nu = ha.merge(hb).count()
+    ni = max(0.0, na + nb - nu)
+    return pa.table(
+        {
+            "n_left": pa.array([int(round(na))], type=pa.int64()),
+            "n_right": pa.array([int(round(nb))], type=pa.int64()),
+            "n_union": pa.array([int(round(nu))], type=pa.int64()),
+            "n_intersect": pa.array([int(round(ni))], type=pa.int64()),
+            "jaccard": pa.array([round(ni / (nu if nu > 0 else 1.0), 6)], type=pa.float64()),
+        }
+    )
+
+
 def golden_host_hits(sf_dir: str, *, num_iters: int = 5) -> pa.Table:
     """Sequential HITS over the deterministic host-edge fixture
     (pipelines/graph.py:host_edges_from_documents); hub/authority
@@ -1057,6 +1085,7 @@ GOLDEN_BUILDERS = {
     "host_trustrank": golden_host_trustrank,
     "host_kcore": golden_host_kcore,
     "cms_token_counts": golden_cms_token_counts,
+    "corpus_overlap": golden_corpus_overlap,
     "cdc_dedup_stats": golden_cdc_dedup_stats,
     "describe_docs": golden_describe_docs,
     "chars_quantiles_approx": golden_chars_quantiles_approx,
