@@ -3128,6 +3128,23 @@ def _q_host_kcore(sf_dir: str):
     return kcore(host_edges_from_documents(sf_dir), k=4)
 
 
+def _q_order_value_quantiles(sf_dir: str):
+    """Per-priority EXACT float quantiles of order value (p50/p90/p99)
+    via grouped histogram-refinement selection — zero exchanges, one
+    histogram per (priority, q) per pass.  Oracle: DuckDB
+    quantile_disc GROUP BY."""
+    import ray.data
+
+    from dots_ocr_ray.pipelines.relational import exact_float_quantiles_by_key
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderpriority", "o_totalprice"]
+    )
+    return exact_float_quantiles_by_key(
+        ds, "o_orderpriority", "o_totalprice", [0.5, 0.9, 0.99]
+    )
+
+
 def _q_price_quantiles(sf_dir: str):
     """EXACT float quantiles of l_extendedprice without a global sort:
     iterative histogram refinement (relational.exact_float_quantiles)
@@ -3363,6 +3380,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_dedup_stats": _q_cdc_dedup_stats,
         "host_trustrank": _q_host_trustrank,
         "price_quantiles": _q_price_quantiles,
+        "order_value_quantiles": _q_order_value_quantiles,
         "host_kcore": _q_host_kcore,
         "cms_token_counts": _q_cms_token_counts,
         "vocab_edit_pairs": _q_vocab_edit_pairs,
@@ -4125,6 +4143,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT unnest([0.25, 0.5, 0.75, 0.95, 0.99]) AS q, "
             "unnest(quantile_disc(l_extendedprice, [0.25, 0.5, 0.75, 0.95, 0.99])) AS value "
             "FROM lineitem"
+        ),
+        "order_value_quantiles": (
+            "SELECT o_orderpriority, unnest([0.5, 0.9, 0.99]) AS q, "
+            "unnest(quantile_disc(o_totalprice, [0.5, 0.9, 0.99])) AS value "
+            "FROM orders GROUP BY o_orderpriority"
         ),
         "host_kcore": (
             f"SELECT host FROM read_parquet('{_GOLDEN_DIR}/host_kcore.parquet')"

@@ -438,6 +438,186 @@ def exact_float_quantiles(
     )
 
 
+def exact_float_quantiles_by_key(
+    ds: ray.data.Dataset,
+    key: str,
+    col: str,
+    qs: list[float],
+    *,
+    num_bins: int = 8192,
+    collect_limit: int = 262_144,
+    max_passes: int = 8,
+    max_keys: int = 4096,
+) -> pa.Table:
+    """Per-group EXACT float quantiles — the grouped form of
+    :func:`exact_float_quantiles`, for BOUNDED key domains (languages,
+    priorities, sources: the per-group threshold tables curation
+    filters broadcast).  Same histogram-refinement selection, with one
+    histogram per ACTIVE (key, quantile) per pass, so a pass's driver
+    fold is ``keys × qs`` fixed-size arrays and the data-side cost
+    stays a stateless column scan — no keyed exchange at any point.
+
+    Raises if the observed key count exceeds ``max_keys`` (a histogram
+    per key per pass stops being "bounded state" on an unbounded key
+    domain — use :func:`exact_int_quantiles_by_key`'s value-counts
+    exchange there instead).  Matches DuckDB ``quantile_disc(col, q)
+    GROUP BY key``.  Nulls/NaNs drop per SQL aggregate semantics;
+    keys with no non-null values are omitted.
+
+    Output: (key, q, value) rows sorted by (key, q)."""
+    import math
+
+    import numpy as np
+
+    # ---- pass 0: per-key count + min + max (tiny: one row per key
+    # per block) ---------------------------------------------------------
+    def _stats(batch: pa.Table) -> pa.Table:
+        keys_col = batch.column(key).to_pylist()
+        v = batch.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        ks = np.asarray(keys_col, dtype=object)
+        ok = ~np.isnan(v)
+        ks, v = ks[ok], v[ok]
+        out_k, out_n, out_lo, out_hi = [], [], [], []
+        for k in np.unique(ks.astype(str)) if len(ks) else []:
+            sel = v[ks.astype(str) == k]
+            out_k.append(k)
+            out_n.append(len(sel))
+            out_lo.append(float(sel.min()))
+            out_hi.append(float(sel.max()))
+        return pa.table(
+            {
+                "k": pa.array(out_k, type=pa.string()),
+                "n": pa.array(out_n, type=pa.int64()),
+                "lo": pa.array(out_lo, type=pa.float64()),
+                "hi": pa.array(out_hi, type=pa.float64()),
+            }
+        )
+
+    agg: dict[str, list] = {}
+    for r in ds.map_batches(_stats, batch_format="pyarrow").take_all():
+        cur = agg.setdefault(r["k"], [0, np.inf, -np.inf])
+        cur[0] += r["n"]
+        cur[1] = min(cur[1], r["lo"])
+        cur[2] = max(cur[2], r["hi"])
+    if len(agg) > max_keys:
+        raise ValueError(
+            f"exact_float_quantiles_by_key: {len(agg)} keys > max_keys={max_keys}"
+        )
+
+    state = []
+    for k in sorted(agg):
+        n, g_lo, g_hi = agg[k]
+        for q in qs:
+            state.append(
+                {
+                    "key": k,
+                    "q": q,
+                    "lo": g_lo,
+                    "hi": g_hi,
+                    "hi_inc": True,
+                    "rank": max(1, math.ceil(q * n)),
+                    "count": n,
+                    "value": None,
+                }
+            )
+
+    for _ in range(max_passes):
+        active = [st for st in state if st["value"] is None and st["count"] > collect_limit]
+        if not active:
+            break
+        ivals = [(st["key"], st["lo"], st["hi"], st["hi_inc"]) for st in active]
+
+        def _hists(batch: pa.Table, _iv=ivals) -> pa.Table:
+            ks = np.asarray([str(x) for x in batch.column(key).to_pylist()], dtype=object)
+            v = batch.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+            ok = ~np.isnan(v)
+            ks, v = ks[ok], v[ok]
+            cols = {"bin": pa.array(np.arange(num_bins, dtype=np.int64), type=pa.int64())}
+            for i_q, (k, lo, hi, hi_inc) in enumerate(_iv):
+                sel = v[(ks == k) & (v >= lo) & ((v <= hi) if hi_inc else (v < hi))]
+                h, _ = np.histogram(sel, bins=num_bins, range=(lo, hi))
+                cols[f"h{i_q}"] = pa.array(h.astype(np.int64), type=pa.int64())
+            return pa.table(cols)
+
+        folded = [np.zeros(num_bins, dtype=np.int64) for _ in active]
+        for b in ds.map_batches(_hists, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        ):
+            if b.num_rows:
+                bins = b.column("bin").to_numpy(zero_copy_only=False)
+                for i_q in range(len(active)):
+                    np.add.at(
+                        folded[i_q], bins, b.column(f"h{i_q}").to_numpy(zero_copy_only=False)
+                    )
+
+        for st, h in zip(active, folded):
+            lo, hi = st["lo"], st["hi"]
+            if not (hi > lo):
+                st["value"] = lo
+                continue
+            cum = np.cumsum(h)
+            bin_idx = int(np.searchsorted(cum, st["rank"]))
+            edges = np.linspace(lo, hi, num_bins + 1)
+            last_bin = bin_idx + 1 >= num_bins
+            new_lo = float(edges[bin_idx])
+            new_hi = hi if last_bin else float(edges[bin_idx + 1])
+            new_inc = st["hi_inc"] if last_bin else False
+            new_count = int(h[bin_idx])
+            new_rank = st["rank"] - int(cum[bin_idx - 1]) if bin_idx else st["rank"]
+            if new_count == st["count"] and new_lo == lo and new_hi == hi:
+                st["count"] = 0
+            else:
+                st["lo"], st["hi"], st["hi_inc"] = new_lo, new_hi, new_inc
+                st["rank"], st["count"] = new_rank, new_count
+
+    pending = [st for st in state if st["value"] is None]
+    if pending:
+        ivals = [(st["key"], st["lo"], st["hi"], st["hi_inc"]) for st in pending]
+
+        def _collect(batch: pa.Table, _iv=ivals) -> pa.Table:
+            ks = np.asarray([str(x) for x in batch.column(key).to_pylist()], dtype=object)
+            v = batch.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+            ok = ~np.isnan(v)
+            ks, v = ks[ok], v[ok]
+            out_k, out_v = [], []
+            for i_q, (k, lo, hi, hi_inc) in enumerate(_iv):
+                sel = v[(ks == k) & (v >= lo) & ((v <= hi) if hi_inc else (v < hi))]
+                out_k.append(np.full(len(sel), i_q, np.int64))
+                out_v.append(sel)
+            return pa.table(
+                {
+                    "i": pa.array(
+                        np.concatenate(out_k) if out_k else [], type=pa.int64()
+                    ),
+                    "v": pa.array(
+                        np.concatenate(out_v) if out_v else [], type=pa.float64()
+                    ),
+                }
+            )
+
+        by_i: dict[int, list] = {i_q: [] for i_q in range(len(pending))}
+        for b in ds.map_batches(_collect, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        ):
+            if b.num_rows:
+                ii = b.column("i").to_numpy(zero_copy_only=False)
+                vv = b.column("v").to_numpy(zero_copy_only=False)
+                for i_q in range(len(pending)):
+                    by_i[i_q].append(vv[ii == i_q])
+        for i_q, st in enumerate(pending):
+            vals = np.sort(np.concatenate(by_i[i_q])) if by_i[i_q] else np.array([])
+            st["value"] = float(vals[st["rank"] - 1]) if len(vals) else None
+
+    state.sort(key=lambda st: (st["key"], st["q"]))
+    return pa.table(
+        {
+            key: pa.array([st["key"] for st in state], type=pa.string()),
+            "q": pa.array([st["q"] for st in state], type=pa.float64()),
+            "value": pa.array([st["value"] for st in state], type=pa.float64()),
+        }
+    )
+
+
 def exact_int_quantiles(
     ds: ray.data.Dataset, col: str, qs: list[float]
 ) -> pa.Table:

@@ -995,3 +995,47 @@ def test_exact_float_quantiles_matches_numpy_selection(ray_session):
     empty = ray.data.from_arrow(pa.table({"x": pa.array([], type=pa.float64())}))
     out = exact_float_quantiles(empty, "x", [0.5])
     assert out.column("value").to_pylist() == [None]
+
+
+def test_exact_float_quantiles_by_key_matches_selection(ray_session):
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from dots_ocr_ray.pipelines.relational import exact_float_quantiles_by_key
+
+    rng = np.random.RandomState(19)
+    keys, vals = [], []
+    data = {
+        "a": list(rng.lognormal(0, 2, 9000)),
+        "b": [3.25] * 5000 + [1.0],  # mass tie
+        "c": [7.5],  # singleton group
+    }
+    for k, vs in data.items():
+        keys += [k] * len(vs)
+        vals += vs
+    # interleave + a null-key and nan-value row (both must drop/route)
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "k": pa.array(keys + ["a"], type=pa.string()),
+                "x": pa.array(vals + [float("nan")], type=pa.float64()),
+            }
+        )
+    )
+    out = exact_float_quantiles_by_key(
+        ds, "k", "x", [0.1, 0.9], num_bins=32, collect_limit=128
+    ).to_pylist()
+    got = {(r["k"], r["q"]): r["value"] for r in out}
+    for k, vs in data.items():
+        clean = np.sort(np.array(vs))
+        for q in (0.1, 0.9):
+            exp = float(clean[max(1, math.ceil(q * len(clean))) - 1])
+            assert got[(k, q)] == exp, (k, q, got[(k, q)], exp)
+    # key-count guard
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        exact_float_quantiles_by_key(ds, "k", "x", [0.5], max_keys=1)
