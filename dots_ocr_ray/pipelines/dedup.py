@@ -218,6 +218,57 @@ def _popcount64(x: np.ndarray) -> np.ndarray:
     return ((x * np.uint64(0x0101010101010101)) >> np.uint64(56)).astype(np.int64)
 
 
+def exact_distinct_pairs(
+    pairs_ds: ray.data.Dataset, *, num_buckets: int = 64
+) -> ray.data.Dataset:
+    """EXACT distinct (a, b) pairs: ONE bucket-keyed exchange
+    (deterministic numeric hash of the pair) + per-bucket vectorized
+    ``np.unique`` — Python cost O(num_buckets), never O(distinct
+    pairs).
+
+    :func:`distinct_pairs` (sort + per-block unique) is cheaper but
+    leaves ≤ num_blocks−1 boundary stragglers, fine for idempotent
+    consumers (CC, verification).  Use THIS form where multiplicity
+    changes semantics — degree counts in k-core, wedge enumeration in
+    triangle counting — and a native multi-key ``groupby().count()``
+    would pay per-DISTINCT-GROUP reduce cost (measured ~12 s for 1.2M
+    distinct pairs vs <1 s for the 64-bucket form)."""
+
+    def _tag(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = batch.column("b").to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (a * np.uint64(0x9E3779B97F4A7C15) + np.uint64(1)) ^ (
+            b * np.uint64(0xC2B2AE3D27D4EB4F)
+        )
+        return pa.table(
+            {
+                "a": batch.column("a").cast(pa.int64()),
+                "b": batch.column("b").cast(pa.int64()),
+                "__bucket": pa.array(
+                    (h % np.uint64(num_buckets)).astype(np.int32), type=pa.int32()
+                ),
+            }
+        )
+
+    def _uniq(group: pa.Table) -> pa.Table:
+        a = group.column("a").to_numpy(zero_copy_only=False).astype(np.int64)
+        b = group.column("b").to_numpy(zero_copy_only=False).astype(np.int64)
+        u = np.unique(np.stack([a, b], axis=1), axis=0)
+        return pa.table(
+            {
+                "a": pa.array(u[:, 0], type=pa.int64()),
+                "b": pa.array(u[:, 1], type=pa.int64()),
+            }
+        )
+
+    from dots_ocr_ray.util import bounded_blocks as _bb
+
+    tagged = _bb(
+        pairs_ds.map_batches(_tag, batch_format="pyarrow"), rows_per_block=1_048_576
+    )
+    return tagged.groupby("__bucket").map_groups(_uniq, batch_format="pyarrow")
+
+
 def distinct_pairs(pairs_ds: ray.data.Dataset) -> ray.data.Dataset:
     """Near-distinct (a, b) candidate pairs: global sort by (a, b) +
     vectorized per-block unique.

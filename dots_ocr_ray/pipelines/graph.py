@@ -33,13 +33,62 @@ import ray.data
 from dots_ocr_ray.util import bounded_blocks, cached_object
 
 
+def _bucket_sum(
+    partials: ray.data.Dataset,
+    *,
+    key_col: str = "host",
+    val_col: str = "c",
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """SUM(val) GROUP BY key for HIGH-CARDINALITY int keys: one
+    bucket-keyed exchange (deterministic hash) + per-bucket vectorized
+    unique+add fold — Python cost O(num_buckets).  A native
+    ``groupby(key).sum`` pays per DISTINCT KEY on the reduce (~12 s
+    per 10^6 keys), which dominates iterative graph loops at web-graph
+    node counts."""
+
+    def _tag(batch: pa.Table) -> pa.Table:
+        k = batch.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        h = k.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        return pa.table(
+            {
+                key_col: pa.array(k, type=pa.int64()),
+                val_col: batch.column(val_col).cast(pa.float64()),
+                "__bucket": pa.array(
+                    (h % np.uint64(num_buckets)).astype(np.int32), type=pa.int32()
+                ),
+            }
+        )
+
+    def _fold(group: pa.Table) -> pa.Table:
+        k = group.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        v = group.column(val_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        uniq, inv = np.unique(k, return_inverse=True)
+        sums = np.zeros(len(uniq))
+        np.add.at(sums, inv, v)
+        return pa.table(
+            {
+                key_col: pa.array(uniq, type=pa.int64()),
+                val_col: pa.array(sums, type=pa.float64()),
+            }
+        )
+
+    tagged = bounded_blocks(
+        partials.map_batches(_tag, batch_format="pyarrow"), rows_per_block=1_048_576
+    )
+    return tagged.groupby("__bucket").map_groups(_fold, batch_format="pyarrow")
+
+
 def degree_table(
-    edges: ray.data.Dataset, *, src: str = "src", dst: str = "dst"
+    edges: ray.data.Dataset, *, src: str = "src", dst: str = "dst", num_buckets: int = 64
 ) -> ray.data.Dataset:
     """Per-node (out_deg, in_deg) from an edge Dataset in ONE keyed
     exchange: each batch pre-aggregates both directions into
-    (host, out_partial, in_partial) rows, then a single groupby sums
-    the partials."""
+    (host, out_partial, in_partial) rows, then a BUCKET-keyed groupby
+    (deterministic hash of the host) folds each bucket with one
+    vectorized unique+add pass — Python cost O(num_buckets), where a
+    native ``groupby(host).sum`` pays per DISTINCT NODE on the reduce
+    (measured ~12 s at 10^6 nodes; web graphs have 10^9)."""
 
     def _partials(batch: pa.Table) -> pa.Table:
         s = batch.column(src).to_numpy(zero_copy_only=False).astype(np.int64)
@@ -47,24 +96,39 @@ def degree_table(
         hosts = np.unique(np.concatenate([s, d]))
         out_c = np.bincount(np.searchsorted(hosts, s), minlength=len(hosts))
         in_c = np.bincount(np.searchsorted(hosts, d), minlength=len(hosts))
+        h = hosts.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
         return pa.table(
             {
                 "host": pa.array(hosts, type=pa.int64()),
                 "o": pa.array(out_c.astype(np.int64), type=pa.int64()),
                 "i": pa.array(in_c.astype(np.int64), type=pa.int64()),
+                "__bucket": pa.array(
+                    (h % np.uint64(num_buckets)).astype(np.int32), type=pa.int32()
+                ),
+            }
+        )
+
+    def _fold(group: pa.Table) -> pa.Table:
+        hosts = group.column("host").to_numpy(zero_copy_only=False).astype(np.int64)
+        o = group.column("o").to_numpy(zero_copy_only=False).astype(np.int64)
+        i = group.column("i").to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, inv = np.unique(hosts, return_inverse=True)
+        out_sum = np.zeros(len(uniq), dtype=np.int64)
+        in_sum = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(out_sum, inv, o)
+        np.add.at(in_sum, inv, i)
+        return pa.table(
+            {
+                "host": pa.array(uniq, type=pa.int64()),
+                "out_deg": pa.array(out_sum, type=pa.int64()),
+                "in_deg": pa.array(in_sum, type=pa.int64()),
             }
         )
 
     partials = bounded_blocks(
         edges.map_batches(_partials, batch_format="pyarrow"), rows_per_block=262144
     )
-    summed = partials.groupby("host").sum(["o", "i"])
-
-    def _rename(batch: pa.Table) -> pa.Table:
-        mapping = {"sum(o)": "out_deg", "sum(i)": "in_deg"}
-        return batch.rename_columns([mapping.get(n, n) for n in batch.column_names])
-
-    return summed.map_batches(_rename, batch_format="pyarrow")
+    return partials.groupby("__bucket").map_groups(_fold, batch_format="pyarrow")
 
 
 def _collect_int_col(ds: ray.data.Dataset, col: str) -> np.ndarray:
@@ -274,23 +338,15 @@ def pagerank(
                 }
             )
 
-        contribs = (
-            bounded_blocks(
-                joined.map_batches(_contrib_d, batch_format="pyarrow"),
-                rows_per_block=262144,
-            )
-            .groupby("host")
-            .sum("c")
+        contribs = _bucket_sum(
+            joined.map_batches(_contrib_d, batch_format="pyarrow"),
+            key_col="host",
+            val_col="c",
         )
-
-        def _rename_c(batch: pa.Table) -> pa.Table:
-            return batch.rename_columns(
-                ["c" if n == "sum(c)" else n for n in batch.column_names]
-            )
 
         merged = hash_join(
             degrees,
-            contribs.map_batches(_rename_c, batch_format="pyarrow"),
+            contribs,
             on="host",
             how="left",
             left_schema=deg_schema,
@@ -753,13 +809,15 @@ def triangle_count(
             }
         )
 
-    E = (
+    from dots_ocr_ray.pipelines.dedup import exact_distinct_pairs
+
+    # exact distinct via 64-bucket exchange + per-bucket np.unique —
+    # a native multi-key groupby pays per-DISTINCT-GROUP reduce cost
+    # (~12 s at 1.2M pairs); exactness matters here because duplicate
+    # edges would duplicate wedges and overcount closures
+    E = exact_distinct_pairs(
         edges.map_batches(_canon, batch_format="pyarrow")
-        .groupby(["a", "b"])
-        .count()
-        .select_columns(["a", "b"])
-        .materialize()  # consumed twice: degrees + closure probe
-    )
+    ).materialize()  # consumed twice: degrees + closure probe
 
     if E.count() <= pair_budget:
         from dots_ocr_ray.util import sorted_membership
@@ -916,8 +974,8 @@ def kcore(
     and stars that raw degree can't tell apart.
 
     Edges are canonicalized first (undirected, self-loops dropped,
-    multi-edges collapsed EXACTLY — per-batch unique partials into one
-    native multi-key groupby, the :func:`triangle_count` pattern;
+    multi-edges collapsed EXACTLY via
+    :func:`~dots_ocr_ray.pipelines.dedup.exact_distinct_pairs` —
     near-distinct boundary stragglers would inflate degrees and leak
     sub-k nodes into the core).  Two tiers on the DISTINCT-EDGE budget
     (the ``cluster_assign`` rule):
@@ -947,15 +1005,11 @@ def kcore(
             }
         )
 
-    undirected = (
-        bounded_blocks(
-            edges.map_batches(_canon, batch_format="pyarrow"), rows_per_block=1_048_576
-        )
-        .groupby(["a", "b"])
-        .count()
-        .select_columns(["a", "b"])
-        .materialize()
-    )
+    from dots_ocr_ray.pipelines.dedup import exact_distinct_pairs
+
+    undirected = exact_distinct_pairs(
+        edges.map_batches(_canon, batch_format="pyarrow")
+    ).materialize()
     n_edges = undirected.count()
     empty = pa.table({"host": pa.array([], pa.int64())})
     if n_edges == 0:
@@ -1350,22 +1404,15 @@ def hits(
                 }
             )
 
-        summed = (
-            bounded_blocks(
-                joined.map_batches(_partial, batch_format="pyarrow"), rows_per_block=262144
-            )
-            .groupby("host")
-            .sum("c")
+        summed = _bucket_sum(
+            joined.map_batches(_partial, batch_format="pyarrow"),
+            key_col="host",
+            val_col="c",
         )
-
-        def _rename(batch: pa.Table) -> pa.Table:
-            return batch.rename_columns(
-                ["c" if c == "sum(c)" else c for c in batch.column_names]
-            )
 
         merged = hash_join(
             nodes_ds,
-            summed.map_batches(_rename, batch_format="pyarrow"),
+            summed,
             on="host",
             how="left",
             left_schema=pa.schema([("host", pa.int64())]),
