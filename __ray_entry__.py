@@ -3128,6 +3128,22 @@ def _q_host_kcore(sf_dir: str):
     return kcore(host_edges_from_documents(sf_dir), k=4)
 
 
+def _q_host_communities(sf_dir: str):
+    """Label-propagation community detection over the
+    planted-community host graph (25 dense 16-host blocks + weak
+    bridges): synchronous neighbor-majority updates with a self-vote
+    and smallest-label tie-break, 8 iterations.  Driver-array tier at
+    this scale; distributed tier is one hash join + one bucket-keyed
+    argmax exchange per iteration.  Oracle: golden parquet from an
+    independent sequential per-node Counter loop."""
+    from dots_ocr_ray.pipelines.graph import (
+        community_edges_from_documents,
+        label_propagation,
+    )
+
+    return label_propagation(community_edges_from_documents(sf_dir), num_iters=8)
+
+
 def _q_order_value_quantiles(sf_dir: str):
     """Per-priority EXACT float quantiles of order value (p50/p90/p99)
     via grouped histogram-refinement selection — zero exchanges, one
@@ -3382,6 +3398,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_quantiles": _q_price_quantiles,
         "order_value_quantiles": _q_order_value_quantiles,
         "host_kcore": _q_host_kcore,
+        "host_communities": _q_host_communities,
         "cms_token_counts": _q_cms_token_counts,
         "vocab_edit_pairs": _q_vocab_edit_pairs,
         "corpus_overlap": _q_corpus_overlap,
@@ -4148,6 +4165,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT o_orderpriority, unnest([0.5, 0.9, 0.99]) AS q, "
             "unnest(quantile_disc(o_totalprice, [0.5, 0.9, 0.99])) AS value "
             "FROM orders GROUP BY o_orderpriority"
+        ),
+        "host_communities": (
+            "SELECT host, community FROM "
+            f"read_parquet('{_GOLDEN_DIR}/host_communities.parquet')"
         ),
         "host_kcore": (
             f"SELECT host FROM read_parquet('{_GOLDEN_DIR}/host_kcore.parquet')"

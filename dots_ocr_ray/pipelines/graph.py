@@ -1494,3 +1494,254 @@ def hits(
         or [empty]
     )
     return out.take(pc.sort_indices(out, sort_keys=[("host", "ascending")]))
+
+
+# ---------------------------------------------------------------------------
+# label-propagation community detection
+
+
+def community_edges_from_documents(sf_dir: str) -> ray.data.Dataset:
+    """Deterministic host graph with planted community structure for
+    the ``host_communities`` driver query: 25 blocks of 16 hosts
+    (``h = doc_id % 400``, block = ``h // 16``) wired densely inside
+    each block — ring edge ``(h, h+1)`` and skip edge ``(h, h+2)``
+    when both endpoints share the block — plus a WEAK cross-block
+    bridge ``(h, (h+16) % 400)`` on every ``doc_id % 89 == 0``
+    document.  Dense intra-block votes should dominate the single
+    bridge vote, so label propagation recovers the blocks; the golden
+    oracle pins the exact outcome."""
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def _edges(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        h = ids % 400
+        ring_src = h[h % 16 < 15]
+        skip_src = h[h % 16 < 14]
+        bridge_src = h[ids % 89 == 0]
+        src = np.concatenate([ring_src, skip_src, bridge_src])
+        dst = np.concatenate([ring_src + 1, skip_src + 2, (bridge_src + 16) % 400])
+        return pa.table(
+            {
+                "src": pa.array(src, type=pa.int64()),
+                "dst": pa.array(dst, type=pa.int64()),
+            }
+        )
+
+    return docs.map_batches(_edges, batch_format="pyarrow")
+
+
+def label_propagation(
+    edges: ray.data.Dataset,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    num_iters: int = 10,
+    broadcast_limit: int = 2_000_000,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Synchronous label-propagation community detection over an
+    integer-keyed edge Dataset → ``(host, community)`` — the
+    host-clustering / link-farm grouping signal (Raghavan et al. 2007,
+    made deterministic).
+
+    Exact update rule (the golden oracle mirrors it bit-for-bit):
+    edges are undirected, self-loops dropped, multi-edges collapsed
+    EXACTLY via :func:`~dots_ocr_ray.pipelines.dedup.
+    exact_distinct_pairs` (a doubled edge would double a neighbor's
+    vote); labels start as the node id; every iteration each node
+    SIMULTANEOUSLY adopts the most frequent label among its neighbors
+    plus ONE self-vote for its current label (the damping that keeps
+    synchronous updates from oscillating on bipartite structure),
+    ties broken toward the SMALLEST label.  After ``num_iters`` the
+    label is the community id.
+
+    Driver tier (|nodes| <= ``broadcast_limit``): node and endpoint
+    index arrays build once; each iteration is one vectorized
+    (node, label)-pair count + lexsort argmax on the driver — O(edges)
+    numpy work, zero exchanges.
+
+    Distributed tier: labels live in a Dataset; each iteration is
+    ``hash_join(directed_edges, labels, on=src)`` (neighbor votes) ∪
+    self-votes → ONE bucket-keyed exchange whose per-bucket fold
+    counts (node, label) pairs and picks the per-node argmax with the
+    same tie rule — Python cost O(num_buckets) per iteration, driver
+    state zero.
+    """
+    from dots_ocr_ray.pipelines.dedup import exact_distinct_pairs
+
+    def _canon(batch: pa.Table) -> pa.Table:
+        s = batch.column(src).to_numpy(zero_copy_only=False).astype(np.int64)
+        d = batch.column(dst).to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        return pa.table(
+            {
+                "a": pa.array(np.minimum(s, d), type=pa.int64()),
+                "b": pa.array(np.maximum(s, d), type=pa.int64()),
+            }
+        )
+
+    und = exact_distinct_pairs(
+        edges.map_batches(_canon, batch_format="pyarrow")
+    ).materialize()
+    empty = pa.table(
+        {"host": pa.array([], pa.int64()), "community": pa.array([], pa.int64())}
+    )
+    if und.count() == 0:
+        return ray.data.from_arrow(empty)
+
+    # per-block node partials -> exact distinct via ONE bucket-keyed
+    # exchange (per-bucket np.unique fold — never per-distinct-node
+    # Python, the degree_table pattern)
+    def _nodes(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_numpy(zero_copy_only=False)
+        b = batch.column("b").to_numpy(zero_copy_only=False)
+        h = np.unique(np.concatenate([a, b])).astype(np.int64)
+        bkt = (h.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(num_buckets)
+        return pa.table(
+            {
+                "host": pa.array(h, type=pa.int64()),
+                "__bucket": pa.array(bkt.astype(np.int32), type=pa.int32()),
+            }
+        )
+
+    def _node_fold(group: pa.Table) -> pa.Table:
+        h = np.unique(group.column("host").to_numpy(zero_copy_only=False).astype(np.int64))
+        return pa.table({"host": pa.array(h, type=pa.int64())})
+
+    node_ds = (
+        bounded_blocks(
+            und.map_batches(_nodes, batch_format="pyarrow"), rows_per_block=1_048_576
+        )
+        .groupby("__bucket")
+        .map_groups(_node_fold, batch_format="pyarrow")
+        .materialize()
+    )
+    n_nodes = node_ds.count()
+
+    if n_nodes <= broadcast_limit:
+        hosts = np.sort(_collect_int_col(node_ds, "host"))
+        n = len(hosts)
+        ia_chunks, ib_chunks = [], []
+        for b in und.iter_batches(batch_format="pyarrow"):
+            if b.num_rows:
+                ia_chunks.append(
+                    np.searchsorted(hosts, b.column("a").to_numpy(zero_copy_only=False))
+                )
+                ib_chunks.append(
+                    np.searchsorted(hosts, b.column("b").to_numpy(zero_copy_only=False))
+                )
+        ia = np.concatenate(ia_chunks)
+        ib = np.concatenate(ib_chunks)
+        # both directions + the self-vote row per node
+        voter = np.concatenate([ia, ib, np.arange(n)])
+        votee_label_src = np.concatenate([ib, ia, np.arange(n)])
+        lab_idx = np.arange(n)  # label == hosts[lab_idx]
+        for _ in range(num_iters):
+            votes = lab_idx[votee_label_src]
+            key = voter.astype(np.int64) * n + votes
+            uniq, counts = np.unique(key, return_counts=True)
+            node = uniq // n
+            lab = uniq % n
+            order = np.lexsort((lab, -counts, node))
+            node_o, first = np.unique(node[order], return_index=True)
+            new = lab_idx.copy()
+            new[node_o] = lab[order][first]
+            lab_idx = new
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "host": pa.array(hosts, type=pa.int64()),
+                    "community": pa.array(hosts[lab_idx], type=pa.int64()),
+                }
+            )
+        )
+
+    # ---- distributed tier: one join + one keyed argmax exchange per
+    # iteration ---------------------------------------------------------
+    from dots_ocr_ray.pipelines.relational import hash_join
+
+    def _directed(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_numpy(zero_copy_only=False)
+        b = batch.column("b").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "s": pa.array(np.concatenate([a, b]), type=pa.int64()),
+                "d": pa.array(np.concatenate([b, a]), type=pa.int64()),
+            }
+        )
+
+    directed = bounded_blocks(
+        und.map_batches(_directed, batch_format="pyarrow"), rows_per_block=1_048_576
+    ).materialize()
+
+    def _init_labels(batch: pa.Table) -> pa.Table:
+        h = batch.column("host").cast(pa.int64())
+        return pa.table({"host": h, "label": h})
+
+    labels = node_ds.map_batches(_init_labels, batch_format="pyarrow").materialize()
+    lab_schema = pa.schema([("host", pa.int64()), ("label", pa.int64())])
+    edge_schema = pa.schema([("s", pa.int64()), ("d", pa.int64())])
+
+    def _as_src(batch: pa.Table) -> pa.Table:
+        return pa.table({"s": batch.column("host").cast(pa.int64()), "label": batch.column("label").cast(pa.int64())})
+
+    def _vote_rows(batch: pa.Table) -> pa.Table:
+        # (d, label) neighbor-vote rows from the joined edge table
+        return pa.table(
+            {
+                "host": batch.column("d").cast(pa.int64()),
+                "label": batch.column("label").cast(pa.int64()),
+            }
+        )
+
+    def _tag(batch: pa.Table) -> pa.Table:
+        h = batch.column("host").to_numpy(zero_copy_only=False).astype(np.uint64)
+        return batch.append_column(
+            "__bucket",
+            pa.array(
+                ((h * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(num_buckets)).astype(
+                    np.int32
+                ),
+                type=pa.int32(),
+            ),
+        )
+
+    def _argmax_fold(group: pa.Table) -> pa.Table:
+        node = group.column("host").to_numpy(zero_copy_only=False).astype(np.int64)
+        lab = group.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
+        pair = np.stack([node, lab], axis=1)
+        uniq, counts = np.unique(pair, axis=0, return_counts=True)
+        order = np.lexsort((uniq[:, 1], -counts, uniq[:, 0]))
+        node_o, first = np.unique(uniq[order][:, 0], return_index=True)
+        return pa.table(
+            {
+                "host": pa.array(node_o, type=pa.int64()),
+                "label": pa.array(uniq[order][:, 1][first], type=pa.int64()),
+            }
+        )
+
+    for _ in range(num_iters):
+        joined = hash_join(
+            directed,
+            labels.map_batches(_as_src, batch_format="pyarrow"),
+            on="s",
+            left_schema=edge_schema,
+            right_schema=pa.schema([("s", pa.int64()), ("label", pa.int64())]),
+        )
+        votes = joined.map_batches(_vote_rows, batch_format="pyarrow").union(labels)
+        labels = (
+            bounded_blocks(
+                votes.map_batches(_tag, batch_format="pyarrow"), rows_per_block=1_048_576
+            )
+            .groupby("__bucket")
+            .map_groups(_argmax_fold, batch_format="pyarrow")
+            .materialize()
+        )
+
+    def _rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(
+            ["community" if c == "label" else c for c in batch.column_names]
+        )
+
+    return labels.map_batches(_rename, batch_format="pyarrow")

@@ -63,6 +63,7 @@ def _canon(obj) -> pd.DataFrame:
         "logreg_scores",
         "pca_components",
         "pca_projected",
+        "host_communities",
     ],
 )
 def test_golden_parity(ray_session, name):

@@ -313,3 +313,67 @@ def test_triangle_count_tier_parity(ray_session):
     t_wedge = triangle_count(_edges(rows), wedge_budget=0).column("n_triangles")[0].as_py()
     assert t_drv == t_dist == t_wedge
     assert t_drv > 0
+
+
+def _lpa_dict(tbl):
+    return dict(zip(tbl.column("host").to_pylist(), tbl.column("community").to_pylist()))
+
+
+def _lpa(ds, **kw):
+    from dots_ocr_ray.pipelines.graph import label_propagation
+
+    out = label_propagation(ds, **kw)
+    import pyarrow.compute as pc
+
+    t = pa.concat_tables(
+        [b for b in out.iter_batches(batch_format="pyarrow") if b.num_rows]
+        or [pa.table({"host": pa.array([], pa.int64()), "community": pa.array([], pa.int64())})]
+    )
+    return t.take(pc.sort_indices(t, sort_keys=[("host", "ascending")]))
+
+
+def test_label_propagation_two_cliques_with_bridge(ray_session):
+    # two 4-cliques joined by one bridge edge: LPA must keep them as
+    # two communities labelled by each clique's min node id
+    clique = lambda base: [
+        (base + i, base + j) for i in range(4) for j in range(i + 1, 4)
+    ]
+    ds = _edges(clique(0) + clique(10) + [(3, 10)])
+    got = _lpa_dict(_lpa(ds, num_iters=6))
+    assert {got[i] for i in range(4)} == {0}
+    assert {got[10 + i] for i in range(4)} == {10}
+
+
+def test_label_propagation_tier_parity_and_dup_immunity(ray_session):
+    # duplicated + self-loop + reversed edges must not change votes;
+    # the distributed tier must equal the driver tier exactly
+    rows = [(i % 13, (i * 5 + 2) % 13) for i in range(300)]
+    rows += [(2, 2), (5, 5)]  # self-loops dropped
+    rows += rows[:40]  # duplicates collapsed exactly
+    ds = _edges(rows)
+    drv = _lpa(ds, num_iters=5)
+    dist = _lpa(ds, num_iters=5, broadcast_limit=0)
+    assert drv.equals(dist)
+
+    # multiplicity immunity: single copy of each edge gives the same result
+    uniq = sorted({(min(s, d), max(s, d)) for s, d in rows if s != d})
+    assert _lpa(_edges(uniq), num_iters=5).equals(drv)
+
+
+def test_label_propagation_bipartite_self_vote_damping(ray_session):
+    # a 2-node path is worst-case for naive synchronous LPA (labels
+    # swap forever); the self-vote makes min-label win and stay stable
+    ds = _edges([(7, 8)])
+    for iters in (2, 3, 10):
+        got = _lpa_dict(_lpa(ds, num_iters=iters))
+        assert got == {7: 7, 8: 7}
+
+
+def test_label_propagation_empty_and_ring(ray_session):
+    ds = _edges([(1, 1)])  # only a self-loop -> empty graph
+    assert _lpa(ds, num_iters=3).num_rows == 0
+
+    # a 5-ring converges to the min label everywhere
+    ring = [(i, (i + 1) % 5) for i in range(5)]
+    got = _lpa_dict(_lpa(_edges(ring), num_iters=10))
+    assert set(got.values()) == {0}

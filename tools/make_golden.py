@@ -1074,6 +1074,52 @@ def golden_ngram_diversity(sf_dir: str, *, max_n: int = 3, p: int = 14) -> pa.Ta
     )
 
 
+
+
+def golden_host_communities(sf_dir: str, *, num_iters: int = 8) -> pa.Table:
+    """Sequential label propagation over the planted-community host
+    fixture (pipelines/graph.py:community_edges_from_documents),
+    derived INDEPENDENTLY: a per-node Counter loop rather than the
+    pipeline's vectorized pair-count folds.  Same exact rule: distinct
+    undirected edges, neighbor votes + one self-vote, synchronous
+    update, ties to the smallest label."""
+    from collections import Counter
+
+    ids = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"]).column(
+        "doc_id"
+    ).to_numpy()
+    h = ids % 400
+    ring = h[h % 16 < 15]
+    skip = h[h % 16 < 14]
+    bridge = h[ids % 89 == 0]
+    src = np.concatenate([ring, skip, bridge])
+    dst = np.concatenate([ring + 1, skip + 2, (bridge + 16) % 400])
+    keep = src != dst
+    a = np.minimum(src[keep], dst[keep])
+    b = np.maximum(src[keep], dst[keep])
+    edges = {(int(x), int(y)) for x, y in zip(a, b)}
+    nbrs: dict[int, list[int]] = {}
+    for x, y in edges:
+        nbrs.setdefault(x, []).append(y)
+        nbrs.setdefault(y, []).append(x)
+    hosts = sorted(nbrs)
+    lab = {v: v for v in hosts}
+    for _ in range(num_iters):
+        new = {}
+        for v in hosts:
+            c = Counter(lab[u] for u in nbrs[v])
+            c[lab[v]] += 1
+            best = max(c.items(), key=lambda kv: (kv[1], -kv[0]))
+            new[v] = best[0]
+        lab = new
+    return pa.table(
+        {
+            "host": pa.array(hosts, type=pa.int64()),
+            "community": pa.array([lab[v] for v in hosts], type=pa.int64()),
+        }
+    )
+
+
 GOLDEN_BUILDERS = {
     "kmeans_clusters": golden_kmeans_clusters,
     "semdedup_docs": golden_semdedup_docs,
@@ -1112,6 +1158,7 @@ GOLDEN_BUILDERS = {
     "pca_projected": golden_pca_projected,
     "approx_users_by_type": golden_approx_users_by_type,
     "ngram_diversity": golden_ngram_diversity,
+    "host_communities": golden_host_communities,
 }
 
 
