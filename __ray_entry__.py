@@ -3144,6 +3144,20 @@ def _q_host_communities(sf_dir: str):
     return label_propagation(community_edges_from_documents(sf_dir), num_iters=8)
 
 
+def _q_token_pmi(sf_dir: str):
+    """Token co-occurrence PMI over the exact top-32 whitespace
+    vocabulary: document-frequency counts, pmi = ln(n_ab*N/(n_a*n_b)),
+    pairs with n_ab >= 2, lexicographic token_a < token_b.  One vocab
+    exchange, then zero-exchange V x V matrix partials folded on the
+    driver.  Oracle: DuckDB distinct doc-token self-join."""
+    import ray.data
+
+    from dots_ocr_ray.pipelines.text_analysis import token_pmi
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return token_pmi(ds, top_v=32, min_pair=2)
+
+
 def _q_order_value_quantiles(sf_dir: str):
     """Per-priority EXACT float quantiles of order value (p50/p90/p99)
     via grouped histogram-refinement selection — zero exchanges, one
@@ -3399,6 +3413,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_value_quantiles": _q_order_value_quantiles,
         "host_kcore": _q_host_kcore,
         "host_communities": _q_host_communities,
+        "token_pmi": _q_token_pmi,
         "cms_token_counts": _q_cms_token_counts,
         "vocab_edit_pairs": _q_vocab_edit_pairs,
         "corpus_overlap": _q_corpus_overlap,
@@ -4165,6 +4180,27 @@ def oracle_sql() -> dict[str, str]:
             "SELECT o_orderpriority, unnest([0.5, 0.9, 0.99]) AS q, "
             "unnest(quantile_disc(o_totalprice, [0.5, 0.9, 0.99])) AS value "
             "FROM orders GROUP BY o_orderpriority"
+        ),
+        # token co-occurrence PMI: doc-frequency counts over the exact
+        # top-32 whitespace vocabulary, ln rounded 9 dp on both engines
+        "token_pmi": (
+            "WITH toks AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), "
+            "t -> t <> '') AS arr FROM documents), "
+            "cnt AS (SELECT unnest(arr) AS token FROM toks), "
+            "vocab AS (SELECT token FROM (SELECT token, count(*) AS n FROM cnt "
+            "GROUP BY token) ORDER BY n DESC, token LIMIT 32), "
+            "dt AS (SELECT DISTINCT doc_id, token FROM "
+            "(SELECT doc_id, unnest(arr) AS token FROM toks) "
+            "WHERE token IN (SELECT token FROM vocab)), "
+            "ca AS (SELECT token, count(*) AS c FROM dt GROUP BY token), "
+            "pairs AS (SELECT a.token AS token_a, b.token AS token_b, count(*) AS n_ab "
+            "FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.token < b.token "
+            "GROUP BY a.token, b.token) "
+            "SELECT token_a, token_b, n_ab, "
+            "round(ln(CAST(n_ab AS DOUBLE) * (SELECT count(*) FROM documents) "
+            "/ (ca1.c * ca2.c)), 9) AS pmi "
+            "FROM pairs JOIN ca ca1 ON pairs.token_a = ca1.token "
+            "JOIN ca ca2 ON pairs.token_b = ca2.token WHERE n_ab >= 2"
         ),
         "host_communities": (
             "SELECT host, community FROM "

@@ -1354,9 +1354,13 @@ def build_vocab(
         return batch.take(order[:vocab_size])
 
     merged = pa.concat_tables(
-        counts.map_batches(_local_top, batch_format="pyarrow").iter_batches(
-            batch_format="pyarrow"
+        list(
+            counts.map_batches(_local_top, batch_format="pyarrow").iter_batches(
+                batch_format="pyarrow"
+            )
         )
+        # an all-whitespace corpus yields zero count batches
+        or [pa.table({"token": pa.array([], pa.string()), "n": pa.array([], pa.int64())})]
     )
     order = pc.sort_indices(
         merged, sort_keys=[("n", "descending"), ("token", "ascending")]
@@ -1809,3 +1813,100 @@ def bm25_scores(
         )
 
     return matches.map_batches(_score, batch_format="pyarrow")
+
+
+def token_pmi(
+    ds: ray.data.Dataset,
+    *,
+    text_col: str = "text",
+    top_v: int = 32,
+    min_pair: int = 2,
+) -> pa.Table:
+    """Document-level token co-occurrence PMI over the EXACT top-V
+    whitespace vocabulary — the collocation / topic-coherence signal
+    (``pmi = ln(n_ab · N / (n_a · n_b))`` with document-frequency
+    counts) a curation pipeline uses to spot boilerplate phrase pairs
+    and topic clusters.
+
+    Scale shape: after the :func:`build_vocab` token exchange, the
+    whole co-occurrence computation is ZERO-exchange — each batch
+    builds its docs × V membership matrix with one vectorized
+    ``pc.index_in`` probe against the broadcast vocabulary and emits a
+    single V×V int64 matrix row (``M.T @ M``, ≤ 8 KB at V=32); the
+    driver folds O(blocks) matrices.  V is a parameter, not the corpus
+    vocabulary — the V² cell grid must stay broadcast-sized (V ≤ ~2k),
+    which is exactly the regime PMI collocation scans run at.
+
+    Output: ``(token_a, token_b, n_ab, pmi)`` for lexicographic
+    ``token_a < token_b`` with ``n_ab >= min_pair``; ``pmi`` rounded
+    to 9 dp for cross-engine float determinism; N = TOTAL document
+    count (vocab-free documents dilute pairs, as in the SQL mirror).
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    import ray
+
+    vocab_tbl = build_vocab(ds, text_col=text_col, vocab_size=top_v)
+    vs = np.sort(np.asarray(vocab_tbl.column("token").to_pylist(), dtype=object))
+    v = len(vs)
+    empty = pa.table(
+        {
+            "token_a": pa.array([], pa.string()),
+            "token_b": pa.array([], pa.string()),
+            "n_ab": pa.array([], pa.int64()),
+            "pmi": pa.array([], pa.float64()),
+        }
+    )
+    if v == 0:
+        return empty
+    value_set = pa.array(vs.tolist(), type=pa.string())
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        toks = split_whitespace_checked(batch.column(text_col))
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        idx = pc.index_in(flat, value_set)
+        keep = pc.is_valid(idx)
+        rows = parent.filter(keep).to_numpy(zero_copy_only=False).astype(np.int64)
+        cols = idx.filter(keep).to_numpy(zero_copy_only=False).astype(np.int64)
+        key = np.unique(rows * v + cols)
+        m = np.zeros((batch.num_rows, v), dtype=np.int64)
+        m[key // v, key % v] = 1
+        c = m.T @ m
+        return pa.table(
+            {
+                "mat": pa.array([c.ravel()], type=pa.list_(pa.int64())),
+                "ndocs": pa.array([batch.num_rows], type=pa.int64()),
+            }
+        )
+
+    c_total = np.zeros(v * v, dtype=np.int64)
+    n_docs = 0
+    # batch_size bounds the docs × V membership matrix (~1 MB at 4096×32)
+    for b in ds.map_batches(
+        _partial, batch_format="pyarrow", batch_size=4096
+    ).iter_batches(batch_format="pyarrow"):
+        for i in range(b.num_rows):
+            c_total += np.asarray(b.column("mat")[i].as_py(), dtype=np.int64)
+            n_docs += int(b.column("ndocs")[i].as_py())
+
+    c = c_total.reshape(v, v)
+    diag = np.diag(c)
+    ii, jj = np.triu_indices(v, k=1)
+    n_ab = c[ii, jj]
+    keep = n_ab >= min_pair
+    ii, jj, n_ab = ii[keep], jj[keep], n_ab[keep]
+    with np.errstate(divide="ignore"):
+        pmi = np.round(
+            np.log(n_ab.astype(np.float64) * n_docs / (diag[ii] * diag[jj]).astype(np.float64)),
+            9,
+        )
+    return pa.table(
+        {
+            "token_a": pa.array(vs[ii].tolist(), type=pa.string()),
+            "token_b": pa.array(vs[jj].tolist(), type=pa.string()),
+            "n_ab": pa.array(n_ab, type=pa.int64()),
+            "pmi": pa.array(pmi, type=pa.float64()),
+        }
+    )

@@ -620,3 +620,62 @@ def test_vocab_edit_pairs_value_mode(ray_session):
     assert got == {("id-001", "id-002"), ("id-001", "id-01")}
     n = dict(zip(out.tok_a, out.n_a)) | dict(zip(out.tok_b, out.n_b))
     assert n["id-001"] == 2 and n["id-002"] == 1
+
+
+def test_token_pmi_manual_counts(ray_session):
+    import math
+
+    import ray.data
+
+    from dots_ocr_ray.pipelines.text_analysis import token_pmi
+
+    docs = [
+        "a b",  # a,b together
+        "a b",  # again -> n_ab(a,b)=2
+        "a c",
+        "b c",
+        "d",  # vocab-free-ish filler (d still counts toward vocab)
+        "",
+    ]
+    ds = ray.data.from_items([{"text": t} for t in docs])
+    tbl = token_pmi(ds, top_v=4, min_pair=1)
+    got = {
+        (r["token_a"], r["token_b"]): (r["n_ab"], r["pmi"]) for r in tbl.to_pylist()
+    }
+    n = len(docs)
+    # doc frequencies: a=3, b=3, c=2, d=1
+    assert got[("a", "b")][0] == 2
+    assert got[("a", "c")][0] == 1
+    assert got[("b", "c")][0] == 1
+    assert ("a", "d") not in got  # never co-occur
+    assert got[("a", "b")][1] == round(math.log(2 * n / (3 * 3)), 9)
+    assert got[("a", "c")][1] == round(math.log(1 * n / (3 * 2)), 9)
+
+    # min_pair filter drops the singletons
+    tbl2 = token_pmi(ds, top_v=4, min_pair=2)
+    assert {(r["token_a"], r["token_b"]) for r in tbl2.to_pylist()} == {("a", "b")}
+
+
+def test_token_pmi_vocab_restriction_and_dup_tokens(ray_session):
+    import ray.data
+
+    from dots_ocr_ray.pipelines.text_analysis import token_pmi
+
+    # "x" repeated inside one doc must count once (document frequency);
+    # top_v=2 keeps only the two most frequent tokens
+    docs = ["x x x y z", "x y", "x y", "z q"]
+    ds = ray.data.from_items([{"text": t} for t in docs])
+    tbl = token_pmi(ds, top_v=2, min_pair=1)
+    rows = tbl.to_pylist()
+    assert {(r["token_a"], r["token_b"]) for r in rows} == {("x", "y")}
+    assert rows[0]["n_ab"] == 3
+
+
+def test_token_pmi_empty(ray_session):
+    import ray.data
+
+    from dots_ocr_ray.pipelines.text_analysis import token_pmi
+
+    ds = ray.data.from_items([{"text": ""}, {"text": "   "}])
+    tbl = token_pmi(ds, top_v=8, min_pair=1)
+    assert tbl.num_rows == 0
