@@ -3158,6 +3158,33 @@ def _q_token_pmi(sf_dir: str):
     return token_pmi(ds, top_v=32, min_pair=2)
 
 
+def _q_keyword_search(sf_dir: str):
+    """Lexical retrieval over a PERSISTED inverted index: postings
+    (token, doc_id, tf) written hash-bucketed by token once (the token
+    exchange persisted, pipelines/bucketed.py layout), then an AND
+    query reads ONLY the bucket directories its terms hash into with a
+    parquet token-IN filter — the read is bounded by the posting
+    lists, never the corpus.  Oracle: DuckDB exploded token counts
+    with HAVING count(*) = n_terms."""
+    import ray.data
+
+    from dots_ocr_ray.pipelines.retrieval import build_inverted_index, keyword_search
+
+    base, built = _scratch_dir("invindex", sf_dir)
+    import os
+
+    if not built:
+        docs = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        build_inverted_index(docs, f"{base}/index", num_buckets=32)
+        with open(os.path.join(base, "_complete"), "w") as f:
+            f.write("ok")
+    return keyword_search(
+        f"{base}/index", ["customer", "filter", "merge"], mode="and"
+    )
+
+
 def _q_order_value_quantiles(sf_dir: str):
     """Per-priority EXACT float quantiles of order value (p50/p90/p99)
     via grouped histogram-refinement selection — zero exchanges, one
@@ -3414,6 +3441,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_kcore": _q_host_kcore,
         "host_communities": _q_host_communities,
         "token_pmi": _q_token_pmi,
+        "keyword_search": _q_keyword_search,
         "cms_token_counts": _q_cms_token_counts,
         "vocab_edit_pairs": _q_vocab_edit_pairs,
         "corpus_overlap": _q_corpus_overlap,
@@ -4201,6 +4229,18 @@ def oracle_sql() -> dict[str, str]:
             "/ (ca1.c * ca2.c)), 9) AS pmi "
             "FROM pairs JOIN ca ca1 ON pairs.token_a = ca1.token "
             "JOIN ca ca2 ON pairs.token_b = ca2.token WHERE n_ab >= 2"
+        ),
+        # inverted-index AND retrieval: distinct (doc, term) tf rows for
+        # the probe terms, docs matching all three
+        "keyword_search": (
+            "WITH toks AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), "
+            "t -> t <> '') AS arr FROM documents), "
+            "ex AS (SELECT doc_id, unnest(arr) AS token FROM toks), "
+            "m AS (SELECT doc_id, token, count(*) AS tf FROM ex "
+            "WHERE token IN ('customer', 'filter', 'merge') GROUP BY doc_id, token) "
+            "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms, "
+            "CAST(sum(tf) AS BIGINT) AS total_tf "
+            "FROM m GROUP BY doc_id HAVING count(*) = 3"
         ),
         "host_communities": (
             "SELECT host, community FROM "

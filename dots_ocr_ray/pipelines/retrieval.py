@@ -1,0 +1,190 @@
+"""Inverted-index build + keyword search — the lexical-retrieval
+storage half of a RAG / search stack over the extracted corpus (the
+scoring half is ``text_analysis.bm25_scores``).
+
+Why an INDEX and not a scan: ``bm25_scores`` re-reads the whole corpus
+per query batch, which is right for one-off scoring but wrong for a
+served index at 10^12 documents.  ``build_inverted_index`` pays the
+token exchange ONCE and persists postings hash-bucketed by token
+(reusing the co-partitioned bucketed layout + manifest of
+``pipelines/bucketed.py`` — same ``_stable_key_hash``, so the layout
+is literally "the token exchange, persisted").  ``keyword_search``
+then touches ONLY the ≤ len(terms) bucket directories its query terms
+hash into — at 100 TB the read is bounded by the query's posting
+lists, never the corpus — and prunes further with a parquet-level
+``token IN terms`` row filter so only matching row groups decompress.
+
+Postings are ``(token, doc_id, tf)`` with document-level term
+frequency (one row per DISTINCT (doc, token)); tf supports downstream
+ranked AND/OR retrieval without a second corpus pass.
+"""
+
+from __future__ import annotations
+
+import json
+import posixpath
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from dots_ocr_ray.pipelines.bucketed import (
+    MANIFEST_NAME,
+    _bucket_files,
+    _bucket_of,
+    write_bucketed,
+)
+from dots_ocr_ray.state.manifest import resolve_fs
+from dots_ocr_ray.util import split_whitespace_checked
+
+
+def postings_from_documents(
+    ds: ray.data.Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Zero-exchange postings stream: explode each document's
+    whitespace tokens, fold duplicates WITHIN the doc to a term
+    frequency (arrow ``group_by`` per batch — vectorized, and exact
+    because a document never spans batches)."""
+
+    def _postings(batch: pa.Table) -> pa.Table:
+        toks = split_whitespace_checked(batch.column(text_col))
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        keep = pc.not_equal(flat, "")
+        flat = flat.filter(keep)
+        parent = parent.filter(keep)
+        ids = batch.column(id_col).take(parent)
+        agg = (
+            pa.table({"doc_id": ids, "token": flat})
+            .group_by(["token", "doc_id"])
+            .aggregate([("doc_id", "count")])
+        )
+        return pa.table(
+            {
+                "token": agg.column("token"),
+                "doc_id": agg.column("doc_id").cast(pa.int64()),
+                "tf": agg.column("doc_id_count").cast(pa.int64()),
+            }
+        )
+
+    return ds.map_batches(_postings, batch_format="pyarrow")
+
+
+def build_inverted_index(
+    ds: ray.data.Dataset,
+    out_dir: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 32,
+) -> None:
+    """Persist the postings of ``ds`` hash-bucketed by token under
+    ``out_dir`` (hive layout + ``_buckets.json`` manifest)."""
+    write_bucketed(
+        postings_from_documents(ds, text_col=text_col, id_col=id_col),
+        out_dir,
+        key="token",
+        num_buckets=num_buckets,
+    )
+
+
+def keyword_search(
+    index_dir: str,
+    terms: list[str],
+    *,
+    mode: str = "and",
+) -> ray.data.Dataset:
+    """Boolean keyword retrieval over a persisted inverted index →
+    ``(doc_id, n_terms, total_tf)`` sorted nowhere (consume or sort
+    downstream).
+
+    ``mode="and"`` keeps docs matching EVERY term, ``"or"`` any term.
+    Reads only the bucket directories the query terms hash into, with
+    a parquet ``token IN terms`` filter so non-matching row groups
+    never decompress; the per-doc fold is one bucket-keyed exchange
+    over the (already query-pruned) posting rows."""
+    if mode not in ("and", "or"):
+        raise ValueError(f"unsupported mode={mode!r}")
+    terms = sorted(set(terms))
+    if not terms:
+        raise ValueError("keyword_search needs at least one term")
+
+    fs, root = resolve_fs(index_dir)
+    with fs.open_input_stream(posixpath.join(root, MANIFEST_NAME)) as f:
+        manifest = json.loads(f.read().decode())
+    if manifest["key"] != "token":
+        raise ValueError(f"not a token index: bucketed by {manifest['key']!r}")
+    num_buckets = int(manifest["num_buckets"])
+
+    term_arr = pa.array(terms, type=pa.string())
+    want = set(_bucket_of(term_arr, num_buckets).tolist())
+    files = _bucket_files(index_dir, num_buckets)
+    paths = sorted(p for b in want for p in files.get(b, []))
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "n_terms": pa.array([], pa.int64()),
+            "total_tf": pa.array([], pa.int64()),
+        }
+    )
+    if not paths:
+        return ray.data.from_arrow(empty)
+
+    import pyarrow.dataset as pads
+
+    postings = ray.data.read_parquet(
+        paths,
+        columns=["token", "doc_id", "tf"],
+        filter=pads.field("token").isin(terms),
+    )
+
+    n_required = len(terms) if mode == "and" else 1
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        # per-batch fold: (doc_id, n_terms_partial, tf_partial) — terms
+        # are distinct per (doc, token) by construction, so counting
+        # rows counts distinct matched terms
+        agg = (
+            batch.select(["doc_id", "tf"])
+            .group_by("doc_id")
+            .aggregate([("tf", "count"), ("tf", "sum")])
+        )
+        d = agg.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        bkt = (d.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(64)
+        return pa.table(
+            {
+                "doc_id": pa.array(d, type=pa.int64()),
+                "n": agg.column("tf_count").cast(pa.int64()),
+                "s": agg.column("tf_sum").cast(pa.int64()),
+                "__bucket": pa.array(bkt.astype(np.int32), type=pa.int32()),
+            }
+        )
+
+    def _fold(group: pa.Table) -> pa.Table:
+        d = group.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = group.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        s = group.column("s").to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, inv = np.unique(d, return_inverse=True)
+        n_sum = np.zeros(len(uniq), dtype=np.int64)
+        s_sum = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(n_sum, inv, n)
+        np.add.at(s_sum, inv, s)
+        keep = n_sum >= n_required
+        return pa.table(
+            {
+                "doc_id": pa.array(uniq[keep], type=pa.int64()),
+                "n_terms": pa.array(n_sum[keep], type=pa.int64()),
+                "total_tf": pa.array(s_sum[keep], type=pa.int64()),
+            }
+        )
+
+    return (
+        postings.map_batches(_partial, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(_fold, batch_format="pyarrow")
+    )

@@ -1,0 +1,90 @@
+"""Inverted-index build + keyword search (pipelines/retrieval.py)."""
+
+import shutil
+
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+DOCS = [
+    (0, "apple banana apple cherry"),
+    (1, "banana cherry"),
+    (2, "apple apple apple"),
+    (3, "date cherry apple banana"),
+    (4, ""),
+    (5, "banana banana"),
+]
+
+
+def _brute(terms, mode):
+    hits = {}
+    for doc_id, text in DOCS:
+        tf = {}
+        for t in text.split():
+            tf[t] = tf.get(t, 0) + 1
+        matched = {t: tf[t] for t in terms if t in tf}
+        need = len(terms) if mode == "and" else 1
+        if len(matched) >= need:
+            hits[doc_id] = (len(matched), sum(matched.values()))
+    return hits
+
+
+def _build(tmp_path, num_buckets=8):
+    from dots_ocr_ray.pipelines.retrieval import build_inverted_index
+
+    ds = ray.data.from_items([{"doc_id": i, "text": t} for i, t in DOCS])
+    idx = str(tmp_path / "index")
+    build_inverted_index(ds, idx, num_buckets=num_buckets)
+    return idx
+
+
+def _search_dict(idx, terms, mode):
+    from dots_ocr_ray.pipelines.retrieval import keyword_search
+
+    return {
+        r["doc_id"]: (r["n_terms"], r["total_tf"])
+        for r in keyword_search(idx, terms, mode=mode).take_all()
+    }
+
+
+def test_keyword_search_and_or_vs_brute_force(ray_session, tmp_path):
+    idx = _build(tmp_path)
+    for mode in ("and", "or"):
+        for terms in (["apple"], ["apple", "banana"], ["apple", "banana", "cherry"]):
+            assert _search_dict(idx, terms, mode) == _brute(terms, mode), (mode, terms)
+
+
+def test_keyword_search_missing_term_and_duplicate_terms(ray_session, tmp_path):
+    idx = _build(tmp_path)
+    assert _search_dict(idx, ["apple", "zzz"], "and") == {}
+    assert _search_dict(idx, ["apple", "zzz"], "or") == _brute(["apple"], "or")
+    # duplicate probe terms collapse (AND of {apple} not {apple, apple})
+    assert _search_dict(idx, ["apple", "apple"], "and") == _brute(["apple"], "and")
+
+
+def test_keyword_search_reads_only_term_buckets(ray_session, tmp_path):
+    """Deleting every bucket directory the probe terms do NOT hash
+    into must not change the result — proof the read is bounded by the
+    query's posting lists."""
+    from dots_ocr_ray.pipelines.bucketed import _bucket_of
+
+    idx = _build(tmp_path, num_buckets=8)
+    terms = ["apple", "cherry"]
+    want = set(_bucket_of(pa.array(terms), 8).tolist())
+    assert len(want) < 8  # the test only proves something if buckets are pruned
+    expected = _brute(terms, "and")
+    for b in range(8):
+        if b not in want:
+            shutil.rmtree(tmp_path / "index" / f"__bucket={b}", ignore_errors=True)
+    assert _search_dict(idx, terms, "and") == expected
+
+
+def test_keyword_search_validation(ray_session, tmp_path):
+    from dots_ocr_ray.pipelines.retrieval import keyword_search
+
+    idx = _build(tmp_path)
+    with pytest.raises(ValueError):
+        keyword_search(idx, [])
+    with pytest.raises(ValueError):
+        keyword_search(idx, ["apple"], mode="xor")

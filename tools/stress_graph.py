@@ -106,20 +106,34 @@ def main() -> None:
 
     import ray.data
 
+    # CC runs on the CHAIN-FREE arms: the multiplicative arms alone
+    # have ~log-n diameter, so min-label + pointer jumping converges in
+    # a handful of rounds.  The 3M-hop chain would need ~22 pointer-
+    # jump rounds (~30+ min/leg) — that O(log D) convergence behavior
+    # is pinned by the 15-hop-chain unit fixture instead; this harness
+    # measures per-round throughput at scale, not round count.
+    def _drop_chain(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        s = t.column("src").to_numpy(zero_copy_only=False)
+        d = t.column("dst").to_numpy(zero_copy_only=False)
+        keep = d != (s + 1) % n_nodes
+        return pa.table(
+            {"a": pa.array(s[keep]), "b": pa.array(d[keep])}
+        )
+
+    cc_edges = edges.map_batches(_drop_chain, batch_format="pyarrow")
     nodes = edges.select_columns(["src"]).map_batches(
         lambda t: pa.table({"id": t.column("src")}), batch_format="pyarrow"
     )
     cc = cluster_assign(
         nodes.groupby("id").count().select_columns(["id"]),
-        edges.map_batches(
-            lambda t: pa.table({"a": t.column("src"), "b": t.column("dst")}),
-            batch_format="pyarrow",
-        ),
+        cc_edges,
         id_col="id",
     )
     n_cc = cc.count()
     _stage("connected_components", round(time.time() - t0, 2))
-    assert n_cc == n_nodes  # chain arm connects everything into one graph
+    assert n_cc == n_nodes
 
     t0 = time.time()
     core = kcore(edges, k=4)
