@@ -3185,6 +3185,20 @@ def _q_keyword_search(sf_dir: str):
     )
 
 
+def _q_host_random_walks(sf_dir: str):
+    """Deterministic uniform random walks over the host link graph
+    (2 walks x 4 steps per host, hash-derived choices so any work
+    partitioning yields identical walks) — the DeepWalk/node2vec
+    corpus-prep op.  Oracle: golden parquet from an independent
+    sequential dict-adjacency walker sharing only the pure step
+    hash."""
+    from dots_ocr_ray.pipelines.graph import host_edges_from_documents, random_walks
+
+    return random_walks(
+        host_edges_from_documents(sf_dir), walks_per_node=2, walk_len=4, seed=7
+    )
+
+
 def _q_order_value_quantiles(sf_dir: str):
     """Per-priority EXACT float quantiles of order value (p50/p90/p99)
     via grouped histogram-refinement selection — zero exchanges, one
@@ -3442,6 +3456,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_communities": _q_host_communities,
         "token_pmi": _q_token_pmi,
         "keyword_search": _q_keyword_search,
+        "host_random_walks": _q_host_random_walks,
         "cms_token_counts": _q_cms_token_counts,
         "vocab_edit_pairs": _q_vocab_edit_pairs,
         "corpus_overlap": _q_corpus_overlap,
@@ -4241,6 +4256,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms, "
             "CAST(sum(tf) AS BIGINT) AS total_tf "
             "FROM m GROUP BY doc_id HAVING count(*) = 3"
+        ),
+        "host_random_walks": (
+            "SELECT start_host, walk_id, step, host FROM "
+            f"read_parquet('{_GOLDEN_DIR}/host_random_walks.parquet')"
         ),
         "host_communities": (
             "SELECT host, community FROM "

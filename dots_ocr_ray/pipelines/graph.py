@@ -1745,3 +1745,310 @@ def label_propagation(
         )
 
     return labels.map_batches(_rename, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# deterministic random walks (graph-embedding / node2vec corpus prep)
+
+
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """SplitMix64 finalizer — vectorized, wraps mod 2^64 (numpy uint64
+    arithmetic); the shared walk-step hash (tools/make_golden.py's
+    sequential mirror imports THIS function, so both derivations hash
+    identically by construction)."""
+    x = np.asarray(x, dtype=np.uint64)
+    with np.errstate(over="ignore"):  # wrap-around IS the hash
+        x = (x ^ (x >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
+        x = (x ^ (x >> np.uint64(33))) * np.uint64(0xC4CEB9FE1A85EC53)
+    return x ^ (x >> np.uint64(33))
+
+
+def _walk_choice_hash(cur: np.ndarray, walk: np.ndarray, step: int, seed: int) -> np.ndarray:
+    with np.errstate(over="ignore"):  # wrap-around IS the hash
+        mixed = (
+            cur.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+            ^ walk.astype(np.uint64) * np.uint64(0xC2B2AE3D27D4EB4F)
+            ^ np.uint64(step) * np.uint64(0xD6E8FEB86659FD93)
+            ^ np.uint64(seed)
+        )
+    return _mix64(mixed)
+
+
+def random_walks(
+    edges: ray.data.Dataset,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    walks_per_node: int = 2,
+    walk_len: int = 4,
+    seed: int = 0,
+    broadcast_limit: int = 2_000_000,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Deterministic uniform random walks over the DIRECTED edge
+    Dataset → ``(start_host, walk_id, step, host)`` — the walk-corpus
+    generator feeding skip-gram graph embeddings (DeepWalk/node2vec
+    shape) and random-walk-based sampling.
+
+    Exact rule (the golden oracle mirrors it through the SHARED
+    :func:`_walk_choice_hash`): adjacency is the exact-distinct
+    directed edge set with each node's out-neighbors sorted ascending;
+    walk ``w`` of node ``v`` starts at step 0 on ``v`` and at step
+    ``s`` moves to ``nbrs(cur)[hash(cur, w, s, seed) % deg(cur)]``; a
+    node with no out-edges ends the walk early.  Pseudo-randomness is
+    a pure hash of (position, walk, step) — no RNG state, so any
+    partitioning of the work produces identical walks.
+
+    Broadcast tier (|nodes| <= ``broadcast_limit``): the CSR adjacency
+    broadcasts once and every walk runs START-TO-END inside one
+    stateless ``map_batches`` over the seed rows — ``walk_len``
+    vectorized gathers per batch, ZERO exchanges.
+
+    Distributed tier: adjacency lives in a Dataset of (node, sorted
+    neighbor list) rows built with one bucket-keyed exchange; each
+    step is one ``hash_join(frontier, adj, on=cur)`` + vectorized
+    pick — ``walk_len`` keyed exchanges total, driver state zero."""
+    from dots_ocr_ray.pipelines.dedup import exact_distinct_pairs
+
+    def _as_pair(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "a": batch.column(src).cast(pa.int64()),
+                "b": batch.column(dst).cast(pa.int64()),
+            }
+        )
+
+    # exact distinct DIRECTED edges (exact_distinct_pairs is direction-
+    # preserving: it dedups (a, b) tuples as given)
+    dedges = exact_distinct_pairs(edges.map_batches(_as_pair, batch_format="pyarrow"))
+
+    def _nodes(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_numpy(zero_copy_only=False)
+        b = batch.column("b").to_numpy(zero_copy_only=False)
+        h = np.unique(np.concatenate([a, b])).astype(np.int64)
+        bkt = (h.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(num_buckets)
+        return pa.table(
+            {
+                "host": pa.array(h, type=pa.int64()),
+                "__bucket": pa.array(bkt.astype(np.int32), type=pa.int32()),
+            }
+        )
+
+    def _node_fold(group: pa.Table) -> pa.Table:
+        h = np.unique(group.column("host").to_numpy(zero_copy_only=False).astype(np.int64))
+        return pa.table({"host": pa.array(h, type=pa.int64())})
+
+    node_ds = (
+        bounded_blocks(
+            dedges.map_batches(_nodes, batch_format="pyarrow"), rows_per_block=1_048_576
+        )
+        .groupby("__bucket")
+        .map_groups(_node_fold, batch_format="pyarrow")
+        .materialize()
+    )
+    n_nodes = node_ds.count()
+    empty = pa.table(
+        {
+            "start_host": pa.array([], pa.int64()),
+            "walk_id": pa.array([], pa.int64()),
+            "step": pa.array([], pa.int64()),
+            "host": pa.array([], pa.int64()),
+        }
+    )
+    if n_nodes == 0:
+        return ray.data.from_arrow(empty)
+
+    def _seed_rows(batch: pa.Table) -> pa.Table:
+        h = batch.column("host").to_numpy(zero_copy_only=False).astype(np.int64)
+        starts = np.repeat(h, walks_per_node)
+        walks = np.tile(np.arange(walks_per_node, dtype=np.int64), len(h))
+        return pa.table(
+            {
+                "start_host": pa.array(starts, type=pa.int64()),
+                "walk_id": pa.array(walks, type=pa.int64()),
+            }
+        )
+
+    seeds_ds = node_ds.map_batches(_seed_rows, batch_format="pyarrow")
+
+    if n_nodes <= broadcast_limit:
+        # CSR: sorted edges give per-node contiguous neighbor runs
+        ed = dedges.materialize()
+        a_chunks, b_chunks = [], []
+        for bt in ed.iter_batches(batch_format="pyarrow"):
+            if bt.num_rows:
+                a_chunks.append(bt.column("a").to_numpy(zero_copy_only=False).astype(np.int64))
+                b_chunks.append(bt.column("b").to_numpy(zero_copy_only=False).astype(np.int64))
+        ea = np.concatenate(a_chunks)
+        eb = np.concatenate(b_chunks)
+        order = np.lexsort((eb, ea))
+        ea, eb = ea[order], eb[order]
+        hosts = np.sort(
+            np.concatenate(
+                [
+                    b.column("host").to_numpy(zero_copy_only=False).astype(np.int64)
+                    for b in node_ds.iter_batches(batch_format="pyarrow")
+                    if b.num_rows
+                ]
+            )
+        )
+        starts_idx = np.searchsorted(ea, hosts, side="left")
+        ends_idx = np.searchsorted(ea, hosts, side="right")
+        csr_ref = ray.put((hosts, starts_idx, ends_idx, eb))
+
+        def _walk(batch: pa.Table, _ref=csr_ref) -> pa.Table:
+            hosts_s, st, en, nbr = cached_object(_ref)
+            start = batch.column("start_host").to_numpy(zero_copy_only=False).astype(np.int64)
+            walk = batch.column("walk_id").to_numpy(zero_copy_only=False).astype(np.int64)
+            n = len(start)
+            out_start = [start]
+            out_walk = [walk]
+            out_step = [np.zeros(n, dtype=np.int64)]
+            out_host = [start]
+            cur = start.copy()
+            alive = np.ones(n, dtype=bool)
+            for s in range(1, walk_len + 1):
+                idx = np.searchsorted(hosts_s, cur)
+                deg = en[idx] - st[idx]
+                alive = alive & (deg > 0)
+                if not alive.any():
+                    break
+                pick = _walk_choice_hash(cur[alive], walk[alive], s, seed) % deg[
+                    alive
+                ].astype(np.uint64)
+                cur = cur.copy()
+                cur[alive] = nbr[st[idx[alive]] + pick.astype(np.int64)]
+                k = int(alive.sum())
+                out_start.append(start[alive])
+                out_walk.append(walk[alive])
+                out_step.append(np.full(k, s, dtype=np.int64))
+                out_host.append(cur[alive])
+            return pa.table(
+                {
+                    "start_host": pa.array(np.concatenate(out_start), type=pa.int64()),
+                    "walk_id": pa.array(np.concatenate(out_walk), type=pa.int64()),
+                    "step": pa.array(np.concatenate(out_step), type=pa.int64()),
+                    "host": pa.array(np.concatenate(out_host), type=pa.int64()),
+                }
+            )
+
+        return seeds_ds.map_batches(_walk, batch_format="pyarrow")
+
+    # ---- distributed tier: adjacency rows + one join per step --------
+    from dots_ocr_ray.pipelines.relational import hash_join
+
+    def _tag_a(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_numpy(zero_copy_only=False).astype(np.int64)
+        bkt = (a.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(num_buckets)
+        return batch.append_column(
+            "__bucket", pa.array(bkt.astype(np.int32), type=pa.int32())
+        )
+
+    def _adj_fold(group: pa.Table) -> pa.Table:
+        a = group.column("a").to_numpy(zero_copy_only=False).astype(np.int64)
+        b = group.column("b").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((b, a))
+        a, b = a[order], b[order]
+        uniq, starts = np.unique(a, return_index=True)
+        ends = np.append(starts[1:], len(a))
+        return pa.table(
+            {
+                "cur": pa.array(uniq, type=pa.int64()),
+                "nbrs": pa.array(
+                    [b[s:e] for s, e in zip(starts, ends)], type=pa.list_(pa.int64())
+                ),
+            }
+        )
+
+    adj = (
+        bounded_blocks(
+            dedges.map_batches(_tag_a, batch_format="pyarrow"), rows_per_block=1_048_576
+        )
+        .groupby("__bucket")
+        .map_groups(_adj_fold, batch_format="pyarrow")
+        .materialize()
+    )
+    adj_schema = pa.schema([("cur", pa.int64()), ("nbrs", pa.list_(pa.int64()))])
+
+    def _init_frontier(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "start_host": batch.column("start_host"),
+                "walk_id": batch.column("walk_id"),
+                "cur": batch.column("start_host"),
+            }
+        )
+
+    frontier = seeds_ds.map_batches(_init_frontier, batch_format="pyarrow").materialize()
+    frontier_schema = pa.schema(
+        [("start_host", pa.int64()), ("walk_id", pa.int64()), ("cur", pa.int64())]
+    )
+    out_parts = [
+        frontier.map_batches(
+            lambda t: pa.table(
+                {
+                    "start_host": t.column("start_host"),
+                    "walk_id": t.column("walk_id"),
+                    "step": pa.array(np.zeros(t.num_rows, dtype=np.int64), type=pa.int64()),
+                    "host": t.column("cur"),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    ]
+    for s in range(1, walk_len + 1):
+        joined = hash_join(
+            frontier,
+            adj,
+            on="cur",
+            left_schema=frontier_schema,
+            right_schema=adj_schema,
+        )
+
+        def _advance(batch: pa.Table, _s=s) -> pa.Table:
+            if batch.num_rows == 0:
+                return pa.table(
+                    {
+                        "start_host": pa.array([], pa.int64()),
+                        "walk_id": pa.array([], pa.int64()),
+                        "cur": pa.array([], pa.int64()),
+                    }
+                )
+            cur = batch.column("cur").to_numpy(zero_copy_only=False).astype(np.int64)
+            walk = batch.column("walk_id").to_numpy(zero_copy_only=False).astype(np.int64)
+            nbrs = batch.column("nbrs")
+            flat = pc.list_flatten(nbrs).to_numpy(zero_copy_only=False).astype(np.int64)
+            lens = pc.list_value_length(nbrs).to_numpy(zero_copy_only=False)
+            lens = np.nan_to_num(lens.astype(np.float64), nan=0).astype(np.int64)
+            alive = lens > 0
+            offs = np.concatenate([[0], np.cumsum(lens)])[:-1]
+            pick = _walk_choice_hash(cur[alive], walk[alive], _s, seed) % lens[
+                alive
+            ].astype(np.uint64)
+            nxt = flat[offs[alive] + pick.astype(np.int64)]
+            return pa.table(
+                {
+                    "start_host": batch.column("start_host").filter(pa.array(alive)),
+                    "walk_id": batch.column("walk_id").filter(pa.array(alive)),
+                    "cur": pa.array(nxt, type=pa.int64()),
+                }
+            )
+
+        frontier = joined.map_batches(_advance, batch_format="pyarrow").materialize()
+        out_parts.append(
+            frontier.map_batches(
+                lambda t, _s=s: pa.table(
+                    {
+                        "start_host": t.column("start_host"),
+                        "walk_id": t.column("walk_id"),
+                        "step": pa.array(np.full(t.num_rows, _s, dtype=np.int64), type=pa.int64()),
+                        "host": t.column("cur"),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+        )
+    out = out_parts[0]
+    for p in out_parts[1:]:
+        out = out.union(p)
+    return out

@@ -64,6 +64,7 @@ def _canon(obj) -> pd.DataFrame:
         "pca_components",
         "pca_projected",
         "host_communities",
+        "host_random_walks",
     ],
 )
 def test_golden_parity(ray_session, name):

@@ -377,3 +377,86 @@ def test_label_propagation_empty_and_ring(ray_session):
     ring = [(i, (i + 1) % 5) for i in range(5)]
     got = _lpa_dict(_lpa(_edges(ring), num_iters=10))
     assert set(got.values()) == {0}
+
+
+def _walks_table(ds, **kw):
+    import pyarrow.compute as pc
+
+    from dots_ocr_ray.pipelines.graph import random_walks
+
+    out = random_walks(ds, **kw)
+    t = pa.concat_tables(
+        [b for b in out.iter_batches(batch_format="pyarrow") if b.num_rows]
+        or [
+            pa.table(
+                {
+                    "start_host": pa.array([], pa.int64()),
+                    "walk_id": pa.array([], pa.int64()),
+                    "step": pa.array([], pa.int64()),
+                    "host": pa.array([], pa.int64()),
+                }
+            )
+        ]
+    )
+    return t.take(
+        pc.sort_indices(
+            t,
+            sort_keys=[
+                ("start_host", "ascending"),
+                ("walk_id", "ascending"),
+                ("step", "ascending"),
+            ],
+        )
+    )
+
+
+def test_random_walks_tier_parity_and_dup_immunity(ray_session):
+    rows = [(i % 9, (i * 4 + 1) % 9) for i in range(120)]
+    rows += rows[:30]  # duplicate edges must not bias choices
+    ds = _edges(rows)
+    bt = _walks_table(ds, walks_per_node=3, walk_len=5, seed=11)
+    dt = _walks_table(ds, walks_per_node=3, walk_len=5, seed=11, broadcast_limit=0)
+    assert bt.equals(dt)
+    uniq = sorted({(s, d) for s, d in rows})
+    assert _walks_table(_edges(uniq), walks_per_node=3, walk_len=5, seed=11).equals(bt)
+
+
+def test_random_walks_follow_edges_and_sink_ends_walk(ray_session):
+    # 0 -> 1 -> 2, 2 is a sink: every walk from 0 is exactly 0,1,2
+    ds = _edges([(0, 1), (1, 2)])
+    t = _walks_table(ds, walks_per_node=2, walk_len=5, seed=3)
+    rows = t.to_pylist()
+    for w in (0, 1):
+        path = [r["host"] for r in rows if r["start_host"] == 0 and r["walk_id"] == w]
+        assert path == [0, 1, 2]
+        path2 = [r["host"] for r in rows if r["start_host"] == 2 and r["walk_id"] == w]
+        assert path2 == [2]  # sink: step-0 row only
+
+
+def test_random_walks_choices_are_valid_neighbors(ray_session):
+    rows = [(i % 7, (i * 3 + 2) % 7) for i in range(50)] + [(0, 5), (0, 6)]
+    adj = {}
+    for s, d in rows:
+        adj.setdefault(s, set()).add(d)
+    t = _walks_table(_edges(rows), walks_per_node=4, walk_len=6, seed=0)
+    by_walk = {}
+    for r in t.to_pylist():
+        by_walk.setdefault((r["start_host"], r["walk_id"]), []).append(
+            (r["step"], r["host"])
+        )
+    for (start, _w), steps in by_walk.items():
+        steps.sort()
+        assert steps[0] == (0, start)
+        for (s1, h1), (s2, h2) in zip(steps, steps[1:]):
+            assert s2 == s1 + 1
+            assert h2 in adj[h1]
+
+
+def test_random_walks_seed_changes_walks(ray_session):
+    # two multiplier arms -> out-degree 2+ so choices actually branch
+    rows = [(i % 9, (i * 4 + 1) % 9) for i in range(60)] + [
+        (i % 9, (i * 5 + 2) % 9) for i in range(60)
+    ]
+    a = _walks_table(_edges(rows), walks_per_node=2, walk_len=6, seed=1)
+    b = _walks_table(_edges(rows), walks_per_node=2, walk_len=6, seed=2)
+    assert not a.equals(b)

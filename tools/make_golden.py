@@ -1120,6 +1120,57 @@ def golden_host_communities(sf_dir: str, *, num_iters: int = 8) -> pa.Table:
     )
 
 
+
+
+def golden_host_random_walks(
+    sf_dir: str, *, walks_per_node: int = 2, walk_len: int = 4, seed: int = 7
+) -> pa.Table:
+    """Sequential deterministic random walks over the host-edge
+    fixture — dict adjacency + per-walk Python loop, sharing ONLY the
+    pure step hash (pipelines/graph.py:_walk_choice_hash) with the
+    distributed implementation."""
+    from dots_ocr_ray.pipelines.graph import (
+        EDGE_MULTIPLIERS,
+        N_HOSTS,
+        _walk_choice_hash,
+    )
+
+    ids = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"]).column(
+        "doc_id"
+    ).to_numpy()
+    src_a = np.concatenate([ids % N_HOSTS for _ in EDGE_MULTIPLIERS])
+    dst_a = np.concatenate([(ids * m) % N_HOSTS for m in EDGE_MULTIPLIERS])
+    edges = sorted({(int(s), int(d)) for s, d in zip(src_a, dst_a)})
+    adj: dict[int, list[int]] = {}
+    for s, d in edges:
+        adj.setdefault(s, []).append(d)
+    nodes = sorted({v for e in edges for v in e})
+    rows = []
+    for v in nodes:
+        for w in range(walks_per_node):
+            cur = v
+            rows.append((v, w, 0, cur))
+            for step in range(1, walk_len + 1):
+                nbrs = adj.get(cur, [])
+                if not nbrs:
+                    break
+                h = int(
+                    _walk_choice_hash(
+                        np.array([cur]), np.array([w]), step, seed
+                    )[0]
+                )
+                cur = sorted(nbrs)[h % len(nbrs)]
+                rows.append((v, w, step, cur))
+    return pa.table(
+        {
+            "start_host": pa.array([r[0] for r in rows], type=pa.int64()),
+            "walk_id": pa.array([r[1] for r in rows], type=pa.int64()),
+            "step": pa.array([r[2] for r in rows], type=pa.int64()),
+            "host": pa.array([r[3] for r in rows], type=pa.int64()),
+        }
+    )
+
+
 GOLDEN_BUILDERS = {
     "kmeans_clusters": golden_kmeans_clusters,
     "semdedup_docs": golden_semdedup_docs,
@@ -1159,6 +1210,7 @@ GOLDEN_BUILDERS = {
     "approx_users_by_type": golden_approx_users_by_type,
     "ngram_diversity": golden_ngram_diversity,
     "host_communities": golden_host_communities,
+    "host_random_walks": golden_host_random_walks,
 }
 
 
