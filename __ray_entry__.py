@@ -3199,6 +3199,47 @@ def _q_host_random_walks(sf_dir: str):
     )
 
 
+def _q_robots_allowed(sf_dir: str):
+    """Robots-rules crawl gate: longest-prefix path match per host
+    (equal-length allow beats disallow, no rule = allowed) over every
+    crawled page url, with a deterministic per-host rule fixture
+    (whole-host blocks, /doc-00 disallows, /doc-000 allow
+    carve-outs).  Broadcast-rules tier here; the distributed tier is
+    one host join + one url-keyed fold.  Oracle: DuckDB
+    longest-match via ROW_NUMBER over joined rules."""
+    import pyarrow as pa
+
+    import ray.data
+
+    from dots_ocr_ray.pipelines.graph import robots_filter
+    from dots_ocr_ray.sources.pages import pages_from_documents
+
+    rows = []
+    for nn in range(40):
+        host = f"example-{nn:02d}.com"
+        if nn % 10 == 7:
+            rows.append((host, "/", False))
+        if nn % 3 == 0:
+            rows.append((host, "/doc-00", False))
+        if nn % 6 == 0:
+            rows.append((host, "/doc-000", True))
+    rules = ray.data.from_arrow(
+        pa.table(
+            {
+                "host": pa.array([r[0] for r in rows], type=pa.string()),
+                "prefix": pa.array([r[1] for r in rows], type=pa.string()),
+                "allow": pa.array([r[2] for r in rows], type=pa.bool_()),
+            }
+        )
+    )
+    pages = pages_from_documents(sf_dir, override_num_blocks=8)
+
+    def _url_only(batch: pa.Table) -> pa.Table:
+        return batch.select(["url"])
+
+    return robots_filter(pages.map_batches(_url_only, batch_format="pyarrow"), rules)
+
+
 def _q_order_value_quantiles(sf_dir: str):
     """Per-priority EXACT float quantiles of order value (p50/p90/p99)
     via grouped histogram-refinement selection — zero exchanges, one
@@ -3457,6 +3498,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_pmi": _q_token_pmi,
         "keyword_search": _q_keyword_search,
         "host_random_walks": _q_host_random_walks,
+        "robots_allowed": _q_robots_allowed,
         "cms_token_counts": _q_cms_token_counts,
         "vocab_edit_pairs": _q_vocab_edit_pairs,
         "corpus_overlap": _q_corpus_overlap,
@@ -4260,6 +4302,24 @@ def oracle_sql() -> dict[str, str]:
         "host_random_walks": (
             "SELECT start_host, walk_id, step, host FROM "
             f"read_parquet('{_GOLDEN_DIR}/host_random_walks.parquet')"
+        ),
+        # robots gate: longest-prefix wins, equal-length allow beats
+        # disallow, no rule = allowed
+        "robots_allowed": (
+            "WITH pages AS (SELECT 'https://example-' || "
+            "lpad(CAST(doc_id % 40 AS VARCHAR), 2, '0') || '.com/doc-' || "
+            "lpad(CAST(doc_id AS VARCHAR), 6, '0') AS url, doc_id % 40 AS nn, "
+            "'/doc-' || lpad(CAST(doc_id AS VARCHAR), 6, '0') AS path FROM documents), "
+            "rules AS (SELECT nn, '/' AS prefix, FALSE AS allow FROM range(40) t(nn) "
+            "WHERE nn % 10 = 7 "
+            "UNION ALL SELECT nn, '/doc-00', FALSE FROM range(40) t(nn) WHERE nn % 3 = 0 "
+            "UNION ALL SELECT nn, '/doc-000', TRUE FROM range(40) t(nn) WHERE nn % 6 = 0), "
+            "m AS (SELECT p.url, r.allow, length(r.prefix) AS l FROM pages p "
+            "JOIN rules r ON p.nn = r.nn AND starts_with(p.path, r.prefix)), "
+            "best AS (SELECT url, allow, row_number() OVER "
+            "(PARTITION BY url ORDER BY l DESC, allow DESC) AS rn FROM m) "
+            "SELECT p.url, COALESCE(b.allow, TRUE) AS allowed FROM pages p "
+            "LEFT JOIN (SELECT url, allow FROM best WHERE rn = 1) b USING (url)"
         ),
         "host_communities": (
             "SELECT host, community FROM "

@@ -2052,3 +2052,179 @@ def random_walks(
     for p in out_parts[1:]:
         out = out.union(p)
     return out
+
+
+# ---------------------------------------------------------------------------
+# robots-rules path filtering (crawl-policy gate)
+
+
+def robots_filter(
+    pages: ray.data.Dataset,
+    rules: ray.data.Dataset,
+    *,
+    url_col: str = "url",
+    broadcast_limit: int = 500_000,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Apply robots.txt-style path rules to a page Dataset → the input
+    rows plus an ``allowed`` bool — the crawl-policy gate every
+    fetch/refresh pipeline needs before touching a host.
+
+    ``rules`` rows are ``(host, prefix, allow)``; the match rule is
+    the robots standard's: among the rules of the page's host whose
+    prefix starts the url PATH, the LONGEST prefix wins, an
+    equal-length allow beats a disallow, and a page with no matching
+    rule is allowed.
+
+    Broadcast tier (rule count <= ``broadcast_limit``): the rule table
+    ships once (``ray.put`` + per-worker cache) and each batch
+    resolves matches with one vectorized ``starts_with`` pass per RULE
+    (rule tables are small; pages are the corpus-sized side) — zero
+    exchanges.  Distributed tier (web-scale per-host rule sets): one
+    ``hash_join(pages, rules, on=host)`` co-locates each page with its
+    host's rules, then one bucket-keyed fold per url resolves the
+    longest match — two keyed exchanges, nothing driver-sized."""
+    import posixpath as _pp  # noqa: F401  (kept out of the hot path)
+    import re
+
+    host_re = re.compile(r"^[A-Za-z][A-Za-z0-9+.-]*://([^/]+)(/.*)?$")
+
+    def _split(batch: pa.Table):
+        urls = batch.column(url_col).to_pylist()
+        hosts, paths = [], []
+        for u in urls:
+            m = host_re.match(u or "")
+            if m:
+                hosts.append(m.group(1))
+                paths.append(m.group(2) or "/")
+            else:
+                hosts.append("")
+                paths.append(u or "")
+        return np.asarray(hosts, dtype=object), np.asarray(paths, dtype=object)
+
+    n_rules = rules.count()
+    if n_rules <= broadcast_limit:
+        r_host, r_prefix, r_allow = [], [], []
+        for b in rules.iter_batches(batch_format="pyarrow"):
+            if b.num_rows:
+                r_host += b.column("host").to_pylist()
+                r_prefix += b.column("prefix").to_pylist()
+                r_allow += b.column("allow").to_pylist()
+        rules_ref = ray.put((r_host, r_prefix, r_allow))
+
+        def _gate(batch: pa.Table, _ref=rules_ref) -> pa.Table:
+            rh, rp, ra = cached_object(_ref)
+            hosts, paths = _split(batch)
+            best_len = np.full(len(hosts), -1, dtype=np.int64)
+            best_allow = np.ones(len(hosts), dtype=bool)
+            for h, p, a in zip(rh, rp, ra):
+                mask = hosts == h
+                if not mask.any():
+                    continue
+                starts = np.array(
+                    [s.startswith(p) for s in paths[mask]], dtype=bool
+                )
+                if not starts.any():
+                    continue
+                idx = np.flatnonzero(mask)[starts]
+                plen = len(p)
+                # longest wins; equal-length allow beats disallow
+                upgrade = (plen > best_len[idx]) | (
+                    (plen == best_len[idx]) & bool(a) & ~best_allow[idx]
+                )
+                tgt = idx[upgrade]
+                best_len[tgt] = plen
+                best_allow[tgt] = bool(a)
+            return batch.append_column("allowed", pa.array(best_allow, type=pa.bool_()))
+
+        return pages.map_batches(_gate, batch_format="pyarrow")
+
+    # ---- distributed tier: join on host, fold per url -----------------
+    from dots_ocr_ray.pipelines.relational import hash_join
+
+    def _page_key(batch: pa.Table) -> pa.Table:
+        hosts, paths = _split(batch)
+        return pa.table(
+            {
+                url_col: batch.column(url_col),
+                "host": pa.array(hosts.tolist(), type=pa.string()),
+                "path": pa.array(paths.tolist(), type=pa.string()),
+            }
+        )
+
+    keyed = pages.map_batches(_page_key, batch_format="pyarrow")
+    joined = hash_join(
+        keyed,
+        rules,
+        on="host",
+        how="left",
+        left_schema=pa.schema(
+            [(url_col, pa.string()), ("host", pa.string()), ("path", pa.string())]
+        ),
+        right_schema=pa.schema(
+            [("host", pa.string()), ("prefix", pa.string()), ("allow", pa.bool_())]
+        ),
+    )
+
+    def _match_rows(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        from dots_ocr_ray.pipelines.relational import _stable_key_hash
+
+        urls = batch.column(url_col)
+        path = batch.column("path")
+        prefix = batch.column("prefix")
+        allow = batch.column("allow")
+        pre_filled = _pc.fill_null(prefix, "")
+        # variable-prefix startswith has no single arrow kernel — the
+        # per-row object pass is bounded by rules-per-host fan-out
+        p_np = np.asarray(path.to_pylist(), dtype=object)
+        pre_np = np.asarray(pre_filled.to_pylist(), dtype=object)
+        valid = np.asarray(_pc.is_valid(prefix).to_pylist(), dtype=bool)
+        starts = np.array(
+            [bool(v) and s.startswith(pr) for s, pr, v in zip(p_np, pre_np, valid)],
+            dtype=bool,
+        )
+        mlen = np.where(starts, [len(x) for x in pre_np], -1).astype(np.int64)
+        allow_np = np.asarray(_pc.fill_null(allow, True).to_pylist(), dtype=bool)
+        bkt = (_stable_key_hash(urls) % np.uint64(num_buckets)).astype(np.int32)
+        return pa.table(
+            {
+                url_col: urls,
+                "mlen": pa.array(mlen, type=pa.int64()),
+                "mallow": pa.array(allow_np, type=pa.bool_()),
+                "__bucket": pa.array(bkt, type=pa.int32()),
+            }
+        )
+
+    def _resolve(group: pa.Table) -> pa.Table:
+        urls = np.asarray(group.column(url_col).to_pylist(), dtype=object)
+        mlen = group.column("mlen").to_numpy(zero_copy_only=False)
+        mallow = group.column("mallow").to_numpy(zero_copy_only=False)
+        order = np.lexsort((~mallow, -mlen, urls))
+        uniq, first = np.unique(urls[order], return_index=True)
+        lead_len = mlen[order][first]
+        lead_allow = mallow[order][first]
+        allowed = np.where(lead_len >= 0, lead_allow, True)
+        return pa.table(
+            {
+                url_col: pa.array(uniq.tolist(), type=pa.string()),
+                "allowed": pa.array(allowed, type=pa.bool_()),
+            }
+        )
+
+    verdicts = (
+        bounded_blocks(
+            joined.map_batches(_match_rows, batch_format="pyarrow"),
+            rows_per_block=1_048_576,
+        )
+        .groupby("__bucket")
+        .map_groups(_resolve, batch_format="pyarrow")
+    )
+    return hash_join(
+        pages,
+        verdicts,
+        on=url_col,
+        how="left",
+        right_schema=pa.schema([(url_col, pa.string()), ("allowed", pa.bool_())]),
+    )

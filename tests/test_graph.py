@@ -460,3 +460,66 @@ def test_random_walks_seed_changes_walks(ray_session):
     a = _walks_table(_edges(rows), walks_per_node=2, walk_len=6, seed=1)
     b = _walks_table(_edges(rows), walks_per_node=2, walk_len=6, seed=2)
     assert not a.equals(b)
+
+
+def _robots(pages_rows, rules_rows, **kw):
+    import pyarrow.compute as pc
+
+    from dots_ocr_ray.pipelines.graph import robots_filter
+
+    pages = ray.data.from_arrow(
+        pa.table({"url": pa.array(pages_rows, type=pa.string())})
+    )
+    rules = ray.data.from_arrow(
+        pa.table(
+            {
+                "host": pa.array([r[0] for r in rules_rows], type=pa.string()),
+                "prefix": pa.array([r[1] for r in rules_rows], type=pa.string()),
+                "allow": pa.array([r[2] for r in rules_rows], type=pa.bool_()),
+            }
+        )
+    )
+    out = robots_filter(pages, rules, **kw)
+    t = pa.concat_tables(
+        [b.select(["url", "allowed"]) for b in out.iter_batches(batch_format="pyarrow") if b.num_rows]
+    )
+    return dict(zip(t.column("url").to_pylist(), t.column("allowed").to_pylist()))
+
+
+ROBOTS_PAGES = [
+    "https://a.com/",  # matches only the /private disallow? no -> allowed
+    "https://a.com/private/x",  # disallowed
+    "https://a.com/private/open/y",  # longer allow wins
+    "https://a.com/pub",  # no match -> allowed
+    "https://b.com/anything",  # whole-host block
+    "https://c.com/x",  # no rules for host -> allowed
+    "not-a-url",  # unparseable -> allowed
+    "https://a.com/tie",  # equal-length allow + disallow -> allow wins
+]
+
+ROBOTS_RULES = [
+    ("a.com", "/private", False),
+    ("a.com", "/private/open", True),
+    ("b.com", "/", False),
+    ("a.com", "/tie", False),
+    ("a.com", "/tie", True),
+]
+
+ROBOTS_EXPECT = {
+    "https://a.com/": True,
+    "https://a.com/private/x": False,
+    "https://a.com/private/open/y": True,
+    "https://a.com/pub": True,
+    "https://b.com/anything": False,
+    "https://c.com/x": True,
+    "not-a-url": True,
+    "https://a.com/tie": True,
+}
+
+
+def test_robots_filter_semantics_broadcast(ray_session):
+    assert _robots(ROBOTS_PAGES, ROBOTS_RULES) == ROBOTS_EXPECT
+
+
+def test_robots_filter_tier_parity(ray_session):
+    assert _robots(ROBOTS_PAGES, ROBOTS_RULES, broadcast_limit=0) == ROBOTS_EXPECT
