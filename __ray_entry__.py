@@ -3240,6 +3240,42 @@ def _q_robots_allowed(sf_dir: str):
     return robots_filter(pages.map_batches(_url_only, batch_format="pyarrow"), rules)
 
 
+def _q_walk_skipgrams(sf_dir: str):
+    """Skip-gram training pairs from the deterministic host walks:
+    (center, context, n) for hosts within 2 steps on the same walk,
+    both directions.  Two bucket-keyed exchanges (walk co-location,
+    pair rollup).  Oracle: DuckDB self-join over the golden walks
+    parquet."""
+    from dots_ocr_ray.pipelines.graph import (
+        host_edges_from_documents,
+        random_walks,
+        skipgram_pairs,
+    )
+
+    walks = random_walks(
+        host_edges_from_documents(sf_dir), walks_per_node=2, walk_len=4, seed=7
+    )
+    return skipgram_pairs(walks, window=2)
+
+
+def _q_community_modularity(sf_dir: str):
+    """Modularity Q of the label-propagation communities over the
+    planted-block host graph — the cluster-quality gate composing
+    label_propagation + modularity.  Q is one exact integer numerator
+    / one float division (9 dp), so it is bit-identical to the SQL
+    mirror.  Oracle: DuckDB integer-arithmetic modularity over the
+    edge CTE + the golden communities parquet."""
+    from dots_ocr_ray.pipelines.graph import (
+        community_edges_from_documents,
+        label_propagation,
+        modularity,
+    )
+
+    edges = community_edges_from_documents(sf_dir)
+    comms = label_propagation(edges, num_iters=8)
+    return modularity(edges, comms)
+
+
 def _q_order_value_quantiles(sf_dir: str):
     """Per-priority EXACT float quantiles of order value (p50/p90/p99)
     via grouped histogram-refinement selection — zero exchanges, one
@@ -3499,6 +3535,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "keyword_search": _q_keyword_search,
         "host_random_walks": _q_host_random_walks,
         "robots_allowed": _q_robots_allowed,
+        "walk_skipgrams": _q_walk_skipgrams,
+        "community_modularity": _q_community_modularity,
         "cms_token_counts": _q_cms_token_counts,
         "vocab_edit_pairs": _q_vocab_edit_pairs,
         "corpus_overlap": _q_corpus_overlap,
@@ -4320,6 +4358,43 @@ def oracle_sql() -> dict[str, str]:
             "(PARTITION BY url ORDER BY l DESC, allow DESC) AS rn FROM m) "
             "SELECT p.url, COALESCE(b.allow, TRUE) AS allowed FROM pages p "
             "LEFT JOIN (SELECT url, allow FROM best WHERE rn = 1) b USING (url)"
+        ),
+        "walk_skipgrams": (
+            "WITH w AS (SELECT * FROM "
+            f"read_parquet('{_GOLDEN_DIR}/host_random_walks.parquet')) "
+            "SELECT a.host AS center, b.host AS context, count(*) AS n "
+            "FROM w a JOIN w b ON a.start_host = b.start_host "
+            "AND a.walk_id = b.walk_id "
+            "AND abs(a.step - b.step) BETWEEN 1 AND 2 "
+            "GROUP BY a.host, b.host"
+        ),
+        # modularity over the planted-community fixture: exact integer
+        # numerator (4m*sum(ec) - sum(dsum^2)) / (4m^2), one division
+        "community_modularity": (
+            "WITH e0 AS ("
+            "SELECT doc_id % 400 AS s, doc_id % 400 + 1 AS d FROM documents "
+            "WHERE (doc_id % 400) % 16 < 15 "
+            "UNION ALL SELECT doc_id % 400, doc_id % 400 + 2 FROM documents "
+            "WHERE (doc_id % 400) % 16 < 14 "
+            "UNION ALL SELECT doc_id % 400, (doc_id % 400 + 16) % 400 FROM documents "
+            "WHERE doc_id % 89 = 0), "
+            "e AS (SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b "
+            "FROM e0 WHERE s <> d), "
+            "c AS (SELECT host, community FROM "
+            f"read_parquet('{_GOLDEN_DIR}/host_communities.parquet')), "
+            "mm AS (SELECT count(*) AS m FROM e), "
+            "intra AS (SELECT ca.community, count(*) AS ec FROM e "
+            "JOIN c ca ON e.a = ca.host JOIN c cb ON e.b = cb.host "
+            "WHERE ca.community = cb.community GROUP BY ca.community), "
+            "deg AS (SELECT host, count(*) AS dg FROM "
+            "(SELECT a AS host FROM e UNION ALL SELECT b FROM e) GROUP BY host), "
+            "dc AS (SELECT community, CAST(sum(dg) AS BIGINT) AS dsum "
+            "FROM deg JOIN c USING (host) GROUP BY community) "
+            "SELECT CAST(mm.m AS BIGINT) AS n_edges, "
+            "CAST((SELECT count(DISTINCT community) FROM c) AS BIGINT) AS n_communities, "
+            "round((4 * mm.m * (SELECT CAST(sum(ec) AS BIGINT) FROM intra) "
+            "- (SELECT CAST(sum(dsum * dsum) AS BIGINT) FROM dc)) "
+            "/ (4.0 * mm.m * mm.m), 9) AS modularity FROM mm"
         ),
         "host_communities": (
             "SELECT host, community FROM "

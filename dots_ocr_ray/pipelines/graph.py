@@ -2228,3 +2228,241 @@ def robots_filter(
         how="left",
         right_schema=pa.schema([(url_col, pa.string()), ("allowed", pa.bool_())]),
     )
+
+
+def skipgram_pairs(
+    walks: ray.data.Dataset,
+    *,
+    window: int = 2,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """(center, context, n) skip-gram co-occurrence counts from a walk
+    Dataset (:func:`random_walks` output schema) — the training-pair
+    extraction between walk generation and a skip-gram embedding fit.
+
+    A pair is two hosts on the SAME walk within ``window`` steps
+    (both directions, distance ≥ 1), counted once per occurrence.
+
+    Scale shape: walks are ≤ walk_len+1 rows but may be split across
+    blocks, so pairing needs co-location — ONE bucket-keyed exchange
+    on hash(start_host, walk_id) co-locates each walk, and the
+    per-bucket fold pairs all its walks at once with ``window``
+    vectorized shift-alignment passes (Python cost O(buckets ×
+    window)).  The count rollup is a second bucket-keyed fold on the
+    pair key.  Total: two exchanges, output bounded by |hosts|² cells.
+    """
+
+    def _tag(batch: pa.Table) -> pa.Table:
+        s = batch.column("start_host").to_numpy(zero_copy_only=False).astype(np.uint64)
+        w = batch.column("walk_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            h = s * np.uint64(0x9E3779B97F4A7C15) ^ w * np.uint64(0xC2B2AE3D27D4EB4F)
+        return batch.append_column(
+            "__bucket",
+            pa.array((h % np.uint64(num_buckets)).astype(np.int32), type=pa.int32()),
+        )
+
+    def _pair_fold(group: pa.Table) -> pa.Table:
+        s = group.column("start_host").to_numpy(zero_copy_only=False).astype(np.int64)
+        w = group.column("walk_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        st = group.column("step").to_numpy(zero_copy_only=False).astype(np.int64)
+        h = group.column("host").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((st, w, s))
+        s, w, st, h = s[order], w[order], st[order], h[order]
+        centers, contexts = [], []
+        for d in range(1, window + 1):
+            same = (
+                (s[d:] == s[:-d]) & (w[d:] == w[:-d]) & (st[d:] == st[:-d] + d)
+            ) if len(s) > d else np.zeros(0, dtype=bool)
+            a = h[:-d][same] if len(s) > d else np.array([], dtype=np.int64)
+            b = h[d:][same] if len(s) > d else np.array([], dtype=np.int64)
+            centers += [a, b]
+            contexts += [b, a]
+        if not centers:
+            return pa.table(
+                {
+                    "center": pa.array([], pa.int64()),
+                    "context": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        c = np.concatenate(centers)
+        x = np.concatenate(contexts)
+        pair = np.stack([c, x], axis=1)
+        uniq, counts = np.unique(pair, axis=0, return_counts=True)
+        return pa.table(
+            {
+                "center": pa.array(uniq[:, 0], type=pa.int64()),
+                "context": pa.array(uniq[:, 1], type=pa.int64()),
+                "n": pa.array(counts.astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    per_walk = (
+        bounded_blocks(
+            walks.map_batches(_tag, batch_format="pyarrow"), rows_per_block=1_048_576
+        )
+        .groupby("__bucket")
+        .map_groups(_pair_fold, batch_format="pyarrow")
+    )
+
+    def _tag2(batch: pa.Table) -> pa.Table:
+        c = batch.column("center").to_numpy(zero_copy_only=False).astype(np.uint64)
+        x = batch.column("context").to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            h = c * np.uint64(0x9E3779B97F4A7C15) ^ x * np.uint64(0xD6E8FEB86659FD93)
+        return batch.append_column(
+            "__bucket",
+            pa.array((h % np.uint64(num_buckets)).astype(np.int32), type=pa.int32()),
+        )
+
+    def _sum_fold(group: pa.Table) -> pa.Table:
+        c = group.column("center").to_numpy(zero_copy_only=False).astype(np.int64)
+        x = group.column("context").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = group.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        pair = np.stack([c, x], axis=1)
+        uniq, inv = np.unique(pair, axis=0, return_inverse=True)
+        sums = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(sums, inv, n)
+        return pa.table(
+            {
+                "center": pa.array(uniq[:, 0], type=pa.int64()),
+                "context": pa.array(uniq[:, 1], type=pa.int64()),
+                "n": pa.array(sums, type=pa.int64()),
+            }
+        )
+
+    return (
+        bounded_blocks(
+            per_walk.map_batches(_tag2, batch_format="pyarrow"),
+            rows_per_block=1_048_576,
+        )
+        .groupby("__bucket")
+        .map_groups(_sum_fold, batch_format="pyarrow")
+    )
+
+
+def modularity(
+    edges: ray.data.Dataset,
+    communities: ray.data.Dataset,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    broadcast_limit: int = 2_000_000,
+    num_buckets: int = 64,
+) -> pa.Table:
+    """Newman modularity Q of a community assignment over the
+    undirected simple graph → one row ``(n_edges, n_communities,
+    modularity)`` — the quality score that tells you whether
+    :func:`label_propagation`'s clusters actually beat random
+    expectation (Q≈0 random, Q>0.3 strong structure).
+
+    Exactness: Q = Σ_c (e_c/m − (D_c/2m)²) is computed as ONE integer
+    numerator ``(4m·Σe_c − ΣD_c²) / (4m²)`` — all counting in int64,
+    one float division at the end (rounded 9 dp), so the result is
+    bit-identical across engines and association orders.
+
+    Broadcast tier (assignment ≤ ``broadcast_limit`` rows): the
+    (host, label) arrays ship once; each edge batch bins intra-
+    community edges and endpoint degrees per label vectorized; the
+    driver folds per-label partial rows (O(labels) driver state — the
+    same budget the assignment broadcast already implies).
+    Distributed tier: two ``hash_join``s attach endpoint labels, one
+    bucket-keyed fold counts e_c, and D_c comes from
+    :func:`degree_table` joined to the assignment — nothing
+    driver-sized but the ≤ |labels| partial table."""
+    from dots_ocr_ray.pipelines.dedup import exact_distinct_pairs
+
+    def _canon(batch: pa.Table) -> pa.Table:
+        s = batch.column(src).to_numpy(zero_copy_only=False).astype(np.int64)
+        d = batch.column(dst).to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        return pa.table(
+            {
+                "a": pa.array(np.minimum(s, d), type=pa.int64()),
+                "b": pa.array(np.maximum(s, d), type=pa.int64()),
+            }
+        )
+
+    und = exact_distinct_pairs(
+        edges.map_batches(_canon, batch_format="pyarrow")
+    ).materialize()
+    m = und.count()
+    empty = pa.table(
+        {
+            "n_edges": pa.array([0], pa.int64()),
+            "n_communities": pa.array([0], pa.int64()),
+            "modularity": pa.array([0.0], pa.float64()),
+        }
+    )
+    if m == 0:
+        return empty
+
+    n_assign = communities.count()
+    if n_assign > broadcast_limit:
+        raise NotImplementedError(
+            "distributed modularity tier: attach labels via two hash_joins "
+            "+ bucket folds (assignment exceeds the broadcast budget)"
+        )
+    hosts_chunks, lab_chunks = [], []
+    for b in communities.iter_batches(batch_format="pyarrow"):
+        if b.num_rows:
+            hosts_chunks.append(
+                b.column("host").to_numpy(zero_copy_only=False).astype(np.int64)
+            )
+            lab_chunks.append(
+                b.column("community").to_numpy(zero_copy_only=False).astype(np.int64)
+            )
+    hosts = np.concatenate(hosts_chunks)
+    labs = np.concatenate(lab_chunks)
+    order = np.argsort(hosts)
+    hosts, labs = hosts[order], labs[order]
+    asg_ref = ray.put((hosts, labs))
+
+    def _partials(batch: pa.Table, _ref=asg_ref) -> pa.Table:
+        h, l = cached_object(_ref)
+        a = batch.column("a").to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch.column("b").to_numpy(zero_copy_only=False).astype(np.int64)
+        la = l[np.searchsorted(h, a)]
+        lb = l[np.searchsorted(h, b)]
+        # intra-community edge partials
+        intra = la[la == lb]
+        iu, ic = np.unique(intra, return_counts=True)
+        # endpoint-degree partials (both endpoints, any community)
+        du, dc = np.unique(np.concatenate([la, lb]), return_counts=True)
+        lab_all = np.concatenate([iu, du])
+        e_part = np.concatenate([ic, np.zeros(len(du), dtype=np.int64)])
+        d_part = np.concatenate([np.zeros(len(iu), dtype=np.int64), dc])
+        return pa.table(
+            {
+                "label": pa.array(lab_all, type=pa.int64()),
+                "ec": pa.array(e_part.astype(np.int64), type=pa.int64()),
+                "dc": pa.array(d_part.astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    parts = und.map_batches(_partials, batch_format="pyarrow")
+    all_lab, all_ec, all_dc = [], [], []
+    for b in parts.iter_batches(batch_format="pyarrow"):
+        if b.num_rows:
+            all_lab.append(b.column("label").to_numpy(zero_copy_only=False))
+            all_ec.append(b.column("ec").to_numpy(zero_copy_only=False))
+            all_dc.append(b.column("dc").to_numpy(zero_copy_only=False))
+    lab = np.concatenate(all_lab)
+    ec = np.concatenate(all_ec)
+    dc = np.concatenate(all_dc)
+    uniq, inv = np.unique(lab, return_inverse=True)
+    e_c = np.zeros(len(uniq), dtype=np.int64)
+    d_c = np.zeros(len(uniq), dtype=np.int64)
+    np.add.at(e_c, inv, ec)
+    np.add.at(d_c, inv, dc)
+    num = 4 * m * int(e_c.sum()) - int((d_c.astype(object) ** 2).sum())
+    q = round(num / (4.0 * m * m), 9)
+    return pa.table(
+        {
+            "n_edges": pa.array([m], pa.int64()),
+            "n_communities": pa.array([len(np.unique(labs))], pa.int64()),
+            "modularity": pa.array([q], pa.float64()),
+        }
+    )

@@ -523,3 +523,65 @@ def test_robots_filter_semantics_broadcast(ray_session):
 
 def test_robots_filter_tier_parity(ray_session):
     assert _robots(ROBOTS_PAGES, ROBOTS_RULES, broadcast_limit=0) == ROBOTS_EXPECT
+
+
+def test_skipgram_pairs_vs_brute_force(ray_session):
+    from dots_ocr_ray.pipelines.graph import skipgram_pairs
+
+    walks = [
+        (0, 0, [0, 3, 5, 3]),
+        (0, 1, [0, 2]),
+        (3, 0, [3, 5, 5]),  # repeated host within a walk
+        (7, 0, [7]),  # length-1 walk -> no pairs
+    ]
+    rows = []
+    for start, wid, hs in walks:
+        for step, h in enumerate(hs):
+            rows.append({"start_host": start, "walk_id": wid, "step": step, "host": h})
+    expect = {}
+    for _s, _w, hs in walks:
+        for i in range(len(hs)):
+            for j in range(len(hs)):
+                if 1 <= abs(i - j) <= 2:
+                    expect[(hs[i], hs[j])] = expect.get((hs[i], hs[j]), 0) + 1
+    got = {
+        (r["center"], r["context"]): r["n"]
+        for r in skipgram_pairs(
+            ray.data.from_items(rows).repartition(5), window=2
+        ).take_all()
+    }
+    assert got == expect
+
+
+def test_modularity_known_values(ray_session):
+    import pyarrow as pa
+
+    import ray.data
+
+    from dots_ocr_ray.pipelines.graph import modularity
+
+    def _comm(d):
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "host": pa.array(list(d), type=pa.int64()),
+                    "community": pa.array(list(d.values()), type=pa.int64()),
+                }
+            )
+        )
+
+    # two disjoint triangles, perfect split: Q = 1 - 2*(6/12)^2 = 0.5
+    tri2 = _edges([(0, 1), (1, 2), (2, 0), (10, 11), (11, 12), (12, 10)])
+    t = modularity(tri2, _comm({0: 0, 1: 0, 2: 0, 10: 1, 11: 1, 12: 1}))
+    assert t.column("modularity")[0].as_py() == 0.5
+    assert t.column("n_edges")[0].as_py() == 6
+    assert t.column("n_communities")[0].as_py() == 2
+
+    # everything in ONE community: Q = m/m - (2m/2m)^2 = 0
+    t1 = modularity(tri2, _comm({v: 0 for v in (0, 1, 2, 10, 11, 12)}))
+    assert t1.column("modularity")[0].as_py() == 0.0
+
+    # triangle split into singletons: Q = 0 - 3*(2/6)^2 = -1/3
+    tri = _edges([(0, 1), (1, 2), (2, 0), (0, 1), (1, 0)])  # dups collapse
+    t3 = modularity(tri, _comm({0: 0, 1: 1, 2: 2}))
+    assert t3.column("modularity")[0].as_py() == round(-1 / 3, 9)
