@@ -3276,6 +3276,36 @@ def _q_community_modularity(sf_dir: str):
     return modularity(edges, comms)
 
 
+def _q_compact_roundtrip(sf_dir: str):
+    """Small-file compaction end-to-end: the documents table written
+    as 48 KB-scale files, bin-packed and rewritten as ~2 compacted
+    files (data-then-marker commit, resume skips finished groups),
+    read back in full.  Content must survive byte-exactly — the oracle
+    is the original table itself."""
+    import os
+
+    import ray.data
+
+    from dots_ocr_ray.pipelines.packing import compact_parquet
+
+    base, built = _scratch_dir("compact", sf_dir)
+    small = os.path.join(base, "small")
+    out = os.path.join(base, "out")
+    if not built:
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet").repartition(
+            48
+        ).write_parquet(small)
+        stats = compact_parquet(small, out, target_bytes=8 << 20)
+        assert stats["n_output_files"] < stats["n_input_files"]
+        with open(os.path.join(base, "_complete"), "w") as f:
+            f.write("ok")
+    return ray.data.read_parquet(
+        out,
+        columns=["doc_id", "text", "lang", "source", "n_chars"],
+        file_extensions=["parquet"],  # skip the .done commit markers
+    )
+
+
 def _q_order_value_quantiles(sf_dir: str):
     """Per-priority EXACT float quantiles of order value (p50/p90/p99)
     via grouped histogram-refinement selection — zero exchanges, one
@@ -3537,6 +3567,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "robots_allowed": _q_robots_allowed,
         "walk_skipgrams": _q_walk_skipgrams,
         "community_modularity": _q_community_modularity,
+        "compact_roundtrip": _q_compact_roundtrip,
         "cms_token_counts": _q_cms_token_counts,
         "vocab_edit_pairs": _q_vocab_edit_pairs,
         "corpus_overlap": _q_corpus_overlap,
@@ -4395,6 +4426,10 @@ def oracle_sql() -> dict[str, str]:
             "round((4 * mm.m * (SELECT CAST(sum(ec) AS BIGINT) FROM intra) "
             "- (SELECT CAST(sum(dsum * dsum) AS BIGINT) FROM dc)) "
             "/ (4.0 * mm.m * mm.m), 9) AS modularity FROM mm"
+        ),
+        # compaction must preserve content byte-exactly
+        "compact_roundtrip": (
+            "SELECT doc_id, text, lang, source, n_chars FROM documents"
         ),
         "host_communities": (
             "SELECT host, community FROM "

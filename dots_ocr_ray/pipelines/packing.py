@@ -422,3 +422,108 @@ def write_bytes_balanced_shards(
         {**m, "path": partition_file(out_dir, m["shard"])}
         for m in sorted(manifest, key=lambda m: m["shard"])
     ]
+
+
+def compact_parquet(
+    in_dir: str,
+    out_dir: str,
+    *,
+    target_bytes: int = 128 << 20,
+    columns: list[str] | None = None,
+) -> dict:
+    """Small-file compaction: bin-pack a directory of parquet files
+    into ~``target_bytes`` outputs and rewrite each group as ONE file
+    — the maintenance op every long-running ingest needs (a 100-TB
+    corpus written by thousands of streaming tasks decays into
+    millions of KB-files whose open/footer overhead dominates reads;
+    Iceberg/Delta ship the same op as `rewrite_data_files`).
+
+    Plan: files list once through ``pyarrow.fs`` (so ``s3://…`` works,
+    the state/manifest.py seam), greedy first-fit over the
+    path-sorted list (deterministic plan), one Ray task per output
+    group reading only ITS files and writing one
+    ``compact-{i:05d}.parquet`` with a data-then-marker commit —
+    re-running after a crash skips finished groups, the resume
+    contract of the extract sink.  The driver holds the file LIST
+    (O(files) names, never data).
+
+    Returns ``{"n_input_files", "n_output_files", "bytes_in",
+    "rows"}``."""
+    import json as _json
+
+    from pyarrow.fs import FileSelector
+
+    from dots_ocr_ray.state.manifest import resolve_fs
+
+    fs, root = resolve_fs(in_dir)
+    infos = [
+        f
+        for f in fs.get_file_info(FileSelector(root, recursive=True))
+        if f.is_file and f.path.endswith(".parquet")
+    ]
+    infos.sort(key=lambda f: f.path)
+    groups: list[list[str]] = []
+    sizes: list[int] = []
+    for f in infos:
+        if groups and sizes[-1] + f.size <= target_bytes:
+            groups[-1].append(f.path)
+            sizes[-1] += f.size
+        else:
+            groups.append([f.path])
+            sizes.append(f.size)
+    out_fs, out_root = resolve_fs(out_dir)
+    out_fs.create_dir(out_root, recursive=True)
+
+    def _compact(batch: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        from dots_ocr_ray.state.manifest import resolve_fs as _rfs
+
+        gid = int(batch.column("gid")[0].as_py())
+        paths = _json.loads(batch.column("paths")[0].as_py())
+        ofs, oroot = _rfs(batch.column("out")[0].as_py())
+        data_name = f"{oroot}/compact-{gid:05d}.parquet"
+        marker = f"{oroot}/compact-{gid:05d}.done"
+        if ofs.get_file_info(marker).type.name != "NotFound":
+            t = pq.read_metadata(data_name, filesystem=ofs)
+            return pa.table(
+                {
+                    "gid": pa.array([gid], pa.int64()),
+                    "rows": pa.array([t.num_rows], pa.int64()),
+                    "skipped": pa.array([True], pa.bool_()),
+                }
+            )
+        ifs, _ = _rfs(batch.column("in_dir")[0].as_py())
+        tables = [
+            pq.read_table(p, filesystem=ifs, columns=columns) for p in paths
+        ]
+        merged = pa.concat_tables(tables, promote_options="default")
+        pq.write_table(merged, data_name, filesystem=ofs, compression="zstd")
+        with ofs.open_output_stream(marker) as mf:
+            mf.write(b"ok")
+        return pa.table(
+            {
+                "gid": pa.array([gid], pa.int64()),
+                "rows": pa.array([merged.num_rows], pa.int64()),
+                "skipped": pa.array([False], pa.bool_()),
+            }
+        )
+
+    plan = ray.data.from_items(
+        [
+            {"gid": i, "paths": _json.dumps(g), "out": out_dir, "in_dir": in_dir}
+            for i, g in enumerate(groups)
+        ]
+    )
+    total_rows = 0
+    for b in plan.map_batches(
+        _compact, batch_format="pyarrow", batch_size=1
+    ).iter_batches(batch_format="pyarrow"):
+        for r in range(b.num_rows):
+            total_rows += int(b.column("rows")[r].as_py())
+    return {
+        "n_input_files": len(infos),
+        "n_output_files": len(groups),
+        "bytes_in": int(sum(f.size for f in infos)),
+        "rows": total_rows,
+    }

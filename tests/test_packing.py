@@ -229,3 +229,63 @@ def test_temperature_mixture(ray_session):
     ).to_pandas()
     merged = out.merge(again, on="doc_id", suffixes=("_a", "_b"))
     assert (merged.n_copies_a == merged.n_copies_b).all()
+
+
+def test_compact_parquet_roundtrip_and_resume(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import ray.data
+
+    from dots_ocr_ray.pipelines.packing import compact_parquet
+
+    src = tmp_path / "small"
+    out = tmp_path / "out"
+    rows = pa.table(
+        {
+            "k": pa.array(list(range(1000)), type=pa.int64()),
+            "v": pa.array([f"v{i}" for i in range(1000)], type=pa.string()),
+        }
+    )
+    ray.data.from_arrow(rows).repartition(20).write_parquet(str(src))
+    n_in = len(list(src.glob("*.parquet")))
+    assert n_in >= 10
+
+    stats = compact_parquet(str(src), str(out), target_bytes=1 << 40)
+    assert stats["n_input_files"] == n_in
+    assert stats["n_output_files"] == 1  # everything fits one target
+    assert stats["rows"] == 1000
+
+    got = pq.read_table(out / "compact-00000.parquet").sort_by("k")
+    assert got.equals(rows)
+
+    # resume: a second run sees every marker and rewrites nothing
+    mtime = (out / "compact-00000.parquet").stat().st_mtime_ns
+    stats2 = compact_parquet(str(src), str(out), target_bytes=1 << 40)
+    assert stats2["rows"] == 1000
+    assert (out / "compact-00000.parquet").stat().st_mtime_ns == mtime
+
+
+def test_compact_parquet_target_bytes_splits_groups(ray_session, tmp_path):
+    import pyarrow as pa
+
+    import ray.data
+
+    from dots_ocr_ray.pipelines.packing import compact_parquet
+
+    src = tmp_path / "many"
+    out = tmp_path / "o2"
+    ray.data.from_arrow(
+        pa.table({"k": pa.array(list(range(4000)), type=pa.int64())})
+    ).repartition(16).write_parquet(str(src))
+    sizes = [p.stat().st_size for p in src.glob("*.parquet")]
+    # target of ~4 input files per group
+    stats = compact_parquet(str(src), str(out), target_bytes=4 * max(sizes))
+    assert 2 <= stats["n_output_files"] < stats["n_input_files"]
+    total = sum(
+        b.num_rows
+        for b in ray.data.read_parquet(
+            str(out), file_extensions=["parquet"]
+        ).iter_batches(batch_format="pyarrow")
+    )
+    assert total == 4000
