@@ -3306,6 +3306,37 @@ def _q_compact_roundtrip(sf_dir: str):
     )
 
 
+def _q_nb_lang_predictions(sf_dir: str):
+    """Multinomial Naive Bayes language ID: trained on doc_id%3<>0
+    (top-64 vocab, add-one smoothing), predicting the held-out third.
+    Log-probs quantized to int64 micro-units so scores are integer
+    sums — argmax bit-identical to the SQL mirror; ties break to the
+    smallest label.  Oracle: full DuckDB NB derivation."""
+    import ray.data
+
+    from dots_ocr_ray.pipelines.classifier import nb_predict, nb_train
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+
+    def _split(is_train: bool):
+        def _f(batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+            keep = (ids % 3 != 0) if is_train else (ids % 3 == 0)
+            return batch.filter(pa.array(keep))
+
+        return _f
+
+    train = docs.map_batches(_split(True), batch_format="pyarrow")
+    test = docs.map_batches(_split(False), batch_format="pyarrow")
+    model = nb_train(train, vocab_size=64)
+    return nb_predict(test, model)
+
+
 def _q_order_value_quantiles(sf_dir: str):
     """Per-priority EXACT float quantiles of order value (p50/p90/p99)
     via grouped histogram-refinement selection — zero exchanges, one
@@ -3568,6 +3599,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "walk_skipgrams": _q_walk_skipgrams,
         "community_modularity": _q_community_modularity,
         "compact_roundtrip": _q_compact_roundtrip,
+        "nb_lang_predictions": _q_nb_lang_predictions,
         "cms_token_counts": _q_cms_token_counts,
         "vocab_edit_pairs": _q_vocab_edit_pairs,
         "corpus_overlap": _q_corpus_overlap,
@@ -4430,6 +4462,39 @@ def oracle_sql() -> dict[str, str]:
         # compaction must preserve content byte-exactly
         "compact_roundtrip": (
             "SELECT doc_id, text, lang, source, n_chars FROM documents"
+        ),
+        # Naive Bayes language ID, integer micro-unit scoring
+        "nb_lang_predictions": (
+            "WITH train AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 3 <> 0), "
+            "test AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0), "
+            "ttoks AS (SELECT lang, unnest(list_filter(regexp_split_to_array(text, '\\s+'), "
+            "t -> t <> '')) AS token FROM train), "
+            "vocab AS (SELECT token FROM (SELECT token, count(*) AS n FROM ttoks "
+            "GROUP BY token) ORDER BY n DESC, token LIMIT 64), "
+            "langs AS (SELECT DISTINCT lang FROM train), "
+            "cnts AS (SELECT l.lang, v.token, "
+            "(SELECT count(*) FROM ttoks tt WHERE tt.lang = l.lang AND tt.token = v.token) AS c "
+            "FROM langs l CROSS JOIN vocab v), "
+            "tot AS (SELECT lang, sum(c) AS t FROM cnts GROUP BY lang), "
+            "logp AS (SELECT c.lang, c.token, CAST(floor(ln((c.c + 1.0) / "
+            "(tot.t + (SELECT count(*) FROM vocab))) "
+            "* 1000000) AS BIGINT) AS lp FROM cnts c JOIN tot USING (lang)), "
+            "prior AS (SELECT lang, CAST(floor(ln(count(*) * 1.0 / "
+            "(SELECT count(*) FROM train)) * 1000000) AS BIGINT) AS pm "
+            "FROM train GROUP BY lang), "
+            "dtoks AS (SELECT doc_id, token, count(*) AS tf FROM "
+            "(SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\\s+'), "
+            "t -> t <> '')) AS token FROM test) "
+            "WHERE token IN (SELECT token FROM vocab) GROUP BY doc_id, token), "
+            "scores AS (SELECT t.doc_id, p.lang, p.pm + COALESCE(CAST(sum(d.tf * lg.lp) "
+            "AS BIGINT), 0) AS sc FROM test t CROSS JOIN prior p "
+            "LEFT JOIN dtoks d ON d.doc_id = t.doc_id "
+            "LEFT JOIN logp lg ON lg.lang = p.lang AND lg.token = d.token "
+            "GROUP BY t.doc_id, p.lang, p.pm), "
+            "ranked AS (SELECT doc_id, lang, sc, row_number() OVER "
+            "(PARTITION BY doc_id ORDER BY sc DESC, lang ASC) AS rn FROM scores) "
+            "SELECT doc_id, lang AS pred_label, sc AS score_micro "
+            "FROM ranked WHERE rn = 1"
         ),
         "host_communities": (
             "SELECT host, community FROM "

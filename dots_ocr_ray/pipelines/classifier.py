@@ -379,3 +379,177 @@ def logreg_score(
         )
 
     return feats.map_batches(_score, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# multinomial Naive Bayes (count-based, integer-exact scoring)
+
+_NB_MICRO = 1_000_000
+
+
+def nb_train(
+    train: ray.data.Dataset,
+    *,
+    text_col: str = "text",
+    label_col: str = "lang",
+    vocab_size: int = 64,
+) -> dict:
+    """Multinomial Naive Bayes trainer over whitespace tokens →
+    broadcastable model dict — the classic count-based text
+    classifier (language ID, spam/quality gating) whose training IS
+    aggregation, so it distributes exactly.
+
+    Features are the exact top-``vocab_size`` train-corpus tokens
+    (count desc, token asc — the :func:`~dots_ocr_ray.pipelines.
+    text_analysis.build_vocab` rule); out-of-vocab tokens are ignored
+    at train AND score time.  Add-one smoothing over the vocab.
+
+    Integer-exact contract: per-(token, label) log-probs and label
+    priors are quantized to int64 MICRO-UNITS (``floor(ln(p)·1e6)``),
+    so downstream scores are integer sums — argmax is bit-identical
+    across engines and association orders (the bigram-LM /
+    classifier-eval precedent).
+
+    Exchanges: one vocab exchange + one (token, label) count exchange
+    (both bounded by vocab × labels, never the corpus) + one tiny
+    label-prior count."""
+    from dots_ocr_ray.pipelines.text_analysis import build_vocab
+    from dots_ocr_ray.util import split_whitespace_checked
+
+    vocab_tbl = build_vocab(train, text_col=text_col, vocab_size=vocab_size)
+    vocab = sorted(vocab_tbl.column("token").to_pylist())
+    v = len(vocab)
+    if v == 0:
+        raise ValueError("nb_train: empty training vocabulary")
+    value_set = pa.array(vocab, type=pa.string())
+
+    def _counts(batch: pa.Table) -> pa.Table:
+        toks = split_whitespace_checked(batch.column(text_col))
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        idx = pc.index_in(flat, value_set)
+        keep = pc.is_valid(idx)
+        labs = batch.column(label_col).take(parent.filter(keep))
+        tok_idx = idx.filter(keep)
+        agg = (
+            pa.table({"label": labs, "ti": tok_idx})
+            .group_by(["label", "ti"])
+            .aggregate([("ti", "count")])
+        )
+        return pa.table(
+            {
+                "label": agg.column("label"),
+                "ti": agg.column("ti").cast(pa.int64()),
+                "c": agg.column("ti_count").cast(pa.int64()),
+            }
+        )
+
+    counts = (
+        train.map_batches(_counts, batch_format="pyarrow")
+        .groupby(["label", "ti"])
+        .sum("c")
+    )
+    labels_set: set[str] = set()
+    rows: list[tuple[str, int, int]] = []
+    for b in counts.iter_batches(batch_format="pyarrow"):
+        for r in range(b.num_rows):
+            lab = b.column("label")[r].as_py()
+            labels_set.add(lab)
+            rows.append(
+                (lab, int(b.column("ti")[r].as_py()), int(b.column("sum(c)")[r].as_py()))
+            )
+
+    def _prior_counts(batch: pa.Table) -> pa.Table:
+        agg = (
+            batch.select([label_col])
+            .group_by(label_col)
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {
+                "label": agg.column(label_col),
+                "n": agg.column("count_all").cast(pa.int64()),
+            }
+        )
+
+    prior_counts: dict[str, int] = {}
+    for b in (
+        train.map_batches(_prior_counts, batch_format="pyarrow")
+        .groupby("label")
+        .sum("n")
+        .iter_batches(batch_format="pyarrow")
+    ):
+        for r in range(b.num_rows):
+            lab = b.column("label")[r].as_py()
+            prior_counts[lab] = int(b.column("sum(n)")[r].as_py())
+            labels_set.add(lab)
+
+    labels = sorted(labels_set)
+    li = {l: i for i, l in enumerate(labels)}
+    cnt = np.zeros((v, len(labels)), dtype=np.int64)
+    for lab, ti, c in rows:
+        cnt[ti, li[lab]] = c
+    tot = cnt.sum(axis=0)
+    n_train = sum(prior_counts.values())
+    logp = np.floor(
+        np.log((cnt + 1.0) / (tot + v)[None, :]) * _NB_MICRO
+    ).astype(np.int64)
+    prior = np.floor(
+        np.log(
+            np.array([prior_counts.get(l, 0) for l in labels], dtype=np.float64)
+            / n_train
+        )
+        * _NB_MICRO
+    ).astype(np.int64)
+    return {"vocab": vocab, "labels": labels, "logp": logp, "prior": prior}
+
+
+def nb_predict(
+    ds: ray.data.Dataset,
+    model: dict,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Zero-exchange NB scoring → ``(doc_id, pred_label,
+    score_micro)``: the model broadcasts once; each batch builds its
+    docs × V term-frequency matrix (one ``index_in`` probe) and one
+    integer matmul against the V × L micro-log-prob matrix scores
+    every (doc, label) pair; argmax ties break to the
+    lexicographically smallest label."""
+    from dots_ocr_ray.util import split_whitespace_checked
+
+    model_ref = ray.put(
+        (model["vocab"], model["labels"], model["logp"], model["prior"])
+    )
+
+    def _score(batch: pa.Table, _ref=model_ref) -> pa.Table:
+        from dots_ocr_ray.util import cached_object
+
+        vocab, labels, logp, prior = cached_object(_ref)
+        value_set = pa.array(vocab, type=pa.string())
+        v = len(vocab)
+        toks = split_whitespace_checked(batch.column(text_col))
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        idx = pc.index_in(flat, value_set)
+        keep = pc.is_valid(idx)
+        rows_np = parent.filter(keep).to_numpy(zero_copy_only=False).astype(np.int64)
+        cols_np = idx.filter(keep).to_numpy(zero_copy_only=False).astype(np.int64)
+        tf = np.zeros((batch.num_rows, v), dtype=np.int64)
+        np.add.at(tf, (rows_np, cols_np), 1)
+        scores = tf @ logp + prior[None, :]
+        best = np.argmax(scores, axis=1)  # first max = smallest label (sorted)
+        return pa.table(
+            {
+                id_col: batch.column(id_col).cast(pa.int64()),
+                "pred_label": pa.array(
+                    [labels[i] for i in best], type=pa.string()
+                ),
+                "score_micro": pa.array(
+                    scores[np.arange(len(best)), best], type=pa.int64()
+                ),
+            }
+        )
+
+    return ds.map_batches(_score, batch_format="pyarrow", batch_size=4096)

@@ -133,3 +133,82 @@ def test_quantized_sums_exact_vs_python():
     qg = np.sign(G) * np.floor(np.abs(G) * _GRAD_SCALE + 0.5)
     assert g == [int(sum(int(v) for v in qg[:, j])) for j in range(2)]
     assert n == 1000 and len(h) == 4
+
+
+def test_nb_train_predict_hand_computed(ray_session):
+    import math
+
+    import pyarrow as pa
+
+    import ray.data
+
+    from dots_ocr_ray.pipelines.classifier import nb_predict, nb_train
+
+    train_rows = [
+        ("apple apple banana", "f"),  # fruit
+        ("apple cherry", "f"),
+        ("wolf bear", "a"),  # animal
+        ("bear bear wolf", "a"),
+        ("bear apple", "a"),
+    ]
+    ds = ray.data.from_items([{"text": t, "lang": l} for t, l in train_rows])
+    m = nb_train(ds, vocab_size=8)
+    assert m["labels"] == ["a", "f"]
+    assert m["vocab"] == sorted({"apple", "banana", "cherry", "wolf", "bear"})
+    v = len(m["vocab"])
+    # hand-check one cell: cnt(apple, f) = 3, tot_f = 5
+    ai = m["vocab"].index("apple")
+    fi = m["labels"].index("f")
+    assert m["logp"][ai, fi] == math.floor(math.log(4 / (5 + v)) * 1e6)
+    assert m["prior"][fi] == math.floor(math.log(2 / 5) * 1e6)
+
+    test = ray.data.from_items(
+        [
+            {"doc_id": 0, "text": "apple apple banana"},  # clearly fruit
+            {"doc_id": 1, "text": "wolf bear bear"},  # clearly animal
+            {"doc_id": 2, "text": "zzz qqq"},  # all OOV -> prior argmax = a
+        ]
+    )
+    got = {r["doc_id"]: r for r in nb_predict(test, m).take_all()}
+    assert got[0]["pred_label"] == "f"
+    assert got[1]["pred_label"] == "a"
+    assert got[2]["pred_label"] == "a"  # prior(a)=3/5 > prior(f)
+    assert got[2]["score_micro"] == m["prior"][m["labels"].index("a")]
+
+
+def test_nb_scores_are_integer_sums(ray_session):
+    import ray.data
+
+    from dots_ocr_ray.pipelines.classifier import nb_predict, nb_train
+
+    ds = ray.data.from_items(
+        [{"text": f"tok{i % 5} tok{(i * 3) % 7}", "lang": "ab"[i % 2]} for i in range(40)]
+    )
+    m = nb_train(ds, vocab_size=16)
+    test = ray.data.from_items([{"doc_id": i, "text": f"tok{i % 5}"} for i in range(10)])
+    a = {r["doc_id"]: (r["pred_label"], r["score_micro"]) for r in nb_predict(test, m).take_all()}
+    b = {
+        r["doc_id"]: (r["pred_label"], r["score_micro"])
+        for r in nb_predict(test.repartition(7), m).take_all()
+    }
+    assert a == b  # partition-independent (integer arithmetic)
+
+
+def test_nb_recovers_language_on_separable_corpus(ray_session):
+    import ray.data
+
+    from dots_ocr_ray.pipelines.classifier import nb_predict, nb_train
+
+    # two langs with mostly-disjoint vocabularies + shared stopwords
+    def doc(i, lang):
+        own = [f"{lang}w{(i * k) % 9}" for k in (1, 2, 3)]
+        return {"doc_id": i, "text": " ".join(own + ["the", "of"]), "lang": lang}
+
+    rows = [doc(i, "xx" if i % 2 else "yy") for i in range(200)]
+    train = ray.data.from_items(rows[:150])
+    test = ray.data.from_items(rows[150:])
+    m = nb_train(train, vocab_size=32)
+    pred = nb_predict(test, m).take_all()
+    truth = {r["doc_id"]: r["lang"] for r in rows[150:]}
+    acc = sum(1 for r in pred if r["pred_label"] == truth[r["doc_id"]]) / len(pred)
+    assert acc == 1.0
