@@ -3337,6 +3337,18 @@ def _q_nb_lang_predictions(sf_dir: str):
     return nb_predict(test, model)
 
 
+def _q_host_scc(sf_dir: str):
+    """Strongly connected components of the directed host graph (20
+    planted directed cycles + one-way chain bridges): scc_id = min
+    member id.  Driver-tier iterative Tarjan at this scale; the
+    distributed tier is Fleischer-Hendrickson-Pinar trim + forward/
+    backward BFS rounds.  Oracle: golden parquet from an independent
+    sequential Kosaraju."""
+    from dots_ocr_ray.pipelines.graph import scc, scc_edges_from_documents
+
+    return scc(scc_edges_from_documents(sf_dir))
+
+
 def _q_order_value_quantiles(sf_dir: str):
     """Per-priority EXACT float quantiles of order value (p50/p90/p99)
     via grouped histogram-refinement selection — zero exchanges, one
@@ -3600,6 +3612,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "community_modularity": _q_community_modularity,
         "compact_roundtrip": _q_compact_roundtrip,
         "nb_lang_predictions": _q_nb_lang_predictions,
+        "host_scc": _q_host_scc,
         "cms_token_counts": _q_cms_token_counts,
         "vocab_edit_pairs": _q_vocab_edit_pairs,
         "corpus_overlap": _q_corpus_overlap,
@@ -4495,6 +4508,10 @@ def oracle_sql() -> dict[str, str]:
             "(PARTITION BY doc_id ORDER BY sc DESC, lang ASC) AS rn FROM scores) "
             "SELECT doc_id, lang AS pred_label, sc AS score_micro "
             "FROM ranked WHERE rn = 1"
+        ),
+        "host_scc": (
+            "SELECT host, scc_id FROM "
+            f"read_parquet('{_GOLDEN_DIR}/host_scc.parquet')"
         ),
         "host_communities": (
             "SELECT host, community FROM "

@@ -2466,3 +2466,299 @@ def modularity(
             "modularity": pa.array([q], pa.float64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# strongly connected components
+
+
+def _tarjan_scc(src_arr: np.ndarray, dst_arr: np.ndarray) -> dict[int, int]:
+    """Iterative Tarjan over int arrays → {node: scc_id} with scc_id =
+    min node id of the component.  Pure-Python stack machine (no
+    recursion limit); O(V+E) — the driver-tier workhorse under the
+    edge budget."""
+    order = np.lexsort((dst_arr, src_arr))
+    s, d = src_arr[order], dst_arr[order]
+    nodes = np.unique(np.concatenate([s, d]))
+    starts = np.searchsorted(s, nodes, side="left")
+    ends = np.searchsorted(s, nodes, side="right")
+    n = len(nodes)
+    idx_of = {int(v): i for i, v in enumerate(nodes)}
+    succ = [d[starts[i] : ends[i]] for i in range(n)]
+
+    index = [-1] * n
+    low = [0] * n
+    on_stack = [False] * n
+    stack: list[int] = []
+    result: dict[int, int] = {}
+    counter = 0
+    for root in range(n):
+        if index[root] != -1:
+            continue
+        work = [(root, 0)]
+        while work:
+            v, pi = work[-1]
+            if pi == 0:
+                index[v] = low[v] = counter
+                counter += 1
+                stack.append(v)
+                on_stack[v] = True
+            advanced = False
+            nbrs = succ[v]
+            while pi < len(nbrs):
+                w = idx_of[int(nbrs[pi])]
+                pi += 1
+                if index[w] == -1:
+                    work[-1] = (v, pi)
+                    work.append((w, 0))
+                    advanced = True
+                    break
+                if on_stack[w]:
+                    low[v] = min(low[v], index[w])
+            if advanced:
+                continue
+            work.pop()
+            if low[v] == index[v]:
+                comp = []
+                while True:
+                    w = stack.pop()
+                    on_stack[w] = False
+                    comp.append(w)
+                    if w == v:
+                        break
+                cid = int(nodes[min(comp, key=lambda i: nodes[i])])
+                for w in comp:
+                    result[int(nodes[w])] = cid
+            if work:
+                p, _ = work[-1]
+                low[p] = min(low[p], low[v])
+    return result
+
+
+def scc(
+    edges: ray.data.Dataset,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    edge_budget: int = 2_000_000,
+    max_rounds: int = 64,
+) -> ray.data.Dataset:
+    """Strongly connected components of the DIRECTED host graph →
+    ``(host, scc_id)`` with scc_id = min member id — the link-ring /
+    spam-loop detector (mutual-reachability cliques) that undirected
+    CC can't see.
+
+    Driver tier (distinct edges ≤ ``edge_budget``): iterative Tarjan
+    over the collected edge arrays — O(V+E), one pass, exact.
+
+    Distributed tier (Fleischer–Hendrickson–Pinar forward–backward):
+    repeat — (a) TRIM: nodes with zero remaining in- or out-degree are
+    singleton SCCs, peeled iteratively (one degree exchange per peel
+    round, the :func:`kcore` shape); (b) PIVOT the minimum remaining
+    node id, forward-BFS and backward-BFS from it
+    (:func:`bfs_depths` both directions); the intersection is the
+    pivot's SCC (scc_id = pivot, the min remaining id); remove it and
+    recurse on what's left.  Each round peels ≥1 SCC; ``max_rounds``
+    RAISES rather than returning a wrong partial answer (the kcore
+    honesty rule) — FW–BW is the standard distributed SCC shape, but a
+    graph with many large SCCs needs rounds proportional to their
+    count."""
+    from dots_ocr_ray.pipelines.dedup import exact_distinct_pairs
+
+    def _as_pair(batch: pa.Table) -> pa.Table:
+        s = batch.column(src).to_numpy(zero_copy_only=False).astype(np.int64)
+        d = batch.column(dst).to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = s != d  # self-loops never change SCC membership
+        return pa.table(
+            {
+                "a": pa.array(s[keep], type=pa.int64()),
+                "b": pa.array(d[keep], type=pa.int64()),
+            }
+        )
+
+    dedges = exact_distinct_pairs(
+        edges.map_batches(_as_pair, batch_format="pyarrow")
+    ).materialize()
+    empty = pa.table(
+        {"host": pa.array([], pa.int64()), "scc_id": pa.array([], pa.int64())}
+    )
+    m = dedges.count()
+    if m == 0:
+        return ray.data.from_arrow(empty)
+
+    if m <= edge_budget:
+        a_chunks, b_chunks = [], []
+        for bt in dedges.iter_batches(batch_format="pyarrow"):
+            if bt.num_rows:
+                a_chunks.append(bt.column("a").to_numpy(zero_copy_only=False).astype(np.int64))
+                b_chunks.append(bt.column("b").to_numpy(zero_copy_only=False).astype(np.int64))
+        assign = _tarjan_scc(np.concatenate(a_chunks), np.concatenate(b_chunks))
+        hosts = np.array(sorted(assign), dtype=np.int64)
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "host": pa.array(hosts, type=pa.int64()),
+                    "scc_id": pa.array(
+                        np.array([assign[int(h)] for h in hosts], dtype=np.int64),
+                        type=pa.int64(),
+                    ),
+                }
+            )
+        )
+
+    # ---- distributed tier: trim + forward-backward rounds -------------
+    from dots_ocr_ray.pipelines.relational import hash_join
+
+    pair_schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+    assigned_parts: list[ray.data.Dataset] = []
+    cur = dedges
+
+    def _rename_ab(batch: pa.Table) -> pa.Table:
+        return pa.table({"src": batch.column("a"), "dst": batch.column("b")})
+
+    def _rename_ba(batch: pa.Table) -> pa.Table:
+        return pa.table({"src": batch.column("b"), "dst": batch.column("a")})
+
+    for _ in range(max_rounds):
+        if cur.count() == 0:
+            break
+        # (a) trim: zero-in or zero-out nodes are singleton SCCs
+        while True:
+            degs = degree_table(cur, src="a", dst="b").materialize()
+            if degs.count() == 0:
+                break
+
+            def _trim_rows(batch: pa.Table) -> pa.Table:
+                o = batch.column("out_deg").to_numpy(zero_copy_only=False)
+                i = batch.column("in_deg").to_numpy(zero_copy_only=False)
+                h = batch.column("host")
+                keep = (o == 0) | (i == 0)
+                hh = h.filter(pa.array(keep))
+                return pa.table({"host": hh, "scc_id": hh})
+
+            trimmed = degs.map_batches(_trim_rows, batch_format="pyarrow").materialize()
+            if trimmed.count() == 0:
+                break
+            assigned_parts.append(trimmed)
+            keep_nodes = hash_join(
+                degs,
+                trimmed,
+                on="host",
+                how="anti",
+                left_schema=pa.schema(
+                    [("host", pa.int64()), ("out_deg", pa.int64()), ("in_deg", pa.int64())]
+                ),
+                right_schema=pa.schema([("host", pa.int64()), ("scc_id", pa.int64())]),
+            ).select_columns(["host"])
+
+            def _as_a(batch: pa.Table) -> pa.Table:
+                return pa.table({"a": batch.column("host")})
+
+            def _as_b(batch: pa.Table) -> pa.Table:
+                return pa.table({"b": batch.column("host")})
+
+            cur = hash_join(
+                cur,
+                keep_nodes.map_batches(_as_a, batch_format="pyarrow"),
+                on="a",
+                how="semi",
+                left_schema=pair_schema,
+                right_schema=pa.schema([("a", pa.int64())]),
+            )
+            cur = hash_join(
+                cur,
+                keep_nodes.map_batches(_as_b, batch_format="pyarrow"),
+                on="b",
+                how="semi",
+                left_schema=pair_schema,
+                right_schema=pa.schema([("b", pa.int64())]),
+            ).materialize()
+            if cur.count() == 0:
+                break
+        if cur.count() == 0:
+            break
+        # (b) forward-backward from the min remaining node
+        pivot = int(cur.min("a"))
+        fwd = bfs_depths(
+            cur.map_batches(_rename_ab, batch_format="pyarrow"),
+            seeds=[pivot],
+            max_depth=1_000_000_000,
+        ).select_columns(["host"])
+        bwd = bfs_depths(
+            cur.map_batches(_rename_ba, batch_format="pyarrow"),
+            seeds=[pivot],
+            max_depth=1_000_000_000,
+        ).select_columns(["host"])
+        members = hash_join(
+            fwd,
+            bwd,
+            on="host",
+            how="semi",
+            left_schema=pa.schema([("host", pa.int64())]),
+            right_schema=pa.schema([("host", pa.int64())]),
+        ).materialize()
+
+        def _assign(batch: pa.Table, _p=pivot) -> pa.Table:
+            return pa.table(
+                {
+                    "host": batch.column("host"),
+                    "scc_id": pa.array(
+                        np.full(batch.num_rows, _p, dtype=np.int64), type=pa.int64()
+                    ),
+                }
+            )
+
+        assigned_parts.append(
+            members.map_batches(_assign, batch_format="pyarrow").materialize()
+        )
+        mem_schema = pa.schema([("host", pa.int64())])
+        for col, ren in (("a", "_as_a2"), ("b", "_as_b2")):
+            def _as_col(batch: pa.Table, _c=col) -> pa.Table:
+                return pa.table({_c: batch.column("host")})
+
+            cur = hash_join(
+                cur,
+                members.map_batches(_as_col, batch_format="pyarrow"),
+                on=col,
+                how="anti",
+                left_schema=pair_schema,
+                right_schema=pa.schema([(col, pa.int64())]),
+            )
+        cur = cur.materialize()
+    else:
+        raise RuntimeError(
+            f"scc: not converged in {max_rounds} FW-BW rounds — raise max_rounds "
+            "(many large SCCs need rounds proportional to their count)"
+        )
+
+    if not assigned_parts:
+        return ray.data.from_arrow(empty)
+    out = assigned_parts[0]
+    for p in assigned_parts[1:]:
+        out = out.union(p)
+    return out
+
+
+def scc_edges_from_documents(sf_dir: str) -> ray.data.Dataset:
+    """Deterministic directed host graph for the ``host_scc`` query:
+    20 blocks of 20 hosts (``h = doc_id % 400``), each wired as a
+    directed CYCLE (``h → h+1``, block-last → block-first) = 20
+    size-20 SCCs, plus one-way bridges block-last → next-block-first
+    on every ``doc_id % 7 == 0`` document (a chain, never a ring — so
+    bridges add reachability but merge nothing)."""
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def _edges(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        h = ids % 400
+        cyc_dst = np.where(h % 20 == 19, h - 19, h + 1)
+        bridge_mask = (ids % 7 == 0) & (h % 20 == 19) & (h < 399)
+        bh = h[bridge_mask]
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([h, bh]), type=pa.int64()),
+                "dst": pa.array(np.concatenate([cyc_dst, bh + 1]), type=pa.int64()),
+            }
+        )
+
+    return docs.map_batches(_edges, batch_format="pyarrow")

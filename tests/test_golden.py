@@ -65,6 +65,7 @@ def _canon(obj) -> pd.DataFrame:
         "pca_projected",
         "host_communities",
         "host_random_walks",
+        "host_scc",
     ],
 )
 def test_golden_parity(ray_session, name):

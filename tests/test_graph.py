@@ -585,3 +585,49 @@ def test_modularity_known_values(ray_session):
     tri = _edges([(0, 1), (1, 2), (2, 0), (0, 1), (1, 0)])  # dups collapse
     t3 = modularity(tri, _comm({0: 0, 1: 1, 2: 2}))
     assert t3.column("modularity")[0].as_py() == round(-1 / 3, 9)
+
+
+def _scc_dict(ds):
+    from dots_ocr_ray.pipelines.graph import scc  # noqa: F401
+
+    return {r["host"]: r["scc_id"] for r in ds.take_all()}
+
+
+def test_scc_known_graphs_driver(ray_session):
+    from dots_ocr_ray.pipelines.graph import scc
+
+    # two directed 3-cycles joined by a one-way bridge + a DAG tail
+    rows = [(0, 1), (1, 2), (2, 0), (10, 11), (11, 12), (12, 10), (2, 10), (12, 20), (20, 21)]
+    got = _scc_dict(scc(_edges(rows)))
+    assert got == {0: 0, 1: 0, 2: 0, 10: 10, 11: 10, 12: 10, 20: 20, 21: 21}
+
+    # a pure DAG: every node is its own SCC
+    dag = [(0, 1), (0, 2), (1, 3), (2, 3)]
+    assert _scc_dict(scc(_edges(dag))) == {0: 0, 1: 1, 2: 2, 3: 3}
+
+    # self-loops and duplicate edges change nothing
+    noisy = rows + [(0, 0), (5, 5), (0, 1), (1, 2)]
+    got2 = _scc_dict(scc(_edges(noisy)))
+    assert got2 == {0: 0, 1: 0, 2: 0, 10: 10, 11: 10, 12: 10, 20: 20, 21: 21}
+
+
+def test_scc_tier_parity_small(ray_session):
+    from dots_ocr_ray.pipelines.graph import scc
+
+    # 3 SCCs (2-cycle, 3-cycle, singleton sink) keeps FW-BW rounds low
+    rows = [(1, 2), (2, 1), (5, 6), (6, 7), (7, 5), (2, 5), (7, 9)]
+    drv = _scc_dict(scc(_edges(rows)))
+    dist = _scc_dict(scc(_edges(rows), edge_budget=0, max_rounds=16))
+    assert drv == dist == {1: 1, 2: 1, 5: 5, 6: 5, 7: 5, 9: 9}
+
+
+def test_scc_max_rounds_raises(ray_session):
+    import pytest as _pytest
+
+    from dots_ocr_ray.pipelines.graph import scc
+
+    # two separate 2-cycles need 2 FW-BW rounds; max_rounds=1 must
+    # raise, never return a partial answer
+    rows = [(1, 2), (2, 1), (3, 4), (4, 3), (2, 3)]
+    with _pytest.raises(RuntimeError, match="not converged"):
+        scc(_edges(rows), edge_budget=0, max_rounds=1)

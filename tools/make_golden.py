@@ -1171,6 +1171,76 @@ def golden_host_random_walks(
     )
 
 
+
+
+def golden_host_scc(sf_dir: str) -> pa.Table:
+    """Sequential Kosaraju SCC over the directed host fixture
+    (pipelines/graph.py:scc_edges_from_documents) — an INDEPENDENT
+    algorithm from the pipeline's iterative Tarjan / distributed
+    FW-BW tiers.  scc_id = min member id."""
+    ids = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"]).column(
+        "doc_id"
+    ).to_numpy()
+    h = ids % 400
+    cyc_dst = np.where(h % 20 == 19, h - 19, h + 1)
+    bridge_mask = (ids % 7 == 0) & (h % 20 == 19) & (h < 399)
+    bh = h[bridge_mask]
+    src_a = np.concatenate([h, bh])
+    dst_a = np.concatenate([cyc_dst, bh + 1])
+    edges = sorted({(int(s), int(d)) for s, d in zip(src_a, dst_a) if s != d})
+    fwd: dict[int, list[int]] = {}
+    rev: dict[int, list[int]] = {}
+    nodes = sorted({v for e in edges for v in e})
+    for s, d in edges:
+        fwd.setdefault(s, []).append(d)
+        rev.setdefault(d, []).append(s)
+    # pass 1: iterative DFS finish order on the forward graph
+    visited: set[int] = set()
+    order: list[int] = []
+    for root in nodes:
+        if root in visited:
+            continue
+        stack = [(root, iter(fwd.get(root, [])))]
+        visited.add(root)
+        while stack:
+            v, it = stack[-1]
+            advanced = False
+            for w in it:
+                if w not in visited:
+                    visited.add(w)
+                    stack.append((w, iter(fwd.get(w, []))))
+                    advanced = True
+                    break
+            if not advanced:
+                order.append(v)
+                stack.pop()
+    # pass 2: reverse-graph DFS in reverse finish order
+    assign: dict[int, int] = {}
+    for root in reversed(order):
+        if root in assign:
+            continue
+        comp = [root]
+        assign[root] = root
+        stack2 = [root]
+        while stack2:
+            v = stack2.pop()
+            for w in rev.get(v, []):
+                if w not in assign:
+                    assign[w] = root
+                    comp.append(w)
+                    stack2.append(w)
+        cid = min(comp)
+        for v in comp:
+            assign[v] = cid
+    hosts = sorted(assign)
+    return pa.table(
+        {
+            "host": pa.array(hosts, type=pa.int64()),
+            "scc_id": pa.array([assign[v] for v in hosts], type=pa.int64()),
+        }
+    )
+
+
 GOLDEN_BUILDERS = {
     "kmeans_clusters": golden_kmeans_clusters,
     "semdedup_docs": golden_semdedup_docs,
@@ -1211,6 +1281,7 @@ GOLDEN_BUILDERS = {
     "ngram_diversity": golden_ngram_diversity,
     "host_communities": golden_host_communities,
     "host_random_walks": golden_host_random_walks,
+    "host_scc": golden_host_scc,
 }
 
 
