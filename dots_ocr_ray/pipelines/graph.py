@@ -2731,12 +2731,58 @@ def scc(
             "(many large SCCs need rounds proportional to their count)"
         )
 
+    # final sweep: a node whose last edge vanished via a neighbor's
+    # trim (e.g. the middle of a pure chain) never re-enters the
+    # degree table — it is provably a singleton SCC (a mutual-cycle
+    # partner's edges could not have been removed without it), so
+    # assign it to itself from the ORIGINAL node set
+    def _node_rows(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_numpy(zero_copy_only=False)
+        b = batch.column("b").to_numpy(zero_copy_only=False)
+        h = np.unique(np.concatenate([a, b])).astype(np.int64)
+        bkt = (h.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(64)
+        return pa.table(
+            {
+                "host": pa.array(h, type=pa.int64()),
+                "__bucket": pa.array(bkt.astype(np.int32), type=pa.int32()),
+            }
+        )
+
+    def _node_fold(group: pa.Table) -> pa.Table:
+        h = np.unique(group.column("host").to_numpy(zero_copy_only=False).astype(np.int64))
+        return pa.table({"host": pa.array(h, type=pa.int64())})
+
+    all_nodes = (
+        bounded_blocks(
+            dedges.map_batches(_node_rows, batch_format="pyarrow"),
+            rows_per_block=1_048_576,
+        )
+        .groupby("__bucket")
+        .map_groups(_node_fold, batch_format="pyarrow")
+    )
     if not assigned_parts:
-        return ray.data.from_arrow(empty)
-    out = assigned_parts[0]
-    for p in assigned_parts[1:]:
-        out = out.union(p)
-    return out
+        assigned = ray.data.from_arrow(empty)
+    else:
+        assigned = assigned_parts[0]
+        for p in assigned_parts[1:]:
+            assigned = assigned.union(p)
+        assigned = assigned.materialize()
+    missing = hash_join(
+        all_nodes,
+        assigned,
+        on="host",
+        how="anti",
+        left_schema=pa.schema([("host", pa.int64())]),
+        right_schema=pa.schema([("host", pa.int64()), ("scc_id", pa.int64())]),
+    )
+
+    def _self_assign(batch: pa.Table) -> pa.Table:
+        h = batch.column("host").cast(pa.int64())
+        return pa.table({"host": h, "scc_id": h})
+
+    return assigned.union(
+        missing.map_batches(_self_assign, batch_format="pyarrow")
+    )
 
 
 def scc_edges_from_documents(sf_dir: str) -> ray.data.Dataset:

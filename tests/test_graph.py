@@ -621,6 +621,17 @@ def test_scc_tier_parity_small(ray_session):
     assert drv == dist == {1: 1, 2: 1, 5: 5, 6: 5, 7: 5, 9: 9}
 
 
+def test_scc_distributed_pure_chain_keeps_middle_nodes(ray_session):
+    from dots_ocr_ray.pipelines.graph import scc
+
+    # a pure chain: trimming both ends strands the middle nodes with no
+    # edges — the final sweep must still assign them as singletons
+    rows = [(0, 1), (1, 2), (2, 3), (3, 4)]
+    dist = _scc_dict(scc(_edges(rows), edge_budget=0, max_rounds=8))
+    assert dist == {i: i for i in range(5)}
+    assert dist == _scc_dict(scc(_edges(rows)))
+
+
 def test_scc_max_rounds_raises(ray_session):
     import pytest as _pytest
 
