@@ -3349,6 +3349,48 @@ def _q_host_scc(sf_dir: str):
     return scc(scc_edges_from_documents(sf_dir))
 
 
+def _q_lang_stratified_sample(sf_dir: str):
+    """Deterministic stratified sample: the 5 docs per language with
+    the smallest md5(doc_id || ':7') rank — exact-k-per-stratum eval
+    draw, identical on every engine and rerun.  One bucket-keyed
+    exchange.  Oracle: ROW_NUMBER over md5 rank per lang."""
+    import ray.data
+
+    from dots_ocr_ray.pipelines.relational import sample_per_key
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+    return sample_per_key(docs, key_col="lang", id_col="doc_id", k=5, seed=7)
+
+
+def _q_host_doc_gini(sf_dir: str):
+    """Partitioning-skew diagnostic: Gini coefficient of per-host doc
+    counts over the url fixture (the 'should I salt this key' number).
+    Integer sums, one final division (9 dp) — bit-identical to the
+    SQL window mirror."""
+    import pyarrow as pa
+
+    import ray.data
+
+    from dots_ocr_ray.pipelines.relational import key_count_gini
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def _host(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        # skewed host rule: doc_id % 40 hosts, but half of all docs
+        # pile onto host 0 (the hot-domain shape)
+        host = np.where(ids % 2 == 0, 0, ids % 40)
+        return pa.table({"host": pa.array(host.astype("int64"), type=pa.int64())})
+
+    return key_count_gini(
+        docs.map_batches(_host, batch_format="pyarrow"), key_col="host"
+    )
+
+
 def _q_order_value_quantiles(sf_dir: str):
     """Per-priority EXACT float quantiles of order value (p50/p90/p99)
     via grouped histogram-refinement selection — zero exchanges, one
@@ -3613,6 +3655,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "compact_roundtrip": _q_compact_roundtrip,
         "nb_lang_predictions": _q_nb_lang_predictions,
         "host_scc": _q_host_scc,
+        "lang_stratified_sample": _q_lang_stratified_sample,
+        "host_doc_gini": _q_host_doc_gini,
         "cms_token_counts": _q_cms_token_counts,
         "vocab_edit_pairs": _q_vocab_edit_pairs,
         "corpus_overlap": _q_corpus_overlap,
@@ -4512,6 +4556,23 @@ def oracle_sql() -> dict[str, str]:
         "host_scc": (
             "SELECT host, scc_id FROM "
             f"read_parquet('{_GOLDEN_DIR}/host_scc.parquet')"
+        ),
+        "lang_stratified_sample": (
+            "SELECT doc_id, lang FROM (SELECT doc_id, lang, row_number() OVER "
+            "(PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR) || ':7')) AS rn "
+            "FROM documents) WHERE rn <= 5"
+        ),
+        # Gini of per-host doc counts: integer sums, one division
+        "host_doc_gini": (
+            "WITH h AS (SELECT CASE WHEN doc_id % 2 = 0 THEN 0 "
+            "ELSE doc_id % 40 END AS host FROM documents), "
+            "cnts AS (SELECT host, count(*) AS c FROM h GROUP BY host), "
+            "ranked AS (SELECT c, row_number() OVER (ORDER BY c, host) AS i FROM cnts) "
+            "SELECT CAST((SELECT count(*) FROM cnts) AS BIGINT) AS n_keys, "
+            "CAST((SELECT sum(c) FROM cnts) AS BIGINT) AS n_rows, "
+            "round((2.0 * sum(i * c)) / ((SELECT count(*) FROM cnts) * (SELECT sum(c) FROM cnts)) "
+            "- ((SELECT count(*) FROM cnts) + 1.0) / (SELECT count(*) FROM cnts), 9) AS gini "
+            "FROM ranked"
         ),
         "host_communities": (
             "SELECT host, community FROM "

@@ -2228,3 +2228,140 @@ def attach_int_column(
         left_schema=left_schema,
         right_schema=side_schema,
     )
+
+
+def sample_per_key(
+    ds: ray.data.Dataset,
+    *,
+    key_col: str,
+    id_col: str,
+    k: int,
+    seed: int = 0,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Deterministic stratified sample: the ``k`` rows per key with the
+    smallest ``md5(id || ':' || seed)`` rank — the exact-k-per-stratum
+    eval-set / debugging draw (every engine and every rerun picks the
+    SAME rows, the md5-order rule temperature_mixture already uses).
+
+    ONE bucket-keyed exchange on hash(key); the per-bucket fold sorts
+    its rows by (key, rank) and slices the first k of each key run
+    vectorized — Python cost O(num_buckets), driver holds nothing."""
+    import hashlib
+
+    import numpy as np
+
+    def _tag(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        ranks = [
+            hashlib.md5(f"{i}:{seed}".encode()).hexdigest() for i in ids
+        ]
+        bkt = (_stable_key_hash(batch.column(key_col)) % np.uint64(num_buckets)).astype(
+            np.int32
+        )
+        return batch.append_column(
+            "__rank", pa.array(ranks, type=pa.string())
+        ).append_column("__bucket", pa.array(bkt, type=pa.int32()))
+
+    def _fold(group: pa.Table) -> pa.Table:
+        keys = group.column(key_col).to_numpy(zero_copy_only=False)
+        ranks = group.column("__rank").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ranks, keys))
+        sorted_keys = keys[order]
+        # first-k-per-run: position within the key run < k
+        change = np.concatenate([[True], sorted_keys[1:] != sorted_keys[:-1]])
+        starts = np.flatnonzero(change)
+        run_start = np.repeat(starts, np.diff(np.append(starts, len(sorted_keys))))
+        pos = np.arange(len(sorted_keys)) - run_start
+        keep_idx = order[pos < k]
+        return group.take(keep_idx).drop_columns(["__rank", "__bucket"])
+
+    from dots_ocr_ray.util import bounded_blocks
+
+    return (
+        bounded_blocks(
+            ds.map_batches(_tag, batch_format="pyarrow"), rows_per_block=1_048_576
+        )
+        .groupby("__bucket")
+        .map_groups(_fold, batch_format="pyarrow")
+    )
+
+
+def key_count_gini(
+    ds: ray.data.Dataset,
+    *,
+    key_col: str,
+    num_buckets: int = 64,
+) -> pa.Table:
+    """Skew diagnostic: the Gini coefficient of per-key row counts →
+    one row ``(n_keys, n_rows, gini)`` — the number a 100-TB pipeline
+    checks BEFORE choosing its partitioning key (G≈0 balanced keys,
+    G→1 one hot key owns the table; the 'should I salt this groupby'
+    signal).
+
+    Exactness: with counts sorted ascending, G = (2·Σ i·c_i) /
+    (n·Σc) − (n+1)/n — both terms integer until ONE final division
+    (rounded 9 dp), so the value is bit-identical to the SQL window
+    mirror.  One bucket-keyed count exchange (per-key partial counts
+    fold per bucket); the driver sees one (key, count) pair per key —
+    the diagnostic's own output size."""
+    import numpy as np
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        agg = (
+            batch.select([key_col])
+            .group_by(key_col)
+            .aggregate([([], "count_all")])
+        )
+        bkt = (_stable_key_hash(agg.column(key_col)) % np.uint64(num_buckets)).astype(
+            np.int32
+        )
+        return pa.table(
+            {
+                key_col: agg.column(key_col),
+                "c": agg.column("count_all").cast(pa.int64()),
+                "__bucket": pa.array(bkt, type=pa.int32()),
+            }
+        )
+
+    def _fold(group: pa.Table) -> pa.Table:
+        keys = group.column(key_col).to_numpy(zero_copy_only=False)
+        c = group.column("c").to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, inv = np.unique(keys, return_inverse=True)
+        sums = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(sums, inv, c)
+        return pa.table({"c": pa.array(sums, type=pa.int64())})
+
+    from dots_ocr_ray.util import bounded_blocks
+
+    counts_chunks = []
+    for b in (
+        bounded_blocks(
+            ds.map_batches(_partial, batch_format="pyarrow"), rows_per_block=1_048_576
+        )
+        .groupby("__bucket")
+        .map_groups(_fold, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")
+    ):
+        if b.num_rows:
+            counts_chunks.append(b.column("c").to_numpy(zero_copy_only=False))
+    if not counts_chunks:
+        return pa.table(
+            {
+                "n_keys": pa.array([0], pa.int64()),
+                "n_rows": pa.array([0], pa.int64()),
+                "gini": pa.array([0.0], pa.float64()),
+            }
+        )
+    c = np.sort(np.concatenate(counts_chunks).astype(np.int64))
+    n = len(c)
+    total = int(c.sum())
+    weighted = int((np.arange(1, n + 1, dtype=np.int64) * c).sum())
+    gini = round((2.0 * weighted) / (n * total) - (n + 1.0) / n, 9)
+    return pa.table(
+        {
+            "n_keys": pa.array([n], pa.int64()),
+            "n_rows": pa.array([total], pa.int64()),
+            "gini": pa.array([gini], pa.float64()),
+        }
+    )

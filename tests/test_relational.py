@@ -1039,3 +1039,57 @@ def test_exact_float_quantiles_by_key_matches_selection(ray_session):
 
     with _pytest.raises(ValueError):
         exact_float_quantiles_by_key(ds, "k", "x", [0.5], max_keys=1)
+
+
+def test_sample_per_key_exact_k_and_determinism(ray_session):
+    import hashlib
+
+    import ray.data
+
+    from dots_ocr_ray.pipelines.relational import sample_per_key
+
+    rows = [{"doc_id": i, "lang": "abc"[i % 3]} for i in range(60)]
+    ds = ray.data.from_items(rows)
+    out = sample_per_key(ds, key_col="lang", id_col="doc_id", k=4, seed=9).take_all()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], set()).add(r["doc_id"])
+    assert {k: len(v) for k, v in by_lang.items()} == {"a": 4, "b": 4, "c": 4}
+    # brute-force expected: smallest md5 ranks per key
+    for lang in "abc":
+        ids = [i for i in range(60) if "abc"[i % 3] == lang]
+        want = set(
+            sorted(ids, key=lambda i: hashlib.md5(f"{i}:9".encode()).hexdigest())[:4]
+        )
+        assert by_lang[lang] == want
+    # partitioning must not change the draw
+    out2 = sample_per_key(
+        ds.repartition(7), key_col="lang", id_col="doc_id", k=4, seed=9
+    ).take_all()
+    assert {(r["lang"], r["doc_id"]) for r in out2} == {
+        (r["lang"], r["doc_id"]) for r in out
+    }
+    # k larger than the stratum keeps everything
+    tiny = ray.data.from_items(rows[:5])
+    assert len(sample_per_key(tiny, key_col="lang", id_col="doc_id", k=10).take_all()) == 5
+
+
+def test_key_count_gini_known_values(ray_session):
+    import ray.data
+
+    from dots_ocr_ray.pipelines.relational import key_count_gini
+
+    # perfectly balanced: gini == 0
+    bal = ray.data.from_items([{"k": i % 4} for i in range(40)])
+    t = key_count_gini(bal, key_col="k")
+    assert t.column("gini")[0].as_py() == 0.0
+    assert t.column("n_keys")[0].as_py() == 4
+    assert t.column("n_rows")[0].as_py() == 40
+
+    # counts 1,1,1,97: hand-computed G = 2*(1*1+2*1+3*1+4*97)/(4*100) - 5/4
+    skew = ray.data.from_items(
+        [{"k": 0}] * 97 + [{"k": 1}, {"k": 2}, {"k": 3}]
+    ).repartition(5)
+    t2 = key_count_gini(skew, key_col="k")
+    expect = round(2 * (1 + 2 + 3 + 4 * 97) / (4 * 100) - 5 / 4, 9)
+    assert t2.column("gini")[0].as_py() == expect
