@@ -3391,6 +3391,22 @@ def _q_host_doc_gini(sf_dir: str):
     )
 
 
+def _q_order_value_histogram(sf_dir: str):
+    """Equi-depth 8-bin histogram of order value: boundaries are the
+    exact i/8 quantiles (quantile_disc semantics), bin = count of
+    boundaries <= value, sums as integer cents — bit-identical to the
+    SQL mirror.  ~3 quantile scans + one binning scan, zero
+    exchanges."""
+    import ray.data
+
+    from dots_ocr_ray.pipelines.relational import equi_depth_histogram
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_totalprice"]
+    )
+    return equi_depth_histogram(orders, "o_totalprice", n_bins=8)
+
+
 def _q_order_value_quantiles(sf_dir: str):
     """Per-priority EXACT float quantiles of order value (p50/p90/p99)
     via grouped histogram-refinement selection — zero exchanges, one
@@ -3657,6 +3673,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_scc": _q_host_scc,
         "lang_stratified_sample": _q_lang_stratified_sample,
         "host_doc_gini": _q_host_doc_gini,
+        "order_value_histogram": _q_order_value_histogram,
         "cms_token_counts": _q_cms_token_counts,
         "vocab_edit_pairs": _q_vocab_edit_pairs,
         "corpus_overlap": _q_corpus_overlap,
@@ -4573,6 +4590,16 @@ def oracle_sql() -> dict[str, str]:
             "round((2.0 * sum(i * c)) / ((SELECT count(*) FROM cnts) * (SELECT sum(c) FROM cnts)) "
             "- ((SELECT count(*) FROM cnts) + 1.0) / (SELECT count(*) FROM cnts), 9) AS gini "
             "FROM ranked"
+        ),
+        # equi-depth histogram: quantile_disc boundaries, right-closed
+        # binning, integer-cents sums
+        "order_value_histogram": (
+            "WITH v AS (SELECT o_totalprice AS p FROM orders), "
+            "bounds AS (SELECT quantile_disc(p, 1/8.0) AS b FROM v UNION ALL SELECT quantile_disc(p, 2/8.0) AS b FROM v UNION ALL SELECT quantile_disc(p, 3/8.0) AS b FROM v UNION ALL SELECT quantile_disc(p, 4/8.0) AS b FROM v UNION ALL SELECT quantile_disc(p, 5/8.0) AS b FROM v UNION ALL SELECT quantile_disc(p, 6/8.0) AS b FROM v UNION ALL SELECT quantile_disc(p, 7/8.0) AS b FROM v), "
+            "binned AS (SELECT (SELECT count(*) FROM bounds WHERE b <= p) AS bin, p FROM v) "
+            "SELECT CAST(bin AS BIGINT) AS bin, count(*) AS n, "
+            "CAST(sum(CAST(round(p * 100) AS BIGINT)) AS BIGINT) AS sum_cents "
+            "FROM binned GROUP BY bin"
         ),
         "host_communities": (
             "SELECT host, community FROM "

@@ -2365,3 +2365,97 @@ def key_count_gini(
             "gini": pa.array([gini], pa.float64()),
         }
     )
+
+
+def equi_depth_histogram(
+    ds: ray.data.Dataset,
+    col: str,
+    *,
+    n_bins: int = 8,
+    cents: int = 100,
+) -> pa.Table:
+    """Equi-depth histogram of a float column → one row per non-empty
+    bin ``(bin, n, sum_cents)`` — the optimizer-statistics /
+    distribution-audit op (equal-probability bins expose skew that
+    equal-WIDTH bins hide).
+
+    Bin boundaries are the EXACT ``i/n_bins`` quantiles
+    (:func:`exact_float_quantiles`, ``quantile_disc`` semantics);
+    ``bin(v) = #{boundaries <= v}`` (searchsorted-right), so mass ties
+    land wholly on one side — deterministic, though tied boundaries
+    then make some bins shallower than n/n_bins.  Values aggregate as
+    integer ``round(v·cents)`` sums, so outputs are bit-identical to
+    the SQL mirror (float sums would be association-order-dependent).
+
+    Cost: the quantile passes (~3 stateless scans, zero exchange) +
+    ONE binning scan emitting ≤ n_bins partial rows per block, folded
+    on the driver."""
+    import numpy as np
+
+    import ray as _ray
+
+    from dots_ocr_ray.util import cached_object as _cached
+
+    qtbl = exact_float_quantiles(ds, col, [i / n_bins for i in range(1, n_bins)])
+    bounds = np.sort(
+        np.asarray(qtbl.column("value").to_pylist(), dtype=np.float64)
+    )
+    bounds_ref = _ray.put(bounds)
+
+    def _partial(batch: pa.Table, _ref=bounds_ref) -> pa.Table:
+        b = _cached(_ref)
+        v = batch.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        v = v[~np.isnan(v)]
+        if not len(v):
+            return pa.table(
+                {
+                    "bin": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                    "s": pa.array([], pa.int64()),
+                }
+            )
+        bins = np.searchsorted(b, v, side="right").astype(np.int64)
+        c = np.rint(v * cents).astype(np.int64)
+        uniq, inv = np.unique(bins, return_inverse=True)
+        n_part = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        s_part = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(s_part, inv, c)
+        return pa.table(
+            {
+                "bin": pa.array(uniq, type=pa.int64()),
+                "n": pa.array(n_part, type=pa.int64()),
+                "s": pa.array(s_part, type=pa.int64()),
+            }
+        )
+
+    acc_bin, acc_n, acc_s = [], [], []
+    for bt in ds.map_batches(_partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        if bt.num_rows:
+            acc_bin.append(bt.column("bin").to_numpy(zero_copy_only=False))
+            acc_n.append(bt.column("n").to_numpy(zero_copy_only=False))
+            acc_s.append(bt.column("s").to_numpy(zero_copy_only=False))
+    if not acc_bin:
+        return pa.table(
+            {
+                "bin": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+                "sum_cents": pa.array([], pa.int64()),
+            }
+        )
+    bins = np.concatenate(acc_bin)
+    ns = np.concatenate(acc_n)
+    ss = np.concatenate(acc_s)
+    uniq, inv = np.unique(bins, return_inverse=True)
+    n_tot = np.zeros(len(uniq), dtype=np.int64)
+    s_tot = np.zeros(len(uniq), dtype=np.int64)
+    np.add.at(n_tot, inv, ns)
+    np.add.at(s_tot, inv, ss)
+    return pa.table(
+        {
+            "bin": pa.array(uniq, type=pa.int64()),
+            "n": pa.array(n_tot, type=pa.int64()),
+            "sum_cents": pa.array(s_tot, type=pa.int64()),
+        }
+    )

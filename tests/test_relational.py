@@ -1093,3 +1093,42 @@ def test_key_count_gini_known_values(ray_session):
     t2 = key_count_gini(skew, key_col="k")
     expect = round(2 * (1 + 2 + 3 + 4 * 97) / (4 * 100) - 5 / 4, 9)
     assert t2.column("gini")[0].as_py() == expect
+
+
+def test_equi_depth_histogram_vs_numpy(ray_session):
+    import numpy as np
+
+    import ray.data
+
+    from dots_ocr_ray.pipelines.relational import equi_depth_histogram
+
+    rng = np.random.RandomState(3)
+    vals = np.round(rng.uniform(1, 1000, size=500), 2)
+    ds = ray.data.from_items([{"v": float(x)} for x in vals]).repartition(7)
+    t = equi_depth_histogram(ds, "v", n_bins=4)
+    # reference: quantile_disc boundaries (rank ceil(q*n)) + right bins
+    sv = np.sort(vals)
+    bounds = np.array([sv[int(np.ceil(q * len(sv))) - 1] for q in (0.25, 0.5, 0.75)])
+    bins = np.searchsorted(bounds, vals, side="right")
+    got = {r["bin"]: (r["n"], r["sum_cents"]) for r in t.to_pylist()}
+    for b in range(4):
+        mask = bins == b
+        assert got[b] == (
+            int(mask.sum()),
+            int(np.rint(vals[mask] * 100).astype(np.int64).sum()),
+        )
+
+
+def test_equi_depth_histogram_mass_ties(ray_session):
+    import ray.data
+
+    from dots_ocr_ray.pipelines.relational import equi_depth_histogram
+
+    # 90% of the mass is one value: tied boundaries collapse bins but
+    # counts must still total n and land deterministically
+    vals = [5.0] * 90 + [float(i) for i in range(10)]
+    ds = ray.data.from_items([{"v": v} for v in vals]).repartition(4)
+    t = equi_depth_histogram(ds, "v", n_bins=4)
+    rows = t.to_pylist()
+    assert sum(r["n"] for r in rows) == 100
+    assert sum(r["sum_cents"] for r in rows) == int(sum(v * 100 for v in vals))
