@@ -3407,6 +3407,22 @@ def _q_order_value_histogram(sf_dir: str):
     return equi_depth_histogram(orders, "o_totalprice", n_bins=8)
 
 
+def _q_label_centroids(sf_dir: str):
+    """Per-label embedding centroid sufficient statistics (label, dim,
+    sum_q, n) with components quantized to round(x*2^20) int64 BEFORE
+    summing — the exact distributed centroid-update input (k-means /
+    IVF retraining, class-drift audits), bit-identical to the SQL
+    mirror.  One labels*dims keyed exchange."""
+    import ray.data
+
+    from dots_ocr_ray.pipelines.similarity import label_centroid_stats
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["embedding", "label"]
+    )
+    return label_centroid_stats(ds)
+
+
 def _q_order_value_quantiles(sf_dir: str):
     """Per-priority EXACT float quantiles of order value (p50/p90/p99)
     via grouped histogram-refinement selection — zero exchanges, one
@@ -3674,6 +3690,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_stratified_sample": _q_lang_stratified_sample,
         "host_doc_gini": _q_host_doc_gini,
         "order_value_histogram": _q_order_value_histogram,
+        "label_centroids": _q_label_centroids,
         "cms_token_counts": _q_cms_token_counts,
         "vocab_edit_pairs": _q_vocab_edit_pairs,
         "corpus_overlap": _q_corpus_overlap,
@@ -4600,6 +4617,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(bin AS BIGINT) AS bin, count(*) AS n, "
             "CAST(sum(CAST(round(p * 100) AS BIGINT)) AS BIGINT) AS sum_cents "
             "FROM binned GROUP BY bin"
+        ),
+        # exact centroid sufficient stats: 2^20-quantized integer sums
+        "label_centroids": (
+            "WITH ex AS (SELECT CAST(label AS BIGINT) AS label, "
+            "CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim, "
+            "CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings) "
+            "SELECT label, dim, "
+            "CAST(sum(CAST(round(x * 1048576) AS BIGINT)) AS BIGINT) AS sum_q, "
+            "CAST(count(*) AS BIGINT) AS n "
+            "FROM ex GROUP BY label, dim"
         ),
         "host_communities": (
             "SELECT host, community FROM "

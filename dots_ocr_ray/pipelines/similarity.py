@@ -706,3 +706,80 @@ def semdedup_prune(
         .groupby("cluster_id")
         .map_groups(_prune, batch_format="pyarrow")
     )
+
+
+def label_centroid_stats(
+    ds: ray.data.Dataset,
+    *,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    quant: int = 1 << 20,
+) -> pa.Table:
+    """Per-label vector-sum sufficient statistics → ``(label, dim,
+    sum_q, n)`` — the exact distributed input to centroid updates
+    (k-means/IVF retraining, semdedup seeding, per-class embedding
+    drift audits): centroid = sum_q / (n · quant).
+
+    Exactness contract (the PCA discipline): each component quantizes
+    to ``round(x · 2^20)`` int64 BEFORE summing, so partials fold
+    layout-insensitively and the output is bit-identical to the SQL
+    mirror — float mean aggregation would be association-order-
+    dependent.  Per-batch partial = labels × dims int64 rows (zero-
+    copy ``vec_matrix``), ONE tiny keyed exchange."""
+    import pyarrow.compute as pc
+
+    from dots_ocr_ray.util import vec_matrix
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        mat = vec_matrix(batch.column(vec_col), dtype=np.float64)
+        # SQL round() is half-AWAY-from-zero; np.rint would diverge on
+        # exact binary ties (float32 components CAN hit them at 2^20)
+        scaled = mat * quant
+        q = (np.sign(scaled) * np.floor(np.abs(scaled) + 0.5)).astype(np.int64)
+        labs = batch.column(label_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, inv = np.unique(labs, return_inverse=True)
+        d = q.shape[1]
+        sums = np.zeros((len(uniq), d), dtype=np.int64)
+        np.add.at(sums, inv, q)
+        ns = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        return pa.table(
+            {
+                "label": pa.array(np.repeat(uniq, d), type=pa.int64()),
+                "dim": pa.array(np.tile(np.arange(d, dtype=np.int64), len(uniq)), type=pa.int64()),
+                "sum_q": pa.array(sums.ravel(), type=pa.int64()),
+                "n": pa.array(np.repeat(ns, d), type=pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby(["label", "dim"])
+        .sum(["sum_q", "n"])
+    )
+    out = pa.concat_tables(
+        [
+            pa.table(
+                {
+                    "label": b.column("label").cast(pa.int64()),
+                    "dim": b.column("dim").cast(pa.int64()),
+                    "sum_q": b.column("sum(sum_q)").cast(pa.int64()),
+                    "n": b.column("sum(n)").cast(pa.int64()),
+                }
+            )
+            for b in agg.iter_batches(batch_format="pyarrow")
+            if b.num_rows
+        ]
+        or [
+            pa.table(
+                {
+                    "label": pa.array([], pa.int64()),
+                    "dim": pa.array([], pa.int64()),
+                    "sum_q": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        ]
+    )
+    return out.take(
+        pc.sort_indices(out, sort_keys=[("label", "ascending"), ("dim", "ascending")])
+    )

@@ -182,3 +182,32 @@ def test_semdedup_prune_matches_sequential(ray_session):
     for g, members in groups.items():
         kept_members = [i for i in members if i not in pruned]
         assert kept_members == [min(members)]
+
+
+def test_label_centroid_stats_exact_and_partition_invariant(ray_session):
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from dots_ocr_ray.pipelines.similarity import label_centroid_stats
+
+    rng = np.random.RandomState(11)
+    vecs = rng.randn(50, 4).astype(np.float32)
+    labels = (np.arange(50) % 3).astype(np.int64)
+    rows = [
+        {"embedding": vecs[i].tolist(), "label": int(labels[i])} for i in range(50)
+    ]
+    t1 = label_centroid_stats(ray.data.from_items(rows))
+    t2 = label_centroid_stats(ray.data.from_items(rows).repartition(9))
+    assert t1.equals(t2)  # integer partials fold layout-insensitively
+
+    # reference: half-away rounding then integer sums
+    q = np.sign(vecs.astype(np.float64) * (1 << 20)) * np.floor(
+        np.abs(vecs.astype(np.float64) * (1 << 20)) + 0.5
+    )
+    got = {(r["label"], r["dim"]): (r["sum_q"], r["n"]) for r in t1.to_pylist()}
+    for lab in range(3):
+        mask = labels == lab
+        for d in range(4):
+            assert got[(lab, d)] == (int(q[mask, d].sum()), int(mask.sum()))
