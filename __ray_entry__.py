@@ -3423,6 +3423,30 @@ def _q_label_centroids(sf_dir: str):
     return label_centroid_stats(ds)
 
 
+def _q_chars_range_pruned(sf_dir: str):
+    """Zone-map data skipping end-to-end: the documents table written
+    SORTED by n_chars into per-file zones (one sort exchange, paid
+    once), then a range predicate reads only the overlapping files +
+    a parquet row filter.  Oracle: plain BETWEEN over the original
+    table — pruning must be invisible to results."""
+    import os
+
+    import ray.data
+
+    from dots_ocr_ray.pipelines.zonemap import read_range, write_sorted_zonemap
+
+    base, built = _scratch_dir("zonemap", sf_dir)
+    zdir = os.path.join(base, "zones")
+    if not built:
+        docs = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+        )
+        write_sorted_zonemap(docs, zdir, sort_col="n_chars", rows_per_file=64)
+        with open(os.path.join(base, "_complete"), "w") as f:
+            f.write("ok")
+    return read_range(zdir, 500, 900, columns=["doc_id", "n_chars"])
+
+
 def _q_order_value_quantiles(sf_dir: str):
     """Per-priority EXACT float quantiles of order value (p50/p90/p99)
     via grouped histogram-refinement selection — zero exchanges, one
@@ -3691,6 +3715,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_doc_gini": _q_host_doc_gini,
         "order_value_histogram": _q_order_value_histogram,
         "label_centroids": _q_label_centroids,
+        "chars_range_pruned": _q_chars_range_pruned,
         "cms_token_counts": _q_cms_token_counts,
         "vocab_edit_pairs": _q_vocab_edit_pairs,
         "corpus_overlap": _q_corpus_overlap,
@@ -4627,6 +4652,11 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(CAST(round(x * 1048576) AS BIGINT)) AS BIGINT) AS sum_q, "
             "CAST(count(*) AS BIGINT) AS n "
             "FROM ex GROUP BY label, dim"
+        ),
+        # zone-map pruning must not change results
+        "chars_range_pruned": (
+            "SELECT doc_id, n_chars FROM documents "
+            "WHERE n_chars BETWEEN 500 AND 900"
         ),
         "host_communities": (
             "SELECT host, community FROM "

@@ -289,3 +289,47 @@ def test_compact_parquet_target_bytes_splits_groups(ray_session, tmp_path):
         ).iter_batches(batch_format="pyarrow")
     )
     assert total == 4000
+
+
+def test_zonemap_roundtrip_and_prune_proof(ray_session, tmp_path):
+    import json
+    import os
+
+    import pyarrow as pa
+
+    import ray.data
+
+    from dots_ocr_ray.pipelines.zonemap import read_range, write_sorted_zonemap
+
+    rows = [{"k": i, "v": (i * 37) % 1000} for i in range(600)]
+    ds = ray.data.from_items(rows)
+    zdir = str(tmp_path / "zones")
+    manifest = write_sorted_zonemap(ds, zdir, sort_col="v", rows_per_file=50)
+    assert len(manifest["zones"]) >= 6
+    # zones cover the data and are near-disjoint (sorted write)
+    los = [z["lo"] for z in manifest["zones"]]
+    assert los == sorted(los)
+
+    got = sorted(
+        (r["k"], r["v"]) for r in read_range(zdir, 200, 400, columns=["k", "v"]).take_all()
+    )
+    want = sorted((r["k"], r["v"]) for r in rows if 200 <= r["v"] <= 400)
+    assert got == want
+
+    # prune proof: delete every file whose zone misses [200, 400] —
+    # results must be unchanged, i.e. those files were never needed
+    kept = 0
+    for z in manifest["zones"]:
+        if z["hi"] < 200 or z["lo"] > 400:
+            os.unlink(z["path"])
+        else:
+            kept += 1
+    assert kept < len(manifest["zones"])
+    got2 = sorted(
+        (r["k"], r["v"]) for r in read_range(zdir, 200, 400, columns=["k", "v"]).take_all()
+    )
+    assert got2 == want
+
+    # empty range returns zero rows with the right schema
+    empty = read_range(zdir, -10, -5, columns=["k", "v"])
+    assert empty.count() == 0
