@@ -3447,6 +3447,101 @@ def _q_chars_range_pruned(sf_dir: str):
     return read_range(zdir, 500, 900, columns=["doc_id", "n_chars"])
 
 
+def _q_csv_roundtrip(sf_dir: str):
+    """CSV sink+source coverage: the documents table written to CSV
+    (embedded newlines/quotes survive via quoting) and read back with
+    newlines-in-values parsing.  Oracle: the original table — the
+    format hop must be lossless."""
+    import os
+
+    import ray.data
+
+    base, built = _scratch_dir("csvround", sf_dir)
+    out = os.path.join(base, "csv")
+    if not built:
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet",
+            columns=["doc_id", "text", "lang", "source", "n_chars"],
+        ).repartition(4).write_csv(out)
+        with open(os.path.join(base, "_complete"), "w") as f:
+            f.write("ok")
+    from pyarrow import csv as pacsv
+
+    return ray.data.read_csv(
+        out,
+        parse_options=pacsv.ParseOptions(newlines_in_values=True),
+    )
+
+
+def _q_event_transitions(sf_dir: str):
+    """Markov transition counts over per-user event streams: (type,
+    next_type, n) for consecutive events in (ts, event_id) order — the
+    behavioral-model / funnel-prior table, composing the LAG/LEAD
+    machinery (event_gaps) with one tiny type-pair rollup.  Oracle:
+    LEAD window SQL."""
+    import pyarrow as pa
+
+    import ray.data
+
+    from dots_ocr_ray.pipelines.windows import event_gaps
+
+    gaps = event_gaps(sf_dir)
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type"]
+    )
+    from dots_ocr_ray.pipelines.relational import hash_join
+
+    joined = hash_join(
+        gaps,
+        events,
+        on="event_id",
+        left_schema=pa.schema(
+            [
+                ("user_id", pa.int64()),
+                ("event_id", pa.int64()),
+                ("gap_us", pa.int64()),
+                ("next_type", pa.string()),
+            ]
+        ),
+        right_schema=pa.schema([("event_id", pa.int64()), ("event_type", pa.string())]),
+    )
+
+    def _pairs(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = pc.not_equal(batch.column("next_type"), "")
+        b = batch.filter(keep)
+        agg = (
+            pa.table(
+                {"event_type": b.column("event_type"), "next_type": b.column("next_type")}
+            )
+            .group_by(["event_type", "next_type"])
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {
+                "event_type": agg.column("event_type"),
+                "next_type": agg.column("next_type"),
+                "n": agg.column("count_all").cast(pa.int64()),
+            }
+        )
+
+    summed = joined.map_batches(_pairs, batch_format="pyarrow").groupby(
+        ["event_type", "next_type"]
+    ).sum("n")
+
+    def _rename(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "next_type": batch.column("next_type"),
+                "n": batch.column("sum(n)").cast(pa.int64()),
+            }
+        )
+
+    return summed.map_batches(_rename, batch_format="pyarrow")
+
+
 def _q_order_value_quantiles(sf_dir: str):
     """Per-priority EXACT float quantiles of order value (p50/p90/p99)
     via grouped histogram-refinement selection — zero exchanges, one
@@ -3716,6 +3811,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_value_histogram": _q_order_value_histogram,
         "label_centroids": _q_label_centroids,
         "chars_range_pruned": _q_chars_range_pruned,
+        "csv_roundtrip": _q_csv_roundtrip,
+        "event_transitions": _q_event_transitions,
         "cms_token_counts": _q_cms_token_counts,
         "vocab_edit_pairs": _q_vocab_edit_pairs,
         "corpus_overlap": _q_corpus_overlap,
@@ -4657,6 +4754,16 @@ def oracle_sql() -> dict[str, str]:
         "chars_range_pruned": (
             "SELECT doc_id, n_chars FROM documents "
             "WHERE n_chars BETWEEN 500 AND 900"
+        ),
+        "csv_roundtrip": (
+            "SELECT doc_id, text, lang, source, n_chars FROM documents"
+        ),
+        # Markov transitions via LEAD window
+        "event_transitions": (
+            "WITH w AS (SELECT event_type, lead(event_type) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id) AS next_type FROM events) "
+            "SELECT event_type, next_type, count(*) AS n FROM w "
+            "WHERE next_type IS NOT NULL GROUP BY event_type, next_type"
         ),
         "host_communities": (
             "SELECT host, community FROM "
