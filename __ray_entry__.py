@@ -3542,6 +3542,22 @@ def _q_event_transitions(sf_dir: str):
     return summed.map_batches(_rename, batch_format="pyarrow")
 
 
+def _q_decayed_type_popularity(sf_dir: str):
+    """Freshness-weighted event-type popularity: each event weighs
+    2^(-age_days/7) relative to the corpus max timestamp, quantized to
+    int64 micro-units per ROW before summing — integer totals,
+    bit-identical to the SQL mirror.  Two stateless passes + one tiny
+    keyed exchange."""
+    import ray.data
+
+    from dots_ocr_ray.pipelines.windows import decayed_counts
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts"]
+    )
+    return decayed_counts(events, key_col="event_type", half_life_days=7.0)
+
+
 def _q_order_value_quantiles(sf_dir: str):
     """Per-priority EXACT float quantiles of order value (p50/p90/p99)
     via grouped histogram-refinement selection — zero exchanges, one
@@ -3813,6 +3829,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chars_range_pruned": _q_chars_range_pruned,
         "csv_roundtrip": _q_csv_roundtrip,
         "event_transitions": _q_event_transitions,
+        "decayed_type_popularity": _q_decayed_type_popularity,
         "cms_token_counts": _q_cms_token_counts,
         "vocab_edit_pairs": _q_vocab_edit_pairs,
         "corpus_overlap": _q_corpus_overlap,
@@ -4764,6 +4781,15 @@ def oracle_sql() -> dict[str, str]:
             "(PARTITION BY user_id ORDER BY ts, event_id) AS next_type FROM events) "
             "SELECT event_type, next_type, count(*) AS n FROM w "
             "WHERE next_type IS NOT NULL GROUP BY event_type, next_type"
+        ),
+        # exponential time-decay popularity, int64 micro-unit weights
+        "decayed_type_popularity": (
+            "WITH mx AS (SELECT max(ts) AS m FROM events), "
+            "w AS (SELECT event_type, CAST(floor(pow(2.0, "
+            "-(epoch_us(mx.m) - epoch_us(ts)) / 86400000000.0 / 7.0) * 1000000) "
+            "AS BIGINT) AS wm FROM events, mx) "
+            "SELECT event_type, CAST(sum(wm) AS BIGINT) AS decayed_micro, "
+            "CAST(count(*) AS BIGINT) AS n FROM w GROUP BY event_type"
         ),
         "host_communities": (
             "SELECT host, community FROM "

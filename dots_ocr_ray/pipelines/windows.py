@@ -780,3 +780,105 @@ def cohort_retention(sf_dir: str) -> ray.data.Dataset:
         )
 
     return agg.map_batches(_finish, batch_format="pyarrow")
+
+
+def decayed_counts(
+    ds: ray.data.Dataset,
+    *,
+    key_col: str,
+    ts_col: str = "ts",
+    half_life_days: float = 7.0,
+    micro: int = 1_000_000,
+) -> pa.Table:
+    """Exponentially time-decayed counts per key → ``(key,
+    decayed_micro, n)`` — the freshness-weighted popularity signal
+    (recrawl priority, trending detection) where an event ``d`` days
+    before the corpus max-timestamp contributes ``2^(-d/half_life)``.
+
+    Exactness contract: each row's weight quantizes to
+    ``floor(2^(-age/hl) · 1e6)`` int64 BEFORE summing (the micro-unit
+    discipline), so per-key totals are integer sums — bit-identical
+    to the SQL mirror and to any partitioning.  Two stateless passes:
+    max-timestamp, then per-batch per-key int64 partials into one tiny
+    keyed exchange."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    # pass 1: corpus reference timestamp (µs)
+    def _us(col: pa.ChunkedArray) -> pa.ChunkedArray:
+        # pin the unit: [ns]/[s] inputs would silently scale ages
+        return col.cast(pa.timestamp("us")).cast(pa.int64())
+
+    ref_us = None
+    for b in ds.map_batches(
+        lambda t: pa.table(
+            {"m": pa.array([pc.max(_us(t.column(ts_col))).as_py()], type=pa.int64())}
+        ),
+        batch_format="pyarrow",
+    ).iter_batches(batch_format="pyarrow"):
+        for r in range(b.num_rows):
+            v = b.column("m")[r].as_py()
+            if v is not None:
+                ref_us = v if ref_us is None else max(ref_us, v)
+    if ref_us is None:
+        return pa.table(
+            {
+                key_col: pa.array([], pa.string()),
+                "decayed_micro": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+
+    def _partial(batch: pa.Table, _ref=ref_us) -> pa.Table:
+        us = (
+            batch.column(ts_col)
+            .cast(pa.timestamp("us"))
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        age_days = (_ref - us) / 86400000000.0
+        w = np.floor(np.power(2.0, -age_days / half_life_days) * micro).astype(np.int64)
+        keys = batch.column(key_col).to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(keys, return_inverse=True)
+        sums = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(sums, inv, w)
+        ns = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        return pa.table(
+            {
+                key_col: pa.array(uniq.tolist()),
+                "d": pa.array(sums, type=pa.int64()),
+                "n": pa.array(ns, type=pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby(key_col)
+        .sum(["d", "n"])
+    )
+    out = pa.concat_tables(
+        [
+            pa.table(
+                {
+                    key_col: b.column(key_col),
+                    "decayed_micro": b.column("sum(d)").cast(pa.int64()),
+                    "n": b.column("sum(n)").cast(pa.int64()),
+                }
+            )
+            for b in agg.iter_batches(batch_format="pyarrow")
+            if b.num_rows
+        ]
+        or [
+            pa.table(
+                {
+                    key_col: pa.array([], pa.string()),
+                    "decayed_micro": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        ]
+    )
+    import pyarrow.compute as _pc
+
+    return out.take(_pc.sort_indices(out, sort_keys=[(key_col, "ascending")]))

@@ -283,3 +283,33 @@ def test_cohort_retention_matches_duckdb(ray_session):
     assert (out.values == o.values).all()
     # week-0 row exists for every cohort (a user's first week is active)
     assert (out.groupby("cohort_week")["offset_weeks"].min() == 0).all()
+
+
+def test_decayed_counts_hand_computed_and_partition_invariant(ray_session):
+    import math
+
+    import pyarrow as pa
+
+    import ray.data
+
+    from dots_ocr_ray.pipelines.windows import decayed_counts
+
+    import datetime
+
+    base = datetime.datetime(2026, 1, 15)
+    rows = []
+    for i, (k, days_ago) in enumerate(
+        [("a", 0), ("a", 7), ("a", 14), ("b", 0), ("b", 3.5)]
+    ):
+        rows.append({"k": k, "ts": base - datetime.timedelta(days=days_ago)})
+    ds = ray.data.from_items(rows)
+    t = decayed_counts(ds, key_col="k", half_life_days=7.0)
+    got = {r["k"]: (r["decayed_micro"], r["n"]) for r in t.to_pylist()}
+    exp_a = sum(
+        math.floor(2.0 ** (-d / 7.0) * 1e6) for d in (0, 7, 14)
+    )  # 1e6 + 5e5 + 25e4
+    exp_b = math.floor(1e6) + math.floor(2.0 ** (-0.5) * 1e6)
+    assert got == {"a": (exp_a, 3), "b": (exp_b, 2)}
+
+    t2 = decayed_counts(ds.repartition(5), key_col="k", half_life_days=7.0)
+    assert t.equals(t2)
