@@ -3558,6 +3558,189 @@ def _q_decayed_type_popularity(sf_dir: str):
     return decayed_counts(events, key_col="event_type", half_life_days=7.0)
 
 
+def _q_dedup_cluster_sizes(sf_dir: str):
+    """Near-dup cluster-size histogram: power-of-two buckets of
+    MinHash-LSH cluster sizes — the dedup-audit summary (how much of
+    the corpus sits in 2-dup vs 1000-dup clusters) composing
+    minhash_lsh_dedup with the frequency-of-frequencies operator.
+    Oracle: SQL histogram over the golden cluster parquet."""
+    from dots_ocr_ray.pipelines.dedup import minhash_lsh_dedup
+    from dots_ocr_ray.pipelines.relational import grouped_count_histogram
+
+    import ray.data
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    clusters = minhash_lsh_dedup(docs, threshold=0.8)
+    return grouped_count_histogram(clusters, key_col="cluster_id")
+
+
+def _q_returned_revenue_by_customer(sf_dir: str):
+    """TPC-H Q10 shape: revenue lost to returned items per customer in
+    one quarter, with nation name, top 20.  Returned-lineitem revenue
+    pre-aggregates per order BEFORE any join (combiner); orders are
+    date-filtered at the scan; the order→customer rollup is one
+    distributed hash_join + custkey sum; the KB-sized nation dim
+    joins batch-locally from a broadcast map; top-20 reduces through
+    per-batch local top-k partials."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray.data
+
+    from dots_ocr_ray.pipelines.relational import hash_join
+    from dots_ocr_ray.util import bounded_blocks
+
+    lo = pa.scalar(datetime.datetime(1997, 1, 1))
+    hi = pa.scalar(datetime.datetime(1997, 7, 1))
+
+    lineitem = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"],
+    )
+
+    def _rev_partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.equal(batch.column("l_returnflag"), "R"))
+        rev = pc.multiply(
+            batch.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), batch.column("l_discount")),
+        )
+        agg = (
+            pa.table({"o_orderkey": batch.column("l_orderkey"), "revenue": rev})
+            .group_by("o_orderkey")
+            .aggregate([("revenue", "sum")])
+        )
+        return pa.table(
+            {"o_orderkey": agg.column("o_orderkey"), "revenue": agg.column("revenue_sum")}
+        )
+
+    revenue = (
+        bounded_blocks(lineitem.map_batches(_rev_partial, batch_format="pyarrow"))
+        .groupby("o_orderkey")
+        .sum("revenue")
+    )
+
+    def _rename_rev(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": batch.column("o_orderkey"),
+                "revenue": batch.column("sum(revenue)"),
+            }
+        )
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    )
+
+    def _quarter(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.greater_equal(batch.column("o_orderdate"), lo),
+            pc.less(batch.column("o_orderdate"), hi),
+        )
+        return batch.filter(keep).select(["o_orderkey", "o_custkey"])
+
+    joined = hash_join(
+        orders.map_batches(_quarter, batch_format="pyarrow"),
+        revenue.map_batches(_rename_rev, batch_format="pyarrow"),
+        on="o_orderkey",
+        left_schema=pa.schema([("o_orderkey", pa.int64()), ("o_custkey", pa.int64())]),
+        right_schema=pa.schema([("o_orderkey", pa.int64()), ("revenue", pa.float64())]),
+    )
+
+    def _cust_partial(batch: pa.Table) -> pa.Table:
+        agg = (
+            batch.select(["o_custkey", "revenue"])
+            .group_by("o_custkey")
+            .aggregate([("revenue", "sum")])
+        )
+        return pa.table(
+            {"c_custkey": agg.column("o_custkey"), "revenue": agg.column("revenue_sum")}
+        )
+
+    per_cust = (
+        bounded_blocks(joined.map_batches(_cust_partial, batch_format="pyarrow"))
+        .groupby("c_custkey")
+        .sum("revenue")
+    )
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name", "c_nationkey"]
+    )
+    nation_tbl = ray.data.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+    nmap = dict(zip(nation_tbl["n_nationkey"], nation_tbl["n_name"]))
+    import ray as _ray
+
+    nref = _ray.put(nmap)
+
+    def _with_nation(batch: pa.Table, _ref=nref) -> pa.Table:
+        from dots_ocr_ray.util import cached_object
+
+        m = cached_object(_ref)
+        nk = batch.column("c_nationkey").to_pylist()
+        return pa.table(
+            {
+                "c_custkey": batch.column("c_custkey").cast(pa.int64()),
+                "c_name": batch.column("c_name"),
+                "n_name": pa.array([m[k] for k in nk], type=pa.string()),
+            }
+        )
+
+    def _rename_cust(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_custkey": batch.column("c_custkey").cast(pa.int64()),
+                "revenue": batch.column("sum(revenue)"),
+            }
+        )
+
+    final = hash_join(
+        per_cust.map_batches(_rename_cust, batch_format="pyarrow"),
+        cust.map_batches(_with_nation, batch_format="pyarrow"),
+        on="c_custkey",
+        left_schema=pa.schema([("c_custkey", pa.int64()), ("revenue", pa.float64())]),
+        right_schema=pa.schema(
+            [("c_custkey", pa.int64()), ("c_name", pa.string()), ("n_name", pa.string())]
+        ),
+    )
+
+    def _local_top(batch: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            batch,
+            sort_keys=[("revenue", "descending"), ("c_custkey", "ascending")],
+        )
+        return batch.take(order[:20])
+
+    merged = pa.concat_tables(
+        [
+            b
+            for b in final.map_batches(_local_top, batch_format="pyarrow").iter_batches(
+                batch_format="pyarrow"
+            )
+            if b.num_rows
+        ]
+        or [
+            pa.table(
+                {
+                    "c_custkey": pa.array([], pa.int64()),
+                    "revenue": pa.array([], pa.float64()),
+                    "c_name": pa.array([], pa.string()),
+                    "n_name": pa.array([], pa.string()),
+                }
+            )
+        ]
+    )
+    order = pc.sort_indices(
+        merged, sort_keys=[("revenue", "descending"), ("c_custkey", "ascending")]
+    )
+    top = merged.take(order[:20])
+    return top.select(["c_custkey", "c_name", "n_name", "revenue"])
+
+
 def _q_order_value_quantiles(sf_dir: str):
     """Per-priority EXACT float quantiles of order value (p50/p90/p99)
     via grouped histogram-refinement selection — zero exchanges, one
@@ -3830,6 +4013,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "csv_roundtrip": _q_csv_roundtrip,
         "event_transitions": _q_event_transitions,
         "decayed_type_popularity": _q_decayed_type_popularity,
+        "dedup_cluster_sizes": _q_dedup_cluster_sizes,
+        "returned_revenue_by_customer": _q_returned_revenue_by_customer,
         "cms_token_counts": _q_cms_token_counts,
         "vocab_edit_pairs": _q_vocab_edit_pairs,
         "corpus_overlap": _q_corpus_overlap,
@@ -4790,6 +4975,25 @@ def oracle_sql() -> dict[str, str]:
             "AS BIGINT) AS wm FROM events, mx) "
             "SELECT event_type, CAST(sum(wm) AS BIGINT) AS decayed_micro, "
             "CAST(count(*) AS BIGINT) AS n FROM w GROUP BY event_type"
+        ),
+        # cluster-size frequency-of-frequencies over the golden clusters
+        "dedup_cluster_sizes": (
+            "WITH c AS (SELECT cluster_id, count(*) AS n FROM "
+            f"read_parquet('{_GOLDEN_DIR}/dedup_minhash.parquet') GROUP BY 1) "
+            "SELECT CAST(floor(log2(n)) AS BIGINT) AS bucket, "
+            "CAST(count(*) AS BIGINT) AS n_keys FROM c GROUP BY 1"
+        ),
+        # TPC-H Q10 shape
+        "returned_revenue_by_customer": (
+            "SELECT c_custkey, c_name, n_name, "
+            "sum(l_extendedprice * (1 - l_discount)) AS revenue "
+            "FROM customer, orders, lineitem, nation "
+            "WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey "
+            "AND o_orderdate >= TIMESTAMP '1997-01-01' "
+            "AND o_orderdate < TIMESTAMP '1997-07-01' "
+            "AND l_returnflag = 'R' AND c_nationkey = n_nationkey "
+            "GROUP BY c_custkey, c_name, n_name "
+            "ORDER BY revenue DESC, c_custkey LIMIT 20"
         ),
         "host_communities": (
             "SELECT host, community FROM "
