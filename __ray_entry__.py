@@ -3741,6 +3741,18 @@ def _q_returned_revenue_by_customer(sf_dir: str):
     return top.select(["c_custkey", "c_name", "n_name", "revenue"])
 
 
+def _q_host_harmonic(sf_dir: str):
+    """Seed-sampled harmonic centrality (4 deterministic seeds) over
+    the host link graph: per-node sum of floor(1e6/d) over seed
+    distances — integer contributions, bit-identical to the golden
+    mirror.  One BFS per seed + one bucket-keyed fold."""
+    from dots_ocr_ray.pipelines.graph import harmonic_centrality, host_edges_from_documents
+
+    return harmonic_centrality(
+        host_edges_from_documents(sf_dir), seeds=[0, 7, 13, 21]
+    )
+
+
 def _q_order_value_quantiles(sf_dir: str):
     """Per-priority EXACT float quantiles of order value (p50/p90/p99)
     via grouped histogram-refinement selection — zero exchanges, one
@@ -4015,6 +4027,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decayed_type_popularity": _q_decayed_type_popularity,
         "dedup_cluster_sizes": _q_dedup_cluster_sizes,
         "returned_revenue_by_customer": _q_returned_revenue_by_customer,
+        "host_harmonic": _q_host_harmonic,
         "cms_token_counts": _q_cms_token_counts,
         "vocab_edit_pairs": _q_vocab_edit_pairs,
         "corpus_overlap": _q_corpus_overlap,
@@ -4994,6 +5007,10 @@ def oracle_sql() -> dict[str, str]:
             "AND l_returnflag = 'R' AND c_nationkey = n_nationkey "
             "GROUP BY c_custkey, c_name, n_name "
             "ORDER BY revenue DESC, c_custkey LIMIT 20"
+        ),
+        "host_harmonic": (
+            "SELECT host, centrality_micro, n_seeds_reaching FROM "
+            f"read_parquet('{_GOLDEN_DIR}/host_harmonic.parquet')"
         ),
         "host_communities": (
             "SELECT host, community FROM "

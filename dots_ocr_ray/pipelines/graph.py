@@ -2808,3 +2808,87 @@ def scc_edges_from_documents(sf_dir: str) -> ray.data.Dataset:
         )
 
     return docs.map_batches(_edges, batch_format="pyarrow")
+
+
+def harmonic_centrality(
+    edges: ray.data.Dataset,
+    *,
+    seeds,
+    src: str = "src",
+    dst: str = "dst",
+    micro: int = 1_000_000,
+    max_depth: int = 64,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Seed-sampled harmonic centrality → ``(host, centrality_micro,
+    n_seeds_reaching)``: for each node, Σ over seed sources of
+    ``1/d(seed, node)`` — the sampled closeness/influence estimate
+    (Boldi–Vigna's harmonic variant, which handles disconnected
+    graphs; exact when ``seeds`` = all nodes, an unbiased sample
+    estimate otherwise — sampling is how web-scale centrality is
+    actually run).
+
+    Exactness: each contribution quantizes to ``floor(micro/d)`` int64
+    (1/d is rational — no float sums), so totals are bit-identical to
+    the golden mirror under any partitioning.  Cost: one
+    :func:`bfs_depths` per seed (levels × one edge pass in the
+    broadcast tier) + ONE bucket-keyed fold over the ≤ |seeds|·|nodes|
+    contribution rows.  Seeds at distance 0 contribute nothing."""
+    edges = bounded_blocks(
+        edges.select_columns([src, dst]), rows_per_block=1_048_576
+    ).materialize()
+    parts = []
+    for s in sorted(set(int(x) for x in seeds)):
+        depths = bfs_depths(edges, seeds=[s], src=src, dst=dst, max_depth=max_depth)
+
+        def _contrib(batch: pa.Table) -> pa.Table:
+            d = batch.column("depth").to_numpy(zero_copy_only=False).astype(np.int64)
+            h = batch.column("host").to_numpy(zero_copy_only=False).astype(np.int64)
+            keep = d > 0
+            d, h = d[keep], h[keep]
+            bkt = (h.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(
+                num_buckets
+            )
+            return pa.table(
+                {
+                    "host": pa.array(h, type=pa.int64()),
+                    "c": pa.array(micro // d, type=pa.int64()),
+                    "__bucket": pa.array(bkt.astype(np.int32), type=pa.int32()),
+                }
+            )
+
+        parts.append(depths.map_batches(_contrib, batch_format="pyarrow"))
+    if not parts:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "host": pa.array([], pa.int64()),
+                    "centrality_micro": pa.array([], pa.int64()),
+                    "n_seeds_reaching": pa.array([], pa.int64()),
+                }
+            )
+        )
+    allc = parts[0]
+    for p in parts[1:]:
+        allc = allc.union(p)
+
+    def _fold(group: pa.Table) -> pa.Table:
+        h = group.column("host").to_numpy(zero_copy_only=False).astype(np.int64)
+        c = group.column("c").to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, inv = np.unique(h, return_inverse=True)
+        sums = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(sums, inv, c)
+        ns = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        return pa.table(
+            {
+                "host": pa.array(uniq, type=pa.int64()),
+                "centrality_micro": pa.array(sums, type=pa.int64()),
+                "n_seeds_reaching": pa.array(ns, type=pa.int64()),
+            }
+        )
+
+    return (
+        bounded_blocks(allc, rows_per_block=1_048_576)
+        .groupby("__bucket")
+        .map_groups(_fold, batch_format="pyarrow")
+    )

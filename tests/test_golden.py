@@ -66,6 +66,7 @@ def _canon(obj) -> pd.DataFrame:
         "host_communities",
         "host_random_walks",
         "host_scc",
+        "host_harmonic",
     ],
 )
 def test_golden_parity(ray_session, name):

@@ -642,3 +642,23 @@ def test_scc_max_rounds_raises(ray_session):
     rows = [(1, 2), (2, 1), (3, 4), (4, 3), (2, 3)]
     with _pytest.raises(RuntimeError, match="not converged"):
         scc(_edges(rows), edge_budget=0, max_rounds=1)
+
+
+def test_harmonic_centrality_hand_computed(ray_session):
+    from dots_ocr_ray.pipelines.graph import harmonic_centrality
+
+    # chain 0 -> 1 -> 2, plus seed 9 reaching 2 directly
+    rows = [(0, 1), (1, 2), (9, 2)]
+    got = {
+        r["host"]: (r["centrality_micro"], r["n_seeds_reaching"])
+        for r in harmonic_centrality(_edges(rows), seeds=[0, 9]).take_all()
+    }
+    # node 1: d(0,1)=1 -> 1e6; node 2: d(0,2)=2 (5e5) + d(9,2)=1 (1e6)
+    assert got == {1: (1_000_000, 1), 2: (1_500_000, 2)}
+
+    # unreachable seeds contribute nothing; seed at distance 0 excluded
+    got2 = {
+        r["host"]: r["centrality_micro"]
+        for r in harmonic_centrality(_edges(rows), seeds=[2]).take_all()
+    }
+    assert got2 == {}

@@ -1241,6 +1241,49 @@ def golden_host_scc(sf_dir: str) -> pa.Table:
     )
 
 
+
+
+def golden_host_harmonic(sf_dir: str, *, seeds=(0, 7, 13, 21), micro: int = 1_000_000) -> pa.Table:
+    """Sequential seed-sampled harmonic centrality over the host-edge
+    fixture: per-seed BFS (deque) + floor(micro/d) integer sums —
+    independent of the pipeline's Dataset BFS tiers."""
+    from collections import deque
+
+    from dots_ocr_ray.pipelines.graph import EDGE_MULTIPLIERS, N_HOSTS
+
+    ids = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"]).column(
+        "doc_id"
+    ).to_numpy()
+    src_a = np.concatenate([ids % N_HOSTS for _ in EDGE_MULTIPLIERS])
+    dst_a = np.concatenate([(ids * m) % N_HOSTS for m in EDGE_MULTIPLIERS])
+    adj: dict[int, set[int]] = {}
+    for s, d in zip(src_a, dst_a):
+        adj.setdefault(int(s), set()).add(int(d))
+    cent: dict[int, int] = {}
+    nsr: dict[int, int] = {}
+    for seed in sorted(set(seeds)):
+        dist = {seed: 0}
+        q = deque([seed])
+        while q:
+            v = q.popleft()
+            for w in adj.get(v, ()):  # directed BFS
+                if w not in dist:
+                    dist[w] = dist[v] + 1
+                    q.append(w)
+        for v, d in dist.items():
+            if d > 0:
+                cent[v] = cent.get(v, 0) + micro // d
+                nsr[v] = nsr.get(v, 0) + 1
+    hosts = sorted(cent)
+    return pa.table(
+        {
+            "host": pa.array(hosts, type=pa.int64()),
+            "centrality_micro": pa.array([cent[v] for v in hosts], type=pa.int64()),
+            "n_seeds_reaching": pa.array([nsr[v] for v in hosts], type=pa.int64()),
+        }
+    )
+
+
 GOLDEN_BUILDERS = {
     "kmeans_clusters": golden_kmeans_clusters,
     "semdedup_docs": golden_semdedup_docs,
@@ -1282,6 +1325,7 @@ GOLDEN_BUILDERS = {
     "host_communities": golden_host_communities,
     "host_random_walks": golden_host_random_walks,
     "host_scc": golden_host_scc,
+    "host_harmonic": golden_host_harmonic,
 }
 
 
