@@ -457,29 +457,47 @@ def exact_float_quantiles_by_key(
     fold is ``keys × qs`` fixed-size arrays and the data-side cost
     stays a stateless column scan — no keyed exchange at any point.
 
-    Raises if the observed key count exceeds ``max_keys`` (a histogram
-    per key per pass stops being "bounded state" on an unbounded key
-    domain — use :func:`exact_int_quantiles_by_key`'s value-counts
-    exchange there instead).  Matches DuckDB ``quantile_disc(col, q)
-    GROUP BY key``.  Nulls/NaNs drop per SQL aggregate semantics;
-    keys with no non-null values are omitted.
+    Raises if observed ``keys × len(qs)`` exceeds ``max_keys`` — that
+    product, not the key count alone, is what each pass's histogram
+    state and the final collect scale with (a histogram per (key, q)
+    per pass stops being "bounded state" on an unbounded domain — use
+    :func:`exact_int_quantiles_by_key`'s value-counts exchange there
+    instead).  Matches DuckDB ``quantile_disc(col, q) GROUP BY key``.
+    Value nulls/NaNs drop per SQL aggregate semantics; a NULL KEY is
+    its own group (SQL GROUP BY semantics — never merged with the
+    literal string 'None').
 
-    Output: (key, q, value) rows sorted by (key, q)."""
+    Output: (key, q, value) rows sorted by (key, q); non-null keys
+    stringified, null keys null."""
     import math
 
     import numpy as np
 
+    _NULL_KEY = "n"  # every non-null key encodes as "v"+str(x), so the
+    # bare "n" cannot collide (NB: a NUL sentinel breaks — numpy's U
+    # dtype strips trailing NULs, making "\x00" compare as "")
+
+    def _enc_keys(batch: pa.Table) -> "np.ndarray":
+        # ONE coercion pass per batch; nulls get a sentinel no string
+        # key can collide with (all non-null encodings start with "v")
+        return np.asarray(
+            [
+                _NULL_KEY if x is None else "v" + str(x)
+                for x in batch.column(key).to_pylist()
+            ],
+            dtype=object,
+        )
+
     # ---- pass 0: per-key count + min + max (tiny: one row per key
     # per block) ---------------------------------------------------------
     def _stats(batch: pa.Table) -> pa.Table:
-        keys_col = batch.column(key).to_pylist()
         v = batch.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
-        ks = np.asarray(keys_col, dtype=object)
+        ks = _enc_keys(batch)
         ok = ~np.isnan(v)
         ks, v = ks[ok], v[ok]
         out_k, out_n, out_lo, out_hi = [], [], [], []
-        for k in np.unique(ks.astype(str)) if len(ks) else []:
-            sel = v[ks.astype(str) == k]
+        for k in np.unique(ks) if len(ks) else []:
+            sel = v[ks == k]
             out_k.append(k)
             out_n.append(len(sel))
             out_lo.append(float(sel.min()))
@@ -499,9 +517,10 @@ def exact_float_quantiles_by_key(
         cur[0] += r["n"]
         cur[1] = min(cur[1], r["lo"])
         cur[2] = max(cur[2], r["hi"])
-    if len(agg) > max_keys:
+    if len(agg) * max(1, len(qs)) > max_keys:
         raise ValueError(
-            f"exact_float_quantiles_by_key: {len(agg)} keys > max_keys={max_keys}"
+            f"exact_float_quantiles_by_key: {len(agg)} keys x {len(qs)} qs "
+            f"> max_keys={max_keys} (per-pass state scales with the product)"
         )
 
     state = []
@@ -528,13 +547,16 @@ def exact_float_quantiles_by_key(
         ivals = [(st["key"], st["lo"], st["hi"], st["hi_inc"]) for st in active]
 
         def _hists(batch: pa.Table, _iv=ivals) -> pa.Table:
-            ks = np.asarray([str(x) for x in batch.column(key).to_pylist()], dtype=object)
+            ks = _enc_keys(batch)
             v = batch.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
             ok = ~np.isnan(v)
             ks, v = ks[ok], v[ok]
             cols = {"bin": pa.array(np.arange(num_bins, dtype=np.int64), type=pa.int64())}
+            masks: dict[str, "np.ndarray"] = {}  # all qs of a key share it
             for i_q, (k, lo, hi, hi_inc) in enumerate(_iv):
-                sel = v[(ks == k) & (v >= lo) & ((v <= hi) if hi_inc else (v < hi))]
+                if k not in masks:
+                    masks[k] = ks == k
+                sel = v[masks[k] & (v >= lo) & ((v <= hi) if hi_inc else (v < hi))]
                 h, _ = np.histogram(sel, bins=num_bins, range=(lo, hi))
                 cols[f"h{i_q}"] = pa.array(h.astype(np.int64), type=pa.int64())
             return pa.table(cols)
@@ -575,13 +597,16 @@ def exact_float_quantiles_by_key(
         ivals = [(st["key"], st["lo"], st["hi"], st["hi_inc"]) for st in pending]
 
         def _collect(batch: pa.Table, _iv=ivals) -> pa.Table:
-            ks = np.asarray([str(x) for x in batch.column(key).to_pylist()], dtype=object)
+            ks = _enc_keys(batch)
             v = batch.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
             ok = ~np.isnan(v)
             ks, v = ks[ok], v[ok]
             out_k, out_v = [], []
+            masks: dict[str, "np.ndarray"] = {}
             for i_q, (k, lo, hi, hi_inc) in enumerate(_iv):
-                sel = v[(ks == k) & (v >= lo) & ((v <= hi) if hi_inc else (v < hi))]
+                if k not in masks:
+                    masks[k] = ks == k
+                sel = v[masks[k] & (v >= lo) & ((v <= hi) if hi_inc else (v < hi))]
                 out_k.append(np.full(len(sel), i_q, np.int64))
                 out_v.append(sel)
             return pa.table(
@@ -611,7 +636,10 @@ def exact_float_quantiles_by_key(
     state.sort(key=lambda st: (st["key"], st["q"]))
     return pa.table(
         {
-            key: pa.array([st["key"] for st in state], type=pa.string()),
+            key: pa.array(
+                [None if st["key"] == _NULL_KEY else st["key"][1:] for st in state],
+                type=pa.string(),
+            ),
             "q": pa.array([st["q"] for st in state], type=pa.float64()),
             "value": pa.array([st["value"] for st in state], type=pa.float64()),
         }

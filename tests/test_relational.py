@@ -1016,7 +1016,8 @@ def test_exact_float_quantiles_by_key_matches_selection(ray_session):
     for k, vs in data.items():
         keys += [k] * len(vs)
         vals += vs
-    # interleave + a null-key and nan-value row (both must drop/route)
+    # a nan-value row (drops) — null KEYS are covered by the dedicated
+    # null-group test below
     ds = ray.data.from_arrow(
         pa.table(
             {
@@ -1039,6 +1040,31 @@ def test_exact_float_quantiles_by_key_matches_selection(ray_session):
 
     with _pytest.raises(ValueError):
         exact_float_quantiles_by_key(ds, "k", "x", [0.5], max_keys=1)
+    # the guard caps keys x qs, not keys alone
+    with _pytest.raises(ValueError):
+        exact_float_quantiles_by_key(ds, "k", "x", [0.1, 0.5, 0.9], max_keys=4)
+
+
+def test_exact_float_quantiles_by_key_null_group(ray_session):
+    """A NULL key is its own GROUP BY group — never merged with the
+    literal string 'None' (SQL semantics; was a confirmed bug)."""
+    import pyarrow as pa
+
+    import ray.data
+
+    from dots_ocr_ray.pipelines.relational import exact_float_quantiles_by_key
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([None, None, None, "None", "None", "None"], type=pa.string()),
+                "x": pa.array([1.0, 2.0, 3.0, 100.0, 200.0, 300.0], type=pa.float64()),
+            }
+        )
+    )
+    out = exact_float_quantiles_by_key(ds, "k", "x", [0.5], collect_limit=2, num_bins=8)
+    got = {r["k"]: r["value"] for r in out.to_pylist()}
+    assert got == {None: 2.0, "None": 200.0}
 
 
 def test_sample_per_key_exact_k_and_determinism(ray_session):
