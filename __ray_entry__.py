@@ -4046,7 +4046,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_scores": _q_dsir_scores,
         "dsir_sample": _q_dsir_sample,
         "decontaminate_docs": _q_decontaminate_docs,
-        "label_centroids": _q_label_centroids,
         "normalized_texts": _q_normalized_texts,
         "model_quality_scores": _q_model_quality_scores,
         # training-data prep
