@@ -817,10 +817,14 @@ def _propagate_labels(pairs_ds: ray.data.Dataset, max_rounds: int) -> ray.data.D
     def _self_label(batch: pa.Table) -> pa.Table:
         return pa.table({"node": batch.column("node"), "label": batch.column("node")})
 
+    from dots_ocr_ray.util import bucket_keyed_fold as _bkf
+
+    # bucket-fold distinct/min instead of native per-distinct-node
+    # groupby reduces: at 3M nodes the native path costs minutes PER
+    # ROUND (the triangle-count profile measured 178 s for one such
+    # reduce); the fold is O(num_buckets) Python
     labels = (
-        edges.map_batches(_nodes, batch_format="pyarrow")
-        .groupby("node")
-        .count()
+        _bkf(edges.map_batches(_nodes, batch_format="pyarrow"), "node", "distinct")
         .map_batches(_self_label, batch_format="pyarrow")
         .materialize()
     )
@@ -840,9 +844,6 @@ def _propagate_labels(pairs_ds: ray.data.Dataset, max_rounds: int) -> ray.data.D
         return pa.table(
             {"node": batch.column("dst"), "label": batch.column("label")}
         )
-
-    def _rename_min(batch: pa.Table) -> pa.Table:
-        return batch.rename_columns(["node", "label"])
 
     from dots_ocr_ray.pipelines.relational import hash_join
 
@@ -864,12 +865,11 @@ def _propagate_labels(pairs_ds: ray.data.Dataset, max_rounds: int) -> ray.data.D
             left_schema=edge_schema,
             right_schema=label_schema,
         )
-        labels = (
-            sent.map_batches(_msgs, batch_format="pyarrow")
-            .union(labels)
-            .groupby("node")
-            .min("label")
-            .map_batches(_rename_min, batch_format="pyarrow")
+        labels = _bkf(
+            sent.map_batches(_msgs, batch_format="pyarrow").union(labels),
+            "node",
+            "min",
+            val_col="label",
         ).materialize()
         # pointer jumping: label ← label(label).  One more keyed join
         # per round turns O(diameter) convergence into O(log diameter)

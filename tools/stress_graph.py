@@ -16,6 +16,12 @@ each operator at the given parallelism:
     RAY_GRAFT_CPUS=8  python tools/stress_graph.py [n_nodes]
     RAY_GRAFT_CPUS=32 python tools/stress_graph.py [n_nodes]
 
+``GRAFT_STAGES`` (comma list of pagerank,cc,kcore,triangles; default
+all) selects stages — the iterative join-heavy stages (cc, kcore) run
+tens of minutes per leg at 3M nodes on 8 CPUs, so the scaling ROW is
+measured on the bounded-pass stages (pagerank, triangles) at two CPU
+levels, and cc/kcore get one absolute-cost timing at 32.
+
 Prints one JSON line per operator with wall seconds; run at two CPU
 levels in fresh processes for the scaling row (the same protocol as
 ``bench.py --scaling``).
@@ -72,6 +78,9 @@ def edge_dataset(n_nodes: int):
 def main() -> None:
     n_nodes = int(sys.argv[1]) if len(sys.argv) > 1 else 3_000_000
     cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    stages = set(
+        os.environ.get("GRAFT_STAGES", "pagerank,cc,kcore,triangles").split(",")
+    )
     import ray
 
     ray.init(address="local", num_cpus=cpus, include_dashboard=False, logging_level="ERROR")
@@ -96,11 +105,11 @@ def main() -> None:
     _stage("build_edges", round(time.time() - t0, 2))
     n_edges = edges.count()
 
-    t0 = time.time()
-    pr = pagerank(edges, num_iters=3)
-    _stage("pagerank_3it", round(time.time() - t0, 2))
-    assert pr.num_rows == n_nodes
-
+    if "pagerank" in stages:
+        t0 = time.time()
+        pr = pagerank(edges, num_iters=3)
+        _stage("pagerank_3it", round(time.time() - t0, 2))
+        assert pr.num_rows == n_nodes
     t0 = time.time()
     import pyarrow as pa
 
@@ -122,28 +131,31 @@ def main() -> None:
             {"a": pa.array(s[keep]), "b": pa.array(d[keep])}
         )
 
-    cc_edges = edges.map_batches(_drop_chain, batch_format="pyarrow")
-    nodes = edges.select_columns(["src"]).map_batches(
-        lambda t: pa.table({"id": t.column("src")}), batch_format="pyarrow"
-    )
-    cc = cluster_assign(
-        nodes.groupby("id").count().select_columns(["id"]),
-        cc_edges,
-        id_col="id",
-    )
-    n_cc = cc.count()
-    _stage("connected_components", round(time.time() - t0, 2))
-    assert n_cc == n_nodes
+    if "cc" in stages:
+        cc_edges = edges.map_batches(_drop_chain, batch_format="pyarrow")
+        nodes = edges.select_columns(["src"]).map_batches(
+            lambda t: pa.table({"id": t.column("src")}), batch_format="pyarrow"
+        )
+        cc = cluster_assign(
+            nodes.groupby("id").count().select_columns(["id"]),
+            cc_edges,
+            id_col="id",
+        )
+        n_cc = cc.count()
+        _stage("connected_components", round(time.time() - t0, 2))
+        assert n_cc == n_nodes
 
-    t0 = time.time()
-    core = kcore(edges, k=4)
-    _stage("kcore_k4", round(time.time() - t0, 2))
-    results["kcore_nodes"] = core.count()
+    if "kcore" in stages:
+        t0 = time.time()
+        core = kcore(edges, k=4)
+        _stage("kcore_k4", round(time.time() - t0, 2))
+        results["kcore_nodes"] = core.count()
 
-    t0 = time.time()
-    tri = triangle_count(edges)
-    _stage("triangle_count", round(time.time() - t0, 2))
-    results["n_triangles"] = int(tri.column("n_triangles")[0].as_py())
+    if "triangles" in stages:
+        t0 = time.time()
+        tri = triangle_count(edges)
+        _stage("triangle_count", round(time.time() - t0, 2))
+        results["n_triangles"] = int(tri.column("n_triangles")[0].as_py())
 
     print(
         json.dumps(
