@@ -3473,6 +3473,93 @@ def _q_csv_roundtrip(sf_dir: str):
     )
 
 
+def _q_zorder_keys(sf_dir: str):
+    """Morton (Z-order) codes over (user_id, event day): the
+    bit-interleaved clustering key behind multi-dimensional data
+    skipping (Delta/Iceberg OPTIMIZE ZORDER).  Pure per-batch bit
+    twiddling, zero exchanges; oracle: the generated SQL mirror of the
+    same interleave, bit-identical."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from dots_ocr_ray.pipelines.zorder import interleave_bits2
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+
+    def _keys(batch: pa.Table) -> pa.Table:
+        u = batch.column("user_id").to_numpy(zero_copy_only=False)
+        day = batch.column("ts").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        ) // 86_400_000_000
+        return pa.table(
+            {
+                "event_id": batch.column("event_id"),
+                "zval": pa.array(interleave_bits2(u, day, bits=16), type=pa.int64()),
+            }
+        )
+
+    return events.map_batches(_keys, batch_format="pyarrow")
+
+
+# box predicate shared by the zorder_box_events query and its oracle:
+# users 20..60, event days 2024-01-08 .. 2024-01-15 (epoch days)
+_ZBOX_X = (20, 60)
+_ZBOX_Y = (19730, 19737)
+
+
+def _q_zorder_box_events(sf_dir: str):
+    """Z-order clustering end-to-end: the events table clustered by
+    the (user_id, day) Morton code into per-file 2-D zones (one sort
+    exchange, paid once at write), then a 2-D box predicate reads only
+    the files whose zones overlap the box + a parquet row filter.
+    Oracle: plain WHERE over the original table — the layout must be
+    invisible to results."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from dots_ocr_ray.pipelines.zorder import read_box, zorder_write
+
+    base, built = _scratch_dir("zorder", sf_dir)
+    zdir = os.path.join(base, "zones")
+    if not built:
+        events = ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+        )
+
+        def _day(batch: pa.Table) -> pa.Table:
+            day = batch.column("ts").to_numpy(zero_copy_only=False).astype(
+                np.int64
+            ) // 86_400_000_000
+            return pa.table(
+                {
+                    "event_id": batch.column("event_id"),
+                    "user_id": batch.column("user_id"),
+                    "day": pa.array(day, type=pa.int64()),
+                }
+            )
+
+        zorder_write(
+            events.map_batches(_day, batch_format="pyarrow"),
+            zdir,
+            col_x="user_id",
+            col_y="day",
+            rows_per_file=512,
+        )
+        with open(os.path.join(base, "_complete"), "w") as f:
+            f.write("ok")
+    return read_box(
+        zdir, _ZBOX_X, _ZBOX_Y, columns=["event_id", "user_id", "day"]
+    )
+
+
 def _q_event_transitions(sf_dir: str):
     """Markov transition counts over per-user event streams: (type,
     next_type, n) for consecutive events in (ts, event_id) order — the
@@ -4023,6 +4110,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_centroids": _q_label_centroids,
         "chars_range_pruned": _q_chars_range_pruned,
         "csv_roundtrip": _q_csv_roundtrip,
+        "zorder_keys": _q_zorder_keys,
+        "zorder_box_events": _q_zorder_box_events,
         "event_transitions": _q_event_transitions,
         "decayed_type_popularity": _q_decayed_type_popularity,
         "dedup_cluster_sizes": _q_dedup_cluster_sizes,
@@ -4133,6 +4222,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from dots_ocr_ray.pipelines.zorder import morton_sql_expr
+
     return {
         "extract_text": (
             f"SELECT doc_id, {_TEXT_SQL} AS extracted_text, "
@@ -4971,6 +5062,21 @@ def oracle_sql() -> dict[str, str]:
         ),
         "csv_roundtrip": (
             "SELECT doc_id, text, lang, source, n_chars FROM documents"
+        ),
+        # Morton-code mirror: generated bit-interleave expression
+        "zorder_keys": (
+            "WITH k AS (SELECT event_id, user_id & 65535 AS zx, "
+            "(epoch_us(ts) // 86400000000) & 65535 AS zy FROM events) "
+            "SELECT event_id, CAST("
+            + morton_sql_expr("zx", "zy", 16)
+            + " AS BIGINT) AS zval FROM k"
+        ),
+        # z-order layout must be invisible to box-predicate results
+        "zorder_box_events": (
+            "SELECT event_id, user_id, "
+            "CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day FROM events "
+            f"WHERE user_id BETWEEN {_ZBOX_X[0]} AND {_ZBOX_X[1]} "
+            f"AND (epoch_us(ts) // 86400000000) BETWEEN {_ZBOX_Y[0]} AND {_ZBOX_Y[1]}"
         ),
         # Markov transitions via LEAD window
         "event_transitions": (
