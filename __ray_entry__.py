@@ -1712,6 +1712,27 @@ def _q_ann_ivf_topk(sf_dir: str):
     return ivf_topk(ds, queries, k=5).select(["query_id", "vec_id", "rank"])
 
 
+def _q_ann_pq_topk(sf_dir: str):
+    """Product-quantization ANN: per-subspace codebooks trained on the
+    deterministic bottom-k hash sample (driver, tiny), corpus encoded
+    to m-byte codes (zero-exchange broadcast stage, 32x smaller than
+    float32), then ADC top-k via broadcast lookup tables + per-batch
+    local top-k + tiny merge.  Oracle: golden parquet from the
+    independent sequential mirror over the same pure kernels."""
+    from dots_ocr_ray.pipelines.similarity import (
+        hash_sample_matrix,
+        pq_encode,
+        pq_topk,
+        pq_train_codebooks,
+    )
+
+    queries, ds = _ann_inputs(sf_dir)
+    sample = hash_sample_matrix(ds, n=256)
+    books = pq_train_codebooks(sample, m=8, n_codes=16, iters=5)
+    codes = pq_encode(ds, books)
+    return pq_topk(codes, books, queries, k=5).select(["query_id", "vec_id", "rank"])
+
+
 def entry() -> Any:
     """Flagship pipeline: documents@sf0.001 → pages → actor-pool
     extraction → result Dataset (driver checks rows>=0, stable schema)."""
@@ -4130,6 +4151,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": _q_ann_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
+        "ann_pq_topk": _q_ann_pq_topk,
         "kmeans_clusters": _q_kmeans_clusters,
         "semdedup_docs": _q_semdedup_docs,
         "dsir_scores": _q_dsir_scores,
@@ -4748,6 +4770,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding": f"SELECT doc_id, cluster_id FROM read_parquet('{_GOLDEN_DIR}/dedup_embedding.parquet')",
         "ann_lsh_topk": f"SELECT query_id, vec_id, rank FROM read_parquet('{_GOLDEN_DIR}/ann_lsh_topk.parquet')",
         "ann_ivf_topk": f"SELECT query_id, vec_id, rank FROM read_parquet('{_GOLDEN_DIR}/ann_ivf_topk.parquet')",
+        "ann_pq_topk": f"SELECT query_id, vec_id, rank FROM read_parquet('{_GOLDEN_DIR}/ann_pq_topk.parquet')",
         "kmeans_clusters": f"SELECT vec_id, cluster_id, sim FROM read_parquet('{_GOLDEN_DIR}/kmeans_clusters.parquet')",
         "semdedup_docs": f"SELECT vec_id, cluster_id, kept FROM read_parquet('{_GOLDEN_DIR}/semdedup_docs.parquet')",
         "dsir_scores": f"SELECT doc_id, logw, n_feats FROM read_parquet('{_GOLDEN_DIR}/dsir_scores.parquet')",

@@ -783,3 +783,175 @@ def label_centroid_stats(
     return out.take(
         pc.sort_indices(out, sort_keys=[("label", "ascending"), ("dim", "ascending")])
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): subspace codebooks + asymmetric-distance search
+
+
+def pq_train_codebooks(
+    sample: np.ndarray, m: int = 8, n_codes: int = 16, iters: int = 5
+) -> np.ndarray:
+    """Train PQ codebooks on a (row-normalized) sample matrix: split
+    each vector into ``m`` contiguous subspaces and run seeded Lloyd
+    k-means with ``n_codes`` centroids per subspace.  Pure numpy in
+    float64 with distances rounded to 9 decimals before every argmin,
+    so the Ray stage and the sequential golden oracle produce the SAME
+    codebooks regardless of BLAS blocking.  Returns (m, n_codes, dsub).
+
+    Memory story at 10^9 vectors: 64-dim float32 = 256 B/vec; 8
+    subspaces x 16 codes = 8 x 4-bit-ish uint8 codes = 8 B/vec (32x),
+    which is the difference between an in-RAM index per node and
+    object-store spill."""
+    sample = np.asarray(sample, dtype=np.float64)
+    n, d = sample.shape
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m} subspaces")
+    dsub = d // m
+    books = np.empty((m, n_codes, dsub), dtype=np.float64)
+    for j in range(m):
+        sub = sample[:, j * dsub : (j + 1) * dsub]
+        # seeded init: evenly spaced sample rows (the train_kmeans rule)
+        idx = np.linspace(0, n - 1, n_codes).astype(np.int64)
+        cent = sub[idx].copy()
+        for _ in range(iters):
+            d2 = np.round(
+                (sub * sub).sum(axis=1, keepdims=True)
+                - 2.0 * (sub @ cent.T)
+                + (cent * cent).sum(axis=1),
+                9,
+            )
+            assign = np.argmin(d2, axis=1)
+            for c in range(n_codes):
+                members = sub[assign == c]
+                if len(members):
+                    cent[c] = members.mean(axis=0)
+        books[j] = cent
+    return books
+
+
+def pq_encode_matrix(mat: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """Encode a (n, d) matrix to (n, m) uint8 codes: per-subspace
+    nearest codeword, float64 distances rounded to 9 decimals before
+    argmin (batch-shape-independent).  Pure; shared by the Ray stage
+    and the golden oracle."""
+    mat = np.asarray(mat, dtype=np.float64)
+    m, n_codes, dsub = books.shape
+    codes = np.empty((len(mat), m), dtype=np.uint8)
+    for j in range(m):
+        sub = mat[:, j * dsub : (j + 1) * dsub]
+        cent = books[j]
+        d2 = np.round(
+            (sub * sub).sum(axis=1, keepdims=True)
+            - 2.0 * (sub @ cent.T)
+            + (cent * cent).sum(axis=1),
+            9,
+        )
+        codes[:, j] = np.argmin(d2, axis=1).astype(np.uint8)
+    return codes
+
+
+def pq_adc_lut(queries_unit: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """Asymmetric-distance lookup tables: (nq, m, n_codes) of query-
+    subvector . codeword dot products, float64.  Computed ONCE per
+    query set; scoring a vector is then m table gathers + a fixed
+    m-term sum, independent of batch shape."""
+    nq = len(queries_unit)
+    m, n_codes, dsub = books.shape
+    lut = np.empty((nq, m, n_codes), dtype=np.float64)
+    for j in range(m):
+        qsub = np.asarray(queries_unit, dtype=np.float64)[:, j * dsub : (j + 1) * dsub]
+        lut[:, j, :] = qsub @ books[j].T
+    return lut
+
+
+def pq_adc_scores(codes: np.ndarray, lut_q: np.ndarray) -> np.ndarray:
+    """Scores of (n, m) codes against ONE query's (m, n_codes) LUT:
+    sum over subspaces of the gathered entries, rounded to 9 decimals
+    so ranking ties are stable across partitionings."""
+    n, m = codes.shape
+    acc = np.zeros(n, dtype=np.float64)
+    for j in range(m):
+        acc += lut_q[j, codes[:, j]]
+    return np.round(acc, 9)
+
+
+def pq_encode(
+    ds: ray.data.Dataset,
+    books: np.ndarray,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> ray.data.Dataset:
+    """Distributed PQ encode: codebooks broadcast once (``ray.put`` +
+    per-worker cache), one vectorized encode per batch → (id, ``code``
+    binary of m bytes).  Zero exchanges."""
+    books_ref = ray.put(np.asarray(books, dtype=np.float64))
+
+    from dots_ocr_ray.util import cached_object
+
+    def _enc(batch: pa.Table) -> pa.Table:
+        bk = cached_object(books_ref)
+        # normalize in float32 (the storage dtype) so the sequential
+        # golden mirror sees bitwise-identical unit vectors
+        mat = _normalize_rows(vec_matrix(batch.column(vec_col), dtype=np.float32))
+        codes = pq_encode_matrix(mat, bk)
+        return pa.table(
+            {
+                id_col: batch.column(id_col).cast(pa.int64()),
+                "code": pa.array([row.tobytes() for row in codes], type=pa.binary()),
+            }
+        )
+
+    return ds.map_batches(_enc, batch_format="pyarrow")
+
+
+def pq_topk(
+    codes_ds: ray.data.Dataset,
+    books: np.ndarray,
+    queries: np.ndarray,
+    k: int = 10,
+    *,
+    id_col: str = "vec_id",
+) -> pa.Table:
+    """ADC top-k over the PQ-encoded corpus: the (nq, m, n_codes) LUT
+    is broadcast; each batch does m uint8 gathers + one m-term sum per
+    query and emits its LOCAL top-k; a tiny driver merge finishes.
+    Same output schema/tie-break as :func:`brute_force_topk`
+    (query_id, vec_id, score, rank).  Approximate by construction —
+    recall depends on m x n_codes; raise either toward exactness."""
+    queries_unit = _normalize_rows(np.asarray(queries, dtype=np.float32))
+    lut_ref = ray.put(pq_adc_lut(queries_unit, np.asarray(books, dtype=np.float64)))
+
+    from dots_ocr_ray.util import cached_object
+
+    def _score(batch: pa.Table) -> pa.Table:
+        lut = cached_object(lut_ref)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        raw = batch.column("code")
+        if isinstance(raw, pa.ChunkedArray):
+            raw = raw.combine_chunks()
+        m = lut.shape[1]
+        codes = np.frombuffer(b"".join(raw.to_pylist()), dtype=np.uint8).reshape(
+            len(ids), m
+        )
+        q_out, id_out, s_out = [], [], []
+        for qi in range(lut.shape[0]):
+            scores = pq_adc_scores(codes, lut[qi])
+            kk = min(k, len(scores))
+            if not kk:
+                continue
+            top = np.argpartition(-scores, kk - 1)[:kk]
+            q_out += [qi] * kk
+            id_out += ids[top].tolist()
+            s_out += scores[top].tolist()
+        return pa.table(
+            {
+                "query_id": pa.array(q_out, type=pa.int32()),
+                "vec_id": pa.array(id_out, type=pa.int64()),
+                "score": pa.array(s_out, type=pa.float64()),
+            }
+        )
+
+    partials = codes_ds.map_batches(_score, batch_format="pyarrow")
+    return _merge_topk(partials, k)

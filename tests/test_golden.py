@@ -48,6 +48,7 @@ def _canon(obj) -> pd.DataFrame:
         "dedup_embedding",
         "ann_lsh_topk",
         "ann_ivf_topk",
+        "ann_pq_topk",
         "lang_id_confusion",
         "fingerprint_dups",
         "merge_docs",

@@ -211,3 +211,57 @@ def test_label_centroid_stats_exact_and_partition_invariant(ray_session):
         mask = labels == lab
         for d in range(4):
             assert got[(lab, d)] == (int(q[mask, d].sum()), int(mask.sum()))
+
+
+def test_pq_encode_partition_invariant_and_recall(ray_session, emb_ds, all_vecs):
+    from dots_ocr_ray.pipelines.similarity import (
+        _normalize_rows,
+        hash_sample_matrix,
+        pq_encode,
+        pq_encode_matrix,
+        pq_topk,
+        pq_train_codebooks,
+    )
+
+    ids, mat = all_vecs
+    sample = hash_sample_matrix(emb_ds, n=128)
+    books = pq_train_codebooks(sample, m=16, n_codes=32, iters=5)
+    assert books.shape == (16, 32, mat.shape[1] // 16)
+
+    # encode is a pure per-row function: any partitioning yields the
+    # same (vec_id -> code) mapping, and it matches the numpy kernel
+    enc1 = {
+        r["vec_id"]: r["code"]
+        for r in pq_encode(emb_ds, books).iter_rows()
+    }
+    enc2 = {
+        r["vec_id"]: r["code"]
+        for r in pq_encode(emb_ds.repartition(7), books).iter_rows()
+    }
+    assert enc1 == enc2
+    ref = pq_encode_matrix(_normalize_rows(mat), books)
+    order = {int(v): i for i, v in enumerate(ids)}
+    for vid, code in enc1.items():
+        assert np.frombuffer(code, dtype=np.uint8).tolist() == ref[order[vid]].tolist()
+
+    # ADC top-k recalls most of the exact top-k on the fixture corpus
+    queries = mat[np.argsort(ids)[:4]]
+    exact = _numpy_topk(ids, mat, queries, 10)
+    got = pq_topk(pq_encode(emb_ds, books), books, queries, k=10)
+    by_q = {}
+    for r in got.to_pylist():
+        by_q.setdefault(r["query_id"], []).append(r["vec_id"])
+    recalls = [
+        len(set(by_q[qi]) & set(exact[qi])) / 10 for qi in range(len(queries))
+    ]
+    assert sum(recalls) / len(recalls) >= 0.5, recalls
+    # the query vector itself is always its own nearest neighbor
+    for qi in range(len(queries)):
+        assert by_q[qi][0] == exact[qi][0]
+
+
+def test_pq_rejects_indivisible_subspaces():
+    from dots_ocr_ray.pipelines.similarity import pq_train_codebooks
+
+    with pytest.raises(ValueError):
+        pq_train_codebooks(np.zeros((10, 10)), m=3)

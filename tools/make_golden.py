@@ -288,6 +288,53 @@ def golden_ann_ivf_topk(
     return _topk_table(cands, k)
 
 
+def golden_ann_pq_topk(
+    sf_dir: str,
+    *,
+    k: int = 5,
+    m: int = 8,
+    n_codes: int = 16,
+    train_sample: int = 256,
+    iters: int = 5,
+) -> pa.Table:
+    """Sequential PQ mirror: shares only the pure codebook trainer
+    (like golden_ann_ivf_topk shares train_kmeans); encoding and ADC
+    scoring are independent per-row Python loops."""
+    from dots_ocr_ray.pipelines.similarity import pq_train_codebooks
+
+    ids, vecs, queries = _read_embeddings(sf_dir)
+    h = knuth_hash32(ids)
+    order = np.lexsort((ids, h))[:train_sample]
+    sample = _normalize_rows(vecs[order])
+    books = pq_train_codebooks(sample, m, n_codes, iters)
+    unit = _normalize_rows(vecs).astype(np.float64)
+    dsub = unit.shape[1] // m
+    codes = np.empty((len(unit), m), dtype=np.int64)
+    for r in range(len(unit)):
+        row = unit[r]
+        for j in range(m):
+            sub = row[j * dsub : (j + 1) * dsub]
+            d2 = np.round(
+                (sub * sub).sum() - 2.0 * (books[j] @ sub) + (books[j] * books[j]).sum(axis=1),
+                9,
+            )
+            codes[r, j] = int(np.argmin(d2))
+    qn = _normalize_rows(queries).astype(np.float64)
+    cands: dict[int, list[tuple[float, int]]] = {}
+    for qi in range(len(qn)):
+        lut = np.empty((m, n_codes), dtype=np.float64)
+        for j in range(m):
+            lut[j] = books[j] @ qn[qi, j * dsub : (j + 1) * dsub]
+        rows = []
+        for r in range(len(unit)):
+            s = 0.0
+            for j in range(m):
+                s += lut[j, codes[r, j]]
+            rows.append((float(np.round(s, 9)), int(ids[r])))
+        cands[qi] = rows
+    return _topk_table(cands, k)
+
+
 def golden_lang_id_confusion(sf_dir: str) -> pa.Table:
     t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["text", "lang"])
     counts: dict = defaultdict(int)
@@ -1305,6 +1352,7 @@ GOLDEN_BUILDERS = {
     "dedup_embedding": golden_dedup_embedding,
     "ann_lsh_topk": golden_ann_lsh_topk,
     "ann_ivf_topk": golden_ann_ivf_topk,
+    "ann_pq_topk": golden_ann_pq_topk,
     "lang_id_confusion": golden_lang_id_confusion,
     "fingerprint_dups": golden_fingerprint_dups,
     "merge_docs": golden_merge_docs,
