@@ -3581,6 +3581,23 @@ def _q_zorder_box_events(sf_dir: str):
     )
 
 
+def _q_host_link_prediction(sf_dir: str):
+    """Link prediction over the host graph: common-neighbor counts for
+    every NON-adjacent host pair with >= 2 shared neighbors — the
+    crawl-frontier 'related host' candidate generator.  Two-tier
+    (driver CSR pass under budget / bucketed wedge expansion + packed-
+    key fold + exact anti-join above).  Oracle: adjacency self-join
+    SQL."""
+    from dots_ocr_ray.pipelines.graph import (
+        common_neighbor_scores,
+        host_edges_from_documents,
+    )
+
+    return common_neighbor_scores(
+        host_edges_from_documents(sf_dir), min_common=2
+    )
+
+
 def _q_event_transitions(sf_dir: str):
     """Markov transition counts over per-user event streams: (type,
     next_type, n) for consecutive events in (ts, event_id) order — the
@@ -4132,6 +4149,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chars_range_pruned": _q_chars_range_pruned,
         "csv_roundtrip": _q_csv_roundtrip,
         "zorder_keys": _q_zorder_keys,
+        "host_link_prediction": _q_host_link_prediction,
         "zorder_box_events": _q_zorder_box_events,
         "event_transitions": _q_event_transitions,
         "decayed_type_popularity": _q_decayed_type_popularity,
@@ -5085,6 +5103,22 @@ def oracle_sql() -> dict[str, str]:
         ),
         "csv_roundtrip": (
             "SELECT doc_id, text, lang, source, n_chars FROM documents"
+        ),
+        # common neighbors of non-adjacent host pairs (wedge self-join)
+        "host_link_prediction": (
+            "WITH raw AS ("
+            "SELECT doc_id % 40 AS s, (doc_id * 3) % 40 AS d FROM documents "
+            "UNION ALL SELECT doc_id % 40, (doc_id * 7) % 40 FROM documents "
+            "UNION ALL SELECT doc_id % 40, (doc_id * 11) % 40 FROM documents), "
+            "e AS (SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b "
+            "FROM raw WHERE s <> d), "
+            "adj AS (SELECT a AS c, b AS x FROM e UNION ALL SELECT b, a FROM e), "
+            "cn AS (SELECT a1.x AS u, a2.x AS v, CAST(count(*) AS BIGINT) AS common_neighbors "
+            "FROM adj a1 JOIN adj a2 ON a1.c = a2.c AND a1.x < a2.x "
+            "GROUP BY a1.x, a2.x) "
+            "SELECT u AS a, v AS b, common_neighbors FROM cn "
+            "WHERE common_neighbors >= 2 AND NOT EXISTS "
+            "(SELECT 1 FROM e WHERE e.a = cn.u AND e.b = cn.v)"
         ),
         # Morton-code mirror: generated bit-interleave expression
         "zorder_keys": (

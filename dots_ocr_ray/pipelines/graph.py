@@ -2898,3 +2898,199 @@ def harmonic_centrality(
         .groupby("__bucket")
         .map_groups(_fold, batch_format="pyarrow")
     )
+
+
+# ---------------------------------------------------------------------------
+# link prediction: common-neighbor scores for non-adjacent pairs
+
+
+def common_neighbor_scores(
+    edges: ray.data.Dataset,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    min_common: int = 2,
+    pair_budget: int = 2_000_000,
+    wedge_budget: int = 50_000_000,
+    star_cap: int | None = None,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Link prediction by common-neighbor counting: for every
+    NON-adjacent pair (a, b) with at least ``min_common`` shared
+    neighbors, emit (a, b, common_neighbors) — the classic
+    crawl-frontier / related-host candidate generator (Liben-Nowell &
+    Kleinberg's strongest unsupervised baseline).
+
+    Same two-tier discipline as :func:`triangle_count`:
+
+    * DRIVER tier (distinct edges <= ``pair_budget``, wedges <=
+      ``wedge_budget``): one vectorized numpy pass — sorted-CSR wedge
+      enumeration centered at every node, packed-key ``np.unique``
+      counting, sorted-membership anti-filter against the edge set.
+    * DISTRIBUTED tier: adjacency rows bucket by a deterministic hash
+      of the CENTER node (one exchange), each bucket expands its
+      wedges with the same rem/offset index arithmetic and pre-counts
+      locally; a :func:`~dots_ocr_ray.util.bucket_keyed_fold` sums
+      partial counts per packed pair key (second exchange); existing
+      edges are removed with the exact
+      :func:`~dots_ocr_ray.pipelines.dedup.anti_join_ids` tiering.
+      The driver never holds an edge.
+
+    ``star_cap`` (distributed tier only): a mega-hub of degree D
+    contributes D^2/2 wedges; capping each center at its ``star_cap``
+    smallest-id neighbors bounds the blow-up deterministically at the
+    cost of undercounting pairs seen ONLY through capped hubs — the
+    same declared approximation as the dedup family's
+    HOT_BUCKET_CAP.  Default None = exact (required by the oracle).
+
+    Node ids must fit 31 bits (asserted) — pairs pack into one int64
+    key for counting and the anti join."""
+    from dots_ocr_ray.pipelines.dedup import anti_join_ids, exact_distinct_pairs
+
+    def _canon(batch: pa.Table) -> pa.Table:
+        s = batch.column(src).to_numpy(zero_copy_only=False).astype(np.int64)
+        d = batch.column(dst).to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        a = np.minimum(s, d)
+        b = np.maximum(s, d)
+        assert (a >= 0).all() and (
+            b < 2**31
+        ).all(), "common_neighbor_scores: node ids must fit 31 bits"
+        pairs = np.unique(a << np.int64(32) | b)
+        return pa.table(
+            {
+                "a": pa.array(pairs >> np.int64(32), type=pa.int64()),
+                "b": pa.array(pairs & np.int64(0xFFFFFFFF), type=pa.int64()),
+            }
+        )
+
+    out_schema = pa.schema(
+        [("a", pa.int64()), ("b", pa.int64()), ("common_neighbors", pa.int64())]
+    )
+
+    E = exact_distinct_pairs(
+        edges.map_batches(_canon, batch_format="pyarrow")
+    ).materialize()
+
+    def _wedge_pairs(c: np.ndarray, x: np.ndarray):
+        """All unordered neighbor pairs per center from adjacency rows
+        (c, x), returned as packed int64 keys (u < v guaranteed by the
+        per-run ascending sort).  Shared by both tiers."""
+        order = np.lexsort((x, c))
+        c, x = c[order], x[order]
+        _, run_len = np.unique(c, return_counts=True)
+        run_end = np.repeat(np.cumsum(run_len), run_len)
+        pos = np.arange(len(c))
+        rem = run_end - pos - 1
+        total = int(rem.sum())
+        if total == 0:
+            return np.empty(0, dtype=np.int64)
+        first = np.repeat(pos, rem)
+        offsets = np.concatenate([[0], np.cumsum(rem)])[:-1]
+        second = np.arange(total) - np.repeat(offsets, rem) + first + 1
+        return (x[first] << np.int64(32)) | x[second]
+
+    if E.count() <= pair_budget:
+        from dots_ocr_ray.util import sorted_membership
+
+        a = _collect_int_col(E, "a")
+        b = _collect_int_col(E, "b")
+        if len(a) == 0:
+            return ray.data.from_arrow(out_schema.empty_table())
+        deg_nodes, deg = np.unique(np.concatenate([a, b]), return_counts=True)
+        n_wedges = int((deg.astype(np.int64) * (deg - 1) // 2).sum())
+        if n_wedges <= wedge_budget:
+            keys = _wedge_pairs(
+                np.concatenate([a, b]), np.concatenate([b, a])
+            )
+            uniq, cnt = np.unique(keys, return_counts=True)
+            ekeys = np.sort((a << np.int64(32)) | b)
+            keep = (~sorted_membership(ekeys, uniq)) & (cnt >= min_common)
+            uniq, cnt = uniq[keep], cnt[keep]
+            return ray.data.from_arrow(
+                pa.table(
+                    {
+                        "a": pa.array(uniq >> np.int64(32), type=pa.int64()),
+                        "b": pa.array(uniq & np.int64(0xFFFFFFFF), type=pa.int64()),
+                        "common_neighbors": pa.array(
+                            cnt.astype(np.int64), type=pa.int64()
+                        ),
+                    }
+                )
+            )
+        # wedge set too hot even under the edge budget → distributed
+
+    def _adj(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_numpy(zero_copy_only=False)
+        b = batch.column("b").to_numpy(zero_copy_only=False)
+        c = np.concatenate([a, b]).astype(np.int64)
+        x = np.concatenate([b, a]).astype(np.int64)
+        h = c.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        return pa.table(
+            {
+                "c": pa.array(c, type=pa.int64()),
+                "x": pa.array(x, type=pa.int64()),
+                "__bucket": pa.array(
+                    (h % np.uint64(num_buckets)).astype(np.int32), type=pa.int32()
+                ),
+            }
+        )
+
+    def _expand(group: pa.Table) -> pa.Table:
+        c = group.column("c").to_numpy(zero_copy_only=False).astype(np.int64)
+        x = group.column("x").to_numpy(zero_copy_only=False).astype(np.int64)
+        if star_cap is not None and len(c):
+            # deterministic cap: keep each center's star_cap smallest-x
+            # neighbors (declared approximation for mega-hubs)
+            order = np.lexsort((x, c))
+            c, x = c[order], x[order]
+            _, run_len = np.unique(c, return_counts=True)
+            run_start = np.repeat(np.cumsum(run_len) - run_len, run_len)
+            keep = (np.arange(len(c)) - run_start) < star_cap
+            c, x = c[keep], x[keep]
+        keys = _wedge_pairs(c, x)
+        uniq, cnt = np.unique(keys, return_counts=True)
+        return pa.table(
+            {
+                "key": pa.array(uniq, type=pa.int64()),
+                "cn": pa.array(cnt.astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    from dots_ocr_ray.util import bucket_keyed_fold
+
+    partials = (
+        bounded_blocks(
+            E.map_batches(_adj, batch_format="pyarrow"), rows_per_block=1_048_576
+        )
+        .groupby("__bucket")
+        .map_groups(_expand, batch_format="pyarrow")
+    )
+    counts = bucket_keyed_fold(partials, "key", "sum", val_col="cn")
+
+    def _edge_keys(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch.column("b").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"id": pa.array((a << np.int64(32)) | b, type=pa.int64())})
+
+    non_edges = anti_join_ids(
+        counts,
+        E.map_batches(_edge_keys, batch_format="pyarrow"),
+        id_col="key",
+    )
+
+    def _unpack(batch: pa.Table) -> pa.Table:
+        k = batch.column("key").to_numpy(zero_copy_only=False).astype(np.int64)
+        cn = batch.column("cn").to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = cn >= min_common
+        k, cn = k[keep], cn[keep]
+        return pa.table(
+            {
+                "a": pa.array(k >> np.int64(32), type=pa.int64()),
+                "b": pa.array(k & np.int64(0xFFFFFFFF), type=pa.int64()),
+                "common_neighbors": pa.array(cn, type=pa.int64()),
+            }
+        )
+
+    return non_edges.map_batches(_unpack, batch_format="pyarrow")

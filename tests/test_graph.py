@@ -662,3 +662,85 @@ def test_harmonic_centrality_hand_computed(ray_session):
         for r in harmonic_centrality(_edges(rows), seeds=[2]).take_all()
     }
     assert got2 == {}
+
+
+def test_common_neighbor_scores_hand_computed(ray_session):
+    import pyarrow as pa
+
+    import ray.data
+
+    from dots_ocr_ray.pipelines.graph import common_neighbor_scores
+
+    # square 0-1-2-3-0 plus pendant 4 on node 0:
+    # non-adjacent pairs: (0,2) via {1,3} cn=2; (1,3) via {0,2} cn=2;
+    # (1,4),(3,4) via {0} cn=1; (2,4) cn=0
+    edges = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([0, 1, 2, 3, 0], type=pa.int64()),
+                "dst": pa.array([1, 2, 3, 0, 4], type=pa.int64()),
+            }
+        )
+    )
+    got = sorted(
+        (r["a"], r["b"], r["common_neighbors"])
+        for r in common_neighbor_scores(edges, min_common=1).iter_rows()
+    )
+    assert got == [(0, 2, 2), (1, 3, 2), (1, 4, 1), (3, 4, 1)]
+    got2 = sorted(
+        (r["a"], r["b"], r["common_neighbors"])
+        for r in common_neighbor_scores(edges, min_common=2).iter_rows()
+    )
+    assert got2 == [(0, 2, 2), (1, 3, 2)]
+
+
+def test_common_neighbor_driver_distributed_parity(ray_session):
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from dots_ocr_ray.pipelines.graph import common_neighbor_scores
+
+    rng = np.random.default_rng(23)
+    src = rng.integers(0, 120, size=3_000).astype(np.int64)
+    dst = rng.integers(0, 120, size=3_000).astype(np.int64)
+    edges = ray.data.from_arrow(
+        pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+    ).repartition(7)
+
+    def _rows(ds):
+        return sorted(
+            (r["a"], r["b"], r["common_neighbors"]) for r in ds.iter_rows()
+        )
+
+    driver = _rows(common_neighbor_scores(edges, min_common=2))
+    dist = _rows(common_neighbor_scores(edges, min_common=2, pair_budget=0))
+    assert driver == dist
+    assert len(driver) > 0
+
+
+def test_common_neighbor_star_cap_bounds_hub(ray_session):
+    import pyarrow as pa
+
+    import ray.data
+
+    from dots_ocr_ray.pipelines.graph import common_neighbor_scores
+
+    # hub 1000 connected to 0..49: uncapped, every leaf pair shares
+    # the hub (1225 pairs); capped at 8 neighbors only C(8,2)=28 pairs
+    # survive — the declared mega-hub approximation
+    edges = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([1000] * 50, type=pa.int64()),
+                "dst": pa.array(list(range(50)), type=pa.int64()),
+            }
+        )
+    )
+    full = common_neighbor_scores(edges, min_common=1, pair_budget=0).count()
+    capped = common_neighbor_scores(
+        edges, min_common=1, pair_budget=0, star_cap=8
+    ).count()
+    assert full == 1225
+    assert capped == 28
