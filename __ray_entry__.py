@@ -3581,6 +3581,23 @@ def _q_zorder_box_events(sf_dir: str):
     )
 
 
+def _q_event_hourly_bars(sf_dir: str):
+    """OHLC time-bar downsampling: hourly (open, high, low, close,
+    n, cent-sum) per event type, open/close in deterministic (ts,
+    event_id) order — 10^12 events collapse to a keys x bars table.
+    Partials fold associatively; the one keyed exchange moves batch
+    partials, never events.  Oracle: row_number window SQL."""
+    import ray.data
+
+    from dots_ocr_ray.pipelines.windows import ohlc_bars
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "event_type", "value"],
+    )
+    return ohlc_bars(events)
+
+
 def _q_host_link_prediction(sf_dir: str):
     """Link prediction over the host graph: common-neighbor counts for
     every NON-adjacent host pair with >= 2 shared neighbors — the
@@ -4150,6 +4167,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "csv_roundtrip": _q_csv_roundtrip,
         "zorder_keys": _q_zorder_keys,
         "host_link_prediction": _q_host_link_prediction,
+        "event_hourly_bars": _q_event_hourly_bars,
         "zorder_box_events": _q_zorder_box_events,
         "event_transitions": _q_event_transitions,
         "decayed_type_popularity": _q_decayed_type_popularity,
@@ -5103,6 +5121,24 @@ def oracle_sql() -> dict[str, str]:
         ),
         "csv_roundtrip": (
             "SELECT doc_id, text, lang, source, n_chars FROM documents"
+        ),
+        # hourly OHLC bars: first/last by (ts, event_id), exact cents
+        "event_hourly_bars": (
+            "WITH b AS (SELECT event_type, epoch_us(ts) // 3600000000 AS bar, "
+            "ts, event_id, value FROM events), "
+            "w AS (SELECT event_type, bar, value, "
+            "row_number() OVER (PARTITION BY event_type, bar ORDER BY ts, event_id) AS rn_a, "
+            "row_number() OVER (PARTITION BY event_type, bar ORDER BY ts DESC, event_id DESC) AS rn_d "
+            "FROM b), "
+            "agg AS (SELECT event_type, bar, CAST(count(*) AS BIGINT) AS n, "
+            "min(value) AS low, max(value) AS high, "
+            "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents "
+            "FROM b GROUP BY event_type, bar) "
+            "SELECT agg.event_type, CAST(agg.bar AS BIGINT) AS bar, "
+            "o.value AS open, agg.high, agg.low, c.value AS close, agg.n, agg.sum_cents "
+            "FROM agg "
+            "JOIN w o ON o.event_type = agg.event_type AND o.bar = agg.bar AND o.rn_a = 1 "
+            "JOIN w c ON c.event_type = agg.event_type AND c.bar = agg.bar AND c.rn_d = 1"
         ),
         # common neighbors of non-adjacent host pairs (wedge self-join)
         "host_link_prediction": (

@@ -882,3 +882,91 @@ def decayed_counts(
     import pyarrow.compute as _pc
 
     return out.take(_pc.sort_indices(out, sort_keys=[(key_col, "ascending")]))
+
+
+def ohlc_bars(
+    events: ray.data.Dataset,
+    *,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    val_col: str = "value",
+    bar_us: int = 3_600_000_000,
+) -> ray.data.Dataset:
+    """Time-bar downsampling (OHLC resample): per (key, bar) emit
+    open / high / low / close / n / integer-cent sum, where open and
+    close are the values of the first / last event in deterministic
+    (ts, id) order — the metrics-rollup / market-bar operator that
+    turns 10^12 raw events into a bounded keys x bars table.
+
+    Scale shape: a stateless per-batch partial collapses every batch
+    to <= (keys x bars present in the batch) rows carrying mergeable
+    stats (open/close ride with their (ts, id) coordinate, so partials
+    fold associatively under ANY partitioning); the single keyed
+    exchange then moves partials, never events.  The final per-group
+    fold is a vectorized lexsort over a handful of partial rows —
+    group count is bounded by keys x bars (time-bounded), not corpus
+    size.  Sums quantize to int64 cents BEFORE summing (the repo-wide
+    micro-unit rule) so totals are bit-identical to the SQL mirror."""
+    import numpy as np
+    import pyarrow as pa
+
+    def _partial(batch: "pa.Table") -> "pa.Table":
+        ts = batch.column(ts_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        eid = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        val = batch.column(val_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        keys = batch.column(key_col).to_numpy(zero_copy_only=False)
+        bar = ts // bar_us
+        cents = np.round(val * 100).astype(np.int64)
+        # group in-batch by (key, bar) via lexsort + run boundaries
+        order = np.lexsort((eid, ts, bar, keys))
+        ts, eid, val, keys, bar, cents = (
+            ts[order], eid[order], val[order], keys[order], bar[order], cents[order]
+        )
+        new_grp = np.ones(len(keys), dtype=bool)
+        if len(keys) > 1:
+            new_grp[1:] = (keys[1:] != keys[:-1]) | (bar[1:] != bar[:-1])
+        starts = np.flatnonzero(new_grp)
+        ends = np.concatenate([starts[1:], [len(keys)]])
+        lo = np.minimum.reduceat(val, starts) if len(keys) else np.empty(0)
+        hi = np.maximum.reduceat(val, starts) if len(keys) else np.empty(0)
+        return pa.table(
+            {
+                key_col: pa.array(keys[starts]),
+                "bar": pa.array(bar[starts], type=pa.int64()),
+                "open_ts": pa.array(ts[starts], type=pa.int64()),
+                "open_id": pa.array(eid[starts], type=pa.int64()),
+                "open": pa.array(val[starts], type=pa.float64()),
+                "close_ts": pa.array(ts[ends - 1], type=pa.int64()),
+                "close_id": pa.array(eid[ends - 1], type=pa.int64()),
+                "close": pa.array(val[ends - 1], type=pa.float64()),
+                "lo": pa.array(lo, type=pa.float64()),
+                "hi": pa.array(hi, type=pa.float64()),
+                "sum_cents": pa.array(np.add.reduceat(cents, starts), type=pa.int64()),
+                "n": pa.array((ends - starts).astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    def _fold(group: pd.DataFrame) -> pd.DataFrame:
+        import numpy as _np
+
+        o = _np.lexsort((group["open_id"].to_numpy(), group["open_ts"].to_numpy()))[0]
+        c = _np.lexsort((-group["close_id"].to_numpy(), -group["close_ts"].to_numpy()))[0]
+        return pd.DataFrame(
+            {
+                key_col: [group[key_col].iloc[0]],
+                "bar": [int(group["bar"].iloc[0])],
+                "open": [float(group["open"].iloc[o])],
+                "high": [float(group["hi"].max())],
+                "low": [float(group["lo"].min())],
+                "close": [float(group["close"].iloc[c])],
+                "n": [int(group["n"].sum())],
+                "sum_cents": [int(group["sum_cents"].sum())],
+            }
+        )
+
+    return (
+        events.map_batches(_partial, batch_format="pyarrow")
+        .groupby([key_col, "bar"])
+        .map_groups(_fold, batch_format="pandas")
+    )

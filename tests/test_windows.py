@@ -313,3 +313,37 @@ def test_decayed_counts_hand_computed_and_partition_invariant(ray_session):
 
     t2 = decayed_counts(ds.repartition(5), key_col="k", half_life_days=7.0)
     assert t.equals(t2)
+
+
+def test_ohlc_bars_hand_computed_and_partition_invariant(ray_session):
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from dots_ocr_ray.pipelines.windows import ohlc_bars
+
+    us = 1_000_000
+    # one key, two hourly bars; bar0 events out of id-order to prove
+    # (ts, id) ordering decides open/close, including a ts tie
+    t = pa.table(
+        {
+            "event_id": pa.array([5, 2, 9, 11, 12], type=pa.int64()),
+            "ts": pa.array(
+                np.array([100, 100, 3599, 3600, 7100], dtype=np.int64) * us
+            ).cast(pa.timestamp("us")),
+            "event_type": pa.array(["x"] * 5),
+            "value": pa.array([4.25, 1.5, 3.0, 10.0, 7.5], type=pa.float64()),
+        }
+    )
+    for parts in (1, 4):
+        ds = ray.data.from_arrow(t)
+        if parts > 1:
+            ds = ds.repartition(parts)
+        rows = sorted(ohlc_bars(ds).iter_rows(), key=lambda r: r["bar"])
+        assert len(rows) == 2
+        b0, b1 = rows
+        # ts tie at 100: event_id 2 < 5 → open = 1.5
+        assert (b0["open"], b0["high"], b0["low"], b0["close"]) == (1.5, 4.25, 1.5, 3.0)
+        assert b0["n"] == 3 and b0["sum_cents"] == 425 + 150 + 300
+        assert (b1["open"], b1["close"], b1["n"]) == (10.0, 7.5, 2)
