@@ -3581,6 +3581,19 @@ def _q_zorder_box_events(sf_dir: str):
     )
 
 
+def _q_host_assortativity(sf_dir: str):
+    """Degree-assortativity sufficient statistics of the host graph
+    (n_edges, sum_deg, sum_deg_sq, sum_deg_prod over edge endpoints)
+    — the hub-to-hub-linking health metric, exact int64 under any
+    partitioning.  Oracle: degree self-join SQL."""
+    from dots_ocr_ray.pipelines.graph import (
+        degree_assortativity_stats,
+        host_edges_from_documents,
+    )
+
+    return degree_assortativity_stats(host_edges_from_documents(sf_dir))
+
+
 def _q_event_hourly_bars(sf_dir: str):
     """OHLC time-bar downsampling: hourly (open, high, low, close,
     n, cent-sum) per event type, open/close in deterministic (ts,
@@ -4168,6 +4181,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zorder_keys": _q_zorder_keys,
         "host_link_prediction": _q_host_link_prediction,
         "event_hourly_bars": _q_event_hourly_bars,
+        "host_assortativity": _q_host_assortativity,
         "zorder_box_events": _q_zorder_box_events,
         "event_transitions": _q_event_transitions,
         "decayed_type_popularity": _q_decayed_type_popularity,
@@ -5121,6 +5135,23 @@ def oracle_sql() -> dict[str, str]:
         ),
         "csv_roundtrip": (
             "SELECT doc_id, text, lang, source, n_chars FROM documents"
+        ),
+        # assortativity sufficient stats: exact integer endpoint-degree sums
+        "host_assortativity": (
+            "WITH raw AS ("
+            "SELECT doc_id % 40 AS s, (doc_id * 3) % 40 AS d FROM documents "
+            "UNION ALL SELECT doc_id % 40, (doc_id * 7) % 40 FROM documents "
+            "UNION ALL SELECT doc_id % 40, (doc_id * 11) % 40 FROM documents), "
+            "e AS (SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b "
+            "FROM raw WHERE s <> d), "
+            "adj AS (SELECT a AS node FROM e UNION ALL SELECT b FROM e), "
+            "deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM adj GROUP BY node), "
+            "j AS (SELECT da.deg AS du, db.deg AS dv FROM e "
+            "JOIN deg da ON da.node = e.a JOIN deg db ON db.node = e.b) "
+            "SELECT CAST(count(*) AS BIGINT) AS n_edges, "
+            "CAST(sum(du + dv) AS BIGINT) AS sum_deg, "
+            "CAST(sum(du * du + dv * dv) AS BIGINT) AS sum_deg_sq, "
+            "CAST(sum(du * dv) AS BIGINT) AS sum_deg_prod FROM j"
         ),
         # hourly OHLC bars: first/last by (ts, event_id), exact cents
         "event_hourly_bars": (

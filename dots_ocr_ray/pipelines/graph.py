@@ -3094,3 +3094,113 @@ def common_neighbor_scores(
         )
 
     return non_edges.map_batches(_unpack, batch_format="pyarrow")
+
+
+def degree_assortativity_stats(
+    edges: ray.data.Dataset,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+) -> "pa.Table":
+    """Degree-assortativity SUFFICIENT STATISTICS over the distinct
+    undirected graph: one row (n_edges, sum_deg, sum_deg_sq,
+    sum_deg_prod) where the sums run over edge ENDPOINT degrees —
+    everything Newman's assortativity coefficient needs, kept in
+    int64 so the result is exact and bit-identical under any
+    partitioning (r = (S3/m - (S1/2m)^2) / (S2/2m - (S1/2m)^2)).
+
+    Plan: exact distinct edges (one bucket exchange), degrees via
+    :func:`~dots_ocr_ray.util.bucket_keyed_fold` (one more), two
+    broadcast-friendly :func:`~dots_ocr_ray.pipelines.relational.
+    hash_join` degree attachments, then a per-batch integer partial
+    reduced on the driver — four bounded exchanges, edge count never
+    driver-resident."""
+    from dots_ocr_ray.pipelines.dedup import exact_distinct_pairs
+    from dots_ocr_ray.pipelines.relational import hash_join
+    from dots_ocr_ray.util import bucket_keyed_fold
+
+    def _canon(batch: pa.Table) -> pa.Table:
+        s = batch.column(src).to_numpy(zero_copy_only=False).astype(np.int64)
+        d = batch.column(dst).to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        a = np.minimum(s, d)
+        b = np.maximum(s, d)
+        assert (a >= 0).all() and (b < 2**31).all()
+        pairs = np.unique(a << np.int64(32) | b)
+        return pa.table(
+            {
+                "a": pa.array(pairs >> np.int64(32), type=pa.int64()),
+                "b": pa.array(pairs & np.int64(0xFFFFFFFF), type=pa.int64()),
+            }
+        )
+
+    E = exact_distinct_pairs(edges.map_batches(_canon, batch_format="pyarrow")).materialize()
+
+    def _deg_partials(batch: pa.Table) -> pa.Table:
+        nodes = np.concatenate(
+            [
+                batch.column("a").to_numpy(zero_copy_only=False),
+                batch.column("b").to_numpy(zero_copy_only=False),
+            ]
+        )
+        uniq, cnt = np.unique(nodes, return_counts=True)
+        return pa.table(
+            {
+                "node": pa.array(uniq, type=pa.int64()),
+                "deg": pa.array(cnt.astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    degrees = bucket_keyed_fold(
+        E.map_batches(_deg_partials, batch_format="pyarrow"), "node", "sum", val_col="deg"
+    )
+    i64 = pa.int64()
+
+    def _deg_named(name: str):
+        def _fn(batch: pa.Table) -> pa.Table:
+            return batch.rename_columns([name, f"deg_{name}"])
+
+        return _fn
+
+    with_da = hash_join(
+        E,
+        degrees.map_batches(_deg_named("a"), batch_format="pyarrow"),
+        on="a",
+        left_schema=pa.schema([("a", i64), ("b", i64)]),
+        right_schema=pa.schema([("a", i64), ("deg_a", i64)]),
+    )
+    with_deg = hash_join(
+        with_da,
+        degrees.map_batches(_deg_named("b"), batch_format="pyarrow"),
+        on="b",
+        left_schema=pa.schema([("a", i64), ("b", i64), ("deg_a", i64)]),
+        right_schema=pa.schema([("b", i64), ("deg_b", i64)]),
+    )
+
+    def _stats(batch: pa.Table) -> pa.Table:
+        da = batch.column("deg_a").to_numpy(zero_copy_only=False).astype(np.int64)
+        db = batch.column("deg_b").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "n_edges": pa.array([len(da)], type=i64),
+                "sum_deg": pa.array([int((da + db).sum())], type=i64),
+                "sum_deg_sq": pa.array([int((da * da + db * db).sum())], type=i64),
+                "sum_deg_prod": pa.array([int((da * db).sum())], type=i64),
+            }
+        )
+
+    totals = np.zeros(4, dtype=np.int64)
+    for b in with_deg.map_batches(_stats, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for i, c in enumerate(("n_edges", "sum_deg", "sum_deg_sq", "sum_deg_prod")):
+            totals[i] += int(pc.sum(b.column(c)).as_py() or 0)
+    return pa.table(
+        {
+            "n_edges": pa.array([int(totals[0])], type=i64),
+            "sum_deg": pa.array([int(totals[1])], type=i64),
+            "sum_deg_sq": pa.array([int(totals[2])], type=i64),
+            "sum_deg_prod": pa.array([int(totals[3])], type=i64),
+        }
+    )

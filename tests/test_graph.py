@@ -744,3 +744,31 @@ def test_common_neighbor_star_cap_bounds_hub(ray_session):
     ).count()
     assert full == 1225
     assert capped == 28
+
+
+def test_degree_assortativity_hand_computed(ray_session):
+    import pyarrow as pa
+
+    import ray.data
+
+    from dots_ocr_ray.pipelines.graph import degree_assortativity_stats
+
+    # path 0-1-2-3: degrees 1,2,2,1; edges (0,1),(1,2),(2,3)
+    # endpoint sums: S1=(1+2)+(2+2)+(2+1)=10, S2=(1+4)+(4+4)+(4+1)=18,
+    # S3=2+4+2=8; dup edges and self-loops must not change anything
+    edges = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([0, 1, 2, 1, 3, 2], type=pa.int64()),
+                "dst": pa.array([1, 2, 3, 0, 2, 2], type=pa.int64()),
+            }
+        )
+    ).repartition(3)
+    t = degree_assortativity_stats(edges)
+    row = t.to_pylist()[0]
+    assert row == {
+        "n_edges": 3,
+        "sum_deg": 10,
+        "sum_deg_sq": 18,
+        "sum_deg_prod": 8,
+    }
