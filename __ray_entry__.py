@@ -3628,6 +3628,33 @@ def _q_host_link_prediction(sf_dir: str):
     )
 
 
+def _q_ipc_roundtrip(sf_dir: str):
+    """Arrow IPC (Feather v2) sink+source coverage: the documents
+    table written as per-batch .arrow files and streamed back via
+    per-file read tasks.  Oracle: the original table — the format hop
+    must be lossless."""
+    import os
+
+    import ray.data
+
+    from dots_ocr_ray.sources.ipc import read_ipc, write_ipc
+
+    base, built = _scratch_dir("ipcround", sf_dir)
+    out = os.path.join(base, "ipc")
+    if not built:
+        write_ipc(
+            ray.data.read_parquet(
+                f"{sf_dir}/documents.parquet",
+                columns=["doc_id", "text", "lang", "source", "n_chars"],
+            ).repartition(4),
+            out,
+            rows_per_file=256,
+        )
+        with open(os.path.join(base, "_complete"), "w") as f:
+            f.write("ok")
+    return read_ipc(out)
+
+
 def _q_event_transitions(sf_dir: str):
     """Markov transition counts over per-user event streams: (type,
     next_type, n) for consecutive events in (ts, event_id) order — the
@@ -4182,6 +4209,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_link_prediction": _q_host_link_prediction,
         "event_hourly_bars": _q_event_hourly_bars,
         "host_assortativity": _q_host_assortativity,
+        "ipc_roundtrip": _q_ipc_roundtrip,
         "zorder_box_events": _q_zorder_box_events,
         "event_transitions": _q_event_transitions,
         "decayed_type_popularity": _q_decayed_type_popularity,
@@ -5134,6 +5162,9 @@ def oracle_sql() -> dict[str, str]:
             "WHERE n_chars BETWEEN 500 AND 900"
         ),
         "csv_roundtrip": (
+            "SELECT doc_id, text, lang, source, n_chars FROM documents"
+        ),
+        "ipc_roundtrip": (
             "SELECT doc_id, text, lang, source, n_chars FROM documents"
         ),
         # assortativity sufficient stats: exact integer endpoint-degree sums
