@@ -3655,6 +3655,48 @@ def _q_ipc_roundtrip(sf_dir: str):
     return read_ipc(out)
 
 
+def _q_scd2_url_history(sf_dir: str):
+    """Type-2 SCD collapse over a 4-capture recrawl stream: runs of
+    identical content per url become validity intervals
+    (valid_from, valid_to, n_captures, version) — the recrawl lineage
+    table.  Content generation per (doc_id, capture k) is the
+    deterministic CASE the SQL oracle mirrors: doc_id%3==0 changes at
+    k=1 and k=3, %3==1 changes at k=2, %3==2 never changes."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from dots_ocr_ray.pipelines.document import scd2_history
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    EPOCH_US = np.datetime64("2025-01-01", "us").astype(np.int64)
+    DAY_US = 86_400_000_000
+
+    def _captures(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        d = np.repeat(ids, 4)
+        k = np.tile(np.arange(4, dtype=np.int64), len(ids))
+        mod3 = d % 3
+        vers = np.where(
+            mod3 == 0,
+            np.where(k == 0, 1, np.where(k <= 2, 2, 3)),
+            np.where(mod3 == 1, np.where(k <= 1, 1, 2), 1),
+        )
+        urls = [f"https://example-{i % 40:02d}.com/doc-{i:06d}" for i in d]
+        keys = [f"{i}:v{v}" for i, v in zip(d, vers)]
+        ts = EPOCH_US + d * 137_000_000 + k * DAY_US
+        return pa.table(
+            {
+                "url": pa.array(urls, type=pa.string()),
+                "warc_ts": pa.array(ts).cast(pa.timestamp("us")),
+                "content_key": pa.array(keys, type=pa.string()),
+            }
+        )
+
+    return scd2_history(docs.map_batches(_captures, batch_format="pyarrow"))
+
+
 def _q_event_transitions(sf_dir: str):
     """Markov transition counts over per-user event streams: (type,
     next_type, n) for consecutive events in (ts, event_id) order — the
@@ -4210,6 +4252,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_hourly_bars": _q_event_hourly_bars,
         "host_assortativity": _q_host_assortativity,
         "ipc_roundtrip": _q_ipc_roundtrip,
+        "scd2_url_history": _q_scd2_url_history,
         "zorder_box_events": _q_zorder_box_events,
         "event_transitions": _q_event_transitions,
         "decayed_type_popularity": _q_decayed_type_popularity,
@@ -5166,6 +5209,31 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ipc_roundtrip": (
             "SELECT doc_id, text, lang, source, n_chars FROM documents"
+        ),
+        # SCD2: gaps-and-islands — LAG change mark, running-sum island
+        # id, per-island MIN/COUNT, LEAD for valid_to
+        "scd2_url_history": (
+            "WITH caps AS ("
+            "SELECT 'https://example-' || lpad(CAST(doc_id % 40 AS VARCHAR), 2, '0') "
+            "|| '.com/doc-' || lpad(CAST(doc_id AS VARCHAR), 6, '0') AS url, "
+            "TIMESTAMP '2025-01-01' + doc_id * INTERVAL 137 SECOND + k * INTERVAL 1 DAY AS warc_ts, "
+            "CAST(doc_id AS VARCHAR) || ':v' || CAST("
+            "CASE WHEN doc_id % 3 = 0 THEN (CASE WHEN k = 0 THEN 1 WHEN k <= 2 THEN 2 ELSE 3 END) "
+            "WHEN doc_id % 3 = 1 THEN (CASE WHEN k <= 1 THEN 1 ELSE 2 END) "
+            "ELSE 1 END AS VARCHAR) AS content_key "
+            "FROM documents CROSS JOIN (SELECT UNNEST([0, 1, 2, 3]) AS k) t), "
+            "mark AS (SELECT url, warc_ts, content_key, "
+            "CASE WHEN content_key IS DISTINCT FROM "
+            "LAG(content_key) OVER (PARTITION BY url ORDER BY warc_ts) "
+            "THEN 1 ELSE 0 END AS chg FROM caps), "
+            "isl AS (SELECT *, SUM(chg) OVER (PARTITION BY url ORDER BY warc_ts "
+            "ROWS UNBOUNDED PRECEDING) AS island FROM mark), "
+            "grp AS (SELECT url, island, MIN(content_key) AS content_key, "
+            "MIN(warc_ts) AS valid_from, CAST(COUNT(*) AS BIGINT) AS n_captures "
+            "FROM isl GROUP BY url, island) "
+            "SELECT url, content_key, valid_from, "
+            "LEAD(valid_from) OVER (PARTITION BY url ORDER BY island) AS valid_to, "
+            "n_captures, CAST(island AS BIGINT) AS version FROM grp"
         ),
         # assortativity sufficient stats: exact integer endpoint-degree sums
         "host_assortativity": (

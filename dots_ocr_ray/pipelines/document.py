@@ -190,6 +190,171 @@ def metrics_by_domain(extracted: ray.data.Dataset, n_salt: int = 16) -> ray.data
     return final.map_batches(_rename, batch_format="pyarrow")
 
 
+def scd2_history(
+    captures: ray.data.Dataset,
+    *,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    key_col: str = "content_key",
+) -> ray.data.Dataset:
+    """Type-2 slowly-changing-dimension history over crawl captures:
+    consecutive captures of one url with the same content fingerprint
+    collapse into ONE validity interval — the re-crawl lineage table
+    (url, content_key, valid_from, valid_to, n_captures, version)
+    where ``valid_to`` is the next change's timestamp (NULL while
+    current) and ``version`` numbers a url's content generations.
+
+    Plan: one range-partitioned sort on (url, ts).  Each sorted block
+    collapses its INTERIOR url groups fully vectorized (change-point
+    mask → island starts → numpy gather; zero per-url Python); only a
+    block's first and last url groups — the ≤2 groups that can span a
+    block boundary — divert their raw rows into a keyed fallback
+    (O(blocks) group calls, not O(urls)), the
+    :func:`~dots_ocr_ray.pipelines.windows._sorted_user_apply`
+    discipline applied to a per-group REDUCTION.  At 10^12 captures the
+    sort is the one exchange; everything after it is streaming."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from dots_ocr_ray.util import bounded_blocks
+
+    NAT = np.datetime64("NaT")
+    OUT = [
+        (url_col, pa.string()),
+        (key_col, pa.string()),
+        ("valid_from", pa.timestamp("us")),
+        ("valid_to", pa.timestamp("us")),
+        ("n_captures", pa.int64()),
+        ("version", pa.int64()),
+    ]
+    out_names = [n for n, _ in OUT]
+    MARKED = OUT + [(ts_col, pa.timestamp("us")), ("__b", pa.bool_())]
+
+    def _empty_marked() -> pa.Table:
+        return pa.table({n: pa.array([], type=t) for n, t in MARKED})
+
+    def _collapse_np(urls_np, keys_np, ts_np, new_url):
+        """Island collapse over already-sorted arrays → column dict.
+
+        ``new_url`` is the url-boundary mask; returns arrays aligned to
+        islands (change-point runs)."""
+        n = len(ts_np)
+        chg = new_url.copy()
+        if n > 1:
+            chg[1:] |= keys_np[1:] != keys_np[:-1]
+        starts = np.flatnonzero(chg)
+        counts = np.diff(np.append(starts, n))
+        valid_from = ts_np[starts]
+        starts_new_url = new_url[starts]
+        # version = island index within its url (islands of one url
+        # are contiguous after the sort)
+        url_group = np.cumsum(starts_new_url) - 1
+        first_island_of_url = np.flatnonzero(starts_new_url)
+        version = np.arange(len(starts)) - first_island_of_url[url_group] + 1
+        valid_to = np.empty(len(starts), dtype="datetime64[us]")
+        if len(starts) > 1:
+            valid_to[:-1] = valid_from[1:]
+            valid_to[np.append(starts_new_url[1:], True)] = NAT
+        else:
+            valid_to[:] = NAT
+        return {
+            url_col: urls_np[starts],
+            key_col: keys_np[starts],
+            "valid_from": valid_from,
+            "valid_to": valid_to,
+            "n_captures": counts.astype(np.int64),
+            "version": version.astype(np.int64),
+        }
+
+    def _segment(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _empty_marked()
+        batch = batch.sort_by([(url_col, "ascending"), (ts_col, "ascending")])
+        n = batch.num_rows
+        urls = batch.column(url_col).combine_chunks()
+        new_url = np.ones(n, dtype=bool)
+        if n > 1:
+            new_url[1:] = np.asarray(
+                pc.not_equal(urls.slice(1, n - 1), urls.slice(0, n - 1))
+            )
+        urls_np = np.asarray(urls.to_pylist(), dtype=object)
+        keys_np = np.asarray(batch.column(key_col).to_pylist(), dtype=object)
+        ts_np = batch.column(ts_col).to_numpy(zero_copy_only=False)
+        interior = (urls_np != urls_np[0]) & (urls_np != urls_np[-1])
+        cols = _collapse_np(
+            urls_np[interior], keys_np[interior], ts_np[interior], new_url[interior]
+        ) if interior.any() else None
+        n_direct = len(cols[url_col]) if cols else 0
+        direct = {
+            url_col: pa.array(cols[url_col] if cols else [], type=pa.string()),
+            key_col: pa.array(cols[key_col] if cols else [], type=pa.string()),
+            "valid_from": pa.array(
+                cols["valid_from"] if cols else np.array([], dtype="datetime64[us]")
+            ),
+            "valid_to": pa.array(
+                cols["valid_to"] if cols else np.array([], dtype="datetime64[us]")
+            ),
+            "n_captures": pa.array(
+                cols["n_captures"] if cols else [], type=pa.int64()
+            ),
+            "version": pa.array(cols["version"] if cols else [], type=pa.int64()),
+            ts_col: pa.array(np.zeros(n_direct, np.int64)).cast(pa.timestamp("us")),
+            "__b": pa.array(np.zeros(n_direct, dtype=bool)),
+        }
+        b = np.flatnonzero(~interior)
+        boundary = {
+            url_col: pa.array(urls_np[b], type=pa.string()),
+            key_col: pa.array(keys_np[b], type=pa.string()),
+            "valid_from": pa.array(ts_np[b]),
+            "valid_to": pa.array(np.full(len(b), NAT, dtype="datetime64[us]")),
+            "n_captures": pa.array(np.zeros(len(b), np.int64)),
+            "version": pa.array(np.zeros(len(b), np.int64)),
+            ts_col: pa.array(ts_np[b]),
+            "__b": pa.array(np.ones(len(b), dtype=bool)),
+        }
+        names = [nm for nm, _ in MARKED]
+        return pa.concat_tables(
+            [pa.table({k: direct[k] for k in names}), pa.table({k: boundary[k] for k in names})]
+        )
+
+    sorted_ds = bounded_blocks(captures).sort([url_col, ts_col])
+    marked = sorted_ds.map_batches(_segment, batch_format="pyarrow").materialize()
+
+    def _keep_direct(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.invert(batch.column("__b"))).select(out_names)
+
+    def _keep_boundary(batch: pa.Table) -> pa.Table:
+        return batch.filter(batch.column("__b")).select([url_col, ts_col, key_col])
+
+    def _fallback(group: pa.Table) -> pa.Table:
+        group = group.sort_by([(url_col, "ascending"), (ts_col, "ascending")])
+        urls_np = np.asarray(group.column(url_col).to_pylist(), dtype=object)
+        keys_np = np.asarray(group.column(key_col).to_pylist(), dtype=object)
+        ts_np = group.column(ts_col).to_numpy(zero_copy_only=False)
+        new_url = np.ones(len(urls_np), dtype=bool)  # one url per group
+        if len(urls_np) > 1:
+            new_url[1:] = urls_np[1:] != urls_np[:-1]
+        cols = _collapse_np(urls_np, keys_np, ts_np, new_url)
+        return pa.table(
+            {
+                url_col: pa.array(cols[url_col], type=pa.string()),
+                key_col: pa.array(cols[key_col], type=pa.string()),
+                "valid_from": pa.array(cols["valid_from"]),
+                "valid_to": pa.array(cols["valid_to"]),
+                "n_captures": pa.array(cols["n_captures"], type=pa.int64()),
+                "version": pa.array(cols["version"], type=pa.int64()),
+            }
+        )
+
+    direct = marked.map_batches(_keep_direct, batch_format="pyarrow")
+    resolved = (
+        bounded_blocks(marked.map_batches(_keep_boundary, batch_format="pyarrow"))
+        .groupby(url_col)
+        .map_groups(_fallback, batch_format="pyarrow")
+    )
+    return direct.union(resolved)
+
+
 def crawl_diff(
     old_ds: ray.data.Dataset,
     new_ds: ray.data.Dataset,

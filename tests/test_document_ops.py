@@ -118,3 +118,92 @@ def test_crawl_diff(ray_session):
     new = snap([(2, "b"), (3, "c2"), (4, "d")])
     got = {r["doc_id"]: r["change"] for r in crawl_diff(old, new).take_all()}
     assert got == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
+
+
+def _scd2_pandas_oracle(rows):
+    """Sequential SCD2 mirror: rows = (url, ts_us:int, key)."""
+    import pandas as pd
+
+    df = pd.DataFrame(rows, columns=["url", "ts", "content_key"]).sort_values(
+        ["url", "ts"]
+    )
+    out = []
+    for url, g in df.groupby("url", sort=True):
+        g = g.reset_index(drop=True)
+        islands = []
+        for _, r in g.iterrows():
+            if islands and islands[-1]["content_key"] == r["content_key"]:
+                islands[-1]["n_captures"] += 1
+            else:
+                islands.append(
+                    {"url": url, "content_key": r["content_key"],
+                     "valid_from": r["ts"], "n_captures": 1}
+                )
+        for i, isl in enumerate(islands):
+            isl["version"] = i + 1
+            isl["valid_to"] = (
+                islands[i + 1]["valid_from"] if i + 1 < len(islands) else None
+            )
+            out.append(isl)
+    return out
+
+
+def test_scd2_history_matches_sequential_mirror(ray_session):
+    """Many captures per url across MANY small blocks (forces url
+    groups to span block boundaries → the keyed fallback path) must
+    equal the sequential mirror exactly."""
+    import pyarrow as pa
+    import ray.data
+
+    from dots_ocr_ray.pipelines.document import scd2_history
+
+    rows = []
+    for u in range(7):
+        url = f"https://site-{u}.com/"
+        # capture stream: content changes every (u % 3 + 1) captures
+        period = u % 3 + 1
+        for k in range(11):
+            rows.append((url, 1_000_000 * (u + 1) + k * 1000, f"{u}:v{k // period}"))
+    tbl = pa.table(
+        {
+            "url": pa.array([r[0] for r in rows], type=pa.string()),
+            "warc_ts": pa.array([r[1] for r in rows]).cast(pa.timestamp("us")),
+            "content_key": pa.array([r[2] for r in rows], type=pa.string()),
+        }
+    )
+    # shuffle input order; tiny blocks so every url spans boundaries
+    got = (
+        scd2_history(ray.data.from_arrow(tbl).random_shuffle(seed=7).repartition(16))
+        .to_pandas()
+        .sort_values(["url", "version"])
+        .reset_index(drop=True)
+    )
+    exp = _scd2_pandas_oracle(rows)
+    assert len(got) == len(exp)
+    for g, e in zip(got.itertuples(), exp):
+        assert g.url == e["url"] and g.content_key == e["content_key"]
+        assert g.valid_from.value // 1000 == e["valid_from"]
+        assert g.n_captures == e["n_captures"] and g.version == e["version"]
+        if e["valid_to"] is None:
+            assert g.valid_to is None or str(g.valid_to) == "NaT"
+        else:
+            assert g.valid_to.value // 1000 == e["valid_to"]
+
+
+def test_scd2_history_single_url_and_empty(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from dots_ocr_ray.pipelines.document import scd2_history
+
+    tbl = pa.table(
+        {
+            "url": pa.array(["https://only.com/"] * 3, type=pa.string()),
+            "warc_ts": pa.array([1, 2, 3]).cast(pa.timestamp("us")),
+            "content_key": pa.array(["a", "a", "b"], type=pa.string()),
+        }
+    )
+    got = scd2_history(ray.data.from_arrow(tbl)).to_pandas().sort_values("version")
+    assert got["content_key"].tolist() == ["a", "b"]
+    assert got["n_captures"].tolist() == [2, 1]
+    assert got["valid_to"].isna().tolist() == [False, True]
