@@ -3655,6 +3655,93 @@ def _q_ipc_roundtrip(sf_dir: str):
     return read_ipc(out)
 
 
+def _build_timetravel_table(sf_dir: str) -> str:
+    """Scratch snapshot-versioned table shared by the timetravel
+    queries: v1 = documents (doc_id, text, lang) sorted by key; v2 =
+    one copy-on-write merge applying a deterministic CDC batch —
+    update text of doc_id%5==0 (' v2' suffix), delete doc_id%7==3,
+    insert doc_id%50==0 as new keys at doc_id+1_000_000."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray.data
+
+    from dots_ocr_ray.pipelines.timetravel import create_table, merge_version
+
+    base, built = _scratch_dir("timetravel", sf_dir)
+    out = os.path.join(base, "table")
+    if not built:
+        docs = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+        )
+        create_table(docs.repartition(4), out, key_col="doc_id", rows_per_file=128)
+
+        full = pa.concat_tables(
+            [b for b in docs.iter_batches(batch_format="pyarrow")]
+        )  # sf0.01 fixture scale: the CDC batch is built driver-side
+        ids = full.column("doc_id")
+
+        def _mod(col, m):
+            return pc.subtract(col, pc.multiply(pc.divide(col, m), m))
+
+        upd = full.filter(pc.equal(_mod(ids, 5), pa.scalar(0, pa.int64())))
+        upd = pa.table(
+            {
+                "doc_id": upd.column("doc_id"),
+                "text": pc.binary_join_element_wise(
+                    upd.column("text"), pa.scalar(" v2"), ""
+                ),
+                "lang": upd.column("lang"),
+            }
+        )
+        ins = full.filter(pc.equal(_mod(ids, 50), pa.scalar(0, pa.int64())))
+        ins = pa.table(
+            {
+                "doc_id": pc.add(ins.column("doc_id"), pa.scalar(1_000_000, pa.int64())),
+                "text": pc.binary_join_element_wise(
+                    pa.scalar("new doc "),
+                    pc.cast(ins.column("doc_id"), pa.string()),
+                    "",
+                ),
+                "lang": pa.array(["en"] * ins.num_rows, type=pa.string()),
+            }
+        )
+        # delete set kept DISJOINT from the update set (merge_version
+        # rejects overlapping upsert/delete keys as ambiguous)
+        dels = full.filter(
+            pc.and_(
+                pc.equal(_mod(ids, 7), pa.scalar(3, pa.int64())),
+                pc.not_equal(_mod(ids, 5), pa.scalar(0, pa.int64())),
+            )
+        )
+        merge_version(
+            out,
+            upserts=pa.concat_tables([upd, ins]),
+            delete_keys=dels.column("doc_id").to_pylist(),
+        )
+        with open(os.path.join(base, "_complete"), "w") as f:
+            f.write("ok")
+    return out
+
+
+def _q_timetravel_v1(sf_dir: str):
+    """Time-travel isolation: after the v2 copy-on-write merge, the
+    as-of-v1 read must still be byte-exact the original table."""
+    from dots_ocr_ray.pipelines.timetravel import read_version
+
+    return read_version(_build_timetravel_table(sf_dir), 1)
+
+
+def _q_timetravel_v2(sf_dir: str):
+    """The merged v2 state: updates applied, deletes gone, inserts
+    present — the oracle reconstructs the same CDC batch in SQL."""
+    from dots_ocr_ray.pipelines.timetravel import read_version
+
+    return read_version(_build_timetravel_table(sf_dir), 2)
+
+
 def _q_scd2_url_history(sf_dir: str):
     """Type-2 SCD collapse over a 4-capture recrawl stream: runs of
     identical content per url become validity intervals
@@ -4253,6 +4340,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_assortativity": _q_host_assortativity,
         "ipc_roundtrip": _q_ipc_roundtrip,
         "scd2_url_history": _q_scd2_url_history,
+        "timetravel_v1": _q_timetravel_v1,
+        "timetravel_v2": _q_timetravel_v2,
         "zorder_box_events": _q_zorder_box_events,
         "event_transitions": _q_event_transitions,
         "decayed_type_popularity": _q_decayed_type_popularity,
@@ -5209,6 +5298,19 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ipc_roundtrip": (
             "SELECT doc_id, text, lang, source, n_chars FROM documents"
+        ),
+        # time travel: v1 is the untouched base table; v2 reconstructs
+        # the CDC batch (update %5==0, delete %7==3 less the update
+        # overlap, insert %50==0 at doc_id+1e6)
+        "timetravel_v1": "SELECT doc_id, text, lang FROM documents",
+        "timetravel_v2": (
+            "SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN text || ' v2' "
+            "ELSE text END AS text, lang FROM documents "
+            "WHERE NOT (doc_id % 7 = 3 AND doc_id % 5 != 0) "
+            "UNION ALL "
+            "SELECT doc_id + 1000000 AS doc_id, "
+            "'new doc ' || CAST(doc_id AS VARCHAR) AS text, 'en' AS lang "
+            "FROM documents WHERE doc_id % 50 = 0"
         ),
         # SCD2: gaps-and-islands — LAG change mark, running-sum island
         # id, per-island MIN/COUNT, LEAD for valid_to
