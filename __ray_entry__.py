@@ -4265,6 +4265,17 @@ def _q_host_hits(sf_dir: str):
     )
 
 
+def _q_drift_kl(sf_dir: str):
+    """Distribution-drift audit between the two crawl-snapshot halves
+    (doc_id parity): per-lang Laplace-smoothed KL / total-variation /
+    chi-square contribution terms.  Exchange is O(batches × langs)
+    partial count rows; the driver folds a bounded table.  Oracle: the
+    same smoothed terms in SQL (operand-order-matched float math)."""
+    from dots_ocr_ray.pipelines.drift import distribution_drift
+
+    return distribution_drift(sf_dir, category="lang")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction (the flagship; SQL mirrors the deterministic wrapper)
@@ -4450,6 +4461,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_length_pct_rank": _q_doc_length_pct_rank,
         "lang_source_rollup": _q_lang_source_rollup,
         "jsonl_lang_counts": _q_jsonl_lang_counts,
+        "drift_kl": _q_drift_kl,
     }
 
 
@@ -5840,5 +5852,22 @@ def oracle_sql() -> dict[str, str]:
             "round(CASE WHEN sd > 0 THEN (n_chars - m) / sd ELSE 0 END, 4) AS z "
             "FROM documents d JOIN stats USING (lang) "
             "WHERE sd > 0 AND abs((n_chars - m) / sd) > 1.8"
+        ),
+        # snapshot halves by doc_id parity; Laplace (+1) smoothing over
+        # the K observed categories — operand order matches
+        # pipelines/drift.py:distribution_drift exactly
+        "drift_kl": (
+            "WITH s AS (SELECT lang, "
+            "count(*) FILTER (doc_id % 2 = 0) AS cp, "
+            "count(*) FILTER (doc_id % 2 = 1) AS cc "
+            "FROM documents GROUP BY lang), "
+            "t AS (SELECT sum(cp) AS tp, sum(cc) AS tc, count(*) AS k FROM s) "
+            "SELECT lang, CAST(cp AS BIGINT) AS cnt_prev, CAST(cc AS BIGINT) AS cnt_curr, "
+            "ROUND((cp + 1) * 1.0 / (tp + k), 6) AS p_prev, "
+            "ROUND((cc + 1) * 1.0 / (tc + k), 6) AS p_curr, "
+            "ROUND(((cc + 1) * 1.0 / (tc + k)) * ln(((cc + 1) * 1.0 / (tc + k)) / ((cp + 1) * 1.0 / (tp + k))), 6) AS kl_term, "
+            "ROUND(abs(((cc + 1) * 1.0 / (tc + k)) - ((cp + 1) * 1.0 / (tp + k))) / 2, 6) AS tv_term, "
+            "ROUND(pow(((cc + 1) * 1.0 / (tc + k)) - ((cp + 1) * 1.0 / (tp + k)), 2) / ((cp + 1) * 1.0 / (tp + k)), 6) AS chi2_term "
+            "FROM s, t ORDER BY lang"
         ),
     }
