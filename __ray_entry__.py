@@ -4265,6 +4265,17 @@ def _q_host_hits(sf_dir: str):
     )
 
 
+def _q_late_events(sf_dir: str):
+    """Watermark / out-of-order audit: per user, events whose
+    event-time ts is older than the running high-water mark in ingest
+    (event_id) order — one sorted-segment pass + a bucket-keyed
+    rollup, all int64.  Oracle: MAX(ts) OVER (... ROWS BETWEEN
+    UNBOUNDED PRECEDING AND 1 PRECEDING) window SQL."""
+    from dots_ocr_ray.pipelines.windows import late_event_audit
+
+    return late_event_audit(sf_dir)
+
+
 def _q_drift_kl(sf_dir: str):
     """Distribution-drift audit between the two crawl-snapshot halves
     (doc_id parity): per-lang Laplace-smoothed KL / total-variation /
@@ -4462,6 +4473,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_source_rollup": _q_lang_source_rollup,
         "jsonl_lang_counts": _q_jsonl_lang_counts,
         "drift_kl": _q_drift_kl,
+        "late_events": _q_late_events,
     }
 
 
@@ -5869,5 +5881,16 @@ def oracle_sql() -> dict[str, str]:
             "ROUND(abs(((cc + 1) * 1.0 / (tc + k)) - ((cp + 1) * 1.0 / (tp + k))) / 2, 6) AS tv_term, "
             "ROUND(pow(((cc + 1) * 1.0 / (tc + k)) - ((cp + 1) * 1.0 / (tp + k)), 2) / ((cp + 1) * 1.0 / (tp + k)), 6) AS chi2_term "
             "FROM s, t ORDER BY lang"
+        ),
+        # ingest order = event_id; watermark = running max event-time
+        # over PRIOR arrivals per user — mirrors windows.late_event_audit
+        "late_events": (
+            "WITH w AS (SELECT user_id, event_id, ts, "
+            "max(ts) OVER (PARTITION BY user_id ORDER BY event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm FROM events) "
+            "SELECT user_id, CAST(count(*) AS BIGINT) AS n_events, "
+            "CAST(count(*) FILTER (ts < wm) AS BIGINT) AS n_late, "
+            "CAST(coalesce(max(CASE WHEN ts < wm THEN epoch_us(wm) - epoch_us(ts) END), 0) AS BIGINT) AS max_late_us "
+            "FROM w GROUP BY user_id"
         ),
     }

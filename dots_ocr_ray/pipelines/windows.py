@@ -970,3 +970,123 @@ def ohlc_bars(
         .groupby([key_col, "bar"])
         .map_groups(_fold, batch_format="pandas")
     )
+
+
+def late_event_audit(sf_dir: str) -> "ray.data.Dataset":
+    """Watermark / out-of-order audit — the late-data accounting a
+    streaming ingest runs before choosing a watermark delay: per user,
+    how many events ARRIVED (ingest order = ``event_id``) with an
+    event-time ``ts`` older than the running event-time high-water
+    mark, and by how much at worst.
+
+    One range-partitioned sort on (user_id, event_id) + vectorized
+    per-batch segment logic (``_sorted_user_apply``): the per-event
+    watermark is a segmented cummax of the previous event's timestamp
+    (one Cython ``groupby.cummax`` call per BATCH, never per user).
+    The per-user rollup then folds per-batch partials through one
+    bucket-keyed exchange — Python cost O(buckets), not O(users).
+    Output: (user_id, n_events, n_late, max_late_us), all int64 —
+    hash-exact against the SQL window oracle.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts"]
+    )
+
+    def _pd_late(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values("event_id").reset_index(drop=True)
+        us = g["ts"].astype("datetime64[us]").astype("int64")
+        wm = us.cummax().shift(1)
+        late = (wm - us).clip(lower=0).fillna(0).astype("int64")
+        return pd.DataFrame(
+            {"user_id": g["user_id"], "event_id": g["event_id"], "late_us": late}
+        )
+
+    def _vec(batch: pa.Table, u: np.ndarray, new_user: np.ndarray) -> pa.Table:
+        n = batch.num_rows
+        us = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        seg = np.cumsum(new_user) - 1
+        prev = np.empty(n, dtype=np.float64)
+        prev[0] = -np.inf
+        if n > 1:
+            prev[1:] = us[:-1]
+        prev[new_user] = -np.inf
+        wm = pd.Series(prev).groupby(seg).cummax().to_numpy()
+        late = np.where(np.isfinite(wm), np.maximum(wm - us, 0), 0).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": batch.column("user_id").cast(pa.int64()),
+                "event_id": batch.column("event_id").cast(pa.int64()),
+                "late_us": pa.array(late, type=pa.int64()),
+            }
+        )
+
+    per_event = _sorted_user_apply(
+        events,
+        sort_cols=["event_id"],
+        vec_fn=_vec,
+        pandas_fn=_pd_late,
+        out_fields=[
+            ("user_id", pa.int64()),
+            ("event_id", pa.int64()),
+            ("late_us", pa.int64()),
+        ],
+    )
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], type=pa.int64()),
+                    "n_events": pa.array([], type=pa.int64()),
+                    "n_late": pa.array([], type=pa.int64()),
+                    "max_late_us": pa.array([], type=pa.int64()),
+                    "__bucket": pa.array([], type=pa.int32()),
+                }
+            )
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        late = batch.column("late_us").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(uid, kind="stable")
+        uid, late = uid[order], late[order]
+        starts = np.concatenate([[0], np.nonzero(np.diff(uid))[0] + 1])
+        ends = np.concatenate([starts[1:], [len(uid)]])
+        n = (ends - starts).astype(np.int64)
+        n_late = np.add.reduceat((late > 0).astype(np.int64), starts)
+        max_late = np.maximum.reduceat(late, starts)
+        with np.errstate(over="ignore"):
+            bkt = (uid[starts].astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(64)
+        return pa.table(
+            {
+                "user_id": pa.array(uid[starts], type=pa.int64()),
+                "n_events": pa.array(n, type=pa.int64()),
+                "n_late": pa.array(n_late, type=pa.int64()),
+                "max_late_us": pa.array(max_late, type=pa.int64()),
+                "__bucket": pa.array(bkt.astype(np.int32), type=pa.int32()),
+            }
+        )
+
+    def _fold(group: pa.Table) -> pa.Table:
+        uid = group.column("user_id").to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(uid, return_inverse=True)
+        n = np.zeros(len(uniq), dtype=np.int64)
+        nl = np.zeros(len(uniq), dtype=np.int64)
+        ml = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(n, inv, group.column("n_events").to_numpy(zero_copy_only=False))
+        np.add.at(nl, inv, group.column("n_late").to_numpy(zero_copy_only=False))
+        np.maximum.at(ml, inv, group.column("max_late_us").to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "user_id": pa.array(uniq, type=pa.int64()),
+                "n_events": pa.array(n, type=pa.int64()),
+                "n_late": pa.array(nl, type=pa.int64()),
+                "max_late_us": pa.array(ml, type=pa.int64()),
+            }
+        )
+
+    return (
+        per_event.map_batches(_partial, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(_fold, batch_format="pyarrow")
+    )
