@@ -4265,6 +4265,16 @@ def _q_host_hits(sf_dir: str):
     )
 
 
+def _q_lexicon_flags(sf_dir: str):
+    """Multi-term content-lexicon scan (C4-blocklist counting core):
+    per term, containing-doc count + total occurrences via one Arrow
+    count_substring kernel per (term, batch).  Oracle: contains() +
+    the length-difference replace trick per term."""
+    from dots_ocr_ray.pipelines.text_analysis import lexicon_scan
+
+    return lexicon_scan(sf_dir)
+
+
 def _q_late_events(sf_dir: str):
     """Watermark / out-of-order audit: per user, events whose
     event-time ts is older than the running high-water mark in ingest
@@ -4474,6 +4484,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jsonl_lang_counts": _q_jsonl_lang_counts,
         "drift_kl": _q_drift_kl,
         "late_events": _q_late_events,
+        "lexicon_flags": _q_lexicon_flags,
     }
 
 
@@ -5892,5 +5903,16 @@ def oracle_sql() -> dict[str, str]:
             "CAST(count(*) FILTER (ts < wm) AS BIGINT) AS n_late, "
             "CAST(coalesce(max(CASE WHEN ts < wm THEN epoch_us(wm) - epoch_us(ts) END), 0) AS BIGINT) AS max_late_us "
             "FROM w GROUP BY user_id"
+        ),
+        # terms mirror text_analysis.LEXICON_TERMS (sorted); occurrence
+        # count via the length-difference replace trick
+        "lexicon_flags": (
+            " UNION ALL ".join(
+                f"SELECT '{t}' AS term, "
+                f"CAST(count(*) FILTER (contains(text, '{t}')) AS BIGINT) AS n_docs, "
+                f"CAST(coalesce(sum((length(text) - length(replace(text, '{t}', ''))) // {len(t)}), 0) AS BIGINT) AS n_occurrences "
+                "FROM documents"
+                for t in ("customer", "merge", "spark", "vector", "window")
+            )
         ),
     }
