@@ -4265,6 +4265,17 @@ def _q_host_hits(sf_dir: str):
     )
 
 
+def _q_bitext_mining(sf_dir: str):
+    """Margin-based bitext mining (Artetxe & Schwenk 2019) between the
+    label-0 and label-1 embedding sides: best margin-scored target per
+    source vector, broadcast target side + bounded per-batch column
+    top-k partials for the backward average.  Oracle: golden parquet
+    from the sequential full-matrix mirror (shared kernels)."""
+    from dots_ocr_ray.pipelines.bitext import mine_bitext
+
+    return mine_bitext(sf_dir)
+
+
 def _q_lexicon_flags(sf_dir: str):
     """Multi-term content-lexicon scan (C4-blocklist counting core):
     per term, containing-doc count + total occurrences via one Arrow
@@ -4485,6 +4496,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "drift_kl": _q_drift_kl,
         "late_events": _q_late_events,
         "lexicon_flags": _q_lexicon_flags,
+        "bitext_mining": _q_bitext_mining,
     }
 
 
@@ -5914,5 +5926,9 @@ def oracle_sql() -> dict[str, str]:
                 "FROM documents"
                 for t in ("customer", "merge", "spark", "vector", "window")
             )
+        ),
+        "bitext_mining": (
+            f"SELECT src_id, tgt_id, cos, margin "
+            f"FROM read_parquet('{_GOLDEN_DIR}/bitext_mining.parquet')"
         ),
     }

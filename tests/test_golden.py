@@ -68,6 +68,7 @@ def _canon(obj) -> pd.DataFrame:
         "host_random_walks",
         "host_scc",
         "host_harmonic",
+        "bitext_mining",
     ],
 )
 def test_golden_parity(ray_session, name):

@@ -1331,6 +1331,58 @@ def golden_host_harmonic(sf_dir: str, *, seeds=(0, 7, 13, 21), micro: int = 1_00
     )
 
 
+def golden_bitext_mining(sf_dir: str) -> pa.Table:
+    """Sequential mirror of pipelines.bitext.mine_bitext: full
+    similarity matrix, same shared top-k / merge / margin kernels,
+    same float32-normalize -> float64-matmul dtype path."""
+    from dots_ocr_ray.pipelines.bitext import (
+        BITEXT_K,
+        BITEXT_SRC_LABEL,
+        BITEXT_TGT_LABEL,
+        col_topk_partial,
+        margin_scores,
+        merge_col_topk,
+        row_candidates,
+    )
+    from dots_ocr_ray.pipelines.similarity import _normalize_rows as _nrm
+    from dots_ocr_ray.util import round_half_away
+
+    k = BITEXT_K
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding", "label"]
+    )
+    ids = t.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    lab = t.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
+    mat = np.asarray(t.column("embedding").to_pylist(), dtype=np.float32)
+
+    def _side(label):
+        m = lab == label
+        sids = ids[m]
+        order = np.argsort(sids, kind="stable")
+        return sids[order], _nrm(mat[m][order]).astype(np.float64)
+
+    src_ids_all = ids[lab == BITEXT_SRC_LABEL]
+    src_mat = _nrm(mat[lab == BITEXT_SRC_LABEL]).astype(np.float64)
+    tgt_ids, tgt_mat = _side(BITEXT_TGT_LABEL)
+    sims = src_mat @ tgt_mat.T
+    tgt_avg = merge_col_topk([col_topk_partial(sims, k)], k)
+    cand_idx, cand_cos = row_candidates(sims, k)
+    src_avg = cand_cos.mean(axis=1)
+    marg = margin_scores(cand_cos, cand_idx, src_avg, tgt_avg)
+    best = np.argmax(marg, axis=1)
+    rows = np.arange(len(src_ids_all))
+    bi = cand_idx[rows, best]
+    out = pa.table(
+        {
+            "src_id": pa.array(src_ids_all, type=pa.int64()),
+            "tgt_id": pa.array(tgt_ids[bi], type=pa.int64()),
+            "cos": pa.array(round_half_away(cand_cos[rows, best], 6), type=pa.float64()),
+            "margin": pa.array(round_half_away(marg[rows, best], 6), type=pa.float64()),
+        }
+    )
+    return out.sort_by("src_id")
+
+
 GOLDEN_BUILDERS = {
     "kmeans_clusters": golden_kmeans_clusters,
     "semdedup_docs": golden_semdedup_docs,
@@ -1374,6 +1426,7 @@ GOLDEN_BUILDERS = {
     "host_random_walks": golden_host_random_walks,
     "host_scc": golden_host_scc,
     "host_harmonic": golden_host_harmonic,
+    "bitext_mining": golden_bitext_mining,
 }
 
 
