@@ -4265,6 +4265,17 @@ def _q_host_hits(sf_dir: str):
     )
 
 
+def _q_isotonic_calibration(sf_dir: str):
+    """Isotonic (PAV) calibration of the stopword-ratio English-ness
+    score against the true lang=='en' label: bounded per-batch bin
+    partials, driver-side integer-exact pool-adjacent-violators.
+    Oracle: golden parquet from the sequential mirror (shared
+    binning/PAV kernels)."""
+    from dots_ocr_ray.pipelines.calibration import isotonic_calibration
+
+    return isotonic_calibration(sf_dir)
+
+
 def _q_bitext_mining(sf_dir: str):
     """Margin-based bitext mining (Artetxe & Schwenk 2019) between the
     label-0 and label-1 embedding sides: best margin-scored target per
@@ -4497,6 +4508,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "late_events": _q_late_events,
         "lexicon_flags": _q_lexicon_flags,
         "bitext_mining": _q_bitext_mining,
+        "isotonic_calibration": _q_isotonic_calibration,
     }
 
 
@@ -5930,5 +5942,9 @@ def oracle_sql() -> dict[str, str]:
         "bitext_mining": (
             f"SELECT src_id, tgt_id, cos, margin "
             f"FROM read_parquet('{_GOLDEN_DIR}/bitext_mining.parquet')"
+        ),
+        "isotonic_calibration": (
+            f"SELECT bin_id, n, n_pos, rate_raw, rate_iso "
+            f"FROM read_parquet('{_GOLDEN_DIR}/isotonic_calibration.parquet')"
         ),
     }

@@ -69,6 +69,7 @@ def _canon(obj) -> pd.DataFrame:
         "host_scc",
         "host_harmonic",
         "bitext_mining",
+        "isotonic_calibration",
     ],
 )
 def test_golden_parity(ray_session, name):

@@ -1383,6 +1383,21 @@ def golden_bitext_mining(sf_dir: str) -> pa.Table:
     return out.sort_by("src_id")
 
 
+def golden_isotonic_calibration(sf_dir: str) -> pa.Table:
+    """Sequential mirror of pipelines.calibration.isotonic_calibration:
+    same quality_features kernel, same shared binning / integer-exact
+    PAV / report functions."""
+    from dots_ocr_ray.kernel.textops import quality_features
+    from dots_ocr_ray.pipelines.calibration import bin_label_counts, calibration_table
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["text", "lang"])
+    texts = [x or "" for x in t.column("text").to_pylist()]
+    s = np.array([quality_features(x)["stopword_ratio"] for x in texts])
+    y = np.array([v == "en" for v in t.column("lang").to_pylist()])
+    n, pos = bin_label_counts(s, y)
+    return calibration_table(n, pos)
+
+
 GOLDEN_BUILDERS = {
     "kmeans_clusters": golden_kmeans_clusters,
     "semdedup_docs": golden_semdedup_docs,
@@ -1427,6 +1442,7 @@ GOLDEN_BUILDERS = {
     "host_scc": golden_host_scc,
     "host_harmonic": golden_host_harmonic,
     "bitext_mining": golden_bitext_mining,
+    "isotonic_calibration": golden_isotonic_calibration,
 }
 
 
