@@ -4265,6 +4265,49 @@ def _q_host_hits(sf_dir: str):
     )
 
 
+def _q_sq8_recall(sf_dir: str):
+    """Scalar-quantization recall audit: exact cosine top-5 vs the
+    int8-quantized index (similarity.quantize_embeddings /
+    dequantized_topk) on the shared ANN query rule — the eval a
+    pipeline runs before swapping the 4×-smaller index in.  Oracle:
+    golden parquet from the sequential mirror (same f32 kernels and
+    (-score, vec_id) tie rule)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from dots_ocr_ray.pipelines.similarity import (
+        brute_force_topk,
+        dequantized_topk,
+        quantize_embeddings,
+    )
+    from dots_ocr_ray.util import round_half_away
+
+    k = 50
+    queries, ds = _ann_inputs(sf_dir)
+    exact = brute_force_topk(ds, queries, k=k)
+    quantized, codebook = quantize_embeddings(ds)
+    sq = dequantized_topk(quantized, codebook, queries, list(range(len(queries))), k=k)
+
+    def _sets(tbl):
+        out: dict[int, set[int]] = {}
+        for q, v in zip(tbl.column("query_id").to_pylist(), tbl.column("vec_id").to_pylist()):
+            out.setdefault(int(q), set()).add(int(v))
+        return out
+
+    ex, qz = _sets(exact), _sets(sq)
+    qids = sorted(ex)
+    overlap = np.array([len(ex[q] & qz.get(q, set())) for q in qids], dtype=np.int64)
+    return pa.table(
+        {
+            "query_id": pa.array(qids, type=pa.int64()),
+            "n_overlap": pa.array(overlap, type=pa.int64()),
+            "recall": pa.array(
+                round_half_away(overlap * 1.0 / k, 6), type=pa.float64()
+            ),
+        }
+    )
+
+
 def _q_isotonic_calibration(sf_dir: str):
     """Isotonic (PAV) calibration of the stopword-ratio English-ness
     score against the true lang=='en' label: bounded per-batch bin
@@ -4509,6 +4552,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lexicon_flags": _q_lexicon_flags,
         "bitext_mining": _q_bitext_mining,
         "isotonic_calibration": _q_isotonic_calibration,
+        "sq8_recall": _q_sq8_recall,
     }
 
 
@@ -5946,5 +5990,9 @@ def oracle_sql() -> dict[str, str]:
         "isotonic_calibration": (
             f"SELECT bin_id, n, n_pos, rate_raw, rate_iso "
             f"FROM read_parquet('{_GOLDEN_DIR}/isotonic_calibration.parquet')"
+        ),
+        "sq8_recall": (
+            f"SELECT query_id, n_overlap, recall "
+            f"FROM read_parquet('{_GOLDEN_DIR}/sq8_recall.parquet')"
         ),
     }

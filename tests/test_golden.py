@@ -70,6 +70,7 @@ def _canon(obj) -> pd.DataFrame:
         "host_harmonic",
         "bitext_mining",
         "isotonic_calibration",
+        "sq8_recall",
     ],
 )
 def test_golden_parity(ray_session, name):

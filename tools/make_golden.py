@@ -1398,6 +1398,47 @@ def golden_isotonic_calibration(sf_dir: str) -> pa.Table:
     return calibration_table(n, pos)
 
 
+def golden_sq8_recall(sf_dir: str, *, k: int = 50) -> pa.Table:
+    """Sequential mirror of the sq8_recall query: same 4-lowest-vec_id
+    query rule, same f32 normalize / quantize kernels, same
+    (-score, vec_id) top-k tie rule on both the exact and the
+    dequantized side."""
+    from dots_ocr_ray.pipelines.similarity import _normalize_rows as _nrm
+    from dots_ocr_ray.util import round_half_away
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = t.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    mat = np.asarray(t.column("embedding").to_pylist(), dtype=np.float32)
+    order = np.argsort(ids, kind="stable")
+    queries = mat[order[:4]]
+    qn = _nrm(queries)
+
+    def _topk_sets(sims: np.ndarray) -> list[set]:
+        out = []
+        for qi in range(sims.shape[0]):
+            sel = np.lexsort((ids, -sims[qi]))[:k]
+            out.append(set(ids[sel].tolist()))
+        return out
+
+    ex = _topk_sets(qn @ _nrm(mat).T)
+    mins = mat.min(axis=0).astype(np.float64)
+    maxs = mat.max(axis=0).astype(np.float64)
+    scale = (maxs - mins) / 255.0
+    scale[scale == 0] = 1.0
+    lo, sc = mins.astype(np.float32), scale.astype(np.float32)
+    q8 = np.clip(np.rint((mat - lo) / sc), 0, 255).astype(np.uint8)
+    deq = _nrm(q8.astype(np.float32) * sc + lo)
+    qz = _topk_sets(qn @ deq.T)
+    overlap = np.array([len(a & b) for a, b in zip(ex, qz)], dtype=np.int64)
+    return pa.table(
+        {
+            "query_id": pa.array(np.arange(len(ex), dtype=np.int64), type=pa.int64()),
+            "n_overlap": pa.array(overlap, type=pa.int64()),
+            "recall": pa.array(round_half_away(overlap * 1.0 / k, 6), type=pa.float64()),
+        }
+    )
+
+
 GOLDEN_BUILDERS = {
     "kmeans_clusters": golden_kmeans_clusters,
     "semdedup_docs": golden_semdedup_docs,
@@ -1443,6 +1484,7 @@ GOLDEN_BUILDERS = {
     "host_harmonic": golden_host_harmonic,
     "bitext_mining": golden_bitext_mining,
     "isotonic_calibration": golden_isotonic_calibration,
+    "sq8_recall": golden_sq8_recall,
 }
 
 
