@@ -4265,6 +4265,36 @@ def _q_host_hits(sf_dir: str):
     )
 
 
+def _q_host_cap_sample(sf_dir: str):
+    """Per-host diversity cap kept by quality: at most 5 docs per host
+    (doc_id % 40, the fixture URL rule), preferring the longest
+    (n_chars desc, doc_id asc) — RefinedWeb's host-domination guard.
+    ONE bucket-keyed exchange (relational.top_per_key).  Oracle:
+    row_number() window SQL."""
+    import pyarrow as pa
+
+    import ray.data
+
+    from dots_ocr_ray.pipelines.relational import top_per_key
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"])
+
+    def _host(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.append_column("host", pa.array(ids % 40, type=pa.int64()))
+
+    capped = top_per_key(
+        ds.map_batches(_host, batch_format="pyarrow"),
+        key_col="host",
+        k=5,
+        desc_col="n_chars",
+        tie_col="doc_id",
+    )
+    return capped.select_columns(["host", "doc_id", "n_chars", "rk"])
+
+
 def _q_sq8_recall(sf_dir: str):
     """Scalar-quantization recall audit: exact cosine top-5 vs the
     int8-quantized index (similarity.quantize_embeddings /
@@ -4553,6 +4583,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bitext_mining": _q_bitext_mining,
         "isotonic_calibration": _q_isotonic_calibration,
         "sq8_recall": _q_sq8_recall,
+        "host_cap_sample": _q_host_cap_sample,
     }
 
 
@@ -5994,5 +6025,11 @@ def oracle_sql() -> dict[str, str]:
         "sq8_recall": (
             f"SELECT query_id, n_overlap, recall "
             f"FROM read_parquet('{_GOLDEN_DIR}/sq8_recall.parquet')"
+        ),
+        "host_cap_sample": (
+            "SELECT host, doc_id, n_chars, rk FROM ("
+            "SELECT doc_id % 40 AS host, doc_id, n_chars, "
+            "row_number() OVER (PARTITION BY doc_id % 40 "
+            "ORDER BY n_chars DESC, doc_id) AS rk FROM documents) WHERE rk <= 5"
         ),
     }

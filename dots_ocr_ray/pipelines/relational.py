@@ -2487,3 +2487,56 @@ def equi_depth_histogram(
             "sum_cents": pa.array(s_tot, type=pa.int64()),
         }
     )
+
+
+def top_per_key(
+    ds: ray.data.Dataset,
+    *,
+    key_col: str,
+    k: int,
+    desc_col: str,
+    tie_col: str,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Grouped top-k by an explicit priority — the per-host diversity
+    cap (RefinedWeb's "no host may dominate" rule, kept-by-quality
+    variant): at most ``k`` rows per key, the ones with the largest
+    ``desc_col`` (ties → smallest ``tie_col``), plus their within-key
+    rank ``rk`` (1-based).
+
+    Same exchange discipline as :func:`sample_per_key`: ONE
+    bucket-keyed exchange on hash(key); each bucket lexsorts its rows
+    by (key, -desc, tie) and slices the first k of every key run
+    vectorized — Python cost O(num_buckets), never O(keys), and the
+    driver holds nothing."""
+    import numpy as np
+
+    def _tag(batch: pa.Table) -> pa.Table:
+        bkt = (_stable_key_hash(batch.column(key_col)) % np.uint64(num_buckets)).astype(
+            np.int32
+        )
+        return batch.append_column("__bucket", pa.array(bkt, type=pa.int32()))
+
+    def _fold(group: pa.Table) -> pa.Table:
+        keys = group.column(key_col).to_numpy(zero_copy_only=False)
+        desc = group.column(desc_col).to_numpy(zero_copy_only=False)
+        tie = group.column(tie_col).to_numpy(zero_copy_only=False)
+        order = np.lexsort((tie, -desc, keys))
+        sorted_keys = keys[order]
+        change = np.concatenate([[True], sorted_keys[1:] != sorted_keys[:-1]])
+        starts = np.flatnonzero(change)
+        run_start = np.repeat(starts, np.diff(np.append(starts, len(sorted_keys))))
+        pos = np.arange(len(sorted_keys)) - run_start
+        keep = pos < k
+        out = group.take(order[keep]).drop_columns(["__bucket"])
+        return out.append_column("rk", pa.array((pos[keep] + 1).astype(np.int64), type=pa.int64()))
+
+    from dots_ocr_ray.util import bounded_blocks
+
+    return (
+        bounded_blocks(
+            ds.map_batches(_tag, batch_format="pyarrow"), rows_per_block=1_048_576
+        )
+        .groupby("__bucket")
+        .map_groups(_fold, batch_format="pyarrow")
+    )

@@ -1158,3 +1158,31 @@ def test_equi_depth_histogram_mass_ties(ray_session):
     rows = t.to_pylist()
     assert sum(r["n"] for r in rows) == 100
     assert sum(r["sum_cents"] for r in rows) == int(sum(v * 100 for v in vals))
+
+
+def test_top_per_key_priority_and_partition_invariance(ray_session):
+    import ray.data
+
+    from dots_ocr_ray.pipelines.relational import top_per_key
+
+    # key 0: values 10,20,30,40 → top-2 = ids of 40,30; tie on desc →
+    # smaller id wins
+    rows = [
+        {"k": 0, "id": 1, "v": 10},
+        {"k": 0, "id": 2, "v": 40},
+        {"k": 0, "id": 3, "v": 30},
+        {"k": 0, "id": 4, "v": 20},
+        {"k": 1, "id": 5, "v": 7},
+        {"k": 1, "id": 6, "v": 7},
+        {"k": 1, "id": 7, "v": 7},
+        {"k": 2, "id": 8, "v": 1},
+    ]
+    ds = ray.data.from_items(rows)
+    out = top_per_key(ds, key_col="k", k=2, desc_col="v", tie_col="id").take_all()
+    got = {(r["k"], r["id"], r["rk"]) for r in out}
+    assert got == {(0, 2, 1), (0, 3, 2), (1, 5, 1), (1, 6, 2), (2, 8, 1)}
+    # partitioning must not change the cap
+    out2 = top_per_key(
+        ds.repartition(5), key_col="k", k=2, desc_col="v", tie_col="id"
+    ).take_all()
+    assert {(r["k"], r["id"], r["rk"]) for r in out2} == got
