@@ -4265,6 +4265,34 @@ def _q_host_hits(sf_dir: str):
     )
 
 
+def _q_epoch_schedule(sf_dir: str):
+    """Multi-epoch data-loader schedule: an independent deterministic
+    global permutation per training epoch (epoch-salted md5 order,
+    exact dense positions via the distributed zipWithIndex) — each
+    epoch sees every doc exactly once, in a different order, on any
+    cluster size.  Oracle: per-epoch row_number over the same salted
+    md5 ordering."""
+    import pyarrow as pa
+
+    import ray.data
+
+    from dots_ocr_ray.pipelines.packing import global_shuffle_index
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    parts = []
+    for e in (1, 2, 3):
+        idx = global_shuffle_index(docs, salt=f"e{e}")
+
+        def _tag(batch: pa.Table, epoch=e) -> pa.Table:
+            return batch.append_column(
+                "epoch", pa.array([epoch] * batch.num_rows, type=pa.int64())
+            )
+
+        parts.append(idx.map_batches(_tag, batch_format="pyarrow"))
+    out = parts[0].union(*parts[1:])
+    return out.select_columns(["epoch", "doc_id", "shuffle_pos"])
+
+
 def _q_host_cap_sample(sf_dir: str):
     """Per-host diversity cap kept by quality: at most 5 docs per host
     (doc_id % 40, the fixture URL rule), preferring the longest
@@ -4584,6 +4612,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "isotonic_calibration": _q_isotonic_calibration,
         "sq8_recall": _q_sq8_recall,
         "host_cap_sample": _q_host_cap_sample,
+        "epoch_schedule": _q_epoch_schedule,
     }
 
 
@@ -6031,5 +6060,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id % 40 AS host, doc_id, n_chars, "
             "row_number() OVER (PARTITION BY doc_id % 40 "
             "ORDER BY n_chars DESC, doc_id) AS rk FROM documents) WHERE rk <= 5"
+        ),
+        "epoch_schedule": (
+            " UNION ALL ".join(
+                f"SELECT CAST({e} AS BIGINT) AS epoch, doc_id, "
+                "CAST(row_number() OVER "
+                f"(ORDER BY md5(CAST(doc_id AS VARCHAR) || ':e{e}'), doc_id) AS BIGINT) "
+                "AS shuffle_pos FROM documents"
+                for e in (1, 2, 3)
+            )
         ),
     }

@@ -27,6 +27,7 @@ def global_shuffle_index(
     ds: ray.data.Dataset,
     *,
     id_col: str = "doc_id",
+    salt: str | None = None,
 ) -> ray.data.Dataset:
     """Deterministic global shuffle with EXACT positions — the
     distributed zipWithIndex Ray Data lacks.
@@ -52,7 +53,12 @@ def global_shuffle_index(
 
     def _keys(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_pylist()
-        hexes = [md5_hex(str(i)) for i in ids]
+        # salt varies the permutation per epoch (multi-epoch loader
+        # schedules) without changing the unsalted legacy order
+        if salt is None:
+            hexes = [md5_hex(str(i)) for i in ids]
+        else:
+            hexes = [md5_hex(f"{i}:{salt}") for i in ids]
         buckets = np.array([int(h[:2], 16) for h in hexes], dtype=np.int64)
         return pa.table(
             {
