@@ -4265,6 +4265,51 @@ def _q_host_hits(sf_dir: str):
     )
 
 
+def _q_schema_evolution(sf_dir: str):
+    """Additive schema evolution on the snapshot-versioned table: v1
+    commits (doc_id, lang); a v2 copy-on-write merge upserts
+    doc_id%10==3 rows carrying a NEW quality column.  The latest read
+    unifies file footers and null-backfills rows that predate the
+    column — no rewrite of untouched files.  Oracle: CASE-backfilled
+    projection of the documents table."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray.data
+
+    from dots_ocr_ray.pipelines.timetravel import create_table, merge_version, read_version
+
+    base, built = _scratch_dir("schemaevo", sf_dir)
+    out = os.path.join(base, "table")
+    if not built:
+        docs = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+        )
+        create_table(
+            docs.select_columns(["doc_id", "lang"]).repartition(4),
+            out,
+            key_col="doc_id",
+            rows_per_file=128,
+        )
+        full = pa.concat_tables(
+            [b for b in docs.iter_batches(batch_format="pyarrow")]
+        )  # fixture scale: the evolution delta is built driver-side
+        ids = full.column("doc_id")
+        mod = pc.subtract(ids, pc.multiply(pc.divide(ids, 10), 10))
+        delta = full.filter(pc.equal(mod, pa.scalar(3, pa.int64())))
+        delta = pa.table(
+            {
+                "doc_id": delta.column("doc_id"),
+                "lang": delta.column("lang"),
+                "quality": delta.column("n_chars").cast(pa.int64()),
+            }
+        )
+        merge_version(out, upserts=delta)
+    return read_version(out).select_columns(["doc_id", "lang", "quality"])
+
+
 def _q_epoch_schedule(sf_dir: str):
     """Multi-epoch data-loader schedule: an independent deterministic
     global permutation per training epoch (epoch-salted md5 order,
@@ -4613,6 +4658,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sq8_recall": _q_sq8_recall,
         "host_cap_sample": _q_host_cap_sample,
         "epoch_schedule": _q_epoch_schedule,
+        "schema_evolution": _q_schema_evolution,
     }
 
 
@@ -6069,5 +6115,9 @@ def oracle_sql() -> dict[str, str]:
                 "AS shuffle_pos FROM documents"
                 for e in (1, 2, 3)
             )
+        ),
+        "schema_evolution": (
+            "SELECT doc_id, lang, "
+            "CASE WHEN doc_id % 10 = 3 THEN n_chars END AS quality FROM documents"
         ),
     }

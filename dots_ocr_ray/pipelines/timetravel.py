@@ -135,13 +135,25 @@ def read_version(
 ) -> ray.data.Dataset:
     """Time-travel read: the file list of ``version`` (default latest)
     as a streaming parquet scan."""
+    import pyarrow.parquet as pq
+
     fs, root = resolve_fs(table_dir)
     v = version if version is not None else latest_version(table_dir)
     manifest = _load_manifest(fs, root, v)
     paths = [e["path"] for e in manifest["files"]]
     if not paths:
         return ray.data.from_arrow(pa.table({}))
-    return ray.data.read_parquet(paths, filesystem=fs, columns=columns)
+    # additive schema evolution: files committed before a column
+    # existed stay untouched on disk; unify their footers (metadata
+    # reads, O(files) driver-side) and let the scan null-backfill.
+    # At 10^6-file scale the unified schema would be cached in the
+    # manifest instead — same read path.
+    schemas = []
+    for p in paths:
+        with fs.open_input_file(p) as f:
+            schemas.append(pq.read_schema(f))
+    unified = pa.unify_schemas(schemas, promote_options="default")
+    return ray.data.read_parquet(paths, filesystem=fs, schema=unified, columns=columns)
 
 
 def merge_version(
@@ -274,11 +286,16 @@ def merge_version(
                     drop |= np.isin(keys, d["up_keys"])
                     mine = d["owner"] == file_idx
                     if mine.any():
-                        parts.append(
-                            up_d.filter(pa.array(mine)).select(tbl.column_names)
-                        )
+                        # keep the delta's full schema: additive
+                        # evolution promotes on concat (old rows get
+                        # nulls for columns they predate)
+                        parts.append(up_d.filter(pa.array(mine)))
                 kept = tbl.filter(pa.array(~drop))
-                out = pa.concat_tables([kept] + parts) if parts else kept
+                out = (
+                    pa.concat_tables([kept] + parts, promote_options="default")
+                    if parts
+                    else kept
+                )
                 if out.num_rows == 0:
                     continue
                 out = out.sort_by(kcol)

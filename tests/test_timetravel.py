@@ -128,3 +128,37 @@ def test_vacuum_keeps_live_versions_readable(ray_session, tmp_path):
     # expired manifests are gone
     with pytest.raises(Exception):
         read_version(d, 1)
+
+
+def test_schema_evolution_null_backfill(ray_session, tmp_path):
+    import pyarrow as pa
+
+    import ray.data
+
+    from dots_ocr_ray.pipelines.timetravel import (
+        create_table,
+        merge_version,
+        read_version,
+    )
+
+    out = str(tmp_path / "tbl")
+    rows = [{"k": i, "v": f"r{i}"} for i in range(10)]
+    create_table(ray.data.from_items(rows), out, key_col="k", rows_per_file=4)
+    delta = pa.table(
+        {
+            "k": pa.array([3, 100], type=pa.int64()),
+            "v": pa.array(["r3b", "new"], type=pa.string()),
+            "extra": pa.array([33, 77], type=pa.int64()),
+        }
+    )
+    merge_version(out, upserts=delta)
+    got = {r["k"]: r for r in read_version(out, 2).take_all()}
+    assert got[3] == {"k": 3, "v": "r3b", "extra": 33}
+    assert got[100] == {"k": 100, "v": "new", "extra": 77}
+    # rows predating the column read back as null
+    assert got[0] == {"k": 0, "v": "r0", "extra": None}
+    assert len(got) == 11
+    # v1 stays readable with its original schema (no extra column)
+    v1 = read_version(out, 1)
+    assert "extra" not in v1.schema().names
+    assert v1.count() == 10
