@@ -4265,6 +4265,61 @@ def _q_host_hits(sf_dir: str):
     )
 
 
+def _q_bootstrap_ci(sf_dir: str):
+    """Deterministic multiplier bootstrap over mean(n_chars): 32
+    replicas whose per-doc integer weights (0/1/2, mean 1) come from
+    two bits of a Knuth-style hash of (doc_id, replica) — the
+    uncertainty band a curation pipeline attaches to a corpus
+    statistic without a second pass.  Each batch emits 32 integer
+    (sum_w, sum_wx) partials (exchange O(batches × replicas)); one
+    float division at the end.  Oracle: the same hash bits in SQL over
+    a documents × replicas cross join."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from dots_ocr_ray.util import round_half_away
+
+    R = 32
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"])
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        x = batch.column("n_chars").to_numpy(zero_copy_only=False).astype(np.int64)
+        reps = np.arange(R, dtype=np.int64)
+        h = ((ids[:, None] * 33 + reps[None, :]) * 2654435761) % 4294967296
+        w = (h % 2) + ((h // 2) % 2)
+        return pa.table(
+            {
+                "replica": pa.array(reps, type=pa.int64()),
+                "sum_w": pa.array(w.sum(axis=0).astype(np.int64), type=pa.int64()),
+                "sum_wx": pa.array(
+                    (w * x[:, None]).sum(axis=0).astype(np.int64), type=pa.int64()
+                ),
+            }
+        )
+
+    sw = np.zeros(R, dtype=np.int64)
+    swx = np.zeros(R, dtype=np.int64)
+    for b in ds.map_batches(_partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        rep = b.column("replica").to_numpy(zero_copy_only=False)
+        np.add.at(sw, rep, b.column("sum_w").to_numpy(zero_copy_only=False))
+        np.add.at(swx, rep, b.column("sum_wx").to_numpy(zero_copy_only=False))
+    return pa.table(
+        {
+            "replica": pa.array(np.arange(R, dtype=np.int64), type=pa.int64()),
+            "sum_w": pa.array(sw, type=pa.int64()),
+            "sum_wx": pa.array(swx, type=pa.int64()),
+            "mean_rep": pa.array(
+                round_half_away(swx * 1.0 / sw, 6), type=pa.float64()
+            ),
+        }
+    )
+
+
 def _q_schema_evolution(sf_dir: str):
     """Additive schema evolution on the snapshot-versioned table: v1
     commits (doc_id, lang); a v2 copy-on-write merge upserts
@@ -4659,6 +4714,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_cap_sample": _q_host_cap_sample,
         "epoch_schedule": _q_epoch_schedule,
         "schema_evolution": _q_schema_evolution,
+        "bootstrap_ci": _q_bootstrap_ci,
     }
 
 
@@ -6119,5 +6175,17 @@ def oracle_sql() -> dict[str, str]:
         "schema_evolution": (
             "SELECT doc_id, lang, "
             "CASE WHEN doc_id % 10 = 3 THEN n_chars END AS quality FROM documents"
+        ),
+        "bootstrap_ci": (
+            "WITH r AS (SELECT unnest(generate_series(0, 31)) AS replica), "
+            "w AS (SELECT r.replica, "
+            "((d.doc_id * 33 + r.replica) * 2654435761) % 4294967296 AS h, d.n_chars "
+            "FROM documents d CROSS JOIN r) "
+            "SELECT replica, "
+            "CAST(sum((h % 2) + ((h // 2) % 2)) AS BIGINT) AS sum_w, "
+            "CAST(sum(((h % 2) + ((h // 2) % 2)) * n_chars) AS BIGINT) AS sum_wx, "
+            "ROUND(sum(((h % 2) + ((h // 2) % 2)) * n_chars) * 1.0 / "
+            "sum((h % 2) + ((h // 2) % 2)), 6) AS mean_rep "
+            "FROM w GROUP BY replica ORDER BY replica"
         ),
     }
