@@ -4265,6 +4265,71 @@ def _q_host_hits(sf_dir: str):
     )
 
 
+def _q_trending_types(sf_dir: str):
+    """Daily trending leaderboard: top-3 event types per day by count
+    (ties → lexicographic type) — the windowed grouped top-k a feed
+    pipeline materializes per period.  Exchange is O(batches × days ×
+    types) partial count rows; the driver ranks a table bounded by
+    days × types, never events.  Oracle: row_number window SQL over
+    the same day bucketing."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data
+
+    DAY_US = 86_400_000_000
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type"])
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        us = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        day = us // DAY_US
+        types = batch.column("event_type").to_numpy(zero_copy_only=False)
+        g = (
+            pd.DataFrame({"day": day, "event_type": types})
+            .groupby(["day", "event_type"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        return pa.table(
+            {
+                "day": pa.array(g["day"].to_numpy(), type=pa.int64()),
+                "event_type": pa.array(g["event_type"], type=pa.string()),
+                "n": pa.array(g["n"].to_numpy().astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    fold: dict[tuple[int, str], int] = {}
+    for b in ds.map_batches(_partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for d, t, n in zip(
+            b.column("day").to_pylist(),
+            b.column("event_type").to_pylist(),
+            b.column("n").to_pylist(),
+        ):
+            fold[(d, t)] = fold.get((d, t), 0) + n
+    ranked = sorted(fold.items(), key=lambda kv: (kv[0][0], -kv[1], kv[0][1]))
+    days, types, ns, rks = [], [], [], []
+    prev_day, rk = None, 0
+    for (d, t), n in ranked:
+        rk = rk + 1 if d == prev_day else 1
+        prev_day = d
+        if rk <= 3:
+            days.append(d)
+            types.append(t)
+            ns.append(n)
+            rks.append(rk)
+    return pa.table(
+        {
+            "day": pa.array(days, type=pa.int64()),
+            "event_type": pa.array(types, type=pa.string()),
+            "n": pa.array(ns, type=pa.int64()),
+            "rk": pa.array(rks, type=pa.int64()),
+        }
+    )
+
+
 def _q_bootstrap_ci(sf_dir: str):
     """Deterministic multiplier bootstrap over mean(n_chars): 32
     replicas whose per-doc integer weights (0/1/2, mean 1) come from
@@ -4715,6 +4780,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "epoch_schedule": _q_epoch_schedule,
         "schema_evolution": _q_schema_evolution,
         "bootstrap_ci": _q_bootstrap_ci,
+        "trending_types": _q_trending_types,
     }
 
 
@@ -6187,5 +6253,13 @@ def oracle_sql() -> dict[str, str]:
             "ROUND(sum(((h % 2) + ((h // 2) % 2)) * n_chars) * 1.0 / "
             "sum((h % 2) + ((h // 2) % 2)), 6) AS mean_rep "
             "FROM w GROUP BY replica ORDER BY replica"
+        ),
+        "trending_types": (
+            "WITH c AS (SELECT epoch_us(ts) // 86400000000 AS day, event_type, "
+            "count(*) AS n FROM events GROUP BY 1, 2) "
+            "SELECT day, event_type, n, rk FROM ("
+            "SELECT day, event_type, CAST(n AS BIGINT) AS n, "
+            "CAST(row_number() OVER (PARTITION BY day ORDER BY n DESC, event_type) AS BIGINT) AS rk "
+            "FROM c) WHERE rk <= 3"
         ),
     }
