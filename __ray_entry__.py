@@ -1585,18 +1585,6 @@ def _q_normalized_texts(sf_dir: str):
     return normalize_text(docs)
 
 
-def _q_label_centroids(sf_dir: str):
-    """Per-label mean embedding (vector aggregate): one scatter-add
-    partial per batch, kilobyte driver merge; INDEPENDENT SQL oracle
-    (unnest + generate_subscripts + avg)."""
-    import ray.data
-
-    from dots_ocr_ray.pipelines.similarity import group_centroids
-
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"])
-    return group_centroids(ds, group_col="label")
-
-
 def _q_kmeans_clusters(sf_dir: str):
     """Corpus-wide k-means cluster assignment over the embedding
     column (SemDeDup-style curation primitive): deterministic
@@ -5328,11 +5316,6 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, trim(regexp_replace(lower(nfc_normalize(text)), '\\s+', ' ', 'g')) AS norm_text, "
             "CAST(length(trim(regexp_replace(lower(nfc_normalize(text)), '\\s+', ' ', 'g'))) AS BIGINT) AS n_chars_norm "
             "FROM documents"
-        ),
-        "label_centroids": (
-            "SELECT label, CAST(idx AS BIGINT) AS idx, round(avg(v), 4) AS c FROM ("
-            "SELECT label, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS idx "
-            "FROM embeddings) GROUP BY label, idx"
         ),
         "lang_id_confusion": f"SELECT lang, lang_pred, n FROM read_parquet('{_GOLDEN_DIR}/lang_id_confusion.parquet')",
         "fingerprint_dups": f"SELECT fingerprint, n_docs, min_doc_id FROM read_parquet('{_GOLDEN_DIR}/fingerprint_dups.parquet')",

@@ -2258,6 +2258,24 @@ def attach_int_column(
     )
 
 
+def _first_k_per_run(sorted_keys, k: int):
+    """(keep_mask, pos) over an array sorted so equal keys are
+    adjacent: ``pos`` is the 0-based position inside each key run,
+    ``keep`` is ``pos < k`` — the shared gaps-and-islands slice behind
+    the k-per-key operators (:func:`sample_per_key`,
+    :func:`top_per_key`)."""
+    import numpy as np
+
+    n = len(sorted_keys)
+    if n == 0:
+        return np.zeros(0, dtype=bool), np.zeros(0, dtype=np.int64)
+    change = np.concatenate([[True], sorted_keys[1:] != sorted_keys[:-1]])
+    starts = np.flatnonzero(change)
+    run_start = np.repeat(starts, np.diff(np.append(starts, n)))
+    pos = np.arange(n) - run_start
+    return pos < k, pos
+
+
 def sample_per_key(
     ds: ray.data.Dataset,
     *,
@@ -2295,14 +2313,8 @@ def sample_per_key(
         keys = group.column(key_col).to_numpy(zero_copy_only=False)
         ranks = group.column("__rank").to_numpy(zero_copy_only=False)
         order = np.lexsort((ranks, keys))
-        sorted_keys = keys[order]
-        # first-k-per-run: position within the key run < k
-        change = np.concatenate([[True], sorted_keys[1:] != sorted_keys[:-1]])
-        starts = np.flatnonzero(change)
-        run_start = np.repeat(starts, np.diff(np.append(starts, len(sorted_keys))))
-        pos = np.arange(len(sorted_keys)) - run_start
-        keep_idx = order[pos < k]
-        return group.take(keep_idx).drop_columns(["__rank", "__bucket"])
+        keep, _ = _first_k_per_run(keys[order], k)
+        return group.take(order[keep]).drop_columns(["__rank", "__bucket"])
 
     from dots_ocr_ray.util import bounded_blocks
 
@@ -2522,12 +2534,7 @@ def top_per_key(
         desc = group.column(desc_col).to_numpy(zero_copy_only=False)
         tie = group.column(tie_col).to_numpy(zero_copy_only=False)
         order = np.lexsort((tie, -desc, keys))
-        sorted_keys = keys[order]
-        change = np.concatenate([[True], sorted_keys[1:] != sorted_keys[:-1]])
-        starts = np.flatnonzero(change)
-        run_start = np.repeat(starts, np.diff(np.append(starts, len(sorted_keys))))
-        pos = np.arange(len(sorted_keys)) - run_start
-        keep = pos < k
+        keep, pos = _first_k_per_run(keys[order], k)
         out = group.take(order[keep]).drop_columns(["__bucket"])
         return out.append_column("rk", pa.array((pos[keep] + 1).astype(np.int64), type=pa.int64()))
 
