@@ -3416,6 +3416,23 @@ def _q_order_value_histogram(sf_dir: str):
     return equi_depth_histogram(orders, "o_totalprice", n_bins=8)
 
 
+def _q_mad_outlier_scores(sf_dir: str):
+    """Global robust (median/MAD) modified z-scores of document length
+    in exact integer micro-units — the heavy-tail-safe length gate
+    (median and MAD are immune to the outliers being hunted, unlike
+    mean/std).  Two bounded distinct-value exchanges + a zero-exchange
+    scoring pass; bit-identical to the SQL mirror (integer floor-div
+    only, no float arithmetic)."""
+    import ray.data
+
+    from dots_ocr_ray.pipelines.relational import mad_robust_scores
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+    return mad_robust_scores(docs, value_col="n_chars")
+
+
 def _q_label_centroids(sf_dir: str):
     """Per-label embedding centroid sufficient statistics (label, dim,
     sum_q, n) with components quantized to round(x*2^20) int64 BEFORE
@@ -4639,6 +4656,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_stratified_sample": _q_lang_stratified_sample,
         "host_doc_gini": _q_host_doc_gini,
         "order_value_histogram": _q_order_value_histogram,
+        "mad_outlier_scores": _q_mad_outlier_scores,
         "label_centroids": _q_label_centroids,
         "chars_range_pruned": _q_chars_range_pruned,
         "csv_roundtrip": _q_csv_roundtrip,
@@ -5591,6 +5609,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(bin AS BIGINT) AS bin, count(*) AS n, "
             "CAST(sum(CAST(round(p * 100) AS BIGINT)) AS BIGINT) AS sum_cents "
             "FROM binned GROUP BY bin"
+        ),
+        # robust modified z in integer micro-units: floor-div only
+        "mad_outlier_scores": (
+            "WITH med AS (SELECT quantile_disc(n_chars, 0.5) AS m FROM documents), "
+            "mad AS (SELECT quantile_disc(abs(n_chars - (SELECT m FROM med)), 0.5) AS d FROM documents) "
+            "SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, "
+            "CAST(abs(n_chars - (SELECT m FROM med)) AS BIGINT) AS dev, "
+            "CAST((6745 * abs(n_chars - (SELECT m FROM med)) * 100) // (SELECT d FROM mad) AS BIGINT) AS score_micro, "
+            "CAST(CASE WHEN (6745 * abs(n_chars - (SELECT m FROM med)) * 100) // (SELECT d FROM mad) > 3500000 "
+            "THEN 1 ELSE 0 END AS BIGINT) AS is_outlier "
+            "FROM documents"
         ),
         # exact centroid sufficient stats: 2^20-quantized integer sums
         "label_centroids": (

@@ -1980,6 +1980,65 @@ def zscore_outliers(
     return ds.map_batches(_flag, batch_format="pyarrow")
 
 
+def mad_robust_scores(
+    ds: ray.data.Dataset,
+    *,
+    value_col: str,
+    scale_num: int = 6745,
+    z_micro_thresh: int = 3_500_000,
+) -> ray.data.Dataset:
+    """Global robust outlier scoring of an integer column via
+    median/MAD — the modified z-score 0.6745·|x − median| / MAD
+    (Iglewicz & Hoaglin), kept in EXACT integer micro-units
+    ``(6745 · dev · 100) // MAD`` so every engine computes
+    bit-identical scores (no float division anywhere).
+
+    Unlike :func:`zscore_outliers` (mean/std, key-partitioned), this is
+    the GLOBAL heavy-tail-safe variant a length/score cleaning gate
+    wants: median and MAD are immune to the very outliers being
+    hunted.  Two bounded (distinct-value)-level exchanges compute the
+    exact median then the exact MAD through
+    :func:`exact_int_quantiles` — the exchange moves one row per
+    DISTINCT value, never per row — and the scoring pass is
+    zero-exchange batch-local arithmetic with the two scalars riding
+    the task closure.  ``ds`` is consumed twice (median pass + dev
+    pass); pass a re-readable source or materialize upstream.
+
+    MAD == 0 (over half the values equal the median) degenerates by
+    convention: score 0 at the median, flagged elsewhere."""
+    import numpy as np
+
+    med_tbl = exact_int_quantiles(ds, value_col, [0.5])
+    med = med_tbl.column("value")[0].as_py()
+    if med is None:  # empty input
+        med = 0
+
+    def _dev(batch: pa.Table) -> pa.Table:
+        v = batch.column(value_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"dev": pa.array(np.abs(v - med), type=pa.int64())})
+
+    mad_tbl = exact_int_quantiles(
+        ds.map_batches(_dev, batch_format="pyarrow"), "dev", [0.5]
+    )
+    mad = mad_tbl.column("value")[0].as_py() or 0
+
+    def _score(batch: pa.Table) -> pa.Table:
+        v = batch.column(value_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        dev = np.abs(v - med)
+        if mad > 0:
+            score = (scale_num * dev * 100) // mad
+        else:
+            score = np.where(dev == 0, 0, z_micro_thresh + 1).astype(np.int64)
+        batch = batch.append_column("dev", pa.array(dev, type=pa.int64()))
+        batch = batch.append_column("score_micro", pa.array(score, type=pa.int64()))
+        return batch.append_column(
+            "is_outlier",
+            pa.array((score > z_micro_thresh).astype(np.int64), type=pa.int64()),
+        )
+
+    return ds.map_batches(_score, batch_format="pyarrow")
+
+
 def regional_supplier_volume(
     sf_dir: str,
     *,

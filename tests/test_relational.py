@@ -1186,3 +1186,43 @@ def test_top_per_key_priority_and_partition_invariance(ray_session):
         ds.repartition(5), key_col="k", k=2, desc_col="v", tie_col="id"
     ).take_all()
     assert {(r["k"], r["id"], r["rk"]) for r in out2} == got
+
+
+def test_mad_robust_scores(ray_session):
+    import ray.data
+
+    from dots_ocr_ray.pipelines.relational import mad_robust_scores
+
+    # values 1..9 plus a wild outlier: median 5 (of 10 values,
+    # quantile_disc rank ceil(0.5*10)=5 → value 5), dev median = MAD
+    rows = [{"id": i, "v": v} for i, v in enumerate([1, 2, 3, 4, 5, 6, 7, 8, 9, 1000])]
+    ds = ray.data.from_items(rows)
+    out = {r["id"]: r for r in mad_robust_scores(ds, value_col="v").take_all()}
+    assert len(out) == 10
+    # sequential mirror
+    vals = sorted(r["v"] for r in rows)
+    med = vals[4]  # rank ceil(0.5*10) = 5 → 1-indexed 5th
+    devs = sorted(abs(r["v"] - med) for r in rows)
+    mad = devs[4]
+    for r in rows:
+        dev = abs(r["v"] - med)
+        score = (6745 * dev * 100) // mad
+        assert out[r["id"]]["dev"] == dev
+        assert out[r["id"]]["score_micro"] == score
+        assert out[r["id"]]["is_outlier"] == int(score > 3_500_000)
+    # the planted outlier is flagged, the bulk is not
+    assert out[9]["is_outlier"] == 1
+    assert sum(r["is_outlier"] for r in out.values()) == 1
+
+
+def test_mad_robust_scores_degenerate_mad(ray_session):
+    import ray.data
+
+    from dots_ocr_ray.pipelines.relational import mad_robust_scores
+
+    # >half the values identical → MAD == 0: convention is score 0 at
+    # the median, flagged elsewhere
+    ds = ray.data.from_items([{"id": i, "v": 7} for i in range(6)] + [{"id": 6, "v": 9}])
+    out = {r["id"]: r for r in mad_robust_scores(ds, value_col="v").take_all()}
+    assert all(out[i]["is_outlier"] == 0 and out[i]["score_micro"] == 0 for i in range(6))
+    assert out[6]["is_outlier"] == 1
