@@ -3416,6 +3416,43 @@ def _q_order_value_histogram(sf_dir: str):
     return equi_depth_histogram(orders, "o_totalprice", n_bins=8)
 
 
+def _q_recrawl_window_dedup(sf_dir: str):
+    """Tumbling-window recrawl dedup: 3 synthetic captures per url
+    (t0, +6 h, +30 h) collapse to the FIRST capture per (url, UTC
+    day) — the "store at most one copy per url per day" crawl-budget
+    rule.  One range-partitioned sort exchange (sorted_group_first
+    over the composite key), window ids as exact integer µs
+    arithmetic; oracle = ROW_NUMBER over (url, day)."""
+    import datetime
+
+    import pyarrow as pa
+
+    import ray.data
+
+    from dots_ocr_ray.pipelines.document import window_dedup
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def _captures(batch: pa.Table) -> pa.Table:
+        epoch = datetime.datetime(2025, 1, 1)
+        urls, tss = [], []
+        for doc_id in batch.column("doc_id").to_pylist():
+            url = f"https://example-{doc_id % 40:02d}.com/doc-{doc_id:06d}"
+            t0 = epoch + datetime.timedelta(seconds=137 * doc_id)
+            for off_s in (0, 21_600, 108_000):
+                urls.append(url)
+                tss.append(t0 + datetime.timedelta(seconds=off_s))
+        return pa.table(
+            {
+                "url": pa.array(urls, type=pa.string()),
+                "warc_ts": pa.array(tss, type=pa.timestamp("us")),
+            }
+        )
+
+    captures = docs.map_batches(_captures, batch_format="pyarrow")
+    return window_dedup(captures, key_col="url", ts_col="warc_ts", window_s=86400)
+
+
 def _q_mad_outlier_scores(sf_dir: str):
     """Global robust (median/MAD) modified z-scores of document length
     in exact integer micro-units — the heavy-tail-safe length gate
@@ -4656,6 +4693,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_stratified_sample": _q_lang_stratified_sample,
         "host_doc_gini": _q_host_doc_gini,
         "order_value_histogram": _q_order_value_histogram,
+        "recrawl_window_dedup": _q_recrawl_window_dedup,
         "mad_outlier_scores": _q_mad_outlier_scores,
         "label_centroids": _q_label_centroids,
         "chars_range_pruned": _q_chars_range_pruned,
@@ -5609,6 +5647,19 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(bin AS BIGINT) AS bin, count(*) AS n, "
             "CAST(sum(CAST(round(p * 100) AS BIGINT)) AS BIGINT) AS sum_cents "
             "FROM binned GROUP BY bin"
+        ),
+        # first capture per (url, UTC day); day = floor(epoch/86400)
+        "recrawl_window_dedup": (
+            "WITH caps AS (SELECT "
+            "'https://example-' || lpad(CAST(doc_id % 40 AS VARCHAR), 2, '0') "
+            "|| '.com/doc-' || lpad(CAST(doc_id AS VARCHAR), 6, '0') AS url, "
+            "TIMESTAMP '2025-01-01' + doc_id * INTERVAL 137 SECOND + off * INTERVAL 1 SECOND AS warc_ts "
+            "FROM documents CROSS JOIN (VALUES (0), (21600), (108000)) o(off)), "
+            "w AS (SELECT url, warc_ts, "
+            "CAST(epoch(warc_ts) AS BIGINT) // 86400 AS win_id FROM caps), "
+            "r AS (SELECT url, warc_ts, win_id, "
+            "row_number() OVER (PARTITION BY url, win_id ORDER BY warc_ts) AS rn FROM w) "
+            "SELECT url, warc_ts, win_id FROM r WHERE rn = 1"
         ),
         # robust modified z in integer micro-units: floor-div only
         "mad_outlier_scores": (

@@ -133,6 +133,50 @@ def latest_page_per_url(pages: ray.data.Dataset, *, url_col: str = "url", ts_col
     return combined.groupby(url_col).map_groups(_latest, batch_format="pyarrow")
 
 
+def window_dedup(
+    ds: ray.data.Dataset,
+    *,
+    key_col: str = "url",
+    ts_col: str = "warc_ts",
+    window_s: int = 86400,
+) -> ray.data.Dataset:
+    """Tumbling-window recrawl dedup: keep only the FIRST capture per
+    (key, window) — the crawl-politeness / storage-budget rule "at
+    most one stored copy of a url per day (window)", the time-bounded
+    complement of :func:`latest_page_per_url` (which keeps exactly one
+    row per url across ALL time).
+
+    The window id is exact integer arithmetic (epoch µs floor-divided
+    by the window span), the composite (key, window) group key rides
+    the exchange as one string column, and the survivor is picked by
+    :func:`~dots_ocr_ray.pipelines.dedup.sorted_group_first` — one
+    range-partitioned sort exchange + vectorized group-start
+    detection, no per-group Python.  Output = surviving rows with a
+    ``win_id`` int64 column appended (helper key dropped)."""
+    import pyarrow.compute as pc
+
+    from dots_ocr_ray.pipelines.dedup import sorted_group_first
+
+    window_us = window_s * 1_000_000
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        # normalize the unit BEFORE the int cast: a timestamp[s]/[ms]
+        # column would otherwise divide by a µs window span
+        ts_us = batch.column(ts_col).cast(pa.timestamp("us")).cast(pa.int64())
+        window = pc.divide(ts_us, pa.scalar(window_us, type=pa.int64()))
+        wkey = pc.binary_join_element_wise(
+            batch.column(key_col).cast(pa.string()), pc.cast(window, pa.string()), "\x1f"
+        )
+        batch = batch.append_column("win_id", window)
+        batch = batch.append_column("__ts_us", ts_us)
+        return batch.append_column("__wkey", wkey)
+
+    first = sorted_group_first(
+        ds.map_batches(_prep, batch_format="pyarrow"), "__wkey", "__ts_us"
+    )
+    return first.drop_columns(["__wkey", "__ts_us"])
+
+
 def metrics_by_domain(extracted: ray.data.Dataset, n_salt: int = 16) -> ray.data.Dataset:
     """Per-domain status/bytes rollup with SALTED keys: hot domains
     (one domain can hold 30% of a crawl) are split into n_salt

@@ -207,3 +207,38 @@ def test_scd2_history_single_url_and_empty(ray_session):
     assert got["content_key"].tolist() == ["a", "b"]
     assert got["n_captures"].tolist() == [2, 1]
     assert got["valid_to"].isna().tolist() == [False, True]
+
+
+def test_window_dedup(ray_session):
+    import datetime
+
+    import ray.data
+
+    from dots_ocr_ray.pipelines.document import window_dedup
+
+    d0 = datetime.datetime(2025, 1, 1)
+
+    def t(hours):
+        return d0 + datetime.timedelta(hours=hours)
+
+    rows = [
+        # url a: three captures in day 0, one in day 1 → 2 survivors
+        {"url": "a", "warc_ts": t(1)},
+        {"url": "a", "warc_ts": t(5)},
+        {"url": "a", "warc_ts": t(23)},
+        {"url": "a", "warc_ts": t(25)},
+        # url b: one capture exactly at a window boundary
+        {"url": "b", "warc_ts": t(24)},
+        {"url": "b", "warc_ts": t(24.5)},
+    ]
+    out = window_dedup(ray.data.from_items(rows), window_s=86400).take_all()
+    got = sorted((r["url"], r["win_id"], r["warc_ts"]) for r in out)
+    d0_days = (d0 - datetime.datetime(1970, 1, 1)).days
+    assert got == [
+        ("a", d0_days, t(1)),
+        ("a", d0_days + 1, t(25)),
+        ("b", d0_days + 1, t(24)),
+    ]
+    # partitioning must not change survivors
+    out2 = window_dedup(ray.data.from_items(rows).repartition(4), window_s=86400).take_all()
+    assert sorted((r["url"], r["win_id"], r["warc_ts"]) for r in out2) == got
