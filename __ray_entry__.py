@@ -3416,6 +3416,30 @@ def _q_order_value_histogram(sf_dir: str):
     return equi_depth_histogram(orders, "o_totalprice", n_bins=8)
 
 
+def _q_html_table_cells(sf_dir: str):
+    """HTML <table> extraction to relational rows: fixture pages
+    (TABLE_MOD rule plants a deterministic 2×3 table on normal docs)
+    → one row per cell (doc_id, table_idx, row_idx, col_idx, cell).
+    Zero-exchange flat explode through the same scanner as
+    segment_html; the SQL mirror reproduces the fixture's cell
+    arithmetic exactly."""
+    import functools
+
+    import ray.data
+
+    from dots_ocr_ray.fixtures import pages_from_documents_batch
+    from dots_ocr_ray.pipelines.document import table_cells_from_pages
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    pages = docs.map_batches(
+        functools.partial(pages_from_documents_batch, with_tables=True),
+        batch_format="pyarrow",
+    )
+    return table_cells_from_pages(pages)
+
+
 def _q_recrawl_window_dedup(sf_dir: str):
     """Tumbling-window recrawl dedup: 3 synthetic captures per url
     (t0, +6 h, +30 h) collapse to the FIRST capture per (url, UTC
@@ -4693,6 +4717,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_stratified_sample": _q_lang_stratified_sample,
         "host_doc_gini": _q_host_doc_gini,
         "order_value_histogram": _q_order_value_histogram,
+        "html_table_cells": _q_html_table_cells,
         "recrawl_window_dedup": _q_recrawl_window_dedup,
         "mad_outlier_scores": _q_mad_outlier_scores,
         "label_centroids": _q_label_centroids,
@@ -5647,6 +5672,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(bin AS BIGINT) AS bin, count(*) AS n, "
             "CAST(sum(CAST(round(p * 100) AS BIGINT)) AS BIGINT) AS sum_cents "
             "FROM binned GROUP BY bin"
+        ),
+        # fixture table rule: normal docs with doc_id%4==1 carry a 2x3
+        # table whose cell (r,c) = 'r{r}c{c}-{(doc_id*(r*3+c+1))%97}'
+        "html_table_cells": (
+            "SELECT doc_id, CAST(0 AS BIGINT) AS table_idx, "
+            "CAST(r AS BIGINT) AS row_idx, CAST(c AS BIGINT) AS col_idx, "
+            "'r' || r || 'c' || c || '-' || CAST((doc_id * (r * 3 + c + 1)) % 97 AS VARCHAR) AS cell "
+            "FROM documents "
+            "CROSS JOIN generate_series(0, 1) tr(r) CROSS JOIN generate_series(0, 2) tc(c) "
+            "WHERE doc_id % 4 = 1 AND doc_id % 31 <> 11 AND doc_id % 23 <> 7"
         ),
         # first capture per (url, UTC day); day = floor(epoch/86400)
         "recrawl_window_dedup": (

@@ -169,9 +169,28 @@ IMAGE_MOD, IMAGE_REM = 5, 2
 """with_images=True adds an <img> to normal docs with
 ``doc_id % IMAGE_MOD == IMAGE_REM`` (the describe-pool fixture rule)."""
 
+TABLE_MOD, TABLE_REM = 4, 1
+TABLE_ROWS, TABLE_COLS = 2, 3
+"""with_tables=True adds a TABLE_ROWS×TABLE_COLS <table> to normal
+docs with ``doc_id % TABLE_MOD == TABLE_REM``; cell (r, c) reads
+``r{r}c{c}-{(doc_id * (r*TABLE_COLS + c + 1)) % 97}`` — arithmetic a
+SQL oracle reproduces exactly (the table-extraction fixture rule)."""
+
+
+def fixture_table_html(doc_id: int) -> str:
+    """The deterministic fixture table markup for one page."""
+    rows = []
+    for r in range(TABLE_ROWS):
+        cells = "".join(
+            f"<td>r{r}c{c}-{(doc_id * (r * TABLE_COLS + c + 1)) % 97}</td>"
+            for c in range(TABLE_COLS)
+        )
+        rows.append(f"<tr>{cells}</tr>")
+    return "<table>" + "".join(rows) + "</table>"
+
 
 def page_row_from_document(
-    doc_id: int, text: str, lang: str, *, with_images: bool = False
+    doc_id: int, text: str, lang: str, *, with_images: bool = False, with_tables: bool = False
 ) -> dict:
     """Deterministically wrap one `documents` row into a page whose
     extraction output is expressible in SQL (see __ray_entry__.oracle_sql):
@@ -206,6 +225,11 @@ def page_row_from_document(
         if with_images and doc_id % IMAGE_MOD == IMAGE_REM
         else ""
     )
+    table = (
+        fixture_table_html(doc_id)
+        if with_tables and doc_id % TABLE_MOD == TABLE_REM
+        else ""
+    )
     # the nav carries one relative link plus one deterministic
     # cross-site link (the extract_links fixture rule; nav is
     # boilerplate-pruned, so extracted text/spans are unaffected)
@@ -216,16 +240,19 @@ def page_row_from_document(
         f"<h1>Doc {doc_id}</h1>"
         f"<p>{body}</p>"
         f"{img}"
+        f"{table}"
         f'<footer class="page-footer">Footer {doc_id % 40}</footer>'
         "</body></html>"
     )
     return {"url": url, "warc_ts": ts, "html": page.encode("utf-8"), "text": text, "lang": lang}
 
 
-def pages_from_documents_batch(batch: pa.Table, *, with_images: bool = False) -> pa.Table:
+def pages_from_documents_batch(
+    batch: pa.Table, *, with_images: bool = False, with_tables: bool = False
+) -> pa.Table:
     """Vector-friendly batch wrapper used inside map_batches."""
     rows = [
-        page_row_from_document(d, t, lg, with_images=with_images)
+        page_row_from_document(d, t, lg, with_images=with_images, with_tables=with_tables)
         for d, t, lg in zip(
             batch.column("doc_id").to_pylist(),
             batch.column("text").to_pylist(),

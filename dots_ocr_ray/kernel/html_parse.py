@@ -389,3 +389,68 @@ def structure_fingerprint(html_text: str) -> str:
     if not tags:
         return "none"
     return md5_hex(" ".join(t.lower() for t in tags))[:16]
+
+
+_TABLE_TOKEN_TAG_RE = re.compile(r"^</?[a-z][a-z0-9]*>$")
+
+
+def extract_table_cells(html_text: str) -> list[dict]:
+    """Parse every <table> on a page into RELATIONAL cell records
+    ``{table_idx, row_idx, col_idx, cell}`` — the structured-data
+    complement of the Table category's HTML passthrough (the reference
+    serializes Table blocks as raw HTML into markdown,
+    dots_ocr/utils/format_transformer.py; this op turns them into rows
+    a downstream query can aggregate).
+
+    Runs over the same single-pass scanner as :func:`segment_html`
+    (the Table block's normalized tag/text token stream), so
+    boilerplate-dropped and rawtext regions can never leak cells.
+    Only depth-1 structure counts rows/cells — a nested inner table's
+    text folds into the enclosing cell (documented flattening).  A
+    cell before any <tr> lands in row 0; inline markup inside a cell
+    (<b>, <span>, inner tables) is transparent.  Never raises."""
+    try:
+        blocks = _scan(html_text or "")
+    except Exception:
+        return []
+    out: list[dict] = []
+    t_idx = -1
+    for b in blocks:
+        if b.category != "Table" or b.raw_parts is None:
+            continue
+        t_idx += 1
+        depth = 0
+        row = 0
+        col = -1
+        in_cell = False
+        parts: list[str] = []
+        for tok in b.raw_parts:
+            if _TABLE_TOKEN_TAG_RE.match(tok):
+                if tok == "<table>":
+                    depth += 1
+                elif tok == "</table>":
+                    depth = max(0, depth - 1)
+                elif depth == 1 and tok == "<tr>":
+                    if not in_cell:  # malformed <tr> inside an open cell: fold
+                        row += 1 if col >= 0 else 0
+                        col = -1
+                elif depth == 1 and tok in ("<td>", "<th>"):
+                    if not in_cell:
+                        in_cell = True
+                        col += 1
+                        parts = []
+                elif depth == 1 and tok in ("</td>", "</th>"):
+                    if in_cell:
+                        out.append(
+                            {
+                                "table_idx": t_idx,
+                                "row_idx": row,
+                                "col_idx": col,
+                                "cell": _decode_text(" ".join(parts)),
+                            }
+                        )
+                    in_cell = False
+                # other tags (inline markup) are transparent
+            elif in_cell:
+                parts.append(tok)
+    return out

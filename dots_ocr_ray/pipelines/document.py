@@ -177,6 +177,47 @@ def window_dedup(
     return first.drop_columns(["__wkey", "__ts_us"])
 
 
+def table_cells_from_pages(
+    pages: ray.data.Dataset, *, html_col: str = "html", id_col: str = "doc_id"
+) -> ray.data.Dataset:
+    """Pages → one row per <table> CELL: (id, table_idx, row_idx,
+    col_idx, cell) — HTML tables turned into relational rows (the
+    structured-data complement of the Table category's raw-HTML
+    passthrough; reference format_transformer serializes tables as
+    HTML strings, this makes them queryable).
+
+    Pure flat explode through
+    :func:`~dots_ocr_ray.kernel.html_parse.extract_table_cells` —
+    zero exchanges; the html column is consumed and NOT carried into
+    the output, so nothing heavy rides past this stage."""
+    from dots_ocr_ray.kernel.html_parse import extract_table_cells
+
+    def _explode(batch: pa.Table) -> pa.Table:
+        ids, t_idx, r_idx, c_idx, cells = [], [], [], [], []
+        for doc_id, html in zip(
+            batch.column(id_col).to_pylist(), batch.column(html_col).to_pylist()
+        ):
+            if isinstance(html, bytes):
+                html = html.decode("utf-8", errors="replace")
+            for rec in extract_table_cells(html or ""):
+                ids.append(doc_id)
+                t_idx.append(rec["table_idx"])
+                r_idx.append(rec["row_idx"])
+                c_idx.append(rec["col_idx"])
+                cells.append(rec["cell"])
+        return pa.table(
+            {
+                id_col: pa.array(ids, type=pa.int64()),
+                "table_idx": pa.array(t_idx, type=pa.int64()),
+                "row_idx": pa.array(r_idx, type=pa.int64()),
+                "col_idx": pa.array(c_idx, type=pa.int64()),
+                "cell": pa.array(cells, type=pa.string()),
+            }
+        )
+
+    return pages.map_batches(_explode, batch_format="pyarrow")
+
+
 def metrics_by_domain(extracted: ray.data.Dataset, n_salt: int = 16) -> ray.data.Dataset:
     """Per-domain status/bytes rollup with SALTED keys: hot domains
     (one domain can hold 30% of a crawl) are split into n_salt

@@ -166,3 +166,62 @@ def test_extract_links_kernel():
     assert links[2]["anchor"] == "Bare bold & tail"
     assert extract_links("https://h.example/", "") == []
     assert extract_links("https://h.example/", "plain text no tags") == []
+
+
+def test_extract_table_cells_basic_and_hostile():
+    from dots_ocr_ray.kernel.html_parse import extract_table_cells
+
+    cells = extract_table_cells(
+        "<table><tr><td>a</td><th>b &amp; c</th></tr><tr><td>d</td></tr></table>"
+        "<p>x</p><table><tr><td>second</td></tr></table>"
+    )
+    assert cells == [
+        {"table_idx": 0, "row_idx": 0, "col_idx": 0, "cell": "a"},
+        {"table_idx": 0, "row_idx": 0, "col_idx": 1, "cell": "b & c"},
+        {"table_idx": 0, "row_idx": 1, "col_idx": 0, "cell": "d"},
+        {"table_idx": 1, "row_idx": 0, "col_idx": 0, "cell": "second"},
+    ]
+    # nested table folds into the enclosing cell; inline markup is
+    # transparent
+    nested = extract_table_cells(
+        "<table><tr><td><b>x</b> <table><tr><td>in</td></tr></table> y</td></tr></table>"
+    )
+    assert nested == [{"table_idx": 0, "row_idx": 0, "col_idx": 0, "cell": "x in y"}]
+    # never raises, never emits from no-table / damaged input
+    assert extract_table_cells("") == []
+    assert extract_table_cells(None) == []
+    assert extract_table_cells("<p>plain</p>") == []
+    assert extract_table_cells("<table><tr><td>unclosed") == []
+    # a boilerplate-dropped region cannot leak cells
+    assert (
+        extract_table_cells('<div class="nav"><table><tr><td>menu</td></tr></table></div>')
+        == []
+    )
+    # cell before any <tr> lands in row 0
+    assert extract_table_cells("<table><td>stray</td></table>") == [
+        {"table_idx": 0, "row_idx": 0, "col_idx": 0, "cell": "stray"}
+    ]
+
+
+def test_fixture_table_rule_roundtrip():
+    from dots_ocr_ray.fixtures import (
+        TABLE_COLS,
+        TABLE_MOD,
+        TABLE_REM,
+        TABLE_ROWS,
+        fixture_table_html,
+        page_row_from_document,
+    )
+    from dots_ocr_ray.kernel.html_parse import extract_table_cells
+
+    doc_id = TABLE_REM + TABLE_MOD * 3  # normal doc matching the rule
+    page = page_row_from_document(doc_id, "body", "en", with_tables=True)
+    cells = extract_table_cells(page["html"].decode())
+    assert len(cells) == TABLE_ROWS * TABLE_COLS
+    for rec in cells:
+        r, c = rec["row_idx"], rec["col_idx"]
+        assert rec["cell"] == f"r{r}c{c}-{(doc_id * (r * TABLE_COLS + c + 1)) % 97}"
+    # default pages carry no table (existing extraction oracles intact)
+    plain = page_row_from_document(doc_id, "body", "en")
+    assert b"<table>" not in plain["html"]
+    assert fixture_table_html(doc_id).count("<td>") == TABLE_ROWS * TABLE_COLS
