@@ -3416,6 +3416,25 @@ def _q_order_value_histogram(sf_dir: str):
     return equi_depth_histogram(orders, "o_totalprice", n_bins=8)
 
 
+def _q_dedup_best_survivors(sf_dir: str):
+    """Quality-aware near-dup survivor selection: minhash clusters +
+    the n_chars quality signal → the longest member per cluster (tie →
+    min doc_id) — "keep the best copy, not the first one".  One
+    doc-keyed hash join + one cluster-keyed top-1 bucket exchange on
+    top of the LSH family; golden-parquet oracle
+    (make_golden.golden_dedup_best_survivors)."""
+    import ray.data
+
+    from dots_ocr_ray.pipelines.dedup import best_survivor_per_cluster, minhash_lsh_dedup
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    clusters = minhash_lsh_dedup(docs, threshold=0.8)
+    quality = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+    return best_survivor_per_cluster(clusters, quality, quality_col="n_chars")
+
+
 def _q_html_table_cells(sf_dir: str):
     """HTML <table> extraction to relational rows: fixture pages
     (TABLE_MOD rule plants a deterministic 2×3 table on normal docs)
@@ -4717,6 +4736,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_stratified_sample": _q_lang_stratified_sample,
         "host_doc_gini": _q_host_doc_gini,
         "order_value_histogram": _q_order_value_histogram,
+        "dedup_best_survivors": _q_dedup_best_survivors,
         "html_table_cells": _q_html_table_cells,
         "recrawl_window_dedup": _q_recrawl_window_dedup,
         "mad_outlier_scores": _q_mad_outlier_scores,
@@ -5375,6 +5395,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM pages p LEFT JOIN kept k USING (doc_id) GROUP BY p.doc_id, p.body"
         ),
         "dedup_minhash": f"SELECT doc_id, cluster_id FROM read_parquet('{_GOLDEN_DIR}/dedup_minhash.parquet')",
+        "dedup_best_survivors": f"SELECT doc_id, cluster_id, n_chars FROM read_parquet('{_GOLDEN_DIR}/dedup_best_survivors.parquet')",
         "dedup_simhash": f"SELECT doc_id, cluster_id FROM read_parquet('{_GOLDEN_DIR}/dedup_simhash.parquet')",
         "dedup_ngram": f"SELECT doc_id, cluster_id FROM read_parquet('{_GOLDEN_DIR}/dedup_ngram.parquet')",
         "dedup_embedding": f"SELECT doc_id, cluster_id FROM read_parquet('{_GOLDEN_DIR}/dedup_embedding.parquet')",

@@ -1883,3 +1883,55 @@ def _collect_ids(ds: ray.data.Dataset, col: str) -> np.ndarray:
         if b.num_rows
     ]
     return np.concatenate(chunks) if chunks else np.zeros(0, dtype=np.int64)
+
+
+def best_survivor_per_cluster(
+    clusters: ray.data.Dataset,
+    quality: ray.data.Dataset,
+    *,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+    quality_col: str = "quality",
+) -> ray.data.Dataset:
+    """Quality-aware survivor selection over near-dup clusters: keep
+    the HIGHEST-``quality_col`` member of every cluster (tie →
+    smallest id) instead of the min-id convention — the curation rule
+    "when documents collide, keep the best copy, not the first one"
+    (longest / highest-scoring page wins across mirror sites).
+
+    Input ``clusters`` is any (id, cluster_id) assignment
+    (:func:`minhash_lsh_dedup`, :func:`simhash_dedup`, ...); singleton
+    clusters pass through unchanged, so the output has exactly one row
+    per cluster.  Two bounded exchanges: one doc-keyed
+    :func:`~dots_ocr_ray.pipelines.relational.hash_join` attaches the
+    quality column (both sides are corpus-sized — no broadcast), one
+    cluster-keyed bucket exchange picks the argmax via
+    :func:`~dots_ocr_ray.pipelines.relational.top_per_key` (k=1,
+    vectorized per-bucket run slicing — no per-cluster Python)."""
+    from dots_ocr_ray.pipelines.relational import hash_join, top_per_key
+
+    joined = hash_join(
+        clusters,
+        quality,
+        on=id_col,
+        left_schema=pa.schema([(id_col, pa.int64()), (cluster_col, pa.int64())]),
+        right_schema=pa.schema([(id_col, pa.int64()), (quality_col, pa.int64())]),
+    )
+
+    def _typed(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                id_col: batch.column(id_col).cast(pa.int64()),
+                cluster_col: batch.column(cluster_col).cast(pa.int64()),
+                quality_col: batch.column(quality_col).cast(pa.int64()),
+            }
+        )
+
+    best = top_per_key(
+        joined.map_batches(_typed, batch_format="pyarrow"),
+        key_col=cluster_col,
+        k=1,
+        desc_col=quality_col,
+        tie_col=id_col,
+    )
+    return best.drop_columns(["rk"])

@@ -615,3 +615,36 @@ def test_incremental_minhash_rejects_wrong_index_width(ray_session):
     new = ray.data.from_items([{"doc_id": 9, "text": "hello world tokens here"}])
     with pytest.raises(ValueError, match="index width"):
         minhash_dedup_incremental(new, index, num_perm=128)
+
+
+def test_best_survivor_per_cluster(ray_session):
+    import ray.data
+
+    from dots_ocr_ray.pipelines.dedup import best_survivor_per_cluster
+
+    clusters = ray.data.from_items(
+        [
+            # cluster 1: quality argmax is NOT the min id
+            {"doc_id": 1, "cluster_id": 1},
+            {"doc_id": 2, "cluster_id": 1},
+            {"doc_id": 3, "cluster_id": 1},
+            # cluster 4: quality tie → min id wins
+            {"doc_id": 4, "cluster_id": 4},
+            {"doc_id": 5, "cluster_id": 4},
+            # singleton passes through
+            {"doc_id": 6, "cluster_id": 6},
+        ]
+    )
+    quality = ray.data.from_items(
+        [
+            {"doc_id": 1, "quality": 10},
+            {"doc_id": 2, "quality": 99},
+            {"doc_id": 3, "quality": 50},
+            {"doc_id": 4, "quality": 7},
+            {"doc_id": 5, "quality": 7},
+            {"doc_id": 6, "quality": 1},
+        ]
+    )
+    out = best_survivor_per_cluster(clusters, quality).take_all()
+    got = sorted((r["cluster_id"], r["doc_id"], r["quality"]) for r in out)
+    assert got == [(1, 2, 99), (4, 4, 7), (6, 6, 1)]

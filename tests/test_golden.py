@@ -43,6 +43,7 @@ def _canon(obj) -> pd.DataFrame:
         "corpus_overlap",
         "chars_quantiles_approx",
         "dedup_minhash",
+        "dedup_best_survivors",
         "dedup_simhash",
         "dedup_ngram",
         "dedup_embedding",

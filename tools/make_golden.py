@@ -123,6 +123,30 @@ def golden_dedup_minhash(sf_dir: str) -> pa.Table:
     return _clusters_table(ids, _minhash_pairs_seq(ids, texts, threshold=0.8))
 
 
+def golden_dedup_best_survivors(sf_dir: str) -> pa.Table:
+    """Sequential mirror of pipelines.dedup.best_survivor_per_cluster
+    over the minhash clusters: per cluster keep the max-n_chars member
+    (tie → min doc_id)."""
+    ids, texts = _read_docs(sf_dir)
+    roots = _root_map_from_pairs(_minhash_pairs_seq(ids, texts, threshold=0.8))
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"])
+    nchars = dict(zip(t.column("doc_id").to_pylist(), t.column("n_chars").to_pylist()))
+    best: dict[int, tuple[int, int]] = {}  # cluster -> (-quality, id)
+    for i in ids:
+        c = roots.get(i, i)
+        cand = (-nchars[i], i)
+        if c not in best or cand < best[c]:
+            best[c] = cand
+    rows = sorted((i, c) for c, (_negq, i) in best.items())
+    return pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "cluster_id": pa.array([r[1] for r in rows], type=pa.int64()),
+            "n_chars": pa.array([nchars[r[0]] for r in rows], type=pa.int64()),
+        }
+    )
+
+
 def golden_incremental_minhash(sf_dir: str, *, threshold: float = 0.8) -> pa.Table:
     """Sequential mirror of pipelines.dedup.minhash_dedup_incremental
     over the fixture rule: docs with doc_id%7==4 form one planted
@@ -1485,6 +1509,7 @@ GOLDEN_BUILDERS = {
     "bitext_mining": golden_bitext_mining,
     "isotonic_calibration": golden_isotonic_calibration,
     "sq8_recall": golden_sq8_recall,
+    "dedup_best_survivors": golden_dedup_best_survivors,
 }
 
 
