@@ -3416,6 +3416,19 @@ def _q_order_value_histogram(sf_dir: str):
     return equi_depth_histogram(orders, "o_totalprice", n_bins=8)
 
 
+def _q_skipgram_cooc(sf_dir: str):
+    """word2vec-style positional co-occurrence: ordered top-32-vocab
+    token pairs within a ±3 window (distance over the full non-empty
+    token stream).  One vocab exchange, then a zero-exchange V×V
+    matrix fold; oracle = position self-join in SQL."""
+    import ray.data
+
+    from dots_ocr_ray.pipelines.text_analysis import skipgram_cooc
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return skipgram_cooc(docs, top_v=32, window=3)
+
+
 def _q_dedup_best_survivors(sf_dir: str):
     """Quality-aware near-dup survivor selection: minhash clusters +
     the n_chars quality signal → the longest member per cluster (tie →
@@ -4736,6 +4749,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_stratified_sample": _q_lang_stratified_sample,
         "host_doc_gini": _q_host_doc_gini,
         "order_value_histogram": _q_order_value_histogram,
+        "skipgram_cooc": _q_skipgram_cooc,
         "dedup_best_survivors": _q_dedup_best_survivors,
         "html_table_cells": _q_html_table_cells,
         "recrawl_window_dedup": _q_recrawl_window_dedup,
@@ -5536,6 +5550,20 @@ def oracle_sql() -> dict[str, str]:
         ),
         # token co-occurrence PMI: doc-frequency counts over the exact
         # top-32 whitespace vocabulary, ln rounded 9 dp on both engines
+        # positional skip-gram pairs: same tokenization/vocab as
+        # token_pmi, distance = position delta over non-empty tokens
+        "skipgram_cooc": (
+            "WITH toks AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), "
+            "t -> t <> '') AS arr FROM documents), "
+            "cnt AS (SELECT unnest(arr) AS token FROM toks), "
+            "vocab AS (SELECT token FROM (SELECT token, count(*) AS n FROM cnt "
+            "GROUP BY token) ORDER BY n DESC, token LIMIT 32), "
+            "pos AS (SELECT doc_id, unnest(arr) AS w, generate_subscripts(arr, 1) AS p FROM toks), "
+            "vp AS (SELECT doc_id, w, p FROM pos WHERE w IN (SELECT token FROM vocab)) "
+            "SELECT a.w AS token_a, b.w AS token_b, CAST(count(*) AS BIGINT) AS n "
+            "FROM vp a JOIN vp b ON a.doc_id = b.doc_id AND b.p - a.p BETWEEN 1 AND 3 "
+            "GROUP BY a.w, b.w"
+        ),
         "token_pmi": (
             "WITH toks AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), "
             "t -> t <> '') AS arr FROM documents), "

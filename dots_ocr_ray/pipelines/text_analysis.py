@@ -1912,6 +1912,96 @@ def token_pmi(
     )
 
 
+def skipgram_cooc(
+    ds: ray.data.Dataset,
+    *,
+    text_col: str = "text",
+    top_v: int = 32,
+    window: int = 3,
+    min_pair: int = 1,
+) -> pa.Table:
+    """POSITIONAL skip-gram co-occurrence counts over the exact top-V
+    vocabulary: every ordered token pair ``(w_i, w_{i+d})`` with
+    ``1 <= d <= window`` inside a document — the word2vec / GloVe
+    co-occurrence-matrix builder (and the windowed complement of
+    :func:`token_pmi`, which counts document-level SET co-occurrence
+    with no position information).
+
+    Distance is measured over the non-empty whitespace token stream
+    (non-vocab tokens still occupy positions — the standard context-
+    window convention, and exactly what the SQL mirror's position
+    self-join computes).  Scale shape mirrors token_pmi: after the
+    :func:`build_vocab` token exchange the whole computation is
+    ZERO-exchange — per batch, one vectorized ``pc.index_in`` probe +
+    ``window`` shifted-compare passes fold into a single V×V int64
+    matrix row (≤ 8 KB at V=32); the driver sums O(blocks) matrices.
+    Pairs never cross documents (the parent-index mask) or batches
+    (documents are whole rows).
+
+    Output: ``(token_a, token_b, n)`` for ordered pairs with
+    ``n >= min_pair``, both tokens in-vocab."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    vocab_tbl = build_vocab(ds, text_col=text_col, vocab_size=top_v)
+    vs = np.sort(np.asarray(vocab_tbl.column("token").to_pylist(), dtype=object))
+    v = len(vs)
+    if v == 0:
+        return pa.table(
+            {
+                "token_a": pa.array([], pa.string()),
+                "token_b": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+    value_set = pa.array(vs.tolist(), type=pa.string())
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        toks = split_whitespace_checked(batch.column(text_col))
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        nonempty = pc.not_equal(flat, "")
+        flat = flat.filter(nonempty)
+        parent = parent.filter(nonempty).to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = (
+            pc.index_in(flat, value_set)
+            .cast(pa.int64())
+            .fill_null(-1)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        c = np.zeros(v * v, dtype=np.int64)
+        n = len(ids)
+        for d in range(1, window + 1):
+            if n <= d:
+                break
+            a, b = ids[:-d], ids[d:]
+            m = (parent[:-d] == parent[d:]) & (a >= 0) & (b >= 0)
+            if m.any():
+                c += np.bincount(a[m] * v + b[m], minlength=v * v)
+        return pa.table(
+            {"mat": pa.array([c], type=pa.list_(pa.int64()))}
+        )
+
+    c_total = np.zeros(v * v, dtype=np.int64)
+    # batch_size bounds the flat token arrays, not the V×V row
+    for b in ds.map_batches(
+        _partial, batch_format="pyarrow", batch_size=4096
+    ).iter_batches(batch_format="pyarrow"):
+        for i in range(b.num_rows):
+            c_total += np.asarray(b.column("mat")[i].as_py(), dtype=np.int64)
+
+    c = c_total.reshape(v, v)
+    ii, jj = np.nonzero(c >= min_pair)
+    return pa.table(
+        {
+            "token_a": pa.array(vs[ii].tolist(), type=pa.string()),
+            "token_b": pa.array(vs[jj].tolist(), type=pa.string()),
+            "n": pa.array(c[ii, jj], type=pa.int64()),
+        }
+    )
+
+
 LEXICON_TERMS = ("customer", "merge", "spark", "vector", "window")
 
 

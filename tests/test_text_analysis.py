@@ -679,3 +679,50 @@ def test_token_pmi_empty(ray_session):
     ds = ray.data.from_items([{"text": ""}, {"text": "   "}])
     tbl = token_pmi(ds, top_v=8, min_pair=1)
     assert tbl.num_rows == 0
+
+
+def test_skipgram_cooc_manual_counts(ray_session):
+    import ray.data
+
+    from dots_ocr_ray.pipelines.text_analysis import skipgram_cooc
+
+    # doc 1: "a b a c"  doc 2: "c a"
+    ds = ray.data.from_items([{"text": "a b a c"}, {"text": "c a"}])
+    out = skipgram_cooc(ds, top_v=10, window=2)
+    got = {(r["token_a"], r["token_b"]): r["n"] for r in out.to_pylist()}
+    # doc1 window-2 ordered pairs: (a,b) (a,a) (b,a) (b,c) (a,c); doc2: (c,a)
+    assert got == {
+        ("a", "b"): 1,
+        ("a", "a"): 1,
+        ("b", "a"): 1,
+        ("b", "c"): 1,
+        ("a", "c"): 1,
+        ("c", "a"): 1,
+    }
+
+
+def test_skipgram_cooc_vocab_gaps_and_doc_boundary(ray_session):
+    import ray.data
+
+    from dots_ocr_ray.pipelines.text_analysis import skipgram_cooc
+
+    # 'x' is out of the top-2 vocab but still occupies a position:
+    # doc2's (a, b) sit at distance 3 across the x-gap — outside the
+    # window — and the document boundary between the two rows must not
+    # create (b, a).  doc1 pairs: (a,a)d1, (a,b)d1+d2+d2, (b,b)d1.
+    ds = ray.data.from_items(
+        [{"text": "a a b b x"}, {"text": "a x x b"}]
+    )
+    out = skipgram_cooc(ds, top_v=2, window=2)
+    got = {(r["token_a"], r["token_b"]): r["n"] for r in out.to_pylist()}
+    assert got == {("a", "a"): 1, ("a", "b"): 3, ("b", "b"): 1}
+    # same result regardless of partitioning
+    out2 = skipgram_cooc(
+        ray.data.from_items(
+            [{"text": "a a b b x"}, {"text": "a x x b"}]
+        ).repartition(2),
+        top_v=2,
+        window=2,
+    )
+    got2 = {(r["token_a"], r["token_b"]): r["n"] for r in out2.to_pylist()}
+    assert got2 == got
