@@ -3416,6 +3416,35 @@ def _q_order_value_histogram(sf_dir: str):
     return equi_depth_histogram(orders, "o_totalprice", n_bins=8)
 
 
+def _q_aligned_page_pairs(sf_dir: str):
+    """URL-pattern bitext alignment: fixture urls carry a locale path
+    segment (``.../{lang}/page-{doc_id % 250}``, host keyed off the
+    page so translations share it); pages equal after locale-strip
+    with DIFFERENT langs pair up.  One scalar-regex strip pass + one
+    bucket-keyed exchange; oracle = arithmetic self-join."""
+    import pyarrow as pa
+
+    import ray.data
+
+    from dots_ocr_ray.pipelines.document import aligned_page_pairs
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+
+    def _urls(batch: pa.Table) -> pa.Table:
+        urls = [
+            f"https://example-{(d % 250) % 40:02d}.com/{lg}/page-{d % 250:06d}"
+            for d, lg in zip(
+                batch.column("doc_id").to_pylist(), batch.column("lang").to_pylist()
+            )
+        ]
+        return batch.append_column("url", pa.array(urls, type=pa.string()))
+
+    pages = docs.map_batches(_urls, batch_format="pyarrow")
+    return aligned_page_pairs(pages)
+
+
 def _q_skipgram_cooc(sf_dir: str):
     """word2vec-style positional co-occurrence: ordered top-32-vocab
     token pairs within a ±3 window (distance over the full non-empty
@@ -4749,6 +4778,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_stratified_sample": _q_lang_stratified_sample,
         "host_doc_gini": _q_host_doc_gini,
         "order_value_histogram": _q_order_value_histogram,
+        "aligned_page_pairs": _q_aligned_page_pairs,
         "skipgram_cooc": _q_skipgram_cooc,
         "dedup_best_survivors": _q_dedup_best_survivors,
         "html_table_cells": _q_html_table_cells,
@@ -5550,6 +5580,17 @@ def oracle_sql() -> dict[str, str]:
         ),
         # token co-occurrence PMI: doc-frequency counts over the exact
         # top-32 whitespace vocabulary, ln rounded 9 dp on both engines
+        # locale-stripped url = the alignment key; pairs need different
+        # langs, emitted once with lang_a < lang_b
+        "aligned_page_pairs": (
+            "WITH u AS (SELECT doc_id, lang, "
+            "'https://example-' || lpad(CAST((doc_id % 250) % 40 AS VARCHAR), 2, '0') "
+            "|| '.com/page-' || lpad(CAST(doc_id % 250 AS VARCHAR), 6, '0') AS page_key "
+            "FROM documents) "
+            "SELECT a.page_key, a.lang AS lang_a, a.doc_id AS doc_a, "
+            "b.lang AS lang_b, b.doc_id AS doc_b "
+            "FROM u a JOIN u b ON a.page_key = b.page_key AND a.lang < b.lang"
+        ),
         # positional skip-gram pairs: same tokenization/vocab as
         # token_pmi, distance = position delta over non-empty tokens
         "skipgram_cooc": (

@@ -218,6 +218,109 @@ def table_cells_from_pages(
     return pages.map_batches(_explode, batch_format="pyarrow")
 
 
+def aligned_page_pairs(
+    ds: ray.data.Dataset,
+    *,
+    url_col: str = "url",
+    lang_col: str = "lang",
+    id_col: str = "doc_id",
+    strip_segment: int = 3,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """URL-structure bitext page alignment: pages whose urls differ
+    ONLY in the locale path segment (``.../en/page-1`` vs
+    ``.../fr/page-1``) are translation candidates — the WMT-style
+    URL-pattern miner that feeds parallel-corpus extraction (the
+    structural complement of embedding-margin
+    :func:`~dots_ocr_ray.pipelines.similarity.bitext_mining`).
+
+    The locale segment (``strip_segment``-th ``/``-separated field; 3
+    = first path segment) is stripped with ONE scalar-pattern C++
+    regex kernel per batch to form the alignment key; candidate pairs
+    then form in ONE bucket-keyed exchange — per bucket, rows lexsort
+    by (key, lang, id) and cross-language pairs emit via shifted-run
+    compares (the skip-gram trick: distance d = 1..run-1 inside each
+    key run), so Python cost is O(buckets × langs-per-key), never
+    O(pairs).  Same-language collisions (two pages of one locale
+    sharing a key) are NOT pairs and drop out via the sorted
+    ``lang_a < lang_b`` mask.
+
+    Output: (page_key, lang_a, doc_a, lang_b, doc_b), one row per
+    unordered cross-language pair."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from dots_ocr_ray.pipelines.relational import _stable_key_hash
+    from dots_ocr_ray.util import bounded_blocks
+
+    pattern = r"^((?:[^/]*/){%d})[^/]+/" % strip_segment
+
+    def _tag(batch: pa.Table) -> pa.Table:
+        key = pc.replace_substring_regex(
+            batch.column(url_col), pattern=pattern, replacement=r"\1"
+        )
+        out = pa.table(
+            {
+                "page_key": key,
+                "lang": batch.column(lang_col).cast(pa.string()),
+                "doc_id": batch.column(id_col).cast(pa.int64()),
+            }
+        )
+        bkt = (_stable_key_hash(out.column("page_key")) % np.uint64(num_buckets)).astype(
+            np.int32
+        )
+        return out.append_column("__bucket", pa.array(bkt, type=pa.int32()))
+
+    def _fold(group: pa.Table) -> pa.Table:
+        keys = group.column("page_key").to_numpy(zero_copy_only=False)
+        langs = group.column("lang").to_numpy(zero_copy_only=False)
+        ids = group.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((ids, langs, keys))
+        keys, langs, ids = keys[order], langs[order], ids[order]
+        n = len(keys)
+        # longest key run bounds the shift distance
+        if n:
+            change = np.concatenate([[True], keys[1:] != keys[:-1]])
+            starts = np.flatnonzero(change)
+            max_run = int(np.max(np.diff(np.append(starts, n))))
+        else:
+            max_run = 0
+        ka, la, ia, lb, ib = [], [], [], [], []
+        for d in range(1, max_run):
+            m = (keys[:-d] == keys[d:]) & (langs[:-d] != langs[d:])
+            if m.any():
+                ka.append(keys[:-d][m])
+                la.append(langs[:-d][m])
+                ia.append(ids[:-d][m])
+                lb.append(langs[d:][m])
+                ib.append(ids[d:][m])
+        if not ka:
+            return pa.table(
+                {
+                    "page_key": pa.array([], pa.string()),
+                    "lang_a": pa.array([], pa.string()),
+                    "doc_a": pa.array([], pa.int64()),
+                    "lang_b": pa.array([], pa.string()),
+                    "doc_b": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "page_key": pa.array(np.concatenate(ka).tolist(), type=pa.string()),
+                "lang_a": pa.array(np.concatenate(la).tolist(), type=pa.string()),
+                "doc_a": pa.array(np.concatenate(ia), type=pa.int64()),
+                "lang_b": pa.array(np.concatenate(lb).tolist(), type=pa.string()),
+                "doc_b": pa.array(np.concatenate(ib), type=pa.int64()),
+            }
+        )
+
+    return (
+        bounded_blocks(ds.map_batches(_tag, batch_format="pyarrow"))
+        .groupby("__bucket")
+        .map_groups(_fold, batch_format="pyarrow")
+    )
+
+
 def metrics_by_domain(extracted: ray.data.Dataset, n_salt: int = 16) -> ray.data.Dataset:
     """Per-domain status/bytes rollup with SALTED keys: hot domains
     (one domain can hold 30% of a crawl) are split into n_salt

@@ -242,3 +242,38 @@ def test_window_dedup(ray_session):
     # partitioning must not change survivors
     out2 = window_dedup(ray.data.from_items(rows).repartition(4), window_s=86400).take_all()
     assert sorted((r["url"], r["win_id"], r["warc_ts"]) for r in out2) == got
+
+
+def test_aligned_page_pairs(ray_session):
+    import ray.data
+
+    from dots_ocr_ray.pipelines.document import aligned_page_pairs
+
+    rows = [
+        # key .../page-1: en + fr + de → 3 cross-lang pairs
+        {"doc_id": 1, "lang": "en", "url": "https://a.com/en/page-1"},
+        {"doc_id": 2, "lang": "fr", "url": "https://a.com/fr/page-1"},
+        {"doc_id": 3, "lang": "de", "url": "https://a.com/de/page-1"},
+        # key .../page-2: two SAME-lang pages → no pair
+        {"doc_id": 4, "lang": "en", "url": "https://a.com/en/page-2"},
+        {"doc_id": 5, "lang": "en", "url": "https://a.com/en/page-2?v=2"},
+        # different host, same path → different key, no pair
+        {"doc_id": 6, "lang": "fr", "url": "https://b.com/fr/page-1"},
+        # key with 2 en docs + 1 fr doc → 2 pairs (the duplicate en
+        # pages don't pair with each other)
+        {"doc_id": 7, "lang": "en", "url": "https://c.com/en/page-3"},
+        {"doc_id": 8, "lang": "en", "url": "https://c.com/en/page-3"},
+        {"doc_id": 9, "lang": "fr", "url": "https://c.com/fr/page-3"},
+    ]
+    out = aligned_page_pairs(ray.data.from_items(rows)).take_all()
+    got = sorted((r["lang_a"], r["doc_a"], r["lang_b"], r["doc_b"]) for r in out)
+    assert got == [
+        ("de", 3, "en", 1),
+        ("de", 3, "fr", 2),
+        ("en", 1, "fr", 2),
+        ("en", 7, "fr", 9),
+        ("en", 8, "fr", 9),
+    ]
+    # partition-invariant
+    out2 = aligned_page_pairs(ray.data.from_items(rows).repartition(4)).take_all()
+    assert sorted((r["lang_a"], r["doc_a"], r["lang_b"], r["doc_b"]) for r in out2) == got
