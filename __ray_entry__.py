@@ -3416,6 +3416,31 @@ def _q_order_value_histogram(sf_dir: str):
     return equi_depth_histogram(orders, "o_totalprice", n_bins=8)
 
 
+def _q_hybrid_retrieval(sf_dir: str):
+    """RAG-stack hybrid retrieval: BM25 lexical candidates (probe
+    terms) and exact-cosine semantic candidates (query = embedding of
+    vec_id 7) fused by integer reciprocal-rank fusion
+    (10^9 // (60 + rank) per source), top-10.  Only the two ≤ 50-row
+    candidate lists reach the driver; oracle = the same fusion in
+    SQL."""
+    import numpy as np
+    import pyarrow.parquet as pq_mod
+
+    import ray.data
+
+    from dots_ocr_ray.pipelines.similarity import hybrid_rrf
+
+    t = pq_mod.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    pos = t.column("vec_id").to_pylist().index(7)
+    query_vec = np.asarray(t.column("embedding")[pos].as_py(), dtype=np.float64)
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    embeds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return hybrid_rrf(docs, embeds, probes=["data", "join", "spark"], query_vec=query_vec)
+
+
 def _q_aligned_page_pairs(sf_dir: str):
     """URL-pattern bitext alignment: fixture urls carry a locale path
     segment (``.../{lang}/page-{doc_id % 250}``, host keyed off the
@@ -4778,6 +4803,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_stratified_sample": _q_lang_stratified_sample,
         "host_doc_gini": _q_host_doc_gini,
         "order_value_histogram": _q_order_value_histogram,
+        "hybrid_retrieval": _q_hybrid_retrieval,
         "aligned_page_pairs": _q_aligned_page_pairs,
         "skipgram_cooc": _q_skipgram_cooc,
         "dedup_best_survivors": _q_dedup_best_survivors,
@@ -5580,6 +5606,34 @@ def oracle_sql() -> dict[str, str]:
         ),
         # token co-occurrence PMI: doc-frequency counts over the exact
         # top-32 whitespace vocabulary, ln rounded 9 dp on both engines
+        # RRF fusion of the bm25_scores lexical CTE (micro-int totals)
+        # and DOUBLE-cosine semantic ranks; integer floor-div fusion
+        "hybrid_retrieval": (
+            "WITH tok2 AS (SELECT doc_id, w FROM "
+            "(SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS w FROM documents) "
+            "WHERE w <> ''), "
+            "dl AS (SELECT doc_id, count(*) AS dl FROM tok2 GROUP BY 1), "
+            "corpus AS (SELECT (SELECT count(*) FROM documents) AS n, (SELECT count(*) FROM tok2) AS tot), "
+            "tf AS (SELECT doc_id, w AS term, count(*) AS tf FROM tok2 "
+            "WHERE w IN ('data', 'join', 'spark') GROUP BY 1, 2), "
+            "df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1), "
+            "sc AS (SELECT tf.doc_id, CAST(round(round(ln(1 + (corpus.n - df.df + 0.5)/(df.df + 0.5)) "
+            "* tf.tf*(1.2+1.0)/(tf.tf + 1.2*(1.0 - 0.75 + 0.75*dl.dl/(corpus.tot*1.0/corpus.n))), 4) "
+            "* 10000) AS BIGINT) AS q "
+            "FROM tf JOIN dl USING (doc_id) JOIN df USING (term), corpus), "
+            "lex AS (SELECT doc_id, sum(q) AS s FROM sc GROUP BY 1), "
+            "lexr AS (SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS r "
+            "FROM lex QUALIFY r <= 50), "
+            "qv AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 7), "
+            "annr AS (SELECT e.vec_id AS doc_id, row_number() OVER ("
+            "ORDER BY list_cosine_similarity(qv.qe, CAST(e.embedding AS DOUBLE[])) DESC, e.vec_id) AS r "
+            "FROM embeddings e, qv QUALIFY r <= 50), "
+            "contrib AS (SELECT doc_id, 1000000000 // (60 + r) AS c FROM lexr "
+            "UNION ALL SELECT doc_id, 1000000000 // (60 + r) FROM annr), "
+            "f AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS rrf_q FROM contrib GROUP BY 1) "
+            "SELECT doc_id, rrf_q, CAST(row_number() OVER (ORDER BY rrf_q DESC, doc_id) AS BIGINT) AS rank "
+            "FROM f QUALIFY rank <= 10"
+        ),
         # locale-stripped url = the alignment key; pairs need different
         # langs, emitted once with lang_a < lang_b
         "aligned_page_pairs": (

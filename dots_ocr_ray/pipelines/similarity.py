@@ -955,3 +955,102 @@ def pq_topk(
 
     partials = codes_ds.map_batches(_score, batch_format="pyarrow")
     return _merge_topk(partials, k)
+
+
+def hybrid_rrf(
+    docs: ray.data.Dataset,
+    embeds: ray.data.Dataset,
+    *,
+    probes: list[str],
+    query_vec: np.ndarray,
+    k: int = 10,
+    k_cand: int = 50,
+    rrf_k: int = 60,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vec_col: str = "embedding",
+    vec_id_col: str = "vec_id",
+) -> pa.Table:
+    """Hybrid retrieval with reciprocal-rank fusion: the lexical
+    (Okapi BM25 over probe terms) and semantic (exact f64 cosine vs a
+    query vector) candidate lists merge by
+    ``score = Σ_source 10^9 // (rrf_k + rank_source)`` — the standard
+    RAG-stack fusion rule, in EXACT integer arithmetic so every engine
+    agrees bit-for-bit.
+
+    Scale shape: the lexical side rides
+    :func:`~dots_ocr_ray.pipelines.text_analysis.bm25_scores` (one
+    corpus scan; per-doc totals sum 4dp-micro-int scores so float
+    addition order cannot flip ranks), the semantic side is one
+    broadcast-query matmul pass with per-batch local top-k partials
+    (f64 so the SQL mirror's DOUBLE cosine ranks identically); only
+    the two ≤ ``k_cand``-row candidate lists ever reach the driver,
+    where the fusion is a dictionary fold.
+
+    Output: top-``k`` fused ``(doc_id, rrf_q, rank)``."""
+    import pyarrow.compute as pc
+
+    from dots_ocr_ray.pipelines.text_analysis import bm25_scores
+    from dots_ocr_ray.util import vec_matrix as _vm
+
+    # ---- lexical candidates: micro-int BM25 totals, top-k_cand
+    scored = bm25_scores(docs, probes=probes, text_col=text_col, id_col=id_col)
+
+    def _micro(batch: pa.Table) -> pa.Table:
+        q = np.round(
+            batch.column("bm25").to_numpy(zero_copy_only=False) * 10_000.0
+        ).astype(np.int64)
+        t = pa.table({id_col: batch.column(id_col), "q": pa.array(q, type=pa.int64())})
+        agg = t.group_by(id_col).aggregate([("q", "sum")])
+        return agg.rename_columns([id_col, "s"])
+
+    lex_rows = (
+        scored.map_batches(_micro, batch_format="pyarrow")
+        .groupby(id_col)
+        .sum("s")
+        .sort(["sum(s)", id_col], descending=[True, False])
+        .limit(k_cand)
+        .take_all()
+    )
+    lex_rank = {r[id_col]: i + 1 for i, r in enumerate(lex_rows)}
+
+    # ---- semantic candidates: exact f64 cosine, per-batch local top-k
+    q = np.asarray(query_vec, dtype=np.float64)
+    q = q / (np.linalg.norm(q) or 1.0)
+    q_ref = ray.put(q)
+
+    def _local_top(batch: pa.Table) -> pa.Table:
+        from dots_ocr_ray.util import cached_object
+
+        qv = cached_object(q_ref)
+        mat = _vm(batch.column(vec_col), dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        sims = (mat @ qv) / norms
+        ids = batch.column(vec_id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        kk = min(k_cand, len(ids))
+        top = np.argpartition(-sims, kk - 1)[:kk] if kk else np.array([], np.int64)
+        return pa.table(
+            {
+                "vec_id": pa.array(ids[top], type=pa.int64()),
+                "sim": pa.array(sims[top], type=pa.float64()),
+            }
+        )
+
+    sem_parts = embeds.map_batches(_local_top, batch_format="pyarrow").take_all()
+    sem_sorted = sorted(sem_parts, key=lambda r: (-r["sim"], r["vec_id"]))[:k_cand]
+    sem_rank = {r["vec_id"]: i + 1 for i, r in enumerate(sem_sorted)}
+
+    # ---- fusion (≤ 2·k_cand candidates)
+    fused: dict[int, int] = {}
+    for rank_map in (lex_rank, sem_rank):
+        for i, r in rank_map.items():
+            fused[i] = fused.get(i, 0) + 10**9 // (rrf_k + r)
+    ranked = sorted(fused.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    return pa.table(
+        {
+            "doc_id": pa.array([i for i, _ in ranked], type=pa.int64()),
+            "rrf_q": pa.array([s for _, s in ranked], type=pa.int64()),
+            "rank": pa.array(list(range(1, len(ranked) + 1)), type=pa.int64()),
+        }
+    )

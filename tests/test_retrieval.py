@@ -88,3 +88,46 @@ def test_keyword_search_validation(ray_session, tmp_path):
         keyword_search(idx, [])
     with pytest.raises(ValueError):
         keyword_search(idx, ["apple"], mode="xor")
+
+
+def test_hybrid_rrf_fusion_rule(ray_session):
+    """Fusion arithmetic on a constructed corpus where the lexical and
+    semantic winners differ: RRF must prefer the doc ranked by BOTH."""
+    import numpy as np
+
+    import ray.data
+
+    from dots_ocr_ray.pipelines.similarity import hybrid_rrf
+
+    # doc 0 wins lexically, doc 2 wins semantically, doc 1 is second
+    # on both → RRF puts 1 first
+    docs = ray.data.from_items(
+        [
+            {"doc_id": 0, "text": "data data data data"},
+            {"doc_id": 1, "text": "data data x"},
+            {"doc_id": 2, "text": "y"},
+        ]
+    )
+    vecs = {
+        0: [0.0, 1.0],
+        1: [0.8, 0.6],
+        2: [1.0, 0.0],
+    }
+    embeds = ray.data.from_items(
+        [{"vec_id": i, "embedding": v} for i, v in vecs.items()]
+    )
+    out = hybrid_rrf(
+        docs,
+        embeds,
+        probes=["data"],
+        query_vec=np.array([1.0, 0.0]),
+        k=3,
+        k_cand=2,
+    ).to_pylist()
+    # lexical ranks: 0→1, 1→2 (doc 2 has no probe); semantic: 2→1, 1→2
+    c1, c2 = 10**9 // 61, 10**9 // 62
+    expect = sorted(
+        [(0, c1), (1, 2 * c2), (2, c1)], key=lambda kv: (-kv[1], kv[0])
+    )
+    assert [(r["doc_id"], r["rrf_q"]) for r in out] == expect
+    assert [r["rank"] for r in out] == [1, 2, 3]
