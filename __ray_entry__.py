@@ -3416,6 +3416,34 @@ def _q_order_value_histogram(sf_dir: str):
     return equi_depth_histogram(orders, "o_totalprice", n_bins=8)
 
 
+def _q_containment_pairs(sf_dir: str):
+    """Quote-inclusion detection: the CONTAIN_MOD fixture rule plants
+    (short base, base + unique tail) pairs; candidate pairs from the
+    loose MinHash net verify with exact char-3-gram containment ≥ 0.9
+    (integer micro-units).  Same distributed shape as the Jaccard
+    dedup family; golden-parquet oracle
+    (make_golden.golden_containment_pairs)."""
+    import pyarrow as pa
+
+    import ray.data
+
+    from dots_ocr_ray.fixtures import containment_text
+    from dots_ocr_ray.pipelines.dedup import containment_pairs
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def _inject(batch: pa.Table) -> pa.Table:
+        texts = [
+            containment_text(d, t or "")
+            for d, t in zip(batch.column("doc_id").to_pylist(), batch.column("text").to_pylist())
+        ]
+        return pa.table(
+            {"doc_id": batch.column("doc_id"), "text": pa.array(texts, type=pa.string())}
+        )
+
+    return containment_pairs(docs.map_batches(_inject, batch_format="pyarrow"))
+
+
 def _q_hybrid_retrieval(sf_dir: str):
     """RAG-stack hybrid retrieval: BM25 lexical candidates (probe
     terms) and exact-cosine semantic candidates (query = embedding of
@@ -4803,6 +4831,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_stratified_sample": _q_lang_stratified_sample,
         "host_doc_gini": _q_host_doc_gini,
         "order_value_histogram": _q_order_value_histogram,
+        "containment_pairs": _q_containment_pairs,
         "hybrid_retrieval": _q_hybrid_retrieval,
         "aligned_page_pairs": _q_aligned_page_pairs,
         "skipgram_cooc": _q_skipgram_cooc,
@@ -5466,6 +5495,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dedup_minhash": f"SELECT doc_id, cluster_id FROM read_parquet('{_GOLDEN_DIR}/dedup_minhash.parquet')",
         "dedup_best_survivors": f"SELECT doc_id, cluster_id, n_chars FROM read_parquet('{_GOLDEN_DIR}/dedup_best_survivors.parquet')",
+        "containment_pairs": f"SELECT a, b, cont_micro FROM read_parquet('{_GOLDEN_DIR}/containment_pairs.parquet')",
         "dedup_simhash": f"SELECT doc_id, cluster_id FROM read_parquet('{_GOLDEN_DIR}/dedup_simhash.parquet')",
         "dedup_ngram": f"SELECT doc_id, cluster_id FROM read_parquet('{_GOLDEN_DIR}/dedup_ngram.parquet')",
         "dedup_embedding": f"SELECT doc_id, cluster_id FROM read_parquet('{_GOLDEN_DIR}/dedup_embedding.parquet')",

@@ -297,3 +297,27 @@ def inject_near_dup_embeddings(ids, mat, *, mod: int = 9, rem: int = 4, n_groups
     v /= np.linalg.norm(v, axis=1, keepdims=True)
     out[m] = v.astype(np.float32)
     return out
+
+
+CONTAIN_MOD = 41
+"""Quote-inclusion injection rule (containment_text): docs with
+``doc_id % 41 == 3`` become a short deterministic base text; docs with
+``doc_id % 41 == 5`` become the SAME base (same ``doc_id // 41``
+family) plus a unique tail — so each (3+41m, 5+41m) pair is a planted
+containment case (high containment, Jaccard diluted by the tail)."""
+
+
+def _containment_base(m: int) -> str:
+    words = [f"quote{m} segment{(m * 7 + i) % 23} body{(m + i) % 11}" for i in range(8)]
+    return " ".join(words)
+
+
+def containment_text(doc_id: int, text: str) -> str:
+    """Apply the CONTAIN_MOD injection to one document's text (pure;
+    shared by the Ray query and the sequential golden oracle)."""
+    m, r = divmod(doc_id, CONTAIN_MOD)
+    if r == 3:
+        return _containment_base(m)
+    if r == 5:
+        return _containment_base(m) + f" extended tail content unique to {doc_id} plus trailing filler words"
+    return text

@@ -175,3 +175,22 @@ def jaccard(a: set, b: set) -> float:
         return 0.0
     inter = len(a & b)
     return inter / (len(a) + len(b) - inter)
+
+
+def containment_micro(a: np.ndarray, b: np.ndarray) -> int:
+    """ASYMMETRIC set containment of the smaller gram set in the
+    larger, in exact integer micro-units:
+    ``(|A∩B| * 10^6) // min(|A|, |B|)`` over two sorted-unique hash
+    arrays — the quote-inclusion / excerpt signal Jaccard misses when
+    document lengths are skewed (a page quoting a short doc verbatim
+    has low Jaccard but containment ≈ 1).  Empty-vs-empty is full
+    containment; empty-vs-nonempty is zero."""
+    if len(a) == 0 and len(b) == 0:
+        return 1_000_000
+    if len(a) == 0 or len(b) == 0:
+        return 0
+    small, big = (a, b) if len(a) <= len(b) else (b, a)
+    pos = np.searchsorted(big, small)
+    pos[pos == len(big)] = len(big) - 1
+    inter = int(np.count_nonzero(big[pos] == small))
+    return (inter * 1_000_000) // len(small)

@@ -1935,3 +1935,88 @@ def best_survivor_per_cluster(
         tie_col=id_col,
     )
     return best.drop_columns(["rk"])
+
+
+def containment_pairs(
+    ds: ray.data.Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold_micro: int = 900_000,
+    candidate_threshold: float = 0.5,
+    concurrency: int | tuple[int, int] | None = None,
+) -> ray.data.Dataset:
+    """Quote-inclusion detection: candidate pairs whose SMALLER n-gram
+    set is ≥ ``threshold_micro``/10^6 contained in the larger — the
+    asymmetric complement of :func:`ngram_jaccard_dedup` (a page
+    embedding a short document verbatim has low Jaccard but
+    containment ≈ 1, so symmetric dedup misses it).
+
+    Same distributed shape as the Jaccard family: loose MinHash
+    candidates → endpoint-filtered text side → budgeted/distributed
+    pair-payload join → batch-local vectorized verification
+    (:func:`~dots_ocr_ray.functions.hashing.containment_micro`, exact
+    integer micro-units).  Output (a, b, cont_micro), one row per
+    surviving candidate pair.
+
+    Recall caveat (documented contract): candidates still come from
+    MinHash on symmetric Jaccard, so containment pairs with EXTREME
+    length skew (tiny quote inside a huge page → Jaccard below the
+    loose net) can be missed; a shingle-sampled inverted index is the
+    full-recall path if that regime matters."""
+    from dots_ocr_ray.functions.hashing import char_ngram_hashes, containment_micro
+
+    cand = minhash_candidate_pairs(
+        ds,
+        text_col=text_col,
+        id_col=id_col,
+        threshold=candidate_threshold,
+        concurrency=concurrency,
+    )
+    cand = bounded_blocks(cand, rows_per_block=262144)
+    cand = exact_distinct_pairs(cand)
+    text_side = filter_payload_to_pair_endpoints(
+        ds.select_columns([id_col, text_col]), cand, id_col=id_col
+    )
+    with_texts = attach_pair_payloads(
+        cand,
+        text_side,
+        id_col=id_col,
+        payload_col=text_col,
+        payload_type=pa.string(),
+    )
+
+    def _verify(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "a": pa.array([], type=pa.int64()),
+                    "b": pa.array([], type=pa.int64()),
+                    "cont_micro": pa.array([], type=pa.int64()),
+                }
+            )
+        grams: dict[int, np.ndarray] = {}
+
+        def _g(doc: int, text: str | None) -> np.ndarray:
+            if doc not in grams:
+                grams[doc] = char_ngram_hashes(text or "", n)
+            return grams[doc]
+
+        cont = np.array(
+            [
+                containment_micro(_g(da, ta), _g(db, tb))
+                for da, db, ta, tb in zip(
+                    batch.column("a").to_pylist(),
+                    batch.column("b").to_pylist(),
+                    batch.column("payload_a").to_pylist(),
+                    batch.column("payload_b").to_pylist(),
+                )
+            ],
+            dtype=np.int64,
+        )
+        keep = cont >= threshold_micro
+        out = batch.select(["a", "b"]).filter(pa.array(keep, type=pa.bool_()))
+        return out.append_column("cont_micro", pa.array(cont[keep], type=pa.int64()))
+
+    return with_texts.map_batches(_verify, batch_format="pyarrow")

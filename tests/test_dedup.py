@@ -648,3 +648,45 @@ def test_best_survivor_per_cluster(ray_session):
     out = best_survivor_per_cluster(clusters, quality).take_all()
     got = sorted((r["cluster_id"], r["doc_id"], r["quality"]) for r in out)
     assert got == [(1, 2, 99), (4, 4, 7), (6, 6, 1)]
+
+
+def test_containment_micro_kernel():
+    import numpy as np
+
+    from dots_ocr_ray.functions.hashing import char_ngram_hashes, containment_micro
+
+    base = "the quick brown fox jumps over the lazy dog"
+    a = char_ngram_hashes(base, 3)
+    b = char_ngram_hashes(base + " with a long unique tail appended here", 3)
+    # the smaller set is (almost) fully contained in the larger
+    assert containment_micro(a, b) >= 950_000
+    # symmetric Jaccard is strictly lower (the signal containment adds)
+    from dots_ocr_ray.functions.hashing import jaccard_hashes
+
+    assert jaccard_hashes(a, b) < containment_micro(a, b) / 1_000_000
+    # disjoint sets
+    c = char_ngram_hashes("0123456789" * 3, 3)
+    assert containment_micro(a, c) == 0
+    # empty conventions
+    e = np.empty(0, dtype=np.uint64)
+    assert containment_micro(e, e) == 1_000_000
+    assert containment_micro(e, a) == 0
+
+
+def test_containment_pairs_planted(ray_session):
+    import ray.data
+
+    from dots_ocr_ray.pipelines.dedup import containment_pairs
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    rows = [
+        {"doc_id": 1, "text": base},
+        {"doc_id": 2, "text": base + " unique closing tail words here"},
+        {"doc_id": 3, "text": "completely different content about other things entirely"},
+    ]
+    out = containment_pairs(ray.data.from_items(rows)).take_all()
+    got = {(r["a"], r["b"]) for r in out}
+    assert (1, 2) in got
+    assert all({a, b} <= {1, 2} for a, b in got)
+    for r in out:
+        assert r["cont_micro"] >= 900_000

@@ -44,6 +44,7 @@ def _canon(obj) -> pd.DataFrame:
         "chars_quantiles_approx",
         "dedup_minhash",
         "dedup_best_survivors",
+        "containment_pairs",
         "dedup_simhash",
         "dedup_ngram",
         "dedup_embedding",

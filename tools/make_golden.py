@@ -147,6 +147,34 @@ def golden_dedup_best_survivors(sf_dir: str) -> pa.Table:
     )
 
 
+def golden_containment_pairs(sf_dir: str) -> pa.Table:
+    """Sequential mirror of pipelines.dedup.containment_pairs over the
+    CONTAIN_MOD injection: loose MinHash candidates (threshold 0.5),
+    exact char-3-gram containment ≥ 0.9 in integer micro-units."""
+    from dots_ocr_ray.fixtures import containment_text
+    from dots_ocr_ray.functions.hashing import containment_micro
+
+    ids, texts = _read_docs(sf_dir)
+    texts = [containment_text(i, t or "") for i, t in zip(ids, texts)]
+    text_of = dict(zip(ids, texts))
+    pairs = _minhash_pairs_seq(ids, texts, threshold=0.5)
+    grams = {i: char_ngram_hashes(text_of[i] or "", 3) for i in {x for p in pairs for x in p}}
+    out_a, out_b, out_c = [], [], []
+    for a, b in pairs:
+        cm = containment_micro(grams[a], grams[b])
+        if cm >= 900_000:
+            out_a.append(a)
+            out_b.append(b)
+            out_c.append(cm)
+    return pa.table(
+        {
+            "a": pa.array(out_a, type=pa.int64()),
+            "b": pa.array(out_b, type=pa.int64()),
+            "cont_micro": pa.array(out_c, type=pa.int64()),
+        }
+    )
+
+
 def golden_incremental_minhash(sf_dir: str, *, threshold: float = 0.8) -> pa.Table:
     """Sequential mirror of pipelines.dedup.minhash_dedup_incremental
     over the fixture rule: docs with doc_id%7==4 form one planted
@@ -1510,6 +1538,7 @@ GOLDEN_BUILDERS = {
     "isotonic_calibration": golden_isotonic_calibration,
     "sq8_recall": golden_sq8_recall,
     "dedup_best_survivors": golden_dedup_best_survivors,
+    "containment_pairs": golden_containment_pairs,
 }
 
 
