@@ -3416,6 +3416,33 @@ def _q_order_value_histogram(sf_dir: str):
     return equi_depth_histogram(orders, "o_totalprice", n_bins=8)
 
 
+def _q_cluster_leak_split(sf_dir: str):
+    """Leakage-safe train/val split at the NEAR-DUP-CLUSTER level:
+    the split key is md5(cluster_id), so near-duplicates can never
+    straddle the boundary even across different hosts/sources (the
+    failure mode a source-keyed split misses).  Minhash clustering +
+    the zero-exchange grouped_split; oracle = SQL md5 rule over the
+    golden cluster assignment."""
+    import pyarrow as pa
+
+    import ray.data
+
+    from dots_ocr_ray.pipelines.dedup import minhash_lsh_dedup
+    from dots_ocr_ray.pipelines.packing import grouped_split
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    clusters = minhash_lsh_dedup(docs, threshold=0.8)
+
+    def _key(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "cluster_key", batch.column("cluster_id").cast(pa.string())
+        )
+
+    keyed = clusters.map_batches(_key, batch_format="pyarrow")
+    out = grouped_split(keyed, group_col="cluster_key")
+    return out.select_columns(["doc_id", "cluster_id", "split"])
+
+
 def _q_containment_pairs(sf_dir: str):
     """Quote-inclusion detection: the CONTAIN_MOD fixture rule plants
     (short base, base + unique tail) pairs; candidate pairs from the
@@ -4831,6 +4858,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_stratified_sample": _q_lang_stratified_sample,
         "host_doc_gini": _q_host_doc_gini,
         "order_value_histogram": _q_order_value_histogram,
+        "cluster_leak_split": _q_cluster_leak_split,
         "containment_pairs": _q_containment_pairs,
         "hybrid_retrieval": _q_hybrid_retrieval,
         "aligned_page_pairs": _q_aligned_page_pairs,
@@ -5496,6 +5524,13 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash": f"SELECT doc_id, cluster_id FROM read_parquet('{_GOLDEN_DIR}/dedup_minhash.parquet')",
         "dedup_best_survivors": f"SELECT doc_id, cluster_id, n_chars FROM read_parquet('{_GOLDEN_DIR}/dedup_best_survivors.parquet')",
         "containment_pairs": f"SELECT a, b, cont_micro FROM read_parquet('{_GOLDEN_DIR}/containment_pairs.parquet')",
+        # same split rule as grouped_split_docs, keyed on the golden
+        # minhash cluster id instead of the source column
+        "cluster_leak_split": (
+            f"SELECT doc_id, cluster_id, CASE WHEN substr(md5(CAST(cluster_id AS VARCHAR)), 1, 1) "
+            f"IN ('0', '1', '2', '3') THEN 'val' ELSE 'train' END AS split "
+            f"FROM read_parquet('{_GOLDEN_DIR}/dedup_minhash.parquet')"
+        ),
         "dedup_simhash": f"SELECT doc_id, cluster_id FROM read_parquet('{_GOLDEN_DIR}/dedup_simhash.parquet')",
         "dedup_ngram": f"SELECT doc_id, cluster_id FROM read_parquet('{_GOLDEN_DIR}/dedup_ngram.parquet')",
         "dedup_embedding": f"SELECT doc_id, cluster_id FROM read_parquet('{_GOLDEN_DIR}/dedup_embedding.parquet')",

@@ -333,3 +333,32 @@ def test_zonemap_roundtrip_and_prune_proof(ray_session, tmp_path):
     # empty range returns zero rows with the right schema
     empty = read_range(zdir, -10, -5, columns=["k", "v"])
     assert empty.count() == 0
+
+
+def test_cluster_leak_split_no_straddle(ray_session):
+    """No near-dup cluster may straddle the train/val boundary."""
+    import collections
+
+    import pyarrow as pa
+
+    import ray.data
+
+    from dots_ocr_ray.pipelines.packing import grouped_split
+
+    clusters = ray.data.from_items(
+        [{"doc_id": i, "cluster_id": i % 7} for i in range(60)]
+    )
+
+    def _key(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "cluster_key", batch.column("cluster_id").cast(pa.string())
+        )
+
+    out = grouped_split(
+        clusters.map_batches(_key, batch_format="pyarrow"), group_col="cluster_key"
+    ).take_all()
+    sides = collections.defaultdict(set)
+    for r in out:
+        sides[r["cluster_id"]].add(r["split"])
+    assert all(len(s) == 1 for s in sides.values())
+    assert {s for ss in sides.values() for s in ss} == {"train", "val"}
