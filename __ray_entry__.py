@@ -3416,6 +3416,19 @@ def _q_order_value_histogram(sf_dir: str):
     return equi_depth_histogram(orders, "o_totalprice", n_bins=8)
 
 
+def _q_zipf_fit(sf_dir: str):
+    """Zipf's-law OLS fit (ln count vs ln rank, top-64 vocab) in exact
+    micro-units — the corpus-health / scaling-law audit.  One token
+    count exchange; fit = closed-form sufficient stats identical to
+    SQL regr_slope/intercept/r2."""
+    import ray.data
+
+    from dots_ocr_ray.pipelines.text_analysis import zipf_fit
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return zipf_fit(docs, top_v=64)
+
+
 def _q_cluster_leak_split(sf_dir: str):
     """Leakage-safe train/val split at the NEAR-DUP-CLUSTER level:
     the split key is md5(cluster_id), so near-duplicates can never
@@ -4858,6 +4871,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_stratified_sample": _q_lang_stratified_sample,
         "host_doc_gini": _q_host_doc_gini,
         "order_value_histogram": _q_order_value_histogram,
+        "zipf_fit": _q_zipf_fit,
         "cluster_leak_split": _q_cluster_leak_split,
         "containment_pairs": _q_containment_pairs,
         "hybrid_retrieval": _q_hybrid_retrieval,
@@ -5671,6 +5685,20 @@ def oracle_sql() -> dict[str, str]:
         ),
         # token co-occurrence PMI: doc-frequency counts over the exact
         # top-32 whitespace vocabulary, ln rounded 9 dp on both engines
+        # Zipf OLS over top-64 (count, rank): same tokenization/rank
+        # tie-break as build_vocab; micro-units via round()
+        "zipf_fit": (
+            "WITH cnt AS (SELECT w AS token, count(*) AS n FROM "
+            "(SELECT unnest(regexp_split_to_array(text, '\\s+')) AS w FROM documents) "
+            "WHERE w <> '' GROUP BY 1), "
+            "top AS (SELECT n, row_number() OVER (ORDER BY n DESC, token) AS r "
+            "FROM cnt QUALIFY r <= 64) "
+            "SELECT CAST(count(*) AS BIGINT) AS v, "
+            "CAST(round(regr_slope(ln(n), ln(r)) * 1000000) AS BIGINT) AS slope_micro, "
+            "CAST(round(regr_intercept(ln(n), ln(r)) * 1000000) AS BIGINT) AS intercept_micro, "
+            "CAST(round(regr_r2(ln(n), ln(r)) * 1000000) AS BIGINT) AS r2_micro "
+            "FROM top"
+        ),
         # RRF fusion of the bm25_scores lexical CTE (micro-int totals)
         # and DOUBLE-cosine semantic ranks; integer floor-div fusion
         "hybrid_retrieval": (

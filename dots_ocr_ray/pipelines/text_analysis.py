@@ -1316,6 +1316,7 @@ def build_vocab(
     *,
     text_col: str = "text",
     vocab_size: int = 1 << 15,
+    with_counts: bool = False,
 ) -> pa.Table:
     """Corpus-ranked tokenizer vocabulary: the ``vocab_size`` most
     frequent whitespace tokens, id 1..V by (count DESC, token ASC);
@@ -1368,12 +1369,13 @@ def build_vocab(
     top = merged.take(order[:vocab_size])
     import numpy as np
 
-    return pa.table(
-        {
-            "token": top.column("token"),
-            "token_id": pa.array(np.arange(1, top.num_rows + 1), type=pa.int64()),
-        }
-    )
+    cols = {
+        "token": top.column("token"),
+        "token_id": pa.array(np.arange(1, top.num_rows + 1), type=pa.int64()),
+    }
+    if with_counts:
+        cols["n"] = top.column("n").cast(pa.int64())
+    return pa.table(cols)
 
 
 def encode_token_ids(
@@ -1998,6 +2000,63 @@ def skipgram_cooc(
             "token_a": pa.array(vs[ii].tolist(), type=pa.string()),
             "token_b": pa.array(vs[jj].tolist(), type=pa.string()),
             "n": pa.array(c[ii, jj], type=pa.int64()),
+        }
+    )
+
+
+def zipf_fit(
+    ds: ray.data.Dataset, *, text_col: str = "text", top_v: int = 64
+) -> pa.Table:
+    """Zipf's-law fit of the corpus frequency distribution: OLS of
+    ln(count) against ln(rank) over the exact top-V vocabulary — the
+    scaling-law / corpus-health audit (natural text sits near slope
+    −1; template-heavy or synthetic corpora drift).
+
+    One token-keyed count exchange (:func:`build_vocab`) reduces the
+    corpus to V (count, rank) points; the fit itself is driver-side
+    closed-form sufficient statistics identical to SQL
+    ``regr_slope/intercept/r2``, emitted in round-half-away micro-units
+    so the mirror is bit-exact.  Output: one row
+    (v, slope_micro, intercept_micro, r2_micro)."""
+    import numpy as np
+
+    vocab = build_vocab(ds, text_col=text_col, vocab_size=top_v, with_counts=True)
+    c = vocab.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+    v = len(c)
+    if v < 2:
+        return pa.table(
+            {
+                "v": pa.array([v], type=pa.int64()),
+                "slope_micro": pa.array([None], type=pa.int64()),
+                "intercept_micro": pa.array([None], type=pa.int64()),
+                "r2_micro": pa.array([None], type=pa.int64()),
+            }
+        )
+    x = np.log(np.arange(1, v + 1, dtype=np.float64))
+    y = np.log(c)
+    n = float(v)
+    sx, sy = x.sum(), y.sum()
+    sxy, sxx, syy = (x * y).sum(), (x * x).sum(), (y * y).sum()
+    denom = n * sxx - sx * sx
+    slope = (n * sxy - sx * sy) / denom
+    intercept = (sy - slope * sx) / n
+    var_y = n * syy - sy * sy
+    r2 = ((n * sxy - sx * sy) ** 2 / (denom * var_y)) if var_y > 0 else 1.0
+
+    def _micro(val: float) -> int:
+        # round-half-away (SQL round), not numpy's half-even
+        import math
+
+        return int(math.floor(val * 1_000_000 + 0.5)) if val >= 0 else -int(
+            math.floor(-val * 1_000_000 + 0.5)
+        )
+
+    return pa.table(
+        {
+            "v": pa.array([v], type=pa.int64()),
+            "slope_micro": pa.array([_micro(slope)], type=pa.int64()),
+            "intercept_micro": pa.array([_micro(intercept)], type=pa.int64()),
+            "r2_micro": pa.array([_micro(r2)], type=pa.int64()),
         }
     )
 
