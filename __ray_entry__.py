@@ -3416,6 +3416,35 @@ def _q_order_value_histogram(sf_dir: str):
     return equi_depth_histogram(orders, "o_totalprice", n_bins=8)
 
 
+def _q_pii_scrub_audit(sf_dir: str):
+    """PII redaction under the hard signal: the PII_MOD fixture rule
+    injects one email + one IP + one URL into every 6th doc; the
+    scrubber must replace EXACTLY those spans and count them.  Zero
+    exchange; oracle = constant-suffix replacement arithmetic."""
+    import pyarrow as pa
+
+    import ray.data
+
+    from dots_ocr_ray.fixtures import pii_text
+    from dots_ocr_ray.functions.scrub import scrub_documents
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def _inject(batch: pa.Table) -> pa.Table:
+        texts = [
+            pii_text(d, t or "")
+            for d, t in zip(batch.column("doc_id").to_pylist(), batch.column("text").to_pylist())
+        ]
+        return pa.table(
+            {"doc_id": batch.column("doc_id"), "text": pa.array(texts, type=pa.string())}
+        )
+
+    out = scrub_documents(docs.map_batches(_inject, batch_format="pyarrow"))
+    return out.select_columns(
+        ["doc_id", "text_scrubbed", "n_email", "n_phone", "n_ip", "n_url"]
+    )
+
+
 def _q_zipf_fit(sf_dir: str):
     """Zipf's-law OLS fit (ln count vs ln rank, top-64 vocab) in exact
     micro-units — the corpus-health / scaling-law audit.  One token
@@ -4871,6 +4900,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_stratified_sample": _q_lang_stratified_sample,
         "host_doc_gini": _q_host_doc_gini,
         "order_value_histogram": _q_order_value_histogram,
+        "pii_scrub_audit": _q_pii_scrub_audit,
         "zipf_fit": _q_zipf_fit,
         "cluster_leak_split": _q_cluster_leak_split,
         "containment_pairs": _q_containment_pairs,
@@ -5685,6 +5715,18 @@ def oracle_sql() -> dict[str, str]:
         ),
         # token co-occurrence PMI: doc-frequency counts over the exact
         # top-32 whitespace vocabulary, ln rounded 9 dp on both engines
+        # fixture: base text has no PII (asserted by scrub_documents'
+        # identity oracle); injected spans redact to a constant suffix
+        "pii_scrub_audit": (
+            "SELECT doc_id, "
+            "CASE WHEN doc_id % 6 = 1 THEN text || ' contact <EMAIL> or <IP> at <URL>' "
+            "ELSE text END AS text_scrubbed, "
+            "CAST(CASE WHEN doc_id % 6 = 1 THEN 1 ELSE 0 END AS BIGINT) AS n_email, "
+            "CAST(0 AS BIGINT) AS n_phone, "
+            "CAST(CASE WHEN doc_id % 6 = 1 THEN 1 ELSE 0 END AS BIGINT) AS n_ip, "
+            "CAST(CASE WHEN doc_id % 6 = 1 THEN 1 ELSE 0 END AS BIGINT) AS n_url "
+            "FROM documents"
+        ),
         # Zipf OLS over top-64 (count, rank): same tokenization/rank
         # tie-break as build_vocab; micro-units via round()
         "zipf_fit": (

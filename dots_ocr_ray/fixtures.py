@@ -321,3 +321,24 @@ def containment_text(doc_id: int, text: str) -> str:
     if r == 5:
         return _containment_base(m) + f" extended tail content unique to {doc_id} plus trailing filler words"
     return text
+
+
+PII_MOD, PII_REM = 6, 1
+"""PII injection rule (pii_text): docs with ``doc_id % 6 == 1`` get a
+deterministic ' contact <email> or <ip> at <url>' suffix whose three
+spans the scrub regexes consume EXACTLY (2-digit IP octets so the
+phone pattern can never partially eat the IP) — redaction becomes
+SQL-mirrorable as a constant-suffix replacement."""
+
+
+def pii_text(doc_id: int, text: str) -> str:
+    """Apply the PII_MOD injection to one document's text (pure;
+    shared by the Ray query and the SQL mirror's arithmetic)."""
+    if doc_id % PII_MOD != PII_REM:
+        return text
+    ip = f"10.{10 + doc_id % 90}.{10 + (doc_id * 3) % 90}.{10 + (doc_id * 7) % 90}"
+    return (
+        text
+        + f" contact user{doc_id}@mail-{doc_id % 13}.example.com or {ip}"
+        + f" at https://pii-{doc_id % 9}.example.org/x"
+    )

@@ -117,3 +117,18 @@ def test_ivf_recall_on_cluster_sorted_input(ray_session):
         e = set(exact[exact.query_id == qi].vec_id)
         a = set(approx[approx.query_id == qi].vec_id)
         assert len(e & a) / 10 >= 0.8, f"cluster {qi} recall degraded"
+
+
+def test_pii_injection_scrubs_exactly():
+    """The PII_MOD fixture spans must be consumed EXACTLY by the scrub
+    regexes (email/ip/url, never phone) for every doc id in the rule."""
+    from dots_ocr_ray.fixtures import PII_MOD, PII_REM, pii_text
+    from dots_ocr_ray.functions.scrub import scrub_text
+
+    for doc_id in range(PII_REM, 2000, PII_MOD):
+        injected = pii_text(doc_id, "base words here")
+        scrubbed, counts = scrub_text(injected)
+        assert scrubbed == "base words here contact <EMAIL> or <IP> at <URL>", doc_id
+        assert counts == {"email": 1, "phone": 0, "ip": 1, "url": 1}, doc_id
+    # non-matching ids are untouched
+    assert pii_text(PII_REM + 1, "x") == "x"
