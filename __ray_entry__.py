@@ -3416,6 +3416,23 @@ def _q_order_value_histogram(sf_dir: str):
     return equi_depth_histogram(orders, "o_totalprice", n_bins=8)
 
 
+def _q_pseudonymized_events(sf_dir: str):
+    """Keyed pseudonymization of the event stream's user ids
+    (md5(salt:id) surrogate — joinable, unlinkable without the salt).
+    Zero exchange, one digest per distinct id per batch; oracle =
+    substr(md5(...)) in SQL."""
+    import ray.data
+
+    from dots_ocr_ray.functions.scrub import pseudonymize_ids
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id"]
+    )
+    return pseudonymize_ids(events, id_col="user_id", salt="graft").select_columns(
+        ["event_id", "user_id_pseud"]
+    )
+
+
 def _q_pii_scrub_audit(sf_dir: str):
     """PII redaction under the hard signal: the PII_MOD fixture rule
     injects one email + one IP + one URL into every 6th doc; the
@@ -4900,6 +4917,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_stratified_sample": _q_lang_stratified_sample,
         "host_doc_gini": _q_host_doc_gini,
         "order_value_histogram": _q_order_value_histogram,
+        "pseudonymized_events": _q_pseudonymized_events,
         "pii_scrub_audit": _q_pii_scrub_audit,
         "zipf_fit": _q_zipf_fit,
         "cluster_leak_split": _q_cluster_leak_split,
@@ -5715,6 +5733,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         # token co-occurrence PMI: doc-frequency counts over the exact
         # top-32 whitespace vocabulary, ln rounded 9 dp on both engines
+        "pseudonymized_events": (
+            "SELECT event_id, substr(md5('graft:' || CAST(user_id AS VARCHAR)), 1, 16) "
+            "AS user_id_pseud FROM events"
+        ),
         # fixture: base text has no PII (asserted by scrub_documents'
         # identity oracle); injected spans redact to a constant suffix
         "pii_scrub_audit": (

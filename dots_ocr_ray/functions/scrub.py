@@ -58,3 +58,43 @@ def scrub_documents(
         return batch
 
     return ds.map_batches(_scrub, batch_format="pyarrow")
+
+
+def pseudonymize_ids(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str = "user_id",
+    salt: str = "graft",
+    out_col: str | None = None,
+    hex_digits: int = 16,
+) -> ray.data.Dataset:
+    """Deterministic keyed pseudonymization of an identifier column:
+    ``md5(salt || ':' || id)[:hex_digits]`` — the PII-safe surrogate a
+    corpus needs before sharing event/user tables (same id → same
+    pseudonym for joinability, original unrecoverable without the
+    salt; rotate the salt to unlink releases).
+
+    Zero exchange; md5 is computed per distinct VALUE per batch (one
+    hash per unique id via np.unique + inverse gather), so hot-user
+    event streams pay one digest per user per batch, not per row."""
+    import hashlib
+
+    import numpy as np
+
+    out_name = out_col or f"{id_col}_pseud"
+
+    def _pseud(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(ids, return_inverse=True)
+        digests = np.array(
+            [
+                hashlib.md5(f"{salt}:{v}".encode()).hexdigest()[:hex_digits]
+                for v in uniq
+            ],
+            dtype=object,
+        )
+        return batch.append_column(
+            out_name, pa.array(digests[inv].tolist(), type=pa.string())
+        )
+
+    return ds.map_batches(_pseud, batch_format="pyarrow")

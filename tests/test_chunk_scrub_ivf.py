@@ -132,3 +132,29 @@ def test_pii_injection_scrubs_exactly():
         assert counts == {"email": 1, "phone": 0, "ip": 1, "url": 1}, doc_id
     # non-matching ids are untouched
     assert pii_text(PII_REM + 1, "x") == "x"
+
+
+def test_pseudonymize_ids(ray_session):
+    import hashlib
+
+    import ray.data
+
+    from dots_ocr_ray.functions.scrub import pseudonymize_ids
+
+    rows = [{"event_id": i, "user_id": i % 3} for i in range(9)]
+    out = pseudonymize_ids(
+        ray.data.from_items(rows), id_col="user_id", salt="s1"
+    ).take_all()
+    by_user = {}
+    for r in out:
+        expect = hashlib.md5(f"s1:{r['event_id'] % 3}".encode()).hexdigest()[:16]
+        assert r["user_id_pseud"] == expect
+        by_user.setdefault(r["event_id"] % 3, set()).add(r["user_id_pseud"])
+    # same id → same pseudonym; distinct ids stay distinct
+    assert all(len(s) == 1 for s in by_user.values())
+    assert len({next(iter(s)) for s in by_user.values()}) == 3
+    # a different salt unlinks
+    out2 = pseudonymize_ids(
+        ray.data.from_items(rows), id_col="user_id", salt="s2"
+    ).take_all()
+    assert out2[0]["user_id_pseud"] != out[0]["user_id_pseud"]
