@@ -3416,6 +3416,21 @@ def _q_order_value_histogram(sf_dir: str):
     return equi_depth_histogram(orders, "o_totalprice", n_bins=8)
 
 
+def _q_volume_shipping(sf_dir: str):
+    """TPC-H Q7 shape: cross-nation shipped revenue by ship year,
+    both directions between two nations.  Broadcast nation-filtered
+    supplier/customer maps + order-group revenue combiner + ONE
+    fact-fact hash join; final rollup is 2×2×years rows."""
+    from dots_ocr_ray.pipelines.relational import volume_shipping
+
+    out = volume_shipping(sf_dir)
+
+    def _rename(batch):
+        return batch.rename_columns(["supp_nation", "cust_nation", "year", "revenue"])
+
+    return out.map_batches(_rename, batch_format="pyarrow")
+
+
 def _q_pseudonymized_events(sf_dir: str):
     """Keyed pseudonymization of the event stream's user ids
     (md5(salt:id) surrogate — joinable, unlinkable without the salt).
@@ -4917,6 +4932,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_stratified_sample": _q_lang_stratified_sample,
         "host_doc_gini": _q_host_doc_gini,
         "order_value_histogram": _q_order_value_histogram,
+        "volume_shipping": _q_volume_shipping,
         "pseudonymized_events": _q_pseudonymized_events,
         "pii_scrub_audit": _q_pii_scrub_audit,
         "zipf_fit": _q_zipf_fit,
@@ -5733,6 +5749,21 @@ def oracle_sql() -> dict[str, str]:
         ),
         # token co-occurrence PMI: doc-frequency counts over the exact
         # top-32 whitespace vocabulary, ln rounded 9 dp on both engines
+        # TPC-H Q7: bidirectional two-nation trade volume by ship year
+        "volume_shipping": (
+            "SELECT supp_nation, cust_nation, year, sum(volume) AS revenue FROM ("
+            "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, "
+            "CAST(year(l_shipdate) AS BIGINT) AS year, "
+            "l_extendedprice * (1 - l_discount) AS volume "
+            "FROM supplier, lineitem, orders, customer, nation n1, nation n2 "
+            "WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey "
+            "AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey "
+            "AND c_nationkey = n2.n_nationkey "
+            "AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7') "
+            "OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')) "
+            "AND l_shipdate >= TIMESTAMP '1996-01-01' "
+            "AND l_shipdate < TIMESTAMP '1998-01-01') GROUP BY 1, 2, 3"
+        ),
         "pseudonymized_events": (
             "SELECT event_id, substr(md5('graft:' || CAST(user_id AS VARCHAR)), 1, 16) "
             "AS user_id_pseud FROM events"

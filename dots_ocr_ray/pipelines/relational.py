@@ -2606,3 +2606,151 @@ def top_per_key(
         .groupby("__bucket")
         .map_groups(_fold, batch_format="pyarrow")
     )
+
+
+def volume_shipping(
+    sf_dir: str,
+    *,
+    nation_a: str = "NATION_3",
+    nation_b: str = "NATION_7",
+    date_lo: str = "1996-01-01",
+    date_hi: str = "1998-01-01",
+) -> ray.data.Dataset:
+    """TPC-H Q7 shape: shipped revenue BETWEEN two nations (supplier in
+    one, ordering customer in the other, both directions) by ship
+    year — the bidirectional trade-volume star join.
+
+    Join strategy mirrors :func:`regional_supplier_volume`'s 100-TB
+    plan: nation is a driver-read KB dim; the supplier and customer
+    maps are FILTERED to the two nations before broadcast (two of 25
+    nations ≈ 8% of each table — 10^7 customers × 8% ≈ 13 MB, inside
+    the broadcast budget; above it, swap the customer gather for one
+    more hash_join — same seam as the Q5 docstring documents).
+    lineitem tags its supplier nation batch-locally and PRE-AGGREGATES
+    revenue per (orderkey, supp_nation, year) — the order-group
+    combiner that bounds the one fact-fact
+    :func:`hash_join` (lineitem partials ⋈ orders) by order count, not
+    line count.  Final rollup is a tiny (2 × 2 × years) groupby."""
+    import datetime
+
+    import numpy as np
+
+    from dots_ocr_ray.util import cached_object
+
+    nations = ray.data.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+    name_of = dict(zip(nations["n_nationkey"], nations["n_name"]))
+    want_keys = {k for k, v in name_of.items() if v in (nation_a, nation_b)}
+
+    supp = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    ).to_pandas()
+    supp = supp[supp["s_nationkey"].isin(want_keys)]
+    supp_map_ref = ray.put(dict(zip(supp["s_suppkey"], supp["s_nationkey"])))
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).to_pandas()
+    cust = cust[cust["c_nationkey"].isin(want_keys)]
+    cust_map_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_nationkey"])))
+
+    lo = datetime.datetime.fromisoformat(date_lo)
+    hi = datetime.datetime.fromisoformat(date_hi)
+
+    lineitem = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def _tag_supp(batch: pa.Table) -> pa.Table:
+        smap = cached_object(supp_map_ref)
+        ship = batch.column("l_shipdate").to_pandas()
+        keep = (ship >= lo) & (ship < hi)
+        batch = batch.filter(pa.array(keep.to_numpy()))
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "l_orderkey": pa.array([], pa.int64()),
+                    "supp_nation": pa.array([], pa.int64()),
+                    "year": pa.array([], pa.int64()),
+                    "revenue": pa.array([], pa.float64()),
+                }
+            )
+        sk = batch.column("l_suppkey").to_pylist()
+        nk = np.array([smap.get(s, -1) for s in sk], dtype=np.int64)
+        m = nk >= 0
+        batch = batch.filter(pa.array(m))
+        nk = nk[m]
+        rev = (
+            batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+            * (1.0 - batch.column("l_discount").to_numpy(zero_copy_only=False))
+        )
+        years = (
+            batch.column("l_shipdate").to_pandas().dt.year.to_numpy().astype(np.int64)
+        )
+        t = pa.table(
+            {
+                "l_orderkey": batch.column("l_orderkey").cast(pa.int64()),
+                "supp_nation": pa.array(nk, type=pa.int64()),
+                "year": pa.array(years, type=pa.int64()),
+                "revenue": pa.array(rev, type=pa.float64()),
+            }
+        )
+        agg = t.group_by(["l_orderkey", "supp_nation", "year"]).aggregate(
+            [("revenue", "sum")]
+        )
+        return agg.rename_columns(["l_orderkey", "supp_nation", "year", "revenue"])
+
+    partials = lineitem.map_batches(_tag_supp, batch_format="pyarrow")
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+
+    def _orders_side(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_orderkey": batch.column("o_orderkey").cast(pa.int64()),
+                "o_custkey": batch.column("o_custkey").cast(pa.int64()),
+            }
+        )
+
+    joined = hash_join(
+        partials,
+        orders.map_batches(_orders_side, batch_format="pyarrow"),
+        on="l_orderkey",
+        left_schema=pa.schema(
+            [
+                ("l_orderkey", pa.int64()),
+                ("supp_nation", pa.int64()),
+                ("year", pa.int64()),
+                ("revenue", pa.float64()),
+            ]
+        ),
+        right_schema=pa.schema([("l_orderkey", pa.int64()), ("o_custkey", pa.int64())]),
+    )
+
+    def _tag_cust(batch: pa.Table) -> pa.Table:
+        cmap = cached_object(cust_map_ref)
+        ck = batch.column("o_custkey").to_pylist()
+        nk = np.array([cmap.get(c, -1) for c in ck], dtype=np.int64)
+        sn = batch.column("supp_nation").to_numpy(zero_copy_only=False).astype(np.int64)
+        m = (nk >= 0) & (nk != sn)  # cross-nation flows only
+        batch = batch.filter(pa.array(m))
+        nk = nk[m]
+        names = {k: v for k, v in name_of.items()}
+        return pa.table(
+            {
+                "supp_nation": pa.array(
+                    [names[int(s)] for s in batch.column("supp_nation").to_pylist()],
+                    type=pa.string(),
+                ),
+                "cust_nation": pa.array([names[int(c)] for c in nk], type=pa.string()),
+                "year": batch.column("year").cast(pa.int64()),
+                "revenue": batch.column("revenue").cast(pa.float64()),
+            }
+        )
+
+    flows = joined.map_batches(_tag_cust, batch_format="pyarrow")
+    return flows.groupby(["supp_nation", "cust_nation", "year"]).sum("revenue")

@@ -1226,3 +1226,45 @@ def test_mad_robust_scores_degenerate_mad(ray_session):
     out = {r["id"]: r for r in mad_robust_scores(ds, value_col="v").take_all()}
     assert all(out[i]["is_outlier"] == 0 and out[i]["score_micro"] == 0 for i in range(6))
     assert out[6]["is_outlier"] == 1
+
+
+def test_volume_shipping_matches_duckdb(ray_session):
+    """Q7 parity at sf0.001 including the cross-nation-only filter and
+    both flow directions."""
+    import duckdb
+
+    from dots_ocr_ray.pipelines.relational import volume_shipping
+
+    sf = "/root/testdata/sf0.001"
+    eng = (
+        volume_shipping(sf)
+        .to_pandas()
+        .rename(columns={"sum(revenue)": "revenue"})
+        .sort_values(["supp_nation", "cust_nation", "year"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    for t in ["supplier", "lineitem", "orders", "customer", "nation"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    ora = con.execute(
+        "SELECT supp_nation, cust_nation, year, sum(volume) AS revenue FROM ("
+        "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, "
+        "CAST(year(l_shipdate) AS BIGINT) AS year, "
+        "l_extendedprice * (1 - l_discount) AS volume "
+        "FROM supplier, lineitem, orders, customer, nation n1, nation n2 "
+        "WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey "
+        "AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey "
+        "AND c_nationkey = n2.n_nationkey "
+        "AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7') "
+        "OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')) "
+        "AND l_shipdate >= TIMESTAMP '1996-01-01' "
+        "AND l_shipdate < TIMESTAMP '1998-01-01') GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"
+    ).df()
+    assert len(eng) == len(ora)
+    for (_, e), (_, o) in zip(eng.iterrows(), ora.iterrows()):
+        assert (e["supp_nation"], e["cust_nation"], e["year"]) == (
+            o["supp_nation"],
+            o["cust_nation"],
+            o["year"],
+        )
+        assert abs(e["revenue"] - o["revenue"]) < 1e-6
