@@ -3416,6 +3416,53 @@ def _q_order_value_histogram(sf_dir: str):
     return equi_depth_histogram(orders, "o_totalprice", n_bins=8)
 
 
+def _q_diverse_top_docs(sf_dir: str):
+    """Diversity-constrained global top-k (search-results rule: best
+    20 docs by length with AT MOST 2 per host): one bucket-keyed
+    top_per_key(2) exchange prunes to ≤ 2·hosts rows, then a tiny
+    driver sort picks the global 20.  Oracle = ROW_NUMBER per host +
+    global ORDER BY."""
+    import pyarrow as pa
+
+    import ray.data
+
+    from dots_ocr_ray.pipelines.relational import top_per_key
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+
+    def _host(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        host = pa.array([f"example-{i % 40:02d}" for i in ids], type=pa.string())
+        return batch.append_column("host", host)
+
+    capped = top_per_key(
+        docs.map_batches(_host, batch_format="pyarrow"),
+        key_col="host",
+        k=2,
+        desc_col="n_chars",
+        tie_col="doc_id",
+    )
+    rows = (
+        capped.drop_columns(["rk"])
+        .sort(["n_chars", "doc_id"], descending=[True, False])
+        .limit(20)
+        .take_all()
+    )
+    import pyarrow as pa2
+
+    return pa2.table(
+        {
+            "doc_id": pa2.array([r["doc_id"] for r in rows], type=pa2.int64()),
+            "host": pa2.array([r["host"] for r in rows], type=pa2.string()),
+            "n_chars": pa2.array([r["n_chars"] for r in rows], type=pa2.int64()),
+        }
+    )
+
+
 def _q_volume_shipping(sf_dir: str):
     """TPC-H Q7 shape: cross-nation shipped revenue by ship year,
     both directions between two nations.  Broadcast nation-filtered
@@ -4932,6 +4979,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_stratified_sample": _q_lang_stratified_sample,
         "host_doc_gini": _q_host_doc_gini,
         "order_value_histogram": _q_order_value_histogram,
+        "diverse_top_docs": _q_diverse_top_docs,
         "volume_shipping": _q_volume_shipping,
         "pseudonymized_events": _q_pseudonymized_events,
         "pii_scrub_audit": _q_pii_scrub_audit,
@@ -5749,6 +5797,16 @@ def oracle_sql() -> dict[str, str]:
         ),
         # token co-occurrence PMI: doc-frequency counts over the exact
         # top-32 whitespace vocabulary, ln rounded 9 dp on both engines
+        # host-capped global top-k: per-host rank first, then global
+        "diverse_top_docs": (
+            "WITH h AS (SELECT doc_id, n_chars, "
+            "'example-' || lpad(CAST(doc_id % 40 AS VARCHAR), 2, '0') AS host "
+            "FROM documents), "
+            "r AS (SELECT *, row_number() OVER (PARTITION BY host "
+            "ORDER BY n_chars DESC, doc_id) AS rn FROM h) "
+            "SELECT doc_id, host, n_chars FROM r WHERE rn <= 2 "
+            "ORDER BY n_chars DESC, doc_id LIMIT 20"
+        ),
         # TPC-H Q7: bidirectional two-nation trade volume by ship year
         "volume_shipping": (
             "SELECT supp_nation, cust_nation, year, sum(volume) AS revenue FROM ("
