@@ -3416,6 +3416,26 @@ def _q_order_value_histogram(sf_dir: str):
     return equi_depth_histogram(orders, "o_totalprice", n_bins=8)
 
 
+def _q_ann_ivf_persisted(sf_dir: str):
+    """IVF index PERSISTENCE roundtrip: build the hive-partitioned
+    cell layout once (scratch-cached), query it reading ONLY the
+    probed cells' files — results must be bit-equal to the in-memory
+    ivf_topk run, so the oracle is the SAME golden parquet as
+    ann_ivf_topk."""
+    import os
+
+    from dots_ocr_ray.pipelines.similarity import ivf_build_index, ivf_query_index
+
+    queries, ds = _ann_inputs(sf_dir)
+    base, built = _scratch_dir("ivfindex", sf_dir)
+    idx = os.path.join(base, "index")
+    if not built:
+        ivf_build_index(ds, idx)
+        with open(os.path.join(base, "_complete"), "w") as f:
+            f.write("ok")
+    return ivf_query_index(idx, queries, k=5).select(["query_id", "vec_id", "rank"])
+
+
 def _q_diverse_top_docs(sf_dir: str):
     """Diversity-constrained global top-k (search-results rule: best
     20 docs by length with AT MOST 2 per host): one bucket-keyed
@@ -4979,6 +4999,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_stratified_sample": _q_lang_stratified_sample,
         "host_doc_gini": _q_host_doc_gini,
         "order_value_histogram": _q_order_value_histogram,
+        "ann_ivf_persisted": _q_ann_ivf_persisted,
         "diverse_top_docs": _q_diverse_top_docs,
         "volume_shipping": _q_volume_shipping,
         "pseudonymized_events": _q_pseudonymized_events,
@@ -5662,6 +5683,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding": f"SELECT doc_id, cluster_id FROM read_parquet('{_GOLDEN_DIR}/dedup_embedding.parquet')",
         "ann_lsh_topk": f"SELECT query_id, vec_id, rank FROM read_parquet('{_GOLDEN_DIR}/ann_lsh_topk.parquet')",
         "ann_ivf_topk": f"SELECT query_id, vec_id, rank FROM read_parquet('{_GOLDEN_DIR}/ann_ivf_topk.parquet')",
+        # the persisted-index roundtrip must be bit-equal to ivf_topk
+        "ann_ivf_persisted": f"SELECT query_id, vec_id, rank FROM read_parquet('{_GOLDEN_DIR}/ann_ivf_topk.parquet')",
         "ann_pq_topk": f"SELECT query_id, vec_id, rank FROM read_parquet('{_GOLDEN_DIR}/ann_pq_topk.parquet')",
         "kmeans_clusters": f"SELECT vec_id, cluster_id, sim FROM read_parquet('{_GOLDEN_DIR}/kmeans_clusters.parquet')",
         "semdedup_docs": f"SELECT vec_id, cluster_id, kept FROM read_parquet('{_GOLDEN_DIR}/semdedup_docs.parquet')",

@@ -1054,3 +1054,158 @@ def hybrid_rrf(
             "rank": pa.array(list(range(1, len(ranked) + 1)), type=pa.int64()),
         }
     )
+
+
+def ivf_build_index(
+    ds: ray.data.Dataset,
+    index_dir: str,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_cells: int = 16,
+    train_sample: int = 512,
+    kmeans_iters: int = 5,
+) -> np.ndarray:
+    """Build a PERSISTENT IVF index: train centroids exactly as
+    :func:`ivf_topk` (deterministic bottom-k hash sample), assign every
+    vector to its cell, and write the corpus as hive-partitioned
+    parquet (``data/cell=N/``) plus a ``centroids.parquet`` manifest —
+    the build-once / query-many layout a 10^9-vector serving path
+    needs (queries touch only the probed cells' FILES; the unprobed
+    corpus is never read).
+
+    Deterministic: rebuilding from the same corpus yields identical
+    centroids and assignments, so queries against the stored index are
+    bit-equal to an in-memory :func:`ivf_topk` run with the same
+    parameters.  Returns the centroid matrix."""
+    import os
+
+    import pyarrow.parquet as pq_mod
+
+    def _bottomk(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        h = knuth_hash32(ids)
+        take = np.argsort(h, kind="stable")[:train_sample]
+        sub = batch.take(pa.array(np.sort(take)))
+        hh = knuth_hash32(sub.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64))
+        return sub.append_column("_h", pa.array(hh, type=pa.int64()))
+
+    sample_tbl = pa.Table.from_pylist(
+        ds.map_batches(_bottomk, batch_format="pyarrow").take_all()
+    )
+    order = pc.sort_indices(sample_tbl, sort_keys=[("_h", "ascending"), (id_col, "ascending")])
+    sample_tbl = sample_tbl.take(order).slice(0, train_sample)
+    sample = _normalize_rows(vec_matrix(sample_tbl.column(vec_col), dtype=np.float32))
+    centroids = train_kmeans(sample, n_cells, kmeans_iters)
+
+    cent_ref = ray.put(centroids)
+
+    def _assign(batch: pa.Table) -> pa.Table:
+        from dots_ocr_ray.util import cached_object
+
+        cent = cached_object(cent_ref)
+        vecs = _normalize_rows(vec_matrix(batch.column(vec_col), dtype=np.float32))
+        cells = np.argmax(vecs @ cent.T, axis=1).astype(np.int32)
+        out = batch.select([id_col, vec_col])
+        out = out.append_column("cell_id", pa.array(cells, type=pa.int32()))
+        # partition_cols consumes "cell"; cell_id stays IN the files so
+        # a subdir read needs no hive-column reconstruction
+        return out.append_column("cell", pa.array(cells, type=pa.int32()))
+
+    ds.map_batches(_assign, batch_format="pyarrow").write_parquet(
+        os.path.join(index_dir, "data"), partition_cols=["cell"]
+    )
+    pq_mod.write_table(
+        pa.table(
+            {
+                "cell": pa.array(np.arange(len(centroids)), type=pa.int32()),
+                "centroid": pa.array(
+                    [row.tolist() for row in centroids], type=pa.list_(pa.float32())
+                ),
+            }
+        ),
+        os.path.join(index_dir, "centroids.parquet"),
+    )
+    return centroids
+
+
+def ivf_query_index(
+    index_dir: str,
+    queries: np.ndarray,
+    k: int = 10,
+    *,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    concurrency: int | tuple[int, int] | None = None,
+) -> pa.Table:
+    """Query a stored :func:`ivf_build_index` layout: read ONLY the
+    probed cells' partition directories (file-level data skipping —
+    with n_probe=4 of 16 cells, 75% of the corpus is never opened),
+    score batch-locally against the broadcast queries, tiny merge.
+    Output schema and values match :func:`ivf_topk` with the same
+    parameters."""
+    import os
+
+    import pyarrow.parquet as pq_mod
+
+    cent_tbl = pq_mod.read_table(os.path.join(index_dir, "centroids.parquet"))
+    order = pc.sort_indices(cent_tbl, sort_keys=[("cell", "ascending")])
+    cent_tbl = cent_tbl.take(order)
+    centroids = vec_matrix(cent_tbl.column("centroid"), dtype=np.float32)
+
+    qn = _normalize_rows(np.asarray(queries, dtype=np.float32))
+    probe_cells = np.argsort(-(qn @ centroids.T), axis=1)[:, :n_probe]
+    needed = sorted({int(c) for c in probe_cells.ravel()})
+    # a multi-path read_parquet wants FILES; expand each probed cell
+    # directory (unprobed cells' files are never listed or opened)
+    import glob
+
+    paths = [
+        f
+        for c in needed
+        for f in sorted(glob.glob(os.path.join(index_dir, "data", f"cell={c}", "*.parquet")))
+    ]
+    if not paths:
+        return _merge_topk(
+            ray.data.from_items([]).map_batches(lambda b: b, batch_format="pyarrow"), k
+        )
+    part = ray.data.read_parquet(paths, columns=[id_col, vec_col, "cell_id"])
+
+    probe_ref = ray.put(probe_cells)
+    queries_ref = ray.put(qn)
+
+    class _Score:
+        def __init__(self):
+            self.probe = ray.get(probe_ref)
+            self.queries = ray.get(queries_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vecs = _normalize_rows(vec_matrix(batch.column(vec_col), dtype=np.float32))
+            ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            cells = batch.column("cell_id").to_numpy(zero_copy_only=False).astype(np.int64)
+            q_out, id_out, s_out = [], [], []
+            for qi in range(len(self.queries)):
+                mask = np.isin(cells, self.probe[qi])
+                if not mask.any():
+                    continue
+                sims = vecs[mask] @ self.queries[qi]
+                sub_ids = ids[mask]
+                kk = min(k, len(sims))
+                top = np.argpartition(-sims, kk - 1)[:kk]
+                for ci in top:
+                    q_out.append(qi)
+                    id_out.append(int(sub_ids[ci]))
+                    s_out.append(float(sims[ci]))
+            return pa.table(
+                {
+                    "query_id": pa.array(q_out, type=pa.int32()),
+                    "vec_id": pa.array(id_out, type=pa.int64()),
+                    "score": pa.array(s_out, type=pa.float64()),
+                }
+            )
+
+    partials = part.map_batches(
+        _Score, batch_format="pyarrow", concurrency=concurrency or autoscale_pool()
+    )
+    return _merge_topk(partials, k)

@@ -131,3 +131,44 @@ def test_hybrid_rrf_fusion_rule(ray_session):
     )
     assert [(r["doc_id"], r["rrf_q"]) for r in out] == expect
     assert [r["rank"] for r in out] == [1, 2, 3]
+
+
+def test_ivf_index_roundtrip_equals_in_memory(ray_session, tmp_path):
+    """Stored-index queries must be bit-equal to ivf_topk, and must
+    read only the probed cells' files."""
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    import ray.data
+
+    from dots_ocr_ray.pipelines.similarity import (
+        ivf_build_index,
+        ivf_query_index,
+        ivf_topk,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    t = pq.read_table(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
+    order = {v: i for i, v in enumerate(t.column("vec_id").to_pylist())}
+    queries = np.array(
+        [t.column("embedding")[order[v]].as_py() for v in sorted(order)[:4]],
+        dtype=np.float32,
+    )
+    ds = ray.data.read_parquet(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+    idx = str(tmp_path / "ivf")
+    ivf_build_index(ds, idx, n_cells=8, train_sample=64)
+    stored = ivf_query_index(idx, queries, k=5, n_probe=3)
+    direct = ivf_topk(ds, queries, k=5, n_cells=8, n_probe=3, train_sample=64)
+    assert stored.select(["query_id", "vec_id", "rank"]).equals(
+        direct.select(["query_id", "vec_id", "rank"])
+    )
+    # the hive layout exists and holds every vector exactly once
+    cells = [d for d in os.listdir(os.path.join(idx, "data")) if d.startswith("cell=")]
+    assert 1 <= len(cells) <= 8
+    total = sum(
+        pq.read_table(os.path.join(idx, "data", c)).num_rows for c in cells
+    )
+    assert total == t.num_rows
