@@ -3472,13 +3472,11 @@ def _q_diverse_top_docs(sf_dir: str):
         .limit(20)
         .take_all()
     )
-    import pyarrow as pa2
-
-    return pa2.table(
+    return pa.table(
         {
-            "doc_id": pa2.array([r["doc_id"] for r in rows], type=pa2.int64()),
-            "host": pa2.array([r["host"] for r in rows], type=pa2.string()),
-            "n_chars": pa2.array([r["n_chars"] for r in rows], type=pa2.int64()),
+            "doc_id": pa.array([r["doc_id"] for r in rows], type=pa.int64()),
+            "host": pa.array([r["host"] for r in rows], type=pa.string()),
+            "n_chars": pa.array([r["n_chars"] for r in rows], type=pa.int64()),
         }
     )
 

@@ -74,27 +74,27 @@ def pseudonymize_ids(
     pseudonym for joinability, original unrecoverable without the
     salt; rotate the salt to unlink releases).
 
-    Zero exchange; md5 is computed per distinct VALUE per batch (one
-    hash per unique id via np.unique + inverse gather), so hot-user
-    event streams pay one digest per user per batch, not per row."""
+    Zero exchange; md5 is computed once per DISTINCT value per batch
+    (a per-batch memo), so hot-user event streams pay one digest per
+    user per batch, not per row.  Null ids stay null.  Values hash
+    from their Python repr (``to_pylist``), never a numpy cast — an
+    int64 column with one null would otherwise float-convert and hash
+    ``'42.0'`` in null-carrying batches but ``'42'`` elsewhere,
+    splitting one user across two pseudonyms."""
     import hashlib
-
-    import numpy as np
 
     out_name = out_col or f"{id_col}_pseud"
 
     def _pseud(batch: pa.Table) -> pa.Table:
-        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
-        uniq, inv = np.unique(ids, return_inverse=True)
-        digests = np.array(
-            [
-                hashlib.md5(f"{salt}:{v}".encode()).hexdigest()[:hex_digits]
-                for v in uniq
-            ],
-            dtype=object,
-        )
-        return batch.append_column(
-            out_name, pa.array(digests[inv].tolist(), type=pa.string())
-        )
+        memo: dict = {}
+        out = []
+        for v in batch.column(id_col).to_pylist():
+            if v is None:
+                out.append(None)
+                continue
+            if v not in memo:
+                memo[v] = hashlib.md5(f"{salt}:{v}".encode()).hexdigest()[:hex_digits]
+            out.append(memo[v])
+        return batch.append_column(out_name, pa.array(out, type=pa.string()))
 
     return ds.map_batches(_pseud, batch_format="pyarrow")

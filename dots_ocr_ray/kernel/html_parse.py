@@ -420,7 +420,7 @@ def extract_table_cells(html_text: str) -> list[dict]:
             continue
         t_idx += 1
         depth = 0
-        row = 0
+        row = -1  # no row open yet; first <tr> (or stray cell) opens row 0
         col = -1
         in_cell = False
         parts: list[str] = []
@@ -432,11 +432,15 @@ def extract_table_cells(html_text: str) -> list[dict]:
                     depth = max(0, depth - 1)
                 elif depth == 1 and tok == "<tr>":
                     if not in_cell:  # malformed <tr> inside an open cell: fold
-                        row += 1 if col >= 0 else 0
+                        # EVERY <tr> advances the row — an empty/spacer
+                        # row still occupies an index
+                        row = row + 1 if row >= 0 else 0
                         col = -1
                 elif depth == 1 and tok in ("<td>", "<th>"):
                     if not in_cell:
                         in_cell = True
+                        if row < 0:
+                            row = 0
                         col += 1
                         parts = []
                 elif depth == 1 and tok in ("</td>", "</th>"):

@@ -160,10 +160,16 @@ def window_dedup(
     window_us = window_s * 1_000_000
 
     def _prep(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
         # normalize the unit BEFORE the int cast: a timestamp[s]/[ms]
-        # column would otherwise divide by a µs window span
+        # column would otherwise divide by a µs window span.  numpy //
+        # FLOORS (matching SQL's epoch // window) — Arrow's divide
+        # truncates toward zero and would misplace pre-1970 captures
         ts_us = batch.column(ts_col).cast(pa.timestamp("us")).cast(pa.int64())
-        window = pc.divide(ts_us, pa.scalar(window_us, type=pa.int64()))
+        window = pa.array(
+            ts_us.to_numpy(zero_copy_only=False) // window_us, type=pa.int64()
+        )
         wkey = pc.binary_join_element_wise(
             batch.column(key_col).cast(pa.string()), pc.cast(window, pa.string()), "\x1f"
         )

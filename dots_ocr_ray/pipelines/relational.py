@@ -2739,14 +2739,13 @@ def volume_shipping(
         m = (nk >= 0) & (nk != sn)  # cross-nation flows only
         batch = batch.filter(pa.array(m))
         nk = nk[m]
-        names = {k: v for k, v in name_of.items()}
         return pa.table(
             {
                 "supp_nation": pa.array(
-                    [names[int(s)] for s in batch.column("supp_nation").to_pylist()],
+                    [name_of[int(s)] for s in batch.column("supp_nation").to_pylist()],
                     type=pa.string(),
                 ),
-                "cust_nation": pa.array([names[int(c)] for c in nk], type=pa.string()),
+                "cust_nation": pa.array([name_of[int(c)] for c in nk], type=pa.string()),
                 "year": batch.column("year").cast(pa.int64()),
                 "revenue": batch.column("revenue").cast(pa.float64()),
             }

@@ -133,6 +133,38 @@ def train_kmeans(sample: np.ndarray, n_cells: int, iters: int) -> np.ndarray:
     return centroids
 
 
+def _ivf_train(
+    ds: "ray.data.Dataset",
+    *,
+    vec_col: str,
+    id_col: str,
+    n_cells: int,
+    train_sample: int,
+    kmeans_iters: int,
+) -> np.ndarray:
+    """Shared IVF centroid training (ivf_topk AND ivf_build_index —
+    ONE implementation so the stored-index bit-equality contract can
+    never desynchronize): deterministic bottom-k Knuth-hash sample of
+    the corpus (per-batch partial bottom-k, tiny driver merge, order-
+    insensitive), then seeded spherical k-means."""
+
+    def _bottomk(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        h = knuth_hash32(ids)
+        take = np.argsort(h, kind="stable")[:train_sample]
+        sub = batch.take(pa.array(np.sort(take)))
+        hh = knuth_hash32(sub.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64))
+        return sub.append_column("_h", pa.array(hh, type=pa.int64()))
+
+    sample_tbl = pa.Table.from_pylist(
+        ds.map_batches(_bottomk, batch_format="pyarrow").take_all()
+    )
+    order = pc.sort_indices(sample_tbl, sort_keys=[("_h", "ascending"), (id_col, "ascending")])
+    sample_tbl = sample_tbl.take(order).slice(0, train_sample)
+    sample = _normalize_rows(vec_matrix(sample_tbl.column(vec_col), dtype=np.float32))
+    return train_kmeans(sample, n_cells, kmeans_iters)
+
+
 def ivf_topk(
     ds: ray.data.Dataset,
     queries: np.ndarray,
@@ -165,22 +197,14 @@ def ivf_topk(
     """
     queries = np.asarray(queries, dtype=np.float32)
 
-    # --- train on a deterministic uniform hash-sample (bottom-k by
-    # Knuth hash of the id): per-batch partial bottom-k keeps the
-    # driver merge at k × n_batches rows no matter the corpus size
-    def _bottomk(batch: pa.Table) -> pa.Table:
-        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
-        h = knuth_hash32(ids)
-        take = np.argsort(h, kind="stable")[:train_sample]
-        sub = batch.take(pa.array(np.sort(take)))
-        hh = knuth_hash32(sub.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64))
-        return sub.append_column("_h", pa.array(hh, type=pa.int64()))
-
-    sample_tbl = pa.Table.from_pylist(ds.map_batches(_bottomk, batch_format="pyarrow").take_all())
-    order = pc.sort_indices(sample_tbl, sort_keys=[("_h", "ascending"), (id_col, "ascending")])
-    sample_tbl = sample_tbl.take(order).slice(0, train_sample)
-    sample = _normalize_rows(vec_matrix(sample_tbl.column(vec_col), dtype=np.float32))
-    centroids = train_kmeans(sample, n_cells, kmeans_iters)
+    centroids = _ivf_train(
+        ds,
+        vec_col=vec_col,
+        id_col=id_col,
+        n_cells=n_cells,
+        train_sample=train_sample,
+        kmeans_iters=kmeans_iters,
+    )
 
     qn = _normalize_rows(queries)
     probe_cells = np.argsort(-(qn @ centroids.T), axis=1)[:, :n_probe]  # (nq, n_probe)
@@ -208,7 +232,10 @@ def ivf_topk(
                 sims = vecs[mask] @ self.queries[qi]
                 sub_ids = ids[mask]
                 kk = min(k, len(sims))
-                top = np.argpartition(-sims, kk - 1)[:kk]
+                # lexsort, not argpartition: equal scores at the batch
+                # top-k boundary must resolve by vec_id so the stored-
+                # index path (different batching) stays bit-equal
+                top = np.lexsort((sub_ids, -sims))[:kk]
                 for ci in top:
                     q_out.append(qi)
                     id_out.append(int(sub_ids[ci]))
@@ -988,8 +1015,6 @@ def hybrid_rrf(
     where the fusion is a dictionary fold.
 
     Output: top-``k`` fused ``(doc_id, rrf_q, rank)``."""
-    import pyarrow.compute as pc
-
     from dots_ocr_ray.pipelines.text_analysis import bm25_scores
     from dots_ocr_ray.util import vec_matrix as _vm
 
@@ -1029,7 +1054,9 @@ def hybrid_rrf(
         sims = (mat @ qv) / norms
         ids = batch.column(vec_id_col).to_numpy(zero_copy_only=False).astype(np.int64)
         kk = min(k_cand, len(ids))
-        top = np.argpartition(-sims, kk - 1)[:kk] if kk else np.array([], np.int64)
+        # lexsort for deterministic tied-boundary selection (ties →
+        # smallest vec_id survives, matching the SQL oracle's rank)
+        top = np.lexsort((ids, -sims))[:kk] if kk else np.array([], np.int64)
         return pa.table(
             {
                 "vec_id": pa.array(ids[top], type=pa.int64()),
@@ -1082,21 +1109,14 @@ def ivf_build_index(
 
     import pyarrow.parquet as pq_mod
 
-    def _bottomk(batch: pa.Table) -> pa.Table:
-        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
-        h = knuth_hash32(ids)
-        take = np.argsort(h, kind="stable")[:train_sample]
-        sub = batch.take(pa.array(np.sort(take)))
-        hh = knuth_hash32(sub.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64))
-        return sub.append_column("_h", pa.array(hh, type=pa.int64()))
-
-    sample_tbl = pa.Table.from_pylist(
-        ds.map_batches(_bottomk, batch_format="pyarrow").take_all()
+    centroids = _ivf_train(
+        ds,
+        vec_col=vec_col,
+        id_col=id_col,
+        n_cells=n_cells,
+        train_sample=train_sample,
+        kmeans_iters=kmeans_iters,
     )
-    order = pc.sort_indices(sample_tbl, sort_keys=[("_h", "ascending"), (id_col, "ascending")])
-    sample_tbl = sample_tbl.take(order).slice(0, train_sample)
-    sample = _normalize_rows(vec_matrix(sample_tbl.column(vec_col), dtype=np.float32))
-    centroids = train_kmeans(sample, n_cells, kmeans_iters)
 
     cent_ref = ray.put(centroids)
 
@@ -1192,7 +1212,10 @@ def ivf_query_index(
                 sims = vecs[mask] @ self.queries[qi]
                 sub_ids = ids[mask]
                 kk = min(k, len(sims))
-                top = np.argpartition(-sims, kk - 1)[:kk]
+                # lexsort, not argpartition: equal scores at the batch
+                # top-k boundary must resolve by vec_id so the stored-
+                # index path (different batching) stays bit-equal
+                top = np.lexsort((sub_ids, -sims))[:kk]
                 for ci in top:
                     q_out.append(qi)
                     id_out.append(int(sub_ids[ci]))

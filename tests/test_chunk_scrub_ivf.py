@@ -158,3 +158,23 @@ def test_pseudonymize_ids(ray_session):
         ray.data.from_items(rows), id_col="user_id", salt="s2"
     ).take_all()
     assert out2[0]["user_id_pseud"] != out[0]["user_id_pseud"]
+
+
+def test_pseudonymize_ids_null_safe(ray_session):
+    """A null in the id column must stay null and must NOT float-poison
+    the other ids' hash inputs ('42.0' vs '42')."""
+    import hashlib
+
+    import pyarrow as pa
+
+    import ray.data
+
+    from dots_ocr_ray.functions.scrub import pseudonymize_ids
+
+    ds = ray.data.from_arrow(
+        pa.table({"user_id": pa.array([42, None, 7], type=pa.int64())})
+    )
+    out = {r["user_id"]: r["user_id_pseud"] for r in pseudonymize_ids(ds, salt="s").take_all()}
+    assert out[42] == hashlib.md5(b"s:42").hexdigest()[:16]
+    assert out[7] == hashlib.md5(b"s:7").hexdigest()[:16]
+    assert out[None] is None

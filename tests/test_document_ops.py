@@ -277,3 +277,22 @@ def test_aligned_page_pairs(ray_session):
     # partition-invariant
     out2 = aligned_page_pairs(ray.data.from_items(rows).repartition(4)).take_all()
     assert sorted((r["lang_a"], r["doc_a"], r["lang_b"], r["doc_b"]) for r in out2) == got
+
+
+def test_window_dedup_pre_epoch_floor(ray_session):
+    """Negative epoch micros must FLOOR into the previous window (SQL
+    // semantics), not truncate toward zero."""
+    import datetime
+
+    import ray.data
+
+    from dots_ocr_ray.pipelines.document import window_dedup
+
+    rows = [
+        {"url": "a", "warc_ts": datetime.datetime(1969, 12, 31, 23, 0)},
+        {"url": "a", "warc_ts": datetime.datetime(1970, 1, 1, 1, 0)},
+    ]
+    out = sorted(
+        (r["win_id"], r["warc_ts"]) for r in window_dedup(ray.data.from_items(rows)).take_all()
+    )
+    assert [w for w, _ in out] == [-1, 0]  # both survive, distinct windows

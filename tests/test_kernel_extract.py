@@ -225,3 +225,15 @@ def test_fixture_table_rule_roundtrip():
     plain = page_row_from_document(doc_id, "body", "en")
     assert b"<table>" not in plain["html"]
     assert fixture_table_html(doc_id).count("<td>") == TABLE_ROWS * TABLE_COLS
+
+
+def test_extract_table_cells_empty_row_advances_index():
+    from dots_ocr_ray.kernel.html_parse import extract_table_cells
+
+    cells = extract_table_cells(
+        "<table><tr><td>a</td></tr><tr></tr><tr><td>b</td></tr></table>"
+    )
+    assert cells == [
+        {"table_idx": 0, "row_idx": 0, "col_idx": 0, "cell": "a"},
+        {"table_idx": 0, "row_idx": 2, "col_idx": 0, "cell": "b"},
+    ]
