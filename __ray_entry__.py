@@ -4931,6 +4931,25 @@ def _q_drift_kl(sf_dir: str):
     return distribution_drift(sf_dir, category="lang")
 
 
+def _q_skyline_orders(sf_dir: str):
+    """Distributed 2-D skyline (Pareto frontier): orders undominated
+    under (maximize o_totalprice, maximize o_orderdate) — the
+    "recent AND high-value" frontier no weighted score can rank away.
+    Two-phase: vectorized per-block local skylines, then the same
+    kernel over the coalesced candidate union (pipelines/skyline.py).
+    Oracle: NOT EXISTS dominance SQL — an independent O(n²) derivation
+    of the same frontier."""
+    import ray.data
+
+    from dots_ocr_ray.pipelines.skyline import skyline_2d
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_totalprice", "o_orderdate"],
+    )
+    return skyline_2d(orders, "o_totalprice", "o_orderdate")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction (the flagship; SQL mirrors the deterministic wrapper)
@@ -5142,6 +5161,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "schema_evolution": _q_schema_evolution,
         "bootstrap_ci": _q_bootstrap_ci,
         "trending_types": _q_trending_types,
+        "skyline_orders": _q_skyline_orders,
     }
 
 
@@ -6770,5 +6790,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT day, event_type, CAST(n AS BIGINT) AS n, "
             "CAST(row_number() OVER (PARTITION BY day ORDER BY n DESC, event_type) AS BIGINT) AS rk "
             "FROM c) WHERE rk <= 3"
+        ),
+        "skyline_orders": (
+            "SELECT o_orderkey, o_totalprice, o_orderdate FROM orders o1 "
+            "WHERE NOT EXISTS (SELECT 1 FROM orders o2 "
+            "WHERE o2.o_totalprice >= o1.o_totalprice "
+            "AND o2.o_orderdate >= o1.o_orderdate "
+            "AND (o2.o_totalprice > o1.o_totalprice "
+            "OR o2.o_orderdate > o1.o_orderdate))"
         ),
     }
