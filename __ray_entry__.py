@@ -4931,6 +4931,37 @@ def _q_drift_kl(sf_dir: str):
     return distribution_drift(sf_dir, category="lang")
 
 
+def _q_mojibake_repair(sf_dir: str):
+    """Encoding repair under the hard signal: the MOJI_MOD fixture
+    rule appends k copies of one mangled cp1252/UTF-8 signature to
+    every 9th doc; the repairer must DETECT them from the real
+    codepoints (Arrow count_substring per lexicon signature) and fix
+    them via the reverse round-trip.  Zero exchange; oracle = the
+    injection arithmetic on (doc_id, length(text))."""
+    import pyarrow as pa
+
+    import ray.data
+
+    from dots_ocr_ray.fixtures import moji_text
+    from dots_ocr_ray.functions.encoding import repair_mojibake
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def _inject(batch: pa.Table) -> pa.Table:
+        texts = [
+            moji_text(d, t or "")
+            for d, t in zip(batch.column("doc_id").to_pylist(), batch.column("text").to_pylist())
+        ]
+        return pa.table(
+            {"doc_id": batch.column("doc_id"), "text": pa.array(texts, type=pa.string())}
+        )
+
+    out = repair_mojibake(docs.map_batches(_inject, batch_format="pyarrow"))
+    return out.select_columns(
+        ["doc_id", "text_repaired", "n_mojibake", "chars_before", "chars_after"]
+    )
+
+
 def _q_skyline_orders(sf_dir: str):
     """Distributed 2-D skyline (Pareto frontier): orders undominated
     under (maximize o_totalprice, maximize o_orderdate) — the
@@ -5162,6 +5193,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bootstrap_ci": _q_bootstrap_ci,
         "trending_types": _q_trending_types,
         "skyline_orders": _q_skyline_orders,
+        "mojibake_repair": _q_mojibake_repair,
     }
 
 
@@ -6798,5 +6830,23 @@ def oracle_sql() -> dict[str, str]:
             "AND o2.o_orderdate >= o1.o_orderdate "
             "AND (o2.o_totalprice > o1.o_totalprice "
             "OR o2.o_orderdate > o1.o_orderdate))"
+        ),
+        "mojibake_repair": (
+            # mirror of the MOJI_MOD injection arithmetic: sel picks the
+            # signature (0: 2-char e-acute, 1: 3-char right-quote,
+            # 2: 2-char u-umlaut), k = sel + 1 copies appended; each
+            # signature repairs to exactly ONE character
+            "WITH m AS (SELECT doc_id, text, "
+            "CASE WHEN doc_id % 9 = 4 THEN (doc_id // 9) % 3 ELSE -1 END AS sel "
+            "FROM documents) "
+            "SELECT doc_id, "
+            "text || CASE WHEN sel >= 0 THEN repeat("
+            "CASE sel WHEN 0 THEN 'é' WHEN 1 THEN '’' ELSE 'ü' END, sel + 1) "
+            "ELSE '' END AS text_repaired, "
+            "CAST(CASE WHEN sel >= 0 THEN sel + 1 ELSE 0 END AS BIGINT) AS n_mojibake, "
+            "CAST(length(text) + CASE WHEN sel >= 0 THEN (sel + 1) * "
+            "(CASE sel WHEN 1 THEN 3 ELSE 2 END) ELSE 0 END AS BIGINT) AS chars_before, "
+            "CAST(length(text) + CASE WHEN sel >= 0 THEN sel + 1 ELSE 0 END AS BIGINT) "
+            "AS chars_after FROM m"
         ),
     }

@@ -342,3 +342,28 @@ def pii_text(doc_id: int, text: str) -> str:
         + f" contact user{doc_id}@mail-{doc_id % 13}.example.com or {ip}"
         + f" at https://pii-{doc_id % 9}.example.org/x"
     )
+
+
+MOJI_MOD, MOJI_REM = 9, 4
+"""Mojibake injection rule (moji_text): docs with ``doc_id % 9 == 4``
+get ``k = (doc_id // 9) % 3 + 1`` copies of ONE mangled signature
+appended (rotating by ``(doc_id // 9) % 3`` — NOT ``doc_id % 3``,
+which is constant 1 on the residue class since 9 % 3 == 0).  Each
+signature repairs to exactly one character via the cp1252/UTF-8
+round-trip, so detection counts and before/after codepoint lengths
+are SQL-mirrorable arithmetic on (doc_id, length(text))."""
+
+_MOJI_SEQS = (
+    "Ã©",          # mangled e-acute  (2 chars -> 1)
+    "â€™",    # mangled right single quote (3 chars -> 1)
+    "Ã¼",          # mangled u-umlaut (2 chars -> 1)
+)
+
+
+def moji_text(doc_id: int, text: str) -> str:
+    """Apply the MOJI_MOD injection to one document's text (pure;
+    shared by the Ray query and the SQL mirror's arithmetic)."""
+    if doc_id % MOJI_MOD != MOJI_REM:
+        return text
+    sel = (doc_id // MOJI_MOD) % 3
+    return text + _MOJI_SEQS[sel] * (sel + 1)
