@@ -4962,6 +4962,37 @@ def _q_mojibake_repair(sf_dir: str):
     )
 
 
+def _q_script_mix(sf_dir: str):
+    """Unicode script-mix detection: per-doc codepoint counts by
+    script block, computed from the REAL codepoints in one numpy pass
+    (concat → utf-32 view → searchsorted buckets → cumsum-diff per
+    row; functions/scripts.py).  The script_text fixture rule appends
+    deterministic Cyrillic/CJK/Greek runs (stackable) to the ASCII
+    base; oracle = the injection arithmetic, n_latin = length(text)."""
+    import pyarrow as pa
+
+    import ray.data
+
+    from dots_ocr_ray.fixtures import script_text
+    from dots_ocr_ray.functions.scripts import script_counts
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def _inject(batch: pa.Table) -> pa.Table:
+        texts = [
+            script_text(d, t or "")
+            for d, t in zip(batch.column("doc_id").to_pylist(), batch.column("text").to_pylist())
+        ]
+        return pa.table(
+            {"doc_id": batch.column("doc_id"), "text": pa.array(texts, type=pa.string())}
+        )
+
+    out = script_counts(docs.map_batches(_inject, batch_format="pyarrow"))
+    return out.select_columns(
+        ["doc_id", "n_latin", "n_greek", "n_cyrillic", "n_cjk", "n_other"]
+    )
+
+
 def _q_skyline_orders(sf_dir: str):
     """Distributed 2-D skyline (Pareto frontier): orders undominated
     under (maximize o_totalprice, maximize o_orderdate) — the
@@ -5194,6 +5225,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trending_types": _q_trending_types,
         "skyline_orders": _q_skyline_orders,
         "mojibake_repair": _q_mojibake_repair,
+        "script_mix": _q_script_mix,
     }
 
 
@@ -6848,5 +6880,16 @@ def oracle_sql() -> dict[str, str]:
             "(CASE sel WHEN 1 THEN 3 ELSE 2 END) ELSE 0 END AS BIGINT) AS chars_before, "
             "CAST(length(text) + CASE WHEN sel >= 0 THEN sel + 1 ELSE 0 END AS BIGINT) "
             "AS chars_after FROM m"
+        ),
+        "script_mix": (
+            # mirror of the script_text injection arithmetic; the ASCII
+            # base contributes length(text) Latin codepoints and nothing
+            # else; the 7-rules are exclusive (elif), the 11-rule stacks
+            "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_latin, "
+            "CAST(CASE WHEN doc_id % 11 = 3 THEN 3 ELSE 0 END AS BIGINT) AS n_greek, "
+            "CAST(CASE WHEN doc_id % 7 = 2 THEN 6 * ((doc_id // 7) % 2 + 1) "
+            "ELSE 0 END AS BIGINT) AS n_cyrillic, "
+            "CAST(CASE WHEN doc_id % 7 = 5 THEN 4 ELSE 0 END AS BIGINT) AS n_cjk, "
+            "CAST(0 AS BIGINT) AS n_other FROM documents"
         ),
     }

@@ -367,3 +367,20 @@ def moji_text(doc_id: int, text: str) -> str:
         return text
     sel = (doc_id // MOJI_MOD) % 3
     return text + _MOJI_SEQS[sel] * (sel + 1)
+
+
+def script_text(doc_id: int, text: str) -> str:
+    """Script-mix injection rule (SQL-mirrorable arithmetic): three
+    independent residue rules append non-Latin runs to the ASCII base —
+    ``doc_id % 7 == 2`` → Cyrillic "привет" × ((doc_id // 7) % 2 + 1),
+    ``doc_id % 7 == 5`` → CJK "你好世界",
+    ``doc_id % 11 == 3`` → Greek "αβγ" (can stack with either 7-rule,
+    exercising mixed-script documents)."""
+    out = text
+    if doc_id % 7 == 2:
+        out += "привет" * ((doc_id // 7) % 2 + 1)
+    elif doc_id % 7 == 5:
+        out += "你好世界"
+    if doc_id % 11 == 3:
+        out += "αβγ"
+    return out
