@@ -4962,6 +4962,50 @@ def _q_mojibake_repair(sf_dir: str):
     )
 
 
+def _q_hrw_assignment(sf_dir: str):
+    """Rendezvous (HRW) hashing as the cluster-resize stability
+    primitive: the 40-host fixture keyspace assigned to 8 and to 9
+    buckets; every key that moves MUST land on the new bucket, and the
+    expected moved fraction is 1/9 (functions/partitioning.py).  The
+    oracle recomputes the same argmax-of-md5 independently in SQL
+    (hex-string DESC == big-endian numeric DESC on equal length)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray.data
+
+    from dots_ocr_ray.functions.partitioning import rendezvous_assign
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def _host(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        lut = np.array([f"example-{r:02d}.com" for r in range(40)])
+        rem = batch.column("doc_id").to_numpy(zero_copy_only=False) % 40
+        return pa.table({"host": pa.array(lut[rem], type=pa.string())})
+
+    hosts = (
+        docs.map_batches(_host, batch_format="pyarrow")
+        .groupby("host")
+        .count()
+        .select_columns(["host"])
+    )
+    out = rendezvous_assign(hosts, "host", 8, out_col="bucket8")
+    out = rendezvous_assign(out, "host", 9, out_col="bucket9")
+
+    def _moved(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "moved",
+            pc.cast(
+                pc.not_equal(batch.column("bucket8"), batch.column("bucket9")),
+                pa.int64(),
+            ),
+        )
+
+    return out.map_batches(_moved, batch_format="pyarrow")
+
+
 def _q_script_mix(sf_dir: str):
     """Unicode script-mix detection: per-doc codepoint counts by
     script block, computed from the REAL codepoints in one numpy pass
@@ -5226,6 +5270,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "skyline_orders": _q_skyline_orders,
         "mojibake_repair": _q_mojibake_repair,
         "script_mix": _q_script_mix,
+        "hrw_assignment": _q_hrw_assignment,
     }
 
 
@@ -6891,5 +6936,22 @@ def oracle_sql() -> dict[str, str]:
             "ELSE 0 END AS BIGINT) AS n_cyrillic, "
             "CAST(CASE WHEN doc_id % 7 = 5 THEN 4 ELSE 0 END AS BIGINT) AS n_cjk, "
             "CAST(0 AS BIGINT) AS n_other FROM documents"
+        ),
+        "hrw_assignment": (
+            # independent SQL recomputation of the HRW argmax at n=8 and
+            # n=9 over the 40-host fixture keyspace
+            "WITH hosts AS (SELECT DISTINCT 'example-' || "
+            "lpad(CAST(doc_id % 40 AS VARCHAR), 2, '0') || '.com' AS host FROM documents), "
+            "hb AS (SELECT host, b, md5(host || '#' || CAST(b AS VARCHAR)) AS h "
+            "FROM hosts CROSS JOIN (SELECT unnest(generate_series(0, 8)) AS b) t), "
+            "r8 AS (SELECT host, b, row_number() OVER (PARTITION BY host "
+            "ORDER BY h DESC, b) AS rn FROM hb WHERE b < 8), "
+            "r9 AS (SELECT host, b, row_number() OVER (PARTITION BY host "
+            "ORDER BY h DESC, b) AS rn FROM hb) "
+            "SELECT h8.host, CAST(h8.b AS BIGINT) AS bucket8, "
+            "CAST(h9.b AS BIGINT) AS bucket9, "
+            "CAST(h8.b <> h9.b AS BIGINT) AS moved "
+            "FROM (SELECT host, b FROM r8 WHERE rn = 1) h8 "
+            "JOIN (SELECT host, b FROM r9 WHERE rn = 1) h9 USING (host)"
         ),
     }

@@ -1,0 +1,46 @@
+"""Rendezvous hashing: minimal-movement property, determinism,
+dataset operator shape."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+import ray.data
+
+from dots_ocr_ray.functions.partitioning import rendezvous_assign, rendezvous_bucket
+
+
+KEYS = [f"host-{i}.example" for i in range(200)]
+
+
+def test_grow_moves_only_to_new_bucket():
+    moved = 0
+    for k in KEYS:
+        b8 = rendezvous_bucket(k, 8)
+        b9 = rendezvous_bucket(k, 9)
+        if b8 != b9:
+            moved += 1
+            assert b9 == 8  # the defining HRW property
+    # expected moved fraction 1/9 ≈ 22 of 200; allow generous slack
+    assert 5 <= moved <= 60
+
+
+def test_assignment_is_uniform_ish():
+    from collections import Counter
+
+    c = Counter(rendezvous_bucket(k, 8) for k in KEYS)
+    assert set(c) == set(range(8))
+    assert max(c.values()) <= 3 * min(c.values())
+
+
+def test_salt_changes_assignment():
+    assert any(
+        rendezvous_bucket(k, 8) != rendezvous_bucket(k, 8, salt="v2") for k in KEYS
+    )
+
+
+def test_dataset_operator(ray_session):
+    ds = ray.data.from_arrow(pa.table({"k": KEYS})).repartition(4)
+    out = rendezvous_assign(ds, "k", 8).to_pandas()
+    expect = {k: rendezvous_bucket(k, 8) for k in KEYS}
+    assert all(expect[r.k] == r.bucket for r in out.itertuples())
