@@ -4962,6 +4962,34 @@ def _q_mojibake_repair(sf_dir: str):
     )
 
 
+def _q_orc_roundtrip(sf_dir: str):
+    """ORC sink+source coverage (sources/orc.py): the documents table
+    written as per-batch .orc files and streamed back via per-file
+    read tasks with reader-level column projection.  Oracle: the
+    original table minus the projected-away column — the format hop
+    must be lossless."""
+    import os
+
+    import ray.data
+
+    from dots_ocr_ray.sources.orc import read_orc, write_orc
+
+    base, built = _scratch_dir("orcround", sf_dir)
+    out = os.path.join(base, "orc")
+    if not built:
+        write_orc(
+            ray.data.read_parquet(
+                f"{sf_dir}/documents.parquet",
+                columns=["doc_id", "text", "lang", "source", "n_chars"],
+            ).repartition(4),
+            out,
+            rows_per_file=256,
+        )
+        with open(os.path.join(base, "_complete"), "w") as f:
+            f.write("ok")
+    return read_orc(out, columns=["doc_id", "lang", "source", "n_chars"])
+
+
 def _q_hrw_assignment(sf_dir: str):
     """Rendezvous (HRW) hashing as the cluster-resize stability
     primitive: the 40-host fixture keyspace assigned to 8 and to 9
@@ -5271,6 +5299,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mojibake_repair": _q_mojibake_repair,
         "script_mix": _q_script_mix,
         "hrw_assignment": _q_hrw_assignment,
+        "orc_roundtrip": _q_orc_roundtrip,
     }
 
 
@@ -6267,6 +6296,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ipc_roundtrip": (
             "SELECT doc_id, text, lang, source, n_chars FROM documents"
+        ),
+        "orc_roundtrip": (
+            "SELECT doc_id, lang, source, n_chars FROM documents"
         ),
         # time travel: v1 is the untouched base table; v2 reconstructs
         # the CDC batch (update %5==0, delete %7==3 less the update
