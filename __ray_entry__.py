@@ -4962,6 +4962,22 @@ def _q_mojibake_repair(sf_dir: str):
     )
 
 
+def _q_winsorized_stats(sf_dir: str):
+    """Per-event-type winsorized sums in exact integer cents: cut
+    points are rank-ceil(q·n) order statistics of the quantized
+    values, tails clamped with an integer least/greatest — robust
+    aggregation with a hash-exact SQL mirror (row_number ranks +
+    clamp).  One bounded-cardinality groupby exchange."""
+    import ray.data
+
+    from dots_ocr_ray.pipelines.profile import winsorized_stats
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+    return winsorized_stats(events)
+
+
 def _q_orc_roundtrip(sf_dir: str):
     """ORC sink+source coverage (sources/orc.py): the documents table
     written as per-batch .orc files and streamed back via per-file
@@ -5300,6 +5316,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "script_mix": _q_script_mix,
         "hrw_assignment": _q_hrw_assignment,
         "orc_roundtrip": _q_orc_roundtrip,
+        "winsorized_stats": _q_winsorized_stats,
     }
 
 
@@ -6299,6 +6316,22 @@ def oracle_sql() -> dict[str, str]:
         ),
         "orc_roundtrip": (
             "SELECT doc_id, lang, source, n_chars FROM documents"
+        ),
+        "winsorized_stats": (
+            "WITH c AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents "
+            "FROM events), "
+            "r AS (SELECT event_type, cents, "
+            "row_number() OVER (PARTITION BY event_type ORDER BY cents) AS rn, "
+            "count(*) OVER (PARTITION BY event_type) AS n FROM c), "
+            "b AS (SELECT event_type, "
+            "max(CASE WHEN rn = CAST(ceil(0.05 * n) AS BIGINT) THEN cents END) AS lo, "
+            "max(CASE WHEN rn = CAST(ceil(0.95 * n) AS BIGINT) THEN cents END) AS hi, "
+            "CAST(max(n) AS BIGINT) AS n FROM r GROUP BY event_type) "
+            "SELECT b.event_type, b.n, b.lo AS lo_cents, b.hi AS hi_cents, "
+            "CAST(sum(c.cents) AS BIGINT) AS raw_sum_cents, "
+            "CAST(sum(least(greatest(c.cents, b.lo), b.hi)) AS BIGINT) AS wins_sum_cents "
+            "FROM c JOIN b USING (event_type) "
+            "GROUP BY b.event_type, b.n, b.lo, b.hi"
         ),
         # time travel: v1 is the untouched base table; v2 reconstructs
         # the CDC batch (update %5==0, delete %7==3 less the update

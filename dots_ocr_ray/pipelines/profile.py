@@ -167,3 +167,48 @@ def profile_table(ds: ray.data.Dataset, *, hll_p: int = PROFILE_HLL_P) -> ray.da
 
     partials = bounded_blocks(ds.map_batches(_partials, batch_format="pyarrow"))
     return partials.groupby("column").map_groups(_merge, batch_format="pyarrow")
+
+
+def winsorized_stats(
+    ds: ray.data.Dataset,
+    *,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    lo_q: float = 0.05,
+    hi_q: float = 0.95,
+) -> ray.data.Dataset:
+    """Per-group winsorized (clamped-tail) sums in exact integer cents
+    — the robust aggregate that keeps a handful of fat-finger outliers
+    from dominating a mean.
+
+    Cut points are ORDER STATISTICS, not interpolated quantiles:
+    rank ``ceil(q·n)`` (1-indexed) of the cents-quantized values, so
+    the result is integer-exact and SQL-mirrorable (``row_number``
+    + ``least/greatest`` clamp).  Shape: one ``groupby(group_col)``
+    exchange; per-group work is a numpy sort inside ``map_groups`` —
+    the right tool while group cardinality is bounded (event types,
+    languages); for unbounded keys use the mergeable-sketch quantile
+    path (``chars_quantiles_approx``) instead.
+    """
+
+    def _group_stats(group: pa.Table) -> pa.Table:
+        vals = group.column(value_col).to_numpy(zero_copy_only=False)
+        cents = np.round(vals * 100).astype(np.int64)
+        s = np.sort(cents)
+        n = len(s)
+        lo = int(s[max(0, int(np.ceil(lo_q * n)) - 1)])
+        hi = int(s[max(0, int(np.ceil(hi_q * n)) - 1)])
+        return pa.table(
+            {
+                group_col: [group.column(group_col)[0].as_py()],
+                "n": pa.array([n], pa.int64()),
+                "lo_cents": pa.array([lo], pa.int64()),
+                "hi_cents": pa.array([hi], pa.int64()),
+                "raw_sum_cents": pa.array([int(cents.sum())], pa.int64()),
+                "wins_sum_cents": pa.array(
+                    [int(np.clip(cents, lo, hi).sum())], pa.int64()
+                ),
+            }
+        )
+
+    return ds.groupby(group_col).map_groups(_group_stats, batch_format="pyarrow")

@@ -37,3 +37,33 @@ def test_profile_all_null_column(ray_session):
     assert out.loc["x", "n_nulls"] == 2
     assert out.loc["x", "approx_distinct"] == 0
     assert out.loc["x", "vmin"] == 0.0 and out.loc["x", "vmax"] == 0.0
+
+
+def test_winsorized_stats_clamps_tails(ray_session):
+    import numpy as np
+
+    from dots_ocr_ray.pipelines.profile import winsorized_stats
+
+    # group 'a': 20 values 1.00..20.00 → lo rank ceil(.05*20)=1 → 100,
+    # hi rank ceil(.95*20)=19 → 1900; only the 2000 tail is clamped
+    vals_a = [float(i) for i in range(1, 21)]
+    tbl = pa.table(
+        {
+            "event_type": ["a"] * 20 + ["b"] * 3,
+            "value": vals_a + [5.0, 5.0, 5.0],
+        }
+    )
+    out = (
+        winsorized_stats(ray.data.from_arrow(tbl).repartition(3))
+        .to_pandas()
+        .set_index("event_type")
+    )
+    assert out.loc["a", "n"] == 20
+    assert out.loc["a", "lo_cents"] == 100 and out.loc["a", "hi_cents"] == 1900
+    assert out.loc["a", "raw_sum_cents"] == sum(int(v * 100) for v in vals_a)
+    assert (
+        out.loc["a", "wins_sum_cents"]
+        == out.loc["a", "raw_sum_cents"] - 100  # 2000 clamped to 1900
+    )
+    # constant group: clamping is a no-op
+    assert out.loc["b", "raw_sum_cents"] == out.loc["b", "wins_sum_cents"] == 1500
