@@ -4962,6 +4962,21 @@ def _q_mojibake_repair(sf_dir: str):
     )
 
 
+def _q_host_betweenness(sf_dir: str):
+    """Exact directed betweenness over the 40-host edge fixture,
+    parallelized BY SOURCE (one Brandes BFS task slice per source
+    block over a broadcast adjacency).  Per-source dependencies are
+    micro-floored by the shared pure kernel before the integer
+    cross-source sum, so the parallel result is bit-identical to the
+    sequential golden (make_golden.golden_host_betweenness)."""
+    from dots_ocr_ray.pipelines.graph import (
+        betweenness_centrality,
+        host_edges_from_documents,
+    )
+
+    return betweenness_centrality(host_edges_from_documents(sf_dir))
+
+
 def _q_winsorized_stats(sf_dir: str):
     """Per-event-type winsorized sums in exact integer cents: cut
     points are rank-ceil(q·n) order statistics of the quantized
@@ -5317,6 +5332,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hrw_assignment": _q_hrw_assignment,
         "orc_roundtrip": _q_orc_roundtrip,
         "winsorized_stats": _q_winsorized_stats,
+        "host_betweenness": _q_host_betweenness,
     }
 
 
@@ -6332,6 +6348,10 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(least(greatest(c.cents, b.lo), b.hi)) AS BIGINT) AS wins_sum_cents "
             "FROM c JOIN b USING (event_type) "
             "GROUP BY b.event_type, b.n, b.lo, b.hi"
+        ),
+        "host_betweenness": (
+            "SELECT host, betweenness_micro FROM "
+            f"read_parquet('{_GOLDEN_DIR}/host_betweenness.parquet')"
         ),
         # time travel: v1 is the untouched base table; v2 reconstructs
         # the CDC batch (update %5==0, delete %7==3 less the update

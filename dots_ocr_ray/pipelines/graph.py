@@ -3204,3 +3204,156 @@ def degree_assortativity_stats(
             "sum_deg_prod": pa.array([int(totals[3])], type=i64),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# betweenness centrality (per-source-parallel exact Brandes)
+
+
+def brandes_source_dependency(
+    adj: dict[int, list[int]], source: int, *, micro: int = 1_000_000
+) -> dict[int, int]:
+    """One source's Brandes dependency, micro-floored: BFS from
+    ``source`` over the directed adjacency (neighbor lists MUST be
+    sorted — the fixed iteration order makes the float accumulation
+    bit-deterministic), then the reverse-order accumulation
+    ``delta[v] += sigma[v]/sigma[w] * (1 + delta[w])``; returns
+    ``{v: floor(delta[v]·micro)}`` for interior v with delta > 0.
+
+    The micro-floor happens PER SOURCE, so cross-source totals are
+    integer sums — bit-identical between the parallel pipeline and the
+    sequential golden regardless of partitioning or sum order.  This
+    is the shared pure kernel both import (make_golden pattern)."""
+    from collections import deque
+
+    dist: dict[int, int] = {source: 0}
+    sigma: dict[int, int] = {source: 1}
+    order: list[int] = []
+    q = deque([source])
+    while q:
+        v = q.popleft()
+        order.append(v)
+        for w in adj.get(v, ()):
+            if w not in dist:
+                dist[w] = dist[v] + 1
+                sigma[w] = 0
+                q.append(w)
+            if dist[w] == dist[v] + 1:
+                sigma[w] += sigma[v]
+    delta: dict[int, float] = {v: 0.0 for v in order}
+    for w in reversed(order):
+        for x in adj.get(w, ()):
+            if dist.get(x) == dist[w] + 1:
+                delta[w] += sigma[w] / sigma[x] * (1.0 + delta[x])
+    out: dict[int, int] = {}
+    for v, d in delta.items():
+        if v != source and d > 0:
+            out[v] = int(d * micro)
+    return out
+
+
+BETWEENNESS_EDGE_BUDGET = 5_000_000
+
+
+def betweenness_centrality(
+    edges: ray.data.Dataset,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    micro: int = 1_000_000,
+) -> ray.data.Dataset:
+    """Exact directed betweenness → ``(host, betweenness_micro)``,
+    parallelized BY SOURCE: the distinct self-loop-free edge set is
+    folded once (one groupby exchange), broadcast via ``ray.put``
+    (per-worker cached), and each Ray task runs the shared Brandes
+    kernel for a slice of source nodes — |V| independent O(E) BFS
+    passes, the textbook scale-out for exact betweenness.  Totals are
+    integer sums of per-source micro-floored dependencies (see
+    :func:`brandes_source_dependency`), so the result is
+    partition-invariant and golden-checkable.
+
+    Bounded tier ONLY by design: exact betweenness needs all-pairs
+    shortest paths, so the edge set must fit a worker
+    (``BETWEENNESS_EDGE_BUDGET`` asserted).  For open web graphs use
+    the sampled :func:`harmonic_centrality` family instead."""
+    from dots_ocr_ray.util import cached_object
+
+    def _canon(batch: pa.Table) -> pa.Table:
+        s = batch.column(src).to_numpy(zero_copy_only=False).astype(np.int64)
+        d = batch.column(dst).to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        u = np.unique(s << np.int64(32) | (d & np.int64(0xFFFFFFFF)))
+        return pa.table(
+            {
+                "src": pa.array(u >> np.int64(32), type=pa.int64()),
+                "dst": pa.array(u & np.int64(0xFFFFFFFF), type=pa.int64()),
+            }
+        )
+
+    assert_msg = "betweenness_centrality: distinct edges exceed the bounded tier"
+    distinct = (
+        edges.select_columns([src, dst])
+        .map_batches(_canon, batch_format="pyarrow")
+        .groupby(["src", "dst"])
+        .count()
+    )
+    pruned = distinct.select_columns(["src", "dst"])
+    n_edges = pruned.count()  # budget check BEFORE any driver collect
+    assert n_edges <= BETWEENNESS_EDGE_BUDGET, assert_msg
+    tables = [ray.get(r) for r in pruned.to_arrow_refs()]
+    tbl = pa.concat_tables([t for t in tables if t.num_rows]) if tables else None
+    if n_edges == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "host": pa.array([], pa.int64()),
+                    "betweenness_micro": pa.array([], pa.int64()),
+                }
+            )
+        )
+    s_arr = tbl.column("src").to_numpy(zero_copy_only=False).astype(np.int64)
+    d_arr = tbl.column("dst").to_numpy(zero_copy_only=False).astype(np.int64)
+    adj: dict[int, list[int]] = {}
+    for a, b in zip(s_arr.tolist(), d_arr.tolist()):
+        adj.setdefault(a, []).append(b)
+    for v in adj:
+        adj[v].sort()
+    nodes = sorted(set(s_arr.tolist()) | set(d_arr.tolist()))
+    adj_ref = ray.put(adj)
+
+    sources = ray.data.from_arrow(
+        pa.table({"source": pa.array(nodes, type=pa.int64())})
+    ).repartition(min(len(nodes), 16))
+
+    def _deps(batch: pa.Table, ref=adj_ref, mic=micro) -> pa.Table:
+        a = cached_object(ref)
+        hosts: list[int] = []
+        cs: list[int] = []
+        for s0 in batch.column("source").to_pylist():
+            for v, c in brandes_source_dependency(a, int(s0), micro=mic).items():
+                hosts.append(v)
+                cs.append(c)
+        return pa.table(
+            {
+                "host": pa.array(hosts, type=pa.int64()),
+                "c": pa.array(cs, type=pa.int64()),
+            }
+        )
+
+    parts = sources.map_batches(_deps, batch_format="pyarrow")
+
+    def _fold(group: pa.Table) -> pa.Table:
+        h = group.column("host").to_numpy(zero_copy_only=False).astype(np.int64)
+        c = group.column("c").to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, inv = np.unique(h, return_inverse=True)
+        sums = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(sums, inv, c)
+        return pa.table(
+            {
+                "host": pa.array(uniq, type=pa.int64()),
+                "betweenness_micro": pa.array(sums, type=pa.int64()),
+            }
+        )
+
+    return parts.groupby("host").map_groups(_fold, batch_format="pyarrow")

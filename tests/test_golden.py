@@ -70,6 +70,7 @@ def _canon(obj) -> pd.DataFrame:
         "host_random_walks",
         "host_scc",
         "host_harmonic",
+        "host_betweenness",
         "bitext_mining",
         "isotonic_calibration",
         "sq8_recall",

@@ -772,3 +772,52 @@ def test_degree_assortativity_hand_computed(ray_session):
         "sum_deg_sq": 18,
         "sum_deg_prod": 8,
     }
+
+
+def test_betweenness_path_graph(ray_session):
+    # directed path 0→1→2→3: betweenness(1) = 2 (pairs 0→2, 0→3 via 1... plus 1 is
+    # on 0→2, 0→3; node 2 on 0→3, 1→3) — classic closed form: interior node i
+    # of a directed path of n nodes has (i)(n-1-i) dependent pairs
+    import pyarrow as pa
+
+    import ray.data
+
+    from dots_ocr_ray.pipelines.graph import betweenness_centrality
+
+    edges = pa.table({"src": [0, 1, 2], "dst": [1, 2, 3]})
+    out = (
+        betweenness_centrality(ray.data.from_arrow(edges))
+        .to_pandas()
+        .set_index("host")["betweenness_micro"]
+    )
+    assert out.to_dict() == {1: 2_000_000, 2: 2_000_000}
+
+
+def test_betweenness_partition_invariant(ray_session):
+    import pyarrow as pa
+
+    import ray.data
+
+    from dots_ocr_ray.pipelines.graph import betweenness_centrality
+
+    import random
+
+    rng = random.Random(3)
+    src = [rng.randrange(30) for _ in range(400)]
+    dst = [rng.randrange(30) for _ in range(400)]
+    edges = pa.table({"src": src, "dst": dst})
+    a = (
+        betweenness_centrality(ray.data.from_arrow(edges).repartition(1))
+        .to_pandas()
+        .sort_values("host")
+        .reset_index(drop=True)
+    )
+    b = (
+        betweenness_centrality(ray.data.from_arrow(edges).repartition(7))
+        .to_pandas()
+        .sort_values("host")
+        .reset_index(drop=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(a, b)

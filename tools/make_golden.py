@@ -1491,6 +1491,41 @@ def golden_sq8_recall(sf_dir: str, *, k: int = 50) -> pa.Table:
     )
 
 
+def golden_host_betweenness(sf_dir: str, *, micro: int = 1_000_000) -> pa.Table:
+    """Sequential mirror of pipelines.graph.betweenness_centrality:
+    same distinct self-loop-free directed edges, same shared
+    brandes_source_dependency kernel (per-source micro-floor), plain
+    Python loop over sources — independent of the pipeline's broadcast
+    / source-fan-out machinery."""
+    from dots_ocr_ray.pipelines.graph import (
+        EDGE_MULTIPLIERS,
+        N_HOSTS,
+        brandes_source_dependency,
+    )
+
+    ids = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"]).column(
+        "doc_id"
+    ).to_numpy()
+    adj: dict[int, set[int]] = {}
+    for m in EDGE_MULTIPLIERS:
+        for s0, d0 in zip(ids % N_HOSTS, (ids * m) % N_HOSTS):
+            if s0 != d0:
+                adj.setdefault(int(s0), set()).add(int(d0))
+    adj_sorted = {v: sorted(ws) for v, ws in adj.items()}
+    nodes = sorted(set(adj_sorted) | {w for ws in adj_sorted.values() for w in ws})
+    totals: dict[int, int] = {}
+    for s0 in nodes:
+        for v, c in brandes_source_dependency(adj_sorted, s0, micro=micro).items():
+            totals[v] = totals.get(v, 0) + c
+    hosts = sorted(totals)
+    return pa.table(
+        {
+            "host": pa.array(hosts, type=pa.int64()),
+            "betweenness_micro": pa.array([totals[v] for v in hosts], type=pa.int64()),
+        }
+    )
+
+
 GOLDEN_BUILDERS = {
     "kmeans_clusters": golden_kmeans_clusters,
     "semdedup_docs": golden_semdedup_docs,
@@ -1498,6 +1533,7 @@ GOLDEN_BUILDERS = {
     "dsir_sample": golden_dsir_sample,
     "incremental_minhash": golden_incremental_minhash,
     "host_pagerank": golden_host_pagerank,
+    "host_betweenness": golden_host_betweenness,
     "host_hits": golden_host_hits,
     "host_trustrank": golden_host_trustrank,
     "host_kcore": golden_host_kcore,
