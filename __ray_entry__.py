@@ -4962,6 +4962,21 @@ def _q_mojibake_repair(sf_dir: str):
     )
 
 
+def _q_interval_coverage(sf_dir: str):
+    """Per-user interval-union coverage (gaps-and-islands merge):
+    deterministic event durations, overlapping intervals merged into
+    islands, int64-µs covered-time rollup (pipelines/windows.py).
+    One groupby exchange; oracle = the max-over-preceding window SQL."""
+    import ray.data
+
+    from dots_ocr_ray.pipelines.windows import interval_coverage
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
+    )
+    return interval_coverage(events)
+
+
 def _q_host_betweenness(sf_dir: str):
     """Exact directed betweenness over the 40-host edge fixture,
     parallelized BY SOURCE (one Brandes BFS task slice per source
@@ -5333,6 +5348,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orc_roundtrip": _q_orc_roundtrip,
         "winsorized_stats": _q_winsorized_stats,
         "host_betweenness": _q_host_betweenness,
+        "interval_coverage": _q_interval_coverage,
     }
 
 
@@ -6352,6 +6368,24 @@ def oracle_sql() -> dict[str, str]:
         "host_betweenness": (
             "SELECT host, betweenness_micro FROM "
             f"read_parquet('{_GOLDEN_DIR}/host_betweenness.parquet')"
+        ),
+        "interval_coverage": (
+            "WITH iv AS (SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + "
+            "((CAST(round(value * 100) AS BIGINT) % 3600) + 60) * 1000000 AS e "
+            "FROM events), "
+            "m AS (SELECT user_id, s, e, max(e) OVER (PARTITION BY user_id "
+            "ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) "
+            "AS prev_max FROM iv), "
+            "g AS (SELECT user_id, s, e, CASE WHEN prev_max IS NULL "
+            "OR s > prev_max THEN 1 ELSE 0 END AS ni FROM m), "
+            "i AS (SELECT user_id, s, e, sum(ni) OVER (PARTITION BY user_id "
+            "ORDER BY s, e ROWS UNBOUNDED PRECEDING) AS island FROM g), "
+            "isl AS (SELECT user_id, island, min(s) AS st, max(e) AS en, "
+            "count(*) AS cnt FROM i GROUP BY user_id, island) "
+            "SELECT user_id, CAST(sum(cnt) AS BIGINT) AS n_events, "
+            "CAST(count(*) AS BIGINT) AS n_islands, "
+            "CAST(sum(en - st) AS BIGINT) AS covered_us "
+            "FROM isl GROUP BY user_id"
         ),
         # time travel: v1 is the untouched base table; v2 reconstructs
         # the CDC batch (update %5==0, delete %7==3 less the update

@@ -1090,3 +1090,59 @@ def late_event_audit(sf_dir: str) -> "ray.data.Dataset":
         .groupby("__bucket")
         .map_groups(_fold, batch_format="pyarrow")
     )
+
+
+def interval_coverage(
+    events: "ray.data.Dataset",
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> "ray.data.Dataset":
+    """Per-user interval UNION (gaps-and-islands merge): each event
+    opens the interval ``[ts, ts + dur)`` with the deterministic
+    duration ``((cents % 3600) + 60) seconds`` (cents = value·100
+    rounded); overlapping/touching-via-overlap intervals merge into
+    islands, and the rollup reports ``(user_id, n_events, n_islands,
+    covered_us)`` — the distinct-busy-time aggregate interval joins
+    can't express.
+
+    Shape: ONE ``groupby(user_col)`` exchange; per-group work is a
+    numpy lexsort + shifted running-max pass (an island starts where
+    start > cummax of previous ends), identical in effect to the SQL
+    mirror's ``max(e) OVER (... 1 PRECEDING)`` windows.  All int64
+    µs arithmetic — hash-exact under any partitioning."""
+    import numpy as np
+    import pyarrow as pa
+
+    def _cover(group: pa.Table) -> pa.Table:
+        ts = group.column(ts_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        val = group.column(value_col).to_numpy(zero_copy_only=False)
+        cents = np.round(val * 100).astype(np.int64)
+        dur_us = ((cents % 3600) + 60) * 1_000_000
+        s = ts
+        e = ts + dur_us
+        order = np.lexsort((e, s))
+        s, e = s[order], e[order]
+        run = np.maximum.accumulate(e)
+        new_island = np.empty(len(s), dtype=bool)
+        new_island[0] = True
+        new_island[1:] = s[1:] > run[:-1]
+        starts = np.nonzero(new_island)[0]
+        ends = np.append(starts[1:], len(s))
+        # island end = running max of e at its last row
+        covered = int((run[ends - 1] - s[starts]).sum())
+        return pa.table(
+            {
+                user_col: [group.column(user_col)[0].as_py()],
+                "n_events": pa.array([len(s)], pa.int64()),
+                "n_islands": pa.array([len(starts)], pa.int64()),
+                "covered_us": pa.array([covered], pa.int64()),
+            }
+        )
+
+    return (
+        events.select_columns([user_col, ts_col, value_col])
+        .groupby(user_col)
+        .map_groups(_cover, batch_format="pyarrow")
+    )

@@ -347,3 +347,34 @@ def test_ohlc_bars_hand_computed_and_partition_invariant(ray_session):
         assert (b0["open"], b0["high"], b0["low"], b0["close"]) == (1.5, 4.25, 1.5, 3.0)
         assert b0["n"] == 3 and b0["sum_cents"] == 425 + 150 + 300
         assert (b1["open"], b1["close"], b1["n"]) == (10.0, 7.5, 2)
+
+
+def test_interval_coverage_islands(ray_session):
+    import pyarrow as pa
+
+    import ray.data
+
+    from dots_ocr_ray.pipelines.windows import interval_coverage
+
+    # value=0.00 → dur = 60 s.  user 1: events at t=0s and t=30s overlap
+    # (one island, covered 90 s); event at t=1000s is its own island.
+    base = 1_700_000_000_000_000  # µs
+    tbl = pa.table(
+        {
+            "user_id": [1, 1, 1, 2],
+            "ts": pa.array(
+                [base, base + 30_000_000, base + 1_000_000_000, base],
+                type=pa.timestamp("us"),
+            ),
+            "value": [0.0, 0.0, 0.0, 0.0],
+        }
+    )
+    out = (
+        interval_coverage(ray.data.from_arrow(tbl).repartition(2))
+        .to_pandas()
+        .set_index("user_id")
+    )
+    assert out.loc[1, "n_events"] == 3
+    assert out.loc[1, "n_islands"] == 2
+    assert out.loc[1, "covered_us"] == 90_000_000 + 60_000_000
+    assert out.loc[2, "n_islands"] == 1 and out.loc[2, "covered_us"] == 60_000_000
