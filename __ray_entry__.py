@@ -4962,6 +4962,36 @@ def _q_mojibake_repair(sf_dir: str):
     )
 
 
+def _q_nfkc_audit(sf_dir: str):
+    """NFKC compatibility-normalization audit: the compat_text rule
+    appends full-width / ligature / enclosed-digit characters; the
+    engine must normalize from the REAL codepoints (vectorized
+    non-ASCII prefilter + unicodedata on hit rows only).  Oracle = the
+    injection arithmetic and the known NFKC images."""
+    import pyarrow as pa
+
+    import ray.data
+
+    from dots_ocr_ray.fixtures import compat_text
+    from dots_ocr_ray.functions.encoding import nfkc_normalize
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def _inject(batch: pa.Table) -> pa.Table:
+        texts = [
+            compat_text(d, t or "")
+            for d, t in zip(batch.column("doc_id").to_pylist(), batch.column("text").to_pylist())
+        ]
+        return pa.table(
+            {"doc_id": batch.column("doc_id"), "text": pa.array(texts, type=pa.string())}
+        )
+
+    out = nfkc_normalize(docs.map_batches(_inject, batch_format="pyarrow"))
+    return out.select_columns(
+        ["doc_id", "text_nfkc", "changed", "len_before", "len_after"]
+    )
+
+
 def _q_interval_coverage(sf_dir: str):
     """Per-user interval-union coverage (gaps-and-islands merge):
     deterministic event durations, overlapping intervals merged into
@@ -5349,6 +5379,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winsorized_stats": _q_winsorized_stats,
         "host_betweenness": _q_host_betweenness,
         "interval_coverage": _q_interval_coverage,
+        "nfkc_audit": _q_nfkc_audit,
     }
 
 
@@ -6386,6 +6417,23 @@ def oracle_sql() -> dict[str, str]:
             "CAST(count(*) AS BIGINT) AS n_islands, "
             "CAST(sum(en - st) AS BIGINT) AS covered_us "
             "FROM isl GROUP BY user_id"
+        ),
+        "nfkc_audit": (
+            # mirror of the compat_text injection: %13==6 → 'ＡＢ'
+            # (NFKC 'AB'), %13==9 → ligature (NFKC 'fi'), %17==2 → '①'
+            # (NFKC '1'); the 13-rules are exclusive, the 17-rule stacks
+            "SELECT doc_id, "
+            "text || CASE WHEN doc_id % 13 = 6 THEN 'AB' "
+            "WHEN doc_id % 13 = 9 THEN 'fi' ELSE '' END || "
+            "CASE WHEN doc_id % 17 = 2 THEN '1' ELSE '' END AS text_nfkc, "
+            "CAST(CASE WHEN doc_id % 13 IN (6, 9) OR doc_id % 17 = 2 "
+            "THEN 1 ELSE 0 END AS BIGINT) AS changed, "
+            "CAST(length(text) + CASE WHEN doc_id % 13 = 6 THEN 2 "
+            "WHEN doc_id % 13 = 9 THEN 1 ELSE 0 END + "
+            "CASE WHEN doc_id % 17 = 2 THEN 1 ELSE 0 END AS BIGINT) AS len_before, "
+            "CAST(length(text) + CASE WHEN doc_id % 13 IN (6, 9) THEN 2 ELSE 0 END + "
+            "CASE WHEN doc_id % 17 = 2 THEN 1 ELSE 0 END AS BIGINT) AS len_after "
+            "FROM documents"
         ),
         # time travel: v1 is the untouched base table; v2 reconstructs
         # the CDC batch (update %5==0, delete %7==3 less the update

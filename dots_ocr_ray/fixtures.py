@@ -384,3 +384,19 @@ def script_text(doc_id: int, text: str) -> str:
     if doc_id % 11 == 3:
         out += "αβγ"
     return out
+
+
+def compat_text(doc_id: int, text: str) -> str:
+    """NFKC-audit injection rule (SQL-mirrorable arithmetic): three
+    stackable residue rules append compatibility characters —
+    ``doc_id % 13 == 6`` → full-width "ＡＢ" (NFKC "AB", 2 → 2 chars),
+    ``doc_id % 13 == 9`` → ligature "ﬁ" (NFKC "fi", 1 → 2 chars),
+    ``doc_id % 17 == 2`` → circled "①" (NFKC "1", 1 → 1 char)."""
+    out = text
+    if doc_id % 13 == 6:
+        out += "ＡＢ"
+    elif doc_id % 13 == 9:
+        out += "ﬁ"
+    if doc_id % 17 == 2:
+        out += "①"
+    return out

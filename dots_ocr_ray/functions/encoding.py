@@ -84,3 +84,45 @@ def repair_mojibake(
         ).append_column("chars_before", before).append_column("chars_after", after)
 
     return ds.map_batches(_repair, batch_format="pyarrow")
+
+
+def nfkc_normalize(ds: ray.data.Dataset, *, text_col: str = "text") -> ray.data.Dataset:
+    """NFKC compatibility normalization audit + apply: full-width
+    forms, ligatures and enclosed digits collapse to their canonical
+    ASCII-ish forms — the standard canonicalization pass before
+    tokenizer training (a "ﬁ" ligature and "fi" must count as the
+    same bigram).
+
+    Fast path: rows are pre-filtered with one vectorized non-ASCII
+    regex (`match_substring_regex`); pure-ASCII text is NFKC-invariant
+    by construction, so ``unicodedata.normalize`` runs only on the
+    (typically rare) non-ASCII rows.  Adds ``text_nfkc``, ``changed``
+    (0/1), ``len_before``, ``len_after``.  Zero exchange."""
+    import unicodedata
+
+    import numpy as np
+    import pyarrow.compute as pc
+
+    def _norm(batch: pa.Table) -> pa.Table:
+        col = pc.fill_null(batch.column(text_col), "")
+        before = pc.utf8_length(col).cast(pa.int64())
+        non_ascii = pc.match_substring_regex(col, r"[^\x00-\x7F]").to_numpy(
+            zero_copy_only=False
+        )
+        if not non_ascii.any():
+            normed = col
+        else:
+            texts = col.to_pylist()
+            for i in np.nonzero(non_ascii)[0]:
+                texts[i] = unicodedata.normalize("NFKC", texts[i])
+            normed = pa.array(texts, type=pa.string())
+        after = pc.utf8_length(normed).cast(pa.int64())
+        changed = pc.cast(pc.not_equal(col, normed), pa.int64())
+        return (
+            batch.append_column("text_nfkc", normed)
+            .append_column("changed", changed)
+            .append_column("len_before", before)
+            .append_column("len_after", after)
+        )
+
+    return ds.map_batches(_norm, batch_format="pyarrow")

@@ -60,3 +60,27 @@ def test_null_text_treated_as_empty(ray_session):
     out = repair_mojibake(ray.data.from_arrow(tbl)).to_pandas()
     assert out["n_mojibake"].tolist() == [0]
     assert out["chars_before"].tolist() == [0]
+
+
+def test_nfkc_normalize(ray_session):
+    from dots_ocr_ray.functions.encoding import nfkc_normalize
+
+    tbl = pa.table(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": pa.array(
+                ["pure ascii", "full ＡＢ width", "ligature ﬁ here", None],
+                pa.string(),
+            ),
+        }
+    )
+    out = (
+        nfkc_normalize(ray.data.from_arrow(tbl).repartition(2))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["changed"].tolist() == [0, 1, 1, 0]
+    assert out["text_nfkc"][1] == "full AB width"
+    assert out["text_nfkc"][2] == "ligature fi here"
+    assert (out["len_after"] - out["len_before"]).tolist() == [0, 0, 1, 0]
