@@ -4962,6 +4962,22 @@ def _q_mojibake_repair(sf_dir: str):
     )
 
 
+def _q_readability_scores(sf_dir: str):
+    """Flesch-style readability per doc: three RE2 count kernels
+    (words / sentence breaks / vowel-group syllables) + one
+    operand-order-matched float expression, micro-FLOORED (no half-tie
+    rule to disagree on).  Zero exchange; oracle = the identical
+    regexp_extract_all counts and float expression in SQL."""
+    import ray.data
+
+    from dots_ocr_ray.pipelines.text_analysis import readability_scores
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return readability_scores(docs).select_columns(
+        ["doc_id", "n_words", "n_sentences", "n_syllables", "flesch_micro"]
+    )
+
+
 def _q_nfkc_audit(sf_dir: str):
     """NFKC compatibility-normalization audit: the compat_text rule
     appends full-width / ligature / enclosed-digit characters; the
@@ -5380,6 +5396,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_betweenness": _q_host_betweenness,
         "interval_coverage": _q_interval_coverage,
         "nfkc_audit": _q_nfkc_audit,
+        "readability_scores": _q_readability_scores,
     }
 
 
@@ -6434,6 +6451,16 @@ def oracle_sql() -> dict[str, str]:
             "CAST(length(text) + CASE WHEN doc_id % 13 IN (6, 9) THEN 2 ELSE 0 END + "
             "CASE WHEN doc_id % 17 = 2 THEN 1 ELSE 0 END AS BIGINT) AS len_after "
             "FROM documents"
+        ),
+        "readability_scores": (
+            "WITH c AS (SELECT doc_id, "
+            "CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS w, "
+            "CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT) AS s, "
+            "CAST(len(regexp_extract_all(text, '[aeiouyAEIOUY]+')) AS BIGINT) AS y "
+            "FROM documents) "
+            "SELECT doc_id, w AS n_words, s AS n_sentences, y AS n_syllables, "
+            "CAST(floor(206835000.0 - 1015000.0 * w / s "
+            "- 84600000.0 * y / greatest(w, 1)) AS BIGINT) AS flesch_micro FROM c"
         ),
         # time travel: v1 is the untouched base table; v2 reconstructs
         # the CDC batch (update %5==0, delete %7==3 less the update

@@ -2122,3 +2122,46 @@ def lexicon_scan(
             "n_occurrences": pa.array(n_occ, type=pa.int64()),
         }
     )
+
+
+def readability_scores(
+    ds: "ray.data.Dataset", *, text_col: str = "text"
+) -> "ray.data.Dataset":
+    """Flesch-reading-ease-style readability per document, fully
+    vectorized: words / sentence-breaks / vowel-group syllable proxies
+    are three Arrow ``count_substring_regex`` kernels (RE2, the same
+    regex engine DuckDB binds, so the SQL mirror counts identically),
+    and the score is one float64 expression with the SAME operand
+    order as the oracle, micro-FLOORED (floor has no half-tie rule to
+    disagree on, unlike round).  Zero exchange.
+
+    The vowel-group syllable count is the standard cheap proxy (one
+    group ≈ one syllable); the point is a deterministic, corpus-scale
+    difficulty score for curriculum bucketing, not linguistics."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def _score(batch: pa.Table) -> pa.Table:
+        col = pc.fill_null(batch.column(text_col), "")
+        w = pc.count_substring_regex(col, r"\S+").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        s = pc.count_substring_regex(col, r"[.!?]+").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        y = pc.count_substring_regex(col, r"[aeiouyAEIOUY]+").cast(
+            pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        s = np.maximum(s, 1)
+        wd = np.maximum(w, 1).astype(np.float64)
+        flesch = np.floor(
+            206835000.0 - 1015000.0 * w / s.astype(np.float64) - 84600000.0 * y / wd
+        ).astype(np.int64)
+        return batch.append_column("n_words", pa.array(w)).append_column(
+            "n_sentences", pa.array(s)
+        ).append_column("n_syllables", pa.array(y)).append_column(
+            "flesch_micro", pa.array(flesch)
+        )
+
+    return ds.map_batches(_score, batch_format="pyarrow")

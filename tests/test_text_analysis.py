@@ -765,3 +765,36 @@ def test_zipf_fit_degenerate(ray_session):
 
     out = zipf_fit(ray.data.from_items([{"text": "only"}]), top_v=4).to_pylist()[0]
     assert out["v"] == 1 and out["slope_micro"] is None
+
+
+def test_readability_scores(ray_session):
+    import pyarrow as pa
+
+    import ray.data
+
+    from dots_ocr_ray.pipelines.text_analysis import readability_scores
+
+    tbl = pa.table(
+        {
+            "doc_id": [1, 2, 3],
+            "text": pa.array(
+                ["One two three. Four five!", "", "no sentence marks here"],
+                pa.string(),
+            ),
+        }
+    )
+    out = (
+        readability_scores(ray.data.from_arrow(tbl))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["n_words"].tolist() == [5, 0, 4]
+    assert out["n_sentences"].tolist() == [2, 1, 1]  # floored at 1
+    # vowel groups: O,e | o | ee | ou | i,e → 2+1+1+1+2 = 7
+    assert out["n_syllables"][0] == 7
+    # exact float mirror: 206.835 - 1.015*(5/2) - 84.6*(7/5), micro-floored
+    assert out["flesch_micro"][0] == int(
+        (206835000.0 - 1015000.0 * 5 / 2 - 84600000.0 * 7 / 5) // 1
+    )
+    assert out["flesch_micro"][1] == 206835000 - 1015000  # w guard: 0/1
