@@ -797,4 +797,4 @@ def test_readability_scores(ray_session):
     assert out["flesch_micro"][0] == int(
         (206835000.0 - 1015000.0 * 5 / 2 - 84600000.0 * 7 / 5) // 1
     )
-    assert out["flesch_micro"][1] == 206835000 - 1015000  # w guard: 0/1
+    assert out["flesch_micro"][1] == 206835000  # empty text: w=0, terms vanish
