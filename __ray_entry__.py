@@ -4962,6 +4962,30 @@ def _q_mojibake_repair(sf_dir: str):
     )
 
 
+def _q_jsonld_metadata(sf_dir: str):
+    """Structured-metadata extraction: fixture pages (JSONLD_MOD rule
+    plants a deterministic ld+json block on normal docs) → one row per
+    parsed block (doc_id, ld_type, word_count, date_published) via a
+    real compiled-regex scan + JSON parse (pipelines/document.py).
+    Zero-exchange flat explode; the SQL mirror reproduces the fixture
+    arithmetic and excludes the fallback/failed residue classes."""
+    import functools
+
+    import ray.data
+
+    from dots_ocr_ray.fixtures import pages_from_documents_batch
+    from dots_ocr_ray.pipelines.document import jsonld_from_pages
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    pages = docs.map_batches(
+        functools.partial(pages_from_documents_batch, with_jsonld=True),
+        batch_format="pyarrow",
+    )
+    return jsonld_from_pages(pages)
+
+
 def _q_readability_scores(sf_dir: str):
     """Flesch-style readability per doc: three RE2 count kernels
     (words / sentence breaks / vowel-group syllables) + one
@@ -5397,6 +5421,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interval_coverage": _q_interval_coverage,
         "nfkc_audit": _q_nfkc_audit,
         "readability_scores": _q_readability_scores,
+        "jsonld_metadata": _q_jsonld_metadata,
     }
 
 
@@ -6461,6 +6486,18 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, w AS n_words, s AS n_sentences, y AS n_syllables, "
             "CAST(floor(206835000.0 - 1015000.0 * w / s "
             "- 84600000.0 * y / greatest(w, 1)) AS BIGINT) AS flesch_micro FROM c"
+        ),
+        "jsonld_metadata": (
+            # mirror of the JSONLD_MOD fixture arithmetic; failed
+            # (%31==11) and fallback (%23==7) pages carry no block
+            "SELECT doc_id, "
+            "CASE ((doc_id // 8) % 3) WHEN 0 THEN 'Article' "
+            "WHEN 1 THEN 'NewsArticle' ELSE 'BlogPosting' END AS ld_type, "
+            "CAST((doc_id * 17) % 997 + 10 AS BIGINT) AS word_count, "
+            "strftime(TIMESTAMP '2025-01-01 00:00:00' + "
+            "doc_id * 137 * INTERVAL 1 SECOND, '%Y-%m-%dT%H:%M:%S') AS date_published "
+            "FROM documents WHERE doc_id % 8 = 3 "
+            "AND doc_id % 31 <> 11 AND doc_id % 23 <> 7"
         ),
         # time travel: v1 is the untouched base table; v2 reconstructs
         # the CDC batch (update %5==0, delete %7==3 less the update

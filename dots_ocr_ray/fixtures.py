@@ -169,6 +169,14 @@ IMAGE_MOD, IMAGE_REM = 5, 2
 """with_images=True adds an <img> to normal docs with
 ``doc_id % IMAGE_MOD == IMAGE_REM`` (the describe-pool fixture rule)."""
 
+JSONLD_MOD, JSONLD_REM = 8, 3
+JSONLD_TYPES = ("Article", "NewsArticle", "BlogPosting")
+"""with_jsonld=True embeds a <script type="application/ld+json">
+block into normal docs with ``doc_id % JSONLD_MOD == JSONLD_REM``:
+@type rotates by ``(doc_id // 8) % 3``, wordCount is
+``(doc_id * 17) % 997 + 10``, datePublished is the page timestamp —
+all SQL-mirrorable arithmetic (the structured-metadata fixture rule)."""
+
 TABLE_MOD, TABLE_REM = 4, 1
 TABLE_ROWS, TABLE_COLS = 2, 3
 """with_tables=True adds a TABLE_ROWS×TABLE_COLS <table> to normal
@@ -190,7 +198,7 @@ def fixture_table_html(doc_id: int) -> str:
 
 
 def page_row_from_document(
-    doc_id: int, text: str, lang: str, *, with_images: bool = False, with_tables: bool = False
+    doc_id: int, text: str, lang: str, *, with_images: bool = False, with_tables: bool = False, with_jsonld: bool = False
 ) -> dict:
     """Deterministically wrap one `documents` row into a page whose
     extraction output is expressible in SQL (see __ray_entry__.oracle_sql):
@@ -230,6 +238,16 @@ def page_row_from_document(
         if with_tables and doc_id % TABLE_MOD == TABLE_REM
         else ""
     )
+    jsonld = ""
+    if with_jsonld and doc_id % JSONLD_MOD == JSONLD_REM:
+        ld_type = JSONLD_TYPES[(doc_id // JSONLD_MOD) % 3]
+        wc = (doc_id * 17) % 997 + 10
+        jsonld = (
+            '<script type="application/ld+json">'
+            f'{{"@type": "{ld_type}", "wordCount": {wc}, '
+            f'"datePublished": "{ts.isoformat()}"}}'
+            "</script>"
+        )
     # the nav carries one relative link plus one deterministic
     # cross-site link (the extract_links fixture rule; nav is
     # boilerplate-pruned, so extracted text/spans are unaffected)
@@ -241,6 +259,7 @@ def page_row_from_document(
         f"<p>{body}</p>"
         f"{img}"
         f"{table}"
+        f"{jsonld}"
         f'<footer class="page-footer">Footer {doc_id % 40}</footer>'
         "</body></html>"
     )
@@ -248,11 +267,11 @@ def page_row_from_document(
 
 
 def pages_from_documents_batch(
-    batch: pa.Table, *, with_images: bool = False, with_tables: bool = False
+    batch: pa.Table, *, with_images: bool = False, with_tables: bool = False, with_jsonld: bool = False
 ) -> pa.Table:
     """Vector-friendly batch wrapper used inside map_batches."""
     rows = [
-        page_row_from_document(d, t, lg, with_images=with_images, with_tables=with_tables)
+        page_row_from_document(d, t, lg, with_images=with_images, with_tables=with_tables, with_jsonld=with_jsonld)
         for d, t, lg in zip(
             batch.column("doc_id").to_pylist(),
             batch.column("text").to_pylist(),

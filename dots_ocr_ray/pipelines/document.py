@@ -626,3 +626,63 @@ def crawl_diff(
         )
 
     return tagged.groupby("__bucket").map_groups(_diff, batch_format="pyarrow")
+
+
+_JSONLD_RE = None  # compiled lazily once per worker process
+
+
+def jsonld_records(html_bytes: bytes) -> list[dict]:
+    """Parse every ``<script type="application/ld+json">`` block out of
+    one page (pure kernel; compiled-regex scan + ``json.loads`` per
+    block, malformed JSON skipped).  Returns dicts with whatever of
+    ``@type`` / ``wordCount`` / ``datePublished`` each block carries —
+    the structured-metadata sidecar real pages embed for search
+    engines, and the cheapest label source a crawl pipeline has."""
+    global _JSONLD_RE
+    import json
+    import re
+
+    if _JSONLD_RE is None:
+        _JSONLD_RE = re.compile(
+            rb'<script[^>]*type="application/ld\+json"[^>]*>(.*?)</script>',
+            re.DOTALL | re.IGNORECASE,
+        )
+    out = []
+    for blob in _JSONLD_RE.findall(html_bytes or b""):
+        try:
+            rec = json.loads(blob.decode("utf-8", "replace"))
+        except (ValueError, UnicodeDecodeError):
+            continue
+        if isinstance(rec, dict):
+            out.append(rec)
+    return out
+
+
+def jsonld_from_pages(pages: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Flat-explode JSON-LD metadata: one output row per parsed block
+    → ``(doc_id, ld_type, word_count, date_published)``.  Zero
+    exchange; the regex hits are rare, so the JSON parse loop only
+    touches matched blocks."""
+    import pyarrow as pa
+
+    def _explode(batch: pa.Table) -> pa.Table:
+        ids, types, wcs, dates = [], [], [], []
+        for doc_id, html in zip(
+            batch.column("doc_id").to_pylist(), batch.column("html").to_pylist()
+        ):
+            for rec in jsonld_records(html):
+                ids.append(doc_id)
+                types.append(rec.get("@type"))
+                wc = rec.get("wordCount")
+                wcs.append(int(wc) if isinstance(wc, (int, float)) else None)
+                dates.append(rec.get("datePublished"))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "ld_type": pa.array(types, pa.string()),
+                "word_count": pa.array(wcs, pa.int64()),
+                "date_published": pa.array(dates, pa.string()),
+            }
+        )
+
+    return pages.map_batches(_explode, batch_format="pyarrow")

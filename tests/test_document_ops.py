@@ -296,3 +296,20 @@ def test_window_dedup_pre_epoch_floor(ray_session):
         (r["win_id"], r["warc_ts"]) for r in window_dedup(ray.data.from_items(rows)).take_all()
     )
     assert [w for w, _ in out] == [-1, 0]  # both survive, distinct windows
+
+
+def test_jsonld_records_kernel():
+    from dots_ocr_ray.pipelines.document import jsonld_records
+
+    html = (
+        b'<html><body><script>var x=1;</script>'
+        b'<script type="application/ld+json">{"@type": "Article", "wordCount": 42}</script>'
+        b'<script type="application/ld+json">not json at all</script>'
+        b'<script TYPE="application/ld+json">{"@type": "Recipe"}</script>'
+        b"</body></html>"
+    )
+    recs = jsonld_records(html)
+    assert [r.get("@type") for r in recs] == ["Article", "Recipe"]
+    assert recs[0]["wordCount"] == 42
+    assert jsonld_records(b"") == []
+    assert jsonld_records(None) == []
