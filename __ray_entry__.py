@@ -4962,6 +4962,17 @@ def _q_mojibake_repair(sf_dir: str):
     )
 
 
+def _q_host_failure_wilson(sf_dir: str):
+    """Per-host extraction-health alerting: hosts from the REAL url
+    column, per-batch partial failure counts, Wilson-score lower bound
+    of the failure rate in micro units (pipelines/extract.py —
+    reference G3's fail-ratio gate generalized host-level).  Oracle:
+    the status residue rules + the literally-mirrored Wilson formula."""
+    from dots_ocr_ray.pipelines.extract import host_failure_wilson
+
+    return host_failure_wilson(_extract_ds(sf_dir))
+
+
 def _q_jsonld_metadata(sf_dir: str):
     """Structured-metadata extraction: fixture pages (JSONLD_MOD rule
     plants a deterministic ld+json block on normal docs) → one row per
@@ -5422,6 +5433,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nfkc_audit": _q_nfkc_audit,
         "readability_scores": _q_readability_scores,
         "jsonld_metadata": _q_jsonld_metadata,
+        "host_failure_wilson": _q_host_failure_wilson,
     }
 
 
@@ -6498,6 +6510,19 @@ def oracle_sql() -> dict[str, str]:
             "doc_id * 137 * INTERVAL 1 SECOND, '%Y-%m-%dT%H:%M:%S') AS date_published "
             "FROM documents WHERE doc_id % 8 = 3 "
             "AND doc_id % 31 <> 11 AND doc_id % 23 <> 7"
+        ),
+        "host_failure_wilson": (
+            # failure = the FAILED_MOD residue class; Wilson lower bound
+            # mirrored operand-for-operand against the engine
+            "WITH s AS (SELECT 'example-' || lpad(CAST(doc_id % 40 AS VARCHAR), 2, '0') "
+            "|| '.com' AS host, CASE WHEN doc_id % 31 = 11 THEN 1 ELSE 0 END AS failed "
+            "FROM documents), "
+            "a AS (SELECT host, CAST(count(*) AS BIGINT) AS n, "
+            "CAST(sum(failed) AS BIGINT) AS f FROM s GROUP BY host) "
+            "SELECT host, n, f, CAST(floor(1000000 * ((f * 1.0 / n "
+            "+ 1.96 * 1.96 / (2 * n) - 1.96 * sqrt(f * 1.0 / n * (1 - f * 1.0 / n) / n "
+            "+ 1.96 * 1.96 / (4.0 * n * n))) / (1 + 1.96 * 1.96 / n))) AS BIGINT) "
+            "AS wilson_lb_micro FROM a"
         ),
         # time travel: v1 is the untouched base table; v2 reconstructs
         # the CDC batch (update %5==0, delete %7==3 less the update

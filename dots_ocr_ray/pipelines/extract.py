@@ -585,3 +585,60 @@ def check_fail_gate(metrics, threshold: float = TASK_FAIL_THRESHOLD) -> dict:
             f"(> {threshold:.0%} threshold, reference configs.py:79)"
         )
     return stats
+
+
+def host_failure_wilson(
+    extracted: ray.data.Dataset,
+    *,
+    url_col: str = "url",
+    status_col: str = "status",
+    z: float = 1.96,
+) -> ray.data.Dataset:
+    """Per-host extraction-health ranking: failure count, total, and
+    the Wilson-score LOWER bound of the failure rate in micro units —
+    the alerting statistic that won't page on a 1-failure/2-page host
+    the way a raw ratio does (reference analog: the fail-ratio gate,
+    G3, generalized from job-level to host-level).
+
+    Shape: hosts come from the REAL url column (one vectorized
+    ``extract_regex``), per-batch partial (n, failed) counts keyed by
+    host, one bounded groupby fold, then the closed-form Wilson bound
+    with a FIXED operand order mirrored literally by the SQL oracle
+    (exact integer counts → identical IEEE doubles → micro-floor)."""
+    import numpy as np
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        hosts = pc.extract_regex(
+            batch.column(url_col), r"^https?://(?P<host>[^/]+)"
+        ).combine_chunks().field("host")
+        failed = pc.cast(
+            pc.equal(batch.column(status_col), "failed"), pa.int64()
+        )
+        part = pa.table({"host": hosts, "f": failed}).group_by("host").aggregate(
+            [("f", "sum"), ("f", "count")]
+        )
+        return part.rename_columns(["host", "f", "n"])
+
+    def _fold(group: pa.Table) -> pa.Table:
+        n = int(pc.sum(group.column("n")).as_py())
+        f = int(pc.sum(group.column("f")).as_py())
+        p = f * 1.0 / n
+        z2 = z * z
+        arg = p * (1.0 - p) / n + z2 / (4.0 * n * n)
+        lb = (p + z2 / (2 * n) - z * np.sqrt(arg)) / (1 + z2 / n)
+        return pa.table(
+            {
+                "host": [group.column("host")[0].as_py()],
+                "n": pa.array([n], pa.int64()),
+                "f": pa.array([f], pa.int64()),
+                "wilson_lb_micro": pa.array(
+                    [int(np.floor(1000000 * lb))], pa.int64()
+                ),
+            }
+        )
+
+    return (
+        extracted.map_batches(_partial, batch_format="pyarrow")
+        .groupby("host")
+        .map_groups(_fold, batch_format="pyarrow")
+    )

@@ -145,3 +145,45 @@ def test_pluggable_extractor_strategy(ray_session):
     ).to_pandas()
     assert len(out) == 8
     assert all(t == t.upper() for t in out.extracted_text)
+
+
+def test_host_failure_wilson_bounds(ray_session):
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from dots_ocr_ray.pipelines.extract import host_failure_wilson
+
+    # host a: 1 failure / 2 pages (raw 50%); host b: 10/100 (raw 10%).
+    # The Wilson LOWER bound shrinks small-n hosts toward 0, so a.com
+    # (n=2) must NOT out-alarm b.com (n=100) despite the higher ratio.
+    rows = (
+        [("https://a.com/x%d" % i, "failed" if i == 0 else "finished") for i in range(2)]
+        + [("https://b.com/x%d" % i, "failed" if i < 10 else "finished") for i in range(100)]
+    )
+    tbl = pa.table(
+        {
+            "url": [r[0] for r in rows],
+            "status": [r[1] for r in rows],
+        }
+    )
+    out = (
+        host_failure_wilson(ray.data.from_arrow(tbl).repartition(4))
+        .to_pandas()
+        .set_index("host")
+    )
+    assert out.loc["a.com", "n"] == 2 and out.loc["a.com", "f"] == 1
+    assert out.loc["b.com", "n"] == 100 and out.loc["b.com", "f"] == 10
+
+    def wilson_lb(f, n, z=1.96):
+        p = f / n
+        z2 = z * z
+        return (p + z2 / (2 * n) - z * np.sqrt(p * (1 - p) / n + z2 / (4.0 * n * n))) / (
+            1 + z2 / n
+        )
+
+    assert out.loc["a.com", "wilson_lb_micro"] == int(np.floor(1e6 * wilson_lb(1, 2)))
+    assert out.loc["b.com", "wilson_lb_micro"] == int(np.floor(1e6 * wilson_lb(10, 100)))
+    # wilson_lb(1,2) ≈ 0.095 — far below the raw 0.5 ratio
+    assert out.loc["a.com", "wilson_lb_micro"] < 150_000
