@@ -4962,6 +4962,24 @@ def _q_mojibake_repair(sf_dir: str):
     )
 
 
+def _q_extraction_f1(sf_dir: str):
+    """Extraction-fidelity audit fused with extraction: the pure
+    kernel runs on each page batch and is scored in the same pass
+    against the naive crawler text (SQuAD-style multiset token F1,
+    pure int64 floor-div micro).  Zero exchange, no join.  Oracle:
+    _TEXT_SQL tokenized + a least()-min multiset join in SQL."""
+    import ray.data
+
+    from dots_ocr_ray.fixtures import pages_from_documents_batch
+    from dots_ocr_ray.pipelines.document import extraction_f1_audit
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    pages = docs.map_batches(pages_from_documents_batch, batch_format="pyarrow")
+    return extraction_f1_audit(pages)
+
+
 def _q_host_failure_wilson(sf_dir: str):
     """Per-host extraction-health alerting: hosts from the REAL url
     column, per-batch partial failure counts, Wilson-score lower bound
@@ -5434,6 +5452,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "readability_scores": _q_readability_scores,
         "jsonld_metadata": _q_jsonld_metadata,
         "host_failure_wilson": _q_host_failure_wilson,
+        "extraction_f1": _q_extraction_f1,
     }
 
 
@@ -7209,5 +7228,28 @@ def oracle_sql() -> dict[str, str]:
             "CAST(h8.b <> h9.b AS BIGINT) AS moved "
             "FROM (SELECT host, b FROM r8 WHERE rn = 1) h8 "
             "JOIN (SELECT host, b FROM r9 WHERE rn = 1) h9 USING (host)"
+        ),
+        "extraction_f1": (
+            # naive side mirrors the PAGE text column, which the failed
+            # fixture rule (%31==11) empties along with the html
+            "WITH et AS (SELECT doc_id, " + _TEXT_SQL + " AS etext, "
+            "CASE WHEN doc_id % 31 = 11 THEN '' ELSE text END AS text FROM documents), "
+            "e AS (SELECT doc_id, unnest(regexp_split_to_array(etext, '\\s+')) AS w FROM et), "
+            "nv AS (SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS w FROM et), "
+            "ec AS (SELECT doc_id, w, count(*) AS c FROM e WHERE w <> '' GROUP BY 1, 2), "
+            "nc AS (SELECT doc_id, w, count(*) AS c FROM nv WHERE w <> '' GROUP BY 1, 2), "
+            "t1 AS (SELECT doc_id, sum(c) AS n1 FROM ec GROUP BY 1), "
+            "t2 AS (SELECT doc_id, sum(c) AS n2 FROM nc GROUP BY 1), "
+            "cm AS (SELECT ec.doc_id, sum(least(ec.c, nc.c)) AS cmn "
+            "FROM ec JOIN nc ON ec.doc_id = nc.doc_id AND ec.w = nc.w GROUP BY 1) "
+            "SELECT d.doc_id, CAST(coalesce(t1.n1, 0) AS BIGINT) AS n_extracted, "
+            "CAST(coalesce(t2.n2, 0) AS BIGINT) AS n_naive, "
+            "CAST(coalesce(cm.cmn, 0) AS BIGINT) AS n_common, "
+            "CAST(CASE WHEN coalesce(t1.n1, 0) + coalesce(t2.n2, 0) = 0 THEN 0 "
+            "ELSE 2000000 * coalesce(cm.cmn, 0) // (coalesce(t1.n1, 0) + coalesce(t2.n2, 0)) "
+            "END AS BIGINT) AS f1_micro "
+            "FROM documents d LEFT JOIN t1 ON d.doc_id = t1.doc_id "
+            "LEFT JOIN t2 ON d.doc_id = t2.doc_id "
+            "LEFT JOIN cm ON d.doc_id = cm.doc_id"
         ),
     }

@@ -313,3 +313,12 @@ def test_jsonld_records_kernel():
     assert recs[0]["wordCount"] == 42
     assert jsonld_records(b"") == []
     assert jsonld_records(None) == []
+
+
+def test_token_f1_kernel():
+    from dots_ocr_ray.pipelines.document import token_f1
+
+    assert token_f1("a b c", "a b c") == (3, 3, 3)
+    assert token_f1("a a b", "a c") == (3, 2, 1)  # multiset min, not set
+    assert token_f1("", "x y") == (0, 2, 0)
+    assert token_f1(None, None) == (0, 0, 0)
