@@ -6475,7 +6475,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "interval_coverage": (
             "WITH iv AS (SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + "
-            "((CAST(round(value * 100) AS BIGINT) % 3600) + 60) * 1000000 AS e "
+            "((abs(CAST(round(value * 100) AS BIGINT)) % 3600) + 60) * 1000000 AS e "
             "FROM events), "
             "m AS (SELECT user_id, s, e, max(e) OVER (PARTITION BY user_id "
             "ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) "

@@ -13,8 +13,12 @@ lexicon is a dozen maximal, mutually-non-overlapping mangled
 sequences, so the per-signature counts sum without double counting).
 Repair runs ONLY on the (typically rare) rows with a detection hit —
 a narrow Python loop over the matched rows, guarded so a failed
-round-trip or a round-trip that re-mangles leaves the row untouched.
-Zero exchange: pure per-batch transform, streams at any corpus size.
+round-trip leaves the row untouched.  The output carries an explicit
+``repair_ok`` flag: after the round-trip the signatures are re-counted
+on the repaired text, so "detected but could not repair" rows (mixed
+mojibake + genuine non-cp1252 characters) are observable instead of
+silently passing through.  Zero exchange: pure per-batch transform,
+streams at any corpus size.
 """
 
 from __future__ import annotations
@@ -59,29 +63,43 @@ def repair_mojibake(
 
     Output adds ``text_repaired`` (round-trip-fixed where signatures
     hit, untouched elsewhere), ``n_mojibake`` (additive signature
-    count), ``chars_before`` / ``chars_after`` (codepoint lengths).
+    count), ``chars_before`` / ``chars_after`` (codepoint lengths) and
+    ``repair_ok`` (1 unless signatures remain after the round-trip —
+    i.e. the repair failed or only partially applied).
     """
     import numpy as np
     import pyarrow.compute as pc
 
-    def _repair(batch: pa.Table) -> pa.Table:
-        col = pc.fill_null(batch.column(text_col), "")
-        n = np.zeros(batch.num_rows, dtype=np.int64)
+    def _count_signatures(col) -> "np.ndarray":
+        n = np.zeros(len(col), dtype=np.int64)
         for sig in MOJIBAKE_SIGNATURES:
             n += pc.count_substring(col, sig).to_numpy(zero_copy_only=False)
+        return n
+
+    def _repair(batch: pa.Table) -> pa.Table:
+        col = pc.fill_null(batch.column(text_col), "")
+        n = _count_signatures(col)
         before = pc.utf8_length(col).cast(pa.int64())
         if int(n.sum()) == 0:
             repaired = col
+            remaining = n
         else:
             texts = col.to_pylist()
             hit_rows = np.nonzero(n)[0]
             for i in hit_rows:
                 texts[i] = repair_text(texts[i])
             repaired = pa.array(texts, type=pa.string())
+            remaining = _count_signatures(repaired)
         after = pc.utf8_length(repaired).cast(pa.int64())
-        return batch.append_column("text_repaired", repaired).append_column(
-            "n_mojibake", pa.array(n)
-        ).append_column("chars_before", before).append_column("chars_after", after)
+        return (
+            batch.append_column("text_repaired", repaired)
+            .append_column("n_mojibake", pa.array(n))
+            .append_column("chars_before", before)
+            .append_column("chars_after", after)
+            .append_column(
+                "repair_ok", pa.array((remaining == 0).astype(np.int64))
+            )
+        )
 
     return ds.map_batches(_repair, batch_format="pyarrow")
 

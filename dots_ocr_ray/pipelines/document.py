@@ -672,10 +672,17 @@ def jsonld_from_pages(pages: "ray.data.Dataset") -> "ray.data.Dataset":
         ):
             for rec in jsonld_records(html):
                 ids.append(doc_id)
-                types.append(rec.get("@type"))
+                # real-world JSON-LD: @type may be a list (take the
+                # first), any field may be a non-string — never let a
+                # stray type kill the batch
+                t = rec.get("@type")
+                if isinstance(t, list):
+                    t = t[0] if t else None
+                types.append(t if isinstance(t, str) else None)
                 wc = rec.get("wordCount")
                 wcs.append(int(wc) if isinstance(wc, (int, float)) else None)
-                dates.append(rec.get("datePublished"))
+                dp = rec.get("datePublished")
+                dates.append(dp if isinstance(dp, str) else None)
         return pa.table(
             {
                 "doc_id": pa.array(ids, pa.int64()),

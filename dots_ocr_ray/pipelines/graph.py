@@ -3283,6 +3283,10 @@ def betweenness_centrality(
         d = batch.column(dst).to_numpy(zero_copy_only=False).astype(np.int64)
         keep = s != d
         s, d = s[keep], d[keep]
+        if len(s):
+            assert (
+                s.min() >= 0 and d.min() >= 0 and max(s.max(), d.max()) < 2**31
+            ), "betweenness_centrality: node ids must fit 31 bits (packed pairs)"
         u = np.unique(s << np.int64(32) | (d & np.int64(0xFFFFFFFF)))
         return pa.table(
             {
@@ -3292,17 +3296,18 @@ def betweenness_centrality(
         )
 
     assert_msg = "betweenness_centrality: distinct edges exceed the bounded tier"
-    distinct = (
+    # materialize so the budget count and the driver collect execute the
+    # dedup exchange ONCE (blocks stay in the object store either way)
+    pruned = (
         edges.select_columns([src, dst])
         .map_batches(_canon, batch_format="pyarrow")
         .groupby(["src", "dst"])
         .count()
+        .select_columns(["src", "dst"])
+        .materialize()
     )
-    pruned = distinct.select_columns(["src", "dst"])
-    n_edges = pruned.count()  # budget check BEFORE any driver collect
+    n_edges = pruned.count()  # metadata-only on a materialized dataset
     assert n_edges <= BETWEENNESS_EDGE_BUDGET, assert_msg
-    tables = [ray.get(r) for r in pruned.to_arrow_refs()]
-    tbl = pa.concat_tables([t for t in tables if t.num_rows]) if tables else None
     if n_edges == 0:
         return ray.data.from_arrow(
             pa.table(
@@ -3312,6 +3317,8 @@ def betweenness_centrality(
                 }
             )
         )
+    tables = [ray.get(r) for r in pruned.to_arrow_refs()]
+    tbl = pa.concat_tables([t for t in tables if t.num_rows])
     s_arr = tbl.column("src").to_numpy(zero_copy_only=False).astype(np.int64)
     d_arr = tbl.column("dst").to_numpy(zero_copy_only=False).astype(np.int64)
     adj: dict[int, list[int]] = {}
@@ -3343,17 +3350,9 @@ def betweenness_centrality(
 
     parts = sources.map_batches(_deps, batch_format="pyarrow")
 
-    def _fold(group: pa.Table) -> pa.Table:
-        h = group.column("host").to_numpy(zero_copy_only=False).astype(np.int64)
-        c = group.column("c").to_numpy(zero_copy_only=False).astype(np.int64)
-        uniq, inv = np.unique(h, return_inverse=True)
-        sums = np.zeros(len(uniq), dtype=np.int64)
-        np.add.at(sums, inv, c)
-        return pa.table(
-            {
-                "host": pa.array(uniq, type=pa.int64()),
-                "betweenness_micro": pa.array(sums, type=pa.int64()),
-            }
-        )
+    summed = parts.groupby("host").sum("c")
 
-    return parts.groupby("host").map_groups(_fold, batch_format="pyarrow")
+    def _rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["host", "betweenness_micro"])
+
+    return summed.map_batches(_rename, batch_format="pyarrow")

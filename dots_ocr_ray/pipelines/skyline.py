@@ -35,11 +35,15 @@ import ray.data
 
 def _col_to_sortable(col: pa.ChunkedArray):
     """numpy view of an Arrow column usable in lexsort/compares:
-    timestamps → int64 epoch units, numerics pass through."""
+    timestamps → int64 epoch units; integers STAY int64 (a float64
+    cast would merge distinct values above 2^53 and corrupt the
+    frontier); floats pass through as float64."""
     import numpy as np
 
     arr = col.combine_chunks()
     if pa.types.is_timestamp(arr.type):
+        return arr.cast(pa.int64()).to_numpy(zero_copy_only=False)
+    if pa.types.is_integer(arr.type):
         return arr.cast(pa.int64()).to_numpy(zero_copy_only=False)
     return arr.to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
 
@@ -67,11 +71,19 @@ def local_skyline(batch: pa.Table, x_col: str, y_col: str) -> pa.Table:
     new_group[1:] = sy[1:] != sy[:-1]
     gid = np.cumsum(new_group) - 1
     gmax = sx[new_group]  # first row of each y-group = max x in group
-    prior = np.empty(len(gmax), dtype=np.float64)
-    prior[0] = -np.inf
+    # running max over strictly-greater-y groups; sentinel below every
+    # value of the dtype (int64 stays int64 — see _col_to_sortable)
+    if np.issubdtype(sx.dtype, np.integer):
+        sentinel = np.iinfo(sx.dtype).min
+    else:
+        sentinel = -np.inf
+    prior = np.empty(len(gmax), dtype=sx.dtype)
+    prior[0] = sentinel
     if len(gmax) > 1:
         np.maximum.accumulate(gmax[:-1], out=prior[1:])
     group_ok = gmax > prior
+    if len(gmax) > 0 and gmax[0] == sentinel:
+        group_ok[0] = True  # first group always undominated
     keep_sorted = group_ok[gid] & (sx == gmax[gid])
     keep_original = np.sort(idx[keep_sorted])
     return batch.take(pa.array(keep_original))

@@ -1101,8 +1101,11 @@ def interval_coverage(
 ) -> "ray.data.Dataset":
     """Per-user interval UNION (gaps-and-islands merge): each event
     opens the interval ``[ts, ts + dur)`` with the deterministic
-    duration ``((cents % 3600) + 60) seconds`` (cents = value·100
-    rounded); overlapping/touching-via-overlap intervals merge into
+    duration ``((|cents| % 3600) + 60) seconds`` (cents = value·100
+    rounded; the abs keeps numpy's floored ``%`` and SQL's
+    sign-keeping ``%`` on the same non-negative operand, so negative
+    values cannot silently diverge from the oracle or open an
+    end-before-start interval); overlapping intervals merge into
     islands, and the rollup reports ``(user_id, n_events, n_islands,
     covered_us)`` — the distinct-busy-time aggregate interval joins
     can't express.
@@ -1119,7 +1122,7 @@ def interval_coverage(
         ts = group.column(ts_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
         val = group.column(value_col).to_numpy(zero_copy_only=False)
         cents = np.round(val * 100).astype(np.int64)
-        dur_us = ((cents % 3600) + 60) * 1_000_000
+        dur_us = ((np.abs(cents) % 3600) + 60) * 1_000_000
         s = ts
         e = ts + dur_us
         order = np.lexsort((e, s))

@@ -76,7 +76,13 @@ def read_orc(dir_path: str, *, columns: list[str] | None = None) -> ray.data.Dat
 
         tables = []
         for blob in batch.column("bytes").to_pylist():
-            tables.append(orc.ORCFile(io.BytesIO(blob)).read(columns=columns))
+            t = orc.ORCFile(io.BytesIO(blob)).read(columns=columns)
+            if columns is not None:
+                # ORCFile.read returns FILE column order; force the
+                # requested order so every block (incl. the empty-batch
+                # fallback) carries an identical schema
+                t = t.select(columns)
+            tables.append(t)
         if not tables:
             return out_schema.empty_table()
         return pa.concat_tables(tables)

@@ -322,3 +322,24 @@ def test_token_f1_kernel():
     assert token_f1("a a b", "a c") == (3, 2, 1)  # multiset min, not set
     assert token_f1("", "x y") == (0, 2, 0)
     assert token_f1(None, None) == (0, 0, 0)
+
+
+def test_jsonld_hostile_value_types(ray_session):
+    import pyarrow as pa
+
+    import ray.data
+
+    from dots_ocr_ray.pipelines.document import jsonld_from_pages
+
+    html = (
+        b'<script type="application/ld+json">'
+        b'{"@type": ["NewsArticle", "Article"], "wordCount": "12", '
+        b'"datePublished": {"@value": "2020"}}</script>'
+    )
+    pages = ray.data.from_arrow(
+        pa.table({"doc_id": [1], "html": pa.array([html], pa.binary())})
+    )
+    out = jsonld_from_pages(pages).to_pandas()
+    assert out["ld_type"].tolist() == ["NewsArticle"]
+    assert out["word_count"].isna().all()  # string "12" rejected, not coerced
+    assert out["date_published"].isna().all()

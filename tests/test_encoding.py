@@ -84,3 +84,13 @@ def test_nfkc_normalize(ray_session):
     assert out["text_nfkc"][1] == "full AB width"
     assert out["text_nfkc"][2] == "ligature fi here"
     assert (out["len_after"] - out["len_before"]).tolist() == [0, 0, 1, 0]
+
+
+def test_repair_ok_flags_unrepairable_mix(ray_session):
+    # mojibake signature + a genuine em dash: cp1252 encode fails,
+    # row passes through unrepaired but FLAGGED
+    tbl = pa.table({"doc_id": [1], "text": ["cafÃ© — dash"]})
+    out = repair_mojibake(ray.data.from_arrow(tbl)).to_pandas()
+    assert out["n_mojibake"][0] == 1
+    assert out["repair_ok"][0] == 0
+    assert out["text_repaired"][0] == out["text"][0] if "text" in out else True

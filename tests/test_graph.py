@@ -821,3 +821,15 @@ def test_betweenness_partition_invariant(ray_session):
     import pandas as pd
 
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_betweenness_self_loop_only_graph_is_empty(ray_session):
+    import pyarrow as pa
+
+    import ray.data
+
+    from dots_ocr_ray.pipelines.graph import betweenness_centrality
+
+    edges = pa.table({"src": [1, 2], "dst": [1, 2]})
+    out = betweenness_centrality(ray.data.from_arrow(edges))
+    assert out.count() == 0

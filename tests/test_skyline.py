@@ -68,3 +68,16 @@ def test_distributed_matches_single_block(ray_session):
 def test_empty_dataset(ray_session):
     ds = ray.data.from_arrow(_tbl([])).repartition(2)
     assert skyline_2d(ds, "x", "y").count() == 0
+
+
+def test_int64_dims_above_2_53_stay_exact(ray_session):
+    big = 2**53
+    # (big+1, 0) dominates (big, 0) only under exact int compare
+    tbl = pa.table(
+        {
+            "x": pa.array([big, big + 1], pa.int64()),
+            "y": pa.array([0, 0], pa.int64()),
+        }
+    )
+    res = local_skyline(tbl, "x", "y")
+    assert res.column("x").to_pylist() == [big + 1]
