@@ -4962,6 +4962,39 @@ def _q_mojibake_repair(sf_dir: str):
     )
 
 
+def _q_url_templates(sf_dir: str):
+    """Crawler-trap audit: urls built from a 4-shape path rule
+    (product / calendar / article / static) collapse to digit-run
+    templates via ONE vectorized RE2 replace; rollup = pages +
+    distinct hosts per template (pipelines/document.py:url_templates).
+    Oracle: the same construction + regexp_replace in SQL."""
+    import pyarrow as pa
+
+    import ray.data
+
+    from dots_ocr_ray.pipelines.document import url_templates
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def _urls(batch: pa.Table) -> pa.Table:
+        urls = []
+        for d in batch.column("doc_id").to_pylist():
+            host = f"example-{d % 40:02d}.com"
+            shape = d % 4
+            if shape == 0:
+                path = f"/p/{d}"
+            elif shape == 1:
+                path = f"/cal/{2020 + d % 5}/{1 + d % 12}/{1 + d % 28}"
+            elif shape == 2:
+                path = f"/a-{d}/comments"
+            else:
+                path = "/static/about"
+            urls.append(f"https://{host}{path}")
+        return pa.table({"url": pa.array(urls, type=pa.string())})
+
+    return url_templates(docs.map_batches(_urls, batch_format="pyarrow"))
+
+
 def _q_extraction_f1(sf_dir: str):
     """Extraction-fidelity audit fused with extraction: the pure
     kernel runs on each page batch and is scored in the same pass
@@ -5453,6 +5486,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jsonld_metadata": _q_jsonld_metadata,
         "host_failure_wilson": _q_host_failure_wilson,
         "extraction_f1": _q_extraction_f1,
+        "url_templates": _q_url_templates,
     }
 
 
@@ -7251,5 +7285,18 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents d LEFT JOIN t1 ON d.doc_id = t1.doc_id "
             "LEFT JOIN t2 ON d.doc_id = t2.doc_id "
             "LEFT JOIN cm ON d.doc_id = cm.doc_id"
+        ),
+        "url_templates": (
+            "WITH u AS (SELECT doc_id, 'https://example-' || "
+            "lpad(CAST(doc_id % 40 AS VARCHAR), 2, '0') || '.com' || "
+            "CASE doc_id % 4 WHEN 0 THEN '/p/' || doc_id "
+            "WHEN 1 THEN '/cal/' || (2020 + doc_id % 5) || '/' || (1 + doc_id % 12) "
+            "|| '/' || (1 + doc_id % 28) "
+            "WHEN 2 THEN '/a-' || doc_id || '/comments' "
+            "ELSE '/static/about' END AS url FROM documents), "
+            "t AS (SELECT regexp_replace(url, '[0-9]+', 'N', 'g') AS template, "
+            "regexp_extract(url, '^https?://([^/]+)', 1) AS host FROM u) "
+            "SELECT template, CAST(count(*) AS BIGINT) AS n_pages, "
+            "CAST(count(DISTINCT host) AS BIGINT) AS n_hosts FROM t GROUP BY template"
         ),
     }

@@ -755,3 +755,55 @@ def extraction_f1_audit(pages: "ray.data.Dataset") -> "ray.data.Dataset":
         )
 
     return pages.map_batches(_audit, batch_format="pyarrow")
+
+
+def url_templates(
+    urls: "ray.data.Dataset", *, url_col: str = "url"
+) -> "ray.data.Dataset":
+    """URL path-template mining — the crawler-trap / infinite-space
+    audit: digit runs in the url collapse to ``N`` with ONE vectorized
+    RE2 kernel, and the rollup reports pages and distinct hosts per
+    template.  A calendar trap (``/cal/2020/3/7`` × 10⁹) is one
+    template row with a huge page count; frontier scheduling reads
+    this table, not the url list.
+
+    Shape: zero-exchange templating, then one groupby keyed by
+    template (cardinality = distinct SHAPES, tiny by construction)
+    with per-batch host dedup inside the partial — host strings never
+    concentrate on one reducer."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def _template(batch: pa.Table) -> pa.Table:
+        u = batch.column(url_col)
+        tpl = pc.replace_substring_regex(u, r"[0-9]+", "N")
+        host = pc.extract_regex(u, r"^https?://(?P<host>[^/]+)").combine_chunks().field(
+            "host"
+        )
+        # in-batch (template, host) dedup: the exchange moves one row
+        # per distinct pair per batch, never one per page
+        part = (
+            pa.table({"template": tpl, "host": host})
+            .group_by(["template", "host"])
+            .aggregate([([], "count_all")])
+        )
+        return part.rename_columns(["template", "host", "n"])
+
+    def _fold(group: pa.Table) -> pa.Table:
+        import numpy as np
+
+        n = int(pc.sum(group.column("n")).as_py())
+        hosts = group.column("host").to_pylist()
+        return pa.table(
+            {
+                "template": [group.column("template")[0].as_py()],
+                "n_pages": pa.array([n], pa.int64()),
+                "n_hosts": pa.array([len(set(hosts))], pa.int64()),
+            }
+        )
+
+    return (
+        urls.map_batches(_template, batch_format="pyarrow")
+        .groupby("template")
+        .map_groups(_fold, batch_format="pyarrow")
+    )

@@ -343,3 +343,25 @@ def test_jsonld_hostile_value_types(ray_session):
     assert out["ld_type"].tolist() == ["NewsArticle"]
     assert out["word_count"].isna().all()  # string "12" rejected, not coerced
     assert out["date_published"].isna().all()
+
+
+def test_url_templates_trap_detection(ray_session):
+    import pyarrow as pa
+
+    import ray.data
+
+    from dots_ocr_ray.pipelines.document import url_templates
+
+    urls = (
+        [f"https://a.com/cal/2020/{m}/{d}" for m in range(1, 4) for d in range(1, 6)]
+        + ["https://a.com/about", "https://b.com/about"]
+    )
+    out = (
+        url_templates(ray.data.from_arrow(pa.table({"url": urls})).repartition(3))
+        .to_pandas()
+        .set_index("template")
+    )
+    assert out.loc["https://a.com/cal/N/N/N", "n_pages"] == 15
+    assert out.loc["https://a.com/cal/N/N/N", "n_hosts"] == 1
+    assert out.loc["https://a.com/about", "n_pages"] == 1
+    assert out.loc["https://b.com/about", "n_hosts"] == 1
