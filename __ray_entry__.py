@@ -4962,6 +4962,36 @@ def _q_mojibake_repair(sf_dir: str):
     )
 
 
+def _q_card_scrub(sf_dir: str):
+    """Checksum-validated card redaction: the CARD_MOD rule injects a
+    16-digit number whose Luhn validity is controlled by arithmetic;
+    the scrubber must genuinely run Luhn and redact ONLY valid runs
+    (functions/scrub.py:scrub_cards).  Zero exchange; oracle = the
+    validity rule + constant-width length arithmetic."""
+    import pyarrow as pa
+
+    import ray.data
+
+    from dots_ocr_ray.fixtures import card_text
+    from dots_ocr_ray.functions.scrub import scrub_cards
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def _inject(batch: pa.Table) -> pa.Table:
+        texts = [
+            card_text(d, t or "")
+            for d, t in zip(batch.column("doc_id").to_pylist(), batch.column("text").to_pylist())
+        ]
+        return pa.table(
+            {"doc_id": batch.column("doc_id"), "text": pa.array(texts, type=pa.string())}
+        )
+
+    out = scrub_cards(docs.map_batches(_inject, batch_format="pyarrow"))
+    return out.select_columns(
+        ["doc_id", "n_cc_valid", "n_cc_invalid", "scrubbed_len"]
+    )
+
+
 def _q_url_templates(sf_dir: str):
     """Crawler-trap audit: urls built from a 4-shape path rule
     (product / calendar / article / static) collapse to digit-run
@@ -5487,6 +5517,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_failure_wilson": _q_host_failure_wilson,
         "extraction_f1": _q_extraction_f1,
         "url_templates": _q_url_templates,
+        "card_scrub": _q_card_scrub,
     }
 
 
@@ -7298,5 +7329,17 @@ def oracle_sql() -> dict[str, str]:
             "regexp_extract(url, '^https?://([^/]+)', 1) AS host FROM u) "
             "SELECT template, CAST(count(*) AS BIGINT) AS n_pages, "
             "CAST(count(DISTINCT host) AS BIGINT) AS n_hosts FROM t GROUP BY template"
+        ),
+        "card_scrub": (
+            # CARD_MOD rule: ' card ' (6) + 16 digits appended; valid
+            # (even quotient) cards redact to '<CC>' (4), a -12 delta
+            "SELECT doc_id, "
+            "CAST(CASE WHEN doc_id % 10 = 7 AND (doc_id // 10) % 2 = 0 "
+            "THEN 1 ELSE 0 END AS BIGINT) AS n_cc_valid, "
+            "CAST(CASE WHEN doc_id % 10 = 7 AND (doc_id // 10) % 2 = 1 "
+            "THEN 1 ELSE 0 END AS BIGINT) AS n_cc_invalid, "
+            "CAST(length(text) + CASE WHEN doc_id % 10 = 7 THEN 22 ELSE 0 END "
+            "- CASE WHEN doc_id % 10 = 7 AND (doc_id // 10) % 2 = 0 THEN 12 "
+            "ELSE 0 END AS BIGINT) AS scrubbed_len FROM documents"
         ),
     }

@@ -419,3 +419,25 @@ def compat_text(doc_id: int, text: str) -> str:
     if doc_id % 17 == 2:
         out += "①"
     return out
+
+
+CARD_MOD, CARD_REM = 10, 7
+
+
+def card_text(doc_id: int, text: str) -> str:
+    """Card-injection rule: docs with ``doc_id % 10 == 7`` get
+    ' card ' + a 16-digit number whose first 15 digits are
+    ``(doc_id * (i + 3) + doc_id // 10) % 10`` (the quotient term
+    varies the digits across the residue class); Luhn-correct when
+    ``(doc_id // 10) % 2 == 0`` (a VALID card) and off-by-one
+    otherwise (checksum-invalid) — so validity is SQL-mirrorable
+    arithmetic while the engine must genuinely run Luhn."""
+    if doc_id % CARD_MOD != CARD_REM:
+        return text
+    from dots_ocr_ray.functions.scrub import luhn_check_digit
+
+    d15 = "".join(str((doc_id * (i + 3) + doc_id // 10) % 10) for i in range(15))
+    c = luhn_check_digit(d15)
+    if (doc_id // CARD_MOD) % 2 == 1:
+        c = str((int(c) + 1) % 10)
+    return text + " card " + d15 + c

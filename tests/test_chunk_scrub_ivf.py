@@ -178,3 +178,32 @@ def test_pseudonymize_ids_null_safe(ray_session):
     assert out[42] == hashlib.md5(b"s:42").hexdigest()[:16]
     assert out[7] == hashlib.md5(b"s:7").hexdigest()[:16]
     assert out[None] is None
+
+
+def test_luhn_and_card_scrub(ray_session):
+    import pyarrow as pa
+
+    import ray.data
+
+    from dots_ocr_ray.functions.scrub import luhn_check_digit, luhn_valid, scrub_cards
+
+    assert luhn_valid("4539578763621486")  # classic valid test number
+    assert not luhn_valid("4539578763621487")
+    d15 = "453957876362148"
+    assert luhn_check_digit(d15) == "6"
+
+    tbl = pa.table(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "pay 4539578763621486 now",  # valid → redacted
+                "ref 4539578763621487 kept",  # invalid checksum → kept
+                "short 123456 digits",  # not 16 digits → untouched
+            ],
+        }
+    )
+    out = scrub_cards(ray.data.from_arrow(tbl)).to_pandas().sort_values("doc_id")
+    assert out["n_cc_valid"].tolist() == [1, 0, 0]
+    assert out["n_cc_invalid"].tolist() == [0, 1, 0]
+    assert out["text_scrubbed"].tolist()[0] == "pay <CC> now"
+    assert out["text_scrubbed"].tolist()[1] == "ref 4539578763621487 kept"
