@@ -4962,6 +4962,38 @@ def _q_mojibake_repair(sf_dir: str):
     )
 
 
+def _q_shard_plan(sf_dir: str):
+    """Load-aware shard planning: per-host n_chars weights folded in
+    one groupby, then LPT greedy bin packing onto 8 workers — the
+    skew-taming placement step stateless hashing can't do
+    (functions/partitioning.py:plan_partitions).  Golden oracle:
+    sequential mirror over the shared lpt_assign kernel."""
+    import pyarrow as pa
+
+    import ray.data
+
+    from dots_ocr_ray.functions.partitioning import plan_partitions
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+
+    def _host(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        lut = np.array([f"example-{r:02d}.com" for r in range(40)])
+        rem = batch.column("doc_id").to_numpy(zero_copy_only=False) % 40
+        return pa.table(
+            {
+                "host": pa.array(lut[rem], type=pa.string()),
+                "n_chars": batch.column("n_chars"),
+            }
+        )
+
+    hosts = docs.map_batches(_host, batch_format="pyarrow")
+    return plan_partitions(hosts, key_col="host", weight_col="n_chars", n_workers=8)
+
+
 def _q_card_scrub(sf_dir: str):
     """Checksum-validated card redaction: the CARD_MOD rule injects a
     16-digit number whose Luhn validity is controlled by arithmetic;
@@ -5518,6 +5550,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extraction_f1": _q_extraction_f1,
         "url_templates": _q_url_templates,
         "card_scrub": _q_card_scrub,
+        "shard_plan": _q_shard_plan,
     }
 
 
@@ -7341,5 +7374,9 @@ def oracle_sql() -> dict[str, str]:
             "CAST(length(text) + CASE WHEN doc_id % 10 = 7 THEN 22 ELSE 0 END "
             "- CASE WHEN doc_id % 10 = 7 AND (doc_id // 10) % 2 = 0 THEN 12 "
             "ELSE 0 END AS BIGINT) AS scrubbed_len FROM documents"
+        ),
+        "shard_plan": (
+            "SELECT host, worker, weight FROM "
+            f"read_parquet('{_GOLDEN_DIR}/shard_plan.parquet')"
         ),
     }

@@ -71,6 +71,7 @@ def _canon(obj) -> pd.DataFrame:
         "host_scc",
         "host_harmonic",
         "host_betweenness",
+        "shard_plan",
         "bitext_mining",
         "isotonic_calibration",
         "sq8_recall",

@@ -44,3 +44,46 @@ def test_dataset_operator(ray_session):
     out = rendezvous_assign(ds, "k", 8).to_pandas()
     expect = {k: rendezvous_bucket(k, 8) for k in KEYS}
     assert all(expect[r.k] == r.bucket for r in out.itertuples())
+
+
+def test_lpt_assign_balances_skew():
+    from dots_ocr_ray.functions.partitioning import lpt_assign
+
+    # one mega key (30% of corpus) + nine small ones onto 2 workers
+    weights = [("mega", 300)] + [(f"k{i}", 70) for i in range(9)]
+    placed = dict((k, w) for k, w, _ in lpt_assign(weights, 2))
+    loads = {0: 0, 1: 0}
+    for k, weight in weights:
+        loads[placed[k]] += weight
+    # LPT keeps the makespan within 4/3 of OPT (OPT = 465)
+    assert max(loads.values()) <= 465 * 4 // 3
+    # mega key is placed first, alone on its worker initially
+    assert placed["mega"] != placed["k0"] or loads[placed["mega"]] <= 620
+
+
+def test_plan_partitions_dataset(ray_session):
+    import pyarrow as pa
+
+    import ray.data
+
+    from dots_ocr_ray.functions.partitioning import lpt_assign, plan_partitions
+
+    tbl = pa.table(
+        {
+            "host": ["a", "a", "b", "c", "c", "c"],
+            "w": [10, 10, 5, 1, 1, 1],
+        }
+    )
+    out = (
+        plan_partitions(
+            ray.data.from_arrow(tbl).repartition(3),
+            key_col="host",
+            weight_col="w",
+            n_workers=2,
+        )
+        .to_pandas()
+        .sort_values("host")
+        .reset_index(drop=True)
+    )
+    expect = lpt_assign([("a", 20), ("b", 5), ("c", 3)], 2)
+    assert list(zip(out["host"], out["worker"], out["weight"])) == expect

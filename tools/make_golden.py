@@ -1526,6 +1526,29 @@ def golden_host_betweenness(sf_dir: str, *, micro: int = 1_000_000) -> pa.Table:
     )
 
 
+def golden_shard_plan(sf_dir: str, *, n_workers: int = 8) -> pa.Table:
+    """Sequential mirror of functions.partitioning.plan_partitions:
+    plain pandas per-host n_chars sums + the shared lpt_assign
+    kernel — independent of the pipeline's groupby/materialize path."""
+    from dots_ocr_ray.functions.partitioning import lpt_assign
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"])
+    ids = t.column("doc_id").to_numpy()
+    chars = t.column("n_chars").to_numpy()
+    sums: dict[str, int] = {}
+    for i, c in zip(ids, chars):
+        h = f"example-{int(i) % 40:02d}.com"
+        sums[h] = sums.get(h, 0) + int(c)
+    placed = lpt_assign(sorted(sums.items()), n_workers)
+    return pa.table(
+        {
+            "host": pa.array([p[0] for p in placed], type=pa.string()),
+            "worker": pa.array([p[1] for p in placed], type=pa.int64()),
+            "weight": pa.array([p[2] for p in placed], type=pa.int64()),
+        }
+    )
+
+
 GOLDEN_BUILDERS = {
     "kmeans_clusters": golden_kmeans_clusters,
     "semdedup_docs": golden_semdedup_docs,
@@ -1534,6 +1557,7 @@ GOLDEN_BUILDERS = {
     "incremental_minhash": golden_incremental_minhash,
     "host_pagerank": golden_host_pagerank,
     "host_betweenness": golden_host_betweenness,
+    "shard_plan": golden_shard_plan,
     "host_hits": golden_host_hits,
     "host_trustrank": golden_host_trustrank,
     "host_kcore": golden_host_kcore,
