@@ -4962,6 +4962,44 @@ def _q_mojibake_repair(sf_dir: str):
     )
 
 
+def _q_robots_meta(sf_dir: str):
+    """Page-level robots-meta compliance bits: every 6th doc's page
+    carries a <meta name="robots"> whose directive list rotates by
+    (doc_id // 6) % 4 (all / noindex / nofollow / both); the engine
+    must token-parse the REAL attribute (pipelines/document.py:
+    robots_meta_flags).  Zero exchange; oracle = rule arithmetic."""
+    import pyarrow as pa
+
+    import ray.data
+
+    from dots_ocr_ray.pipelines.document import robots_meta_from_pages
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    _DIRECTIVES = ("all", "noindex", "nofollow", "noindex, nofollow")
+
+    def _pages(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        htmls = []
+        for d in ids:
+            meta = (
+                f'<meta name="robots" content="{_DIRECTIVES[(d // 6) % 4]}">'
+                if d % 6 == 1
+                else ""
+            )
+            htmls.append(
+                f"<html><head>{meta}</head><body><p>x</p></body></html>".encode()
+            )
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "html": pa.array(htmls, pa.binary()),
+            }
+        )
+
+    return robots_meta_from_pages(docs.map_batches(_pages, batch_format="pyarrow"))
+
+
 def _q_shard_plan(sf_dir: str):
     """Load-aware shard planning: per-host n_chars weights folded in
     one groupby, then LPT greedy bin packing onto 8 workers — the
@@ -5551,6 +5589,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_templates": _q_url_templates,
         "card_scrub": _q_card_scrub,
         "shard_plan": _q_shard_plan,
+        "robots_meta": _q_robots_meta,
     }
 
 
@@ -7378,5 +7417,13 @@ def oracle_sql() -> dict[str, str]:
         "shard_plan": (
             "SELECT host, worker, weight FROM "
             f"read_parquet('{_GOLDEN_DIR}/shard_plan.parquet')"
+        ),
+        "robots_meta": (
+            "SELECT doc_id, "
+            "CAST(CASE WHEN doc_id % 6 = 1 THEN 1 ELSE 0 END AS BIGINT) AS has_meta, "
+            "CAST(CASE WHEN doc_id % 6 = 1 AND (doc_id // 6) % 4 IN (1, 3) "
+            "THEN 1 ELSE 0 END AS BIGINT) AS noindex, "
+            "CAST(CASE WHEN doc_id % 6 = 1 AND (doc_id // 6) % 4 IN (2, 3) "
+            "THEN 1 ELSE 0 END AS BIGINT) AS nofollow FROM documents"
         ),
     }

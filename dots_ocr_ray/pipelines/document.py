@@ -807,3 +807,52 @@ def url_templates(
         .groupby("template")
         .map_groups(_fold, batch_format="pyarrow")
     )
+
+
+_ROBOTS_META_RE = None
+
+
+def robots_meta_flags(html_bytes: bytes) -> tuple[int, int, int]:
+    """Parse ``<meta name="robots" content="...">`` directives out of
+    one page (pure kernel): returns (has_meta, noindex, nofollow) as
+    0/1 ints.  Directive matching is token-based on the comma-split
+    content list (case/whitespace-insensitive), so ``noindex, nofollow``
+    and ``NOINDEX`` both count and ``nofollowish`` does not."""
+    global _ROBOTS_META_RE
+    import re
+
+    if _ROBOTS_META_RE is None:
+        _ROBOTS_META_RE = re.compile(
+            rb'<meta[^>]*name="robots"[^>]*content="([^"]*)"', re.IGNORECASE
+        )
+    noindex = nofollow = has = 0
+    for content in _ROBOTS_META_RE.findall(html_bytes or b""):
+        has = 1
+        toks = {t.strip().lower() for t in content.decode("utf-8", "replace").split(",")}
+        if "noindex" in toks:
+            noindex = 1
+        if "nofollow" in toks:
+            nofollow = 1
+    return has, noindex, nofollow
+
+
+def robots_meta_from_pages(pages: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Per-page robots-meta directives → (doc_id, has_meta, noindex,
+    nofollow) — the page-level crawl-compliance bits (the page's own
+    opt-out, complementing the host-level robots.txt pipeline).
+    Zero-exchange per-batch scan."""
+    import pyarrow as pa
+
+    def _flags(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        triples = [robots_meta_flags(h) for h in batch.column("html").to_pylist()]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "has_meta": pa.array([t[0] for t in triples], pa.int64()),
+                "noindex": pa.array([t[1] for t in triples], pa.int64()),
+                "nofollow": pa.array([t[2] for t in triples], pa.int64()),
+            }
+        )
+
+    return pages.map_batches(_flags, batch_format="pyarrow")

@@ -365,3 +365,14 @@ def test_url_templates_trap_detection(ray_session):
     assert out.loc["https://a.com/cal/N/N/N", "n_hosts"] == 1
     assert out.loc["https://a.com/about", "n_pages"] == 1
     assert out.loc["https://b.com/about", "n_hosts"] == 1
+
+
+def test_robots_meta_flags_kernel():
+    from dots_ocr_ray.pipelines.document import robots_meta_flags
+
+    assert robots_meta_flags(b'<meta name="robots" content="noindex">') == (1, 1, 0)
+    assert robots_meta_flags(b'<META NAME="robots" CONTENT="NOFOLLOW">') == (1, 0, 1)
+    # directive tokens, not substrings
+    assert robots_meta_flags(b'<meta name="robots" content="nofollowish">') == (1, 0, 0)
+    assert robots_meta_flags(b'<meta name="robots" content=" NoIndex ,NOFOLLOW ">') == (1, 1, 1)
+    assert robots_meta_flags(b"") == (0, 0, 0)
