@@ -4962,6 +4962,96 @@ def _q_mojibake_repair(sf_dir: str):
     )
 
 
+def _q_dedup_eval(sf_dir: str):
+    """Dedup-quality eval against planted truth: semdedup runs on the
+    near-dup-injected embeddings, its per-row pruned flag is scored
+    against the injection rule (truth dup = planted member that is not
+    its group's min id) — per-batch confusion partials, driver folds a
+    bounded table, integer floor-div micro P/R/F1.  Golden oracle:
+    sequential mirror over the same shared kernels and truth rule."""
+    import pyarrow as pa
+
+    import ray.data
+
+    from dots_ocr_ray.fixtures import inject_near_dup_embeddings
+    from dots_ocr_ray.pipelines.similarity import semdedup_prune
+    from dots_ocr_ray.util import vec_matrix
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+    def _inject(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        mat = inject_near_dup_embeddings(ids, vec_matrix(batch.column("embedding"), dtype=np.float32))
+        return pa.table(
+            {
+                "vec_id": batch.column("vec_id"),
+                "embedding": pa.array(list(mat), type=pa.list_(pa.float32())),
+            }
+        )
+
+    flags = semdedup_prune(ds.map_batches(_inject, batch_format="pyarrow"), threshold=0.95)
+
+    # group minima of the PLANTED ids (3 groups, bounded by the rule)
+    def _planted_mins(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = ids[ids % 9 == 4]
+        if len(ids) == 0:
+            return pa.table({"g": pa.array([], pa.int64()), "m": pa.array([], pa.int64())})
+        g = (ids // 9) % 3
+        out_g, out_m = [], []
+        for gg in np.unique(g):
+            out_g.append(int(gg))
+            out_m.append(int(ids[g == gg].min()))
+        return pa.table({"g": pa.array(out_g, pa.int64()), "m": pa.array(out_m, pa.int64())})
+
+    mins_tbl = (
+        ds.select_columns(["vec_id"])
+        .map_batches(_planted_mins, batch_format="pyarrow")
+        .groupby("g")
+        .min("m")
+        .to_pandas()
+    )
+    group_min = {int(r["g"]): int(r["min(m)"]) for _, r in mins_tbl.iterrows()}
+
+    def _confusion(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        pred = ~batch.column("kept").to_numpy(zero_copy_only=False)
+        planted = ids % 9 == 4
+        gmin = np.array([group_min.get(int(g), -1) for g in (ids // 9) % 3])
+        truth = planted & (ids != gmin)
+        return pa.table(
+            {
+                "tp": pa.array([int((truth & pred).sum())], pa.int64()),
+                "fp": pa.array([int((~truth & pred).sum())], pa.int64()),
+                "fn": pa.array([int((truth & ~pred).sum())], pa.int64()),
+                "tn": pa.array([int((~truth & ~pred).sum())], pa.int64()),
+            }
+        )
+
+    parts = flags.map_batches(_confusion, batch_format="pyarrow").to_pandas()
+    tp, fp, fn, tn = (int(parts[c].sum()) for c in ("tp", "fp", "fn", "tn"))
+    p = 0 if tp + fp == 0 else 1_000_000 * tp // (tp + fp)
+    r = 0 if tp + fn == 0 else 1_000_000 * tp // (tp + fn)
+    f1 = 0 if 2 * tp + fp + fn == 0 else 2_000_000 * tp // (2 * tp + fp + fn)
+    return pa.table(
+        {
+            "tp": pa.array([tp], pa.int64()),
+            "fp": pa.array([fp], pa.int64()),
+            "fn": pa.array([fn], pa.int64()),
+            "tn": pa.array([tn], pa.int64()),
+            "precision_micro": pa.array([p], pa.int64()),
+            "recall_micro": pa.array([r], pa.int64()),
+            "f1_micro": pa.array([f1], pa.int64()),
+        }
+    )
+
+
 def _q_robots_meta(sf_dir: str):
     """Page-level robots-meta compliance bits: every 6th doc's page
     carries a <meta name="robots"> whose directive list rotates by
@@ -5590,6 +5680,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "card_scrub": _q_card_scrub,
         "shard_plan": _q_shard_plan,
         "robots_meta": _q_robots_meta,
+        "dedup_eval": _q_dedup_eval,
     }
 
 
@@ -7425,5 +7516,9 @@ def oracle_sql() -> dict[str, str]:
             "THEN 1 ELSE 0 END AS BIGINT) AS noindex, "
             "CAST(CASE WHEN doc_id % 6 = 1 AND (doc_id // 6) % 4 IN (2, 3) "
             "THEN 1 ELSE 0 END AS BIGINT) AS nofollow FROM documents"
+        ),
+        "dedup_eval": (
+            "SELECT tp, fp, fn, tn, precision_micro, recall_micro, f1_micro FROM "
+            f"read_parquet('{_GOLDEN_DIR}/dedup_eval.parquet')"
         ),
     }

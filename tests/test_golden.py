@@ -72,6 +72,7 @@ def _canon(obj) -> pd.DataFrame:
         "host_harmonic",
         "host_betweenness",
         "shard_plan",
+        "dedup_eval",
         "bitext_mining",
         "isotonic_calibration",
         "sq8_recall",

@@ -1549,6 +1549,41 @@ def golden_shard_plan(sf_dir: str, *, n_workers: int = 8) -> pa.Table:
     )
 
 
+def golden_dedup_eval(sf_dir: str, *, threshold: float = 0.95) -> pa.Table:
+    """Sequential mirror of _q_dedup_eval: golden_semdedup_docs'
+    pruned flags scored against the planted-truth rule (planted member
+    that is not its group's min id), integer floor-div micro P/R/F1."""
+    kept_tbl = golden_semdedup_docs(sf_dir, threshold=threshold)
+    ids = kept_tbl.column("vec_id").to_numpy().astype(np.int64)
+    pred = ~kept_tbl.column("kept").to_numpy(zero_copy_only=False)
+    planted = ids % 9 == 4
+    gmins: dict[int, int] = {}
+    for i in ids[planted]:
+        g = int((i // 9) % 3)
+        gmins[g] = min(gmins.get(g, int(i)), int(i))
+    gmin = np.array([gmins.get(int(g), -1) for g in (ids // 9) % 3])
+    truth = planted & (ids != gmin)
+    tp = int((truth & pred).sum())
+    fp = int((~truth & pred).sum())
+    fn = int((truth & ~pred).sum())
+    tn = int((~truth & ~pred).sum())
+    p = 0 if tp + fp == 0 else 1_000_000 * tp // (tp + fp)
+    r = 0 if tp + fn == 0 else 1_000_000 * tp // (tp + fn)
+    f1 = 0 if 2 * tp + fp + fn == 0 else 2_000_000 * tp // (2 * tp + fp + fn)
+    i64 = pa.int64()
+    return pa.table(
+        {
+            "tp": pa.array([tp], i64),
+            "fp": pa.array([fp], i64),
+            "fn": pa.array([fn], i64),
+            "tn": pa.array([tn], i64),
+            "precision_micro": pa.array([p], i64),
+            "recall_micro": pa.array([r], i64),
+            "f1_micro": pa.array([f1], i64),
+        }
+    )
+
+
 GOLDEN_BUILDERS = {
     "kmeans_clusters": golden_kmeans_clusters,
     "semdedup_docs": golden_semdedup_docs,
@@ -1558,6 +1593,7 @@ GOLDEN_BUILDERS = {
     "host_pagerank": golden_host_pagerank,
     "host_betweenness": golden_host_betweenness,
     "shard_plan": golden_shard_plan,
+    "dedup_eval": golden_dedup_eval,
     "host_hits": golden_host_hits,
     "host_trustrank": golden_host_trustrank,
     "host_kcore": golden_host_kcore,
