@@ -4962,6 +4962,22 @@ def _q_mojibake_repair(sf_dir: str):
     )
 
 
+def _q_welch_t(sf_dir: str):
+    """Welch's unequal-variance t per language between the two
+    crawl-snapshot halves (doc_id parity) on n_chars — the inferential
+    companion to drift_kl.  Integer (n, Σx, Σx²) partials, driver
+    closed form with a literally-mirrored operand order, micro-floored
+    t and Welch–Satterthwaite df (pipelines/drift.py)."""
+    import ray.data
+
+    from dots_ocr_ray.pipelines.drift import welch_t_by_category
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+    )
+    return welch_t_by_category(docs)
+
+
 def _q_dedup_eval(sf_dir: str):
     """Dedup-quality eval against planted truth: semdedup runs on the
     near-dup-injected embeddings, its per-row pruned flag is scored
@@ -5681,6 +5697,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shard_plan": _q_shard_plan,
         "robots_meta": _q_robots_meta,
         "dedup_eval": _q_dedup_eval,
+        "welch_t": _q_welch_t,
     }
 
 
@@ -7520,5 +7537,27 @@ def oracle_sql() -> dict[str, str]:
         "dedup_eval": (
             "SELECT tp, fp, fn, tn, precision_micro, recall_micro, f1_micro FROM "
             f"read_parquet('{_GOLDEN_DIR}/dedup_eval.parquet')"
+        ),
+        "welch_t": (
+            # exact integer sufficient stats + literally-mirrored float
+            # expression (se = ((sxx - sx*1.0*sx/n)/(n-1))/n)
+            "WITH s AS (SELECT lang, doc_id % 2 AS half, "
+            "CAST(count(*) AS BIGINT) AS n, CAST(sum(n_chars) AS BIGINT) AS sx, "
+            "CAST(sum(n_chars * n_chars) AS BIGINT) AS sxx "
+            "FROM documents GROUP BY lang, doc_id % 2), "
+            "j AS (SELECT a.lang, a.n AS n0, a.sx AS sx0, a.sxx AS sxx0, "
+            "b.n AS n1, b.sx AS sx1, b.sxx AS sxx1 "
+            "FROM (SELECT * FROM s WHERE half = 0) a "
+            "JOIN (SELECT * FROM s WHERE half = 1) b USING (lang) "
+            "WHERE a.n >= 2 AND b.n >= 2), "
+            "c AS (SELECT lang, n0, n1, "
+            "(sxx0 - sx0 * 1.0 * sx0 / n0) / (n0 - 1) / n0 AS se0, "
+            "(sxx1 - sx1 * 1.0 * sx1 / n1) / (n1 - 1) / n1 AS se1, "
+            "sx0 * 1.0 / n0 AS m0, sx1 * 1.0 / n1 AS m1 FROM j) "
+            "SELECT lang, n0, n1, "
+            "CAST(floor(1000000 * ((m0 - m1) / sqrt(se0 + se1))) AS BIGINT) AS t_micro, "
+            "CAST(floor(1000000 * ((se0 + se1) * (se0 + se1) / "
+            "(se0 * se0 / (n0 - 1) + se1 * se1 / (n1 - 1)))) AS BIGINT) AS df_micro "
+            "FROM c"
         ),
     }

@@ -105,3 +105,98 @@ def distribution_drift(sf_dir: str, *, category: str = "lang") -> pa.Table:
             "chi2_term": pa.array(round_half_away(chi2_term, 6), type=pa.float64()),
         }
     )
+
+
+def welch_t_by_category(
+    ds: ray.data.Dataset,
+    *,
+    category: str = "lang",
+    value_col: str = "n_chars",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Welch's unequal-variance t between the two snapshot halves
+    (``doc_id`` parity) per category — the inferential companion to the
+    count-mix drift report: "did mean document LENGTH move, beyond
+    what the sample sizes explain?".
+
+    Exactness contract: each batch ships integer (n, Σx, Σx²) partials
+    per (category, half) — O(batches × categories) rows — and the
+    driver computes t and the Welch–Satterthwaite df from the exact
+    integer sums with a FIXED operand order mirrored literally in the
+    SQL oracle, micro-floored.  Categories with n < 2 in either half
+    are dropped (variance undefined)."""
+
+    def _partials(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        vals = batch.column(value_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        cats = batch.column(category).to_pylist()
+        half = (ids % 2).astype(np.int64)
+        agg: dict[tuple, list[int]] = {}
+        for c, h, v in zip(cats, half, vals):
+            k = (c, int(h))
+            e = agg.setdefault(k, [0, 0, 0])
+            e[0] += 1
+            e[1] += int(v)
+            e[2] += int(v) * int(v)
+        keys = sorted(agg)
+        return pa.table(
+            {
+                category: pa.array([k[0] for k in keys], pa.string()),
+                "half": pa.array([k[1] for k in keys], pa.int64()),
+                "n": pa.array([agg[k][0] for k in keys], pa.int64()),
+                "sx": pa.array([agg[k][1] for k in keys], pa.int64()),
+                "sxx": pa.array([agg[k][2] for k in keys], pa.int64()),
+            }
+        )
+
+    folded = (
+        ds.select_columns([id_col, category, value_col])
+        .map_batches(_partials, batch_format="pyarrow")
+        .groupby([category, "half"])
+        .aggregate(
+            *[
+                ray.data.aggregate.Sum(on=c, alias_name=c)
+                for c in ("n", "sx", "sxx")
+            ]
+        )
+        .to_pandas()
+    )
+    rows = {"lang": [], "n0": [], "n1": [], "t_micro": [], "df_micro": []}
+    by_cat: dict[str, dict[int, tuple[int, int, int]]] = {}
+    for _, r in folded.iterrows():
+        by_cat.setdefault(r[category], {})[int(r["half"])] = (
+            int(r["n"]),
+            int(r["sx"]),
+            int(r["sxx"]),
+        )
+    for cat in sorted(by_cat):
+        halves = by_cat[cat]
+        if 0 not in halves or 1 not in halves:
+            continue
+        (n0, sx0, sxx0), (n1, sx1, sxx1) = halves[0], halves[1]
+        if n0 < 2 or n1 < 2:
+            continue
+        m0 = sx0 * 1.0 / n0
+        m1 = sx1 * 1.0 / n1
+        v0 = (sxx0 - sx0 * 1.0 * sx0 / n0) / (n0 - 1)
+        v1 = (sxx1 - sx1 * 1.0 * sx1 / n1) / (n1 - 1)
+        se0 = v0 / n0
+        se1 = v1 / n1
+        t = (m0 - m1) / np.sqrt(se0 + se1)
+        df = (se0 + se1) * (se0 + se1) / (
+            se0 * se0 / (n0 - 1) + se1 * se1 / (n1 - 1)
+        )
+        rows["lang"].append(cat)
+        rows["n0"].append(n0)
+        rows["n1"].append(n1)
+        rows["t_micro"].append(int(np.floor(1000000 * t)))
+        rows["df_micro"].append(int(np.floor(1000000 * df)))
+    return pa.table(
+        {
+            category: pa.array(rows["lang"], pa.string()),
+            "n0": pa.array(rows["n0"], pa.int64()),
+            "n1": pa.array(rows["n1"], pa.int64()),
+            "t_micro": pa.array(rows["t_micro"], pa.int64()),
+            "df_micro": pa.array(rows["df_micro"], pa.int64()),
+        }
+    )

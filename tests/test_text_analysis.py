@@ -798,3 +798,32 @@ def test_readability_scores(ray_session):
         (206835000.0 - 1015000.0 * 5 / 2 - 84600000.0 * 7 / 5) // 1
     )
     assert out["flesch_micro"][1] == 206835000  # empty text: w=0, terms vanish
+
+
+def test_welch_t_by_category(ray_session):
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from dots_ocr_ray.pipelines.drift import welch_t_by_category
+
+    # lang 'a': even-id values [10,20,30], odd-id values [40,50] —
+    # classic hand-checkable Welch; lang 'b' has n<2 in one half → dropped
+    tbl = pa.table(
+        {
+            "doc_id": [0, 2, 4, 1, 3, 6, 7],
+            "lang": ["a", "a", "a", "a", "a", "b", "b"],
+            "n_chars": [10, 20, 30, 40, 50, 5, 6],
+        }
+    )
+    out = welch_t_by_category(ray.data.from_arrow(tbl).repartition(3)).to_pandas()
+    assert out["lang"].tolist() == ["a"]
+    x0 = np.array([10, 20, 30.0])
+    x1 = np.array([40, 50.0])
+    se0 = x0.var(ddof=1) / 3
+    se1 = x1.var(ddof=1) / 2
+    t = (x0.mean() - x1.mean()) / np.sqrt(se0 + se1)
+    df = (se0 + se1) ** 2 / (se0**2 / 2 + se1**2 / 1)
+    assert abs(out["t_micro"][0] - int(np.floor(1e6 * t))) <= 1
+    assert abs(out["df_micro"][0] - int(np.floor(1e6 * df))) <= 1
