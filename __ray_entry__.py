@@ -4962,6 +4962,21 @@ def _q_mojibake_repair(sf_dir: str):
     )
 
 
+def _q_benford_audit(sf_dir: str):
+    """Benford first-digit audit over order totals: vectorized decimal
+    first digit of the cents-quantized values, bounded 9-row partial
+    fold, expected counts and chi-square terms vs total·log10(1+1/d)
+    with mirrored operand order (pipelines/profile.py)."""
+    import ray.data
+
+    from dots_ocr_ray.pipelines.profile import benford_audit
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_totalprice"]
+    )
+    return benford_audit(orders)
+
+
 def _q_welch_t(sf_dir: str):
     """Welch's unequal-variance t per language between the two
     crawl-snapshot halves (doc_id parity) on n_chars — the inferential
@@ -5698,6 +5713,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "robots_meta": _q_robots_meta,
         "dedup_eval": _q_dedup_eval,
         "welch_t": _q_welch_t,
+        "benford_audit": _q_benford_audit,
     }
 
 
@@ -7559,5 +7575,19 @@ def oracle_sql() -> dict[str, str]:
             "CAST(floor(1000000 * ((se0 + se1) * (se0 + se1) / "
             "(se0 * se0 / (n0 - 1) + se1 * se1 / (n1 - 1)))) AS BIGINT) AS df_micro "
             "FROM c"
+        ),
+        "benford_audit": (
+            "WITH c AS (SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) "
+            "AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit FROM orders "
+            "WHERE CAST(round(o_totalprice * 100) AS BIGINT) > 0), "
+            "nd AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM c GROUP BY digit), "
+            "t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM nd) "
+            "SELECT digit, n, "
+            "CAST(floor(1000000 * (total * log10(1 + 1.0 / digit))) AS BIGINT) "
+            "AS expected_micro, "
+            "CAST(floor(1000000 * ((n - total * log10(1 + 1.0 / digit)) "
+            "* (n - total * log10(1 + 1.0 / digit)) "
+            "/ (total * log10(1 + 1.0 / digit)))) AS BIGINT) AS chi2_term_micro "
+            "FROM nd, t"
         ),
     }

@@ -67,3 +67,24 @@ def test_winsorized_stats_clamps_tails(ray_session):
     )
     # constant group: clamping is a no-op
     assert out.loc["b", "raw_sum_cents"] == out.loc["b", "wins_sum_cents"] == 1500
+
+
+def test_benford_audit(ray_session):
+    import numpy as np
+
+    from dots_ocr_ray.pipelines.profile import benford_audit
+
+    # values engineered so first digits of cents are known:
+    # 1.00→"100"→1, 25.00→"2500"→2, 0.09→"9"→9, 1.11→"111"→1
+    tbl = pa.table({"o_totalprice": [1.00, 25.00, 0.09, 1.11]})
+    out = (
+        benford_audit(ray.data.from_arrow(tbl).repartition(2))
+        .to_pandas()
+        .set_index("digit")
+    )
+    assert out.loc[1, "n"] == 2 and out.loc[2, "n"] == 1 and out.loc[9, "n"] == 1
+    e1 = 4 * np.log10(1 + 1.0 / 1)
+    assert out.loc[1, "expected_micro"] == int(np.floor(1e6 * e1))
+    assert out.loc[1, "chi2_term_micro"] == int(
+        np.floor(1e6 * ((2 - e1) * (2 - e1) / e1))
+    )
