@@ -4962,6 +4962,17 @@ def _q_mojibake_repair(sf_dir: str):
     )
 
 
+def _q_host_reciprocity(sf_dir: str):
+    """Directed reciprocity of the 40-host link fixture: distinct
+    self-loop-free edges hash-joined with their own swapped copy (no
+    broadcast assumption), exact integer mutual fraction
+    (pipelines/graph.py:reciprocity).  Oracle: DISTINCT edge CTE +
+    reversed self-join in SQL."""
+    from dots_ocr_ray.pipelines.graph import host_edges_from_documents, reciprocity
+
+    return reciprocity(host_edges_from_documents(sf_dir))
+
+
 def _q_benford_audit(sf_dir: str):
     """Benford first-digit audit over order totals: vectorized decimal
     first digit of the cents-quantized values, bounded 9-row partial
@@ -5714,6 +5725,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_eval": _q_dedup_eval,
         "welch_t": _q_welch_t,
         "benford_audit": _q_benford_audit,
+        "host_reciprocity": _q_host_reciprocity,
     }
 
 
@@ -7589,5 +7601,16 @@ def oracle_sql() -> dict[str, str]:
             "* (n - total * log10(1 + 1.0 / digit)) "
             "/ (total * log10(1 + 1.0 / digit)))) AS BIGINT) AS chi2_term_micro "
             "FROM nd, t"
+        ),
+        "host_reciprocity": (
+            "WITH e AS (SELECT DISTINCT doc_id % 40 AS src, (doc_id * m) % 40 AS dst "
+            "FROM documents CROSS JOIN (SELECT unnest([3, 7, 11]) AS m) mm "
+            "WHERE doc_id % 40 <> (doc_id * m) % 40), "
+            "n AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e), "
+            "r AS (SELECT CAST(count(*) AS BIGINT) AS n_mutual FROM e a "
+            "JOIN e b ON a.src = b.dst AND a.dst = b.src) "
+            "SELECT n_edges, n_mutual, "
+            "CAST(1000000 * n_mutual // n_edges AS BIGINT) AS reciprocity_micro "
+            "FROM n, r"
         ),
     }

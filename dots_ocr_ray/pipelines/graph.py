@@ -3356,3 +3356,80 @@ def betweenness_centrality(
         return batch.rename_columns(["host", "betweenness_micro"])
 
     return summed.map_batches(_rename, batch_format="pyarrow")
+
+
+def reciprocity(
+    edges: ray.data.Dataset,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+) -> ray.data.Dataset:
+    """Directed-graph reciprocity: the fraction of distinct self-loop-
+    free edges whose reverse edge also exists — the link-farm /
+    mutual-citation signal (a host graph where everyone links back is
+    a very different crawl neighborhood than a one-way citation DAG).
+
+    Exact integer output: one row ``(n_edges, n_mutual,
+    reciprocity_micro = 10⁶·n_mutual // n_edges)``.  Shape: distinct
+    edges via one packed-key groupby, then ONE
+    :func:`~dots_ocr_ray.pipelines.relational.hash_join` of the edge
+    set with its own swapped copy (both sides corpus-sized — no
+    broadcast assumption), per-batch match-count partials folded on
+    the driver."""
+    from dots_ocr_ray.pipelines.relational import hash_join
+
+    def _canon(batch: pa.Table) -> pa.Table:
+        s = batch.column(src).to_numpy(zero_copy_only=False).astype(np.int64)
+        d = batch.column(dst).to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        if len(s):
+            assert (
+                s.min() >= 0 and d.min() >= 0 and max(s.max(), d.max()) < 2**31
+            ), "reciprocity: node ids must fit 31 bits (packed pairs)"
+        u = np.unique(s << np.int64(32) | d)
+        return pa.table({"key": pa.array(u, type=pa.int64())})
+
+    distinct = (
+        edges.select_columns([src, dst])
+        .map_batches(_canon, batch_format="pyarrow")
+        .groupby("key")
+        .count()
+        .select_columns(["key"])
+        .materialize()
+    )
+    n_edges = distinct.count()
+    if n_edges == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "n_edges": pa.array([0], pa.int64()),
+                    "n_mutual": pa.array([0], pa.int64()),
+                    "reciprocity_micro": pa.array([0], pa.int64()),
+                }
+            )
+        )
+
+    def _swap(batch: pa.Table) -> pa.Table:
+        k = batch.column("key").to_numpy(zero_copy_only=False).astype(np.int64)
+        rev = (k & np.int64(0xFFFFFFFF)) << np.int64(32) | (k >> np.int64(32))
+        return pa.table({"key": pa.array(rev, type=pa.int64()), "m": pa.array(np.ones(len(rev), np.int64))})
+
+    joined = hash_join(
+        distinct,
+        distinct.map_batches(_swap, batch_format="pyarrow"),
+        on="key",
+        how="inner",
+    )
+    n_mutual = joined.count()
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "n_edges": pa.array([n_edges], pa.int64()),
+                "n_mutual": pa.array([n_mutual], pa.int64()),
+                "reciprocity_micro": pa.array(
+                    [1_000_000 * n_mutual // n_edges], pa.int64()
+                ),
+            }
+        )
+    )

@@ -833,3 +833,31 @@ def test_betweenness_self_loop_only_graph_is_empty(ray_session):
     edges = pa.table({"src": [1, 2], "dst": [1, 2]})
     out = betweenness_centrality(ray.data.from_arrow(edges))
     assert out.count() == 0
+
+
+def test_reciprocity_exact(ray_session):
+    import pyarrow as pa
+
+    import ray.data
+
+    from dots_ocr_ray.pipelines.graph import reciprocity
+
+    # edges: 0→1, 1→0 (mutual pair), 0→2 (one-way), 2→2 (self, dropped),
+    # plus a duplicate 0→1 (deduped)
+    edges = pa.table({"src": [0, 1, 0, 2, 0], "dst": [1, 0, 2, 2, 1]})
+    out = reciprocity(ray.data.from_arrow(edges).repartition(2)).to_pandas()
+    assert out["n_edges"][0] == 3
+    assert out["n_mutual"][0] == 2  # both directions of the mutual pair
+    assert out["reciprocity_micro"][0] == 1_000_000 * 2 // 3
+
+
+def test_reciprocity_empty(ray_session):
+    import pyarrow as pa
+
+    import ray.data
+
+    from dots_ocr_ray.pipelines.graph import reciprocity
+
+    edges = pa.table({"src": [5], "dst": [5]})  # self-loop only
+    out = reciprocity(ray.data.from_arrow(edges)).to_pandas()
+    assert out["n_edges"][0] == 0 and out["reciprocity_micro"][0] == 0
