@@ -4962,6 +4962,25 @@ def _q_mojibake_repair(sf_dir: str):
     )
 
 
+def _q_price_quantity_corr(sf_dir: str):
+    """Per-returnflag Pearson correlation of floored quantity vs
+    floored extendedprice from exact integer sufficient stats —
+    divide-by-n-first closed form so nothing approaches int64 range,
+    operand order mirrored by the SQL oracle, micro-floored
+    (pipelines/profile.py:pearson_by_key)."""
+    import ray.data
+
+    from dots_ocr_ray.pipelines.profile import pearson_by_key
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"],
+    )
+    return pearson_by_key(
+        li, key_col="l_returnflag", x_col="l_quantity", y_col="l_extendedprice"
+    )
+
+
 def _q_host_reciprocity(sf_dir: str):
     """Directed reciprocity of the 40-host link fixture: distinct
     self-loop-free edges hash-joined with their own swapped copy (no
@@ -5726,6 +5745,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "welch_t": _q_welch_t,
         "benford_audit": _q_benford_audit,
         "host_reciprocity": _q_host_reciprocity,
+        "price_quantity_corr": _q_price_quantity_corr,
     }
 
 
@@ -7612,5 +7632,19 @@ def oracle_sql() -> dict[str, str]:
             "SELECT n_edges, n_mutual, "
             "CAST(1000000 * n_mutual // n_edges AS BIGINT) AS reciprocity_micro "
             "FROM n, r"
+        ),
+        "price_quantity_corr": (
+            "WITH s AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n, "
+            "CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sx, "
+            "CAST(sum(CAST(floor(l_extendedprice) AS BIGINT)) AS BIGINT) AS sy, "
+            "CAST(sum(CAST(floor(l_quantity) AS BIGINT) * CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sxx, "
+            "CAST(sum(CAST(floor(l_extendedprice) AS BIGINT) * CAST(floor(l_extendedprice) AS BIGINT)) AS BIGINT) AS syy, "
+            "CAST(sum(CAST(floor(l_quantity) AS BIGINT) * CAST(floor(l_extendedprice) AS BIGINT)) AS BIGINT) AS sxy "
+            "FROM lineitem GROUP BY l_returnflag) "
+            "SELECT l_returnflag, n, "
+            "CAST(floor(1000000 * ((sxy * 1.0 / n - sx * 1.0 / n * (sy * 1.0 / n)) / "
+            "sqrt((sxx * 1.0 / n - sx * 1.0 / n * (sx * 1.0 / n)) "
+            "* (syy * 1.0 / n - sy * 1.0 / n * (sy * 1.0 / n))))) AS BIGINT) AS r_micro "
+            "FROM s WHERE n >= 2"
         ),
     }

@@ -266,3 +266,82 @@ def benford_audit(
             "chi2_term_micro": pa.array(chi_micro, pa.int64()),
         }
     )
+
+
+def pearson_by_key(
+    ds: ray.data.Dataset,
+    *,
+    key_col: str,
+    x_col: str,
+    y_col: str,
+) -> ray.data.Dataset:
+    """Per-group Pearson correlation from exact integer sufficient
+    stats: x and y are FLOORED to integer units first (correlation is
+    scale-invariant, and floor has no half-tie rule), each batch ships
+    one (n, Σx, Σy, Σx², Σy², Σxy) int64 row per key, and the final
+    closed form divides by n BEFORE any cross product so nothing
+    approaches int64 range (Σy² bounds the regime: |y| ≤ 10⁵ units
+    holds to ~10⁹ rows per group).  Operand order is mirrored
+    literally by the SQL oracle; r is micro-floored."""
+    import pyarrow.compute as pc
+
+    def _partials(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key_col).to_pylist()
+        x = np.floor(
+            batch.column(x_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        ).astype(np.int64)
+        y = np.floor(
+            batch.column(y_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        ).astype(np.int64)
+        uniq, inv = np.unique(np.asarray(keys, dtype=object), return_inverse=True)
+        stats = {
+            "n": np.ones(len(x), np.int64),
+            "sx": x,
+            "sy": y,
+            "sxx": x * x,
+            "syy": y * y,
+            "sxy": x * y,
+        }
+        cols = {key_col: pa.array([str(u) for u in uniq], pa.string())}
+        for name, vals in stats.items():
+            acc = np.zeros(len(uniq), dtype=np.int64)
+            np.add.at(acc, inv, vals)
+            cols[name] = pa.array(acc, pa.int64())
+        return pa.table(cols)
+
+    folded = (
+        ds.select_columns([key_col, x_col, y_col])
+        .map_batches(_partials, batch_format="pyarrow")
+        .groupby(key_col)
+        .aggregate(
+            *[
+                ray.data.aggregate.Sum(on=c, alias_name=c)
+                for c in ("n", "sx", "sy", "sxx", "syy", "sxy")
+            ]
+        )
+        .to_pandas()
+        .sort_values(key_col)
+    )
+    keys, ns, rs = [], [], []
+    for _, row in folded.iterrows():
+        n, sx, sy, sxx, syy, sxy = (
+            int(row[c]) for c in ("n", "sx", "sy", "sxx", "syy", "sxy")
+        )
+        if n < 2:
+            continue
+        cov = sxy * 1.0 / n - sx * 1.0 / n * (sy * 1.0 / n)
+        vx = sxx * 1.0 / n - sx * 1.0 / n * (sx * 1.0 / n)
+        vy = syy * 1.0 / n - sy * 1.0 / n * (sy * 1.0 / n)
+        if vx <= 0 or vy <= 0:
+            continue
+        r = cov / np.sqrt(vx * vy)
+        keys.append(row[key_col])
+        ns.append(n)
+        rs.append(int(np.floor(1000000 * r)))
+    return pa.table(
+        {
+            key_col: pa.array(keys, pa.string()),
+            "n": pa.array(ns, pa.int64()),
+            "r_micro": pa.array(rs, pa.int64()),
+        }
+    )

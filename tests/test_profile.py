@@ -88,3 +88,29 @@ def test_benford_audit(ray_session):
     assert out.loc[1, "chi2_term_micro"] == int(
         np.floor(1e6 * ((2 - e1) * (2 - e1) / e1))
     )
+
+
+def test_pearson_by_key(ray_session):
+    import numpy as np
+
+    from dots_ocr_ray.pipelines.profile import pearson_by_key
+
+    # key a: y = 2x exactly → r = 1; key b: y = -x → r = -1;
+    # key c: constant y → dropped (zero variance); key d: n=1 → dropped
+    tbl = pa.table(
+        {
+            "k": ["a"] * 4 + ["b"] * 3 + ["c"] * 2 + ["d"],
+            "x": [1.0, 2.0, 3.0, 4.0, 1.0, 2.0, 3.0, 1.0, 2.0, 9.0],
+            "y": [2.0, 4.0, 6.0, 8.0, 3.0, 2.0, 1.0, 5.0, 5.0, 1.0],
+        }
+    )
+    out = (
+        pearson_by_key(
+            ray.data.from_arrow(tbl).repartition(3), key_col="k", x_col="x", y_col="y"
+        )
+        .to_pandas()
+        .set_index("k")
+    )
+    assert out.loc["a", "r_micro"] == 1_000_000
+    assert out.loc["b", "r_micro"] == -1_000_000
+    assert "c" not in out.index and "d" not in out.index
