@@ -4981,6 +4981,21 @@ def _q_price_quantity_corr(sf_dir: str):
     )
 
 
+def _q_chi2_lang_source(sf_dir: str):
+    """Chi-square independence screen of documents lang x source:
+    bounded per-batch contingency partials, one tiny groupby, driver
+    closed form with operand order mirrored by the SQL oracle
+    (pipelines/profile.py:chi2_independence)."""
+    import ray.data
+
+    from dots_ocr_ray.pipelines.profile import chi2_independence
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "source"]
+    )
+    return chi2_independence(docs, a_col="lang", b_col="source")
+
+
 def _q_host_reciprocity(sf_dir: str):
     """Directed reciprocity of the 40-host link fixture: distinct
     self-loop-free edges hash-joined with their own swapped copy (no
@@ -5746,6 +5761,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "benford_audit": _q_benford_audit,
         "host_reciprocity": _q_host_reciprocity,
         "price_quantity_corr": _q_price_quantity_corr,
+        "chi2_lang_source": _q_chi2_lang_source,
     }
 
 
@@ -7646,5 +7662,18 @@ def oracle_sql() -> dict[str, str]:
             "sqrt((sxx * 1.0 / n - sx * 1.0 / n * (sx * 1.0 / n)) "
             "* (syy * 1.0 / n - sy * 1.0 / n * (sy * 1.0 / n))))) AS BIGINT) AS r_micro "
             "FROM s WHERE n >= 2"
+        ),
+        "chi2_lang_source": (
+            "WITH c AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS n "
+            "FROM documents GROUP BY lang, source), "
+            "rt AS (SELECT lang, CAST(sum(n) AS BIGINT) AS ra FROM c GROUP BY lang), "
+            "ct AS (SELECT source, CAST(sum(n) AS BIGINT) AS cb FROM c GROUP BY source), "
+            "tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c) "
+            "SELECT c.lang, c.source, c.n, "
+            "CAST(floor(1000000 * (ra * 1.0 * cb / total)) AS BIGINT) AS expected_micro, "
+            "CAST(floor(1000000 * ((c.n - ra * 1.0 * cb / total) "
+            "* (c.n - ra * 1.0 * cb / total) / (ra * 1.0 * cb / total))) AS BIGINT) "
+            "AS chi2_term_micro "
+            "FROM c JOIN rt USING (lang) JOIN ct USING (source) CROSS JOIN tot"
         ),
     }

@@ -268,6 +268,59 @@ def benford_audit(
     )
 
 
+def chi2_independence(
+    ds: ray.data.Dataset,
+    *,
+    a_col: str,
+    b_col: str,
+) -> pa.Table:
+    """Pearson chi-square test of independence between two categorical
+    columns — the drift screen for "did the language mix shift per
+    source between crawl drops" style questions.
+
+    Shape: each batch emits bounded (a, b, n) partial counts (pyarrow
+    ``group_by`` inside the batch, no Python row loop), one tiny
+    groupby folds them to the |A|x|B| contingency table, and the
+    driver computes row/column marginals and the per-cell expected
+    count ``ra * 1.0 * cb / N`` (double BEFORE the cross product so
+    the SQL mirror cannot overflow BIGINT) plus the chi-square term
+    ``(n - e)^2 / e`` in a FIXED operand order mirrored literally by
+    the oracle; both are micro-floored."""
+    folded = (
+        ds.select_columns([a_col, b_col])
+        .map_batches(
+            lambda t: t.group_by([a_col, b_col]).aggregate([([], "count_all")]),
+            batch_format="pyarrow",
+        )
+        .groupby([a_col, b_col])
+        .sum("count_all")
+        .to_pandas()
+        .rename(columns={"sum(count_all)": "n"})
+        .sort_values([a_col, b_col])
+        .reset_index(drop=True)
+    )
+    row_tot = folded.groupby(a_col)["n"].sum().to_dict()
+    col_tot = folded.groupby(b_col)["n"].sum().to_dict()
+    total = int(folded["n"].sum())
+    exp_micro, chi_micro = [], []
+    for _, row in folded.iterrows():
+        ra = int(row_tot[row[a_col]])
+        cb = int(col_tot[row[b_col]])
+        n = int(row["n"])
+        e = ra * 1.0 * cb / total
+        exp_micro.append(int(np.floor(1000000 * e)))
+        chi_micro.append(int(np.floor(1000000 * ((n - e) * (n - e) / e))))
+    return pa.table(
+        {
+            a_col: pa.array(folded[a_col].tolist(), pa.string()),
+            b_col: pa.array(folded[b_col].tolist(), pa.string()),
+            "n": pa.array(folded["n"].astype(int).tolist(), pa.int64()),
+            "expected_micro": pa.array(exp_micro, pa.int64()),
+            "chi2_term_micro": pa.array(chi_micro, pa.int64()),
+        }
+    )
+
+
 def pearson_by_key(
     ds: ray.data.Dataset,
     *,

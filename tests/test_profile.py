@@ -114,3 +114,29 @@ def test_pearson_by_key(ray_session):
     assert out.loc["a", "r_micro"] == 1_000_000
     assert out.loc["b", "r_micro"] == -1_000_000
     assert "c" not in out.index and "d" not in out.index
+
+
+def test_chi2_independence(ray_session):
+    import numpy as np
+
+    from dots_ocr_ray.pipelines.profile import chi2_independence
+
+    # 2x2 table: a/x=30 a/y=10 b/x=10 b/y=30 → N=80, row/col totals 40
+    tbl = pa.table(
+        {
+            "a": ["a"] * 40 + ["b"] * 40,
+            "b": ["x"] * 30 + ["y"] * 10 + ["x"] * 10 + ["y"] * 30,
+        }
+    )
+    out = (
+        chi2_independence(
+            ray.data.from_arrow(tbl).repartition(4), a_col="a", b_col="b"
+        )
+        .to_pandas()
+        .set_index(["a", "b"])
+    )
+    assert len(out) == 4
+    # every cell expects 40*40/80 = 20; term = (obs-20)^2/20 = 5.0
+    assert (out["expected_micro"] == 20_000_000).all()
+    assert (out["chi2_term_micro"] == 5_000_000).all()
+    assert out.loc[("a", "x"), "n"] == 30 and out.loc[("b", "x"), "n"] == 10
