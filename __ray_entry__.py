@@ -4996,6 +4996,23 @@ def _q_chi2_lang_source(sf_dir: str):
     return chi2_independence(docs, a_col="lang", b_col="source")
 
 
+def _q_mannwhitney_returned(sf_dir: str):
+    """Mann-Whitney U rank-sum test of returned (l_returnflag='R') vs
+    other lineitem quantities: bounded per-value count partials,
+    doubled-integer midranks, tie-corrected z with operand order
+    mirrored by the SQL oracle (pipelines/profile.py:mann_whitney_u)."""
+    import ray.data
+
+    from dots_ocr_ray.pipelines.profile import mann_whitney_u
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_quantity", "l_returnflag"]
+    )
+    return mann_whitney_u(
+        li, value_col="l_quantity", group_col="l_returnflag", group_a="R"
+    )
+
+
 def _q_host_reciprocity(sf_dir: str):
     """Directed reciprocity of the 40-host link fixture: distinct
     self-loop-free edges hash-joined with their own swapped copy (no
@@ -5762,6 +5779,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_reciprocity": _q_host_reciprocity,
         "price_quantity_corr": _q_price_quantity_corr,
         "chi2_lang_source": _q_chi2_lang_source,
+        "mannwhitney_returned": _q_mannwhitney_returned,
     }
 
 
@@ -7675,5 +7693,23 @@ def oracle_sql() -> dict[str, str]:
             "* (c.n - ra * 1.0 * cb / total) / (ra * 1.0 * cb / total))) AS BIGINT) "
             "AS chi2_term_micro "
             "FROM c JOIN rt USING (lang) JOIN ct USING (source) CROSS JOIN tot"
+        ),
+        "mannwhitney_returned": (
+            "WITH v AS (SELECT CAST(floor(l_quantity) AS BIGINT) AS val, "
+            "CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS g FROM lineitem), "
+            "c AS (SELECT val, CAST(sum(g) AS BIGINT) AS na_v, "
+            "CAST(count(*) AS BIGINT) AS n_v FROM v GROUP BY val), "
+            "r AS (SELECT val, na_v, n_v, 2 * (CAST(sum(n_v) OVER "
+            "(ORDER BY val ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+            "AS BIGINT) - n_v) + n_v + 1 AS midrank2 FROM c), "
+            "s AS (SELECT CAST(sum(na_v * midrank2) AS BIGINT) AS r2a, "
+            "CAST(sum(na_v) AS BIGINT) AS na, CAST(sum(n_v) AS BIGINT) AS n, "
+            "CAST(sum(n_v * n_v * n_v - n_v) AS BIGINT) AS tie FROM r) "
+            "SELECT na AS n_a, n - na AS n_b, r2a - na * (na + 1) AS u2_a, "
+            "2 * na * (n - na) - (r2a - na * (na + 1)) AS u2_b, "
+            "CAST(floor(1000000 * (((r2a - na * (na + 1)) / 2.0 "
+            "- na * 1.0 * (n - na) / 2) / sqrt(na * 1.0 * (n - na) / 12 "
+            "* ((n + 1) - tie * 1.0 / (n * 1.0 * (n - 1)))))) AS BIGINT) AS z_micro "
+            "FROM s"
         ),
     }

@@ -321,6 +321,80 @@ def chi2_independence(
     )
 
 
+def mann_whitney_u(
+    ds: ray.data.Dataset,
+    *,
+    value_col: str,
+    group_col: str,
+    group_a: str,
+) -> pa.Table:
+    """Mann-Whitney U rank-sum test between one group and the rest —
+    the nonparametric "did this source's length distribution shift"
+    screen that tolerates the heavy tails a t-test can't.
+
+    Shape: values are FLOORED to integer units, each batch emits one
+    bounded (value, n_a, n) partial per distinct floored value
+    (exchange ∝ distinct values, not rows), and the driver assigns
+    tie-midranks from the cumulative counts in DOUBLED integer units
+    (midrank2 = 2·cum_before + n_v + 1, always odd-exact) so U is
+    integer-exact: U2_a = Σ n_a(v)·midrank2(v) − n_a(n_a+1).  The
+    tie-corrected normal z uses Σ(n_v³−n_v) exact and a FIXED operand
+    order mirrored by the SQL oracle, micro-floored.  Integer-exact to
+    ~2·10⁹ rows (U ~ N² approaches int64 range beyond that)."""
+    def _partials(batch: pa.Table) -> pa.Table:
+        vals = np.floor(
+            batch.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        ).astype(np.int64)
+        grp = pc.equal(batch.column(group_col), group_a).to_numpy(
+            zero_copy_only=False
+        )
+        uniq, inv = np.unique(vals, return_inverse=True)
+        na = np.zeros(len(uniq), np.int64)
+        nv = np.zeros(len(uniq), np.int64)
+        np.add.at(na, inv, grp.astype(np.int64))
+        np.add.at(nv, inv, 1)
+        return pa.table(
+            {
+                "val": pa.array(uniq, pa.int64()),
+                "na_v": pa.array(na, pa.int64()),
+                "n_v": pa.array(nv, pa.int64()),
+            }
+        )
+
+    folded = (
+        ds.select_columns([value_col, group_col])
+        .map_batches(_partials, batch_format="pyarrow")
+        .groupby("val")
+        .aggregate(
+            ray.data.aggregate.Sum(on="na_v", alias_name="na_v"),
+            ray.data.aggregate.Sum(on="n_v", alias_name="n_v"),
+        )
+        .to_pandas()
+        .sort_values("val")
+        .reset_index(drop=True)
+    )
+    cum_before = folded["n_v"].cumsum().shift(fill_value=0).astype(int)
+    midrank2 = 2 * cum_before + folded["n_v"].astype(int) + 1
+    na = int(folded["na_v"].sum())
+    n = int(folded["n_v"].sum())
+    nb = n - na
+    r2a = int((folded["na_v"].astype(int) * midrank2).sum())
+    u2_a = r2a - na * (na + 1)
+    u2_b = 2 * na * nb - u2_a
+    tie = int((folded["n_v"].astype(int) ** 3 - folded["n_v"].astype(int)).sum())
+    var = na * 1.0 * nb / 12 * ((n + 1) - tie * 1.0 / (n * 1.0 * (n - 1)))
+    z = (u2_a / 2.0 - na * 1.0 * nb / 2) / np.sqrt(var)
+    return pa.table(
+        {
+            "n_a": pa.array([na], pa.int64()),
+            "n_b": pa.array([nb], pa.int64()),
+            "u2_a": pa.array([u2_a], pa.int64()),
+            "u2_b": pa.array([u2_b], pa.int64()),
+            "z_micro": pa.array([int(np.floor(1000000 * z))], pa.int64()),
+        }
+    )
+
+
 def pearson_by_key(
     ds: ray.data.Dataset,
     *,

@@ -140,3 +140,27 @@ def test_chi2_independence(ray_session):
     assert (out["expected_micro"] == 20_000_000).all()
     assert (out["chi2_term_micro"] == 5_000_000).all()
     assert out.loc[("a", "x"), "n"] == 30 and out.loc[("b", "x"), "n"] == 10
+
+
+def test_mann_whitney_u(ray_session):
+    from dots_ocr_ray.pipelines.profile import mann_whitney_u
+
+    # group a = {1,2,3}, group b = {2,3,4}: ranks with midranks
+    # sorted: 1(a) 2 2 3 3 4(b); midrank2 for val 1 = 2*0+1+1 = 2,
+    # val 2 = 2*1+2+1 = 5, val 3 = 2*3+2+1 = 9, val 4 = 2*5+1+1 = 12
+    # R2_a = 2 + 5 + 9 = 16; U2_a = 16 - 3*4 = 4 → U_a = 2
+    tbl = pa.table(
+        {
+            "v": [1.0, 2.0, 3.0, 2.0, 3.0, 4.0],
+            "g": ["a", "a", "a", "b", "b", "b"],
+        }
+    )
+    out = mann_whitney_u(
+        ray.data.from_arrow(tbl).repartition(3),
+        value_col="v",
+        group_col="g",
+        group_a="a",
+    ).to_pandas()
+    assert out.loc[0, "n_a"] == 3 and out.loc[0, "n_b"] == 3
+    assert out.loc[0, "u2_a"] == 4 and out.loc[0, "u2_b"] == 14
+    assert out.loc[0, "z_micro"] < 0  # group a shifted low
