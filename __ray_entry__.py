@@ -5013,6 +5013,23 @@ def _q_mannwhitney_returned(sf_dir: str):
     )
 
 
+def _q_spearman_qty_discount(sf_dir: str):
+    """Spearman rank correlation of lineitem quantity vs discount
+    (x100 integer units): bounded joint-pair count partials, exact
+    doubled midranks, HUGEINT-mirrored rank sufficient stats
+    (pipelines/profile.py:spearman_corr)."""
+    import ray.data
+
+    from dots_ocr_ray.pipelines.profile import spearman_corr
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_quantity", "l_discount"]
+    )
+    return spearman_corr(
+        li, x_col="l_quantity", y_col="l_discount", y_scale=100
+    )
+
+
 def _q_host_reciprocity(sf_dir: str):
     """Directed reciprocity of the 40-host link fixture: distinct
     self-loop-free edges hash-joined with their own swapped copy (no
@@ -5780,6 +5797,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_quantity_corr": _q_price_quantity_corr,
         "chi2_lang_source": _q_chi2_lang_source,
         "mannwhitney_returned": _q_mannwhitney_returned,
+        "spearman_qty_discount": _q_spearman_qty_discount,
     }
 
 
@@ -7711,5 +7729,29 @@ def oracle_sql() -> dict[str, str]:
             "- na * 1.0 * (n - na) / 2) / sqrt(na * 1.0 * (n - na) / 12 "
             "* ((n + 1) - tie * 1.0 / (n * 1.0 * (n - 1)))))) AS BIGINT) AS z_micro "
             "FROM s"
+        ),
+        "spearman_qty_discount": (
+            "WITH p AS (SELECT CAST(floor(l_quantity) AS BIGINT) AS x, "
+            "CAST(floor(l_discount * 100) AS BIGINT) AS y, "
+            "CAST(count(*) AS BIGINT) AS c FROM lineitem GROUP BY x, y), "
+            "xm AS (SELECT x, CAST(sum(c) AS BIGINT) AS cx FROM p GROUP BY x), "
+            "ym AS (SELECT y, CAST(sum(c) AS BIGINT) AS cy FROM p GROUP BY y), "
+            "xr AS (SELECT x, 2 * (CAST(sum(cx) OVER (ORDER BY x ROWS BETWEEN "
+            "UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - cx) + cx + 1 "
+            "AS rx2 FROM xm), "
+            "yr AS (SELECT y, 2 * (CAST(sum(cy) OVER (ORDER BY y ROWS BETWEEN "
+            "UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - cy) + cy + 1 "
+            "AS ry2 FROM ym), "
+            "s AS (SELECT CAST(sum(c) AS BIGINT) AS n, "
+            "sum(CAST(c AS HUGEINT) * rx2) AS sx, "
+            "sum(CAST(c AS HUGEINT) * ry2) AS sy, "
+            "sum(CAST(c AS HUGEINT) * rx2 * rx2) AS sxx, "
+            "sum(CAST(c AS HUGEINT) * ry2 * ry2) AS syy, "
+            "sum(CAST(c AS HUGEINT) * rx2 * ry2) AS sxy "
+            "FROM p JOIN xr USING (x) JOIN yr USING (y)) "
+            "SELECT n, CAST(floor(1000000 * ((sxy * 1.0 / n - sx * 1.0 / n "
+            "* (sy * 1.0 / n)) / sqrt((sxx * 1.0 / n - sx * 1.0 / n * (sx * 1.0 / n)) "
+            "* (syy * 1.0 / n - sy * 1.0 / n * (sy * 1.0 / n))))) AS BIGINT) "
+            "AS rho_micro FROM s"
         ),
     }

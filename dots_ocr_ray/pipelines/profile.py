@@ -395,6 +395,81 @@ def mann_whitney_u(
     )
 
 
+def spearman_corr(
+    ds: ray.data.Dataset,
+    *,
+    x_col: str,
+    y_col: str,
+    x_scale: int = 1,
+    y_scale: int = 1,
+) -> pa.Table:
+    """Spearman rank correlation between two bounded-cardinality
+    numeric columns — the monotone-association screen that survives
+    the outliers Pearson can't (quantity vs discount tiering, length
+    vs quality score).
+
+    Shape: both columns are floored to integer units (optionally
+    pre-scaled, e.g. discount×100), each batch emits bounded
+    (x, y, c) joint counts (exchange ∝ distinct value PAIRS, not
+    rows), and the driver assigns doubled tie-midranks per axis from
+    the marginal counts, then folds the ≤|X|·|Y| pair table into
+    EXACT arbitrary-precision rank sufficient stats (the SQL mirror
+    uses HUGEINT for the same sums).  The closed form divides by n
+    before every cross product, fixed operand order, micro-floored."""
+    def _partials(batch: pa.Table) -> pa.Table:
+        x = np.floor(
+            batch.column(x_col).to_numpy(zero_copy_only=False).astype(np.float64)
+            * x_scale
+        ).astype(np.int64)
+        y = np.floor(
+            batch.column(y_col).to_numpy(zero_copy_only=False).astype(np.float64)
+            * y_scale
+        ).astype(np.int64)
+        t = pa.table({"x": x, "y": y})
+        g = t.group_by(["x", "y"]).aggregate([([], "count_all")])
+        return g.rename_columns(["x", "y", "c"])
+
+    pairs = (
+        ds.select_columns([x_col, y_col])
+        .map_batches(_partials, batch_format="pyarrow")
+        .groupby(["x", "y"])
+        .sum("c")
+        .to_pandas()
+        .rename(columns={"sum(c)": "c"})
+        .sort_values(["x", "y"])
+        .reset_index(drop=True)
+    )
+
+    def _midrank2(marginal: "pd.Series") -> dict:
+        vals = marginal.sort_index()
+        cum_before = vals.cumsum().shift(fill_value=0).astype(int)
+        return dict(zip(vals.index, (2 * cum_before + vals.astype(int) + 1)))
+
+    import pandas as pd  # noqa: F401 (annotation aid)
+
+    rx = _midrank2(pairs.groupby("x")["c"].sum())
+    ry = _midrank2(pairs.groupby("y")["c"].sum())
+    n = sx = sy = sxx = syy = sxy = 0
+    for _, row in pairs.iterrows():
+        c, a, b = int(row["c"]), rx[int(row["x"])], ry[int(row["y"])]
+        n += c
+        sx += c * a
+        sy += c * b
+        sxx += c * a * a
+        syy += c * b * b
+        sxy += c * a * b
+    cov = sxy * 1.0 / n - sx * 1.0 / n * (sy * 1.0 / n)
+    vx = sxx * 1.0 / n - sx * 1.0 / n * (sx * 1.0 / n)
+    vy = syy * 1.0 / n - sy * 1.0 / n * (sy * 1.0 / n)
+    rho = cov / np.sqrt(vx * vy)
+    return pa.table(
+        {
+            "n": pa.array([n], pa.int64()),
+            "rho_micro": pa.array([int(np.floor(1000000 * rho))], pa.int64()),
+        }
+    )
+
+
 def pearson_by_key(
     ds: ray.data.Dataset,
     *,

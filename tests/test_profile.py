@@ -164,3 +164,30 @@ def test_mann_whitney_u(ray_session):
     assert out.loc[0, "n_a"] == 3 and out.loc[0, "n_b"] == 3
     assert out.loc[0, "u2_a"] == 4 and out.loc[0, "u2_b"] == 14
     assert out.loc[0, "z_micro"] < 0  # group a shifted low
+
+
+def test_spearman_corr(ray_session):
+    from dots_ocr_ray.pipelines.profile import spearman_corr
+
+    # perfectly monotone increasing (with a tie pair) → rho = 1
+    tbl = pa.table(
+        {
+            "x": [1.0, 2.0, 3.0, 4.0, 5.0],
+            "y": [0.01, 0.02, 0.03, 0.05, 0.09],
+        }
+    )
+    out = spearman_corr(
+        ray.data.from_arrow(tbl).repartition(2),
+        x_col="x",
+        y_col="y",
+        y_scale=100,
+    ).to_pandas()
+    assert out.loc[0, "n"] == 5
+    assert out.loc[0, "rho_micro"] == 1_000_000
+
+    # monotone decreasing → rho = -1
+    tbl2 = pa.table({"x": [1.0, 2.0, 3.0], "y": [9.0, 5.0, 1.0]})
+    out2 = spearman_corr(
+        ray.data.from_arrow(tbl2), x_col="x", y_col="y"
+    ).to_pandas()
+    assert out2.loc[0, "rho_micro"] == -1_000_000
