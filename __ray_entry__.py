@@ -5030,6 +5030,46 @@ def _q_spearman_qty_discount(sf_dir: str):
     )
 
 
+def _q_small_qty_revenue(sf_dir: str):
+    """TPC-H Q17 shape: brand-filtered revenue below a correlated
+    per-part quantity threshold — two streamed lineitem passes, sorted
+    broadcast key set, zero row-level shuffle
+    (pipelines/relational.py:small_quantity_revenue)."""
+    from dots_ocr_ray.pipelines.relational import small_quantity_revenue
+
+    return small_quantity_revenue(sf_dir, brand="Brand#12", frac=0.4)
+
+
+def _q_large_volume_orders(sf_dir: str):
+    """TPC-H Q18 shape: top-100 orders by header price among those with
+    summed line quantity > 180 — partial per-order combiner, having
+    filter, one hash_join, driver-merged partial top-k
+    (pipelines/relational.py:large_volume_orders)."""
+    from dots_ocr_ray.pipelines.relational import large_volume_orders
+
+    return large_volume_orders(sf_dir, threshold=180.0, k=100)
+
+
+def _q_waiting_suppliers(sf_dir: str):
+    """TPC-H Q21 shape: suppliers solely blamed for returns on
+    multi-supplier unfulfilled orders — distinct-pair fold, per-order
+    exists/not-exists aggregates, semi hash_join on status-F orders,
+    partial top-k (pipelines/relational.py:waiting_suppliers)."""
+    from dots_ocr_ray.pipelines.relational import waiting_suppliers
+
+    return waiting_suppliers(sf_dir, status="F", k=20)
+
+
+def _q_dormant_rich_customers(sf_dir: str):
+    """TPC-H Q22 shape: above-average-balance customers with no recent
+    orders per nation — cent-exact scalar threshold broadcast +
+    exact-at-scale anti_join_ids + bounded nation rollup
+    (pipelines/relational.py:dormant_rich_customers)."""
+    from dots_ocr_ray.pipelines.relational import dormant_rich_customers
+
+    return dormant_rich_customers(sf_dir, cutoff="2000-07-01")
+
+
 def _q_host_reciprocity(sf_dir: str):
     """Directed reciprocity of the 40-host link fixture: distinct
     self-loop-free edges hash-joined with their own swapped copy (no
@@ -5798,6 +5838,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chi2_lang_source": _q_chi2_lang_source,
         "mannwhitney_returned": _q_mannwhitney_returned,
         "spearman_qty_discount": _q_spearman_qty_discount,
+        "small_qty_revenue": _q_small_qty_revenue,
+        "large_volume_orders": _q_large_volume_orders,
+        "waiting_suppliers": _q_waiting_suppliers,
+        "dormant_rich_customers": _q_dormant_rich_customers,
     }
 
 
@@ -7753,5 +7797,53 @@ def oracle_sql() -> dict[str, str]:
             "* (sy * 1.0 / n)) / sqrt((sxx * 1.0 / n - sx * 1.0 / n * (sx * 1.0 / n)) "
             "* (syy * 1.0 / n - sy * 1.0 / n * (sy * 1.0 / n))))) AS BIGINT) "
             "AS rho_micro FROM s"
+        ),
+        "small_qty_revenue": (
+            "WITH pk AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#12'), "
+            "th AS (SELECT l_partkey, sum(l_quantity) AS sq, "
+            "CAST(count(*) AS BIGINT) AS cq FROM lineitem "
+            "JOIN pk ON p_partkey = l_partkey GROUP BY l_partkey) "
+            "SELECT CAST(count(*) AS BIGINT) AS n_items, "
+            "CAST(coalesce(sum(CAST(round(l_extendedprice * 100) AS BIGINT)), 0) "
+            "AS BIGINT) AS revenue_cents "
+            "FROM lineitem JOIN th ON th.l_partkey = lineitem.l_partkey "
+            "WHERE l_quantity < 0.4 * (sq * 1.0 / cq)"
+        ),
+        "large_volume_orders": (
+            "WITH s AS (SELECT l_orderkey, sum(l_quantity) AS q FROM lineitem "
+            "GROUP BY l_orderkey HAVING sum(l_quantity) > 180.0) "
+            "SELECT c_name, o_orderkey, "
+            "CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents, "
+            "CAST(round(q) AS BIGINT) AS sum_qty "
+            "FROM s JOIN orders ON o_orderkey = l_orderkey "
+            "JOIN customer ON c_custkey = o_custkey "
+            "ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"
+        ),
+        "waiting_suppliers": (
+            "WITH os AS (SELECT l_orderkey, l_suppkey, "
+            "max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS r "
+            "FROM lineitem GROUP BY l_orderkey, l_suppkey), "
+            "agg AS (SELECT l_orderkey, CAST(count(*) AS BIGINT) AS ns, "
+            "CAST(sum(r) AS BIGINT) AS nr, "
+            "min(CASE WHEN r = 1 THEN l_suppkey END) AS rs "
+            "FROM os GROUP BY l_orderkey), "
+            "b AS (SELECT rs, CAST(count(*) AS BIGINT) AS numwait FROM agg "
+            "JOIN orders ON o_orderkey = l_orderkey "
+            "WHERE o_orderstatus = 'F' AND ns > 1 AND nr = 1 GROUP BY rs) "
+            "SELECT rs AS s_suppkey, s_name, numwait FROM b "
+            "JOIN supplier ON s_suppkey = rs "
+            "ORDER BY numwait DESC, rs LIMIT 20"
+        ),
+        "dormant_rich_customers": (
+            "WITH thr AS (SELECT sum(CAST(round(c_acctbal * 100) AS BIGINT)) "
+            "* 1.0 / (100 * count(*)) AS t FROM customer WHERE c_acctbal > 0), "
+            "d AS (SELECT c_custkey, c_nationkey, c_acctbal FROM customer, thr "
+            "WHERE c_acctbal > t AND NOT EXISTS (SELECT 1 FROM orders "
+            "WHERE o_custkey = c_custkey "
+            "AND o_orderdate >= TIMESTAMP '2000-07-01')) "
+            "SELECT n_name, CAST(count(*) AS BIGINT) AS n_cust, "
+            "CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) "
+            "AS total_cents "
+            "FROM d JOIN nation ON n_nationkey = c_nationkey GROUP BY n_name"
         ),
     }

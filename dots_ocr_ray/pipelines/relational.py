@@ -2753,3 +2753,483 @@ def volume_shipping(
 
     flows = joined.map_batches(_tag_cust, batch_format="pyarrow")
     return flows.groupby(["supp_nation", "cust_nation", "year"]).sum("revenue")
+
+
+def small_quantity_revenue(
+    sf_dir: str,
+    *,
+    brand: str = "Brand#12",
+    frac: float = 0.4,
+) -> pa.Table:
+    """TPC-H Q17 shape: revenue from SMALL-quantity line items of one
+    brand, where "small" is a correlated per-part threshold
+    (``l_quantity < frac * avg(l_quantity) over that part``) — the
+    correlated-aggregate-subquery operator.
+
+    100-TB plan: the brand's part keys are ~1/|brands| of the part
+    table (sorted int64 broadcast, 8 B/key); pass 1 streams lineitem
+    once to build the bounded per-part (Σqty, n) threshold table
+    (exchange ∝ brand part count); pass 2 streams lineitem again,
+    filters batch-locally against the broadcast thresholds with a
+    fixed ``frac * (sq * 1.0 / cq)`` operand order mirrored by the SQL
+    oracle, and folds cent-exact revenue partials.  No row-level
+    shuffle at any point — both passes are read → filter → partial."""
+    import numpy as np
+
+    from dots_ocr_ray.util import cached_object
+
+    part = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"]
+    )
+    keys = (
+        part.map_batches(
+            lambda t: t.filter(pc.equal(t.column("p_brand"), brand)).select(
+                ["p_partkey"]
+            ),
+            batch_format="pyarrow",
+        )
+        .to_pandas()["p_partkey"]
+        .to_numpy()
+        .astype(np.int64)
+    )
+    keys.sort()
+    keys_ref = ray.put(keys)
+
+    def _member(col: pa.ChunkedArray, sorted_keys: np.ndarray) -> np.ndarray:
+        vals = col.to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = np.searchsorted(sorted_keys, vals)
+        idx[idx >= len(sorted_keys)] = 0
+        return sorted_keys[idx] == vals if len(sorted_keys) else np.zeros(len(vals), bool)
+
+    def _pass1(batch: pa.Table) -> pa.Table:
+        sk = cached_object(keys_ref)
+        m = _member(batch.column("l_partkey"), sk)
+        batch = batch.filter(pa.array(m))
+        t = pa.table(
+            {
+                "pk": batch.column("l_partkey").cast(pa.int64()),
+                "q": batch.column("l_quantity").cast(pa.float64()),
+            }
+        )
+        g = t.group_by("pk").aggregate([("q", "sum"), ([], "count_all")])
+        return g.rename_columns(["pk", "sq", "cq"])
+
+    thr = (
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_quantity"]
+        )
+        .map_batches(_pass1, batch_format="pyarrow")
+        .groupby("pk")
+        .aggregate(
+            ray.data.aggregate.Sum(on="sq", alias_name="sq"),
+            ray.data.aggregate.Sum(on="cq", alias_name="cq"),
+        )
+        .to_pandas()
+        .sort_values("pk")
+    )
+    thr_ref = ray.put(
+        (
+            thr["pk"].to_numpy().astype(np.int64),
+            thr["sq"].to_numpy().astype(np.float64),
+            thr["cq"].to_numpy().astype(np.int64),
+        )
+    )
+
+    def _pass2(batch: pa.Table) -> pa.Table:
+        pks, sqs, cqs = cached_object(thr_ref)
+        vals = batch.column("l_partkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = np.searchsorted(pks, vals)
+        idx_c = np.clip(idx, 0, max(len(pks) - 1, 0))
+        m = (pks[idx_c] == vals) if len(pks) else np.zeros(len(vals), bool)
+        q = batch.column("l_quantity").to_numpy(zero_copy_only=False)
+        small = np.zeros(len(vals), bool)
+        if m.any():
+            sq = sqs[idx_c[m]]
+            cq = cqs[idx_c[m]]
+            small[m] = q[m] < frac * (sq * 1.0 / cq)
+        cents = np.round(
+            batch.column("l_extendedprice").to_numpy(zero_copy_only=False)[small] * 100
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "n_items": pa.array([int(small.sum())], pa.int64()),
+                "revenue_cents": pa.array([int(cents.sum())], pa.int64()),
+            }
+        )
+
+    parts = (
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_partkey", "l_quantity", "l_extendedprice"],
+        )
+        .map_batches(_pass2, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return pa.table(
+        {
+            "n_items": pa.array([int(parts["n_items"].sum())], pa.int64()),
+            "revenue_cents": pa.array([int(parts["revenue_cents"].sum())], pa.int64()),
+        }
+    )
+
+
+def large_volume_orders(
+    sf_dir: str,
+    *,
+    threshold: float = 180.0,
+    k: int = 100,
+) -> pa.Table:
+    """TPC-H Q18 shape: the top-k largest-quantity orders (orders whose
+    summed line quantity exceeds a threshold), with their customer and
+    order header — the having-filter + join-back operator.
+
+    100-TB plan: lineitem pre-aggregates (orderkey → Σqty) per batch
+    (integer-valued doubles, so the distributed float sum is exact and
+    order-independent), the survivor set after the HAVING filter is
+    rare by construction and stays DISTRIBUTED through one
+    :func:`hash_join` against orders; top-k is per-batch partial heaps
+    merged on the driver (no global sort), and only the ≤k winners'
+    customer rows are probe-read with a pushed-down filter."""
+    import numpy as np
+    import pyarrow.dataset as pads
+
+    def _qty_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "l_orderkey": batch.column("l_orderkey").cast(pa.int64()),
+                "q": batch.column("l_quantity").cast(pa.float64()),
+            }
+        )
+        return t.group_by("l_orderkey").aggregate([("q", "sum")]).rename_columns(
+            ["l_orderkey", "q"]
+        )
+
+    sums = (
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_quantity"]
+        )
+        .map_batches(_qty_partial, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(ray.data.aggregate.Sum(on="q", alias_name="q"))
+        .map_batches(
+            lambda t: t.filter(pc.greater(t.column("q"), threshold)),
+            batch_format="pyarrow",
+        )
+    )
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    ).map_batches(
+        lambda t: t.rename_columns(["l_orderkey", "o_custkey", "o_totalprice"]),
+        batch_format="pyarrow",
+    )
+    joined = hash_join(
+        sums,
+        orders,
+        on="l_orderkey",
+        left_schema=pa.schema([("l_orderkey", pa.int64()), ("q", pa.float64())]),
+        right_schema=pa.schema(
+            [
+                ("l_orderkey", pa.int64()),
+                ("o_custkey", pa.int64()),
+                ("o_totalprice", pa.float64()),
+            ]
+        ),
+    )
+
+    def _local_topk(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df.sort_values(
+            ["o_totalprice", "l_orderkey"], ascending=[False, True]
+        ).head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    top = (
+        joined.map_batches(_local_topk, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(["o_totalprice", "l_orderkey"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
+    custkeys = sorted(set(top["o_custkey"].astype(int).tolist()))
+    cust = (
+        pads.dataset(f"{sf_dir}/customer.parquet")
+        .to_table(
+            columns=["c_custkey", "c_name"],
+            filter=pads.field("c_custkey").isin(custkeys),
+        )
+        .to_pandas()
+    )
+    name_of = dict(zip(cust["c_custkey"].astype(int), cust["c_name"]))
+    return pa.table(
+        {
+            "c_name": pa.array(
+                [name_of[int(c)] for c in top["o_custkey"]], pa.string()
+            ),
+            "o_orderkey": pa.array(top["l_orderkey"].astype(int), pa.int64()),
+            "total_cents": pa.array(
+                np.round(top["o_totalprice"].to_numpy() * 100).astype(np.int64),
+                pa.int64(),
+            ),
+            "sum_qty": pa.array(
+                np.round(top["q"].to_numpy()).astype(np.int64), pa.int64()
+            ),
+        }
+    )
+
+
+def waiting_suppliers(
+    sf_dir: str,
+    *,
+    status: str = "F",
+    k: int = 20,
+) -> pa.Table:
+    """TPC-H Q21 shape: for unfulfilled orders served by MULTIPLE
+    suppliers, find suppliers who were the ONLY one whose lines came
+    back returned — the exists / not-exists double-correlation
+    operator, rephrased over the columns this schema carries
+    (return-flag in place of receipt-vs-commit lateness).
+
+    100-TB plan: one keyed exchange folds lineitem to distinct
+    (order, supplier, any_returned) rows (per-batch pyarrow group_by
+    combiner first), a second bounded-by-orders groupby derives per
+    order (n_suppliers, n_returned_suppliers, the single returned
+    supplier via min-over-masked-key), ONE :func:`hash_join` restricts
+    to status-'F' orders, and the per-supplier blame counts fold to a
+    driver-merged partial top-k (no global sort).  Winner names are a
+    ≤k pushed-down probe read of supplier."""
+    import numpy as np
+    import pyarrow.dataset as pads
+
+    BIG = np.int64(2**62)
+
+    def _pair_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "l_orderkey": batch.column("l_orderkey").cast(pa.int64()),
+                "l_suppkey": batch.column("l_suppkey").cast(pa.int64()),
+                "r": pc.cast(
+                    pc.equal(batch.column("l_returnflag"), "R"), pa.int64()
+                ),
+            }
+        )
+        return (
+            t.group_by(["l_orderkey", "l_suppkey"])
+            .aggregate([("r", "max")])
+            .rename_columns(["l_orderkey", "l_suppkey", "r"])
+        )
+
+    pairs = (
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_orderkey", "l_suppkey", "l_returnflag"],
+        )
+        .map_batches(_pair_partial, batch_format="pyarrow")
+        .groupby(["l_orderkey", "l_suppkey"])
+        .aggregate(ray.data.aggregate.Max(on="r", alias_name="r"))
+    )
+
+    def _order_partial(batch: pa.Table) -> pa.Table:
+        r = batch.column("r").to_numpy(zero_copy_only=False).astype(np.int64)
+        sk = batch.column("l_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        rs = np.where(r == 1, sk, BIG)
+        t = pa.table(
+            {
+                "l_orderkey": batch.column("l_orderkey").cast(pa.int64()),
+                "ns": pa.array(np.ones(len(r), np.int64), pa.int64()),
+                "nr": pa.array(r, pa.int64()),
+                "rs": pa.array(rs, pa.int64()),
+            }
+        )
+        return (
+            t.group_by("l_orderkey")
+            .aggregate([("ns", "sum"), ("nr", "sum"), ("rs", "min")])
+            .rename_columns(["l_orderkey", "ns", "nr", "rs"])
+        )
+
+    per_order = (
+        pairs.map_batches(_order_partial, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(
+            ray.data.aggregate.Sum(on="ns", alias_name="ns"),
+            ray.data.aggregate.Sum(on="nr", alias_name="nr"),
+            ray.data.aggregate.Min(on="rs", alias_name="rs"),
+        )
+    )
+
+    orders_f = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderstatus"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "l_orderkey": t.filter(
+                    pc.equal(t.column("o_orderstatus"), status)
+                ).column("o_orderkey").cast(pa.int64())
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    blamed = hash_join(
+        per_order,
+        orders_f,
+        on="l_orderkey",
+        how="semi",
+        left_schema=pa.schema(
+            [
+                ("l_orderkey", pa.int64()),
+                ("ns", pa.int64()),
+                ("nr", pa.int64()),
+                ("rs", pa.int64()),
+            ]
+        ),
+        right_schema=pa.schema([("l_orderkey", pa.int64())]),
+    ).map_batches(
+        lambda t: t.filter(
+            pc.and_(pc.greater(t.column("ns"), 1), pc.equal(t.column("nr"), 1))
+        ).select(["rs"]),
+        batch_format="pyarrow",
+    )
+
+    counts = (
+        blamed.map_batches(
+            lambda t: t.group_by("rs")
+            .aggregate([([], "count_all")])
+            .rename_columns(["rs", "numwait"]),
+            batch_format="pyarrow",
+        )
+        .groupby("rs")
+        .aggregate(ray.data.aggregate.Sum(on="numwait", alias_name="numwait"))
+    )
+
+    def _local_topk(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        return pa.Table.from_pandas(
+            df.sort_values(["numwait", "rs"], ascending=[False, True]).head(k),
+            preserve_index=False,
+        )
+
+    top = (
+        counts.map_batches(_local_topk, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(["numwait", "rs"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
+    suppkeys = sorted(set(top["rs"].astype(int).tolist()))
+    supp = (
+        pads.dataset(f"{sf_dir}/supplier.parquet")
+        .to_table(
+            columns=["s_suppkey", "s_name"],
+            filter=pads.field("s_suppkey").isin(suppkeys),
+        )
+        .to_pandas()
+    )
+    name_of = dict(zip(supp["s_suppkey"].astype(int), supp["s_name"]))
+    return pa.table(
+        {
+            "s_suppkey": pa.array(top["rs"].astype(int), pa.int64()),
+            "s_name": pa.array([name_of[int(s)] for s in top["rs"]], pa.string()),
+            "numwait": pa.array(top["numwait"].astype(int), pa.int64()),
+        }
+    )
+
+
+def dormant_rich_customers(
+    sf_dir: str,
+    *,
+    cutoff: str = "2000-07-01",
+) -> pa.Table:
+    """TPC-H Q22 shape: customers with above-average positive balance
+    and NO recent orders, rolled up per nation — the scalar-subquery
+    threshold + anti-join operator (phone-prefix country codes
+    replaced by the nation dimension this schema carries).
+
+    100-TB plan: the balance threshold folds from cent-exact (Σcents,
+    n) partials to ONE driver scalar (fixed ``scents * 1.0 /
+    (100 * n)`` operand order mirrored by the oracle); recent-orderer
+    ids flow into :func:`dedup.anti_join_ids` — exact at every scale
+    (sorted-array broadcast under the budget, Bloom prefilter + one
+    distributed hash anti-join above it); the survivor rollup is a
+    bounded per-nation groupby decorated from the KB nation dim."""
+    import datetime
+
+    import numpy as np
+
+    from dots_ocr_ray.pipelines.dedup import anti_join_ids
+
+    cust_cols = ["c_custkey", "c_nationkey", "c_acctbal"]
+
+    def _bal_partial(batch: pa.Table) -> pa.Table:
+        bal = batch.column("c_acctbal").to_numpy(zero_copy_only=False)
+        pos = bal[bal > 0]
+        cents = np.round(pos * 100).astype(np.int64)
+        return pa.table(
+            {
+                "scents": pa.array([int(cents.sum())], pa.int64()),
+                "n": pa.array([len(pos)], pa.int64()),
+            }
+        )
+
+    customer = ray.data.read_parquet(f"{sf_dir}/customer.parquet", columns=cust_cols)
+    bal = customer.map_batches(_bal_partial, batch_format="pyarrow").to_pandas()
+    scents, npos = int(bal["scents"].sum()), int(bal["n"].sum())
+    thr = scents * 1.0 / (100 * npos)
+
+    cut = datetime.datetime.fromisoformat(cutoff)
+    recent = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate"]
+    ).map_batches(
+        lambda t: t.filter(pc.greater_equal(t.column("o_orderdate"), cut)).select(
+            ["o_custkey"]
+        ),
+        batch_format="pyarrow",
+    )
+
+    rich = customer.map_batches(
+        lambda t: t.filter(pc.greater(t.column("c_acctbal"), thr)),
+        batch_format="pyarrow",
+    )
+    dormant = anti_join_ids(rich, recent, id_col="c_custkey", id_cols=("o_custkey",))
+
+    def _nation_partial(batch: pa.Table) -> pa.Table:
+        cents = np.round(
+            batch.column("c_acctbal").to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        t = pa.table(
+            {
+                "c_nationkey": batch.column("c_nationkey").cast(pa.int64()),
+                "n_cust": pa.array(np.ones(len(cents), np.int64), pa.int64()),
+                "total_cents": pa.array(cents, pa.int64()),
+            }
+        )
+        return (
+            t.group_by("c_nationkey")
+            .aggregate([("n_cust", "sum"), ("total_cents", "sum")])
+            .rename_columns(["c_nationkey", "n_cust", "total_cents"])
+        )
+
+    per_nation = (
+        dormant.map_batches(_nation_partial, batch_format="pyarrow")
+        .groupby("c_nationkey")
+        .aggregate(
+            ray.data.aggregate.Sum(on="n_cust", alias_name="n_cust"),
+            ray.data.aggregate.Sum(on="total_cents", alias_name="total_cents"),
+        )
+        .to_pandas()
+        .sort_values("c_nationkey")
+        .reset_index(drop=True)
+    )
+    nations = ray.data.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+    name_of = dict(zip(nations["n_nationkey"].astype(int), nations["n_name"]))
+    return pa.table(
+        {
+            "n_name": pa.array(
+                [name_of[int(x)] for x in per_nation["c_nationkey"]], pa.string()
+            ),
+            "n_cust": pa.array(per_nation["n_cust"].astype(int), pa.int64()),
+            "total_cents": pa.array(per_nation["total_cents"].astype(int), pa.int64()),
+        }
+    )

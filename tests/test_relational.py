@@ -16,7 +16,7 @@ SF_DIR = "/root/testdata/sf0.001"
 @pytest.fixture(scope="module")
 def con():
     c = duckdb.connect()
-    for t in ["lineitem", "orders", "customer", "events"]:
+    for t in ["lineitem", "orders", "customer", "events", "part", "supplier", "nation"]:
         c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
     return c
 
@@ -1268,3 +1268,82 @@ def test_volume_shipping_matches_duckdb(ray_session):
             o["year"],
         )
         assert abs(e["revenue"] - o["revenue"]) < 1e-6
+
+
+def test_small_quantity_revenue_matches_duckdb(ray_session, con):
+    from dots_ocr_ray.pipelines.relational import small_quantity_revenue
+
+    got = small_quantity_revenue(SF_DIR, brand="Brand#12", frac=0.4).to_pandas()
+    want = con.execute(
+        "WITH pk AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#12'), "
+        "th AS (SELECT l_partkey, sum(l_quantity) sq, count(*) cq FROM lineitem "
+        "JOIN pk ON p_partkey = l_partkey GROUP BY l_partkey) "
+        "SELECT count(*) n, coalesce(sum(CAST(round(l_extendedprice*100) AS BIGINT)),0) c "
+        "FROM lineitem JOIN th ON th.l_partkey = lineitem.l_partkey "
+        "WHERE l_quantity < 0.4 * (sq * 1.0 / cq)"
+    ).fetchone()
+    assert got.loc[0, "n_items"] == want[0]
+    assert got.loc[0, "revenue_cents"] == want[1]
+
+
+def test_large_volume_orders_matches_duckdb(ray_session, con):
+    from dots_ocr_ray.pipelines.relational import large_volume_orders
+
+    got = large_volume_orders(SF_DIR, threshold=180.0, k=10).to_pandas()
+    want = con.execute(
+        "WITH s AS (SELECT l_orderkey, sum(l_quantity) q FROM lineitem "
+        "GROUP BY l_orderkey HAVING sum(l_quantity) > 180.0) "
+        "SELECT c_name, o_orderkey, CAST(round(o_totalprice*100) AS BIGINT), "
+        "CAST(round(q) AS BIGINT) FROM s JOIN orders ON o_orderkey = l_orderkey "
+        "JOIN customer ON c_custkey = o_custkey "
+        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"
+    ).fetchall()
+    assert len(got) == len(want)
+    for i, (name, ok, cents, q) in enumerate(want):
+        assert got.loc[i, "c_name"] == name and got.loc[i, "o_orderkey"] == ok
+        assert got.loc[i, "total_cents"] == cents and got.loc[i, "sum_qty"] == q
+
+
+def test_waiting_suppliers_matches_duckdb(ray_session, con):
+    from dots_ocr_ray.pipelines.relational import waiting_suppliers
+
+    got = waiting_suppliers(SF_DIR, status="F", k=5).to_pandas()
+    want = con.execute(
+        "WITH os AS (SELECT l_orderkey, l_suppkey, "
+        "max(CASE WHEN l_returnflag='R' THEN 1 ELSE 0 END) r "
+        "FROM lineitem GROUP BY 1, 2), "
+        "agg AS (SELECT l_orderkey, count(*) ns, sum(r) nr, "
+        "min(CASE WHEN r=1 THEN l_suppkey END) rs FROM os GROUP BY 1), "
+        "b AS (SELECT rs, count(*) numwait FROM agg "
+        "JOIN orders ON o_orderkey = l_orderkey "
+        "WHERE o_orderstatus='F' AND ns > 1 AND nr = 1 GROUP BY rs) "
+        "SELECT rs, s_name, numwait FROM b JOIN supplier ON s_suppkey = rs "
+        "ORDER BY numwait DESC, rs LIMIT 5"
+    ).fetchall()
+    assert len(got) == len(want)
+    for i, (rs, name, nw) in enumerate(want):
+        assert got.loc[i, "s_suppkey"] == rs and got.loc[i, "s_name"] == name
+        assert got.loc[i, "numwait"] == nw
+
+
+def test_dormant_rich_customers_matches_duckdb(ray_session, con):
+    from dots_ocr_ray.pipelines.relational import dormant_rich_customers
+
+    got = (
+        dormant_rich_customers(SF_DIR, cutoff="2000-07-01")
+        .to_pandas()
+        .set_index("n_name")
+    )
+    want = con.execute(
+        "WITH thr AS (SELECT sum(CAST(round(c_acctbal*100) AS BIGINT)) * 1.0 "
+        "/ (100 * count(*)) t FROM customer WHERE c_acctbal > 0), "
+        "d AS (SELECT c_custkey, c_nationkey, c_acctbal FROM customer, thr "
+        "WHERE c_acctbal > t AND NOT EXISTS (SELECT 1 FROM orders "
+        "WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2000-07-01')) "
+        "SELECT n_name, count(*), sum(CAST(round(c_acctbal*100) AS BIGINT)) "
+        "FROM d JOIN nation ON n_nationkey = c_nationkey GROUP BY n_name"
+    ).fetchall()
+    assert len(got) == len(want) and len(want) > 0
+    for name, n, cents in want:
+        assert got.loc[name, "n_cust"] == n
+        assert got.loc[name, "total_cents"] == cents
