@@ -5070,6 +5070,21 @@ def _q_dormant_rich_customers(sf_dir: str):
     return dormant_rich_customers(sf_dir, cutoff="2000-07-01")
 
 
+def _q_token_entropy(sf_dir: str):
+    """Per-doc quantized unigram Shannon entropy: term-local floored
+    int64 contributions (order-independent sums) + integer floor
+    division, zero exchange
+    (pipelines/text_analysis.py:token_entropy)."""
+    import ray.data
+
+    from dots_ocr_ray.pipelines.text_analysis import token_entropy
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return token_entropy(docs)
+
+
 def _q_host_reciprocity(sf_dir: str):
     """Directed reciprocity of the 40-host link fixture: distinct
     self-loop-free edges hash-joined with their own swapped copy (no
@@ -5842,6 +5857,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "large_volume_orders": _q_large_volume_orders,
         "waiting_suppliers": _q_waiting_suppliers,
         "dormant_rich_customers": _q_dormant_rich_customers,
+        "token_entropy": _q_token_entropy,
     }
 
 
@@ -7845,5 +7861,18 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) "
             "AS total_cents "
             "FROM d JOIN nation ON n_nationkey = c_nationkey GROUP BY n_name"
+        ),
+        "token_entropy": (
+            "WITH toks AS (SELECT doc_id, unnest(list_filter("
+            "regexp_split_to_array(text, '\\s+'), t -> t <> '')) AS w "
+            "FROM documents), "
+            "c AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c "
+            "FROM toks GROUP BY doc_id, w), "
+            "s AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens, "
+            "CAST(sum(CAST(floor(1000000 * (c * log2(c))) AS BIGINT)) AS BIGINT) "
+            "AS sl FROM c GROUP BY doc_id) "
+            "SELECT doc_id, n_tokens, "
+            "CAST(floor(1000000 * log2(n_tokens)) AS BIGINT) - sl // n_tokens "
+            "AS entropy_micro FROM s WHERE n_tokens > 0"
         ),
     }

@@ -827,3 +827,35 @@ def test_welch_t_by_category(ray_session):
     df = (se0 + se1) ** 2 / (se0**2 / 2 + se1**2 / 1)
     assert abs(out["t_micro"][0] - int(np.floor(1e6 * t))) <= 1
     assert abs(out["df_micro"][0] - int(np.floor(1e6 * df))) <= 1
+
+
+def test_token_entropy(ray_session):
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from dots_ocr_ray.pipelines.text_analysis import token_entropy
+
+    tbl = pa.table(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "a b c d",          # 4 distinct → H = 2 bits
+                "a a a a",          # 1 token repeated → H = 0
+                "x x y y",          # 2×2 → H = 1 bit
+                "   ",              # no tokens → dropped
+            ],
+        }
+    )
+    out = (
+        token_entropy(ray.data.from_arrow(tbl).repartition(2))
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    assert 4 not in out.index
+    assert out.loc[1, "n_tokens"] == 4 and out.loc[1, "entropy_micro"] == 2_000_000
+    assert out.loc[2, "entropy_micro"] == 0
+    # quantized: floor(1e6*log2(4)) - (2*floor(1e6*2*log2 2)) // 4
+    want3 = 2_000_000 - (2 * int(np.floor(1e6 * 2 * np.log2(2)))) // 4
+    assert out.loc[3, "entropy_micro"] == want3 == 1_000_000
