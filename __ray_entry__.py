@@ -5085,6 +5085,21 @@ def _q_token_entropy(sf_dir: str):
     return token_entropy(docs)
 
 
+def _q_acf_daily_events(sf_dir: str):
+    """Lag-1/lag-7 autocorrelation of per-type daily event counts:
+    calendar-bounded (type, day, n) fold, exact integer sufficient
+    stats, divide-by-n-first Pearson closed form
+    (pipelines/profile.py:autocorr_daily)."""
+    import ray.data
+
+    from dots_ocr_ray.pipelines.profile import autocorr_daily
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type"]
+    )
+    return autocorr_daily(ev, ts_col="ts", key_col="event_type", lags=(1, 7))
+
+
 def _q_host_reciprocity(sf_dir: str):
     """Directed reciprocity of the 40-host link fixture: distinct
     self-loop-free edges hash-joined with their own swapped copy (no
@@ -5858,6 +5873,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "waiting_suppliers": _q_waiting_suppliers,
         "dormant_rich_customers": _q_dormant_rich_customers,
         "token_entropy": _q_token_entropy,
+        "acf_daily_events": _q_acf_daily_events,
     }
 
 
@@ -7874,5 +7890,26 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, n_tokens, "
             "CAST(floor(1000000 * log2(n_tokens)) AS BIGINT) - sl // n_tokens "
             "AS entropy_micro FROM s WHERE n_tokens > 0"
+        ),
+        "acf_daily_events": (
+            "WITH d AS (SELECT event_type, CAST(date_trunc('day', ts) AS DATE) "
+            "AS day, CAST(count(*) AS BIGINT) AS n FROM events "
+            "GROUP BY event_type, day), "
+            "l AS (SELECT CAST(lag AS BIGINT) AS lag FROM "
+            "(VALUES (1), (7)) AS t(lag)), "
+            "p AS (SELECT a.event_type, l.lag, a.n AS x, b.n AS y "
+            "FROM d a CROSS JOIN l JOIN d b ON b.event_type = a.event_type "
+            "AND b.day = a.day + CAST(l.lag AS INTEGER)), "
+            "s AS (SELECT event_type, lag, CAST(count(*) AS BIGINT) AS n, "
+            "CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy, "
+            "CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy, "
+            "CAST(sum(x * y) AS BIGINT) AS sxy FROM p GROUP BY event_type, lag) "
+            "SELECT event_type AS key, lag, n AS n_pairs, "
+            "CAST(floor(1000000 * ((sxy * 1.0 / n - sx * 1.0 / n * (sy * 1.0 / n)) "
+            "/ sqrt((sxx * 1.0 / n - sx * 1.0 / n * (sx * 1.0 / n)) "
+            "* (syy * 1.0 / n - sy * 1.0 / n * (sy * 1.0 / n))))) AS BIGINT) "
+            "AS r_micro FROM s WHERE n >= 2 "
+            "AND (sxx * 1.0 / n - sx * 1.0 / n * (sx * 1.0 / n)) > 0 "
+            "AND (syy * 1.0 / n - sy * 1.0 / n * (sy * 1.0 / n)) > 0"
         ),
     }

@@ -547,3 +547,84 @@ def pearson_by_key(
             "r_micro": pa.array(rs, pa.int64()),
         }
     )
+
+
+def autocorr_daily(
+    ds: ray.data.Dataset,
+    *,
+    ts_col: str,
+    key_col: str,
+    lags: tuple[int, ...] = (1, 7),
+) -> pa.Table:
+    """Per-key lag-k autocorrelation of the DAILY event-count series —
+    the seasonality probe (lag 1 = day-to-day persistence, lag 7 =
+    weekly rhythm) a crawl scheduler reads before smoothing traffic.
+
+    Shape: one bounded exchange folds (key, day, n) partials (pyarrow
+    group_by per batch — exchange ∝ keys × days, calendar-bounded);
+    the driver pairs each day with day+k (missing days drop out, a
+    self-join semantics the SQL oracle mirrors literally) and computes
+    Pearson r from EXACT int64 sufficient stats with the same
+    divide-by-n-first closed form as :func:`pearson_by_key`,
+    micro-floored.  Zero-variance or <2-pair series are dropped."""
+    def _partials(batch: pa.Table) -> pa.Table:
+        days = (
+            batch.column(ts_col)
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[D]")
+            .astype(np.int64)
+        )
+        t = pa.table(
+            {
+                "k": batch.column(key_col).cast(pa.string()),
+                "day": pa.array(days, pa.int64()),
+            }
+        )
+        return (
+            t.group_by(["k", "day"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["k", "day", "n"])
+        )
+
+    daily = (
+        ds.select_columns([key_col, ts_col])
+        .map_batches(_partials, batch_format="pyarrow")
+        .groupby(["k", "day"])
+        .sum("n")
+        .to_pandas()
+        .rename(columns={"sum(n)": "n"})
+    )
+    keys_out, lags_out, ns_out, rs_out = [], [], [], []
+    for key, grp in daily.groupby("k"):
+        series = dict(zip(grp["day"].astype(int), grp["n"].astype(int)))
+        for lag in lags:
+            xs, ys = [], []
+            for day, x in series.items():
+                y = series.get(day + lag)
+                if y is not None:
+                    xs.append(x)
+                    ys.append(y)
+            n = len(xs)
+            if n < 2:
+                continue
+            sx, sy = sum(xs), sum(ys)
+            sxx = sum(v * v for v in xs)
+            syy = sum(v * v for v in ys)
+            sxy = sum(a * b for a, b in zip(xs, ys))
+            vx = sxx * 1.0 / n - sx * 1.0 / n * (sx * 1.0 / n)
+            vy = syy * 1.0 / n - sy * 1.0 / n * (sy * 1.0 / n)
+            if vx <= 0 or vy <= 0:
+                continue
+            r = (sxy * 1.0 / n - sx * 1.0 / n * (sy * 1.0 / n)) / np.sqrt(vx * vy)
+            keys_out.append(key)
+            lags_out.append(lag)
+            ns_out.append(n)
+            rs_out.append(int(np.floor(1000000 * r)))
+    return pa.table(
+        {
+            "key": pa.array(keys_out, pa.string()),
+            "lag": pa.array(lags_out, pa.int64()),
+            "n_pairs": pa.array(ns_out, pa.int64()),
+            "r_micro": pa.array(rs_out, pa.int64()),
+        }
+    )

@@ -191,3 +191,39 @@ def test_spearman_corr(ray_session):
         ray.data.from_arrow(tbl2), x_col="x", y_col="y"
     ).to_pandas()
     assert out2.loc[0, "rho_micro"] == -1_000_000
+
+
+def test_autocorr_daily(ray_session):
+    import numpy as np
+    import pandas as pd
+
+    from dots_ocr_ray.pipelines.profile import autocorr_daily
+
+    # type "up": strictly increasing daily counts → lag-1 r = 1
+    # (counts 1..8 over 8 consecutive days: shifted pairs are two
+    # perfectly correlated arithmetic sequences)
+    days = pd.date_range("2024-01-01", periods=8, freq="D")
+    rows_ts, rows_k = [], []
+    for i, d in enumerate(days):
+        for _ in range(i + 1):
+            rows_ts.append(d)
+            rows_k.append("up")
+    # type "flat": constant counts → zero variance → dropped
+    for d in days:
+        rows_ts.append(d)
+        rows_k.append("flat")
+    tbl = pa.table({"ts": pa.array(rows_ts, pa.timestamp("us")), "event_type": rows_k})
+    out = (
+        autocorr_daily(
+            ray.data.from_arrow(tbl).repartition(3),
+            ts_col="ts",
+            key_col="event_type",
+            lags=(1, 7),
+        )
+        .to_pandas()
+        .set_index(["key", "lag"])
+    )
+    assert out.loc[("up", 1), "n_pairs"] == 7
+    assert out.loc[("up", 1), "r_micro"] == 1_000_000
+    assert out.loc[("up", 7), "n_pairs"] == 1 if ("up", 7) in out.index else True
+    assert "flat" not in out.index.get_level_values(0)
