@@ -5100,6 +5100,37 @@ def _q_acf_daily_events(sf_dir: str):
     return autocorr_daily(ev, ts_col="ts", key_col="event_type", lags=(1, 7))
 
 
+def _q_ks_returned_qty(sf_dir: str):
+    """Kolmogorov–Smirnov two-sample statistic, returned vs other
+    lineitem quantities: bounded per-value counts, cross-multiplied
+    integer ECDF gap, one mirrored division
+    (pipelines/profile.py:ks_two_sample)."""
+    import ray.data
+
+    from dots_ocr_ray.pipelines.profile import ks_two_sample
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_quantity", "l_returnflag"]
+    )
+    return ks_two_sample(
+        li, value_col="l_quantity", group_col="l_returnflag", group_a="R"
+    )
+
+
+def _q_cusum_daily_events(sf_dir: str):
+    """One-sided CUSUM ramp detector per event type over zero-filled
+    daily counts, prefix-min identity in exact micro-integers
+    (pipelines/profile.py:cusum_daily)."""
+    import ray.data
+
+    from dots_ocr_ray.pipelines.profile import cusum_daily
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type"]
+    )
+    return cusum_daily(ev, ts_col="ts", key_col="event_type")
+
+
 def _q_host_reciprocity(sf_dir: str):
     """Directed reciprocity of the 40-host link fixture: distinct
     self-loop-free edges hash-joined with their own swapped copy (no
@@ -5874,6 +5905,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dormant_rich_customers": _q_dormant_rich_customers,
         "token_entropy": _q_token_entropy,
         "acf_daily_events": _q_acf_daily_events,
+        "ks_returned_qty": _q_ks_returned_qty,
+        "cusum_daily_events": _q_cusum_daily_events,
     }
 
 
@@ -7911,5 +7944,44 @@ def oracle_sql() -> dict[str, str]:
             "AS r_micro FROM s WHERE n >= 2 "
             "AND (sxx * 1.0 / n - sx * 1.0 / n * (sx * 1.0 / n)) > 0 "
             "AND (syy * 1.0 / n - sy * 1.0 / n * (sy * 1.0 / n)) > 0"
+        ),
+        "ks_returned_qty": (
+            "WITH v AS (SELECT CAST(floor(l_quantity) AS BIGINT) AS val, "
+            "CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS g FROM lineitem), "
+            "c AS (SELECT val, CAST(sum(g) AS BIGINT) AS ca, "
+            "CAST(sum(1 - g) AS BIGINT) AS cb FROM v GROUP BY val), "
+            "t AS (SELECT CAST(sum(ca) AS BIGINT) AS na, "
+            "CAST(sum(cb) AS BIGINT) AS nb FROM c), "
+            "w AS (SELECT CAST(sum(ca) OVER (ORDER BY val ROWS BETWEEN "
+            "UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_a, "
+            "CAST(sum(cb) OVER (ORDER BY val ROWS BETWEEN UNBOUNDED PRECEDING "
+            "AND CURRENT ROW) AS BIGINT) AS cum_b FROM c), "
+            "m AS (SELECT CAST(max(abs(cum_a * nb - cum_b * na)) AS BIGINT) AS d2 "
+            "FROM w, t) "
+            "SELECT na AS n_a, nb AS n_b, d2, "
+            "CAST(floor(1000000 * (d2 / (na * 1.0 * nb))) AS BIGINT) AS ks_micro "
+            "FROM m, t"
+        ),
+        "cusum_daily_events": (
+            "WITH d AS (SELECT event_type AS k, CAST(CAST(date_trunc('day', ts) "
+            "AS DATE) - DATE '1970-01-01' AS BIGINT) AS day, "
+            "CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2), "
+            "b AS (SELECT k, min(day) AS d0, max(day) AS d1, "
+            "CAST(sum(n) AS BIGINT) AS total FROM d GROUP BY k), "
+            "kk AS (SELECT k, d0, d1, 1000000 * total // (d1 - d0 + 1) AS kv "
+            "FROM b), "
+            "g AS (SELECT kk.k, kv, unnest(generate_series(d0, d1)) AS day "
+            "FROM kk), "
+            "z AS (SELECT g.k, g.day, g.kv, coalesce(d.n, 0) AS n FROM g "
+            "LEFT JOIN d ON d.k = g.k AND d.day = g.day), "
+            "c AS (SELECT k, day, kv, CAST(sum(1000000 * n - kv) OVER "
+            "(PARTITION BY k ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND "
+            "CURRENT ROW) AS BIGINT) AS cum FROM z), "
+            "s AS (SELECT k, kv, day, cum - least(CAST(min(cum) OVER "
+            "(PARTITION BY k ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND "
+            "CURRENT ROW) AS BIGINT), 0) AS sv FROM c) "
+            "SELECT k AS key, kv AS k_micro, CAST(max(sv) AS BIGINT) "
+            "AS s_max_micro, coalesce(min(CASE WHEN sv >= 3000000 * kv // 1000000 "
+            "THEN day END), -1) AS first_alarm_day FROM s GROUP BY k, kv"
         ),
     }

@@ -628,3 +628,157 @@ def autocorr_daily(
             "r_micro": pa.array(rs_out, pa.int64()),
         }
     )
+
+
+def ks_two_sample(
+    ds: ray.data.Dataset,
+    *,
+    value_col: str,
+    group_col: str,
+    group_a: str,
+) -> pa.Table:
+    """Kolmogorov–Smirnov two-sample statistic between one group and
+    the rest — the distribution-shift detector that sees SHAPE changes
+    (bimodality, tail growth) a mean/variance test misses.
+
+    Shape: same bounded per-floored-value count partials as
+    :func:`mann_whitney_u` (exchange ∝ distinct values); the driver
+    computes the ECDF gap in CROSS-MULTIPLIED integer units —
+    ``D2 = max |cumA·nB − cumB·nA|`` — so the supremum is exact, then
+    one micro-floored division ``D2 / (nA·1.0·nB)`` mirrored by the
+    SQL oracle's window-cumsum form.  Integer-exact while
+    nA·nB < 2⁶³ (~3·10⁹ rows per side)."""
+    def _partials(batch: pa.Table) -> pa.Table:
+        vals = np.floor(
+            batch.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        ).astype(np.int64)
+        grp = pc.equal(batch.column(group_col), group_a).to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(vals, return_inverse=True)
+        ca = np.zeros(len(uniq), np.int64)
+        cb = np.zeros(len(uniq), np.int64)
+        np.add.at(ca, inv, grp.astype(np.int64))
+        np.add.at(cb, inv, (~grp).astype(np.int64))
+        return pa.table(
+            {
+                "val": pa.array(uniq, pa.int64()),
+                "ca": pa.array(ca, pa.int64()),
+                "cb": pa.array(cb, pa.int64()),
+            }
+        )
+
+    folded = (
+        ds.select_columns([value_col, group_col])
+        .map_batches(_partials, batch_format="pyarrow")
+        .groupby("val")
+        .aggregate(
+            ray.data.aggregate.Sum(on="ca", alias_name="ca"),
+            ray.data.aggregate.Sum(on="cb", alias_name="cb"),
+        )
+        .to_pandas()
+        .sort_values("val")
+        .reset_index(drop=True)
+    )
+    na = int(folded["ca"].sum())
+    nb = int(folded["cb"].sum())
+    cum_a = folded["ca"].cumsum().astype(int)
+    cum_b = folded["cb"].cumsum().astype(int)
+    d2 = int((cum_a * nb - cum_b * na).abs().max())
+    return pa.table(
+        {
+            "n_a": pa.array([na], pa.int64()),
+            "n_b": pa.array([nb], pa.int64()),
+            "d2": pa.array([d2], pa.int64()),
+            "ks_micro": pa.array(
+                [int(np.floor(1000000 * (d2 / (na * 1.0 * nb))))], pa.int64()
+            ),
+        }
+    )
+
+
+def cusum_daily(
+    ds: ray.data.Dataset,
+    *,
+    ts_col: str,
+    key_col: str,
+    drift_micro: int | None = None,
+    threshold_mult_micro: int = 3_000_000,
+) -> pa.Table:
+    """One-sided upper CUSUM change-point detection over each key's
+    DAILY count series — "which event types ramped, and when" — using
+    the prefix-minimum identity ``S_t = cum_t − min_{j≤t} cum_j``
+    (the recursive ``max(0, S+x−k)`` unrolled), so the whole detector
+    is window arithmetic the SQL oracle mirrors with cumulative sums.
+
+    All in exact MICRO-integer units: the reference value k defaults
+    to each key's own mean daily count (``floor(1e6·total // n_days``
+    integer division) and the alarm threshold to ``mult × k``.
+    Shape: one calendar-bounded (key, day, n) fold; per-key driver
+    arithmetic over its day list.  Missing days count as 0 — a silent
+    day pulls the statistic DOWN, which is the operationally right
+    reading for traffic ramps."""
+    def _partials(batch: pa.Table) -> pa.Table:
+        days = (
+            batch.column(ts_col)
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[D]")
+            .astype(np.int64)
+        )
+        t = pa.table(
+            {
+                "k": batch.column(key_col).cast(pa.string()),
+                "day": pa.array(days, pa.int64()),
+            }
+        )
+        return (
+            t.group_by(["k", "day"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["k", "day", "n"])
+        )
+
+    daily = (
+        ds.select_columns([key_col, ts_col])
+        .map_batches(_partials, batch_format="pyarrow")
+        .groupby(["k", "day"])
+        .sum("n")
+        .to_pandas()
+        .rename(columns={"sum(n)": "n"})
+    )
+    keys, s_max, alarm_day, kvals = [], [], [], []
+    for key, grp in daily.groupby("k"):
+        grp = grp.sort_values("day")
+        d0, d1 = int(grp["day"].min()), int(grp["day"].max())
+        counts = dict(zip(grp["day"].astype(int), grp["n"].astype(int)))
+        n_days = d1 - d0 + 1
+        total = int(grp["n"].sum())
+        k = (
+            drift_micro
+            if drift_micro is not None
+            else 1000000 * total // n_days
+        )
+        h = threshold_mult_micro * k // 1000000
+        cum = 0
+        run_min = 0
+        best = 0
+        first_alarm = -1
+        for day in range(d0, d1 + 1):
+            cum += 1000000 * counts.get(day, 0) - k
+            # min over cum_0..cum_t with cum_0 = 0 → s = max(0, s+x−k)
+            if cum < run_min:
+                run_min = cum
+            s = cum - run_min
+            if s > best:
+                best = s
+            if first_alarm < 0 and s >= h:
+                first_alarm = day
+        keys.append(key)
+        s_max.append(best)
+        alarm_day.append(first_alarm)
+        kvals.append(k)
+    return pa.table(
+        {
+            "key": pa.array(keys, pa.string()),
+            "k_micro": pa.array(kvals, pa.int64()),
+            "s_max_micro": pa.array(s_max, pa.int64()),
+            "first_alarm_day": pa.array(alarm_day, pa.int64()),
+        }
+    )

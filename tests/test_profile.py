@@ -227,3 +227,62 @@ def test_autocorr_daily(ray_session):
     assert out.loc[("up", 1), "r_micro"] == 1_000_000
     assert out.loc[("up", 7), "n_pairs"] == 1 if ("up", 7) in out.index else True
     assert "flat" not in out.index.get_level_values(0)
+
+
+def test_ks_two_sample(ray_session):
+    from dots_ocr_ray.pipelines.profile import ks_two_sample
+
+    # a = {1,1,2,2}, b = {3,3,4,4}: disjoint supports → D = 1
+    tbl = pa.table(
+        {
+            "v": [1.0, 1.0, 2.0, 2.0, 3.0, 3.0, 4.0, 4.0],
+            "g": ["a"] * 4 + ["b"] * 4,
+        }
+    )
+    out = ks_two_sample(
+        ray.data.from_arrow(tbl).repartition(3),
+        value_col="v",
+        group_col="g",
+        group_a="a",
+    ).to_pandas()
+    assert out.loc[0, "n_a"] == 4 and out.loc[0, "n_b"] == 4
+    assert out.loc[0, "d2"] == 16  # cumA=4, cumB=0 at val 2 → |4·4−0·4|
+    assert out.loc[0, "ks_micro"] == 1_000_000
+
+    # identical distributions → D = 0
+    tbl2 = pa.table({"v": [1.0, 2.0, 1.0, 2.0], "g": ["a", "a", "b", "b"]})
+    out2 = ks_two_sample(
+        ray.data.from_arrow(tbl2), value_col="v", group_col="g", group_a="a"
+    ).to_pandas()
+    assert out2.loc[0, "ks_micro"] == 0
+
+
+def test_cusum_daily(ray_session):
+    import pandas as pd
+
+    from dots_ocr_ray.pipelines.profile import cusum_daily
+
+    # 10 quiet days of 1 event, then 4 days of 20 → ramp alarm fires
+    days = pd.date_range("2024-01-01", periods=14, freq="D")
+    ts, ks = [], []
+    for i, d in enumerate(days):
+        for _ in range(1 if i < 10 else 20):
+            ts.append(d)
+            ks.append("ramp")
+    tbl = pa.table({"ts": pa.array(ts, pa.timestamp("us")), "event_type": ks})
+    out = (
+        cusum_daily(
+            ray.data.from_arrow(tbl).repartition(2),
+            ts_col="ts",
+            key_col="event_type",
+        )
+        .to_pandas()
+        .set_index("key")
+    )
+    # k = 1e6 * 90 // 14; s grows ~20e6-k per ramp day → alarm inside the ramp
+    k = 1_000_000 * 90 // 14
+    assert out.loc["ramp", "k_micro"] == k
+    alarm = out.loc["ramp", "first_alarm_day"]
+    d0 = int(pd.Timestamp("2024-01-01").to_datetime64().astype("datetime64[D]").astype(int))
+    assert d0 + 10 <= alarm <= d0 + 13  # fires during the ramp, not before
+    assert out.loc["ramp", "s_max_micro"] > 0
