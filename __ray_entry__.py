@@ -5131,6 +5131,51 @@ def _q_cusum_daily_events(sf_dir: str):
     return cusum_daily(ev, ts_col="ts", key_col="event_type")
 
 
+def _q_deletion_vector_read(sf_dir: str):
+    """Merge-on-read positional deletes end-to-end: documents written
+    as an 8-file snapshot, rows with doc_id % 7 == 3 deleted via
+    (file_path, pos) sidecars, scan drops them per file with zero
+    exchange (pipelines/packing.py:write_position_deletes /
+    read_with_position_deletes).  Oracle = the equivalent id filter."""
+    import os
+
+    import numpy as np
+    import ray.data
+
+    from dots_ocr_ray.pipelines.packing import (
+        read_with_position_deletes,
+        write_position_deletes,
+    )
+
+    base, built = _scratch_dir("posdel", sf_dir)
+    snap = os.path.join(base, "snap")
+    dels = os.path.join(base, "deletes")
+    if not built:
+        def _mod7_is_3(t):
+            import numpy as _np
+            import pyarrow as _pa
+
+            d = t.column("doc_id").to_numpy(zero_copy_only=False).astype(_np.int64)
+            return _pa.table({"doc_id": _pa.array(d[d % 7 == 3], _pa.int64())})
+
+        ids = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id"]
+        ).map_batches(_mod7_is_3, batch_format="pyarrow")
+        del_ids = ids.to_pandas()["doc_id"].to_numpy(np.int64)
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet").repartition(
+            8
+        ).write_parquet(snap)
+        stats = write_position_deletes(
+            snap, id_col="doc_id", delete_ids=del_ids, out_dir=dels
+        )
+        assert stats["n_deletes"] == len(del_ids)
+        with open(os.path.join(base, "_complete"), "w") as f:
+            f.write("ok")
+    return read_with_position_deletes(
+        snap, dels, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    )
+
+
 def _q_host_reciprocity(sf_dir: str):
     """Directed reciprocity of the 40-host link fixture: distinct
     self-loop-free edges hash-joined with their own swapped copy (no
@@ -5907,6 +5952,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "acf_daily_events": _q_acf_daily_events,
         "ks_returned_qty": _q_ks_returned_qty,
         "cusum_daily_events": _q_cusum_daily_events,
+        "deletion_vector_read": _q_deletion_vector_read,
     }
 
 
@@ -7983,5 +8029,9 @@ def oracle_sql() -> dict[str, str]:
             "SELECT k AS key, kv AS k_micro, CAST(max(sv) AS BIGINT) "
             "AS s_max_micro, coalesce(min(CASE WHEN sv >= 3000000 * kv // 1000000 "
             "THEN day END), -1) AS first_alarm_day FROM s GROUP BY k, kv"
+        ),
+        "deletion_vector_read": (
+            "SELECT doc_id, text, lang, source, n_chars FROM documents "
+            "WHERE doc_id % 7 <> 3"
         ),
     }

@@ -533,3 +533,156 @@ def compact_parquet(
         "bytes_in": int(sum(f.size for f in infos)),
         "rows": total_rows,
     }
+
+
+def write_position_deletes(
+    table_dir: str,
+    *,
+    id_col: str,
+    delete_ids: np.ndarray,
+    out_dir: str,
+) -> dict:
+    """Write Iceberg/Delta-style POSITIONAL delete files for a parquet
+    snapshot: one (file_path, pos) row per deleted record, so deletes
+    are a metadata-sized sidecar and the data files stay immutable
+    (merge-on-read, no copy-on-write rewrite of 100-TB data).
+
+    Plan: the file list comes once through ``pyarrow.fs`` (object-store
+    ready), ONE Ray task per data file reads only its id column (row
+    order in a parquet file is the position order), membership is a
+    vectorized ``searchsorted`` against the broadcast sorted delete-id
+    array (deletes are the designed-small side; for a delete set past
+    the broadcast budget, swap in the Bloom-prefilter + verify tier of
+    ``dedup.anti_join_ids`` — same seam), and each task commits its
+    delete file data-then-marker so a crashed run resumes by skipping
+    finished files.  Returns ``{"n_files", "n_deletes"}``."""
+    import json as _json
+
+    from pyarrow.fs import FileSelector
+
+    from dots_ocr_ray.state.manifest import resolve_fs
+
+    fs, root = resolve_fs(table_dir)
+    paths = sorted(
+        f.path
+        for f in fs.get_file_info(FileSelector(root, recursive=True))
+        if f.is_file and f.path.endswith(".parquet")
+    )
+    out_fs, out_root = resolve_fs(out_dir)
+    out_fs.create_dir(out_root, recursive=True)
+    ids_sorted = np.sort(np.asarray(delete_ids, dtype=np.int64))
+    ids_ref = ray.put(ids_sorted)
+
+    items = [
+        {"fid": i, "path": p, "out": out_dir, "table": table_dir}
+        for i, p in enumerate(paths)
+    ]
+
+    def _one_file(batch: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        from dots_ocr_ray.state.manifest import resolve_fs as _rfs
+
+        counts = []
+        for row in batch.to_pylist():
+            fid, path = int(row["fid"]), row["path"]
+            ofs, oroot = _rfs(row["out"])
+            data_name = f"{oroot}/delete-{fid:05d}.parquet"
+            marker = f"{oroot}/delete-{fid:05d}.done"
+            if ofs.get_file_info(marker).type.name != "NotFound":
+                meta = pq.read_table(data_name, filesystem=ofs)
+                counts.append(meta.num_rows)
+                continue
+            dfs, _ = _rfs(row["table"])
+            ids = (
+                pq.read_table(path, columns=[id_col], filesystem=dfs)
+                .column(id_col)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            dels = cached_object(ids_ref)
+            idx = np.searchsorted(dels, ids)
+            idx_c = np.clip(idx, 0, max(len(dels) - 1, 0))
+            hit = (dels[idx_c] == ids) if len(dels) else np.zeros(len(ids), bool)
+            pos = np.nonzero(hit)[0].astype(np.int64)
+            t = pa.table(
+                {
+                    "file_path": pa.array([path] * len(pos), pa.string()),
+                    "pos": pa.array(pos, pa.int64()),
+                }
+            )
+            with ofs.open_output_stream(data_name) as f:
+                pq.write_table(t, f)
+            with ofs.open_output_stream(marker) as f:
+                f.write(b"ok")
+            counts.append(len(pos))
+        return pa.table({"n_deletes": pa.array(counts, pa.int64())})
+
+    folded = (
+        ray.data.from_items(items)
+        .map_batches(_one_file, batch_size=1, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return {"n_files": len(paths), "n_deletes": int(folded["n_deletes"].sum())}
+
+
+def read_with_position_deletes(
+    table_dir: str,
+    deletes_dir: str,
+    *,
+    columns: list[str] | None = None,
+) -> ray.data.Dataset:
+    """Merge-on-read scan of a parquet snapshot with positional delete
+    sidecars (:func:`write_position_deletes`): one Ray task per data
+    file reads the file plus ONLY its own delete rows (predicate
+    pushdown on ``file_path`` against the KB-scale delete sidecars)
+    and drops the deleted positions with a boolean mask — zero
+    exchange, deletes never touch the driver."""
+    from pyarrow.fs import FileSelector
+
+    from dots_ocr_ray.state.manifest import resolve_fs
+
+    fs, root = resolve_fs(table_dir)
+    paths = sorted(
+        f.path
+        for f in fs.get_file_info(FileSelector(root, recursive=True))
+        if f.is_file and f.path.endswith(".parquet")
+    )
+    items = [
+        {"path": p, "deletes": deletes_dir, "table": table_dir} for p in paths
+    ]
+
+    def _scan(batch: pa.Table) -> pa.Table:
+        import pyarrow.dataset as pads
+        import pyarrow.parquet as pq
+
+        from dots_ocr_ray.state.manifest import resolve_fs as _rfs
+
+        out: list[pa.Table] = []
+        for row in batch.to_pylist():
+            path = row["path"]
+            dfs, _ = _rfs(row["table"])
+            t = pq.read_table(path, columns=columns, filesystem=dfs)
+            del_fs, del_root = _rfs(row["deletes"])
+            del_ds = pads.dataset(
+                [
+                    f.path
+                    for f in del_fs.get_file_info(FileSelector(del_root, recursive=True))
+                    if f.is_file and f.path.endswith(".parquet")
+                ],
+                filesystem=del_fs,
+            )
+            pos = (
+                del_ds.to_table(filter=pads.field("file_path") == path)
+                .column("pos")
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            keep = np.ones(t.num_rows, bool)
+            keep[pos] = False
+            out.append(t.filter(pa.array(keep)))
+        return pa.concat_tables(out)
+
+    return ray.data.from_items(items).map_batches(
+        _scan, batch_size=1, batch_format="pyarrow"
+    )

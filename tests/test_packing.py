@@ -362,3 +362,39 @@ def test_cluster_leak_split_no_straddle(ray_session):
         sides[r["cluster_id"]].add(r["split"])
     assert all(len(s) == 1 for s in sides.values())
     assert {s for ss in sides.values() for s in ss} == {"train", "val"}
+
+
+def test_position_deletes_roundtrip(ray_session, tmp_path):
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from dots_ocr_ray.pipelines.packing import (
+        read_with_position_deletes,
+        write_position_deletes,
+    )
+
+    tbl = pa.table(
+        {"id": list(range(100)), "v": [f"row{i}" for i in range(100)]}
+    )
+    snap = str(tmp_path / "snap")
+    dels = str(tmp_path / "dels")
+    ray.data.from_arrow(tbl).repartition(4).write_parquet(snap)
+
+    delete_ids = np.array([0, 5, 17, 42, 99], dtype=np.int64)
+    stats = write_position_deletes(snap, id_col="id", delete_ids=delete_ids, out_dir=dels)
+    assert stats["n_deletes"] == 5 and stats["n_files"] >= 4
+
+    out = read_with_position_deletes(snap, dels).to_pandas()
+    assert len(out) == 95
+    assert set(delete_ids.tolist()).isdisjoint(set(out["id"].tolist()))
+
+    # resume: re-running the write skips finished files, same counts
+    stats2 = write_position_deletes(snap, id_col="id", delete_ids=delete_ids, out_dir=dels)
+    assert stats2["n_deletes"] == 5
+
+    # empty delete set → full table back
+    dels2 = str(tmp_path / "dels2")
+    write_position_deletes(snap, id_col="id", delete_ids=np.array([], np.int64), out_dir=dels2)
+    assert read_with_position_deletes(snap, dels2).count() == 100
