@@ -5470,6 +5470,30 @@ def _q_host_failure_wilson(sf_dir: str):
     return host_failure_wilson(_extract_ds(sf_dir))
 
 
+def _q_hreflang_clusters(sf_dir: str):
+    """i18n alternate-link extraction: fixture pages (HREFLANG_MOD rule
+    plants 2-4 deterministic <link rel=alternate hreflang> head
+    entries) → one row per alternate (doc_id, hreflang, href) via a
+    compiled-regex scan (pipelines/document.py:hreflang_from_pages).
+    Zero-exchange flat explode; the SQL mirror reproduces the fixture
+    arithmetic and excludes the fallback/failed residue classes."""
+    import functools
+
+    import ray.data
+
+    from dots_ocr_ray.fixtures import pages_from_documents_batch
+    from dots_ocr_ray.pipelines.document import hreflang_from_pages
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    pages = docs.map_batches(
+        functools.partial(pages_from_documents_batch, with_hreflang=True),
+        batch_format="pyarrow",
+    )
+    return hreflang_from_pages(pages)
+
+
 def _q_jsonld_metadata(sf_dir: str):
     """Structured-metadata extraction: fixture pages (JSONLD_MOD rule
     plants a deterministic ld+json block on normal docs) → one row per
@@ -5953,6 +5977,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ks_returned_qty": _q_ks_returned_qty,
         "cusum_daily_events": _q_cusum_daily_events,
         "deletion_vector_read": _q_deletion_vector_read,
+        "hreflang_clusters": _q_hreflang_clusters,
     }
 
 
@@ -8033,5 +8058,19 @@ def oracle_sql() -> dict[str, str]:
         "deletion_vector_read": (
             "SELECT doc_id, text, lang, source, n_chars FROM documents "
             "WHERE doc_id % 7 <> 3"
+        ),
+        "hreflang_clusters": (
+            # mirror of the HREFLANG_MOD fixture arithmetic; failed /
+            # fallback residue classes carry no custom head markup
+            "WITH base AS (SELECT doc_id FROM documents WHERE doc_id % 6 = 2 "
+            "AND doc_id % 23 <> 7 AND doc_id % 31 <> 11), "
+            "j AS (SELECT doc_id, unnest(generate_series(0, 1 + doc_id % 3)) "
+            "AS jj FROM base), "
+            "langs(i, l) AS (VALUES (0, 'en'), (1, 'de'), (2, 'fr'), "
+            "(3, 'es'), (4, 'ja'), (5, 'zh')) "
+            "SELECT doc_id, l AS hreflang, 'https://example-' || "
+            "lpad(CAST(doc_id % 40 AS VARCHAR), 2, '0') || '.com/' || l || "
+            "'/doc-' || lpad(CAST(doc_id AS VARCHAR), 6, '0') AS href "
+            "FROM j JOIN langs ON i = (doc_id // 6 + jj) % 6"
         ),
     }

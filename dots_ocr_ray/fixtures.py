@@ -177,6 +177,15 @@ block into normal docs with ``doc_id % JSONLD_MOD == JSONLD_REM``:
 ``(doc_id * 17) % 997 + 10``, datePublished is the page timestamp —
 all SQL-mirrorable arithmetic (the structured-metadata fixture rule)."""
 
+HREFLANG_MOD, HREFLANG_REM = 6, 2
+HREFLANG_LANGS = ("en", "de", "fr", "es", "ja", "zh")
+"""with_hreflang=True embeds ``<link rel="alternate" hreflang=..>``
+head entries into normal docs with ``doc_id % HREFLANG_MOD ==
+HREFLANG_REM``: ``2 + doc_id % 3`` alternates, language j is
+``HREFLANG_LANGS[(doc_id // 6 + j) % 6]`` and its href is the page
+url with a ``/{lang}/`` path segment — all SQL-mirrorable arithmetic
+(the i18n-cluster fixture rule)."""
+
 TABLE_MOD, TABLE_REM = 4, 1
 TABLE_ROWS, TABLE_COLS = 2, 3
 """with_tables=True adds a TABLE_ROWS×TABLE_COLS <table> to normal
@@ -198,7 +207,7 @@ def fixture_table_html(doc_id: int) -> str:
 
 
 def page_row_from_document(
-    doc_id: int, text: str, lang: str, *, with_images: bool = False, with_tables: bool = False, with_jsonld: bool = False
+    doc_id: int, text: str, lang: str, *, with_images: bool = False, with_tables: bool = False, with_jsonld: bool = False, with_hreflang: bool = False
 ) -> dict:
     """Deterministically wrap one `documents` row into a page whose
     extraction output is expressible in SQL (see __ray_entry__.oracle_sql):
@@ -248,12 +257,20 @@ def page_row_from_document(
             f'"datePublished": "{ts.isoformat()}"}}'
             "</script>"
         )
+    hreflang = ""
+    if with_hreflang and doc_id % HREFLANG_MOD == HREFLANG_REM:
+        links = []
+        for j in range(2 + doc_id % 3):
+            alt = HREFLANG_LANGS[(doc_id // HREFLANG_MOD + j) % len(HREFLANG_LANGS)]
+            href = f"https://example-{doc_id % 40:02d}.com/{alt}/doc-{doc_id:06d}"
+            links.append(f'<link rel="alternate" hreflang="{alt}" href="{href}">')
+        hreflang = "".join(links)
     # the nav carries one relative link plus one deterministic
     # cross-site link (the extract_links fixture rule; nav is
     # boilerplate-pruned, so extracted text/spans are unaffected)
     next_href = f"https://example-{(doc_id * 7) % 40:02d}.com/doc-{(doc_id * 13) % 500:06d}"
     page = (
-        "<html><head><title>t</title></head><body>"
+        f"<html><head><title>t</title>{hreflang}</head><body>"
         f'<nav class="nav"><a href="/">Home</a><a href="{next_href}">Next</a></nav>'
         f"<h1>Doc {doc_id}</h1>"
         f"<p>{body}</p>"
@@ -267,11 +284,11 @@ def page_row_from_document(
 
 
 def pages_from_documents_batch(
-    batch: pa.Table, *, with_images: bool = False, with_tables: bool = False, with_jsonld: bool = False
+    batch: pa.Table, *, with_images: bool = False, with_tables: bool = False, with_jsonld: bool = False, with_hreflang: bool = False
 ) -> pa.Table:
     """Vector-friendly batch wrapper used inside map_batches."""
     rows = [
-        page_row_from_document(d, t, lg, with_images=with_images, with_tables=with_tables, with_jsonld=with_jsonld)
+        page_row_from_document(d, t, lg, with_images=with_images, with_tables=with_tables, with_jsonld=with_jsonld, with_hreflang=with_hreflang)
         for d, t, lg in zip(
             batch.column("doc_id").to_pylist(),
             batch.column("text").to_pylist(),

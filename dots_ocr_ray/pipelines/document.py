@@ -856,3 +856,50 @@ def robots_meta_from_pages(pages: "ray.data.Dataset") -> "ray.data.Dataset":
         )
 
     return pages.map_batches(_flags, batch_format="pyarrow")
+
+
+_HREFLANG_RE = None
+
+
+def hreflang_from_pages(pages: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Flat-explode ``<link rel="alternate" hreflang=..>`` entries —
+    the i18n-cluster signal that groups a page with its translations
+    (dedup across locales, bitext mining, per-language routing).
+
+    One output row per alternate link: ``(doc_id, hreflang, href)``.
+    Zero exchange; the compiled regex scans only the html head
+    region's worth of matches (attribute order as emitted by real
+    CMSes: rel, hreflang, href).  Pages without the markup emit
+    nothing — reference analog is the link scanner in
+    dots_ocr/utils/format_transformer.py's attribute walk, rebuilt as
+    one vectorizable pass."""
+    import re
+
+    import pyarrow as pa
+
+    global _HREFLANG_RE
+    if _HREFLANG_RE is None:
+        _HREFLANG_RE = re.compile(
+            rb'<link\s+rel="alternate"\s+hreflang="([^"]+)"\s+href="([^"]+)"',
+        )
+
+    def _explode(batch: pa.Table) -> pa.Table:
+        ids, langs, hrefs = [], [], []
+        for doc_id, html in zip(
+            batch.column("doc_id").to_pylist(), batch.column("html").to_pylist()
+        ):
+            if not html:
+                continue
+            for m in _HREFLANG_RE.finditer(html):
+                ids.append(doc_id)
+                langs.append(m.group(1).decode("utf-8", "replace"))
+                hrefs.append(m.group(2).decode("utf-8", "replace"))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "hreflang": pa.array(langs, pa.string()),
+                "href": pa.array(hrefs, pa.string()),
+            }
+        )
+
+    return pages.map_batches(_explode, batch_format="pyarrow")

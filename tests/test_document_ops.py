@@ -376,3 +376,36 @@ def test_robots_meta_flags_kernel():
     assert robots_meta_flags(b'<meta name="robots" content="nofollowish">') == (1, 0, 0)
     assert robots_meta_flags(b'<meta name="robots" content=" NoIndex ,NOFOLLOW ">') == (1, 1, 1)
     assert robots_meta_flags(b"") == (0, 0, 0)
+
+
+def test_hreflang_from_pages(ray_session):
+    import functools
+
+    import pyarrow as pa
+
+    import ray.data
+
+    from dots_ocr_ray.fixtures import pages_from_documents_batch
+    from dots_ocr_ray.pipelines.document import hreflang_from_pages
+
+    # doc 2: % 6 == 2 → 2 + 2%3 = 4 alternates starting at langs[(0+j)%6]
+    # doc 3: not selected → nothing; doc 7: fallback class (7%23==7) but
+    # 7%6=1 → not selected anyway; doc 8: %6==2, 8//6=1 → starts at 'de'
+    docs = pa.table(
+        {
+            "doc_id": [2, 3, 8],
+            "text": ["alpha", "beta", "gamma"],
+            "lang": ["en", "en", "en"],
+        }
+    )
+    pages = ray.data.from_arrow(docs).map_batches(
+        functools.partial(pages_from_documents_batch, with_hreflang=True),
+        batch_format="pyarrow",
+    )
+    out = hreflang_from_pages(pages).to_pandas()
+    got2 = out[out.doc_id == 2].sort_values("hreflang")
+    assert set(got2["hreflang"]) == {"en", "de", "fr", "es"}
+    assert (out[out.doc_id == 3].shape[0]) == 0
+    got8 = out[out.doc_id == 8]
+    assert list(got8["hreflang"]) == ["de", "fr", "es", "ja"]
+    assert got8.iloc[0]["href"] == "https://example-08.com/de/doc-000008"
