@@ -5494,6 +5494,23 @@ def _q_hreflang_clusters(sf_dir: str):
     return hreflang_from_pages(pages)
 
 
+def _q_neyman_alloc(sf_dir: str):
+    """Neyman-optimal allocation of a 1000-doc labeling budget across
+    language strata by n_chars spread: bounded sufficient-stat fold,
+    one quantization, integer largest-remainder split
+    (pipelines/profile.py:neyman_allocation)."""
+    import ray.data
+
+    from dots_ocr_ray.pipelines.profile import neyman_allocation
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "n_chars"]
+    )
+    return neyman_allocation(
+        docs, group_col="lang", value_col="n_chars", total_n=1000
+    )
+
+
 def _q_jsonld_metadata(sf_dir: str):
     """Structured-metadata extraction: fixture pages (JSONLD_MOD rule
     plants a deterministic ld+json block on normal docs) → one row per
@@ -5978,6 +5995,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cusum_daily_events": _q_cusum_daily_events,
         "deletion_vector_read": _q_deletion_vector_read,
         "hreflang_clusters": _q_hreflang_clusters,
+        "neyman_alloc": _q_neyman_alloc,
     }
 
 
@@ -8072,5 +8090,26 @@ def oracle_sql() -> dict[str, str]:
             "lpad(CAST(doc_id % 40 AS VARCHAR), 2, '0') || '.com/' || l || "
             "'/doc-' || lpad(CAST(doc_id AS VARCHAR), 6, '0') AS href "
             "FROM j JOIN langs ON i = (doc_id // 6 + jj) % 6"
+        ),
+        "neyman_alloc": (
+            "WITH s AS (SELECT lang, CAST(count(*) AS BIGINT) AS n, "
+            "CAST(sum(CAST(floor(n_chars) AS BIGINT)) AS BIGINT) AS sx, "
+            "CAST(sum(CAST(floor(n_chars) AS BIGINT) "
+            "* CAST(floor(n_chars) AS BIGINT)) AS BIGINT) AS sxx "
+            "FROM documents GROUP BY lang), "
+            "w AS (SELECT lang, n, CASE WHEN (sxx * 1.0 / n - sx * 1.0 / n "
+            "* (sx * 1.0 / n)) > 0 THEN CAST(floor(1000000 * (n * sqrt(sxx * 1.0 "
+            "/ n - sx * 1.0 / n * (sx * 1.0 / n)))) AS BIGINT) ELSE 0 END "
+            "AS w_micro FROM s), "
+            "t AS (SELECT CAST(sum(w_micro) AS BIGINT) AS sw FROM w), "
+            "b AS (SELECT lang, n, w_micro, "
+            "CAST(CAST(w_micro AS HUGEINT) * 1000 // sw AS BIGINT) AS base, "
+            "CAST(CAST(w_micro AS HUGEINT) * 1000 % sw AS BIGINT) AS rem "
+            "FROM w, t), "
+            "r AS (SELECT lang, n, w_micro, base, "
+            "row_number() OVER (ORDER BY rem DESC, lang) AS rk, "
+            "(SELECT 1000 - sum(base) FROM b) AS leftover FROM b) "
+            "SELECT lang, n AS stratum_n, w_micro, "
+            "base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS alloc FROM r"
         ),
     }

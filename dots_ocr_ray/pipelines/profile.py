@@ -782,3 +782,87 @@ def cusum_daily(
             "first_alarm_day": pa.array(alarm_day, pa.int64()),
         }
     )
+
+
+def neyman_allocation(
+    ds: ray.data.Dataset,
+    *,
+    group_col: str,
+    value_col: str,
+    total_n: int,
+) -> pa.Table:
+    """Neyman-optimal stratified sample allocation — how many docs to
+    sample from each stratum so a fixed labeling/eval budget minimizes
+    the estimator variance: ``n_h ∝ N_h · S_h`` (stratum size × spread).
+
+    Shape: one bounded exchange of per-stratum int64 sufficient stats
+    (n, Σx, Σx² of the floored values); the driver computes each
+    stratum weight ``floor(1e6 · n·sqrt(var))`` (ONE quantization —
+    after it every step is integer arithmetic, so no float sum ever
+    crosses groups), then splits ``total_n`` by largest-remainder:
+    base ``total·w // Σw`` plus one extra for the largest
+    ``total·w % Σw`` (ties to the smaller group key), mirrored by the
+    SQL oracle's HUGEINT window form."""
+    def _partials(batch: pa.Table) -> pa.Table:
+        keys = batch.column(group_col).to_pylist()
+        x = np.floor(
+            batch.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        ).astype(np.int64)
+        uniq, inv = np.unique(np.asarray(keys, dtype=object), return_inverse=True)
+        cols = {group_col: pa.array([str(u) for u in uniq], pa.string())}
+        for name, vals in (
+            ("n", np.ones(len(x), np.int64)),
+            ("sx", x),
+            ("sxx", x * x),
+        ):
+            acc = np.zeros(len(uniq), np.int64)
+            np.add.at(acc, inv, vals)
+            cols[name] = pa.array(acc, pa.int64())
+        return pa.table(cols)
+
+    folded = (
+        ds.select_columns([group_col, value_col])
+        .map_batches(_partials, batch_format="pyarrow")
+        .groupby(group_col)
+        .aggregate(
+            ray.data.aggregate.Sum(on="n", alias_name="n"),
+            ray.data.aggregate.Sum(on="sx", alias_name="sx"),
+            ray.data.aggregate.Sum(on="sxx", alias_name="sxx"),
+        )
+        .to_pandas()
+        .sort_values(group_col)
+        .reset_index(drop=True)
+    )
+    keys, ns, ws = [], [], []
+    for _, row in folded.iterrows():
+        n, sx, sxx = int(row["n"]), int(row["sx"]), int(row["sxx"])
+        vx = sxx * 1.0 / n - sx * 1.0 / n * (sx * 1.0 / n)
+        w = int(np.floor(1000000 * (n * np.sqrt(vx)))) if vx > 0 else 0
+        keys.append(row[group_col])
+        ns.append(n)
+        ws.append(w)
+    sw = sum(ws)
+    if sw == 0:
+        return pa.table(
+            {
+                group_col: pa.array(keys, pa.string()),
+                "stratum_n": pa.array(ns, pa.int64()),
+                "w_micro": pa.array(ws, pa.int64()),
+                "alloc": pa.array([0] * len(keys), pa.int64()),
+            }
+        )
+    base = [total_n * w // sw for w in ws]
+    rem = [total_n * w % sw for w in ws]
+    left = total_n - sum(base)
+    order = sorted(range(len(keys)), key=lambda i: (-rem[i], keys[i]))
+    alloc = list(base)
+    for i in order[:left]:
+        alloc[i] += 1
+    return pa.table(
+        {
+            group_col: pa.array(keys, pa.string()),
+            "stratum_n": pa.array(ns, pa.int64()),
+            "w_micro": pa.array(ws, pa.int64()),
+            "alloc": pa.array(alloc, pa.int64()),
+        }
+    )

@@ -286,3 +286,32 @@ def test_cusum_daily(ray_session):
     d0 = int(pd.Timestamp("2024-01-01").to_datetime64().astype("datetime64[D]").astype(int))
     assert d0 + 10 <= alarm <= d0 + 13  # fires during the ramp, not before
     assert out.loc["ramp", "s_max_micro"] > 0
+
+
+def test_neyman_allocation(ray_session):
+    from dots_ocr_ray.pipelines.profile import neyman_allocation
+
+    # stratum a: values {0,10} repeated → sd 5, n=4 → w = 4·5 = 20e6
+    # stratum b: values {0,30} repeated → sd 15, n=2 → w = 2·15 = 30e6
+    # stratum c: constant → w 0, alloc 0
+    tbl = pa.table(
+        {
+            "g": ["a"] * 4 + ["b"] * 2 + ["c"] * 3,
+            "v": [0.0, 10.0, 0.0, 10.0, 0.0, 30.0, 7.0, 7.0, 7.0],
+        }
+    )
+    out = (
+        neyman_allocation(
+            ray.data.from_arrow(tbl).repartition(3),
+            group_col="g",
+            value_col="v",
+            total_n=10,
+        )
+        .to_pandas()
+        .set_index("g")
+    )
+    assert out.loc["a", "w_micro"] == 20_000_000
+    assert out.loc["b", "w_micro"] == 30_000_000
+    assert out.loc["c", "w_micro"] == 0 and out.loc["c", "alloc"] == 0
+    assert out.loc["a", "alloc"] == 4 and out.loc["b", "alloc"] == 6
+    assert out["alloc"].sum() == 10
