@@ -5511,6 +5511,37 @@ def _q_neyman_alloc(sf_dir: str):
     )
 
 
+def _q_redirect_chains(sf_dir: str):
+    """Redirect-chain resolution over the deterministic fixture rule
+    (doc_id % 8 in {1,2,3} redirects to doc_id − 1, so chains run up
+    to 3 hops): every source resolves to its terminal target with hop
+    count via the memoized driver tier / pointer-doubling scale tier
+    (pipelines/graph.py:resolve_redirects).  The SQL mirror is the
+    closed-form residue arithmetic."""
+    import numpy as np
+    import ray.data
+
+    from dots_ocr_ray.pipelines.graph import resolve_redirects
+
+    def _edges(t):
+        import numpy as _np
+        import pyarrow as _pa
+
+        d = t.column("doc_id").to_numpy(zero_copy_only=False).astype(_np.int64)
+        s = d[(d % 8 >= 1) & (d % 8 <= 3)]
+        return _pa.table(
+            {
+                "src": _pa.array(s, _pa.int64()),
+                "dst": _pa.array(s - 1, _pa.int64()),
+            }
+        )
+
+    edges = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    ).map_batches(_edges, batch_format="pyarrow")
+    return resolve_redirects(edges, src="src", dst="dst")
+
+
 def _q_jsonld_metadata(sf_dir: str):
     """Structured-metadata extraction: fixture pages (JSONLD_MOD rule
     plants a deterministic ld+json block on normal docs) → one row per
@@ -5996,6 +6027,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "deletion_vector_read": _q_deletion_vector_read,
         "hreflang_clusters": _q_hreflang_clusters,
         "neyman_alloc": _q_neyman_alloc,
+        "redirect_chains": _q_redirect_chains,
     }
 
 
@@ -8111,5 +8143,11 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT 1000 - sum(base) FROM b) AS leftover FROM b) "
             "SELECT lang, n AS stratum_n, w_micro, "
             "base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS alloc FROM r"
+        ),
+        "redirect_chains": (
+            # closed form of the fixture chain rule: residues 1-3 walk
+            # down to the first non-source id below
+            "SELECT doc_id AS src, doc_id - (doc_id % 8) AS final, "
+            "doc_id % 8 AS hops FROM documents WHERE doc_id % 8 IN (1, 2, 3)"
         ),
     }

@@ -3433,3 +3433,206 @@ def reciprocity(
             }
         )
     )
+
+
+def resolve_redirects(
+    edges: ray.data.Dataset,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    edge_budget: int = 2_000_000,
+    max_rounds: int | None = None,
+) -> ray.data.Dataset:
+    """Resolve every redirect SOURCE to its terminal target over a
+    functional graph of (src → dst) redirect edges — the canonical-url
+    chase a crawler runs before frontier dedup (301 chains, meta
+    refresh, URL shorteners).  Output ``(src, final, hops)``; a chain
+    that enters a CYCLE gets ``final = hops = -1`` (the crawler's
+    "redirect loop" verdict).  Duplicate src rows resolve to the MIN
+    dst (deterministic under re-crawled shards).
+
+    Driver tier (edges ≤ ``edge_budget``): memoized iterative chase
+    with on-stack cycle marking — O(V), exact.
+
+    Distributed tier: POINTER DOUBLING — each round one
+    :func:`relational.hash_join` of the pointer table against itself
+    advances every unresolved pointer to its 2^k-th successor and adds
+    the successor's accumulated hop count, so ANY chain resolves in
+    ≤ log2(longest chain) exchanges; ``max_rounds`` defaults to
+    ``ceil(log2(edges)) + 1`` — an acyclic chain cannot be longer than
+    the edge count, so rows still matching a source after that many
+    doublings can only be on/into a cycle and are marked -1 (no wrong
+    partial answer)."""
+    def _as_pair(batch: pa.Table) -> pa.Table:
+        s = batch.column(src).to_numpy(zero_copy_only=False).astype(np.int64)
+        d = batch.column(dst).to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {"a": pa.array(s, pa.int64()), "b": pa.array(d, pa.int64())}
+        )
+
+    def _min_dst(batch: pa.Table) -> pa.Table:
+        return (
+            batch.group_by("a").aggregate([("b", "min")]).rename_columns(["a", "b"])
+        )
+
+    ptr = (
+        edges.map_batches(_as_pair, batch_format="pyarrow")
+        .map_batches(_min_dst, batch_format="pyarrow")
+        .groupby("a")
+        .aggregate(ray.data.aggregate.Min(on="b", alias_name="b"))
+        .materialize()
+    )
+    empty = pa.table(
+        {
+            "src": pa.array([], pa.int64()),
+            "final": pa.array([], pa.int64()),
+            "hops": pa.array([], pa.int64()),
+        }
+    )
+    m = ptr.count()
+    if m == 0:
+        return ray.data.from_arrow(empty)
+
+    if m <= edge_budget:
+        nxt: dict[int, int] = {}
+        for bt in ptr.iter_batches(batch_format="pyarrow"):
+            for a, b in zip(
+                bt.column("a").to_pylist(), bt.column("b").to_pylist()
+            ):
+                nxt[int(a)] = int(b)
+        final: dict[int, tuple[int, int]] = {}
+        for start in nxt:
+            if start in final:
+                continue
+            stack: list[int] = []
+            on_stack: set[int] = set()
+            v = start
+            while v in nxt and v not in final and v not in on_stack:
+                stack.append(v)
+                on_stack.add(v)
+                v = nxt[v]
+            if v in on_stack:  # walked into a new cycle
+                res: tuple[int, int] = (-1, -1)
+            elif v in final:
+                res = final[v]
+            else:  # v is terminal (not a source)
+                res = (v, 0)
+            while stack:
+                u = stack.pop()
+                if res[0] == -1:
+                    final[u] = (-1, -1)
+                else:
+                    final[u] = (res[0], res[1] + 1)
+                    res = final[u]
+        srcs = sorted(final)
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "src": pa.array(srcs, pa.int64()),
+                    "final": pa.array([final[s][0] for s in srcs], pa.int64()),
+                    "hops": pa.array([final[s][1] for s in srcs], pa.int64()),
+                }
+            )
+        )
+
+    from dots_ocr_ray.pipelines.relational import hash_join
+
+    state = ptr.map_batches(
+        lambda t: pa.table(
+            {
+                "node": t.column("a").cast(pa.int64()),
+                "key": t.column("b").cast(pa.int64()),
+                "hops": pa.array(np.ones(t.num_rows, np.int64), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    right_schema = pa.schema([("key", pa.int64()), ("r_nxt", pa.int64()), ("r_hops", pa.int64())])
+    left_schema = pa.schema([("node", pa.int64()), ("key", pa.int64()), ("hops", pa.int64())])
+    if max_rounds is None:
+        max_rounds = int(np.ceil(np.log2(max(m, 2)))) + 1
+    cyclic = False
+    for _ in range(max_rounds):
+        right = state.map_batches(
+            lambda t: pa.table(
+                {
+                    "key": t.column("node").cast(pa.int64()),
+                    "r_nxt": t.column("key").cast(pa.int64()),
+                    "r_hops": t.column("hops").cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        joined = hash_join(
+            state,
+            right,
+            on="key",
+            how="left",
+            left_schema=left_schema,
+            right_schema=right_schema,
+        )
+
+        def _advance(t: pa.Table) -> pa.Table:
+            nxt2 = t.column("r_nxt").to_numpy(zero_copy_only=False)
+            matched = ~pc.is_null(t.column("r_nxt")).to_numpy(
+                zero_copy_only=False
+            )
+            key = t.column("key").to_numpy(zero_copy_only=False).astype(np.int64)
+            hops = t.column("hops").to_numpy(zero_copy_only=False).astype(np.int64)
+            h2 = t.column("r_hops").to_numpy(zero_copy_only=False)
+            new_key = np.where(matched, np.nan_to_num(nxt2.astype(np.float64)), key).astype(np.int64)
+            new_hops = hops + np.where(
+                matched, np.nan_to_num(h2.astype(np.float64)), 0
+            ).astype(np.int64)
+            return pa.table(
+                {
+                    "node": t.column("node").cast(pa.int64()),
+                    "key": pa.array(new_key, pa.int64()),
+                    "hops": pa.array(new_hops, pa.int64()),
+                    "moved": pa.array(matched.astype(np.int64), pa.int64()),
+                }
+            )
+
+        advanced = joined.map_batches(_advance, batch_format="pyarrow").materialize()
+        moved = advanced.sum("moved")
+        state = advanced.drop_columns(["moved"]).materialize()
+        if not moved:
+            break
+    else:
+        cyclic = True
+
+    def _finalize(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src": t.column("node").cast(pa.int64()),
+                "final": t.column("key").cast(pa.int64()),
+                "hops": t.column("hops").cast(pa.int64()),
+            }
+        )
+
+    out = state.map_batches(_finalize, batch_format="pyarrow")
+    if cyclic:
+        # rows whose pointer still targets a source are on/into a cycle
+        srcs_ds = state.map_batches(
+            lambda t: pa.table({"sid": t.column("node").cast(pa.int64())}),
+            batch_format="pyarrow",
+        )
+        from dots_ocr_ray.pipelines.dedup import semi_join_ids
+
+        looped = semi_join_ids(
+            out, srcs_ds, id_col="final", id_cols=("sid",), exact=True
+        ).map_batches(
+            lambda t: pa.table(
+                {
+                    "src": t.column("src").cast(pa.int64()),
+                    "final": pa.array(np.full(t.num_rows, -1, np.int64), pa.int64()),
+                    "hops": pa.array(np.full(t.num_rows, -1, np.int64), pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        from dots_ocr_ray.pipelines.dedup import anti_join_ids
+
+        clean = anti_join_ids(out, srcs_ds, id_col="final", id_cols=("sid",))
+        out = clean.union(looped)
+    return out

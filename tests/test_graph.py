@@ -861,3 +861,55 @@ def test_reciprocity_empty(ray_session):
     edges = pa.table({"src": [5], "dst": [5]})  # self-loop only
     out = reciprocity(ray.data.from_arrow(edges)).to_pandas()
     assert out["n_edges"][0] == 0 and out["reciprocity_micro"][0] == 0
+
+
+def test_resolve_redirects_driver_tier(ray_session):
+    from dots_ocr_ray.pipelines.graph import resolve_redirects
+
+    # chain 3→2→1→0 (0 is terminal), cycle 10→11→10, spur 12→10 (into
+    # the cycle), dup src 3 resolves to min dst
+    edges = pa.table(
+        {
+            "src": [3, 2, 1, 10, 11, 12, 3],
+            "dst": [2, 1, 0, 11, 10, 10, 5],
+        }
+    )
+    out = (
+        resolve_redirects(ray.data.from_arrow(edges).repartition(3))
+        .to_pandas()
+        .set_index("src")
+        .sort_index()
+    )
+    assert out.loc[3, "final"] == 0 and out.loc[3, "hops"] == 3
+    assert out.loc[2, "final"] == 0 and out.loc[2, "hops"] == 2
+    assert out.loc[1, "final"] == 0 and out.loc[1, "hops"] == 1
+    assert out.loc[10, "final"] == -1 and out.loc[10, "hops"] == -1
+    assert out.loc[11, "final"] == -1
+    assert out.loc[12, "final"] == -1  # spur INTO a cycle also loops
+
+
+def test_resolve_redirects_tier_parity(ray_session):
+    import numpy as np
+
+    from dots_ocr_ray.pipelines.graph import resolve_redirects
+
+    rng = np.random.default_rng(7)
+    # random functional graph over 200 nodes: 120 sources each point
+    # somewhere (chains, merges, the odd cycle)
+    srcs = rng.choice(200, size=120, replace=False).astype(np.int64)
+    dsts = rng.integers(0, 200, size=120).astype(np.int64)
+    edges = pa.table({"src": srcs, "dst": dsts})
+    ds = ray.data.from_arrow(edges).repartition(4)
+    drv = (
+        resolve_redirects(ds)
+        .to_pandas()
+        .sort_values("src")
+        .reset_index(drop=True)
+    )
+    dist = (
+        resolve_redirects(ds, edge_budget=1)
+        .to_pandas()
+        .sort_values("src")
+        .reset_index(drop=True)
+    )
+    assert drv.equals(dist)
