@@ -5542,6 +5542,40 @@ def _q_redirect_chains(sf_dir: str):
     return resolve_redirects(edges, src="src", dst="dst")
 
 
+def _q_crawl_budget(sf_dir: str):
+    """Max-min fair split of a capacity = |docs|//3 crawl budget over
+    the 40 fixture hosts: bounded demand fold, integer water level
+    from sorted prefix sums, key-ordered residual
+    (pipelines/graph.py:fair_share_budget)."""
+    import pyarrow.parquet as _pq
+
+    import ray.data
+
+    from dots_ocr_ray.pipelines.graph import fair_share_budget
+
+    n_docs = _pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+
+    def _host_demand(t):
+        import numpy as _np
+        import pyarrow as _pa
+
+        d = t.column("doc_id").to_numpy(zero_copy_only=False).astype(_np.int64)
+        hosts = [f"example-{int(x) % 40:02d}.com" for x in d]
+        return _pa.table(
+            {
+                "host": _pa.array(hosts, _pa.string()),
+                "one": _pa.array(_np.ones(len(d), _np.int64), _pa.int64()),
+            }
+        )
+
+    demands = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    ).map_batches(_host_demand, batch_format="pyarrow")
+    return fair_share_budget(
+        demands, key_col="host", demand_col="one", capacity=n_docs // 3
+    )
+
+
 def _q_jsonld_metadata(sf_dir: str):
     """Structured-metadata extraction: fixture pages (JSONLD_MOD rule
     plants a deterministic ld+json block on normal docs) → one row per
@@ -6028,6 +6062,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hreflang_clusters": _q_hreflang_clusters,
         "neyman_alloc": _q_neyman_alloc,
         "redirect_chains": _q_redirect_chains,
+        "crawl_budget": _q_crawl_budget,
     }
 
 
@@ -8149,5 +8184,32 @@ def oracle_sql() -> dict[str, str]:
             # down to the first non-source id below
             "SELECT doc_id AS src, doc_id - (doc_id % 8) AS final, "
             "doc_id % 8 AS hops FROM documents WHERE doc_id % 8 IN (1, 2, 3)"
+        ),
+        "crawl_budget": (
+            "WITH dem AS (SELECT 'example-' || lpad(CAST(doc_id % 40 AS VARCHAR), "
+            "2, '0') || '.com' AS host, CAST(count(*) AS BIGINT) AS d "
+            "FROM documents GROUP BY 1), "
+            "cap AS (SELECT CAST(count(*) // 3 AS BIGINT) AS c, "
+            "CAST(count(*) AS BIGINT) AS total FROM documents), "
+            "r AS (SELECT host, d, row_number() OVER (ORDER BY d, host) AS i, "
+            "CAST(coalesce(sum(d) OVER (ORDER BY d, host ROWS BETWEEN UNBOUNDED "
+            "PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS p, "
+            "CAST(coalesce(lag(d) OVER (ORDER BY d, host), 0) AS BIGINT) AS lo, "
+            "CAST(count(*) OVER () AS BIGINT) AS h FROM dem), "
+            "tt AS (SELECT CASE WHEN (SELECT sum(d) FROM dem) <= c "
+            "THEN (SELECT max(d) FROM dem) "
+            "ELSE (SELECT max(CASE WHEN lo <= (c - p) // (h - i + 1) "
+            "AND (c - p) // (h - i + 1) < d THEN (c - p) // (h - i + 1) END) "
+            "FROM r) END AS t, c, "
+            "CASE WHEN (SELECT sum(d) FROM dem) <= c THEN 0 ELSE 1 END AS scarce "
+            "FROM cap), "
+            "a AS (SELECT host, d, least(d, t) AS base, t, scarce, "
+            "c - (SELECT sum(least(d, t)) FROM dem, tt) AS leftover FROM dem, tt), "
+            "b AS (SELECT host, d, base, scarce, leftover, CASE WHEN d > "
+            "(SELECT t FROM tt) THEN row_number() OVER (PARTITION BY (d > "
+            "(SELECT t FROM tt)) ORDER BY host) END AS rk FROM a) "
+            "SELECT host, d AS demand, base + CASE WHEN scarce = 1 "
+            "AND rk IS NOT NULL AND rk <= leftover THEN 1 ELSE 0 END AS alloc "
+            "FROM b"
         ),
     }

@@ -3636,3 +3636,72 @@ def resolve_redirects(
         clean = anti_join_ids(out, srcs_ds, id_col="final", id_cols=("sid",))
         out = clean.union(looped)
     return out
+
+
+def fair_share_budget(
+    demands: ray.data.Dataset,
+    *,
+    key_col: str,
+    demand_col: str,
+    capacity: int,
+) -> pa.Table:
+    """Max-min fair (water-filling) division of a fixed crawl budget
+    across hosts: every host gets its full demand if it fits under the
+    water level t, everyone larger gets t — the politeness-constrained
+    scheduler split that neither starves small hosts nor lets a mega
+    host eat the budget.
+
+    Integer-exact: t is the LARGEST integer with ``Σ min(d_h, t) ≤ C``
+    found from the demand-sorted prefix sums (for each sorted row i,
+    candidate ``(C − P_{i−1}) // (H−i+1)``, valid when it lands in
+    ``[d_{i−1}, d_i)``); the residual ``C − Σ min(d_h, t)`` (provably
+    < #unsaturated) goes +1 each to the unsaturated hosts in key
+    order.  Shape: one bounded (key, demand) fold; the driver loop and
+    the SQL oracle's window form compute the identical closed form."""
+    folded = (
+        demands.select_columns([key_col, demand_col])
+        .map_batches(
+            lambda t: t.group_by(key_col)
+            .aggregate([(demand_col, "sum")])
+            .rename_columns([key_col, "d"]),
+            batch_format="pyarrow",
+        )
+        .groupby(key_col)
+        .aggregate(ray.data.aggregate.Sum(on="d", alias_name="d"))
+        .to_pandas()
+        .sort_values(["d", key_col])
+        .reset_index(drop=True)
+    )
+    d = folded["d"].astype(int).tolist()
+    keys = folded[key_col].tolist()
+    H = len(d)
+    total = sum(d)
+    if total <= capacity:
+        t = d[-1] if d else 0
+        alloc = list(d)
+    else:
+        prefix = 0
+        t = 0
+        for i in range(H):  # row i+1 in the 1-indexed closed form
+            rem = H - i
+            cand = (capacity - prefix) // rem
+            lo = d[i - 1] if i > 0 else 0
+            if lo <= cand < d[i]:
+                t = cand
+                break
+            prefix += d[i]
+        alloc = [min(x, t) for x in d]
+        leftover = capacity - sum(alloc)
+        bonus_order = sorted(
+            (i for i in range(H) if d[i] > t), key=lambda i: keys[i]
+        )
+        for i in bonus_order[:leftover]:
+            alloc[i] += 1
+    out = sorted(zip(keys, d, alloc))
+    return pa.table(
+        {
+            key_col: pa.array([k for k, _, _ in out], pa.string()),
+            "demand": pa.array([x for _, x, _ in out], pa.int64()),
+            "alloc": pa.array([a for _, _, a in out], pa.int64()),
+        }
+    )

@@ -913,3 +913,40 @@ def test_resolve_redirects_tier_parity(ray_session):
         .reset_index(drop=True)
     )
     assert drv.equals(dist)
+
+
+def test_fair_share_budget(ray_session):
+    from dots_ocr_ray.pipelines.graph import fair_share_budget
+
+    # demands a=2, b=5, c=10, capacity 9 → water level t = 3
+    # (min: 2+3+3 = 8 ≤ 9 < 2+4+4), residual 1 goes to 'b' (key order)
+    tbl = pa.table(
+        {
+            "k": ["a"] * 2 + ["b"] * 5 + ["c"] * 10,
+            "one": [1] * 17,
+        }
+    )
+    out = (
+        fair_share_budget(
+            ray.data.from_arrow(tbl).repartition(3),
+            key_col="k",
+            demand_col="one",
+            capacity=9,
+        )
+        .to_pandas()
+        .set_index("k")
+    )
+    assert out.loc["a", "alloc"] == 2
+    assert out.loc["b", "alloc"] == 4
+    assert out.loc["c", "alloc"] == 3
+    assert out["alloc"].sum() == 9
+
+    # abundant capacity → everyone saturated, nothing over-allocated
+    out2 = (
+        fair_share_budget(
+            ray.data.from_arrow(tbl), key_col="k", demand_col="one", capacity=100
+        )
+        .to_pandas()
+        .set_index("k")
+    )
+    assert out2["alloc"].tolist() == out2["demand"].tolist()
