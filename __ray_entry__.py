@@ -7969,13 +7969,15 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents GROUP BY lang, source), "
             "rt AS (SELECT lang, CAST(sum(n) AS BIGINT) AS ra FROM c GROUP BY lang), "
             "ct AS (SELECT source, CAST(sum(n) AS BIGINT) AS cb FROM c GROUP BY source), "
-            "tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c) "
-            "SELECT c.lang, c.source, c.n, "
+            "tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c), "
+            "x AS (SELECT rt.lang, ct.source, ra, cb, "
+            "CAST(coalesce(c.n, 0) AS BIGINT) AS n FROM rt CROSS JOIN ct "
+            "LEFT JOIN c ON c.lang = rt.lang AND c.source = ct.source) "
+            "SELECT lang, source, n, "
             "CAST(floor(1000000 * (ra * 1.0 * cb / total)) AS BIGINT) AS expected_micro, "
-            "CAST(floor(1000000 * ((c.n - ra * 1.0 * cb / total) "
-            "* (c.n - ra * 1.0 * cb / total) / (ra * 1.0 * cb / total))) AS BIGINT) "
-            "AS chi2_term_micro "
-            "FROM c JOIN rt USING (lang) JOIN ct USING (source) CROSS JOIN tot"
+            "CAST(floor(1000000 * ((n - ra * 1.0 * cb / total) "
+            "* (n - ra * 1.0 * cb / total) / (ra * 1.0 * cb / total))) AS BIGINT) "
+            "AS chi2_term_micro FROM x CROSS JOIN tot"
         ),
         "mannwhitney_returned": (
             "WITH v AS (SELECT CAST(floor(l_quantity) AS BIGINT) AS val, "

@@ -3413,7 +3413,7 @@ def reciprocity(
     def _swap(batch: pa.Table) -> pa.Table:
         k = batch.column("key").to_numpy(zero_copy_only=False).astype(np.int64)
         rev = (k & np.int64(0xFFFFFFFF)) << np.int64(32) | (k >> np.int64(32))
-        return pa.table({"key": pa.array(rev, type=pa.int64()), "m": pa.array(np.ones(len(rev), np.int64))})
+        return pa.table({"key": pa.array(rev, type=pa.int64())})
 
     joined = hash_join(
         distinct,
@@ -3573,17 +3573,30 @@ def resolve_redirects(
         )
 
         def _advance(t: pa.Table) -> pa.Table:
-            nxt2 = t.column("r_nxt").to_numpy(zero_copy_only=False)
             matched = ~pc.is_null(t.column("r_nxt")).to_numpy(
                 zero_copy_only=False
             )
             key = t.column("key").to_numpy(zero_copy_only=False).astype(np.int64)
             hops = t.column("hops").to_numpy(zero_copy_only=False).astype(np.int64)
-            h2 = t.column("r_hops").to_numpy(zero_copy_only=False)
-            new_key = np.where(matched, np.nan_to_num(nxt2.astype(np.float64)), key).astype(np.int64)
-            new_hops = hops + np.where(
-                matched, np.nan_to_num(h2.astype(np.float64)), 0
-            ).astype(np.int64)
+            # fill_null keeps the path int64 end-to-end: a float round
+            # trip would corrupt ids above 2^53 (hash-derived 60-bit
+            # node ids are the normal case at scale)
+            nxt2 = (
+                t.column("r_nxt")
+                .combine_chunks()
+                .fill_null(0)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            h2 = (
+                t.column("r_hops")
+                .combine_chunks()
+                .fill_null(0)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            new_key = np.where(matched, nxt2, key)
+            new_hops = hops + np.where(matched, h2, 0)
             return pa.table(
                 {
                     "node": t.column("node").cast(pa.int64()),

@@ -571,6 +571,24 @@ def write_position_deletes(
     out_fs, out_root = resolve_fs(out_dir)
     out_fs.create_dir(out_root, recursive=True)
     ids_sorted = np.sort(np.asarray(delete_ids, dtype=np.int64))
+    # the per-file .done markers only make a rerun with the SAME
+    # delete set resumable; a different set into the same sidecar dir
+    # would silently return stale deletes — refuse it instead
+    digest = md5_hex(ids_sorted.tobytes())[:16]
+    digest_marker = f"{out_root}/_deleteset-{digest}"
+    existing = [
+        f.base_name
+        for f in out_fs.get_file_info(FileSelector(out_root, recursive=False))
+        if f.is_file and f.base_name.startswith("_deleteset-")
+    ]
+    if existing and existing != [f"_deleteset-{digest}"]:
+        raise ValueError(
+            f"{out_dir} already holds delete sidecars for a different "
+            f"delete-id set ({existing[0]}); write to a fresh directory"
+        )
+    if not existing:
+        with out_fs.open_output_stream(digest_marker) as f:
+            f.write(b"ok")
     ids_ref = ray.put(ids_sorted)
 
     items = [
@@ -648,6 +666,12 @@ def read_with_position_deletes(
         for f in fs.get_file_info(FileSelector(root, recursive=True))
         if f.is_file and f.path.endswith(".parquet")
     )
+    del_fs0, del_root0 = resolve_fs(deletes_dir)
+    sidecars = sorted(
+        f.path
+        for f in del_fs0.get_file_info(FileSelector(del_root0, recursive=True))
+        if f.is_file and f.path.endswith(".parquet")
+    )
     items = [
         {"path": p, "deletes": deletes_dir, "table": table_dir} for p in paths
     ]
@@ -663,15 +687,8 @@ def read_with_position_deletes(
             path = row["path"]
             dfs, _ = _rfs(row["table"])
             t = pq.read_table(path, columns=columns, filesystem=dfs)
-            del_fs, del_root = _rfs(row["deletes"])
-            del_ds = pads.dataset(
-                [
-                    f.path
-                    for f in del_fs.get_file_info(FileSelector(del_root, recursive=True))
-                    if f.is_file and f.path.endswith(".parquet")
-                ],
-                filesystem=del_fs,
-            )
+            del_fs, _ = _rfs(row["deletes"])
+            del_ds = pads.dataset(sidecars, filesystem=del_fs)
             pos = (
                 del_ds.to_table(filter=pads.field("file_path") == path)
                 .column("pos")

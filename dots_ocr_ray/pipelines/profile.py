@@ -302,19 +302,28 @@ def chi2_independence(
     row_tot = folded.groupby(a_col)["n"].sum().to_dict()
     col_tot = folded.groupby(b_col)["n"].sum().to_dict()
     total = int(folded["n"].sum())
-    exp_micro, chi_micro = [], []
-    for _, row in folded.iterrows():
-        ra = int(row_tot[row[a_col]])
-        cb = int(col_tot[row[b_col]])
-        n = int(row["n"])
-        e = ra * 1.0 * cb / total
-        exp_micro.append(int(np.floor(1000000 * e)))
-        chi_micro.append(int(np.floor(1000000 * ((n - e) * (n - e) / e))))
+    observed = {
+        (row[a_col], row[b_col]): int(row["n"]) for _, row in folded.iterrows()
+    }
+    # the statistic needs EVERY marginal cell: a zero-observed cell
+    # contributes its full expected count ((0−e)²/e = e) — exactly the
+    # strong-drift case the screen exists for
+    a_keys, b_keys, ns, exp_micro, chi_micro = [], [], [], [], []
+    for a in sorted(row_tot):
+        for b in sorted(col_tot):
+            ra, cb = int(row_tot[a]), int(col_tot[b])
+            n = observed.get((a, b), 0)
+            e = ra * 1.0 * cb / total
+            a_keys.append(a)
+            b_keys.append(b)
+            ns.append(n)
+            exp_micro.append(int(np.floor(1000000 * e)))
+            chi_micro.append(int(np.floor(1000000 * ((n - e) * (n - e) / e))))
     return pa.table(
         {
-            a_col: pa.array(folded[a_col].tolist(), pa.string()),
-            b_col: pa.array(folded[b_col].tolist(), pa.string()),
-            "n": pa.array(folded["n"].astype(int).tolist(), pa.int64()),
+            a_col: pa.array(a_keys, pa.string()),
+            b_col: pa.array(b_keys, pa.string()),
+            "n": pa.array(ns, pa.int64()),
             "expected_micro": pa.array(exp_micro, pa.int64()),
             "chi2_term_micro": pa.array(chi_micro, pa.int64()),
         }
@@ -382,8 +391,14 @@ def mann_whitney_u(
     u2_a = r2a - na * (na + 1)
     u2_b = 2 * na * nb - u2_a
     tie = int((folded["n_v"].astype(int) ** 3 - folded["n_v"].astype(int)).sum())
-    var = na * 1.0 * nb / 12 * ((n + 1) - tie * 1.0 / (n * 1.0 * (n - 1)))
-    z = (u2_a / 2.0 - na * 1.0 * nb / 2) / np.sqrt(var)
+    # degenerate inputs (one group empty, n<2, or every value tied to
+    # one floor bucket) have zero rank variance: report z = 0 rather
+    # than dividing by it — the statistic carries no signal there
+    if na == 0 or nb == 0 or n < 2:
+        var = 0.0
+    else:
+        var = na * 1.0 * nb / 12 * ((n + 1) - tie * 1.0 / (n * 1.0 * (n - 1)))
+    z = (u2_a / 2.0 - na * 1.0 * nb / 2) / np.sqrt(var) if var > 0 else 0.0
     return pa.table(
         {
             "n_a": pa.array([na], pa.int64()),
@@ -458,9 +473,17 @@ def spearman_corr(
         sxx += c * a * a
         syy += c * b * b
         sxy += c * a * b
+    empty = pa.table(
+        {"n": pa.array([], pa.int64()), "rho_micro": pa.array([], pa.int64())}
+    )
+    if n < 2:
+        return empty
     cov = sxy * 1.0 / n - sx * 1.0 / n * (sy * 1.0 / n)
     vx = sxx * 1.0 / n - sx * 1.0 / n * (sx * 1.0 / n)
     vy = syy * 1.0 / n - sy * 1.0 / n * (sy * 1.0 / n)
+    if vx <= 0 or vy <= 0:
+        # a constant axis after flooring has no rank order to correlate
+        return empty
     rho = cov / np.sqrt(vx * vy)
     return pa.table(
         {
@@ -476,7 +499,7 @@ def pearson_by_key(
     key_col: str,
     x_col: str,
     y_col: str,
-) -> ray.data.Dataset:
+) -> pa.Table:
     """Per-group Pearson correlation from exact integer sufficient
     stats: x and y are FLOORED to integer units first (correlation is
     scale-invariant, and floor has no half-tie rule), each batch ships
@@ -549,24 +572,14 @@ def pearson_by_key(
     )
 
 
-def autocorr_daily(
-    ds: ray.data.Dataset,
-    *,
-    ts_col: str,
-    key_col: str,
-    lags: tuple[int, ...] = (1, 7),
-) -> pa.Table:
-    """Per-key lag-k autocorrelation of the DAILY event-count series —
-    the seasonality probe (lag 1 = day-to-day persistence, lag 7 =
-    weekly rhythm) a crawl scheduler reads before smoothing traffic.
+def _daily_counts(
+    ds: ray.data.Dataset, *, ts_col: str, key_col: str
+) -> "pd.DataFrame":
+    """Shared calendar-bounded (key, epoch-day, n) fold for the daily
+    time-series detectors (:func:`autocorr_daily`, :func:`cusum_daily`)
+    — one place owns the day-bucketing rule."""
+    import pandas as pd  # noqa: F401 (return type)
 
-    Shape: one bounded exchange folds (key, day, n) partials (pyarrow
-    group_by per batch — exchange ∝ keys × days, calendar-bounded);
-    the driver pairs each day with day+k (missing days drop out, a
-    self-join semantics the SQL oracle mirrors literally) and computes
-    Pearson r from EXACT int64 sufficient stats with the same
-    divide-by-n-first closed form as :func:`pearson_by_key`,
-    micro-floored.  Zero-variance or <2-pair series are dropped."""
     def _partials(batch: pa.Table) -> pa.Table:
         days = (
             batch.column(ts_col)
@@ -586,7 +599,7 @@ def autocorr_daily(
             .rename_columns(["k", "day", "n"])
         )
 
-    daily = (
+    return (
         ds.select_columns([key_col, ts_col])
         .map_batches(_partials, batch_format="pyarrow")
         .groupby(["k", "day"])
@@ -594,6 +607,27 @@ def autocorr_daily(
         .to_pandas()
         .rename(columns={"sum(n)": "n"})
     )
+
+
+def autocorr_daily(
+    ds: ray.data.Dataset,
+    *,
+    ts_col: str,
+    key_col: str,
+    lags: tuple[int, ...] = (1, 7),
+) -> pa.Table:
+    """Per-key lag-k autocorrelation of the DAILY event-count series —
+    the seasonality probe (lag 1 = day-to-day persistence, lag 7 =
+    weekly rhythm) a crawl scheduler reads before smoothing traffic.
+
+    Shape: one bounded exchange folds (key, day, n) partials (pyarrow
+    group_by per batch — exchange ∝ keys × days, calendar-bounded);
+    the driver pairs each day with day+k (missing days drop out, a
+    self-join semantics the SQL oracle mirrors literally) and computes
+    Pearson r from EXACT int64 sufficient stats with the same
+    divide-by-n-first closed form as :func:`pearson_by_key`,
+    micro-floored.  Zero-variance or <2-pair series are dropped."""
+    daily = _daily_counts(ds, ts_col=ts_col, key_col=key_col)
     keys_out, lags_out, ns_out, rs_out = [], [], [], []
     for key, grp in daily.groupby("k"):
         series = dict(zip(grp["day"].astype(int), grp["n"].astype(int)))
@@ -678,8 +712,19 @@ def ks_two_sample(
         .sort_values("val")
         .reset_index(drop=True)
     )
-    na = int(folded["ca"].sum())
-    nb = int(folded["cb"].sum())
+    na = int(folded["ca"].sum()) if len(folded) else 0
+    nb = int(folded["cb"].sum()) if len(folded) else 0
+    if na == 0 or nb == 0:
+        # one side empty (absent group label / empty input): there is
+        # no two-sample comparison to make — return the empty result
+        return pa.table(
+            {
+                "n_a": pa.array([], pa.int64()),
+                "n_b": pa.array([], pa.int64()),
+                "d2": pa.array([], pa.int64()),
+                "ks_micro": pa.array([], pa.int64()),
+            }
+        )
     cum_a = folded["ca"].cumsum().astype(int)
     cum_b = folded["cb"].cumsum().astype(int)
     d2 = int((cum_a * nb - cum_b * na).abs().max())
@@ -716,33 +761,7 @@ def cusum_daily(
     arithmetic over its day list.  Missing days count as 0 — a silent
     day pulls the statistic DOWN, which is the operationally right
     reading for traffic ramps."""
-    def _partials(batch: pa.Table) -> pa.Table:
-        days = (
-            batch.column(ts_col)
-            .to_numpy(zero_copy_only=False)
-            .astype("datetime64[D]")
-            .astype(np.int64)
-        )
-        t = pa.table(
-            {
-                "k": batch.column(key_col).cast(pa.string()),
-                "day": pa.array(days, pa.int64()),
-            }
-        )
-        return (
-            t.group_by(["k", "day"])
-            .aggregate([([], "count_all")])
-            .rename_columns(["k", "day", "n"])
-        )
-
-    daily = (
-        ds.select_columns([key_col, ts_col])
-        .map_batches(_partials, batch_format="pyarrow")
-        .groupby(["k", "day"])
-        .sum("n")
-        .to_pandas()
-        .rename(columns={"sum(n)": "n"})
-    )
+    daily = _daily_counts(ds, ts_col=ts_col, key_col=key_col)
     keys, s_max, alarm_day, kvals = [], [], [], []
     for key, grp in daily.groupby("k"):
         grp = grp.sort_values("day")

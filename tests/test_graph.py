@@ -950,3 +950,18 @@ def test_fair_share_budget(ray_session):
         .set_index("k")
     )
     assert out2["alloc"].tolist() == out2["demand"].tolist()
+
+
+def test_resolve_redirects_large_ids_distributed(ray_session):
+    from dots_ocr_ray.pipelines.graph import resolve_redirects
+
+    # hash-scale ids above 2^53: a float round-trip would corrupt them
+    a, b, c = 2**60 + 1, 2**60 + 4, 2**60 + 8
+    edges = pa.table({"src": [a, b], "dst": [b, c]})
+    out = (
+        resolve_redirects(ray.data.from_arrow(edges), edge_budget=1)
+        .to_pandas()
+        .set_index("src")
+    )
+    assert out.loc[a, "final"] == c and out.loc[a, "hops"] == 2
+    assert out.loc[b, "final"] == c and out.loc[b, "hops"] == 1

@@ -398,3 +398,25 @@ def test_position_deletes_roundtrip(ray_session, tmp_path):
     dels2 = str(tmp_path / "dels2")
     write_position_deletes(snap, id_col="id", delete_ids=np.array([], np.int64), out_dir=dels2)
     assert read_with_position_deletes(snap, dels2).count() == 100
+
+
+def test_position_deletes_rejects_different_id_set(ray_session, tmp_path):
+    import numpy as np
+    import pyarrow as pa
+    import pytest
+
+    import ray.data
+
+    from dots_ocr_ray.pipelines.packing import write_position_deletes
+
+    tbl = pa.table({"id": list(range(20)), "v": ["x"] * 20})
+    snap = str(tmp_path / "snap")
+    dels = str(tmp_path / "dels")
+    ray.data.from_arrow(tbl).repartition(2).write_parquet(snap)
+    write_position_deletes(
+        snap, id_col="id", delete_ids=np.array([1, 2], np.int64), out_dir=dels
+    )
+    with pytest.raises(ValueError, match="different"):
+        write_position_deletes(
+            snap, id_col="id", delete_ids=np.array([3], np.int64), out_dir=dels
+        )

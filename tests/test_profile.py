@@ -315,3 +315,48 @@ def test_neyman_allocation(ray_session):
     assert out.loc["c", "w_micro"] == 0 and out.loc["c", "alloc"] == 0
     assert out.loc["a", "alloc"] == 4 and out.loc["b", "alloc"] == 6
     assert out["alloc"].sum() == 10
+
+
+def test_stats_degenerate_inputs(ray_session):
+    from dots_ocr_ray.pipelines.profile import (
+        chi2_independence,
+        ks_two_sample,
+        mann_whitney_u,
+        spearman_corr,
+    )
+
+    # group label absent → MW reports z=0, KS returns the empty result
+    one_sided = pa.table({"v": [1.0, 2.0, 3.0], "g": ["b", "b", "b"]})
+    mw = mann_whitney_u(
+        ray.data.from_arrow(one_sided), value_col="v", group_col="g", group_a="a"
+    ).to_pandas()
+    assert mw.loc[0, "n_a"] == 0 and mw.loc[0, "z_micro"] == 0
+    ks = ks_two_sample(
+        ray.data.from_arrow(one_sided), value_col="v", group_col="g", group_a="a"
+    ).to_pandas()
+    assert len(ks) == 0
+
+    # all values tied to one floor bucket → zero rank variance, z=0
+    tied = pa.table({"v": [2.0, 2.0, 2.0, 2.0], "g": ["a", "a", "b", "b"]})
+    mw2 = mann_whitney_u(
+        ray.data.from_arrow(tied), value_col="v", group_col="g", group_a="a"
+    ).to_pandas()
+    assert mw2.loc[0, "z_micro"] == 0
+
+    # constant axis → Spearman returns the empty result
+    const = pa.table({"x": [1.0, 1.0, 1.0], "y": [1.0, 2.0, 3.0]})
+    sp = spearman_corr(ray.data.from_arrow(const), x_col="x", y_col="y").to_pandas()
+    assert len(sp) == 0
+
+    # chi2 includes the zero-observed cell with term = expected
+    skew = pa.table({"a": ["p", "p", "q"], "b": ["x", "y", "x"]})
+    chi = (
+        chi2_independence(ray.data.from_arrow(skew), a_col="a", b_col="b")
+        .to_pandas()
+        .set_index(["a", "b"])
+    )
+    assert ("q", "y") in chi.index
+    assert chi.loc[("q", "y"), "n"] == 0
+    # e = 1*1/3; term = e → both micro-floored to 333333
+    assert chi.loc[("q", "y"), "expected_micro"] == 333333
+    assert chi.loc[("q", "y"), "chi2_term_micro"] == 333333
