@@ -5576,6 +5576,52 @@ def _q_crawl_budget(sf_dir: str):
     )
 
 
+def _q_wmedian_qty_by_flag(sf_dir: str):
+    """Revenue-weighted median order quantity per returnflag: bounded
+    (key, value, Σcents) fold, doubled-cumulative-weight integer rule
+    (pipelines/profile.py:weighted_median_by_key)."""
+    import ray.data
+
+    from dots_ocr_ray.pipelines.profile import weighted_median_by_key
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"],
+    )
+    return weighted_median_by_key(
+        li,
+        key_col="l_returnflag",
+        value_col="l_quantity",
+        weight_col="l_extendedprice",
+    )
+
+
+def _q_theil_sources(sf_dir: str):
+    """Theil T concentration of documents across sources: bounded
+    count fold, term-local micro quantization (order-independent sum)
+    (pipelines/profile.py:theil_index)."""
+    import ray.data
+
+    from dots_ocr_ray.pipelines.profile import theil_index
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["source"])
+    return theil_index(docs, key_col="source")
+
+
+def _q_fano_daily_events(sf_dir: str):
+    """Per-type Fano factor (burstiness) of zero-filled daily event
+    counts: observed-day sufficient stats + true span length, no
+    generate_series needed (pipelines/profile.py:fano_daily)."""
+    import ray.data
+
+    from dots_ocr_ray.pipelines.profile import fano_daily
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type"]
+    )
+    return fano_daily(ev, ts_col="ts", key_col="event_type")
+
+
 def _q_jsonld_metadata(sf_dir: str):
     """Structured-metadata extraction: fixture pages (JSONLD_MOD rule
     plants a deterministic ld+json block on normal docs) → one row per
@@ -6063,6 +6109,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neyman_alloc": _q_neyman_alloc,
         "redirect_chains": _q_redirect_chains,
         "crawl_budget": _q_crawl_budget,
+        "wmedian_qty_by_flag": _q_wmedian_qty_by_flag,
+        "theil_sources": _q_theil_sources,
+        "fano_daily_events": _q_fano_daily_events,
     }
 
 
@@ -8213,5 +8262,39 @@ def oracle_sql() -> dict[str, str]:
             "SELECT host, d AS demand, base + CASE WHEN scarce = 1 "
             "AND rk IS NOT NULL AND rk <= leftover THEN 1 ELSE 0 END AS alloc "
             "FROM b"
+        ),
+        "wmedian_qty_by_flag": (
+            "WITH p AS (SELECT l_returnflag AS k, "
+            "CAST(floor(l_quantity) AS BIGINT) AS val, "
+            "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) "
+            "AS w FROM lineitem GROUP BY 1, 2), "
+            "c AS (SELECT k, val, CAST(sum(w) OVER (PARTITION BY k ORDER BY val "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum, "
+            "CAST(sum(w) OVER (PARTITION BY k) AS BIGINT) AS tot FROM p) "
+            "SELECT k AS l_returnflag, "
+            "min(CASE WHEN 2 * cum >= tot THEN val END) AS wmedian, "
+            "min(tot) AS total_weight_cents FROM c GROUP BY k"
+        ),
+        "theil_sources": (
+            "WITH dem AS (SELECT source, CAST(count(*) AS BIGINT) AS n "
+            "FROM documents GROUP BY source), "
+            "t AS (SELECT CAST(sum(n) AS BIGINT) AS total, "
+            "CAST(count(*) AS BIGINT) AS h FROM dem) "
+            "SELECT h AS n_keys, total, "
+            "CAST(sum(CAST(floor(1000000 * ((n * 1.0 / total) "
+            "* ln(n * 1.0 * h / total))) AS BIGINT)) AS BIGINT) AS theil_micro "
+            "FROM dem, t GROUP BY h, total"
+        ),
+        "fano_daily_events": (
+            "WITH d AS (SELECT event_type, CAST(CAST(date_trunc('day', ts) "
+            "AS DATE) - DATE '1970-01-01' AS BIGINT) AS day, "
+            "CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2), "
+            "s AS (SELECT event_type, max(day) - min(day) + 1 AS nd, "
+            "CAST(sum(n) AS BIGINT) AS s1, CAST(sum(n * n) AS BIGINT) AS s2 "
+            "FROM d GROUP BY event_type) "
+            "SELECT event_type AS key, nd AS n_days, "
+            "CAST(floor(1000000 * ((s2 * 1.0 / nd - (s1 * 1.0 / nd) "
+            "* (s1 * 1.0 / nd)) / (s1 * 1.0 / nd))) AS BIGINT) AS fano_micro "
+            "FROM s WHERE s1 > 0"
         ),
     }

@@ -885,3 +885,156 @@ def neyman_allocation(
             "alloc": pa.array(alloc, pa.int64()),
         }
     )
+
+
+def weighted_median_by_key(
+    ds: ray.data.Dataset,
+    *,
+    key_col: str,
+    value_col: str,
+    weight_col: str,
+) -> pa.Table:
+    """Per-group WEIGHTED median over a bounded-cardinality value
+    column (e.g. the revenue-weighted median order quantity): the
+    robust center that answers "where does the money sit" rather than
+    "where do the rows sit".
+
+    Shape: one bounded (key, value, Σweight) fold (values floored to
+    integer units, weights to cents); the median is the smallest value
+    whose doubled cumulative weight reaches the total
+    (``2·cum ≥ W``) — all-integer, mirrored by the SQL oracle's
+    window-cumsum form."""
+    def _partials(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key_col).to_pylist()
+        vals = np.floor(
+            batch.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        ).astype(np.int64)
+        w = np.round(
+            batch.column(weight_col).to_numpy(zero_copy_only=False).astype(np.float64)
+            * 100
+        ).astype(np.int64)
+        t = pa.table(
+            {
+                "k": pa.array([str(x) for x in keys], pa.string()),
+                "val": pa.array(vals, pa.int64()),
+                "w": pa.array(w, pa.int64()),
+            }
+        )
+        return t.group_by(["k", "val"]).aggregate([("w", "sum")]).rename_columns(
+            ["k", "val", "w"]
+        )
+
+    folded = (
+        ds.select_columns([key_col, value_col, weight_col])
+        .map_batches(_partials, batch_format="pyarrow")
+        .groupby(["k", "val"])
+        .sum("w")
+        .to_pandas()
+        .rename(columns={"sum(w)": "w"})
+        .sort_values(["k", "val"])
+    )
+    keys, medians, totals = [], [], []
+    for key, grp in folded.groupby("k", sort=True):
+        total = int(grp["w"].sum())
+        if total <= 0:
+            continue
+        cum = grp["w"].cumsum()
+        med = int(grp.loc[(2 * cum >= total).idxmax(), "val"])
+        keys.append(key)
+        medians.append(med)
+        totals.append(total)
+    return pa.table(
+        {
+            key_col: pa.array(keys, pa.string()),
+            "wmedian": pa.array(medians, pa.int64()),
+            "total_weight_cents": pa.array(totals, pa.int64()),
+        }
+    )
+
+
+def theil_index(
+    ds: ray.data.Dataset,
+    *,
+    key_col: str,
+) -> pa.Table:
+    """Theil T inequality index of the per-key row-count distribution
+    — the decomposable concentration measure ("how unevenly is the
+    corpus spread over hosts") that complements the Gini the repo
+    already ships.
+
+    Quantized for engine-independent exactness (the entropy trick):
+    each key's term ``floor(1e6 · (n_h/X)·ln(n_h·H/X))`` is an int64,
+    so the final sum is order-independent; mirrored literally by the
+    SQL oracle.  One bounded (key, n) fold."""
+    folded = (
+        ds.select_columns([key_col])
+        .map_batches(
+            lambda t: t.group_by(key_col)
+            .aggregate([([], "count_all")])
+            .rename_columns([key_col, "n"]),
+            batch_format="pyarrow",
+        )
+        .groupby(key_col)
+        .sum("n")
+        .to_pandas()
+        .rename(columns={"sum(n)": "n"})
+        .sort_values(key_col)
+    )
+    total = int(folded["n"].sum())
+    h = len(folded)
+    if total == 0 or h == 0:
+        return pa.table(
+            {
+                "n_keys": pa.array([], pa.int64()),
+                "total": pa.array([], pa.int64()),
+                "theil_micro": pa.array([], pa.int64()),
+            }
+        )
+    terms = 0
+    for n in folded["n"].astype(int):
+        terms += int(np.floor(1e6 * ((n * 1.0 / total) * np.log(n * 1.0 * h / total))))
+    return pa.table(
+        {
+            "n_keys": pa.array([h], pa.int64()),
+            "total": pa.array([total], pa.int64()),
+            "theil_micro": pa.array([terms], pa.int64()),
+        }
+    )
+
+
+def fano_daily(
+    ds: ray.data.Dataset,
+    *,
+    ts_col: str,
+    key_col: str,
+) -> pa.Table:
+    """Per-key Fano factor (index of dispersion, var/mean) of the
+    ZERO-FILLED daily count series — burstiness in one number: ≈1 is
+    Poisson-like arrivals, ≫1 is bursty crawl traffic.
+
+    Zero days need no generate_series: they add nothing to Σn or Σn²
+    and the day span ``d1 − d0 + 1`` is the true series length, so the
+    whole statistic folds from the observed (key, day, n) rows
+    (:func:`_daily_counts`).  Population variance, divide-first,
+    micro-floored, operand order mirrored by the SQL oracle."""
+    daily = _daily_counts(ds, ts_col=ts_col, key_col=key_col)
+    keys, spans, fanos = [], [], []
+    for key, grp in daily.groupby("k", sort=True):
+        d0, d1 = int(grp["day"].min()), int(grp["day"].max())
+        nd = d1 - d0 + 1
+        s1 = int(grp["n"].sum())
+        s2 = int((grp["n"].astype(int) ** 2).sum())
+        if s1 == 0:
+            continue
+        mean = s1 * 1.0 / nd
+        var = s2 * 1.0 / nd - mean * mean
+        keys.append(key)
+        spans.append(nd)
+        fanos.append(int(np.floor(1000000 * (var / mean))))
+    return pa.table(
+        {
+            "key": pa.array(keys, pa.string()),
+            "n_days": pa.array(spans, pa.int64()),
+            "fano_micro": pa.array(fanos, pa.int64()),
+        }
+    )

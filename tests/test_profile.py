@@ -360,3 +360,82 @@ def test_stats_degenerate_inputs(ray_session):
     # e = 1*1/3; term = e → both micro-floored to 333333
     assert chi.loc[("q", "y"), "expected_micro"] == 333333
     assert chi.loc[("q", "y"), "chi2_term_micro"] == 333333
+
+
+def test_weighted_median_by_key(ray_session):
+    from dots_ocr_ray.pipelines.profile import weighted_median_by_key
+
+    # key a: values 1 (weight 1.00), 2 (0.50), 3 (0.10): W=160 cents,
+    # cum at 1 = 100, 2·100 ≥ 160 → wmedian 1.  key b: equal weights
+    # on {1,2}: cum at 1 = 100, 2·100 ≥ 200 → wmedian 1 (lower tie).
+    tbl = pa.table(
+        {
+            "k": ["a", "a", "a", "b", "b"],
+            "v": [1.0, 2.0, 3.0, 2.0, 1.0],
+            "w": [1.00, 0.50, 0.10, 1.00, 1.00],
+        }
+    )
+    out = (
+        weighted_median_by_key(
+            ray.data.from_arrow(tbl).repartition(2),
+            key_col="k",
+            value_col="v",
+            weight_col="w",
+        )
+        .to_pandas()
+        .set_index("k")
+    )
+    assert out.loc["a", "wmedian"] == 1 and out.loc["a", "total_weight_cents"] == 160
+    assert out.loc["b", "wmedian"] == 1
+
+
+def test_theil_index(ray_session):
+    import numpy as np
+
+    from dots_ocr_ray.pipelines.profile import theil_index
+
+    # perfectly even: 3 keys × 2 rows → every term ln(1) = 0
+    even = pa.table({"k": ["a", "a", "b", "b", "c", "c"]})
+    out = theil_index(ray.data.from_arrow(even), key_col="k").to_pandas()
+    assert out.loc[0, "theil_micro"] == 0 and out.loc[0, "n_keys"] == 3
+
+    # concentrated: counts 4 and 1 → positive index, exact quantized sum
+    skew = pa.table({"k": ["a"] * 4 + ["b"]})
+    out2 = theil_index(ray.data.from_arrow(skew), key_col="k").to_pandas()
+    want = int(np.floor(1e6 * (4 / 5 * np.log(4 * 2 / 5)))) + int(
+        np.floor(1e6 * (1 / 5 * np.log(1 * 2 / 5)))
+    )
+    assert out2.loc[0, "theil_micro"] == want and want > 0
+
+
+def test_fano_daily(ray_session):
+    import pandas as pd
+
+    from dots_ocr_ray.pipelines.profile import fano_daily
+
+    # constant 2/day over 4 days → var 0 → fano 0; bursty 8 on one of
+    # 4 days (zero-filled) → mean 2, var = (64/4 − 4) = 12 → fano 6
+    days = pd.date_range("2024-01-01", periods=4, freq="D")
+    ts, ks = [], []
+    for d in days:
+        for _ in range(2):
+            ts.append(d)
+            ks.append("flat")
+    for _ in range(8):
+        ts.append(days[0])
+        ks.append("burst")
+    ts.append(days[3])  # pin burst's span to 4 days with one extra event
+    ks.append("burst")
+    tbl = pa.table({"ts": pa.array(ts, pa.timestamp("us")), "event_type": ks})
+    out = (
+        fano_daily(
+            ray.data.from_arrow(tbl).repartition(2), ts_col="ts", key_col="event_type"
+        )
+        .to_pandas()
+        .set_index("key")
+    )
+    assert out.loc["flat", "fano_micro"] == 0
+    # burst: counts [8,0,0,1] → s1=9, s2=65, nd=4, mean=2.25,
+    # var=16.25−5.0625=11.1875 → fano≈4.9722
+    assert out.loc["burst", "n_days"] == 4
+    assert out.loc["burst", "fano_micro"] == int(1e6 * 11.1875 / 2.25)
