@@ -1599,6 +1599,22 @@ def _q_kmeans_clusters(sf_dir: str):
     return kmeans_assign(ds)
 
 
+def _q_silhouette_clusters(sf_dir: str):
+    """Per-cluster simplified silhouette over the k-means cells:
+    shared quantized per-point kernel, bounded (cluster, n, Σs) fold,
+    integer floor-div means
+    (pipelines/similarity.py:silhouette_by_cluster).  Golden-parquet
+    oracle (make_golden.golden_silhouette_clusters)."""
+    import ray.data
+
+    from dots_ocr_ray.pipelines.similarity import silhouette_by_cluster
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return silhouette_by_cluster(ds)
+
+
 def _q_semdedup_docs(sf_dir: str):
     """SemDeDup semantic pruning (Abbas et al. 2023): k-means
     partition, then within-cluster cosine-threshold dedup keeping the
@@ -6112,6 +6128,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wmedian_qty_by_flag": _q_wmedian_qty_by_flag,
         "theil_sources": _q_theil_sources,
         "fano_daily_events": _q_fano_daily_events,
+        "silhouette_clusters": _q_silhouette_clusters,
     }
 
 
@@ -6655,6 +6672,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_persisted": f"SELECT query_id, vec_id, rank FROM read_parquet('{_GOLDEN_DIR}/ann_ivf_topk.parquet')",
         "ann_pq_topk": f"SELECT query_id, vec_id, rank FROM read_parquet('{_GOLDEN_DIR}/ann_pq_topk.parquet')",
         "kmeans_clusters": f"SELECT vec_id, cluster_id, sim FROM read_parquet('{_GOLDEN_DIR}/kmeans_clusters.parquet')",
+        "silhouette_clusters": f"SELECT cluster_id, n, mean_s_micro FROM read_parquet('{_GOLDEN_DIR}/silhouette_clusters.parquet')",
         "semdedup_docs": f"SELECT vec_id, cluster_id, kept FROM read_parquet('{_GOLDEN_DIR}/semdedup_docs.parquet')",
         "dsir_scores": f"SELECT doc_id, logw, n_feats FROM read_parquet('{_GOLDEN_DIR}/dsir_scores.parquet')",
         "incremental_minhash": f"SELECT doc_id, text FROM read_parquet('{_GOLDEN_DIR}/incremental_minhash.parquet')",

@@ -1232,3 +1232,94 @@ def ivf_query_index(
         _Score, batch_format="pyarrow", concurrency=concurrency or autoscale_pool()
     )
     return _merge_topk(partials, k)
+
+
+def silhouette_terms_matrix(
+    mat: np.ndarray, centroids: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Pure simplified-silhouette kernel shared by the Ray stage and
+    the sequential golden oracle: cosine distance to the OWN centroid
+    (a) vs the nearest OTHER centroid (b), ``s = (b − a) / max(a, b)``
+    quantized per point to ``floor(1e6·s)`` so downstream sums are
+    order-independent.  Same round-to-9 tie discipline as
+    :func:`assign_clusters_matrix`.  Returns (cluster_id int32,
+    s_micro int64)."""
+    unit = _normalize_rows(mat.astype(np.float64))
+    sims = np.round(unit @ centroids.astype(np.float64).T, 9)
+    cid = np.argmax(sims, axis=1).astype(np.int32)
+    idx = np.arange(len(cid))
+    own = sims[idx, cid]
+    masked = sims.copy()
+    masked[idx, cid] = -np.inf
+    second = masked.max(axis=1)
+    a = 1.0 - own
+    b = 1.0 - second
+    denom = np.maximum(a, b)
+    s = np.where(denom > 0, (b - a) / np.where(denom > 0, denom, 1.0), 0.0)
+    return cid, np.floor(1e6 * s).astype(np.int64)
+
+
+def silhouette_by_cluster(
+    ds: ray.data.Dataset,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_clusters: int = 8,
+    train_sample: int = 512,
+    kmeans_iters: int = 5,
+) -> pa.Table:
+    """Per-cluster SIMPLIFIED silhouette score — the clustering-quality
+    eval that says which k-means cells are tight vs mush, without the
+    O(n²) pairwise matrix of the full silhouette (a = own-centroid
+    distance, b = nearest-other-centroid distance; Hartigan-style
+    centroid surrogate).
+
+    Same train seam as :func:`kmeans_assign` (deterministic bottom-k
+    hash sample, broadcast centroids); each batch emits bounded
+    (cluster, n, Σs_micro) partials from the shared quantized kernel
+    (:func:`silhouette_terms_matrix`), and the driver's per-cluster
+    mean is integer floor division — no float crosses rows anywhere."""
+    sample = hash_sample_matrix(ds, vec_col=vec_col, id_col=id_col, n=train_sample)
+    centroids = train_kmeans(sample, n_clusters, kmeans_iters)
+    centroids_ref = ray.put(centroids)
+
+    from dots_ocr_ray.util import cached_object, vec_matrix
+
+    def _partials(batch: pa.Table) -> pa.Table:
+        cents = cached_object(centroids_ref)
+        mat = vec_matrix(batch.column(vec_col), dtype=np.float32)
+        cid, s_micro = silhouette_terms_matrix(mat, cents)
+        uniq, inv = np.unique(cid, return_inverse=True)
+        n = np.zeros(len(uniq), np.int64)
+        ssum = np.zeros(len(uniq), np.int64)
+        np.add.at(n, inv, 1)
+        np.add.at(ssum, inv, s_micro)
+        return pa.table(
+            {
+                "cluster_id": pa.array(uniq.astype(np.int32), pa.int32()),
+                "n": pa.array(n, pa.int64()),
+                "ssum": pa.array(ssum, pa.int64()),
+            }
+        )
+
+    folded = (
+        ds.map_batches(_partials, batch_format="pyarrow")
+        .groupby("cluster_id")
+        .aggregate(
+            ray.data.aggregate.Sum(on="n", alias_name="n"),
+            ray.data.aggregate.Sum(on="ssum", alias_name="ssum"),
+        )
+        .to_pandas()
+        .sort_values("cluster_id")
+        .reset_index(drop=True)
+    )
+    return pa.table(
+        {
+            "cluster_id": pa.array(folded["cluster_id"].astype(int), pa.int32()),
+            "n": pa.array(folded["n"].astype(int), pa.int64()),
+            "mean_s_micro": pa.array(
+                [int(s) // int(n) for s, n in zip(folded["ssum"], folded["n"])],
+                pa.int64(),
+            ),
+        }
+    )

@@ -265,3 +265,32 @@ def test_pq_rejects_indivisible_subspaces():
 
     with pytest.raises(ValueError):
         pq_train_codebooks(np.zeros((10, 10)), m=3)
+
+
+def test_silhouette_terms_and_cluster_means(ray_session):
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from dots_ocr_ray.pipelines.similarity import (
+        silhouette_by_cluster,
+        silhouette_terms_matrix,
+    )
+
+    # two orthogonal tight clusters: every point sits exactly on its
+    # centroid → a = 0, b = 1 → s = 1 (1e6 micro)
+    cents = np.array([[1.0, 0.0], [0.0, 1.0]], dtype=np.float64)
+    mat = np.array([[1.0, 0.0], [1.0, 0.0], [0.0, 1.0]], dtype=np.float32)
+    cid, s = silhouette_terms_matrix(mat, cents)
+    assert cid.tolist() == [0, 0, 1]
+    assert s.tolist() == [1_000_000, 1_000_000, 1_000_000]
+
+    # end-to-end over the fixture embeddings: sane bounds, full cover
+    ds = ray.data.read_parquet(
+        f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    out = silhouette_by_cluster(ds).to_pandas()
+    assert out["n"].sum() == ds.count()
+    assert (out["mean_s_micro"] > -1_000_000).all()
+    assert (out["mean_s_micro"] <= 1_000_000).all()

@@ -51,6 +51,7 @@ from dots_ocr_ray.pipelines.document import split_words_midpoints  # noqa: E402
 from dots_ocr_ray.pipelines.similarity import (  # noqa: E402
     assign_clusters_matrix,
     knuth_hash32,
+    silhouette_terms_matrix,
     train_kmeans,
 )
 
@@ -531,6 +532,37 @@ def golden_kmeans_clusters(
             "vec_id": pa.array(ids, type=pa.int64()),
             "cluster_id": pa.array(cid, type=pa.int32()),
             "sim": pa.array(sim, type=pa.float64()),
+        }
+    )
+
+
+
+def golden_silhouette_clusters(
+    sf_dir: str, *, n_clusters: int = 8, train_sample: int = 512, kmeans_iters: int = 5
+) -> pa.Table:
+    """Sequential mirror of pipelines.similarity.silhouette_by_cluster:
+    same bottom-k hash sample, same train_kmeans, same quantized
+    per-point kernel (silhouette_terms_matrix), integer floor-div
+    per-cluster mean."""
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = t.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    mat = np.asarray(t.column("embedding").to_pylist(), dtype=np.float32)
+    h = knuth_hash32(ids)
+    order = np.lexsort((ids, h))[:train_sample]
+    sample = _normalize_rows(mat[order].astype(np.float32))
+    centroids = train_kmeans(sample, n_clusters, kmeans_iters)
+    cid, s_micro = silhouette_terms_matrix(mat, centroids)
+    out_cid, out_n, out_mean = [], [], []
+    for c in sorted(set(cid.tolist())):
+        m = cid == c
+        out_cid.append(int(c))
+        out_n.append(int(m.sum()))
+        out_mean.append(int(s_micro[m].sum()) // int(m.sum()))
+    return pa.table(
+        {
+            "cluster_id": pa.array(out_cid, type=pa.int32()),
+            "n": pa.array(out_n, type=pa.int64()),
+            "mean_s_micro": pa.array(out_mean, type=pa.int64()),
         }
     )
 
@@ -1586,6 +1618,7 @@ def golden_dedup_eval(sf_dir: str, *, threshold: float = 0.95) -> pa.Table:
 
 GOLDEN_BUILDERS = {
     "kmeans_clusters": golden_kmeans_clusters,
+    "silhouette_clusters": golden_silhouette_clusters,
     "semdedup_docs": golden_semdedup_docs,
     "dsir_scores": golden_dsir_scores,
     "dsir_sample": golden_dsir_sample,
