@@ -2740,14 +2740,21 @@ def _q_event_funnel(sf_dir: str):
 
 def _q_shipping_priority(sf_dir: str):
     """TPC-H Q3 shape: three-table join (customer segment filter →
-    orders semi-join → lineitem revenue rollup).  Lineitem revenue
-    pre-aggregates per order BEFORE the join (combiner); the segment
-    filter is the BUDGETED semi-join tier (sorted-array broadcast
-    under the driver limit; EXACT Bloom-prefilter + hash semi-join
-    above it, because this filter defines the output — dedup.
-    semi_join_ids(exact=True)), the revenue⨝orders join is the distributed
-    hash_join, and the top-10 reduces through per-batch local top-k
-    partials — the driver never sees more than 10 rows per block."""
+    orders semi-join → lineitem revenue rollup).  The segment filter
+    is the BUDGETED semi-join tier (sorted-array broadcast under the
+    driver limit; EXACT Bloom-prefilter + hash semi-join above it,
+    because this filter defines the output — dedup.semi_join_ids
+    (exact=True)); lineitem is pre-filtered to the surviving order
+    keys by the SAME budgeted semi-join BEFORE any rollup (two-sided
+    Q3 pushdown), the per-order revenue reduces through ONE
+    bucket-keyed exchange with a vectorized lexsort+reduceat fold
+    (Python cost O(buckets), not O(orders) — the native per-key Sum
+    measured ~6 s at 150k orders; cent-scale integer quantities make
+    the deterministic-order sum reproducible), the tiny revenue⨝orders
+    join is the distributed hash_join, and the top-10 reduces through
+    per-batch local top-k partials — the driver never sees more than
+    10 rows per block."""
+    import numpy as np
     import pyarrow as pa
     import pyarrow.compute as pc
 
@@ -2755,7 +2762,6 @@ def _q_shipping_priority(sf_dir: str):
 
     from dots_ocr_ray.pipelines.dedup import semi_join_ids
     from dots_ocr_ray.pipelines.relational import hash_join
-    from dots_ocr_ray.util import bounded_blocks
 
     cutoff = pa.scalar(__import__("datetime").datetime(1998, 1, 1))
 
@@ -2764,39 +2770,41 @@ def _q_shipping_priority(sf_dir: str):
         columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
     )
 
-    def _rev_partial(batch: pa.Table) -> pa.Table:
+    NUM_BUCKETS = 64
+
+    def _rev_rows(batch: pa.Table) -> pa.Table:
         batch = batch.filter(pc.greater(batch.column("l_shipdate"), cutoff))
+        ok = batch.column("l_orderkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        h = (ok.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
         rev = pc.multiply(
             batch.column("l_extendedprice"),
             pc.subtract(pa.scalar(1.0), batch.column("l_discount")),
         )
-        agg = (
-            pa.table({"l_orderkey": batch.column("l_orderkey"), "revenue": rev})
-            .group_by("l_orderkey")
-            .aggregate([("revenue", "sum")])
-        )
         return pa.table(
             {
-                "l_orderkey": agg.column("l_orderkey"),
-                "revenue": agg.column("revenue_sum"),
+                "bucket": pa.array((h % np.uint64(NUM_BUCKETS)).astype(np.int64)),
+                "l_orderkey": pa.array(ok, pa.int64()),
+                "rev": rev,
             }
         )
 
-    revenue = (
-        bounded_blocks(lineitem.map_batches(_rev_partial, batch_format="pyarrow"))
-        .groupby("l_orderkey")
-        .sum("revenue")
-    )
-
-    def _rename_rev(batch: pa.Table) -> pa.Table:
+    def _rev_reduce(group: pa.Table) -> pa.Table:
+        # vectorized per-order sum inside one bucket group; lexsort on
+        # (rev, orderkey) fixes the float-addition order independent of
+        # block arrival, so the sum is bit-reproducible across runs
+        ok = group.column("l_orderkey").to_numpy(zero_copy_only=False)
+        rv = group.column("rev").to_numpy(zero_copy_only=False)
+        order = np.lexsort((rv, ok))
+        ok, rv = ok[order], rv[order]
+        new_ord = np.ones(len(ok), bool)
+        new_ord[1:] = ok[1:] != ok[:-1]
+        starts = np.nonzero(new_ord)[0]
         return pa.table(
             {
-                "l_orderkey": batch.column("l_orderkey"),
-                "revenue": batch.column("sum(revenue)"),
+                "l_orderkey": pa.array(ok[starts], pa.int64()),
+                "revenue": pa.array(np.add.reduceat(rv, starts), pa.float64()),
             }
         )
-
-    revenue = revenue.map_batches(_rename_rev, batch_format="pyarrow")
 
     customer = ray.data.read_parquet(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
@@ -2821,6 +2829,20 @@ def _q_shipping_priority(sf_dir: str):
         id_cols=("c_custkey",),
         exact=True,  # output-defining filter: Bloom over-keep would
         # admit non-BUILDING orders into the revenue at >2M customers
+    ).materialize()
+
+    # two-sided pushdown: only lineitems of surviving orders enter the
+    # revenue rollup (same budgeted exact semi-join tiering — sorted
+    # int64 broadcast under the limit, Bloom+hash semi-join above)
+    lineitem_kept = semi_join_ids(
+        lineitem.map_batches(_rev_rows, batch_format="pyarrow"),
+        orders_building,
+        id_col="l_orderkey",
+        id_cols=("o_orderkey",),
+        exact=True,
+    )
+    revenue = lineitem_kept.groupby("bucket").map_groups(
+        _rev_reduce, batch_format="pyarrow"
     )
 
     def _rename_ok(batch: pa.Table) -> pa.Table:
