@@ -5898,6 +5898,18 @@ def _q_skyline_orders(sf_dir: str):
     return skyline_2d(orders, "o_totalprice", "o_orderdate")
 
 
+def _q_part_affinity(sf_dir: str):
+    """Market-basket association rules over (order, part) baskets:
+    one bucket-keyed exchange co-locates each order's parts, pair
+    emission vectorized per basket-size class, bounded rule table with
+    integer-exact confidence/lift micros
+    (pipelines/basket.py:association_rules).  SQL oracle: distinct
+    self-join + integer-division mirror."""
+    from dots_ocr_ray.pipelines.basket import part_affinity
+
+    return part_affinity(sf_dir, min_support=2)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction (the flagship; SQL mirrors the deterministic wrapper)
@@ -6052,6 +6064,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_order_priority": _q_lineitem_order_priority,
         "supplier_stats": _q_supplier_stats,
         "part_stats": _q_part_stats,
+        "part_affinity": _q_part_affinity,
         "quality_filter_docs": _q_quality_filter_docs,
         "docs_outside_blocklist": _q_docs_outside_blocklist,
         "nations_with_presence": _q_nations_with_presence,
@@ -7673,6 +7686,20 @@ def oracle_sql() -> dict[str, str]:
             "SELECT p_brand, CAST(count(*) AS BIGINT) AS n_parts, "
             "round(sum(p_retailprice) / count(*), 2) AS avg_price "
             "FROM part GROUP BY p_brand"
+        ),
+        "part_affinity": (
+            "WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), "
+            "pc AS (SELECT a.l_partkey AS item_a, b.l_partkey AS item_b, "
+            "count(*) AS support FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey "
+            "AND a.l_partkey < b.l_partkey GROUP BY 1, 2 HAVING count(*) >= 2), "
+            "ic AS (SELECT l_partkey, count(*) AS n_i FROM op GROUP BY 1), "
+            "tot AS (SELECT count(DISTINCT l_orderkey) AS n FROM lineitem) "
+            "SELECT item_a, item_b, support, "
+            "CAST((1000000::HUGEINT * support) // ia.n_i AS BIGINT) AS conf_micro, "
+            "CAST((1000000::HUGEINT * support * tot.n) // (ia.n_i * ib.n_i) AS BIGINT) "
+            "AS lift_micro "
+            "FROM pc JOIN ic ia ON pc.item_a = ia.l_partkey "
+            "JOIN ic ib ON pc.item_b = ib.l_partkey CROSS JOIN tot"
         ),
         "sliding_events": (
             "SELECT event_type, ws AS window_start, round(sum(value), 4) AS sum_value, "
