@@ -5898,6 +5898,23 @@ def _q_skyline_orders(sf_dir: str):
     return skyline_2d(orders, "o_totalprice", "o_orderdate")
 
 
+def _q_preference_pairs(sf_dir: str):
+    """RLHF preference-pair construction: per (lang, source) group,
+    the top-alpha-score doc (chosen, tie -> min id) paired with the
+    bottom one (rejected, tie -> max id); bounded per-batch fold +
+    tiny driver merge, zero exchange
+    (pipelines/curation.py:preference_pairs).  SQL oracle: two QUALIFY
+    row_number windows over the mirrored integer score."""
+    import ray.data
+
+    from dots_ocr_ray.pipelines.curation import preference_pairs
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang", "source"]
+    )
+    return preference_pairs(docs)
+
+
 def _q_part_affinity(sf_dir: str):
     """Market-basket association rules over (order, part) baskets:
     one bucket-keyed exchange co-locates each order's parts, pair
@@ -6065,6 +6082,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_stats": _q_supplier_stats,
         "part_stats": _q_part_stats,
         "part_affinity": _q_part_affinity,
+        "preference_pairs": _q_preference_pairs,
         "quality_filter_docs": _q_quality_filter_docs,
         "docs_outside_blocklist": _q_docs_outside_blocklist,
         "nations_with_presence": _q_nations_with_presence,
@@ -7700,6 +7718,22 @@ def oracle_sql() -> dict[str, str]:
             "AS lift_micro "
             "FROM pc JOIN ic ia ON pc.item_a = ia.l_partkey "
             "JOIN ic ib ON pc.item_b = ib.l_partkey CROSS JOIN tot"
+        ),
+        "preference_pairs": (
+            "WITH s AS (SELECT doc_id, lang, source, "
+            "CASE WHEN length(text) = 0 THEN 0 ELSE "
+            "CAST((1000000::BIGINT * length(regexp_replace(text, '[^A-Za-z]', '', 'g'))) "
+            "// length(text) AS BIGINT) END AS score FROM documents), "
+            "g AS (SELECT lang, source, count(*) AS n FROM s GROUP BY 1, 2), "
+            "c AS (SELECT lang, source, doc_id AS chosen_id, score AS cs FROM s "
+            "QUALIFY row_number() OVER (PARTITION BY lang, source "
+            "ORDER BY score DESC, doc_id) = 1), "
+            "r AS (SELECT lang, source, doc_id AS rejected_id, score AS rs FROM s "
+            "QUALIFY row_number() OVER (PARTITION BY lang, source "
+            "ORDER BY score ASC, doc_id DESC) = 1) "
+            "SELECT c.lang, c.source, chosen_id, rejected_id, cs - rs AS margin_micro "
+            "FROM c JOIN r USING (lang, source) JOIN g USING (lang, source) "
+            "WHERE g.n >= 2"
         ),
         "sliding_events": (
             "SELECT event_type, ws AS window_start, round(sum(value), 4) AS sum_value, "

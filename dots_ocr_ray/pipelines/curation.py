@@ -290,3 +290,141 @@ def ngram_decontaminate(
         return out
 
     return docs.map_batches(_apply, batch_format="pyarrow")
+
+
+# --- preference-pair construction -----------------------------------------
+
+def alpha_score_micro(texts: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """Integer-exact quality proxy: floor(1e6 * alpha_chars / chars)
+    per text (0 for empty).  Pure Arrow kernels (count_substring_regex
+    + utf8_length) shared by the Ray fold and mirrored literally by
+    the SQL oracle's regexp_replace/length arithmetic."""
+    import pyarrow.compute as pc
+
+    n_alpha = pc.count_substring_regex(texts, "[A-Za-z]").to_numpy(
+        zero_copy_only=False
+    ).astype(np.int64)
+    n_chars = pc.utf8_length(texts).to_numpy(zero_copy_only=False).astype(np.int64)
+    out = np.zeros(len(n_chars), dtype=np.int64)
+    nz = n_chars > 0
+    out[nz] = (1_000_000 * n_alpha[nz]) // n_chars[nz]
+    return out
+
+
+def _pref_fold(keys: np.ndarray, score: np.ndarray, ids: np.ndarray):
+    """(key -> n, best_score/best_id, worst_score/worst_id) with the
+    deterministic tie rules: chosen = max score then MIN id; rejected
+    = min score then MAX id.  Vectorized run-start selection over two
+    lexsorts; mergeable (fold of folds = fold)."""
+    order = np.lexsort((ids, -score, keys))
+    k_s, s_s, i_s = keys[order], score[order], ids[order]
+    starts = np.concatenate([[0], np.nonzero(np.diff(k_s))[0] + 1])
+    uniq = k_s[starts]
+    n = np.diff(np.concatenate([starts, [len(k_s)]]))
+    best_s, best_i = s_s[starts], i_s[starts]
+    order2 = np.lexsort((-ids, score, keys))
+    s2, i2 = score[order2], ids[order2]
+    starts2 = np.concatenate([[0], np.nonzero(np.diff(keys[order2]))[0] + 1])
+    worst_s, worst_i = s2[starts2], i2[starts2]
+    return uniq, n, best_s, best_i, worst_s, worst_i
+
+
+def preference_pairs(
+    docs: "ray.data.Dataset",
+    *,
+    group_cols: tuple[str, str] = ("lang", "source"),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> pa.Table:
+    """RLHF-style preference-pair construction: within every
+    (lang, source) group, pair the highest-quality document (chosen)
+    with the lowest-quality one (rejected) under the integer alpha
+    score; groups with fewer than 2 docs emit nothing.
+
+    Scale shape: per-batch vectorized fold to ONE row per group per
+    batch (group cardinality is bounded — langs × sources), tiny
+    driver merge; zero exchange.  Output: (lang, source, chosen_id,
+    rejected_id, margin_micro)."""
+    ga, gb = group_cols
+
+    def _partials(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    ga: pa.array([], type=pa.string()),
+                    gb: pa.array([], type=pa.string()),
+                    "n": pa.array([], type=pa.int64()),
+                    "best_s": pa.array([], type=pa.int64()),
+                    "best_i": pa.array([], type=pa.int64()),
+                    "worst_s": pa.array([], type=pa.int64()),
+                    "worst_i": pa.array([], type=pa.int64()),
+                }
+            )
+        a = batch.column(ga).to_pylist()
+        b = batch.column(gb).to_pylist()
+        combo = np.array([f"{x}\x1f{y}" for x, y in zip(a, b)])
+        uniq_c, codes = np.unique(combo, return_inverse=True)
+        score = alpha_score_micro(batch.column(text_col))
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, n, bs, bi, ws, wi = _pref_fold(codes.astype(np.int64), score, ids)
+        la, sb = zip(*(uniq_c[u].split("\x1f", 1) for u in uniq))
+        return pa.table(
+            {
+                ga: pa.array(list(la), type=pa.string()),
+                gb: pa.array(list(sb), type=pa.string()),
+                "n": pa.array(n, type=pa.int64()),
+                "best_s": pa.array(bs, type=pa.int64()),
+                "best_i": pa.array(bi, type=pa.int64()),
+                "worst_s": pa.array(ws, type=pa.int64()),
+                "worst_i": pa.array(wi, type=pa.int64()),
+            }
+        )
+
+    parts = docs.map_batches(_partials, batch_format="pyarrow")
+    rows: list[dict] = []
+    for t in parts.iter_batches(batch_format="pyarrow"):
+        rows.extend(t.to_pylist())
+    if not rows:
+        return pa.table(
+            {
+                ga: pa.array([], type=pa.string()),
+                gb: pa.array([], type=pa.string()),
+                "chosen_id": pa.array([], type=pa.int64()),
+                "rejected_id": pa.array([], type=pa.int64()),
+                "margin_micro": pa.array([], type=pa.int64()),
+            }
+        )
+    # driver merge of the bounded partial table with the same tie rules
+    merged: dict[tuple[str, str], list] = {}
+    for r in rows:
+        key = (r[ga], r[gb])
+        m = merged.get(key)
+        if m is None:
+            merged[key] = [
+                r["n"], r["best_s"], r["best_i"], r["worst_s"], r["worst_i"]
+            ]
+            continue
+        m[0] += r["n"]
+        if (r["best_s"], -r["best_i"]) > (m[1], -m[2]):
+            m[1], m[2] = r["best_s"], r["best_i"]
+        if (r["worst_s"], -r["worst_i"]) < (m[3], -m[4]):
+            m[3], m[4] = r["worst_s"], r["worst_i"]
+    out = {ga: [], gb: [], "chosen_id": [], "rejected_id": [], "margin_micro": []}
+    for (x, y) in sorted(merged):
+        n, bs, bi, ws, wi = merged[(x, y)]
+        if n < 2:
+            continue
+        out[ga].append(x)
+        out[gb].append(y)
+        out["chosen_id"].append(bi)
+        out["rejected_id"].append(wi)
+        out["margin_micro"].append(bs - ws)
+    return pa.table(
+        {
+            ga: pa.array(out[ga], type=pa.string()),
+            gb: pa.array(out[gb], type=pa.string()),
+            "chosen_id": pa.array(out["chosen_id"], type=pa.int64()),
+            "rejected_id": pa.array(out["rejected_id"], type=pa.int64()),
+            "margin_micro": pa.array(out["margin_micro"], type=pa.int64()),
+        }
+    )

@@ -139,3 +139,51 @@ def test_ngram_decontaminate_short_docs_pass(ray_session):
     out = {r["doc_id"]: r for r in ngram_decontaminate(docs, bench, k=8).take_all()}
     assert out[1]["text_decon"] == "too short" and out[1]["n_dropped"] == 0
     assert out[2]["text_decon"] == ""
+
+
+# --- preference pairs ------------------------------------------------------
+
+def _pref_fixture(num_blocks: int = 1):
+    import pyarrow as pa
+    import ray.data
+
+    rows = [
+        # group (en, a): scores — d1 "abc" 1.0, d2 "a b" floor(2/3*1e6), d3 "" 0
+        (1, "abc", "en", "a"),
+        (2, "a b", "en", "a"),
+        (3, "", "en", "a"),
+        # group (en, b): singleton -> dropped
+        (4, "xyz", "en", "b"),
+        # group (fr, a): tie on score (both 'ab') -> chosen min id, rejected max id
+        (5, "ab", "fr", "a"),
+        (6, "ab", "fr", "a"),
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "text": pa.array([r[1] for r in rows], type=pa.string()),
+            "lang": pa.array([r[2] for r in rows], type=pa.string()),
+            "source": pa.array([r[3] for r in rows], type=pa.string()),
+        }
+    )
+    return ray.data.from_arrow(t).repartition(num_blocks)
+
+
+def test_preference_pairs_hand_computed():
+    from dots_ocr_ray.pipelines.curation import preference_pairs
+
+    out = {(r["lang"], r["source"]): r for r in preference_pairs(_pref_fixture()).to_pylist()}
+    assert set(out) == {("en", "a"), ("fr", "a")}
+    en = out[("en", "a")]
+    assert en["chosen_id"] == 1 and en["rejected_id"] == 3
+    assert en["margin_micro"] == 1_000_000
+    fr = out[("fr", "a")]
+    assert fr["chosen_id"] == 5 and fr["rejected_id"] == 6 and fr["margin_micro"] == 0
+
+
+def test_preference_pairs_partition_invariant():
+    from dots_ocr_ray.pipelines.curation import preference_pairs
+
+    a = preference_pairs(_pref_fixture(1)).to_pylist()
+    b = preference_pairs(_pref_fixture(5)).to_pylist()
+    assert a == b
