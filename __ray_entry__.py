@@ -5898,6 +5898,22 @@ def _q_skyline_orders(sf_dir: str):
     return skyline_2d(orders, "o_totalprice", "o_orderdate")
 
 
+def _q_mlm_masked(sf_dir: str):
+    """Deterministic masked-LM example construction: token i of doc d
+    masks iff md5(f"{d}:{i}")[0] < 0x26 (≈15%, position-keyed so any
+    corpus subset reproduces identical masks); zero exchange
+    (pipelines/packing.py:mlm_masked_docs).  SQL oracle: unnest +
+    generate_subscripts + the same md5 hex-prefix rule."""
+    import ray.data
+
+    from dots_ocr_ray.pipelines.packing import mlm_masked_docs
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return mlm_masked_docs(docs)
+
+
 def _q_preference_pairs(sf_dir: str):
     """RLHF preference-pair construction: per (lang, source) group,
     the top-alpha-score doc (chosen, tie -> min id) paired with the
@@ -6083,6 +6099,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_stats": _q_part_stats,
         "part_affinity": _q_part_affinity,
         "preference_pairs": _q_preference_pairs,
+        "mlm_masked": _q_mlm_masked,
         "quality_filter_docs": _q_quality_filter_docs,
         "docs_outside_blocklist": _q_docs_outside_blocklist,
         "nations_with_presence": _q_nations_with_presence,
@@ -7734,6 +7751,22 @@ def oracle_sql() -> dict[str, str]:
             "SELECT c.lang, c.source, chosen_id, rejected_id, cs - rs AS margin_micro "
             "FROM c JOIN r USING (lang, source) JOIN g USING (lang, source) "
             "WHERE g.n >= 2"
+        ),
+        "mlm_masked": (
+            "WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '[ \t\n]+') "
+            "AS tk FROM documents WHERE trim(text) <> ''), "
+            "ex AS (SELECT doc_id, unnest(tk) AS tok, generate_subscripts(tk, 1) AS i "
+            "FROM toks), "
+            "m AS (SELECT doc_id, i, CASE WHEN "
+            "substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(i - 1 AS VARCHAR)), 1, 2) "
+            "< '26' THEN '[MASK]' ELSE tok END AS out_tok, CASE WHEN "
+            "substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(i - 1 AS VARCHAR)), 1, 2) "
+            "< '26' THEN 1 ELSE 0 END AS masked FROM ex) "
+            "SELECT doc_id, string_agg(out_tok, ' ' ORDER BY i) AS masked_text, "
+            "CAST(count(*) AS BIGINT) AS n_tokens, CAST(sum(masked) AS BIGINT) AS n_masked "
+            "FROM m GROUP BY doc_id "
+            "UNION ALL SELECT doc_id, '', 0::BIGINT, 0::BIGINT FROM documents "
+            "WHERE trim(text) = ''"
         ),
         "sliding_events": (
             "SELECT event_type, ws AS window_start, round(sum(value), 4) AS sum_value, "

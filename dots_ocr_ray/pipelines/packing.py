@@ -703,3 +703,66 @@ def read_with_position_deletes(
     return ray.data.from_items(items).map_batches(
         _scan, batch_size=1, batch_format="pyarrow"
     )
+
+
+# --- deterministic MLM masking ---------------------------------------------
+
+_WS_SPLIT_RE = None  # compiled lazily so import stays cheap
+
+
+def mlm_mask_text(doc_id: int, text: str) -> tuple[str, int, int]:
+    """BERT-style masked-LM example from one document: token i is
+    replaced by ``[MASK]`` iff the first byte of md5(f"{doc_id}:{i}")
+    is < 0x26 (38/256 ≈ 14.8% — the classic 15% rate, made exactly
+    reproducible with no RNG).  Tokenization is the engine-standard
+    whitespace regex split of the trimmed text (mirrors the oracle's
+    string_split_regex).  Returns (masked_text, n_tokens, n_masked);
+    empty/whitespace-only text → ("", 0, 0).  Pure kernel, shared by
+    the Ray op and any sequential mirror."""
+    global _WS_SPLIT_RE
+    if _WS_SPLIT_RE is None:
+        import re
+
+        _WS_SPLIT_RE = re.compile(r"[ \t\n]+")
+    stripped = text.strip()
+    if not stripped:
+        return "", 0, 0
+    toks = _WS_SPLIT_RE.split(stripped)
+    import hashlib
+
+    prefix = f"{doc_id}:".encode()
+    out = list(toks)
+    n_masked = 0
+    for i in range(len(toks)):
+        if hashlib.md5(prefix + str(i).encode()).digest()[0] < 0x26:
+            out[i] = "[MASK]"
+            n_masked += 1
+    return " ".join(out), len(toks), n_masked
+
+
+def mlm_masked_docs(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """Deterministic masked-LM training examples over the corpus:
+    (doc_id, masked_text, n_tokens, n_masked).  Zero exchange — the
+    per-token md5 is the op's inherent compute (one digest per token,
+    position-keyed so any subset of the corpus reproduces identical
+    masks, which is what makes resharding/resume safe)."""
+
+    def _apply(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        masked, n_tok, n_m = [], [], []
+        for d, t in zip(ids, texts):
+            m, nt, nm = mlm_mask_text(int(d), t or "")
+            masked.append(m)
+            n_tok.append(nt)
+            n_m.append(nm)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "masked_text": pa.array(masked, type=pa.string()),
+                "n_tokens": pa.array(n_tok, type=pa.int64()),
+                "n_masked": pa.array(n_m, type=pa.int64()),
+            }
+        )
+
+    return docs.map_batches(_apply, batch_format="pyarrow")

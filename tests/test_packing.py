@@ -420,3 +420,54 @@ def test_position_deletes_rejects_different_id_set(ray_session, tmp_path):
         write_position_deletes(
             snap, id_col="id", delete_ids=np.array([3], np.int64), out_dir=dels
         )
+
+
+# --- MLM masking ------------------------------------------------------------
+
+def test_mlm_mask_deterministic_and_rate():
+    import hashlib
+
+    from dots_ocr_ray.pipelines.packing import mlm_mask_text
+
+    text = " ".join(f"tok{i}" for i in range(1000))
+    m1 = mlm_mask_text(42, text)
+    m2 = mlm_mask_text(42, text)
+    assert m1 == m2
+    masked_text, n_tok, n_m = m1
+    assert n_tok == 1000
+    # expected rate 38/256 ≈ 14.8%; binomial slack
+    assert 100 <= n_m <= 200
+    # spot-check the rule on position 0
+    first_masked = hashlib.md5(b"42:0").digest()[0] < 0x26
+    assert masked_text.split(" ")[0] == ("[MASK]" if first_masked else "tok0")
+    # subset reproducibility: same doc id -> same prefix decisions
+    assert mlm_mask_text(42, "tok0 tok1")[0] == " ".join(masked_text.split(" ")[:2])
+
+
+def test_mlm_mask_edge_cases():
+    from dots_ocr_ray.pipelines.packing import mlm_mask_text
+
+    assert mlm_mask_text(7, "") == ("", 0, 0)
+    assert mlm_mask_text(7, " \t\n ") == ("", 0, 0)
+    # internal whitespace folds to single spaces (regex split + join)
+    out, n_tok, _ = mlm_mask_text(3, "a  b\tc\nd")
+    assert n_tok == 4 and "  " not in out
+
+
+def test_mlm_masked_docs_dataset():
+    import pyarrow as pa
+    import ray.data
+
+    from dots_ocr_ray.pipelines.packing import mlm_mask_text, mlm_masked_docs
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+            "text": pa.array(["alpha beta gamma", "", "x y"], type=pa.string()),
+        }
+    )
+    out = {r["doc_id"]: r for r in mlm_masked_docs(ray.data.from_arrow(t)).take_all()}
+    for d, txt in [(1, "alpha beta gamma"), (2, ""), (3, "x y")]:
+        m, nt, nm = mlm_mask_text(d, txt)
+        assert out[d]["masked_text"] == m
+        assert out[d]["n_tokens"] == nt and out[d]["n_masked"] == nm
