@@ -5898,6 +5898,24 @@ def _q_skyline_orders(sf_dir: str):
     return skyline_2d(orders, "o_totalprice", "o_orderdate")
 
 
+def _q_kcenter_prototypes(sf_dir: str):
+    """Gonzalez greedy k-center coreset over the embedding corpus:
+    k-1 stateless streamed passes, each folding every batch to one
+    (max min-dist, tie -> min id) partial — diversity-first prototype
+    selection with O(k·dim) driver state
+    (pipelines/similarity.py:kcenter_greedy).  Golden oracle:
+    sequential full-matrix mirror over the shared micro-quantized
+    distance kernel."""
+    import ray.data
+
+    from dots_ocr_ray.pipelines.similarity import kcenter_greedy
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return kcenter_greedy(ds, k=8)
+
+
 def _q_mlm_masked(sf_dir: str):
     """Deterministic masked-LM example construction: token i of doc d
     masks iff md5(f"{d}:{i}")[0] < 0x26 (≈15%, position-keyed so any
@@ -6100,6 +6118,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_affinity": _q_part_affinity,
         "preference_pairs": _q_preference_pairs,
         "mlm_masked": _q_mlm_masked,
+        "kcenter_prototypes": _q_kcenter_prototypes,
         "quality_filter_docs": _q_quality_filter_docs,
         "docs_outside_blocklist": _q_docs_outside_blocklist,
         "nations_with_presence": _q_nations_with_presence,
@@ -6743,6 +6762,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_pq_topk": f"SELECT query_id, vec_id, rank FROM read_parquet('{_GOLDEN_DIR}/ann_pq_topk.parquet')",
         "kmeans_clusters": f"SELECT vec_id, cluster_id, sim FROM read_parquet('{_GOLDEN_DIR}/kmeans_clusters.parquet')",
         "silhouette_clusters": f"SELECT cluster_id, n, mean_s_micro FROM read_parquet('{_GOLDEN_DIR}/silhouette_clusters.parquet')",
+        "kcenter_prototypes": f"SELECT rank, vec_id, dist_micro FROM read_parquet('{_GOLDEN_DIR}/kcenter_prototypes.parquet')",
         "semdedup_docs": f"SELECT vec_id, cluster_id, kept FROM read_parquet('{_GOLDEN_DIR}/semdedup_docs.parquet')",
         "dsir_scores": f"SELECT doc_id, logw, n_feats FROM read_parquet('{_GOLDEN_DIR}/dsir_scores.parquet')",
         "incremental_minhash": f"SELECT doc_id, text FROM read_parquet('{_GOLDEN_DIR}/incremental_minhash.parquet')",

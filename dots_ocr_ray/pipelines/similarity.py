@@ -1323,3 +1323,120 @@ def silhouette_by_cluster(
             ),
         }
     )
+
+
+# --- k-center greedy coreset (Gonzalez) -------------------------------------
+
+def kcenter_min_dist_micro(mat: np.ndarray, centers: np.ndarray) -> np.ndarray:
+    """Per-point min squared-euclidean distance to any center, in
+    micro units: floor(1e6 * min_c ||x - c||²), float64 row-wise (so
+    the value is independent of batch shape).  Pure kernel shared by
+    the Ray passes and the sequential golden."""
+    m = mat.astype(np.float64, copy=False)
+    best = None
+    for c in centers.astype(np.float64, copy=False):
+        d = ((m - c[None, :]) ** 2).sum(axis=1)
+        best = d if best is None else np.minimum(best, d)
+    return np.floor(1e6 * best).astype(np.int64)
+
+
+def kcenter_greedy(
+    ds: ray.data.Dataset,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+) -> pa.Table:
+    """Gonzalez greedy k-center coreset selection — the
+    diversity-first data-selection primitive (pick k prototypes whose
+    covering radius 2-approximates the optimum; used for active
+    labeling / eval-set construction over embedding corpora).
+
+    Scale shape: the first center is the min-id vector; each of the
+    remaining k-1 rounds is ONE stateless streamed pass — broadcast
+    the ≤k chosen centers, fold each batch to a single (max min-dist,
+    tie -> min id, winning vector) partial row, tiny driver merge.
+    No per-point state persists between rounds (resume-friendly), no
+    exchange; driver memory is O(k · dim).  Ties and floats are pinned
+    by the shared micro-quantized kernel.
+
+    Output: (rank, vec_id, dist_micro) where dist_micro is the
+    point's min distance to the previously chosen centers (0 for rank
+    0) — dist_micro of rank r is the covering radius of the first r
+    centers."""
+    narrow = ds.select_columns([id_col, vec_col]).materialize()
+
+    def _first(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(ids) == 0:
+            return pa.table({id_col: pa.array([], type=pa.int64()), vec_col: batch.column(vec_col)})
+        j = int(np.argmin(ids))
+        return batch.take([j]).select([id_col, vec_col])
+
+    seed_parts = [
+        b
+        for b in narrow.map_batches(_first, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        )
+        if b.num_rows
+    ]
+    seed_rows = _first(pa.concat_tables(seed_parts)) if seed_parts else None
+    if seed_rows is None or seed_rows.num_rows == 0:
+        return pa.table(
+            {
+                "rank": pa.array([], type=pa.int64()),
+                id_col: pa.array([], type=pa.int64()),
+                "dist_micro": pa.array([], type=pa.int64()),
+            }
+        )
+    centers = [vec_matrix(seed_rows.column(vec_col), dtype=np.float32)[0]]
+    chosen = [(0, int(seed_rows.column(id_col)[0].as_py()), 0)]
+
+    for rank in range(1, k):
+        cents = np.stack(centers)
+        cents_ref = ray.put(cents)
+
+        def _partial(batch: pa.Table) -> pa.Table:
+            from dots_ocr_ray.util import cached_object
+
+            ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            if len(ids) == 0:
+                return pa.table(
+                    {
+                        id_col: pa.array([], type=pa.int64()),
+                        "d": pa.array([], type=pa.int64()),
+                        vec_col: batch.column(vec_col),
+                    }
+                )
+            mat = vec_matrix(batch.column(vec_col), dtype=np.float32)
+            d = kcenter_min_dist_micro(mat, cached_object(cents_ref))
+            # batch-local winner: max d, tie -> min id
+            order = np.lexsort((ids, -d))
+            j = int(order[0])
+            return pa.table(
+                {
+                    id_col: pa.array([ids[j]], type=pa.int64()),
+                    "d": pa.array([d[j]], type=pa.int64()),
+                    vec_col: batch.column(vec_col).take(pa.array([j])),
+                }
+            )
+
+        best = None  # (d, id, vec)
+        for b in narrow.map_batches(_partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        ):
+            for r in range(b.num_rows):
+                d = int(b.column("d")[r].as_py())
+                i = int(b.column(id_col)[r].as_py())
+                if best is None or (d, -i) > (best[0], -best[1]):
+                    best = (d, i, vec_matrix(b.column(vec_col), dtype=np.float32)[r])
+        chosen.append((rank, best[1], best[0]))
+        centers.append(best[2])
+
+    return pa.table(
+        {
+            "rank": pa.array([c[0] for c in chosen], type=pa.int64()),
+            id_col: pa.array([c[1] for c in chosen], type=pa.int64()),
+            "dist_micro": pa.array([c[2] for c in chosen], type=pa.int64()),
+        }
+    )

@@ -76,6 +76,7 @@ def _canon(obj) -> pd.DataFrame:
         "bitext_mining",
         "isotonic_calibration",
         "sq8_recall",
+        "kcenter_prototypes",
     ],
 )
 def test_golden_parity(ray_session, name):

@@ -294,3 +294,55 @@ def test_silhouette_terms_and_cluster_means(ray_session):
     assert out["n"].sum() == ds.count()
     assert (out["mean_s_micro"] > -1_000_000).all()
     assert (out["mean_s_micro"] <= 1_000_000).all()
+
+
+# --- k-center greedy ---------------------------------------------------------
+
+def test_kcenter_picks_farthest_cluster_reps():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from dots_ocr_ray.pipelines.similarity import kcenter_greedy
+
+    # three tight clusters at distance >> intra spread; k=3 must pick
+    # one point from each, starting at min id
+    rng_pts = []
+    ids = []
+    for ci, base in enumerate([0.0, 10.0, 20.0]):
+        for j in range(5):
+            ids.append(ci * 100 + j)
+            rng_pts.append([base + 0.01 * j, 0.0])
+    t = pa.table(
+        {
+            "vec_id": pa.array(ids, type=pa.int64()),
+            "embedding": pa.array(rng_pts, type=pa.list_(pa.float32())),
+        }
+    )
+    out = kcenter_greedy(ray.data.from_arrow(t).repartition(4), k=3).to_pylist()
+    assert out[0]["vec_id"] == 0 and out[0]["dist_micro"] == 0
+    picked_clusters = {r["vec_id"] // 100 for r in out}
+    assert picked_clusters == {0, 1, 2}
+    # covering radius shrinks (or stays) as ranks increase
+    assert out[1]["dist_micro"] >= out[2]["dist_micro"]
+
+
+def test_kcenter_partition_invariance():
+    import pyarrow as pa
+    import ray.data
+
+    from dots_ocr_ray.pipelines.similarity import kcenter_greedy
+
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    mat = rng.rand(60, 8).astype(np.float32)
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(60), type=pa.int64()),
+            "embedding": pa.array(mat.tolist(), type=pa.list_(pa.float32())),
+        }
+    )
+    a = kcenter_greedy(ray.data.from_arrow(t).repartition(1), k=5).to_pylist()
+    b = kcenter_greedy(ray.data.from_arrow(t).repartition(7), k=5).to_pylist()
+    assert a == b

@@ -1616,6 +1616,33 @@ def golden_dedup_eval(sf_dir: str, *, threshold: float = 0.95) -> pa.Table:
     )
 
 
+
+def golden_kcenter_prototypes(sf_dir: str, *, k: int = 8) -> pa.Table:
+    """Sequential mirror of similarity.kcenter_greedy: full-matrix
+    Gonzalez loop over the SAME micro-quantized distance kernel —
+    independent of the pipeline's pass/fold structure."""
+    from dots_ocr_ray.pipelines.similarity import kcenter_min_dist_micro
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = t.column("vec_id").to_numpy().astype(np.int64)
+    mat = np.stack(t.column("embedding").to_pylist()).astype(np.float32)
+    order = np.argsort(ids)
+    ids, mat = ids[order], mat[order]
+    chosen = [(0, int(ids[0]), 0)]
+    centers = [mat[0]]
+    for rank in range(1, k):
+        d = kcenter_min_dist_micro(mat, np.stack(centers))
+        sel = np.lexsort((ids, -d))[0]
+        chosen.append((rank, int(ids[sel]), int(d[sel])))
+        centers.append(mat[sel])
+    return pa.table(
+        {
+            "rank": pa.array([c[0] for c in chosen], type=pa.int64()),
+            "vec_id": pa.array([c[1] for c in chosen], type=pa.int64()),
+            "dist_micro": pa.array([c[2] for c in chosen], type=pa.int64()),
+        }
+    )
+
 GOLDEN_BUILDERS = {
     "kmeans_clusters": golden_kmeans_clusters,
     "silhouette_clusters": golden_silhouette_clusters,
@@ -1668,6 +1695,7 @@ GOLDEN_BUILDERS = {
     "sq8_recall": golden_sq8_recall,
     "dedup_best_survivors": golden_dedup_best_survivors,
     "containment_pairs": golden_containment_pairs,
+    "kcenter_prototypes": golden_kcenter_prototypes,
 }
 
 
