@@ -5898,6 +5898,22 @@ def _q_skyline_orders(sf_dir: str):
     return skyline_2d(orders, "o_totalprice", "o_orderdate")
 
 
+def _q_knn_outliers(sf_dir: str):
+    """kNN-distance density outliers over embeddings: one streamed
+    pass scoring every point against a broadcast 256-vector hash
+    sample, per-batch local top-k partial + tiny driver merge
+    (pipelines/similarity.py:knn_outliers).  Golden oracle: sequential
+    full-matrix mirror over the shared micro-quantized kernel."""
+    import ray.data
+
+    from dots_ocr_ray.pipelines.similarity import knn_outliers
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return knn_outliers(ds)
+
+
 def _q_kcenter_prototypes(sf_dir: str):
     """Gonzalez greedy k-center coreset over the embedding corpus:
     k-1 stateless streamed passes, each folding every batch to one
@@ -6119,6 +6135,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "preference_pairs": _q_preference_pairs,
         "mlm_masked": _q_mlm_masked,
         "kcenter_prototypes": _q_kcenter_prototypes,
+        "knn_outliers": _q_knn_outliers,
         "quality_filter_docs": _q_quality_filter_docs,
         "docs_outside_blocklist": _q_docs_outside_blocklist,
         "nations_with_presence": _q_nations_with_presence,
@@ -6763,6 +6780,7 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_clusters": f"SELECT vec_id, cluster_id, sim FROM read_parquet('{_GOLDEN_DIR}/kmeans_clusters.parquet')",
         "silhouette_clusters": f"SELECT cluster_id, n, mean_s_micro FROM read_parquet('{_GOLDEN_DIR}/silhouette_clusters.parquet')",
         "kcenter_prototypes": f"SELECT rank, vec_id, dist_micro FROM read_parquet('{_GOLDEN_DIR}/kcenter_prototypes.parquet')",
+        "knn_outliers": f"SELECT vec_id, score_micro FROM read_parquet('{_GOLDEN_DIR}/knn_outliers.parquet')",
         "semdedup_docs": f"SELECT vec_id, cluster_id, kept FROM read_parquet('{_GOLDEN_DIR}/semdedup_docs.parquet')",
         "dsir_scores": f"SELECT doc_id, logw, n_feats FROM read_parquet('{_GOLDEN_DIR}/dsir_scores.parquet')",
         "incremental_minhash": f"SELECT doc_id, text FROM read_parquet('{_GOLDEN_DIR}/incremental_minhash.parquet')",

@@ -1440,3 +1440,141 @@ def kcenter_greedy(
             "dist_micro": pa.array([c[2] for c in chosen], type=pa.int64()),
         }
     )
+
+
+# --- kNN-distance outliers ---------------------------------------------------
+
+def hash_sample_with_ids(
+    ds: ray.data.Dataset,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n: int = 256,
+) -> tuple[np.ndarray, np.ndarray]:
+    """:func:`hash_sample_matrix` variant returning (ids, RAW float32
+    matrix) — no row normalization — for distance-based ops that must
+    exclude self-matches."""
+
+    def _bottomk(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        h = knuth_hash32(ids)
+        take = np.argsort(h, kind="stable")[:n]
+        sub = batch.select([id_col, vec_col]).take(pa.array(np.sort(take)))
+        hh = knuth_hash32(sub.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64))
+        return sub.append_column("_h", pa.array(hh, type=pa.int64()))
+
+    sample_tbl = pa.concat_tables(
+        ds.map_batches(_bottomk, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow", batch_size=None
+        )
+    )
+    order = pc.sort_indices(sample_tbl, sort_keys=[("_h", "ascending"), (id_col, "ascending")])
+    sample_tbl = sample_tbl.take(order).slice(0, n)
+    return (
+        sample_tbl.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64),
+        vec_matrix(sample_tbl.column(vec_col), dtype=np.float32),
+    )
+
+
+def knn_outlier_scores_matrix(
+    ids: np.ndarray,
+    mat: np.ndarray,
+    sample_ids: np.ndarray,
+    sample_mat: np.ndarray,
+    k: int,
+) -> np.ndarray:
+    """Mean squared-euclidean distance to the k nearest SAMPLE vectors
+    (self-matches excluded by id), micro-floored int64.  Distances are
+    computed one sample vector at a time with row-wise float64 sums —
+    partition-invariant, no GEMM blocking in the float path.  Pure
+    kernel shared by the Ray op and the sequential golden."""
+    m = mat.astype(np.float64, copy=False)
+    d = np.empty((len(ids), len(sample_ids)), dtype=np.float64)
+    for j, c in enumerate(sample_mat.astype(np.float64, copy=False)):
+        d[:, j] = ((m - c[None, :]) ** 2).sum(axis=1)
+    # exclude self: a point that is itself in the sample
+    for j, sid in enumerate(sample_ids):
+        d[ids == sid, j] = np.inf
+    kk = min(k, d.shape[1] - 1) if d.shape[1] > 1 else 1
+    kk = max(kk, 1)
+    d.sort(axis=1)
+    topk = d[:, :kk]
+    finite = np.isfinite(topk)
+    sums = np.where(finite, topk, 0.0).sum(axis=1)
+    cnts = finite.sum(axis=1)
+    out = np.zeros(len(ids), dtype=np.int64)
+    nz = cnts > 0
+    out[nz] = np.floor(1e6 * (sums[nz] / cnts[nz])).astype(np.int64)
+    return out
+
+
+def knn_outliers(
+    ds: ray.data.Dataset,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    sample_n: int = 256,
+    top_n: int = 32,
+) -> pa.Table:
+    """Density outliers over the embedding corpus: each point's score
+    is its mean distance to the k nearest of a broadcast deterministic
+    ``sample_n``-vector hash sample (the classic kNN-distance outlier
+    estimator, sample-approximated so the pass is O(n·sample) with no
+    pairwise exchange).  Returns the top ``top_n`` outliers
+    (vec_id, score_micro), largest first, ties -> min id.
+
+    Scale shape: ONE streamed pass; per-batch local top-k partial +
+    tiny driver merge (the engine-wide top-k idiom); the sample ships
+    once via ray.put."""
+    sample_ids, sample_mat = hash_sample_with_ids(
+        ds, vec_col=vec_col, id_col=id_col, n=sample_n
+    )
+    ref = ray.put((sample_ids, sample_mat))
+
+    from dots_ocr_ray.util import cached_object
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        s_ids, s_mat = cached_object(ref)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(ids) == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], type=pa.int64()),
+                    "score_micro": pa.array([], type=pa.int64()),
+                }
+            )
+        mat = vec_matrix(batch.column(vec_col), dtype=np.float32)
+        s = knn_outlier_scores_matrix(ids, mat, s_ids, s_mat, k)
+        order = np.lexsort((ids, -s))[:top_n]
+        return pa.table(
+            {
+                id_col: pa.array(ids[order], type=pa.int64()),
+                "score_micro": pa.array(s[order], type=pa.int64()),
+            }
+        )
+
+    rows_i: list[np.ndarray] = []
+    rows_s: list[np.ndarray] = []
+    for b in ds.map_batches(_partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        if b.num_rows:
+            rows_i.append(b.column(id_col).to_numpy(zero_copy_only=False))
+            rows_s.append(b.column("score_micro").to_numpy(zero_copy_only=False))
+    if not rows_i:
+        return pa.table(
+            {
+                id_col: pa.array([], type=pa.int64()),
+                "score_micro": pa.array([], type=pa.int64()),
+            }
+        )
+    ids = np.concatenate(rows_i)
+    s = np.concatenate(rows_s)
+    order = np.lexsort((ids, -s))[:top_n]
+    return pa.table(
+        {
+            id_col: pa.array(ids[order], type=pa.int64()),
+            "score_micro": pa.array(s[order], type=pa.int64()),
+        }
+    )

@@ -77,6 +77,7 @@ def _canon(obj) -> pd.DataFrame:
         "isotonic_calibration",
         "sq8_recall",
         "kcenter_prototypes",
+        "knn_outliers",
     ],
 )
 def test_golden_parity(ray_session, name):

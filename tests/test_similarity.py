@@ -346,3 +346,46 @@ def test_kcenter_partition_invariance():
     a = kcenter_greedy(ray.data.from_arrow(t).repartition(1), k=5).to_pylist()
     b = kcenter_greedy(ray.data.from_arrow(t).repartition(7), k=5).to_pylist()
     assert a == b
+
+
+# --- kNN outliers ------------------------------------------------------------
+
+def test_knn_outliers_finds_planted_outlier():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from dots_ocr_ray.pipelines.similarity import knn_outliers
+
+    rng = np.random.RandomState(3)
+    mat = rng.rand(100, 4).astype(np.float32) * 0.1
+    mat[17] = [50.0, 50.0, 50.0, 50.0]  # far away
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(100), type=pa.int64()),
+            "embedding": pa.array(mat.tolist(), type=pa.list_(pa.float32())),
+        }
+    )
+    out = knn_outliers(ray.data.from_arrow(t).repartition(3), k=4, sample_n=32, top_n=5).to_pylist()
+    assert out[0]["vec_id"] == 17
+    assert out[0]["score_micro"] > 10 * out[1]["score_micro"]
+
+
+def test_knn_outliers_partition_invariance():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from dots_ocr_ray.pipelines.similarity import knn_outliers
+
+    rng = np.random.RandomState(11)
+    mat = rng.rand(80, 6).astype(np.float32)
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(80), type=pa.int64()),
+            "embedding": pa.array(mat.tolist(), type=pa.list_(pa.float32())),
+        }
+    )
+    a = knn_outliers(ray.data.from_arrow(t).repartition(1), k=3, sample_n=16, top_n=10).to_pylist()
+    b = knn_outliers(ray.data.from_arrow(t).repartition(9), k=3, sample_n=16, top_n=10).to_pylist()
+    assert a == b

@@ -1643,6 +1643,33 @@ def golden_kcenter_prototypes(sf_dir: str, *, k: int = 8) -> pa.Table:
         }
     )
 
+
+def golden_knn_outliers(
+    sf_dir: str, *, k: int = 8, sample_n: int = 256, top_n: int = 32
+) -> pa.Table:
+    """Sequential mirror of similarity.knn_outliers: the SAME
+    hash-sample rule (bottom-n Knuth hash, tie -> id) and the SAME
+    micro-quantized kNN-distance kernel over the full matrix."""
+    from dots_ocr_ray.pipelines.similarity import (
+        knn_outlier_scores_matrix,
+        knuth_hash32,
+    )
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = t.column("vec_id").to_numpy().astype(np.int64)
+    mat = np.stack(t.column("embedding").to_pylist()).astype(np.float32)
+    h = knuth_hash32(ids)
+    order = np.lexsort((ids, h))[:sample_n]
+    s_ids, s_mat = ids[order], mat[order]
+    s = knn_outlier_scores_matrix(ids, mat, s_ids, s_mat, k)
+    sel = np.lexsort((ids, -s))[:top_n]
+    return pa.table(
+        {
+            "vec_id": pa.array(ids[sel], type=pa.int64()),
+            "score_micro": pa.array(s[sel], type=pa.int64()),
+        }
+    )
+
 GOLDEN_BUILDERS = {
     "kmeans_clusters": golden_kmeans_clusters,
     "silhouette_clusters": golden_silhouette_clusters,
@@ -1696,6 +1723,7 @@ GOLDEN_BUILDERS = {
     "dedup_best_survivors": golden_dedup_best_survivors,
     "containment_pairs": golden_containment_pairs,
     "kcenter_prototypes": golden_kcenter_prototypes,
+    "knn_outliers": golden_knn_outliers,
 }
 
 
