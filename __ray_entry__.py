@@ -5898,6 +5898,21 @@ def _q_skyline_orders(sf_dir: str):
     return skyline_2d(orders, "o_totalprice", "o_orderdate")
 
 
+def _q_stemmed_vocab(sf_dir: str):
+    """Stem-grouped vocabulary rollup: per-batch distinct-word
+    memoized Porter stemming (the published 1980 algorithm as a pure
+    kernel), one vocab-bounded pair groupby + one stem rollup, driver
+    holds only the running top-20
+    (pipelines/text_analysis.py:stemmed_vocab).  Golden oracle:
+    sequential dict mirror over the same kernel."""
+    import ray.data
+
+    from dots_ocr_ray.pipelines.text_analysis import stemmed_vocab
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return stemmed_vocab(docs)
+
+
 def _q_knn_outliers(sf_dir: str):
     """kNN-distance density outliers over embeddings: one streamed
     pass scoring every point against a broadcast 256-vector hash
@@ -6136,6 +6151,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mlm_masked": _q_mlm_masked,
         "kcenter_prototypes": _q_kcenter_prototypes,
         "knn_outliers": _q_knn_outliers,
+        "stemmed_vocab": _q_stemmed_vocab,
         "quality_filter_docs": _q_quality_filter_docs,
         "docs_outside_blocklist": _q_docs_outside_blocklist,
         "nations_with_presence": _q_nations_with_presence,
@@ -6781,6 +6797,7 @@ def oracle_sql() -> dict[str, str]:
         "silhouette_clusters": f"SELECT cluster_id, n, mean_s_micro FROM read_parquet('{_GOLDEN_DIR}/silhouette_clusters.parquet')",
         "kcenter_prototypes": f"SELECT rank, vec_id, dist_micro FROM read_parquet('{_GOLDEN_DIR}/kcenter_prototypes.parquet')",
         "knn_outliers": f"SELECT vec_id, score_micro FROM read_parquet('{_GOLDEN_DIR}/knn_outliers.parquet')",
+        "stemmed_vocab": f"SELECT stem, total, n_forms FROM read_parquet('{_GOLDEN_DIR}/stemmed_vocab.parquet')",
         "semdedup_docs": f"SELECT vec_id, cluster_id, kept FROM read_parquet('{_GOLDEN_DIR}/semdedup_docs.parquet')",
         "dsir_scores": f"SELECT doc_id, logw, n_feats FROM read_parquet('{_GOLDEN_DIR}/dsir_scores.parquet')",
         "incremental_minhash": f"SELECT doc_id, text FROM read_parquet('{_GOLDEN_DIR}/incremental_minhash.parquet')",

@@ -2226,3 +2226,86 @@ def token_entropy(ds: ray.data.Dataset) -> ray.data.Dataset:
         )
 
     return ds.map_batches(_entropy, batch_format="pyarrow")
+
+
+# --- stemmed vocabulary ------------------------------------------------------
+
+def stemmed_vocab(
+    docs: "ray.data.Dataset",
+    *,
+    text_col: str = "text",
+    top_n: int = 20,
+) -> pa.Table:
+    """Stem-grouped vocabulary rollup (the morphology-collapsing
+    vocabulary scan run before lexicon construction): tokens are
+    ``[a-z]+`` runs of the lowercased text, stemmed with the shared
+    Porter kernel; output the ``top_n`` stems by total occurrences
+    (tie -> stem asc) with their corpus-wide distinct surface-form
+    counts.
+
+    Scale shape: per-batch np.unique memoizes the stemmer to DISTINCT
+    words (Python cost O(batch vocab), not O(tokens)); one
+    vocab-bounded groupby folds (stem, word) pair counts exactly; a
+    second bounded fold rolls stems up; the driver holds only a
+    running top-``top_n``.  Golden-mirrored sequentially."""
+    import re
+
+    import numpy as np
+
+    from dots_ocr_ray.functions.stem import porter_stem
+
+    tok_re = re.compile(r"[a-z]+")
+
+    def _pairs(batch: pa.Table) -> pa.Table:
+        words: list[str] = []
+        for t in batch.column(text_col).to_pylist():
+            if t:
+                words.extend(tok_re.findall(t.lower()))
+        if not words:
+            return pa.table(
+                {"sw": pa.array([], type=pa.string()), "cnt": pa.array([], type=pa.int64())}
+            )
+        arr = np.array(words)
+        uniq, cnt = np.unique(arr, return_counts=True)
+        keys = [f"{porter_stem(w)}\x1f{w}" for w in uniq]
+        return pa.table(
+            {
+                "sw": pa.array(keys, type=pa.string()),
+                "cnt": pa.array(cnt.astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    pair_counts = (
+        docs.map_batches(_pairs, batch_format="pyarrow").groupby("sw").sum("cnt")
+    )
+
+    def _split(batch: pa.Table) -> pa.Table:
+        sw = batch.column("sw").to_pylist()
+        stems = [s.split("\x1f", 1)[0] for s in sw]
+        return pa.table(
+            {
+                "stem": pa.array(stems, type=pa.string()),
+                "cnt": batch.column("sum(cnt)").cast(pa.int64()),
+                "forms": pa.array(np.ones(len(sw), dtype=np.int64), type=pa.int64()),
+            }
+        )
+
+    stems = (
+        pair_counts.map_batches(_split, batch_format="pyarrow")
+        .groupby("stem")
+        .sum(["cnt", "forms"])
+    )
+    # driver fold: O(top_n) memory over the streamed stem table
+    best: list[tuple[int, str, int]] = []  # (-cnt, stem, forms) sorted asc
+    for b in stems.iter_batches(batch_format="pyarrow"):
+        for r in b.to_pylist():
+            best.append((-int(r["sum(cnt)"]), r["stem"], int(r["sum(forms)"])))
+        best.sort()
+        del best[top_n:]
+    return pa.table(
+        {
+            "stem": pa.array([s for _, s, _ in best], type=pa.string()),
+            "total": pa.array([-c for c, _, _ in best], type=pa.int64()),
+            "n_forms": pa.array([f for _, _, f in best], type=pa.int64()),
+        }
+    )

@@ -78,6 +78,7 @@ def _canon(obj) -> pd.DataFrame:
         "sq8_recall",
         "kcenter_prototypes",
         "knn_outliers",
+        "stemmed_vocab",
     ],
 )
 def test_golden_parity(ray_session, name):

@@ -1670,6 +1670,37 @@ def golden_knn_outliers(
         }
     )
 
+
+def golden_stemmed_vocab(sf_dir: str, *, top_n: int = 20) -> pa.Table:
+    """Sequential mirror of text_analysis.stemmed_vocab: one dict
+    pass over [a-z]+ tokens of the lowercased text, shared Porter
+    kernel, top_n by (count desc, stem asc) with distinct-form
+    counts."""
+    import re
+
+    from dots_ocr_ray.functions.stem import porter_stem
+
+    tok_re = re.compile(r"[a-z]+")
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["text"])
+    counts: dict[str, int] = {}
+    forms: dict[str, set] = {}
+    memo: dict[str, str] = {}
+    for txt in t.column("text").to_pylist():
+        for w in tok_re.findall((txt or "").lower()):
+            s = memo.get(w)
+            if s is None:
+                s = memo[w] = porter_stem(w)
+            counts[s] = counts.get(s, 0) + 1
+            forms.setdefault(s, set()).add(w)
+    best = sorted(((-c, s) for s, c in counts.items()))[:top_n]
+    return pa.table(
+        {
+            "stem": pa.array([s for _, s in best], type=pa.string()),
+            "total": pa.array([-c for c, _ in best], type=pa.int64()),
+            "n_forms": pa.array([len(forms[s]) for _, s in best], type=pa.int64()),
+        }
+    )
+
 GOLDEN_BUILDERS = {
     "kmeans_clusters": golden_kmeans_clusters,
     "silhouette_clusters": golden_silhouette_clusters,
@@ -1724,6 +1755,7 @@ GOLDEN_BUILDERS = {
     "containment_pairs": golden_containment_pairs,
     "kcenter_prototypes": golden_kcenter_prototypes,
     "knn_outliers": golden_knn_outliers,
+    "stemmed_vocab": golden_stemmed_vocab,
 }
 
 
