@@ -5898,6 +5898,21 @@ def _q_skyline_orders(sf_dir: str):
     return skyline_2d(orders, "o_totalprice", "o_orderdate")
 
 
+def _q_ewma_daily_events(sf_dir: str):
+    """Truncated-EWMA smoothing (α=1/2, 7 taps, integer weights) of
+    each event type's zero-filled daily count series; shared
+    calendar-bounded daily fold + vectorized shift-and-add, no window
+    exchange (pipelines/profile.py:ewma_daily).  SQL oracle:
+    generate_series zero-fill + bounded offset join with 1<<(6-j)
+    weights."""
+    import ray.data
+
+    from dots_ocr_ray.pipelines.profile import ewma_daily
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type"])
+    return ewma_daily(ev, ts_col="ts", key_col="event_type")
+
+
 def _q_stemmed_vocab(sf_dir: str):
     """Stem-grouped vocabulary rollup: per-batch distinct-word
     memoized Porter stemming (the published 1980 algorithm as a pure
@@ -6152,6 +6167,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kcenter_prototypes": _q_kcenter_prototypes,
         "knn_outliers": _q_knn_outliers,
         "stemmed_vocab": _q_stemmed_vocab,
+        "ewma_daily_events": _q_ewma_daily_events,
         "quality_filter_docs": _q_quality_filter_docs,
         "docs_outside_blocklist": _q_docs_outside_blocklist,
         "nations_with_presence": _q_nations_with_presence,
@@ -6798,6 +6814,20 @@ def oracle_sql() -> dict[str, str]:
         "kcenter_prototypes": f"SELECT rank, vec_id, dist_micro FROM read_parquet('{_GOLDEN_DIR}/kcenter_prototypes.parquet')",
         "knn_outliers": f"SELECT vec_id, score_micro FROM read_parquet('{_GOLDEN_DIR}/knn_outliers.parquet')",
         "stemmed_vocab": f"SELECT stem, total, n_forms FROM read_parquet('{_GOLDEN_DIR}/stemmed_vocab.parquet')",
+        "ewma_daily_events": (
+            "WITH d AS (SELECT event_type AS k, CAST(CAST(date_trunc('day', ts) "
+            "AS DATE) - DATE '1970-01-01' AS BIGINT) AS day, "
+            "CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2), "
+            "b AS (SELECT k, min(day) AS d0, max(day) AS d1 FROM d GROUP BY k), "
+            "g AS (SELECT b.k, unnest(generate_series(d0, d1)) AS day FROM b), "
+            "z AS (SELECT g.k, g.day, coalesce(d.n, 0) AS n FROM g "
+            "LEFT JOIN d ON d.k = g.k AND d.day = g.day), "
+            "w AS (SELECT f.k, f.day, sum(g2.n * (1 << CAST(6 - (f.day - g2.day) "
+            "AS INT))) AS num FROM z f JOIN z g2 ON f.k = g2.k "
+            "AND g2.day BETWEEN f.day - 6 AND f.day GROUP BY 1, 2) "
+            "SELECT k AS key, day, CAST((1000000::BIGINT * num) // 127 AS BIGINT) "
+            "AS ewma_micro FROM w"
+        ),
         "semdedup_docs": f"SELECT vec_id, cluster_id, kept FROM read_parquet('{_GOLDEN_DIR}/semdedup_docs.parquet')",
         "dsir_scores": f"SELECT doc_id, logw, n_feats FROM read_parquet('{_GOLDEN_DIR}/dsir_scores.parquet')",
         "incremental_minhash": f"SELECT doc_id, text FROM read_parquet('{_GOLDEN_DIR}/incremental_minhash.parquet')",

@@ -1038,3 +1038,50 @@ def fano_daily(
             "fano_micro": pa.array(fanos, pa.int64()),
         }
     )
+
+
+def ewma_daily(
+    ds: ray.data.Dataset,
+    *,
+    ts_col: str,
+    key_col: str,
+    horizon: int = 6,
+) -> pa.Table:
+    """Truncated exponential moving average of each key's zero-filled
+    DAILY count series — the smoothed-traffic signal recrawl
+    schedulers threshold on.  α = 1/2 truncated at ``horizon`` lags
+    keeps everything integer-exact: weight of lag j is 2^(horizon−j),
+    so ``ewma_micro(t) = floor(1e6 · Σ_j c(t−j)·2^(horizon−j) /
+    (2^(horizon+1) − 1))`` with c = 0 outside the key's observed span
+    (calendar zero-fill, same convention as :func:`cusum_daily`).
+
+    Shape: the shared calendar-bounded (key, day, n) fold, then a
+    vectorized (horizon+1)-tap shift-and-add per key — no window
+    exchange, no recursion."""
+    daily = _daily_counts(ds, ts_col=ts_col, key_col=key_col)
+    denom = (1 << (horizon + 1)) - 1
+    out_k: list[str] = []
+    out_day: list[int] = []
+    out_v: list[int] = []
+    for key, grp in daily.groupby("k"):
+        d0, d1 = int(grp["day"].min()), int(grp["day"].max())
+        series = np.zeros(d1 - d0 + 1, dtype=np.int64)
+        series[grp["day"].astype(int).to_numpy() - d0] = grp["n"].astype(int).to_numpy()
+        num = np.zeros_like(series)
+        for j in range(horizon + 1):
+            w = 1 << (horizon - j)
+            if j == 0:
+                num += w * series
+            else:
+                num[j:] += w * series[:-j]
+        vals = (1_000_000 * num) // denom
+        out_k.extend([key] * len(series))
+        out_day.extend(range(d0, d1 + 1))
+        out_v.extend(int(v) for v in vals)
+    return pa.table(
+        {
+            "key": pa.array(out_k, pa.string()),
+            "day": pa.array(out_day, pa.int64()),
+            "ewma_micro": pa.array(out_v, pa.int64()),
+        }
+    )

@@ -439,3 +439,58 @@ def test_fano_daily(ray_session):
     # var=16.25−5.0625=11.1875 → fano≈4.9722
     assert out.loc["burst", "n_days"] == 4
     assert out.loc["burst", "fano_micro"] == int(1e6 * 11.1875 / 2.25)
+
+
+# --- EWMA daily --------------------------------------------------------------
+
+def test_ewma_daily_hand_computed():
+    import pyarrow as pa
+    import ray.data
+
+    from dots_ocr_ray.pipelines.profile import ewma_daily
+
+    # key 'a': day 0 -> 127 events, days 1-6 quiet, day 7 -> 127 events
+    rows = []
+    for _ in range(127):
+        rows.append(("a", "2024-01-01T05:00:00"))
+    for _ in range(127):
+        rows.append(("a", "2024-01-08T09:30:00"))
+    t = pa.table(
+        {
+            "event_type": pa.array([r[0] for r in rows], type=pa.string()),
+            "ts": pa.array(
+                [__import__("numpy").datetime64(r[1], "us") for r in rows],
+                type=pa.timestamp("us"),
+            ),
+        }
+    )
+    out = {r["day"]: r["ewma_micro"] for r in ewma_daily(
+        ray.data.from_arrow(t), ts_col="ts", key_col="event_type"
+    ).to_pylist()}
+    d0 = min(out)
+    # day 0: 127·64/127 = 64; day j: 127·2^(6-j)/127 = 2^(6-j); day 7: spike
+    # fell out of the 7-tap window of day 0's burst -> only the new burst: 64
+    assert out[d0] == 64_000_000
+    assert out[d0 + 1] == 32_000_000
+    assert out[d0 + 6] == 1_000_000
+    assert out[d0 + 7] == 64_000_000
+
+
+def test_ewma_daily_partition_invariant():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from dots_ocr_ray.pipelines.profile import ewma_daily
+
+    rng = np.random.RandomState(5)
+    ts = np.datetime64("2024-03-01") + rng.randint(0, 20, 500).astype("timedelta64[D]")
+    t = pa.table(
+        {
+            "event_type": pa.array([f"t{i % 3}" for i in range(500)], type=pa.string()),
+            "ts": pa.array(ts.astype("datetime64[us]"), type=pa.timestamp("us")),
+        }
+    )
+    a = ewma_daily(ray.data.from_arrow(t).repartition(1), ts_col="ts", key_col="event_type").to_pylist()
+    b = ewma_daily(ray.data.from_arrow(t).repartition(7), ts_col="ts", key_col="event_type").to_pylist()
+    assert sorted(map(tuple, (r.values() for r in a))) == sorted(map(tuple, (r.values() for r in b)))
