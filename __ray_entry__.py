@@ -5898,6 +5898,20 @@ def _q_skyline_orders(sf_dir: str):
     return skyline_2d(orders, "o_totalprice", "o_orderdate")
 
 
+def _q_ucb_event_types(sf_dir: str):
+    """UCB1 explore/exploit priorities per event type (the bandit
+    scheduling rule a crawler uses to allocate fetches): exact integer
+    cent partials + one mirrored float bonus expression
+    (pipelines/profile.py:ucb_scores).  SQL oracle: same sufficient
+    stats + sqrt/ln arithmetic."""
+    import ray.data
+
+    from dots_ocr_ray.pipelines.profile import ucb_scores
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    return ucb_scores(ev, key_col="event_type", value_col="value")
+
+
 def _q_ewma_daily_events(sf_dir: str):
     """Truncated-EWMA smoothing (α=1/2, 7 taps, integer weights) of
     each event type's zero-filled daily count series; shared
@@ -6168,6 +6182,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_outliers": _q_knn_outliers,
         "stemmed_vocab": _q_stemmed_vocab,
         "ewma_daily_events": _q_ewma_daily_events,
+        "ucb_event_types": _q_ucb_event_types,
         "quality_filter_docs": _q_quality_filter_docs,
         "docs_outside_blocklist": _q_docs_outside_blocklist,
         "nations_with_presence": _q_nations_with_presence,
@@ -6827,6 +6842,17 @@ def oracle_sql() -> dict[str, str]:
             "AND g2.day BETWEEN f.day - 6 AND f.day GROUP BY 1, 2) "
             "SELECT k AS key, day, CAST((1000000::BIGINT * num) // 127 AS BIGINT) "
             "AS ewma_micro FROM w"
+        ),
+        "ucb_event_types": (
+            "WITH s AS (SELECT event_type AS key, CAST(count(*) AS BIGINT) AS n, "
+            "CAST(sum(CAST(floor(100 * value) AS BIGINT)) AS BIGINT) AS sx "
+            "FROM events GROUP BY 1), "
+            "tot AS (SELECT CAST(sum(n) AS BIGINT) AS tn FROM s) "
+            "SELECT key, n, (1000000 * sx) // (100 * n) AS mean_micro, "
+            "CAST(floor(1000000 * sqrt((2.0 * ln(tn)) / n)) AS BIGINT) AS bonus_micro, "
+            "(1000000 * sx) // (100 * n) + "
+            "CAST(floor(1000000 * sqrt((2.0 * ln(tn)) / n)) AS BIGINT) AS ucb_micro "
+            "FROM s CROSS JOIN tot"
         ),
         "semdedup_docs": f"SELECT vec_id, cluster_id, kept FROM read_parquet('{_GOLDEN_DIR}/semdedup_docs.parquet')",
         "dsir_scores": f"SELECT doc_id, logw, n_feats FROM read_parquet('{_GOLDEN_DIR}/dsir_scores.parquet')",

@@ -1085,3 +1085,71 @@ def ewma_daily(
             "ewma_micro": pa.array(out_v, pa.int64()),
         }
     )
+
+
+def ucb_scores(
+    ds: ray.data.Dataset,
+    *,
+    key_col: str,
+    value_col: str,
+) -> pa.Table:
+    """UCB1 bandit scores per key (Auer et al. 2002) — the
+    explore/exploit priority a crawl scheduler assigns to sources:
+    ``ucb = mean_reward + sqrt(2·ln(N)/n)``.
+
+    Exactness contract: rewards quantize to cents (floor(100·x),
+    non-negative inputs) so per-key (n, Σcents) partials are exact
+    int64; the driver computes ``mean_micro = (1e6·Σ)//(100·n)``
+    integer-exactly and the exploration bonus with ONE float
+    expression ``floor(1e6·sqrt((2·ln(N))/n))`` mirrored literally by
+    the SQL oracle.  Bounded fold — one partial row per key per
+    batch."""
+    import math
+
+    def _partials(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key_col).to_pylist()
+        vals = np.floor(
+            100.0 * batch.column(value_col).to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        agg: dict[str, list[int]] = {}
+        for k, v in zip(keys, vals):
+            e = agg.setdefault(k, [0, 0])
+            e[0] += 1
+            e[1] += int(v)
+        ks = sorted(agg)
+        return pa.table(
+            {
+                "key": pa.array(ks, pa.string()),
+                "n": pa.array([agg[k][0] for k in ks], pa.int64()),
+                "sx": pa.array([agg[k][1] for k in ks], pa.int64()),
+            }
+        )
+
+    folded = (
+        ds.select_columns([key_col, value_col])
+        .map_batches(_partials, batch_format="pyarrow")
+        .groupby("key")
+        .sum(["n", "sx"])
+        .to_pandas()
+    )
+    total_n = int(folded["sum(n)"].sum())
+    keys, ns, means, bonuses, ucbs = [], [], [], [], []
+    for _, r in folded.sort_values("key").iterrows():
+        n = int(r["sum(n)"])
+        sx = int(r["sum(sx)"])
+        mean_micro = (1_000_000 * sx) // (100 * n)
+        bonus_micro = int(math.floor(1_000_000 * math.sqrt((2.0 * math.log(total_n)) / n)))
+        keys.append(r["key"])
+        ns.append(n)
+        means.append(mean_micro)
+        bonuses.append(bonus_micro)
+        ucbs.append(mean_micro + bonus_micro)
+    return pa.table(
+        {
+            "key": pa.array(keys, pa.string()),
+            "n": pa.array(ns, pa.int64()),
+            "mean_micro": pa.array(means, pa.int64()),
+            "bonus_micro": pa.array(bonuses, pa.int64()),
+            "ucb_micro": pa.array(ucbs, pa.int64()),
+        }
+    )

@@ -494,3 +494,50 @@ def test_ewma_daily_partition_invariant():
     a = ewma_daily(ray.data.from_arrow(t).repartition(1), ts_col="ts", key_col="event_type").to_pylist()
     b = ewma_daily(ray.data.from_arrow(t).repartition(7), ts_col="ts", key_col="event_type").to_pylist()
     assert sorted(map(tuple, (r.values() for r in a))) == sorted(map(tuple, (r.values() for r in b)))
+
+
+# --- UCB1 ---------------------------------------------------------------------
+
+def test_ucb_scores_hand_computed():
+    import math
+
+    import pyarrow as pa
+    import ray.data
+
+    from dots_ocr_ray.pipelines.profile import ucb_scores
+
+    t = pa.table(
+        {
+            "k": pa.array(["a"] * 4 + ["b"], type=pa.string()),
+            "v": pa.array([1.0, 2.0, 3.0, 2.0, 10.0], type=pa.float64()),
+        }
+    )
+    out = {r["key"]: r for r in ucb_scores(
+        ray.data.from_arrow(t), key_col="k", value_col="v"
+    ).to_pylist()}
+    # a: n=4, sum cents=800 -> mean 2.0 = 2_000_000 micro
+    assert out["a"]["mean_micro"] == 2_000_000
+    assert out["a"]["bonus_micro"] == math.floor(1e6 * math.sqrt((2.0 * math.log(5)) / 4))
+    assert out["a"]["ucb_micro"] == out["a"]["mean_micro"] + out["a"]["bonus_micro"]
+    # b explores harder despite one pull: bonus dominates
+    assert out["b"]["n"] == 1
+    assert out["b"]["bonus_micro"] > out["a"]["bonus_micro"]
+
+
+def test_ucb_scores_partition_invariant():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from dots_ocr_ray.pipelines.profile import ucb_scores
+
+    rng = np.random.RandomState(2)
+    t = pa.table(
+        {
+            "k": pa.array([f"s{i % 4}" for i in range(300)], type=pa.string()),
+            "v": pa.array(rng.rand(300) * 10, type=pa.float64()),
+        }
+    )
+    a = ucb_scores(ray.data.from_arrow(t).repartition(1), key_col="k", value_col="v").to_pylist()
+    b = ucb_scores(ray.data.from_arrow(t).repartition(6), key_col="k", value_col="v").to_pylist()
+    assert a == b
