@@ -5898,6 +5898,47 @@ def _q_skyline_orders(sf_dir: str):
     return skyline_2d(orders, "o_totalprice", "o_orderdate")
 
 
+def _q_media_phash_dups(sf_dir: str):
+    """Perceptual-hash near-dup clustering over the media column:
+    chunk-downsample stand-in decode → 64-bit average-hash → the
+    SHARED Hamming-radius core (pigeonhole blocks → bucket groupby →
+    exact verify → components) behind SimHash text dedup
+    (stages/media.py:phash64, pipelines/dedup.py:hash64_cluster).
+    Golden oracle: sequential mirror over the same kernels."""
+    import pyarrow as pa
+
+    import ray.data
+
+    from dots_ocr_ray.fixtures import media_payload
+    from dots_ocr_ray.pipelines.dedup import hash64_cluster
+    from dots_ocr_ray.stages.media import phash64
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def _sig(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id").cast(pa.int64()),
+                "simhash": pa.array(
+                    [phash64(media_payload(int(d), t)) for d, t in zip(ids, texts)],
+                    type=pa.uint64(),
+                ),
+            }
+        )
+
+    sims = docs.map_batches(_sig, batch_format="pyarrow")
+    out = hash64_cluster(
+        docs.select_columns(["doc_id"]), sims, max_hamming=3, n_blocks=4
+    )
+
+    def _rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["media_id", "cluster_id"])
+
+    return out.map_batches(_rename, batch_format="pyarrow")
+
+
 def _q_ucb_event_types(sf_dir: str):
     """UCB1 explore/exploit priorities per event type (the bandit
     scheduling rule a crawler uses to allocate fetches): exact integer
@@ -6183,6 +6224,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stemmed_vocab": _q_stemmed_vocab,
         "ewma_daily_events": _q_ewma_daily_events,
         "ucb_event_types": _q_ucb_event_types,
+        "media_phash_dups": _q_media_phash_dups,
         "quality_filter_docs": _q_quality_filter_docs,
         "docs_outside_blocklist": _q_docs_outside_blocklist,
         "nations_with_presence": _q_nations_with_presence,
@@ -6854,6 +6896,7 @@ def oracle_sql() -> dict[str, str]:
             "CAST(floor(1000000 * sqrt((2.0 * ln(tn)) / n)) AS BIGINT) AS ucb_micro "
             "FROM s CROSS JOIN tot"
         ),
+        "media_phash_dups": f"SELECT media_id, cluster_id FROM read_parquet('{_GOLDEN_DIR}/media_phash_dups.parquet')",
         "semdedup_docs": f"SELECT vec_id, cluster_id, kept FROM read_parquet('{_GOLDEN_DIR}/semdedup_docs.parquet')",
         "dsir_scores": f"SELECT doc_id, logw, n_feats FROM read_parquet('{_GOLDEN_DIR}/dsir_scores.parquet')",
         "incremental_minhash": f"SELECT doc_id, text FROM read_parquet('{_GOLDEN_DIR}/incremental_minhash.parquet')",

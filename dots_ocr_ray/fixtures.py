@@ -458,3 +458,27 @@ def card_text(doc_id: int, text: str) -> str:
     if (doc_id // CARD_MOD) % 2 == 1:
         c = str((int(c) + 1) % 10)
     return text + " card " + d15 + c
+
+
+def media_payload(doc_id: int, text: str, *, mod: int = 11, rem: int = 5, n_groups: int = 4) -> bytes:
+    """Deterministic media-payload rule shared by the perceptual-hash
+    dedup query and its golden: docs with ``doc_id % mod == rem`` get
+    a planted GROUP TEXTURE (4 KB multiplicative byte pattern keyed by
+    the group index, plus one trailing doc-specific byte — so group
+    members are near-identical "images" and groups are mutually
+    distant), everyone else keeps their text bytes.  The raw corpus
+    has no pHash-range near-dups (measured median Hamming 32), so the
+    injection is what gives the dedup query a non-trivial answer —
+    while the engine still genuinely decodes, hashes, blocks and
+    verifies every row."""
+    import numpy as np
+
+    if doc_id % mod != rem:
+        return (text or "").encode("utf-8")
+    g = (doc_id // mod) % n_groups
+    i = np.arange(4096, dtype=np.uint64)
+    tex = (
+        ((i + np.uint64(1)) * np.uint64(2 * g + 3) * np.uint64(2654435761))
+        >> np.uint64(7)
+    ) & np.uint64(0xFF)
+    return tex.astype(np.uint8).tobytes() + bytes([doc_id % 251])

@@ -1224,15 +1224,6 @@ def simhash_dedup(
     Hamming verification in-bucket (the payload is 8 bytes — unlike
     minhash signatures it is cheap to ship through the band exchange)
     → distinct pairs → components."""
-    if max_hamming > n_blocks - 1:
-        # the pigeonhole index only guarantees a shared block for pairs
-        # within Hamming ≤ n_blocks-1; a larger radius would silently
-        # lose recall rather than honor the caller's threshold
-        raise ValueError(
-            f"max_hamming={max_hamming} needs n_blocks >= {max_hamming + 1} "
-            f"(got {n_blocks}): pairs above Hamming n_blocks-1 may share no block key"
-        )
-
     def _sim(batch: pa.Table) -> pa.Table:
         hs = [simhash64(t or "") for t in batch.column(text_col).to_pylist()]
         return pa.table(
@@ -1243,6 +1234,38 @@ def simhash_dedup(
         )
 
     sims = ds.map_batches(_sim, batch_format="pyarrow")
+    return hash64_cluster(
+        ds.select_columns([id_col]),
+        sims,
+        id_col=id_col,
+        max_hamming=max_hamming,
+        n_blocks=n_blocks,
+        cc_method=cc_method,
+    )
+
+
+def hash64_cluster(
+    ids_ds: ray.data.Dataset,
+    sims: ray.data.Dataset,
+    *,
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    n_blocks: int = 4,
+    cc_method: str = "auto",
+) -> ray.data.Dataset:
+    """Hamming-radius clustering of any 64-bit signature column —
+    the shared core behind SimHash text dedup and perceptual-hash
+    media dedup.  ``sims`` must carry ``(doc_id int64, simhash
+    uint64)``; pigeonhole block keys → bucket groupby → exact Hamming
+    verification in-bucket → distinct pairs → components."""
+    if max_hamming > n_blocks - 1:
+        # the pigeonhole index only guarantees a shared block for pairs
+        # within Hamming ≤ n_blocks-1; a larger radius would silently
+        # lose recall rather than honor the caller's threshold
+        raise ValueError(
+            f"max_hamming={max_hamming} needs n_blocks >= {max_hamming + 1} "
+            f"(got {n_blocks}): pairs above Hamming n_blocks-1 may share no block key"
+        )
 
     def _explode(batch: pa.Table) -> pa.Table:
         blk, key, ids, hs = [], [], [], []
@@ -1288,7 +1311,7 @@ def simhash_dedup(
     # paths (union-find and min-propagation are idempotent), so no
     # distinct barrier here
     pairs = exploded.groupby(["block", "key"]).map_groups(_pairs, batch_format="pyarrow")
-    return cluster_assign(ds.select_columns([id_col]), pairs, id_col=id_col, method=cc_method)
+    return cluster_assign(ids_ds, pairs, id_col=id_col, method=cc_method)
 
 
 # ---------------------------------------------------------------------------

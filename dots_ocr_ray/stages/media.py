@@ -179,3 +179,38 @@ class FrameSampleActor:
                 "frame_digest": pa.array(frame_digest, type=pa.string()),
             }
         )
+
+
+def chunk_image(payload: bytes) -> np.ndarray:
+    """Deterministic stand-in for a decoded 8×8 grayscale thumbnail:
+    the payload split into 64 contiguous chunks (integer boundaries
+    floor(i·n/64)), pixel = scaled mean byte value of the chunk.
+    Unlike a cryptographic digest this PRESERVES LOCALITY — a small
+    edit moves one pixel slightly, a small length change shifts chunk
+    boundaries by a tiny fraction of chunk width — exactly the
+    property perceptual hashing needs.  Swap in a real
+    decode+downsample at the marked codec seam.  Integer-exact."""
+    if not payload:
+        return np.zeros(64, dtype=np.int64)
+    arr = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
+    n = len(arr)
+    bounds = (np.arange(65, dtype=np.int64) * n) // 64
+    starts = bounds[:-1].copy()
+    # reduceat needs strictly valid starts; duplicate boundaries (n<64)
+    # produce zero-width chunks we then zero out explicitly
+    widths = np.diff(bounds)
+    sums = np.add.reduceat(arr, np.minimum(starts, n - 1))
+    sums[widths == 0] = 0
+    return np.where(widths > 0, (256 * sums) // np.maximum(widths, 1), 0)
+
+
+def phash64(payload: bytes) -> int:
+    """Average-hash perceptual fingerprint: bit i of the 64-bit hash
+    is 1 iff pixel i of the (stand-in) 8×8 image is strictly above
+    the image mean (integer-exact comparison 64·pixel > Σpixels).
+    Near-duplicate payloads differ in few bits, so Hamming-radius
+    clustering finds them.  Pure kernel shared by the Ray stage and
+    the sequential golden."""
+    img = chunk_image(payload)
+    bits = (64 * img > img.sum()).astype(np.uint64)
+    return int((bits << np.arange(64, dtype=np.uint64)).sum())

@@ -79,6 +79,7 @@ def _canon(obj) -> pd.DataFrame:
         "kcenter_prototypes",
         "knn_outliers",
         "stemmed_vocab",
+        "media_phash_dups",
     ],
 )
 def test_golden_parity(ray_session, name):

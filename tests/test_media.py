@@ -134,3 +134,45 @@ def test_media_resize_actor_non_dict_meta(ray_session):
     ).take_all()
     st = {r["media_id"]: r["resize_status"] for r in rows}
     assert st[1] == "rejected" and st[2] == "rejected" and st[3] == "resized"
+
+
+# --- perceptual hash ---------------------------------------------------------
+
+def test_phash_locality_and_discrimination():
+    import numpy as np
+
+    from dots_ocr_ray.stages.media import phash64
+
+    ham = lambda x, y: bin(x ^ y).count("1")
+    base = bytes(np.arange(4096, dtype=np.uint8) % 251)
+    near = bytearray(base)
+    near[100] = 0  # tiny edit
+    far = bytes(((np.arange(4096) * 37 + 11) % 256).astype(np.uint8))
+    assert ham(phash64(base), phash64(bytes(near))) <= 2
+    assert ham(phash64(base), phash64(far)) > 8
+
+
+def test_phash_edges():
+    from dots_ocr_ray.stages.media import chunk_image, phash64
+
+    assert phash64(b"") == 0
+    assert len(chunk_image(b"ab")) == 64
+    # constant image: no pixel strictly above mean -> hash 0
+    assert phash64(b"\x42" * 1000) == 0
+
+
+def test_media_phash_dedup_clusters_planted_groups(ray_session):
+    import collections
+
+    import __ray_entry__ as entry
+
+    out = entry.queries()["media_phash_dups"]("/root/testdata/sf0.001")
+    rows = out.to_pandas() if not hasattr(out, "to_pylist") else out.to_pandas()
+    c = collections.Counter(rows["cluster_id"])
+    planted = rows[rows["media_id"] % 11 == 5]
+    # every planted doc shares its cluster with at least one other row
+    multi = {cl for cl, n in c.items() if n > 1}
+    assert set(planted["cluster_id"]).issubset(multi)
+    # non-planted docs are singletons (measured median Hamming 32)
+    normal = rows[rows["media_id"] % 11 != 5]
+    assert all(c[cl] == 1 for cl in normal["cluster_id"])

@@ -1701,6 +1701,26 @@ def golden_stemmed_vocab(sf_dir: str, *, top_n: int = 20) -> pa.Table:
         }
     )
 
+
+def golden_media_phash_dups(sf_dir: str, *, max_hamming: int = 3, n_blocks: int = 4) -> pa.Table:
+    """Sequential mirror of the media perceptual-hash dedup: shared
+    phash64 kernel + the same pigeonhole-block candidate generation
+    and exact Hamming verification as golden_dedup_simhash."""
+    from dots_ocr_ray.fixtures import media_payload
+    from dots_ocr_ray.stages.media import phash64
+
+    ids, texts = _read_docs(sf_dir)
+    hs = {i: phash64(media_payload(int(i), t)) for i, t in zip(ids, texts)}
+    buckets: dict = defaultdict(list)
+    for i in ids:
+        for b, v in simhash_block_keys(hs[i], n_blocks):
+            buckets[(b, v)].append(i)
+    pairs = sorted(
+        (a, b) for a, b in _bucket_candidates(buckets) if hamming64(hs[a], hs[b]) <= max_hamming
+    )
+    t = _clusters_table(ids, pairs)
+    return t.rename_columns(["media_id", "cluster_id"])
+
 GOLDEN_BUILDERS = {
     "kmeans_clusters": golden_kmeans_clusters,
     "silhouette_clusters": golden_silhouette_clusters,
@@ -1756,6 +1776,7 @@ GOLDEN_BUILDERS = {
     "kcenter_prototypes": golden_kcenter_prototypes,
     "knn_outliers": golden_knn_outliers,
     "stemmed_vocab": golden_stemmed_vocab,
+    "media_phash_dups": golden_media_phash_dups,
 }
 
 
