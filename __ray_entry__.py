@@ -5898,6 +5898,20 @@ def _q_skyline_orders(sf_dir: str):
     return skyline_2d(orders, "o_totalprice", "o_orderdate")
 
 
+def _q_snm_dedup(sf_dir: str):
+    """Sorted-neighborhood near-dup clustering (Hernández–Stolfo):
+    normalized-prefix sort key, zipWithIndex ranks via the bucket-
+    histogram idiom, window-group candidate pairs, shared exact-Jaccard
+    verify, components (pipelines/dedup.py:snm_dedup).  Golden oracle:
+    sequential sorted-window mirror over the same kernels."""
+    import ray.data
+
+    from dots_ocr_ray.pipelines.dedup import snm_dedup
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return snm_dedup(docs)
+
+
 def _q_media_phash_dups(sf_dir: str):
     """Perceptual-hash near-dup clustering over the media column:
     chunk-downsample stand-in decode → 64-bit average-hash → the
@@ -6225,6 +6239,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ewma_daily_events": _q_ewma_daily_events,
         "ucb_event_types": _q_ucb_event_types,
         "media_phash_dups": _q_media_phash_dups,
+        "snm_dedup": _q_snm_dedup,
         "quality_filter_docs": _q_quality_filter_docs,
         "docs_outside_blocklist": _q_docs_outside_blocklist,
         "nations_with_presence": _q_nations_with_presence,
@@ -6897,6 +6912,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM s CROSS JOIN tot"
         ),
         "media_phash_dups": f"SELECT media_id, cluster_id FROM read_parquet('{_GOLDEN_DIR}/media_phash_dups.parquet')",
+        "snm_dedup": f"SELECT doc_id, cluster_id FROM read_parquet('{_GOLDEN_DIR}/snm_dedup.parquet')",
         "semdedup_docs": f"SELECT vec_id, cluster_id, kept FROM read_parquet('{_GOLDEN_DIR}/semdedup_docs.parquet')",
         "dsir_scores": f"SELECT doc_id, logw, n_feats FROM read_parquet('{_GOLDEN_DIR}/dsir_scores.parquet')",
         "incremental_minhash": f"SELECT doc_id, text FROM read_parquet('{_GOLDEN_DIR}/incremental_minhash.parquet')",

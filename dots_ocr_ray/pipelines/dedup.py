@@ -1339,45 +1339,9 @@ def ngram_jaccard_dedup(
         threshold=max(0.3, threshold - 0.3),
         concurrency=concurrency,
     )
-    cand = bounded_blocks(cand, rows_per_block=262144)
-    text_side = filter_payload_to_pair_endpoints(
-        ds.select_columns([id_col, text_col]), cand, id_col=id_col
+    verified = jaccard_verify_pairs(
+        cand, ds, id_col=id_col, text_col=text_col, n=n, threshold=threshold
     )
-    with_texts = attach_pair_payloads(
-        cand,
-        text_side,
-        id_col=id_col,
-        payload_col=text_col,
-        payload_type=pa.string(),
-    )
-
-    def _verify(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
-            return _empty_pairs()
-        # memoize gram-hash arrays per doc id within the batch: a hub
-        # doc in many candidate pairs shingles once, not once per pair.
-        # Gram-set build is one vectorized pass (utf-32 + rolling hash,
-        # char_ngram_hashes) and each pair's Jaccard is a C intersection
-        # over sorted u64 arrays — no per-gram Python strings/sets.
-        grams: dict[int, np.ndarray] = {}
-
-        def _g(doc: int, text: str | None) -> np.ndarray:
-            if doc not in grams:
-                grams[doc] = char_ngram_hashes(text or "", n)
-            return grams[doc]
-
-        keep = [
-            jaccard_hashes(_g(da, ta), _g(db, tb)) >= threshold
-            for da, db, ta, tb in zip(
-                batch.column("a").to_pylist(),
-                batch.column("b").to_pylist(),
-                batch.column("payload_a").to_pylist(),
-                batch.column("payload_b").to_pylist(),
-            )
-        ]
-        return batch.select(["a", "b"]).filter(pa.array(keep, type=pa.bool_()))
-
-    verified = with_texts.map_batches(_verify, batch_format="pyarrow")
     return cluster_assign(ds.select_columns([id_col]), verified, id_col=id_col, method=cc_method)
 
 
@@ -2043,3 +2007,191 @@ def containment_pairs(
         return out.append_column("cont_micro", pa.array(cont[keep], type=pa.int64()))
 
     return with_texts.map_batches(_verify, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# sorted-neighborhood dedup (SNM)
+
+def snm_sort_key(text: str | None, *, prefix_len: int = 24) -> str:
+    """Sorted-neighborhood blocking key: lowercase, keep [a-z0-9],
+    first ``prefix_len`` chars — records with near-identical openings
+    sort adjacent.  Pure kernel shared with the sequential golden."""
+    out = []
+    for ch in (text or "").lower():
+        if ("a" <= ch <= "z") or ("0" <= ch <= "9"):
+            out.append(ch)
+            if len(out) >= prefix_len:
+                break
+    return "".join(out)
+
+
+def jaccard_verify_pairs(
+    cand: ray.data.Dataset,
+    ds: ray.data.Dataset,
+    *,
+    id_col: str,
+    text_col: str,
+    n: int,
+    threshold: float,
+) -> ray.data.Dataset:
+    """Exact char-n-gram Jaccard verification of candidate (a, b)
+    pairs: texts joined to the pairs distributively (endpoint filter +
+    budgeted/distributed attach), per-batch gram-hash memoization —
+    the shared verify tail of :func:`ngram_jaccard_dedup` and
+    :func:`snm_dedup`."""
+    cand = bounded_blocks(cand, rows_per_block=262144)
+    text_side = filter_payload_to_pair_endpoints(
+        ds.select_columns([id_col, text_col]), cand, id_col=id_col
+    )
+    with_texts = attach_pair_payloads(
+        cand,
+        text_side,
+        id_col=id_col,
+        payload_col=text_col,
+        payload_type=pa.string(),
+    )
+
+    def _verify(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _empty_pairs()
+        grams: dict[int, np.ndarray] = {}
+
+        def _g(doc: int, text: str | None) -> np.ndarray:
+            if doc not in grams:
+                grams[doc] = char_ngram_hashes(text or "", n)
+            return grams[doc]
+
+        keep = [
+            jaccard_hashes(_g(da, ta), _g(db, tb)) >= threshold
+            for da, db, ta, tb in zip(
+                batch.column("a").to_pylist(),
+                batch.column("b").to_pylist(),
+                batch.column("payload_a").to_pylist(),
+                batch.column("payload_b").to_pylist(),
+            )
+        ]
+        return batch.select(["a", "b"]).filter(pa.array(keep, type=pa.bool_()))
+
+    return with_texts.map_batches(_verify, batch_format="pyarrow")
+
+
+def snm_dedup(
+    ds: ray.data.Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 4,
+    n: int = 3,
+    threshold: float = 0.8,
+    cc_method: str = "auto",
+) -> ray.data.Dataset:
+    """Sorted-neighborhood near-dup clustering (Hernández & Stolfo
+    1995) → (doc_id, cluster_id): sort the corpus by a normalized
+    prefix key, compare only records within ``window`` positions, then
+    exact n-gram Jaccard verification and components.  The
+    hashing-free blocking complement of MinHash/SimHash — catches
+    prefix-anchored near-dups with O(n·window) candidates.
+
+    Scale shape (no corpus rows on the driver):
+    1. key pass — (id, sortkey, first-byte bucket) rows only;
+    2. bucket histogram → 256 counts on the driver → exclusive prefix
+       offsets broadcast (the global_shuffle_index zipWithIndex idiom,
+       keyed by SORT ORDER instead of md5);
+    3. ONE bucket-keyed exchange assigns dense ranks (local lexsort by
+       (sortkey, id) + broadcast offset);
+    4. each row lands in window-groups rank//window and +1 (so every
+       pair within ``window`` shares a group); in-group pairs with
+       |Δrank| < window — ≤ 2·window rows per group;
+    5. shared exact-Jaccard verify + connected components.
+
+    Skew note: buckets are first-byte key ranges — a corpus whose keys
+    concentrate in one byte (all docs same opening) degrades to one
+    bucket; the fallback is salting the key pass by a wider prefix,
+    documented here rather than silently applied."""
+
+    def _keys(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).cast(pa.int64())
+        sks = [snm_sort_key(t) for t in batch.column(text_col).to_pylist()]
+        buckets = np.array([ord(s[0]) if s else 0 for s in sks], dtype=np.int64)
+        np.minimum(buckets, 255, out=buckets)
+        return pa.table(
+            {
+                "doc_id": ids,
+                "sk": pa.array(sks, type=pa.string()),
+                "bucket": pa.array(buckets, type=pa.int64()),
+            }
+        )
+
+    keys = bounded_blocks(ds.map_batches(_keys, batch_format="pyarrow"))
+
+    def _hist(batch: pa.Table) -> pa.Table:
+        counts = np.bincount(
+            batch.column("bucket").to_numpy(zero_copy_only=False), minlength=256
+        )
+        nz = np.nonzero(counts)[0]
+        return pa.table(
+            {
+                "bucket": pa.array(nz, type=pa.int64()),
+                "n": pa.array(counts[nz], type=pa.int64()),
+            }
+        )
+
+    hist = keys.map_batches(_hist, batch_format="pyarrow").groupby("bucket").sum("n")
+    counts = np.zeros(256, dtype=np.int64)
+    for row in hist.take_all():  # ≤256 rows — bounded by construction
+        counts[row["bucket"]] = row["sum(n)"]
+    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    offsets_ref = ray.put(offsets)
+
+    def _ranks(group: pa.Table) -> pa.Table:
+        offs = cached_object(offsets_ref)
+        bucket = group.column("bucket")[0].as_py()
+        ids = group.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        sks = group.column("sk").to_numpy(zero_copy_only=False)
+        idx = np.lexsort((ids, sks))
+        pos = np.empty(len(idx), dtype=np.int64)
+        pos[idx] = offs[bucket] + np.arange(len(idx))
+        return pa.table(
+            {
+                "doc_id": group.column("doc_id"),
+                "rank": pa.array(pos, type=pa.int64()),
+            }
+        )
+
+    ranks = keys.groupby("bucket").map_groups(_ranks, batch_format="pyarrow")
+
+    def _window_explode(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        rk = batch.column("rank").to_numpy(zero_copy_only=False).astype(np.int64)
+        wg = rk // window
+        return pa.table(
+            {
+                "wg": pa.array(np.concatenate([wg, wg + 1]), type=pa.int64()),
+                "doc_id": pa.array(np.concatenate([ids, ids]), type=pa.int64()),
+                "rank": pa.array(np.concatenate([rk, rk]), type=pa.int64()),
+            }
+        )
+
+    exploded = bounded_blocks(
+        ranks.map_batches(_window_explode, batch_format="pyarrow"),
+        rows_per_block=262144,
+    )
+
+    def _pairs(group: pa.Table) -> pa.Table:
+        ids = group.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        rk = group.column("rank").to_numpy(zero_copy_only=False).astype(np.int64)
+        k = len(ids)
+        if k < 2:
+            return _empty_pairs()
+        ii, jj = _triu(k)
+        keep = (np.abs(rk[ii] - rk[jj]) < window) & (ids[ii] != ids[jj])
+        da, db = ids[ii][keep], ids[jj][keep]
+        return _pairs_table(np.minimum(da, db), np.maximum(da, db))
+
+    cand = exploded.groupby("wg").map_groups(_pairs, batch_format="pyarrow")
+    verified = jaccard_verify_pairs(
+        cand, ds, id_col=id_col, text_col=text_col, n=n, threshold=threshold
+    )
+    return cluster_assign(
+        ds.select_columns([id_col]), verified, id_col=id_col, method=cc_method
+    )

@@ -690,3 +690,53 @@ def test_containment_pairs_planted(ray_session):
     assert all({a, b} <= {1, 2} for a, b in got)
     for r in out:
         assert r["cont_micro"] >= 900_000
+
+
+# --- sorted-neighborhood ------------------------------------------------------
+
+def _snm_fixture(num_blocks: int = 1):
+    import pyarrow as pa
+    import ray.data
+
+    texts = {
+        1: "alpha beta gamma delta epsilon zeta",
+        2: "alpha beta gamma delta epsilon zeta!",   # near-dup of 1, same prefix
+        3: "alpha beta gamma delta epsilon zetas",   # near-dup, tiny suffix edit
+        4: "omega psi chi phi upsilon tau",
+        5: "zzz completely different text here",
+        6: "omega psi chi phi upsilon tau sigma",    # near-dup of 4
+    }
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(texts), type=pa.int64()),
+            "text": pa.array(list(texts.values()), type=pa.string()),
+        }
+    )
+    return ray.data.from_arrow(t).repartition(num_blocks)
+
+
+def test_snm_sort_key():
+    from dots_ocr_ray.pipelines.dedup import snm_sort_key
+
+    assert snm_sort_key("Alpha, Beta! 42") == "alphabeta42"
+    assert snm_sort_key("") == ""
+    assert snm_sort_key(None) == ""
+    assert len(snm_sort_key("x" * 100)) == 24
+
+
+def test_snm_dedup_clusters_prefix_neighbors(ray_session):
+    from dots_ocr_ray.pipelines.dedup import snm_dedup
+
+    out = snm_dedup(_snm_fixture(), window=3, threshold=0.7).to_pandas()
+    cl = dict(zip(out["doc_id"], out["cluster_id"]))
+    assert cl[1] == cl[2] == cl[3]
+    assert cl[4] == cl[6]
+    assert cl[5] not in (cl[1], cl[4])
+
+
+def test_snm_dedup_partition_invariant(ray_session):
+    from dots_ocr_ray.pipelines.dedup import snm_dedup
+
+    a = snm_dedup(_snm_fixture(1), window=3, threshold=0.7).to_pandas().sort_values("doc_id")
+    b = snm_dedup(_snm_fixture(5), window=3, threshold=0.7).to_pandas().sort_values("doc_id")
+    assert a.values.tolist() == b.values.tolist()

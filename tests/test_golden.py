@@ -80,6 +80,7 @@ def _canon(obj) -> pd.DataFrame:
         "knn_outliers",
         "stemmed_vocab",
         "media_phash_dups",
+        "snm_dedup",
     ],
 )
 def test_golden_parity(ray_session, name):

@@ -1721,6 +1721,33 @@ def golden_media_phash_dups(sf_dir: str, *, max_hamming: int = 3, n_blocks: int 
     t = _clusters_table(ids, pairs)
     return t.rename_columns(["media_id", "cluster_id"])
 
+
+def golden_snm_dedup(
+    sf_dir: str, *, window: int = 4, n: int = 3, threshold: float = 0.8
+) -> pa.Table:
+    """Sequential mirror of dedup.snm_dedup: sort by the shared
+    normalized-prefix key, compare records within ``window`` positions,
+    verify with exact char-n-gram Jaccard, union-find clusters."""
+    from dots_ocr_ray.pipelines.dedup import snm_sort_key
+
+    ids, texts = _read_docs(sf_dir)
+    by_id = dict(zip(ids, texts))
+    order = sorted(ids, key=lambda i: (snm_sort_key(by_id[i]), i))
+    grams = {}
+
+    def _g(i):
+        if i not in grams:
+            grams[i] = char_ngram_hashes(by_id[i] or "", n)
+        return grams[i]
+
+    pairs = []
+    for x in range(len(order)):
+        for y in range(x + 1, min(x + window, len(order))):
+            a, b = order[x], order[y]
+            if jaccard_hashes(_g(a), _g(b)) >= threshold:
+                pairs.append((min(a, b), max(a, b)))
+    return _clusters_table(ids, sorted(set(pairs)))
+
 GOLDEN_BUILDERS = {
     "kmeans_clusters": golden_kmeans_clusters,
     "silhouette_clusters": golden_silhouette_clusters,
@@ -1777,6 +1804,7 @@ GOLDEN_BUILDERS = {
     "knn_outliers": golden_knn_outliers,
     "stemmed_vocab": golden_stemmed_vocab,
     "media_phash_dups": golden_media_phash_dups,
+    "snm_dedup": golden_snm_dedup,
 }
 
 
