@@ -5898,6 +5898,30 @@ def _q_skyline_orders(sf_dir: str):
     return skyline_2d(orders, "o_totalprice", "o_orderdate")
 
 
+def _q_phrase_search(sf_dir: str):
+    """Exact phrase retrieval over a PERSISTED POSITIONAL inverted
+    index: (token, doc_id, pos) postings bucketed by token; the query
+    reads only its tokens' buckets (token-IN filter), one doc-keyed
+    exchange, vectorized packed-key adjacency merge — overlap-safe
+    match counts (pipelines/retrieval.py:phrase_search).  SQL oracle:
+    token explode with ordinality self-joined on i+1."""
+    import os
+
+    import ray.data
+
+    from dots_ocr_ray.pipelines.retrieval import build_positional_index, phrase_search
+
+    base, built = _scratch_dir("posindex", sf_dir)
+    if not built:
+        docs = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        build_positional_index(docs, f"{base}/index", num_buckets=32)
+        with open(os.path.join(base, "_complete"), "w") as f:
+            f.write("ok")
+    return phrase_search(f"{base}/index", "batch stream")
+
+
 def _q_snm_dedup(sf_dir: str):
     """Sorted-neighborhood near-dup clustering (Hernández–Stolfo):
     normalized-prefix sort key, zipWithIndex ranks via the bucket-
@@ -6240,6 +6264,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ucb_event_types": _q_ucb_event_types,
         "media_phash_dups": _q_media_phash_dups,
         "snm_dedup": _q_snm_dedup,
+        "phrase_search": _q_phrase_search,
         "quality_filter_docs": _q_quality_filter_docs,
         "docs_outside_blocklist": _q_docs_outside_blocklist,
         "nations_with_presence": _q_nations_with_presence,
@@ -6913,6 +6938,15 @@ def oracle_sql() -> dict[str, str]:
         ),
         "media_phash_dups": f"SELECT media_id, cluster_id FROM read_parquet('{_GOLDEN_DIR}/media_phash_dups.parquet')",
         "snm_dedup": f"SELECT doc_id, cluster_id FROM read_parquet('{_GOLDEN_DIR}/snm_dedup.parquet')",
+        "phrase_search": (
+            "WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '[ \t\n]+') "
+            "AS tk FROM documents), "
+            "ex AS (SELECT doc_id, unnest(tk) AS tok, generate_subscripts(tk, 1) AS i "
+            "FROM toks) "
+            "SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_matches "
+            "FROM ex a JOIN ex b ON a.doc_id = b.doc_id AND b.i = a.i + 1 "
+            "WHERE a.tok = 'batch' AND b.tok = 'stream' GROUP BY 1"
+        ),
         "semdedup_docs": f"SELECT vec_id, cluster_id, kept FROM read_parquet('{_GOLDEN_DIR}/semdedup_docs.parquet')",
         "dsir_scores": f"SELECT doc_id, logw, n_feats FROM read_parquet('{_GOLDEN_DIR}/dsir_scores.parquet')",
         "incremental_minhash": f"SELECT doc_id, text FROM read_parquet('{_GOLDEN_DIR}/incremental_minhash.parquet')",

@@ -188,3 +188,168 @@ def keyword_search(
         .groupby("__bucket")
         .map_groups(_fold, batch_format="pyarrow")
     )
+
+
+# --- positional phrase search -------------------------------------------------
+
+_POS_BITS = 20  # docs must be < 2^20 tokens for the packed adjacency key
+
+
+def positional_postings_from_documents(
+    ds: ray.data.Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Positional postings stream — ``(token, doc_id, pos)`` with
+    ``pos`` the 0-based whitespace-token index — the index layout
+    phrase queries need (tf-only postings can answer AND/OR, not
+    adjacency).  Zero exchange; bucket by token at write time."""
+
+    def _postings(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        toks = split_whitespace_checked(batch.column(text_col))
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        # position within each doc: tokens of a doc are contiguous and
+        # in order in the flattened array
+        if len(parent):
+            starts = np.concatenate([[0], np.nonzero(np.diff(parent))[0] + 1])
+            run_start = np.zeros(len(parent), dtype=np.int64)
+            run_start[starts] = starts
+            run_start = np.maximum.accumulate(run_start)
+            pos = np.arange(len(parent), dtype=np.int64) - run_start
+        else:
+            pos = np.zeros(0, dtype=np.int64)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        ids = batch.column(id_col).take(pa.array(parent)).cast(pa.int64())
+        t = pa.table(
+            {
+                "token": flat,
+                "doc_id": ids,
+                "pos": pa.array(pos, type=pa.int64()),
+            }
+        )
+        return t.filter(pa.array(keep, type=pa.bool_()))
+
+    return ds.map_batches(_postings, batch_format="pyarrow")
+
+
+def build_positional_index(
+    ds: ray.data.Dataset,
+    out_dir: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 32,
+) -> None:
+    """Persist positional postings hash-bucketed by token (hive
+    layout + manifest, same convention as :func:`build_inverted_index`)."""
+    write_bucketed(
+        positional_postings_from_documents(ds, text_col=text_col, id_col=id_col),
+        out_dir,
+        key="token",
+        num_buckets=num_buckets,
+    )
+
+
+def phrase_search(index_dir: str, phrase: list[str] | str) -> pa.Table:
+    """Exact phrase retrieval over a persisted POSITIONAL index →
+    ``(doc_id, n_matches)`` for every doc containing the tokens
+    adjacently, overlap-safe (each starting position counts once).
+
+    Reads ONLY the query tokens' bucket directories with a parquet
+    ``token IN phrase`` filter (non-matching row groups never
+    decompress); one bucket-keyed exchange on doc id co-locates each
+    doc's surviving postings; the in-bucket adjacency intersection is
+    vectorized — (doc, pos) packs into one int64 key and each phrase
+    step is a sorted-membership probe of ``key + 1`` (the classic
+    positional-postings merge).  Docs longer than 2^20 tokens are
+    rejected loudly rather than silently mis-ranked."""
+    import numpy as np
+
+    from dots_ocr_ray.util import sorted_membership
+
+    tokens = phrase.split() if isinstance(phrase, str) else list(phrase)
+    if len(tokens) < 2:
+        raise ValueError("phrase_search needs a phrase of >= 2 tokens")
+
+    fs, root = resolve_fs(index_dir)
+    with fs.open_input_stream(posixpath.join(root, MANIFEST_NAME)) as f:
+        manifest = json.loads(f.read().decode())
+    if manifest["key"] != "token":
+        raise ValueError(f"not a token index: bucketed by {manifest['key']!r}")
+    num_buckets = int(manifest["num_buckets"])
+
+    uniq_terms = sorted(set(tokens))
+    term_arr = pa.array(uniq_terms, type=pa.string())
+    want = set(_bucket_of(term_arr, num_buckets).tolist())
+    files = _bucket_files(index_dir, num_buckets)
+    paths = sorted(p for b in want for p in files.get(b, []))
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "n_matches": pa.array([], pa.int64()),
+        }
+    )
+    if not paths:
+        return empty
+
+    import pyarrow.dataset as pads
+
+    postings = ray.data.read_parquet(
+        paths,
+        columns=["token", "doc_id", "pos"],
+        filter=pads.field("token").isin(uniq_terms),
+    )
+
+    def _tag(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        pos = batch.column("pos").to_numpy(zero_copy_only=False)
+        if len(pos) and pos.max() >= (1 << _POS_BITS):
+            raise NotImplementedError(
+                f"phrase_search packs (doc, pos) into int64 with {_POS_BITS} "
+                "position bits; longer documents need a wider packing"
+            )
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        with np.errstate(over="ignore"):
+            bkt = (ids.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(64)
+        return batch.append_column("__bucket", pa.array(bkt.astype(np.int32), type=pa.int32()))
+
+    tok_index = {t: j for j, t in enumerate(tokens)}
+
+    def _adjacency(group: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = group.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = group.column("pos").to_numpy(zero_copy_only=False).astype(np.int64)
+        toks = group.column("token").to_pylist()
+        keys = (ids << np.int64(_POS_BITS)) | pos
+        # per phrase slot j, the sorted key set of its token
+        slot_keys: list[np.ndarray] = []
+        for j, t in enumerate(tokens):
+            mask = np.array([x == t for x in toks])
+            slot_keys.append(np.sort(keys[mask]))
+        surv = slot_keys[0]
+        for j in range(1, len(tokens)):
+            surv = surv[sorted_membership(slot_keys[j], surv + j)]
+        if not len(surv):
+            return empty
+        docs = surv >> np.int64(_POS_BITS)
+        uniq, cnt = np.unique(docs, return_counts=True)
+        return pa.table(
+            {
+                "doc_id": pa.array(uniq, type=pa.int64()),
+                "n_matches": pa.array(cnt.astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    out = (
+        postings.map_batches(_tag, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(_adjacency, batch_format="pyarrow")
+    )
+    parts = [b for b in out.iter_batches(batch_format="pyarrow") if b.num_rows]
+    return pa.concat_tables(parts) if parts else empty

@@ -172,3 +172,59 @@ def test_ivf_index_roundtrip_equals_in_memory(ray_session, tmp_path):
         pq.read_table(os.path.join(idx, "data", c)).num_rows for c in cells
     )
     assert total == t.num_rows
+
+
+# --- phrase search ------------------------------------------------------------
+
+def _build_pos_index(tmp_path, texts):
+    import pyarrow as pa
+    import ray.data
+
+    from dots_ocr_ray.pipelines.retrieval import build_positional_index
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(range(len(texts))), type=pa.int64()),
+            "text": pa.array(texts, type=pa.string()),
+        }
+    )
+    out = str(tmp_path / "posindex")
+    build_positional_index(ray.data.from_arrow(t).repartition(3), out, num_buckets=8)
+    return out
+
+
+def test_phrase_search_overlap_safe(ray_session, tmp_path):
+    from dots_ocr_ray.pipelines.retrieval import phrase_search
+
+    idx = _build_pos_index(
+        tmp_path,
+        [
+            "alpha beta gamma",          # 1 match
+            "alpha beta alpha beta",     # 2 matches (overlap-safe counting)
+            "beta alpha",                # 0 (wrong order)
+            "alpha gamma beta",          # 0 (not adjacent)
+        ],
+    )
+    out = {r["doc_id"]: r["n_matches"] for r in phrase_search(idx, "alpha beta").to_pylist()}
+    assert out == {0: 1, 1: 2}
+
+
+def test_phrase_search_three_tokens(ray_session, tmp_path):
+    from dots_ocr_ray.pipelines.retrieval import phrase_search
+
+    idx = _build_pos_index(
+        tmp_path,
+        ["x a b c y", "a b x c", "a b c a b c"],
+    )
+    out = {r["doc_id"]: r["n_matches"] for r in phrase_search(idx, "a b c").to_pylist()}
+    assert out == {0: 1, 2: 2}
+
+
+def test_phrase_search_validates(ray_session, tmp_path):
+    import pytest
+
+    from dots_ocr_ray.pipelines.retrieval import phrase_search
+
+    idx = _build_pos_index(tmp_path, ["a b"])
+    with pytest.raises(ValueError):
+        phrase_search(idx, "single")
