@@ -5898,6 +5898,20 @@ def _q_skyline_orders(sf_dir: str):
     return skyline_2d(orders, "o_totalprice", "o_orderdate")
 
 
+def _q_dp_lang_counts(sf_dir: str):
+    """ε-DP Laplace count release per language (seeded inverse-CDF
+    noise from md5(key) — deterministic, reproducible, caveat
+    documented at the kernel): bounded count fold + per-released-key
+    noise (functions/scrub.py:dp_release_counts).  SQL oracle: same
+    hex-derived uniform + one mirrored ln expression."""
+    import ray.data
+
+    from dots_ocr_ray.functions.scrub import dp_release_counts
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang"])
+    return dp_release_counts(docs, key_col="lang")
+
+
 def _q_phrase_search(sf_dir: str):
     """Exact phrase retrieval over a PERSISTED POSITIONAL inverted
     index: (token, doc_id, pos) postings bucketed by token; the query
@@ -6265,6 +6279,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_phash_dups": _q_media_phash_dups,
         "snm_dedup": _q_snm_dedup,
         "phrase_search": _q_phrase_search,
+        "dp_lang_counts": _q_dp_lang_counts,
         "quality_filter_docs": _q_quality_filter_docs,
         "docs_outside_blocklist": _q_docs_outside_blocklist,
         "nations_with_presence": _q_nations_with_presence,
@@ -6946,6 +6961,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_matches "
             "FROM ex a JOIN ex b ON a.doc_id = b.doc_id AND b.i = a.i + 1 "
             "WHERE a.tok = 'batch' AND b.tok = 'stream' GROUP BY 1"
+        ),
+        "dp_lang_counts": (
+            "WITH c AS (SELECT lang AS key, CAST(count(*) AS BIGINT) AS n "
+            "FROM documents GROUP BY 1), "
+            "u AS (SELECT key, n, (CAST(('0x' || substr(md5(key), 1, 12)) AS BIGINT) "
+            "+ 0.5) / 281474976710656.0 AS uu FROM c) "
+            "SELECT key, 1000000 * n + CAST(floor(1000000.0 * "
+            "(-1.0 * (CASE WHEN uu >= 0.5 THEN 1.0 ELSE -1.0 END) * "
+            "ln(1.0 - 2.0 * abs(uu - 0.5)))) AS BIGINT) AS noisy_count_micro FROM u"
         ),
         "semdedup_docs": f"SELECT vec_id, cluster_id, kept FROM read_parquet('{_GOLDEN_DIR}/semdedup_docs.parquet')",
         "dsir_scores": f"SELECT doc_id, logw, n_feats FROM read_parquet('{_GOLDEN_DIR}/dsir_scores.parquet')",

