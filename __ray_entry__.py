@@ -5898,6 +5898,23 @@ def _q_skyline_orders(sf_dir: str):
     return skyline_2d(orders, "o_totalprice", "o_orderdate")
 
 
+def _q_span_corrupted(sf_dir: str):
+    """T5-style span corruption with no RNG: spans fire only at
+    stride-aligned token slots (md5 rule), so the greedy sequential
+    mask collapses to a position-local rule any corpus subset
+    reproduces; zero exchange
+    (pipelines/packing.py:span_corrupted_docs).  SQL oracle: windowed
+    covered/cumulative-sentinel arithmetic over the token explode."""
+    import ray.data
+
+    from dots_ocr_ray.pipelines.packing import span_corrupted_docs
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return span_corrupted_docs(docs)
+
+
 def _q_dp_lang_counts(sf_dir: str):
     """ε-DP Laplace count release per language (seeded inverse-CDF
     noise from md5(key) — deterministic, reproducible, caveat
@@ -6280,6 +6297,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snm_dedup": _q_snm_dedup,
         "phrase_search": _q_phrase_search,
         "dp_lang_counts": _q_dp_lang_counts,
+        "span_corrupted": _q_span_corrupted,
         "quality_filter_docs": _q_quality_filter_docs,
         "docs_outside_blocklist": _q_docs_outside_blocklist,
         "nations_with_presence": _q_nations_with_presence,
@@ -6970,6 +6988,30 @@ def oracle_sql() -> dict[str, str]:
             "SELECT key, 1000000 * n + CAST(floor(1000000.0 * "
             "(-1.0 * (CASE WHEN uu >= 0.5 THEN 1.0 ELSE -1.0 END) * "
             "ln(1.0 - 2.0 * abs(uu - 0.5)))) AS BIGINT) AS noisy_count_micro FROM u"
+        ),
+        "span_corrupted": (
+            "WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '[ \t\n]+') "
+            "AS tk FROM documents WHERE trim(text) <> ''), "
+            "ex AS (SELECT doc_id, unnest(tk) AS tok, generate_subscripts(tk, 1) - 1 "
+            "AS i FROM toks), "
+            "f AS (SELECT doc_id, tok, i, CASE WHEN i % 4 = 0 AND "
+            "substr(md5(CAST(doc_id AS VARCHAR) || '|' || CAST(i AS VARCHAR)), 1, 2) "
+            "< '66' THEN 1 ELSE 0 END AS fired FROM ex), "
+            "w AS (SELECT doc_id, tok, i, fired, max(fired) OVER (PARTITION BY doc_id "
+            "ORDER BY i ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS covered, "
+            "sum(fired) OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN UNBOUNDED "
+            "PRECEDING AND CURRENT ROW) AS cum FROM f), "
+            "agg AS (SELECT doc_id, string_agg(CASE WHEN fired = 1 THEN "
+            "'<extra_id_' || CAST(cum - 1 AS VARCHAR) || '>' WHEN covered = 1 THEN NULL "
+            "ELSE tok END, ' ' ORDER BY i) AS corrupted, "
+            "string_agg(CASE WHEN fired = 1 THEN '<extra_id_' || CAST(cum - 1 AS VARCHAR) "
+            "|| '> ' || tok WHEN covered = 1 THEN tok END, ' ' ORDER BY i) AS span_body, "
+            "CAST(max(cum) AS BIGINT) AS n_spans FROM w GROUP BY doc_id) "
+            "SELECT doc_id, coalesce(corrupted, '') AS corrupted, "
+            "(CASE WHEN span_body IS NULL THEN '' ELSE span_body || ' ' END) || "
+            "'<extra_id_' || CAST(n_spans AS VARCHAR) || '>' AS targets, n_spans "
+            "FROM agg "
+            "UNION ALL SELECT doc_id, '', '', 0 FROM documents WHERE trim(text) = ''"
         ),
         "semdedup_docs": f"SELECT vec_id, cluster_id, kept FROM read_parquet('{_GOLDEN_DIR}/semdedup_docs.parquet')",
         "dsir_scores": f"SELECT doc_id, logw, n_feats FROM read_parquet('{_GOLDEN_DIR}/dsir_scores.parquet')",

@@ -766,3 +766,80 @@ def mlm_masked_docs(docs: ray.data.Dataset) -> ray.data.Dataset:
         )
 
     return docs.map_batches(_apply, batch_format="pyarrow")
+
+
+def span_corrupt_text(
+    doc_id: int, text: str, *, stride: int = 4, span_len: int = 3
+) -> tuple[str, str, int]:
+    """T5-style span corruption with NO RNG: a span of ``span_len``
+    tokens starts at token position i iff ``i % stride == 0`` and
+    md5(f"{doc_id}|{i}")[0] < 0x66 (≈40% of aligned slots ⇒ ~30% of
+    tokens masked at stride 4 × span 3).  Aligned starts can never
+    overlap when ``span_len <= stride``, so the greedy sequential rule
+    collapses to a position-local one — which is what makes the SQL
+    oracle expressible and any corpus subset reproducible.
+
+    Returns (corrupted, targets, n_spans) in the T5 convention:
+    corrupted = text with each span replaced by ``<extra_id_K>``,
+    targets = sentinel-delimited span contents + closing sentinel.
+    Empty/whitespace-only text → ("", "", 0)."""
+    global _WS_SPLIT_RE
+    if _WS_SPLIT_RE is None:
+        import re
+
+        _WS_SPLIT_RE = re.compile(r"[ \t\n]+")
+    if span_len > stride:
+        raise ValueError("span_len > stride would re-introduce overlap")
+    stripped = text.strip()
+    if not stripped:
+        return "", "", 0
+    toks = _WS_SPLIT_RE.split(stripped)
+    import hashlib
+
+    out: list[str] = []
+    targets: list[str] = []
+    k = 0
+    i = 0
+    n = len(toks)
+    while i < n:
+        fires = (
+            i % stride == 0
+            and hashlib.md5(f"{doc_id}|{i}".encode()).digest()[0] < 0x66
+        )
+        if fires:
+            out.append(f"<extra_id_{k}>")
+            targets.append(f"<extra_id_{k}>")
+            targets.extend(toks[i : i + span_len])
+            k += 1
+            i += span_len
+        else:
+            out.append(toks[i])
+            i += 1
+    targets.append(f"<extra_id_{k}>")
+    return " ".join(out), " ".join(targets), k
+
+
+def span_corrupted_docs(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """Deterministic T5 span-corruption examples over the corpus:
+    (doc_id, corrupted, targets, n_spans).  Zero exchange; one md5 per
+    aligned slot is the op's inherent compute."""
+
+    def _apply(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        cs, ts, ks = [], [], []
+        for d, t in zip(ids, texts):
+            c, tg, k = span_corrupt_text(int(d), t or "")
+            cs.append(c)
+            ts.append(tg)
+            ks.append(k)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "corrupted": pa.array(cs, type=pa.string()),
+                "targets": pa.array(ts, type=pa.string()),
+                "n_spans": pa.array(ks, type=pa.int64()),
+            }
+        )
+
+    return docs.map_batches(_apply, batch_format="pyarrow")

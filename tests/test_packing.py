@@ -471,3 +471,50 @@ def test_mlm_masked_docs_dataset():
         m, nt, nm = mlm_mask_text(d, txt)
         assert out[d]["masked_text"] == m
         assert out[d]["n_tokens"] == nt and out[d]["n_masked"] == nm
+
+
+# --- span corruption ----------------------------------------------------------
+
+def test_span_corrupt_invariants():
+    import hashlib
+
+    from dots_ocr_ray.pipelines.packing import span_corrupt_text
+
+    text = " ".join(f"w{i}" for i in range(40))
+    c, t, k = span_corrupt_text(9, text)
+    assert span_corrupt_text(9, text) == (c, t, k)  # deterministic
+    # sentinels numbered densely in both streams and closing sentinel present
+    for j in range(k):
+        assert f"<extra_id_{j}>" in c and f"<extra_id_{j}>" in t
+    assert t.endswith(f"<extra_id_{k}>")
+    # reconstruction: splicing targets back into corrupted restores text
+    toks_c = c.split(" ")
+    spans = {}
+    cur = None
+    for tok in t.split(" "):
+        if tok.startswith("<extra_id_"):
+            cur = tok
+            spans[cur] = []
+        else:
+            spans[cur].append(tok)
+    rebuilt = []
+    for tok in toks_c:
+        rebuilt.extend(spans.get(tok, [tok]) if tok.startswith("<extra_id_") else [tok])
+    assert " ".join(rebuilt) == text
+    # fire rule spot-check at position 0
+    fired0 = hashlib.md5(b"9|0").digest()[0] < 0x66
+    assert (c.split(" ")[0] == "<extra_id_0>") == fired0
+
+
+def test_span_corrupt_edges():
+    import pytest
+
+    from dots_ocr_ray.pipelines.packing import span_corrupt_text
+
+    assert span_corrupt_text(1, "") == ("", "", 0)
+    assert span_corrupt_text(1, "  \n ") == ("", "", 0)
+    with pytest.raises(ValueError):
+        span_corrupt_text(1, "a b", stride=2, span_len=3)
+    # single token: either kept or fully masked, closing sentinel always
+    c, t, k = span_corrupt_text(123, "solo")
+    assert t.endswith(f"<extra_id_{k}>") and k in (0, 1)
