@@ -5898,6 +5898,40 @@ def _q_skyline_orders(sf_dir: str):
     return skyline_2d(orders, "o_totalprice", "o_orderdate")
 
 
+def _q_ri_orphan_events(sf_dir: str):
+    """Referential-integrity audit: events whose user_id has no
+    orders row (o_custkey) — the orphan check a pipeline runs before
+    trusting an enrichment join; tiered exact anti-join + one count
+    (pipelines/profile.py:ri_orphans).  SQL oracle: NOT IN count."""
+    import ray.data
+
+    from dots_ocr_ray.pipelines.profile import ri_orphans
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+    return ri_orphans(
+        ev, orders, child_key="user_id", parent_key="o_custkey",
+        relation="events.user_id->orders.o_custkey",
+    )
+
+
+def _q_fd_check_lineitem(sf_dir: str):
+    """Functional-dependency audit l_orderkey → l_suppkey over
+    lineitem (does each order use one supplier? — profiling before a
+    denormalization): distinct packed pairs via one bucket fold, a
+    determinant-bucketed violation count, two scalars per bucket to
+    the driver (pipelines/profile.py:fd_violations).  SQL oracle:
+    HAVING count(DISTINCT) > 1."""
+    import ray.data
+
+    from dots_ocr_ray.pipelines.profile import fd_violations
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_suppkey"]
+    )
+    return fd_violations(li, det_col="l_orderkey", dep_col="l_suppkey")
+
+
 def _q_span_corrupted(sf_dir: str):
     """T5-style span corruption with no RNG: spans fire only at
     stride-aligned token slots (md5 rule), so the greedy sequential
@@ -6298,6 +6332,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_search": _q_phrase_search,
         "dp_lang_counts": _q_dp_lang_counts,
         "span_corrupted": _q_span_corrupted,
+        "fd_check_lineitem": _q_fd_check_lineitem,
+        "ri_orphan_events": _q_ri_orphan_events,
         "quality_filter_docs": _q_quality_filter_docs,
         "docs_outside_blocklist": _q_docs_outside_blocklist,
         "nations_with_presence": _q_nations_with_presence,
@@ -7012,6 +7048,20 @@ def oracle_sql() -> dict[str, str]:
             "'<extra_id_' || CAST(n_spans AS VARCHAR) || '>' AS targets, n_spans "
             "FROM agg "
             "UNION ALL SELECT doc_id, '', '', 0 FROM documents WHERE trim(text) = ''"
+        ),
+        "fd_check_lineitem": (
+            "WITH g AS (SELECT l_orderkey, count(DISTINCT l_suppkey) AS nd "
+            "FROM lineitem GROUP BY 1) "
+            "SELECT 'l_orderkey' AS det, 'l_suppkey' AS dep, "
+            "CAST(count(*) AS BIGINT) AS n_keys, "
+            "CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating "
+            "FROM g"
+        ),
+        "ri_orphan_events": (
+            "SELECT 'events.user_id->orders.o_custkey' AS relation, "
+            "CAST((SELECT count(*) FROM events) AS BIGINT) AS n_child_rows, "
+            "CAST((SELECT count(*) FROM events WHERE user_id NOT IN "
+            "(SELECT o_custkey FROM orders)) AS BIGINT) AS n_orphans"
         ),
         "semdedup_docs": f"SELECT vec_id, cluster_id, kept FROM read_parquet('{_GOLDEN_DIR}/semdedup_docs.parquet')",
         "dsir_scores": f"SELECT doc_id, logw, n_feats FROM read_parquet('{_GOLDEN_DIR}/dsir_scores.parquet')",

@@ -1153,3 +1153,116 @@ def ucb_scores(
             "ucb_micro": pa.array(ucbs, pa.int64()),
         }
     )
+
+
+def fd_violations(
+    ds: ray.data.Dataset,
+    *,
+    det_col: str,
+    dep_col: str,
+) -> pa.Table:
+    """Functional-dependency audit (profiling: does ``det_col →
+    dep_col`` hold?): the number of determinant keys mapping to more
+    than one distinct dependent value, plus total distinct keys.
+
+    Scale shape: per-batch distinct (det, dep) pairs (np.unique on the
+    packed pair), ONE bucket-keyed fold over int64-packed pairs
+    (:func:`~dots_ocr_ray.util.bucket_keyed_fold` distinct), then a
+    per-bucket dependent-count fold — the driver sees only two
+    scalars per bucket.  Both columns must be int64-castable; 31-bit
+    ids pack exactly (the association_rules convention)."""
+    from dots_ocr_ray.util import bucket_keyed_fold
+
+    def _pairs(batch: pa.Table) -> pa.Table:
+        det = batch.column(det_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        dep = batch.column(dep_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(det) and (
+            det.max() >= (1 << 31) or det.min() < 0
+            or dep.max() >= (1 << 31) or dep.min() < 0
+        ):
+            raise NotImplementedError(
+                "fd_violations packs (det, dep) as det<<32|dep; ids must fit 31 bits"
+            )
+        key = (det << np.int64(32)) | dep
+        return pa.table({"pair": pa.array(np.unique(key), type=pa.int64())})
+
+    pairs = bucket_keyed_fold(
+        ds.select_columns([det_col, dep_col]).map_batches(
+            _pairs, batch_format="pyarrow"
+        ),
+        "pair",
+        "distinct",
+    )
+
+    def _counts(batch: pa.Table) -> pa.Table:
+        p = batch.column("pair").to_numpy(zero_copy_only=False)
+        det = p >> np.int64(32)
+        uniq, cnt = np.unique(det, return_counts=True)
+        return pa.table(
+            {
+                "n_keys": pa.array([len(uniq)], type=pa.int64()),
+                "n_violating": pa.array([int((cnt > 1).sum())], type=pa.int64()),
+            }
+        )
+
+    # pairs are bucketed by the pair key, NOT the determinant — the
+    # same det can land in several buckets, so per-batch counts would
+    # overcount.  Re-bucket by determinant first (one more bounded
+    # exchange), then count per bucket.
+    def _tag_det(batch: pa.Table) -> pa.Table:
+        p = batch.column("pair").to_numpy(zero_copy_only=False)
+        det = (p >> np.int64(32)).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            bkt = (det * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(64)
+        return batch.append_column(
+            "__bucket", pa.array(bkt.astype(np.int32), type=pa.int32())
+        )
+
+    folded = (
+        pairs.map_batches(_tag_det, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(_counts, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return pa.table(
+        {
+            "det": pa.array([det_col], type=pa.string()),
+            "dep": pa.array([dep_col], type=pa.string()),
+            "n_keys": pa.array([int(folded["n_keys"].sum())], type=pa.int64()),
+            "n_violating": pa.array([int(folded["n_violating"].sum())], type=pa.int64()),
+        }
+    )
+
+
+def ri_orphans(
+    child_ds: ray.data.Dataset,
+    parent_ds: ray.data.Dataset,
+    *,
+    child_key: str,
+    parent_key: str,
+    relation: str,
+) -> pa.Table:
+    """Referential-integrity audit: how many child rows point at a
+    missing parent key (the orphan count a pipeline checks before
+    trusting a join).  Orphans come from the tiered exact anti-join
+    (:func:`~dots_ocr_ray.pipelines.dedup.anti_join_ids` — broadcast
+    sorted-ids under the driver budget, Bloom-prefilter + verified
+    distributed semi-join above it), then ONE count aggregate; the
+    driver sees three scalars."""
+    from dots_ocr_ray.pipelines.dedup import anti_join_ids
+
+    n_child = child_ds.count()
+    orphans = anti_join_ids(
+        child_ds.select_columns([child_key]),
+        parent_ds.select_columns([parent_key]),
+        id_col=child_key,
+        id_cols=(parent_key,),
+    )
+    n_orphans = orphans.count()
+    return pa.table(
+        {
+            "relation": pa.array([relation], type=pa.string()),
+            "n_child_rows": pa.array([int(n_child)], type=pa.int64()),
+            "n_orphans": pa.array([int(n_orphans)], type=pa.int64()),
+        }
+    )

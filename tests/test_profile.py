@@ -541,3 +541,59 @@ def test_ucb_scores_partition_invariant():
     a = ucb_scores(ray.data.from_arrow(t).repartition(1), key_col="k", value_col="v").to_pylist()
     b = ucb_scores(ray.data.from_arrow(t).repartition(6), key_col="k", value_col="v").to_pylist()
     assert a == b
+
+
+# --- data-quality audits --------------------------------------------------------
+
+def test_fd_violations_hand_computed(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from dots_ocr_ray.pipelines.profile import fd_violations
+
+    # key 1 -> {10}, key 2 -> {10, 20} (violating), key 3 -> {30}
+    t = pa.table(
+        {
+            "k": pa.array([1, 1, 2, 2, 2, 3], type=pa.int64()),
+            "v": pa.array([10, 10, 10, 20, 20, 30], type=pa.int64()),
+        }
+    )
+    out = fd_violations(
+        ray.data.from_arrow(t).repartition(3), det_col="k", dep_col="v"
+    ).to_pylist()[0]
+    assert out["n_keys"] == 3 and out["n_violating"] == 1
+
+
+def test_fd_violations_wide_ids_rejected(ray_session):
+    import pyarrow as pa
+    import pytest
+    import ray.data
+
+    from dots_ocr_ray.pipelines.profile import fd_violations
+
+    t = pa.table(
+        {
+            "k": pa.array([1 << 40], type=pa.int64()),
+            "v": pa.array([1], type=pa.int64()),
+        }
+    )
+    with pytest.raises(Exception):
+        fd_violations(ray.data.from_arrow(t), det_col="k", dep_col="v")
+
+
+def test_ri_orphans(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from dots_ocr_ray.pipelines.profile import ri_orphans
+
+    child = pa.table({"fk": pa.array([1, 2, 3, 3, 9], type=pa.int64())})
+    parent = pa.table({"pk": pa.array([1, 2, 3], type=pa.int64())})
+    out = ri_orphans(
+        ray.data.from_arrow(child).repartition(2),
+        ray.data.from_arrow(parent),
+        child_key="fk",
+        parent_key="pk",
+        relation="t",
+    ).to_pylist()[0]
+    assert out["n_child_rows"] == 5 and out["n_orphans"] == 1
