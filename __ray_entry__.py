@@ -5898,6 +5898,23 @@ def _q_skyline_orders(sf_dir: str):
     return skyline_2d(orders, "o_totalprice", "o_orderdate")
 
 
+def _q_coverage_select(sf_dir: str):
+    """Greedy maximum-coverage selection of 8 docs over the word-
+    bigram vocabulary (submodular (1−1/e) greedy — eval-set/lexicon
+    seeding): k stateless streamed passes, covered-set broadcast
+    bounded by the SELECTED docs' vocab, one partial row per batch
+    (pipelines/curation.py:max_coverage_select).  Golden oracle:
+    sequential dict greedy over the shared bigram-hash kernel."""
+    import ray.data
+
+    from dots_ocr_ray.pipelines.curation import max_coverage_select
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return max_coverage_select(docs, k=8)
+
+
 def _q_ri_orphan_events(sf_dir: str):
     """Referential-integrity audit: events whose user_id has no
     orders row (o_custkey) — the orphan check a pipeline runs before
@@ -6334,6 +6351,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_corrupted": _q_span_corrupted,
         "fd_check_lineitem": _q_fd_check_lineitem,
         "ri_orphan_events": _q_ri_orphan_events,
+        "coverage_select": _q_coverage_select,
         "quality_filter_docs": _q_quality_filter_docs,
         "docs_outside_blocklist": _q_docs_outside_blocklist,
         "nations_with_presence": _q_nations_with_presence,
@@ -7063,6 +7081,7 @@ def oracle_sql() -> dict[str, str]:
             "CAST((SELECT count(*) FROM events WHERE user_id NOT IN "
             "(SELECT o_custkey FROM orders)) AS BIGINT) AS n_orphans"
         ),
+        "coverage_select": f"SELECT rank, doc_id, new_tokens, covered_total FROM read_parquet('{_GOLDEN_DIR}/coverage_select.parquet')",
         "semdedup_docs": f"SELECT vec_id, cluster_id, kept FROM read_parquet('{_GOLDEN_DIR}/semdedup_docs.parquet')",
         "dsir_scores": f"SELECT doc_id, logw, n_feats FROM read_parquet('{_GOLDEN_DIR}/dsir_scores.parquet')",
         "incremental_minhash": f"SELECT doc_id, text FROM read_parquet('{_GOLDEN_DIR}/incremental_minhash.parquet')",

@@ -428,3 +428,114 @@ def preference_pairs(
             "margin_micro": pa.array(out["margin_micro"], type=pa.int64()),
         }
     )
+
+
+# --- greedy max-coverage selection ------------------------------------------
+
+def doc_token_hashes(text: str) -> np.ndarray:
+    """Sorted distinct u64 WORD-BIGRAM hashes of a document (stable
+    blake2b over "w1 w2") — the set representation the coverage
+    selector counts over; bigrams give a vocabulary rich enough that
+    no single page saturates it (unigrams on a web corpus are
+    dominated by a tiny head).  Pure kernel shared with the golden."""
+    words = (text or "").split()
+    if len(words) < 2:
+        return np.zeros(0, dtype=np.uint64)
+    return np.unique(
+        np.array(
+            [stable_u64(f"{a} {b}") for a, b in zip(words, words[1:])],
+            dtype=np.uint64,
+        )
+    )
+
+
+def max_coverage_select(
+    docs: "ray.data.Dataset",
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+) -> pa.Table:
+    """Greedy maximum-coverage document selection (the classic
+    (1−1/e)-approximate submodular greedy): pick ``k`` documents that
+    together cover the most distinct vocabulary — the eval-set /
+    lexicon-seed construction that diversity sampling by embeddings
+    cannot guarantee.
+
+    Scale shape: ``k`` stateless streamed passes; each round
+    broadcasts the covered-token array (bounded by the UNION OF
+    SELECTED DOCS' vocab — O(k · doc vocab), never the corpus vocab),
+    every batch folds to one (max uncovered count, tie → min id,
+    winning token set) partial row, tiny driver merge.  No per-doc
+    state between rounds; floats never appear.
+
+    Output: (rank, doc_id, new_tokens, covered_total)."""
+    from dots_ocr_ray.util import cached_object
+
+    narrow = docs.select_columns([id_col, text_col]).materialize()
+    covered = np.zeros(0, dtype=np.uint64)
+    out_rank: list[int] = []
+    out_id: list[int] = []
+    out_new: list[int] = []
+    out_total: list[int] = []
+
+    for rank in range(k):
+        covered_ref = ray.put(covered)
+
+        def _partial(batch: pa.Table) -> pa.Table:
+            cov = cached_object(covered_ref)
+            ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            best = None  # (gain, -id, hashes)
+            for j in range(len(ids)):
+                h = doc_token_hashes(batch.column(text_col)[j].as_py())
+                if len(cov):
+                    idx = np.searchsorted(cov, h)
+                    np.minimum(idx, len(cov) - 1, out=idx) if len(idx) else None
+                    gain = int((cov[idx] != h).sum()) if len(h) else 0
+                else:
+                    gain = len(h)
+                key = (gain, -int(ids[j]))
+                if best is None or key > best[0]:
+                    best = (key, h)
+            if best is None:
+                return pa.table(
+                    {
+                        id_col: pa.array([], type=pa.int64()),
+                        "gain": pa.array([], type=pa.int64()),
+                        "toks": pa.array([], type=pa.list_(pa.uint64())),
+                    }
+                )
+            (gain, neg_id), h = best
+            return pa.table(
+                {
+                    id_col: pa.array([-neg_id], type=pa.int64()),
+                    "gain": pa.array([gain], type=pa.int64()),
+                    "toks": pa.array([h.tolist()], type=pa.list_(pa.uint64())),
+                }
+            )
+
+        best = None
+        for b in narrow.map_batches(_partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        ):
+            for r in range(b.num_rows):
+                g = int(b.column("gain")[r].as_py())
+                i = int(b.column(id_col)[r].as_py())
+                if best is None or (g, -i) > (best[0], -best[1]):
+                    best = (g, i, np.array(b.column("toks")[r].as_py(), dtype=np.uint64))
+        if best is None:
+            break
+        covered = np.union1d(covered, best[2])
+        out_rank.append(rank)
+        out_id.append(best[1])
+        out_new.append(best[0])
+        out_total.append(len(covered))
+
+    return pa.table(
+        {
+            "rank": pa.array(out_rank, type=pa.int64()),
+            id_col: pa.array(out_id, type=pa.int64()),
+            "new_tokens": pa.array(out_new, type=pa.int64()),
+            "covered_total": pa.array(out_total, type=pa.int64()),
+        }
+    )

@@ -187,3 +187,41 @@ def test_preference_pairs_partition_invariant():
     a = preference_pairs(_pref_fixture(1)).to_pylist()
     b = preference_pairs(_pref_fixture(5)).to_pylist()
     assert a == b
+
+
+# --- max coverage ------------------------------------------------------------
+
+def _cov_fixture(num_blocks=1):
+    import pyarrow as pa
+    import ray.data
+
+    texts = {
+        1: "a b c d e f",          # 5 bigrams
+        2: "a b c d e f g h",      # superset of 1 (7 bigrams)
+        3: "x y z w",              # 3 disjoint bigrams
+        4: "a b",                  # 1 bigram, subset
+    }
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(texts), type=pa.int64()),
+            "text": pa.array(list(texts.values()), type=pa.string()),
+        }
+    )
+    return ray.data.from_arrow(t).repartition(num_blocks)
+
+
+def test_max_coverage_greedy_order(ray_session):
+    from dots_ocr_ray.pipelines.curation import max_coverage_select
+
+    out = max_coverage_select(_cov_fixture(), k=3).to_pylist()
+    assert [r["doc_id"] for r in out] == [2, 3, 1]
+    assert [r["new_tokens"] for r in out] == [7, 3, 0]
+    assert out[-1]["covered_total"] == 10
+
+
+def test_max_coverage_partition_invariant(ray_session):
+    from dots_ocr_ray.pipelines.curation import max_coverage_select
+
+    a = max_coverage_select(_cov_fixture(1), k=4).to_pylist()
+    b = max_coverage_select(_cov_fixture(4), k=4).to_pylist()
+    assert a == b

@@ -81,6 +81,7 @@ def _canon(obj) -> pd.DataFrame:
         "stemmed_vocab",
         "media_phash_dups",
         "snm_dedup",
+        "coverage_select",
     ],
 )
 def test_golden_parity(ray_session, name):

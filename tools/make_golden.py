@@ -1748,6 +1748,34 @@ def golden_snm_dedup(
                 pairs.append((min(a, b), max(a, b)))
     return _clusters_table(ids, sorted(set(pairs)))
 
+
+def golden_coverage_select(sf_dir: str, *, k: int = 8) -> pa.Table:
+    """Sequential mirror of curation.max_coverage_select: full dict
+    greedy over the shared doc_token_hashes kernel."""
+    from dots_ocr_ray.pipelines.curation import doc_token_hashes
+
+    ids, texts = _read_docs(sf_dir)
+    hsets = {i: doc_token_hashes(t) for i, t in zip(ids, texts)}
+    covered = np.zeros(0, dtype=np.uint64)
+    rows = []
+    for rank in range(k):
+        best = None
+        for i in sorted(ids):
+            h = hsets[i]
+            gain = int((~np.isin(h, covered)).sum())
+            if best is None or (gain, -i) > (best[0], -best[1]):
+                best = (gain, i)
+        covered = np.union1d(covered, hsets[best[1]])
+        rows.append((rank, best[1], best[0], len(covered)))
+    return pa.table(
+        {
+            "rank": pa.array([r[0] for r in rows], type=pa.int64()),
+            "doc_id": pa.array([r[1] for r in rows], type=pa.int64()),
+            "new_tokens": pa.array([r[2] for r in rows], type=pa.int64()),
+            "covered_total": pa.array([r[3] for r in rows], type=pa.int64()),
+        }
+    )
+
 GOLDEN_BUILDERS = {
     "kmeans_clusters": golden_kmeans_clusters,
     "silhouette_clusters": golden_silhouette_clusters,
@@ -1805,6 +1833,7 @@ GOLDEN_BUILDERS = {
     "stemmed_vocab": golden_stemmed_vocab,
     "media_phash_dups": golden_media_phash_dups,
     "snm_dedup": golden_snm_dedup,
+    "coverage_select": golden_coverage_select,
 }
 
 
