@@ -5898,6 +5898,20 @@ def _q_skyline_orders(sf_dir: str):
     return skyline_2d(orders, "o_totalprice", "o_orderdate")
 
 
+def _q_kn_bigram_probs(sf_dir: str):
+    """Interpolated Kneser-Ney bigram probabilities for the top-50
+    corpus bigrams (continuation-count smoothing the add-k LM can't
+    express); d=3/4 makes the whole estimate INTEGER arithmetic
+    (pipelines/text_analysis.py:kn_bigram_probs).  SQL oracle: bigram
+    self-join counts + HUGEINT mirror."""
+    import ray.data
+
+    from dots_ocr_ray.pipelines.text_analysis import kn_bigram_probs
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return kn_bigram_probs(docs, top_n=50)
+
+
 def _q_coverage_select(sf_dir: str):
     """Greedy maximum-coverage selection of 8 docs over the word-
     bigram vocabulary (submodular (1−1/e) greedy — eval-set/lexicon
@@ -6352,6 +6366,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fd_check_lineitem": _q_fd_check_lineitem,
         "ri_orphan_events": _q_ri_orphan_events,
         "coverage_select": _q_coverage_select,
+        "kn_bigram_probs": _q_kn_bigram_probs,
         "quality_filter_docs": _q_quality_filter_docs,
         "docs_outside_blocklist": _q_docs_outside_blocklist,
         "nations_with_presence": _q_nations_with_presence,
@@ -7082,6 +7097,23 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT o_custkey FROM orders)) AS BIGINT) AS n_orphans"
         ),
         "coverage_select": f"SELECT rank, doc_id, new_tokens, covered_total FROM read_parquet('{_GOLDEN_DIR}/coverage_select.parquet')",
+        "kn_bigram_probs": (
+            "WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '[ \t\n]+') "
+            "AS tk FROM documents WHERE trim(text) <> ''), "
+            "ex AS (SELECT doc_id, unnest(tk) AS tok, generate_subscripts(tk, 1) AS i "
+            "FROM toks), "
+            "bg AS (SELECT a.tok AS w1, b.tok AS w2, CAST(count(*) AS BIGINT) AS c12 "
+            "FROM ex a JOIN ex b ON a.doc_id = b.doc_id AND b.i = a.i + 1 GROUP BY 1, 2), "
+            "top AS (SELECT * FROM bg ORDER BY c12 DESC, w1, w2 LIMIT 50), "
+            "ctx AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1, "
+            "CAST(count(*) AS BIGINT) AS n1l FROM bg GROUP BY 1), "
+            "cont AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1r FROM bg GROUP BY 1), "
+            "nt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM bg) "
+            "SELECT t.w1, t.w2, t.c12, "
+            "CAST((1000000::HUGEINT * ((4 * t.c12 - 3) * nt.n + 3 * ctx.n1l * cont.n1r)) "
+            "// (4 * ctx.c1 * nt.n) AS BIGINT) AS p_micro "
+            "FROM top t JOIN ctx USING (w1) JOIN cont USING (w2) CROSS JOIN nt"
+        ),
         "semdedup_docs": f"SELECT vec_id, cluster_id, kept FROM read_parquet('{_GOLDEN_DIR}/semdedup_docs.parquet')",
         "dsir_scores": f"SELECT doc_id, logw, n_feats FROM read_parquet('{_GOLDEN_DIR}/dsir_scores.parquet')",
         "incremental_minhash": f"SELECT doc_id, text FROM read_parquet('{_GOLDEN_DIR}/incremental_minhash.parquet')",

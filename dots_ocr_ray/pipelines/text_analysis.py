@@ -2309,3 +2309,136 @@ def stemmed_vocab(
             "n_forms": pa.array([f for _, _, f in best], type=pa.int64()),
         }
     )
+
+
+# --- Kneser-Ney bigram probabilities ------------------------------------------
+
+def kn_bigram_probs(
+    docs: "ray.data.Dataset",
+    *,
+    text_col: str = "text",
+    top_n: int = 50,
+    discount_quarters: int = 3,  # d = 3/4, the classic KN discount
+) -> pa.Table:
+    """Interpolated Kneser-Ney bigram probabilities for the corpus'
+    ``top_n`` bigrams — the smoothing family add-k LMs (the CCNet-
+    style ``bigram_lm_scores``) cannot express: continuation
+    probability ``Pcont(w2) = N1+(·w2)/N1+(··)`` backs off by how many
+    CONTEXTS a word follows, not how often it occurs.
+
+    Integer-exact: with d = 3/4 and observed bigrams (c12 ≥ 1 ⇒
+    max(c12−d,0) = c12−d), ``p_micro = (1e6·((4·c12−3)·N +
+    3·N1l(w1)·N1r(w2))) // (4·c1(w1)·N)`` — no float ever appears, so
+    the SQL oracle mirrors it with HUGEINT arithmetic.
+
+    Scale shape: ONE vocab-bounded bigram count exchange; the driver
+    stream-folds a top_n heap (O(top_n) memory); the per-context
+    totals (c1, N1l) and continuation counts (N1r, N) for the ≤top_n
+    winners come from one more streamed pass over the materialized
+    bigram table with the winner key sets broadcast — bounded partials,
+    never the vocabulary, on the driver."""
+    import numpy as np
+
+    def _bigram_partials(batch: pa.Table) -> pa.Table:
+        pairs: list[str] = []
+        for t in batch.column(text_col).to_pylist():
+            w = (t or "").split()
+            pairs.extend(f"{a}\x1f{b}" for a, b in zip(w, w[1:]))
+        if not pairs:
+            return pa.table(
+                {"bg": pa.array([], type=pa.string()), "n": pa.array([], type=pa.int64())}
+            )
+        uniq, cnt = np.unique(np.array(pairs), return_counts=True)
+        return pa.table(
+            {
+                "bg": pa.array(uniq.tolist(), type=pa.string()),
+                "n": pa.array(cnt.astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    bg = (
+        docs.map_batches(_bigram_partials, batch_format="pyarrow")
+        .groupby("bg")
+        .sum("n")
+        .materialize()
+    )
+
+    # driver stream-fold: top_n by (count desc, bigram asc)
+    best: list[tuple[int, str]] = []
+    for b in bg.iter_batches(batch_format="pyarrow"):
+        for key, cnt in zip(b.column("bg").to_pylist(), b.column("sum(n)").to_pylist()):
+            best.append((-int(cnt), key))
+        best.sort()
+        del best[top_n:]
+    winners = [(k.split("\x1f", 1)[0], k.split("\x1f", 1)[1], -c) for c, k in best]
+    w1_set = sorted({w[0] for w in winners})
+    w2_set = sorted({w[1] for w in winners})
+    import ray as _ray
+
+    from dots_ocr_ray.util import cached_object
+
+    sets_ref = _ray.put((w1_set, w2_set))
+
+    def _context_partials(batch: pa.Table) -> pa.Table:
+        w1s, w2s = cached_object(sets_ref)
+        w1_idx = {w: i for i, w in enumerate(w1s)}
+        w2_idx = {w: i for i, w in enumerate(w2s)}
+        c1 = np.zeros(len(w1s), dtype=np.int64)
+        n1l = np.zeros(len(w1s), dtype=np.int64)
+        n1r = np.zeros(len(w2s), dtype=np.int64)
+        total_types = 0
+        for key, cnt in zip(b2 := batch.column("bg").to_pylist(), batch.column("sum(n)").to_pylist()):
+            a, bword = key.split("\x1f", 1)
+            total_types += 1
+            i = w1_idx.get(a)
+            if i is not None:
+                c1[i] += int(cnt)
+                n1l[i] += 1
+            j = w2_idx.get(bword)
+            if j is not None:
+                n1r[j] += 1
+        return pa.table(
+            {
+                "c1": pa.array([c1.tolist()], type=pa.list_(pa.int64())),
+                "n1l": pa.array([n1l.tolist()], type=pa.list_(pa.int64())),
+                "n1r": pa.array([n1r.tolist()], type=pa.list_(pa.int64())),
+                "nt": pa.array([total_types], type=pa.int64()),
+            }
+        )
+
+    c1 = np.zeros(len(w1_set), dtype=np.int64)
+    n1l = np.zeros(len(w1_set), dtype=np.int64)
+    n1r = np.zeros(len(w2_set), dtype=np.int64)
+    n_types = 0
+    for b in bg.map_batches(_context_partials, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for r in range(b.num_rows):
+            c1 += np.array(b.column("c1")[r].as_py(), dtype=np.int64)
+            n1l += np.array(b.column("n1l")[r].as_py(), dtype=np.int64)
+            n1r += np.array(b.column("n1r")[r].as_py(), dtype=np.int64)
+            n_types += int(b.column("nt")[r].as_py())
+
+    w1_pos = {w: i for i, w in enumerate(w1_set)}
+    w2_pos = {w: i for i, w in enumerate(w2_set)}
+    d = discount_quarters
+    rows = {"w1": [], "w2": [], "c12": [], "p_micro": []}
+    for a, bword, c12 in winners:
+        cc1 = int(c1[w1_pos[a]])
+        nl = int(n1l[w1_pos[a]])
+        nr = int(n1r[w2_pos[bword]])
+        p_micro = (1_000_000 * ((4 * c12 - d) * n_types + d * nl * nr)) // (
+            4 * cc1 * n_types
+        )
+        rows["w1"].append(a)
+        rows["w2"].append(bword)
+        rows["c12"].append(c12)
+        rows["p_micro"].append(p_micro)
+    return pa.table(
+        {
+            "w1": pa.array(rows["w1"], type=pa.string()),
+            "w2": pa.array(rows["w2"], type=pa.string()),
+            "c12": pa.array(rows["c12"], type=pa.int64()),
+            "p_micro": pa.array(rows["p_micro"], type=pa.int64()),
+        }
+    )

@@ -859,3 +859,37 @@ def test_token_entropy(ray_session):
     # quantized: floor(1e6*log2(4)) - (2*floor(1e6*2*log2 2)) // 4
     want3 = 2_000_000 - (2 * int(np.floor(1e6 * 2 * np.log2(2)))) // 4
     assert out.loc[3, "entropy_micro"] == want3 == 1_000_000
+
+
+# --- Kneser-Ney ----------------------------------------------------------------
+
+def test_kn_bigram_hand_computed(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from dots_ocr_ray.pipelines.text_analysis import kn_bigram_probs
+
+    # corpus bigrams: (a b) x2, (b a) x1, (b c) x1
+    t = pa.table({"text": pa.array(["a b a b c"], type=pa.string())})
+    out = {(r["w1"], r["w2"]): r for r in kn_bigram_probs(
+        ray.data.from_arrow(t), top_n=10
+    ).to_pylist()}
+    # N types = 3; c1(a)=2, N1l(a)=1; c1(b)=2, N1l(b)=2; N1r(b)=1
+    # P(b|a) = ((4*2-3)*3 + 3*1*1) / (4*2*3) = (15+3)/24 = 0.75
+    assert out[("a", "b")]["c12"] == 2
+    assert out[("a", "b")]["p_micro"] == 750_000
+    # P(c|b): c12=1, N1r(c)=1, N1l(b)=2 -> ((1)*3 + 3*2*1)/(4*2*3) = 9/24
+    assert out[("b", "c")]["p_micro"] == 375_000
+
+
+def test_kn_bigram_partition_invariant(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from dots_ocr_ray.pipelines.text_analysis import kn_bigram_probs
+
+    texts = [f"x{i % 5} y{i % 3} x{i % 5} z" for i in range(60)]
+    t = pa.table({"text": pa.array(texts, type=pa.string())})
+    a = kn_bigram_probs(ray.data.from_arrow(t).repartition(1), top_n=8).to_pylist()
+    b = kn_bigram_probs(ray.data.from_arrow(t).repartition(6), top_n=8).to_pylist()
+    assert a == b
