@@ -5898,6 +5898,20 @@ def _q_skyline_orders(sf_dir: str):
     return skyline_2d(orders, "o_totalprice", "o_orderdate")
 
 
+def _q_negative_samples(sf_dir: str):
+    """Deterministic word2vec negative sampling: k=5 draws per corpus
+    token from the unigram^0.75 noise distribution — 48-bit md5
+    uniforms, pure-integer target arithmetic, broadcast cumulative
+    table (pipelines/text_analysis.py:negative_samples).  SQL oracle:
+    window cumsum + interval-containment join."""
+    import ray.data
+
+    from dots_ocr_ray.pipelines.text_analysis import negative_samples
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return negative_samples(docs, k=5)
+
+
 def _q_kn_bigram_probs(sf_dir: str):
     """Interpolated Kneser-Ney bigram probabilities for the top-50
     corpus bigrams (continuation-count smoothing the add-k LM can't
@@ -6367,6 +6381,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ri_orphan_events": _q_ri_orphan_events,
         "coverage_select": _q_coverage_select,
         "kn_bigram_probs": _q_kn_bigram_probs,
+        "negative_samples": _q_negative_samples,
         "quality_filter_docs": _q_quality_filter_docs,
         "docs_outside_blocklist": _q_docs_outside_blocklist,
         "nations_with_presence": _q_nations_with_presence,
@@ -7113,6 +7128,24 @@ def oracle_sql() -> dict[str, str]:
             "CAST((1000000::HUGEINT * ((4 * t.c12 - 3) * nt.n + 3 * ctx.n1l * cont.n1r)) "
             "// (4 * ctx.c1 * nt.n) AS BIGINT) AS p_micro "
             "FROM top t JOIN ctx USING (w1) JOIN cont USING (w2) CROSS JOIN nt"
+        ),
+        "negative_samples": (
+            "WITH toksl AS (SELECT string_split_regex(trim(text), '[ \t\n]+') AS tk "
+            "FROM documents WHERE trim(text) <> ''), "
+            "ex AS (SELECT unnest(tk) AS tok FROM toksl), "
+            "c AS (SELECT tok, CAST(count(*) AS BIGINT) AS n FROM ex GROUP BY 1), "
+            "w AS (SELECT tok, CAST(floor(1000000 * pow(n, 0.75)) AS BIGINT) AS wt "
+            "FROM c), "
+            "cw AS (SELECT tok, wt, CAST(sum(wt) OVER (ORDER BY tok ROWS BETWEEN "
+            "UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum FROM w), "
+            "tot AS (SELECT CAST(sum(wt) AS BIGINT) AS tw FROM w), "
+            "draws AS (SELECT c2.tok AS center, j FROM c c2 CROSS JOIN "
+            "(SELECT unnest(generate_series(0, 4)) AS j) u), "
+            "tv AS (SELECT center, j, CAST((CAST(CAST(('0x' || substr(md5(center || '|' || "
+            "CAST(j AS VARCHAR)), 1, 12)) AS BIGINT) AS HUGEINT) * tot.tw) // 281474976710656 "
+            "AS BIGINT) AS t FROM draws CROSS JOIN tot) "
+            "SELECT tv.center, CAST(tv.j AS BIGINT) AS j, cw.tok AS negative "
+            "FROM tv JOIN cw ON tv.t >= cw.cum - cw.wt AND tv.t < cw.cum"
         ),
         "semdedup_docs": f"SELECT vec_id, cluster_id, kept FROM read_parquet('{_GOLDEN_DIR}/semdedup_docs.parquet')",
         "dsir_scores": f"SELECT doc_id, logw, n_feats FROM read_parquet('{_GOLDEN_DIR}/dsir_scores.parquet')",

@@ -2442,3 +2442,127 @@ def kn_bigram_probs(
             "p_micro": pa.array(rows["p_micro"], type=pa.int64()),
         }
     )
+
+
+# --- word2vec negative sampling -------------------------------------------------
+
+def unigram_sampling_table(
+    docs: "ray.data.Dataset", *, text_col: str = "text"
+) -> tuple[list[str], "np.ndarray"]:
+    """(vocab sorted asc, cumulative unigram^0.75 weights) — the
+    classic word2vec noise distribution, weights quantized to
+    ``floor(1e6 · cnt^0.75)`` so the table is integer-exact.  One
+    vocab-bounded count exchange; the table broadcasts once (the same
+    in-memory unigram-table budget word2vec itself assumes — cap the
+    vocabulary upstream with a min-count filter when it outgrows a
+    worker)."""
+    import math
+
+    import numpy as np
+
+    def _partials(batch: pa.Table) -> pa.Table:
+        toks: list[str] = []
+        for t in batch.column(text_col).to_pylist():
+            toks.extend((t or "").split())
+        if not toks:
+            return pa.table(
+                {"tok": pa.array([], type=pa.string()), "n": pa.array([], type=pa.int64())}
+            )
+        uniq, cnt = np.unique(np.array(toks), return_counts=True)
+        return pa.table(
+            {
+                "tok": pa.array(uniq.tolist(), type=pa.string()),
+                "n": pa.array(cnt.astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    folded = (
+        docs.map_batches(_partials, batch_format="pyarrow")
+        .groupby("tok")
+        .sum("n")
+        .to_pandas()
+        .sort_values("tok")
+    )
+    vocab = [str(t) for t in folded["tok"]]
+    w = np.array(
+        [math.floor(1_000_000 * float(c) ** 0.75) for c in folded["sum(n)"]],
+        dtype=np.int64,
+    )
+    return vocab, np.cumsum(w)
+
+
+def negative_samples(
+    docs: "ray.data.Dataset",
+    *,
+    text_col: str = "text",
+    k: int = 5,
+) -> pa.Table:
+    """Deterministic word2vec negative sampling: for every corpus
+    token as a center, draw ``k`` negatives from the unigram^0.75
+    noise distribution — the sampled-softmax denominators a skip-gram
+    trainer needs.  NO RNG: draw j for a center uses the 48-bit
+    md5-derived uniform of ``f"{center}|{j}"``, target =
+    ``(v · W) >> 48`` (pure integer), negative = the token whose
+    cumulative-weight interval contains the target.  Center==negative
+    collisions pass through (the classic implementation resamples;
+    determinism wins here, stated not hidden).
+
+    Scale shape: one vocab-bounded count exchange builds the
+    broadcast cum table; the sampling pass is stateless map_batches
+    over the vocab (one searchsorted per draw)."""
+    import hashlib
+
+    import numpy as np
+
+    import ray as _ray
+
+    from dots_ocr_ray.util import cached_object
+
+    vocab, cum = unigram_sampling_table(docs, text_col=text_col)
+    if not vocab:
+        return pa.table(
+            {
+                "center": pa.array([], type=pa.string()),
+                "j": pa.array([], type=pa.int64()),
+                "negative": pa.array([], type=pa.string()),
+            }
+        )
+    table_ref = _ray.put((vocab, cum))
+    centers_ds = ray.data.from_arrow(
+        pa.table({"center": pa.array(vocab, type=pa.string())})
+    )
+
+    def _draw(batch: pa.Table) -> pa.Table:
+        vo, cu = cached_object(table_ref)
+        total = int(cu[-1])
+        cs, js, negs = [], [], []
+        for c in batch.column("center").to_pylist():
+            for j in range(k):
+                v = int(hashlib.md5(f"{c}|{j}".encode()).hexdigest()[:12], 16)
+                t = (v * total) >> 48
+                idx = int(np.searchsorted(cu, t, side="right"))
+                cs.append(c)
+                js.append(j)
+                negs.append(vo[min(idx, len(vo) - 1)])
+        return pa.table(
+            {
+                "center": pa.array(cs, type=pa.string()),
+                "j": pa.array(js, type=pa.int64()),
+                "negative": pa.array(negs, type=pa.string()),
+            }
+        )
+
+    parts = [
+        b
+        for b in centers_ds.map_batches(_draw, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        )
+        if b.num_rows
+    ]
+    return pa.concat_tables(parts) if parts else pa.table(
+        {
+            "center": pa.array([], type=pa.string()),
+            "j": pa.array([], type=pa.int64()),
+            "negative": pa.array([], type=pa.string()),
+        }
+    )

@@ -893,3 +893,45 @@ def test_kn_bigram_partition_invariant(ray_session):
     a = kn_bigram_probs(ray.data.from_arrow(t).repartition(1), top_n=8).to_pylist()
     b = kn_bigram_probs(ray.data.from_arrow(t).repartition(6), top_n=8).to_pylist()
     assert a == b
+
+
+# --- negative sampling -----------------------------------------------------------
+
+def test_negative_samples_distribution_and_determinism(ray_session):
+    import collections
+
+    import pyarrow as pa
+    import ray.data
+
+    from dots_ocr_ray.pipelines.text_analysis import negative_samples
+
+    # 'common' dominates the noise distribution -> most negatives
+    texts = ["common " * 50 + "rare one two", "common common three"]
+    t = pa.table({"text": pa.array(texts, type=pa.string())})
+    out = negative_samples(ray.data.from_arrow(t), k=5).to_pylist()
+    # every token is a center with exactly k draws
+    centers = collections.Counter(r["center"] for r in out)
+    assert set(centers) == {"common", "rare", "one", "two", "three"}
+    assert all(v == 5 for v in centers.values())
+    negs = collections.Counter(r["negative"] for r in out)
+    assert negs["common"] > sum(v for k_, v in negs.items() if k_ != "common")
+    # determinism across runs and partitioning
+    out2 = negative_samples(ray.data.from_arrow(t).repartition(2), k=5).to_pylist()
+    assert sorted(map(tuple, (r.values() for r in out))) == sorted(
+        map(tuple, (r.values() for r in out2))
+    )
+
+
+def test_unigram_sampling_table(ray_session):
+    import math
+
+    import pyarrow as pa
+    import ray.data
+
+    from dots_ocr_ray.pipelines.text_analysis import unigram_sampling_table
+
+    t = pa.table({"text": pa.array(["a a a a b"], type=pa.string())})
+    vocab, cum = unigram_sampling_table(ray.data.from_arrow(t))
+    assert vocab == ["a", "b"]
+    wa = math.floor(1e6 * 4 ** 0.75)
+    assert cum.tolist() == [wa, wa + 1_000_000]
