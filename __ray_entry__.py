@@ -5898,6 +5898,23 @@ def _q_skyline_orders(sf_dir: str):
     return skyline_2d(orders, "o_totalprice", "o_orderdate")
 
 
+def _q_hac_dendrogram(sf_dir: str):
+    """Hierarchical clustering over the flat k-means partition (the
+    BIRCH-style scalable HAC recipe): corpus collapses to 8 cell
+    centroids via ONE streamed int64-micro scatter-add pass, exact
+    complete-linkage dendrogram on the bounded set — floats never
+    cross partials (pipelines/similarity.py:hac_over_kmeans).  Golden
+    oracle: sequential full-matrix mirror over shared kernels."""
+    import ray.data
+
+    from dots_ocr_ray.pipelines.similarity import hac_over_kmeans
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return hac_over_kmeans(ds, n_clusters=8)
+
+
 def _q_negative_samples(sf_dir: str):
     """Deterministic word2vec negative sampling: k=5 draws per corpus
     token from the unigram^0.75 noise distribution — 48-bit md5
@@ -6382,6 +6399,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "coverage_select": _q_coverage_select,
         "kn_bigram_probs": _q_kn_bigram_probs,
         "negative_samples": _q_negative_samples,
+        "hac_dendrogram": _q_hac_dendrogram,
         "quality_filter_docs": _q_quality_filter_docs,
         "docs_outside_blocklist": _q_docs_outside_blocklist,
         "nations_with_presence": _q_nations_with_presence,
@@ -7147,6 +7165,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT tv.center, CAST(tv.j AS BIGINT) AS j, cw.tok AS negative "
             "FROM tv JOIN cw ON tv.t >= cw.cum - cw.wt AND tv.t < cw.cum"
         ),
+        "hac_dendrogram": f"SELECT step, cluster_a, cluster_b, dist_sq FROM read_parquet('{_GOLDEN_DIR}/hac_dendrogram.parquet')",
         "semdedup_docs": f"SELECT vec_id, cluster_id, kept FROM read_parquet('{_GOLDEN_DIR}/semdedup_docs.parquet')",
         "dsir_scores": f"SELECT doc_id, logw, n_feats FROM read_parquet('{_GOLDEN_DIR}/dsir_scores.parquet')",
         "incremental_minhash": f"SELECT doc_id, text FROM read_parquet('{_GOLDEN_DIR}/incremental_minhash.parquet')",

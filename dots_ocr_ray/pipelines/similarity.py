@@ -1578,3 +1578,134 @@ def knn_outliers(
             "score_micro": pa.array(s[order], type=pa.int64()),
         }
     )
+
+
+# --- hierarchical agglomerative clustering (over k-means cells) -----------------
+
+def hac_merge_dendrogram(
+    centroids: np.ndarray, *, linkage: str = "complete"
+) -> list[tuple[int, int, int, int]]:
+    """Complete/single-linkage agglomerative merge sequence over a
+    BOUNDED set of vectors (k-means cell centroids — never raw corpus
+    rows): returns (step, cluster_a, cluster_b, dist_sq) with
+    clusters named by their MIN member index and distances as EXACT
+    integer squared euclidean over the int64 micro-quantized vectors
+    (unit micro², no float ever).  Ties break on (dist, a, b).
+    Pure kernel shared with the sequential golden."""
+    if linkage not in ("complete", "single"):
+        raise ValueError(f"unsupported linkage={linkage!r}")
+    n = len(centroids)
+    m = centroids.astype(np.int64, copy=False)
+    d = np.zeros((n, n), dtype=np.int64)
+    for j in range(n):
+        diff = m - m[j][None, :]
+        d[:, j] = (diff * diff).sum(axis=1)
+    members: dict[int, list[int]] = {i: [i] for i in range(n)}
+    merges: list[tuple[int, int, int, int]] = []
+    step = 0
+    while len(members) > 1:
+        best = None
+        keys = sorted(members)
+        for ai in range(len(keys)):
+            for bi in range(ai + 1, len(keys)):
+                a, b = keys[ai], keys[bi]
+                pair_d = [
+                    int(d[x, y]) for x in members[a] for y in members[b]
+                ]
+                dist = max(pair_d) if linkage == "complete" else min(pair_d)
+                key = (dist, a, b)
+                if best is None or key < best:
+                    best = key
+        dist, a, b = best
+        merges.append((step, a, b, dist))
+        members[a] = members[a] + members[b]
+        del members[b]
+        step += 1
+    return merges
+
+
+def hac_over_kmeans(
+    ds: ray.data.Dataset,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_clusters: int = 8,
+    train_sample: int = 512,
+    kmeans_iters: int = 5,
+    linkage: str = "complete",
+) -> pa.Table:
+    """Hierarchical structure OVER the flat k-means partition — the
+    scalable HAC recipe (BIRCH/"HAC on cluster features"): the corpus
+    collapses to ``n_clusters`` cell centroids via the existing
+    deterministic k-means seam, then the exact dendrogram is computed
+    on that BOUNDED set.  Output: (step, cluster_a, cluster_b,
+    dist_sq) — n_clusters−1 merge rows (dist in micro² units).
+
+    Scale shape: k-means train on the hash sample (driver, tiny);
+    cell centroids from ONE streamed scatter-add pass (per-batch
+    float64 partials per cell); the O(k³) dendrogram runs on k ≤
+    dozens of centroids, never corpus rows."""
+    sample = hash_sample_matrix(ds, vec_col=vec_col, id_col=id_col, n=train_sample)
+    cents = train_kmeans(sample, n_clusters, kmeans_iters)
+    cents_ref = ray.put(cents)
+
+    from dots_ocr_ray.util import cached_object
+
+    def _partials(batch: pa.Table) -> pa.Table:
+        cc = cached_object(cents_ref)
+        mat = vec_matrix(batch.column(vec_col), dtype=np.float32)
+        cid, _ = assign_clusters_matrix(mat, cc)
+        # int64 micro quantization BEFORE the sum: partial adds are
+        # order-independent, so driver merge order cannot leak floats
+        mat_q = np.floor(1e6 * mat.astype(np.float64)).astype(np.int64)
+        sums = np.zeros((len(cc), mat.shape[1]), dtype=np.int64)
+        np.add.at(sums, cid, mat_q)
+        cnt = np.bincount(cid, minlength=len(cc)).astype(np.int64)
+        return pa.table(
+            {
+                "cell": pa.array(np.arange(len(cc)), type=pa.int32()),
+                "s": pa.array(sums.tolist(), type=pa.list_(pa.int64())),
+                "n": pa.array(cnt, type=pa.int64()),
+            }
+        )
+
+    dim = None
+    sums = None
+    cnts = None
+    for b in ds.map_batches(_partials, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for r in range(b.num_rows):
+            cell = int(b.column("cell")[r].as_py())
+            v = np.array(b.column("s")[r].as_py(), dtype=np.int64)
+            if sums is None:
+                dim = len(v)
+                sums = np.zeros((n_clusters, dim), dtype=np.int64)
+                cnts = np.zeros(n_clusters, dtype=np.int64)
+            sums[cell] += v
+            cnts[cell] += int(b.column("n")[r].as_py())
+    if sums is None:
+        return pa.table(
+            {
+                "step": pa.array([], type=pa.int64()),
+                "cluster_a": pa.array([], type=pa.int64()),
+                "cluster_b": pa.array([], type=pa.int64()),
+                "dist_sq": pa.array([], type=pa.int64()),
+            }
+        )
+    # empty cells keep the trained centroid (micro-quantized the same
+    # way); occupied cells use the exact integer floor-div mean
+    cell_cents = np.floor(1e6 * cents.astype(np.float64)).astype(np.int64)
+    occ = cnts > 0
+    # floor division toward -inf matches np.floor semantics for
+    # negative sums (python-int floor div on int64 arrays)
+    cell_cents[occ] = np.floor_divide(sums[occ], cnts[occ][:, None])
+    merges = hac_merge_dendrogram(cell_cents, linkage=linkage)
+    return pa.table(
+        {
+            "step": pa.array([x[0] for x in merges], type=pa.int64()),
+            "cluster_a": pa.array([x[1] for x in merges], type=pa.int64()),
+            "cluster_b": pa.array([x[2] for x in merges], type=pa.int64()),
+            "dist_sq": pa.array([x[3] for x in merges], type=pa.int64()),
+        }
+    )

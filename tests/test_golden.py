@@ -82,6 +82,7 @@ def _canon(obj) -> pd.DataFrame:
         "media_phash_dups",
         "snm_dedup",
         "coverage_select",
+        "hac_dendrogram",
     ],
 )
 def test_golden_parity(ray_session, name):

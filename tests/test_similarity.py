@@ -389,3 +389,43 @@ def test_knn_outliers_partition_invariance():
     a = knn_outliers(ray.data.from_arrow(t).repartition(1), k=3, sample_n=16, top_n=10).to_pylist()
     b = knn_outliers(ray.data.from_arrow(t).repartition(9), k=3, sample_n=16, top_n=10).to_pylist()
     assert a == b
+
+
+# --- HAC ----------------------------------------------------------------------
+
+def test_hac_dendrogram_kernel():
+    import numpy as np
+
+    from dots_ocr_ray.pipelines.similarity import hac_merge_dendrogram
+
+    # 4 points on a line at 0, 1, 10, 12 (micro units)
+    pts = np.array([[0], [1], [10], [12]], dtype=np.int64)
+    merges = hac_merge_dendrogram(pts, linkage="complete")
+    assert merges[0] == (0, 0, 1, 1)          # closest pair first
+    assert merges[1] == (1, 2, 3, 4)          # then 10,12
+    # last merge: complete linkage distance = max pair = (0 vs 12)^2
+    assert merges[2] == (2, 0, 2, 144)
+    # single linkage final distance = min cross pair = (1 vs 10)^2
+    single = hac_merge_dendrogram(pts, linkage="single")
+    assert single[2][3] == 81
+
+
+def test_hac_over_kmeans_partition_invariant(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from dots_ocr_ray.pipelines.similarity import hac_over_kmeans
+
+    rng = np.random.RandomState(4)
+    mat = rng.rand(120, 6).astype(np.float32)
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(120), type=pa.int64()),
+            "embedding": pa.array(mat.tolist(), type=pa.list_(pa.float32())),
+        }
+    )
+    a = hac_over_kmeans(ray.data.from_arrow(t).repartition(1), n_clusters=5).to_pylist()
+    b = hac_over_kmeans(ray.data.from_arrow(t).repartition(8), n_clusters=5).to_pylist()
+    assert a == b
+    assert len(a) == 4  # n_clusters - 1 merges

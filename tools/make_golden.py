@@ -1776,6 +1776,38 @@ def golden_coverage_select(sf_dir: str, *, k: int = 8) -> pa.Table:
         }
     )
 
+
+def golden_hac_dendrogram(sf_dir: str, *, n_clusters: int = 8) -> pa.Table:
+    """Sequential mirror of similarity.hac_over_kmeans: same k-means
+    seam (hash sample, train, assign), full-matrix int64-micro cell
+    means, shared dendrogram kernel."""
+    from dots_ocr_ray.pipelines.similarity import hac_merge_dendrogram
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = t.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    mat = np.asarray(t.column("embedding").to_pylist(), dtype=np.float32)
+    h = knuth_hash32(ids)
+    order = np.lexsort((ids, h))[:512]
+    sample = _normalize_rows(mat[order].astype(np.float32))
+    cents = train_kmeans(sample, n_clusters, 5)
+    cid, _ = assign_clusters_matrix(mat.astype(np.float32), cents)
+    mat_q = np.floor(1e6 * mat.astype(np.float64)).astype(np.int64)
+    sums = np.zeros((n_clusters, mat.shape[1]), dtype=np.int64)
+    np.add.at(sums, cid, mat_q)
+    cnts = np.bincount(cid, minlength=n_clusters).astype(np.int64)
+    cell = np.floor(1e6 * cents.astype(np.float64)).astype(np.int64)
+    occ = cnts > 0
+    cell[occ] = np.floor_divide(sums[occ], cnts[occ][:, None])
+    merges = hac_merge_dendrogram(cell)
+    return pa.table(
+        {
+            "step": pa.array([x[0] for x in merges], type=pa.int64()),
+            "cluster_a": pa.array([x[1] for x in merges], type=pa.int64()),
+            "cluster_b": pa.array([x[2] for x in merges], type=pa.int64()),
+            "dist_sq": pa.array([x[3] for x in merges], type=pa.int64()),
+        }
+    )
+
 GOLDEN_BUILDERS = {
     "kmeans_clusters": golden_kmeans_clusters,
     "silhouette_clusters": golden_silhouette_clusters,
@@ -1834,6 +1866,7 @@ GOLDEN_BUILDERS = {
     "media_phash_dups": golden_media_phash_dups,
     "snm_dedup": golden_snm_dedup,
     "coverage_select": golden_coverage_select,
+    "hac_dendrogram": golden_hac_dendrogram,
 }
 
 
