@@ -5898,6 +5898,77 @@ def _q_skyline_orders(sf_dir: str):
     return skyline_2d(orders, "o_totalprice", "o_orderdate")
 
 
+def _q_cdx_status_counts(sf_dir: str):
+    """CDXJ crawl-index source end-to-end: a deterministic CDX shard
+    set is written from documents (status/length/malformed-line
+    arithmetic rules), then read back through the streaming per-file
+    source (sources/cdx.py — pyarrow.fs + incremental gzip + per-file
+    skip counters) and rolled up by status.  The injected malformed
+    lines must vanish from the counts.  SQL oracle: the same rules
+    over documents directly."""
+    import gzip
+    import json
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as _pq
+
+    import ray.data
+
+    from dots_ocr_ray.sources.cdx import read_cdx
+
+    base, built = _scratch_dir("cdx", sf_dir)
+    if not built:
+        t = _pq.read_table(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+        )
+        # two shards, one gzipped — both paths of the source exercise
+        lines: list[list[bytes]] = [[], []]
+        for d, nc in zip(t.column("doc_id").to_pylist(), t.column("n_chars").to_pylist()):
+            shard = int(d) % 2
+            if d % 37 == 3:
+                lines[shard].append(b"com,example)/broken " + str(d).encode())
+                continue
+            surt = f"com,example-{d % 40:02d})/page/{d}"
+            ts = 20240101000000 + int(d)
+            status = 404 if d % 17 == 3 else 200
+            rec = {
+                "url": f"https://example-{d % 40:02d}.com/page/{d}",
+                "status": str(status),
+                "digest": f"sha1:{d}",
+                "length": int(nc),
+            }
+            lines[shard].append(f"{surt} {ts} {json.dumps(rec)}".encode())
+        with open(os.path.join(base, "part0.cdx"), "wb") as f:
+            f.write(b"\n".join(lines[0]) + b"\n")
+        with gzip.open(os.path.join(base, "part1.cdx.gz"), "wb") as f:
+            f.write(b"\n".join(lines[1]) + b"\n")
+        with open(os.path.join(base, "_complete"), "w") as f:
+            f.write("ok")
+    ds = read_cdx(
+        [os.path.join(base, "part0.cdx"), os.path.join(base, "part1.cdx.gz")]
+    )
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        out = (
+            batch.select(["status", "length"])
+            .group_by("status")
+            .aggregate([("length", "sum"), ([], "count_all")])
+        )
+        return out.rename_columns(["status", "total_len", "n"])
+
+    agg = (
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby("status")
+        .sum(["total_len", "n"])
+    )
+
+    def _rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["status", "total_len", "n"])
+
+    return agg.map_batches(_rename, batch_format="pyarrow")
+
+
 def _q_hac_dendrogram(sf_dir: str):
     """Hierarchical clustering over the flat k-means partition (the
     BIRCH-style scalable HAC recipe): corpus collapses to 8 cell
@@ -6400,6 +6471,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kn_bigram_probs": _q_kn_bigram_probs,
         "negative_samples": _q_negative_samples,
         "hac_dendrogram": _q_hac_dendrogram,
+        "cdx_status_counts": _q_cdx_status_counts,
         "quality_filter_docs": _q_quality_filter_docs,
         "docs_outside_blocklist": _q_docs_outside_blocklist,
         "nations_with_presence": _q_nations_with_presence,
@@ -7166,6 +7238,12 @@ def oracle_sql() -> dict[str, str]:
             "FROM tv JOIN cw ON tv.t >= cw.cum - cw.wt AND tv.t < cw.cum"
         ),
         "hac_dendrogram": f"SELECT step, cluster_a, cluster_b, dist_sq FROM read_parquet('{_GOLDEN_DIR}/hac_dendrogram.parquet')",
+        "cdx_status_counts": (
+            "SELECT CAST(CASE WHEN doc_id % 17 = 3 THEN 404 ELSE 200 END AS BIGINT) "
+            "AS status, CAST(sum(n_chars) AS BIGINT) AS total_len, "
+            "CAST(count(*) AS BIGINT) AS n "
+            "FROM documents WHERE doc_id % 37 <> 3 GROUP BY 1"
+        ),
         "semdedup_docs": f"SELECT vec_id, cluster_id, kept FROM read_parquet('{_GOLDEN_DIR}/semdedup_docs.parquet')",
         "dsir_scores": f"SELECT doc_id, logw, n_feats FROM read_parquet('{_GOLDEN_DIR}/dsir_scores.parquet')",
         "incremental_minhash": f"SELECT doc_id, text FROM read_parquet('{_GOLDEN_DIR}/incremental_minhash.parquet')",
