@@ -5898,6 +5898,23 @@ def _q_skyline_orders(sf_dir: str):
     return skyline_2d(orders, "o_totalprice", "o_orderdate")
 
 
+def _q_postings_compression(sf_dir: str):
+    """Delta+varint postings-size estimate (the gap-compression
+    arithmetic an index budget starts from): zero-exchange postings
+    stream, ONE token-bucketed exchange, vectorized run-aware gaps +
+    exact LEB128 ladder — three scalars per bucket
+    (pipelines/retrieval.py:postings_compression_audit).  SQL oracle:
+    lag-window gaps + CASE ladder."""
+    import ray.data
+
+    from dots_ocr_ray.pipelines.retrieval import postings_compression_audit
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return postings_compression_audit(docs)
+
+
 def _q_cdx_status_counts(sf_dir: str):
     """CDXJ crawl-index source end-to-end: a deterministic CDX shard
     set is written from documents (status/length/malformed-line
@@ -6472,6 +6489,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "negative_samples": _q_negative_samples,
         "hac_dendrogram": _q_hac_dendrogram,
         "cdx_status_counts": _q_cdx_status_counts,
+        "postings_compression": _q_postings_compression,
         "quality_filter_docs": _q_quality_filter_docs,
         "docs_outside_blocklist": _q_docs_outside_blocklist,
         "nations_with_presence": _q_nations_with_presence,
@@ -7243,6 +7261,19 @@ def oracle_sql() -> dict[str, str]:
             "AS status, CAST(sum(n_chars) AS BIGINT) AS total_len, "
             "CAST(count(*) AS BIGINT) AS n "
             "FROM documents WHERE doc_id % 37 <> 3 GROUP BY 1"
+        ),
+        "postings_compression": (
+            "WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '[ \t\n]+') "
+            "AS tk FROM documents WHERE trim(text) <> ''), "
+            "ex AS (SELECT doc_id, unnest(tk) AS tok FROM toks), "
+            "p AS (SELECT DISTINCT tok, doc_id FROM ex WHERE tok <> ''), "
+            "g AS (SELECT tok, doc_id, coalesce(doc_id - lag(doc_id) OVER "
+            "(PARTITION BY tok ORDER BY doc_id), doc_id) AS v FROM p) "
+            "SELECT CAST(count(*) AS BIGINT) AS n_postings, "
+            "CAST(8 * count(*) AS BIGINT) AS raw_bytes, "
+            "CAST(sum(CASE WHEN v < 128 THEN 1 WHEN v < 16384 THEN 2 "
+            "WHEN v < 2097152 THEN 3 WHEN v < 268435456 THEN 4 ELSE 5 END) AS BIGINT) "
+            "AS varint_bytes FROM g"
         ),
         "semdedup_docs": f"SELECT vec_id, cluster_id, kept FROM read_parquet('{_GOLDEN_DIR}/semdedup_docs.parquet')",
         "dsir_scores": f"SELECT doc_id, logw, n_feats FROM read_parquet('{_GOLDEN_DIR}/dsir_scores.parquet')",

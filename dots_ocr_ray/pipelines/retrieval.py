@@ -353,3 +353,89 @@ def phrase_search(index_dir: str, phrase: list[str] | str) -> pa.Table:
     )
     parts = [b for b in out.iter_batches(batch_format="pyarrow") if b.num_rows]
     return pa.concat_tables(parts) if parts else empty
+
+
+# --- postings compression audit --------------------------------------------------
+
+def varint_len(v: "np.ndarray") -> "np.ndarray":
+    """LEB128 byte length per non-negative int64 (vectorized ladder —
+    no float log, so 2^7k boundaries are exact).  Pure kernel."""
+    import numpy as np
+
+    out = np.full(len(v), 1, dtype=np.int64)
+    for k, bound in enumerate((1 << 7, 1 << 14, 1 << 21, 1 << 28, 1 << 35, 1 << 42, 1 << 49, 1 << 56, 1 << 63)):
+        out[v >= bound] = k + 2
+    return out
+
+
+def postings_compression_audit(
+    docs: ray.data.Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> pa.Table:
+    """Index-engineering estimate: how many bytes would the corpus'
+    postings take delta+varint-encoded vs raw int64 — the
+    gap-compression arithmetic every inverted-index budget starts
+    from.  Encoding rule (mirrored by the SQL oracle): per token, doc
+    ids sort ascending; the first posting stores the absolute id,
+    later ones store the gap; each value costs its LEB128 length.
+
+    Scale shape: the zero-exchange postings stream (distinct
+    (token, doc) per batch), ONE token-bucketed exchange
+    (hash(token) % 64 — a token's postings co-locate), per-bucket
+    vectorized lexsort + run-aware gap + ladder lengths, three int64
+    partials per bucket to the driver."""
+    import numpy as np
+
+    from dots_ocr_ray.functions.hashing import stable_u64
+
+    postings = postings_from_documents(docs, text_col=text_col, id_col=id_col)
+
+    def _tag(batch: pa.Table) -> pa.Table:
+        toks = batch.column("token").to_pylist()
+        h = np.array([stable_u64(t) for t in toks], dtype=np.uint64)
+        return pa.table(
+            {
+                "tok_h": pa.array(h.astype(np.int64), type=pa.int64()),
+                "doc_id": batch.column("doc_id").cast(pa.int64()),
+                "__bucket": pa.array(
+                    (h % np.uint64(64)).astype(np.int32), type=pa.int32()
+                ),
+            }
+        )
+
+    def _audit(group: pa.Table) -> pa.Table:
+        th = group.column("tok_h").to_numpy(zero_copy_only=False)
+        ids = group.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((ids, th))
+        th, ids = th[order], ids[order]
+        # distinct (token, doc) — postings_from_documents dedups within
+        # a batch only; cross-batch repeats collapse here
+        keep = np.ones(len(th), dtype=bool)
+        keep[1:] = (th[1:] != th[:-1]) | (ids[1:] != ids[:-1])
+        th, ids = th[keep], ids[keep]
+        first = np.ones(len(th), dtype=bool)
+        first[1:] = th[1:] != th[:-1]
+        vals = np.where(first, ids, ids - np.concatenate([[0], ids[:-1]]))
+        return pa.table(
+            {
+                "n": pa.array([len(vals)], type=pa.int64()),
+                "raw": pa.array([8 * len(vals)], type=pa.int64()),
+                "varint": pa.array([int(varint_len(vals).sum())], type=pa.int64()),
+            }
+        )
+
+    folded = (
+        postings.map_batches(_tag, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(_audit, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return pa.table(
+        {
+            "n_postings": pa.array([int(folded["n"].sum())], type=pa.int64()),
+            "raw_bytes": pa.array([int(folded["raw"].sum())], type=pa.int64()),
+            "varint_bytes": pa.array([int(folded["varint"].sum())], type=pa.int64()),
+        }
+    )

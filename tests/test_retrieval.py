@@ -228,3 +228,34 @@ def test_phrase_search_validates(ray_session, tmp_path):
     idx = _build_pos_index(tmp_path, ["a b"])
     with pytest.raises(ValueError):
         phrase_search(idx, "single")
+
+
+# --- postings compression -------------------------------------------------------
+
+def test_varint_len_boundaries():
+    import numpy as np
+
+    from dots_ocr_ray.pipelines.retrieval import varint_len
+
+    vals = np.array([0, 127, 128, 16383, 16384, (1 << 21) - 1, 1 << 21, (1 << 63) - 1])
+    assert varint_len(vals).tolist() == [1, 1, 2, 2, 3, 3, 4, 9]
+
+
+def test_postings_compression_hand_computed(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from dots_ocr_ray.pipelines.retrieval import postings_compression_audit
+
+    # token 'a' in docs 0 and 200: gaps are 0 (abs, 1 byte) and 200 (2 bytes)
+    # token 'b' only in doc 200: abs 200 (2 bytes)
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 200], type=pa.int64()),
+            "text": pa.array(["a a", "a b"], type=pa.string()),
+        }
+    )
+    out = postings_compression_audit(ray.data.from_arrow(t).repartition(2)).to_pylist()[0]
+    assert out["n_postings"] == 3
+    assert out["raw_bytes"] == 24
+    assert out["varint_bytes"] == 1 + 2 + 2
