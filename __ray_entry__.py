@@ -5898,6 +5898,21 @@ def _q_skyline_orders(sf_dir: str):
     return skyline_2d(orders, "o_totalprice", "o_orderdate")
 
 
+def _q_bot_regularity(sf_dir: str):
+    """Behavioral bot screen over the event log: per-user inter-event
+    gap coefficient of variation in exact µs sufficient stats
+    (arbitrary-precision — Σgap² overflows int64 at day-long gaps),
+    too-regular users flagged; one user-keyed exchange
+    (pipelines/windows.py:bot_regularity_scores).  SQL oracle: lag
+    gaps + HUGEINT stats + mirrored sqrt."""
+    import ray.data
+
+    from dots_ocr_ray.pipelines.windows import bot_regularity_scores
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    return bot_regularity_scores(ev)
+
+
 def _q_postings_compression(sf_dir: str):
     """Delta+varint postings-size estimate (the gap-compression
     arithmetic an index budget starts from): zero-exchange postings
@@ -6490,6 +6505,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hac_dendrogram": _q_hac_dendrogram,
         "cdx_status_counts": _q_cdx_status_counts,
         "postings_compression": _q_postings_compression,
+        "bot_regularity": _q_bot_regularity,
         "quality_filter_docs": _q_quality_filter_docs,
         "docs_outside_blocklist": _q_docs_outside_blocklist,
         "nations_with_presence": _q_nations_with_presence,
@@ -7274,6 +7290,23 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(CASE WHEN v < 128 THEN 1 WHEN v < 16384 THEN 2 "
             "WHEN v < 2097152 THEN 3 WHEN v < 268435456 THEN 4 ELSE 5 END) AS BIGINT) "
             "AS varint_bytes FROM g"
+        ),
+        "bot_regularity": (
+            "WITH g AS (SELECT user_id, CAST(date_diff('microsecond', "
+            "lag(ts) OVER (PARTITION BY user_id ORDER BY ts), ts) AS BIGINT) AS gap "
+            "FROM events), "
+            "s AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_ev FROM events "
+            "GROUP BY 1), "
+            "st AS (SELECT user_id, CAST(count(gap) AS HUGEINT) AS n, "
+            "CAST(sum(gap) AS HUGEINT) AS sg, sum(CAST(gap AS HUGEINT) * gap) AS sgg "
+            "FROM g WHERE gap IS NOT NULL GROUP BY 1) "
+            "SELECT s.user_id, s.n_ev AS n_events, "
+            "CAST(CASE WHEN sg = 0 THEN 0 ELSE floor(1000000.0 * "
+            "sqrt(CAST(n * sgg - sg * sg AS DOUBLE)) / sg) END AS BIGINT) AS cv_micro, "
+            "CAST(CASE WHEN sg = 0 THEN 0 ELSE floor(1000000.0 * "
+            "sqrt(CAST(n * sgg - sg * sg AS DOUBLE)) / sg) END AS BIGINT) < 200000 "
+            "AS is_bot "
+            "FROM s JOIN st USING (user_id) WHERE s.n_ev >= 5"
         ),
         "semdedup_docs": f"SELECT vec_id, cluster_id, kept FROM read_parquet('{_GOLDEN_DIR}/semdedup_docs.parquet')",
         "dsir_scores": f"SELECT doc_id, logw, n_feats FROM read_parquet('{_GOLDEN_DIR}/dsir_scores.parquet')",

@@ -1149,3 +1149,104 @@ def interval_coverage(
         .groupby(user_col)
         .map_groups(_cover, batch_format="pyarrow")
     )
+
+
+# --- timing-regularity bot detection ---------------------------------------------
+
+def bot_regularity_scores(
+    ds: "ray.data.Dataset",
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    min_events: int = 5,
+    cv_threshold_micro: int = 200_000,
+):
+    """Behavioral bot screen: a client whose inter-event gaps are TOO
+    REGULAR (coefficient of variation below threshold) is a scheduler,
+    not a human — the standard crawl-log heuristic.
+
+    Exactness contract: per-user gap sufficient stats (n, Σgap, Σgap²)
+    in exact int64 microseconds; ``cv_micro = floor(1e6 ·
+    sqrt(n·Σg² − (Σg)²) / Σg)`` computed from ARBITRARY-PRECISION
+    python ints on the bounded per-user fold (the int64 regime would
+    overflow at Σg² ≈ 10^18 — day-long gaps do that in µs), one float
+    sqrt mirrored by the SQL oracle's operand order.  Users with
+    < ``min_events`` events (i.e. < min_events−1 gaps) are not
+    judged.
+
+    Scale shape: ONE user-keyed exchange; within each group a
+    vectorized sort + diff; output one row per judged user."""
+    import numpy as np
+    import pyarrow as pa
+
+    def _tag(batch: pa.Table) -> pa.Table:
+        ids = batch.column(user_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = (
+            batch.column(ts_col)
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        with np.errstate(over="ignore"):
+            bkt = (ids.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(64)
+        return pa.table(
+            {
+                "u": pa.array(ids, type=pa.int64()),
+                "t": pa.array(ts, type=pa.int64()),
+                "__bucket": pa.array(bkt.astype(np.int32), type=pa.int32()),
+            }
+        )
+
+    def _fold(group: pa.Table) -> pa.Table:
+        import math
+
+        u = group.column("u").to_numpy(zero_copy_only=False)
+        t = group.column("t").to_numpy(zero_copy_only=False)
+        order = np.lexsort((t, u))
+        u, t = u[order], t[order]
+        starts = np.concatenate([[0], np.nonzero(np.diff(u))[0] + 1])
+        ends = np.concatenate([starts[1:], [len(u)]])
+        users, ns, cvs, bots = [], [], [], []
+        for s, e in zip(starts, ends):
+            n_ev = e - s
+            if n_ev < min_events:
+                continue
+            gaps = np.diff(t[s:e]).astype(object)  # python ints: exact Σg²
+            n = len(gaps)
+            sg = int(sum(gaps))
+            sgg = int(sum(g * g for g in gaps))
+            if sg == 0:
+                cv = 0
+            else:
+                var_num = n * sgg - sg * sg  # ≥ 0 by Cauchy-Schwarz
+                cv = int(math.floor(1_000_000.0 * math.sqrt(float(var_num)) / sg))
+            users.append(int(u[s]))
+            ns.append(int(n_ev))
+            cvs.append(cv)
+            bots.append(cv < cv_threshold_micro)
+        return pa.table(
+            {
+                "user_id": pa.array(users, type=pa.int64()),
+                "n_events": pa.array(ns, type=pa.int64()),
+                "cv_micro": pa.array(cvs, type=pa.int64()),
+                "is_bot": pa.array(bots, type=pa.bool_()),
+            }
+        )
+
+    out = (
+        ds.select_columns([user_col, ts_col])
+        .map_batches(_tag, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(_fold, batch_format="pyarrow")
+    )
+    parts = [b for b in out.iter_batches(batch_format="pyarrow") if b.num_rows]
+    if not parts:
+        return pa.table(
+            {
+                "user_id": pa.array([], type=pa.int64()),
+                "n_events": pa.array([], type=pa.int64()),
+                "cv_micro": pa.array([], type=pa.int64()),
+                "is_bot": pa.array([], type=pa.bool_()),
+            }
+        )
+    return pa.concat_tables(parts)

@@ -378,3 +378,64 @@ def test_interval_coverage_islands(ray_session):
     assert out.loc[1, "n_islands"] == 2
     assert out.loc[1, "covered_us"] == 90_000_000 + 60_000_000
     assert out.loc[2, "n_islands"] == 1 and out.loc[2, "covered_us"] == 60_000_000
+
+
+# --- bot regularity ---------------------------------------------------------------
+
+def test_bot_regularity_flags_metronome(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from dots_ocr_ray.pipelines.windows import bot_regularity_scores
+
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    rows_u, rows_t = [], []
+    # user 1: perfectly regular 60 s gaps (bot, cv = 0)
+    for i in range(10):
+        rows_u.append(1)
+        rows_t.append(base + np.timedelta64(60 * i, "s"))
+    # user 2: highly irregular gaps (human)
+    for off in [0, 5, 300, 301, 3000, 3001, 9000]:
+        rows_u.append(2)
+        rows_t.append(base + np.timedelta64(off, "s"))
+    # user 3: too few events to judge
+    rows_u += [3, 3]
+    rows_t += [base, base + np.timedelta64(1, "s")]
+    t = pa.table(
+        {
+            "user_id": pa.array(rows_u, type=pa.int64()),
+            "ts": pa.array(rows_t, type=pa.timestamp("us")),
+        }
+    )
+    out = {r["user_id"]: r for r in bot_regularity_scores(
+        ray.data.from_arrow(t).repartition(3)
+    ).to_pylist()}
+    assert set(out) == {1, 2}
+    assert out[1]["cv_micro"] == 0 and out[1]["is_bot"]
+    assert out[2]["cv_micro"] > 200_000 and not out[2]["is_bot"]
+
+
+def test_bot_regularity_partition_invariant(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from dots_ocr_ray.pipelines.windows import bot_regularity_scores
+
+    rng = np.random.RandomState(8)
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    t = pa.table(
+        {
+            "user_id": pa.array(rng.randint(0, 10, 400), type=pa.int64()),
+            "ts": pa.array(
+                [base + np.timedelta64(int(x), "s") for x in rng.randint(0, 100000, 400)],
+                type=pa.timestamp("us"),
+            ),
+        }
+    )
+    a = sorted(map(tuple, (r.values() for r in bot_regularity_scores(
+        ray.data.from_arrow(t).repartition(1)).to_pylist())))
+    b = sorted(map(tuple, (r.values() for r in bot_regularity_scores(
+        ray.data.from_arrow(t).repartition(7)).to_pylist())))
+    assert a == b
