@@ -5898,6 +5898,23 @@ def _q_skyline_orders(sf_dir: str):
     return skyline_2d(orders, "o_totalprice", "o_orderdate")
 
 
+def _q_event_trigrams(sf_dir: str):
+    """Frequent 3-step behavioral sequences per user stream in
+    (ts, event_id) order — sequence mining one step past the Markov
+    transition table; one user-keyed exchange + vectorized shifts
+    (pipelines/windows.py:event_trigrams).  SQL oracle: double LEAD
+    window."""
+    import ray.data
+
+    from dots_ocr_ray.pipelines.windows import event_trigrams
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type"],
+    )
+    return event_trigrams(ev, min_count=2)
+
+
 def _q_bot_regularity(sf_dir: str):
     """Behavioral bot screen over the event log: per-user inter-event
     gap coefficient of variation in exact µs sufficient stats
@@ -6506,6 +6523,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdx_status_counts": _q_cdx_status_counts,
         "postings_compression": _q_postings_compression,
         "bot_regularity": _q_bot_regularity,
+        "event_trigrams": _q_event_trigrams,
         "quality_filter_docs": _q_quality_filter_docs,
         "docs_outside_blocklist": _q_docs_outside_blocklist,
         "nations_with_presence": _q_nations_with_presence,
@@ -7307,6 +7325,14 @@ def oracle_sql() -> dict[str, str]:
             "sqrt(CAST(n * sgg - sg * sg AS DOUBLE)) / sg) END AS BIGINT) < 200000 "
             "AS is_bot "
             "FROM s JOIN st USING (user_id) WHERE s.n_ev >= 5"
+        ),
+        "event_trigrams": (
+            "WITH s AS (SELECT user_id, event_type AS t1, "
+            "lead(event_type, 1) OVER w AS t2, lead(event_type, 2) OVER w AS t3 "
+            "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) "
+            "SELECT t1, t2, t3, CAST(count(*) AS BIGINT) AS n FROM s "
+            "WHERE t2 IS NOT NULL AND t3 IS NOT NULL "
+            "GROUP BY 1, 2, 3 HAVING count(*) >= 2"
         ),
         "semdedup_docs": f"SELECT vec_id, cluster_id, kept FROM read_parquet('{_GOLDEN_DIR}/semdedup_docs.parquet')",
         "dsir_scores": f"SELECT doc_id, logw, n_feats FROM read_parquet('{_GOLDEN_DIR}/dsir_scores.parquet')",

@@ -1250,3 +1250,92 @@ def bot_regularity_scores(
             }
         )
     return pa.concat_tables(parts)
+
+
+def event_trigrams(
+    ds: "ray.data.Dataset",
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    min_count: int = 2,
+) -> pa.Table:
+    """Frequent 3-step behavioral sequences: (t1, t2, t3, n) for
+    consecutive event-type triples within a user's stream in
+    (ts, event_id) order, kept when seen >= min_count times — the
+    sequence-mining table one step past the Markov transition counts.
+
+    Scale shape: ONE user-keyed exchange; per-group vectorized sort +
+    two shifts emits trigram partials (a user's triples never span
+    groups); bounded trigram table merged with one groupby; min_count
+    bounds the output."""
+    import numpy as np
+    import pyarrow as pa
+
+    def _tag(batch: pa.Table) -> pa.Table:
+        ids = batch.column(user_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        with np.errstate(over="ignore"):
+            bkt = (ids.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(64)
+        ts = (
+            batch.column(ts_col)
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        return pa.table(
+            {
+                "u": pa.array(ids, type=pa.int64()),
+                "t": pa.array(ts, type=pa.int64()),
+                "e": batch.column(id_col).cast(pa.int64()),
+                "ty": batch.column(type_col).cast(pa.string()),
+                "__bucket": pa.array(bkt.astype(np.int32), type=pa.int32()),
+            }
+        )
+
+    def _fold(group: pa.Table) -> pa.Table:
+        u = group.column("u").to_numpy(zero_copy_only=False)
+        t = group.column("t").to_numpy(zero_copy_only=False)
+        e = group.column("e").to_numpy(zero_copy_only=False)
+        ty = np.array(group.column("ty").to_pylist())
+        order = np.lexsort((e, t, u))
+        u, ty = u[order], ty[order]
+        if len(u) < 3:
+            return pa.table(
+                {"tri": pa.array([], type=pa.string()), "n": pa.array([], type=pa.int64())}
+            )
+        same = (u[2:] == u[1:-1]) & (u[1:-1] == u[:-2])
+        tris = np.array(
+            [f"{a}\x1f{b}\x1f{c}" for a, b, c in zip(ty[:-2], ty[1:-1], ty[2:])]
+        )[same]
+        if not len(tris):
+            return pa.table(
+                {"tri": pa.array([], type=pa.string()), "n": pa.array([], type=pa.int64())}
+            )
+        uniq, cnt = np.unique(tris, return_counts=True)
+        return pa.table(
+            {
+                "tri": pa.array(uniq.tolist(), type=pa.string()),
+                "n": pa.array(cnt.astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    folded = (
+        ds.select_columns([user_col, ts_col, id_col, type_col])
+        .map_batches(_tag, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(_fold, batch_format="pyarrow")
+        .groupby("tri")
+        .sum("n")
+        .to_pandas()
+    )
+    folded = folded[folded["sum(n)"] >= min_count].sort_values("tri")
+    parts = [s.split("\x1f") for s in folded["tri"]]
+    return pa.table(
+        {
+            "t1": pa.array([p[0] for p in parts], type=pa.string()),
+            "t2": pa.array([p[1] for p in parts], type=pa.string()),
+            "t3": pa.array([p[2] for p in parts], type=pa.string()),
+            "n": pa.array([int(x) for x in folded["sum(n)"]], type=pa.int64()),
+        }
+    )

@@ -439,3 +439,42 @@ def test_bot_regularity_partition_invariant(ray_session):
     b = sorted(map(tuple, (r.values() for r in bot_regularity_scores(
         ray.data.from_arrow(t).repartition(7)).to_pylist())))
     assert a == b
+
+
+# --- event trigrams ----------------------------------------------------------------
+
+def test_event_trigrams_hand_computed(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from dots_ocr_ray.pipelines.windows import event_trigrams
+
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    # user 1: a b c a b c -> (a,b,c) x2, (b,c,a) x1, (c,a,b) x1
+    # user 2: a b c -> (a,b,c) x1 ; trigrams never span users
+    rows = []
+    for i, ty in enumerate(["a", "b", "c", "a", "b", "c"]):
+        rows.append((1, i, ty))
+    for i, ty in enumerate(["a", "b", "c"]):
+        rows.append((2, 100 + i, ty))
+    t = pa.table(
+        {
+            "user_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "event_id": pa.array([r[1] for r in rows], type=pa.int64()),
+            "ts": pa.array(
+                [base + np.timedelta64(r[1], "s") for r in rows],
+                type=pa.timestamp("us"),
+            ),
+            "event_type": pa.array([r[2] for r in rows], type=pa.string()),
+        }
+    )
+    out = {(r["t1"], r["t2"], r["t3"]): r["n"] for r in event_trigrams(
+        ray.data.from_arrow(t).repartition(3), min_count=1
+    ).to_pylist()}
+    assert out[("a", "b", "c")] == 3
+    assert out[("b", "c", "a")] == 1 and out[("c", "a", "b")] == 1
+    assert len(out) == 3
+    # min_count filter
+    out2 = event_trigrams(ray.data.from_arrow(t), min_count=2).to_pylist()
+    assert [(r["t1"], r["t2"], r["t3"], r["n"]) for r in out2] == [("a", "b", "c", 3)]
