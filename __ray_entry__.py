@@ -5898,6 +5898,17 @@ def _q_skyline_orders(sf_dir: str):
     return skyline_2d(orders, "o_totalprice", "o_orderdate")
 
 
+def _q_kappa_lang_id(sf_dir: str):
+    """Cohen's κ for the lang-id heuristic vs the declared label —
+    chance-corrected agreement from the distributed confusion fold,
+    arbitrary-precision integer closed form on the bounded table
+    (pipelines/text_analysis.py:cohens_kappa).  Golden oracle:
+    sequential confusion through the SAME kappa arithmetic."""
+    from dots_ocr_ray.pipelines.text_analysis import cohens_kappa, lang_id_confusion
+
+    return cohens_kappa(lang_id_confusion(sf_dir))
+
+
 def _q_event_trigrams(sf_dir: str):
     """Frequent 3-step behavioral sequences per user stream in
     (ts, event_id) order — sequence mining one step past the Markov
@@ -6524,6 +6535,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "postings_compression": _q_postings_compression,
         "bot_regularity": _q_bot_regularity,
         "event_trigrams": _q_event_trigrams,
+        "kappa_lang_id": _q_kappa_lang_id,
         "quality_filter_docs": _q_quality_filter_docs,
         "docs_outside_blocklist": _q_docs_outside_blocklist,
         "nations_with_presence": _q_nations_with_presence,
@@ -7351,6 +7363,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents"
         ),
         "lang_id_confusion": f"SELECT lang, lang_pred, n FROM read_parquet('{_GOLDEN_DIR}/lang_id_confusion.parquet')",
+        "kappa_lang_id": f"SELECT n, po_micro, pe_micro, kappa_micro FROM read_parquet('{_GOLDEN_DIR}/kappa_lang_id.parquet')",
         "fingerprint_dups": f"SELECT fingerprint, n_docs, min_doc_id FROM read_parquet('{_GOLDEN_DIR}/fingerprint_dups.parquet')",
         "merge_docs": (
             "SELECT doc_url, n_pages, extracted_text, extracted_text_nohf "

@@ -2566,3 +2566,55 @@ def negative_samples(
             "negative": pa.array([], type=pa.string()),
         }
     )
+
+
+def cohens_kappa(confusion: pa.Table | "ray.data.Dataset") -> pa.Table:
+    """Cohen's κ from a (label, prediction, n) confusion table — the
+    chance-corrected agreement metric a classifier eval reports next
+    to raw accuracy: ``κ_micro = floor(1e6·(N·Σdiag − Σᵢ rᵢ·cᵢ) /
+    (N² − Σᵢ rᵢ·cᵢ))`` — arbitrary-precision integer arithmetic on the
+    BOUNDED confusion table (label² rows), no float ever.  Pure
+    driver arithmetic by design: the distributed work is the
+    confusion fold upstream."""
+    import numpy as np
+
+    if hasattr(confusion, "iter_batches"):
+        parts = [b for b in confusion.iter_batches(batch_format="pyarrow") if b.num_rows]
+        confusion = pa.concat_tables(parts) if parts else pa.table(
+            {"lang": pa.array([], pa.string()), "lang_pred": pa.array([], pa.string()),
+             "n": pa.array([], pa.int64())}
+        )
+    labels = confusion.column(0).to_pylist()
+    preds = confusion.column(1).to_pylist()
+    ns = [int(x) for x in confusion.column(2).to_pylist()]
+    total = sum(ns)
+    if total == 0:
+        return pa.table(
+            {
+                "n": pa.array([0], type=pa.int64()),
+                "po_micro": pa.array([0], type=pa.int64()),
+                "pe_micro": pa.array([0], type=pa.int64()),
+                "kappa_micro": pa.array([0], type=pa.int64()),
+            }
+        )
+    diag = sum(n for l, p, n in zip(labels, preds, ns) if l == p)
+    row: dict[str, int] = {}
+    col: dict[str, int] = {}
+    for l, p, n in zip(labels, preds, ns):
+        row[l] = row.get(l, 0) + n
+        col[p] = col.get(p, 0) + n
+    cross = sum(row[k] * col.get(k, 0) for k in row)
+    po_micro = (1_000_000 * diag) // total
+    pe_micro = (1_000_000 * cross) // (total * total)
+    denom = total * total - cross
+    kappa_micro = (
+        1_000_000 if denom == 0 else (1_000_000 * (total * diag - cross)) // denom
+    )
+    return pa.table(
+        {
+            "n": pa.array([total], type=pa.int64()),
+            "po_micro": pa.array([po_micro], type=pa.int64()),
+            "pe_micro": pa.array([pe_micro], type=pa.int64()),
+            "kappa_micro": pa.array([kappa_micro], type=pa.int64()),
+        }
+    )

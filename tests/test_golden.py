@@ -83,6 +83,7 @@ def _canon(obj) -> pd.DataFrame:
         "snm_dedup",
         "coverage_select",
         "hac_dendrogram",
+        "kappa_lang_id",
     ],
 )
 def test_golden_parity(ray_session, name):

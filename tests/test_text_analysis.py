@@ -935,3 +935,36 @@ def test_unigram_sampling_table(ray_session):
     assert vocab == ["a", "b"]
     wa = math.floor(1e6 * 4 ** 0.75)
     assert cum.tolist() == [wa, wa + 1_000_000]
+
+
+# --- Cohen's kappa ---------------------------------------------------------------
+
+def test_cohens_kappa_closed_forms():
+    import pyarrow as pa
+
+    from dots_ocr_ray.pipelines.text_analysis import cohens_kappa
+
+    def conf(rows):
+        return pa.table(
+            {
+                "lang": pa.array([r[0] for r in rows], type=pa.string()),
+                "lang_pred": pa.array([r[1] for r in rows], type=pa.string()),
+                "n": pa.array([r[2] for r in rows], type=pa.int64()),
+            }
+        )
+
+    # perfect agreement -> kappa = 1
+    out = cohens_kappa(conf([("a", "a", 10), ("b", "b", 10)])).to_pylist()[0]
+    assert out["kappa_micro"] == 1_000_000 and out["po_micro"] == 1_000_000
+    # textbook 2x2: po = 0.7, pe = 0.5 -> kappa = 0.4
+    out = cohens_kappa(
+        conf([("a", "a", 20), ("a", "b", 5), ("b", "a", 10), ("b", "b", 15)])
+    ).to_pylist()[0]
+    assert out["po_micro"] == 700_000
+    assert out["pe_micro"] == 500_000
+    assert out["kappa_micro"] == 400_000
+    # agreement below chance -> negative kappa
+    out = cohens_kappa(conf([("a", "b", 10), ("b", "a", 10)])).to_pylist()[0]
+    assert out["kappa_micro"] < 0
+    # empty table
+    assert cohens_kappa(conf([])).to_pylist()[0]["n"] == 0

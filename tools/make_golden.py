@@ -1808,6 +1808,14 @@ def golden_hac_dendrogram(sf_dir: str, *, n_clusters: int = 8) -> pa.Table:
         }
     )
 
+
+def golden_kappa_lang_id(sf_dir: str) -> pa.Table:
+    """Sequential mirror of the lang-id Cohen's kappa: the golden
+    confusion table through the SAME shared kappa arithmetic."""
+    from dots_ocr_ray.pipelines.text_analysis import cohens_kappa
+
+    return cohens_kappa(golden_lang_id_confusion(sf_dir))
+
 GOLDEN_BUILDERS = {
     "kmeans_clusters": golden_kmeans_clusters,
     "silhouette_clusters": golden_silhouette_clusters,
@@ -1867,6 +1875,7 @@ GOLDEN_BUILDERS = {
     "snm_dedup": golden_snm_dedup,
     "coverage_select": golden_coverage_select,
     "hac_dendrogram": golden_hac_dendrogram,
+    "kappa_lang_id": golden_kappa_lang_id,
 }
 
 
