@@ -5898,6 +5898,22 @@ def _q_skyline_orders(sf_dir: str):
     return skyline_2d(orders, "o_totalprice", "o_orderdate")
 
 
+def _q_jw_vocab_pairs(sf_dir: str):
+    """Jaro-Winkler near-match pairs over the corpus vocabulary (the
+    record-linkage similarity, transposition-tolerant and
+    prefix-weighted): vocab-bounded distinct fold, broadcast vocab,
+    evenly distributed j>i all-pairs, O(V²) budget stated
+    (pipelines/text_analysis.py:jw_vocab_pairs).  Golden oracle:
+    sequential all-pairs over the same published-example-verified
+    kernel."""
+    import ray.data
+
+    from dots_ocr_ray.pipelines.text_analysis import jw_vocab_pairs
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return jw_vocab_pairs(docs, threshold_micro=700_000)
+
+
 def _q_kappa_lang_id(sf_dir: str):
     """Cohen's κ for the lang-id heuristic vs the declared label —
     chance-corrected agreement from the distributed confusion fold,
@@ -6536,6 +6552,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bot_regularity": _q_bot_regularity,
         "event_trigrams": _q_event_trigrams,
         "kappa_lang_id": _q_kappa_lang_id,
+        "jw_vocab_pairs": _q_jw_vocab_pairs,
         "quality_filter_docs": _q_quality_filter_docs,
         "docs_outside_blocklist": _q_docs_outside_blocklist,
         "nations_with_presence": _q_nations_with_presence,
@@ -7364,6 +7381,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "lang_id_confusion": f"SELECT lang, lang_pred, n FROM read_parquet('{_GOLDEN_DIR}/lang_id_confusion.parquet')",
         "kappa_lang_id": f"SELECT n, po_micro, pe_micro, kappa_micro FROM read_parquet('{_GOLDEN_DIR}/kappa_lang_id.parquet')",
+        "jw_vocab_pairs": f"SELECT w1, w2, jw_micro FROM read_parquet('{_GOLDEN_DIR}/jw_vocab_pairs.parquet')",
         "fingerprint_dups": f"SELECT fingerprint, n_docs, min_doc_id FROM read_parquet('{_GOLDEN_DIR}/fingerprint_dups.parquet')",
         "merge_docs": (
             "SELECT doc_url, n_pages, extracted_text, extracted_text_nohf "

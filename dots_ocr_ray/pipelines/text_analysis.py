@@ -2618,3 +2618,90 @@ def cohens_kappa(confusion: pa.Table | "ray.data.Dataset") -> pa.Table:
             "kappa_micro": pa.array([kappa_micro], type=pa.int64()),
         }
     )
+
+
+# --- Jaro-Winkler vocabulary linkage ----------------------------------------------
+
+def jw_vocab_pairs(
+    docs: "ray.data.Dataset",
+    *,
+    text_col: str = "text",
+    threshold_micro: int = 700_000,
+) -> pa.Table:
+    """Jaro-Winkler near-match pairs over the corpus vocabulary — the
+    record-linkage view of vocab variants (typos, inflections,
+    transpositions) that edit distance under-ranks and n-gram Jaccard
+    ignores ordering for.  Output (w1, w2, jw_micro) with w1 < w2 and
+    jw >= threshold.
+
+    Scale shape: one vocab-bounded distinct fold; the sorted vocab
+    broadcasts once and each vocab partition compares ITS words
+    against the broadcast tail (j > i) — the all-pairs work
+    distributes evenly and the driver holds only surviving pairs.
+    O(V²) comparisons by design: cap or block the vocabulary upstream
+    (min-count / first-char blocking) when V outgrows the budget —
+    stated, not silent."""
+    import numpy as np
+
+    import ray as _ray
+
+    from dots_ocr_ray.functions.strsim import jaro_winkler_micro
+    from dots_ocr_ray.util import cached_object
+
+    def _vocab_partials(batch: pa.Table) -> pa.Table:
+        toks: list[str] = []
+        for t in batch.column(text_col).to_pylist():
+            toks.extend((t or "").split())
+        return pa.table({"tok": pa.array(sorted(set(toks)), type=pa.string())})
+
+    vocab_rows = (
+        docs.map_batches(_vocab_partials, batch_format="pyarrow")
+        .groupby("tok")
+        .count()
+        .to_pandas()
+    )
+    vocab = sorted(str(t) for t in vocab_rows["tok"])
+    if not vocab:
+        return pa.table(
+            {
+                "w1": pa.array([], type=pa.string()),
+                "w2": pa.array([], type=pa.string()),
+                "jw_micro": pa.array([], type=pa.int64()),
+            }
+        )
+    vocab_ref = _ray.put(vocab)
+    idx_ds = ray.data.range(len(vocab))
+
+    def _pairs(batch) -> pa.Table:
+        vo = cached_object(vocab_ref)
+        w1s, w2s, ss = [], [], []
+        for i in batch["id"].tolist():
+            a = vo[int(i)]
+            for j in range(int(i) + 1, len(vo)):
+                s = jaro_winkler_micro(a, vo[j])
+                if s >= threshold_micro:
+                    w1s.append(a)
+                    w2s.append(vo[j])
+                    ss.append(s)
+        return pa.table(
+            {
+                "w1": pa.array(w1s, type=pa.string()),
+                "w2": pa.array(w2s, type=pa.string()),
+                "jw_micro": pa.array(ss, type=pa.int64()),
+            }
+        )
+
+    out = idx_ds.map_batches(_pairs, batch_format="numpy")
+    parts = [b for b in out.iter_batches(batch_format="pyarrow") if b.num_rows]
+    if not parts:
+        return pa.table(
+            {
+                "w1": pa.array([], type=pa.string()),
+                "w2": pa.array([], type=pa.string()),
+                "jw_micro": pa.array([], type=pa.int64()),
+            }
+        )
+    t = pa.concat_tables(parts)
+    import pyarrow.compute as pc
+
+    return t.take(pc.sort_indices(t, sort_keys=[("w1", "ascending"), ("w2", "ascending")]))

@@ -84,6 +84,7 @@ def _canon(obj) -> pd.DataFrame:
         "coverage_select",
         "hac_dendrogram",
         "kappa_lang_id",
+        "jw_vocab_pairs",
     ],
 )
 def test_golden_parity(ray_session, name):

@@ -1816,6 +1816,29 @@ def golden_kappa_lang_id(sf_dir: str) -> pa.Table:
 
     return cohens_kappa(golden_lang_id_confusion(sf_dir))
 
+
+def golden_jw_vocab_pairs(sf_dir: str, *, threshold_micro: int = 700_000) -> pa.Table:
+    """Sequential mirror of text_analysis.jw_vocab_pairs: full
+    all-pairs over the corpus vocabulary through the SAME kernel."""
+    from dots_ocr_ray.functions.strsim import jaro_winkler_micro
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["text"])
+    vocab = sorted({w for x in t.column("text").to_pylist() for w in (x or "").split()})
+    rows = []
+    for i, a in enumerate(vocab):
+        for b in vocab[i + 1 :]:
+            s = jaro_winkler_micro(a, b)
+            if s >= threshold_micro:
+                rows.append((a, b, s))
+    rows.sort()
+    return pa.table(
+        {
+            "w1": pa.array([r[0] for r in rows], type=pa.string()),
+            "w2": pa.array([r[1] for r in rows], type=pa.string()),
+            "jw_micro": pa.array([r[2] for r in rows], type=pa.int64()),
+        }
+    )
+
 GOLDEN_BUILDERS = {
     "kmeans_clusters": golden_kmeans_clusters,
     "silhouette_clusters": golden_silhouette_clusters,
@@ -1876,6 +1899,7 @@ GOLDEN_BUILDERS = {
     "coverage_select": golden_coverage_select,
     "hac_dendrogram": golden_hac_dendrogram,
     "kappa_lang_id": golden_kappa_lang_id,
+    "jw_vocab_pairs": golden_jw_vocab_pairs,
 }
 
 
