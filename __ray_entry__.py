@@ -7335,7 +7335,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(count(*) AS BIGINT) AS n_postings, "
             "CAST(8 * count(*) AS BIGINT) AS raw_bytes, "
             "CAST(sum(CASE WHEN v < 128 THEN 1 WHEN v < 16384 THEN 2 "
-            "WHEN v < 2097152 THEN 3 WHEN v < 268435456 THEN 4 ELSE 5 END) AS BIGINT) "
+            "WHEN v < 2097152 THEN 3 WHEN v < 268435456 THEN 4 "
+            "WHEN v < 34359738368 THEN 5 WHEN v < 4398046511104 THEN 6 "
+            "WHEN v < 562949953421312 THEN 7 WHEN v < 72057594037927936 THEN 8 "
+            "ELSE 9 END) AS BIGINT) "
             "AS varint_bytes FROM g"
         ),
         "bot_regularity": (

@@ -2,9 +2,10 @@
 standard for short identifier strings (names, hosts, vocab variants),
 complementing the engine's edit-distance matcher
 (``vocab_edit_pairs``) with a transposition-tolerant, prefix-weighted
-measure.  Implemented from the published definition; verified against
-the classic examples (MARTHA/MARHTA 0.9611, DIXON/DICKSONX 0.8133,
-DWAYNE/DUANE 0.84).
+measure.  Implemented from the published definition — including the
+0.7 boost-threshold gate (the prefix boost applies only when the Jaro
+score exceeds 0.7); verified against the classic examples
+(MARTHA/MARHTA 0.9611, DIXON/DICKSONX 0.8133, DWAYNE/DUANE 0.84).
 
 Micro-quantized at the boundary only — internal float arithmetic is a
 pure function of the two strings, so any partitioning of the work
@@ -50,6 +51,10 @@ def jaro_winkler_micro(a: str, b: str) -> int:
             k += 1
     t //= 2
     jaro = (m / la + m / lb + (m - t) / m) / 3.0
+    # Winkler's prefix boost applies only above the published 0.7
+    # boost threshold; below it the score is plain Jaro
+    if jaro <= 0.7:
+        return int(math.floor(1_000_000 * jaro))
     p = 0
     for x, y in zip(a, b):
         if x == y and p < 4:

@@ -192,9 +192,6 @@ def keyword_search(
 
 # --- positional phrase search -------------------------------------------------
 
-_POS_BITS = 20  # docs must be < 2^20 tokens for the packed adjacency key
-
-
 def positional_postings_from_documents(
     ds: ray.data.Dataset,
     *,
@@ -202,9 +199,12 @@ def positional_postings_from_documents(
     id_col: str = "doc_id",
 ) -> ray.data.Dataset:
     """Positional postings stream — ``(token, doc_id, pos)`` with
-    ``pos`` the 0-based whitespace-token index — the index layout
-    phrase queries need (tf-only postings can answer AND/OR, not
-    adjacency).  Zero exchange; bucket by token at write time."""
+    ``pos`` the 0-based whitespace-token index over the NON-EMPTY
+    tokens (a run of 2+ whitespace chars does not leave a position
+    gap — matching ``string_split_regex('[ \\t\\n]+')`` ordinality) —
+    the index layout phrase queries need (tf-only postings can answer
+    AND/OR, not adjacency).  Zero exchange; bucket by token at write
+    time."""
 
     def _postings(batch: pa.Table) -> pa.Table:
         import numpy as np
@@ -212,8 +212,12 @@ def positional_postings_from_documents(
         toks = split_whitespace_checked(batch.column(text_col))
         flat = pc.list_flatten(toks)
         parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
-        # position within each doc: tokens of a doc are contiguous and
-        # in order in the flattened array
+        # filter empty tokens FIRST (whitespace runs produce "" splits),
+        # then number positions over the survivors so adjacency in the
+        # index equals adjacency in the visible token stream
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        flat = flat.filter(pa.array(keep, type=pa.bool_()))
+        parent = parent[keep]
         if len(parent):
             starts = np.concatenate([[0], np.nonzero(np.diff(parent))[0] + 1])
             run_start = np.zeros(len(parent), dtype=np.int64)
@@ -222,16 +226,14 @@ def positional_postings_from_documents(
             pos = np.arange(len(parent), dtype=np.int64) - run_start
         else:
             pos = np.zeros(0, dtype=np.int64)
-        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
         ids = batch.column(id_col).take(pa.array(parent)).cast(pa.int64())
-        t = pa.table(
+        return pa.table(
             {
                 "token": flat,
                 "doc_id": ids,
                 "pos": pa.array(pos, type=pa.int64()),
             }
         )
-        return t.filter(pa.array(keep, type=pa.bool_()))
 
     return ds.map_batches(_postings, batch_format="pyarrow")
 
@@ -265,8 +267,8 @@ def phrase_search(index_dir: str, phrase: list[str] | str) -> pa.Table:
     doc's surviving postings; the in-bucket adjacency intersection is
     vectorized — (doc, pos) packs into one int64 key and each phrase
     step is a sorted-membership probe of ``key + 1`` (the classic
-    positional-postings merge).  Docs longer than 2^20 tokens are
-    rejected loudly rather than silently mis-ranked."""
+    positional-postings merge over dense group-local doc indices, so
+    arbitrary doc-id widths and document lengths fit the packing)."""
     import numpy as np
 
     from dots_ocr_ray.util import sorted_membership
@@ -307,37 +309,36 @@ def phrase_search(index_dir: str, phrase: list[str] | str) -> pa.Table:
     def _tag(batch: pa.Table) -> pa.Table:
         import numpy as np
 
-        pos = batch.column("pos").to_numpy(zero_copy_only=False)
-        if len(pos) and pos.max() >= (1 << _POS_BITS):
-            raise NotImplementedError(
-                f"phrase_search packs (doc, pos) into int64 with {_POS_BITS} "
-                "position bits; longer documents need a wider packing"
-            )
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
         with np.errstate(over="ignore"):
             bkt = (ids.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(64)
         return batch.append_column("__bucket", pa.array(bkt.astype(np.int32), type=pa.int32()))
-
-    tok_index = {t: j for j, t in enumerate(tokens)}
 
     def _adjacency(group: pa.Table) -> pa.Table:
         import numpy as np
 
         ids = group.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
         pos = group.column("pos").to_numpy(zero_copy_only=False).astype(np.int64)
-        toks = group.column("token").to_pylist()
-        keys = (ids << np.int64(_POS_BITS)) | pos
+        tok_arr = group.column("token")
+        # pack (doc, pos) into one int64 with a DATA-DERIVED multiplier:
+        # doc ids re-mapped to dense group-local indices (unique inverse)
+        # and mult > max_pos + phrase_len, so any id width and any
+        # document length fit, and surv + j can never carry into the
+        # next document's key range
+        uniq_ids, dense = np.unique(ids, return_inverse=True)
+        mult = np.int64((pos.max() if len(pos) else 0) + len(tokens) + 1)
+        keys = dense.astype(np.int64) * mult + pos
         # per phrase slot j, the sorted key set of its token
         slot_keys: list[np.ndarray] = []
-        for j, t in enumerate(tokens):
-            mask = np.array([x == t for x in toks])
+        for t in tokens:
+            mask = pc.equal(tok_arr, t).to_numpy(zero_copy_only=False)
             slot_keys.append(np.sort(keys[mask]))
         surv = slot_keys[0]
         for j in range(1, len(tokens)):
             surv = surv[sorted_membership(slot_keys[j], surv + j)]
         if not len(surv):
             return empty
-        docs = surv >> np.int64(_POS_BITS)
+        docs = uniq_ids[surv // mult]
         uniq, cnt = np.unique(docs, return_counts=True)
         return pa.table(
             {

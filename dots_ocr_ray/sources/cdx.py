@@ -8,6 +8,10 @@ The CDX(J) layout is the standard pointer table next to WARC shards:
 a phrase like "which captures of host X returned 200 after T" is an
 index scan here, never a WARC decompress.  Output columns:
 ``(urlkey, ts, url, status, digest, length, _source, _skipped)``;
+``_skipped`` is the malformed-line count so far in that file, and the
+file's final block always carries the exact per-file total (so
+``max(_skipped) GROUP BY _source`` is the true damage count; a file
+with zero valid rows yields no rows and reports no count);
 ``ts`` parses the 14-digit YYYYMMDDHHMMSS stamp to int64 (kept raw —
 calendar ops live downstream), ``status``/``length`` coerce to int64
 with nulls for absent fields.
@@ -104,6 +108,19 @@ def read_cdx(
             f_ctx = gzip.GzipFile(fileobj=raw)
         else:
             f_ctx = raw
+
+        def _emit(cols: dict, n: int, skip_count: int) -> pa.Table:
+            arrays = [pa.array(cols[c], type=types[c]) for c in _COLUMNS] + [
+                pa.array([path] * n, type=pa.string()),
+                pa.array([skip_count] * n, type=pa.int64()),
+            ]
+            return pa.table(dict(zip(out_schema.names, arrays)), schema=out_schema)
+
+        # the last parsed block is held back and stamped at EOF so the
+        # file's FINAL block always carries the exact per-file skip
+        # total (malformed lines after the last valid row included);
+        # earlier blocks carry the running skipped-so-far count
+        pending: tuple[dict, int, int] | None = None
         try:
             with f_ctx as f:
                 while True:
@@ -121,17 +138,14 @@ def read_cdx(
                     skipped_total += skipped
                     n = len(cols["urlkey"])
                     if n:
-                        arrays = [
-                            pa.array(cols[c], type=types[c]) for c in _COLUMNS
-                        ] + [
-                            pa.array([path] * n, type=pa.string()),
-                            pa.array([skipped_total] * n, type=pa.int64()),
-                        ]
-                        yield pa.table(
-                            dict(zip(out_schema.names, arrays)), schema=out_schema
-                        )
+                        if pending is not None:
+                            yield _emit(*pending)
+                        pending = (cols, n, skipped_total)
                     if at_eof:
                         break
+            if pending is not None:
+                cols, n, _ = pending
+                yield _emit(cols, n, skipped_total)
         finally:
             raw.close()
 

@@ -58,9 +58,11 @@ def read_jsonl(
 ) -> ray.data.Dataset:
     """JSONL file(s) → Dataset with ``schema``'s columns plus
     ``_source`` (file path) and ``_skipped`` (malformed lines dropped
-    so far in that file — the final batch of a file carries the file
-    total).  One streaming task per file; ~``chunk_bytes`` per output
-    block so a mega-shard never materializes whole."""
+    so far in that file — the final batch of a file always carries
+    the exact file total, including malformed lines after the last
+    valid row, so ``max(_skipped) GROUP BY _source`` is the true
+    damage count).  One streaming task per file; ~``chunk_bytes`` per
+    output block so a mega-shard never materializes whole."""
     if isinstance(paths, str):
         paths = [paths]
     columns = list(schema.names)
@@ -87,6 +89,17 @@ def read_jsonl(
             f_ctx = gzip.GzipFile(fileobj=raw)
         else:
             f_ctx = raw
+        def _emit(cols: dict, n: int, skip_count: int) -> pa.Table:
+            arrays = [pa.array(cols[c], type=types[c]) for c in columns] + [
+                pa.array([path] * n, type=pa.string()),
+                pa.array([skip_count] * n, type=pa.int64()),
+            ]
+            return pa.table(dict(zip(out_schema.names, arrays)), schema=out_schema)
+
+        # the last parsed block is held back and stamped at EOF so the
+        # file's FINAL block always carries the exact per-file skip
+        # total (malformed lines after the last valid row included)
+        pending: tuple[dict, int, int] | None = None
         try:
             with f_ctx as f:
                 while True:
@@ -105,17 +118,14 @@ def read_jsonl(
                     skipped_total += skipped
                     n = len(cols[columns[0]]) if columns else 0
                     if n:
-                        arrays = [
-                            pa.array(cols[c], type=types[c]) for c in columns
-                        ] + [
-                            pa.array([path] * n, type=pa.string()),
-                            pa.array([skipped_total] * n, type=pa.int64()),
-                        ]
-                        yield pa.table(
-                            dict(zip(out_schema.names, arrays)), schema=out_schema
-                        )
+                        if pending is not None:
+                            yield _emit(*pending)
+                        pending = (cols, n, skipped_total)
                     if at_eof:
                         break
+            if pending is not None:
+                cols, n, _ = pending
+                yield _emit(cols, n, skipped_total)
         finally:
             raw.close()  # GzipFile.close() leaves the fileobj open
 

@@ -49,3 +49,15 @@ def test_read_cdx_streaming_and_gzip(ray_session, tmp_path):
     assert rows[0]["status"] == 200 and rows[0]["_skipped"] == 1
     assert rows[1]["status"] == 404 and rows[1]["_skipped"] == 0
     assert rows[1]["_source"].endswith("b.cdx.gz")
+
+
+def test_cdx_trailing_garbage_counted_in_final_block(ray_session, tmp_path):
+    """Per-file totals: malformed lines parsed after the last valid
+    row's chunk still show up in the final block's _skipped stamp."""
+    p = tmp_path / "tail.cdx"
+    lines = [GOOD + b"\n" for _ in range(100)]
+    lines += [b"broken line %d\n" % i for i in range(30)]
+    p.write_bytes(b"".join(lines))
+    rows = read_cdx(str(p), chunk_bytes=1 << 9).take_all()
+    assert len(rows) == 100
+    assert max(r["_skipped"] for r in rows) == 30

@@ -136,3 +136,20 @@ def test_write_jsonl_identical_blocks_do_not_collide(ray_session, tmp_path):
     # re-run stays name-stable (same data -> same collision -> same names)
     manifest2 = write_jsonl(ds, out)
     assert sorted(m["path"] for m in manifest2) == sorted(m["path"] for m in manifest)
+
+
+def test_jsonl_trailing_garbage_counted_in_final_block(ray_session, tmp_path):
+    """Malformed lines in chunks AFTER the last valid row must appear
+    in the per-file total carried by the file's final block (the held-
+    back-block stamping contract)."""
+    import json as _json
+
+    p = str(tmp_path / "tail.jsonl")
+    lines = [_json.dumps({"id": i, "text": "y" * 40}).encode() + b"\n" for i in range(200)]
+    lines += [b"{broken tail %d\n" % i for i in range(50)]
+    _write(p, lines)
+    # chunk_bytes small enough that the garbage tail parses in chunks
+    # after the last valid row's block was formed
+    rows = read_jsonl(p, schema=SCHEMA, chunk_bytes=1 << 9).take_all()
+    assert sorted(r["id"] for r in rows) == list(range(200))
+    assert max(r["_skipped"] for r in rows) == 50

@@ -220,6 +220,45 @@ def test_phrase_search_three_tokens(ray_session, tmp_path):
     assert out == {0: 1, 2: 2}
 
 
+def test_phrase_search_whitespace_runs(ray_session, tmp_path):
+    # interior runs of 2+ whitespace chars must NOT leave position
+    # gaps: "alpha  beta" (double space) is still an adjacent phrase,
+    # matching string_split_regex('[ \t\n]+') ordinality
+    from dots_ocr_ray.pipelines.retrieval import phrase_search
+
+    idx = _build_pos_index(
+        tmp_path,
+        [
+            "alpha  beta",               # double space inside the phrase
+            "alpha \t\n beta",           # mixed whitespace run
+            "  alpha beta  ",            # leading/trailing runs
+            "alpha x  beta",             # still not adjacent
+        ],
+    )
+    out = {r["doc_id"]: r["n_matches"] for r in phrase_search(idx, "alpha beta").to_pylist()}
+    assert out == {0: 1, 1: 1, 2: 1}
+
+
+def test_phrase_search_wide_ids_and_long_docs(ray_session, tmp_path):
+    # doc ids far above 2^43 and documents longer than the old 2^20
+    # position budget both work with the dense-id data-derived packing
+    import ray.data
+
+    from dots_ocr_ray.pipelines.retrieval import build_positional_index, phrase_search
+
+    long_doc = "filler " * (1 << 21) + "alpha beta"
+    t = pa.table(
+        {
+            "doc_id": pa.array([1 << 50, (1 << 50) + 7, 3], type=pa.int64()),
+            "text": pa.array([long_doc, "alpha beta alpha beta", "beta alpha"], type=pa.string()),
+        }
+    )
+    idx = str(tmp_path / "wideindex")
+    build_positional_index(ray.data.from_arrow(t).repartition(2), idx, num_buckets=4)
+    out = {r["doc_id"]: r["n_matches"] for r in phrase_search(idx, "alpha beta").to_pylist()}
+    assert out == {1 << 50: 1, (1 << 50) + 7: 2}
+
+
 def test_phrase_search_validates(ray_session, tmp_path):
     import pytest
 
@@ -239,6 +278,28 @@ def test_varint_len_boundaries():
 
     vals = np.array([0, 127, 128, 16383, 16384, (1 << 21) - 1, 1 << 21, (1 << 63) - 1])
     assert varint_len(vals).tolist() == [1, 1, 2, 2, 3, 3, 4, 9]
+
+
+def test_varint_oracle_ladder_matches_kernel():
+    # pin the SQL oracle's CASE ladder (oracle_sql()['postings_compression'])
+    # to varint_len at every 2^7k boundary so the certified mirror can
+    # never silently disagree with the engine on wide gaps
+    import re
+
+    import duckdb
+    import numpy as np
+
+    import __ray_entry__ as entry
+    from dots_ocr_ray.pipelines.retrieval import varint_len
+
+    sql = entry.oracle_sql()["postings_compression"]
+    case = re.search(r"(CASE WHEN v < .*? END)", sql).group(1)
+    bounds = [1 << (7 * k) for k in range(1, 10)]
+    vals = sorted({0, 1} | {b - 1 for b in bounds} | {b for b in bounds if b < (1 << 63)} | {(1 << 63) - 1})
+    rows = ", ".join(f"({v})" for v in vals)
+    got = duckdb.sql(f"SELECT {case} FROM (VALUES {rows}) t(v) ORDER BY v").fetchall()
+    expect = varint_len(np.array(vals, dtype=np.int64)).tolist()
+    assert [r[0] for r in got] == expect
 
 
 def test_postings_compression_hand_computed(ray_session):

@@ -35,3 +35,15 @@ def test_jw_vocab_pairs_pipeline(ray_session):
     # partition invariance
     out2 = jw_vocab_pairs(ray.data.from_arrow(t).repartition(1), threshold_micro=900_000)
     assert out2.to_pylist() == rows
+
+
+def test_boost_threshold_gate():
+    # the prefix boost applies only when jaro > 0.7 (Winkler 1990);
+    # a low-similarity pair with a common prefix scores plain Jaro
+    a, b = "abcxxxxx", "abcyyzzq"  # shares 3-char prefix, low jaro
+    got = jaro_winkler_micro(a, b)
+    la = lb = 8
+    m = 3
+    jaro = (m / la + m / lb + m / m) / 3.0
+    assert jaro <= 0.7
+    assert got == int(1_000_000 * jaro)  # no boost applied
