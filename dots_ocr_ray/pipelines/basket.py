@@ -32,24 +32,34 @@ import pyarrow as pa
 
 import ray.data
 
-from dots_ocr_ray.util import bounded_blocks, merge_int_counts, sorted_lookup
+from dots_ocr_ray.util import (
+    bounded_blocks,
+    merge_int_counts,
+    merge_pair_counts,
+    sorted_lookup,
+)
 
 _PACK_LIMIT = np.int64(1) << np.int64(31)
 
 
-def _pair_partials(batch: pa.Table, basket_col: str, item_col: str) -> pa.Table:
+def _pair_partials(
+    batch: pa.Table, basket_col: str, item_col: str, *, packed: bool = True
+) -> pa.Table:
     """Within one co-located bucket: distinct (basket, item), then
     vectorized pair emission per basket-size class.  Emits rows of
-    (kind, key, cnt): kind 0 = packed pair count, kind 1 = per-item
-    basket count, kind 2 = distinct-basket count (key unused)."""
+    (kind, key, cnt) when ``packed`` (kind 0 = ``a<<32|b`` pair count,
+    kind 1 = per-item basket count, kind 2 = distinct-basket count);
+    when not packed (wide ids), pairs keep TWO key columns
+    ``(kind, key_a, key_b, cnt)`` — exact at any id magnitude."""
     b = batch.column(basket_col).to_numpy(zero_copy_only=False).astype(np.int64)
     it = batch.column(item_col).to_numpy(zero_copy_only=False).astype(np.int64)
     out_kind: list[np.ndarray] = []
     out_key: list[np.ndarray] = []
+    out_key_b: list[np.ndarray] = []
     out_cnt: list[np.ndarray] = []
     if len(b):
-        # distinct (basket, item) — packed is safe here only as a dedup
-        # device if ids fit; otherwise lexsort-based unique.
+        # distinct (basket, item) via lexsort-based unique (id-width
+        # agnostic)
         order = np.lexsort((it, b))
         b, it = b[order], it[order]
         keep = np.ones(len(b), dtype=bool)
@@ -62,11 +72,13 @@ def _pair_partials(batch: pa.Table, basket_col: str, item_col: str) -> pa.Table:
         uniq_it, it_cnt = np.unique(it, return_counts=True)
         out_kind.append(np.ones(len(uniq_it), dtype=np.int8))
         out_key.append(uniq_it)
+        out_key_b.append(np.zeros(len(uniq_it), dtype=np.int64))
         out_cnt.append(it_cnt.astype(np.int64))
         # distinct baskets in this bucket (buckets partition baskets,
         # so the global distinct is the plain sum of these)
         out_kind.append(np.array([2], dtype=np.int8))
         out_key.append(np.array([0], dtype=np.int64))
+        out_key_b.append(np.array([0], dtype=np.int64))
         out_cnt.append(np.array([len(starts)], dtype=np.int64))
         # pairs, one vectorized block per basket-size class
         for size in np.unique(lens):
@@ -79,24 +91,25 @@ def _pair_partials(batch: pa.Table, basket_col: str, item_col: str) -> pa.Table:
             a = mat[:, iu].ravel()
             c = mat[:, ju].ravel()
             out_kind.append(np.zeros(len(a), dtype=np.int8))
-            out_key.append((a << np.int64(32)) | c)
+            if packed:
+                out_key.append((a << np.int64(32)) | c)
+                out_key_b.append(np.zeros(len(a), dtype=np.int64))
+            else:
+                out_key.append(a)
+                out_key_b.append(c)
             out_cnt.append(np.ones(len(a), dtype=np.int64))
-    return pa.table(
-        {
-            "kind": pa.array(
-                np.concatenate(out_kind) if out_kind else np.array([], dtype=np.int8),
-                type=pa.int8(),
-            ),
-            "key": pa.array(
-                np.concatenate(out_key) if out_key else np.array([], dtype=np.int64),
-                type=pa.int64(),
-            ),
-            "cnt": pa.array(
-                np.concatenate(out_cnt) if out_cnt else np.array([], dtype=np.int64),
-                type=pa.int64(),
-            ),
-        }
-    )
+    kind = np.concatenate(out_kind) if out_kind else np.array([], dtype=np.int8)
+    key = np.concatenate(out_key) if out_key else np.array([], dtype=np.int64)
+    cnt = np.concatenate(out_cnt) if out_cnt else np.array([], dtype=np.int64)
+    cols = {
+        "kind": pa.array(kind, type=pa.int8()),
+        "key": pa.array(key, type=pa.int64()),
+    }
+    if not packed:
+        key_b = np.concatenate(out_key_b) if out_key_b else np.array([], dtype=np.int64)
+        cols["key_b"] = pa.array(key_b, type=pa.int64())
+    cols["cnt"] = pa.array(cnt, type=pa.int64())
+    return pa.table(cols)
 
 
 def association_rules(
@@ -106,6 +119,7 @@ def association_rules(
     item_col: str,
     min_support: int = 2,
     num_buckets: int = 64,
+    wide_ids: bool | None = None,
 ) -> pa.Table:
     """Frequent item PAIRS with support, confidence and lift.
 
@@ -117,17 +131,39 @@ def association_rules(
     (n_a * n_b))`` — integer-exact micro units, no float crosses
     groups.  The rule table is bounded by min_support; raise it for
     bigger corpora.
+
+    ``wide_ids``: item ids ≥ 2^31 (or negative) can't use the packed
+    ``a<<32|b`` pair key; the wide path keeps pairs as two int64
+    columns and merges via :func:`~dots_ocr_ray.util.merge_pair_counts`
+    — same exchange discipline, ~1.5× pair-partial bytes.  ``None``
+    (default) probes the item-id range with one column-pruned pass and
+    picks automatically; pass True/False to skip the probe.
     """
     import pyarrow.compute as pc
+
+    if wide_ids is None:
+        # one cheap column-pruned scan: per-batch (min, max) partials
+        def _minmax(batch: pa.Table) -> pa.Table:
+            its = batch.column(item_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            if not len(its):
+                return pa.table(
+                    {"lo": pa.array([], pa.int64()), "hi": pa.array([], pa.int64())}
+                )
+            return pa.table(
+                {
+                    "lo": pa.array([int(its.min())], pa.int64()),
+                    "hi": pa.array([int(its.max())], pa.int64()),
+                }
+            )
+
+        mm = ds.map_batches(_minmax, batch_format="pyarrow").take_all()
+        wide_ids = bool(mm) and (
+            min(r["lo"] for r in mm) < 0 or max(r["hi"] for r in mm) >= int(_PACK_LIMIT)
+        )
 
     def _tag(batch: pa.Table) -> pa.Table:
         k = batch.column(basket_col).to_numpy(zero_copy_only=False).astype(np.int64)
         its = batch.column(item_col).to_numpy(zero_copy_only=False).astype(np.int64)
-        if len(its) and (its.max() >= _PACK_LIMIT or its.min() < 0):
-            raise NotImplementedError(
-                "association_rules packs pairs as a<<32|b; item ids must "
-                "fit in 31 bits (wider ids need the two-column groupby path)"
-            )
         with np.errstate(over="ignore"):
             bkt = (k.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(
                 num_buckets
@@ -143,25 +179,42 @@ def association_rules(
     tagged = bounded_blocks(
         ds.map_batches(_tag, batch_format="pyarrow"), rows_per_block=1_048_576
     )
+    packed = not wide_ids
     partials = tagged.groupby("__bucket").map_groups(
-        lambda g: _pair_partials(g, basket_col, item_col), batch_format="pyarrow"
+        lambda g: _pair_partials(g, basket_col, item_col, packed=packed),
+        batch_format="pyarrow",
     )
     partials = partials.materialize()
 
-    pair_counts = merge_int_counts(
-        partials.filter(expr="kind == 0").select_columns(["key", "cnt"]),
-        "key",
-        "cnt",
-    )
+    if packed:
+        pair_counts = merge_int_counts(
+            partials.filter(expr="kind == 0").select_columns(["key", "cnt"]),
+            "key",
+            "cnt",
+        )
+    else:
+        pair_counts = merge_pair_counts(
+            partials.filter(expr="kind == 0").select_columns(["key", "key_b", "cnt"]),
+            "key",
+            "key_b",
+            "cnt",
+        )
     # surviving pairs only (bounded by min_support)
     surv = pair_counts.filter(expr=f"cnt >= {int(min_support)}").materialize()
-    pair_key_np: list[np.ndarray] = []
+    pair_a_np: list[np.ndarray] = []
+    pair_b_np: list[np.ndarray] = []
     pair_cnt_np: list[np.ndarray] = []
     for b in surv.iter_batches(batch_format="pyarrow"):
         if b.num_rows:
-            pair_key_np.append(b.column("key").to_numpy(zero_copy_only=False))
+            k = b.column("key").to_numpy(zero_copy_only=False)
+            if packed:
+                pair_a_np.append(k >> np.int64(32))
+                pair_b_np.append(k & np.int64(0xFFFFFFFF))
+            else:
+                pair_a_np.append(k)
+                pair_b_np.append(b.column("key_b").to_numpy(zero_copy_only=False))
             pair_cnt_np.append(b.column("cnt").to_numpy(zero_copy_only=False))
-    if not pair_key_np:
+    if not pair_cnt_np:
         return pa.table(
             {
                 "item_a": pa.array([], type=pa.int64()),
@@ -171,10 +224,9 @@ def association_rules(
                 "lift_micro": pa.array([], type=pa.int64()),
             }
         )
-    keys = np.concatenate(pair_key_np)
+    item_a = np.concatenate(pair_a_np)
+    item_b = np.concatenate(pair_b_np)
     sup = np.concatenate(pair_cnt_np).astype(np.int64)
-    item_a = keys >> np.int64(32)
-    item_b = keys & np.int64(0xFFFFFFFF)
 
     item_counts = merge_int_counts(
         partials.filter(expr="kind == 1").select_columns(["key", "cnt"]),

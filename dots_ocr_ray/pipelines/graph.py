@@ -2373,10 +2373,11 @@ def modularity(
     community edges and endpoint degrees per label vectorized; the
     driver folds per-label partial rows (O(labels) driver state — the
     same budget the assignment broadcast already implies).
-    Distributed tier: two ``hash_join``s attach endpoint labels, one
-    bucket-keyed fold counts e_c, and D_c comes from
-    :func:`degree_table` joined to the assignment — nothing
-    driver-sized but the ≤ |labels| partial table."""
+    Distributed tier (see :func:`_modularity_distributed`): two
+    ``hash_join``s attach endpoint labels, one label-bucketed fold
+    completes per-community e_c and D_c, and each bucket ships three
+    scalars — driver state is O(num_buckets), bit-identical to the
+    broadcast tier."""
     from dots_ocr_ray.pipelines.dedup import exact_distinct_pairs
 
     def _canon(batch: pa.Table) -> pa.Table:
@@ -2407,10 +2408,7 @@ def modularity(
 
     n_assign = communities.count()
     if n_assign > broadcast_limit:
-        raise NotImplementedError(
-            "distributed modularity tier: attach labels via two hash_joins "
-            "+ bucket folds (assignment exceeds the broadcast budget)"
-        )
+        return _modularity_distributed(und, communities, m, num_buckets=num_buckets)
     hosts_chunks, lab_chunks = [], []
     for b in communities.iter_batches(batch_format="pyarrow"):
         if b.num_rows:
@@ -2469,6 +2467,151 @@ def modularity(
         {
             "n_edges": pa.array([m], pa.int64()),
             "n_communities": pa.array([len(np.unique(labs))], pa.int64()),
+            "modularity": pa.array([q], pa.float64()),
+        }
+    )
+
+
+def _modularity_distributed(
+    und: ray.data.Dataset,
+    communities: ray.data.Dataset,
+    m: int,
+    *,
+    num_buckets: int = 64,
+) -> pa.Table:
+    """Above-budget modularity tier: two :func:`hash_join`s attach
+    endpoint labels to the undirected edge stream, one label-bucketed
+    fold completes each community's e_c and D_c inside its bucket
+    (every partial of a label lands in exactly one bucket), and each
+    bucket ships THREE scalars to the driver — Σe_c, ΣD_c² (as a
+    decimal string so >int64 squares survive the wire) and its
+    distinct-label count from the assignment — so driver state is
+    O(num_buckets), never O(communities).  Computes the SAME exact
+    integer numerator ``4m·Σe_c − ΣD_c²`` as the broadcast tier, so
+    the two tiers are bit-identical."""
+    from dots_ocr_ray.pipelines.relational import hash_join
+
+    _MIX = np.uint64(0x9E3779B97F4A7C15)
+
+    def _rename(host_out: str, lab_out: str):
+        def _fn(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    host_out: batch.column("host").cast(pa.int64()),
+                    lab_out: batch.column("community").cast(pa.int64()),
+                }
+            )
+
+        return _fn
+
+    und_schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+    lab_a_schema = pa.schema([("a", pa.int64()), ("la", pa.int64())])
+    lab_b_schema = pa.schema([("b", pa.int64()), ("lb", pa.int64())])
+    lab_a = communities.map_batches(_rename("a", "la"), batch_format="pyarrow")
+    lab_b = communities.map_batches(_rename("b", "lb"), batch_format="pyarrow")
+    j1 = hash_join(
+        und,
+        lab_a,
+        on="a",
+        num_buckets=num_buckets,
+        left_schema=und_schema,
+        right_schema=lab_a_schema,
+    )
+    j2 = hash_join(
+        j1,
+        lab_b,
+        on="b",
+        num_buckets=num_buckets,
+        left_schema=pa.schema([("a", pa.int64()), ("b", pa.int64()), ("la", pa.int64())]),
+        right_schema=lab_b_schema,
+    )
+
+    def _partials(batch: pa.Table) -> pa.Table:
+        la = batch.column("la").to_numpy(zero_copy_only=False).astype(np.int64)
+        lb = batch.column("lb").to_numpy(zero_copy_only=False).astype(np.int64)
+        intra = la[la == lb]
+        iu, ic = np.unique(intra, return_counts=True)
+        du, dcnt = np.unique(np.concatenate([la, lb]), return_counts=True)
+        lab_all = np.concatenate([iu, du])
+        e_part = np.concatenate([ic, np.zeros(len(du), dtype=np.int64)])
+        d_part = np.concatenate([np.zeros(len(iu), dtype=np.int64), dcnt])
+        with np.errstate(over="ignore"):
+            bkt = (lab_all.astype(np.uint64) * _MIX) % np.uint64(num_buckets)
+        return pa.table(
+            {
+                "label": pa.array(lab_all, type=pa.int64()),
+                "ec": pa.array(e_part.astype(np.int64), type=pa.int64()),
+                "dc": pa.array(d_part.astype(np.int64), type=pa.int64()),
+                "__bucket": pa.array(bkt.astype(np.int32), type=pa.int32()),
+            }
+        )
+
+    def _fold(group: pa.Table) -> pa.Table:
+        lab = group.column("label").to_numpy(zero_copy_only=False)
+        ec = group.column("ec").to_numpy(zero_copy_only=False)
+        dcv = group.column("dc").to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(lab, return_inverse=True)
+        e_c = np.zeros(len(uniq), dtype=np.int64)
+        d_c = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(e_c, inv, ec)
+        np.add.at(d_c, inv, dcv)
+        s_ec = int(e_c.sum())
+        s_dsq = int((d_c.astype(object) ** 2).sum())
+        return pa.table(
+            {
+                "s_ec": pa.array([s_ec], type=pa.int64()),
+                "s_dsq": pa.array([str(s_dsq)], type=pa.string()),
+            }
+        )
+
+    folds = (
+        j2.map_batches(_partials, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(_fold, batch_format="pyarrow")
+    )
+    sum_ec = 0
+    sum_dsq = 0
+    for r in folds.take_all():
+        sum_ec += int(r["s_ec"])
+        sum_dsq += int(r["s_dsq"])
+
+    # n_communities comes from the ASSIGNMENT (a community of edge-less
+    # hosts still counts), via the same bucket partitioning: per-batch
+    # distinct labels, per-bucket exact distinct count, driver sums
+    # num_buckets scalars
+    def _lab_partial(batch: pa.Table) -> pa.Table:
+        u = np.unique(
+            batch.column("community").to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        with np.errstate(over="ignore"):
+            bkt = (u.astype(np.uint64) * _MIX) % np.uint64(num_buckets)
+        return pa.table(
+            {
+                "label": pa.array(u, type=pa.int64()),
+                "__bucket": pa.array(bkt.astype(np.int32), type=pa.int32()),
+            }
+        )
+
+    def _lab_fold(group: pa.Table) -> pa.Table:
+        n = len(np.unique(group.column("label").to_numpy(zero_copy_only=False)))
+        return pa.table({"n": pa.array([n], type=pa.int64())})
+
+    n_comm = sum(
+        int(r["n"])
+        for r in (
+            communities.map_batches(_lab_partial, batch_format="pyarrow")
+            .groupby("__bucket")
+            .map_groups(_lab_fold, batch_format="pyarrow")
+            .take_all()
+        )
+    )
+
+    num = 4 * m * sum_ec - sum_dsq
+    q = round(num / (4.0 * m * m), 9)
+    return pa.table(
+        {
+            "n_edges": pa.array([m], pa.int64()),
+            "n_communities": pa.array([n_comm], pa.int64()),
             "modularity": pa.array([q], pa.float64()),
         }
     )

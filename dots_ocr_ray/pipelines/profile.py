@@ -1160,6 +1160,7 @@ def fd_violations(
     *,
     det_col: str,
     dep_col: str,
+    wide_ids: bool | None = None,
 ) -> pa.Table:
     """Functional-dependency audit (profiling: does ``det_col →
     dep_col`` hold?): the number of determinant keys mapping to more
@@ -1170,19 +1171,40 @@ def fd_violations(
     (:func:`~dots_ocr_ray.util.bucket_keyed_fold` distinct), then a
     per-bucket dependent-count fold — the driver sees only two
     scalars per bucket.  Both columns must be int64-castable; 31-bit
-    ids pack exactly (the association_rules convention)."""
+    ids pack exactly (the association_rules convention), and wider or
+    negative ids route to a two-column path
+    (:func:`~dots_ocr_ray.util.merge_pair_counts` distinct) — exact
+    at any magnitude.  ``wide_ids=None`` probes the id range with one
+    column-pruned pass; pass True/False to skip the probe."""
     from dots_ocr_ray.util import bucket_keyed_fold
+
+    narrow = ds.select_columns([det_col, dep_col])
+    if wide_ids is None:
+
+        def _minmax(batch: pa.Table) -> pa.Table:
+            det = batch.column(det_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            dep = batch.column(dep_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            if not len(det):
+                return pa.table(
+                    {"lo": pa.array([], pa.int64()), "hi": pa.array([], pa.int64())}
+                )
+            return pa.table(
+                {
+                    "lo": pa.array([min(int(det.min()), int(dep.min()))], pa.int64()),
+                    "hi": pa.array([max(int(det.max()), int(dep.max()))], pa.int64()),
+                }
+            )
+
+        mm = narrow.map_batches(_minmax, batch_format="pyarrow").take_all()
+        wide_ids = bool(mm) and (
+            min(r["lo"] for r in mm) < 0 or max(r["hi"] for r in mm) >= (1 << 31)
+        )
+    if wide_ids:
+        return _fd_violations_wide(narrow, det_col=det_col, dep_col=dep_col)
 
     def _pairs(batch: pa.Table) -> pa.Table:
         det = batch.column(det_col).to_numpy(zero_copy_only=False).astype(np.int64)
         dep = batch.column(dep_col).to_numpy(zero_copy_only=False).astype(np.int64)
-        if len(det) and (
-            det.max() >= (1 << 31) or det.min() < 0
-            or dep.max() >= (1 << 31) or dep.min() < 0
-        ):
-            raise NotImplementedError(
-                "fd_violations packs (det, dep) as det<<32|dep; ids must fit 31 bits"
-            )
         key = (det << np.int64(32)) | dep
         return pa.table({"pair": pa.array(np.unique(key), type=pa.int64())})
 
@@ -1216,6 +1238,74 @@ def fd_violations(
             bkt = (det * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(64)
         return batch.append_column(
             "__bucket", pa.array(bkt.astype(np.int32), type=pa.int32())
+        )
+
+    folded = (
+        pairs.map_batches(_tag_det, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(_counts, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return pa.table(
+        {
+            "det": pa.array([det_col], type=pa.string()),
+            "dep": pa.array([dep_col], type=pa.string()),
+            "n_keys": pa.array([int(folded["n_keys"].sum())], type=pa.int64()),
+            "n_violating": pa.array([int(folded["n_violating"].sum())], type=pa.int64()),
+        }
+    )
+
+
+def _fd_violations_wide(
+    narrow: ray.data.Dataset,
+    *,
+    det_col: str,
+    dep_col: str,
+) -> pa.Table:
+    """Wide-id FD audit tier: (det, dep) stays TWO int64 columns.
+    Per-batch lexsort-distinct pairs with cnt=1 merge through
+    :func:`~dots_ocr_ray.util.merge_pair_counts` (global pair
+    distinct), then one determinant-keyed re-bucket counts distinct
+    and violating determinants per bucket — the driver sums two
+    scalars per bucket, same shape as the packed tier."""
+    from dots_ocr_ray.util import merge_pair_counts
+
+    def _pairs2(batch: pa.Table) -> pa.Table:
+        det = batch.column(det_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        dep = batch.column(dep_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((dep, det))
+        det, dep = det[order], dep[order]
+        keep = np.ones(len(det), dtype=bool)
+        keep[1:] = (det[1:] != det[:-1]) | (dep[1:] != dep[:-1])
+        det, dep = det[keep], dep[keep]
+        return pa.table(
+            {
+                "det": pa.array(det, type=pa.int64()),
+                "dep": pa.array(dep, type=pa.int64()),
+                "one": pa.array(np.ones(len(det), dtype=np.int64), type=pa.int64()),
+            }
+        )
+
+    pairs = merge_pair_counts(
+        narrow.map_batches(_pairs2, batch_format="pyarrow"), "det", "dep", "one"
+    )
+
+    def _tag_det(batch: pa.Table) -> pa.Table:
+        det = batch.column("det").to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            bkt = (det * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(64)
+        return batch.append_column(
+            "__bucket", pa.array(bkt.astype(np.int32), type=pa.int32())
+        )
+
+    def _counts(batch: pa.Table) -> pa.Table:
+        det = batch.column("det").to_numpy(zero_copy_only=False)
+        uniq, cnt = np.unique(det, return_counts=True)
+        return pa.table(
+            {
+                "n_keys": pa.array([len(uniq)], type=pa.int64()),
+                "n_violating": pa.array([int((cnt > 1).sum())], type=pa.int64()),
+            }
         )
 
     folded = (

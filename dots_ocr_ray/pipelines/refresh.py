@@ -277,11 +277,63 @@ def recrawl_priority(
         .sum(["added", "changed", "compared"])
     )
 
-    if ranks.num_rows > broadcast_limit:
-        raise NotImplementedError(
-            "rank table above the broadcast budget: join per_host with the "
-            "rank Dataset via relational.hash_join(on='host') instead"
+    n_ranks = ranks.num_rows if isinstance(ranks, pa.Table) else ranks.count()
+    if n_ranks > broadcast_limit:
+        # distributed tier: LEFT hash_join of the bounded per-host
+        # counts with the rank table on host — hosts absent from the
+        # rank table score rank 0.0, same as the broadcast gather
+        from dots_ocr_ray.pipelines.relational import hash_join
+
+        rank_ds = ray.data.from_arrow(ranks) if isinstance(ranks, pa.Table) else ranks
+
+        def _rank_norm(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "host": batch.column("host").cast(pa.int64()),
+                    "__rank": batch.column(rank_col).cast(pa.float64()),
+                }
+            )
+
+        joined = hash_join(
+            per_host,
+            rank_ds.map_batches(_rank_norm, batch_format="pyarrow"),
+            on="host",
+            how="left",
+            left_schema=pa.schema(
+                [
+                    ("host", pa.int64()),
+                    ("sum(added)", pa.int64()),
+                    ("sum(changed)", pa.int64()),
+                    ("sum(compared)", pa.int64()),
+                ]
+            ),
+            right_schema=pa.schema([("host", pa.int64()), ("__rank", pa.float64())]),
         )
+
+        def _score_joined(batch: pa.Table) -> pa.Table:
+            h = batch.column("host").to_numpy(zero_copy_only=False).astype(np.int64)
+            added = batch.column("sum(added)").to_numpy(zero_copy_only=False)
+            changed = batch.column("sum(changed)").to_numpy(zero_copy_only=False)
+            compared = batch.column("sum(compared)").to_numpy(zero_copy_only=False)
+            rank = (
+                pc.fill_null(batch.column("__rank"), 0.0)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.float64)
+            )
+            rate = changed / np.maximum(compared, 1)
+            return pa.table(
+                {
+                    "host": pa.array(h, type=pa.int64()),
+                    "n_added": pa.array(added, type=pa.int64()),
+                    "n_changed": pa.array(changed, type=pa.int64()),
+                    "n_compared": pa.array(compared, type=pa.int64()),
+                    "change_rate": pa.array(rate, type=pa.float64()),
+                    "rank_rel": pa.array(rank, type=pa.float64()),
+                    "priority": pa.array(rate * rank, type=pa.float64()),
+                }
+            )
+
+        return joined.map_batches(_score_joined, batch_format="pyarrow")
     hosts_sorted = ranks.column("host").to_numpy(zero_copy_only=False).astype(np.int64)
     order = np.argsort(hosts_sorted, kind="stable")
     rank_pair_ref = ray.put(

@@ -274,6 +274,98 @@ def merge_int_counts(
     return summed.map_batches(_rename, batch_format="pyarrow").materialize()
 
 
+def merge_pair_counts(
+    parts,
+    a_col: str,
+    b_col: str,
+    cnt_col: str,
+    *,
+    driver_limit: int = 8_000_000,
+    num_buckets: int = 64,
+):
+    """Two-tier SUM(cnt) GROUP BY (a, b) for TWO int64 key columns —
+    the unpacked sibling of :func:`merge_int_counts` for pair keys
+    that don't fit a single int64 packing (ids ≥ 2^31).
+
+    Under ``driver_limit`` total partial rows: driver lexsort +
+    reduceat.  Above: one bucket-keyed exchange (bucket = mixed hash
+    of both keys) + per-bucket vectorized lexsort fold — Python cost
+    O(num_buckets), exchange moves each partial row once.  Returns a
+    MATERIALIZED dataset with columns ``(a_col, b_col, cnt_col)``."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    def _fold_np(a, b, c):
+        order = np.lexsort((b, a))
+        a, b, c = a[order], b[order], c[order]
+        new = np.ones(len(a), dtype=bool)
+        new[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        starts = np.nonzero(new)[0]
+        sums = np.add.reduceat(c, starts)
+        return a[starts], b[starts], sums.astype(np.int64)
+
+    empty = pa.table(
+        {
+            a_col: pa.array([], type=pa.int64()),
+            b_col: pa.array([], type=pa.int64()),
+            cnt_col: pa.array([], type=pa.int64()),
+        }
+    )
+    parts = parts.materialize()
+    if parts.count() <= driver_limit:
+        avs, bvs, cvs = [], [], []
+        for blk in parts.iter_batches(batch_format="pyarrow"):
+            if blk.num_rows:
+                avs.append(blk.column(a_col).to_numpy(zero_copy_only=False).astype(np.int64))
+                bvs.append(blk.column(b_col).to_numpy(zero_copy_only=False).astype(np.int64))
+                cvs.append(blk.column(cnt_col).to_numpy(zero_copy_only=False).astype(np.int64))
+        if not avs:
+            return ray.data.from_arrow(empty)
+        a, b, c = _fold_np(np.concatenate(avs), np.concatenate(bvs), np.concatenate(cvs))
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    a_col: pa.array(a, type=pa.int64()),
+                    b_col: pa.array(b, type=pa.int64()),
+                    cnt_col: pa.array(c, type=pa.int64()),
+                }
+            )
+        )
+
+    _MIX = np.uint64(0x9E3779B97F4A7C15)
+
+    def _tag(batch: "pa.Table") -> "pa.Table":
+        a = batch.column(a_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch.column(b_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        with np.errstate(over="ignore"):
+            bkt = ((a.astype(np.uint64) * _MIX) ^ (b.astype(np.uint64) * np.uint64(0xC2B2AE3D27D4EB4F))) % np.uint64(num_buckets)
+        return batch.append_column("__bucket", pa.array(bkt.astype(np.int32), type=pa.int32()))
+
+    def _fold(group: "pa.Table") -> "pa.Table":
+        a = group.column(a_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        b = group.column(b_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        c = group.column(cnt_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        if not len(a):
+            return empty
+        a, b, c = _fold_np(a, b, c)
+        return pa.table(
+            {
+                a_col: pa.array(a, type=pa.int64()),
+                b_col: pa.array(b, type=pa.int64()),
+                cnt_col: pa.array(c, type=pa.int64()),
+            }
+        )
+
+    return (
+        bounded_blocks(parts.map_batches(_tag, batch_format="pyarrow"), rows_per_block=262144)
+        .groupby("__bucket")
+        .map_groups(_fold, batch_format="pyarrow")
+        .materialize()
+    )
+
+
 def sorted_lookup(sorted_arr, vals):
     """Vectorized probe of ``vals`` against an ASCENDING-sorted numpy
     array: ``(hit_mask, idx)`` where ``hit_mask[i]`` says whether

@@ -51,16 +51,42 @@ def test_partition_invariance():
     assert sup == {(10, 20): 3, (10, 30): 1, (20, 30): 1, (10, 40): 1}
 
 
-def test_wide_ids_rejected():
+def test_wide_ids_auto_fallback():
+    """Items above 2^31 route (via the auto probe) to the two-column
+    pair path and produce exact rules at any id magnitude."""
+    big = 1 << 40
     t = pa.table(
         {
-            "basket": pa.array([1, 1], type=pa.int64()),
-            "item": pa.array([1 << 40, 2], type=pa.int64()),
+            "basket": pa.array([1, 1, 2, 2, 3, 3, 3], type=pa.int64()),
+            "item": pa.array([big, 2, big, 2, big, 2, big + 5], type=pa.int64()),
         }
     )
-    import pytest
+    out = association_rules(
+        ray.data.from_arrow(t).repartition(3),
+        basket_col="basket",
+        item_col="item",
+        min_support=2,
+    )
+    rows = {(r["item_a"], r["item_b"]): r for r in out.to_pylist()}
+    # (2, big) co-occurs in baskets 1,2,3: support 3, n_2=3, n_big=3, N=3
+    assert set(rows) == {(2, big)}
+    r = rows[(2, big)]
+    assert r["support"] == 3
+    assert r["conf_micro"] == 1_000_000
+    assert r["lift_micro"] == (1_000_000 * 3 * 3) // (3 * 3)
 
-    with pytest.raises(Exception):
-        association_rules(
-            ray.data.from_arrow(t), basket_col="basket", item_col="item"
-        )
+
+def test_wide_path_parity_with_packed():
+    """Forcing wide_ids=True on narrow-id input must reproduce the
+    packed path bit-for-bit (tier parity)."""
+    a = association_rules(
+        _fixture_ds(4), basket_col="basket", item_col="item", min_support=1
+    )
+    b = association_rules(
+        _fixture_ds(4),
+        basket_col="basket",
+        item_col="item",
+        min_support=1,
+        wide_ids=True,
+    )
+    assert a.to_pylist() == b.to_pylist()

@@ -587,6 +587,47 @@ def test_modularity_known_values(ray_session):
     assert t3.column("modularity")[0].as_py() == round(-1 / 3, 9)
 
 
+def test_modularity_tier_parity(ray_session):
+    """broadcast_limit=0 forces the distributed (two hash_joins +
+    label-bucketed fold) tier; it must agree bit-identically with the
+    broadcast tier on a random graph, including communities whose
+    hosts have no edges at all (n_communities from the assignment)."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from dots_ocr_ray.pipelines.graph import label_propagation, modularity
+
+    rng = np.random.RandomState(23)
+    rows = [(int(a), int(b)) for a, b in rng.randint(0, 60, (800, 2))]
+    ds = _edges(rows)
+    comm_tbl = pa.concat_tables(
+        [
+            b
+            for b in label_propagation(ds).iter_batches(batch_format="pyarrow")
+            if b.num_rows
+        ]
+    )
+    # add an edge-less host in its own community: must count in
+    # n_communities without touching Q
+    comm_tbl = pa.concat_tables(
+        [
+            comm_tbl,
+            pa.table(
+                {"host": pa.array([999], pa.int64()), "community": pa.array([999], pa.int64())}
+            ),
+        ]
+    )
+    t_b = modularity(ds, ray.data.from_arrow(comm_tbl).repartition(4))
+    t_d = modularity(
+        ds, ray.data.from_arrow(comm_tbl).repartition(4), broadcast_limit=0
+    )
+    assert t_b.column("modularity")[0].as_py() == t_d.column("modularity")[0].as_py()
+    assert t_b.column("n_edges")[0].as_py() == t_d.column("n_edges")[0].as_py()
+    assert t_b.column("n_communities")[0].as_py() == t_d.column("n_communities")[0].as_py()
+
+
 def _scc_dict(ds):
     from dots_ocr_ray.pipelines.graph import scc  # noqa: F401
 

@@ -564,21 +564,46 @@ def test_fd_violations_hand_computed(ray_session):
     assert out["n_keys"] == 3 and out["n_violating"] == 1
 
 
-def test_fd_violations_wide_ids_rejected(ray_session):
+def test_fd_violations_wide_ids_auto_fallback(ray_session):
+    """Ids above 2^31 (and negative ids) route via the auto probe to
+    the two-column tier and produce exact counts."""
     import pyarrow as pa
-    import pytest
+    import ray.data
+
+    from dots_ocr_ray.pipelines.profile import fd_violations
+
+    big = 1 << 40
+    # big -> {1, 2} violating; -5 -> {7}; 3 -> {big}
+    t = pa.table(
+        {
+            "k": pa.array([big, big, big, -5, 3], type=pa.int64()),
+            "v": pa.array([1, 2, 1, 7, big], type=pa.int64()),
+        }
+    )
+    out = fd_violations(
+        ray.data.from_arrow(t).repartition(3), det_col="k", dep_col="v"
+    ).to_pylist()[0]
+    assert out["n_keys"] == 3 and out["n_violating"] == 1
+
+
+def test_fd_violations_tier_parity(ray_session):
+    """wide_ids=True forced on narrow input must match the packed
+    tier exactly."""
+    import pyarrow as pa
     import ray.data
 
     from dots_ocr_ray.pipelines.profile import fd_violations
 
     t = pa.table(
         {
-            "k": pa.array([1 << 40], type=pa.int64()),
-            "v": pa.array([1], type=pa.int64()),
+            "k": pa.array([1, 1, 2, 2, 2, 3, 4, 4], type=pa.int64()),
+            "v": pa.array([10, 10, 10, 20, 20, 30, 1, 2], type=pa.int64()),
         }
     )
-    with pytest.raises(Exception):
-        fd_violations(ray.data.from_arrow(t), det_col="k", dep_col="v")
+    ds = ray.data.from_arrow(t).repartition(3)
+    a = fd_violations(ds, det_col="k", dep_col="v", wide_ids=False).to_pylist()
+    b = fd_violations(ds, det_col="k", dep_col="v", wide_ids=True).to_pylist()
+    assert a == b
 
 
 def test_ri_orphans(ray_session):

@@ -139,3 +139,38 @@ def test_refresh_recrawl_near_dup_is_dropped(ray_session, tmp_path):
         pages([words]), f"{base}/index", f"{base}/out3", minhash_threshold=0.7
     )
     assert c3["after_exact"] == 0
+
+
+def test_recrawl_priority_tier_parity(ray_session):
+    """broadcast_limit=0 forces the distributed hash_join rank-attach;
+    it must agree with the broadcast searchsorted gather, including
+    hosts with no rank row (rank 0)."""
+    import pyarrow as pa
+    import ray.data
+
+    from dots_ocr_ray.pipelines.refresh import recrawl_priority
+
+    diff = ray.data.from_items(
+        [
+            {"doc_id": i, "change": c}
+            for i, c in zip(
+                range(0, 200),
+                ["changed", "unchanged", "added", "removed"] * 50,
+            )
+        ]
+    ).repartition(4)
+    ranks = pa.table(
+        {
+            "host": pa.array(list(range(0, 30)), type=pa.int64()),
+            "rank_rel": pa.array([1.0 + 0.1 * h for h in range(30)], type=pa.float64()),
+        }
+    )
+    base = recrawl_priority(diff, ranks).to_pandas().set_index("host").sort_index()
+    dist = (
+        recrawl_priority(diff, ranks, broadcast_limit=0)
+        .to_pandas()
+        .set_index("host")
+        .sort_index()
+    )
+    assert base.equals(dist)
+    assert (base.loc[30:, "rank_rel"] == 0).all()  # hosts 30..39 unranked
