@@ -160,6 +160,8 @@ def run_queries() -> tuple[dict, dict]:
 def main() -> None:
     import ray
 
+    from dots_ocr_ray.util import make_quiet_hook, quiet_ray_data_schema_warnings
+
     if not ray.is_initialized():
         ray.init(
             address="local",
@@ -167,7 +169,9 @@ def main() -> None:
             include_dashboard=False,
             ignore_reinit_error=True,
             logging_level="ERROR",
+            runtime_env={"worker_process_setup_hook": make_quiet_hook()},
         )
+    quiet_ray_data_schema_warnings()
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False

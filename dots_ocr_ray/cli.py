@@ -16,13 +16,16 @@ import argparse
 import glob
 import json
 import sys
+from dots_ocr_ray.util import make_quiet_hook as _make_quiet
+from dots_ocr_ray.util import quiet_ray_data_schema_warnings as _quiet
 
 
 def _ensure_ray():
     import ray
 
     if not ray.is_initialized():
-        ray.init(address="local", include_dashboard=False, ignore_reinit_error=True, logging_level="ERROR")
+        ray.init(address="local", include_dashboard=False, ignore_reinit_error=True, logging_level="ERROR", runtime_env={"worker_process_setup_hook": _make_quiet()})
+        _quiet()
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False

@@ -100,7 +100,18 @@ def sorted_group_first(
     call-per-distinct-key reduce of ``groupby().map_groups`` (~0.2 ms
     per group — minutes at corpus-scale distinct cardinality) with two
     vectorized passes."""
-    sorted_ds = ds.sort([key_col, order_col])
+
+    def _shed_meta(batch: pa.Table) -> pa.Table:
+        # parquet-read blocks carry a `pandas` schema-metadata blob
+        # pyarrow can't hash; Ray's sort-reduce schema dedup then logs
+        # "Failed to hash the schemas" once per merge.  Stripping the
+        # metadata is a zero-copy schema-only op and silences it at
+        # the source.
+        return batch.replace_schema_metadata(None)
+
+    sorted_ds = ds.map_batches(_shed_meta, batch_format="pyarrow").sort(
+        [key_col, order_col]
+    )
 
     def _mark(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:

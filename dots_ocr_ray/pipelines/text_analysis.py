@@ -164,28 +164,145 @@ def fingerprint_duplicates(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+_RK_BASE = 0x100000001B3  # odd → invertible mod 2^64 (FNV prime)
+
+
+def _rk_probe_index(plist: list[tuple[int, str]]):
+    """Driver-side prep for the multi-pattern Rabin-Karp engine:
+    unique probes grouped by byte length; per length a SORTED uint64
+    hash array plus a hash → [(probe_bytes, [bench_ids])] collision
+    map for exact verification."""
+    import numpy as np
+
+    by_probe: dict[bytes, list[int]] = {}
+    for bench_id, probe in plist:  # ascending bench_id
+        by_probe.setdefault(probe.encode("utf-8"), []).append(bench_id)
+    by_len: dict[int, dict] = {}
+    B = _RK_BASE
+    for pb, benches in by_probe.items():
+        L = len(pb)
+        h = 0
+        for byte in pb:
+            h = (h * B + byte) & 0xFFFFFFFFFFFFFFFF
+        ent = by_len.setdefault(L, {"hashes": [], "verify": {}})
+        ent["hashes"].append(h)
+        ent["verify"].setdefault(h, []).append((pb, benches))
+    classes = {}
+    for L, ent in by_len.items():
+        classes[L] = (
+            np.sort(np.array(sorted(set(ent["hashes"])), dtype=np.uint64)),
+            ent["verify"],
+        )
+    return {"classes": classes, "benches": by_probe}
+
+
+def _rk_scan_batch(
+    texts: list, probe_index: dict
+) -> list[tuple[int, int]]:
+    """Vectorized multi-pattern scan of one batch: texts concatenate
+    into ONE byte buffer (0x00-separated; candidates crossing a
+    boundary are killed at verification), a single cumulative
+    power-weighted prefix sum serves EVERY probe-length class — window
+    hash(i, L) = (S[i+L-1] − S[i-1]) · B^{i+L-1} with S[j] =
+    Σ_{t≤j} byte[t]·B^{−t} (mod 2^64, B odd so invertible) against the
+    class's sorted probe hashes — and only hash hits pay a Python
+    verify.  Returns per-doc (n_probe_hits, first_bench_id) with the
+    same semantics as the per-probe ``match_substring`` loop."""
+    import numpy as np
+
+    from dots_ocr_ray.util import sorted_membership
+
+    classes = probe_index["classes"]
+    benches_of = probe_index["benches"]
+    bufs = [(t or "").encode("utf-8") for t in texts]
+    results = [(0, -1)] * len(bufs)
+    if not classes:
+        return results
+    big = b"\x00".join(bufs)
+    n = len(big)
+    if n == 0:
+        return results
+    data = np.frombuffer(big, dtype=np.uint8).astype(np.uint64)
+    # doc k occupies [starts[k], starts[k] + len(bufs[k]))
+    lens = np.array([len(b) for b in bufs], dtype=np.int64)
+    starts = np.concatenate([[0], np.cumsum(lens[:-1] + 1)])
+    B = np.uint64(_RK_BASE)
+    Binv = np.uint64(pow(_RK_BASE, -1, 1 << 64))
+    with np.errstate(over="ignore"):
+        # pow_f[j] = B^j, pow_i[j] = B^-j (mod 2^64, wraparound exact)
+        pow_f = np.ones(n, dtype=np.uint64)
+        pow_f[1:] = B
+        np.cumprod(pow_f, out=pow_f)
+        pow_i = np.ones(n, dtype=np.uint64)
+        pow_i[1:] = Binv
+        np.cumprod(pow_i, out=pow_i)
+        # S[i] = Σ_{j<=i} data[j]·B^{-j}; hash(i,L) = (S[i+L-1]−S[i-1])·B^{i+L-1}
+        S = np.cumsum(data * pow_i, dtype=np.uint64)
+    matched: dict[int, set[bytes]] = {}
+    for L, (hash_sorted, verify) in classes.items():
+        if L > n:
+            continue
+        with np.errstate(over="ignore"):
+            tails = S[L - 1 :]
+            heads = np.concatenate([np.zeros(1, dtype=np.uint64), S[: n - L]])
+            win = (tails - heads) * pow_f[L - 1 :]
+        cand = np.flatnonzero(sorted_membership(hash_sorted, win))
+        for p in cand.tolist():
+            # kill windows that cross a document boundary
+            k = int(np.searchsorted(starts, p, side="right")) - 1
+            if p + L > starts[k] + lens[k]:
+                continue
+            frag = big[p : p + L]
+            h = int(win[p])
+            for pb, benches in verify.get(h, ()):
+                if pb == frag:
+                    matched.setdefault(k, set()).add(pb)
+    # per-doc rollup with per-entry multiplicity parity:
+    # n_probe_hits counts probe ENTRIES, first = min matching bench_id
+    out = list(results)
+    for k, probes_hit in matched.items():
+        n_hits = 0
+        first = -1
+        for pb in probes_hit:
+            benches = benches_of[pb]
+            n_hits += len(benches)
+            first = benches[0] if first < 0 else min(first, benches[0])
+        out[k] = (n_hits, first)
+    return out
+
+
 def contamination_check(
     corpus: ray.data.Dataset,
     probes: list[tuple[int, str]],
     *,
     text_col: str = "text",
     id_col: str = "doc_id",
+    engine: str = "auto",
 ) -> ray.data.Dataset:
     """Benchmark decontamination scan: flag corpus documents containing
     any benchmark probe string (the n-gram-overlap test a training-data
     pipeline runs against eval sets before training).
 
-    ``probes`` is a BOUNDED list of (bench_id, probe_text) — benchmark
-    suites are small by nature, so the probe set is broadcast once via
-    ``ray.put`` and the corpus side streams: per batch, one vectorized
-    ``pc.match_substring`` pass per probe (O(probes) Arrow kernel calls,
-    zero Python per row).  For probe sets beyond a few thousand the
-    per-probe kernel loop should be swapped for an Aho-Corasick
-    multi-pattern automaton held by an actor pool; the streaming shape
-    and output contract are identical.
+    ``probes`` is a list of (bench_id, probe_text), broadcast once via
+    ``ray.put``.  Two exact engines behind one contract:
+
+    * ``substring`` — one vectorized ``pc.match_substring`` kernel
+      pass per probe (zero Python per row).  Right for small suites;
+      cost grows O(probes · corpus bytes).
+    * ``rabin_karp`` — the large-probe path: multi-pattern Rabin-Karp
+      (one O(n) rolling-hash pass per distinct probe-LENGTH class over
+      each batch's concatenated bytes, sorted-array membership for the
+      whole probe set at once, Python only on verified hash hits).
+      The classic Aho-Corasick automaton answers the same query in one
+      pass but its per-character state transitions cannot vectorize in
+      numpy — RK fingerprinting is the vectorizable equivalent, exact
+      after verification.
+    * ``auto`` (default) — ``substring`` under 256 probes, else
+      ``rabin_karp``.
 
     Output: (doc_id, n_probe_hits, first_bench_id) for contaminated
-    docs only — first_bench_id is the smallest matching bench_id."""
+    docs only — n_probe_hits counts matching probe entries,
+    first_bench_id is the smallest matching bench_id."""
     import numpy as np
     import pyarrow.compute as pc
 
@@ -196,6 +313,31 @@ def contamination_check(
     # empty probe strings match every document (pc.match_substring('',
     # any) is True) — one blank bench row would flag the whole corpus
     probes = [(b, p) for b, p in probes if p]
+    if engine == "auto":
+        engine = "substring" if len(probes) < 256 else "rabin_karp"
+    if engine not in ("substring", "rabin_karp"):
+        raise ValueError(f"unknown engine {engine!r}")
+
+    if engine == "rabin_karp":
+        index_ref = ray.put(_rk_probe_index(sorted(probes)))
+
+        def _scan_rk(batch: pa.Table) -> pa.Table:
+            probe_index = cached_object(index_ref)
+            texts = batch.column(text_col).to_pylist()
+            res = _rk_scan_batch(texts, probe_index)
+            hits = np.array([r[0] for r in res], dtype=np.int64)
+            first = np.array([r[1] for r in res], dtype=np.int64)
+            keep = hits > 0
+            return pa.table(
+                {
+                    "doc_id": batch.column(id_col).filter(pa.array(keep)),
+                    "n_probe_hits": pa.array(hits[keep], type=pa.int64()),
+                    "first_bench_id": pa.array(first[keep], type=pa.int64()),
+                }
+            )
+
+        return corpus.map_batches(_scan_rk, batch_format="pyarrow")
+
     probes_ref = ray.put(sorted(probes))
 
     def _scan(batch: pa.Table) -> pa.Table:

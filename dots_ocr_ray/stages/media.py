@@ -30,11 +30,33 @@ MEDIA_SCHEMA = pa.schema(
 )
 
 
-def decode_image_real(payload: bytes):
-    """The real codec seam.  Plug PIL/libvips here when available."""
-    raise NotImplementedError(
-        "no image codec in this environment — use MediaFeatureActor(fake_decode=True)"
-    )
+try:  # optional dependency: the real codec when the host has one
+    from PIL import Image as _PILImage  # type: ignore
+except ImportError:  # this container ships no codec — fake path stays
+    _PILImage = None
+
+
+def have_codec() -> bool:
+    """True when a real image codec (PIL) is importable."""
+    return _PILImage is not None
+
+
+def decode_image_real(payload: bytes, *, thumb: int = 8) -> np.ndarray:
+    """The real codec seam: decode ``payload`` with PIL when
+    importable and return a ``thumb×thumb`` grayscale thumbnail as a
+    flat int64 array (the contract :func:`chunk_image` fakes).  With
+    no codec installed this raises the clearly-marked
+    ``NotImplementedError`` — callers pick the deterministic fake via
+    ``fake_decode=True`` (or the auto default)."""
+    if _PILImage is None:
+        raise NotImplementedError(
+            "no image codec in this environment — use MediaFeatureActor(fake_decode=True)"
+        )
+    import io
+
+    img = _PILImage.open(io.BytesIO(payload))
+    img = img.convert("L").resize((thumb, thumb))
+    return np.asarray(img, dtype=np.int64).ravel()
 
 
 class MediaFeatureActor:
@@ -55,7 +77,12 @@ class MediaFeatureActor:
 
     def _features(self, payload: bytes) -> np.ndarray:
         if not self.fake_decode:
-            decode_image_real(payload)  # raises: marked stub
+            # real codec path (PIL): grayscale thumbnail pixels,
+            # tiled/truncated to feat_dim, normalized to [-1, 1]
+            px = decode_image_real(payload)
+            reps = -(-self.feat_dim // len(px))
+            v = np.tile(px, reps)[: self.feat_dim].astype(np.float32)
+            return (v - 127.5) / 127.5
         # blake2b caps digest_size at 64: wider feature dims chain
         # counter-salted blocks instead of crashing the stage
         blocks = []
@@ -130,11 +157,13 @@ class MediaResizeActor:
             try:
                 rh, rw = smart_resize(h, w)
                 if not self.fake_decode:
-                    decode_image_real(payload or b"")  # raises: marked stub
+                    # real path: decode-validate the payload (PIL);
+                    # corrupt bytes route to rejected, never raise
+                    decode_image_real(payload or b"")
                 dst_w.append(rw)
                 dst_h.append(rh)
                 status.append("resized")
-            except ValueError:
+            except (ValueError, OSError):
                 dst_w.append(0)
                 dst_h.append(0)
                 status.append("rejected")
@@ -163,7 +192,11 @@ class FrameSampleActor:
         ):
             payload = payload or b""
             if not self.fake_decode:
-                decode_image_real(payload)
+                # PIL is a still-image codec; the video frame grab
+                # stays a marked seam even when PIL is present
+                raise NotImplementedError(
+                    "no video codec in this environment — use fake_decode=True"
+                )
             # fake: pretend 1 frame per 4 KiB of payload
             n_frames = max(1, len(payload) // 4096)
             for f in range(0, n_frames, self.every_nth):

@@ -274,6 +274,48 @@ def merge_int_counts(
     return summed.map_batches(_rename, batch_format="pyarrow").materialize()
 
 
+def quiet_ray_data_schema_warnings() -> None:
+    """Silence Ray Data's benign "Failed to hash the schemas (for
+    deduplication): unhashable type: 'dict'" warning.
+
+    Root cause: parquet files written through pandas carry a
+    ``b'pandas'`` schema-metadata blob whose payload makes
+    ``pyarrow.Schema.__hash__`` raise; Ray's ``unify_schemas`` then
+    logs a WARNING every time its ``set()``-dedup fast path fails and
+    falls back to the full unify (same result, trivial cost).  Call
+    this on the driver after ``ray.init`` AND pass it as
+    ``runtime_env={"worker_process_setup_hook": ...}`` so sort/groupby
+    reduce workers are covered too.  Exchange paths that we own strip
+    the metadata at the source instead (see
+    ``dedup.sorted_group_first``); this hook covers the long tail of
+    reads whose ``count()`` fast path a blanket strip-map would
+    destroy."""
+    import logging
+
+    logging.getLogger(
+        "ray.data._internal.arrow_ops.transform_pyarrow"
+    ).setLevel(logging.ERROR)
+
+
+def make_quiet_hook():
+    """Worker-side variant of :func:`quiet_ray_data_schema_warnings`
+    for ``runtime_env={"worker_process_setup_hook": make_quiet_hook()}``.
+
+    Returns a CLOSURE so cloudpickle serializes it by value — the
+    setup hook deserializes during early worker startup, before the
+    driver's sys.path reaches the worker, so a plain module function
+    (pickled by reference) would die with ModuleNotFoundError."""
+
+    def _hook():
+        import logging
+
+        logging.getLogger(
+            "ray.data._internal.arrow_ops.transform_pyarrow"
+        ).setLevel(logging.ERROR)
+
+    return _hook
+
+
 def merge_pair_counts(
     parts,
     a_col: str,

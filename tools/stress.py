@@ -19,6 +19,9 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from dots_ocr_ray.util import make_quiet_hook as _make_quiet
+from dots_ocr_ray.util import quiet_ray_data_schema_warnings as _quiet
+
 
 def build_corpus(sf_dir: str, out_dir: str, mode: str, reps: int = 20) -> None:
     import pyarrow as pa
@@ -50,7 +53,8 @@ def main() -> None:
 
     ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
     if not ray.is_initialized():
-        ray.init(address="local", num_cpus=ncpu, include_dashboard=False, logging_level="ERROR")
+        ray.init(address="local", num_cpus=ncpu, include_dashboard=False, logging_level="ERROR", runtime_env={"worker_process_setup_hook": _make_quiet()})
+        _quiet()
     import logging
 
     logging.getLogger("ray.data").setLevel(logging.ERROR)
@@ -64,6 +68,7 @@ def main() -> None:
     from dots_ocr_ray.pipelines.dedup import minhash_lsh_dedup
     from dots_ocr_ray.pipelines.substring import substring_dedup
 
+    want_stats = "--stats" in sys.argv
     results = {}
     for mode in ("distinct", "dup-heavy"):
         d = f"{base}_{mode}"
@@ -75,6 +80,37 @@ def main() -> None:
         dt = time.perf_counter() - t0
         results[mode] = {"sec": round(dt, 1), "rows": rows, "docs_per_sec": round(rows / dt, 1)}
         print(f"{mode}: {dt:.1f}s, {rows} rows")
+        if want_stats and mode == "dup-heavy":
+            # per-stage breakdown of the adversarial exchange (the
+            # BASELINE stats table VERDICT r3 item 7 asked for):
+            # re-run the two sub-phases separately so the candidate
+            # exchange and the component assignment localize, and dump
+            # the pair-phase plan stats
+            from dots_ocr_ray.pipelines.dedup import (
+                cluster_assign,
+                minhash_candidate_pairs,
+            )
+
+            ds2 = ray.data.read_parquet(d, columns=["doc_id", "text"])
+            t1 = time.perf_counter()
+            pairs = minhash_candidate_pairs(ds2, threshold=0.8).materialize()
+            t_pairs = time.perf_counter() - t1
+            n_pairs = pairs.count()
+            t2 = time.perf_counter()
+            cc = cluster_assign(ds2.select_columns(["doc_id"]), pairs, id_col="doc_id")
+            cc.count()
+            t_cc = time.perf_counter() - t2
+            results["dup-heavy_phases"] = {
+                "pairs_sec": round(t_pairs, 1),
+                "n_pairs": n_pairs,
+                "components_sec": round(t_cc, 1),
+            }
+            print(
+                f"dup-heavy phases: candidate pairs {t_pairs:.1f}s "
+                f"({n_pairs} pairs), components {t_cc:.1f}s"
+            )
+            print("=== dup-heavy candidate-pairs ds.stats() ===")
+            print(pairs.stats())
     # exact-substring dedup over the dup-heavy corpus: every base
     # text's 8-grams repeat across its 19 replicas, so nearly every
     # token position is covered — the span-removal worst case

@@ -36,6 +36,9 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from dots_ocr_ray.util import make_quiet_hook as _make_quiet
+from dots_ocr_ray.util import quiet_ray_data_schema_warnings as _quiet
+
 
 def edge_dataset(n_nodes: int):
     import numpy as np
@@ -83,7 +86,8 @@ def main() -> None:
     )
     import ray
 
-    ray.init(address="local", num_cpus=cpus, include_dashboard=False, logging_level="ERROR")
+    ray.init(address="local", num_cpus=cpus, include_dashboard=False, logging_level="ERROR", runtime_env={"worker_process_setup_hook": _make_quiet()})
+    _quiet()
     import logging
 
     logging.getLogger("ray.data").setLevel(logging.ERROR)
