@@ -6134,11 +6134,17 @@ def _q_fd_check_lineitem(sf_dir: str):
     import ray.data
 
     from dots_ocr_ray.pipelines.profile import fd_violations
+    from dots_ocr_ray.util import parquet_int_minmax
 
+    # packed-vs-wide decision from parquet row-group stats, no probe scan
+    mm = parquet_int_minmax(
+        f"{sf_dir}/lineitem.parquet", ["l_orderkey", "l_suppkey"]
+    )
+    wide = None if mm is None else bool(mm[0] < 0 or mm[1] >= (1 << 31))
     li = ray.data.read_parquet(
         f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_suppkey"]
     )
-    return fd_violations(li, det_col="l_orderkey", dep_col="l_suppkey")
+    return fd_violations(li, det_col="l_orderkey", dep_col="l_suppkey", wide_ids=wide)
 
 
 def _q_span_corrupted(sf_dir: str):

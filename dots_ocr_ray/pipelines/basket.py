@@ -280,10 +280,20 @@ def association_rules(
 
 def part_affinity(sf_dir: str, *, min_support: int = 2) -> pa.Table:
     """Parts co-ordered together: association rules over (order,
-    part) baskets from lineitem, support >= min_support."""
+    part) baskets from lineitem, support >= min_support.  The
+    wide-id decision comes from parquet column STATISTICS (row-group
+    min/max, no data read) instead of association_rules' scan probe."""
+    from dots_ocr_ray.util import parquet_int_minmax
+
+    mm = parquet_int_minmax(f"{sf_dir}/lineitem.parquet", ["l_partkey"])
+    wide = None if mm is None else bool(mm[0] < 0 or mm[1] >= int(_PACK_LIMIT))
     li = ray.data.read_parquet(
         f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
     )
     return association_rules(
-        li, basket_col="l_orderkey", item_col="l_partkey", min_support=min_support
+        li,
+        basket_col="l_orderkey",
+        item_col="l_partkey",
+        min_support=min_support,
+        wide_ids=wide,
     )

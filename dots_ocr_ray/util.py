@@ -274,6 +274,26 @@ def merge_int_counts(
     return summed.map_batches(_rename, batch_format="pyarrow").materialize()
 
 
+def parquet_int_minmax(path: str, cols: list[str]):
+    """(lo, hi) across ``cols`` from parquet ROW-GROUP STATISTICS —
+    no data read.  Returns None when any row group lacks min/max
+    stats (caller falls back to a scan probe).  The zero-cost way to
+    pick packed-vs-wide integer-key paths at the planning step."""
+    import pyarrow.parquet as pq
+
+    meta = pq.ParquetFile(path)
+    lo = hi = None
+    for col in cols:
+        idx = meta.schema_arrow.get_field_index(col)
+        for rg in range(meta.metadata.num_row_groups):
+            st = meta.metadata.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
+                return None
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+    return (lo, hi)
+
+
 def quiet_ray_data_schema_warnings() -> None:
     """Silence Ray Data's benign "Failed to hash the schemas (for
     deduplication): unhashable type: 'dict'" warning.
