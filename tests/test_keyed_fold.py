@@ -57,3 +57,48 @@ def test_fold_rejects_bad_args(ray_session):
         bucket_keyed_fold(ds, "node", "max", val_col="v")
     with pytest.raises(ValueError):
         bucket_keyed_fold(ds, "node", "sum")
+
+
+def test_merge_pair_counts_tiers_vs_pandas(ray_session):
+    """merge_pair_counts ≡ pandas groupby-sum on (a, b), for BOTH the
+    driver tier and the forced distributed tier, over extreme /
+    negative int64 keys."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data
+
+    from dots_ocr_ray.util import merge_pair_counts
+
+    rng = np.random.RandomState(7)
+    a = np.concatenate(
+        [rng.randint(-5, 5, 300), np.array([1 << 62, -(1 << 62), 1 << 40] * 10)]
+    ).astype(np.int64)
+    b = np.concatenate(
+        [rng.randint(-3, 3, 300), np.array([-(1 << 61), 1 << 55, 7] * 10)]
+    ).astype(np.int64)
+    c = rng.randint(1, 9, len(a)).astype(np.int64)
+    t = pa.table(
+        {
+            "x": pa.array(a, type=pa.int64()),
+            "y": pa.array(b, type=pa.int64()),
+            "n": pa.array(c, type=pa.int64()),
+        }
+    )
+    expect = (
+        pd.DataFrame({"x": a, "y": b, "n": c})
+        .groupby(["x", "y"], sort=True)["n"]
+        .sum()
+        .reset_index()
+    )
+    for kw in ({}, {"driver_limit": 0}):
+        got = (
+            merge_pair_counts(
+                ray.data.from_arrow(t).repartition(5), "x", "y", "n", **kw
+            )
+            .to_pandas()
+            .sort_values(["x", "y"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, expect.astype("int64"))

@@ -189,3 +189,44 @@ def test_log_histogram_partition_invariant(vals, n_parts):
     assert np.array_equal(merged.counts, whole.counts)
     q = merged.quantile(0.5)
     assert q >= whole.lo or q != q  # within domain (nan only when empty)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=-(2**62), max_value=2**62),
+            st.integers(min_value=-(2**62), max_value=2**62),
+            st.integers(min_value=1, max_value=5),
+        ),
+        max_size=60,
+    )
+)
+@settings(max_examples=40, deadline=None)
+def test_rk_probe_hash_distinct_per_probe(pairs):
+    # sanity: the probe index round-trips every probe (no drops) and
+    # groups multiplicities correctly
+    from dots_ocr_ray.pipelines.text_analysis import _rk_probe_index
+
+    probes = [(i, f"p{a}x{b}") for i, (a, b, _) in enumerate(pairs)]
+    idx = _rk_probe_index(sorted(probes))
+    n_entries = sum(len(v) for v in idx["benches"].values())
+    assert n_entries == len(probes)
+
+
+@given(
+    st.lists(st.text(alphabet="ab ", max_size=24), min_size=1, max_size=12),
+    st.lists(st.text(alphabet="ab", min_size=1, max_size=4), min_size=1, max_size=6),
+)
+@settings(max_examples=80, deadline=None)
+def test_rk_scan_matches_python_containment(texts, probe_texts):
+    """_rk_scan_batch ≡ sequential `probe in text` containment over a
+    tiny alphabet (maximizes overlaps, repeats, boundary adjacency)."""
+    from dots_ocr_ray.pipelines.text_analysis import _rk_probe_index, _rk_scan_batch
+
+    probes = sorted((i, p) for i, p in enumerate(probe_texts) if p)
+    idx = _rk_probe_index(probes)
+    got = _rk_scan_batch(texts, idx)
+    for k, t in enumerate(texts):
+        hits = [bid for bid, p in probes if p in (t or "")]
+        expect = (len(hits), hits[0] if hits else -1)
+        assert got[k] == expect, (k, t, got[k], expect)
