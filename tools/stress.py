@@ -70,9 +70,11 @@ def main() -> None:
 
     want_stats = "--stats" in sys.argv
     results = {}
+    reps = int(os.environ.get("GRAFT_STRESS_REPS", "20"))
+    suffix = f"_r{reps}" if reps != 20 else ""
     for mode in ("distinct", "dup-heavy"):
-        d = f"{base}_{mode}"
-        build_corpus(sf_dir, d, mode)
+        d = f"{base}_{mode}{suffix}"
+        build_corpus(sf_dir, d, mode, reps=reps)
         ds = ray.data.read_parquet(d, columns=["doc_id", "text"])
         t0 = time.perf_counter()
         out = minhash_lsh_dedup(ds, threshold=0.8)
@@ -111,10 +113,14 @@ def main() -> None:
             )
             print("=== dup-heavy candidate-pairs ds.stats() ===")
             print(pairs.stats())
+    if os.environ.get("GRAFT_STRESS_SKIP_SUBSTRING"):
+        print(json.dumps({"metric": "dedup_stress", "num_cpus": ncpu, **results}))
+        ray.shutdown()
+        return
     # exact-substring dedup over the dup-heavy corpus: every base
     # text's 8-grams repeat across its 19 replicas, so nearly every
     # token position is covered — the span-removal worst case
-    ds = ray.data.read_parquet(f"{base}_dup-heavy", columns=["doc_id", "text"]).materialize()
+    ds = ray.data.read_parquet(f"{base}_dup-heavy{suffix}", columns=["doc_id", "text"]).materialize()
     t0 = time.perf_counter()
     out = substring_dedup(ds, k=8, min_count=2)
     dropped = out.map_batches(
