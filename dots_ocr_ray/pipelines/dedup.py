@@ -1170,7 +1170,9 @@ def minhash_pairs_from_sigs(
         key = batch.column("band_key").to_numpy(zero_copy_only=False).astype(np.uint64)
         bid = batch.column("band_id").to_numpy(zero_copy_only=False).astype(np.uint64)
         with np.errstate(over="ignore"):
-            bkt = ((key * _MIX_A) ^ (bid * _MIX_B)) % np.uint64(64)
+            # 256 coarse buckets: the fold's parallelism ceiling on a
+            # multi-node cluster, still trivially few Python calls
+            bkt = ((key * _MIX_A) ^ (bid * _MIX_B)) % np.uint64(256)
         return batch.append_column(
             "__bucket", pa.array(bkt.astype(np.int32), type=pa.int32())
         )
@@ -1348,33 +1350,72 @@ def hash64_cluster(
             }
         )
 
+    # ONE coarse 256-way exchange (hash of the pigeonhole bucket)
+    # instead of a range-sort over every distinct (block, key) and a
+    # Python call per bucket — the same fold rework as the MinHash
+    # band exchange; Hamming verification runs vectorized per
+    # bucket-SIZE class inside the coarse group
+    _MIX_A = np.uint64(0x9E3779B97F4A7C15)
+    _MIX_B = np.uint64(0xC2B2AE3D27D4EB4F)
+
+    def _tag_bucket(batch: pa.Table) -> pa.Table:
+        key = batch.column("key").to_numpy(zero_copy_only=False).astype(np.uint64)
+        blk = batch.column("block").to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            bkt = ((key * _MIX_A) ^ (blk * _MIX_B)) % np.uint64(256)
+        return batch.append_column(
+            "__bucket", pa.array(bkt.astype(np.int32), type=pa.int32())
+        )
+
     def _pairs(group: pa.Table) -> pa.Table:
+        blk = group.column("block").to_numpy(zero_copy_only=False).astype(np.int64)
+        key = group.column("key").to_numpy(zero_copy_only=False).astype(np.int64)
         docs = group.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
         hs = group.column("simhash").to_numpy(zero_copy_only=False).astype(np.uint64)
-        k = len(docs)
-        if k < 2:
+        if len(docs) < 2:
             return _empty_pairs()
-        if k <= HOT_BUCKET_CAP:
-            # vectorized Hamming over the bucket: XOR matrix + SWAR
-            # popcount, triu selection
-            ii, jj = _triu(k)
-            hd = _popcount64(hs[ii] ^ hs[jj])
-            keep = (hd <= max_hamming) & (docs[ii] != docs[jj])
-            da, db = docs[ii][keep], docs[jj][keep]
-        else:
-            # hot bucket: star-link vs the min doc (see minhash note)
-            pivot = int(np.argmin(docs))
-            hd = _popcount64(hs ^ hs[pivot])
-            keep = (hd <= max_hamming) & (docs != docs[pivot])
-            da = np.full(int(keep.sum()), docs[pivot], dtype=np.int64)
-            db = docs[keep]
+        order = np.lexsort((docs, key, blk))
+        blk, key, docs, hs = blk[order], key[order], docs[order], hs[order]
+        new_run = np.ones(len(docs), dtype=bool)
+        new_run[1:] = (blk[1:] != blk[:-1]) | (key[1:] != key[:-1])
+        starts = np.flatnonzero(new_run)
+        lens = np.diff(np.concatenate([starts, [len(docs)]]))
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        for size in np.unique(lens):
+            if size < 2:
+                continue
+            runs = starts[lens == size]
+            idx = runs[:, None] + np.arange(size)[None, :]
+            md = docs[idx]  # (n_runs, size), ascending per row
+            mh = hs[idx]
+            if size <= HOT_BUCKET_CAP:
+                ii, jj = _triu(int(size))
+                hd = _popcount64(mh[:, ii] ^ mh[:, jj])
+                keep = (hd <= max_hamming) & (md[:, ii] != md[:, jj])
+                out_a.append(md[:, ii][keep])
+                out_b.append(md[:, jj][keep])
+            else:
+                # hot bucket: star-link vs the run's min doc (col 0)
+                hd = _popcount64(mh ^ mh[:, :1])
+                keep = (hd <= max_hamming) & (md != md[:, :1])
+                out_a.append(np.broadcast_to(md[:, :1], md.shape)[keep])
+                out_b.append(md[keep])
+        if not out_a:
+            return _empty_pairs()
+        da = np.concatenate(out_a)
+        db = np.concatenate(out_b)
         return _pairs_table(np.minimum(da, db), np.maximum(da, db))
 
     exploded = bounded_blocks(sims.map_batches(_explode, batch_format="pyarrow"), rows_per_block=262144)
     # duplicate pairs across pigeonhole blocks are harmless to both CC
     # paths (union-find and min-propagation are idempotent), so no
     # distinct barrier here
-    pairs = exploded.groupby(["block", "key"]).map_groups(_pairs, batch_format="pyarrow")
+    pairs = (
+        exploded.map_batches(_tag_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(_pairs, batch_format="pyarrow")
+    )
     return cluster_assign(ids_ds, pairs, id_col=id_col, method=cc_method)
 
 
