@@ -2282,18 +2282,56 @@ def snm_dedup(
         rows_per_block=262144,
     )
 
+    # coarse 256-way exchange over hashed window groups (the same fold
+    # rework as the MinHash band exchange): one Python call per coarse
+    # bucket, triu adjacency vectorized per window-size class — never
+    # one call per window group (corpus-scale count)
+    _MIX = np.uint64(0x9E3779B97F4A7C15)
+
+    def _tag_wg(batch: pa.Table) -> pa.Table:
+        wg = batch.column("wg").to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            bkt = (wg * _MIX) % np.uint64(256)
+        return batch.append_column(
+            "__bucket", pa.array(bkt.astype(np.int32), type=pa.int32())
+        )
+
     def _pairs(group: pa.Table) -> pa.Table:
+        wg = group.column("wg").to_numpy(zero_copy_only=False).astype(np.int64)
         ids = group.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
         rk = group.column("rank").to_numpy(zero_copy_only=False).astype(np.int64)
-        k = len(ids)
-        if k < 2:
+        if len(ids) < 2:
             return _empty_pairs()
-        ii, jj = _triu(k)
-        keep = (np.abs(rk[ii] - rk[jj]) < window) & (ids[ii] != ids[jj])
-        da, db = ids[ii][keep], ids[jj][keep]
+        order = np.lexsort((ids, rk, wg))
+        wg, ids, rk = wg[order], ids[order], rk[order]
+        new_run = np.ones(len(ids), dtype=bool)
+        new_run[1:] = wg[1:] != wg[:-1]
+        starts = np.flatnonzero(new_run)
+        lens = np.diff(np.concatenate([starts, [len(ids)]]))
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        for size in np.unique(lens):
+            if size < 2:
+                continue
+            runs = starts[lens == size]
+            idx = runs[:, None] + np.arange(size)[None, :]
+            mi = ids[idx]
+            mr = rk[idx]
+            ii, jj = _triu(int(size))
+            keep = (np.abs(mr[:, ii] - mr[:, jj]) < window) & (mi[:, ii] != mi[:, jj])
+            out_a.append(mi[:, ii][keep])
+            out_b.append(mi[:, jj][keep])
+        if not out_a:
+            return _empty_pairs()
+        da = np.concatenate(out_a)
+        db = np.concatenate(out_b)
         return _pairs_table(np.minimum(da, db), np.maximum(da, db))
 
-    cand = exploded.groupby("wg").map_groups(_pairs, batch_format="pyarrow")
+    cand = (
+        exploded.map_batches(_tag_wg, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(_pairs, batch_format="pyarrow")
+    )
     verified = jaccard_verify_pairs(
         cand, ds, id_col=id_col, text_col=text_col, n=n, threshold=threshold
     )
