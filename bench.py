@@ -162,6 +162,7 @@ def main() -> None:
 
     from dots_ocr_ray.util import make_quiet_hook, quiet_ray_data_schema_warnings
 
+    quiet_ray_data_schema_warnings()
     if not ray.is_initialized():
         ray.init(
             address="local",
@@ -171,7 +172,6 @@ def main() -> None:
             logging_level="ERROR",
             runtime_env={"worker_process_setup_hook": make_quiet_hook()},
         )
-    quiet_ray_data_schema_warnings()
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False

@@ -24,8 +24,8 @@ def _ensure_ray():
     import ray
 
     if not ray.is_initialized():
-        ray.init(address="local", include_dashboard=False, ignore_reinit_error=True, logging_level="ERROR", runtime_env={"worker_process_setup_hook": _make_quiet()})
         _quiet()
+        ray.init(address="local", include_dashboard=False, ignore_reinit_error=True, logging_level="ERROR", runtime_env={"worker_process_setup_hook": _make_quiet()})
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False

@@ -255,14 +255,28 @@ def grouped_topk(
         pos_in_run = np.arange(n) - starts_idx[run_id]
         return batch.filter(pa.array(pos_in_run < k, type=pa.bool_()))
 
-    def _top(group: pa.Table) -> pa.Table:
-        order = pc.sort_indices(
-            group, sort_keys=[(value_col, direction), (id_col, "ascending")]
+    # the reduce is the SAME vectorized top-k-per-key pass run once per
+    # coarse hash bucket (keys partition across buckets, so a bucket
+    # holds every surviving candidate of its keys) — one Python call
+    # per bucket, not per key, which is what lets per-HOST sampling
+    # queries scale to corpus-sized key counts
+    import numpy as np
+
+    def _tag(batch: pa.Table) -> pa.Table:
+        bkt = (_stable_key_hash(batch.column(key_col)) % np.uint64(256)).astype(
+            np.int32
         )
-        return group.take(order).slice(0, k)
+        return batch.append_column("__bucket", pa.array(bkt, type=pa.int32()))
+
+    def _top_fold(group: pa.Table) -> pa.Table:
+        return _local_prune(group.drop_columns(["__bucket"]))
 
     pruned = ds.map_batches(_local_prune, batch_format="pyarrow")
-    return pruned.groupby(key_col).map_groups(_top, batch_format="pyarrow")
+    return (
+        pruned.map_batches(_tag, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(_top_fold, batch_format="pyarrow")
+    )
 
 
 def exact_float_quantiles(

@@ -294,6 +294,14 @@ def parquet_int_minmax(path: str, cols: list[str]):
     return (lo, hi)
 
 
+def _logging_yaml_path() -> str:
+    import os
+
+    return os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "config", "ray_data_logging.yaml"
+    )
+
+
 def quiet_ray_data_schema_warnings() -> None:
     """Silence Ray Data's benign "Failed to hash the schemas (for
     deduplication): unhashable type: 'dict'" warning.
@@ -302,16 +310,28 @@ def quiet_ray_data_schema_warnings() -> None:
     ``b'pandas'`` schema-metadata blob whose payload makes
     ``pyarrow.Schema.__hash__`` raise; Ray's ``unify_schemas`` then
     logs a WARNING every time its ``set()``-dedup fast path fails and
-    falls back to the full unify (same result, trivial cost).  Call
-    this on the driver after ``ray.init`` AND pass it as
-    ``runtime_env={"worker_process_setup_hook": ...}`` so sort/groupby
-    reduce workers are covered too.  Exchange paths that we own strip
-    the metadata at the source instead (see
-    ``dedup.sorted_group_first``); this hook covers the long tail of
+    falls back to the full unify (same result, trivial cost).
+
+    A plain ``setLevel`` does NOT stick: Ray Data re-applies
+    ``logging.config.dictConfig`` on every dataset registration (and in
+    every worker via ``update_dataset_logger_for_worker``), and
+    dictConfig resets any existing CHILD of a configured logger to
+    NOTSET.  The supported mechanism is ``RAY_DATA_LOGGING_CONFIG``: we
+    point it at ``config/ray_data_logging.yaml`` (the library default
+    plus one ERROR-level entry for the noisy logger), so every
+    re-configure re-applies the silence.  Call BEFORE ``ray.init`` so
+    raylet-spawned workers inherit the env var; pass
+    :func:`make_quiet_hook` as the worker_process_setup_hook as well
+    for workers that pre-date the env (idempotent belt-and-braces).
+
+    Exchange paths that we own strip the metadata at the source instead
+    (see ``dedup.sorted_group_first``); this covers the long tail of
     reads whose ``count()`` fast path a blanket strip-map would
     destroy."""
     import logging
+    import os
 
+    os.environ.setdefault("RAY_DATA_LOGGING_CONFIG", _logging_yaml_path())
     logging.getLogger(
         "ray.data._internal.arrow_ops.transform_pyarrow"
     ).setLevel(logging.ERROR)
@@ -321,14 +341,18 @@ def make_quiet_hook():
     """Worker-side variant of :func:`quiet_ray_data_schema_warnings`
     for ``runtime_env={"worker_process_setup_hook": make_quiet_hook()}``.
 
-    Returns a CLOSURE so cloudpickle serializes it by value — the
-    setup hook deserializes during early worker startup, before the
-    driver's sys.path reaches the worker, so a plain module function
-    (pickled by reference) would die with ModuleNotFoundError."""
+    Returns a CLOSURE (with the YAML path baked in by value) so
+    cloudpickle serializes it self-contained — the setup hook
+    deserializes during early worker startup, before the driver's
+    sys.path reaches the worker, so a plain module function (pickled by
+    reference) would die with ModuleNotFoundError."""
+    yaml_path = _logging_yaml_path()
 
     def _hook():
         import logging
+        import os
 
+        os.environ.setdefault("RAY_DATA_LOGGING_CONFIG", yaml_path)
         logging.getLogger(
             "ray.data._internal.arrow_ops.transform_pyarrow"
         ).setLevel(logging.ERROR)

@@ -13,6 +13,7 @@ def ray_session():
 
     from dots_ocr_ray.util import make_quiet_hook, quiet_ray_data_schema_warnings
 
+    quiet_ray_data_schema_warnings()
     if not ray.is_initialized():
         ray.init(
             address="local",
@@ -22,7 +23,6 @@ def ray_session():
             logging_level="ERROR",
             runtime_env={"worker_process_setup_hook": make_quiet_hook()},
         )
-    quiet_ray_data_schema_warnings()
     from ray.data import DataContext
 
     ctx = DataContext.get_current()

@@ -53,8 +53,8 @@ def main() -> None:
 
     ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
     if not ray.is_initialized():
-        ray.init(address="local", num_cpus=ncpu, include_dashboard=False, logging_level="ERROR", runtime_env={"worker_process_setup_hook": _make_quiet()})
         _quiet()
+        ray.init(address="local", num_cpus=ncpu, include_dashboard=False, logging_level="ERROR", runtime_env={"worker_process_setup_hook": _make_quiet()})
     import logging
 
     logging.getLogger("ray.data").setLevel(logging.ERROR)

@@ -86,8 +86,8 @@ def main() -> None:
     )
     import ray
 
-    ray.init(address="local", num_cpus=cpus, include_dashboard=False, logging_level="ERROR", runtime_env={"worker_process_setup_hook": _make_quiet()})
     _quiet()
+    ray.init(address="local", num_cpus=cpus, include_dashboard=False, logging_level="ERROR", runtime_env={"worker_process_setup_hook": _make_quiet()})
     import logging
 
     logging.getLogger("ray.data").setLevel(logging.ERROR)
