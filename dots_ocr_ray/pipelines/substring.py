@@ -297,29 +297,53 @@ def substring_dedup(
         right_schema=dup_schema,
     ).select_columns([id_col, "ord"])
 
-    def _collect(group: pa.Table) -> pa.Table:
-        # starts ship as one comma-joined string per doc: a list<int64>
-        # column would be re-encoded as a tensor extension through the
-        # pandas-merge join and lose its list kernels
-        ords = group.column("ord")
-        if isinstance(ords, pa.ChunkedArray):
-            ords = ords.combine_chunks()
-        as_str = pc.cast(ords, pa.string())
-        joined_str = pc.binary_join(
-            pa.ListArray.from_arrays(
-                pa.array([0, len(as_str)], type=pa.int32()), as_str
-            ),
-            ",",
+    # coarse 256-way exchange on hash(doc) + a vectorized fold: ALL
+    # docs in a bucket get their comma-joined start strings from ONE
+    # run-offset binary_join — no Python call per document.  (starts
+    # ship as one comma-joined string per doc: a list<int64> column
+    # would be re-encoded as a tensor extension through the
+    # pandas-merge join and lose its list kernels)
+    _MIX = np.uint64(0x9E3779B97F4A7C15)
+
+    def _tag_doc(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            bkt = (ids * _MIX) % np.uint64(256)
+        return batch.append_column(
+            "__bucket", pa.array(bkt.astype(np.int32), type=pa.int32())
         )
+
+    def _collect(group: pa.Table) -> pa.Table:
+        ids = group.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        ords = group.column("ord").to_numpy(zero_copy_only=False).astype(np.int64)
+        if not len(ids):
+            return pa.table(
+                {
+                    id_col: pa.array([], type=pa.int64()),
+                    "starts": pa.array([], type=pa.string()),
+                }
+            )
+        order = np.lexsort((ords, ids))
+        ids, ords = ids[order], ords[order]
+        new_run = np.ones(len(ids), dtype=bool)
+        new_run[1:] = ids[1:] != ids[:-1]
+        starts = np.flatnonzero(new_run)
+        offsets = pa.array(
+            np.concatenate([starts, [len(ids)]]).astype(np.int32)
+        )
+        as_str = pc.cast(pa.array(ords, type=pa.int64()), pa.string())
+        joined_str = pc.binary_join(pa.ListArray.from_arrays(offsets, as_str), ",")
         return pa.table(
             {
-                id_col: group.column(id_col).slice(0, 1).cast(pa.int64()),
+                id_col: pa.array(ids[starts], type=pa.int64()),
                 "starts": joined_str,
             }
         )
 
-    starts_per_doc = dup_starts.groupby(id_col).map_groups(
-        _collect, batch_format="pyarrow"
+    starts_per_doc = (
+        dup_starts.map_batches(_tag_doc, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(_collect, batch_format="pyarrow")
     )
     if keep_cols:
         sch = ds.schema()

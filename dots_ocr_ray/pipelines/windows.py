@@ -12,11 +12,15 @@ Ray Data has no event-time windows.  Two implementation tiers here:
   ``sorted_group_first`` boundary discipline).  At 10^9-key
   cardinality this removes the ~0.2 ms/key ``map_groups`` dispatch
   that the VERDICT-r2 review flagged as the window family's cost.
-* the remaining ops (``asof_last_event``, ``nearby_event_counts``,
-  funnel depth) keep the partition-by-key ``groupby(key).map_groups``
-  form: their per-group logic (merge_asof, windowed self-join) is
-  not expressible as a batch-level vectorized pass without composite
-  search keys, and their group counts in practice are filtered subsets.
+* ``asof_last_event`` takes ONE coarse 256-way hash exchange on user
+  and resolves every user inside a bucket with a lexsorted
+  per-run-size-class vectorized prefix-max (rights sort after lefts at
+  equal ts — the strictly-earlier rule falls out of the sort order);
+* the remaining ops (``nearby_event_counts``, funnel depth) keep the
+  partition-by-key ``groupby(key).map_groups`` form: their per-group
+  logic (windowed self-join) is not expressible as a batch-level
+  vectorized pass without composite search keys, and their group
+  counts in practice are filtered subsets.
 
 Float caution, learned bit-exactly: running sums must accumulate in
 the SAME order AND algorithm as the oracle — np.cumsum over a stitched
@@ -27,7 +31,10 @@ sequential SQL window accumulation.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
 
@@ -407,35 +414,104 @@ def asof_last_event(
 ) -> ray.data.Dataset:
     """As-of join within the events stream: for every ``left_type``
     event, the most recent strictly-earlier ``right_type`` event of the
-    SAME user (backward as-of semantics, ``pd.merge_asof`` per user
-    group after an in-group sort).
+    SAME user (backward as-of semantics, ``allow_exact_matches=False``).
 
-    Output: (user_id, ts, prior_ts) — prior_ts is NaT when no earlier
+    Output: (user_id, ts, prior_ts) — prior_ts is null when no earlier
     right-side event exists.
-    """
+
+    Scale shape: rows filter to the two event types, ONE coarse
+    256-way exchange on hash(user), and each bucket resolves every
+    user with a single lexsort + per-user-run-size-class vectorized
+    prefix-max (rights sort after lefts at equal ts, so the running
+    right-max BEFORE a left row is exactly the strictly-earlier
+    semantics) — no Python call and no pandas merge per user."""
     events = ray.data.read_parquet(
         f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"]
     )
+    _MIX = np.uint64(0x9E3779B97F4A7C15)
+    TS_MIN = np.int64(np.iinfo(np.int64).min)
 
-    def _asof(group: pd.DataFrame) -> pd.DataFrame:
-        left = group[group["event_type"] == left_type].sort_values("ts")
-        right = group[group["event_type"] == right_type].sort_values("ts")
-        if left.empty:
-            out = left[["user_id", "ts"]].iloc[0:0].copy()
-            out["prior_ts"] = pd.Series([], dtype=right["ts"].dtype)
-            return out
-        merged = pd.merge_asof(
-            left[["ts"]],
-            right[["ts"]].rename(columns={"ts": "prior_ts"}),
-            left_on="ts",
-            right_on="prior_ts",
-            direction="backward",
-            allow_exact_matches=False,
+    def _tag(batch: pa.Table) -> pa.Table:
+        keep = pc.is_in(
+            batch.column("event_type"),
+            value_set=pa.array([left_type, right_type]),
         )
-        merged.insert(0, "user_id", left["user_id"].iloc[0])
-        return merged
+        batch = batch.filter(pc.fill_null(keep, False))
+        u = batch.column("user_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            bkt = (u * _MIX) % np.uint64(256)
+        return batch.append_column(
+            "__bucket", pa.array(bkt.astype(np.int32), type=pa.int32())
+        )
 
-    return events.groupby("user_id").map_groups(_asof, batch_format="pandas")
+    def _asof_fold(group: pa.Table) -> pa.Table:
+        ts_type = group.schema.field("ts").type
+        empty = pa.table(
+            {
+                "user_id": pa.array([], type=pa.int64()),
+                "ts": pa.array([], type=ts_type),
+                "prior_ts": pa.array([], type=ts_type),
+            }
+        )
+        if group.num_rows == 0:
+            return empty
+        u = group.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = (
+            group.column("ts")
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .view(np.int64)
+        )
+        is_right = (
+            pc.equal(group.column("event_type"), right_type)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int8)
+        )
+        # rights AFTER lefts at equal ts → the prefix max over rights
+        # before a left row can never include a same-ts right
+        order = np.lexsort((is_right, ts, u))
+        u, ts, is_right = u[order], ts[order], is_right[order]
+        new_run = np.ones(len(u), dtype=bool)
+        new_run[1:] = u[1:] != u[:-1]
+        starts = np.flatnonzero(new_run)
+        lens = np.diff(np.concatenate([starts, [len(u)]]))
+        out_u: list[np.ndarray] = []
+        out_ts: list[np.ndarray] = []
+        out_prior: list[np.ndarray] = []
+        for size in np.unique(lens):
+            runs = starts[lens == size]
+            idx = runs[:, None] + np.arange(size)[None, :]
+            mu, mt, mr = u[idx], ts[idx], is_right[idx].astype(bool)
+            lr = np.where(mr, mt, TS_MIN)
+            pm = np.maximum.accumulate(lr, axis=1)
+            prefix = np.concatenate(
+                [np.full((len(runs), 1), TS_MIN, dtype=np.int64), pm[:, :-1]],
+                axis=1,
+            )
+            lmask = ~mr
+            out_u.append(mu[lmask])
+            out_ts.append(mt[lmask])
+            out_prior.append(prefix[lmask])
+        uu = np.concatenate(out_u)
+        tts = np.concatenate(out_ts)
+        pri = np.concatenate(out_prior)
+        if not len(uu):
+            return empty
+        return pa.table(
+            {
+                "user_id": pa.array(uu, type=pa.int64()),
+                "ts": pa.array(tts.view("datetime64[us]")).cast(ts_type),
+                "prior_ts": pa.array(
+                    pri.view("datetime64[us]"), mask=pri == TS_MIN
+                ).cast(ts_type),
+            }
+        )
+
+    return (
+        events.map_batches(_tag, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(_asof_fold, batch_format="pyarrow")
+    )
 
 
 def window_distinct_users(
