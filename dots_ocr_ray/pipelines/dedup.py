@@ -1724,19 +1724,53 @@ def line_dedup(
         right_schema=pa.schema([("line", pa.string())]),
     )
 
+    # coarse 256-way exchange on hash(doc): ALL docs in a bucket
+    # reassemble with ONE lexsort + run-offset binary_join — no Python
+    # call per document (the merge_document_pages fold discipline)
+    _MIX_R = np.uint64(0x9E3779B97F4A7C15)
+
+    def _tag_doc(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            bkt = (ids * _MIX_R) % np.uint64(256)
+        return batch.append_column(
+            "__bucket", pa.array(bkt.astype(np.int32), type=pa.int32())
+        )
+
     def _reassemble(group: pa.Table) -> pa.Table:
-        group = group.take(pc.sort_indices(group, sort_keys=[("ord", "ascending")]))
-        ords = group.column("ord").to_numpy(zero_copy_only=False)
+        ids = group.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        ords = group.column("ord").to_numpy(zero_copy_only=False).astype(np.int64)
+        lines = group.column("line")
+        if isinstance(lines, pa.ChunkedArray):
+            lines = lines.combine_chunks()
+        order = np.lexsort((ords, ids))
+        ids, ords = ids[order], ords[order]
+        lines = lines.take(pa.array(order))
+        new_run = np.ones(len(ids), dtype=bool)
+        new_run[1:] = ids[1:] != ids[:-1]
+        starts = np.flatnonzero(new_run)
+        # sentinel rows (ord = -1, exactly one per doc, always kept by
+        # the anti-join) sort FIRST within a doc; the join runs over a
+        # real-only values array with offsets taken from the prefix
+        # count of real rows at each run boundary
         real = ords >= 0
-        lines = group.column("line").to_pylist()
-        doc = int(group.column(id_col)[0].as_py())
-        kept_lines = [l for l, r in zip(lines, real) if r]
+        values = lines.take(pa.array(np.flatnonzero(real)))
+        creal = np.concatenate([[0], np.cumsum(real)])
+        run_bounds = np.concatenate([starts, [len(ids)]])
+        off = creal[run_bounds]
+        offsets = pa.array(off.astype(np.int32))
+        joined = pc.binary_join(
+            pa.ListArray.from_arrays(offsets, pc.fill_null(values, "")), "\n"
+        )
+        n_kept = np.diff(off)
         return pa.table(
             {
-                id_col: pa.array([doc], type=pa.int64()),
-                "text_dedup": pa.array(["\n".join(kept_lines)], type=pa.string()),
-                "n_kept": pa.array([len(kept_lines)], type=pa.int64()),
-                "n_dropped": pa.array([0], type=pa.int64()),  # patched below
+                id_col: pa.array(ids[starts], type=pa.int64()),
+                "text_dedup": joined,
+                "n_kept": pa.array(n_kept.astype(np.int64), type=pa.int64()),
+                "n_dropped": pa.array(
+                    np.zeros(len(starts), np.int64), type=pa.int64()
+                ),  # patched below
             },
             schema=out_schema,
         )
@@ -1763,7 +1797,8 @@ def line_dedup(
 
     reassembled = (
         bounded_blocks(kept, rows_per_block=262144)
-        .groupby(id_col)
+        .map_batches(_tag_doc, batch_format="pyarrow")
+        .groupby("__bucket")
         .map_groups(_reassemble, batch_format="pyarrow")
     )
     totals = ds.map_batches(_totals, batch_format="pyarrow")

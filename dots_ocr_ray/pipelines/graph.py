@@ -700,14 +700,17 @@ def frontier_schedule(
     at most once — the per-host rate limit every polite crawler needs,
     expressed as data instead of scheduler state.
 
-    ONE groupby(host) exchange; the per-group Python call is per HOST
-    (bounded: domains number in the millions while urls number in the
-    trillions), and the in-group ranking is one vectorized argsort.
-    Output: (url, host, wave int64); consume with a filter on
-    ``wave == w`` per fetch round, or sort by (wave, host) for a flat
-    politeness-ordered fetch list.
+    ONE coarse 256-way exchange on hash(host); every host in a bucket
+    ranks in a single vectorized pass (sort by (host, url), wave =
+    position within the host run) — no Python call per host, so even
+    trillion-url frontiers over hundreds of millions of domains never
+    pay per-key dispatch.  Output: (url, host, wave int64); consume
+    with a filter on ``wave == w`` per fetch round, or sort by
+    (wave, host) for a flat politeness-ordered fetch list.
     """
     import re as _re
+
+    from dots_ocr_ray.pipelines.relational import _stable_key_hash
 
     _host_re = _re.compile(r"^[a-z]+://([^/]+)")
 
@@ -717,24 +720,34 @@ def frontier_schedule(
         for u in urls:
             m = _host_re.match(u or "")
             hosts.append(m.group(1) if m else "")
+        host_arr = pa.array(hosts, type=pa.string())
+        bkt = (_stable_key_hash(host_arr) % np.uint64(256)).astype(np.int32)
         return pa.table(
             {
                 url_col: batch.column(url_col).cast(pa.string()),
-                "host": pa.array(hosts, type=pa.string()),
+                "host": host_arr,
+                "__bucket": pa.array(bkt, type=pa.int32()),
             }
         )
 
     def _rank(group: pa.Table) -> pa.Table:
-        import numpy as np
-
-        urls = np.asarray(group.column(url_col).to_pylist(), dtype=object)
-        order = np.argsort(urls, kind="stable")
-        wave = np.empty(len(urls), dtype=np.int64)
-        wave[order] = np.arange(len(urls), dtype=np.int64)
+        group = group.sort_by([("host", "ascending"), (url_col, "ascending")])
+        n = group.num_rows
+        hosts = group.column("host")
+        if isinstance(hosts, pa.ChunkedArray):
+            hosts = hosts.combine_chunks()
+        new_run = np.ones(n, dtype=bool)
+        if n > 1:
+            new_run[1:] = pc.not_equal(hosts.slice(1), hosts.slice(0, n - 1)).to_numpy(
+                zero_copy_only=False
+            )
+        starts = np.flatnonzero(new_run)
+        lens = np.diff(np.concatenate([starts, [n]]))
+        wave = np.arange(n, dtype=np.int64) - np.repeat(starts, lens)
         return pa.table(
             {
                 url_col: group.column(url_col),
-                "host": group.column("host"),
+                "host": hosts,
                 "wave": pa.array(wave, type=pa.int64()),
             }
         )
@@ -744,7 +757,7 @@ def frontier_schedule(
     with_host = frontier.map_batches(_with_host, batch_format="pyarrow")
     return (
         bounded_blocks(with_host, rows_per_block=262144)
-        .groupby("host")
+        .groupby("__bucket")
         .map_groups(_rank, batch_format="pyarrow")
     )
 

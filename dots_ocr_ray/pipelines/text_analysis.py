@@ -134,32 +134,57 @@ def fingerprint_duplicates(sf_dir: str) -> ray.data.Dataset:
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     annotated = annotate_documents(docs, features=("fingerprint",))
 
+    # coarse 256-way exchange on hash(fingerprint) + a vectorized
+    # run-length fold (lexsort, filter runs > 1, min doc = run head) —
+    # one Python call per coarse bucket, never per fingerprint group
+    import numpy as np
+
+    _MIX = np.uint64(0x9E3779B97F4A7C15)
+
     def _partial(batch: pa.Table) -> pa.Table:
-        return batch.select(["fingerprint", "doc_id"])
-
-    def _group(group: pa.Table) -> pa.Table:
-        n = group.num_rows
-        if n < 2:
-            return pa.table(
-                {
-                    "fingerprint": pa.array([], type=pa.uint64()),
-                    "n_docs": pa.array([], type=pa.int64()),
-                    "min_doc_id": pa.array([], type=pa.int64()),
-                }
-            )
-        import pyarrow.compute as pc
-
+        fp = batch.column("fingerprint").to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            bkt = (fp * _MIX) % np.uint64(256)
         return pa.table(
             {
-                "fingerprint": group.column("fingerprint").slice(0, 1),
-                "n_docs": pa.array([n], type=pa.int64()),
-                "min_doc_id": pa.array([pc.min(group.column("doc_id")).as_py()], type=pa.int64()),
+                "fingerprint": batch.column("fingerprint"),
+                "doc_id": batch.column("doc_id"),
+                "__bucket": pa.array(bkt.astype(np.int32), type=pa.int32()),
+            }
+        )
+
+    def _group(group: pa.Table) -> pa.Table:
+        fp = group.column("fingerprint").to_numpy(zero_copy_only=False).astype(np.uint64)
+        ids = group.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        empty = pa.table(
+            {
+                "fingerprint": pa.array([], type=pa.uint64()),
+                "n_docs": pa.array([], type=pa.int64()),
+                "min_doc_id": pa.array([], type=pa.int64()),
+            }
+        )
+        if len(fp) < 2:
+            return empty
+        order = np.lexsort((ids, fp))
+        fp, ids = fp[order], ids[order]
+        new_run = np.ones(len(fp), dtype=bool)
+        new_run[1:] = fp[1:] != fp[:-1]
+        starts = np.flatnonzero(new_run)
+        lens = np.diff(np.concatenate([starts, [len(fp)]]))
+        keep = lens > 1
+        if not keep.any():
+            return empty
+        return pa.table(
+            {
+                "fingerprint": pa.array(fp[starts[keep]], type=pa.uint64()),
+                "n_docs": pa.array(lens[keep].astype(np.int64), type=pa.int64()),
+                "min_doc_id": pa.array(ids[starts[keep]], type=pa.int64()),
             }
         )
 
     return (
         annotated.map_batches(_partial, batch_format="pyarrow")
-        .groupby("fingerprint")
+        .groupby("__bucket")
         .map_groups(_group, batch_format="pyarrow")
     )
 
