@@ -714,28 +714,60 @@ def funnel_counts(
         batch = batch.select([user_col, type_col, ts_col])
         return batch.filter(pc.is_in(batch.column(type_col), pa.array(stages)))
 
-    def _depth(group: pd.DataFrame) -> pd.DataFrame:
-        ts = group[ts_col].astype("datetime64[us]").astype("int64").to_numpy()
-        kind = group[type_col].map(stage_of).to_numpy()
-        depth = 0
-        prev = -(2**62)
-        for i in range(n_stages):
-            sel = ts[(kind == i) & (ts > prev)]
-            if sel.size == 0:
-                break
-            prev = sel.min()
-            depth += 1
-        return pd.DataFrame({"depth": [depth]})
+    # coarse 256-way exchange on hash(user); each bucket walks EVERY
+    # user's ladder vectorized per user-run-size class (the stage loop
+    # is len(stages) masked-min passes over (n_runs, size) matrices)
+    # and emits one depth-histogram partial — no Python call per user
+    _MIX = np.uint64(0x9E3779B97F4A7C15)
+    TS_MIN = np.int64(np.iinfo(np.int64).min)
+    TS_MAX = np.int64(np.iinfo(np.int64).max)
 
-    def _partial(batch: pa.Table) -> pa.Table:
-        counts = np.bincount(
-            batch.column("depth").to_numpy(zero_copy_only=False),
-            minlength=n_stages + 1,
+    def _tag(batch: pa.Table) -> pa.Table:
+        u = batch.column(user_col).to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            bkt = (u * _MIX) % np.uint64(256)
+        return batch.append_column(
+            "__bucket", pa.array(bkt.astype(np.int32), type=pa.int32())
         )
+
+    def _depth_fold(group: pa.Table) -> pa.Table:
+        hist = np.zeros(n_stages + 1, dtype=np.int64)
+        if group.num_rows:
+            u = group.column(user_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            ts = (
+                group.column(ts_col)
+                .to_numpy(zero_copy_only=False)
+                .astype("datetime64[us]")
+                .view(np.int64)
+            )
+            kind = pc.index_in(
+                group.column(type_col), value_set=pa.array(stages)
+            ).to_numpy(zero_copy_only=False).astype(np.int64)
+            order = np.lexsort((ts, u))
+            u, ts, kind = u[order], ts[order], kind[order]
+            new_run = np.ones(len(u), dtype=bool)
+            new_run[1:] = u[1:] != u[:-1]
+            starts = np.flatnonzero(new_run)
+            lens = np.diff(np.concatenate([starts, [len(u)]]))
+            for size in np.unique(lens):
+                runs = starts[lens == size]
+                idx = runs[:, None] + np.arange(size)[None, :]
+                mt, mk = ts[idx], kind[idx]
+                prev = np.full(len(runs), TS_MIN, dtype=np.int64)
+                depth = np.zeros(len(runs), dtype=np.int64)
+                alive = np.ones(len(runs), dtype=bool)
+                for i in range(n_stages):
+                    cand = np.where((mk == i) & (mt > prev[:, None]), mt, TS_MAX)
+                    m = cand.min(axis=1)
+                    ok = alive & (m != TS_MAX)
+                    prev = np.where(ok, m, prev)
+                    depth += ok
+                    alive = ok
+                hist += np.bincount(depth, minlength=n_stages + 1)
         return pa.table(
             {
                 "depth": pa.array(np.arange(n_stages + 1), type=pa.int64()),
-                "n": pa.array(counts, type=pa.int64()),
+                "n": pa.array(hist, type=pa.int64()),
             }
         )
 
@@ -743,9 +775,9 @@ def funnel_counts(
 
     per_depth = (
         bounded_blocks(events.map_batches(_prune, batch_format="pyarrow"))
-        .groupby(user_col)
-        .map_groups(_depth, batch_format="pandas")
-        .map_batches(_partial, batch_format="pyarrow")
+        .map_batches(_tag, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(_depth_fold, batch_format="pyarrow")
         .groupby("depth")
         .sum("n")
     )
@@ -1186,44 +1218,91 @@ def interval_coverage(
     covered_us)`` — the distinct-busy-time aggregate interval joins
     can't express.
 
-    Shape: ONE ``groupby(user_col)`` exchange; per-group work is a
-    numpy lexsort + shifted running-max pass (an island starts where
-    start > cummax of previous ends), identical in effect to the SQL
-    mirror's ``max(e) OVER (... 1 PRECEDING)`` windows.  All int64
-    µs arithmetic — hash-exact under any partitioning."""
+    Shape: ONE coarse 256-way exchange on hash(user); each bucket
+    resolves every user with a single lexsort + per-user-run-size-class
+    row-wise cummax (an island starts where start > cummax of previous
+    ends; every run starts an island at column 0, so islands never span
+    rows and the per-island covered spans reduce through one bincount)
+    — identical in effect to the SQL mirror's ``max(e) OVER (... 1
+    PRECEDING)`` windows, no Python call per user.  All int64 µs
+    arithmetic — hash-exact under any partitioning."""
     import numpy as np
     import pyarrow as pa
 
-    def _cover(group: pa.Table) -> pa.Table:
+    _MIX = np.uint64(0x9E3779B97F4A7C15)
+
+    def _tag(batch: pa.Table) -> pa.Table:
+        u = batch.column(user_col).to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            bkt = (u * _MIX) % np.uint64(256)
+        return batch.append_column(
+            "__bucket", pa.array(bkt.astype(np.int32), type=pa.int32())
+        )
+
+    def _cover_fold(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                user_col: pa.array([], type=pa.int64()),
+                "n_events": pa.array([], pa.int64()),
+                "n_islands": pa.array([], pa.int64()),
+                "covered_us": pa.array([], pa.int64()),
+            }
+        )
+        if group.num_rows == 0:
+            return empty
+        u = group.column(user_col).to_numpy(zero_copy_only=False).astype(np.int64)
         ts = group.column(ts_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
         val = group.column(value_col).to_numpy(zero_copy_only=False)
         cents = np.round(val * 100).astype(np.int64)
         dur_us = ((np.abs(cents) % 3600) + 60) * 1_000_000
         s = ts
         e = ts + dur_us
-        order = np.lexsort((e, s))
-        s, e = s[order], e[order]
-        run = np.maximum.accumulate(e)
-        new_island = np.empty(len(s), dtype=bool)
-        new_island[0] = True
-        new_island[1:] = s[1:] > run[:-1]
-        starts = np.nonzero(new_island)[0]
-        ends = np.append(starts[1:], len(s))
-        # island end = running max of e at its last row
-        covered = int((run[ends - 1] - s[starts]).sum())
+        order = np.lexsort((e, s, u))
+        u, s, e = u[order], s[order], e[order]
+        new_run = np.ones(len(u), dtype=bool)
+        new_run[1:] = u[1:] != u[:-1]
+        rstarts = np.flatnonzero(new_run)
+        lens = np.diff(np.concatenate([rstarts, [len(u)]]))
+        out_u: list[np.ndarray] = []
+        out_ev: list[np.ndarray] = []
+        out_is: list[np.ndarray] = []
+        out_cov: list[np.ndarray] = []
+        for size in np.unique(lens):
+            runs = rstarts[lens == size]
+            idx = runs[:, None] + np.arange(size)[None, :]
+            ms, me = s[idx], e[idx]
+            run = np.maximum.accumulate(me, axis=1)
+            new_island = np.empty_like(ms, dtype=bool)
+            new_island[:, 0] = True
+            if size > 1:
+                new_island[:, 1:] = ms[:, 1:] > run[:, :-1]
+            fm = new_island.ravel()
+            fs = ms.ravel()
+            frun = run.ravel()
+            isl_starts = np.flatnonzero(fm)
+            isl_ends = np.append(isl_starts[1:], len(fs)) - 1
+            cov = frun[isl_ends] - fs[isl_starts]
+            rows = isl_starts // int(size)
+            out_u.append(u[runs])
+            out_ev.append(np.full(len(runs), int(size), dtype=np.int64))
+            out_is.append(np.bincount(rows, minlength=len(runs)).astype(np.int64))
+            out_cov.append(
+                np.bincount(rows, weights=cov, minlength=len(runs)).astype(np.int64)
+            )
         return pa.table(
             {
-                user_col: [group.column(user_col)[0].as_py()],
-                "n_events": pa.array([len(s)], pa.int64()),
-                "n_islands": pa.array([len(starts)], pa.int64()),
-                "covered_us": pa.array([covered], pa.int64()),
+                user_col: pa.array(np.concatenate(out_u), type=pa.int64()),
+                "n_events": pa.array(np.concatenate(out_ev), pa.int64()),
+                "n_islands": pa.array(np.concatenate(out_is), pa.int64()),
+                "covered_us": pa.array(np.concatenate(out_cov), pa.int64()),
             }
         )
 
     return (
         events.select_columns([user_col, ts_col, value_col])
-        .groupby(user_col)
-        .map_groups(_cover, batch_format="pyarrow")
+        .map_batches(_tag, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(_cover_fold, batch_format="pyarrow")
     )
 
 
