@@ -12,15 +12,12 @@ Ray Data has no event-time windows.  Two implementation tiers here:
   ``sorted_group_first`` boundary discipline).  At 10^9-key
   cardinality this removes the ~0.2 ms/key ``map_groups`` dispatch
   that the VERDICT-r2 review flagged as the window family's cost.
-* ``asof_last_event`` takes ONE coarse 256-way hash exchange on user
-  and resolves every user inside a bucket with a lexsorted
-  per-run-size-class vectorized prefix-max (rights sort after lefts at
-  equal ts — the strictly-earlier rule falls out of the sort order);
-* the remaining ops (``nearby_event_counts``, funnel depth) keep the
-  partition-by-key ``groupby(key).map_groups`` form: their per-group
-  logic (windowed self-join) is not expressible as a batch-level
-  vectorized pass without composite search keys, and their group
-  counts in practice are filtered subsets.
+* the per-user reduces (``asof_last_event``, ``funnel_counts``,
+  ``interval_coverage``, ``nearby_event_counts``) take ONE coarse
+  256-way hash exchange on user and resolve EVERY user inside a
+  bucket vectorized — per-run-size-class matrix passes (prefix-max,
+  masked-min ladders, row-wise cummax) or row-base-offset flat
+  searchsorted — one Python call per coarse bucket, never per user.
 
 Float caution, learned bit-exactly: running sums must accumulate in
 the SAME order AND algorithm as the oracle — np.cumsum over a stitched
@@ -661,24 +658,91 @@ def nearby_event_counts(
     """Stream-stream windowed self-join, aggregated: for every event,
     how many OTHER events of the same user fall within ± ``window_s``
     seconds — the `a JOIN b ON |a.ts-b.ts| <= w` surface, computed
-    per-key with two vectorized searchsorted passes instead of the
-    quadratic match set (same never-materialize discipline as
-    interval_agg_join)."""
+    with two searchsorted passes instead of the quadratic match set
+    (same never-materialize discipline as interval_agg_join).
+
+    Shape: ONE coarse 256-way exchange on hash(user); inside a bucket
+    every user's window counts come from TWO flat searchsorted passes
+    over a row-base-offset view (each user-run's timestamps shift by
+    run_index · (span + 2w + 1), keeping the flat array sorted and
+    runs non-overlapping), so no Python executes per user.  If the
+    offset arithmetic would overflow int64 (astronomically wide ts
+    ranges × many runs) the fold falls back to a per-run searchsorted
+    loop — same counts, stated not silent."""
     import numpy as np
 
     events = ray.data.read_parquet(
         f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"]
     )
+    _MIX = np.uint64(0x9E3779B97F4A7C15)
+    w_us = np.int64(window_s * 1_000_000)
 
-    def _nearby(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(["ts", "event_id"]).reset_index(drop=True)
-        us = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
-        lo = np.searchsorted(us, us - window_s * 1_000_000, side="left")
-        hi = np.searchsorted(us, us + window_s * 1_000_000, side="right")
-        g["n_nearby"] = (hi - lo - 1).astype("int64")  # exclude self
-        return g[["user_id", "event_id", "n_nearby"]]
+    def _tag(batch: pa.Table) -> pa.Table:
+        u = batch.column("user_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            bkt = (u * _MIX) % np.uint64(256)
+        return batch.append_column(
+            "__bucket", pa.array(bkt.astype(np.int32), type=pa.int32())
+        )
 
-    return events.groupby("user_id").map_groups(_nearby, batch_format="pandas")
+    def _nearby_fold(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "user_id": pa.array([], type=pa.int64()),
+                "event_id": pa.array([], type=pa.int64()),
+                "n_nearby": pa.array([], type=pa.int64()),
+            }
+        )
+        if group.num_rows == 0:
+            return empty
+        u = group.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = (
+            group.column("ts")
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .view(np.int64)
+        )
+        ev = group.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((ev, ts, u))
+        u, ts, ev = u[order], ts[order], ev[order]
+        new_run = np.ones(len(u), dtype=bool)
+        new_run[1:] = u[1:] != u[:-1]
+        run_id = np.cumsum(new_run) - 1
+        n_runs = int(run_id[-1]) + 1
+        span = int(ts.max()) - int(ts.min())
+        stride = span + 2 * int(w_us) + 1
+        if n_runs * stride < (1 << 62):
+            # shift each run into its own disjoint sorted range; the
+            # flat array stays globally sorted so ONE searchsorted pair
+            # answers every run at once
+            base = ts.min()
+            flat = (ts - base) + run_id * np.int64(stride)
+            lo = np.searchsorted(flat, flat - w_us, side="left")
+            hi = np.searchsorted(flat, flat + w_us, side="right")
+            n_nearby = (hi - lo - 1).astype(np.int64)
+        else:
+            starts = np.flatnonzero(new_run)
+            bounds = np.concatenate([starts, [len(u)]])
+            n_nearby = np.empty(len(u), dtype=np.int64)
+            for i in range(len(starts)):
+                sl = slice(bounds[i], bounds[i + 1])
+                us_ = ts[sl]
+                lo = np.searchsorted(us_, us_ - w_us, side="left")
+                hi = np.searchsorted(us_, us_ + w_us, side="right")
+                n_nearby[sl] = hi - lo - 1
+        return pa.table(
+            {
+                "user_id": pa.array(u, type=pa.int64()),
+                "event_id": pa.array(ev, type=pa.int64()),
+                "n_nearby": pa.array(n_nearby, type=pa.int64()),
+            }
+        )
+
+    return (
+        events.map_batches(_tag, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(_nearby_fold, batch_format="pyarrow")
+    )
 
 
 def funnel_counts(
