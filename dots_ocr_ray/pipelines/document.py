@@ -848,22 +848,59 @@ def url_templates(
         )
         return part.rename_columns(["template", "host", "n"])
 
-    def _fold(group: pa.Table) -> pa.Table:
-        import numpy as np
+    # coarse 256-way exchange on hash(template); one sorted run-length
+    # fold per bucket sums pages (reduceat) and counts distinct hosts
+    # (boundaries of the (template, host) lexsort) for EVERY template
+    # at once — no Python call per template even if "tiny by
+    # construction" turns out generous on an adversarial corpus
+    import numpy as np
 
-        n = int(pc.sum(group.column("n")).as_py())
-        hosts = group.column("host").to_pylist()
+    from dots_ocr_ray.pipelines.relational import _stable_key_hash
+
+    def _tag(batch: pa.Table) -> pa.Table:
+        bkt = (_stable_key_hash(batch.column("template")) % np.uint64(256)).astype(
+            np.int32
+        )
+        return batch.append_column("__bucket", pa.array(bkt, type=pa.int32()))
+
+    def _fold(group: pa.Table) -> pa.Table:
+        group = group.sort_by(
+            [("template", "ascending"), ("host", "ascending")]
+        )
+        m = group.num_rows
+        tpl = group.column("template")
+        host = group.column("host")
+        if isinstance(tpl, pa.ChunkedArray):
+            tpl = tpl.combine_chunks()
+        if isinstance(host, pa.ChunkedArray):
+            host = host.combine_chunks()
+        new_t = np.ones(m, dtype=bool)
+        new_pair = np.ones(m, dtype=bool)
+        if m > 1:
+            neq_t = pc.not_equal(tpl.slice(1), tpl.slice(0, m - 1)).to_numpy(
+                zero_copy_only=False
+            )
+            neq_h = pc.not_equal(host.slice(1), host.slice(0, m - 1)).to_numpy(
+                zero_copy_only=False
+            )
+            new_t[1:] = neq_t
+            new_pair[1:] = neq_t | neq_h
+        starts = np.flatnonzero(new_t)
+        nv = group.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        n_pages = np.add.reduceat(nv, starts)
+        n_hosts = np.add.reduceat(new_pair.astype(np.int64), starts)
         return pa.table(
             {
-                "template": [group.column("template")[0].as_py()],
-                "n_pages": pa.array([n], pa.int64()),
-                "n_hosts": pa.array([len(set(hosts))], pa.int64()),
+                "template": tpl.take(pa.array(starts)),
+                "n_pages": pa.array(n_pages.astype(np.int64), pa.int64()),
+                "n_hosts": pa.array(n_hosts.astype(np.int64), pa.int64()),
             }
         )
 
     return (
         urls.map_batches(_template, batch_format="pyarrow")
-        .groupby("template")
+        .map_batches(_tag, batch_format="pyarrow")
+        .groupby("__bucket")
         .map_groups(_fold, batch_format="pyarrow")
     )
 

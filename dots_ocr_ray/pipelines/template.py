@@ -367,26 +367,62 @@ def template_block_strip(
         right_schema=pa.schema([("key", pa.int64())]),
     )
 
+    # coarse 256-way exchange on the mixed (gid_hi, gid_lo) hash + one
+    # run-offset binary_join per bucket — no Python call per page
+    # (same fold as dedup.line_dedup's reassembly)
+    _MIX_A = np.uint64(0x9E3779B97F4A7C15)
+    _MIX_B = np.uint64(0xC2B2AE3D27D4EB4F)
+
+    def _tag_gid(batch: pa.Table) -> pa.Table:
+        hi = batch.column("gid_hi").to_numpy(zero_copy_only=False).astype(np.uint64)
+        lo = batch.column("gid_lo").to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            bkt = ((hi * _MIX_A) ^ (lo * _MIX_B)) % np.uint64(256)
+        return batch.append_column(
+            "__bucket", pa.array(bkt.astype(np.int32), type=pa.int32())
+        )
+
     def _reassemble(group: pa.Table) -> pa.Table:
-        group = group.take(pc.sort_indices(group, sort_keys=[("ord", "ascending")]))
-        ords = group.column("ord").to_numpy(zero_copy_only=False)
+        hi = group.column("gid_hi").to_numpy(zero_copy_only=False).astype(np.int64)
+        lo = group.column("gid_lo").to_numpy(zero_copy_only=False).astype(np.int64)
+        ords = group.column("ord").to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = group.column("block_text")
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        order = np.lexsort((ords, lo, hi))
+        hi, lo, ords = hi[order], lo[order], ords[order]
+        texts = texts.take(pa.array(order))
+        new_run = np.ones(len(hi), dtype=bool)
+        new_run[1:] = (hi[1:] != hi[:-1]) | (lo[1:] != lo[:-1])
+        starts = np.flatnonzero(new_run)
+        # sentinels (ord = -1, one per page) sort first in each run
         real = ords >= 0
-        texts = group.column("block_text").to_pylist()
-        kept_texts = [t for t, r in zip(texts, real) if r]
-        g = (
-            np.uint64(int(group.column("gid_hi")[0].as_py())) << np.uint64(32)
-        ) | np.uint64(int(group.column("gid_lo")[0].as_py()))
+        values = texts.take(pa.array(np.flatnonzero(real)))
+        creal = np.concatenate([[0], np.cumsum(real)])
+        off = creal[np.concatenate([starts, [len(hi)]])]
+        joined = pc.binary_join(
+            pa.ListArray.from_arrays(
+                pa.array(off.astype(np.int32)), pc.fill_null(values, "")
+            ),
+            "\n",
+        )
+        with np.errstate(over="ignore"):
+            gid = (
+                (hi[starts].astype(np.uint64) << np.uint64(32))
+                | lo[starts].astype(np.uint64)
+            ).astype(np.int64)
         return pa.table(
             {
-                "gid": pa.array([int(g.view(np.int64))], type=pa.int64()),
-                "text_clean": pa.array(["\n".join(kept_texts)], type=pa.string()),
-                "n_kept": pa.array([len(kept_texts)], type=pa.int64()),
+                "gid": pa.array(gid, type=pa.int64()),
+                "text_clean": joined,
+                "n_kept": pa.array(np.diff(off).astype(np.int64), type=pa.int64()),
             }
         )
 
     reassembled = (
         bounded_blocks(kept.drop_columns(["key"]), rows_per_block=262144)
-        .groupby(["gid_hi", "gid_lo"])
+        .map_batches(_tag_gid, batch_format="pyarrow")
+        .groupby("__bucket")
         .map_groups(_reassemble, batch_format="pyarrow")
     )
 
