@@ -2007,6 +2007,40 @@ def _q_substring_dedup_docs(sf_dir: str):
     return substring_dedup(docs, text_col="text", id_col="doc_id", k=8, min_count=2)
 
 
+def _q_gram_novelty(sf_dir: str):
+    """Cross-crawl n-gram NOVELTY rate — for every NEW document (the
+    incremental-convention split doc_id % 37 != 3 vs the % 37 == 3
+    archive), how many of its 8-gram positions carry a gram never seen
+    in the archive (pipelines/substring.py:gram_novelty).  Archive
+    grams reduce to one distinct-hash table (per-batch np.unique + a
+    count exchange); under the broadcast budget the sorted hash array
+    ships once and the new side scores zero-exchange via
+    sorted_membership + bincounts; above it an anti hash_join on gram
+    + a doc-keyed count fold.  SQL oracle: the repo's standard window
+    k-gram assembly + NOT IN against the archive's distinct grams."""
+    import ray.data
+
+    from dots_ocr_ray.pipelines.substring import gram_novelty
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    def _split(want_old: bool):
+        def _fn(batch):
+            import numpy as np
+            import pyarrow as pa_
+
+            ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+            m = (ids % 37) == 3
+            return batch.filter(pa_.array(m if want_old else ~m))
+
+        return _fn
+
+    old = docs.map_batches(_split(True), batch_format="pyarrow")
+    new = docs.map_batches(_split(False), batch_format="pyarrow")
+    return gram_novelty(old, new, text_col="text", id_col="doc_id", k=8)
+
+
 def _q_adaptive_length_filter(sf_dir: str):
     """Per-language adaptive length filter: keep documents whose
     n_chars is at or above their language's exact 10th percentile.
@@ -6396,6 +6430,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_embedding": _q_dedup_embedding,
         "line_dedup_docs": _q_line_dedup_docs,
         "substring_dedup_docs": _q_substring_dedup_docs,
+        "gram_novelty": _q_gram_novelty,
         "incremental_dedup": _q_incremental_dedup,
         "incremental_minhash": _q_incremental_minhash,
         "token_id_sample": _q_token_id_sample,
@@ -6914,6 +6949,26 @@ def oracle_sql() -> dict[str, str]:
             "CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept, "
             "CAST(coalesce(a.n_dropped, 0) AS BIGINT) AS n_dropped "
             "FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id"
+        ),
+        # cross-crawl novelty: same k-gram window construction; the
+        # archive's distinct grams gate every new-doc gram position
+        "gram_novelty": (
+            r"WITH toks AS (SELECT doc_id, t.tok, t.ord FROM documents, "
+            r"LATERAL (SELECT unnest(list_filter(regexp_split_to_array(coalesce(text,''), '\s+'), x -> x <> '')) AS tok, "
+            r"generate_subscripts(list_filter(regexp_split_to_array(coalesce(text,''), '\s+'), x -> x <> ''), 1) AS ord) t), "
+            "grams AS (SELECT doc_id, ord, list(tok) OVER (PARTITION BY doc_id "
+            "ORDER BY ord ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS g FROM toks), "
+            "g8 AS (SELECT doc_id, ord, array_to_string(g, ' ') AS gram FROM grams WHERE len(g) = 8), "
+            "old AS (SELECT DISTINCT gram FROM g8 WHERE doc_id % 37 = 3), "
+            "agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams, "
+            "CAST(count(*) FILTER (WHERE gram NOT IN (SELECT gram FROM old)) AS BIGINT) AS n_novel "
+            "FROM g8 WHERE doc_id % 37 <> 3 GROUP BY doc_id) "
+            "SELECT d.doc_id, CAST(coalesce(a.n_grams, 0) AS BIGINT) AS n_grams, "
+            "CAST(coalesce(a.n_novel, 0) AS BIGINT) AS n_novel, "
+            "CAST(CASE WHEN coalesce(a.n_grams, 0) = 0 THEN 0 "
+            "ELSE (1000000 * a.n_novel) // a.n_grams END AS BIGINT) AS novelty_micro "
+            "FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id "
+            "WHERE d.doc_id % 37 <> 3"
         ),
         # n-gram decontamination: same k-gram window construction as
         # substring_dedup_docs, duplicate table → bench gram set

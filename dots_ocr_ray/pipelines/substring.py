@@ -410,3 +410,153 @@ def substring_dedup(
         return out
 
     return joined.map_batches(_apply, batch_format="pyarrow")
+
+
+def gram_novelty(
+    old_ds: ray.data.Dataset,
+    new_ds: ray.data.Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    broadcast_limit: int = 2_000_000,
+) -> ray.data.Dataset:
+    """Cross-crawl n-gram NOVELTY rate — the corpus-freshness metric a
+    recurring-crawl pipeline reads before deciding how much of a new
+    snapshot is worth keeping: for every NEW document, how many of its
+    token k-gram positions carry a gram never seen anywhere in the OLD
+    corpus.
+
+    Output per new doc: ``(doc_id, n_grams, n_novel, novelty_micro)``
+    with ``novelty_micro = floor(1e6 · n_novel / n_grams)`` (0 when the
+    doc has fewer than k tokens).  Position-based: every occurrence
+    counts, so a doc that repeats one stale gram scores low even if
+    the gram is its only distinct one.
+
+    Scale shape: the old side reduces to its DISTINCT gram-hash table
+    (:func:`duplicate_grams` with min_count=1 — per-batch np.unique
+    partials, one count exchange).  Under ``broadcast_limit`` distinct
+    grams, the sorted hash array ships once via ``ray.put`` and the
+    new side scores zero-exchange (per-batch ``sorted_membership`` +
+    two bincounts).  Above it: the new side emits per-(doc, gram)
+    multiplicity rows, one ``hash_join(how="anti")`` on gram keeps the
+    novel rows, a doc-keyed count fold sums them, and one left join
+    attaches totals — nothing driver-sized either way."""
+    old_grams = duplicate_grams(
+        old_ds, text_col=text_col, k=k, min_count=1
+    ).materialize()
+    n_old = old_grams.count()
+
+    def _doc_grams(batch: pa.Table):
+        tok_vals, offsets, _ = _tokens_from_batch(batch.column(text_col))
+        starts, hashes = _flat_gram_hashes(_hash_tokens(tok_vals), offsets, k)
+        doc_of_gram = np.searchsorted(offsets, starts, side="right") - 1
+        n_rows = len(offsets) - 1
+        return hashes, doc_of_gram, n_rows
+
+    if n_old <= broadcast_limit:
+        chunks = [
+            b.column("gram").to_numpy(zero_copy_only=False)
+            for b in old_grams.iter_batches(batch_format="pyarrow")
+            if b.num_rows
+        ]
+        old_sorted = (
+            np.sort(np.concatenate(chunks)) if chunks else np.zeros(0, dtype=np.int64)
+        )
+        old_ref = ray.put(old_sorted)
+
+        def _score(batch: pa.Table) -> pa.Table:
+            hashes, doc_of_gram, n_rows = _doc_grams(batch)
+            n_grams = np.bincount(doc_of_gram, minlength=n_rows).astype(np.int64)
+            known = sorted_membership(cached_object(old_ref), hashes.view(np.int64))
+            n_novel = np.bincount(
+                doc_of_gram[~known], minlength=n_rows
+            ).astype(np.int64)
+            micro = (1_000_000 * n_novel) // np.maximum(n_grams, 1)
+            return pa.table(
+                {
+                    id_col: batch.column(id_col).cast(pa.int64()),
+                    "n_grams": pa.array(n_grams, type=pa.int64()),
+                    "n_novel": pa.array(n_novel, type=pa.int64()),
+                    "novelty_micro": pa.array(micro, type=pa.int64()),
+                }
+            )
+
+        return new_ds.map_batches(_score, batch_format="pyarrow")
+
+    # distributed tier
+    from dots_ocr_ray.pipelines.relational import hash_join
+    from dots_ocr_ray.util import merge_int_counts
+
+    def _new_rows(batch: pa.Table) -> pa.Table:
+        hashes, doc_of_gram, _ = _doc_grams(batch)
+        ids = (
+            batch.column(id_col)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)[doc_of_gram]
+        )
+        g = hashes.view(np.int64)
+        order = np.lexsort((g, ids))
+        ids, g = ids[order], g[order]
+        new_pair = np.ones(len(ids), dtype=bool)
+        new_pair[1:] = (ids[1:] != ids[:-1]) | (g[1:] != g[:-1])
+        starts = np.flatnonzero(new_pair)
+        m = np.diff(np.concatenate([starts, [len(ids)]]))
+        return pa.table(
+            {
+                id_col: pa.array(ids[starts], type=pa.int64()),
+                "gram": pa.array(g[starts], type=pa.int64()),
+                "m": pa.array(m.astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    def _totals(batch: pa.Table) -> pa.Table:
+        hashes, doc_of_gram, n_rows = _doc_grams(batch)
+        n_grams = np.bincount(doc_of_gram, minlength=n_rows).astype(np.int64)
+        return pa.table(
+            {
+                id_col: batch.column(id_col).cast(pa.int64()),
+                "n_grams": pa.array(n_grams, type=pa.int64()),
+            }
+        )
+
+    novel_rows = hash_join(
+        new_ds.map_batches(_new_rows, batch_format="pyarrow"),
+        old_grams.select_columns(["gram"]),
+        on="gram",
+        how="anti",
+        left_schema=pa.schema(
+            [(id_col, pa.int64()), ("gram", pa.int64()), ("m", pa.int64())]
+        ),
+        right_schema=pa.schema([("gram", pa.int64())]),
+    )
+    per_doc_novel = merge_int_counts(
+        novel_rows.select_columns([id_col, "m"]), id_col, "m"
+    )
+    joined = hash_join(
+        new_ds.map_batches(_totals, batch_format="pyarrow"),
+        per_doc_novel,
+        on=id_col,
+        how="left",
+        left_schema=pa.schema([(id_col, pa.int64()), ("n_grams", pa.int64())]),
+        right_schema=pa.schema([(id_col, pa.int64()), ("m", pa.int64())]),
+    )
+
+    def _finalize(batch: pa.Table) -> pa.Table:
+        n_grams = batch.column("n_grams").to_numpy(zero_copy_only=False).astype(np.int64)
+        n_novel = (
+            pc.fill_null(batch.column("m"), 0)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        micro = (1_000_000 * n_novel) // np.maximum(n_grams, 1)
+        return pa.table(
+            {
+                id_col: batch.column(id_col).cast(pa.int64()),
+                "n_grams": pa.array(n_grams, type=pa.int64()),
+                "n_novel": pa.array(n_novel, type=pa.int64()),
+                "novelty_micro": pa.array(micro, type=pa.int64()),
+            }
+        )
+
+    return joined.map_batches(_finalize, batch_format="pyarrow")

@@ -110,3 +110,53 @@ def test_duplicate_grams_counts(ray_session):
     )
     rows = duplicate_grams(ds, k=K, min_count=2).take_all()
     assert len(rows) == 1 and rows[0]["cnt"] == 9
+
+
+def test_gram_novelty_hand_computed_and_tier_parity(ray_session):
+    """Novelty vs a tiny archive: positions of new docs whose 3-gram
+    never appears in the old corpus; both tiers bit-identical."""
+    import pyarrow as pa
+    import ray.data
+
+    from dots_ocr_ray.pipelines.substring import gram_novelty
+
+    old = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([100], type=pa.int64()),
+                "text": pa.array(["a b c d"], type=pa.string()),
+            }
+        )
+    )
+    # archive 3-grams: "a b c", "b c d"
+    new = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+                "text": pa.array(
+                    [
+                        "a b c d e",   # grams: abc(old) bcd(old) cde(new) -> 1/3
+                        "x y z",       # xyz new -> 1/1
+                        "a b",         # < k tokens -> 0 grams
+                        "a b c a b c d",  # abc ca? grams: abc(old) bca bcd? positions: [a b c](old) [b c a] [c a b] [a b c](old) [b c d](old) -> 2/5 novel
+                    ],
+                    type=pa.string(),
+                ),
+            }
+        )
+    ).repartition(2)
+
+    def _rows(ds):
+        return {
+            r["doc_id"]: (r["n_grams"], r["n_novel"], r["novelty_micro"])
+            for r in ds.take_all()
+        }
+
+    got = _rows(gram_novelty(old, new, k=3))
+    assert got[1] == (3, 1, 333_333)
+    assert got[2] == (1, 1, 1_000_000)
+    assert got[3] == (0, 0, 0)
+    assert got[4] == (5, 2, 400_000)
+    # forced distributed tier must agree exactly
+    got_d = _rows(gram_novelty(old, new, k=3, broadcast_limit=0))
+    assert got == got_d
