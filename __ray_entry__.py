@@ -2007,6 +2007,46 @@ def _q_substring_dedup_docs(sf_dir: str):
     return substring_dedup(docs, text_col="text", id_col="doc_id", k=8, min_count=2)
 
 
+def _q_host_quality_shrunken(sf_dir: str):
+    """Empirical-Bayes shrunken per-host quality keep-rates
+    (beta-binomial method-of-moments prior over the fixture hosts
+    doc_id % 97; kept = n_chars >= 200): a 1-of-2 host stops outranking
+    a 480-of-1000 one (pipelines/text_analysis.py:eb_shrunken_rates).
+    The moment fit consumes only exact integer sums (H, Σpm, Σpm²) and
+    one fixed-association float expression, mirrored literally by the
+    SQL oracle — bit-identical across partitionings."""
+    import pyarrow as pa
+    import ray.data
+
+    from dots_ocr_ray.pipelines.text_analysis import eb_shrunken_rates
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+
+    def _partials(batch):
+        import numpy as np
+
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        nc = batch.column("n_chars").to_numpy(zero_copy_only=False).astype(np.int64)
+        host = ids % 97
+        kept = (nc >= 200).astype(np.int64)
+        uniq, inv = np.unique(host, return_inverse=True)
+        n = np.bincount(inv).astype(np.int64)
+        k = np.bincount(inv, weights=kept).astype(np.int64)
+        return pa.table(
+            {
+                "host": pa.array(uniq, type=pa.int64()),
+                "n": pa.array(n, type=pa.int64()),
+                "k": pa.array(k, type=pa.int64()),
+            }
+        )
+
+    return eb_shrunken_rates(
+        docs.map_batches(_partials, batch_format="pyarrow"), key_col="host"
+    )
+
+
 def _q_gram_novelty(sf_dir: str):
     """Cross-crawl n-gram NOVELTY rate — for every NEW document (the
     incremental-convention split doc_id % 37 != 3 vs the % 37 == 3
@@ -6431,6 +6471,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "line_dedup_docs": _q_line_dedup_docs,
         "substring_dedup_docs": _q_substring_dedup_docs,
         "gram_novelty": _q_gram_novelty,
+        "host_quality_shrunken": _q_host_quality_shrunken,
         "incremental_dedup": _q_incremental_dedup,
         "incremental_minhash": _q_incremental_minhash,
         "token_id_sample": _q_token_id_sample,
@@ -6949,6 +6990,27 @@ def oracle_sql() -> dict[str, str]:
             "CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept, "
             "CAST(coalesce(a.n_dropped, 0) AS BIGINT) AS n_dropped "
             "FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id"
+        ),
+        # empirical-Bayes shrinkage: exact integer moment sums, one
+        # fixed-association float expression (mirrors the engine)
+        "host_quality_shrunken": (
+            "WITH d AS (SELECT doc_id % 97 AS host, "
+            "CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END AS kept FROM documents), "
+            "g AS (SELECT host, CAST(count(*) AS BIGINT) AS n, "
+            "CAST(sum(kept) AS BIGINT) AS k FROM d GROUP BY 1), "
+            "q AS (SELECT host, n, k, (1000000 * k) // greatest(n, 1) AS pm FROM g), "
+            "s AS (SELECT CAST(count(*) AS BIGINT) AS h, CAST(sum(pm) AS BIGINT) AS s1, "
+            "CAST(sum(pm * pm) AS BIGINT) AS s2 FROM q), "
+            "p AS (SELECT h, s1 / (1000000.0 * h) AS m, "
+            "s2 / (1000000000000.0 * h) - (s1 / (1000000.0 * h)) * (s1 / (1000000.0 * h)) AS v "
+            "FROM s), "
+            "c AS (SELECT h, m, v, CASE WHEN h < 2 OR v <= 0.0 OR v >= m * (1.0 - m) "
+            "THEN 0.0 ELSE m * (1.0 - m) / v - 1.0 END AS common FROM p) "
+            "SELECT q.host, q.n, q.k, q.pm AS raw_micro, "
+            "CASE WHEN c.common = 0.0 THEN q.pm ELSE "
+            "CAST(floor((1000000.0 * (q.k + c.m * c.common)) / (q.n + c.common)) AS BIGINT) "
+            "END AS shrunk_micro "
+            "FROM q CROSS JOIN c"
         ),
         # cross-crawl novelty: same k-gram window construction; the
         # archive's distinct grams gate every new-doc gram position

@@ -2872,3 +2872,136 @@ def jw_vocab_pairs(
     import pyarrow.compute as pc
 
     return t.take(pc.sort_indices(t, sort_keys=[("w1", "ascending"), ("w2", "ascending")]))
+
+
+# --- empirical-Bayes rate shrinkage ----------------------------------------------
+
+def eb_shrunken_rates(
+    counts: "ray.data.Dataset",
+    *,
+    key_col: str = "host",
+    n_col: str = "n",
+    k_col: str = "k",
+) -> "ray.data.Dataset":
+    """Empirical-Bayes (beta-binomial, method-of-moments) shrinkage of
+    per-key success rates — the domain-prior statistic a host-level
+    curation list needs so a 1/2-kept host doesn't outrank a 480/1000
+    one (the same pathology :func:`~dots_ocr_ray.pipelines.extract.
+    host_failure_wilson` guards with an interval; this guards it with
+    a fitted prior).
+
+    Input: PARTIAL ``(key, n, k)`` rows (any number per key — they sum
+    exactly).  Output per key: ``(key, n, k, raw_micro, shrunk_micro)``
+    with ``raw_micro = (1e6·k)//n`` and ``shrunk_micro =
+    floor(1e6·(k + m·C) / (n + C))`` where ``m`` is the across-key mean
+    of the micro-quantized rates and ``C = m(1−m)/v − 1`` the
+    beta-binomial pseudo-count from their variance (no shrinkage —
+    C = 0, shrunk = raw — when keys < 2, v ≤ 0, or v ≥ m(1−m)).
+
+    Determinism: the moment fit consumes ONLY exact integer sums
+    (H, Σpm, Σpm²) — addition order can't perturb it — and the final
+    float expression is written in one fixed association mirrored
+    literally by the SQL oracle, so results are bit-identical across
+    partitionings and engines.
+
+    Scale shape: one coarse 256-way exchange folds partials to exact
+    per-key (n, k) (reduceat, no per-key Python); per-bucket integer
+    moment partials reduce to THREE driver scalars; the fitted (m, C)
+    broadcast back over the folded table for the final map."""
+    import numpy as np
+
+    from dots_ocr_ray.pipelines.relational import _stable_key_hash
+    from dots_ocr_ray.util import bounded_blocks
+
+    def _tag(batch: pa.Table) -> pa.Table:
+        bkt = (_stable_key_hash(batch.column(key_col)) % np.uint64(256)).astype(
+            np.int32
+        )
+        return batch.append_column("__bucket", pa.array(bkt, type=pa.int32()))
+
+    def _fold(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        group = group.sort_by([(key_col, "ascending")])
+        m = group.num_rows
+        keys = group.column(key_col)
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        new_run = np.ones(m, dtype=bool)
+        if m > 1:
+            new_run[1:] = pc.not_equal(keys.slice(1), keys.slice(0, m - 1)).to_numpy(
+                zero_copy_only=False
+            )
+        starts = np.flatnonzero(new_run)
+        nv = np.add.reduceat(
+            group.column(n_col).to_numpy(zero_copy_only=False).astype(np.int64), starts
+        )
+        kv = np.add.reduceat(
+            group.column(k_col).to_numpy(zero_copy_only=False).astype(np.int64), starts
+        )
+        return pa.table(
+            {
+                key_col: keys.take(pa.array(starts)),
+                "n": pa.array(nv.astype(np.int64), type=pa.int64()),
+                "k": pa.array(kv.astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    folded = (
+        bounded_blocks(counts.map_batches(_tag, batch_format="pyarrow"))
+        .groupby("__bucket")
+        .map_groups(_fold, batch_format="pyarrow")
+        .materialize()
+    )
+
+    # exact integer moment partials — three scalars per bucket
+    def _moments(batch: pa.Table) -> pa.Table:
+        nv = batch.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        kv = batch.column("k").to_numpy(zero_copy_only=False).astype(np.int64)
+        pm = (1_000_000 * kv) // np.maximum(nv, 1)
+        return pa.table(
+            {
+                "h": pa.array([len(nv)], type=pa.int64()),
+                "s1": pa.array([int(pm.sum())], type=pa.int64()),
+                "s2": pa.array([int((pm.astype(object) ** 2).sum())], type=pa.int64()),
+            }
+        )
+
+    H = S1 = S2 = 0
+    for r in folded.map_batches(_moments, batch_format="pyarrow").take_all():
+        H += int(r["h"])
+        S1 += int(r["s1"])
+        S2 += int(r["s2"])
+    if H:
+        mean = S1 / (1_000_000.0 * H)
+        var = S2 / (1_000_000_000_000.0 * H) - (S1 / (1_000_000.0 * H)) * (
+            S1 / (1_000_000.0 * H)
+        )
+    else:
+        mean = var = 0.0
+    if H < 2 or var <= 0.0 or var >= mean * (1.0 - mean):
+        common = 0.0
+    else:
+        common = mean * (1.0 - mean) / var - 1.0
+
+    def _shrink(batch: pa.Table) -> pa.Table:
+        nv = batch.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        kv = batch.column("k").to_numpy(zero_copy_only=False).astype(np.int64)
+        raw = (1_000_000 * kv) // np.maximum(nv, 1)
+        if common == 0.0:
+            shrunk = raw
+        else:
+            shrunk = np.floor(
+                (1_000_000.0 * (kv + mean * common)) / (nv + common)
+            ).astype(np.int64)
+        return pa.table(
+            {
+                key_col: batch.column(key_col),
+                "n": batch.column("n"),
+                "k": batch.column("k"),
+                "raw_micro": pa.array(raw, type=pa.int64()),
+                "shrunk_micro": pa.array(shrunk, type=pa.int64()),
+            }
+        )
+
+    return folded.map_batches(_shrink, batch_format="pyarrow")

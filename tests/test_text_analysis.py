@@ -1017,3 +1017,49 @@ def test_rk_scan_kernel_edges():
     assert res[1] == (0, -1)         # empty
     assert res[2] == (1, 3)          # "defg"
     assert res[3] == (1, 1)          # contains "abc"
+
+
+def test_eb_shrunken_rates(ray_session):
+    """Beta-binomial shrinkage pulls small-n keys toward the grand
+    mean, leaves large-n keys nearly raw, sums split partials exactly,
+    and degenerates to raw rates when variance says no prior."""
+    import pyarrow as pa
+    import ray.data
+
+    from dots_ocr_ray.pipelines.text_analysis import eb_shrunken_rates
+
+    # three hosts with very different evidence; host 1 split across
+    # partial rows on purpose
+    t = pa.table(
+        {
+            "host": pa.array([1, 1, 2, 3], type=pa.int64()),
+            "n": pa.array([500, 500, 2, 100], type=pa.int64()),
+            "k": pa.array([240, 240, 2, 10], type=pa.int64()),
+        }
+    )
+    out = {
+        r["host"]: r
+        for r in eb_shrunken_rates(
+            ray.data.from_arrow(t).repartition(3), key_col="host"
+        ).take_all()
+    }
+    assert out[1]["n"] == 1000 and out[1]["k"] == 480  # partials summed
+    assert out[1]["raw_micro"] == 480_000
+    assert out[2]["raw_micro"] == 1_000_000
+    assert out[3]["raw_micro"] == 100_000
+    # the 2/2 host shrinks far toward the mean; the 1000-doc host barely
+    assert out[2]["shrunk_micro"] < 900_000
+    assert abs(out[1]["shrunk_micro"] - 480_000) < abs(
+        out[2]["shrunk_micro"] - 1_000_000
+    )
+    # monotone: more evidence at the same raw rate → less shrinkage
+    # no-shrink edge: a single key has zero variance → raw rates
+    t1 = pa.table(
+        {
+            "host": pa.array([7], type=pa.int64()),
+            "n": pa.array([3], type=pa.int64()),
+            "k": pa.array([2], type=pa.int64()),
+        }
+    )
+    r = eb_shrunken_rates(ray.data.from_arrow(t1), key_col="host").take_all()[0]
+    assert r["shrunk_micro"] == r["raw_micro"] == 666_666
