@@ -2007,6 +2007,21 @@ def _q_substring_dedup_docs(sf_dir: str):
     return substring_dedup(docs, text_col="text", id_col="doc_id", k=8, min_count=2)
 
 
+def _q_vocab_coverage(sf_dir: str):
+    """Good-Turing unseen-token mass + bias-corrected Chao1 vocabulary
+    richness over the corpus — the crawl-planning statistic "how much
+    language is still missing" (pipelines/text_analysis.py:
+    vocab_coverage).  Entirely integer arithmetic from four exact
+    scalars (N, V, hapax, dis); one token-hash count exchange.  SQL
+    oracle: token groupby + FILTER counts + the same integer ladder."""
+    import ray.data
+
+    from dots_ocr_ray.pipelines.text_analysis import vocab_coverage
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return vocab_coverage(docs)
+
+
 def _q_host_quality_shrunken(sf_dir: str):
     """Empirical-Bayes shrunken per-host quality keep-rates
     (beta-binomial method-of-moments prior over the fixture hosts
@@ -6472,6 +6487,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "substring_dedup_docs": _q_substring_dedup_docs,
         "gram_novelty": _q_gram_novelty,
         "host_quality_shrunken": _q_host_quality_shrunken,
+        "vocab_coverage": _q_vocab_coverage,
         "incremental_dedup": _q_incremental_dedup,
         "incremental_minhash": _q_incremental_minhash,
         "token_id_sample": _q_token_id_sample,
@@ -6990,6 +7006,20 @@ def oracle_sql() -> dict[str, str]:
             "CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept, "
             "CAST(coalesce(a.n_dropped, 0) AS BIGINT) AS n_dropped "
             "FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id"
+        ),
+        # Good-Turing / Chao1 coverage: all-integer ladder from four
+        # exact scalars
+        "vocab_coverage": (
+            r"WITH toks AS (SELECT unnest(list_filter(regexp_split_to_array("
+            r"coalesce(text,''), '\s+'), x -> x <> '')) AS tok FROM documents), "
+            "c AS (SELECT tok, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY 1), "
+            "s AS (SELECT CAST(sum(n) AS BIGINT) AS nn, CAST(count(*) AS BIGINT) AS v, "
+            "CAST(count(*) FILTER (WHERE n = 1) AS BIGINT) AS n1, "
+            "CAST(count(*) FILTER (WHERE n = 2) AS BIGINT) AS n2 FROM c) "
+            "SELECT nn AS n_tokens, v AS vocab, n1 AS hapax, n2 AS dis, "
+            "(1000000 * n1) // greatest(nn, 1) AS unseen_mass_micro, "
+            "1000000 * v + (1000000 * n1 * (n1 - 1)) // (2 * (n2 + 1)) AS chao1_micro "
+            "FROM s"
         ),
         # empirical-Bayes shrinkage: exact integer moment sums, one
         # fixed-association float expression (mirrors the engine)

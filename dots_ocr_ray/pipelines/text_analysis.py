@@ -3005,3 +3005,77 @@ def eb_shrunken_rates(
         )
 
     return folded.map_batches(_shrink, batch_format="pyarrow")
+
+
+# --- vocabulary coverage (Good-Turing / Chao1) -----------------------------------
+
+def vocab_coverage(
+    docs: "ray.data.Dataset",
+    *,
+    text_col: str = "text",
+) -> pa.Table:
+    """Vocabulary-coverage estimate for crawl planning: one row
+    ``(n_tokens, vocab, hapax, dis, unseen_mass_micro, chao1_micro)``
+    where ``unseen_mass_micro = (1e6·N₁)//N`` is the Good-Turing
+    probability mass of UNSEEN tokens (Turing estimator — how much of
+    the language the corpus still misses) and ``chao1_micro = 1e6·V +
+    (1e6·N₁(N₁−1))//(2(N₂+1))`` the bias-corrected Chao1 richness
+    estimate (how many token types exist including unseen ones).
+    Entirely integer arithmetic — hash-exact under any partitioning.
+
+    Scale shape: per-batch token-hash count partials (np.unique) → ONE
+    :func:`~dots_ocr_ray.util.merge_int_counts` exchange → per-batch
+    frequency-of-frequencies partials (N, V, N₁, N₂) → four driver
+    scalars.  Token identity is the 64-bit stable hash (the oracle
+    counts strings; distinct tokens collide with ~2⁻⁶⁴ probability,
+    the substring-dedup convention)."""
+    import numpy as np
+
+    from dots_ocr_ray.util import merge_int_counts, split_whitespace_checked
+
+    def _partials(batch: pa.Table) -> pa.Table:
+        from dots_ocr_ray.pipelines.substring import _hash_tokens, _tokens_from_batch
+
+        tok_vals, _, _ = _tokens_from_batch(batch.column(text_col))
+        h = _hash_tokens(tok_vals).view(np.int64)
+        uniq, cnt = np.unique(h, return_counts=True)
+        return pa.table(
+            {
+                "tok_h": pa.array(uniq, type=pa.int64()),
+                "cnt": pa.array(cnt.astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    counts = merge_int_counts(
+        docs.map_batches(_partials, batch_format="pyarrow"), "tok_h", "cnt"
+    )
+
+    def _fof(batch: pa.Table) -> pa.Table:
+        c = batch.column("cnt").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "n": pa.array([int(c.sum())], type=pa.int64()),
+                "v": pa.array([len(c)], type=pa.int64()),
+                "n1": pa.array([int((c == 1).sum())], type=pa.int64()),
+                "n2": pa.array([int((c == 2).sum())], type=pa.int64()),
+            }
+        )
+
+    N = V = N1 = N2 = 0
+    for r in counts.map_batches(_fof, batch_format="pyarrow").take_all():
+        N += int(r["n"])
+        V += int(r["v"])
+        N1 += int(r["n1"])
+        N2 += int(r["n2"])
+    unseen = (1_000_000 * N1) // max(N, 1)
+    chao1 = 1_000_000 * V + (1_000_000 * N1 * (N1 - 1)) // (2 * (N2 + 1))
+    return pa.table(
+        {
+            "n_tokens": pa.array([N], type=pa.int64()),
+            "vocab": pa.array([V], type=pa.int64()),
+            "hapax": pa.array([N1], type=pa.int64()),
+            "dis": pa.array([N2], type=pa.int64()),
+            "unseen_mass_micro": pa.array([unseen], type=pa.int64()),
+            "chao1_micro": pa.array([chao1], type=pa.int64()),
+        }
+    )

@@ -1063,3 +1063,21 @@ def test_eb_shrunken_rates(ray_session):
     )
     r = eb_shrunken_rates(ray.data.from_arrow(t1), key_col="host").take_all()[0]
     assert r["shrunk_micro"] == r["raw_micro"] == 666_666
+
+
+def test_vocab_coverage_hand_computed(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from dots_ocr_ray.pipelines.text_analysis import vocab_coverage
+
+    # tokens: a a a b b c d e -> N=8 V=5 N1=3 (c d e) N2=1 (b)
+    t = pa.table(
+        {"text": pa.array(["a a a b", "b c", "d  e"], type=pa.string())}
+    )
+    out = vocab_coverage(ray.data.from_arrow(t).repartition(3)).to_pylist()[0]
+    assert out["n_tokens"] == 8
+    assert out["vocab"] == 5
+    assert out["hapax"] == 3 and out["dis"] == 1
+    assert out["unseen_mass_micro"] == (1_000_000 * 3) // 8
+    assert out["chao1_micro"] == 1_000_000 * 5 + (1_000_000 * 3 * 2) // (2 * 2)
