@@ -2007,6 +2007,16 @@ def _q_substring_dedup_docs(sf_dir: str):
     return substring_dedup(docs, text_col="text", id_col="doc_id", k=8, min_count=2)
 
 
+def _q_drift_js(sf_dir: str):
+    """Jensen-Shannon drift between the crawl-snapshot halves — the
+    symmetric bounded divergence a drift dashboard thresholds
+    (pipelines/drift.py:distribution_drift_js).  Same Laplace
+    smoothing + literal operand-order mirroring as drift_kl."""
+    from dots_ocr_ray.pipelines.drift import distribution_drift_js
+
+    return distribution_drift_js(sf_dir, category="lang")
+
+
 def _q_vocab_coverage(sf_dir: str):
     """Good-Turing unseen-token mass + bias-corrected Chao1 vocabulary
     richness over the corpus — the crawl-planning statistic "how much
@@ -6698,6 +6708,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_source_rollup": _q_lang_source_rollup,
         "jsonl_lang_counts": _q_jsonl_lang_counts,
         "drift_kl": _q_drift_kl,
+        "drift_js": _q_drift_js,
         "late_events": _q_late_events,
         "lexicon_flags": _q_lexicon_flags,
         "bitext_mining": _q_bitext_mining,
@@ -8659,6 +8670,18 @@ def oracle_sql() -> dict[str, str]:
         # snapshot halves by doc_id parity; Laplace (+1) smoothing over
         # the K observed categories — operand order matches
         # pipelines/drift.py:distribution_drift exactly
+        "drift_js": (
+            "WITH s AS (SELECT lang, "
+            "count(*) FILTER (doc_id % 2 = 0) AS cp, "
+            "count(*) FILTER (doc_id % 2 = 1) AS cc "
+            "FROM documents GROUP BY lang), "
+            "t AS (SELECT sum(cp) AS tp, sum(cc) AS tc, count(*) AS k FROM s) "
+            "SELECT lang, CAST(cp AS BIGINT) AS cnt_prev, CAST(cc AS BIGINT) AS cnt_curr, "
+            "ROUND(((cp + 1) * 1.0 / (tp + k)), 6) AS p_prev, "
+            "ROUND(((cc + 1) * 1.0 / (tc + k)), 6) AS p_curr, "
+            "ROUND((((cc + 1) * 1.0 / (tc + k)) * ln(((cc + 1) * 1.0 / (tc + k)) / (((((cp + 1) * 1.0 / (tp + k))) + (((cc + 1) * 1.0 / (tc + k)))) / 2)) + ((cp + 1) * 1.0 / (tp + k)) * ln(((cp + 1) * 1.0 / (tp + k)) / (((((cp + 1) * 1.0 / (tp + k))) + (((cc + 1) * 1.0 / (tc + k)))) / 2))) / 2, 6) AS js_term "
+            "FROM s, t ORDER BY lang"
+        ),
         "drift_kl": (
             "WITH s AS (SELECT lang, "
             "count(*) FILTER (doc_id % 2 = 0) AS cp, "

@@ -107,6 +107,36 @@ def distribution_drift(sf_dir: str, *, category: str = "lang") -> pa.Table:
     )
 
 
+def distribution_drift_js(sf_dir: str, *, category: str = "lang") -> pa.Table:
+    """Jensen-Shannon drift between the snapshot halves — the
+    symmetric, [0, ln 2]-bounded divergence a drift dashboard can
+    threshold (KL is unbounded and asymmetric).  Per category:
+    ``js_term = (p_curr·ln(p_curr/m) + p_prev·ln(p_prev/m)) / 2`` with
+    ``m = (p_prev + p_curr) / 2``; smoothing and float operand order
+    mirror :func:`distribution_drift` / the SQL oracle literally."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", category]
+    )
+    cats, cnt_prev, cnt_curr = category_snapshot_counts(ds, category=category)
+    k = len(cats)
+    tp = int(cnt_prev.sum())
+    tc = int(cnt_curr.sum())
+    p_prev = (cnt_prev + 1) * 1.0 / (tp + k)
+    p_curr = (cnt_curr + 1) * 1.0 / (tc + k)
+    m = (p_prev + p_curr) / 2
+    js_term = (p_curr * np.log(p_curr / m) + p_prev * np.log(p_prev / m)) / 2
+    return pa.table(
+        {
+            category: pa.array(cats, type=pa.string()),
+            "cnt_prev": pa.array(cnt_prev, type=pa.int64()),
+            "cnt_curr": pa.array(cnt_curr, type=pa.int64()),
+            "p_prev": pa.array(round_half_away(p_prev, 6), type=pa.float64()),
+            "p_curr": pa.array(round_half_away(p_curr, 6), type=pa.float64()),
+            "js_term": pa.array(round_half_away(js_term, 6), type=pa.float64()),
+        }
+    )
+
+
 def welch_t_by_category(
     ds: ray.data.Dataset,
     *,

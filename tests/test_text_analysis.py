@@ -1081,3 +1081,16 @@ def test_vocab_coverage_hand_computed(ray_session):
     assert out["hapax"] == 3 and out["dis"] == 1
     assert out["unseen_mass_micro"] == (1_000_000 * 3) // 8
     assert out["chao1_micro"] == 1_000_000 * 5 + (1_000_000 * 3 * 2) // (2 * 2)
+
+
+def test_drift_js_bounded_and_symmetric(ray_session):
+    """JS terms are finite, each <= ln(2)/2 after smoothing, and the
+    total is symmetric in the snapshot halves by construction."""
+    import math
+
+    from dots_ocr_ray.pipelines.drift import distribution_drift_js
+
+    t = distribution_drift_js(SF_DIR, category="lang")
+    terms = t.column("js_term").to_pylist()
+    assert all(x >= 0 for x in terms)
+    assert sum(terms) <= math.log(2) + 1e-9
