@@ -2007,6 +2007,22 @@ def _q_substring_dedup_docs(sf_dir: str):
     return substring_dedup(docs, text_col="text", id_col="doc_id", k=8, min_count=2)
 
 
+def _q_token_burstiness(sf_dir: str):
+    """Top-20 bursty tokens (Church-Gale TF/DF at DF >= 5) — topical
+    words repeat inside the documents that mention them
+    (pipelines/text_analysis.py:token_burstiness).  One token-keyed
+    exchange + local top-k partials; burst DESC, token ASC cutoff
+    mirrored by the SQL oracle."""
+    import ray.data
+
+    from dots_ocr_ray.pipelines.text_analysis import token_burstiness
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return token_burstiness(docs, min_df=5, k=20)
+
+
 def _q_drift_js(sf_dir: str):
     """Jensen-Shannon drift between the crawl-snapshot halves — the
     symmetric bounded divergence a drift dashboard thresholds
@@ -6709,6 +6725,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jsonl_lang_counts": _q_jsonl_lang_counts,
         "drift_kl": _q_drift_kl,
         "drift_js": _q_drift_js,
+        "token_burstiness": _q_token_burstiness,
         "late_events": _q_late_events,
         "lexicon_flags": _q_lexicon_flags,
         "bitext_mining": _q_bitext_mining,
@@ -8670,6 +8687,15 @@ def oracle_sql() -> dict[str, str]:
         # snapshot halves by doc_id parity; Laplace (+1) smoothing over
         # the K observed categories — operand order matches
         # pipelines/drift.py:distribution_drift exactly
+        "token_burstiness": (
+            r"WITH toks AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array("
+            r"coalesce(text,''), '\s+'), x -> x <> '')) AS token FROM documents), "
+            "c AS (SELECT token, CAST(count(*) AS BIGINT) AS tf, "
+            "CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM toks GROUP BY 1) "
+            "SELECT token, tf, df, (1000000 * tf) // df AS burst_micro "
+            "FROM c WHERE df >= 5 "
+            "ORDER BY burst_micro DESC, token ASC LIMIT 20"
+        ),
         "drift_js": (
             "WITH s AS (SELECT lang, "
             "count(*) FILTER (doc_id % 2 = 0) AS cp, "

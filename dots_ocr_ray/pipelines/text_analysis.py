@@ -3079,3 +3079,125 @@ def vocab_coverage(
             "chao1_micro": pa.array([chao1], type=pa.int64()),
         }
     )
+
+
+# --- token burstiness (Church–Gale TF/DF) ----------------------------------------
+
+def token_burstiness(
+    docs: "ray.data.Dataset",
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 5,
+    k: int = 20,
+) -> pa.Table:
+    """Top-k BURSTY tokens — mean occurrences per containing document
+    (``burst_micro = (1e6·TF)//DF``, the Church–Gale burstiness
+    signal): topical words repeat within the documents that mention
+    them, function words spread evenly, so high burstiness at
+    ``DF ≥ min_df`` ranks keyword-like vocabulary without any model.
+
+    Scale shape: per-batch (token, tf, df) partials (documents are
+    whole rows, so per-batch df sums exactly) → ONE token-keyed
+    ``groupby.sum`` exchange → per-batch local top-k partials over the
+    folded vocab table → the driver merges ≤ k × batches rows and
+    takes the global top-k (burst DESC, token ASC tie-break — the
+    deterministic cutoff the SQL oracle mirrors)."""
+    import numpy as np
+
+    from dots_ocr_ray.util import split_whitespace_checked
+
+    def _partials(batch: pa.Table) -> pa.Table:
+        from dots_ocr_ray.pipelines.substring import _tokens_from_batch
+
+        tok_vals, offsets, doc_of = _tokens_from_batch(batch.column(text_col))
+        if len(doc_of) == 0:
+            return pa.table(
+                {
+                    "token": pa.array([], type=pa.string()),
+                    "tf": pa.array([], type=pa.int64()),
+                    "df": pa.array([], type=pa.int64()),
+                }
+            )
+        enc = tok_vals.dictionary_encode()
+        tok_idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        n_tok = len(enc.dictionary)
+        tf = np.bincount(tok_idx, minlength=n_tok).astype(np.int64)
+        # df: distinct (doc, token) pairs per batch
+        pair = doc_of * np.int64(n_tok) + tok_idx
+        uniq_pairs = np.unique(pair)
+        df = np.bincount(
+            (uniq_pairs % np.int64(n_tok)).astype(np.int64), minlength=n_tok
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "token": enc.dictionary,
+                "tf": pa.array(tf, type=pa.int64()),
+                "df": pa.array(df, type=pa.int64()),
+            }
+        )
+
+    folded = (
+        docs.map_batches(_partials, batch_format="pyarrow")
+        .groupby("token")
+        .sum(["tf", "df"])
+    )
+
+    def _local_top(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        tf = batch.column("sum(tf)").to_numpy(zero_copy_only=False).astype(np.int64)
+        df = batch.column("sum(df)").to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = df >= min_df
+        if not keep.any():
+            return pa.table(
+                {
+                    "token": pa.array([], type=pa.string()),
+                    "tf": pa.array([], type=pa.int64()),
+                    "df": pa.array([], type=pa.int64()),
+                    "burst_micro": pa.array([], type=pa.int64()),
+                }
+            )
+        toks = batch.column("token").filter(pa.array(keep))
+        tf, df = tf[keep], df[keep]
+        burst = (1_000_000 * tf) // df
+        t = pa.table(
+            {
+                "token": toks,
+                "tf": pa.array(tf, type=pa.int64()),
+                "df": pa.array(df, type=pa.int64()),
+                "burst_micro": pa.array(burst, type=pa.int64()),
+            }
+        )
+        t = t.take(
+            pc.sort_indices(
+                t, sort_keys=[("burst_micro", "descending"), ("token", "ascending")]
+            )
+        )
+        return t.slice(0, k)
+
+    parts = [
+        b
+        for b in folded.map_batches(_local_top, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        )
+        if b.num_rows
+    ]
+    if not parts:
+        return pa.table(
+            {
+                "token": pa.array([], type=pa.string()),
+                "tf": pa.array([], type=pa.int64()),
+                "df": pa.array([], type=pa.int64()),
+                "burst_micro": pa.array([], type=pa.int64()),
+            }
+        )
+    import pyarrow.compute as pc
+
+    merged = pa.concat_tables(parts)
+    merged = merged.take(
+        pc.sort_indices(
+            merged, sort_keys=[("burst_micro", "descending"), ("token", "ascending")]
+        )
+    )
+    return merged.slice(0, k)

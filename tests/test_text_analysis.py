@@ -1094,3 +1094,35 @@ def test_drift_js_bounded_and_symmetric(ray_session):
     terms = t.column("js_term").to_pylist()
     assert all(x >= 0 for x in terms)
     assert sum(terms) <= math.log(2) + 1e-9
+
+
+def test_token_burstiness_hand_computed(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from dots_ocr_ray.pipelines.text_analysis import token_burstiness
+
+    # "hot" appears 3x in each of 2 docs (tf 6, df 2 -> burst 3.0);
+    # "flat" once in each of 3 docs (burst 1.0); "rare" df 1 filtered
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+                "text": pa.array(
+                    [
+                        "hot hot hot flat rare",
+                        "hot hot hot flat",
+                        "flat",
+                    ],
+                    type=pa.string(),
+                ),
+            }
+        )
+    ).repartition(2)
+    out = token_burstiness(docs, min_df=2, k=10).to_pylist()
+    rows = {r["token"]: r for r in out}
+    assert set(rows) == {"hot", "flat"}
+    assert rows["hot"]["tf"] == 6 and rows["hot"]["df"] == 2
+    assert rows["hot"]["burst_micro"] == 3_000_000
+    assert rows["flat"]["burst_micro"] == 1_000_000
+    assert out[0]["token"] == "hot"  # burst DESC ordering
