@@ -2007,6 +2007,46 @@ def _q_substring_dedup_docs(sf_dir: str):
     return substring_dedup(docs, text_col="text", id_col="doc_id", k=8, min_count=2)
 
 
+def _q_k_anonymity(sf_dir: str):
+    """k-anonymity / l-diversity release audit over customer with
+    quasi-identifiers (nation, market segment) and the acctbal
+    thousand-band as the sensitive attribute
+    (pipelines/profile.py:k_anonymity_audit): groups smaller than k=5
+    re-identify members; low distinct-sensitive groups leak the
+    attribute.  One coarse qi-hash exchange, five scalars per bucket.
+    SQL oracle: GROUP BY qi + FILTER aggregates."""
+    import pyarrow as pa
+    import ray.data
+
+    from dots_ocr_ray.pipelines.profile import k_anonymity_audit
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_nationkey", "c_mktsegment", "c_acctbal"],
+    )
+
+    def _band(batch):
+        import numpy as np
+
+        b = np.floor(
+            batch.column("c_acctbal").to_numpy(zero_copy_only=False) / 1000.0
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "c_nationkey": batch.column("c_nationkey"),
+                "c_mktsegment": batch.column("c_mktsegment"),
+                "sens_band": pa.array(b, type=pa.int64()),
+            }
+        )
+
+    return k_anonymity_audit(
+        cust.map_batches(_band, batch_format="pyarrow"),
+        qi_cols=["c_nationkey", "c_mktsegment"],
+        sensitive_col="sens_band",
+        k=5,
+    )
+
+
 def _q_token_burstiness(sf_dir: str):
     """Top-20 bursty tokens (Church-Gale TF/DF at DF >= 5) — topical
     words repeat inside the documents that mention them
@@ -6726,6 +6766,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "drift_kl": _q_drift_kl,
         "drift_js": _q_drift_js,
         "token_burstiness": _q_token_burstiness,
+        "k_anonymity": _q_k_anonymity,
         "late_events": _q_late_events,
         "lexicon_flags": _q_lexicon_flags,
         "bitext_mining": _q_bitext_mining,
@@ -8687,6 +8728,17 @@ def oracle_sql() -> dict[str, str]:
         # snapshot halves by doc_id parity; Laplace (+1) smoothing over
         # the K observed categories — operand order matches
         # pipelines/drift.py:distribution_drift exactly
+        "k_anonymity": (
+            "WITH d AS (SELECT c_nationkey, c_mktsegment, "
+            "CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS sens FROM customer), "
+            "g AS (SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS n, "
+            "CAST(count(DISTINCT sens) AS BIGINT) AS l FROM d GROUP BY 1, 2) "
+            "SELECT CAST(count(*) AS BIGINT) AS n_groups, "
+            "CAST(count(*) FILTER (WHERE n < 5) AS BIGINT) AS n_small_groups, "
+            "CAST(coalesce(sum(n) FILTER (WHERE n < 5), 0) AS BIGINT) AS rows_at_risk, "
+            "CAST(min(n) AS BIGINT) AS min_group_size, "
+            "CAST(min(l) AS BIGINT) AS min_l_diversity FROM g"
+        ),
         "token_burstiness": (
             r"WITH toks AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array("
             r"coalesce(text,''), '\s+'), x -> x <> '')) AS token FROM documents), "

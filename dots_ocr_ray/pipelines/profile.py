@@ -1356,3 +1356,133 @@ def ri_orphans(
             "n_orphans": pa.array([int(n_orphans)], type=pa.int64()),
         }
     )
+
+
+# --- privacy: k-anonymity / l-diversity audit --------------------------------------
+
+def k_anonymity_audit(
+    ds: ray.data.Dataset,
+    *,
+    qi_cols: list[str],
+    sensitive_col: str,
+    k: int = 5,
+) -> pa.Table:
+    """Privacy-risk audit before a data release: group rows by the
+    QUASI-IDENTIFIER columns and report one row
+    ``(n_groups, n_small_groups, rows_at_risk, min_group_size,
+    min_l_diversity)`` — a group smaller than ``k`` re-identifies its
+    members (k-anonymity), and a group whose ``sensitive_col`` takes
+    few distinct values leaks the attribute even at size ≥ k
+    (l-diversity).
+
+    Scale shape: per-batch partials carry (qi-key, n) counts AND
+    distinct (qi-key, sensitive) pairs; ONE coarse 256-way exchange on
+    hash(qi-key) co-locates each group's partials; the per-bucket fold
+    sums counts and counts sensitive-pair boundaries vectorized
+    (lexsort + run-length), then ships FIVE scalars — driver state is
+    O(buckets) regardless of group cardinality."""
+    import numpy as np
+
+    from dots_ocr_ray.pipelines.relational import _stable_key_hash
+    from dots_ocr_ray.util import bounded_blocks
+
+    def _partials(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        cols = {c: batch.column(c).to_pylist() for c in qi_cols}
+        key = pd.Series(
+            ["\x1f".join("" if v is None else str(v) for v in row) for row in zip(*cols.values())]
+        )
+        sens = pd.Series(
+            ["" if v is None else str(v) for v in batch.column(sensitive_col).to_pylist()]
+        )
+        df = pd.DataFrame({"key": key, "sens": sens})
+        cnt = df.groupby("key", sort=False).size().reset_index(name="n")
+        pairs = df.drop_duplicates()
+        n_tbl = pa.table(
+            {
+                "key": pa.array(cnt["key"], type=pa.string()),
+                "sens": pa.array([""] * len(cnt), type=pa.string()),
+                "n": pa.array(cnt["n"].astype("int64"), type=pa.int64()),
+                "kind": pa.array(np.zeros(len(cnt), dtype=np.int8), type=pa.int8()),
+            }
+        )
+        p_tbl = pa.table(
+            {
+                "key": pa.array(pairs["key"], type=pa.string()),
+                "sens": pa.array(pairs["sens"], type=pa.string()),
+                "n": pa.array(np.zeros(len(pairs), dtype=np.int64), type=pa.int64()),
+                "kind": pa.array(np.ones(len(pairs), dtype=np.int8), type=pa.int8()),
+            }
+        )
+        return pa.concat_tables([n_tbl, p_tbl])
+
+    def _tag(batch: pa.Table) -> pa.Table:
+        bkt = (_stable_key_hash(batch.column("key")) % np.uint64(256)).astype(np.int32)
+        return batch.append_column("__bucket", pa.array(bkt, type=pa.int32()))
+
+    def _fold(group: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        kind = group.column("kind").to_numpy(zero_copy_only=False)
+        cnt_part = group.filter(pa.array(kind == 0))
+        pair_part = group.filter(pa.array(kind == 1))
+        # exact per-group sizes
+        cdf = pd.DataFrame(
+            {
+                "key": cnt_part.column("key").to_pylist(),
+                "n": cnt_part.column("n").to_numpy(zero_copy_only=False),
+            }
+        )
+        sizes = cdf.groupby("key", sort=True)["n"].sum()
+        # exact per-group distinct sensitive values
+        pdf = pd.DataFrame(
+            {
+                "key": pair_part.column("key").to_pylist(),
+                "sens": pair_part.column("sens").to_pylist(),
+            }
+        ).drop_duplicates()
+        ldiv = pdf.groupby("key", sort=True)["sens"].nunique()
+        n = sizes.to_numpy()
+        l = ldiv.reindex(sizes.index).fillna(0).to_numpy().astype(np.int64)
+        small = n < k
+        return pa.table(
+            {
+                "n_groups": pa.array([len(n)], type=pa.int64()),
+                "n_small_groups": pa.array([int(small.sum())], type=pa.int64()),
+                "rows_at_risk": pa.array([int(n[small].sum())], type=pa.int64()),
+                "min_group_size": pa.array(
+                    [int(n.min()) if len(n) else 0], type=pa.int64()
+                ),
+                "min_l_diversity": pa.array(
+                    [int(l.min()) if len(l) else 0], type=pa.int64()
+                ),
+            }
+        )
+
+    folds = (
+        bounded_blocks(ds.map_batches(_partials, batch_format="pyarrow"))
+        .map_batches(_tag, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(_fold, batch_format="pyarrow")
+    )
+    n_groups = n_small = at_risk = 0
+    min_g = min_l = None
+    for r in folds.take_all():
+        n_groups += int(r["n_groups"])
+        n_small += int(r["n_small_groups"])
+        at_risk += int(r["rows_at_risk"])
+        if int(r["n_groups"]):
+            g = int(r["min_group_size"])
+            lv = int(r["min_l_diversity"])
+            min_g = g if min_g is None else min(min_g, g)
+            min_l = lv if min_l is None else min(min_l, lv)
+    return pa.table(
+        {
+            "n_groups": pa.array([n_groups], type=pa.int64()),
+            "n_small_groups": pa.array([n_small], type=pa.int64()),
+            "rows_at_risk": pa.array([at_risk], type=pa.int64()),
+            "min_group_size": pa.array([min_g or 0], type=pa.int64()),
+            "min_l_diversity": pa.array([min_l or 0], type=pa.int64()),
+        }
+    )

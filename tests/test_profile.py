@@ -622,3 +622,31 @@ def test_ri_orphans(ray_session):
         relation="t",
     ).to_pylist()[0]
     assert out["n_child_rows"] == 5 and out["n_orphans"] == 1
+
+
+def test_k_anonymity_audit_hand_computed(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from dots_ocr_ray.pipelines.profile import k_anonymity_audit
+
+    # QI groups: (a,x) has 5 rows / 2 sens values; (a,y) 2 rows / 1;
+    # (b,x) 1 row / 1  -> with k=5: 2 small groups, 3 rows at risk
+    t = pa.table(
+        {
+            "q1": pa.array(["a"] * 5 + ["a", "a", "b"], type=pa.string()),
+            "q2": pa.array(["x"] * 5 + ["y", "y", "x"], type=pa.string()),
+            "s": pa.array([1, 1, 1, 2, 2, 7, 7, 9], type=pa.int64()),
+        }
+    )
+    out = k_anonymity_audit(
+        ray.data.from_arrow(t).repartition(3),
+        qi_cols=["q1", "q2"],
+        sensitive_col="s",
+        k=5,
+    ).to_pylist()[0]
+    assert out["n_groups"] == 3
+    assert out["n_small_groups"] == 2
+    assert out["rows_at_risk"] == 3
+    assert out["min_group_size"] == 1
+    assert out["min_l_diversity"] == 1
