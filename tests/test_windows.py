@@ -478,3 +478,156 @@ def test_event_trigrams_hand_computed(ray_session):
     # min_count filter
     out2 = event_trigrams(ray.data.from_arrow(t), min_count=2).to_pylist()
     assert [(r["t1"], r["t2"], r["t3"], r["n"]) for r in out2] == [("a", "b", "c", 3)]
+
+
+def test_asof_fold_fuzz_vs_pandas(ray_session):
+    """Random user/ts/type streams: the vectorized prefix-max fold must
+    equal per-user pd.merge_asof(allow_exact_matches=False) exactly,
+    including ts ties and users with missing sides."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dots_ocr_ray.pipelines.windows import asof_last_event
+
+    rng = np.random.RandomState(11)
+    n = 600
+    df = pd.DataFrame(
+        {
+            "user_id": rng.randint(0, 25, n),
+            # coarse grid forces plenty of exact-tie timestamps
+            "ts": pd.to_datetime(rng.randint(0, 50, n) * 60_000_000, unit="us"),
+            "event_type": rng.choice(["purchase", "click", "view"], n),
+        }
+    )
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as td:
+        pq.write_table(
+            pa.Table.from_pandas(df, preserve_index=False).set_column(
+                1, "ts", pa.Table.from_pandas(df, preserve_index=False).column("ts").cast(pa.timestamp("us"))
+            ),
+            os.path.join(td, "events.parquet"),
+        )
+        got = (
+            asof_last_event(td)
+            .to_pandas()
+            .sort_values(["user_id", "ts", "prior_ts"])
+            .reset_index(drop=True)
+        )
+    expect_rows = []
+    for uid, g in df.groupby("user_id"):
+        left = g[g.event_type == "purchase"].sort_values("ts")
+        right = g[g.event_type == "click"].sort_values("ts")
+        for t in left["ts"]:
+            prior = right[right.ts < t]["ts"]
+            expect_rows.append(
+                (uid, t, prior.max() if len(prior) else pd.NaT)
+            )
+    expect = (
+        pd.DataFrame(expect_rows, columns=["user_id", "ts", "prior_ts"])
+        .sort_values(["user_id", "ts", "prior_ts"])
+        .reset_index(drop=True)
+    )
+    for frame in (got, expect):
+        frame["user_id"] = frame["user_id"].astype("int64")
+        frame["ts"] = frame["ts"].astype("datetime64[us]")
+        frame["prior_ts"] = frame["prior_ts"].astype("datetime64[us]")
+    pd.testing.assert_frame_equal(got, expect, check_dtype=False)
+
+
+def test_interval_coverage_fuzz_vs_sequential(ray_session):
+    """Random events: the per-size-class cummax-islands fold must equal
+    the sequential per-user interval-union computation."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data
+
+    from dots_ocr_ray.pipelines.windows import interval_coverage
+
+    rng = np.random.RandomState(5)
+    n = 400
+    t = pa.table(
+        {
+            "user_id": pa.array(rng.randint(0, 30, n), type=pa.int64()),
+            "ts": pa.array(
+                rng.randint(0, 10_000, n) * 1_000_000, type=pa.int64()
+            ).cast(pa.timestamp("us")),
+            "value": pa.array(rng.uniform(-50, 50, n).round(2), type=pa.float64()),
+        }
+    )
+    got = {
+        r["user_id"]: (r["n_events"], r["n_islands"], r["covered_us"])
+        for r in interval_coverage(ray.data.from_arrow(t).repartition(4)).take_all()
+    }
+    df = t.to_pandas()
+    df["ts_us"] = df["ts"].astype("datetime64[us]").astype("int64")
+    for uid, g in df.groupby("user_id"):
+        cents = np.round(g["value"].to_numpy() * 100).astype(np.int64)
+        dur = ((np.abs(cents) % 3600) + 60) * 1_000_000
+        ivals = sorted(zip(g["ts_us"].to_numpy(), g["ts_us"].to_numpy() + dur))
+        islands = 0
+        covered = 0
+        cur_s = cur_e = None
+        for s, e in ivals:
+            if cur_e is None or s > cur_e:
+                if cur_e is not None:
+                    covered += cur_e - cur_s
+                cur_s, cur_e = s, e
+                islands += 1
+            else:
+                cur_e = max(cur_e, e)
+        if cur_e is not None:
+            covered += cur_e - cur_s
+        assert got[uid] == (len(g), islands, covered), uid
+
+
+def test_funnel_fold_fuzz_vs_sequential(ray_session):
+    """Random event streams: the masked-min ladder fold must reproduce
+    the sequential per-user depth walk histogram exactly."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data
+
+    from dots_ocr_ray.pipelines.windows import funnel_counts
+
+    stages = ["s0", "s1", "s2"]
+    rng = np.random.RandomState(3)
+    n = 500
+    t = pa.table(
+        {
+            "user_id": pa.array(rng.randint(0, 40, n), type=pa.int64()),
+            "event_type": pa.array(
+                rng.choice(stages + ["noise"], n), type=pa.string()
+            ),
+            "ts": pa.array(
+                rng.randint(0, 200, n) * 1_000_000, type=pa.int64()
+            ).cast(pa.timestamp("us")),
+        }
+    )
+    out = funnel_counts(
+        ray.data.from_arrow(t).repartition(4), stages
+    )
+    got = dict(zip(out.column("stage_idx").to_pylist(), out.column("users").to_pylist()))
+    df = t.to_pandas()
+    df = df[df.event_type.isin(stages)]
+    df["ts_us"] = df["ts"].astype("datetime64[us]").astype("int64")
+    depths = []
+    for _, g in df.groupby("user_id"):
+        prev = -(2**62)
+        depth = 0
+        for i, s in enumerate(stages):
+            sel = g[(g.event_type == s) & (g.ts_us > prev)]["ts_us"]
+            if sel.empty:
+                break
+            prev = sel.min()
+            depth += 1
+        depths.append(depth)
+    for i in range(len(stages)):
+        expect = sum(1 for d in depths if d >= i + 1)
+        assert got.get(i + 1, 0) == expect, (i, got, expect)
