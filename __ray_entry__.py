@@ -2007,6 +2007,19 @@ def _q_substring_dedup_docs(sf_dir: str):
     return substring_dedup(docs, text_col="text", id_col="doc_id", k=8, min_count=2)
 
 
+def _q_lang_diversity(sf_dir: str):
+    """Simpson + inverse-Simpson (effective category count) of the
+    language mix — the single number a mixture-rebalancing plan reads
+    (pipelines/text_analysis.py:category_diversity).  All-integer
+    ladder; one bounded category exchange."""
+    import ray.data
+
+    from dots_ocr_ray.pipelines.text_analysis import category_diversity
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang"])
+    return category_diversity(docs, category_col="lang")
+
+
 def _q_k_anonymity(sf_dir: str):
     """k-anonymity / l-diversity release audit over customer with
     quasi-identifiers (nation, market segment) and the acctbal
@@ -6767,6 +6780,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "drift_js": _q_drift_js,
         "token_burstiness": _q_token_burstiness,
         "k_anonymity": _q_k_anonymity,
+        "lang_diversity": _q_lang_diversity,
         "late_events": _q_late_events,
         "lexicon_flags": _q_lexicon_flags,
         "bitext_mining": _q_bitext_mining,
@@ -8728,6 +8742,14 @@ def oracle_sql() -> dict[str, str]:
         # snapshot halves by doc_id parity; Laplace (+1) smoothing over
         # the K observed categories — operand order matches
         # pipelines/drift.py:distribution_drift exactly
+        "lang_diversity": (
+            "WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1), "
+            "s AS (SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(n) AS BIGINT) AS nn, "
+            "CAST(sum(n * n) AS BIGINT) AS ssq, CAST(sum(n * (n - 1)) AS BIGINT) AS spair FROM c) "
+            "SELECT k AS n_categories, nn AS n_rows, "
+            "(1000000 * spair) // greatest(nn * (nn - 1), 1) AS simpson_micro, "
+            "(1000000 * nn * nn) // greatest(ssq, 1) AS inv_simpson_micro FROM s"
+        ),
         "k_anonymity": (
             "WITH d AS (SELECT c_nationkey, c_mktsegment, "
             "CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS sens FROM customer), "

@@ -3201,3 +3201,53 @@ def token_burstiness(
         )
     )
     return merged.slice(0, k)
+
+
+# --- categorical diversity indices -----------------------------------------------
+
+def category_diversity(
+    ds: "ray.data.Dataset",
+    *,
+    category_col: str = "lang",
+) -> pa.Table:
+    """Diversity of a categorical mix (language, source, host tier) in
+    one row: ``(n_categories, n_rows, simpson_micro,
+    inv_simpson_micro)`` — Simpson's index ``Σnᵢ(nᵢ−1)/(N(N−1))`` (the
+    probability two random docs share the category; 1e6 = monoculture)
+    and the inverse-Simpson EFFECTIVE category count ``⌊1e6·N²/Σnᵢ²⌋``
+    (how many equally-sized categories the mix behaves like — the
+    number a mixture-rebalancing plan actually cares about).  All
+    integer arithmetic, hash-exact.
+
+    Scale shape: per-batch category count partials → one bounded
+    category exchange → four integer scalars on the driver."""
+    import numpy as np
+
+    def _partials(batch: pa.Table) -> pa.Table:
+        cat = batch.column(category_col).to_numpy(zero_copy_only=False)
+        uniq, cnt = np.unique(cat.astype("U"), return_inverse=False, return_counts=True)
+        return pa.table(
+            {
+                "category": pa.array(uniq.astype(object), type=pa.string()),
+                "n": pa.array(cnt.astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    folded = (
+        ds.map_batches(_partials, batch_format="pyarrow").groupby("category").sum("n")
+    )
+    counts = [int(r["sum(n)"]) for r in folded.take_all()]  # bounded categories
+    N = sum(counts)
+    k = len(counts)
+    ssq = sum(c * c for c in counts)
+    spair = sum(c * (c - 1) for c in counts)
+    simpson = (1_000_000 * spair) // max(N * (N - 1), 1)
+    inv_simpson = (1_000_000 * N * N) // max(ssq, 1)
+    return pa.table(
+        {
+            "n_categories": pa.array([k], type=pa.int64()),
+            "n_rows": pa.array([N], type=pa.int64()),
+            "simpson_micro": pa.array([simpson], type=pa.int64()),
+            "inv_simpson_micro": pa.array([inv_simpson], type=pa.int64()),
+        }
+    )

@@ -1126,3 +1126,24 @@ def test_token_burstiness_hand_computed(ray_session):
     assert rows["hot"]["burst_micro"] == 3_000_000
     assert rows["flat"]["burst_micro"] == 1_000_000
     assert out[0]["token"] == "hot"  # burst DESC ordering
+
+
+def test_category_diversity_hand_computed(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from dots_ocr_ray.pipelines.text_analysis import category_diversity
+
+    # counts: a=4, b=4 -> N=8; simpson = (12+12)/(8*7); inv = 64/32 = 2
+    t = pa.table({"lang": pa.array(["a"] * 4 + ["b"] * 4, type=pa.string())})
+    out = category_diversity(
+        ray.data.from_arrow(t).repartition(3), category_col="lang"
+    ).to_pylist()[0]
+    assert out["n_categories"] == 2 and out["n_rows"] == 8
+    assert out["simpson_micro"] == (1_000_000 * 24) // 56
+    assert out["inv_simpson_micro"] == 2_000_000
+    # monoculture: simpson = 1e6, effective count = 1
+    t1 = pa.table({"lang": pa.array(["x"] * 5, type=pa.string())})
+    o1 = category_diversity(ray.data.from_arrow(t1), category_col="lang").to_pylist()[0]
+    assert o1["simpson_micro"] == 1_000_000
+    assert o1["inv_simpson_micro"] == 1_000_000
