@@ -129,6 +129,13 @@ WATCHED_QUERIES = (
     "customers_per_region",
     "extract_text",
     "dedup_exact",
+    # round-4 driver-window drifters (unchanged designs): pin with
+    # medians so one stolen window can't read as a regression
+    "shard_plan",
+    "keyword_search",
+    "substring_dedup_docs",
+    "ann_topk",
+    "ann_ivf_topk",
 )
 
 

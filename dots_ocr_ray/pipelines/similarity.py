@@ -21,7 +21,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
-from dots_ocr_ray.util import autoscale_pool, round_half_away, vec_matrix
+from dots_ocr_ray.util import autoscale_pool, cached_object, round_half_away, vec_matrix
 
 
 def _normalize_rows(mat: np.ndarray) -> np.ndarray:
@@ -59,35 +59,31 @@ def _merge_topk(partials: ray.data.Dataset, k: int) -> pa.Table:
     )
 
 
-class _BatchTopK:
-    """Actor stage: query matrix fetched from the object store once per
-    actor (broadcast), one matmul per batch, local top-k out."""
-
-    def __init__(self, queries_ref, k: int, vec_col: str, id_col: str):
-        self.queries = _normalize_rows(np.asarray(ray.get(queries_ref), dtype=np.float32))
-        self.k = k
-        self.vec_col = vec_col
-        self.id_col = id_col
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        vecs = _normalize_rows(vec_matrix(batch.column(self.vec_col), dtype=np.float32))
-        ids = batch.column(self.id_col).to_numpy(zero_copy_only=False).astype(np.int64)
-        sims = self.queries @ vecs.T  # (n_queries, batch)
-        k = min(self.k, sims.shape[1])
-        top = np.argpartition(-sims, k - 1, axis=1)[:, :k]
-        q_out, id_out, score_out = [], [], []
-        for qi in range(sims.shape[0]):
-            for ci in top[qi]:
-                q_out.append(qi)
-                id_out.append(int(ids[ci]))
-                score_out.append(float(sims[qi, ci]))
-        return pa.table(
-            {
-                "query_id": pa.array(q_out, type=pa.int32()),
-                "vec_id": pa.array(id_out, type=pa.int64()),
-                "score": pa.array(score_out, type=pa.float64()),
-            }
-        )
+def _brute_topk_batch(batch: pa.Table, *, queries_ref, k: int, vec_col: str, id_col: str) -> pa.Table:
+    """Task stage (no actor pool — per-execution pool ramp costs more
+    than this whole query): query matrix fetched from the object store
+    once per WORKER via the broadcast cache, one matmul per batch,
+    local top-k out.  Batching-invariant: every global-top-k row is in
+    its own batch's top-k, so the downstream merge is exact."""
+    queries = _normalize_rows(np.asarray(cached_object(queries_ref), dtype=np.float32))
+    vecs = _normalize_rows(vec_matrix(batch.column(vec_col), dtype=np.float32))
+    ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    sims = queries @ vecs.T  # (n_queries, batch)
+    k = min(k, sims.shape[1])
+    top = np.argpartition(-sims, k - 1, axis=1)[:, :k]
+    q_out, id_out, score_out = [], [], []
+    for qi in range(sims.shape[0]):
+        for ci in top[qi]:
+            q_out.append(qi)
+            id_out.append(int(ids[ci]))
+            score_out.append(float(sims[qi, ci]))
+    return pa.table(
+        {
+            "query_id": pa.array(q_out, type=pa.int32()),
+            "vec_id": pa.array(id_out, type=pa.int64()),
+            "score": pa.array(score_out, type=pa.float64()),
+        }
+    )
 
 
 def brute_force_topk(
@@ -103,10 +99,9 @@ def brute_force_topk(
     rank), deterministically tie-broken by vec_id."""
     queries_ref = ray.put(np.asarray(queries, dtype=np.float32))
     partials = ds.map_batches(
-        _BatchTopK,
-        fn_constructor_kwargs={"queries_ref": queries_ref, "k": k, "vec_col": vec_col, "id_col": id_col},
+        _brute_topk_batch,
+        fn_kwargs={"queries_ref": queries_ref, "k": k, "vec_col": vec_col, "id_col": id_col},
         batch_format="pyarrow",
-        concurrency=concurrency or autoscale_pool(),
     )
     return _merge_topk(partials, k)
 
@@ -209,51 +204,49 @@ def ivf_topk(
     qn = _normalize_rows(queries)
     probe_cells = np.argsort(-(qn @ centroids.T), axis=1)[:, :n_probe]  # (nq, n_probe)
 
-    centroids_ref = ray.put(centroids)
-    probe_ref = ray.put(probe_cells)
-    queries_ref = ray.put(qn)
-
-    class _IvfScore:
-        def __init__(self):
-            self.centroids = ray.get(centroids_ref)
-            self.probe = ray.get(probe_ref)  # (nq, n_probe)
-            self.queries = ray.get(queries_ref)
-            self.probe_sets = [set(row.tolist()) for row in self.probe]
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            vecs = _normalize_rows(vec_matrix(batch.column(vec_col), dtype=np.float32))
-            ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
-            cells = np.argmax(vecs @ self.centroids.T, axis=1)
-            q_out, id_out, s_out = [], [], []
-            for qi in range(len(self.queries)):
-                mask = np.isin(cells, self.probe[qi])
-                if not mask.any():
-                    continue
-                sims = vecs[mask] @ self.queries[qi]
-                sub_ids = ids[mask]
-                kk = min(k, len(sims))
-                # lexsort, not argpartition: equal scores at the batch
-                # top-k boundary must resolve by vec_id so the stored-
-                # index path (different batching) stays bit-equal
-                top = np.lexsort((sub_ids, -sims))[:kk]
-                for ci in top:
-                    q_out.append(qi)
-                    id_out.append(int(sub_ids[ci]))
-                    s_out.append(float(sims[ci]))
-            return pa.table(
-                {
-                    "query_id": pa.array(q_out, type=pa.int32()),
-                    "vec_id": pa.array(id_out, type=pa.int64()),
-                    "score": pa.array(s_out, type=pa.float64()),
-                }
-            )
+    state_ref = ray.put((centroids, probe_cells, qn))
 
     partials = ds.map_batches(
-        _IvfScore,
+        _ivf_score_batch,
+        fn_kwargs={"state_ref": state_ref, "k": k, "vec_col": vec_col, "id_col": id_col},
         batch_format="pyarrow",
-        concurrency=concurrency or autoscale_pool(),
     )
     return _merge_topk(partials, k)
+
+
+def _ivf_score_batch(batch: pa.Table, *, state_ref, k: int, vec_col: str, id_col: str) -> pa.Table:
+    """Task stage (no actor pool — the broadcast state is three tiny
+    arrays, fetched once per WORKER via the broadcast cache; a pool
+    ramp per execution would dominate the query): assign each vector
+    to its centroid cell, score only vectors whose cell is probed by
+    each query, emit per-batch partial top-k."""
+    centroids, probe, queries = cached_object(state_ref)
+    vecs = _normalize_rows(vec_matrix(batch.column(vec_col), dtype=np.float32))
+    ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    cells = np.argmax(vecs @ centroids.T, axis=1)
+    q_out, id_out, s_out = [], [], []
+    for qi in range(len(queries)):
+        mask = np.isin(cells, probe[qi])
+        if not mask.any():
+            continue
+        sims = vecs[mask] @ queries[qi]
+        sub_ids = ids[mask]
+        kk = min(k, len(sims))
+        # lexsort, not argpartition: equal scores at the batch
+        # top-k boundary must resolve by vec_id so the stored-
+        # index path (different batching) stays bit-equal
+        top = np.lexsort((sub_ids, -sims))[:kk]
+        for ci in top:
+            q_out.append(qi)
+            id_out.append(int(sub_ids[ci]))
+            s_out.append(float(sims[ci]))
+    return pa.table(
+        {
+            "query_id": pa.array(q_out, type=pa.int32()),
+            "vec_id": pa.array(id_out, type=pa.int64()),
+            "score": pa.array(s_out, type=pa.float64()),
+        }
+    )
 
 
 def lsh_topk(
@@ -272,62 +265,71 @@ def lsh_topk(
     output schema as brute_force_topk; recall < 1 by design."""
     queries = np.asarray(queries, dtype=np.float32)
 
-    class _BucketScore:
-        def __init__(self, queries_ref):
-            q = _normalize_rows(np.asarray(ray.get(queries_ref), dtype=np.float32))
-            rng = np.random.RandomState(seed)
-            self.planes = rng.standard_normal((q.shape[1], n_planes)).astype(np.float32)
-            self.queries = q
-            qbits = (q @ self.planes) > 0
-            powers = 1 << np.arange(n_planes, dtype=np.int64)
-            keys = qbits @ powers
-            probe = {int(key) for key in keys}
-            for key in list(probe):
-                for bit in range(n_planes):
-                    probe.add(int(key) ^ (1 << bit))
-            self.probe_keys = probe
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            vecs = vec_matrix(batch.column(vec_col), dtype=np.float32)
-            ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
-            bits = (vecs @ self.planes) > 0
-            keys = bits @ (1 << np.arange(n_planes, dtype=np.int64))
-            mask = np.fromiter((int(key) in self.probe_keys for key in keys), dtype=bool, count=len(keys))
-            if not mask.any():
-                return pa.table(
-                    {
-                        "query_id": pa.array([], type=pa.int32()),
-                        "vec_id": pa.array([], type=pa.int64()),
-                        "score": pa.array([], type=pa.float64()),
-                    }
-                )
-            unit = _normalize_rows(vecs[mask])
-            sub_ids = ids[mask]
-            sims = self.queries @ unit.T
-            kk = min(k, sims.shape[1])
-            top = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
-            q_out, id_out, s_out = [], [], []
-            for qi in range(sims.shape[0]):
-                for ci in top[qi]:
-                    q_out.append(qi)
-                    id_out.append(int(sub_ids[ci]))
-                    s_out.append(float(sims[qi, ci]))
-            return pa.table(
-                {
-                    "query_id": pa.array(q_out, type=pa.int32()),
-                    "vec_id": pa.array(id_out, type=pa.int64()),
-                    "score": pa.array(s_out, type=pa.float64()),
-                }
-            )
-
     queries_ref = ray.put(queries)
     partials = ds.map_batches(
-        _BucketScore,
-        fn_constructor_kwargs={"queries_ref": queries_ref},
+        _lsh_score_batch,
+        fn_kwargs={
+            "queries_ref": queries_ref,
+            "k": k,
+            "vec_col": vec_col,
+            "id_col": id_col,
+            "n_planes": n_planes,
+            "seed": seed,
+        },
         batch_format="pyarrow",
-        concurrency=concurrency or autoscale_pool(),
     )
     return _merge_topk(partials, k)
+
+
+def _lsh_score_batch(
+    batch: pa.Table, *, queries_ref, k: int, vec_col: str, id_col: str, n_planes: int, seed: int
+) -> pa.Table:
+    """Task stage for :func:`lsh_topk` (no actor pool — the pool ramp
+    per execution costs more than the query).  The derived state
+    (seeded planes + query buckets + multiprobe set) is a few hundred
+    floats; rebuilding it per batch is microseconds, and the raw query
+    matrix comes from the per-worker broadcast cache."""
+    q = _normalize_rows(np.asarray(cached_object(queries_ref), dtype=np.float32))
+    rng = np.random.RandomState(seed)
+    planes = rng.standard_normal((q.shape[1], n_planes)).astype(np.float32)
+    powers = 1 << np.arange(n_planes, dtype=np.int64)
+    qbits = (q @ planes) > 0
+    probe_keys = {int(key) for key in qbits @ powers}
+    for key in list(probe_keys):
+        for bit in range(n_planes):
+            probe_keys.add(int(key) ^ (1 << bit))
+
+    vecs = vec_matrix(batch.column(vec_col), dtype=np.float32)
+    ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    bits = (vecs @ planes) > 0
+    keys = bits @ powers
+    mask = np.fromiter((int(key) in probe_keys for key in keys), dtype=bool, count=len(keys))
+    if not mask.any():
+        return pa.table(
+            {
+                "query_id": pa.array([], type=pa.int32()),
+                "vec_id": pa.array([], type=pa.int64()),
+                "score": pa.array([], type=pa.float64()),
+            }
+        )
+    unit = _normalize_rows(vecs[mask])
+    sub_ids = ids[mask]
+    sims = q @ unit.T
+    kk = min(k, sims.shape[1])
+    top = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+    q_out, id_out, s_out = [], [], []
+    for qi in range(sims.shape[0]):
+        for ci in top[qi]:
+            q_out.append(qi)
+            id_out.append(int(sub_ids[ci]))
+            s_out.append(float(sims[qi, ci]))
+    return pa.table(
+        {
+            "query_id": pa.array(q_out, type=pa.int32()),
+            "vec_id": pa.array(id_out, type=pa.int64()),
+            "score": pa.array(s_out, type=pa.float64()),
+        }
+    )
 
 
 def hash_sample_matrix(
@@ -1192,46 +1194,47 @@ def ivf_query_index(
         )
     part = ray.data.read_parquet(paths, columns=[id_col, vec_col, "cell_id"])
 
-    probe_ref = ray.put(probe_cells)
-    queries_ref = ray.put(qn)
-
-    class _Score:
-        def __init__(self):
-            self.probe = ray.get(probe_ref)
-            self.queries = ray.get(queries_ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            vecs = _normalize_rows(vec_matrix(batch.column(vec_col), dtype=np.float32))
-            ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
-            cells = batch.column("cell_id").to_numpy(zero_copy_only=False).astype(np.int64)
-            q_out, id_out, s_out = [], [], []
-            for qi in range(len(self.queries)):
-                mask = np.isin(cells, self.probe[qi])
-                if not mask.any():
-                    continue
-                sims = vecs[mask] @ self.queries[qi]
-                sub_ids = ids[mask]
-                kk = min(k, len(sims))
-                # lexsort, not argpartition: equal scores at the batch
-                # top-k boundary must resolve by vec_id so the stored-
-                # index path (different batching) stays bit-equal
-                top = np.lexsort((sub_ids, -sims))[:kk]
-                for ci in top:
-                    q_out.append(qi)
-                    id_out.append(int(sub_ids[ci]))
-                    s_out.append(float(sims[ci]))
-            return pa.table(
-                {
-                    "query_id": pa.array(q_out, type=pa.int32()),
-                    "vec_id": pa.array(id_out, type=pa.int64()),
-                    "score": pa.array(s_out, type=pa.float64()),
-                }
-            )
+    state_ref = ray.put((probe_cells, qn))
 
     partials = part.map_batches(
-        _Score, batch_format="pyarrow", concurrency=concurrency or autoscale_pool()
+        _ivf_index_score_batch,
+        fn_kwargs={"state_ref": state_ref, "k": k, "vec_col": vec_col, "id_col": id_col},
+        batch_format="pyarrow",
     )
     return _merge_topk(partials, k)
+
+
+def _ivf_index_score_batch(batch: pa.Table, *, state_ref, k: int, vec_col: str, id_col: str) -> pa.Table:
+    """Task stage for :func:`ivf_query_index` — like
+    :func:`_ivf_score_batch` but cells come from the stored index's
+    ``cell_id`` column instead of a centroid argmax."""
+    probe, queries = cached_object(state_ref)
+    vecs = _normalize_rows(vec_matrix(batch.column(vec_col), dtype=np.float32))
+    ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    cells = batch.column("cell_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    q_out, id_out, s_out = [], [], []
+    for qi in range(len(queries)):
+        mask = np.isin(cells, probe[qi])
+        if not mask.any():
+            continue
+        sims = vecs[mask] @ queries[qi]
+        sub_ids = ids[mask]
+        kk = min(k, len(sims))
+        # lexsort, not argpartition: equal scores at the batch
+        # top-k boundary must resolve by vec_id so the stored-
+        # index path (different batching) stays bit-equal
+        top = np.lexsort((sub_ids, -sims))[:kk]
+        for ci in top:
+            q_out.append(qi)
+            id_out.append(int(sub_ids[ci]))
+            s_out.append(float(sims[ci]))
+    return pa.table(
+        {
+            "query_id": pa.array(q_out, type=pa.int32()),
+            "vec_id": pa.array(id_out, type=pa.int64()),
+            "score": pa.array(s_out, type=pa.float64()),
+        }
+    )
 
 
 def silhouette_terms_matrix(
