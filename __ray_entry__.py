@@ -349,10 +349,20 @@ def _q_fingerprint_dups(sf_dir: str):
 
 
 def _q_media_features(sf_dir: str):
+    """REAL pixel decode under the SQL oracle: each doc's text bytes
+    are serialized as a genuine PNG (gray pixels, rotating scanline
+    filters — `fixtures.text_png_payload`), and the actor-pool stage
+    must run the full stdlib decode (chunk parse, zlib inflate,
+    filter reconstruction: `kernel/png.py`) to recover the bytes whose
+    md5 the DuckDB oracle computes as ``md5(text)``.  No golden — the
+    decode is certified row-by-row by ANSI SQL arithmetic."""
+    import json
+
     import pyarrow as pa
 
     import ray.data
 
+    from dots_ocr_ray.fixtures import text_png_payload
     from dots_ocr_ray.stages.media import MediaFeatureActor
 
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
@@ -363,14 +373,21 @@ def _q_media_features(sf_dir: str):
             {
                 "media_id": batch.column("doc_id").cast(pa.int64()),
                 "kind": pa.array(["image"] * len(texts), type=pa.string()),
-                "payload": pa.array([t.encode("utf-8") for t in texts], type=pa.binary()),
-                "meta": pa.array(["{}"] * len(texts), type=pa.string()),
+                "payload": pa.array([text_png_payload(t) for t in texts], type=pa.binary()),
+                "meta": pa.array(
+                    [json.dumps({"len": len((t or "").encode("utf-8"))}) for t in texts],
+                    type=pa.string(),
+                ),
             }
         )
 
     media = docs.map_batches(_to_media, batch_format="pyarrow")
     feats = media.map_batches(
-        MediaFeatureActor, batch_format="pyarrow", batch_size=64, concurrency=2
+        MediaFeatureActor,
+        fn_constructor_kwargs={"roundtrip": True},
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=2,
     )
     return feats.select_columns(["media_id", "n_bytes", "digest"])
 
@@ -6385,19 +6402,23 @@ def _q_snm_dedup(sf_dir: str):
 
 
 def _q_media_phash_dups(sf_dir: str):
-    """Perceptual-hash near-dup clustering over the media column:
-    chunk-downsample stand-in decode → 64-bit average-hash → the
-    SHARED Hamming-radius core (pigeonhole blocks → bucket groupby →
-    exact verify → components) behind SimHash text dedup
-    (stages/media.py:phash64, pipelines/dedup.py:hash64_cluster).
-    Golden oracle: sequential mirror over the same kernels."""
+    """Perceptual-hash near-dup clustering over REAL decoded pixels:
+    every payload is a genuine PNG (`fixtures.media_png_payload` —
+    planted near-identical group textures + text-pixel images), so the
+    signature stage runs the full stdlib decode (zlib inflate + filter
+    reconstruction + integer luma + area-mean 8×8 thumbnail) before
+    the 64-bit average-hash, then the SHARED Hamming-radius core
+    (pigeonhole blocks → bucket groupby → exact verify → components)
+    behind SimHash text dedup (stages/media.py:phash64_png,
+    pipelines/dedup.py:hash64_cluster).  Golden oracle: sequential
+    mirror over the same pure kernels."""
     import pyarrow as pa
 
     import ray.data
 
-    from dots_ocr_ray.fixtures import media_payload
+    from dots_ocr_ray.fixtures import media_png_payload
     from dots_ocr_ray.pipelines.dedup import hash64_cluster
-    from dots_ocr_ray.stages.media import phash64
+    from dots_ocr_ray.stages.media import phash64_png
 
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
@@ -6408,7 +6429,7 @@ def _q_media_phash_dups(sf_dir: str):
             {
                 "doc_id": batch.column("doc_id").cast(pa.int64()),
                 "simhash": pa.array(
-                    [phash64(media_payload(int(d), t)) for d, t in zip(ids, texts)],
+                    [phash64_png(media_png_payload(int(d), t)) for d, t in zip(ids, texts)],
                     type=pa.uint64(),
                 ),
             }
@@ -6423,6 +6444,47 @@ def _q_media_phash_dups(sf_dir: str):
         return batch.rename_columns(["media_id", "cluster_id"])
 
     return out.map_batches(_rename, batch_format="pyarrow")
+
+
+def _q_video_keyframes(sf_dir: str):
+    """REAL video frame grab under the SQL oracle: docs with
+    ``doc_id % 6 == 2`` carry a genuine Y4M stream
+    (`fixtures.video_y4m_payload` — ``1 + (doc_id//6) % 5`` frames of
+    16×8 luma built from pure arithmetic), and the actor-pool stage
+    parses the container for real (header, FRAME markers,
+    chroma-offset plane slicing: `kernel/y4m.py:iter_y4m_luma`),
+    sampling every 2nd frame with its exact integer mean luma.  The
+    DuckDB oracle mirrors the pixel rule with generate_series sums —
+    no golden, the frame grab is certified by ANSI SQL arithmetic."""
+    import pyarrow as pa
+
+    import ray.data
+
+    from dots_ocr_ray.fixtures import VIDEO_MOD, VIDEO_REM, video_y4m_payload
+    from dots_ocr_ray.stages.media import FrameSampleActor
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def _to_media(batch: pa.Table) -> pa.Table:
+        ids = [int(d) for d in batch.column("doc_id").to_pylist() if d % VIDEO_MOD == VIDEO_REM]
+        return pa.table(
+            {
+                "media_id": pa.array(ids, type=pa.int64()),
+                "kind": pa.array(["video"] * len(ids), type=pa.string()),
+                "payload": pa.array([video_y4m_payload(d) for d in ids], type=pa.binary()),
+                "meta": pa.array(["{}"] * len(ids), type=pa.string()),
+            }
+        )
+
+    media = docs.map_batches(_to_media, batch_format="pyarrow")
+    frames = media.map_batches(
+        FrameSampleActor,
+        fn_constructor_kwargs={"every_nth": 2, "fake_decode": False},
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=2,
+    )
+    return frames.select_columns(["media_id", "frame_idx", "mean_luma"])
 
 
 def _q_ucb_event_types(sf_dir: str):
@@ -6714,6 +6776,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ewma_daily_events": _q_ewma_daily_events,
         "ucb_event_types": _q_ucb_event_types,
         "media_phash_dups": _q_media_phash_dups,
+        "video_keyframes": _q_video_keyframes,
         "snm_dedup": _q_snm_dedup,
         "phrase_search": _q_phrase_search,
         "dp_lang_counts": _q_dp_lang_counts,
@@ -7461,6 +7524,16 @@ def oracle_sql() -> dict[str, str]:
             "FROM s CROSS JOIN tot"
         ),
         "media_phash_dups": f"SELECT media_id, cluster_id FROM read_parquet('{_GOLDEN_DIR}/media_phash_dups.parquet')",
+        "video_keyframes": (
+            "SELECT d.doc_id AS media_id, CAST(f.f AS INTEGER) AS frame_idx, "
+            "CAST(SUM((31*d.doc_id + 17*f.f + 13*y.y + 7*x.x) % 256) // 128 AS BIGINT) AS mean_luma "
+            "FROM documents d "
+            "JOIN generate_series(0, 4) AS f(f) ON f.f < 1 + (d.doc_id // 6) % 5 AND f.f % 2 = 0 "
+            "CROSS JOIN generate_series(0, 7) AS y(y) "
+            "CROSS JOIN generate_series(0, 15) AS x(x) "
+            "WHERE d.doc_id % 6 = 2 "
+            "GROUP BY d.doc_id, f.f"
+        ),
         "snm_dedup": f"SELECT doc_id, cluster_id FROM read_parquet('{_GOLDEN_DIR}/snm_dedup.parquet')",
         "phrase_search": (
             "WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '[ \t\n]+') "

@@ -482,3 +482,86 @@ def media_payload(doc_id: int, text: str, *, mod: int = 11, rem: int = 5, n_grou
         >> np.uint64(7)
     ) & np.uint64(0xFF)
     return tex.astype(np.uint8).tobytes() + bytes([doc_id % 251])
+
+
+def text_png_payload(text: str, *, width: int = 64) -> bytes:
+    """A REAL PNG whose grayscale pixels are the utf-8 bytes of
+    ``text`` row-major (zero-padded to the last row; empty text → one
+    zero pixel).  Scanline filters rotate 0-4, so decoding exercises
+    every filter-reconstruction branch.  Inverse:
+    `stages/media.py:png_text_roundtrip` — together they put a genuine
+    zlib-inflate + unfilter pass under the md5-of-text SQL oracle."""
+    import numpy as np
+
+    from dots_ocr_ray.kernel.png import encode_png
+
+    data = np.frombuffer((text or "").encode("utf-8"), dtype=np.uint8)
+    if len(data) == 0:
+        data = np.zeros(1, dtype=np.uint8)
+    h = -(-len(data) // width)
+    img = np.zeros(h * width, dtype=np.uint8)
+    img[: len(data)] = data
+    return encode_png(img.reshape(h, width), filter_mode="rotate")
+
+
+def media_png_payload(doc_id: int, text: str, *, mod: int = 11, rem: int = 5, n_groups: int = 4) -> bytes:
+    """Real-PNG version of the :func:`media_payload` group rule for
+    the REAL-pixel perceptual-hash query: docs with
+    ``doc_id % mod == rem`` get a 32×32 GROUP TEXTURE image (same
+    multiplicative pattern keyed by group index, one doc-specific
+    pixel nudged so members are near- but not bit-identical); everyone
+    else gets their text bytes as pixels (full rows only — no zero
+    tail to correlate the hash bits).  Every payload is a real PNG,
+    so the query decodes EVERY row (inflate + unfilter + luma +
+    area-mean thumbnail) before hashing."""
+    import numpy as np
+
+    from dots_ocr_ray.kernel.png import encode_png
+
+    if doc_id % mod == rem:
+        g = (doc_id // mod) % n_groups
+        i = np.arange(1024, dtype=np.uint64)
+        tex = (
+            ((i + np.uint64(1)) * np.uint64(2 * g + 3) * np.uint64(2654435761))
+            >> np.uint64(7)
+        ) & np.uint64(0xFF)
+        img = tex.astype(np.uint8).astype(np.int64)
+        # doc-specific smudge: a 48-px run brightened by 24 shifts a
+        # couple of thumbnail-cell means across the global mean, so
+        # group members land a FEW phash bits apart (true near-dups,
+        # not bit-identical), still inside the Hamming-3 radius
+        start = (doc_id * 131) % (1024 - 32)
+        img[start : start + 32] = np.minimum(img[start : start + 32] + 10, 255)
+        return encode_png(img.reshape(32, 32).astype(np.uint8), filter_mode="rotate")
+    data = np.frombuffer((text or "").encode("utf-8"), dtype=np.uint8)
+    # 8 columns, COLUMN-major byte placement: each 8×8-thumbnail cell
+    # then averages one contiguous byte chunk (the chunk_image
+    # geometry whose measured non-dup median Hamming is 32) — a plain
+    # row-major raster of prose bytes is too self-similar and collides
+    h = max(1, len(data) // 8)
+    img = np.zeros((8, h), dtype=np.uint8)
+    flat = img.reshape(-1)
+    flat[: min(len(data), 8 * h)] = data[: 8 * h]
+    return encode_png(img.T.copy(), filter_mode="rotate")
+
+
+VIDEO_MOD, VIDEO_REM = 6, 2
+VIDEO_W, VIDEO_H = 16, 8
+
+
+def video_y4m_payload(doc_id: int) -> bytes:
+    """Deterministic REAL Y4M stream for docs with
+    ``doc_id % 6 == 2``: ``1 + (doc_id // 6) % 5`` frames of 16×8
+    luma with ``pixel(f,y,x) = (31·doc_id + 17·f + 13·y + 7·x) % 256``
+    — pure arithmetic, so per-frame mean luma is SQL-mirrorable while
+    the engine genuinely parses the container and slices the planes."""
+    import numpy as np
+
+    from dots_ocr_ray.kernel.y4m import encode_y4m
+
+    n_frames = 1 + (doc_id // VIDEO_MOD) % 5
+    f = np.arange(n_frames, dtype=np.int64)[:, None, None]
+    y = np.arange(VIDEO_H, dtype=np.int64)[None, :, None]
+    x = np.arange(VIDEO_W, dtype=np.int64)[None, None, :]
+    frames = ((31 * doc_id + 17 * f + 13 * y + 7 * x) % 256).astype(np.uint8)
+    return encode_y4m(frames)

@@ -41,22 +41,45 @@ def have_codec() -> bool:
     return _PILImage is not None
 
 
-def decode_image_real(payload: bytes, *, thumb: int = 8) -> np.ndarray:
-    """The real codec seam: decode ``payload`` with PIL when
-    importable and return a ``thumb×thumb`` grayscale thumbnail as a
-    flat int64 array (the contract :func:`chunk_image` fakes).  With
-    no codec installed this raises the clearly-marked
-    ``NotImplementedError`` — callers pick the deterministic fake via
-    ``fake_decode=True`` (or the auto default)."""
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def decode_gray_image(payload: bytes) -> np.ndarray:
+    """REAL pixel decode to an (h, w) uint8 grayscale array.
+
+    PNG payloads take the pure-stdlib tier (`kernel/png.py`: chunk
+    parse + zlib inflate + per-scanline filter reconstruction +
+    integer luma) — deterministic, dependency-free, shared verbatim
+    with the sequential golden oracles, so real decode sits under the
+    driver's hash gate in THIS sandbox.  Non-PNG formats fall back to
+    PIL when importable and raise the marked ``NotImplementedError``
+    otherwise (the remaining honest seam: JPEG/WebP need a real codec
+    library).  Corrupt PNG bytes raise ``ValueError`` — stages route
+    them to rejected/fake, never crash."""
+    if bytes(payload[:8]) == _PNG_SIG:
+        from dots_ocr_ray.kernel.png import decode_png, gray_from_pixels
+
+        return gray_from_pixels(decode_png(payload))
     if _PILImage is None:
         raise NotImplementedError(
-            "no image codec in this environment — use MediaFeatureActor(fake_decode=True)"
+            "non-PNG payload and no image codec in this environment — "
+            "use MediaFeatureActor(fake_decode=True) or PNG payloads"
         )
     import io
 
     img = _PILImage.open(io.BytesIO(payload))
-    img = img.convert("L").resize((thumb, thumb))
-    return np.asarray(img, dtype=np.int64).ravel()
+    return np.asarray(img.convert("L"), dtype=np.uint8)
+
+
+def decode_image_real(payload: bytes, *, thumb: int = 8) -> np.ndarray:
+    """Real decode → deterministic ``thumb×thumb`` grayscale thumbnail
+    as a flat int64 array (the contract :func:`chunk_image` fakes).
+    The downsample is the integer-exact area mean
+    (`kernel/png.py:gray_thumb`) on every tier, so the value is
+    platform- and codec-independent for PNG inputs."""
+    from dots_ocr_ray.kernel.png import gray_thumb
+
+    return gray_thumb(decode_gray_image(payload), thumb).ravel()
 
 
 class MediaFeatureActor:
@@ -69,11 +92,21 @@ class MediaFeatureActor:
     ``fake_decode`` derives a deterministic 16-dim feature vector from
     the payload bytes (blake2b-seeded), standing in for a real
     embedding model with identical plumbing.
+
+    ``roundtrip=True`` (implies real decode) treats each payload as a
+    PNG carrying a byte string as gray pixels
+    (`fixtures.text_png_payload`): the stage REALLY decodes (zlib
+    inflate + filter reconstruction), recovers the original bytes via
+    the ``meta`` JSON's ``len``, and reports their md5 + length — so
+    an ANSI-SQL oracle (``md5(text)``) certifies genuine pixel decode
+    row by row.  Corrupt payloads route to ``n_bytes=-1``/empty
+    digest, never raise.
     """
 
-    def __init__(self, fake_decode: bool = True, feat_dim: int = 16):
-        self.fake_decode = fake_decode
+    def __init__(self, fake_decode: bool = True, feat_dim: int = 16, roundtrip: bool = False):
+        self.fake_decode = fake_decode and not roundtrip
         self.feat_dim = feat_dim
+        self.roundtrip = roundtrip
 
     def _features(self, payload: bytes) -> np.ndarray:
         if not self.fake_decode:
@@ -102,6 +135,8 @@ class MediaFeatureActor:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch.column("payload").to_pylist()
+        if self.roundtrip:
+            return self._roundtrip_batch(batch, payloads)
         feats = [self._features(p or b"") for p in payloads]
         out = pa.table(
             {
@@ -115,6 +150,39 @@ class MediaFeatureActor:
             }
         )
         return out
+
+    def _roundtrip_batch(self, batch: pa.Table, payloads: list) -> pa.Table:
+        import json
+
+        n_bytes, digests, feats = [], [], []
+        for payload, meta in zip(payloads, batch.column("meta").to_pylist()):
+            try:
+                from dots_ocr_ray.kernel.png import gray_thumb
+
+                want = int(json.loads(meta or "{}").get("len", 0))
+                gray = decode_gray_image(payload or b"")  # ONE real decode per row
+                data = gray.reshape(-1)[:want].tobytes()
+                n_bytes.append(len(data))
+                digests.append(hashlib.md5(data).hexdigest())
+                px = gray_thumb(gray, 8).ravel()
+                reps = -(-self.feat_dim // len(px))
+                v = np.tile(px, reps)[: self.feat_dim].astype(np.float32)
+                feats.append((v - 127.5) / 127.5)
+            except (ValueError, KeyError, TypeError, NotImplementedError):
+                # corrupt PNG (ValueError) or a non-PNG payload on the
+                # codec-free tier (NotImplementedError): error row out
+                n_bytes.append(-1)
+                digests.append("")
+                feats.append(np.zeros(self.feat_dim, dtype=np.float32))
+        return pa.table(
+            {
+                "media_id": batch.column("media_id"),
+                "kind": batch.column("kind"),
+                "n_bytes": pa.array(n_bytes, type=pa.int64()),
+                "digest": pa.array(digests, type=pa.string()),
+                "feat": pa.array([f.tolist() for f in feats], type=pa.list_(pa.float32())),
+            }
+        )
 
 
 class MediaResizeActor:
@@ -177,31 +245,57 @@ class MediaResizeActor:
 
 
 class FrameSampleActor:
-    """Video frame-sampling plumbing: emits ``every_nth`` synthetic
-    frame references per video row (flat_map shape: 1 row → n rows).
-    The actual frame grab is the stubbed codec seam."""
+    """Video frame-sampling stage (flat_map shape: 1 row → n rows).
+
+    Real tier (``fake_decode=False``): payloads are Y4M streams and
+    every ``every_nth``-th frame is genuinely grabbed — header parse,
+    chroma-offset arithmetic, zero-copy luma slice
+    (`kernel/y4m.py:iter_y4m_luma`); the row gains the frame's exact
+    integer mean luma and 8×8-thumbnail digest, and corrupt payloads
+    route to a ``frame_idx=-1`` error row rather than raising.  The
+    fake tier keeps the original 1-frame-per-4KiB plumbing stand-in
+    for non-Y4M containers (the remaining marked seam: real codecs
+    aren't in this sandbox)."""
 
     def __init__(self, every_nth: int = 10, fake_decode: bool = True):
         self.every_nth = every_nth
         self.fake_decode = fake_decode
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        media_ids, frame_idx, frame_digest = [], [], []
+        media_ids, frame_idx, frame_digest, mean_luma = [], [], [], []
         for mid, payload in zip(
             batch.column("media_id").to_pylist(), batch.column("payload").to_pylist()
         ):
             payload = payload or b""
             if not self.fake_decode:
-                # PIL is a still-image codec; the video frame grab
-                # stays a marked seam even when PIL is present
-                raise NotImplementedError(
-                    "no video codec in this environment — use fake_decode=True"
-                )
+                from dots_ocr_ray.kernel.png import gray_thumb
+                from dots_ocr_ray.kernel.y4m import Y4mError, iter_y4m_luma
+
+                try:
+                    for f, luma in iter_y4m_luma(payload):
+                        if f % self.every_nth:
+                            continue
+                        media_ids.append(mid)
+                        frame_idx.append(f)
+                        mean_luma.append(int(luma.sum()) // luma.size)
+                        frame_digest.append(
+                            hashlib.blake2b(
+                                gray_thumb(luma, 8).astype(np.int64).tobytes(),
+                                digest_size=8,
+                            ).hexdigest()
+                        )
+                except Y4mError:
+                    media_ids.append(mid)
+                    frame_idx.append(-1)
+                    mean_luma.append(-1)
+                    frame_digest.append("")
+                continue
             # fake: pretend 1 frame per 4 KiB of payload
             n_frames = max(1, len(payload) // 4096)
             for f in range(0, n_frames, self.every_nth):
                 media_ids.append(mid)
                 frame_idx.append(f)
+                mean_luma.append(-1)
                 frame_digest.append(
                     hashlib.blake2b(payload + f.to_bytes(4, "big"), digest_size=8).hexdigest()
                 )
@@ -209,6 +303,7 @@ class FrameSampleActor:
             {
                 "media_id": pa.array(media_ids, type=pa.int64()),
                 "frame_idx": pa.array(frame_idx, type=pa.int32()),
+                "mean_luma": pa.array(mean_luma, type=pa.int64()),
                 "frame_digest": pa.array(frame_digest, type=pa.string()),
             }
         )
@@ -247,3 +342,29 @@ def phash64(payload: bytes) -> int:
     img = chunk_image(payload)
     bits = (64 * img > img.sum()).astype(np.uint64)
     return int((bits << np.arange(64, dtype=np.uint64)).sum())
+
+
+def phash64_pixels(thumb_flat: np.ndarray) -> int:
+    """Average hash over an already-decoded flat 8×8 thumbnail (the
+    same bit rule as :func:`phash64`, real-pixel tier)."""
+    img = np.asarray(thumb_flat, dtype=np.int64).ravel()[:64]
+    bits = (64 * img > img.sum()).astype(np.uint64)
+    return int((bits << np.arange(64, dtype=np.uint64)).sum())
+
+
+def phash64_png(payload: bytes) -> int:
+    """Perceptual hash over REAL decoded pixels: stdlib PNG decode →
+    integer luma → integer-exact 8×8 area-mean thumbnail → average
+    hash.  Pure kernel shared by the Ray stage and the sequential
+    golden; raises ``ValueError`` for non-PNG bytes."""
+    return phash64_pixels(decode_image_real(payload, thumb=8))
+
+
+def png_text_roundtrip(payload: bytes, n_bytes: int) -> bytes:
+    """Recover the original byte string carried as PNG gray pixels
+    (row-major, zero-padded): REAL decode, then trim to ``n_bytes``.
+    The inverse of `fixtures.text_png_payload` — used by the
+    media-features query so its md5-digest SQL oracle certifies a
+    genuine zlib-inflate + filter-reconstruction pass per row."""
+    gray = decode_gray_image(payload)
+    return gray.reshape(-1)[: int(n_bytes)].tobytes()

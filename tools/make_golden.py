@@ -1703,14 +1703,16 @@ def golden_stemmed_vocab(sf_dir: str, *, top_n: int = 20) -> pa.Table:
 
 
 def golden_media_phash_dups(sf_dir: str, *, max_hamming: int = 3, n_blocks: int = 4) -> pa.Table:
-    """Sequential mirror of the media perceptual-hash dedup: shared
-    phash64 kernel + the same pigeonhole-block candidate generation
-    and exact Hamming verification as golden_dedup_simhash."""
-    from dots_ocr_ray.fixtures import media_payload
-    from dots_ocr_ray.stages.media import phash64
+    """Sequential mirror of the media perceptual-hash dedup over REAL
+    decoded pixels: the shared phash64_png kernel (stdlib PNG decode →
+    integer luma → area-mean thumbnail → average hash) + the same
+    pigeonhole-block candidate generation and exact Hamming
+    verification as golden_dedup_simhash."""
+    from dots_ocr_ray.fixtures import media_png_payload
+    from dots_ocr_ray.stages.media import phash64_png
 
     ids, texts = _read_docs(sf_dir)
-    hs = {i: phash64(media_payload(int(i), t)) for i, t in zip(ids, texts)}
+    hs = {i: phash64_png(media_png_payload(int(i), t)) for i, t in zip(ids, texts)}
     buckets: dict = defaultdict(list)
     for i in ids:
         for b, v in simhash_block_keys(hs[i], n_blocks):
