@@ -6487,6 +6487,62 @@ def _q_video_keyframes(sf_dir: str):
     return frames.select_columns(["media_id", "frame_idx", "mean_luma"])
 
 
+def _q_reading_order_sorted(sf_dir: str):
+    """Geometric reading order for layout-mode (bbox) inputs: each doc
+    presents its spans SCRAMBLED (span_id descending) with pixel
+    bboxes — a full-width header over a two-column body grid — and
+    the engine must recover column-aware reading order via the
+    largest-gap recursive XY-cut kernel
+    (kernel/geometry.py:reading_order — the deterministic counterpart
+    of the reference's LayoutReader decode, reader_helper.py:89-121),
+    including the identity-order fallback for docs planted with an
+    inverted bbox (mirroring layout_service.py:232-235).  Oracle:
+    pure rank arithmetic in ANSI SQL."""
+    import pyarrow as pa
+
+    import ray.data
+
+    from dots_ocr_ray.kernel.geometry import reading_order
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def _rank(batch: pa.Table) -> pa.Table:
+        doc_out, span_out, rank_out = [], [], []
+        for d in batch.column("doc_id").to_pylist():
+            d = int(d)
+            n = 4 + 2 * (d % 3)
+            # input order: span_id DESC (scrambled), so input position
+            # of span s is n - s — the identity-fallback expectation
+            span_ids = list(range(n, -1, -1))
+            boxes = []
+            for s in span_ids:
+                if s == 0:
+                    boxes.append([50, 20, 950, 80])  # full-width header
+                else:
+                    j = s - 1
+                    x1 = 60 + (j % 2) * 480
+                    y1 = 120 + (j // 2) * 110
+                    boxes.append([x1, y1, x1 + 400, y1 + 90])
+            if d % 13 == 4:
+                # planted inverted bbox → kernel must fall back to
+                # identity (input) order for the whole page
+                boxes[0] = [boxes[0][2], boxes[0][3], boxes[0][0], boxes[0][1]]
+            order = reading_order(boxes, 1000, 1000)
+            for pos, inp_idx in enumerate(order):
+                doc_out.append(d)
+                span_out.append(span_ids[inp_idx])
+                rank_out.append(pos)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_out, type=pa.int64()),
+                "span_id": pa.array(span_out, type=pa.int32()),
+                "rank_ro": pa.array(rank_out, type=pa.int32()),
+            }
+        )
+
+    return docs.map_batches(_rank, batch_format="pyarrow")
+
+
 def _q_ucb_event_types(sf_dir: str):
     """UCB1 explore/exploit priorities per event type (the bandit
     scheduling rule a crawler uses to allocate fetches): exact integer
@@ -6777,6 +6833,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ucb_event_types": _q_ucb_event_types,
         "media_phash_dups": _q_media_phash_dups,
         "video_keyframes": _q_video_keyframes,
+        "reading_order_sorted": _q_reading_order_sorted,
         "snm_dedup": _q_snm_dedup,
         "phrase_search": _q_phrase_search,
         "dp_lang_counts": _q_dp_lang_counts,
@@ -7533,6 +7590,17 @@ def oracle_sql() -> dict[str, str]:
             "CROSS JOIN generate_series(0, 15) AS x(x) "
             "WHERE d.doc_id % 6 = 2 "
             "GROUP BY d.doc_id, f.f"
+        ),
+        "reading_order_sorted": (
+            "WITH d AS (SELECT doc_id, 4 + 2*(doc_id % 3) AS n FROM documents) "
+            "SELECT d.doc_id, CAST(j.j AS INTEGER) AS span_id, "
+            "CAST(CASE "
+            "WHEN d.doc_id % 13 = 4 THEN d.n - j.j "
+            "WHEN j.j = 0 THEN 0 "
+            "WHEN (j.j - 1) % 2 = 0 THEN 1 + (j.j - 1) // 2 "
+            "ELSE 1 + d.n // 2 + (j.j - 1) // 2 "
+            "END AS INTEGER) AS rank_ro "
+            "FROM d JOIN generate_series(0, 8) AS j(j) ON j.j <= d.n"
         ),
         "snm_dedup": f"SELECT doc_id, cluster_id FROM read_parquet('{_GOLDEN_DIR}/snm_dedup.parquet')",
         "phrase_search": (

@@ -169,3 +169,98 @@ def exclude_overlap_boxes(cells: list[dict], iou_threshold: float = 0.9) -> list
                 if i in dropped:
                     break
     return [c for k, c in enumerate(cells) if k not in dropped]
+
+
+# ---------------------------------------------------------------------------
+# Geometric reading order (layout mode)
+
+
+READING_ORDER_MIN_GUTTER = 12
+"""Minimum normalized-x gap (of 1000) treated as a column gutter —
+narrower gaps are word/cell spacing, not layout columns."""
+
+
+def reading_order(boxes, width: int, height: int) -> list[int]:
+    """Column-aware geometric reading order for pixel-bbox spans — the
+    deterministic counterpart of the reference's LayoutReader decode
+    (reader_helper.py:89-121): given ``[x1, y1, x2, y2]`` boxes on a
+    ``width×height`` page, return the index permutation that reads
+    top-to-bottom, left-to-right with column detection.
+
+    Mirrors the reference's contract precisely where it is mechanical:
+    boxes are first normalized to the 0-1000 grid exactly as
+    layout_service.py:211-222 does (``int(v * 1000 / dim)``), and ANY
+    invalid input (empty page dims, non-numeric, inverted or
+    out-of-range boxes) falls back to IDENTITY order, mirroring
+    layout_service.py:232-235's except-branch.  In place of the
+    LayoutLMv3 model it runs the classic recursive XY-cut (Nagy &
+    Seth 1984, public domain): split on clear horizontal gaps into
+    bands (top-to-bottom), split bands on vertical gutters ≥
+    ``READING_ORDER_MIN_GUTTER`` into columns (left-to-right),
+    recurse; an unsplittable region orders by (y1, x1, index).
+    """
+    n = len(boxes)
+    if n <= 1:
+        return list(range(n))
+    try:
+        if width <= 0 or height <= 0:
+            raise ValueError("bad page dims")
+        norm = []
+        for b in boxes:
+            x1, y1, x2, y2 = (float(v) for v in b)
+            if not (x1 < x2 and y1 < y2):
+                raise ValueError("inverted bbox")
+            if x1 < 0 or y1 < 0 or x2 > width or y2 > height:
+                raise ValueError("bbox out of page")
+            norm.append(
+                (
+                    int(x1 * 1000 / width),
+                    int(y1 * 1000 / height),
+                    int(x2 * 1000 / width),
+                    int(y2 * 1000 / height),
+                )
+            )
+    except (ValueError, TypeError):
+        return list(range(n))
+    return _xy_cut(list(range(n)), norm)
+
+
+def _largest_gap(idx: list[int], lo: list[int], hi: list[int], min_gap: int) -> tuple[int, int]:
+    """Largest uncovered gap ≥ min_gap in the projection of ``idx``
+    onto one axis → (gap_size, split_coordinate); (0, 0) if none."""
+    order = sorted(idx, key=lambda i: (lo[i], hi[i], i))
+    best, split_at = 0, 0
+    reach = hi[order[0]]
+    for i in order[1:]:
+        gap = lo[i] - reach
+        if gap >= min_gap and gap > best:
+            best, split_at = gap, lo[i]
+        reach = max(reach, hi[i])
+    return best, split_at
+
+
+def _xy_cut(idx: list[int], norm: list[tuple[int, int, int, int]]) -> list[int]:
+    """Recursive largest-gap XY-cut: binary-split the region at the
+    single widest qualifying gap — horizontal gaps (band breaks) need
+    ≥1 unit, vertical gaps (column gutters) ≥ READING_ORDER_MIN_GUTTER
+    — preferring the horizontal cut on ties (top-down bias), so a
+    full-width header splits off before the column gutter is
+    considered, while an aligned row grid inside a column region
+    still reads column-major."""
+    if len(idx) <= 1:
+        return idx
+    x1 = [b[0] for b in norm]
+    y1 = [b[1] for b in norm]
+    x2 = [b[2] for b in norm]
+    y2 = [b[3] for b in norm]
+    y_gap, y_at = _largest_gap(idx, y1, y2, min_gap=1)
+    x_gap, x_at = _largest_gap(idx, x1, x2, min_gap=READING_ORDER_MIN_GUTTER)
+    if y_gap == 0 and x_gap == 0:
+        return sorted(idx, key=lambda i: (y1[i], x1[i], i))
+    if y_gap >= x_gap:
+        first = [i for i in idx if y1[i] < y_at]
+        second = [i for i in idx if y1[i] >= y_at]
+    else:
+        first = [i for i in idx if x1[i] < x_at]
+        second = [i for i in idx if x1[i] >= x_at]
+    return _xy_cut(first, norm) + _xy_cut(second, norm)

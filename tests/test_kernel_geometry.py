@@ -58,3 +58,60 @@ def test_iou_and_overlap_suppression():
     assert iou(big["bbox"], small_inside["bbox"]) > 0.9
     out = exclude_overlap_boxes([big, small_inside, far])
     assert out == [big, far]  # smaller of the overlapping pair dropped
+
+
+# --- geometric reading order -------------------------------------------------
+
+
+def test_reading_order_two_column_with_header():
+    from dots_ocr_ray.kernel.geometry import reading_order
+
+    boxes = [[50, 20, 950, 80]]  # full-width header
+    for j in range(6):
+        x1 = 60 + (j % 2) * 480
+        y1 = 120 + (j // 2) * 110
+        boxes.append([x1, y1, x1 + 400, y1 + 90])
+    # header first, then LEFT column top-to-bottom, then right —
+    # column-major even though the row grid is y-aligned
+    assert reading_order(boxes, 1000, 1000) == [0, 1, 3, 5, 2, 4, 6]
+
+
+def test_reading_order_misaligned_columns_and_single_column():
+    from dots_ocr_ray.kernel.geometry import reading_order
+
+    boxes = []
+    for j in range(4):
+        boxes.append([60, 100 + j * 120, 460, 190 + j * 120])
+    for j in range(5):
+        boxes.append([540, 80 + j * 100, 940, 150 + j * 100])
+    assert reading_order(boxes, 1000, 1000) == list(range(9))
+    # single column: pure top-to-bottom regardless of x or input order
+    col = [[300, 500, 700, 600], [100, 100, 900, 200], [200, 300, 800, 400]]
+    assert reading_order(col, 1000, 1000) == [1, 2, 0]
+
+
+def test_reading_order_identity_fallback():
+    from dots_ocr_ray.kernel.geometry import reading_order
+
+    good = [[0, 0, 100, 50], [0, 60, 100, 110]]
+    assert reading_order(good, 200, 200) == [0, 1]
+    # inverted box, out-of-page box, bad dims, non-numeric → identity
+    assert reading_order([[100, 50, 0, 0], good[1]], 200, 200) == [0, 1]
+    assert reading_order([good[0], [0, 60, 100, 999]], 200, 200) == [0, 1]
+    assert reading_order(good, 0, 200) == [0, 1]
+    assert reading_order([good[0], ["x", 0, 1, 1]], 200, 200) == [0, 1]
+    assert reading_order([], 100, 100) == []
+
+
+def test_reading_order_narrow_gap_is_not_a_gutter():
+    from dots_ocr_ray.kernel.geometry import reading_order
+
+    # 8-unit x gap (< READING_ORDER_MIN_GUTTER): word spacing, not a
+    # column break → top-to-bottom, left-to-right within lines
+    boxes = [
+        [0, 0, 496, 100],
+        [504, 0, 1000, 100],
+        [0, 120, 496, 220],
+        [504, 120, 1000, 220],
+    ]
+    assert reading_order(boxes, 1000, 1000) == [0, 1, 2, 3]
