@@ -6487,6 +6487,98 @@ def _q_video_keyframes(sf_dir: str):
     return frames.select_columns(["media_id", "frame_idx", "mean_luma"])
 
 
+def _q_warc_extract_counts(sf_dir: str):
+    """Common-Crawl-NATIVE extraction under the SQL oracle: the
+    documents table is first serialized into real gzipped WARC shards
+    (ISO 28500 response records, one gzip member each — 8 shards by
+    doc_id, Ray task per shard, cached under /tmp), then the full
+    WARC path runs for real — record parse, HTTP payload split,
+    streaming gzip (sources/warc.py:read_warc) → actor-pool extraction
+    (pipelines/extract.py:extract_pages) → per-status rollup.  WARC
+    records carry no crawler text column, so fallback-rule docs land
+    in 'failed' — the oracle mirrors that with the same arithmetic as
+    the extract_text rules."""
+    import glob as globmod
+    import hashlib
+    import os
+    import shutil
+
+    import pyarrow as pa
+
+    import ray
+    import ray.data
+
+    from dots_ocr_ray.fixtures import page_row_from_document
+    from dots_ocr_ray.pipelines.extract import extract_pages
+    from dots_ocr_ray.sources.warc import make_warc_bytes, read_warc
+    from dots_ocr_ray.util import bounded_blocks
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    warc_dir = f"/tmp/graft_warc_fixture/{tag}"
+    done = os.path.join(warc_dir, "_DONE")
+    if not os.path.exists(done):
+        shutil.rmtree(warc_dir, ignore_errors=True)
+        os.makedirs(warc_dir, exist_ok=True)
+
+        @ray.remote
+        def _write_shard(shard: int) -> None:
+            import pyarrow.parquet as pq_mod
+
+            tbl = pq_mod.read_table(
+                f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+            )
+            recs = []
+            for d, t, lg in sorted(
+                zip(
+                    tbl.column("doc_id").to_pylist(),
+                    tbl.column("text").to_pylist(),
+                    tbl.column("lang").to_pylist(),
+                )
+            ):
+                if d % 8 != shard:
+                    continue
+                row = page_row_from_document(int(d), t, lg)
+                recs.append(
+                    {"url": row["url"], "date": "2025-01-01T00:00:00Z", "html": row["html"]}
+                )
+            with open(os.path.join(warc_dir, f"shard-{shard}.warc.gz"), "wb") as f:
+                f.write(make_warc_bytes(recs, compress=True))
+
+        ray.get([_write_shard.remote(s) for s in range(8)])
+        with open(done, "w") as f:
+            f.write("ok")
+
+    pages = read_warc(sorted(globmod.glob(os.path.join(warc_dir, "*.warc.gz"))))
+    extracted = extract_pages(pages, batch_size=64)
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        lens = pc.utf8_length(
+            pc.fill_null(batch.column("extracted_text"), "")
+        ).cast(pa.int64())
+        t = pa.table({"status": batch.column("status"), "chars": lens})
+        out = t.group_by("status").aggregate([("chars", "sum"), ([], "count_all")])
+        return out.rename_columns(["status", "chars", "n"])
+
+    agg = (
+        bounded_blocks(extracted.map_batches(_partial, batch_format="pyarrow"))
+        .groupby("status")
+        .sum(["chars", "n"])
+    )
+
+    def _final(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "status": batch.column("status"),
+                "n_pages": batch.column("sum(n)").cast(pa.int64()),
+                "sum_chars": batch.column("sum(chars)").cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(_final, batch_format="pyarrow")
+
+
 def _q_reading_order_sorted(sf_dir: str):
     """Geometric reading order for layout-mode (bbox) inputs: each doc
     presents its spans SCRAMBLED (span_id descending) with pixel
@@ -6834,6 +6926,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_phash_dups": _q_media_phash_dups,
         "video_keyframes": _q_video_keyframes,
         "reading_order_sorted": _q_reading_order_sorted,
+        "warc_extract_counts": _q_warc_extract_counts,
         "snm_dedup": _q_snm_dedup,
         "phrase_search": _q_phrase_search,
         "dp_lang_counts": _q_dp_lang_counts,
@@ -7601,6 +7694,16 @@ def oracle_sql() -> dict[str, str]:
             "ELSE 1 + d.n // 2 + (j.j - 1) // 2 "
             "END AS INTEGER) AS rank_ro "
             "FROM d JOIN generate_series(0, 8) AS j(j) ON j.j <= d.n"
+        ),
+        "warc_extract_counts": (
+            "SELECT status, CAST(count(*) AS BIGINT) AS n_pages, "
+            "CAST(sum(chars) AS BIGINT) AS sum_chars FROM ("
+            "SELECT CASE WHEN doc_id % 31 = 11 OR doc_id % 23 = 7 "
+            "THEN 'failed' ELSE 'finished' END AS status, "
+            "CASE WHEN doc_id % 31 = 11 OR doc_id % 23 = 7 THEN 0 "
+            "ELSE length('Doc ' || doc_id || chr(10) || chr(10) || trim(text) "
+            "|| chr(10) || chr(10) || 'Footer ' || (doc_id % 40)) END AS chars "
+            "FROM documents) GROUP BY status"
         ),
         "snm_dedup": f"SELECT doc_id, cluster_id FROM read_parquet('{_GOLDEN_DIR}/snm_dedup.parquet')",
         "phrase_search": (

@@ -966,11 +966,16 @@ def cluster_assign(
         return ids_ds.map_batches(_identity, batch_format="pyarrow")
 
     if method == "driver":
-        a_chunks: list[np.ndarray] = []
-        b_chunks: list[np.ndarray] = []
-        for b in pairs_ds.iter_batches(batch_format="pyarrow"):
-            a_chunks.append(_int_col(b, "a"))
-            b_chunks.append(_int_col(b, "b"))
+        # fetch the (materialized, bounded) pair blocks as zero-copy
+        # object-store refs — iter_batches' iterator machinery costs
+        # ~4.3 s for 6.5M pairs where the direct block fetch is 0.08 s
+        # (measured round 5); the pair budget caps driver heap at
+        # ~256 MB
+        blocks = ray.get(pairs_ds.to_arrow_refs())
+        a_chunks = [_int_col(t, "a") for t in blocks if t.num_rows]
+        b_chunks = [_int_col(t, "b") for t in blocks if t.num_rows]
+        if not a_chunks:
+            a_chunks, b_chunks = [np.zeros(0, dtype=np.int64)], [np.zeros(0, dtype=np.int64)]
         nodes, labels = _min_labels_numpy(
             np.concatenate(a_chunks), np.concatenate(b_chunks)
         )
