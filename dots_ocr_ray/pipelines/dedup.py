@@ -399,8 +399,10 @@ def _collect_sorted_ids(
 ) -> np.ndarray:
     """Distinct ids of a (small, materialized) id table as ONE sorted
     int64 array — the broadcast payload of the driver tier."""
+    from dots_ocr_ray.util import collect_arrow_blocks
+
     chunks: list[np.ndarray] = []
-    for b in ids_ds.iter_batches(batch_format="pyarrow"):
+    for b in collect_arrow_blocks(ids_ds):
         for col in id_cols:
             chunks.append(_int_col(b, col))
     return np.unique(np.concatenate(chunks)) if chunks else np.array([], np.int64)
@@ -971,9 +973,11 @@ def cluster_assign(
         # ~4.3 s for 6.5M pairs where the direct block fetch is 0.08 s
         # (measured round 5); the pair budget caps driver heap at
         # ~256 MB
-        blocks = ray.get(pairs_ds.to_arrow_refs())
-        a_chunks = [_int_col(t, "a") for t in blocks if t.num_rows]
-        b_chunks = [_int_col(t, "b") for t in blocks if t.num_rows]
+        from dots_ocr_ray.util import collect_arrow_blocks
+
+        blocks = collect_arrow_blocks(pairs_ds)
+        a_chunks = [_int_col(t, "a") for t in blocks]
+        b_chunks = [_int_col(t, "b") for t in blocks]
         if not a_chunks:
             a_chunks, b_chunks = [np.zeros(0, dtype=np.int64)], [np.zeros(0, dtype=np.int64)]
         nodes, labels = _min_labels_numpy(

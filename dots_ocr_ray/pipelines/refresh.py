@@ -167,12 +167,10 @@ def refresh_corpus(
         fs.create_dir(posixpath.join(root, sub), recursive=True)
     import pyarrow.parquet as pq
 
+    from dots_ocr_ray.util import collect_arrow_blocks
+
     md5_tbl = pa.concat_tables(
-        list(
-            survivors.select_columns(["content_md5"]).iter_batches(
-                batch_format="pyarrow"
-            )
-        )
+        collect_arrow_blocks(survivors.select_columns(["content_md5"]))
         or [pa.table({"content_md5": pa.array([], type=pa.string())})]
     )
     with fs.open_output_stream(
@@ -180,11 +178,7 @@ def refresh_corpus(
     ) as f:
         pq.write_table(md5_tbl, f)
     sig_tbl = pa.concat_tables(
-        list(
-            minhash_signatures(survivors, num_perm=num_perm).iter_batches(
-                batch_format="pyarrow"
-            )
-        )
+        collect_arrow_blocks(minhash_signatures(survivors, num_perm=num_perm))
         or [
             pa.table(
                 {

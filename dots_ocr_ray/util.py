@@ -162,6 +162,18 @@ def cached_object(ref):
     return _BROADCAST_CACHE[key]
 
 
+def collect_arrow_blocks(ds) -> list:
+    """Driver-side fetch of a Dataset's blocks as Arrow tables via
+    ``to_arrow_refs`` + one ``ray.get`` — zero-copy plasma reads,
+    measured ~50× faster than ``iter_batches``'s iterator machinery on
+    multi-million-row pulls (4.3 s → 0.08 s for 6.5M pairs, round 5).
+    Use for bounded driver-side collections (side tables, pair lists,
+    partial aggregates); empty blocks are dropped."""
+    import ray as _ray
+
+    return [t for t in _ray.get(ds.to_arrow_refs()) if t.num_rows]
+
+
 def bounded_blocks(ds, rows_per_block: int = 65536):
     """Materialize ``ds`` and cap its block count at
     max(cpus, rows/rows_per_block).
