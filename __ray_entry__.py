@@ -69,7 +69,7 @@ def _extract_ds(sf_dir: str):
     from dots_ocr_ray.sources.pages import pages_from_documents
 
     pages = pages_from_documents(sf_dir, override_num_blocks=8)
-    return extract_pages(pages, batch_size=64)
+    return extract_pages(pages, batch_size=64, dispatch="tasks")
 
 
 def _q_extract_text(sf_dir: str):
@@ -133,7 +133,7 @@ def _q_describe_docs(sf_dir: str):
     from dots_ocr_ray.stages.describe import describe_pictures
 
     pages = pages_from_documents(sf_dir, override_num_blocks=8, with_images=True)
-    extracted = extract_pages(pages, batch_size=64)
+    extracted = extract_pages(pages, batch_size=64, dispatch="tasks")
     described = describe_pictures(extracted, batch_size=64)
     return described.select_columns(["doc_id", "extracted_text", "n_spans", "status"])
 
@@ -481,7 +481,7 @@ def _q_extract_category_counts(sf_dir: str):
     from dots_ocr_ray.sources.pages import pages_from_documents
 
     pages = pages_from_documents(sf_dir, override_num_blocks=8)
-    ds = extract_pages(pages, ExtractConfig(mode=MODE_LAYOUT_ONLY), batch_size=64)
+    ds = extract_pages(pages, ExtractConfig(mode=MODE_LAYOUT_ONLY), batch_size=64, dispatch="tasks")
 
     def _explode(batch: pa.Table) -> pa.Table:
         cats = []
@@ -531,7 +531,7 @@ def _q_domain_stats(sf_dir: str):
     from dots_ocr_ray.sources.pages import pages_from_documents
 
     pages = pages_from_documents(sf_dir, override_num_blocks=8)
-    extracted = extract_pages(pages, batch_size=64)
+    extracted = extract_pages(pages, batch_size=64, dispatch="tasks")
     out = metrics_by_domain(extracted, n_salt=8)
     return out.select_columns(["domain", "rows", "ok"])
 
@@ -833,7 +833,7 @@ def _q_extract_grounding(sf_dir: str):
     # column ≥ 150.  The region below therefore selects exactly the
     # Title span on every normal row.
     cfg = ExtractConfig(mode=MODE_GROUNDING, grounding_bbox=(0, 0, 148, 3))
-    ds = extract_pages(pages, cfg, batch_size=64)
+    ds = extract_pages(pages, cfg, batch_size=64, dispatch="tasks")
     return ds.select_columns(["doc_id", "extracted_text", "status", "n_spans"])
 
 
@@ -6549,7 +6549,7 @@ def _q_warc_extract_counts(sf_dir: str):
             f.write("ok")
 
     pages = read_warc(sorted(globmod.glob(os.path.join(warc_dir, "*.warc.gz"))))
-    extracted = extract_pages(pages, batch_size=64)
+    extracted = extract_pages(pages, batch_size=64, dispatch="tasks")
 
     def _partial(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc

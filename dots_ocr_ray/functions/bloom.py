@@ -141,15 +141,16 @@ def bloom_anti_join(
     always dropped."""
     bloom_ref = ray.put(bloom)
 
-    class _Filter:
-        def __init__(self):
-            self.bloom = ray.get(bloom_ref)
+    def _filter(batch: pa.Table) -> pa.Table:
+        from dots_ocr_ray.util import cached_object
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            mask = pa.array([k not in self.bloom for k in batch.column(key_col).to_pylist()])
-            return batch.filter(mask)
+        bf = cached_object(bloom_ref)
+        mask = pa.array([k not in bf for k in batch.column(key_col).to_pylist()])
+        return batch.filter(mask)
 
-    return ds.map_batches(_Filter, batch_format="pyarrow", concurrency=(1, 4))
+    # task stage, bloom via the per-worker broadcast cache: no pool
+    # ramp and no 4-actor parallelism cap
+    return ds.map_batches(_filter, batch_format="pyarrow")
 
 
 def bloom_semi_join(
@@ -159,12 +160,11 @@ def bloom_semi_join(
     downstream if false positives matter."""
     bloom_ref = ray.put(bloom)
 
-    class _Filter:
-        def __init__(self):
-            self.bloom = ray.get(bloom_ref)
+    def _filter(batch: pa.Table) -> pa.Table:
+        from dots_ocr_ray.util import cached_object
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            mask = pa.array([k in self.bloom for k in batch.column(key_col).to_pylist()])
-            return batch.filter(mask)
+        bf = cached_object(bloom_ref)
+        mask = pa.array([k in bf for k in batch.column(key_col).to_pylist()])
+        return batch.filter(mask)
 
-    return ds.map_batches(_Filter, batch_format="pyarrow", concurrency=(1, 4))
+    return ds.map_batches(_filter, batch_format="pyarrow")

@@ -45,6 +45,24 @@ def read_pages(path: str, columns: list[str] | None = None, override_num_blocks:
     return ray.data.read_parquet(path, columns=columns, **kwargs)
 
 
+_TASK_EXTRACTORS: dict = {}
+
+
+def _extract_batch_task(batch: pa.Table, *, config, num_partitions: int) -> pa.Table:
+    """Task-dispatch wrapper around the SAME ExtractorActor logic: the
+    instance is built once per WORKER PROCESS (module-level cache —
+    worker processes stay warm across tasks) instead of once per pool
+    actor, so a query-sized run pays zero pool-ramp.  Output is
+    bit-identical to the actor path (same __call__)."""
+    key = (repr(config), num_partitions)
+    actor = _TASK_EXTRACTORS.get(key)
+    if actor is None:
+        actor = ExtractorActor(config=config, num_partitions=num_partitions)
+        _TASK_EXTRACTORS.clear()  # one live config per worker is plenty
+        _TASK_EXTRACTORS[key] = actor
+    return actor(batch)
+
+
 def extract_pages(
     pages: ray.data.Dataset,
     config: ExtractConfig | None = None,
@@ -55,8 +73,16 @@ def extract_pages(
     out_dir: str | None = None,
     resume: bool = True,
     num_cpus: float = 1.0,
+    dispatch: str = "actors",
 ) -> ray.data.Dataset:
-    """Run the extraction actor pool over a pages Dataset.
+    """Run the extraction stage over a pages Dataset.
+
+    ``dispatch="actors"`` (default) is the model seam: an actor pool
+    whose per-actor ``__init__`` is where a real VLM/layout model
+    loads once (reference A1/A3).  ``dispatch="tasks"`` runs the SAME
+    kernel as plain tasks with a per-worker-process warm instance —
+    right for the built-in heuristic kernel whose state is compiled
+    regexes (module-warm anyway): no pool ramp, identical output.
 
     ``num_cpus`` sets the per-actor CPU reservation (per-stage resource
     sizing: raise it for a heavier model-backed extractor so
@@ -84,22 +110,32 @@ def extract_pages(
 
             ds = ds.map_batches(_not_done, batch_format="pyarrow", batch_size=batch_size)
 
-    if concurrency is None:
-        # autoscaling pool leaving headroom for read/write stages so the
-        # pool doesn't starve them (ray_guide: size concurrency×num_cpus
-        # below the node's CPU count); min 1 so small jobs skip the ramp
-        from dots_ocr_ray.util import autoscale_pool
+    if dispatch == "tasks":
+        extracted = ds.map_batches(
+            _extract_batch_task,
+            fn_kwargs={"config": config or ExtractConfig(), "num_partitions": num_partitions},
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            num_cpus=num_cpus,
+        )
+    else:
+        if concurrency is None:
+            # autoscaling pool leaving headroom for read/write stages so
+            # the pool doesn't starve them (ray_guide: size
+            # concurrency×num_cpus below the node's CPU count); min 1 so
+            # small jobs skip the ramp
+            from dots_ocr_ray.util import autoscale_pool
 
-        concurrency = autoscale_pool()
+            concurrency = autoscale_pool()
 
-    extracted = ds.map_batches(
-        ExtractorActor,
-        fn_constructor_kwargs={"config": config or ExtractConfig(), "num_partitions": num_partitions},
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=concurrency,
-        num_cpus=num_cpus,
-    )
+        extracted = ds.map_batches(
+            ExtractorActor,
+            fn_constructor_kwargs={"config": config or ExtractConfig(), "num_partitions": num_partitions},
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency,
+            num_cpus=num_cpus,
+        )
 
     if out_dir is None:
         return extracted

@@ -187,3 +187,31 @@ def test_host_failure_wilson_bounds(ray_session):
     assert out.loc["b.com", "wilson_lb_micro"] == int(np.floor(1e6 * wilson_lb(10, 100)))
     # wilson_lb(1,2) ≈ 0.095 — far below the raw 0.5 ratio
     assert out.loc["a.com", "wilson_lb_micro"] < 150_000
+
+
+def test_task_dispatch_bit_identical_to_actor_pool(ray_session):
+    """extract_pages(dispatch="tasks") — the no-pool-ramp path for the
+    stateless heuristic kernel — must produce bit-identical results to
+    the actor-pool path (same ExtractorActor.__call__ under both)."""
+    from dots_ocr_ray.pipelines.extract import extract_pages
+    from dots_ocr_ray.sources.pages import pages_from_documents
+
+    sf = "/root/testdata/sf0.001"
+    a = (
+        extract_pages(pages_from_documents(sf, override_num_blocks=4), batch_size=64)
+        .to_pandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    b = (
+        extract_pages(
+            pages_from_documents(sf, override_num_blocks=4),
+            batch_size=64,
+            dispatch="tasks",
+        )
+        .to_pandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    assert a.drop(columns=["spans"]).equals(b.drop(columns=["spans"]))
+    assert (a["spans"].astype(str) == b["spans"].astype(str)).all()
