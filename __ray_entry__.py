@@ -365,7 +365,7 @@ def _q_media_features(sf_dir: str):
     from dots_ocr_ray.fixtures import text_png_payload
     from dots_ocr_ray.stages.media import MediaFeatureActor
 
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"], override_num_blocks=32)
 
     def _to_media(batch: pa.Table) -> pa.Table:
         texts = batch.column("text").to_pylist()
@@ -381,14 +381,13 @@ def _q_media_features(sf_dir: str):
             }
         )
 
+    def _feat(batch: pa.Table) -> pa.Table:
+        # stateless decode: task dispatch (a 2-actor pool serializes
+        # the whole corpus's decode behind two processes)
+        return MediaFeatureActor(roundtrip=True)(batch)
+
     media = docs.map_batches(_to_media, batch_format="pyarrow")
-    feats = media.map_batches(
-        MediaFeatureActor,
-        fn_constructor_kwargs={"roundtrip": True},
-        batch_format="pyarrow",
-        batch_size=64,
-        concurrency=2,
-    )
+    feats = media.map_batches(_feat, batch_format="pyarrow", batch_size=64)
     return feats.select_columns(["media_id", "n_bytes", "digest"])
 
 
@@ -6420,7 +6419,8 @@ def _q_media_phash_dups(sf_dir: str):
     from dots_ocr_ray.pipelines.dedup import hash64_cluster
     from dots_ocr_ray.stages.media import phash64_png
 
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"], override_num_blocks=32)
+    # split the single-file read so the per-row PNG decode parallelizes
 
     def _sig(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_pylist()
@@ -6476,14 +6476,12 @@ def _q_video_keyframes(sf_dir: str):
             }
         )
 
+    def _frames(batch: pa.Table) -> pa.Table:
+        # stateless container parse: task dispatch
+        return FrameSampleActor(every_nth=2, fake_decode=False)(batch)
+
     media = docs.map_batches(_to_media, batch_format="pyarrow")
-    frames = media.map_batches(
-        FrameSampleActor,
-        fn_constructor_kwargs={"every_nth": 2, "fake_decode": False},
-        batch_format="pyarrow",
-        batch_size=64,
-        concurrency=2,
-    )
+    frames = media.map_batches(_frames, batch_format="pyarrow", batch_size=64)
     return frames.select_columns(["media_id", "frame_idx", "mean_luma"])
 
 
