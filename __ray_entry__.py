@@ -6485,6 +6485,115 @@ def _q_video_keyframes(sf_dir: str):
     return frames.select_columns(["media_id", "frame_idx", "mean_luma"])
 
 
+def _q_sitemap_urls(sf_dir: str):
+    """Crawl-frontier ingestion from REAL sitemap XML: the documents
+    table is serialized as a gzipped ``<sitemapindex>`` + 4 shard
+    ``<urlset>`` files (one Ray task per shard file, cached in /tmp),
+    and the engine must genuinely parse the protocol — index
+    expansion, W3C lastmod dates, priority validation (an out-of-range
+    planted priority must become NULL) — via
+    `sources/sitemap.py:read_sitemap`.  Every field is doc_id
+    arithmetic, so the oracle is pure ANSI SQL."""
+    import hashlib
+    import os
+    import shutil
+
+    import pyarrow as pa
+
+    import ray
+    import ray.data
+
+    from dots_ocr_ray.sources.sitemap import make_sitemap_bytes, read_sitemap
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    sm_dir = f"/tmp/graft_sitemap_fixture/{tag}"
+    done = os.path.join(sm_dir, "_DONE")
+    freqs = ("daily", "weekly", "monthly", "never")
+    if not os.path.exists(done):
+        shutil.rmtree(sm_dir, ignore_errors=True)
+        os.makedirs(sm_dir, exist_ok=True)
+
+        @ray.remote
+        def _write_shard(shard: int) -> None:
+            import pyarrow.parquet as pq_mod
+
+            ids = sorted(
+                int(d)
+                for d in pq_mod.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+                .column("doc_id")
+                .to_pylist()
+                if d % 4 == shard
+            )
+            entries = []
+            for d in ids:
+                day = 1 + d % 28
+                month = 1 + (d // 28) % 12
+                entries.append(
+                    {
+                        "url": f"https://example-{d % 40:02d}.com/doc-{d:06d}",
+                        "lastmod": f"2025-{month:02d}-{day:02d}",
+                        "changefreq": freqs[(d // 7) % 4],
+                        # doc_id % 29 == 3 plants an out-of-range
+                        # priority the parser must reject to NULL
+                        "priority": "2.5" if d % 29 == 3 else f"{(d % 11) / 10:.1f}",
+                    }
+                )
+            with open(os.path.join(sm_dir, f"urls-{shard}.xml.gz"), "wb") as f:
+                f.write(make_sitemap_bytes(entries, compress=True))
+
+        ray.get([_write_shard.remote(s) for s in range(4)])
+        index = make_sitemap_bytes(
+            [{"loc": f"https://example.com/urls-{s}.xml.gz"} for s in range(4)], index=True
+        )
+        with open(os.path.join(sm_dir, "sitemap-index.xml"), "wb") as f:
+            f.write(index)
+        with open(done, "w") as f:
+            f.write("ok")
+
+    return read_sitemap(os.path.join(sm_dir, "sitemap-index.xml"))
+
+
+def _q_image_captions(sf_dir: str):
+    """The describe-pool (A2) analog over REAL decoded pixels: docs
+    with ``doc_id % 5 == 2`` (the IMAGE_MOD describe rule) carry a real
+    PNG whose pixel field is pure arithmetic, and the caption stage
+    must decode it (stdlib PNG tier) to report the exact dimensions
+    and integer mean the caption embeds — a deterministic stand-in
+    for the reference's InternVL captioner
+    (app/utils/executor/ocr_task.py:150-203) whose output is
+    certified row-by-row by generate_series SQL arithmetic."""
+    import pyarrow as pa
+
+    import ray.data
+
+    from dots_ocr_ray.kernel.png import encode_png
+    from dots_ocr_ray.stages.media import caption_image_real
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"], override_num_blocks=32
+    )
+
+    def _caption(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = [int(d) for d in batch.column("doc_id").to_pylist() if d % 5 == 2]
+        captions = []
+        for d in ids:
+            w = 24 + d % 9
+            h = 16 + d % 5
+            y, x = np.mgrid[0:h, 0:w]
+            img = ((7 * d + y * w + x) % 256).astype(np.uint8)
+            captions.append(caption_image_real(encode_png(img, filter_mode="rotate")))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "caption": pa.array(captions, type=pa.string()),
+            }
+        )
+
+    return docs.map_batches(_caption, batch_format="pyarrow")
+
+
 def _q_warc_extract_counts(sf_dir: str):
     """Common-Crawl-NATIVE extraction under the SQL oracle: the
     documents table is first serialized into real gzipped WARC shards
@@ -6925,6 +7034,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "video_keyframes": _q_video_keyframes,
         "reading_order_sorted": _q_reading_order_sorted,
         "warc_extract_counts": _q_warc_extract_counts,
+        "image_captions": _q_image_captions,
+        "sitemap_urls": _q_sitemap_urls,
         "snm_dedup": _q_snm_dedup,
         "phrase_search": _q_phrase_search,
         "dp_lang_counts": _q_dp_lang_counts,
@@ -7692,6 +7803,23 @@ def oracle_sql() -> dict[str, str]:
             "ELSE 1 + d.n // 2 + (j.j - 1) // 2 "
             "END AS INTEGER) AS rank_ro "
             "FROM d JOIN generate_series(0, 8) AS j(j) ON j.j <= d.n"
+        ),
+        "sitemap_urls": (
+            "SELECT 'https://example-' || lpad(CAST(doc_id % 40 AS VARCHAR), 2, '0') "
+            "|| '.com/doc-' || lpad(CAST(doc_id AS VARCHAR), 6, '0') AS url, "
+            "CAST(make_date(2025, 1 + (doc_id // 28) % 12, 1 + doc_id % 28) AS TIMESTAMP) AS lastmod, "
+            "CASE (doc_id // 7) % 4 WHEN 0 THEN 'daily' WHEN 1 THEN 'weekly' "
+            "WHEN 2 THEN 'monthly' ELSE 'never' END AS changefreq, "
+            "CAST(CASE WHEN doc_id % 29 = 3 THEN NULL ELSE (doc_id % 11) * 100 END AS INTEGER) AS priority_milli "
+            "FROM documents"
+        ),
+        "image_captions": (
+            "WITH dims AS (SELECT doc_id, 24 + doc_id % 9 AS w, 16 + doc_id % 5 AS h "
+            "FROM documents WHERE doc_id % 5 = 2) "
+            "SELECT d.doc_id, '[image ' || d.w || 'x' || d.h || ' mean ' || "
+            "CAST(SUM((7*d.doc_id + p.p) % 256) // (d.w * d.h) AS BIGINT) || ']' AS caption "
+            "FROM dims d JOIN generate_series(0, 639) AS p(p) ON p.p < d.w * d.h "
+            "GROUP BY d.doc_id, d.w, d.h"
         ),
         "warc_extract_counts": (
             "SELECT status, CAST(count(*) AS BIGINT) AS n_pages, "

@@ -360,6 +360,21 @@ def phash64_png(payload: bytes) -> int:
     return phash64_pixels(decode_image_real(payload, thumb=8))
 
 
+def caption_image_real(payload: bytes) -> str:
+    """Deterministic caption from REAL decoded pixels — the
+    describe-pool (A2) stand-in whose every field is verifiable:
+    ``[image WxH mean M]`` with M the exact integer mean gray value.
+    A real captioning model drops in at this seam; corrupt payloads
+    caption as ``[image invalid]``, never raise."""
+    try:
+        gray = decode_gray_image(payload)
+    except (ValueError, NotImplementedError):
+        return "[image invalid]"
+    h, w = gray.shape
+    m = int(gray.astype(np.int64).sum()) // max(1, gray.size)
+    return f"[image {w}x{h} mean {m}]"
+
+
 def png_text_roundtrip(payload: bytes, n_bytes: int) -> bytes:
     """Recover the original byte string carried as PNG gray pixels
     (row-major, zero-padded): REAL decode, then trim to ``n_bytes``.
