@@ -134,7 +134,7 @@ def _q_describe_docs(sf_dir: str):
 
     pages = pages_from_documents(sf_dir, override_num_blocks=8, with_images=True)
     extracted = extract_pages(pages, batch_size=64, dispatch="tasks")
-    described = describe_pictures(extracted, batch_size=64)
+    described = describe_pictures(extracted, batch_size=64, dispatch="tasks")
     return described.select_columns(["doc_id", "extracted_text", "n_spans", "status"])
 
 

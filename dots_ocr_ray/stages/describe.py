@@ -109,6 +109,7 @@ def describe_pictures(
     batch_size: int = 64,
     caption_fn=None,
     describe_special: bool = False,
+    dispatch: str = "actors",
 ):
     """Chain the describe pool after extraction (the reference's
     optional ``describe_picture`` job flag as a pipeline stage).
@@ -116,12 +117,26 @@ def describe_pictures(
     ``describe_special=True`` extends the pool to Table and Formula
     spans and overwrites their text with the caption — the reference's
     category=["Picture","Table","Formula"] path (ocr_task.py:602-613).
+
+    ``dispatch="tasks"`` runs the same stage as plain tasks (per-batch
+    instance — construction is free for the deterministic captioner);
+    the actor pool stays the default as the real-model seam.
     """
     from dots_ocr_ray.util import autoscale_pool
 
     kwargs = {"caption_fn": caption_fn}
     if describe_special:
         kwargs.update({"categories": DESCRIBE_ALL_CATEGORIES, "overwrite": True})
+    if dispatch == "tasks":
+
+        def _describe_batch(batch: pa.Table) -> pa.Table:
+            return PictureDescribeActor(**kwargs)(batch)
+
+        return extracted.map_batches(
+            _describe_batch,
+            batch_format="pyarrow",
+            batch_size=batch_size,
+        )
     return extracted.map_batches(
         PictureDescribeActor,
         fn_constructor_kwargs=kwargs,
