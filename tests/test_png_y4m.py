@@ -271,3 +271,74 @@ def test_media_feature_actor_roundtrip_mode(ray_session):
         assert out.loc[i, "n_bytes"] == len(data)
         assert out.loc[i, "digest"] == hashlib.md5(data).hexdigest()
     assert out.loc[3, "n_bytes"] == -1 and out.loc[3, "digest"] == ""
+
+
+# --- property fuzz -----------------------------------------------------------
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    h=st.integers(1, 40),
+    w=st.integers(1, 40),
+    channels=st.sampled_from([1, 3]),
+    filter_mode=st.sampled_from([0, 1, 2, 3, 4, "rotate"]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_png_roundtrip_fuzz(h, w, channels, filter_mode, seed):
+    rng = np.random.RandomState(seed)
+    shape = (h, w) if channels == 1 else (h, w, channels)
+    img = rng.randint(0, 256, shape, dtype=np.uint8)
+    out = decode_png(encode_png(img, filter_mode=filter_mode))
+    assert out.shape == (h, w, channels)
+    assert (out.reshape(shape) == img).all()
+
+
+@settings(max_examples=30, deadline=None)
+@given(data=st.binary(max_size=300))
+def test_png_decode_never_crashes_on_garbage(data):
+    for payload in (data, _SIGNATURE + data):
+        try:
+            decode_png(payload)
+        except PngError:
+            pass  # the only allowed failure mode
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    n=st.integers(1, 5),
+    h=st.integers(1, 12),
+    w=st.integers(1, 12),
+    cs=st.sampled_from(["420", "422", "444", "mono"]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_y4m_roundtrip_fuzz(n, h, w, cs, seed):
+    rng = np.random.RandomState(seed)
+    frames = rng.randint(0, 256, (n, h, w), dtype=np.uint8)
+    got = list(iter_y4m_luma(encode_y4m(frames, colorspace=cs)))
+    assert len(got) == n
+    for f, luma in got:
+        assert (luma == frames[f]).all()
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    n=st.integers(0, 12),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_reading_order_is_always_a_permutation(n, seed):
+    from dots_ocr_ray.kernel.geometry import reading_order
+
+    rng = np.random.RandomState(seed)
+    boxes = []
+    for _ in range(n):
+        x1 = int(rng.randint(0, 900))
+        y1 = int(rng.randint(0, 900))
+        boxes.append([x1, y1, x1 + int(rng.randint(1, 100)), y1 + int(rng.randint(1, 100))])
+    order = reading_order(boxes, 1000, 1000)
+    assert sorted(order) == list(range(n))
+    # determinism
+    assert reading_order(boxes, 1000, 1000) == order
