@@ -4496,19 +4496,11 @@ def _q_returned_revenue_by_customer(sf_dir: str):
             {"o_orderkey": agg.column("o_orderkey"), "revenue": agg.column("revenue_sum")}
         )
 
-    revenue = (
-        bounded_blocks(lineitem.map_batches(_rev_partial, batch_format="pyarrow"))
-        .groupby("o_orderkey")
-        .sum("revenue")
-    )
-
-    def _rename_rev(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "o_orderkey": batch.column("o_orderkey"),
-                "revenue": batch.column("sum(revenue)"),
-            }
-        )
+    # NO per-orderkey exchange: the join key is unique on the orders
+    # side, so joining the per-batch PARTIAL sums (1..k rows per
+    # order) and summing at the custkey rollup is exactly equivalent —
+    # one full sort exchange saved
+    revenue = bounded_blocks(lineitem.map_batches(_rev_partial, batch_format="pyarrow"))
 
     orders = ray.data.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderdate"]
@@ -4523,7 +4515,7 @@ def _q_returned_revenue_by_customer(sf_dir: str):
 
     joined = hash_join(
         orders.map_batches(_quarter, batch_format="pyarrow"),
-        revenue.map_batches(_rename_rev, batch_format="pyarrow"),
+        revenue,
         on="o_orderkey",
         left_schema=pa.schema([("o_orderkey", pa.int64()), ("o_custkey", pa.int64())]),
         right_schema=pa.schema([("o_orderkey", pa.int64()), ("revenue", pa.float64())]),
