@@ -6477,6 +6477,54 @@ def _q_video_keyframes(sf_dir: str):
     return frames.select_columns(["media_id", "frame_idx", "mean_luma"])
 
 
+def _q_charset_counts(sf_dir: str):
+    """Encoding sniffing over raw page bytes (the S4 fetch/normalize
+    seam's charset half): docs plant a rotation of real declarations —
+    ``doc_id % 19 == 6`` a UTF-16LE BOM (which must WIN over any meta
+    tag per the sniffing precedence), ``doc_id % 7 == 4`` a
+    ``<meta charset>`` rotating 4 labels incl. an alias the kernel
+    must normalize — and the engine runs the simplified WHATWG sniff
+    (kernel/html_parse.py:sniff_charset) on genuine bytes.  Oracle:
+    the precedence rule as CASE arithmetic."""
+    import pyarrow as pa
+
+    import ray.data
+
+    from dots_ocr_ray.kernel.html_parse import sniff_charset
+
+    labels = ("utf-8", "ISO-8859-1", "windows-1251", "GBK")
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def _sniff(batch: pa.Table) -> pa.Table:
+        out = []
+        for d in batch.column("doc_id").to_pylist():
+            d = int(d)
+            body = b"<html><head>"
+            if d % 7 == 4:
+                body += (
+                    '<meta charset="%s">' % labels[(d // 7) % 4]
+                ).encode("ascii")
+            body += b"</head><body><p>x</p></body></html>"
+            if d % 19 == 6:
+                body = b"\xff\xfe" + body
+            out.append(sniff_charset(body))
+        t = pa.table({"charset": pa.array(out, type=pa.string())})
+        agg = t.group_by("charset").aggregate([([], "count_all")])
+        return agg.rename_columns(["charset", "n"])
+
+    agg = docs.map_batches(_sniff, batch_format="pyarrow").groupby("charset").sum("n")
+
+    def _final(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "charset": batch.column("charset"),
+                "n": batch.column("sum(n)").cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(_final, batch_format="pyarrow")
+
+
 def _q_sitemap_urls(sf_dir: str):
     """Crawl-frontier ingestion from REAL sitemap XML: the documents
     table is serialized as a gzipped ``<sitemapindex>`` + 4 shard
@@ -7028,6 +7076,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "warc_extract_counts": _q_warc_extract_counts,
         "image_captions": _q_image_captions,
         "sitemap_urls": _q_sitemap_urls,
+        "charset_counts": _q_charset_counts,
         "snm_dedup": _q_snm_dedup,
         "phrase_search": _q_phrase_search,
         "dp_lang_counts": _q_dp_lang_counts,
@@ -7795,6 +7844,14 @@ def oracle_sql() -> dict[str, str]:
             "ELSE 1 + d.n // 2 + (j.j - 1) // 2 "
             "END AS INTEGER) AS rank_ro "
             "FROM d JOIN generate_series(0, 8) AS j(j) ON j.j <= d.n"
+        ),
+        "charset_counts": (
+            "SELECT charset, CAST(count(*) AS BIGINT) AS n FROM ("
+            "SELECT CASE WHEN doc_id % 19 = 6 THEN 'utf-16-le' "
+            "WHEN doc_id % 7 = 4 THEN "
+            "CASE (doc_id // 7) % 4 WHEN 0 THEN 'utf-8' WHEN 1 THEN 'iso-8859-1' "
+            "WHEN 2 THEN 'windows-1251' ELSE 'gb2312' END "
+            "ELSE 'utf-8' END AS charset FROM documents) GROUP BY charset"
         ),
         "sitemap_urls": (
             "SELECT 'https://example-' || lpad(CAST(doc_id % 40 AS VARCHAR), 2, '0') "

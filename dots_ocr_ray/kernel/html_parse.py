@@ -458,3 +458,46 @@ def extract_table_cells(html_text: str) -> list[dict]:
             elif in_cell:
                 parts.append(tok)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Encoding sniffing (the S4 fetch/normalize seam's charset half)
+
+_META_CHARSET_RE = re.compile(
+    rb"""<meta[^>]+charset\s*=\s*["']?\s*([A-Za-z0-9_\-]+)""", re.IGNORECASE
+)
+
+_CHARSET_ALIASES = {
+    "utf8": "utf-8",
+    "latin-1": "iso-8859-1",
+    "latin1": "iso-8859-1",
+    "cp1251": "windows-1251",
+    "gbk": "gb2312",
+}
+
+
+def sniff_charset(raw: bytes, *, scan_limit: int = 1024) -> str:
+    """Simplified HTML5 encoding sniffing (the published WHATWG
+    algorithm's deterministic core; the reference's universal input
+    seam decodes bytes before parsing, doc_utils.py / S4):
+
+    1. byte-order marks win outright (UTF-8 / UTF-16 LE / BE);
+    2. else the first ``<meta … charset=…>`` declaration inside the
+       first ``scan_limit`` bytes (covers both the HTML5 short form
+       and the http-equiv content form, since the charset= token is
+       scanned positionally);
+    3. else the spec's modern default, ``utf-8``.
+
+    Labels normalize case + common aliases; never raises."""
+    raw = bytes(raw or b"")
+    if raw[:3] == b"\xef\xbb\xbf":
+        return "utf-8"
+    if raw[:2] == b"\xff\xfe":
+        return "utf-16-le"
+    if raw[:2] == b"\xfe\xff":
+        return "utf-16-be"
+    m = _META_CHARSET_RE.search(raw[:scan_limit])
+    if m:
+        label = m.group(1).decode("ascii", "replace").strip().lower()
+        return _CHARSET_ALIASES.get(label, label)
+    return "utf-8"

@@ -237,3 +237,23 @@ def test_extract_table_cells_empty_row_advances_index():
         {"table_idx": 0, "row_idx": 0, "col_idx": 0, "cell": "a"},
         {"table_idx": 0, "row_idx": 2, "col_idx": 0, "cell": "b"},
     ]
+
+
+def test_sniff_charset_precedence_and_aliases():
+    """Simplified WHATWG encoding sniff: BOM beats meta, meta beats
+    default, labels normalize, never raises."""
+    from dots_ocr_ray.kernel.html_parse import sniff_charset
+
+    assert sniff_charset(b"\xef\xbb\xbf<meta charset='gbk'>") == "utf-8"  # BOM wins
+    assert sniff_charset(b"\xff\xfex\x00") == "utf-16-le"
+    assert sniff_charset(b"\xfe\xffx\x00") == "utf-16-be"
+    assert sniff_charset(b'<META CHARSET="Latin1">') == "iso-8859-1"
+    assert (
+        sniff_charset(b'<meta http-equiv="Content-Type" content="text/html; charset=UTF8">')
+        == "utf-8"
+    )
+    # declaration past the scan window is ignored (spec prescan limit)
+    far = b"<html>" + b" " * 2000 + b'<meta charset="gbk">'
+    assert sniff_charset(far) == "utf-8"
+    assert sniff_charset(b"") == "utf-8"
+    assert sniff_charset(None) == "utf-8"
