@@ -6477,6 +6477,67 @@ def _q_video_keyframes(sf_dir: str):
     return frames.select_columns(["media_id", "frame_idx", "mean_luma"])
 
 
+def _q_robots_txt_rules(sf_dir: str):
+    """REAL robots.txt parsing (RFC 9309): each of the 40 fixture
+    hosts serves a generated robots.txt — comments, a ``*`` group
+    with Disallow + Crawl-delay + Sitemap, and for every third host a
+    more specific ``GraftBot`` group (which must WIN outright, its
+    empty ``Disallow:`` line contributing no rule) — and the engine
+    parses the actual text per host in map_batches
+    (functions/robots.py:parse_robots_txt).  Oracle: the grouping /
+    precedence rules as generate_series arithmetic."""
+    import pyarrow as pa
+
+    import ray.data
+
+    from dots_ocr_ray.functions.robots import parse_robots_txt
+
+    hosts = ray.data.from_items([{"nn": nn} for nn in range(40)], override_num_blocks=8)
+
+    def _robots_text(nn: int) -> str:
+        lines = [
+            "# crawl policy",
+            "User-agent: *",
+            f"Disallow: /private-{nn % 5}/",
+            f"Crawl-delay: {1 + nn % 4}",
+            f"Sitemap: https://example-{nn:02d}.com/sitemap.xml",
+            "",
+        ]
+        if nn % 3 == 0:
+            lines += [
+                "User-agent: GraftBot",
+                f"Disallow: /doc-00{nn % 10}",
+                f"Allow: /doc-00{nn % 10}0",
+                "Disallow:",  # empty value: no rule (must be skipped)
+                "",
+            ]
+        return "\n".join(lines)
+
+    def _parse(batch: pa.Table) -> pa.Table:
+        host_out, prefix_out, allow_out, delay_out, idx_out = [], [], [], [], []
+        for nn in batch.column("nn").to_pylist():
+            nn = int(nn)
+            parsed = parse_robots_txt(_robots_text(nn), agent="graftbot")
+            delay = parsed["crawl_delay"]
+            for i, (prefix, allow) in enumerate(parsed["rules"]):
+                host_out.append(f"example-{nn:02d}.com")
+                prefix_out.append(prefix)
+                allow_out.append(allow)
+                delay_out.append(-1 if delay is None else delay)
+                idx_out.append(i)
+        return pa.table(
+            {
+                "host": pa.array(host_out, type=pa.string()),
+                "rule_idx": pa.array(idx_out, type=pa.int32()),
+                "prefix": pa.array(prefix_out, type=pa.string()),
+                "allow": pa.array(allow_out, type=pa.bool_()),
+                "crawl_delay": pa.array(delay_out, type=pa.int64()),
+            }
+        )
+
+    return hosts.map_batches(_parse, batch_format="pyarrow")
+
+
 def _q_charset_counts(sf_dir: str):
     """Encoding sniffing over raw page bytes (the S4 fetch/normalize
     seam's charset half): docs plant a rotation of real declarations —
@@ -7077,6 +7138,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_captions": _q_image_captions,
         "sitemap_urls": _q_sitemap_urls,
         "charset_counts": _q_charset_counts,
+        "robots_txt_rules": _q_robots_txt_rules,
         "snm_dedup": _q_snm_dedup,
         "phrase_search": _q_phrase_search,
         "dp_lang_counts": _q_dp_lang_counts,
@@ -7844,6 +7906,18 @@ def oracle_sql() -> dict[str, str]:
             "ELSE 1 + d.n // 2 + (j.j - 1) // 2 "
             "END AS INTEGER) AS rank_ro "
             "FROM d JOIN generate_series(0, 8) AS j(j) ON j.j <= d.n"
+        ),
+        "robots_txt_rules": (
+            "WITH h AS (SELECT n.n AS nn FROM generate_series(0, 39) AS n(n)) "
+            "SELECT 'example-' || lpad(CAST(nn AS VARCHAR), 2, '0') || '.com' AS host, "
+            "CAST(r.i AS INTEGER) AS rule_idx, "
+            "CASE WHEN nn % 3 = 0 THEN "
+            "  CASE r.i WHEN 0 THEN '/doc-00' || (nn % 10) ELSE '/doc-00' || (nn % 10) || '0' END "
+            "ELSE '/private-' || (nn % 5) || '/' END AS prefix, "
+            "CAST(CASE WHEN nn % 3 = 0 AND r.i = 1 THEN TRUE ELSE FALSE END AS BOOLEAN) AS allow, "
+            "CAST(CASE WHEN nn % 3 = 0 THEN -1 ELSE 1 + nn % 4 END AS BIGINT) AS crawl_delay "
+            "FROM h JOIN generate_series(0, 1) AS r(i) "
+            "ON r.i < CASE WHEN nn % 3 = 0 THEN 2 ELSE 1 END"
         ),
         "charset_counts": (
             "SELECT charset, CAST(count(*) AS BIGINT) AS n FROM ("
