@@ -6477,6 +6477,113 @@ def _q_video_keyframes(sf_dir: str):
     return frames.select_columns(["media_id", "frame_idx", "mean_luma"])
 
 
+def _q_warc_http_headers(sf_dir: str):
+    """HTTP envelope parsing off REAL WARC bytes: each doc becomes a
+    response record whose status line and Content-Type rotate by
+    arithmetic (incl. a ``; charset=`` parameter the parser must
+    strip), and the engine streams the records per shard task and
+    parses the ACTUAL header blocks
+    (sources/warc.py:parse_http_envelope) — the header half of the
+    Common-Crawl ingest that `warc_extract_counts` exercises for
+    bodies.  Oracle: the rotation arithmetic in SQL."""
+    import hashlib
+    import os
+    import shutil
+
+    import pyarrow as pa
+
+    import ray
+    import ray.data
+
+    from dots_ocr_ray.sources.warc import make_warc_bytes
+
+    tag = hashlib.md5((os.path.abspath(sf_dir) + ":http").encode()).hexdigest()[:12]
+    warc_dir = f"/tmp/graft_warc_fixture/{tag}"
+    done = os.path.join(warc_dir, "_DONE")
+    statuses = (200, 301, 404, 503)
+    ctypes = ("text/html", "text/html; charset=utf-8", "application/pdf", "text/plain")
+    if not os.path.exists(done):
+        shutil.rmtree(warc_dir, ignore_errors=True)
+        os.makedirs(warc_dir, exist_ok=True)
+
+        @ray.remote
+        def _write_shard(shard: int) -> None:
+            import pyarrow.parquet as pq_mod
+
+            ids = sorted(
+                int(d)
+                for d in pq_mod.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+                .column("doc_id")
+                .to_pylist()
+                if d % 8 == shard
+            )
+            recs = [
+                {
+                    "url": f"https://example-{d % 40:02d}.com/doc-{d:06d}",
+                    "date": "2025-01-01T00:00:00Z",
+                    "html": b"x" * (10 + d % 50),
+                    "status": statuses[(d // 6) % 4],
+                    "ctype": ctypes[d % 4],
+                }
+                for d in ids
+            ]
+            with open(os.path.join(warc_dir, f"shard-{shard}.warc.gz"), "wb") as f:
+                f.write(make_warc_bytes(recs, compress=True))
+
+        ray.get([_write_shard.remote(s) for s in range(8)])
+        with open(done, "w") as f:
+            f.write("ok")
+
+    import glob as globmod
+
+    paths = sorted(globmod.glob(os.path.join(warc_dir, "*.warc.gz")))
+    work = ray.data.from_items([{"path": p} for p in paths], override_num_blocks=len(paths))
+
+    def _headers(batch: pa.Table) -> pa.Table:
+        from dots_ocr_ray.sources.warc import _open_warc, iter_warc_records, parse_http_envelope
+
+        st_out, ct_out, n_out, bl_out = [], [], [], []
+        partial: dict = {}
+        for path in batch.column("path").to_pylist():
+            with _open_warc(path) as stream:
+                for headers, block in iter_warc_records(stream):
+                    if headers.get("warc-type") != "response":
+                        continue
+                    status, ctype, body_len = parse_http_envelope(block)
+                    key = (status, ctype)
+                    n, tot = partial.get(key, (0, 0))
+                    partial[key] = (n + 1, tot + body_len)
+        for (status, ctype), (n, tot) in partial.items():
+            st_out.append(status)
+            ct_out.append(ctype)
+            n_out.append(n)
+            bl_out.append(tot)
+        return pa.table(
+            {
+                "status": pa.array(st_out, type=pa.int32()),
+                "content_type": pa.array(ct_out, type=pa.string()),
+                "n": pa.array(n_out, type=pa.int64()),
+                "body_bytes": pa.array(bl_out, type=pa.int64()),
+            }
+        )
+
+    agg = work.map_batches(_headers, batch_format="pyarrow").groupby(
+        ["status", "content_type"]
+    ).sum(["n", "body_bytes"])
+
+    def _final(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "status": batch.column("status"),
+                "content_type": batch.column("content_type"),
+                "n": batch.column("sum(n)").cast(pa.int64()),
+                "body_bytes": batch.column("sum(body_bytes)").cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(_final, batch_format="pyarrow")
+
+
 def _q_robots_txt_rules(sf_dir: str):
     """REAL robots.txt parsing (RFC 9309): each of the 40 fixture
     hosts serves a generated robots.txt — comments, a ``*`` group
@@ -7139,6 +7246,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sitemap_urls": _q_sitemap_urls,
         "charset_counts": _q_charset_counts,
         "robots_txt_rules": _q_robots_txt_rules,
+        "warc_http_headers": _q_warc_http_headers,
         "snm_dedup": _q_snm_dedup,
         "phrase_search": _q_phrase_search,
         "dp_lang_counts": _q_dp_lang_counts,
@@ -7906,6 +8014,15 @@ def oracle_sql() -> dict[str, str]:
             "ELSE 1 + d.n // 2 + (j.j - 1) // 2 "
             "END AS INTEGER) AS rank_ro "
             "FROM d JOIN generate_series(0, 8) AS j(j) ON j.j <= d.n"
+        ),
+        "warc_http_headers": (
+            "SELECT status, content_type, CAST(count(*) AS BIGINT) AS n, "
+            "CAST(sum(10 + doc_id % 50) AS BIGINT) AS body_bytes FROM ("
+            "SELECT doc_id, "
+            "CAST(CASE (doc_id // 6) % 4 WHEN 0 THEN 200 WHEN 1 THEN 301 WHEN 2 THEN 404 ELSE 503 END AS INTEGER) AS status, "
+            "CASE doc_id % 4 WHEN 0 THEN 'text/html' WHEN 1 THEN 'text/html' "
+            "WHEN 2 THEN 'application/pdf' ELSE 'text/plain' END AS content_type "
+            "FROM documents) GROUP BY status, content_type"
         ),
         "robots_txt_rules": (
             "WITH h AS (SELECT n.n AS nn FROM generate_series(0, 39) AS n(n)) "

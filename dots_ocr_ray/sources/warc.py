@@ -89,6 +89,35 @@ def http_payload(block: bytes) -> bytes:
     return block
 
 
+def parse_http_envelope(block: bytes) -> tuple[int, str, int]:
+    """Parse a response record's HTTP envelope → (status_code,
+    content_type, body_len).  The status comes from the REAL status
+    line, content-type from the REAL header block (parameters like
+    ``; charset=`` stripped, lowercased).  Non-HTTP blocks report
+    status 0 with the whole block as body.  Never raises."""
+    if block[:5] not in (b"HTTP/", b"http/"):
+        return 0, "", len(block)
+    sep = block.find(b"\r\n\r\n")
+    head = block[: sep if sep != -1 else len(block)]
+    body_len = len(block) - (sep + 4) if sep != -1 else 0
+    lines = head.split(b"\r\n")
+    status = 0
+    parts = lines[0].split(None, 2)
+    if len(parts) >= 2:
+        try:
+            status = int(parts[1])
+        except ValueError:
+            status = 0
+    ctype = ""
+    for line in lines[1:]:
+        if line[:13].lower() == b"content-type:":
+            ctype = (
+                line.split(b":", 1)[1].split(b";", 1)[0].decode("ascii", "replace").strip().lower()
+            )
+            break
+    return status, ctype, body_len
+
+
 def parse_warc_date(value: str) -> datetime | None:
     try:
         return datetime.fromisoformat(value.replace("Z", "+00:00")).replace(tzinfo=None)
@@ -294,7 +323,13 @@ def make_warc_bytes(records: list[dict], *, compress: bool = False) -> bytes:
     out = io.BytesIO()
     for rec in records:
         body = rec["html"] if isinstance(rec["html"], bytes) else rec["html"].encode("utf-8")
-        http = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body
+        status = int(rec.get("status", 200))
+        reason = {200: "OK", 301: "Moved Permanently", 404: "Not Found", 503: "Service Unavailable"}.get(status, "Status")
+        ctype = rec.get("ctype", "text/html")
+        http = (
+            f"HTTP/1.1 {status} {reason}\r\nContent-Type: {ctype}\r\n\r\n".encode("ascii")
+            + body
+        )
         head = (
             b"WARC/1.0\r\n"
             b"WARC-Type: response\r\n"

@@ -167,3 +167,40 @@ def test_uri_glob_expansion(ray_session, tmp_path):
     (tmp_path / "other.txt").write_bytes(b"not a warc")
     ds = read_warc(f"file://{tmp_path}/*.warc.gz")
     assert ds.count() == 6
+
+
+def test_parse_http_envelope_fields():
+    from dots_ocr_ray.sources.warc import make_warc_bytes, parse_http_envelope
+
+    block = (
+        b"HTTP/1.1 301 Moved Permanently\r\n"
+        b"Content-Type: text/html; charset=UTF-8\r\n"
+        b"Location: https://x.test/\r\n\r\nbody!"
+    )
+    assert parse_http_envelope(block) == (301, "text/html", 5)
+    # non-HTTP block: status 0, whole block is the body
+    assert parse_http_envelope(b"raw bytes") == (0, "", 9)
+    # malformed status line never raises
+    assert parse_http_envelope(b"HTTP/1.1 abc\r\n\r\nxy")[0] == 0
+    # headers without body separator
+    assert parse_http_envelope(b"HTTP/1.1 200 OK\r\nContent-Type: a/b") == (200, "a/b", 0)
+
+
+def test_make_warc_bytes_custom_status_roundtrip():
+    import io
+
+    from dots_ocr_ray.sources.warc import (
+        iter_warc_records,
+        make_warc_bytes,
+        parse_http_envelope,
+    )
+
+    raw = make_warc_bytes(
+        [
+            {"url": "https://a.test/1", "html": b"abc", "status": 404, "ctype": "text/plain"},
+            {"url": "https://a.test/2", "html": b"defg"},
+        ]
+    )
+    recs = list(iter_warc_records(io.BufferedReader(io.BytesIO(raw))))
+    assert parse_http_envelope(recs[0][1]) == (404, "text/plain", 3)
+    assert parse_http_envelope(recs[1][1]) == (200, "text/html", 4)
