@@ -17,7 +17,8 @@ rejected/fake path, never crash a stage):
 * color types 0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha),
   6 (RGBA); tRNS transparency is ignored (decode returns the opaque
   channels)
-* interlace 0 only (Adam7 rejected)
+* Adam7 interlace for byte-aligned depths (8/16-bit); sub-byte
+  interlace rejected (rare in the wild)
 
 The encoder writes 8-bit gray or RGB, one IDAT, with a per-scanline
 filter choice that can be pinned or rotated — rotating exercises every
@@ -184,6 +185,50 @@ def _unfilter(lines: np.ndarray, filters: np.ndarray, bpp: int) -> np.ndarray:
     return recon
 
 
+_ADAM7 = (
+    # (x_start, x_step, y_start, y_step) per pass, PNG spec order
+    (0, 8, 0, 8),
+    (4, 8, 0, 8),
+    (0, 4, 4, 8),
+    (2, 4, 0, 4),
+    (0, 2, 2, 4),
+    (1, 2, 0, 2),
+    (0, 1, 1, 2),
+)
+
+
+def _deinterlace_adam7(raw: bytes, w: int, h: int, bit_depth: int, channels: int) -> np.ndarray:
+    """Adam7 reconstruction for byte-aligned samples (bit depth 8/16):
+    each of the 7 passes is an independently-filtered sub-image; its
+    reconstructed pixels scatter onto the (x_start + i·x_step,
+    y_start + j·y_step) grid.  Returns (h, full_stride) uint8 like the
+    non-interlaced path."""
+    sample_bytes = bit_depth // 8
+    px_bytes = sample_bytes * channels
+    out = np.zeros((h, w * px_bytes), dtype=np.uint8)
+    pos = 0
+    for x0, xs, y0, ys in _ADAM7:
+        pw = (w - x0 + xs - 1) // xs
+        ph = (h - y0 + ys - 1) // ys
+        if pw <= 0 or ph <= 0:
+            continue
+        stride = pw * px_bytes
+        need = ph * (stride + 1)
+        if pos + need > len(raw):
+            raise PngError("IDAT length mismatch (interlaced)")
+        mat = np.frombuffer(raw, dtype=np.uint8, count=need, offset=pos).reshape(ph, stride + 1)
+        pos += need
+        recon = _unfilter(np.ascontiguousarray(mat[:, 1:]), mat[:, 0], px_bytes)
+        cells = recon.reshape(ph, pw, px_bytes)
+        rows = y0 + ys * np.arange(ph)
+        cols = x0 + xs * np.arange(pw)
+        view = out.reshape(h, w, px_bytes)
+        view[np.ix_(rows, cols)] = cells
+    if pos != len(raw):
+        raise PngError("IDAT length mismatch (interlaced)")
+    return out
+
+
 def _unpack_bits(row_bytes: np.ndarray, bit_depth: int, n_values: int) -> np.ndarray:
     """Expand sub-byte samples (bit depth 1/2/4) to one uint8 sample
     per value, left-to-right MSB-first per the spec."""
@@ -221,8 +266,12 @@ def decode_png(payload: bytes) -> np.ndarray:
     w, h, bit_depth, color_type, compression, filter_method, interlace = ihdr
     if compression != 0 or filter_method != 0:
         raise PngError("unknown compression/filter method")
-    if interlace != 0:
-        raise PngError("Adam7 interlace not supported")
+    if interlace not in (0, 1):
+        raise PngError(f"bad interlace method {interlace}")
+    if interlace == 1 and bit_depth not in (8, 16):
+        # Adam7 with sub-byte packing re-packs bits per pass; out of
+        # scope (rare in the wild) — 8/16-bit interlaced is handled
+        raise PngError("Adam7 interlace supported for bit depth 8/16 only")
     if color_type not in _CHANNELS:
         raise PngError(f"bad color type {color_type}")
     if bit_depth not in (1, 2, 4, 8, 16):
@@ -235,13 +284,17 @@ def decode_png(payload: bytes) -> np.ndarray:
     except zlib.error as exc:
         raise PngError(f"bad IDAT stream: {exc}") from None
     bits_per_px = bit_depth * channels
-    stride = (w * bits_per_px + 7) // 8
-    if len(raw) != h * (stride + 1):
-        raise PngError("IDAT length mismatch")
-    mat = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
-    filters, lines = mat[:, 0], np.ascontiguousarray(mat[:, 1:])
     bpp = max(1, (bits_per_px + 7) // 8)
-    recon = _unfilter(lines, filters, bpp)
+    if interlace == 1:
+        recon = _deinterlace_adam7(raw, w, h, bit_depth, channels)
+        stride = w * channels * (bit_depth // 8)
+    else:
+        stride = (w * bits_per_px + 7) // 8
+        if len(raw) != h * (stride + 1):
+            raise PngError("IDAT length mismatch")
+        mat = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+        filters, lines = mat[:, 0], np.ascontiguousarray(mat[:, 1:])
+        recon = _unfilter(lines, filters, bpp)
 
     if bit_depth == 8:
         px = recon.reshape(h, stride)[:, : w * channels].reshape(h, w, channels)

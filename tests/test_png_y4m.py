@@ -105,16 +105,54 @@ def test_png_malformed_inputs_raise_pngerror_never_crash():
             decode_png(payload)
 
 
-def test_png_interlace_rejected():
-    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 1)  # Adam7
-    png = (
+def _make_interlaced(img):
+    """Hand-built Adam7 stream: filter-0 scanlines per spec pass."""
+    from dots_ocr_ray.kernel.png import _ADAM7
+
+    h, w = img.shape[:2]
+    channels = 1 if img.ndim == 2 else img.shape[2]
+    arr = img.reshape(h, w, channels)
+    lines = bytearray()
+    for x0, xs, y0, ys in _ADAM7:
+        sub = arr[y0::ys, x0::xs]
+        if sub.shape[0] == 0 or sub.shape[1] == 0:
+            continue
+        for r in range(sub.shape[0]):
+            lines.append(0)
+            lines.extend(sub[r].tobytes())
+    ct = 0 if channels == 1 else (2 if channels == 3 else 6)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ct, 0, 0, 1)
+    return (
         _SIGNATURE
         + _chunk(b"IHDR", ihdr)
-        + _chunk(b"IDAT", zlib.compress(b"\x00\x01\x02"))
+        + _chunk(b"IDAT", zlib.compress(bytes(lines)))
+        + _chunk(b"IEND", b"")
+    )
+
+
+@pytest.mark.parametrize("shape", [(13, 17), (8, 8), (1, 1), (2, 3), (9, 5, 3)])
+def test_png_adam7_interlace_decodes(shape):
+    rng = np.random.RandomState(1)
+    img = rng.randint(0, 256, shape, dtype=np.uint8)
+    out = decode_png(_make_interlaced(img))
+    assert (out == img.reshape(out.shape)).all()
+
+
+def test_png_interlace_truncated_and_subbyte_rejected():
+    rng = np.random.RandomState(2)
+    png = _make_interlaced(rng.randint(0, 256, (13, 17), dtype=np.uint8))
+    with pytest.raises(PngError):
+        decode_png(png[:-8])
+    # sub-byte interlaced stays out of scope (explicit error)
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 1, 0, 0, 0, 1)
+    bad = (
+        _SIGNATURE
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(b"\x00\x01"))
         + _chunk(b"IEND", b"")
     )
     with pytest.raises(PngError):
-        decode_png(png)
+        decode_png(bad)
 
 
 def test_gray_from_pixels_luma():
