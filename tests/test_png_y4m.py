@@ -380,3 +380,23 @@ def test_reading_order_is_always_a_permutation(n, seed):
     assert sorted(order) == list(range(n))
     # determinism
     assert reading_order(boxes, 1000, 1000) == order
+
+
+def test_png_16bit_takes_high_byte():
+    w, h = 3, 2
+    samples = np.array(
+        [[0x1234, 0x00FF, 0xFF00], [0x8001, 0x7FFF, 0x0000]], dtype=">u2"
+    )
+    rows = bytearray()
+    for r in range(h):
+        rows.append(0)
+        rows.extend(samples[r].tobytes())
+    ihdr = struct.pack(">IIBBBBB", w, h, 16, 0, 0, 0, 0)
+    png = (
+        _SIGNATURE
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(rows)))
+        + _chunk(b"IEND", b"")
+    )
+    out = decode_png(png)[..., 0]
+    assert out.tolist() == [[0x12, 0x00, 0xFF], [0x80, 0x7F, 0x00]]
