@@ -246,13 +246,25 @@ def _mp_probe_work(path: str) -> int:
 
 
 def scaling() -> None:
-    """Same input, fresh ray sessions at 8 and 32 CPUs (N vs 4N)."""
+    """Same input, fresh ray sessions at 8 and 32 CPUs (N vs 4N).
+
+    The scaling corpus defaults to 240k pages (4× the headline bench):
+    at 60k the 32-cpu leg finishes in ~2 s and the engine's fixed
+    per-job cost (session bring-up, shard manifest, done-marker scan —
+    ~0.3 s, CPU-count invariant) reads as a 10-15% ratio tax that has
+    nothing to do with how the pipeline scales; at 240k the fixed term
+    is ~3% and the ratio measures the STREAMING pipeline, which is
+    what the N→4N cluster criterion is about.  Override with
+    GRAFT_SCALING_PAGES."""
+    n_pages = int(os.environ.get("GRAFT_SCALING_PAGES", "240000"))
+    scale_dir = f"/tmp/graft_bench/pages_{n_pages}_x{PAGE_SCALE}"
 
     def run(ncpu: int) -> dict:
         env = dict(
             os.environ,
             RAY_GRAFT_CPUS=str(ncpu),
             GRAFT_BENCH_HEADLINE_ONLY="1",
+            GRAFT_BENCH_PAGES=str(n_pages),
         )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
@@ -281,7 +293,7 @@ def scaling() -> None:
     # processes do NOT yield 4x string-workload throughput even with no
     # engine in the loop; efficiency relative to that ceiling isolates
     # what the ENGINE costs
-    files = sorted(glob.glob(os.path.join(PAGES_DIR, "*.parquet")))
+    files = sorted(glob.glob(os.path.join(scale_dir, "*.parquet")))
     t_mp_lo = _mp_ceiling_probe(files, lo)
     t_mp_hi = _mp_ceiling_probe(files, hi)
     ceiling = (t_mp_lo / t_mp_hi) / (hi / lo)
