@@ -6761,6 +6761,65 @@ def _q_sitemap_urls(sf_dir: str):
     return read_sitemap(os.path.join(sm_dir, "sitemap-index.xml"))
 
 
+def _q_sitemap_gap(sf_dir: str):
+    """Frontier gap analysis: urls DECLARED in the (real, parsed)
+    sitemap fixture but never crawled.  The declared side re-reads and
+    re-parses the `sitemap_urls` XML shards; the crawled side is the
+    corpus minus the planted-uncrawled docs (``doc_id % 9 == 5``);
+    both sides key by a 63-bit url hash and the filter runs the
+    budgeted EXACT anti-join tier (pipelines/dedup.py:anti_join_ids —
+    broadcast array under the limit, Bloom-prefilter + exact hash
+    anti-join above it).  Oracle: the membership arithmetic in SQL."""
+    import pyarrow as pa
+
+    import ray.data
+
+    from dots_ocr_ray.pipelines.dedup import anti_join_ids
+
+    declared = _q_sitemap_urls(sf_dir)
+
+    crawled = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def _crawled_urls(batch: pa.Table) -> pa.Table:
+        ids = [int(d) for d in batch.column("doc_id").to_pylist() if d % 9 != 5]
+        return pa.table(
+            {
+                "url_key": pa.array(
+                    [hash_url(f"https://example-{d % 40:02d}.com/doc-{d:06d}") for d in ids],
+                    type=pa.int64(),
+                )
+            }
+        )
+
+    def _keyed(batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        return pa.table(
+            {
+                "url": batch.column("url"),
+                "url_key": pa.array([hash_url(u) for u in urls], type=pa.int64()),
+            }
+        )
+
+    gap = anti_join_ids(
+        declared.map_batches(_keyed, batch_format="pyarrow"),
+        crawled.map_batches(_crawled_urls, batch_format="pyarrow"),
+        id_col="url_key",
+        id_cols=("url_key",),
+    )
+    return gap.select_columns(["url"])
+
+
+def hash_url(url: str) -> int:
+    """Deterministic 63-bit url key (blake2b) — the anti-join id for
+    string keys (dedup.anti_join_ids wants int64 ids at scale; hashing
+    beats shipping full urls through the Bloom tier)."""
+    import hashlib as _hashlib
+
+    return int.from_bytes(
+        _hashlib.blake2b(url.encode("utf-8"), digest_size=8).digest(), "big"
+    ) >> 1
+
+
 def _q_image_captions(sf_dir: str):
     """The describe-pool (A2) analog over REAL decoded pixels: docs
     with ``doc_id % 5 == 2`` (the IMAGE_MOD describe rule) carry a real
@@ -7244,6 +7303,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "warc_extract_counts": _q_warc_extract_counts,
         "image_captions": _q_image_captions,
         "sitemap_urls": _q_sitemap_urls,
+        "sitemap_gap": _q_sitemap_gap,
         "charset_counts": _q_charset_counts,
         "robots_txt_rules": _q_robots_txt_rules,
         "warc_http_headers": _q_warc_http_headers,
@@ -8035,6 +8095,11 @@ def oracle_sql() -> dict[str, str]:
             "CAST(CASE WHEN nn % 3 = 0 THEN -1 ELSE 1 + nn % 4 END AS BIGINT) AS crawl_delay "
             "FROM h JOIN generate_series(0, 1) AS r(i) "
             "ON r.i < CASE WHEN nn % 3 = 0 THEN 2 ELSE 1 END"
+        ),
+        "sitemap_gap": (
+            "SELECT 'https://example-' || lpad(CAST(doc_id % 40 AS VARCHAR), 2, '0') "
+            "|| '.com/doc-' || lpad(CAST(doc_id AS VARCHAR), 6, '0') AS url "
+            "FROM documents WHERE doc_id % 9 = 5"
         ),
         "charset_counts": (
             "SELECT charset, CAST(count(*) AS BIGINT) AS n FROM ("
