@@ -6477,6 +6477,27 @@ def _q_video_keyframes(sf_dir: str):
     return frames.select_columns(["media_id", "frame_idx", "mean_luma"])
 
 
+
+def _sf_fingerprint(sf_dir: str, extra: str = "") -> str:
+    """Content-aware cache tag for /tmp fixture dirs derived from a
+    sf_dir: hashes the documents.parquet file SIZE + ROW COUNT +
+    mtime alongside the path, so a regenerated testdata tree at the
+    same path can never serve a stale fixture."""
+    import hashlib as _hl
+    import os as _os
+
+    p = _os.path.join(sf_dir, "documents.parquet")
+    try:
+        st = _os.stat(p)
+        import pyarrow.parquet as _pq
+
+        n_rows = _pq.ParquetFile(p).metadata.num_rows
+        ident = f"{_os.path.abspath(p)}:{st.st_size}:{int(st.st_mtime)}:{n_rows}:{extra}"
+    except OSError:
+        ident = f"{_os.path.abspath(p)}:missing:{extra}"
+    return _hl.md5(ident.encode()).hexdigest()[:12]
+
+
 def _q_warc_http_headers(sf_dir: str):
     """HTTP envelope parsing off REAL WARC bytes: each doc becomes a
     response record whose status line and Content-Type rotate by
@@ -6497,7 +6518,7 @@ def _q_warc_http_headers(sf_dir: str):
 
     from dots_ocr_ray.sources.warc import make_warc_bytes
 
-    tag = hashlib.md5((os.path.abspath(sf_dir) + ":http").encode()).hexdigest()[:12]
+    tag = _sf_fingerprint(sf_dir, extra="http")
     warc_dir = f"/tmp/graft_warc_fixture/{tag}"
     done = os.path.join(warc_dir, "_DONE")
     statuses = (200, 301, 404, 503)
@@ -6713,7 +6734,7 @@ def _q_sitemap_urls(sf_dir: str):
 
     from dots_ocr_ray.sources.sitemap import make_sitemap_bytes, read_sitemap
 
-    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    tag = _sf_fingerprint(sf_dir, extra="sitemap")
     sm_dir = f"/tmp/graft_sitemap_fixture/{tag}"
     done = os.path.join(sm_dir, "_DONE")
     freqs = ("daily", "weekly", "monthly", "never")
@@ -6887,7 +6908,7 @@ def _q_warc_extract_counts(sf_dir: str):
     from dots_ocr_ray.sources.warc import make_warc_bytes, read_warc
     from dots_ocr_ray.util import bounded_blocks
 
-    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    tag = _sf_fingerprint(sf_dir, extra="warc")
     warc_dir = f"/tmp/graft_warc_fixture/{tag}"
     done = os.path.join(warc_dir, "_DONE")
     if not os.path.exists(done):
