@@ -6782,6 +6782,77 @@ def _q_sitemap_urls(sf_dir: str):
     return read_sitemap(os.path.join(sm_dir, "sitemap-index.xml"))
 
 
+def _q_layout_blocks(sf_dir: str):
+    """SCANNED-PAGE layout analysis for real: each doc renders a
+    synthetic page IMAGE (solid content rectangles — a wide title bar
+    and a 1-or-2-column body grid placed by doc_id arithmetic),
+    PNG-encodes it with rotating scanline filters, and the engine must
+    genuinely decode the pixels and run recursive XY-cut on ink
+    projection profiles (kernel/layout_detect.py:detect_blocks — the
+    classic published block-segmentation algorithm standing in for the
+    reference's layout model) to recover every block's EXACT tight
+    bbox, classify it by the pure geometry heuristic, and order
+    reading-wise.  Oracle: the paint rule's coordinates + rank
+    arithmetic in ANSI SQL — detection is certified pixel-exact."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from dots_ocr_ray.kernel.layout_detect import classify_block, detect_blocks
+    from dots_ocr_ray.kernel.png import decode_png, encode_png, gray_from_pixels
+
+    W, H = 256, 192
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"], override_num_blocks=32
+    )
+
+    def _paint(d: int) -> np.ndarray:
+        img = np.full((H, W), 255, np.uint8)
+        img[8:24, 32:224] = 60  # title bar
+        n = 1 + d % 4
+        if n <= 2:
+            for j in range(n):
+                y = 48 + j * 44
+                img[y : y + 32, 16:240] = 60
+        else:
+            for j in range(n):
+                x0 = 16 if j % 2 == 0 else 140
+                y = 48 + (j // 2) * 44
+                img[y : y + 32, x0 : x0 + 100] = 60
+        return img
+
+    def _detect(batch: pa.Table) -> pa.Table:
+        doc_out, rank_out, cat_out = [], [], []
+        x1o, y1o, x2o, y2o = [], [], [], []
+        for d in batch.column("doc_id").to_pylist():
+            d = int(d)
+            payload = encode_png(_paint(d), filter_mode="rotate")  # real bytes
+            gray = gray_from_pixels(decode_png(payload))  # real decode
+            for rank, bbox in enumerate(detect_blocks(gray)):
+                doc_out.append(d)
+                rank_out.append(rank)
+                cat_out.append(classify_block(bbox, W, H))
+                x1o.append(bbox[0])
+                y1o.append(bbox[1])
+                x2o.append(bbox[2])
+                y2o.append(bbox[3])
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_out, type=pa.int64()),
+                "rank_ro": pa.array(rank_out, type=pa.int32()),
+                "category": pa.array(cat_out, type=pa.string()),
+                "x1": pa.array(x1o, type=pa.int32()),
+                "y1": pa.array(y1o, type=pa.int32()),
+                "x2": pa.array(x2o, type=pa.int32()),
+                "y2": pa.array(y2o, type=pa.int32()),
+            }
+        )
+
+    return docs.map_batches(_detect, batch_format="pyarrow")
+
+
 def _q_sitemap_gap(sf_dir: str):
     """Frontier gap analysis: urls DECLARED in the (real, parsed)
     sitemap fixture but never crawled.  The declared side re-reads and
@@ -7325,6 +7396,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_captions": _q_image_captions,
         "sitemap_urls": _q_sitemap_urls,
         "sitemap_gap": _q_sitemap_gap,
+        "layout_blocks": _q_layout_blocks,
         "charset_counts": _q_charset_counts,
         "robots_txt_rules": _q_robots_txt_rules,
         "warc_http_headers": _q_warc_http_headers,
@@ -8116,6 +8188,22 @@ def oracle_sql() -> dict[str, str]:
             "CAST(CASE WHEN nn % 3 = 0 THEN -1 ELSE 1 + nn % 4 END AS BIGINT) AS crawl_delay "
             "FROM h JOIN generate_series(0, 1) AS r(i) "
             "ON r.i < CASE WHEN nn % 3 = 0 THEN 2 ELSE 1 END"
+        ),
+        "layout_blocks": (
+            "WITH d AS (SELECT doc_id, 1 + doc_id % 4 AS n FROM documents), "
+            "r AS (SELECT doc_id, n, (n+1)//2 AS nl, s.r AS rk "
+            "FROM d JOIN generate_series(0, 4) AS s(r) ON s.r <= n) "
+            "SELECT doc_id, CAST(rk AS INTEGER) AS rank_ro, "
+            "CASE WHEN rk = 0 THEN 'Title' ELSE 'Text' END AS category, "
+            "CAST(CASE WHEN rk = 0 THEN 32 WHEN n <= 2 THEN 16 "
+            "WHEN rk <= nl THEN 16 ELSE 140 END AS INTEGER) AS x1, "
+            "CAST(CASE WHEN rk = 0 THEN 8 WHEN n <= 2 THEN 48 + (rk-1)*44 "
+            "WHEN rk <= nl THEN 48 + (rk-1)*44 ELSE 48 + (rk-1-nl)*44 END AS INTEGER) AS y1, "
+            "CAST(CASE WHEN rk = 0 THEN 224 WHEN n <= 2 THEN 240 "
+            "WHEN rk <= nl THEN 116 ELSE 240 END AS INTEGER) AS x2, "
+            "CAST(CASE WHEN rk = 0 THEN 24 WHEN n <= 2 THEN 80 + (rk-1)*44 "
+            "WHEN rk <= nl THEN 80 + (rk-1)*44 ELSE 80 + (rk-1-nl)*44 END AS INTEGER) AS y2 "
+            "FROM r"
         ),
         "sitemap_gap": (
             "SELECT 'https://example-' || lpad(CAST(doc_id % 40 AS VARCHAR), 2, '0') "

@@ -1,0 +1,56 @@
+"""Pixel-level block segmentation (kernel/layout_detect.py)."""
+
+import numpy as np
+import pytest
+
+from dots_ocr_ray.kernel.layout_detect import classify_block, detect_blocks
+
+
+def test_empty_and_blank_pages():
+    assert detect_blocks(np.full((32, 32), 255, np.uint8)) == []
+    assert detect_blocks(np.zeros((0, 0), np.uint8)) == []
+    assert detect_blocks(np.array([], np.uint8)) == []
+
+
+def test_single_block_tight_bounds():
+    img = np.full((40, 60), 255, np.uint8)
+    img[10:20, 15:45] = 0
+    assert detect_blocks(img) == [(15, 10, 45, 20)]
+
+
+def test_two_column_with_title_reading_order():
+    img = np.full((192, 256), 255, np.uint8)
+    img[8:24, 32:224] = 60  # title
+    img[48:80, 16:116] = 60  # left top
+    img[92:124, 16:116] = 60  # left bottom
+    img[48:80, 140:240] = 60  # right top
+    blocks = detect_blocks(img)
+    assert blocks == [
+        (32, 8, 224, 24),
+        (16, 48, 116, 80),
+        (16, 92, 116, 124),
+        (140, 48, 240, 80),
+    ]
+
+
+def test_min_gap_merges_close_lines():
+    img = np.full((40, 60), 255, np.uint8)
+    img[10:14, 10:50] = 0
+    img[16:20, 10:50] = 0  # 2-px gap < min_gap=4: one block
+    img[30:34, 10:50] = 0  # 10-px gap: separate block
+    assert detect_blocks(img) == [(10, 10, 50, 20), (10, 30, 50, 34)]
+
+
+def test_max_blocks_bound():
+    img = np.full((8, 1000), 255, np.uint8)
+    for k in range(0, 1000, 10):
+        img[2:6, k : k + 4] = 0
+    blocks = detect_blocks(img, max_blocks=16)
+    assert len(blocks) <= 17  # bounded, never pathological
+
+
+def test_classify_block_rules():
+    assert classify_block((32, 8, 224, 24), 256, 192) == "Title"
+    assert classify_block((16, 48, 240, 80), 256, 192) == "Text"  # tall
+    assert classify_block((16, 48, 116, 80), 256, 192) == "Text"  # narrow
+    assert classify_block((16, 48, 140, 58), 256, 192) == "Header"  # short strip
