@@ -6853,6 +6853,57 @@ def _q_layout_blocks(sf_dir: str):
     return docs.map_batches(_detect, batch_format="pyarrow")
 
 
+def _q_scanned_page_ocr(sf_dir: str):
+    """END-TO-END scanned-page TEXT recovery: each doc renders a
+    two-line page image in the fixed-pitch glyph set ("DOC <id>" /
+    "LANG <lang>"), PNG-encodes it with rotating filters, and the
+    engine must decode the pixels, segment lines (projection XY-cut
+    with the above-word-gap threshold) and template-read every
+    character cell (kernel/glyphs.py — the classic pre-neural OCR
+    baseline standing in for the reference's VLM).  The recovered
+    STRINGS are the output, so a single mis-sliced pixel fails the
+    hash.  Oracle: string arithmetic in ANSI SQL."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from dots_ocr_ray.kernel.glyphs import ocr_page_lines, render_text_line
+    from dots_ocr_ray.kernel.png import decode_png, encode_png, gray_from_pixels
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"], override_num_blocks=32
+    )
+
+    def _ocr(batch: pa.Table) -> pa.Table:
+        doc_out, idx_out, text_out = [], [], []
+        for d, lang in zip(
+            batch.column("doc_id").to_pylist(), batch.column("lang").to_pylist()
+        ):
+            d = int(d)
+            lines = [f"DOC {d:06d}", f"LANG {(lang or '').upper()}"]
+            page = np.full((36, 140), 255, np.uint8)
+            for i, text in enumerate(lines):
+                ink = render_text_line(text)
+                y = 4 + i * 16  # 16-row line pitch: >= 8 blank rows between
+                page[y : y + ink.shape[0], 4 : 4 + ink.shape[1]][ink] = 0
+            payload = encode_png(page, filter_mode="rotate")  # real bytes
+            got = ocr_page_lines(gray_from_pixels(decode_png(payload)))
+            for i, text in enumerate(got):
+                doc_out.append(d)
+                idx_out.append(i)
+                text_out.append(text)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_out, type=pa.int64()),
+                "line_idx": pa.array(idx_out, type=pa.int32()),
+                "ocr_text": pa.array(text_out, type=pa.string()),
+            }
+        )
+
+    return docs.map_batches(_ocr, batch_format="pyarrow")
+
+
 def _q_sitemap_gap(sf_dir: str):
     """Frontier gap analysis: urls DECLARED in the (real, parsed)
     sitemap fixture but never crawled.  The declared side re-reads and
@@ -7397,6 +7448,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sitemap_urls": _q_sitemap_urls,
         "sitemap_gap": _q_sitemap_gap,
         "layout_blocks": _q_layout_blocks,
+        "scanned_page_ocr": _q_scanned_page_ocr,
         "charset_counts": _q_charset_counts,
         "robots_txt_rules": _q_robots_txt_rules,
         "warc_http_headers": _q_warc_http_headers,
@@ -8188,6 +8240,12 @@ def oracle_sql() -> dict[str, str]:
             "CAST(CASE WHEN nn % 3 = 0 THEN -1 ELSE 1 + nn % 4 END AS BIGINT) AS crawl_delay "
             "FROM h JOIN generate_series(0, 1) AS r(i) "
             "ON r.i < CASE WHEN nn % 3 = 0 THEN 2 ELSE 1 END"
+        ),
+        "scanned_page_ocr": (
+            "SELECT doc_id, CAST(i.i AS INTEGER) AS line_idx, "
+            "CASE i.i WHEN 0 THEN 'DOC ' || lpad(CAST(doc_id AS VARCHAR), 6, '0') "
+            "ELSE 'LANG ' || upper(lang) END AS ocr_text "
+            "FROM documents CROSS JOIN generate_series(0, 1) AS i(i)"
         ),
         "layout_blocks": (
             "WITH d AS (SELECT doc_id, 1 + doc_id % 4 AS n FROM documents), "
