@@ -6904,6 +6904,76 @@ def _q_scanned_page_ocr(sf_dir: str):
     return docs.map_batches(_ocr, batch_format="pyarrow")
 
 
+def _q_scanned_page_markdown(sf_dir: str):
+    """The FULL reference pipeline shape on a scanned page, composed
+    from the real kernels end-to-end: render a page image (wide title
+    line + 1-3 body lines of glyph text), PNG-encode, then decode the
+    pixels → segment blocks (projection XY-cut) → classify by the
+    geometry heuristic (the title line is the only block wide enough)
+    → template-OCR each block → serialize the spans with the SAME
+    layout-to-markdown kernel the HTML path uses
+    (kernel/serialize.py:spans_to_markdown — the reference's
+    layoutjson2md).  Output is the final markdown string + the
+    detected category sequence, both mirrored by string arithmetic in
+    SQL — one wrong pixel, slice, class or join fails the hash."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from dots_ocr_ray.kernel.glyphs import ocr_page_lines, render_text_line
+    from dots_ocr_ray.kernel.layout_detect import classify_block, detect_blocks
+    from dots_ocr_ray.kernel.png import decode_png, encode_png, gray_from_pixels
+    from dots_ocr_ray.kernel.serialize import spans_to_markdown
+
+    W, H = 168, 72  # 4 glyph lines at 16-row pitch fit with margins
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"], override_num_blocks=32
+    )
+
+    def _render(d: int) -> np.ndarray:
+        lines = [f"TITLE OF DOCUMENT {d:06d}"] + [
+            f"BODY {j} {d % 1000}" for j in range(1 + d % 3)
+        ]
+        page = np.full((H, W), 255, np.uint8)
+        for i, text in enumerate(lines):
+            ink = render_text_line(text)
+            y = 2 + i * 16
+            page[y : y + ink.shape[0], 2 : 2 + ink.shape[1]][ink] = 0
+        return page
+
+    def _pipeline(batch: pa.Table) -> pa.Table:
+        doc_out, md_out, cat_out = [], [], []
+        for d in batch.column("doc_id").to_pylist():
+            d = int(d)
+            payload = encode_png(_render(d), filter_mode="rotate")
+            gray = gray_from_pixels(decode_png(payload))
+            spans = []
+            for bbox in detect_blocks(gray, min_gap=8):
+                x1, y1, x2, y2 = bbox
+                text = "\n".join(ocr_page_lines(gray[y1:y2, x1:x2], min_gap=8))
+                spans.append(
+                    {
+                        "category": classify_block(bbox, W, H),
+                        "bbox": list(bbox),
+                        "text": text,
+                    }
+                )
+            doc_out.append(d)
+            md_out.append(spans_to_markdown(spans))
+            cat_out.append("|".join(s["category"] for s in spans))
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_out, type=pa.int64()),
+                "markdown": pa.array(md_out, type=pa.string()),
+                "categories": pa.array(cat_out, type=pa.string()),
+            }
+        )
+
+    return docs.map_batches(_pipeline, batch_format="pyarrow")
+
+
 def _q_sitemap_gap(sf_dir: str):
     """Frontier gap analysis: urls DECLARED in the (real, parsed)
     sitemap fixture but never crawled.  The declared side re-reads and
@@ -7449,6 +7519,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sitemap_gap": _q_sitemap_gap,
         "layout_blocks": _q_layout_blocks,
         "scanned_page_ocr": _q_scanned_page_ocr,
+        "scanned_page_markdown": _q_scanned_page_markdown,
         "charset_counts": _q_charset_counts,
         "robots_txt_rules": _q_robots_txt_rules,
         "warc_http_headers": _q_warc_http_headers,
@@ -8240,6 +8311,16 @@ def oracle_sql() -> dict[str, str]:
             "CAST(CASE WHEN nn % 3 = 0 THEN -1 ELSE 1 + nn % 4 END AS BIGINT) AS crawl_delay "
             "FROM h JOIN generate_series(0, 1) AS r(i) "
             "ON r.i < CASE WHEN nn % 3 = 0 THEN 2 ELSE 1 END"
+        ),
+        "scanned_page_markdown": (
+            "SELECT doc_id, "
+            "'TITLE OF DOCUMENT ' || lpad(CAST(doc_id AS VARCHAR), 6, '0') "
+            "|| chr(10)||chr(10)||'BODY 0 ' || (doc_id % 1000) "
+            "|| CASE WHEN 1 + doc_id % 3 >= 2 THEN chr(10)||chr(10)||'BODY 1 ' || (doc_id % 1000) ELSE '' END "
+            "|| CASE WHEN 1 + doc_id % 3 >= 3 THEN chr(10)||chr(10)||'BODY 2 ' || (doc_id % 1000) ELSE '' END "
+            "AS markdown, "
+            "'Title' || repeat('|Text', 1 + doc_id % 3) AS categories "
+            "FROM documents"
         ),
         "scanned_page_ocr": (
             "SELECT doc_id, CAST(i.i AS INTEGER) AS line_idx, "
