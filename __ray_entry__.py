@@ -6828,7 +6828,7 @@ def _q_layout_blocks(sf_dir: str):
         x1o, y1o, x2o, y2o = [], [], [], []
         for d in batch.column("doc_id").to_pylist():
             d = int(d)
-            payload = encode_png(_paint(d), filter_mode="rotate")  # real bytes
+            payload = encode_png(_paint(d), filter_mode="cover")  # real bytes
             gray = gray_from_pixels(decode_png(payload))  # real decode
             for rank, bbox in enumerate(detect_blocks(gray)):
                 doc_out.append(d)
@@ -6887,7 +6887,7 @@ def _q_scanned_page_ocr(sf_dir: str):
                 ink = render_text_line(text)
                 y = 4 + i * 16  # 16-row line pitch: >= 8 blank rows between
                 page[y : y + ink.shape[0], 4 : 4 + ink.shape[1]][ink] = 0
-            payload = encode_png(page, filter_mode="rotate")  # real bytes
+            payload = encode_png(page, filter_mode="cover")  # real bytes
             got = ocr_page_lines(gray_from_pixels(decode_png(payload)))
             for i, text in enumerate(got):
                 doc_out.append(d)
@@ -6947,7 +6947,7 @@ def _q_scanned_page_markdown(sf_dir: str):
         doc_out, md_out, cat_out = [], [], []
         for d in batch.column("doc_id").to_pylist():
             d = int(d)
-            payload = encode_png(_render(d), filter_mode="rotate")
+            payload = encode_png(_render(d), filter_mode="cover")
             gray = gray_from_pixels(decode_png(payload))
             spans = []
             for bbox in detect_blocks(gray, min_gap=8):

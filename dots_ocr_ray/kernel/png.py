@@ -55,10 +55,15 @@ def encode_png(img: np.ndarray, *, filter_mode: int | str = 0, level: int = 6) -
     """Serialize an 8-bit image as a real PNG byte stream.
 
     ``img``: (h, w) gray or (h, w, 3) RGB uint8 array.
-    ``filter_mode``: a fixed filter type 0-4 for every scanline, or
-    ``"rotate"`` to use ``row % 5`` — the roundtrip then covers every
-    decoder filter branch.  Deterministic for fixed inputs (zlib is
-    stdlib and its output is stable for a fixed level/strategy).
+    ``filter_mode``: a fixed filter type 0-4 for every scanline,
+    ``"rotate"`` for ``row % 5`` (the roundtrip covers every decoder
+    filter branch), or ``"cover"`` — rotate on the first five
+    scanlines then Up for the rest: still exercises all five
+    reconstruction branches per image, but the sequential
+    Average/Paeth paths (a Python walk per pixel position) stay O(1)
+    rows so large page images encode/decode at vector speed.
+    Deterministic for fixed inputs (zlib is stdlib and its output is
+    stable for a fixed level/strategy).
     """
     arr = np.asarray(img, dtype=np.uint8)
     if arr.ndim == 2:
@@ -77,7 +82,12 @@ def encode_png(img: np.ndarray, *, filter_mode: int | str = 0, level: int = 6) -
     prev = np.zeros(w * channels, dtype=np.int16)
     for r in range(h):
         row = raw[r]
-        ft = (r % 5) if filter_mode == "rotate" else int(filter_mode)
+        if filter_mode == "rotate":
+            ft = r % 5
+        elif filter_mode == "cover":
+            ft = r % 5 if r < 5 else 2
+        else:
+            ft = int(filter_mode)
         left = np.zeros_like(row)
         left[bpp:] = row[:-bpp]
         prev_left = np.zeros_like(prev)
