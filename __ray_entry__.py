@@ -6974,6 +6974,57 @@ def _q_scanned_page_markdown(sf_dir: str):
     return docs.map_batches(_pipeline, batch_format="pyarrow")
 
 
+def _q_page_deskew(sf_dir: str):
+    """Scan deskew for real: each doc's glyph page is SHEARED by a
+    planted integer skew ``k = doc_id % 5 − 2`` before PNG encoding,
+    and the engine must estimate k from the pixels alone
+    (kernel/layout_detect.py:detect_shear — projection-profile
+    variance maximization, the classic Baird-family method), invert
+    the shear exactly, and template-OCR the RESTORED title line — so
+    the output certifies estimation AND restoration in one string.
+    Oracle: the planted-k and title-string arithmetic in SQL."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from dots_ocr_ray.kernel.glyphs import ocr_page_lines, render_text_line
+    from dots_ocr_ray.kernel.layout_detect import detect_shear, shear_rows
+    from dots_ocr_ray.kernel.png import decode_png, encode_png, gray_from_pixels
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"], override_num_blocks=32
+    )
+
+    def _deskew(batch: pa.Table) -> pa.Table:
+        doc_out, k_out, title_out = [], [], []
+        for d in batch.column("doc_id").to_pylist():
+            d = int(d)
+            page = np.full((72, 170), 255, np.uint8)
+            lines = [f"TITLE OF DOCUMENT {d:06d}", f"BODY 0 {d % 1000}", f"BODY 1 {d % 1000}"]
+            for i, text in enumerate(lines):
+                ink = render_text_line(text)
+                page[2 + i * 16 : 9 + i * 16, 12 : 12 + ink.shape[1]][ink] = 0
+            k_true = d % 5 - 2
+            payload = encode_png(shear_rows(page, k_true), filter_mode="cover")
+            gray = gray_from_pixels(decode_png(payload))
+            k_est = detect_shear(gray, k_range=2)
+            restored = shear_rows(gray, k_est, invert=True)
+            got = ocr_page_lines(restored, min_gap=8)
+            doc_out.append(d)
+            k_out.append(k_est)
+            title_out.append(got[0] if got else "")
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_out, type=pa.int64()),
+                "skew_px": pa.array(k_out, type=pa.int32()),
+                "title": pa.array(title_out, type=pa.string()),
+            }
+        )
+
+    return docs.map_batches(_deskew, batch_format="pyarrow")
+
+
 def _q_sitemap_gap(sf_dir: str):
     """Frontier gap analysis: urls DECLARED in the (real, parsed)
     sitemap fixture but never crawled.  The declared side re-reads and
@@ -7520,6 +7571,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "layout_blocks": _q_layout_blocks,
         "scanned_page_ocr": _q_scanned_page_ocr,
         "scanned_page_markdown": _q_scanned_page_markdown,
+        "page_deskew": _q_page_deskew,
         "charset_counts": _q_charset_counts,
         "robots_txt_rules": _q_robots_txt_rules,
         "warc_http_headers": _q_warc_http_headers,
@@ -8311,6 +8363,11 @@ def oracle_sql() -> dict[str, str]:
             "CAST(CASE WHEN nn % 3 = 0 THEN -1 ELSE 1 + nn % 4 END AS BIGINT) AS crawl_delay "
             "FROM h JOIN generate_series(0, 1) AS r(i) "
             "ON r.i < CASE WHEN nn % 3 = 0 THEN 2 ELSE 1 END"
+        ),
+        "page_deskew": (
+            "SELECT doc_id, CAST(doc_id % 5 - 2 AS INTEGER) AS skew_px, "
+            "'TITLE OF DOCUMENT ' || lpad(CAST(doc_id AS VARCHAR), 6, '0') AS title "
+            "FROM documents"
         ),
         "scanned_page_markdown": (
             "SELECT doc_id, "

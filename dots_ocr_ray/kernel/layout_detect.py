@@ -110,3 +110,55 @@ def classify_block(
     if h <= page_h // 16 and w > h:
         return "Header"
     return "Text"
+
+
+def shear_rows(
+    img: np.ndarray, k: int, *, denom: int = 16, fill: int = 255, invert: bool = False
+) -> np.ndarray:
+    """Integer row-shear: row r shifts right by ``(r * k) // denom``
+    px (k < 0 shifts left) — the exact-arithmetic stand-in for a small
+    page rotation (a real scan's skew of ≈ k/denom radians).
+    ``invert=True`` applies the SAME per-row offsets with opposite
+    sign, which inverts the forward shear exactly (floor division is
+    not sign-symmetric, so ``shear_rows(x, -k)`` would not)."""
+    img = np.asarray(img)
+    h, w = img.shape
+    out = np.full_like(img, fill)
+    for r in range(h):
+        off = (r * k) // denom
+        if invert:
+            off = -off
+        if off >= 0:
+            if off < w:
+                out[r, off:] = img[r, : w - off]
+        else:
+            if -off < w:
+                out[r, : w + off] = img[r, -off:]
+    return out
+
+
+def detect_shear(
+    gray: np.ndarray, *, k_range: int = 4, ink_threshold: int = 128
+) -> int:
+    """Skew estimation by projection-profile variance maximization
+    (the classic published deskew method — Baird 1987 family): try
+    every integer shear in ``[-k_range, k_range]``, unshear, and score
+    the COLUMN ink-count profile's variance — a horizontal (row-wise)
+    shear leaves the row profile untouched, but only the correct
+    unshear re-aligns the glyph columns and inter-character gaps
+    across lines, which maximizes column-profile variance.
+    Deterministic tie-break: smaller |k|, then smaller k (the
+    candidate order below).  Returns the estimated shear ``k`` such
+    that ``shear_rows(gray, k, invert=True)`` deskews the page; scores
+    are exact integers (n·Σx² − (Σx)²), so ties are bit-stable."""
+    gray = np.asarray(gray)
+    ink = (gray < ink_threshold).astype(np.int64)
+    best_k, best_score = 0, -1
+    for k in sorted(range(-k_range, k_range + 1), key=lambda v: (abs(v), v)):
+        un = shear_rows(ink, k, fill=0, invert=True)
+        prof = un.sum(axis=0)
+        n = len(prof)
+        score = int(n * (prof * prof).sum() - int(prof.sum()) ** 2)
+        if score > best_score:
+            best_k, best_score = k, score
+    return best_k

@@ -54,3 +54,28 @@ def test_classify_block_rules():
     assert classify_block((16, 48, 240, 80), 256, 192) == "Text"  # tall
     assert classify_block((16, 48, 116, 80), 256, 192) == "Text"  # narrow
     assert classify_block((16, 48, 140, 58), 256, 192) == "Header"  # short strip
+
+
+def test_shear_rows_exact_inversion():
+    from dots_ocr_ray.kernel.layout_detect import shear_rows
+
+    rng = np.random.RandomState(0)
+    img = np.full((40, 80), 255, np.uint8)
+    img[10:30, 20:60] = rng.randint(0, 200, (20, 40), dtype=np.uint8)
+    for k in range(-3, 4):
+        sheared = shear_rows(img, k)
+        assert (shear_rows(sheared, k, invert=True) == img).all()
+
+
+def test_detect_shear_recovers_planted_skew():
+    from dots_ocr_ray.kernel.glyphs import render_text_line
+    from dots_ocr_ray.kernel.layout_detect import detect_shear, shear_rows
+
+    page = np.full((72, 170), 255, np.uint8)
+    for i, t in enumerate(["TITLE OF DOCUMENT 000042", "BODY 0 42", "BODY 1 42"]):
+        ink = render_text_line(t)
+        page[2 + i * 16 : 9 + i * 16, 12 : 12 + ink.shape[1]][ink] = 0
+    for k in range(-2, 3):
+        assert detect_shear(shear_rows(page, k), k_range=2) == k
+    # blank page: deterministic 0
+    assert detect_shear(np.full((30, 30), 255, np.uint8)) == 0
