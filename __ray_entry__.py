@@ -6974,6 +6974,70 @@ def _q_scanned_page_markdown(sf_dir: str):
     return docs.map_batches(_pipeline, batch_format="pyarrow")
 
 
+def _q_noisy_page_ocr(sf_dir: str):
+    """Scan-noise-tolerant OCR: the same two-line glyph pages as
+    `scanned_page_ocr`, but every glyph is DEGRADED by up to two
+    deterministic pixel flips (corner pins remapped so the line
+    bounding box stays stable) before PNG encoding — exact template
+    lookup now fails on most cells, and the engine must recover the
+    text through the minimum-Hamming-distance classifier
+    (kernel/glyphs.py:read_text_line(max_err=3); the glyph set's
+    minimum pairwise distance is 7, so ≤3-bit noise decodes
+    guaranteed-correct).  Oracle: the same string arithmetic — noise
+    must change NOTHING."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from dots_ocr_ray.kernel.glyphs import GLYPH_H, GLYPH_W, PITCH, ocr_page_lines, render_text_line
+    from dots_ocr_ray.kernel.png import decode_png, encode_png, gray_from_pixels
+
+    _REMAP = {0: 17, 30: 18, 4: 16, 34: 19}  # corner pins stay inked
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"], override_num_blocks=32
+    )
+
+    def _ocr(batch: pa.Table) -> pa.Table:
+        doc_out, idx_out, text_out = [], [], []
+        for d, lang in zip(
+            batch.column("doc_id").to_pylist(), batch.column("lang").to_pylist()
+        ):
+            d = int(d)
+            lines = [f"DOC {d:06d}", f"LANG {(lang or '').upper()}"]
+            page = np.full((36, 140), 255, np.uint8)
+            for i, text in enumerate(lines):
+                ink = render_text_line(text).copy()
+                for p, ch in enumerate(text):
+                    if ch == " ":
+                        continue
+                    for j in range((d + i + p) % 3):
+                        pos = (d * 31 + p * 13 + j * 11) % 35
+                        pos = _REMAP.get(pos, pos)
+                        r, c = divmod(pos, GLYPH_W)
+                        cc = p * PITCH + c
+                        ink[r, cc] = not ink[r, cc]
+                y = 4 + i * 16
+                page[y : y + GLYPH_H, 4 : 4 + ink.shape[1]][ink] = 0
+                page[y : y + GLYPH_H, 4 : 4 + ink.shape[1]][~ink] = 255
+            payload = encode_png(page, filter_mode="cover")
+            got = ocr_page_lines(gray_from_pixels(decode_png(payload)), max_err=3)
+            for i, text in enumerate(got):
+                doc_out.append(d)
+                idx_out.append(i)
+                text_out.append(text)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_out, type=pa.int64()),
+                "line_idx": pa.array(idx_out, type=pa.int32()),
+                "ocr_text": pa.array(text_out, type=pa.string()),
+            }
+        )
+
+    return docs.map_batches(_ocr, batch_format="pyarrow")
+
+
 def _q_page_deskew(sf_dir: str):
     """Scan deskew for real: each doc's glyph page is SHEARED by a
     planted integer skew ``k = doc_id % 5 − 2`` before PNG encoding,
@@ -7572,6 +7636,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scanned_page_ocr": _q_scanned_page_ocr,
         "scanned_page_markdown": _q_scanned_page_markdown,
         "page_deskew": _q_page_deskew,
+        "noisy_page_ocr": _q_noisy_page_ocr,
         "charset_counts": _q_charset_counts,
         "robots_txt_rules": _q_robots_txt_rules,
         "warc_http_headers": _q_warc_http_headers,
@@ -8363,6 +8428,12 @@ def oracle_sql() -> dict[str, str]:
             "CAST(CASE WHEN nn % 3 = 0 THEN -1 ELSE 1 + nn % 4 END AS BIGINT) AS crawl_delay "
             "FROM h JOIN generate_series(0, 1) AS r(i) "
             "ON r.i < CASE WHEN nn % 3 = 0 THEN 2 ELSE 1 END"
+        ),
+        "noisy_page_ocr": (
+            "SELECT doc_id, CAST(i.i AS INTEGER) AS line_idx, "
+            "CASE i.i WHEN 0 THEN 'DOC ' || lpad(CAST(doc_id AS VARCHAR), 6, '0') "
+            "ELSE 'LANG ' || upper(lang) END AS ocr_text "
+            "FROM documents CROSS JOIN generate_series(0, 1) AS i(i)"
         ),
         "page_deskew": (
             "SELECT doc_id, CAST(doc_id % 5 - 2 AS INTEGER) AS skew_px, "

@@ -41,6 +41,12 @@ _GLYPHS: dict[str, np.ndarray] = {ch: _make_glyph(ch) for ch in ALPHABET}
 # pairwise distinctness is what makes exact template match well-defined
 assert len({g.tobytes() for g in _GLYPHS.values()}) == len(ALPHABET)
 _LOOKUP: dict[bytes, str] = {g.tobytes(): ch for ch, g in _GLYPHS.items()}
+_TEMPLATES = np.stack([_GLYPHS[ch] for ch in ALPHABET])  # (36, 7, 5) bool
+_MIN_PAIR_DIST = min(
+    int((_TEMPLATES[i] ^ _TEMPLATES[j]).sum())
+    for i in range(len(ALPHABET))
+    for j in range(i + 1, len(ALPHABET))
+)
 
 
 def render_text_line(text: str) -> np.ndarray:
@@ -57,13 +63,20 @@ def render_text_line(text: str) -> np.ndarray:
     return out
 
 
-def read_text_line(ink: np.ndarray) -> str:
+def read_text_line(ink: np.ndarray, *, max_err: int = 0) -> str:
     """Recognize a rendered line from its ink mask: trim to the ink
     bounding box, infer the character count from the pitch arithmetic
     ``n = (w + 1) // 6``, slice cells, exact-match each bitmap
     (unmatched cells — noise, a half glyph, an unknown font — decode
     as ``?``).  Leading/trailing spaces are unrecoverable by design
-    (they leave no ink); interior spaces come back as spaces."""
+    (they leave no ink); interior spaces come back as spaces.
+
+    ``max_err > 0`` enables NOISE-TOLERANT matching: a cell with no
+    exact match takes the nearest template by Hamming distance when
+    that distance is ≤ max_err AND the nearest is unique — the classic
+    minimum-distance classifier over bitmap templates.  Keep max_err
+    below half the glyph set's minimum pairwise distance
+    (``_MIN_PAIR_DIST``) for guaranteed-correct decisions."""
     ink = np.asarray(ink, dtype=bool)
     if ink.ndim != 2 or not ink.any():
         return ""
@@ -81,11 +94,19 @@ def read_text_line(ink: np.ndarray) -> str:
         if not cell.any():
             out.append(" ")
             continue
-        out.append(_LOOKUP.get(np.ascontiguousarray(cell).tobytes(), "?"))
+        ch = _LOOKUP.get(np.ascontiguousarray(cell).tobytes())
+        if ch is None and max_err > 0:
+            dists = (_TEMPLATES ^ cell[None]).sum(axis=(1, 2))
+            best = int(dists.min())
+            if best <= max_err and int((dists == best).sum()) == 1:
+                ch = ALPHABET[int(dists.argmin())]
+        out.append(ch if ch is not None else "?")
     return "".join(out)
 
 
-def ocr_page_lines(gray: np.ndarray, *, ink_threshold: int = 128, min_gap: int = 8) -> list[str]:
+def ocr_page_lines(
+    gray: np.ndarray, *, ink_threshold: int = 128, min_gap: int = 8, max_err: int = 0
+) -> list[str]:
     """Full-page OCR: segment the page into line blocks with the
     projection XY-cut (`layout_detect.detect_blocks`) using a gap
     threshold ABOVE the inter-word space width (7 blank columns at
@@ -102,7 +123,7 @@ def ocr_page_lines(gray: np.ndarray, *, ink_threshold: int = 128, min_gap: int =
         block = ink[y1:y2, x1:x2]
         for r0 in range(0, block.shape[0], GLYPH_H + 1):
             band = block[r0 : r0 + GLYPH_H]
-            text = read_text_line(band)
+            text = read_text_line(band, max_err=max_err)
             if text:
                 lines.append(text)
     return lines

@@ -53,3 +53,19 @@ def test_ocr_page_lines_two_lines_with_spaces():
         page[4 + i * 16 : 11 + i * 16, 4 : 4 + ink.shape[1]][ink] = 0
     assert ocr_page_lines(page) == ["DOC 42", "LANG EN"]
     assert ocr_page_lines(np.full((20, 20), 255, np.uint8)) == []
+
+
+def test_noise_tolerant_matching():
+    from dots_ocr_ray.kernel.glyphs import _MIN_PAIR_DIST
+
+    assert _MIN_PAIR_DIST >= 7  # max_err=3 decisions guaranteed unique
+    ink = render_text_line("HELLO 123").copy()
+    for r, c in [(3, 2), (5, 8), (1, 14), (2, 20)]:
+        ink[r, c] = not ink[r, c]
+    assert "?" in read_text_line(ink)  # exact match fails
+    assert read_text_line(ink, max_err=3) == "HELLO 123"
+    # noise beyond the budget still refuses rather than guessing
+    heavy = render_text_line("A").copy()
+    for r in range(5):
+        heavy[r, 2] = not heavy[r, 2]
+    assert read_text_line(heavy, max_err=3) == "?"
