@@ -6974,6 +6974,52 @@ def _q_scanned_page_markdown(sf_dir: str):
     return docs.map_batches(_pipeline, batch_format="pyarrow")
 
 
+def _q_scan_pipeline(sf_dir: str):
+    """The LIBRARY scanned-page pipeline (pipelines/scan.py:scan_pages
+    — the `dots_ocr_ray scan` CLI's engine) under the oracle: skewed
+    glyph pages go in as media rows, and the full stage chain (decode
+    → deskew → segment → classify → OCR → spans+markdown) must emit
+    the exact status/skew/block-count/markdown the paint rule
+    predicts.  Unlike `scanned_page_markdown` (a bespoke composition)
+    this certifies the REUSABLE pipeline itself."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from dots_ocr_ray.kernel.glyphs import render_text_line
+    from dots_ocr_ray.kernel.layout_detect import shear_rows
+    from dots_ocr_ray.kernel.png import encode_png
+    from dots_ocr_ray.pipelines.scan import scan_pages
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"], override_num_blocks=32
+    )
+
+    def _to_media(batch: pa.Table) -> pa.Table:
+        ids, payloads = [], []
+        for d in batch.column("doc_id").to_pylist():
+            d = int(d)
+            page = np.full((72, 170), 255, np.uint8)
+            lines = [f"TITLE OF DOCUMENT {d:06d}", f"BODY 0 {d % 1000}"]
+            for i, text in enumerate(lines):
+                ink = render_text_line(text)
+                page[2 + i * 16 : 9 + i * 16, 12 : 12 + ink.shape[1]][ink] = 0
+            payloads.append(
+                encode_png(shear_rows(page, d % 5 - 2), filter_mode="cover")
+            )
+            ids.append(d)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "payload": pa.array(payloads, type=pa.binary()),
+            }
+        )
+
+    out = scan_pages(docs.map_batches(_to_media, batch_format="pyarrow"))
+    return out.select_columns(["doc_id", "status", "skew_px", "n_blocks", "markdown"])
+
+
 def _q_noisy_page_ocr(sf_dir: str):
     """Scan-noise-tolerant OCR: the same two-line glyph pages as
     `scanned_page_ocr`, but every glyph is DEGRADED by up to two
@@ -7637,6 +7683,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scanned_page_markdown": _q_scanned_page_markdown,
         "page_deskew": _q_page_deskew,
         "noisy_page_ocr": _q_noisy_page_ocr,
+        "scan_pipeline": _q_scan_pipeline,
         "charset_counts": _q_charset_counts,
         "robots_txt_rules": _q_robots_txt_rules,
         "warc_http_headers": _q_warc_http_headers,
@@ -8428,6 +8475,14 @@ def oracle_sql() -> dict[str, str]:
             "CAST(CASE WHEN nn % 3 = 0 THEN -1 ELSE 1 + nn % 4 END AS BIGINT) AS crawl_delay "
             "FROM h JOIN generate_series(0, 1) AS r(i) "
             "ON r.i < CASE WHEN nn % 3 = 0 THEN 2 ELSE 1 END"
+        ),
+        "scan_pipeline": (
+            "SELECT doc_id, 'finished' AS status, "
+            "CAST(doc_id % 5 - 2 AS INTEGER) AS skew_px, "
+            "CAST(2 AS INTEGER) AS n_blocks, "
+            "'TITLE OF DOCUMENT ' || lpad(CAST(doc_id AS VARCHAR), 6, '0') "
+            "|| chr(10)||chr(10)||'BODY 0 ' || (doc_id % 1000) AS markdown "
+            "FROM documents"
         ),
         "noisy_page_ocr": (
             "SELECT doc_id, CAST(i.i AS INTEGER) AS line_idx, "

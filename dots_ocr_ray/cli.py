@@ -167,6 +167,31 @@ def cmd_annotate(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_scan(args: argparse.Namespace) -> int:
+    """Scanned-page job: page images → layout spans + markdown
+    (the image-input twin of ``extract``)."""
+    import ray.data
+
+    from dots_ocr_ray.pipelines.scan import read_png_dir, scan_pages
+
+    _ensure_ray()
+    if args.input_format == "png":
+        media = read_png_dir(args.input)
+    else:
+        media = ray.data.read_parquet(args.input, columns=[args.id_col, args.payload_col])
+    out = scan_pages(
+        media,
+        id_col=args.id_col,
+        payload_col=args.payload_col,
+        deskew=not args.no_deskew,
+        max_err=args.max_err,
+    ).materialize()  # one execution feeds both the sink and the rollup
+    out.write_parquet(args.out)
+    statuses = out.groupby("status").count().take_all()
+    print(json.dumps({"out": args.out, "status_counts": {r["status"]: r["count()"] for r in statuses}}))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="dots_ocr_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -188,6 +213,16 @@ def main(argv: list[str] | None = None) -> int:
     ex.add_argument("--max-rows-per-task", type=int, default=None,
                     help="split parquet shards above this many rows into row-group runs (straggler guard)")
     ex.set_defaults(fn=cmd_extract)
+
+    sc = sub.add_parser("scan", help="scanned-page job: page images -> layout spans + markdown")
+    sc.add_argument("--input", required=True, help="media parquet path/glob, or a *.png glob with --input-format png")
+    sc.add_argument("--input-format", default="parquet", choices=["parquet", "png"])
+    sc.add_argument("--out", required=True)
+    sc.add_argument("--id-col", default="doc_id")
+    sc.add_argument("--payload-col", default="payload")
+    sc.add_argument("--no-deskew", action="store_true")
+    sc.add_argument("--max-err", type=int, default=3, help="per-glyph noise budget for template OCR")
+    sc.set_defaults(fn=cmd_scan)
 
     dd = sub.add_parser("dedup", help="corpus dedup over a documents table")
     dd.add_argument("--input", required=True)
