@@ -6974,6 +6974,66 @@ def _q_scanned_page_markdown(sf_dir: str):
     return docs.map_batches(_pipeline, batch_format="pyarrow")
 
 
+def _q_scanned_table_cells(sf_dir: str):
+    """Table-STRUCTURE recognition on pixels (the reference's Table
+    category, dots.ocr schema): each doc renders a ruled table image —
+    1-px grid lines, ``2 + d%3`` data rows × 2 columns, glyph cell
+    contents from arithmetic — and the engine must find the rule
+    lines by projection coverage, slice the cell interiors, and
+    template-OCR every cell
+    (kernel/layout_detect.py:read_table_cells).  Oracle: the cell
+    arithmetic in SQL; any mis-detected line or mis-sliced cell
+    changes a string."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from dots_ocr_ray.kernel.glyphs import render_text_line
+    from dots_ocr_ray.kernel.layout_detect import read_table_cells
+    from dots_ocr_ray.kernel.png import decode_png, encode_png, gray_from_pixels
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"], override_num_blocks=32
+    )
+
+    def _cells(batch: pa.Table) -> pa.Table:
+        doc_out, r_out, c_out, t_out = [], [], [], []
+        for d in batch.column("doc_id").to_pylist():
+            d = int(d)
+            n_rows = 3 + d % 3  # header + 2..4 data rows
+            img = np.full((1 + n_rows * 12, 1 + 2 * 65), 255, np.uint8)
+            for i in range(n_rows + 1):
+                img[i * 12, :] = 0
+            for j in range(3):
+                img[:, j * 65] = 0
+            texts = {(0, 0): "ID", (0, 1): "VAL"}
+            for r in range(1, n_rows):
+                texts[(r, 0)] = str(r)
+                texts[(r, 1)] = str((d + r * 7) % 100)
+            for (r, c), t in texts.items():
+                ink = render_text_line(t)
+                y = r * 12 + 3
+                x = c * 65 + 3
+                img[y : y + 7, x : x + ink.shape[1]][ink] = 0
+            payload = encode_png(img, filter_mode="cover")
+            for r, c, t in read_table_cells(gray_from_pixels(decode_png(payload))):
+                doc_out.append(d)
+                r_out.append(r)
+                c_out.append(c)
+                t_out.append(t)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_out, type=pa.int64()),
+                "row": pa.array(r_out, type=pa.int32()),
+                "col": pa.array(c_out, type=pa.int32()),
+                "cell_text": pa.array(t_out, type=pa.string()),
+            }
+        )
+
+    return docs.map_batches(_cells, batch_format="pyarrow")
+
+
 def _q_scan_pipeline(sf_dir: str):
     """The LIBRARY scanned-page pipeline (pipelines/scan.py:scan_pages
     — the `dots_ocr_ray scan` CLI's engine) under the oracle: skewed
@@ -7684,6 +7744,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "page_deskew": _q_page_deskew,
         "noisy_page_ocr": _q_noisy_page_ocr,
         "scan_pipeline": _q_scan_pipeline,
+        "scanned_table_cells": _q_scanned_table_cells,
         "charset_counts": _q_charset_counts,
         "robots_txt_rules": _q_robots_txt_rules,
         "warc_http_headers": _q_warc_http_headers,
@@ -8475,6 +8536,18 @@ def oracle_sql() -> dict[str, str]:
             "CAST(CASE WHEN nn % 3 = 0 THEN -1 ELSE 1 + nn % 4 END AS BIGINT) AS crawl_delay "
             "FROM h JOIN generate_series(0, 1) AS r(i) "
             "ON r.i < CASE WHEN nn % 3 = 0 THEN 2 ELSE 1 END"
+        ),
+        "scanned_table_cells": (
+            "WITH d AS (SELECT doc_id, 3 + doc_id % 3 AS nr FROM documents), "
+            "g AS (SELECT doc_id, nr, r.r AS row_i, c.c AS col_i "
+            "FROM d JOIN generate_series(0, 5) AS r(r) ON r.r < nr "
+            "CROSS JOIN generate_series(0, 1) AS c(c)) "
+            "SELECT doc_id, CAST(row_i AS INTEGER) AS row, CAST(col_i AS INTEGER) AS col, "
+            "CASE WHEN row_i = 0 AND col_i = 0 THEN 'ID' "
+            "WHEN row_i = 0 THEN 'VAL' "
+            "WHEN col_i = 0 THEN CAST(row_i AS VARCHAR) "
+            "ELSE CAST((doc_id + row_i * 7) % 100 AS VARCHAR) END AS cell_text "
+            "FROM g"
         ),
         "scan_pipeline": (
             "SELECT doc_id, 'finished' AS status, "

@@ -162,3 +162,51 @@ def detect_shear(
         if score > best_score:
             best_k, best_score = k, score
     return best_k
+
+
+def detect_grid_lines(
+    ink: np.ndarray, *, coverage: float = 0.9
+) -> tuple[list[int], list[int]]:
+    """Ruled-table line detection by projection coverage: a pixel row
+    (column) whose ink spans ≥ ``coverage`` of the region's width
+    (height) is a rule line; consecutive line pixels merge to one line
+    (its first index).  Returns (row_lines, col_lines)."""
+    ink = np.asarray(ink, dtype=bool)
+    h, w = ink.shape
+
+    def _lines(profile: np.ndarray, full: int) -> list[int]:
+        hits = np.nonzero(profile >= coverage * full)[0]
+        starts = []  # keep only the START of each merged run
+        prev = None
+        for i in hits:
+            if prev is None or i > prev + 1:
+                starts.append(int(i))
+            prev = i
+        return starts
+
+    return _lines(ink.sum(axis=1), w), _lines(ink.sum(axis=0), h)
+
+
+def read_table_cells(
+    gray: np.ndarray, *, ink_threshold: int = 128, max_err: int = 0
+) -> list[tuple[int, int, str]]:
+    """Ruled-table structure recognition: detect the grid (projection
+    coverage), slice the cell interiors between consecutive rule
+    lines (1-px rules assumed; interiors exclude the lines), and
+    template-OCR each cell → ``[(row, col, text), ...]`` row-major.
+    A region without at least a 2×2 line grid returns ``[]``."""
+    from dots_ocr_ray.kernel.glyphs import read_text_line
+
+    gray = np.asarray(gray)
+    ink = gray < ink_threshold
+    row_lines, col_lines = detect_grid_lines(ink)
+    if len(row_lines) < 2 or len(col_lines) < 2:
+        return []
+    out = []
+    for r in range(len(row_lines) - 1):
+        y0, y1 = row_lines[r] + 1, row_lines[r + 1]
+        for c in range(len(col_lines) - 1):
+            x0, x1 = col_lines[c] + 1, col_lines[c + 1]
+            cell = ink[y0:y1, x0:x1]
+            out.append((r, c, read_text_line(cell, max_err=max_err)))
+    return out

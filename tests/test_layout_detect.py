@@ -79,3 +79,24 @@ def test_detect_shear_recovers_planted_skew():
         assert detect_shear(shear_rows(page, k), k_range=2) == k
     # blank page: deterministic 0
     assert detect_shear(np.full((30, 30), 255, np.uint8)) == 0
+
+
+def test_detect_grid_lines_and_cells():
+    from dots_ocr_ray.kernel.glyphs import render_text_line
+    from dots_ocr_ray.kernel.layout_detect import detect_grid_lines, read_table_cells
+
+    img = np.full((37, 131), 255, np.uint8)  # 3x2 grid, 12/65 pitch
+    for i in range(4):
+        img[i * 12, :] = 0
+    for j in range(3):
+        img[:, j * 65] = 0
+    texts = {(0, 0): "ID", (0, 1): "VAL", (1, 1): "57", (2, 0): "2"}
+    for (r, c), t in texts.items():
+        ink = render_text_line(t)
+        img[r * 12 + 3 : r * 12 + 10, c * 65 + 3 : c * 65 + 3 + ink.shape[1]][ink] = 0
+    rows, cols = detect_grid_lines(img < 128)
+    assert rows == [0, 12, 24, 36] and cols == [0, 65, 130]
+    cells = dict(((r, c), t) for r, c, t in read_table_cells(img))
+    assert cells == {(0, 0): "ID", (0, 1): "VAL", (1, 0): "", (1, 1): "57", (2, 0): "2", (2, 1): ""}
+    # no grid → no cells
+    assert read_table_cells(np.full((30, 30), 255, np.uint8)) == []
