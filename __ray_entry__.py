@@ -6974,6 +6974,65 @@ def _q_scanned_page_markdown(sf_dir: str):
     return docs.map_batches(_pipeline, batch_format="pyarrow")
 
 
+def _q_scan_page_tables(sf_dir: str):
+    """The library scan pipeline's TABLE branch under the oracle:
+    pages carry a wide title line plus a ruled 3×2 table whose cell
+    contents are doc arithmetic, and `pipelines/scan.py:scan_pages`
+    must classify the grid block as Table and serialize its
+    template-OCR'd cells as pipe-markdown rows inside the page
+    markdown.  Oracle: the full markdown string in SQL."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from dots_ocr_ray.kernel.glyphs import render_text_line
+    from dots_ocr_ray.kernel.png import encode_png
+    from dots_ocr_ray.pipelines.scan import scan_pages
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"], override_num_blocks=32
+    )
+
+    def _to_media(batch: pa.Table) -> pa.Table:
+        ids, payloads = [], []
+        for d in batch.column("doc_id").to_pylist():
+            d = int(d)
+            page = np.full((72, 170), 255, np.uint8)
+            t_ink = render_text_line(f"TITLE OF DOCUMENT {d:06d}")
+            page[2:9, 12 : 12 + t_ink.shape[1]][t_ink] = 0
+            y0, x0 = 20, 12
+            for i in range(4):
+                page[y0 + i * 12, x0 : x0 + 131] = 0
+            for j in range(3):
+                page[y0 : y0 + 37, x0 + j * 65] = 0
+            texts = {
+                (0, 0): "ID",
+                (0, 1): "VAL",
+                (1, 0): "1",
+                (1, 1): str(d % 100),
+                (2, 0): "2",
+                (2, 1): str((d * 3) % 100),
+            }
+            for (r, c), t in texts.items():
+                ink = render_text_line(t)
+                page[
+                    y0 + r * 12 + 3 : y0 + r * 12 + 10,
+                    x0 + c * 65 + 3 : x0 + c * 65 + 3 + ink.shape[1],
+                ][ink] = 0
+            payloads.append(encode_png(page, filter_mode="cover"))
+            ids.append(d)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "payload": pa.array(payloads, type=pa.binary()),
+            }
+        )
+
+    out = scan_pages(docs.map_batches(_to_media, batch_format="pyarrow"), deskew=False)
+    return out.select_columns(["doc_id", "status", "n_blocks", "markdown"])
+
+
 def _q_scanned_table_cells(sf_dir: str):
     """Table-STRUCTURE recognition on pixels (the reference's Table
     category, dots.ocr schema): each doc renders a ruled table image —
@@ -7745,6 +7804,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "noisy_page_ocr": _q_noisy_page_ocr,
         "scan_pipeline": _q_scan_pipeline,
         "scanned_table_cells": _q_scanned_table_cells,
+        "scan_page_tables": _q_scan_page_tables,
         "charset_counts": _q_charset_counts,
         "robots_txt_rules": _q_robots_txt_rules,
         "warc_http_headers": _q_warc_http_headers,
@@ -8536,6 +8596,14 @@ def oracle_sql() -> dict[str, str]:
             "CAST(CASE WHEN nn % 3 = 0 THEN -1 ELSE 1 + nn % 4 END AS BIGINT) AS crawl_delay "
             "FROM h JOIN generate_series(0, 1) AS r(i) "
             "ON r.i < CASE WHEN nn % 3 = 0 THEN 2 ELSE 1 END"
+        ),
+        "scan_page_tables": (
+            "SELECT doc_id, 'finished' AS status, CAST(2 AS INTEGER) AS n_blocks, "
+            "'TITLE OF DOCUMENT ' || lpad(CAST(doc_id AS VARCHAR), 6, '0') "
+            "|| chr(10)||chr(10)|| 'ID | VAL' "
+            "|| chr(10) || '1 | ' || (doc_id % 100) "
+            "|| chr(10) || '2 | ' || ((doc_id * 3) % 100) AS markdown "
+            "FROM documents"
         ),
         "scanned_table_cells": (
             "WITH d AS (SELECT doc_id, 3 + doc_id % 3 AS nr FROM documents), "

@@ -66,14 +66,39 @@ def scan_page(
         k = detect_shear(gray, k_range=k_range)
         if k:
             gray = shear_rows(gray, k, invert=True)
+    from dots_ocr_ray.kernel.layout_detect import read_table_cells
+
     h, w = gray.shape
     spans = []
     for bbox in detect_blocks(gray, min_gap=min_gap):
         x1, y1, x2, y2 = bbox
-        text = "\n".join(ocr_page_lines(gray[y1:y2, x1:x2], min_gap=min_gap, max_err=max_err))
+        region = gray[y1:y2, x1:x2]
+        # ruled-grid probe: a block with a >=2x2 CELL grid is a TABLE
+        # (the reference's Table category) — cells OCR'd row-major and
+        # serialized as pipe-markdown rows.  The size guard keeps a
+        # lone glyph (whose 7x5 bitmap can have fully-inked border
+        # rows) from probing as a degenerate grid; real text lines
+        # never have full-coverage rules across their whole width
+        cells = []
+        if region.shape[0] >= 12 and region.shape[1] >= 12:
+            cells = read_table_cells(region, max_err=max_err)
+            if cells and (max(r for r, _, _ in cells) < 1 or max(c for _, c, _ in cells) < 1):
+                cells = []  # demand >=2 rows AND >=2 cols of cells
+        if cells:
+            n_cols = max(c for _, c, _ in cells) + 1
+            rows: list[list[str]] = []
+            for r, c, t in cells:
+                while len(rows) <= r:
+                    rows.append([""] * n_cols)
+                rows[r][c] = t
+            text = "\n".join(" | ".join(row) for row in rows)
+            category = "Table"
+        else:
+            text = "\n".join(ocr_page_lines(region, min_gap=min_gap, max_err=max_err))
+            category = classify_block(bbox, w, h)
         spans.append(
             {
-                "category": classify_block(bbox, w, h),
+                "category": category,
                 "bbox": [int(v) for v in bbox],
                 "char_start": 0,
                 "char_end": 0,

@@ -90,3 +90,31 @@ def test_scan_cli(ray_session, tmp_path):
     tbl = pq.read_table(files)
     assert tbl.num_rows == 2
     assert set(tbl.column("markdown").to_pylist()) == {"DOC 000000", "DOC 000001"}
+
+
+def test_scan_page_table_branch():
+    from dots_ocr_ray.kernel.layout_detect import shear_rows as _  # noqa: F401
+
+    page = np.full((72, 170), 255, np.uint8)
+    t_ink = render_text_line("TITLE OF DOCUMENT 000009")
+    page[2:9, 12 : 12 + t_ink.shape[1]][t_ink] = 0
+    # ruled 3x2 table at (12, 20): 12/65 pitch
+    y0, x0 = 20, 12
+    for i in range(4):
+        page[y0 + i * 12, x0 : x0 + 131] = 0
+    for j in range(3):
+        page[y0 : y0 + 37, x0 + j * 65] = 0
+    for (r, c), t in {(0, 0): "ID", (0, 1): "VAL", (1, 0): "1", (1, 1): "57", (2, 0): "2", (2, 1): "9"}.items():
+        ink = render_text_line(t)
+        page[y0 + r * 12 + 3 : y0 + r * 12 + 10, x0 + c * 65 + 3 : x0 + c * 65 + 3 + ink.shape[1]][ink] = 0
+    res = scan_page(encode_png(page, filter_mode="cover"), deskew=False)
+    assert res["status"] == "finished"
+    assert [s["category"] for s in res["spans"]] == ["Title", "Table"]
+    assert res["spans"][1]["text"] == "ID | VAL\n1 | 57\n2 | 9"
+    assert res["markdown"] == "TITLE OF DOCUMENT 000009\n\nID | VAL\n1 | 57\n2 | 9"
+    # a lone glyph never probes as a table
+    lone = np.full((20, 20), 255, np.uint8)
+    g = render_text_line("8")
+    lone[6:13, 7:12][g] = 0
+    res2 = scan_page(encode_png(lone), deskew=False)
+    assert [s["category"] for s in res2["spans"]] == ["Text"]
