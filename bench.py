@@ -136,6 +136,12 @@ WATCHED_QUERIES = (
     "substring_dedup_docs",
     "ann_topk",
     "ann_ivf_topk",
+    # round-5 additions worth pinning: the two by-design real-decode
+    # regressions (so their level reads stable, not noisy) and the
+    # round's one creeping unpinned query
+    "media_features",
+    "media_phash_dups",
+    "incremental_minhash",
 )
 
 
