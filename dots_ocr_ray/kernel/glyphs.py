@@ -1,7 +1,9 @@
 """Template-matching OCR over a fixed monospace glyph set — the
 text-recognition half of the scanned-page path.
 
-The reference reads page text with a VLM; the sandbox has neither a
+The reference reads page text with a VLM (dots_ocr/model/inference.py:
+50-267, invoked per page image by parser.py:49-96); this sandbox has
+neither a
 vision model nor font files, so this kernel implements the CLASSIC
 pre-neural baseline instead: render text as fixed-pitch 5×7 glyph
 bitmaps, and recognize by exact template match per character cell —

@@ -2,7 +2,9 @@
 the layout parser.
 
 The reference's layout model segments a page image into category
-blocks with bboxes (dots.ocr's 11-category schema; the north-star's
+blocks with bboxes (the single-VLM layout parse in
+dots_ocr/model/inference.py:50-267 driven by parser.py:49-96, the
+11-category schema of utils/prompts.py:7; the north-star's
 "PDF/scanned-page layout analysis").  With no vision model in this
 sandbox, this kernel implements the CLASSIC published alternative:
 recursive XY-cut on ink projection profiles (Nagy & Seth 1984 — the

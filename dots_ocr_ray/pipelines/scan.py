@@ -3,7 +3,10 @@ layout spans + markdown (the image-input twin of
 `pipelines/extract.py`'s HTML path).
 
 Mirrors the reference's image job shape (page image → layout model →
-reading order → layoutjson2md; dots_ocr/parser.py + layout_service)
+reading order → layoutjson2md: parser.py:49-96 `parse_image`,
+pdf pages rasterized by pdf_extractor.py:23-44 `to_image` before the
+same path in parser.py:98-176 `parse_pdf`; serialization
+format_transformer.py:141-179)
 with the repo's published-algorithm kernels: stdlib PNG decode →
 optional projection-variance deskew → XY-cut block segmentation →
 geometry classification → template OCR → the SAME `spans_to_markdown`
