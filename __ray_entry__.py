@@ -7033,6 +7033,69 @@ def _q_scan_page_tables(sf_dir: str):
     return out.select_columns(["doc_id", "status", "n_blocks", "markdown"])
 
 
+def _q_scan_page_pictures(sf_dir: str):
+    """The scan pipeline's PICTURE branch: pages carry a title, a
+    dense dithered figure region (checkerboard ink no glyph matches),
+    and a body line — the pipeline must classify the figure as
+    Picture and serialize it as the reference's EMPTY markdown item
+    (format_transformer.py:141-179: an undescribed Picture still
+    contributes an item, so the page markdown contains the
+    `\\n\\n\\n\\n` double-join).  Oracle: the exact markdown string,
+    byte-subtlety included, in SQL."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from dots_ocr_ray.kernel.glyphs import render_text_line
+    from dots_ocr_ray.kernel.png import encode_png
+    from dots_ocr_ray.pipelines.scan import scan_pages
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"], override_num_blocks=32
+    )
+
+    def _to_media(batch: pa.Table) -> pa.Table:
+        ids, payloads = [], []
+        for d in batch.column("doc_id").to_pylist():
+            d = int(d)
+            page = np.full((72, 170), 255, np.uint8)
+            t = render_text_line(f"TITLE OF DOCUMENT {d:06d}")
+            page[2:9, 12 : 12 + t.shape[1]][t] = 0
+            pw = 60 + d % 40  # figure width varies per doc
+            yy, xx = np.mgrid[20:44, 12 : 12 + pw]
+            page[20:44, 12 : 12 + pw][(yy + xx) % 2 == 0] = 40
+            b = render_text_line(f"BODY 0 {d % 1000}")
+            page[52:59, 12 : 12 + b.shape[1]][b] = 0
+            payloads.append(encode_png(page, filter_mode="cover"))
+            ids.append(d)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "payload": pa.array(payloads, type=pa.binary()),
+            }
+        )
+
+    out = scan_pages(docs.map_batches(_to_media, batch_format="pyarrow"), deskew=False)
+
+    def _final(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc  # noqa: F401
+
+        cats = [
+            "|".join(s["category"] for s in spans)
+            for spans in batch.column("spans").to_pylist()
+        ]
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "categories": pa.array(cats, type=pa.string()),
+                "markdown": batch.column("markdown"),
+            }
+        )
+
+    return out.map_batches(_final, batch_format="pyarrow")
+
+
 def _q_scanned_table_cells(sf_dir: str):
     """Table-STRUCTURE recognition on pixels (the reference's Table
     category, dots.ocr schema): each doc renders a ruled table image —
@@ -7805,6 +7868,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scan_pipeline": _q_scan_pipeline,
         "scanned_table_cells": _q_scanned_table_cells,
         "scan_page_tables": _q_scan_page_tables,
+        "scan_page_pictures": _q_scan_page_pictures,
         "charset_counts": _q_charset_counts,
         "robots_txt_rules": _q_robots_txt_rules,
         "warc_http_headers": _q_warc_http_headers,
@@ -8596,6 +8660,13 @@ def oracle_sql() -> dict[str, str]:
             "CAST(CASE WHEN nn % 3 = 0 THEN -1 ELSE 1 + nn % 4 END AS BIGINT) AS crawl_delay "
             "FROM h JOIN generate_series(0, 1) AS r(i) "
             "ON r.i < CASE WHEN nn % 3 = 0 THEN 2 ELSE 1 END"
+        ),
+        "scan_page_pictures": (
+            "SELECT doc_id, 'Title|Picture|Text' AS categories, "
+            "'TITLE OF DOCUMENT ' || lpad(CAST(doc_id AS VARCHAR), 6, '0') "
+            "|| chr(10)||chr(10) || chr(10)||chr(10) "
+            "|| 'BODY 0 ' || (doc_id % 1000) AS markdown "
+            "FROM documents"
         ),
         "scan_page_tables": (
             "SELECT doc_id, 'finished' AS status, CAST(2 AS INTEGER) AS n_blocks, "

@@ -98,7 +98,15 @@ def scan_page(
             category = "Table"
         else:
             text = "\n".join(ocr_page_lines(region, min_gap=min_gap, max_err=max_err))
-            category = classify_block(bbox, w, h)
+            if text and not (set(text) - {"?", " ", "\n"}):
+                # a dense region no glyph matches anywhere: a PICTURE
+                # (photo/figure).  Mirroring the reference's semantics
+                # (format_transformer.py:141-179): a Picture cell with
+                # no description contributes an EMPTY markdown item
+                category = "Picture"
+                text = ""
+            else:
+                category = classify_block(bbox, w, h)
         spans.append(
             {
                 "category": category,

@@ -118,3 +118,19 @@ def test_scan_page_table_branch():
     lone[6:13, 7:12][g] = 0
     res2 = scan_page(encode_png(lone), deskew=False)
     assert [s["category"] for s in res2["spans"]] == ["Text"]
+
+
+def test_scan_page_picture_branch():
+    page = np.full((72, 170), 255, np.uint8)
+    t = render_text_line("TITLE OF DOCUMENT 000003")
+    page[2:9, 12 : 12 + t.shape[1]][t] = 0
+    yy, xx = np.mgrid[20:44, 12:92]
+    page[20:44, 12:92][(yy + xx) % 2 == 0] = 40  # dithered figure
+    b = render_text_line("BODY 0 3")
+    page[52:59, 12 : 12 + b.shape[1]][b] = 0
+    res = scan_page(encode_png(page, filter_mode="cover"), deskew=False)
+    assert [s["category"] for s in res["spans"]] == ["Title", "Picture", "Text"]
+    # the reference's empty-Picture markdown subtlety: an empty item
+    # still joins, producing the double "\n\n"
+    assert res["markdown"] == "TITLE OF DOCUMENT 000003\n\n\n\nBODY 0 3"
+    assert res["spans"][1]["text"] == ""
