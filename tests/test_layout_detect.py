@@ -100,3 +100,42 @@ def test_detect_grid_lines_and_cells():
     assert cells == {(0, 0): "ID", (0, 1): "VAL", (1, 0): "", (1, 1): "57", (2, 0): "2", (2, 1): ""}
     # no grid → no cells
     assert read_table_cells(np.full((30, 30), 255, np.uint8)) == []
+
+
+def test_read_table_cells_noise_tolerant_and_fuzz():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from dots_ocr_ray.kernel.glyphs import render_text_line
+    from dots_ocr_ray.kernel.layout_detect import read_table_cells
+
+    # noise inside a cell decodes through the Hamming classifier
+    img = np.full((25, 131), 255, np.uint8)
+    for i in range(3):
+        img[i * 12, :] = 0
+    for j in range(3):
+        img[:, j * 65] = 0
+    ink = render_text_line("57")
+    img[3:10, 68 : 68 + ink.shape[1]][ink] = 0
+    img[5, 70] = 255 - img[5, 70]  # flip one pixel
+    cells = dict(((r, c), t) for r, c, t in read_table_cells(img, max_err=3))
+    assert cells[(0, 1)] == "57"
+
+
+def test_detect_blocks_never_crashes_fuzz():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from dots_ocr_ray.kernel.layout_detect import detect_blocks
+
+    @settings(max_examples=30, deadline=None)
+    @given(h=st.integers(1, 40), w=st.integers(1, 40), seed=st.integers(0, 2**31 - 1))
+    def _run(h, w, seed):
+        rng = np.random.RandomState(seed)
+        img = rng.randint(0, 256, (h, w), dtype=np.uint8)
+        blocks = detect_blocks(img)
+        for x1, y1, x2, y2 in blocks:
+            assert 0 <= x1 < x2 <= w and 0 <= y1 < y2 <= h
+        assert detect_blocks(img) == blocks  # deterministic
+
+    _run()
